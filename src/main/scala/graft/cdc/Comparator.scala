@@ -1,0 +1,203 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The comparison engine — the reference's whole dataflow
+  * (compare_timestamps.go:101-292) re-expressed as one declarative Spark plan:
+  *
+  *   prepareBinlog  →  filter P3/P4 + last-wins dedup          (phase A)
+  *   prepareAvro    →  filter P5                               (phase B scan)
+  *   compare        →  full-outer equi-join + flag expressions (phases B+C)
+  *   Report.summary →  global conditional counts               (phase D)
+  *
+  * Scale notes (100 TB):
+  *   - the reference's in-heap `map[BinlogKey]BinlogEvent` becomes the join —
+  *     Catalyst/AQE pick broadcast vs shuffled-hash vs sort-merge from stats,
+  *     and every choice is spillable and partition-parallel;
+  *   - last-wins dedup is `max_by` in a hash aggregate (map-side partial agg,
+  *     one shuffle on the join key) instead of a window sort;
+  *   - all comparison logic is `Column` expressions — whole-stage codegen,
+  *     no per-row (de)serialization, no driver collects.
+  */
+object Comparator {
+  import Normalize._
+  import Schemas.Status
+
+  /** @param toleranceMs  timestamp tolerance, strict `>` beyond it is a
+    *                     mismatch (reference hard-codes 100 ms,
+    *                     compare_timestamps.go:214)
+    * @param strictChangeType corrected DELETE-suffix semantics instead of the
+    *                     reference's dead branch (SURVEY E12) */
+  case class Config(toleranceMs: Long = 100L, strictChangeType: Boolean = false)
+
+  /** Go's `time.Time` zero value (year 1) in epoch micros: a binlog event with
+    * *both* timestamp fields empty is compared against this and therefore
+    * always mismatches (reference compare_timestamps.go:197-216). */
+  val GoZeroTimeMicros: Long = -62135596800000000L
+
+  /** Phase A (reference loadBinlogData, compare_timestamps.go:101-151):
+    * relevance filter, zero-value key filter, last-wins dedup.
+    *
+    * @param raw    binlog events with at least the columns of
+    *               `Schemas.binlogReadSchema`
+    * @param seq    strictly increasing input-order column — the distributed
+    *               stand-in for the reference's map-insert order (:147).
+    *               Callers reading files should derive it from
+    *               (file sequence, row index), not `monotonically_increasing_id`
+    *               after a repartition.
+    */
+  def prepareBinlog(raw: DataFrame, seq: Column): DataFrame = {
+    // Go zero values: a missing field decodes to ""/0, so null folds to the
+    // zero value *before* the filters (reference :137-140 drops those rows).
+    val normalized = raw
+      .withColumn("_seq", seq)
+      .withColumn("event_type", coalesce(col("event_type"), lit("")))
+      .withColumn("binlog_file", coalesce(col("binlog_file"), lit("")))
+      .withColumn("log_position", coalesce(col("log_position"), lit(0L)))
+      .filter(isRelevantEventType(col("event_type")))                    // P3
+      .filter(col("binlog_file") =!= "" && col("log_position") =!= 0L)  // P4
+
+    // Last-wins dedup (map insert, reference :147). max_by over the seq keeps
+    // it a hash aggregate with map-side combine — no window sort, one shuffle
+    // that the full-outer join below reuses (same key).
+    val valueCols =
+      normalized.columns.filterNot(Seq("binlog_file", "log_position").contains)
+    normalized
+      .groupBy(col("binlog_file"), col("log_position"))
+      .agg(max_by(struct(valueCols.map(col): _*), col("_seq")).as("_v"))
+      .select(col("binlog_file") +: col("log_position") +:
+        valueCols.map(c => col("_v." + c).as(c)): _*)
+  }
+
+  /** Unwrap the Avro-JSON union wrappers and flatten `source_metadata` to the
+    * comparison columns (reference compare_timestamps.go:26-64; wrappers
+    * `{"string": v}` etc.). Input: `Schemas.avroWrappedReadSchema` shape. */
+  def flattenWrappedAvro(raw: DataFrame): DataFrame =
+    raw.select(
+      col("source_timestamp"),
+      col("source_metadata.database").as("database"),
+      col("source_metadata.table").as("table"),
+      col("source_metadata.change_type.string").as("change_type"),
+      col("source_metadata.gtid.string").as("gtid"),
+      col("source_metadata.binlog_file.string").as("binlog_file"),
+      col("source_metadata.binlog_position.long").as("binlog_position"),
+      col("source_metadata.is_deleted.boolean").as("is_deleted"),
+      col("source_metadata.primary_keys").as("primary_keys")
+    )
+
+  /** Flatten a resolved (native-Avro) change record — same columns, no
+    * wrappers (SURVEY §7.4). */
+  def flattenResolvedAvro(raw: DataFrame): DataFrame =
+    raw.select(
+      col("source_timestamp"),
+      col("source_metadata.database").as("database"),
+      col("source_metadata.table").as("table"),
+      col("source_metadata.change_type").as("change_type"),
+      col("source_metadata.gtid").as("gtid"),
+      col("source_metadata.binlog_file").as("binlog_file"),
+      col("source_metadata.binlog_position").as("binlog_position"),
+      col("source_metadata.is_deleted").as("is_deleted"),
+      col("source_metadata.primary_keys").as("primary_keys")
+    )
+
+  /** Phase B input filter (reference :176-179): Go zero values as null. */
+  def prepareAvro(flat: DataFrame): DataFrame =
+    flat
+      .withColumn("binlog_file", coalesce(col("binlog_file"), lit("")))
+      .withColumn("binlog_position", coalesce(col("binlog_position"), lit(0L)))
+      .filter(col("binlog_file") =!= "" && col("binlog_position") =!= 0L) // P5
+
+  /** Phases B+C — the full-outer comparison (reference :154-274).
+    *
+    * Expects `prepareBinlog` / `prepareAvro` outputs. Avro-side key
+    * duplicates keep join multiplicity (each Avro row compared independently,
+    * reference :168-247); the binlog side is unique per key after dedup, so
+    * BINLOG_ONLY rows appear exactly once per key (reference :253-274).
+    *
+    * Output: one row per joined pair with key columns, both sides' payloads
+    * (`b_*` / `a_*`), boolean flag columns mirroring the reference's
+    * independent printf streams, and a prioritized `status`.
+    */
+  def compare(binlog: DataFrame, avro: DataFrame, cfg: Config = Config()): DataFrame = {
+    val b = binlog.select(
+      col("binlog_file").as("b_file"),
+      col("log_position").as("b_pos"),
+      coalesce(col("event_type"), lit("")).as("b_event_type"),
+      coalesce(col("timestamp"), lit("")).as("b_ts_str"),
+      coalesce(col("immediate_commmit_timestamp"), lit("")).as("b_icts_str"),
+      coalesce(col("gtid_next"), lit("")).as("b_gtid_next"),
+      coalesce(col("table"), lit("")).as("b_table"),
+      coalesce(col("schema"), lit("")).as("b_schema"),
+      lit(true).as("_b_present"))
+
+    val a = avro.select(
+      col("binlog_file").as("a_file"),
+      col("binlog_position").as("a_pos"),
+      col("source_timestamp").as("a_source_ts_ms"),
+      coalesce(col("gtid"), lit("")).as("a_gtid"),
+      coalesce(col("change_type"), lit("")).as("a_change_type"),
+      coalesce(col("database"), lit("")).as("a_database"),
+      coalesce(col("table"), lit("")).as("a_table"),
+      lit(true).as("_a_present"))
+
+    val joined = a.join(b,
+      a("a_file") === b("b_file") && a("a_pos") === b("b_pos"),
+      "full_outer")
+
+    // E8 timestamp coalesce + parse, with the reference's quirks
+    // (compare_timestamps.go:197-216):
+    //  - prefer immediate_commmit_timestamp (RFC3339Nano) else timestamp
+    //    (RFC3339); a non-empty value that fails to parse is a counted
+    //    mismatch and short-circuits the GTID/change-type checks (:206-211);
+    //  - *both* empty ⇒ Go zero time (year 1) ⇒ always outside tolerance.
+    val icts = col("b_icts_str")
+    val ts   = col("b_ts_str")
+    val parsedIcts = parseRfc3339(icts)
+    val parsedTs   = parseRfc3339(ts)
+    val parseError =
+      (icts =!= "" && parsedIcts.isNull) ||
+      (icts === "" && ts =!= "" && parsedTs.isNull)
+    val binlogMicros =
+      when(icts =!= "", unix_micros(parsedIcts))
+        .when(ts =!= "", unix_micros(parsedTs))
+        .otherwise(lit(GoZeroTimeMicros))
+    val avroMicros = col("a_source_ts_ms") * 1000L
+
+    val bothPresent = col("_b_present") && col("_a_present")
+    val tsMismatch =
+      parseError || outsideTolerance(avroMicros, binlogMicros, cfg.toleranceMs)
+    // E11 / E13 — flagged only; never counted in `mismatches`
+    // (reference :228,:245 commented out); skipped after a parse error (:210).
+    val gtidMismatch = !parseError &&
+      col("a_gtid") =!= "" && col("b_gtid_next") =!= "" &&
+      col("a_gtid") =!= col("b_gtid_next")
+    val inferredCt = inferredChangeType(col("b_event_type"), cfg.strictChangeType)
+    val ctMismatch = !parseError &&
+      col("a_change_type") =!= "" && inferredCt =!= "" &&
+      upper(col("a_change_type")) =!= upper(inferredCt)
+
+    joined
+      .withColumn("_b_present", coalesce(col("_b_present"), lit(false)))
+      .withColumn("_a_present", coalesce(col("_a_present"), lit(false)))
+      .withColumn("binlog_file", coalesce(col("b_file"), col("a_file")))
+      .withColumn("position", coalesce(col("b_pos"), col("a_pos")))
+      .withColumn("ts_parse_error", bothPresent && coalesce(parseError, lit(false)))
+      .withColumn("ts_mismatch", bothPresent && coalesce(tsMismatch, lit(false)))
+      .withColumn("gtid_mismatch", bothPresent && coalesce(gtidMismatch, lit(false)))
+      .withColumn("change_type_mismatch", bothPresent && coalesce(ctMismatch, lit(false)))
+      .withColumn("inferred_change_type",
+        when(col("_b_present"), inferredCt).otherwise(lit("")))
+      .withColumn("is_dml", col("_b_present") && isDml(col("b_event_type")))
+      .withColumn("status",
+        when(!col("_b_present"), Status.AvroOnly)
+          .when(!col("_a_present"),
+            when(col("is_dml"), Status.BinlogOnly)
+              .otherwise(Status.BinlogOnlySuppressed))
+          .when(col("ts_mismatch"), Status.MismatchTs)
+          .when(col("gtid_mismatch"), Status.MismatchGtid)
+          .when(col("change_type_mismatch"), Status.MismatchChangeType)
+          .otherwise(Status.Match))
+      .drop("b_file", "b_pos", "a_file", "a_pos")
+  }
+}
