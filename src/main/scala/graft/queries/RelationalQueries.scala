@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.cents
+
+/** The generalized relational operator inventory (SURVEY §2) exercised over
+  * the driver testdata, each with a DuckDB oracle.
+  *
+  * Numeric discipline (cross-engine exactness): money columns are exact
+  * 2-decimal doubles in the testdata, so all aggregation arithmetic runs in
+  * integer cents/percent (`Tables.cents`) and converts to double only at the
+  * final, deterministic division — identical bits in Spark and DuckDB, no
+  * float-summation-order hazards. Oracle sums are CAST to BIGINT because
+  * DuckDB's SUM(BIGINT) is HUGEINT.
+  *
+  * Scale notes: filters sit directly on the scanned columns (parquet
+  * pushdown + column pruning), aggregations are partial+final hash
+  * aggregates, the one dimension join under broadcast threshold is
+  * explicitly `broadcast()`, and window functions partition on high-
+  * cardinality keys.
+  */
+object RelationalQueries {
+
+  private def pct(c: Column): Column = round(c * 100).cast("long")
+
+  // q01 — SURVEY A1 generalization: multi-aggregate grouped scan (TPC-H Q1 shape).
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+          .cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))
+            * (lit(100L) + pct(col("l_tax"))))
+          .cast("double") / 1000000.0).as("sum_charge"),
+        (sum(round(col("l_quantity")).cast("long")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
+        (sum(pct(col("l_discount"))).cast("double") / 100.0 / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // q02 — selective filter + single global aggregate (TPC-H Q6 shape);
+  // every predicate reaches the parquet scan as a pushed filter.
+  def q02RevenueFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1999-01-01").cast("timestamp") &&
+              col("l_quantity") < 24)
+      .filter(pct(col("l_discount")).between(5, 7))
+      .agg(
+        (sum(cents(col("l_extendedprice")) * pct(col("l_discount")))
+          .cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q02Oracle: String =
+    """SELECT
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+      |  AND l_quantity < 24
+      |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin
+
+  // q03 — 3-way join + grouped agg + deterministic top-k (TPC-H Q3 shape).
+  // customer scales with SF, so its join is left to AQE (auto-broadcast when
+  // under threshold, shuffle join at scale); ordering key is the exact cents
+  // sum.
+  def q03TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li   = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+        .as("revenue_c4"))
+      .orderBy(col("revenue_c4").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("revenue_c4").cast("double") / 10000.0).as("revenue"))
+  }
+
+  val q03Oracle: String =
+    """SELECT o_orderkey, o_orderdate, CAST(revenue_c4 AS DOUBLE)/10000.0 AS revenue FROM (
+      |  SELECT o_orderkey, o_orderdate,
+      |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+      |  FROM customer, orders, lineitem
+      |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |    AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+      |  GROUP BY o_orderkey, o_orderdate
+      |  ORDER BY revenue_c4 DESC, o_orderkey
+      |  LIMIT 10
+      |)""".stripMargin
+
+  // q04 — left-semi join (EXISTS) + grouped count (TPC-H Q4 shape).
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-10-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q04Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // q05 — 6-way snowflake join with co-located customer/supplier nation
+  // (TPC-H Q5 shape). Fixed-size dims (nation 25, region 5) are explicitly
+  // broadcast; SF-proportional sides (customer, supplier) are left to
+  // AQE — broadcast at test scale, shuffle at 100 TB.
+  def q05RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+        .as("revenue_c4"))
+      .select(col("n_name"),
+        (col("revenue_c4").cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q05Oracle: String =
+    """SELECT n_name, CAST(CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE)/10000.0 AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // q06 — fact⋈dimension join + grouped stats (part scales with SF → AQE
+  // picks broadcast vs shuffle from runtime stats).
+  def q06BrandStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity")).cast("long")).as("total_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("total_price"),
+        (sum(round(col("l_quantity")).cast("long")).cast("double") / count(lit(1))).as("avg_qty"))
+      .orderBy("p_brand")
+
+  val q06Oracle: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // q07 — left-anti join (NOT EXISTS): customers with no orders.
+  def q07CustomersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+
+  val q07Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // q08 — full-outer join with presence accounting (the CDC comparator's
+  // join shape, SURVEY §2.5, over relational data).
+  def q08NationAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val c = Tables.customer(spark, dir).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_customers"))
+    s.join(c, col("sk") === col("ck"), "full_outer")
+      .select(
+        coalesce(col("sk"), col("ck")).as("nationkey"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        when(col("sk").isNotNull && col("ck").isNotNull, "BOTH")
+          .when(col("sk").isNotNull, "SUPPLIER_ONLY")
+          .otherwise("CUSTOMER_ONLY").as("status"))
+      .orderBy("nationkey")
+  }
+
+  val q08Oracle: String =
+    """SELECT COALESCE(sk, ck) AS nationkey,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  CASE WHEN sk IS NOT NULL AND ck IS NOT NULL THEN 'BOTH'
+      |       WHEN sk IS NOT NULL THEN 'SUPPLIER_ONLY'
+      |       ELSE 'CUSTOMER_ONLY' END AS status
+      |FROM (SELECT s_nationkey AS sk, CAST(COUNT(*) AS BIGINT) AS n_suppliers FROM supplier GROUP BY 1) s
+      |FULL OUTER JOIN (SELECT c_nationkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_customers FROM customer GROUP BY 1) c
+      |ON sk = ck
+      |ORDER BY nationkey""".stripMargin
+
+  // q09 — ranking window: top-3 orders per customer, exact-cents ordering.
+  def q09TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(cents(col("o_totalprice")).desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q09Oracle: String =
+    """SELECT o_custkey, rn, o_orderkey, price_cents FROM (
+      |  SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // q10 — analytic window (lag) over the event stream: inter-event gap per
+  // user. `ts` is epoch-nanos (Tables.events) but DuckDB reads the same
+  // parquet as µs-truncated TIMESTAMP, so both sides (value AND window
+  // ordering key) work at µs resolution.
+  def q10UserEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    // integer div — `/` on longs is double division and loses precision
+    // above 2^53 epoch-nanos
+    val tsUs = expr("ts div 1000")
+    val w = Window.partitionBy("user_id").orderBy(tsUs, col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap_us", tsUs - lag(tsUs, 1).over(w))
+      .select("user_id", "event_id", "gap_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q10Oracle: String =
+    """SELECT user_id, event_id,
+      |  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS gap_us
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_revenue_filter" -> (q02RevenueFilter _),
+    "q03_top_orders" -> (q03TopOrders _),
+    "q04_order_priority" -> (q04OrderPriority _),
+    "q05_region_revenue" -> (q05RegionRevenue _),
+    "q06_brand_stats" -> (q06BrandStats _),
+    "q07_customers_without_orders" -> (q07CustomersWithoutOrders _),
+    "q08_nation_accounting" -> (q08NationAccounting _),
+    "q09_top_orders_per_customer" -> (q09TopOrdersPerCustomer _),
+    "q10_user_event_gaps" -> (q10UserEventGaps _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Oracle,
+    "q02_revenue_filter" -> q02Oracle,
+    "q03_top_orders" -> q03Oracle,
+    "q04_order_priority" -> q04Oracle,
+    "q05_region_revenue" -> q05Oracle,
+    "q06_brand_stats" -> q06Oracle,
+    "q07_customers_without_orders" -> q07Oracle,
+    "q08_nation_accounting" -> q08Oracle,
+    "q09_top_orders_per_customer" -> q09Oracle,
+    "q10_user_event_gaps" -> q10Oracle,
+  )
+}
