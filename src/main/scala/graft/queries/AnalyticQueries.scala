@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.cents
+
+/** Second relational batch: dedup, distinct aggregation, grouping sets,
+  * set operations, scalar/regex/JSON expressions, correlated aggregation,
+  * sessionization, and as-of-style windows (SURVEY §2.3/§2.4/§2.7/§2.8 and
+  * the §2.11 "absent category" decisions, implemented anyway as engine
+  * generalizations).
+  *
+  * `ts` from `events` is epoch-nanos; all uses go through µs (integer div)
+  * because DuckDB's parquet reader truncates nanos to µs — see q10.
+  */
+object AnalyticQueries {
+
+  private val tsUs: Column = expr("ts div 1000")
+
+  // q11 — last-wins dedup as a hash aggregate (max_by), the scale-friendly
+  // form of the CDC build-side dedup (SURVEY §2.5): one shuffle, map-side
+  // partial agg, no window sort.
+  def q11DedupLastWins(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(max_by(
+          struct(col("event_id"), cents(col("value")).as("value_cents")),
+          struct(tsUs.as("t"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("event_type"),
+        col("w.event_id").as("event_id"), col("w.value_cents").as("value_cents"))
+      .orderBy("user_id", "event_type")
+
+  val q11Oracle: String =
+    """SELECT user_id, event_type, event_id, value_cents FROM (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(round(value*100) AS BIGINT) AS value_cents,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // q12 — distinct aggregation alongside plain aggregates.
+  def q12DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"))
+      .orderBy("event_type")
+
+  val q12Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q13 — ROLLUP grouping sets.
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q13Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // q14 — CUBE grouping sets over a derived column.
+  def q14Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", col("user_id") % 10)
+      .cube("event_type", "user_bucket")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
+
+  val q14Oracle: String =
+    """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n_events
+      |FROM events GROUP BY CUBE (event_type, user_id % 10)
+      |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin
+
+  // q15 — set operations (UNION / INTERSECT / EXCEPT, all distinct semantics).
+  def q15SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val building = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val rich = cust.filter(cents(col("c_acctbal")) > 500000L).select("c_custkey")
+    val active98 = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(rich).union(building.except(active98)).distinct()
+      .orderBy("c_custkey")
+  }
+
+  val q15Oracle: String =
+    """SELECT c_custkey FROM (
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |   INTERSECT
+      |   SELECT c_custkey FROM customer WHERE CAST(round(c_acctbal*100) AS BIGINT) > 500000)
+      |  UNION
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |   EXCEPT
+      |   SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      |) ORDER BY c_custkey""".stripMargin
+
+  // q16 — scalar expression battery: date parts, CASE buckets, string ops.
+  def q16ScalarExprs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        when(cents(col("o_totalprice")) < 5000000L, "SMALL")
+          .when(cents(col("o_totalprice")) < 20000000L, "MEDIUM")
+          .otherwise("LARGE").as("bucket"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat(lower(col("o_orderstatus")), lit("-"),
+          substring(col("o_orderpriority"), 3, 100)).as("status_tag"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .groupBy("o_year", "o_quarter", "bucket", "prio_code", "status_tag")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("price_cents")).cast("double") / 100.0).as("total_price"))
+      .orderBy("o_year", "o_quarter", "bucket", "prio_code", "status_tag")
+
+  val q16Oracle: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+      |  CASE WHEN CAST(round(o_totalprice*100) AS BIGINT) < 5000000 THEN 'SMALL'
+      |       WHEN CAST(round(o_totalprice*100) AS BIGINT) < 20000000 THEN 'MEDIUM'
+      |       ELSE 'LARGE' END AS bucket,
+      |  substring(o_orderpriority, 1, 1) AS prio_code,
+      |  lower(o_orderstatus) || '-' || substring(o_orderpriority, 3, 100) AS status_tag,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
+      |FROM orders
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin
+
+  // q17 — regex extraction over the JSON-ish props column (SURVEY E1/E2
+  // generalization) + grouped agg on the extracted key.
+  def q17RegexExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"))
+      .orderBy("k")
+
+  val q17Oracle: String =
+    """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q18 — string splitting / tokens over part descriptors.
+  def q18PartTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        element_at(split(col("p_type"), " "), 1).as("type_head"),
+        size(split(col("p_type"), " ")).as("n_type_tokens"),
+        regexp_extract(col("p_brand"), "(\\d+)$", 1).cast("int").as("brand_num"),
+        col("p_size"))
+      .groupBy("type_head", "n_type_tokens", "brand_num")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_size").cast("long")).as("total_size"))
+      .orderBy("type_head", "n_type_tokens", "brand_num")
+
+  val q18Oracle: String =
+    """SELECT string_split(p_type, ' ')[1] AS type_head,
+      |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_type_tokens,
+      |  CAST(regexp_extract(p_brand, '(\d+)$', 1) AS INT) AS brand_num,
+      |  COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size
+      |FROM part GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // q19 — correlated aggregation (TPC-H Q17 shape): lineitems under 20% of
+  // their part's average quantity. The avg comparison is exact integer
+  // cross-multiplication (qty*5*cnt < sum), no float division.
+  def q19SmallQuantityOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_cents"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+      .agg((sum(col("price_cents")).cast("double") / 100.0).as("total_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q19Oracle: String =
+    """SELECT
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey AS pk, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |             COUNT(*) AS cnt
+      |      FROM lineitem GROUP BY 1) p
+      |  ON l.l_partkey = p.pk
+      |WHERE CAST(round(l.l_quantity) AS BIGINT) * 5 * p.cnt < p.sum_qty""".stripMargin
+
+  // q20 — sessionization: 30-min-gap session boundaries via lag + running
+  // sum, then per-user session stats.
+  def q20Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(tsUs.as("t"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("gap_us", tsUs - lag(tsUs, 1).over(w))
+      .withColumn("is_new",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy("user_id")
+      .agg(max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        (count(lit(1)).cast("double") / max(col("session_id"))).as("events_per_session"))
+      .orderBy("user_id")
+  }
+
+  val q20Oracle: String =
+    """SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events,
+      |  CAST(COUNT(*) AS DOUBLE)/MAX(session_id) AS events_per_session
+      |FROM (
+      |  SELECT user_id,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, epoch_us(ts) AS t,
+      |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |                IS NULL THEN 1
+      |           WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |                > 1800000000 THEN 1
+      |           ELSE 0 END AS is_new
+      |    FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // q21 — as-of-style window: for each purchase, the most recent prior
+  // click by the same user (SURVEY §2.11's as-of decision, expressed as
+  // last-ignore-nulls over an explicit ROWS frame — no sort-merge as-of
+  // operator needed; one window over the user partition).
+  def q21LastClickBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(tsUs.as("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "last_click_id")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q21Oracle: String =
+    """SELECT user_id, event_id, last_click_id FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id
+      |  FROM events)
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_dedup_lastwins" -> (q11DedupLastWins _),
+    "q12_distinct_agg" -> (q12DistinctAgg _),
+    "q13_rollup" -> (q13Rollup _),
+    "q14_cube" -> (q14Cube _),
+    "q15_setops" -> (q15SetOps _),
+    "q16_scalar_exprs" -> (q16ScalarExprs _),
+    "q17_regex_extract" -> (q17RegexExtract _),
+    "q18_part_tokens" -> (q18PartTokens _),
+    "q19_small_qty_orders" -> (q19SmallQuantityOrders _),
+    "q20_sessionize" -> (q20Sessionize _),
+    "q21_last_click_before_purchase" -> (q21LastClickBeforePurchase _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q11_dedup_lastwins" -> q11Oracle,
+    "q12_distinct_agg" -> q12Oracle,
+    "q13_rollup" -> q13Oracle,
+    "q14_cube" -> q14Oracle,
+    "q15_setops" -> q15Oracle,
+    "q16_scalar_exprs" -> q16Oracle,
+    "q17_regex_extract" -> q17Oracle,
+    "q18_part_tokens" -> q18Oracle,
+    "q19_small_qty_orders" -> q19Oracle,
+    "q20_sessionize" -> q20Oracle,
+    "q21_last_click_before_purchase" -> q21Oracle,
+  )
+}
