@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over `documents` (builder prompt / SURVEY §7.7):
+  * exact (hash groupBy), n-gram Jaccard via shingle inverted index,
+  * MinHash + LSH banding, and SimHash signatures.
+  *
+  * Scale design:
+  *   - exact dedup is one hash aggregate on md5(text) — map-side partial,
+  *     single shuffle;
+  *   - n-gram Jaccard never does an O(n²) cross join: pairs materialize only
+  *     through the exploded shingle inverted index (shuffle keyed on the
+  *     shingle), then group to intersection counts;
+  *   - MinHash/LSH reduces that to the banded signature join: 4 rows per
+  *     doc, shuffle keyed on band signature, candidate pairs verified with
+  *     an exact array_intersect — the standard 100 TB near-dup pipeline;
+  *   - SimHash is a pure per-row signature (no shuffle at all).
+  *
+  * Cross-engine exactness: shingle/token hashes come from md5 hex prefixes
+  * (identical in Spark and DuckDB) parsed as 60-/32-bit BIGINTs; the MinHash
+  * permutations are (a_j·h + b_j) mod p with p = 2^31−1, keeping every
+  * product below 2^62 so BIGINT arithmetic never overflows in either engine.
+  */
+object DedupQueries {
+
+  private val P = 2147483647L // 2^31 − 1
+
+  /** doc_id, toks, distinct 3-gram shingles + shingle count. */
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"))
+      .withColumn("n_sh", size(col("shingles")))
+
+  private val shingleCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) AS shingles
+      |  FROM d
+      |)""".stripMargin
+
+  // d01 — exact dedup: content-hash groups with canonical keeper.
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+      .orderBy("content_hash")
+
+  val d01Oracle: String =
+    """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // d02 — n-gram Jaccard near-dup pairs via the shingle inverted index.
+  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withShingles(spark, dir)
+    val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("un"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "un", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d02Oracle: String =
+    shingleCte +
+    """, e AS (
+      |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM s
+      |)
+      |SELECT doc_a, doc_b, inter, un, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+      |    COUNT(*) AS inter,
+      |    a.n + b.n - COUNT(*) AS un,
+      |    CAST(COUNT(*) AS DOUBLE)/(a.n + b.n - COUNT(*)) AS jaccard
+      |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+      |WHERE jaccard >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // d03 — MinHash (16 perms) + LSH (4 bands × 4 rows) candidate pairs,
+  // verified with exact shingle-set Jaccard.
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withShingles(spark, dir)
+      .withColumn("hs", expr(
+        s"transform(shingles, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % $P)"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, 15), j -> array_min(transform(hs, " +
+          s"h -> (((1664525 * j + 1013904223) % $P) * h + (22695477 * j + 12345) % $P) % $P)))"))
+      .select(col("doc_id"), col("shingles"), col("n_sh"), col("sig"))
+    val banded = docs.withColumn("band", explode(expr(
+        "transform(sequence(0, 3), b -> concat_ws('-', b, element_at(sig, 4*b + 1), " +
+          "element_at(sig, 4*b + 2), element_at(sig, 4*b + 3), element_at(sig, 4*b + 4)))")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      col("n_sh").as("na"), col("band"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      col("n_sh").as("nb"), col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b", "na", "nb").distinct()
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d03Oracle: String =
+    shingleCte +
+    s""", sig AS (
+      |  SELECT doc_id, shingles, len(shingles) AS n,
+      |    list_transform(range(0, 16), j -> list_min(list_transform(
+      |      list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $P),
+      |      h -> (((1664525 * j + 1013904223) % $P) * h + (22695477 * j + 12345) % $P) % $P))) AS sg
+      |  FROM s
+      |), banded AS (
+      |  SELECT doc_id, shingles, n, unnest(list_transform(range(0, 4),
+      |    b -> concat_ws('-', b, sg[4*b + 1], sg[4*b + 2], sg[4*b + 3], sg[4*b + 4]))) AS band
+      |  FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.shingles AS sh_a, b.shingles AS sh_b, a.n AS na, b.n AS nb
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, inter, jaccard FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(sh_a, sh_b)) AS INT) AS inter,
+      |    CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)/(na + nb - len(list_intersect(sh_a, sh_b))) AS jaccard
+      |  FROM cand)
+      |WHERE jaccard >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // d04 — SimHash: 32-bit per-document signature from token-frequency bit
+  // votes (pure per-row compute; near-dup = small Hamming distance).
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("codes", expr(
+        "transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("simhash", expr(
+        "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + " +
+          "IF(aggregate(codes, 0L, (a, c) -> a + (shiftright(c, b) & 1) * 2 - 1) > 0, " +
+          "shiftleft(1L, b), 0L))"))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  val d04Oracle: String =
+    """SELECT doc_id,
+      |  list_sum(list_transform(range(0, 32), b ->
+      |    CASE WHEN list_sum(list_transform(
+      |           list_transform(string_split(text, ' '),
+      |             t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
+      |           c -> ((c >> b) & 1) * 2 - 1)) > 0
+      |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS simhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _),
+    "d02_ngram_jaccard" -> (d02NgramJaccard _),
+    "d03_minhash_lsh" -> (d03MinhashLsh _),
+    "d04_simhash" -> (d04Simhash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Oracle,
+    "d02_ngram_jaccard" -> d02Oracle,
+    "d03_minhash_lsh" -> d03Oracle,
+    "d04_simhash" -> d04Oracle,
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table (builder prompt /
+  * SURVEY §7.7): token counting, language-ID heuristic, quality scoring,
+  * and document fingerprinting. Everything is built-in `Column` expressions
+  * and SQL higher-order functions — codegen-friendly, no UDFs, no shuffles
+  * except the final aggregates; at 100 TB these are embarrassingly parallel
+  * scans.
+  *
+  * Cross-engine exactness: token arithmetic is integer; fingerprints use
+  * md5 (identical hex in Spark and DuckDB) and a modular rolling hash whose
+  * fold stays below 2^63 so BIGINT semantics agree.
+  */
+object TextQueries {
+
+  private def withTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("toks", split(col("text"), " "))
+
+  // t01 — token counting + type-token ratio.
+  def t01TokenStats(spark: SparkSession, dir: String): DataFrame =
+    withTokens(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        length(col("text")).as("len_chars"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"))
+      .orderBy("doc_id")
+
+  val t01Oracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      |  CAST(length(text) AS INT) AS len_chars,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)/len(string_split(text, ' ')) AS ttr
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // t02 — marker-token language-ID heuristic with fixed precedence, compared
+  // against the labelled `lang` column.
+  def t02LangId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(words: String*) = {
+      val set = words.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(toks, x -> x IN ($set)))")
+    }
+    withTokens(spark, dir)
+      .withColumn("en_hits", hits("the", "a"))
+      .withColumn("fr_hits", hits("le", "la", "les"))
+      .withColumn("de_hits", hits("der", "das", "und"))
+      .withColumn("lang_pred",
+        when(col("en_hits") > 0 &&
+             col("en_hits") >= col("fr_hits") && col("en_hits") >= col("de_hits"), "en")
+          .when(col("fr_hits") > 0 && col("fr_hits") >= col("de_hits"), "fr")
+          .when(col("de_hits") > 0, "de")
+          .otherwise("und"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum(col("en_hits").cast("long")).as("total_en_hits"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  val t02Oracle: String =
+    """SELECT lang, lang_pred, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(en_hits AS BIGINT)) AS BIGINT) AS total_en_hits
+      |FROM (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS en_hits,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','les'))) AS fr_hits,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('der','das','und'))) AS de_hits,
+      |    CASE WHEN len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) > 0
+      |              AND len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) >= len(list_filter(string_split(text,' '), x -> x IN ('le','la','les')))
+      |              AND len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) >= len(list_filter(string_split(text,' '), x -> x IN ('der','das','und')))
+      |         THEN 'en'
+      |         WHEN len(list_filter(string_split(text,' '), x -> x IN ('le','la','les'))) > 0
+      |              AND len(list_filter(string_split(text,' '), x -> x IN ('le','la','les'))) >= len(list_filter(string_split(text,' '), x -> x IN ('der','das','und')))
+      |         THEN 'fr'
+      |         WHEN len(list_filter(string_split(text,' '), x -> x IN ('der','das','und'))) > 0 THEN 'de'
+      |         ELSE 'und' END AS lang_pred
+      |  FROM documents)
+      |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+
+  // t03 — quality scoring: stopword ratio + mean token length + bucket.
+  def t03QualityScore(spark: SparkSession, dir: String): DataFrame =
+    withTokens(spark, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", expr("size(filter(toks, x -> x IN ('the','a')))"))
+      .withColumn("tok_chars", expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("mean_tok_len", col("tok_chars").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        when(col("n_tokens") < 25, "TOO_SHORT")
+          .when(col("stop_ratio") > 0.125, "STOPWORD_HEAVY")
+          .when(col("mean_tok_len") < 3.5, "SHORT_TOKENS")
+          .otherwise("OK"))
+      .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "mean_tok_len", "quality")
+      .orderBy("doc_id")
+
+  val t03Oracle: String =
+    """SELECT doc_id, n_tokens, n_stop,
+      |  CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+      |  CAST(tok_chars AS DOUBLE)/n_tokens AS mean_tok_len,
+      |  CASE WHEN n_tokens < 25 THEN 'TOO_SHORT'
+      |       WHEN CAST(n_stop AS DOUBLE)/n_tokens > 0.125 THEN 'STOPWORD_HEAVY'
+      |       WHEN CAST(tok_chars AS DOUBLE)/n_tokens < 3.5 THEN 'SHORT_TOKENS'
+      |       ELSE 'OK' END AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INT) AS n_stop,
+      |    CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS BIGINT) AS tok_chars
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // t04 — document fingerprinting: md5 prefix + modular rolling hash over
+  // token codes (token length ⊕ first-char — cheap, deterministic, and
+  // identical BIGINT arithmetic in both engines; fold stays < 2^51).
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    withTokens(spark, dir)
+      .withColumn("fp_md5", substring(md5(col("text")), 1, 16))
+      .withColumn("rolling",
+        expr("aggregate(transform(toks, x -> CAST(length(x)*131 + ascii(substr(x, 1, 1)) AS BIGINT)), " +
+          "0L, (acc, c) -> (acc * 1000003 + c) % 2147483647)"))
+      .select("doc_id", "fp_md5", "rolling")
+      .orderBy("doc_id")
+
+  val t04Oracle: String =
+    """SELECT doc_id,
+      |  substr(md5(text), 1, 16) AS fp_md5,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text,' '),
+      |        x -> CAST(length(x)*131 + ascii(substr(x, 1, 1)) AS BIGINT))),
+      |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS rolling
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> (t01TokenStats _),
+    "t02_lang_id" -> (t02LangId _),
+    "t03_quality_score" -> (t03QualityScore _),
+    "t04_fingerprint" -> (t04Fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" -> t01Oracle,
+    "t02_lang_id" -> t02Oracle,
+    "t03_quality_score" -> t03Oracle,
+    "t04_fingerprint" -> t04Oracle,
+  )
+}
