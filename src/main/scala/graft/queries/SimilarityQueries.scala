@@ -1,0 +1,171 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.cosineSim
+
+/** Similarity search over the `embeddings` table (builder prompt /
+  * SURVEY §7.7): brute-force cosine top-k as the baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path, plus
+  * embedding-cosine near-dup pairs.
+  *
+  * Scale design: the query set is broadcast against the corpus scan
+  * (N×Q stays linear in N); the LSH variant buckets both sides on an
+  * 8-bit hyperplane signature so the candidate join shuffles on the
+  * bucket key instead of comparing all pairs. Cosine runs through the
+  * codegen'd `CosineSimilarity` Catalyst expression (one fused pass,
+  * no intermediate arrays).
+  *
+  * Cross-engine exactness: outputs are integer ranks/ids (plus a
+  * floor-scaled cosine where informative). Both engines compute the dot
+  * product as an ascending left fold in double precision; adjacent
+  * neighbor gaps (~1e-3) dwarf any last-bit divergence, so ranks are
+  * stable. The LSH plane matrix is a ±1 literal baked identically into
+  * the Spark plan and the oracle SQL from one deterministic generator.
+  */
+object SimilarityQueries {
+
+  // ---------------------------------------------------------------- planes
+
+  /** Deterministic ±1 hyperplane matrix (8 planes × 64 dims) from md5
+    * parity — generated once, embedded as a literal on both engines. */
+  lazy val planes: Seq[Seq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until 8).map { j =>
+      (0 until 64).map { i =>
+        val h = md.digest(s"plane_${j}_$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  private lazy val planesSparkLit: String =
+    planes.map(_.mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+
+  private lazy val planesDuckLit: String =
+    planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** 8-bit LSH bucket of an `array<float>` column named `embedding`
+    * (Spark SQL expression text). */
+  private lazy val bucketSparkExpr: String =
+    "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + IF(" +
+      "aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (s, i) -> " +
+      s"s + CAST(element_at(embedding, i) AS DOUBLE) * element_at(element_at($planesSparkLit, j + 1), i)" +
+      ") > 0.0, shiftleft(1L, j), 0L))"
+
+  private lazy val bucketDuckExpr: String =
+    "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
+      "list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST(embedding[i] AS DOUBLE) * ($planesDuckLit)[j + 1][i]" +
+      ")) > 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))"
+
+  private val duckCos: String =
+    "list_sum(list_transform(list_zip(qv, embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+      " / sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+      " * list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  // s01 — brute-force cosine top-k: the exact baseline. Query set broadcast
+  // against one corpus scan; per-query ranking window.
+  def s01AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s01Oracle: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, vec_id, $duckCos AS cos
+      |  FROM embeddings, q WHERE vec_id <> query_id
+      |)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // s02 — LSH-bucketed ANN: candidates only from the query's hyperplane
+  // bucket (the shuffle key), ranked by exact cosine within the bucket.
+  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", expr(bucketSparkExpr))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("qbucket").as("bucket"), col("rank"),
+        col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s02Oracle: String =
+    s"""WITH b AS (
+      |  SELECT vec_id, embedding, $bucketDuckExpr AS bucket FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+      |  FROM b WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, qbucket, vec_id, $duckCos AS cos
+      |  FROM b, q WHERE b.bucket = q.qbucket AND vec_id <> query_id
+      |)
+      |SELECT query_id, bucket, rank, neighbor_id FROM (
+      |  SELECT query_id, qbucket AS bucket, vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // d05 — embedding-cosine near-dup pairs (brute-force exact baseline;
+  // the LSH bucketing above is the scale path for the same predicate).
+  def d05EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("qv"))
+    val b = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("vec_b"), col("embedding"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("cos") * 1000000).cast("long").as("cos_micros"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val d05Oracle: String =
+    s"""SELECT vec_a, vec_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, qv, b.embedding,
+      |    $duckCos AS cos
+      |  FROM (SELECT vec_id, embedding AS qv FROM embeddings) a
+      |  JOIN embeddings b ON a.vec_id < b.vec_id)
+      |WHERE cos >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_bruteforce" -> (s01AnnBruteForce _),
+    "s02_ann_lsh" -> (s02AnnLsh _),
+    "d05_embed_neardup" -> (d05EmbedNearDup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_ann_bruteforce" -> s01Oracle,
+    "s02_ann_lsh" -> s02Oracle,
+    "d05_embed_neardup" -> d05Oracle,
+  )
+}
