@@ -21,11 +21,13 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ AnalyticQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      CdcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AnalyticQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
+      TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      CdcQueries.oracles
 }

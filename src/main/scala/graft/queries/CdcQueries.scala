@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cdc.{Comparator, Report}
+
+/** The CDC comparison engine (graft.cdc, SURVEY §2.5/§3.3) exercised through
+  * the driver's oracle gate: both comparator inputs are synthesized
+  * *deterministically* from the `events` table (pure integer arithmetic on
+  * `event_id`/`user_id`/epoch seconds), the real `Comparator.compare` plan
+  * produces the statuses, and the oracle SQL replays the reference
+  * semantics — tolerance strict >100 ms, Go-zero-time on missing
+  * timestamps, parse-error short-circuit, the dead V2-DELETE branch, XID
+  * suppression — directly against the same arithmetic.
+  *
+  * Construction (binlog side; `error` events fall to the P3 relevance
+  * filter, `signup` maps to XID):
+  *   - key: file = mysql-bin.<user_id%4 padded>, position = event_id+4
+  *   - icts: ''            when event_id%17=0  (→ fallback path)
+  *           unparseable   when event_id%19=0  (→ counted mismatch)
+  *           RFC3339(sec)  otherwise
+  *   - timestamp: RFC3339(sec) when event_id%3=0 else '' (fallback cover)
+  *   - gtid_next: uuid:<id> when event_id%23=0
+  * Avro side (DML events only, dropping event_id%11=0 → BINLOG_ONLY):
+  *   - source_timestamp: sec*1000 + 150 ms when event_id%7=0 (→ MISMATCH_TS)
+  *   - change_type: 'INSERT' when event_id%5=0 else canonical map
+  *   - gtid: uuid:<id+1> when event_id%23=0 (→ flagged mismatch)
+  *   - extra AVRO_ONLY rows at position event_id+20000000 when event_id%13=0
+  */
+object CdcQueries {
+
+  private def sides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("sec"))
+
+    val rfc = concat(date_format(timestamp_seconds(col("sec")),
+      "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
+    val file = concat(lit("mysql-bin."),
+      lpad((col("user_id") % 4).cast("string"), 6, "0"))
+
+    val binlog = base
+      .filter(col("event_type") =!= "error")
+      .select(
+        when(col("event_type") === "purchase", "WriteRowsEventV2")
+          .when(col("event_type") === "click", "UpdateRowsEventV2")
+          .when(col("event_type") === "view", "DeleteRowsEventV2")
+          .otherwise("XID").as("event_type"),
+        when(col("event_id") % 3 === 0, rfc).otherwise(lit("")).as("timestamp"),
+        when(col("event_id") % 17 === 0, lit(""))
+          .when(col("event_id") % 19 === 0, lit("2024-01-01 12:00:00"))
+          .otherwise(rfc).as("immediate_commmit_timestamp"),
+        lit("").as("orignal_commmit_timestamp"),
+        (col("event_id") + 4).as("log_position"),
+        lit("events").as("table"),
+        lit("app").as("schema"),
+        file.as("binlog_file"),
+        when(col("event_id") % 23 === 0, concat(lit("uuid:"), col("event_id")))
+          .otherwise(lit("")).as("gtid_next"),
+        col("event_id"))
+
+    val dml = base.filter(col("event_type").isin("purchase", "click", "view"))
+    val avroMain = dml
+      .filter(col("event_id") % 11 =!= 0)
+      .select(
+        (col("sec") * 1000 +
+          when(col("event_id") % 7 === 0, 150L).otherwise(0L)).as("source_timestamp"),
+        lit("app").as("database"),
+        lit("events").as("table"),
+        when(col("event_id") % 5 === 0, lit("INSERT"))
+          .otherwise(
+            when(col("event_type") === "purchase", "INSERT")
+              .when(col("event_type") === "click", "UPDATE")
+              .otherwise("DELETE")).as("change_type"),
+        when(col("event_id") % 23 === 0, concat(lit("uuid:"), col("event_id") + 1))
+          .otherwise(lit("")).as("gtid"),
+        file.as("binlog_file"),
+        (col("event_id") + 4).as("binlog_position"))
+    val avroExtra = dml
+      .filter(col("event_id") % 13 === 0)
+      .select(
+        (col("sec") * 1000).as("source_timestamp"),
+        lit("app").as("database"),
+        lit("events").as("table"),
+        lit("INSERT").as("change_type"),
+        lit("").as("gtid"),
+        file.as("binlog_file"),
+        (col("event_id") + 20000000L).as("binlog_position"))
+
+    val prepared = Comparator.prepareBinlog(binlog, col("event_id"))
+    val avro = Comparator.prepareAvro(avroMain.unionByName(avroExtra))
+    (prepared, avro)
+  }
+
+  private def compared(spark: SparkSession, dir: String): DataFrame = {
+    val (b, a) = sides(spark, dir)
+    Comparator.compare(b, a)
+  }
+
+  /** Shared oracle CTE: per-event flags replaying the comparator semantics. */
+  private val oracleCte: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000000000 AS sec,
+      |    'mysql-bin.' || lpad(CAST(user_id % 4 AS VARCHAR), 6, '0') AS bfile
+      |  FROM events
+      |), b AS (
+      |  SELECT event_id, bfile, event_id + 4 AS pos,
+      |    CASE event_type WHEN 'purchase' THEN 'WriteRowsEventV2'
+      |         WHEN 'click' THEN 'UpdateRowsEventV2'
+      |         WHEN 'view' THEN 'DeleteRowsEventV2' ELSE 'XID' END AS btype,
+      |    CASE WHEN event_id % 17 = 0 THEN (CASE WHEN event_id % 3 = 0 THEN sec * 1000000 ELSE NULL END)
+      |         WHEN event_id % 19 = 0 THEN NULL
+      |         ELSE sec * 1000000 END AS binlog_us,
+      |    (event_id % 17 <> 0 AND event_id % 19 = 0) AS parse_err,
+      |    CASE WHEN event_id % 23 = 0 THEN 'uuid:' || event_id ELSE '' END AS gtid_next,
+      |    CASE event_type WHEN 'purchase' THEN 'INSERT' WHEN 'click' THEN 'UPDATE' ELSE '' END AS inferred_ct,
+      |    event_type IN ('purchase', 'click', 'view') AS is_dml
+      |  FROM base WHERE event_type <> 'error'
+      |), a AS (
+      |  SELECT event_id, bfile, event_id + 4 AS pos,
+      |    sec * 1000 + CASE WHEN event_id % 7 = 0 THEN 150 ELSE 0 END AS src_ms,
+      |    CASE WHEN event_id % 5 = 0 THEN 'INSERT'
+      |         ELSE CASE event_type WHEN 'purchase' THEN 'INSERT'
+      |              WHEN 'click' THEN 'UPDATE' ELSE 'DELETE' END END AS ct,
+      |    CASE WHEN event_id % 23 = 0 THEN 'uuid:' || (event_id + 1) ELSE '' END AS gtid
+      |  FROM base WHERE event_type IN ('purchase', 'click', 'view') AND event_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT event_id, bfile, event_id + 20000000 AS pos, sec * 1000, 'INSERT', ''
+      |  FROM base WHERE event_type IN ('purchase', 'click', 'view') AND event_id % 13 = 0
+      |), joined AS (
+      |  SELECT b.bfile AS b_file, a.bfile AS a_file,
+      |    COALESCE(b.pos, a.pos) AS position, b.pos IS NOT NULL AS b_present,
+      |    a.pos IS NOT NULL AS a_present,
+      |    COALESCE(b.parse_err, FALSE) AS parse_err,
+      |    CASE WHEN b.pos IS NULL OR a.pos IS NULL THEN FALSE
+      |         WHEN b.parse_err THEN TRUE
+      |         WHEN b.binlog_us IS NULL THEN TRUE
+      |         ELSE abs(a.src_ms * 1000 - b.binlog_us) > 100000 END AS ts_mis,
+      |    CASE WHEN b.pos IS NULL OR a.pos IS NULL THEN FALSE
+      |         WHEN b.parse_err THEN FALSE
+      |         ELSE a.gtid <> '' AND b.gtid_next <> '' AND a.gtid <> b.gtid_next END AS gtid_mis,
+      |    CASE WHEN b.pos IS NULL OR a.pos IS NULL THEN FALSE
+      |         WHEN b.parse_err THEN FALSE
+      |         ELSE a.ct <> '' AND b.inferred_ct <> '' AND upper(a.ct) <> upper(b.inferred_ct) END AS ct_mis,
+      |    COALESCE(b.is_dml, FALSE) AS is_dml
+      |  FROM b FULL OUTER JOIN a ON b.bfile = a.bfile AND b.pos = a.pos
+      |), st AS (
+      |  SELECT COALESCE(b_file, a_file) AS binlog_file, position, b_present, a_present,
+      |    ts_mis, gtid_mis, ct_mis,
+      |    CASE WHEN NOT b_present THEN 'AVRO_ONLY'
+      |         WHEN NOT a_present THEN
+      |           CASE WHEN is_dml THEN 'BINLOG_ONLY' ELSE 'BINLOG_ONLY_SUPPRESSED' END
+      |         WHEN ts_mis THEN 'MISMATCH_TS'
+      |         WHEN gtid_mis THEN 'MISMATCH_GTID'
+      |         WHEN ct_mis THEN 'MISMATCH_CHANGE_TYPE'
+      |         ELSE 'MATCH' END AS status
+      |  FROM joined
+      |)""".stripMargin
+
+  // cdc01 — full comparison, grouped by outcome status.
+  def cdc01StatusCounts(spark: SparkSession, dir: String): DataFrame =
+    compared(spark, dir).groupBy("status").count().orderBy("status")
+
+  val cdc01Oracle: String =
+    oracleCte + "\nSELECT status, COUNT(*) AS count FROM st GROUP BY status ORDER BY status"
+
+  // cdc02 — the reference's five-counter summary + verdict (Report.summary).
+  def cdc02Summary(spark: SparkSession, dir: String): DataFrame =
+    Report.summary(compared(spark, dir))
+
+  val cdc02Oracle: String =
+    oracleCte +
+    """
+      |SELECT
+      |  CAST(COUNT(*) FILTER (WHERE a_present AND b_present) AS BIGINT) AS matched,
+      |  CAST(COUNT(*) FILTER (WHERE a_present AND b_present AND ts_mis) AS BIGINT) AS mismatches,
+      |  CAST(COUNT(*) FILTER (WHERE status = 'AVRO_ONLY') AS BIGINT) AS avro_only,
+      |  CAST(COUNT(*) FILTER (WHERE status = 'BINLOG_ONLY') AS BIGINT) AS binlog_only,
+      |  COUNT(*) FILTER (WHERE status = 'AVRO_ONLY') = 0
+      |    AND COUNT(*) FILTER (WHERE status = 'BINLOG_ONLY') = 0
+      |    AND COUNT(*) FILTER (WHERE a_present AND b_present AND ts_mis) = 0 AS consistent
+      |FROM st""".stripMargin
+
+  // cdc03 — per-binlog-file breakdown of statuses (the generalized report
+  // the reference cannot produce, SURVEY §2.4).
+  def cdc03FileBreakdown(spark: SparkSession, dir: String): DataFrame =
+    compared(spark, dir).groupBy("binlog_file", "status").count()
+      .orderBy("binlog_file", "status")
+
+  val cdc03Oracle: String =
+    oracleCte +
+    "\nSELECT binlog_file, status, COUNT(*) AS count FROM st GROUP BY 1, 2 ORDER BY 1, 2"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc01_status_counts" -> (cdc01StatusCounts _),
+    "cdc02_summary" -> (cdc02Summary _),
+    "cdc03_file_breakdown" -> (cdc03FileBreakdown _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc01_status_counts" -> cdc01Oracle,
+    "cdc02_summary" -> cdc02Oracle,
+    "cdc03_file_breakdown" -> cdc03Oracle,
+  )
+}
