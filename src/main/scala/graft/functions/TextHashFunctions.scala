@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.commons.codec.digest.DigestUtils
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the text-dedup hot loops (MinHash
+  * signatures, SimHash). The built-in route — nested `transform`/`aggregate`
+  * higher-order functions — evaluates one interpreted lambda call per
+  * array element (HOFs are CodegenFallback in Spark) and recomputes md5
+  * through per-element expression dispatch; these expressions fuse the
+  * whole signature computation into one tight JVM loop per row. They are
+  * themselves CodegenFallback by choice: per-row cost is hundreds of md5
+  * calls, so row-level dispatch overhead is noise (unlike
+  * [[CosineSimilarity]], whose per-row work is small and codegen'd).
+  *
+  * Cross-engine exactness (mirrored by the DuckDB oracle SQL):
+  * element hash = first 15 (MinHash) / 8 (SimHash) hex chars of md5,
+  * parsed as a BIGINT — identical to `conv(substr(md5(x),1,k),16,10)` and
+  * DuckDB's `('0x'||substr(md5(x),1,k))::BIGINT`. MinHash permutations are
+  * ((1664525j+1013904223) mod p)·h + (22695477j+12345) mod p, all mod
+  * p = 2^31−1; every product stays below 2^62.
+  */
+object TextHash {
+  val P: Long = 2147483647L
+
+  def permA(j: Int): Long = (1664525L * j + 1013904223L) % P
+  def permB(j: Int): Long = (22695477L * j + 12345L) % P
+
+  /** 60-bit md5-prefix hash reduced mod p (MinHash element hash). */
+  def shingleHash(s: Array[Byte]): Long =
+    java.lang.Long.parseLong(DigestUtils.md5Hex(s).substring(0, 15), 16) % P
+
+  /** 32-bit md5-prefix hash (SimHash token hash). */
+  def tokenHash32(s: Array[Byte]): Long =
+    java.lang.Long.parseLong(DigestUtils.md5Hex(s).substring(0, 8), 16)
+}
+
+private[functions] trait StringArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string>, got ${other.simpleString}")
+  }
+}
+
+/** MinHash signature (`numPerms` longs) of a string array; null on empty
+  * input (matching `array_min` of an empty list). */
+case class MinHashSignature(child: Expression, numPerms: Int = 16)
+    extends UnaryExpression with StringArrayInput with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = TextHash.shingleHash(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < numPerms) {
+        val v = (TextHash.permA(j) * h + TextHash.permB(j)) % TextHash.P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** 32-bit SimHash of a token array: per-bit ±1 frequency votes over the
+  * tokens' 32-bit hashes; bit set iff its vote sum is positive. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with StringArrayInput with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = TextHash.tokenHash32(arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 32) {
+        votes(b) += (((h >> b) & 1L).toInt * 2) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash32 =
+    copy(child = c)
+}
+
+/** Distinct n-gram word shingles of a token array, space-joined — the fused
+  * form of `array_distinct(transform(sequence(...), i -> concat_ws(' ', ...)))`
+  * (each of whose element lambdas would otherwise evaluate interpreted).
+  * First-occurrence order, like `array_distinct`. Empty result when the
+  * input has fewer than `n` tokens.
+  */
+case class WordShingles(child: Expression, n: Int = 3)
+    extends UnaryExpression with StringArrayInput with CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+    var i = 0
+    while (i + n <= total) {
+      var s = arr.getUTF8String(i)
+      var k = 1
+      while (k < n) {
+        s = org.apache.spark.unsafe.types.UTF8String.concat(
+          s, org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+          arr.getUTF8String(i + k))
+        k += 1
+      }
+      out.add(s)
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+object TextHashFunctions {
+  /** Distinct space-joined n-gram shingles over an `array<string>` column. */
+  def wordShingles(tokens: Column, n: Int = 3): Column =
+    ColumnShim.column(WordShingles(ColumnShim.expression(tokens), n))
+
+  /** MinHash signature column over an `array<string>` shingle column. */
+  def minHashSig(shingles: Column, numPerms: Int = 16): Column =
+    ColumnShim.column(MinHashSignature(ColumnShim.expression(shingles), numPerms))
+
+  /** 32-bit SimHash column over an `array<string>` token column. */
+  def simHash32(tokens: Column): Column =
+    ColumnShim.column(SimHash32(ColumnShim.expression(tokens)))
+}

