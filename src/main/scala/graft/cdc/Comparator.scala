@@ -119,7 +119,16 @@ object Comparator {
     * (`b_*` / `a_*`), boolean flag columns mirroring the reference's
     * independent printf streams, and a prioritized `status`.
     */
-  def compare(binlog: DataFrame, avro: DataFrame, cfg: Config = Config()): DataFrame = {
+  def compare(binlog: DataFrame, avro: DataFrame, cfg: Config = Config()): DataFrame =
+    compareJoined(binlog, avro, cfg, "full_outer")
+
+  /** Same comparison columns over a caller-chosen join type. Structured
+    * Streaming uses `left_outer` (stream side = avro): full-outer isn't
+    * streamable, and BINLOG_ONLY inherently needs end-of-stream knowledge
+    * (SURVEY §2.9) — see [[graft.streaming.StreamingComparator]].
+    */
+  private[graft] def compareJoined(
+      binlog: DataFrame, avro: DataFrame, cfg: Config, joinType: String): DataFrame = {
     val b = binlog.select(
       col("binlog_file").as("b_file"),
       col("log_position").as("b_pos"),
@@ -143,7 +152,7 @@ object Comparator {
 
     val joined = a.join(b,
       a("a_file") === b("b_file") && a("a_pos") === b("b_pos"),
-      "full_outer")
+      joinType)
 
     // E8 timestamp coalesce + parse, with the reference's quirks
     // (compare_timestamps.go:197-216):
