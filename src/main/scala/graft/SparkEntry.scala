@@ -14,9 +14,11 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full CDC comparison engine (synthesized sides → normalize →
+    * full-outer compare → status counts). */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q01PricingSummary(spark, "/root/testdata/sf0.001")
+    CdcQueries.cdc01StatusCounts(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

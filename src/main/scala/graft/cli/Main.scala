@@ -1,0 +1,95 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Comparator, Report}
+import graft.ingest.{AvroSource, BinlogTextParser, Sources}
+
+/** End-to-end CDC comparison driver — the engine's equivalent of the
+  * reference's `comparator.sh` + `avro_to_json.sh` + `compare_timestamps`
+  * chain (SURVEY §3), as ONE Spark job with no intermediate files or
+  * process forks.
+  *
+  * Usage:
+  *   graft.cli.Main
+  *     (--binlog-text <dir-of-decoder-text> | --binlog-json <path>)
+  *     (--avro <dir-of-.avro> | --avro-json <path>)
+  *     [--tolerance-ms 100] [--strict-change-type] [--out <dir>]
+  *
+  * Outputs under --out (default /tmp/graft_out): `detail/` (every
+  * non-match row), `breakdown/` (per schema/table/status counts), and a
+  * one-row `summary/` with the reference's five counters + verdict;
+  * summary also prints to stdout.
+  */
+object Main {
+
+  case class Args(
+      binlogText: Option[String] = None,
+      binlogJson: Option[String] = None,
+      avro: Option[String] = None,
+      avroJson: Option[String] = None,
+      toleranceMs: Long = 100L,
+      strictChangeType: Boolean = false,
+      out: String = "/tmp/graft_out")
+
+  def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
+    case Nil => acc
+    case "--binlog-text" :: v :: rest => parseArgs(rest, acc.copy(binlogText = Some(v)))
+    case "--binlog-json" :: v :: rest => parseArgs(rest, acc.copy(binlogJson = Some(v)))
+    case "--avro" :: v :: rest => parseArgs(rest, acc.copy(avro = Some(v)))
+    case "--avro-json" :: v :: rest => parseArgs(rest, acc.copy(avroJson = Some(v)))
+    case "--tolerance-ms" :: v :: rest => parseArgs(rest, acc.copy(toleranceMs = v.toLong))
+    case "--strict-change-type" :: rest => parseArgs(rest, acc.copy(strictChangeType = true))
+    case "--out" :: v :: rest => parseArgs(rest, acc.copy(out = v))
+    case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv.toList)
+    require(args.binlogText.isDefined || args.binlogJson.isDefined,
+      "need --binlog-text or --binlog-json")
+    require(args.avro.isDefined || args.avroJson.isDefined,
+      "need --avro or --avro-json")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cdc-compare")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val compared = run(spark, args)
+    compared.cache()
+    Report.detail(compared).write.mode("overwrite").json(s"${args.out}/detail")
+    Report.breakdown(compared).write.mode("overwrite").json(s"${args.out}/breakdown")
+    val summary = Report.summary(compared)
+    summary.write.mode("overwrite").json(s"${args.out}/summary")
+    summary.show(truncate = false)
+    spark.stop()
+  }
+
+  /** The comparison plan for the given sources (separated for testing). */
+  def run(spark: SparkSession, args: Args): DataFrame = {
+    val binlog = args.binlogText match {
+      case Some(dir) =>
+        val parsed = BinlogTextParser.toComparatorInput(BinlogTextParser.parse(spark, dir))
+        Comparator.prepareBinlog(parsed, BinlogTextParser.seqColumn)
+      case None =>
+        val (clean, _) = Sources.quarantine(Sources.binlogJson(spark, args.binlogJson.get))
+        // JSON-lines input carries no explicit ordering; last-wins falls
+        // back to scan order (stable for a single un-repartitioned read —
+        // text-parser input is the ordered path, SURVEY §7.6).
+        Comparator.prepareBinlog(clean, monotonically_increasing_id())
+    }
+    val avro = args.avro match {
+      case Some(path) =>
+        Comparator.prepareAvro(Comparator.flattenResolvedAvro(AvroSource.read(spark, path)))
+      case None =>
+        val (clean, _) = Sources.quarantine(Sources.avroJson(spark, args.avroJson.get))
+        Comparator.prepareAvro(Comparator.flattenWrappedAvro(clean))
+    }
+    Comparator.compare(binlog, avro,
+      Comparator.Config(args.toleranceMs, args.strictChangeType))
+  }
+}

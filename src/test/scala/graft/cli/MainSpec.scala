@@ -1,0 +1,64 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.cdc.{Report, Schemas}
+
+/** End-to-end CLI plan: decoder-text binlog input + Avro-JSON input through
+  * Main.run — the whole reference chain (parse → normalize → compare →
+  * report) in one Spark job.
+  */
+class MainSpec extends AnyFunSuite with SparkTestSession {
+  import Schemas.Status
+
+  test("text-parser + avro-json sources end to end") {
+    val dir = Files.createTempDirectory("cli").toFile
+    val binlogDir = new java.io.File(dir, "binlogs"); binlogDir.mkdirs()
+    Files.write(new java.io.File(binlogDir, "mysql-bin.000001").toPath,
+      """=== WriteRowsEventV2 ===
+        |Date: 2024-05-01 12:00:00
+        |Log position: 1573
+        |Table: orders
+        |Schema: shop
+        |=== WriteRowsEventV2 ===
+        |Date: 2024-05-01 12:00:00
+        |Log position: 9999
+        |Table: orders
+        |Schema: shop
+        |""".stripMargin.getBytes)
+    val avroJson = new java.io.File(dir, "avro_rows.json")
+    Files.write(avroJson.toPath, Seq(
+      // match (Δ=50ms against the Date-derived timestamp)
+      """{"source_timestamp":1714564800050,"source_metadata":{"database":"shop","table":"orders","binlog_file":{"string":"mysql-bin.000001"},"binlog_position":{"long":1573},"primary_keys":["id"]},"payload":{}}""",
+      // avro-only
+      """{"source_timestamp":1714564800000,"source_metadata":{"database":"shop","table":"orders","binlog_file":{"string":"mysql-bin.000001"},"binlog_position":{"long":4242},"primary_keys":["id"]},"payload":{}}"""
+    ).mkString("\n").getBytes)
+
+    val compared = Main.run(spark, Main.Args(
+      binlogText = Some(binlogDir.getPath), avroJson = Some(avroJson.getPath)))
+
+    val statuses = compared.select("position", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(statuses == Map(
+      1573L -> Status.Match,
+      4242L -> Status.AvroOnly,
+      9999L -> Status.BinlogOnly))
+
+    val s = Report.summary(compared).head()
+    assert(s.getLong(s.fieldIndex("matched")) == 1)
+    assert(s.getLong(s.fieldIndex("avro_only")) == 1)
+    assert(s.getLong(s.fieldIndex("binlog_only")) == 1)
+    assert(!s.getBoolean(s.fieldIndex("consistent")))
+  }
+
+  test("argument parsing") {
+    val a = Main.parseArgs(List("--binlog-json", "/b.json", "--avro", "/a",
+      "--tolerance-ms", "250", "--strict-change-type", "--out", "/tmp/x"))
+    assert(a == Main.Args(None, Some("/b.json"), Some("/a"), None, 250L, true, "/tmp/x"))
+    intercept[IllegalArgumentException](Main.parseArgs(List("--nope")))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ingest
+
+import java.io.File
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Native Avro container read (SURVEY §7.4): ["null", T] unions resolve to
+  * nullable columns, nested records flatten to struct columns, logical
+  * timestamp types map to TimestampType — no avro-tools fork, no JSON
+  * intermediate.
+  */
+class AvroSourceSpec extends AnyFunSuite with SparkTestSession {
+
+  private def writeFixture(dir: File): Schema = {
+    val schema = SchemaBuilder.record("ChangeRecord").fields()
+      .requiredLong("source_timestamp")
+      .name("source_metadata").`type`(
+        SchemaBuilder.record("SourceMetadata").fields()
+          .requiredString("table")
+          .name("binlog_file").`type`().unionOf().nullType().and().stringType().endUnion().nullDefault()
+          .name("binlog_position").`type`().unionOf().nullType().and().longType().endUnion().nullDefault()
+          .name("is_deleted").`type`().unionOf().nullType().and().booleanType().endUnion().nullDefault()
+          .endRecord())
+      .noDefault()
+      .name("primary_keys").`type`().array().items().stringType().noDefault()
+      .name("commit_ts").`type`(
+        org.apache.avro.LogicalTypes.timestampMillis()
+          .addToSchema(Schema.create(Schema.Type.LONG))).noDefault()
+      .endRecord()
+
+    val metaSchema = schema.getField("source_metadata").schema()
+    def rec(ts: Long, table: String, file: String, pos: java.lang.Long): GenericRecord = {
+      val meta = new GenericData.Record(metaSchema)
+      meta.put("table", table)
+      meta.put("binlog_file", file)
+      meta.put("binlog_position", pos)
+      meta.put("is_deleted", null)
+      val r = new GenericData.Record(schema)
+      r.put("source_timestamp", ts)
+      r.put("source_metadata", meta)
+      r.put("primary_keys", java.util.List.of("id"))
+      r.put("commit_ts", ts)
+      r
+    }
+
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    writer.create(schema, new File(dir, "part1.avro"))
+    writer.append(rec(1714564800000L, "orders", "mysql-bin.000001", 1573L))
+    writer.append(rec(1714564801000L, "orders", "mysql-bin.000001", null))
+    writer.close()
+    schema
+  }
+
+  test("reads containers with resolved unions, nested structs, logical types") {
+    val dir = Files.createTempDirectory("avrosrc").toFile
+    writeFixture(dir)
+    val df = AvroSource.read(spark, dir.getPath)
+
+    val schema = df.schema
+    assert(schema("source_timestamp").dataType.typeName == "long")
+    val meta = schema("source_metadata").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta("binlog_file").dataType.typeName == "string" && meta("binlog_file").nullable)
+    assert(schema("commit_ts").dataType.typeName == "timestamp")
+
+    val rows = df.orderBy("source_timestamp").collect()
+    assert(rows.length == 2)
+    val m0 = rows(0).getStruct(rows(0).fieldIndex("source_metadata"))
+    assert(m0.getString(m0.fieldIndex("table")) == "orders")
+    assert(m0.getLong(m0.fieldIndex("binlog_position")) == 1573L)
+    val m1 = rows(1).getStruct(rows(1).fieldIndex("source_metadata"))
+    assert(m1.isNullAt(m1.fieldIndex("binlog_position")))
+    assert(rows(0).getSeq[String](rows(0).fieldIndex("primary_keys")) == Seq("id"))
+    assert(rows(0).getTimestamp(rows(0).fieldIndex("commit_ts")).getTime == 1714564800000L)
+  }
+
+  test("flattened records flow into the comparator avro contract") {
+    val dir = Files.createTempDirectory("avrosrc2").toFile
+    writeFixture(dir)
+    val df = AvroSource.read(spark, dir.getPath)
+    // resolved (union-free) shape → the same flatten the engine applies
+    val flat = df.selectExpr(
+      "source_timestamp",
+      "source_metadata.table AS table",
+      "source_metadata.binlog_file AS binlog_file",
+      "source_metadata.binlog_position AS binlog_position")
+    val prepared = graft.cdc.Comparator.prepareAvro(
+      flat.withColumn("database", org.apache.spark.sql.functions.lit(""))
+        .withColumn("gtid", org.apache.spark.sql.functions.lit(""))
+        .withColumn("change_type", org.apache.spark.sql.functions.lit("")))
+    assert(prepared.count() == 1) // the null-position row is P5-filtered
+  }
+}
