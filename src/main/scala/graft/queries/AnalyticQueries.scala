@@ -263,6 +263,26 @@ object AnalyticQueries {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, event_id""".stripMargin
 
+  // q22 — two-stage salted aggregation: the skew pattern for hot grouping
+  // keys (event_type has 5 values; at 100 TB a single-stage groupBy would
+  // funnel each key through one reducer). Stage 1 spreads each key over 16
+  // salts (shuffle keyed on (key, salt)), stage 2 combines the 16 partials.
+  // Result is identical to the plain aggregate — which is the oracle.
+  def q22SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pc"), sum(cents(col("value"))).as("pv"))
+      .groupBy("event_type")
+      .agg(sum(col("pc")).as("n_events"),
+        (sum(col("pv")).cast("double") / 100.0).as("total_value"))
+      .orderBy("event_type")
+
+  val q22Oracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
@@ -275,6 +295,7 @@ object AnalyticQueries {
     "q19_small_qty_orders" -> (q19SmallQuantityOrders _),
     "q20_sessionize" -> (q20Sessionize _),
     "q21_last_click_before_purchase" -> (q21LastClickBeforePurchase _),
+    "q22_salted_agg" -> (q22SaltedAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -289,5 +310,6 @@ object AnalyticQueries {
     "q19_small_qty_orders" -> q19Oracle,
     "q20_sessionize" -> q20Oracle,
     "q21_last_click_before_purchase" -> q21Oracle,
+    "q22_salted_agg" -> q22Oracle,
   )
 }

@@ -136,11 +136,30 @@ object TextQueries {
       |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS rolling
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // t05 — BPE-ish regex tokenization (letter runs / digit runs / single
+  // punctuation), the pre-tokenizer shape used by byte-pair encoders.
+  def t05RegexTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("pieces",
+        regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("pieces")).as("n_pieces"),
+        size(array_distinct(col("pieces"))).as("n_distinct_pieces"))
+      .orderBy("doc_id")
+
+  val t05Oracle: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_pieces,
+      |  CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS INT) AS n_distinct_pieces
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality_score" -> (t03QualityScore _),
     "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_regex_tokens" -> (t05RegexTokens _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,5 +167,6 @@ object TextQueries {
     "t02_lang_id" -> t02Oracle,
     "t03_quality_score" -> t03Oracle,
     "t04_fingerprint" -> t04Oracle,
+    "t05_regex_tokens" -> t05Oracle,
   )
 }
