@@ -283,6 +283,69 @@ object AnalyticQueries {
       |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q23 — approximate distinct (HyperLogLog++) validated against the exact
+  // count: HLL sketches differ across engines, so the oracle checks the
+  // exact count plus the (deterministic-for-fixed-data) bounded-error flag.
+  def q23ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") < 0.15).as("approx_ok"))
+      .orderBy("event_type")
+
+  val q23Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q24 — JSON → typed map → explode (map functions over the props column).
+  def q24JsonMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+        .as(Seq("key", "val")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("val").cast("long")).as("total"),
+        countDistinct(col("val")).as("n_distinct_vals"))
+      .orderBy("key")
+
+  val q24Oracle: String =
+    """SELECT 'k' AS key, COUNT(*) AS n,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS total,
+      |  COUNT(DISTINCT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n_distinct_vals
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q25 — range join: clicks within ±5 min of each purchase by the same
+  // user. Executes as an equi-join on user_id (the shuffle key) with the
+  // band predicate as a post-join filter — linear in the per-user group
+  // sizes, no cross join.
+  def q25RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("t_us", expr("ts div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("t_us").as("pt"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("t_us").as("ct"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("ct") >= col("pt") - 300000000L && col("ct") <= col("pt") + 300000000L,
+        "left_outer")
+      .groupBy("purchase_id", "user_id")
+      .agg(count(col("c_user")).as("n_clicks_5min"))
+      .orderBy("purchase_id")
+  }
+
+  val q25Oracle: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_5min
+      |FROM events p
+      |LEFT JOIN events c ON c.event_type = 'click' AND c.user_id = p.user_id
+      |  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 300000000 AND epoch_us(p.ts) + 300000000
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
@@ -296,6 +359,9 @@ object AnalyticQueries {
     "q20_sessionize" -> (q20Sessionize _),
     "q21_last_click_before_purchase" -> (q21LastClickBeforePurchase _),
     "q22_salted_agg" -> (q22SaltedAgg _),
+    "q23_approx_distinct" -> (q23ApproxDistinct _),
+    "q24_json_map" -> (q24JsonMap _),
+    "q25_range_join" -> (q25RangeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -311,5 +377,8 @@ object AnalyticQueries {
     "q20_sessionize" -> q20Oracle,
     "q21_last_click_before_purchase" -> q21Oracle,
     "q22_salted_agg" -> q22Oracle,
+    "q23_approx_distinct" -> q23Oracle,
+    "q24_json_map" -> q24Oracle,
+    "q25_range_join" -> q25Oracle,
   )
 }
