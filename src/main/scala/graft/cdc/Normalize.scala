@@ -72,9 +72,11 @@ object Normalize {
     element_at(split(path, "/"), -1)
 
   /** E15 — natural-version sort key for `mysql-bin.NNNNNN` names
-    * (reference comparator.sh:85 `ls -v`). */
+    * (reference comparator.sh:85 `ls -v`). Null (not an ANSI cast error)
+    * when the name has no numeric suffix — regexp_extract yields "" then,
+    * which a bare cast rejects under Spark 4's default ANSI mode. */
   def fileSeq(name: Column): Column =
-    regexp_extract(name, "\\.(\\d+)$", 1).cast(LongType)
+    nullif(regexp_extract(name, "\\.(\\d+)$", 1), lit("")).cast(LongType)
 
   // ------------------------------------------------------------ predicates
 

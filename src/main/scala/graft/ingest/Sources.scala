@@ -51,7 +51,6 @@ object Sources {
   def withBinlogFileOrder(df: DataFrame): DataFrame = {
     val base = element_at(split(input_file_name(), "/"), -1)
     df.withColumn("binlog_file_from_path", base)
-      .withColumn("file_seq",
-        regexp_extract(base, "\\.(\\d+)$", 1).cast("long"))
+      .withColumn("file_seq", graft.cdc.Normalize.fileSeq(base))
   }
 }
