@@ -133,6 +133,75 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // s03 — IVF-style ANN: k-means-free coarse quantizer using the label
+  // partitions' centroids (computed with an order-fixed fold so both
+  // engines produce bit-identical doubles), nprobe=1 search inside the
+  // query's cluster. At scale: centroids are a broadcast-size table, the
+  // assignment is a per-row argmax over the broadcast, and the search
+  // shuffles on the cluster id — the standard IVF layout.
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .select(col("label").as("clabel"), expr(
+        "transform(sequence(1, 64), d -> CAST(aggregate(vs, CAST(0.0 AS DOUBLE), " +
+          "(s, v) -> s + CAST(element_at(v.embedding, d) AS DOUBLE)) / size(vs) AS FLOAT))")
+        .as("cf"))
+    val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosineSim(col("embedding"), col("cf")))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("clabel"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("clabel").as("qc"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(q),
+        col("clabel") === col("qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("qc").as("cluster"), col("rank"),
+        col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s03Oracle: String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+        s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH vs AS (
+      |  SELECT label, list(struct_pack(vec_id := vec_id, embedding := embedding) ORDER BY vec_id) AS vs
+      |  FROM embeddings GROUP BY label
+      |), cent AS (
+      |  SELECT label AS clabel,
+      |    list_transform(range(1, 65), d ->
+      |      CAST(list_sum(list_transform(vs, v -> CAST(v.embedding[d] AS DOUBLE))) / len(vs) AS FLOAT)) AS cf
+      |  FROM vs
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, qc, a.vec_id, ${cos("qv", "a.embedding")} AS cos
+      |  FROM assigned a JOIN q ON a.clabel = q.qc AND a.vec_id <> q.query_id
+      |)
+      |SELECT query_id, cluster, rank, neighbor_id FROM (
+      |  SELECT query_id, qc AS cluster, vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // d05 — embedding-cosine near-dup pairs (brute-force exact baseline;
   // the LSH bucketing above is the scale path for the same predicate).
   def d05EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -160,12 +229,14 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
+    "s03_ann_ivf" -> (s03AnnIvf _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
     "s01_ann_bruteforce" -> s01Oracle,
     "s02_ann_lsh" -> s02Oracle,
+    "s03_ann_ivf" -> s03Oracle,
     "d05_embed_neardup" -> d05Oracle,
   )
 }
