@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** The comparison engine — the reference's whole dataflow
@@ -208,5 +208,21 @@ object Comparator {
           .when(col("change_type_mismatch"), Status.MismatchChangeType)
           .otherwise(Status.Match))
       .drop("b_file", "b_pos", "a_file", "a_pos")
+  }
+
+  /** Typed projection of a `compare` output (SURVEY §1.4): the API-boundary
+    * `Dataset[ComparisonResult]`; the untyped frame stays the internal
+    * representation (pure Column expressions, no per-row deserialization
+    * until a caller asks for the typed view). */
+  def typed(compared: DataFrame): Dataset[Schemas.ComparisonResult] = {
+    val spark = compared.sparkSession
+    import spark.implicits._
+    compared.select(
+      col("binlog_file"), col("position"),
+      col("_b_present").as("b_present"), col("_a_present").as("a_present"),
+      col("ts_parse_error"), col("ts_mismatch"), col("gtid_mismatch"),
+      col("change_type_mismatch"), col("inferred_change_type"), col("is_dml"),
+      col("status")
+    ).as[Schemas.ComparisonResult]
   }
 }

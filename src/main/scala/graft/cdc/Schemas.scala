@@ -107,6 +107,22 @@ object Schemas {
     )))
   ))
 
+  /** Typed view of one `Comparator.compare` output row (SURVEY §1.4's
+    * `Dataset[ComparisonResult]`): the full-outer pair key, presence flags,
+    * the independent mismatch flags, and the prioritized status. */
+  case class ComparisonResult(
+      binlog_file: String,
+      position: Long,
+      b_present: Boolean,
+      a_present: Boolean,
+      ts_parse_error: Boolean,
+      ts_mismatch: Boolean,
+      gtid_mismatch: Boolean,
+      change_type_mismatch: Boolean,
+      inferred_change_type: String,
+      is_dml: Boolean,
+      status: String)
+
   /** Comparison outcome statuses — a strict generalization of the reference's
     * printf streams (compare_timestamps.go:189-191,218-227,242-244,267-268).
     */

@@ -61,7 +61,10 @@ object Main {
 
     val compared = run(spark, args)
     compared.cache()
-    Report.detail(compared).write.mode("overwrite").json(s"${args.out}/detail")
+    // detail partitioned by status: per-status directories prune cleanly
+    // when a consumer reads only one discrepancy family at scale
+    Report.detail(compared).write.mode("overwrite")
+      .partitionBy("status").json(s"${args.out}/detail")
     Report.breakdown(compared).write.mode("overwrite").json(s"${args.out}/breakdown")
     val summary = Report.summary(compared)
     summary.write.mode("overwrite").json(s"${args.out}/summary")

@@ -197,10 +197,14 @@ object RelationalQueries {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
-  // q07 — left-anti join (NOT EXISTS): customers with no orders.
+  // q07 — left-anti join (NOT EXISTS): customers with no 1998+ orders
+  // (every customer has *some* order in this testdata, so the anti side is
+  // filtered to keep the result non-trivial).
   def q07CustomersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
         (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("total_acctbal"))
@@ -210,7 +214,8 @@ object RelationalQueries {
     """SELECT c_mktsegment, COUNT(*) AS n_customers,
       |  CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_acctbal
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 

@@ -160,6 +160,16 @@ class ComparatorSpec extends AnyFunSuite with SparkTestSession {
     assert(!s.getBoolean(s.fieldIndex("consistent")))
   }
 
+  test("typed Dataset[ComparisonResult] view round-trips the flags") {
+    val t = Comparator.typed(compared).collect()
+    assert(t.length == compared.count())
+    val m = t.find(_.position == 6666L).get
+    assert(m.ts_parse_error && m.ts_mismatch && !m.gtid_mismatch &&
+      m.status == Status.MismatchTs && m.b_present && m.a_present)
+    val bo = t.find(_.position == 7777L).get
+    assert(bo.is_dml && !bo.a_present && bo.status == Status.BinlogOnly)
+  }
+
   test("detail report excludes MATCH and suppressed rows") {
     val statuses = Report.detail(compared).select("status").distinct()
       .collect().map(_.getString(0)).toSet
