@@ -154,12 +154,42 @@ object TextQueries {
       |  CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS INT) AS n_distinct_pieces
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // t06 — deterministic hash split (train/valid/test 80/10/10): the
+  // reproducible-sampling primitive of a training-data pipeline. Split
+  // assignment is a pure function of the stable id (md5 bucket), so it is
+  // stable under repartitioning, re-runs, and engine changes — unlike
+  // TABLESAMPLE/rand(seed), whose results are partitioning-dependent.
+  def t06HashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      .orderBy("split")
+
+  val t06Oracle: String =
+    """SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+      |            ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
+      |FROM (
+      |  SELECT text,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality_score" -> (t03QualityScore _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_regex_tokens" -> (t05RegexTokens _),
+    "t06_hash_split" -> (t06HashSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -168,5 +198,6 @@ object TextQueries {
     "t03_quality_score" -> t03Oracle,
     "t04_fingerprint" -> t04Oracle,
     "t05_regex_tokens" -> t05Oracle,
+    "t06_hash_split" -> t06Oracle,
   )
 }
