@@ -50,10 +50,24 @@ private[functions] trait StringArrayInput { self: UnaryExpression =>
   }
 }
 
-/** MinHash signature (`numPerms` longs) of a string array; null on empty
-  * input (matching `array_min` of an empty list). */
+/** MinHash signature (`numPerms` longs) over either raw shingle strings
+  * (hashed internally) or pre-hashed 60-bit shingle longs (see
+  * [[ShingleHash60]] — hashing before the shuffle keeps exchange payloads
+  * small); null on empty input (matching `array_min` of an empty list). */
 case class MinHashSignature(child: Expression, numPerms: Int = 16)
-    extends UnaryExpression with StringArrayInput with CodegenFallback {
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val fromStrings = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string> or array<bigint>, got ${other.simpleString}")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -64,7 +78,9 @@ case class MinHashSignature(child: Expression, numPerms: Int = 16)
     val sig = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = TextHash.shingleHash(arr.getUTF8String(i).getBytes)
+      val h =
+        if (fromStrings) TextHash.shingleHash(arr.getUTF8String(i).getBytes)
+        else arr.getLong(i) % TextHash.P
       var j = 0
       while (j < numPerms) {
         val v = (TextHash.permA(j) * h + TextHash.permB(j)) % TextHash.P
@@ -77,6 +93,46 @@ case class MinHashSignature(child: Expression, numPerms: Int = 16)
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** Distinct 60-bit md5 hashes of the n-gram word shingles of a token array
+  * — [[WordShingles]] fused with the hash so shuffles carry 8-byte longs
+  * instead of shingle strings. Hash = first 15 md5-hex chars as BIGINT,
+  * identical to `('0x'||substr(md5(s),1,15))::BIGINT` over the space-joined
+  * shingle. First-occurrence order; empty when fewer than `n` tokens. */
+case class ShingleHash60(child: Expression, n: Int = 3)
+    extends UnaryExpression with StringArrayInput with CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val out = new java.util.LinkedHashSet[java.lang.Long]
+    val sep = " ".getBytes("UTF-8")
+    var i = 0
+    while (i + n <= total) {
+      val bos = new java.io.ByteArrayOutputStream(64)
+      var k = 0
+      while (k < n) {
+        if (k > 0) bos.write(sep)
+        bos.write(arr.getUTF8String(i + k).getBytes)
+        k += 1
+      }
+      out.add(java.lang.Long.parseLong(
+        DigestUtils.md5Hex(bos.toByteArray).substring(0, 15), 16))
+      i += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var idx = 0
+    while (it.hasNext) { res(idx) = it.next(); idx += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHash60 =
     copy(child = c)
 }
 
@@ -162,4 +218,8 @@ object TextHashFunctions {
   /** 32-bit SimHash column over an `array<string>` token column. */
   def simHash32(tokens: Column): Column =
     ColumnShim.column(SimHash32(ColumnShim.expression(tokens)))
+
+  /** Distinct 60-bit hashed n-gram shingles over an `array<string>` column. */
+  def shingleHash60(tokens: Column, n: Int = 3): Column =
+    ColumnShim.column(ShingleHash60(ColumnShim.expression(tokens), n))
 }

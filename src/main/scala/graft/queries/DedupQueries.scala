@@ -29,14 +29,15 @@ object DedupQueries {
 
   private val P = 2147483647L // 2^31 − 1
 
-  /** doc_id, toks, distinct 3-gram shingles + shingle count (fused
-    * WordShingles expression — see TextHashFunctions). */
+  /** doc_id, toks, distinct 60-bit-hashed 3-gram shingles + count (fused
+    * ShingleHash60 expression — shuffles downstream carry 8-byte longs, not
+    * shingle strings). */
   private def withShingles(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextHashFunctions.wordShingles
+    import graft.functions.TextHashFunctions.shingleHash60
     Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", wordShingles(col("toks")))
+      .withColumn("shingles", shingleHash60(col("toks")))
       .withColumn("n_sh", size(col("shingles")))
   }
 
@@ -46,8 +47,10 @@ object DedupQueries {
       |  WHERE len(string_split(text, ' ')) >= 3
       |), s AS (
       |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(toks) - 1),
-      |      i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) AS shingles
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(toks) - 1),
+      |        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
+      |      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS shingles
       |  FROM d
       |)""".stripMargin
 
@@ -146,7 +149,7 @@ object DedupQueries {
     s""", sig AS (
       |  SELECT doc_id, shingles, len(shingles) AS n,
       |    list_transform(range(0, 16), j -> list_min(list_transform(
-      |      list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $P),
+      |      list_transform(shingles, h0 -> h0 % $P),
       |      h -> (((1664525 * j + 1013904223) % $P) * h + (22695477 * j + 12345) % $P) % $P))) AS sg
       |  FROM s
       |), banded AS (

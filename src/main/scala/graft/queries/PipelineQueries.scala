@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextHashFunctions.wordShingles
+import graft.functions.TextHashFunctions.shingleHash60
 
 /** End-to-end training-data curation (the north-star composition): quality
   * gate → exact dedup → near-dup removal → per-(lang, source) cap →
@@ -40,7 +40,7 @@ object PipelineQueries {
     // shingle-Jaccard >= 0.5 pair (d02's detector over the survivors)
     val sh = exact
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", wordShingles(col("toks")))
+      .withColumn("shingles", shingleHash60(col("toks")))
       .withColumn("n_sh", size(col("shingles")))
     val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("s"))
     val posting = ex.groupBy("s")
@@ -89,8 +89,10 @@ object PipelineQueries {
       |  WHERE doc_id = keeper
       |), sh AS (
       |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(toks) - 1),
-      |      i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) AS shingles
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(toks) - 1),
+      |        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
+      |      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS shingles
       |  FROM exact WHERE len(toks) >= 3
       |), e AS (
       |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh

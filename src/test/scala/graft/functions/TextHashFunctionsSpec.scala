@@ -55,6 +55,27 @@ class TextHashFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(0) == rows(1))
   }
 
+  test("shingleHash60 == md5-60bit of each wordShingle, order preserved") {
+    import spark.implicits._
+    val toks = Seq("a", "b", "c", "d", "a", "b", "c")
+    val row = Seq(Tuple1(toks)).toDF("toks")
+      .select(shingleHash60(col("toks")).as("h"), wordShingles(col("toks")).as("s"))
+      .head()
+    val hashes = row.getSeq[Long](0)
+    val strings = row.getSeq[String](1)
+    assert(hashes == strings.map(refHash(_, 15)))
+  }
+
+  test("minHashSig over pre-hashed longs equals the string path") {
+    import spark.implicits._
+    val sh = Seq("x y z", "y z w", "q r s")
+    val row = Seq(Tuple1(sh)).toDF("sh")
+      .select(minHashSig(col("sh")).as("a"),
+        minHashSig(expr("transform(sh, g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))")).as("b"))
+      .head()
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+  }
+
   test("simHash32 equals explicit bit-vote reference") {
     import spark.implicits._
     val toks = Seq("spark", "query", "spark", "join")
