@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Regression guards for the physical-plan properties the engine's scale
+  * story depends on: filters reaching the parquet scans, column-pruned
+  * read schemas, no accidental cartesian products in the pair-generation
+  * queries, and partial (map-side) aggregation under the grouped
+  * aggregates. Asserted on the smallest SF — plan shape, not data.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter pushed to the scan; unused columns pruned") {
+    val p = plan(RelationalQueries.q01PricingSummary(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "pruned column still read")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("q02: every predicate reaches the scan") {
+    // plan toString truncates the PushedFilters list, so assert on its
+    // stable prefix plus the quantity predicate in the post-scan filter
+    val p = plan(RelationalQueries.q02RevenueFilter(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("< 24.0"))
+  }
+
+  test("q05: fixed-size dims broadcast; segment filter pushed") {
+    val p = plan(RelationalQueries.q05RegionRevenue(spark, dir))
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("dedup pair generation plans contain no cartesian product") {
+    Seq(
+      DedupQueries.d02NgramJaccard(spark, dir),
+      DedupQueries.d03MinhashLsh(spark, dir),
+      PipelineQueries.p01TrainingMix(spark, dir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+      assert(!p.contains("BroadcastNestedLoopJoin") || !p.contains("Inner, BuildRight, false\n+- Cartesian"))
+    }
+  }
+
+  test("cdc comparison: one aggregate-side shuffle is reused by the join") {
+    val p = plan(CdcQueries.cdc01StatusCounts(spark, dir))
+    // the binlog dedup aggregate partitions by the join key, so the join
+    // must not add a second exchange on the deduped side
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("Exchange") || l.trim.startsWith("+- Exchange") ||
+        l.contains("Exchange hashpartitioning"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(exchanges <= 6, s"unexpected exchange count $exchanges:\n$p")
+  }
+}
