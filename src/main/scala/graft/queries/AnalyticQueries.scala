@@ -346,6 +346,50 @@ object AnalyticQueries {
       |GROUP BY p.event_id, p.user_id
       |ORDER BY p.event_id""".stripMargin
 
+  // q26 — pivot: per-user event-type counts as columns (explicit value
+  // list, so the plan is a single pass — no distinct-values pre-query).
+  def q26Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val q26Oracle: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // q27 — unpivot (melt): wide metric columns to (metric, value) rows,
+  // in exact cents, re-aggregated per metric.
+  def q27Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"),
+        round(col("l_tax") * 100).cast("long").as("tax_pct"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("qty"), col("disc_pct"), col("tax_pct")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+      .orderBy("metric")
+
+  val q27Oracle: String =
+    """SELECT metric, CAST(SUM(value) AS BIGINT) AS total, COUNT(*) AS n FROM (
+      |  SELECT 'qty' AS metric, CAST(round(l_quantity) AS BIGINT) AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT 'disc_pct', CAST(round(l_discount*100) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'tax_pct', CAST(round(l_tax*100) AS BIGINT) FROM lineitem)
+      |GROUP BY metric ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
@@ -362,6 +406,8 @@ object AnalyticQueries {
     "q23_approx_distinct" -> (q23ApproxDistinct _),
     "q24_json_map" -> (q24JsonMap _),
     "q25_range_join" -> (q25RangeJoin _),
+    "q26_pivot" -> (q26Pivot _),
+    "q27_unpivot" -> (q27Unpivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,5 +426,7 @@ object AnalyticQueries {
     "q23_approx_distinct" -> q23Oracle,
     "q24_json_map" -> q24Oracle,
     "q25_range_join" -> q25Oracle,
+    "q26_pivot" -> q26Oracle,
+    "q27_unpivot" -> q27Oracle,
   )
 }
