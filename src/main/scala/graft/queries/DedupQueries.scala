@@ -191,11 +191,59 @@ object DedupQueries {
       |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS simhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // d06 — corpus-level MinHash sketches per source via the typed Aggregator
+  // (constant-size buffer, map-side partial agg), then pairwise estimated
+  // Jaccard between sources from sketch component agreement.
+  def d06GroupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.minHashSig
+    import graft.functions.MinHashUnionAggregator
+    val sigs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sig", minHashSig(shingleHash60Col))
+      .groupBy("source")
+      .agg(MinHashUnionAggregator.column(col("sig")).as("gsig"))
+    val a = sigs.select(col("source").as("src_a"), col("gsig").as("sig_a"))
+    val b = sigs.select(col("source").as("src_b"), col("gsig").as("sig_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("matches", expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))"))
+      .select(col("src_a"), col("src_b"), col("matches"),
+        (col("matches").cast("double") / 16.0).as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private def shingleHash60Col = {
+    import graft.functions.TextHashFunctions.shingleHash60
+    shingleHash60(col("toks"))
+  }
+
+  val d06Oracle: String =
+    shingleCte +
+    s""", sig AS (
+      |  SELECT doc_id, s2.source,
+      |    list_transform(range(0, 16), j -> list_min(list_transform(
+      |      list_transform(shingles, h0 -> h0 % $P),
+      |      h -> (((1664525 * j + 1013904223) % $P) * h + (22695477 * j + 12345) % $P) % $P))) AS sg
+      |  FROM s JOIN documents s2 USING (doc_id)
+      |), e AS (
+      |  SELECT source, j, sg[j] AS v FROM sig, generate_series(1, 16) t(j)
+      |), g AS (
+      |  SELECT source, j, MIN(v) AS v FROM e GROUP BY source, j
+      |)
+      |SELECT src_a, src_b, matches, CAST(matches AS DOUBLE)/16.0 AS est_jaccard FROM (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) FILTER (WHERE a.v = b.v) AS INT) AS matches
+      |  FROM g a JOIN g b ON a.j = b.j AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
     "d04_simhash" -> (d04Simhash _),
+    "d06_group_minhash" -> (d06GroupMinhash _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,5 +251,6 @@ object DedupQueries {
     "d02_ngram_jaccard" -> d02Oracle,
     "d03_minhash_lsh" -> d03Oracle,
     "d04_simhash" -> d04Oracle,
+    "d06_group_minhash" -> d06Oracle,
   )
 }
