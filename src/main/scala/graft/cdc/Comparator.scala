@@ -101,11 +101,16 @@ object Comparator {
       col("source_metadata.primary_keys").as("primary_keys")
     )
 
-  /** Phase B input filter (reference :176-179): Go zero values as null. */
+  /** Phase B input filter (reference :176-179): Go zero values as null.
+    * `source_timestamp` also folds to its Go zero value (0 ⇒ epoch 1970,
+    * reference compare_timestamps.go:44,213): a record missing the field
+    * must compare against 1970 and hence mismatch, not slide through as a
+    * null-propagated MATCH. */
   def prepareAvro(flat: DataFrame): DataFrame =
     flat
       .withColumn("binlog_file", coalesce(col("binlog_file"), lit("")))
       .withColumn("binlog_position", coalesce(col("binlog_position"), lit(0L)))
+      .withColumn("source_timestamp", coalesce(col("source_timestamp"), lit(0L)))
       .filter(col("binlog_file") =!= "" && col("binlog_position") =!= 0L) // P5
 
   /** Phases B+C — the full-outer comparison (reference :154-274).

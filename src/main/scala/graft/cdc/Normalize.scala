@@ -42,7 +42,7 @@ object Normalize {
     * check up front. Fractional seconds allowed (Go accepts them even with
     * the second-precision layout). */
   val Rfc3339Pattern: String =
-    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,9})?([Zz]|[+-]\\d{2}:\\d{2})$"
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,9})?(Z|[+-]\\d{2}:\\d{2})$"
 
   /** Try-parse an RFC3339 / RFC3339Nano string; null when Go's parser would
     * error (reference compare_timestamps.go:200-204). Nanosecond digits are

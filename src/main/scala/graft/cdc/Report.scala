@@ -40,7 +40,7 @@ object Report {
     compared
       .filter(col("status") =!= Status.BinlogOnlySuppressed)
       .groupBy(
-        coalesce(col("b_schema"), col("a_database"), lit("")).as("schema"),
+        coalesce(nullif(col("b_schema"), lit("")), col("a_database"), lit("")).as("schema"),
         coalesce(nullif(col("b_table"), lit("")), col("a_table"), lit("")).as("table"),
         col("status"))
       .count()

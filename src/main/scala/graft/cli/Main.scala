@@ -80,10 +80,14 @@ object Main {
         Comparator.prepareBinlog(parsed, BinlogTextParser.seqColumn)
       case None =>
         val (clean, _) = Sources.quarantine(Sources.binlogJson(spark, args.binlogJson.get))
-        // JSON-lines input carries no explicit ordering; last-wins falls
-        // back to scan order (stable for a single un-repartitioned read —
-        // text-parser input is the ordered path, SURVEY §7.6).
-        Comparator.prepareBinlog(clean, monotonically_increasing_id())
+        // JSON-lines input: order across files by the filename's numeric
+        // suffix (ls -v semantics), then by scan order within a file
+        // (stable for a single un-repartitioned read — the text-parser
+        // input is the fully-ordered path, SURVEY §7.6).
+        val ordered = Sources.withBinlogFileOrder(clean)
+        Comparator.prepareBinlog(ordered,
+            struct(coalesce(col("file_seq"), lit(0L)), monotonically_increasing_id()))
+          .drop("binlog_file_from_path", "file_seq")
     }
     val avro = args.avro match {
       case Some(path) =>

@@ -71,6 +71,11 @@ case class MinHashSignature(child: Expression, numPerms: Int = 16)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // returns null on an EMPTY (not just null) input, so the default
+  // child-derived nullability would let NullPropagation miscompile
+  // is-null checks over non-nullable children
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()

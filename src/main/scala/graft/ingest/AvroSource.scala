@@ -55,8 +55,10 @@ object AvroSource {
     val first =
       if (fs.isFile(p)) p
       else {
-        val files = fs.globStatus(new Path(
-            if (path.endsWith(".avro")) path else path.stripSuffix("/") + "/*.avro"))
+        // globStatus returns null (not empty) for a non-glob missing path
+        val files = Option(fs.globStatus(new Path(
+            if (path.endsWith(".avro")) path else path.stripSuffix("/") + "/*.avro")))
+          .getOrElse(Array.empty)
           .filter(_.isFile).map(_.getPath)
         require(files.nonEmpty, s"no .avro files under $path")
         files.minBy(_.getName)

@@ -49,7 +49,7 @@ object Sources {
     * `file_seq` from the numeric filename suffix (`ls -v` order,
     * comparator.sh:85) and `binlog_file` basename (E14). */
   def withBinlogFileOrder(df: DataFrame): DataFrame = {
-    val base = element_at(split(input_file_name(), "/"), -1)
+    val base = graft.cdc.Normalize.basename(input_file_name())
     df.withColumn("binlog_file_from_path", base)
       .withColumn("file_seq", graft.cdc.Normalize.fileSeq(base))
   }

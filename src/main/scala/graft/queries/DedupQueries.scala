@@ -66,15 +66,16 @@ object DedupQueries {
       |  CAST(MIN(doc_id) AS BIGINT) AS keeper_id
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // d02 — n-gram Jaccard near-dup pairs via the shingle inverted index.
-  // Pairs are generated inside the per-shingle posting list (one shuffle on
-  // the shingle, pairs expanded from the grouped list) instead of a
-  // self-join — half the shuffles and no duplicate shingle computation.
-  // Posting lists longer than 100 docs are dropped on both engines (stop-
-  // shingle guard: at scale a hot shingle would otherwise expand k²/2
-  // pairs; this is the standard skew bound for inverted-index dedup).
-  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = withShingles(spark, dir)
+  /** Near-dup pair intersection counts via the shingle posting-list index
+    * over a frame with (doc_id, shingles, n_sh): pairs are generated inside
+    * the per-shingle posting list (one shuffle on the shingle, pairs
+    * expanded from the grouped list) instead of a self-join — half the
+    * shuffles and no duplicate shingle computation. Posting lists longer
+    * than 100 docs are dropped (stop-shingle guard: at scale a hot shingle
+    * would otherwise expand k²/2 pairs; the oracles mirror the bound).
+    * Output: (doc_a, doc_b, na, nb, inter). Shared by d02 and the p01
+    * curation pipeline. */
+  private[queries] def jaccardPairCounts(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
     val posting = ex.groupBy("sh")
       .agg(expr("array_sort(collect_list(struct(doc_id, n_sh)))").as("ds"))
@@ -88,12 +89,16 @@ object DedupQueries {
       .select("p.*")
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
+  }
+
+  // d02 — n-gram Jaccard near-dup pairs via the shingle inverted index.
+  def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairCounts(withShingles(spark, dir))
       .withColumn("un", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("un"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "inter", "un", "jaccard")
       .orderBy("doc_a", "doc_b")
-  }
 
   val d02Oracle: String =
     shingleCte +

@@ -42,19 +42,7 @@ object PipelineQueries {
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", shingleHash60(col("toks")))
       .withColumn("n_sh", size(col("shingles")))
-    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("s"))
-    val posting = ex.groupBy("s")
-      .agg(expr("array_sort(collect_list(struct(doc_id, n_sh)))").as("ds"))
-      .filter(size(col("ds")).between(2, 100))
-    val dupIds = posting
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(ds) - 1), i -> " +
-          "transform(slice(ds, i + 1, size(ds) - i), y -> struct(" +
-          "element_at(ds, i).doc_id AS doc_a, element_at(ds, i).n_sh AS na, " +
-          "y.doc_id AS doc_b, y.n_sh AS nb))))")).as("p"))
-      .select("p.*")
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
+    val dupIds = DedupQueries.jaccardPairCounts(sh)
       .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.5)
       .select(col("doc_b").as("dup_id")).distinct()
     val deduped = exact.join(dupIds, col("doc_id") === col("dup_id"), "left_anti")

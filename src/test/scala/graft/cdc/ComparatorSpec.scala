@@ -160,6 +160,25 @@ class ComparatorSpec extends AnyFunSuite with SparkTestSession {
     assert(!s.getBoolean(s.fieldIndex("consistent")))
   }
 
+  test("missing avro source_timestamp folds to Go zero ⇒ MISMATCH_TS") {
+    // regression: null avro timestamp must compare against epoch 0 (the
+    // Go zero value of the int64 field) and mismatch — not null-propagate
+    // into a MATCH
+    val b = Comparator.prepareBinlog(
+      spark.read.schema(Schemas.binlogReadSchema).json(
+        spark.createDataset(Seq(
+          """{"event_type":"WriteRowsEventV2","immediate_commmit_timestamp":"2024-05-01T12:00:00Z","log_position":10,"binlog_file":"f"}"""
+        ))(org.apache.spark.sql.Encoders.STRING)),
+      monotonically_increasing_id())
+    val a = Comparator.prepareAvro(Comparator.flattenWrappedAvro(
+      spark.read.schema(Schemas.avroWrappedReadSchema).json(
+        spark.createDataset(Seq(
+          """{"source_metadata":{"binlog_file":{"string":"f"},"binlog_position":{"long":10}}}"""
+        ))(org.apache.spark.sql.Encoders.STRING))))
+    val r = Comparator.compare(b, a).select("status").head()
+    assert(r.getString(0) == Status.MismatchTs)
+  }
+
   test("typed Dataset[ComparisonResult] view round-trips the flags") {
     val t = Comparator.typed(compared).collect()
     assert(t.length == compared.count())

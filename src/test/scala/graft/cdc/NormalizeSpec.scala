@@ -76,7 +76,10 @@ class NormalizeSpec extends AnyFunSuite with SparkTestSession {
   test("RFC3339 shape guard: Go-parseable forms only") {
     val ok = Seq("2024-05-01T12:00:00Z", "2024-05-01T12:00:00.123456789Z",
       "2024-05-01T12:00:00+02:00")
-    val bad = Seq("2024-05-01 12:00:00", "2024-05-01T12:00:00", "not a date", "")
+    // lowercase 'z' is rejected by Go's RFC3339 parser — must stay a
+    // parse error here too (parity: counted mismatch + short-circuit)
+    val bad = Seq("2024-05-01 12:00:00", "2024-05-01T12:00:00",
+      "2024-05-01T12:00:00z", "not a date", "")
     ok.foreach(s => assert(evalStr(Normalize.parseRfc3339(lit(s))) != null, s))
     bad.foreach(s =>
       assert(spark.range(1).select(Normalize.parseRfc3339(lit(s)).as("v"))

@@ -45,6 +45,17 @@ class TextHashFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == expected)
   }
 
+  test("minHashSig on an empty array is null and declared nullable") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq.empty[String])).toDF("sh")
+      .select(minHashSig(col("sh")).as("sig"))
+    assert(df.schema("sig").nullable)
+    assert(df.head().isNullAt(0))
+    // a non-null filter over it must actually filter (NullPropagation
+    // would elide it if the expression lied about nullability)
+    assert(df.filter(col("sig").isNotNull).count() == 0)
+  }
+
   test("minHashSig is order- and duplicate-invariant") {
     import spark.implicits._
     val df = Seq(

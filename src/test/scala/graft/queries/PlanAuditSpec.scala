@@ -46,7 +46,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     ).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
-      assert(!p.contains("BroadcastNestedLoopJoin") || !p.contains("Inner, BuildRight, false\n+- Cartesian"))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
     }
   }
 
