@@ -390,6 +390,25 @@ object AnalyticQueries {
       |  SELECT 'tax_pct', CAST(round(l_tax*100) AS BIGINT) FROM lineitem)
       |GROUP BY metric ORDER BY metric""".stripMargin
 
+  // q28 — exact percentiles (median) over integer cents: interpolation at
+  // p=0.5 is (a+b)/2 of longs, exact in double on both engines.
+  def q28Median(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("value_cents", cents(col("value")))
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value_cents, 0.5)").as("median_cents"),
+        min(col("value_cents")).as("min_cents"),
+        max(col("value_cents")).as("max_cents"))
+      .orderBy("event_type")
+
+  val q28Oracle: String =
+    """SELECT event_type,
+      |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) AS median_cents,
+      |  CAST(MIN(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(MAX(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
@@ -408,6 +427,7 @@ object AnalyticQueries {
     "q25_range_join" -> (q25RangeJoin _),
     "q26_pivot" -> (q26Pivot _),
     "q27_unpivot" -> (q27Unpivot _),
+    "q28_median" -> (q28Median _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,5 +448,6 @@ object AnalyticQueries {
     "q25_range_join" -> q25Oracle,
     "q26_pivot" -> q26Oracle,
     "q27_unpivot" -> q27Oracle,
+    "q28_median" -> q28Oracle,
   )
 }
