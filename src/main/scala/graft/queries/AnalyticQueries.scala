@@ -222,7 +222,7 @@ object AnalyticQueries {
   }
 
   val q20Oracle: String =
-    """SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events,
+    """SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
       |  CAST(COUNT(*) AS DOUBLE)/MAX(session_id) AS events_per_session
       |FROM (
       |  SELECT user_id,

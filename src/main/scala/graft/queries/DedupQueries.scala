@@ -188,12 +188,12 @@ object DedupQueries {
 
   val d04Oracle: String =
     """SELECT doc_id,
-      |  list_sum(list_transform(range(0, 32), b ->
+      |  CAST(list_sum(list_transform(range(0, 32), b ->
       |    CASE WHEN list_sum(list_transform(
       |           list_transform(string_split(text, ' '),
       |             t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
       |           c -> ((c >> b) & 1) * 2 - 1)) > 0
-      |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS simhash
+      |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // d06 — corpus-level MinHash sketches per source via the typed Aggregator

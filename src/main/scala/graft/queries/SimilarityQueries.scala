@@ -59,10 +59,10 @@ object SimilarityQueries {
       ") > 0.0, shiftleft(1L, j), 0L))"
 
   private lazy val bucketDuckExpr: String =
-    "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
+    "CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
       "list_sum(list_transform(range(1, 65), i -> " +
       s"CAST(embedding[i] AS DOUBLE) * ($planesDuckLit)[j + 1][i]" +
-      ")) > 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))"
+      ")) > 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
 
   private val duckCos: String =
     "list_sum(list_transform(list_zip(qv, embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +

@@ -45,20 +45,30 @@ def main():
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
-            spark_rel = con.execute(
+            spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-            s_cols = [d[0] for d in spark_rel.description]
+            s_cols = list(spark_rel.columns)
             s_rows = spark_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             failed.append(name)
             continue
         try:
-            duck_rel = con.execute(sql)
-            d_cols = [d[0] for d in duck_rel.description]
+            duck_rel = con.sql(sql)
+            d_cols = list(duck_rel.columns)
             d_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            failed.append(name)
+            continue
+        # Type parity: the driver's hasher distinguishes e.g. DuckDB HUGEINT
+        # (list_sum/SUM results) from Spark BIGINT even when values agree.
+        s_types = dict(zip(s_cols, [str(t) for t in spark_rel.types]))
+        d_types = dict(zip(d_cols, [str(t) for t in duck_rel.types]))
+        tdiff = {c: (s_types.get(c), d_types[c]) for c in d_types
+                 if s_types.get(c) != d_types[c]}
+        if tdiff:
+            print(f"FAIL {name}: column types differ (spark, duck): {tdiff}")
             failed.append(name)
             continue
         sc, sr = canon(s_rows, s_cols)
