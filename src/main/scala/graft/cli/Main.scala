@@ -59,7 +59,7 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val compared = run(spark, args)
+    val (compared, release) = runWithRelease(spark, args)
     compared.cache()
     // detail partitioned by status: per-status directories prune cleanly
     // when a consumer reads only one discrepancy family at scale
@@ -69,34 +69,44 @@ object Main {
     val summary = Report.summary(compared)
     summary.write.mode("overwrite").json(s"${args.out}/summary")
     summary.show(truncate = false)
+    release()
     spark.stop()
   }
 
   /** The comparison plan for the given sources (separated for testing). */
-  def run(spark: SparkSession, args: Args): DataFrame = {
+  def run(spark: SparkSession, args: Args): DataFrame =
+    runWithRelease(spark, args)._1
+
+  /** The comparison plan plus a release handle that unpersists any source
+    * caches once the outputs are materialized (ADVICE: long-lived sessions
+    * must not accumulate quarantine caches). */
+  def runWithRelease(spark: SparkSession, args: Args): (DataFrame, () => Unit) = {
+    val releases = collection.mutable.ArrayBuffer.empty[() => Unit]
     val binlog = args.binlogText match {
       case Some(dir) =>
         val parsed = BinlogTextParser.toComparatorInput(BinlogTextParser.parse(spark, dir))
         Comparator.prepareBinlog(parsed, BinlogTextParser.seqColumn)
       case None =>
-        val (clean, _) = Sources.quarantine(Sources.binlogJson(spark, args.binlogJson.get))
-        // JSON-lines input: order across files by the filename's numeric
-        // suffix (ls -v semantics), then by scan order within a file
-        // (stable for a single un-repartitioned read — the text-parser
-        // input is the fully-ordered path, SURVEY §7.6).
-        val ordered = Sources.withBinlogFileOrder(clean)
+        // Order-preserving JSON-lines read: (file_seq, basename, line_no) is
+        // the reference's `ls -v` + within-file order, independent of how
+        // Spark assigns splits to partitions (SURVEY §7.6).
+        val ordered = Sources.binlogJsonOrdered(spark, args.binlogJson.get)
+          .filter(col("_corrupt_record").isNull).drop("_corrupt_record")
         Comparator.prepareBinlog(ordered,
-            struct(coalesce(col("file_seq"), lit(0L)), monotonically_increasing_id()))
-          .drop("binlog_file_from_path", "file_seq")
+            struct(coalesce(col("file_seq"), lit(0L)),
+              col("binlog_file_from_path"), col("line_no")))
+          .drop("binlog_file_from_path", "file_seq", "line_no")
     }
     val avro = args.avro match {
       case Some(path) =>
         Comparator.prepareAvro(Comparator.flattenResolvedAvro(AvroSource.read(spark, path)))
       case None =>
-        val (clean, _) = Sources.quarantine(Sources.avroJson(spark, args.avroJson.get))
-        Comparator.prepareAvro(Comparator.flattenWrappedAvro(clean))
+        val q = Sources.quarantine(Sources.avroJson(spark, args.avroJson.get))
+        releases += (() => q.unpersist())
+        Comparator.prepareAvro(Comparator.flattenWrappedAvro(q.clean))
     }
-    Comparator.compare(binlog, avro,
+    val compared = Comparator.compare(binlog, avro,
       Comparator.Config(args.toleranceMs, args.strictChangeType))
+    (compared, () => releases.foreach(_.apply()))
   }
 }

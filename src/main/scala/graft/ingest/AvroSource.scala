@@ -26,19 +26,28 @@ import org.apache.spark.sql.types._
 object AvroSource {
 
   /** Read `.avro` container files (a concrete path, directory, or glob) into
-    * a DataFrame. Schema is taken from the first file's header on the driver
-    * (one cheap metadata read), then applied to every record.
+    * a DataFrame. The reader schema is taken from the first file's header on
+    * the driver (one cheap metadata read) and set as
+    * `avro.schema.input.key`, so `AvroKeyInputFormat` performs real Avro
+    * schema resolution per file: a file written with a compatibly-evolved
+    * schema resolves by field name/default, and an incompatible writer
+    * schema (missing field, no default) fails the task loudly instead of
+    * silently null-filling (ADVICE r01).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val avroSchema = readSchema(spark, path)
     val sparkSchema = toStructType(avroSchema)
     val schemaJson = avroSchema.toString // Schema isn't serializable-friendly; ship JSON
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.avro.mapreduce.AvroJob.setInputKeySchema(job, avroSchema)
     val rdd = spark.sparkContext
       .newAPIHadoopFile(
         path,
         classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]],
-        classOf[NullWritable])
+        classOf[NullWritable],
+        job.getConfiguration)
       .mapPartitions { it =>
         val schema = new Schema.Parser().parse(schemaJson)
         val structType = toStructType(schema)

@@ -90,13 +90,21 @@ class ComparatorSpec extends AnyFunSuite with SparkTestSession {
     Files.write(bf.toPath, binlogLines.mkString("\n").getBytes)
     Files.write(af.toPath, avroLines.mkString("\n").getBytes)
 
-    val (binlogClean, binlogBad) = Sources.quarantine(Sources.binlogJson(spark, bf.getPath))
-    val (avroClean, avroBad) = Sources.quarantine(Sources.avroJson(spark, af.getPath))
-    assert(binlogBad.count() == 1)
-    assert(avroBad.count() == 1)
+    val bq = Sources.quarantine(Sources.binlogJson(spark, bf.getPath))
+    val aq = Sources.quarantine(Sources.avroJson(spark, af.getPath))
+    assert(bq.quarantine.count() == 1)
+    assert(aq.quarantine.count() == 1)
 
-    val binlog = Comparator.prepareBinlog(binlogClean, monotonically_increasing_id())
-    val avro = Comparator.prepareAvro(Comparator.flattenWrappedAvro(avroClean))
+    // Ordered-read path must agree with the reader path on the clean rows
+    // and carry an exact within-file order.
+    val ordered = Sources.binlogJsonOrdered(spark, bf.getPath)
+    assert(ordered.filter(col("_corrupt_record").isNotNull).count() == 1)
+    val lineNos = ordered.filter(col("_corrupt_record").isNull)
+      .orderBy("line_no").select("line_no").collect().map(_.getInt(0)).toSeq
+    assert(lineNos == lineNos.sorted && lineNos.distinct.size == lineNos.size)
+
+    val binlog = Comparator.prepareBinlog(bq.clean, monotonically_increasing_id())
+    val avro = Comparator.prepareAvro(Comparator.flattenWrappedAvro(aq.clean))
     Comparator.compare(binlog, avro).cache()
   }
 

@@ -55,6 +55,29 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
     assert(!s.getBoolean(s.fieldIndex("consistent")))
   }
 
+  test("binlog-json path: last-wins dedup follows (file_seq, line_no) order") {
+    val dir = Files.createTempDirectory("cli2").toFile
+    val binlogDir = new java.io.File(dir, "binlog_json"); binlogDir.mkdirs()
+    def ev(table: String) =
+      s"""{"event_type":"WriteRowsEventV2","timestamp":"2024-05-01T12:00:00Z","binlog_file":"mysql-bin.000001","log_position":100,"table":"$table","schema":"shop"}"""
+    // "meta.10" sorts lexicographically BEFORE "meta.2"; natural file_seq
+    // order (ls -v semantics) must win, so the file-10 row is the keeper.
+    Files.write(new java.io.File(binlogDir, "meta.10").toPath,
+      ev("third").getBytes)
+    Files.write(new java.io.File(binlogDir, "meta.2").toPath,
+      (ev("first") + "\n" + ev("second")).getBytes)
+    val avroJson = new java.io.File(dir, "avro_rows.json")
+    Files.write(avroJson.toPath,
+      """{"source_timestamp":1714564800000,"source_metadata":{"database":"shop","table":"orders","binlog_file":{"string":"mysql-bin.000001"},"binlog_position":{"long":100},"primary_keys":["id"]},"payload":{}}""".getBytes)
+
+    val compared = Main.run(spark, Main.Args(
+      binlogJson = Some(binlogDir.getPath), avroJson = Some(avroJson.getPath)))
+    val rows = compared.select("position", "status", "b_table").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 100L)
+    assert(rows.head.getString(2) == "third") // last file's row won the dedup
+  }
+
   test("argument parsing") {
     val a = Main.parseArgs(List("--binlog-json", "/b.json", "--avro", "/a",
       "--tolerance-ms", "250", "--strict-change-type", "--out", "/tmp/x"))

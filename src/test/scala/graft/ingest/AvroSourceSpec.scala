@@ -81,6 +81,45 @@ class AvroSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(0).getTimestamp(rows(0).fieldIndex("commit_ts")).getTime == 1714564800000L)
   }
 
+  private def writeOne(dir: File, name: String, schema: Schema,
+      put: GenericRecord => Unit): Unit = {
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new File(dir, name))
+    val r = new GenericData.Record(schema)
+    put(r)
+    w.append(r)
+    w.close()
+  }
+
+  test("evolved writer schema resolves via reader defaults, not silent nulls") {
+    val dir = Files.createTempDirectory("avroevolve").toFile
+    val full = SchemaBuilder.record("R").fields()
+      .requiredLong("a")
+      .name("b").`type`().stringType().stringDefault("dflt")
+      .endRecord()
+    val old = SchemaBuilder.record("R").fields().requiredLong("a").endRecord()
+    // part1 (lexicographically first) supplies the reader schema
+    writeOne(dir, "part1.avro", full, r => { r.put("a", 1L); r.put("b", "real") })
+    writeOne(dir, "part2.avro", old, r => r.put("a", 2L))
+
+    val rows = AvroSource.read(spark, dir.getPath).orderBy("a").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("real", "dflt"))
+  }
+
+  test("incompatible writer schema fails loudly") {
+    val dir = Files.createTempDirectory("avrobad").toFile
+    val full = SchemaBuilder.record("R").fields()
+      .requiredLong("a").requiredString("b") // no default for b
+      .endRecord()
+    val old = SchemaBuilder.record("R").fields().requiredLong("a").endRecord()
+    writeOne(dir, "part1.avro", full, r => { r.put("a", 1L); r.put("b", "x") })
+    writeOne(dir, "part2.avro", old, r => r.put("a", 2L))
+    val e = intercept[org.apache.spark.SparkException] {
+      AvroSource.read(spark, dir.getPath).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("flattened records flow into the comparator avro contract") {
     val dir = Files.createTempDirectory("avrosrc2").toFile
     writeFixture(dir)
