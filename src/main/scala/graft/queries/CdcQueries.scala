@@ -94,10 +94,21 @@ object CdcQueries {
     (prepared, avro)
   }
 
-  private def compared(spark: SparkSession, dir: String): DataFrame = {
-    val (b, a) = sides(spark, dir)
-    Comparator.compare(b, a)
-  }
+  /** The three report queries are views over ONE comparison run — exactly
+    * the reference's shape (compare_timestamps makes a single pass and
+    * emits every report from it). Within a session the compared frame is
+    * materialized once and shared; per (session, dir) so different scale
+    * factors don't collide. Spill-safe storage level — at 100 TB this
+    * would be a checkpoint/table, same idea. */
+  private val comparedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def compared(spark: SparkSession, dir: String): DataFrame =
+    comparedCache.computeIfAbsent((spark, dir), { _ =>
+      val (b, a) = sides(spark, dir)
+      Comparator.compare(b, a)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Shared oracle CTE: per-event flags replaying the comparator semantics. */
   private val oracleCte: String =

@@ -76,17 +76,13 @@ object DedupQueries {
     * Output: (doc_a, doc_b, na, nb, inter). Shared by d02 and the p01
     * curation pipeline. */
   private[queries] def jaccardPairCounts(docs: DataFrame): DataFrame = {
+    import graft.functions.PostingPairs.postingPairs
     val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
     val posting = ex.groupBy("sh")
-      .agg(expr("array_sort(collect_list(struct(doc_id, n_sh)))").as("ds"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
       .filter(size(col("ds")).between(2, 100))
     posting
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(ds) - 1), i -> " +
-          "transform(slice(ds, i + 1, size(ds) - i), y -> struct(" +
-          "element_at(ds, i).doc_id AS doc_a, element_at(ds, i).n_sh AS na, " +
-          "y.doc_id AS doc_b, y.n_sh AS nb))))")).as("p"))
-      .select("p.*")
+      .select(postingPairs(col("ds")).as(Seq("doc_a", "na", "doc_b", "nb")))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
   }

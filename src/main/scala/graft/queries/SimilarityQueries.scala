@@ -205,11 +205,15 @@ object SimilarityQueries {
   // d05 — embedding-cosine near-dup pairs (brute-force exact baseline;
   // the LSH bucketing above is the scale path for the same predicate).
   def d05EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // the corpus is a single parquet file ⇒ one scan partition; spread the
+    // O(n²/2) pair loop across the cluster (the broadcast side stays whole)
+    val fanout = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val a = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("vec_a"), col("embedding").as("qv"))
+      .repartition(fanout)
     val b = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("vec_b"), col("embedding"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos", cosineSim(col("qv"), col("embedding")))
       .filter(col("cos") >= 0.45)
       .select(col("vec_a"), col("vec_b"),
