@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cdc.{Comparator, Report}
-import graft.ingest.{AvroSource, BinlogTextParser, Sources}
+import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
 
 /** End-to-end CDC comparison driver — the engine's equivalent of the
   * reference's `comparator.sh` + `avro_to_json.sh` + `compare_timestamps`
@@ -13,7 +13,8 @@ import graft.ingest.{AvroSource, BinlogTextParser, Sources}
   *
   * Usage:
   *   graft.cli.Main
-  *     (--binlog-text <dir-of-decoder-text> | --binlog-json <path>)
+  *     (--binlog-text <dir-of-decoder-text> | --binlog-json <path>
+  *      | --binlog-binary <dir-of-raw-binlogs>)
   *     (--avro <dir-of-.avro> | --avro-json <path>)
   *     [--tolerance-ms 100] [--strict-change-type] [--out <dir>]
   *
@@ -27,6 +28,7 @@ object Main {
   case class Args(
       binlogText: Option[String] = None,
       binlogJson: Option[String] = None,
+      binlogBinary: Option[String] = None,
       avro: Option[String] = None,
       avroJson: Option[String] = None,
       toleranceMs: Long = 100L,
@@ -37,6 +39,7 @@ object Main {
     case Nil => acc
     case "--binlog-text" :: v :: rest => parseArgs(rest, acc.copy(binlogText = Some(v)))
     case "--binlog-json" :: v :: rest => parseArgs(rest, acc.copy(binlogJson = Some(v)))
+    case "--binlog-binary" :: v :: rest => parseArgs(rest, acc.copy(binlogBinary = Some(v)))
     case "--avro" :: v :: rest => parseArgs(rest, acc.copy(avro = Some(v)))
     case "--avro-json" :: v :: rest => parseArgs(rest, acc.copy(avroJson = Some(v)))
     case "--tolerance-ms" :: v :: rest => parseArgs(rest, acc.copy(toleranceMs = v.toLong))
@@ -47,8 +50,9 @@ object Main {
 
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv.toList)
-    require(args.binlogText.isDefined || args.binlogJson.isDefined,
-      "need --binlog-text or --binlog-json")
+    require(args.binlogText.isDefined || args.binlogJson.isDefined ||
+      args.binlogBinary.isDefined,
+      "need --binlog-text, --binlog-json or --binlog-binary")
     require(args.avro.isDefined || args.avroJson.isDefined,
       "need --avro or --avro-json")
 
@@ -82,11 +86,15 @@ object Main {
     * must not accumulate quarantine caches). */
   def runWithRelease(spark: SparkSession, args: Args): (DataFrame, () => Unit) = {
     val releases = collection.mutable.ArrayBuffer.empty[() => Unit]
-    val binlog = args.binlogText match {
-      case Some(dir) =>
+    val binlog = (args.binlogText, args.binlogBinary) match {
+      case (Some(dir), _) =>
         val parsed = BinlogTextParser.toComparatorInput(BinlogTextParser.parse(spark, dir))
         Comparator.prepareBinlog(parsed, BinlogTextParser.seqColumn)
-      case None =>
+      case (None, Some(dir)) =>
+        // S1 — raw binary decode, no external parser process
+        val parsed = BinlogBinaryParser.parse(spark, dir).toDF()
+        Comparator.prepareBinlog(parsed, BinlogBinaryParser.seqColumn)
+      case (None, None) =>
         // Order-preserving JSON-lines read: (file_seq, basename, line_no) is
         // the reference's `ls -v` + within-file order, independent of how
         // Spark assigns splits to partitions (SURVEY §7.6).

@@ -81,7 +81,11 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
   test("argument parsing") {
     val a = Main.parseArgs(List("--binlog-json", "/b.json", "--avro", "/a",
       "--tolerance-ms", "250", "--strict-change-type", "--out", "/tmp/x"))
-    assert(a == Main.Args(None, Some("/b.json"), Some("/a"), None, 250L, true, "/tmp/x"))
+    assert(a == Main.Args(
+      binlogJson = Some("/b.json"), avro = Some("/a"),
+      toleranceMs = 250L, strictChangeType = true, out = "/tmp/x"))
+    val b = Main.parseArgs(List("--binlog-binary", "/bins", "--avro-json", "/a.json"))
+    assert(b == Main.Args(binlogBinary = Some("/bins"), avroJson = Some("/a.json")))
     intercept[IllegalArgumentException](Main.parseArgs(List("--nope")))
   }
 }
