@@ -47,16 +47,22 @@ object Comparator {
     *               (file sequence, row index), not `monotonically_increasing_id`
     *               after a repartition.
     */
-  def prepareBinlog(raw: DataFrame, seq: Column): DataFrame = {
-    // Go zero values: a missing field decodes to ""/0, so null folds to the
-    // zero value *before* the filters (reference :137-140 drops those rows).
-    val normalized = raw
-      .withColumn("_seq", seq)
+  /** P3/P4 + Go-zero-value normalization WITHOUT the dedup aggregate — the
+    * streaming-safe prepare (a streaming aggregation cannot precede a
+    * stream-stream join; live CDC feeds carry unique (file, position) keys,
+    * dedup exists for re-read batch files). */
+  def normalizeBinlog(raw: DataFrame): DataFrame =
+    raw
       .withColumn("event_type", coalesce(col("event_type"), lit("")))
       .withColumn("binlog_file", coalesce(col("binlog_file"), lit("")))
       .withColumn("log_position", coalesce(col("log_position"), lit(0L)))
       .filter(isRelevantEventType(col("event_type")))                    // P3
       .filter(col("binlog_file") =!= "" && col("log_position") =!= 0L)  // P4
+
+  def prepareBinlog(raw: DataFrame, seq: Column): DataFrame = {
+    // Go zero values: a missing field decodes to ""/0, so null folds to the
+    // zero value *before* the filters (reference :137-140 drops those rows).
+    val normalized = normalizeBinlog(raw.withColumn("_seq", seq))
 
     // Last-wins dedup (map insert, reference :147). max_by over the seq keeps
     // it a hash aggregate with map-side combine — no window sort, one shuffle
@@ -127,14 +133,11 @@ object Comparator {
   def compare(binlog: DataFrame, avro: DataFrame, cfg: Config = Config()): DataFrame =
     compareJoined(binlog, avro, cfg, "full_outer")
 
-  /** Same comparison columns over a caller-chosen join type. Structured
-    * Streaming uses `left_outer` (stream side = avro): full-outer isn't
-    * streamable, and BINLOG_ONLY inherently needs end-of-stream knowledge
-    * (SURVEY §2.9) — see [[graft.streaming.StreamingComparator]].
-    */
-  private[graft] def compareJoined(
-      binlog: DataFrame, avro: DataFrame, cfg: Config, joinType: String): DataFrame = {
-    val b = binlog.select(
+  /** The canonical renamed binlog-side projection (`b_*` columns) consumed
+    * by [[statusColumns]]. `keep` passes extra columns through unrenamed
+    * (e.g. a streaming event-time/watermark column). */
+  private[graft] def renameBinlogSide(binlog: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    binlog.select(Seq(
       col("binlog_file").as("b_file"),
       col("log_position").as("b_pos"),
       coalesce(col("event_type"), lit("")).as("b_event_type"),
@@ -143,9 +146,11 @@ object Comparator {
       coalesce(col("gtid_next"), lit("")).as("b_gtid_next"),
       coalesce(col("table"), lit("")).as("b_table"),
       coalesce(col("schema"), lit("")).as("b_schema"),
-      lit(true).as("_b_present"))
+      lit(true).as("_b_present")) ++ keep.map(col): _*)
 
-    val a = avro.select(
+  /** The canonical renamed Avro-side projection (`a_*` columns). */
+  private[graft] def renameAvroSide(avro: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    avro.select(Seq(
       col("binlog_file").as("a_file"),
       col("binlog_position").as("a_pos"),
       col("source_timestamp").as("a_source_ts_ms"),
@@ -153,12 +158,28 @@ object Comparator {
       coalesce(col("change_type"), lit("")).as("a_change_type"),
       coalesce(col("database"), lit("")).as("a_database"),
       coalesce(col("table"), lit("")).as("a_table"),
-      lit(true).as("_a_present"))
+      lit(true).as("_a_present")) ++ keep.map(col): _*)
 
+  /** Same comparison columns over a caller-chosen join type. Structured
+    * Streaming uses `left_outer` (stream side = avro): full-outer isn't
+    * streamable, and BINLOG_ONLY inherently needs end-of-stream knowledge
+    * (SURVEY §2.9) — see [[graft.streaming.StreamingComparator]].
+    */
+  private[graft] def compareJoined(
+      binlog: DataFrame, avro: DataFrame, cfg: Config, joinType: String): DataFrame = {
+    val b = renameBinlogSide(binlog)
+    val a = renameAvroSide(avro)
     val joined = a.join(b,
       a("a_file") === b("b_file") && a("a_pos") === b("b_pos"),
       joinType)
+    statusColumns(joined, cfg)
+  }
 
+  /** The comparison flag/status expressions over an already-joined frame
+    * carrying the canonical `b_*` / `a_*` columns — shared by the batch
+    * full-outer plan and the streaming joins (which build their own join
+    * with watermark/time-bound predicates). */
+  private[graft] def statusColumns(joined: DataFrame, cfg: Config): DataFrame = {
     // E8 timestamp coalesce + parse, with the reference's quirks
     // (compare_timestamps.go:197-216):
     //  - prefer immediate_commmit_timestamp (RFC3339Nano) else timestamp

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-import graft.cdc.{Comparator, Schemas}
+import graft.cdc.{Comparator, Normalize, Schemas}
 
 /** Structured Streaming variant of the CDC comparison (SURVEY §2.9).
   *
@@ -56,4 +57,79 @@ object StreamingComparator {
       binlogStatic: DataFrame,
       cfg: Comparator.Config = Comparator.Config()): DataFrame =
     Comparator.compareJoined(binlogStatic, avroStream, cfg, "left_outer")
+
+  /** Stream-STREAM comparison: both the binlog feed and the Avro feed are
+    * live. Spark requires (a) a watermark on both sides and (b) a
+    * time-interval bound in the join condition so each side's join state
+    * can be evicted — the bound here is that a change record and its
+    * binlog event carry commit timestamps within `maxSkew` of each other,
+    * which holds by construction for CDC (both clocks are the source
+    * database's commit time; tolerance-mismatch rows up to `maxSkew` apart
+    * still pair up and are *flagged* by the usual E10 expressions).
+    *
+    * Join state is therefore bounded by `maxSkew + watermarkDelay` of
+    * events per side. Output: left-outer — every Avro record emits MATCH /
+    * MISMATCH_* when its binlog event arrives in-window, or AVRO_ONLY once
+    * the watermark passes with no partner. BINLOG_ONLY still needs
+    * end-of-stream knowledge → [[reconcileBinlogOnly]].
+    *
+    * The avro input must be a *prepared* frame (`Comparator.prepareAvro`);
+    * the binlog input must be `Comparator.normalizeBinlog` output — NOT
+    * `prepareBinlog`, whose last-wins dedup is a streaming aggregation that
+    * cannot precede a stream-stream join. A live feed carries unique
+    * (file, position) keys; if duplicates are possible, bound them upstream
+    * with [[StreamingDedup]] instead.
+    */
+  def compareStreams(
+      avroStream: DataFrame,
+      binlogStream: DataFrame,
+      maxSkew: String = "10 minutes",
+      watermarkDelay: String = "1 minute",
+      cfg: Comparator.Config = Comparator.Config()): DataFrame = {
+    // event times: binlog side from its (already-normalized) RFC3339
+    // strings; avro side from source_timestamp epoch-millis (E9)
+    val bTimed = binlogStream
+      .withColumn("b_event_time", coalesce(
+        Normalize.parseRfc3339(col("immediate_commmit_timestamp")),
+        Normalize.parseRfc3339(col("timestamp")),
+        timestamp_seconds(lit(0))))
+      .withWatermark("b_event_time", watermarkDelay)
+    val aTimed = avroStream
+      .withColumn("a_event_time", timestamp_millis(col("source_timestamp")))
+      .withWatermark("a_event_time", watermarkDelay)
+
+    val b = Comparator.renameBinlogSide(bTimed, keep = Seq("b_event_time"))
+    val a = Comparator.renameAvroSide(aTimed, keep = Seq("a_event_time"))
+    val cond: Column =
+      a("a_file") === b("b_file") && a("a_pos") === b("b_pos") &&
+        b("b_event_time") >= a("a_event_time") - expr(s"INTERVAL $maxSkew") &&
+        b("b_event_time") <= a("a_event_time") + expr(s"INTERVAL $maxSkew")
+    Comparator.statusColumns(a.join(b, cond, "left_outer"), cfg)
+      .drop("a_event_time", "b_event_time")
+  }
+
+  /** End-of-stream BINLOG_ONLY reconciliation (SURVEY §2.9): once the Avro
+    * feed is done, anti-join the binlog snapshot against the keys the
+    * stream actually delivered; DML events with no partner are
+    * BINLOG_ONLY, the rest suppressed — identical semantics to the batch
+    * full-outer's right-anti family (compare_timestamps.go:253-274). Run it
+    * as a plain batch job over the streamed output's sink (or inside a
+    * terminal `foreachBatch`).
+    *
+    * @param binlogStatic  prepared binlog snapshot
+    * @param seenAvroKeys  distinct (binlog_file, binlog_position) pairs the
+    *                      stream delivered (e.g. re-read from the sink)
+    */
+  def reconcileBinlogOnly(binlogStatic: DataFrame, seenAvroKeys: DataFrame): DataFrame = {
+    val unmatched = binlogStatic.join(
+      seenAvroKeys.select(
+        col("binlog_file").as("k_file"), col("binlog_position").as("k_pos")),
+      col("binlog_file") === col("k_file") && col("log_position") === col("k_pos"),
+      "left_anti")
+    unmatched.select(
+      col("binlog_file"), col("log_position").as("position"),
+      col("event_type"),
+      when(Normalize.isDml(col("event_type")), Schemas.Status.BinlogOnly)
+        .otherwise(Schemas.Status.BinlogOnlySuppressed).as("status"))
+  }
 }

@@ -61,4 +61,75 @@ class StreamingComparatorSpec extends AnyFunSuite with SparkTestSession {
       2000L -> Status.MismatchTs,
       3000L -> Status.AvroOnly))
   }
+
+  test("stream-stream join pairs in-window events; AVRO_ONLY after watermark") {
+    val t0 = 1714564800000L
+    val dir = Files.createTempDirectory("cdcss").toFile
+    val bDir = new java.io.File(dir, "binlog"); bDir.mkdirs()
+    val aDir = new java.io.File(dir, "avro"); aDir.mkdirs()
+
+    def put(d: java.io.File, name: String, content: String, mtime: Long): Unit = {
+      val f = new java.io.File(d, name)
+      Files.write(f.toPath, content.getBytes)
+      assert(f.setLastModified(mtime))
+    }
+    val w0 = System.currentTimeMillis() - 60000
+    // batch cadence: binlog event for pos 1000 arrives AFTER its avro record
+    // (but within maxSkew); pos 3000 never gets a binlog partner; a far-
+    // future avro record finally advances both watermarks past everything.
+    put(aDir, "a1.json",
+      Seq(avroLine(1000, t0 + 50), avroLine(3000, t0)).mkString("\n"), w0)
+    put(bDir, "b1.json", binlogLines.head, w0 + 1000) // pos 1000 event
+    val far = t0 + 3600L * 1000 * 24
+    put(aDir, "a2.json", avroLine(999999, far), w0 + 2000)
+    put(bDir, "b2.json",
+      s"""{"event_type":"WriteRowsEventV2","immediate_commmit_timestamp":"2024-05-02T12:00:10Z","log_position":888888,"binlog_file":"mysql-bin.000001"}""",
+      w0 + 3000)
+
+    val binlogStream = Comparator.normalizeBinlog(
+      spark.readStream.schema(Schemas.binlogReadSchema)
+        .option("maxFilesPerTrigger", 1).json(bDir.getPath)
+        .drop("_corrupt_record"))
+    val avroStream = Comparator.prepareAvro(Comparator.flattenWrappedAvro(
+      spark.readStream.schema(Schemas.avroWrappedReadSchema)
+        .option("maxFilesPerTrigger", 1).json(aDir.getPath)
+        .drop("_corrupt_record")))
+
+    val q = StreamingComparator.compareStreams(
+        avroStream, binlogStream, maxSkew = "10 minutes", watermarkDelay = "1 second")
+      .select("position", "status")
+      .writeStream.format("memory").queryName("cdc_ss")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val rows = spark.table("cdc_ss").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.get(1000L).contains(Status.Match))      // paired across batches
+    assert(rows.get(3000L).contains(Status.AvroOnly))   // watermark passed, no partner
+  }
+
+  test("end-of-stream reconciliation reports unmatched DML as BINLOG_ONLY") {
+    val spark2 = spark
+    import spark2.implicits._
+    val binlogStatic = Comparator.prepareBinlog(
+      Seq(
+        ("WriteRowsEventV2", "2024-05-01T12:00:00Z", 1000L, "mysql-bin.000001"),
+        ("DeleteRowsEventV2", "2024-05-01T12:00:01Z", 2000L, "mysql-bin.000001"),
+        ("XID", "2024-05-01T12:00:02Z", 3000L, "mysql-bin.000001")
+      ).toDF("event_type", "immediate_commmit_timestamp", "log_position", "binlog_file")
+        .withColumn("timestamp", lit(""))
+        .withColumn("orignal_commmit_timestamp", lit(""))
+        .withColumn("gtid_next", lit(""))
+        .withColumn("table", lit("t")).withColumn("schema", lit("s"))
+        .withColumn("xid", lit(null).cast("long")),
+      col("log_position"))
+    val seen = Seq(("mysql-bin.000001", 1000L))
+      .toDF("binlog_file", "binlog_position")
+
+    val rec = StreamingComparator.reconcileBinlogOnly(binlogStatic, seen)
+      .collect().map(r => r.getAs[Long]("position") -> r.getAs[String]("status")).toMap
+    assert(rec == Map(
+      2000L -> Status.BinlogOnly,
+      3000L -> Status.BinlogOnlySuppressed))
+  }
 }
