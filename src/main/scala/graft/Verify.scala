@@ -16,6 +16,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any previous run's output FIRST: a failed query must leave
+      // nothing behind, or a stale (passing) result would mask the failure
+      val target = Paths.get(s"$outDir/$name")
+      if (Files.exists(target)) {
+        Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence operators (the surface behind q20/q21): gap-based
+  * sessionization and as-of (last-before) association — both single-shuffle
+  * window plans keyed on the entity.
+  */
+object Sessions {
+
+  /** Gap-based session ids: a new session starts when the gap to the
+    * previous event (per `entityCol`, ordered by `tsCol` then `tieCol`)
+    * exceeds `gapUs` microseconds. Adds `session_id` (1-based per entity).
+    * One shuffle on the entity; the running sum stays in the same window
+    * sort. */
+  def sessionize(df: DataFrame, entityCol: String, tsCol: String,
+      tieCol: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_gap", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .withColumn("_new",
+        when(col("_gap").isNull || col("_gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(wRun))
+      .drop("_gap", "_new")
+  }
+
+  /** As-of association: for every row where `isTarget`, the most recent
+    * preceding row (same entity, by `tsCol`/`tieCol` order) where
+    * `isSource`, as `asof_<c>` columns for each requested source column.
+    * The classic "last click before purchase" — one window shuffle, no
+    * join. */
+  def lastBefore(df: DataFrame, entityCol: String, tsCol: String,
+      tieCol: String, isTarget: Column, isSource: Column,
+      sourceCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val withAsof = sourceCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"asof_$c",
+        last(when(isSource, col(c)), ignoreNulls = true).over(w))
+    }
+    withAsof.filter(isTarget)
+  }
+
+  /** Salted two-phase aggregation for skewed keys: partial aggregate on
+    * (key, salt) — `saltBuckets`-way fan-out of each hot key — then final
+    * aggregate on the key. `partials` maps each value column to a pair of
+    * (partial agg, final agg over the partial). */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      saltBuckets: Int, saltSource: Column): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(saltSource, lit(saltBuckets)))
+    salted
+      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .agg(sum(col(valueCol)).as("_partial"), count(lit(1)).as("_n"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"),
+        sum(col("_n")).as("n_rows"))
+  }
+}

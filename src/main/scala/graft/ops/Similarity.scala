@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosineSim
+
+/** Reusable similarity-search operators (the surface behind s01–s03):
+  * brute-force cosine top-k, random-hyperplane LSH bucketing, and an
+  * IVF-style coarse quantizer search. Column-name-parameterized DataFrame
+  * transforms; the cosine kernel is the codegen'd [[CosineSimilarity]].
+  *
+  * Scale design: queries broadcast against one corpus scan (brute force),
+  * or both sides shuffle on the bucket/cluster key (LSH/IVF) so each task
+  * only scores its bucket — the standard ANN layouts.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query by cosine. `corpus` (idCol, embCol);
+    * `queries` (queryIdCol, queryEmbCol) — broadcast. Ties broken by
+    * neighbor id. Output: (query_id, rank, neighbor_id, cos). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      queryIdCol: String = "query_id", queryEmbCol: String = "qv"): DataFrame = {
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col(idCol))
+    corpus.join(broadcast(queries), col(idCol) =!= col(queryIdCol))
+      .withColumn("cos", cosineSim(col(queryEmbCol), col(embCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket id (one bit per plane) for an
+    * `array<float>` embedding column. `planes` is a small driver-side
+    * matrix (nPlanes × dim) — the same planes must be used for corpus and
+    * queries. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val planesCol = typedlit(planes)
+    val dim = planes.head.size
+    val nb = planes.size
+    def at(arr: Column, idx: Column): Column = call_function("element_at", arr, idx)
+    aggregate(
+      sequence(lit(0), lit(nb - 1)), lit(0L),
+      (acc, j) => {
+        val dot = aggregate(
+          sequence(lit(1), lit(dim)), lit(0.0).cast("double"),
+          (s, i) => s + at(emb, i).cast("double") * at(at(planesCol, j + 1), i))
+        acc + when(dot > 0.0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
+      })
+  }
+
+  /** Top-k within the query's LSH bucket: both sides carry a `bucket`
+    * column ([[lshBucket]]); candidates never leave their bucket (the
+    * shuffle key). Output: (query_id, bucket, rank, neighbor_id, cos). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      queryIdCol: String = "query_id", queryEmbCol: String = "qv"): DataFrame = {
+    val w = Window.partitionBy(queryIdCol).orderBy(col("cos").desc, col(idCol))
+    corpus.join(queries.withColumnRenamed("bucket", "qbucket"),
+        col("bucket") === col("qbucket") && col(idCol) =!= col(queryIdCol))
+      .withColumn("cos", cosineSim(col(queryEmbCol), col(embCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("qbucket").as("bucket"), col("rank"),
+        col(idCol).as("neighbor_id"), col("cos"))
+  }
+
+  /** Assign each row to its nearest centroid by cosine (IVF coarse
+    * quantization). `centroids` (labelCol, centroidCol) broadcasts — a
+    * per-row argmax over the broadcast, no shuffle beyond the ranking
+    * window on `idCols` (the row key). Ties broken by label. Output: the
+    * original columns plus `cluster`. */
+  def assignToCentroids(df: DataFrame, centroids: DataFrame, idCols: Seq[String],
+      embCol: String = "embedding", labelCol: String = "clabel",
+      centroidCol: String = "cf"): DataFrame = {
+    val keep = df.columns
+    val w = Window.partitionBy(idCols.map(col): _*)
+      .orderBy(col("_ccos").desc, col(labelCol))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("_ccos", cosineSim(col(embCol), col(centroidCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(keep.map(col) :+ col(labelCol).as("cluster"): _*)
+  }
+}

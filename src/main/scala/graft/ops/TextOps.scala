@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable text-analysis operators (the surface behind t01–t06): token
+  * stats, marker-based language ID, quality gating, fingerprints, BPE-ish
+  * pre-tokenization, and deterministic hash splits. All pure per-row
+  * `Column` expressions — embarrassingly parallel scans at any scale.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish pre-tokenizer pieces: letter runs, digit runs, single
+    * punctuation — the shape byte-pair encoders start from. */
+  def regexPieces(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Marker hit count: how many tokens are in `words`. */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** Marker-token language ID over a token array: the language whose
+    * marker set hits most (first in `markers` wins ties, "und" when none
+    * hit). `markers` is (langCode → marker words), checked in order. */
+  def langId(toks: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val hitCols = markers.map { case (lang, words) => lang -> markerHits(toks, words) }
+    hitCols.zipWithIndex.foldRight(lit("und")) { case (((lang, h), i), els) =>
+      val laterMax = hitCols.drop(i + 1).map(_._2)
+      val ge = laterMax.foldLeft(h > 0)((acc, other) => acc && h >= other)
+      when(ge, lang).otherwise(els)
+    }
+  }
+
+  /** Quality bucket from token stats: TOO_SHORT / STOPWORD_HEAVY /
+    * SHORT_TOKENS / OK — the standard pretraining quality gate. */
+  def qualityBucket(nTokens: Column, stopRatio: Column, meanTokLen: Column,
+      minTokens: Int = 25, maxStopRatio: Double = 0.125,
+      minMeanTokLen: Double = 3.5): Column =
+    when(nTokens < minTokens, "TOO_SHORT")
+      .when(stopRatio > maxStopRatio, "STOPWORD_HEAVY")
+      .when(meanTokLen < minMeanTokLen, "SHORT_TOKENS")
+      .otherwise("OK")
+
+  /** Modular rolling hash over per-token codes (length·131 ⊕ first char):
+    * the cheap content fingerprint; fold stays < 2^51 so BIGINT semantics
+    * agree across engines. */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, x =>
+        (length(x) * 131 + ascii(substring(x, 1, 1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 1000003L + c) % 2147483647L)
+
+  /** Deterministic train/valid/test assignment from a stable id: md5
+    * bucket in [0, 100), stable under repartitioning/re-runs (unlike
+    * TABLESAMPLE/rand(seed), which are partitioning-dependent).
+    * `trainPct`/`validPct` in percent; the rest is "test". */
+  def hashSplit(id: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
+    val bucket =
+      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + validPct, "valid")
+      .otherwise("test")
+  }
+}

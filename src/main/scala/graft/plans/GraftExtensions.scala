@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, ShingleHash60, SimHash32, WordShingles}
+import graft.functions.{CosineSimilarity, MinHashSignature, PostingPairs, ShingleHash60, SimHash32, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql(...)` users get them too.
@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingle_hash60"),
       info("shingle_hash60", "shingle_hash60(tokens) - distinct 60-bit hashed 3-gram shingles"),
       (children: Seq[Expression]) => ShingleHash60(children.head)))
+    ext.injectFunction((FunctionIdentifier("posting_pairs"),
+      info("posting_pairs", "posting_pairs(ds) - generator: candidate pairs of a posting list"),
+      (children: Seq[Expression]) => PostingPairs(children.head)))
   }
 }

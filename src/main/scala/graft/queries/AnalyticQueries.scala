@@ -206,20 +206,15 @@ object AnalyticQueries {
 
   // q20 — sessionization: 30-min-gap session boundaries via lag + running
   // sum, then per-user session stats.
-  def q20Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(tsUs.as("t"), col("event_id"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .withColumn("gap_us", tsUs - lag(tsUs, 1).over(w))
-      .withColumn("is_new",
-        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("is_new")).over(wRun))
+  def q20Sessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessions.sessionize(
+        Tables.events(spark, dir).withColumn("t_us", tsUs),
+        "user_id", "t_us", "event_id", 1800L * 1000000L)
       .groupBy("user_id")
       .agg(max(col("session_id")).as("n_sessions"),
         count(lit(1)).as("n_events"),
         (count(lit(1)).cast("double") / max(col("session_id"))).as("events_per_session"))
       .orderBy("user_id")
-  }
 
   val q20Oracle: String =
     """SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
@@ -242,16 +237,15 @@ object AnalyticQueries {
   // click by the same user (SURVEY §2.11's as-of decision, expressed as
   // last-ignore-nulls over an explicit ROWS frame — no sort-merge as-of
   // operator needed; one window over the user partition).
-  def q21LastClickBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(tsUs.as("t"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(spark, dir)
-      .withColumn("last_click_id",
-        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
-      .select("user_id", "event_id", "last_click_id")
+  def q21LastClickBeforePurchase(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessions.lastBefore(
+        Tables.events(spark, dir).withColumn("t_us", tsUs),
+        "user_id", "t_us", "event_id",
+        isTarget = col("event_type") === "purchase",
+        isSource = col("event_type") === "click",
+        sourceCols = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("asof_event_id").as("last_click_id"))
       .orderBy("user_id", "event_id")
-  }
 
   val q21Oracle: String =
     """SELECT user_id, event_id, last_click_id FROM (

@@ -31,15 +31,11 @@ object DedupQueries {
 
   /** doc_id, toks, distinct 60-bit-hashed 3-gram shingles + count (fused
     * ShingleHash60 expression — shuffles downstream carry 8-byte longs, not
-    * shingle strings). */
-  private def withShingles(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextHashFunctions.shingleHash60
-    Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", shingleHash60(col("toks")))
-      .withColumn("n_sh", size(col("shingles")))
-  }
+    * shingle strings). Thin wrapper over the library op [[graft.ops.Dedup]]. */
+  private def withShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.withShingles(
+      Tables.documents(spark, dir).withColumn("toks", split(col("text"), " ")),
+      "toks")
 
   private val shingleCte: String =
     """WITH d AS (
@@ -56,9 +52,7 @@ object DedupQueries {
 
   // d01 — exact dedup: content-hash groups with canonical keeper.
   def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+    graft.ops.Dedup.exactGroups(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy("content_hash")
 
   val d01Oracle: String =
@@ -75,24 +69,12 @@ object DedupQueries {
     * would otherwise expand k²/2 pairs; the oracles mirror the bound).
     * Output: (doc_a, doc_b, na, nb, inter). Shared by d02 and the p01
     * curation pipeline. */
-  private[queries] def jaccardPairCounts(docs: DataFrame): DataFrame = {
-    import graft.functions.PostingPairs.postingPairs
-    val ex = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val posting = ex.groupBy("sh")
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
-      .filter(size(col("ds")).between(2, 100))
-    posting
-      .select(postingPairs(col("ds")).as(Seq("doc_a", "na", "doc_b", "nb")))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
-  }
+  private[queries] def jaccardPairCounts(docs: DataFrame): DataFrame =
+    graft.ops.Dedup.jaccardPairCounts(docs, "doc_id")
 
   // d02 — n-gram Jaccard near-dup pairs via the shingle inverted index.
   def d02NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairCounts(withShingles(spark, dir))
-      .withColumn("un", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("un"))
-      .filter(col("jaccard") >= 0.5)
+    graft.ops.Dedup.jaccardPairs(withShingles(spark, dir), "doc_id", 0.5)
       .select("doc_a", "doc_b", "inter", "un", "jaccard")
       .orderBy("doc_a", "doc_b")
 
@@ -119,31 +101,9 @@ object DedupQueries {
   // Catalyst expression (MinHashSignature); the band join carries ids only
   // (distinct on two ints, not on shingle arrays), with shingle sets joined
   // back just for the few surviving candidates.
-  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextHashFunctions.minHashSig
-    val docs = withShingles(spark, dir)
-      .withColumn("sig", minHashSig(col("shingles")))
-      .select(col("doc_id"), col("shingles"), col("n_sh"), col("sig"))
-    val banded = docs.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 3), b -> concat_ws('-', b, element_at(sig, 4*b + 1), " +
-          "element_at(sig, 4*b + 2), element_at(sig, 4*b + 3), element_at(sig, 4*b + 4)))"))
-      .as("band"))
-    val cand = banded.select(col("doc_id").as("doc_a"), col("band"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-        col("n_sh").as("na")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-        col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "inter", "jaccard")
+  def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minHashLshPairs(withShingles(spark, dir), "doc_id", 0.5)
       .orderBy("doc_a", "doc_b")
-  }
 
   val d03Oracle: String =
     shingleCte +
@@ -173,14 +133,12 @@ object DedupQueries {
   // d04 — SimHash: 32-bit per-document signature from token-frequency bit
   // votes (pure per-row compute, one fused Catalyst expression; near-dup =
   // small Hamming distance).
-  def d04Simhash(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextHashFunctions.simHash32
+  def d04Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("simhash", simHash32(col("toks")))
+      .withColumn("simhash", graft.ops.Dedup.simHashSignature(col("toks")))
       .select("doc_id", "simhash")
       .orderBy("doc_id")
-  }
 
   val d04Oracle: String =
     """SELECT doc_id,

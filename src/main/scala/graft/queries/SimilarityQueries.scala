@@ -75,12 +75,8 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    graft.ops.Similarity.cosineTopK(emb, q, 10)
+      .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 
@@ -102,17 +98,12 @@ object SimilarityQueries {
   // bucket (the shuffle key), ranked by exact cosine within the bucket.
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", expr(bucketSparkExpr))
+      .withColumn("bucket",
+        graft.ops.Similarity.lshBucket(col("embedding"), planes.map(_.map(_.toDouble))))
     val q = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("bucket").as("qbucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    emb.join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("qbucket").as("bucket"), col("rank"),
-        col("vec_id").as("neighbor_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    graft.ops.Similarity.lshTopK(emb, q, 5)
+      .select("query_id", "bucket", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 
@@ -148,17 +139,13 @@ object SimilarityQueries {
         "transform(sequence(1, 64), d -> CAST(aggregate(vs, CAST(0.0 AS DOUBLE), " +
           "(s, v) -> s + CAST(element_at(v.embedding, d) AS DOUBLE)) / size(vs) AS FLOAT))")
         .as("cf"))
-    val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("clabel"))
-    val assigned = emb.crossJoin(broadcast(cent))
-      .withColumn("ccos", cosineSim(col("embedding"), col("cf")))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("clabel"))
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
     val q = assigned.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("clabel").as("qc"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cluster").as("qc"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(q),
-        col("clabel") === col("qc") && col("vec_id") =!= col("query_id"))
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosineSim(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -205,18 +192,10 @@ object SimilarityQueries {
   // d05 — embedding-cosine near-dup pairs (brute-force exact baseline;
   // the LSH bucketing above is the scale path for the same predicate).
   def d05EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // the corpus is a single parquet file ⇒ one scan partition; spread the
-    // O(n²/2) pair loop across the cluster (the broadcast side stays whole)
     val fanout = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val a = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("vec_a"), col("embedding").as("qv"))
-      .repartition(fanout)
-    val b = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("vec_b"), col("embedding"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
-      .filter(col("cos") >= 0.45)
-      .select(col("vec_a"), col("vec_b"),
+    graft.ops.Dedup.embeddingNearDups(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45, fanout)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
         floor(col("cos") * 1000000).cast("long").as("cos_micros"))
       .orderBy("vec_a", "vec_b")
   }

@@ -43,20 +43,14 @@ object TextQueries {
   // t02 — marker-token language-ID heuristic with fixed precedence, compared
   // against the labelled `lang` column.
   def t02LangId(spark: SparkSession, dir: String): DataFrame = {
-    def hits(words: String*) = {
-      val set = words.map(w => s"'$w'").mkString(", ")
-      expr(s"size(filter(toks, x -> x IN ($set)))")
-    }
+    import graft.ops.TextOps
+    val markers = Seq(
+      "en" -> Seq("the", "a"),
+      "fr" -> Seq("le", "la", "les"),
+      "de" -> Seq("der", "das", "und"))
     withTokens(spark, dir)
-      .withColumn("en_hits", hits("the", "a"))
-      .withColumn("fr_hits", hits("le", "la", "les"))
-      .withColumn("de_hits", hits("der", "das", "und"))
-      .withColumn("lang_pred",
-        when(col("en_hits") > 0 &&
-             col("en_hits") >= col("fr_hits") && col("en_hits") >= col("de_hits"), "en")
-          .when(col("fr_hits") > 0 && col("fr_hits") >= col("de_hits"), "fr")
-          .when(col("de_hits") > 0, "de")
-          .otherwise("und"))
+      .withColumn("en_hits", TextOps.markerHits(col("toks"), markers.head._2))
+      .withColumn("lang_pred", TextOps.langId(col("toks"), markers))
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n_docs"), sum(col("en_hits").cast("long")).as("total_en_hits"))
       .orderBy("lang", "lang_pred")
@@ -86,15 +80,12 @@ object TextQueries {
   def t03QualityScore(spark: SparkSession, dir: String): DataFrame =
     withTokens(spark, dir)
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop", expr("size(filter(toks, x -> x IN ('the','a')))"))
+      .withColumn("n_stop", graft.ops.TextOps.markerHits(col("toks"), Seq("the", "a")))
       .withColumn("tok_chars", expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("mean_tok_len", col("tok_chars").cast("double") / col("n_tokens"))
-      .withColumn("quality",
-        when(col("n_tokens") < 25, "TOO_SHORT")
-          .when(col("stop_ratio") > 0.125, "STOPWORD_HEAVY")
-          .when(col("mean_tok_len") < 3.5, "SHORT_TOKENS")
-          .otherwise("OK"))
+      .withColumn("quality", graft.ops.TextOps.qualityBucket(
+        col("n_tokens"), col("stop_ratio"), col("mean_tok_len")))
       .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "mean_tok_len", "quality")
       .orderBy("doc_id")
 
@@ -120,9 +111,7 @@ object TextQueries {
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
     withTokens(spark, dir)
       .withColumn("fp_md5", substring(md5(col("text")), 1, 16))
-      .withColumn("rolling",
-        expr("aggregate(transform(toks, x -> CAST(length(x)*131 + ascii(substr(x, 1, 1)) AS BIGINT)), " +
-          "0L, (acc, c) -> (acc * 1000003 + c) % 2147483647)"))
+      .withColumn("rolling", graft.ops.TextOps.rollingFingerprint(col("toks")))
       .select("doc_id", "fp_md5", "rolling")
       .orderBy("doc_id")
 
@@ -161,12 +150,7 @@ object TextQueries {
   // TABLESAMPLE/rand(seed), whose results are partitioning-dependent.
   def t06HashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket", expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "valid")
-          .otherwise("test"))
+      .withColumn("split", graft.ops.TextOps.hashSplit(col("doc_id")))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
