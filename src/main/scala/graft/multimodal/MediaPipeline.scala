@@ -68,6 +68,23 @@ object MediaPipeline {
       it.grouped(batchSize).flatMap(MediaDecoder.decodeBatch)
     }
   }
+
+  /** One sampled frame of a media object. */
+  case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling as a typed flatMap: `n` frames per object via the
+    * decoder boundary (STUB slices standing in for keyframe seeks) — the
+    * row-multiplying stage of a video pipeline, still embarrassingly
+    * parallel per input row. */
+  def sampleFrames(ds: Dataset[MediaRecord], n: Int): Dataset[MediaFrame] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      MediaDecoder.sampleFrames(r.bytes, n).zipWithIndex.map {
+        case (f, i) => MediaFrame(r.media_id, i, f)
+      }
+    }
+  }
 }
 
 /** The per-batch decoder boundary. Everything in here is a STUB standing in

@@ -37,11 +37,45 @@ object MultimodalQueries {
       |  CAST(('0x' || substr(md5(text), 1, 2)) AS INT)/256.0 AS f0
       |FROM documents ORDER BY 1""".stripMargin
 
+  // m02 — frame sampling: n=4 deterministic frames per media object via the
+  // typed flatMap boundary, per-frame length + hash. The stub's slice
+  // arithmetic (start_i = (i·len/4) mod len, 16-byte frames) is replayed
+  // by the oracle over the same ASCII payloads.
+  def m02FrameSamples(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"),
+      lit("video").as("kind"), lit("video/fake").as("mime"))
+    val media = MediaPipeline.fromBinary(
+      docs.withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "kind", "mime")
+    MediaPipeline.sampleFrames(media, n = 4)
+      .toDF()
+      .select(
+        col("media_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        expr("CAST(conv(substr(md5(frame), 1, 8), 16, 10) AS BIGINT)").as("frame_hash"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val m02Oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, i AS frame_idx,
+      |    substr(text, ((i*strlen(text))//4 % strlen(text)) + 1,
+      |           LEAST(16, strlen(text) - ((i*strlen(text))//4 % strlen(text)))) AS frame
+      |  FROM documents, generate_series(0, 3) t(i)
+      |)
+      |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+      |  CAST(strlen(frame) AS INT) AS frame_len,
+      |  CAST(('0x' || substr(md5(frame), 1, 8)) AS BIGINT) AS frame_hash
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
+    "m02_frame_samples" -> (m02FrameSamples _),
   )
 
   val oracles: Map[String, String] = Map(
     "m01_media_features" -> m01Oracle,
+    "m02_frame_samples" -> m02Oracle,
   )
 }

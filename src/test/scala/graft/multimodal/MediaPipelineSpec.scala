@@ -44,4 +44,16 @@ class MediaPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(frames.length == 3)
     assert(frames.forall(_.length <= 16))
   }
+
+  test("typed frame sampling emits n indexed frames per object") {
+    val ds = fromBinary(mediaDf(5), "id", "payload", "kind", "mime")
+    val frames = sampleFrames(ds, n = 4).collect()
+    assert(frames.length == 20)
+    assert(frames.map(f => (f.media_id, f.frame_idx)).toSet.size == 20)
+    assert(frames.forall(_.frame_idx < 4))
+    // deterministic: matches the decoder stub applied directly
+    val direct = MediaDecoder.sampleFrames("payload-0".getBytes("UTF-8"), 4)
+    val got = frames.filter(_.media_id == 0L).sortBy(_.frame_idx).map(_.frame.toSeq)
+    assert(got.toSeq == direct.map(_.toSeq))
+  }
 }
