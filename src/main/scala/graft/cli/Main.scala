@@ -19,9 +19,10 @@ import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
   *     [--tolerance-ms 100] [--strict-change-type] [--out <dir>]
   *
   * Outputs under --out (default /tmp/graft_out): `detail/` (every
-  * non-match row), `breakdown/` (per schema/table/status counts), and a
-  * one-row `summary/` with the reference's five counters + verdict;
-  * summary also prints to stdout.
+  * non-match row), `breakdown/` (per schema/table/status counts), a
+  * one-row `summary/` with the reference's five counters + verdict, and
+  * `quarantine/<side>/` with each source's rejected rows (K3); summary
+  * also prints to stdout.
   */
 object Main {
 
@@ -63,7 +64,8 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (compared, release) = runWithRelease(spark, args)
+    val prepared = prepare(spark, args)
+    val compared = prepared.compared
     compared.cache()
     // detail partitioned by status: per-status directories prune cleanly
     // when a consumer reads only one discrepancy family at scale
@@ -72,20 +74,37 @@ object Main {
     Report.breakdown(compared).write.mode("overwrite").json(s"${args.out}/breakdown")
     val summary = Report.summary(compared)
     summary.write.mode("overwrite").json(s"${args.out}/summary")
+    // K3 — rejected source rows to a quarantine path (the reference's
+    // debug_log stderr redirect, comparator.sh:32,95)
+    prepared.quarantines.foreach { case (side, bad) =>
+      bad.write.mode("overwrite").json(s"${args.out}/quarantine/$side")
+    }
     summary.show(truncate = false)
-    release()
+    prepared.release()
     spark.stop()
   }
+
+  /** One prepared comparison: the compared frame, the per-source rejected
+    * rows (K3 quarantine side outputs), and a release handle that
+    * unpersists any source caches once the outputs are materialized
+    * (ADVICE: long-lived sessions must not accumulate quarantine caches). */
+  final case class Prepared(
+      compared: DataFrame,
+      quarantines: Map[String, DataFrame],
+      release: () => Unit)
 
   /** The comparison plan for the given sources (separated for testing). */
   def run(spark: SparkSession, args: Args): DataFrame =
     runWithRelease(spark, args)._1
 
-  /** The comparison plan plus a release handle that unpersists any source
-    * caches once the outputs are materialized (ADVICE: long-lived sessions
-    * must not accumulate quarantine caches). */
   def runWithRelease(spark: SparkSession, args: Args): (DataFrame, () => Unit) = {
+    val p = prepare(spark, args)
+    (p.compared, p.release)
+  }
+
+  def prepare(spark: SparkSession, args: Args): Prepared = {
     val releases = collection.mutable.ArrayBuffer.empty[() => Unit]
+    val quarantines = collection.mutable.Map.empty[String, DataFrame]
     val binlog = (args.binlogText, args.binlogBinary) match {
       case (Some(dir), _) =>
         val parsed = BinlogTextParser.toComparatorInput(BinlogTextParser.parse(spark, dir))
@@ -99,8 +118,12 @@ object Main {
         // the reference's `ls -v` + within-file order, independent of how
         // Spark assigns splits to partitions (SURVEY §7.6).
         val ordered = Sources.binlogJsonOrdered(spark, args.binlogJson.get)
+        quarantines("binlog") = ordered.filter(col("_corrupt_record").isNotNull)
+          .select(col("_corrupt_record").as("raw_line"),
+            col("binlog_file_from_path"), col("line_no"))
+        val clean = ordered
           .filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-        Comparator.prepareBinlog(ordered,
+        Comparator.prepareBinlog(clean,
             struct(coalesce(col("file_seq"), lit(0L)),
               col("binlog_file_from_path"), col("line_no")))
           .drop("binlog_file_from_path", "file_seq", "line_no")
@@ -111,10 +134,11 @@ object Main {
       case None =>
         val q = Sources.quarantine(Sources.avroJson(spark, args.avroJson.get))
         releases += (() => q.unpersist())
+        quarantines("avro") = q.quarantine
         Comparator.prepareAvro(Comparator.flattenWrappedAvro(q.clean))
     }
     val compared = Comparator.compare(binlog, avro,
       Comparator.Config(args.toleranceMs, args.strictChangeType))
-    (compared, () => releases.foreach(_.apply()))
+    Prepared(compared, quarantines.toMap, () => releases.foreach(_.apply()))
   }
 }

@@ -70,12 +70,16 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
     Files.write(avroJson.toPath,
       """{"source_timestamp":1714564800000,"source_metadata":{"database":"shop","table":"orders","binlog_file":{"string":"mysql-bin.000001"},"binlog_position":{"long":100},"primary_keys":["id"]},"payload":{}}""".getBytes)
 
-    val compared = Main.run(spark, Main.Args(
+    val prepared = Main.prepare(spark, Main.Args(
       binlogJson = Some(binlogDir.getPath), avroJson = Some(avroJson.getPath)))
-    val rows = compared.select("position", "status", "b_table").collect()
+    val rows = prepared.compared.select("position", "status", "b_table").collect()
     assert(rows.length == 1)
     assert(rows.head.getLong(0) == 100L)
     assert(rows.head.getString(2) == "third") // last file's row won the dedup
+    // K3 quarantine side outputs exist for both JSON sources (empty here)
+    assert(prepared.quarantines.keySet == Set("binlog", "avro"))
+    assert(prepared.quarantines("binlog").count() == 0)
+    prepared.release()
   }
 
   test("argument parsing") {

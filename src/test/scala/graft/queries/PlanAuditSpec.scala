@@ -50,6 +50,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("d05 embedding pair join: broadcast nested loop with fanned-out stream side") {
+    // the O(n²/2) pair join SHOULD be a BroadcastNestedLoopJoin (non-equi
+    // condition) — what must not happen is a single-partition stream side
+    val df = SimilarityQueries.d05EmbedNearDup(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Exchange RoundRobinPartitioning") || p.contains("REPARTITION"),
+      "stream side not fanned out across partitions")
+  }
+
+  test("s01/s02: query sets broadcast; corpus scanned once per query") {
+    val p1 = plan(SimilarityQueries.s01AnnBruteForce(spark, dir))
+    assert(p1.contains("BroadcastExchange"))
+    val p2 = plan(SimilarityQueries.s02AnnLsh(spark, dir))
+    assert(p2.contains("HashJoin") || p2.contains("SortMergeJoin"))
+  }
+
+  test("m02 frame sampling stays a narrow plan (no shuffle before the sink)") {
+    val p = plan(MultimodalQueries.m02FrameSamples(spark, dir))
+    // only the final presentation orderBy may exchange (range partitioning)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected non-sort exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("cdc comparison: one aggregate-side shuffle is reused by the join") {
     val p = plan(CdcQueries.cdc01StatusCounts(spark, dir))
     // the binlog dedup aggregate partitions by the join key, so the join
