@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ingest.{BinlogBinaryParser, ParsedBinlogEvent}
+
+/** DataSourceV2 connector for raw MySQL binlog binary files — the custom
+  * file-format route SURVEY §7.6 reserves for this source:
+  *
+  *   spark.read.format("binlog").load("/path/to/binlogs")
+  *
+  * (registered via DataSourceRegister; the full class name works too).
+  *
+  * Layout: one `InputPartition` per file (the decode is stateful within a
+  * file — TABLE_MAP/GTID association — so the file is the parallelism
+  * unit, exactly like [[BinlogBinaryParser.parse]]'s RDD route; binlog
+  * files are bounded by max_binlog_size, so at 100 TB the fan-out is the
+  * file count). Column pruning is pushed into the reader: unprojected
+  * columns are never materialized into rows.
+  */
+class BinlogDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "binlog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BinlogDataSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BinlogTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object BinlogDataSource {
+  /** The event schema — ParsedBinlogEvent flattened, `extra` as a map. */
+  val schema: StructType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("timestamp", StringType),
+    StructField("immediate_commmit_timestamp", StringType),
+    StructField("orignal_commmit_timestamp", StringType),
+    StructField("log_position", LongType),
+    StructField("table", StringType),
+    StructField("schema", StringType),
+    StructField("query", StringType),
+    StructField("gtid_next", StringType),
+    StructField("xid", LongType),
+    StructField("binlog_file", StringType),
+    StructField("file_seq", LongType),
+    StructField("event_index", LongType),
+    StructField("extra", MapType(StringType, StringType))
+  ))
+}
+
+private class BinlogTable(path: String) extends Table with SupportsRead {
+  require(path != null, "binlog source requires a path (use .load(path))")
+
+  override def name(): String = s"binlog($path)"
+  override def schema(): StructType = BinlogDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BinlogScanBuilder(path)
+}
+
+private class BinlogScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = BinlogDataSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new BinlogScan(path, required)
+}
+
+private class BinlogScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val hadoopPath = new Path(path)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = hadoopPath.getFileSystem(conf)
+    val files: Array[Path] =
+      if (fs.isFile(hadoopPath)) Array(hadoopPath)
+      else Option(fs.globStatus(hadoopPath)) match {
+        case Some(matches) if matches.nonEmpty =>
+          matches.flatMap { st =>
+            if (st.isFile) Array(st.getPath)
+            else fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath)
+          }
+        case _ => fs.listStatus(hadoopPath).filter(_.isFile).map(_.getPath)
+      }
+    files.sortBy(_.getName).map(p => BinlogInputPartition(p.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinlogReaderFactory(required)
+}
+
+private case class BinlogInputPartition(file: String) extends InputPartition
+
+private class BinlogReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BinlogPartitionReader(
+      partition.asInstanceOf[BinlogInputPartition].file, required)
+}
+
+/** Decodes one whole file on first `next()` and streams its events,
+  * projecting only the required columns. */
+private class BinlogPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private lazy val events: Iterator[ParsedBinlogEvent] = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+    BinlogBinaryParser.decodeFile(bytes, p.getName)
+  }
+
+  private var current: ParsedBinlogEvent = _
+
+  override def next(): Boolean =
+    if (events.hasNext) { current = events.next(); true } else false
+
+  override def get(): InternalRow = {
+    val values = required.fields.map { f =>
+      f.name match {
+        case "event_type" => UTF8String.fromString(current.event_type)
+        case "timestamp" => UTF8String.fromString(current.timestamp)
+        case "immediate_commmit_timestamp" =>
+          UTF8String.fromString(current.immediate_commmit_timestamp)
+        case "orignal_commmit_timestamp" =>
+          UTF8String.fromString(current.orignal_commmit_timestamp)
+        case "log_position" => current.log_position.map(Long.box).orNull
+        case "table" => UTF8String.fromString(current.table)
+        case "schema" => UTF8String.fromString(current.schema)
+        case "query" => UTF8String.fromString(current.query)
+        case "gtid_next" => UTF8String.fromString(current.gtid_next)
+        case "xid" => current.xid.map(Long.box).orNull
+        case "binlog_file" => UTF8String.fromString(current.binlog_file)
+        case "file_seq" => current.file_seq.map(Long.box).orNull
+        case "event_index" => Long.box(current.event_index)
+        case "extra" =>
+          ArrayBasedMapData(
+            current.extra.keys.map(k => UTF8String.fromString(k)).toArray,
+            current.extra.values.map(v => UTF8String.fromString(v)).toArray)
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ingest.BinlogBinaryParser
+
+/** The DataSourceV2 route into raw binlogs: spark.read.format("binlog"). */
+class BinlogDataSourceSpec extends AnyFunSuite with SparkTestSession {
+
+  // minimal two-file fixture (header-only events are enough for the source)
+  private def writeFile(dir: java.io.File, name: String, nEvents: Int,
+      t0: Long): Unit = {
+    val out = new ByteArrayOutputStream()
+    out.write(BinlogBinaryParser.Magic)
+    var logPos = 4L
+    (0 until nEvents).foreach { i =>
+      val body = new Array[Byte](8) // XID body
+      val size = 19 + body.length
+      logPos += size
+      val h = ByteBuffer.allocate(19).order(ByteOrder.LITTLE_ENDIAN)
+      h.putInt((t0 + i).toInt).put(16.toByte).putInt(1).putInt(size)
+        .putInt(logPos.toInt).putShort(0.toShort)
+      out.write(h.array()); out.write(body)
+    }
+    Files.write(new java.io.File(dir, name).toPath, out.toByteArray)
+  }
+
+  test("format(binlog) reads a directory, one partition per file") {
+    val dir = Files.createTempDirectory("dsv2bin").toFile
+    writeFile(dir, "mysql-bin.000001", 3, 1714564800L)
+    writeFile(dir, "mysql-bin.000002", 2, 1714564900L)
+
+    val df = spark.read.format("binlog").load(dir.getPath)
+    assert(df.count() == 5)
+    assert(df.rdd.getNumPartitions == 2)
+    val files = df.select("binlog_file").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(files == Seq("mysql-bin.000001", "mysql-bin.000002"))
+    assert(df.filter(col("event_type") === "XID").count() == 5)
+    assert(df.select("file_seq").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
+  test("column pruning reaches the reader schema") {
+    val dir = Files.createTempDirectory("dsv2bin2").toFile
+    writeFile(dir, "mysql-bin.000001", 2, 1714564800L)
+    val df = spark.read.format("binlog").load(dir.getPath)
+      .select("log_position", "event_type")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("log_position") && scan.contains("event_type"))
+    assert(!scan.contains("immediate_commmit_timestamp"),
+      "pruned column still in the scan schema")
+    val rows = df.collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(0) > 4))
+  }
+
+  test("agrees with the RDD-route parser on the same files") {
+    val dir = Files.createTempDirectory("dsv2bin3").toFile
+    writeFile(dir, "mysql-bin.000009", 4, 1714564800L)
+    val viaDsv2 = spark.read.format("binlog").load(dir.getPath)
+      .select("binlog_file", "log_position", "event_type", "event_index")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val viaRdd = BinlogBinaryParser.parse(spark, dir.getPath)
+      .collect().map(e => (e.binlog_file, e.log_position.get, e.event_type, e.event_index))
+      .toSet
+    assert(viaDsv2 == viaRdd)
+  }
+}
