@@ -74,7 +74,7 @@ private class BinlogTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"binlog($path)"
   override def schema(): StructType = BinlogDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BinlogScanBuilder(path)
@@ -95,7 +95,23 @@ private class BinlogScan(path: String, required: StructType) extends Scan with B
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    BinlogScan.listFiles(path)
+      .map(p => BinlogInputPartition(p): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BinlogReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BinlogMicroBatchStream(path, required)
+}
+
+private object BinlogScan {
+  /** All binlog files under `path`, in natural (`ls -v`) order: numeric
+    * suffix first, then name — the reference's processing order
+    * (comparator.sh:85). */
+  def listFiles(path: String): Array[String] = {
     val hadoopPath = new Path(path)
     val conf = new org.apache.hadoop.conf.Configuration()
     val fs = hadoopPath.getFileSystem(conf)
@@ -109,11 +125,57 @@ private class BinlogScan(path: String, required: StructType) extends Scan with B
           }
         case _ => fs.listStatus(hadoopPath).filter(_.isFile).map(_.getPath)
       }
-    files.sortBy(_.getName).map(p => BinlogInputPartition(p.toString): InputPartition)
+    def seq(name: String): Long =
+      "\\.(\\d+)$".r.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(Long.MaxValue)
+    files.map(_.toString)
+      .sortBy(p => (seq(p.split('/').last), p.split('/').last))
+  }
+}
+
+/** Micro-batch binlog tail: the offset is a position in the naturally-
+  * ordered file list (binlog files are created with strictly increasing
+  * suffixes and never rewritten once rotated). Each trigger consumes the
+  * files that appeared since the last committed offset — whole files
+  * only, so run `FLUSH BINARY LOGS` (reference README.md:68-73) or copy
+  * completed files into the watched directory. State is one integer.
+  */
+private class BinlogMicroBatchStream(path: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FileCountOffset(n: Int) extends Offset {
+    override def json(): String = s"""{"n":$n}"""
+  }
+
+  // snapshot the listing per planning cycle so latestOffset and
+  // planInputPartitions agree within one trigger
+  @volatile private var lastListing: Array[String] = Array.empty
+
+  override def initialOffset(): Offset = FileCountOffset(0)
+
+  override def latestOffset(): Offset = {
+    lastListing = BinlogScan.listFiles(path)
+    FileCountOffset(lastListing.length)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    FileCountOffset("\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"bad binlog offset: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileCountOffset].n
+    val e = end.asInstanceOf[FileCountOffset].n
+    val listing =
+      if (lastListing.length >= e) lastListing else BinlogScan.listFiles(path)
+    listing.slice(s, e).map(p => BinlogInputPartition(p): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BinlogReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class BinlogInputPartition(file: String) extends InputPartition

@@ -60,6 +60,36 @@ class BinlogDataSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.length == 2 && rows.forall(_.getLong(0) > 4))
   }
 
+  test("streaming tail: new files consumed per restart, offsets persisted") {
+    val dir = Files.createTempDirectory("dsv2stream").toFile
+    val in = new java.io.File(dir, "binlogs"); in.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val out = new java.io.File(dir, "out").getPath
+    writeFile(in, "mysql-bin.000001", 2, 1714564800L)
+
+    // file sink (memory sink can't recover from a checkpoint)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("binlog").load(in.getPath)
+        .select("binlog_file", "log_position", "event_type")
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.json(out).count() == 2)
+
+    // a rotated-in second file: only the new file is consumed on restart
+    writeFile(in, "mysql-bin.000002", 3, 1714564900L)
+    runOnce()
+    val rows = spark.read.json(out)
+      .groupBy("binlog_file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("mysql-bin.000001" -> 2L, "mysql-bin.000002" -> 3L))
+  }
+
   test("agrees with the RDD-route parser on the same files") {
     val dir = Files.createTempDirectory("dsv2bin3").toFile
     writeFile(dir, "mysql-bin.000009", 4, 1714564800L)
