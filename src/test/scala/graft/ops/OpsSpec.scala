@@ -84,6 +84,35 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getSeq[String](r.fieldIndex("pieces")).nonEmpty)
   }
 
+  test("Dedup.jaccardPairs equals brute-force cross-join ground truth") {
+    import spark.implicits._
+    // synthetic corpus with controlled overlap: doc i shares a prefix with
+    // doc i+1, so near-dup pairs exist at several Jaccard levels
+    val words = ('a' to 'z').map(_.toString)
+    val docs = (0 until 40).map { i =>
+      val toks = (0 until 12).map(k => words((i / 2 + k) % 26))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text").withColumn("toks", split(col("text"), " "))
+    val sh = Dedup.withShingles(docs, "toks")
+
+    val viaIndex = Dedup.jaccardPairs(sh, "doc_id", 0.3, maxPosting = 1000)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"), col("n_sh").as("na"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"), col("n_sh").as("nb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("inter").toLong)).toSet
+
+    assert(viaIndex == brute)
+    assert(brute.nonEmpty, "fixture produced no near-dup pairs — test is vacuous")
+  }
+
   test("Similarity.cosineTopK ranks the exact neighbor first") {
     import spark.implicits._
     val corpus = Seq(
