@@ -186,17 +186,8 @@ object Comparator {
     //    (RFC3339); a non-empty value that fails to parse is a counted
     //    mismatch and short-circuits the GTID/change-type checks (:206-211);
     //  - *both* empty ⇒ Go zero time (year 1) ⇒ always outside tolerance.
-    val icts = col("b_icts_str")
-    val ts   = col("b_ts_str")
-    val parsedIcts = parseRfc3339(icts)
-    val parsedTs   = parseRfc3339(ts)
-    val parseError =
-      (icts =!= "" && parsedIcts.isNull) ||
-      (icts === "" && ts =!= "" && parsedTs.isNull)
-    val binlogMicros =
-      when(icts =!= "", unix_micros(parsedIcts))
-        .when(ts =!= "", unix_micros(parsedTs))
-        .otherwise(lit(GoZeroTimeMicros))
+    val parseError = binlogTsParseError
+    val binlogMicros = binlogTsMicros
     val avroMicros = col("a_source_ts_ms") * 1000L
 
     val bothPresent = col("_b_present") && col("_a_present")
@@ -234,6 +225,26 @@ object Comparator {
           .when(col("change_type_mismatch"), Status.MismatchChangeType)
           .otherwise(Status.Match))
       .drop("b_file", "b_pos", "a_file", "a_pos")
+  }
+
+  /** E8's parse-error predicate over the canonical `b_icts_str`/`b_ts_str`
+    * columns — also derivable post-hoc from a `compare` output, which
+    * keeps those columns (used by e.g. tolerance sweeps). */
+  def binlogTsParseError: Column = {
+    val icts = col("b_icts_str")
+    val ts   = col("b_ts_str")
+    (icts =!= "" && parseRfc3339(icts).isNull) ||
+      (icts === "" && ts =!= "" && parseRfc3339(ts).isNull)
+  }
+
+  /** E8's coalesced binlog commit time in epoch micros (Go zero time when
+    * both fields are empty) over the canonical `b_*` columns. */
+  def binlogTsMicros: Column = {
+    val icts = col("b_icts_str")
+    val ts   = col("b_ts_str")
+    when(icts =!= "", unix_micros(parseRfc3339(icts)))
+      .when(ts =!= "", unix_micros(parseRfc3339(ts)))
+      .otherwise(lit(GoZeroTimeMicros))
   }
 
   /** Typed projection of a `compare` output (SURVEY §1.4): the API-boundary

@@ -118,4 +118,8 @@ object Normalize {
     * (compare_timestamps.go:214-216). */
   def outsideTolerance(aMicros: Column, bMicros: Column, toleranceMs: Long): Column =
     abs(aMicros - bMicros) > toleranceMs * 1000L
+
+  /** E10 with a column-valued tolerance (e.g. a tolerance sweep). */
+  def outsideTolerance(aMicros: Column, bMicros: Column, toleranceMs: Column): Column =
+    abs(aMicros - bMicros) > toleranceMs * 1000L
 }

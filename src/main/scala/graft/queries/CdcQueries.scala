@@ -204,15 +204,77 @@ object CdcQueries {
     oracleCte +
     "\nSELECT binlog_file, status, COUNT(*) AS count FROM st GROUP BY 1, 2 ORDER BY 1, 2"
 
+  // cdc04 — tolerance sweep (E10's parameterized tolerance): status counts
+  // at several tolerances in ONE pass over the cached comparison — the
+  // compare output keeps the raw b_* timestamp strings, so the sweep
+  // re-derives the band check per tolerance without re-joining.
+  def cdc04ToleranceSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.{Comparator, Normalize, Schemas}
+    val tols = Seq(0L, 50L, 100L, 250L, 1000L)
+    val base = compared(spark, dir)
+    val parseError = Comparator.binlogTsParseError
+    val tsMis = col("_b_present") && col("_a_present") && coalesce(
+      parseError || Normalize.outsideTolerance(
+        col("a_source_ts_ms") * 1000L, Comparator.binlogTsMicros, col("tolerance_ms")),
+      lit(false))
+    base
+      .select(col("*"), explode(typedlit(tols)).as("tolerance_ms"))
+      .withColumn("status_t",
+        when(!col("_b_present"), Schemas.Status.AvroOnly)
+          .when(!col("_a_present"),
+            when(col("is_dml"), Schemas.Status.BinlogOnly)
+              .otherwise(Schemas.Status.BinlogOnlySuppressed))
+          .when(tsMis, Schemas.Status.MismatchTs)
+          .when(col("gtid_mismatch"), Schemas.Status.MismatchGtid)
+          .when(col("change_type_mismatch"), Schemas.Status.MismatchChangeType)
+          .otherwise(Schemas.Status.Match))
+      .groupBy(col("tolerance_ms"), col("status_t").as("status"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy("tolerance_ms", "status")
+  }
+
+  val cdc04Oracle: String =
+    oracleCte +
+    """, tol AS (
+      |  SELECT unnest([0, 50, 100, 250, 1000]) AS tolerance_ms
+      |), joined2 AS (
+      |  SELECT b.bfile AS b_file, a.bfile AS a_file,
+      |    b.pos IS NOT NULL AS b_present, a.pos IS NOT NULL AS a_present,
+      |    COALESCE(b.parse_err, FALSE) AS parse_err,
+      |    b.binlog_us, a.src_ms,
+      |    CASE WHEN b.pos IS NULL OR a.pos IS NULL THEN FALSE
+      |         WHEN b.parse_err THEN FALSE
+      |         ELSE a.gtid <> '' AND b.gtid_next <> '' AND a.gtid <> b.gtid_next END AS gtid_mis,
+      |    CASE WHEN b.pos IS NULL OR a.pos IS NULL THEN FALSE
+      |         WHEN b.parse_err THEN FALSE
+      |         ELSE a.ct <> '' AND b.inferred_ct <> '' AND upper(a.ct) <> upper(b.inferred_ct) END AS ct_mis,
+      |    COALESCE(b.is_dml, FALSE) AS is_dml
+      |  FROM b FULL OUTER JOIN a ON b.bfile = a.bfile AND b.pos = a.pos
+      |)
+      |SELECT CAST(tolerance_ms AS BIGINT) AS tolerance_ms, status, COUNT(*) AS count FROM (
+      |  SELECT t.tolerance_ms,
+      |    CASE WHEN NOT b_present THEN 'AVRO_ONLY'
+      |         WHEN NOT a_present THEN
+      |           CASE WHEN is_dml THEN 'BINLOG_ONLY' ELSE 'BINLOG_ONLY_SUPPRESSED' END
+      |         WHEN parse_err OR binlog_us IS NULL
+      |              OR abs(src_ms * 1000 - binlog_us) > t.tolerance_ms * 1000 THEN 'MISMATCH_TS'
+      |         WHEN gtid_mis THEN 'MISMATCH_GTID'
+      |         WHEN ct_mis THEN 'MISMATCH_CHANGE_TYPE'
+      |         ELSE 'MATCH' END AS status
+      |  FROM joined2, tol t)
+      |GROUP BY tolerance_ms, status ORDER BY tolerance_ms, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
     "cdc03_file_breakdown" -> (cdc03FileBreakdown _),
+    "cdc04_tolerance_sweep" -> (cdc04ToleranceSweep _),
   )
 
   val oracles: Map[String, String] = Map(
     "cdc01_status_counts" -> cdc01Oracle,
     "cdc02_summary" -> cdc02Oracle,
     "cdc03_file_breakdown" -> cdc03Oracle,
+    "cdc04_tolerance_sweep" -> cdc04Oracle,
   )
 }
