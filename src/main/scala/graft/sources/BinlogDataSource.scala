@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,22 +81,78 @@ private class BinlogTable(path: String) extends Table with SupportsRead {
 }
 
 private class BinlogScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = BinlogDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new BinlogScan(path, required)
+  /** File-pruning pushdown: predicates on `binlog_file`/`file_seq` are
+    * decidable per FILE, so matching filters skip whole files at planning
+    * (the source's partition pruning — at 100 TB a `file_seq >= N` tail
+    * read touches only the N+ files). All filters are also returned as
+    * residual so Spark re-evaluates them — pruning is an optimization,
+    * never a correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(BinlogFilePruning.prunable)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new BinlogScan(path, required, pushed)
 }
 
-private class BinlogScan(path: String, required: StructType) extends Scan with Batch {
+private object BinlogFilePruning {
+  private val cols = Set("binlog_file", "file_seq")
+
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => cols(a)
+    case In(a, _) => cols(a)
+    case GreaterThan("file_seq", _) | GreaterThanOrEqual("file_seq", _) |
+         LessThan("file_seq", _) | LessThanOrEqual("file_seq", _) => true
+    case _ => false
+  }
+
+  /** Does a file with this (basename, seq) possibly satisfy the filter? */
+  def keeps(f: Filter, name: String, seq: Option[Long]): Boolean = f match {
+    case EqualTo("binlog_file", v) => name == v
+    case In("binlog_file", vs) => vs.contains(name)
+    case EqualTo("file_seq", v) => seq.contains(asLong(v))
+    case In("file_seq", vs) => seq.exists(s => vs.map(asLong).contains(s))
+    case GreaterThan("file_seq", v) => seq.exists(_ > asLong(v))
+    case GreaterThanOrEqual("file_seq", v) => seq.exists(_ >= asLong(v))
+    case LessThan("file_seq", v) => seq.exists(_ < asLong(v))
+    case LessThanOrEqual("file_seq", v) => seq.exists(_ <= asLong(v))
+    case _ => true
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(s"non-numeric file_seq: $other")
+  }
+
+  def fileSeq(name: String): Option[Long] =
+    "\\.(\\d+)$".r.findFirstMatchIn(name).map(_.group(1).toLong)
+}
+
+private class BinlogScan(path: String, required: StructType,
+    pushed: Array[Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
     BinlogScan.listFiles(path)
+      .filter { p =>
+        val name = p.split('/').last
+        val seq = BinlogFilePruning.fileSeq(name)
+        pushed.forall(BinlogFilePruning.keeps(_, name, seq))
+      }
       .map(p => BinlogInputPartition(p): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -105,6 +161,9 @@ private class BinlogScan(path: String, required: StructType) extends Scan with B
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new BinlogMicroBatchStream(path, required)
+
+  override def description(): String =
+    s"binlog($path) prunedBy=[${pushed.mkString(", ")}]"
 }
 
 private object BinlogScan {

@@ -90,6 +90,28 @@ class BinlogDataSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Map("mysql-bin.000001" -> 2L, "mysql-bin.000002" -> 3L))
   }
 
+  test("filters on binlog_file/file_seq prune whole files at planning") {
+    val dir = Files.createTempDirectory("dsv2prune").toFile
+    writeFile(dir, "mysql-bin.000001", 2, 1714564800L)
+    writeFile(dir, "mysql-bin.000002", 3, 1714564900L)
+    writeFile(dir, "mysql-bin.000003", 4, 1714565000L)
+
+    val bySeq = spark.read.format("binlog").load(dir.getPath)
+      .filter(col("file_seq") >= 2L)
+    assert(bySeq.rdd.getNumPartitions == 2, "file_seq pruning didn't skip files")
+    assert(bySeq.count() == 7)
+
+    val byName = spark.read.format("binlog").load(dir.getPath)
+      .filter(col("binlog_file") === "mysql-bin.000002")
+    assert(byName.rdd.getNumPartitions == 1)
+    assert(byName.count() == 3)
+
+    // a non-prunable filter still reads everything and stays correct
+    val byPos = spark.read.format("binlog").load(dir.getPath)
+      .filter(col("log_position") > 50L)
+    assert(byPos.rdd.getNumPartitions == 3)
+  }
+
   test("agrees with the RDD-route parser on the same files") {
     val dir = Files.createTempDirectory("dsv2bin3").toFile
     writeFile(dir, "mysql-bin.000009", 4, 1714564800L)
