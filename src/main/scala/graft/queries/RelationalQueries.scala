@@ -290,7 +290,59 @@ object RelationalQueries {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  // q29 — correlated scalar subquery through the spark.sql surface (the
+  // engine exposes its tables as temp views "for free", SURVEY §2.11):
+  // orders at their customer's maximum price, ties included. Catalyst
+  // decorrelates this into an aggregate + join — no per-row re-execution.
+  def q29MaxOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        |FROM orders_v o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) = (
+        |  SELECT MAX(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  val q29Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+      |FROM orders o
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT) = (
+      |  SELECT MAX(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // q30 — scalar subquery in HAVING (TPC-H Q11 shape): nations holding
+  // more than 1/30 of total customer account balance. The subquery is a
+  // one-row broadcast, the outer plan a plain partial+final agg.
+  def q30NationBalanceShare(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    spark.sql(
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |HAVING SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) >
+        |  (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) FROM customer_v) / 30
+        |ORDER BY bal_cents DESC, n_name""".stripMargin)
+  }
+
+  val q30Oracle: String =
+    """SELECT n.n_name,
+      |  CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |HAVING SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) >
+      |  (SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) FROM customer) / 30
+      |ORDER BY bal_cents DESC, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_max_order_per_customer" -> (q29MaxOrderPerCustomer _),
+    "q30_nation_balance_share" -> (q30NationBalanceShare _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_revenue_filter" -> (q02RevenueFilter _),
     "q03_top_orders" -> (q03TopOrders _),
@@ -304,6 +356,8 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_max_order_per_customer" -> q29Oracle,
+    "q30_nation_balance_share" -> q30Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_revenue_filter" -> q02Oracle,
     "q03_top_orders" -> q03Oracle,

@@ -43,7 +43,8 @@ class BinlogDataSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new BinlogTable(properties.get("path"))
+    new BinlogTable(properties.get("path"),
+      Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -68,7 +69,8 @@ object BinlogDataSource {
   ))
 }
 
-private class BinlogTable(path: String) extends Table with SupportsRead {
+private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int])
+    extends Table with SupportsRead {
   require(path != null, "binlog source requires a path (use .load(path))")
 
   override def name(): String = s"binlog($path)"
@@ -77,10 +79,10 @@ private class BinlogTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BinlogScanBuilder(path)
+    new BinlogScanBuilder(path, maxFilesPerTrigger)
 }
 
-private class BinlogScanBuilder(path: String)
+private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -103,7 +105,8 @@ private class BinlogScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new BinlogScan(path, required, pushed)
+  override def build(): Scan =
+    new BinlogScan(path, required, pushed, maxFilesPerTrigger)
 }
 
 private object BinlogFilePruning {
@@ -142,7 +145,8 @@ private object BinlogFilePruning {
 }
 
 private class BinlogScan(path: String, required: StructType,
-    pushed: Array[Filter] = Array.empty) extends Scan with Batch {
+    pushed: Array[Filter] = Array.empty,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -160,7 +164,7 @@ private class BinlogScan(path: String, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new BinlogMicroBatchStream(path, required)
+    new BinlogMicroBatchStream(path, required, maxFilesPerTrigger)
 
   override def description(): String =
     s"binlog($path) prunedBy=[${pushed.mkString(", ")}]"
@@ -198,9 +202,12 @@ private object BinlogScan {
   * only, so run `FLUSH BINARY LOGS` (reference README.md:68-73) or copy
   * completed files into the watched directory. State is one integer.
   */
-private class BinlogMicroBatchStream(path: String, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+private class BinlogMicroBatchStream(path: String, required: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private case class FileCountOffset(n: Int) extends Offset {
     override def json(): String = s"""{"n":$n}"""
@@ -209,13 +216,33 @@ private class BinlogMicroBatchStream(path: String, required: StructType)
   // snapshot the listing per planning cycle so latestOffset and
   // planInputPartitions agree within one trigger
   @volatile private var lastListing: Array[String] = Array.empty
+  // AvailableNow bound: files present when the trigger started
+  @volatile private var availableNowCap: Option[Int] = None
 
   override def initialOffset(): Offset = FileCountOffset(0)
 
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(BinlogScan.listFiles(path).length)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     lastListing = BinlogScan.listFiles(path)
-    FileCountOffset(lastListing.length)
+    val total = availableNowCap.fold(lastListing.length)(math.min(_, lastListing.length))
+    val s = start.asInstanceOf[FileCountOffset].n
+    val capped = limit match {
+      case m: ReadMaxFiles => math.min(total, s + m.maxFiles)
+      case _ => total
+    }
+    FileCountOffset(capped)
   }
+
+  override def reportLatestOffset(): Offset = FileCountOffset(lastListing.length)
 
   override def deserializeOffset(json: String): Offset =
     FileCountOffset("\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)

@@ -90,6 +90,31 @@ class BinlogDataSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Map("mysql-bin.000001" -> 2L, "mysql-bin.000002" -> 3L))
   }
 
+  test("maxFilesPerTrigger rate-limits the tail to one file per micro-batch") {
+    val dir = Files.createTempDirectory("dsv2rate").toFile
+    val in = new java.io.File(dir, "binlogs"); in.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt")
+    val out = new java.io.File(dir, "out").getPath
+    writeFile(in, "mysql-bin.000001", 1, 1714564800L)
+    writeFile(in, "mysql-bin.000002", 2, 1714564900L)
+    writeFile(in, "mysql-bin.000003", 3, 1714565000L)
+
+    val q = spark.readStream.format("binlog")
+      .option("maxFilesPerTrigger", 1).load(in.getPath)
+      .select("binlog_file", "log_position")
+      .writeStream.format("json").option("path", out)
+      .option("checkpointLocation", ckpt.getPath)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    assert(spark.read.json(out).count() == 6) // all events delivered
+    // one file per micro-batch ⇒ three committed batches
+    val batches = new java.io.File(ckpt, "commits").list()
+      .count(!_.startsWith("."))
+    assert(batches == 3, s"expected 3 micro-batches, saw $batches")
+  }
+
   test("filters on binlog_file/file_seq prune whole files at planning") {
     val dir = Files.createTempDirectory("dsv2prune").toFile
     writeFile(dir, "mysql-bin.000001", 2, 1714564800L)
