@@ -120,6 +120,31 @@ class AvroSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage != null)
   }
 
+  test("AvroSink round-trips through AvroSource (write then read back)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("avroroundtrip").toFile
+    val out = new File(dir, "out").getPath
+    val df = Seq(
+      (1L, "a", Some(10), Seq("x", "y"), Map("k" -> 1L),
+        new java.sql.Timestamp(1714564800123L)),
+      (2L, "b", None, Seq.empty[String], Map.empty[String, Long],
+        new java.sql.Timestamp(1714564800456L))
+    ).toDF("id", "name", "opt", "tags", "props", "ts")
+    AvroSink.write(df.repartition(2), out)
+
+    val back = AvroSource.read(spark, out)
+    assert(back.schema("ts").dataType.typeName == "timestamp")
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "a")
+    assert(rows(0).getInt(rows(0).fieldIndex("opt")) == 10)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("opt")))
+    assert(rows(0).getSeq[String](rows(0).fieldIndex("tags")) == Seq("x", "y"))
+    assert(rows(0).getMap[String, Long](rows(0).fieldIndex("props")) == Map("k" -> 1L))
+    assert(rows(0).getTimestamp(rows(0).fieldIndex("ts")).getTime == 1714564800123L)
+  }
+
   test("flattened records flow into the comparator avro contract") {
     val dir = Files.createTempDirectory("avrosrc2").toFile
     writeFixture(dir)
