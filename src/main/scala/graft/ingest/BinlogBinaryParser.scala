@@ -104,7 +104,11 @@ object BinlogBinaryParser {
         extra("server_id") = serverId.toString
         extra("flags") = flags.toString
 
-        typeCode match {
+        // A malformed BODY degrades to a header-only event (the binary
+        // analogue of the reference's warn-and-skip, P6) — the common
+        // header already carried type/position/time, which is what the
+        // comparison consumes.
+        try typeCode match {
           case 2 => // QUERY: proxy_id u32, exec_time u32, schema_len u8,
             // error_code u16, status_len u16, status, schema, \0, query
             val proxyId = body.getInt & 0xFFFFFFFFL
@@ -157,6 +161,9 @@ object BinlogBinaryParser {
             gtidNext = curGtid
             extra("tableid") = tableId.toString
           case _ => () // header-only decode for everything else
+        } catch {
+          case e: RuntimeException =>
+            extra("body_decode_error") = e.getClass.getSimpleName
         }
 
         val rfc = Instant.ofEpochSecond(tsSec).atOffset(ZoneOffset.UTC)

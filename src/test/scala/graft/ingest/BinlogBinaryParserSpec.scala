@@ -132,6 +132,19 @@ class BinlogBinaryParserSpec extends AnyFunSuite with SparkTestSession {
     assert(evs.size == 7) // last event dropped, no crash
   }
 
+  test("malformed event body degrades to header-only, stream continues") {
+    val f = new FileBuilder
+    // QUERY event whose declared schema_len exceeds the body
+    val bad = Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 99 /* schema_len */, 0, 0)
+    f.event(T0, 2, bad)
+    f.event(T0, 16, xidBody(5))
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000001").toSeq
+    assert(evs.size == 2)
+    assert(evs.head.event_type == "Query" && evs.head.query == "")
+    assert(evs.head.extra.contains("body_decode_error"))
+    assert(evs(1).xid.contains(5L)) // decode continued past the bad body
+  }
+
   test("binary source drives the full comparison end to end") {
     val dir = Files.createTempDirectory("binbin").toFile
     Files.write(new java.io.File(dir, "mysql-bin.000007").toPath, buildFixture())
