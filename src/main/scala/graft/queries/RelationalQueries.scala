@@ -340,7 +340,83 @@ object RelationalQueries {
       |  (SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) FROM customer) / 30
       |ORDER BY bal_cents DESC, n_name""".stripMargin
 
+  // q31 — TPC-H Q22 pattern: above-average-balance customers with no 1997
+  // orders, by market segment — scalar AVG subquery (one-row broadcast) +
+  // left-anti join against a pushed-down date slice + grouped aggregate,
+  // all in cents discipline. (Integer cents sum exactly in double below
+  // 2^53, so the AVG threshold is bit-identical across engines regardless
+  // of fold order.)
+  def q31DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("bal_cents", cents(col("c_acctbal")))
+    val avgPos = cust.filter(col("bal_cents") > 0)
+      .agg(avg(col("bal_cents")).as("avg_bal"))
+    val orders1997 = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val dormant = cust
+      .join(orders1997, col("c_custkey") === col("o_custkey"), "left_anti")
+    dormant.crossJoin(broadcast(avgPos))
+      .filter(col("bal_cents") > col("avg_bal"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(col("bal_cents")).cast("double") / 100.0).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q31Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(bal_cents) AS DOUBLE)/100.0 AS total_bal
+      |FROM (
+      |  SELECT c_mktsegment,
+      |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents, c_custkey
+      |  FROM customer) c
+      |WHERE bal_cents > (
+      |    SELECT AVG(CAST(round(c_acctbal*100) AS BIGINT)) FROM customer
+      |    WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o.o_orderdate < TIMESTAMP '1998-01-01')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // q32 — TPC-H Q14 pattern: promo revenue share — conditional aggregate
+  // ratio over a lineitem-part equi-join, one shuffle, cents-exact with
+  // one final division.
+  def q32PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-02-01").cast("timestamp"))
+      .withColumn("rev_c4",
+        cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+    li.join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), col("rev_c4")).otherwise(0L))
+          .as("promo_c4"),
+        sum(col("rev_c4")).as("total_c4"))
+      .select(
+        // integer division: `/` on longs is double in Spark SQL; DIV is
+        // the exact (and DuckDB `//`-matching) form
+        expr("promo_c4 * 10000 DIV total_c4").as("promo_bps"),
+        (col("total_c4").cast("double") / 10000.0).as("total_revenue"))
+  }
+
+  val q32Oracle: String =
+    """SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_c4 ELSE 0 END) * 10000
+      |    // SUM(rev_c4) AS BIGINT) AS promo_bps,
+      |  CAST(SUM(rev_c4) AS DOUBLE)/10000.0 AS total_revenue
+      |FROM (
+      |  SELECT CAST(round(l_extendedprice*100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_c4, l_partkey
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-02-01') l
+      |JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_dormant_customers" -> (q31DormantCustomers _),
+    "q32_promo_share" -> (q32PromoShare _),
     "q29_max_order_per_customer" -> (q29MaxOrderPerCustomer _),
     "q30_nation_balance_share" -> (q30NationBalanceShare _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -356,6 +432,8 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q31_dormant_customers" -> q31Oracle,
+    "q32_promo_share" -> q32Oracle,
     "q29_max_order_per_customer" -> q29Oracle,
     "q30_nation_balance_share" -> q30Oracle,
     "q01_pricing_summary" -> q01Oracle,
