@@ -65,20 +65,21 @@ case class PostingPairs(child: Expression)
       ids(j + 1) = id; ns(j + 1) = n
       i += 1
     }
-    val out = new Array[InternalRow](k * (k - 1) / 2)
-    var idx = 0
-    i = 0
-    while (i < k) {
-      var j = i + 1
-      while (j < k) {
-        out(idx) = new GenericInternalRow(
-          Array[Any](ids(i), ns(i), ids(j), ns(j)))
-        idx += 1
-        j += 1
+    // lazy pair stream: k·(k−1)/2 can be huge for an uncapped posting
+    // list, so never materialize the expansion — GenerateExec consumes
+    // the iterator row by row
+    new Iterator[InternalRow] {
+      private var a = 0
+      private var b = 1
+      override def hasNext: Boolean = a < k - 1
+      override def next(): InternalRow = {
+        val row = new GenericInternalRow(
+          Array[Any](ids(a), ns(a), ids(b), ns(b)))
+        b += 1
+        if (b >= k) { a += 1; b = a + 1 }
+        row
       }
-      i += 1
     }
-    out
   }
 
   override protected def withNewChildInternal(c: Expression): PostingPairs =

@@ -200,7 +200,10 @@ private object BinlogScan {
   * suffixes and never rewritten once rotated). Each trigger consumes the
   * files that appeared since the last committed offset — whole files
   * only, so run `FLUSH BINARY LOGS` (reference README.md:68-73) or copy
-  * completed files into the watched directory. State is one integer.
+  * completed files into the watched directory. State is one integer;
+  * that encoding requires the watched directory to be APPEND-ONLY while
+  * the stream (or its checkpoint) is live — purging old files would
+  * shift the listing under a count-based offset.
   */
 private class BinlogMicroBatchStream(path: String, required: StructType,
     maxFilesPerTrigger: Option[Int] = None)
