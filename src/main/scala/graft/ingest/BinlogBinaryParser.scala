@@ -80,6 +80,10 @@ object BinlogBinaryParser {
     var curSchema = ""
     var curTable = ""
     var curGtid = ""
+    // CRC32 tail length on every event once the FDE declares checksums
+    var checksumLen = 0
+    // TABLE_MAP registry: table_id → (schema, table, column types, metadata)
+    val tableDefs = collection.mutable.Map.empty[Long, (String, String, Array[Int], Array[Int])]
 
     while (pos + 19 <= bytes.length) {
       val buf = ByteBuffer.wrap(bytes, pos, bytes.length - pos).order(ByteOrder.LITTLE_ENDIAN)
@@ -100,6 +104,7 @@ object BinlogBinaryParser {
         var gtidNext = ""
         var evSchema = ""
         var evTable = ""
+        var rowImages: Seq[Seq[String]] = Nil
         val extra = collection.mutable.LinkedHashMap.empty[String, String]
         extra("server_id") = serverId.toString
         extra("flags") = flags.toString
@@ -109,6 +114,13 @@ object BinlogBinaryParser {
         // header already carried type/position/time, which is what the
         // comparison consumes.
         try typeCode match {
+          case 15 => // FORMAT_DESCRIPTION: ends with [checksum_alg, crc32]
+            // on servers that support binlog checksums (≥5.6.1)
+            if (eventSize - 19 >= 62) {
+              val alg = bytes(pos + eventSize - 5) & 0xFF
+              if (alg == 1) checksumLen = 4 else if (alg == 0) checksumLen = 0
+              extra("checksum_alg") = alg.toString
+            }
           case 2 => // QUERY: proxy_id u32, exec_time u32, schema_len u8,
             // error_code u16, status_len u16, status, schema, \0, query
             val proxyId = body.getInt & 0xFFFFFFFFL
@@ -120,7 +132,7 @@ object BinlogBinaryParser {
             val schemaBytes = new Array[Byte](schemaLen)
             body.get(schemaBytes)
             body.get() // trailing NUL
-            val queryBytes = new Array[Byte](body.remaining())
+            val queryBytes = new Array[Byte](body.remaining() - checksumLen)
             body.get(queryBytes)
             evSchema = new String(schemaBytes, "UTF-8")
             query = new String(queryBytes, "UTF-8")
@@ -130,7 +142,8 @@ object BinlogBinaryParser {
           case 16 => // XID: u64 transaction id; ends the transaction scope
             xid = Some(body.getLong)
           case 19 => // TABLE_MAP: table_id u48, flags u16, schema_len u8,
-            // schema, \0, table_len u8, table, \0, ...
+            // schema, \0, table_len u8, table, \0, col_count (packed),
+            // col_types, metadata_len (packed), metadata, null_bitmap
             val tableId = readUInt48(body)
             body.getShort // flags
             val sl = body.get & 0xFF
@@ -142,6 +155,25 @@ object BinlogBinaryParser {
             evSchema = curSchema
             evTable = curTable
             extra("tableid") = tableId.toString
+            val colCount = readPackedInt(body)
+            val types = new Array[Int](colCount)
+            var c = 0
+            while (c < colCount) { types(c) = body.get & 0xFF; c += 1 }
+            val metaLen = readPackedInt(body)
+            val metaEnd = body.position() + metaLen
+            val meta = new Array[Int](colCount)
+            c = 0
+            while (c < colCount && body.position() < metaEnd) {
+              meta(c) = metadataWidth(types(c)) match {
+                case 0 => 0
+                case 1 => body.get & 0xFF
+                case 2 => body.getShort & 0xFFFF
+              }
+              c += 1
+            }
+            body.position(metaEnd)
+            tableDefs(tableId) = (curSchema, curTable, types, meta)
+            extra("column_count") = colCount.toString
           case 33 | 34 => // GTID / ANONYMOUS_GTID: flags u8, sid 16B, gno u64
             body.get() // commit flag
             val sid = new Array[Byte](16); body.get(sid)
@@ -150,7 +182,7 @@ object BinlogBinaryParser {
             gtidNext = curGtid
           case 4 => // ROTATE: position u64, next file name
             val rpos = body.getLong
-            val nb = new Array[Byte](body.remaining()); body.get(nb)
+            val nb = new Array[Byte](body.remaining() - checksumLen); body.get(nb)
             extra("next_file") = new String(nb, "UTF-8")
             extra("rotate_position") = rpos.toString
           case 23 | 24 | 25 | 30 | 31 | 32 => // ROWS v1/v2: table_id u48, flags u16
@@ -160,6 +192,16 @@ object BinlogBinaryParser {
             evTable = curTable
             gtidNext = curGtid
             extra("tableid") = tableId.toString
+            // v2 adds a self-inclusive u16 extra-data length
+            if (typeCode >= 30) {
+              val extraLen = body.getShort & 0xFFFF
+              if (extraLen > 2) body.position(body.position() + extraLen - 2)
+            }
+            tableDefs.get(tableId).foreach { case (_, _, types, meta) =>
+              val isUpdate = typeCode == 24 || typeCode == 31
+              rowImages = decodeRowImages(body, types, meta, isUpdate, checksumLen)
+              extra("n_row_images") = rowImages.size.toString
+            }
           case _ => () // header-only decode for everything else
         } catch {
           case e: RuntimeException =>
@@ -182,7 +224,8 @@ object BinlogBinaryParser {
           binlog_file = basename,
           file_seq = fileSeq,
           event_index = index,
-          extra = extra.toMap)
+          extra = extra.toMap,
+          row_images = rowImages)
         index += 1
         if (typeCode == 16) curGtid = "" // XID closes the transaction
         pos += eventSize
@@ -196,6 +239,86 @@ object BinlogBinaryParser {
     var i = 0
     while (i < 6) { v |= (b.get & 0xFFL) << (8 * i); i += 1 }
     v
+  }
+
+  /** MySQL length-encoded ("packed") integer. */
+  private def readPackedInt(b: ByteBuffer): Int = {
+    val first = b.get & 0xFF
+    first match {
+      case 252 => b.getShort & 0xFFFF
+      case 253 => (b.get & 0xFF) | ((b.get & 0xFF) << 8) | ((b.get & 0xFF) << 16)
+      case 254 => b.getLong.toInt
+      case v => v
+    }
+  }
+
+  /** Bytes of per-column metadata in TABLE_MAP for a column type. */
+  private def metadataWidth(t: Int): Int = t match {
+    case 4 | 5 => 1          // FLOAT / DOUBLE: value width
+    case 252 => 1            // BLOB: length-prefix width
+    case 15 | 253 => 2       // VARCHAR / VAR_STRING: max length
+    case 246 => 2            // NEWDECIMAL: precision + scale
+    case 254 | 247 | 248 => 2 // STRING / ENUM / SET
+    case 17 | 18 | 19 => 1   // TIMESTAMP2 / DATETIME2 / TIME2: fsp
+    case _ => 0
+  }
+
+  private def bit(bitmap: Array[Byte], i: Int): Boolean =
+    (bitmap(i / 8) >> (i % 8) & 1) == 1
+
+  /** Decode the row images of one ROWS event. `isUpdate` events carry a
+    * second present-columns bitmap and alternate before/after images.
+    * Supported value types: the integer family, FLOAT/DOUBLE and
+    * VARCHAR/VAR_STRING — anything else aborts this event's row decode
+    * (caught upstream → header-only event with `body_decode_error`). */
+  private def decodeRowImages(
+      body: ByteBuffer, types: Array[Int], meta: Array[Int],
+      isUpdate: Boolean, checksumLen: Int): Seq[Seq[String]] = {
+    val width = readPackedInt(body)
+    val bmLen = (width + 7) / 8
+    val present1 = new Array[Byte](bmLen); body.get(present1)
+    val present2 =
+      if (isUpdate) { val a = new Array[Byte](bmLen); body.get(a); a }
+      else present1
+
+    def presentCols(bm: Array[Byte]): Array[Int] =
+      (0 until width).filter(bit(bm, _)).toArray
+
+    def readValue(t: Int, m: Int): String = t match {
+      case 1 => body.get.toString                               // TINY
+      case 2 => body.getShort.toString                          // SHORT
+      case 9 =>                                                 // INT24
+        val v = (body.get & 0xFF) | ((body.get & 0xFF) << 8) | (body.get.toInt << 16)
+        v.toString
+      case 3 => body.getInt.toString                            // LONG
+      case 8 => body.getLong.toString                           // LONGLONG
+      case 4 => body.getFloat.toString                          // FLOAT
+      case 5 => body.getDouble.toString                         // DOUBLE
+      case 15 | 253 =>                                          // VARCHAR
+        val len = if (m < 256) body.get & 0xFF else body.getShort & 0xFFFF
+        val s = new Array[Byte](len); body.get(s)
+        new String(s, "UTF-8")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported column type $other")
+    }
+
+    def readImage(bm: Array[Byte]): Seq[String] = {
+      val cols = presentCols(bm)
+      val nullBm = new Array[Byte]((cols.length + 7) / 8)
+      body.get(nullBm)
+      cols.zipWithIndex.map { case (c, ord) =>
+        if (bit(nullBm, ord)) null else readValue(types(c), meta(c))
+      }.toSeq
+    }
+
+    val end = body.limit() - checksumLen
+    val out = collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var useSecond = false
+    while (body.position() < end) {
+      out += readImage(if (useSecond) present2 else present1)
+      if (isUpdate) useSecond = !useSecond
+    }
+    out.toSeq
   }
 
   private def formatUuid(sid: Array[Byte]): String = {

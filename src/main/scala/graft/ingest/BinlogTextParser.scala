@@ -28,7 +28,12 @@ case class ParsedBinlogEvent(
     binlog_file: String,
     file_seq: Option[Long],                // numeric suffix of binlog_file (E15)
     event_index: Long,                     // block index within the file
-    extra: Map[String, String])
+    extra: Map[String, String],
+    /** Decoded row images (binary source only): one Seq[String] per image,
+      * values stringified by column ordinal, SQL NULL as null; UPDATE
+      * events alternate before/after images. Empty for the text parser
+      * (the decoder text carries no row values). */
+    row_images: Seq[Seq[String]] = Nil)
 
 /** S2 + E1–E7 — the stateful text-block parser (SURVEY §2.10): accumulate
   * `key: value` lines under an `=== Header ===` block, flush on the next

@@ -65,7 +65,8 @@ object BinlogDataSource {
     StructField("binlog_file", StringType),
     StructField("file_seq", LongType),
     StructField("event_index", LongType),
-    StructField("extra", MapType(StringType, StringType))
+    StructField("extra", MapType(StringType, StringType)),
+    StructField("row_images", ArrayType(ArrayType(StringType)))
   ))
 }
 
@@ -322,6 +323,13 @@ private class BinlogPartitionReader(file: String, required: StructType)
           ArrayBasedMapData(
             current.extra.keys.map(k => UTF8String.fromString(k)).toArray,
             current.extra.values.map(v => UTF8String.fromString(v)).toArray)
+        case "row_images" =>
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            current.row_images.map { img =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                img.map(v =>
+                  if (v == null) null else UTF8String.fromString(v)).toArray[Any])
+            }.toArray[Any])
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
     }

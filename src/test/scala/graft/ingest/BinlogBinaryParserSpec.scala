@@ -61,13 +61,23 @@ class BinlogBinaryParserSpec extends AnyFunSuite with SparkTestSession {
     o.write(table.length); o.write(table.getBytes("UTF-8")); o.write(0)
     o.write(1)                             // column count (packed int, 1 byte)
     o.write(3)                             // column type: MYSQL_TYPE_LONG
+    o.write(0)                             // metadata length (LONG has none)
+    o.write(0)                             // null bitmap
     o.toByteArray
   }
 
-  private def rowsBody(tableId: Long): Array[Byte] = {
+  /** One-column (LONG) rows body with one int image per value. */
+  private def rowsBody(tableId: Long, values: Int*): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     (0 until 6).foreach(i => o.write(((tableId >> (8 * i)) & 0xFF).toInt))
-    o.write(le(0, 2))                      // flags (no extra-data for v2 test)
+    o.write(le(0, 2))                      // flags
+    o.write(le(2, 2))                      // v2 extra-data length (just itself)
+    o.write(1)                             // width (packed)
+    o.write(0x01)                          // columns-present bitmap
+    values.foreach { v =>
+      o.write(0x00)                        // null bitmap: value present
+      o.write(le(v, 4))
+    }
     o.toByteArray
   }
 
@@ -92,10 +102,10 @@ class BinlogBinaryParserSpec extends AnyFunSuite with SparkTestSession {
     f.event(T0, 33, gtidBody(sid, 42))     // GTID uuid:42
     f.event(T0, 2, queryBody("shop", "BEGIN"))
     f.event(T0, 19, tableMapBody(7, "shop", "orders"))
-    f.event(T0 + 1, 30, rowsBody(7))       // WRITE_ROWS v2
+    f.event(T0 + 1, 30, rowsBody(7, 42))   // WRITE_ROWS v2, one image
     f.event(T0 + 1, 16, xidBody(777))      // XID
     f.event(T0 + 2, 19, tableMapBody(8, "shop", "items"))
-    f.event(T0 + 2, 32, rowsBody(8))       // DELETE_ROWS v2 (no GTID scope now)
+    f.event(T0 + 2, 32, rowsBody(8, 7))    // DELETE_ROWS v2 (no GTID scope now)
     f.bytes
   }
 
@@ -121,6 +131,76 @@ class BinlogBinaryParserSpec extends AnyFunSuite with SparkTestSession {
     // XID closed the gtid scope: the second rows event carries none
     val del = evs(7)
     assert(del.gtid_next == "" && del.table == "items")
+
+    // row images decoded through the TABLE_MAP registry
+    assert(write.row_images == Seq(Seq("42")))
+    assert(del.row_images == Seq(Seq("7")))
+  }
+
+  test("decodes multi-type row images incl. NULLs and UPDATE before/after") {
+    val f = new FileBuilder
+    f.event(T0, 15, new Array[Byte](84))
+    // 3 columns: LONG, VARCHAR(max 20), DOUBLE
+    val tm = {
+      val o = new ByteArrayOutputStream()
+      (0 until 6).foreach(i => o.write(((9L >> (8 * i)) & 0xFF).toInt))
+      o.write(le(0, 2))
+      o.write(4); o.write("shop".getBytes("UTF-8")); o.write(0)
+      o.write(1); o.write("t".getBytes("UTF-8")); o.write(0)
+      o.write(3)                           // column count
+      o.write(3); o.write(15); o.write(5)  // LONG, VARCHAR, DOUBLE
+      o.write(3)                           // metadata length
+      o.write(le(20, 2))                   // VARCHAR max length
+      o.write(8)                           // DOUBLE width
+      o.write(0)                           // null bitmap
+      o.toByteArray
+    }
+    f.event(T0, 19, tm)
+
+    def img(id: Option[Int], name: Option[String], score: Option[Double]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      var nulls = 0
+      if (id.isEmpty) nulls |= 1
+      if (name.isEmpty) nulls |= 2
+      if (score.isEmpty) nulls |= 4
+      o.write(nulls)
+      id.foreach(v => o.write(le(v, 4)))
+      name.foreach { s => o.write(s.length); o.write(s.getBytes("UTF-8")) }
+      score.foreach { d =>
+        val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(d)
+        o.write(b.array())
+      }
+      o.toByteArray
+    }
+    def rows(typeCode: Int, bitmaps: Int, images: Array[Byte]*): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      (0 until 6).foreach(i => o.write(((9L >> (8 * i)) & 0xFF).toInt))
+      o.write(le(0, 2)); o.write(le(2, 2)) // flags + v2 extra len
+      o.write(3)                           // width
+      (0 until bitmaps).foreach(_ => o.write(0x07)) // present bitmaps
+      images.foreach(o.write)
+      o.toByteArray
+    }
+    // WRITE: two images, second with NULL name
+    f.event(T0 + 1, 30, rows(30, 1,
+      img(Some(1), Some("ab"), Some(2.5)),
+      img(Some(2), None, Some(-1.0))))
+    // UPDATE: before/after pair
+    f.event(T0 + 2, 31, rows(31, 2,
+      img(Some(1), Some("ab"), Some(2.5)),
+      img(Some(1), Some("xy"), Some(9.0))))
+
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000002").toSeq
+    val write = evs(2)
+    assert(write.event_type == "WriteRowsEventV2")
+    assert(write.row_images == Seq(
+      Seq("1", "ab", "2.5"), Seq("2", null, "-1.0")))
+    val upd = evs(3)
+    assert(upd.event_type == "UpdateRowsEventV2")
+    assert(upd.row_images == Seq(
+      Seq("1", "ab", "2.5"), Seq("1", "xy", "9.0")))
+    assert(upd.extra("n_row_images") == "2")
+    assert(!write.extra.contains("body_decode_error"))
   }
 
   test("bad magic fails loudly; truncated tail stops cleanly") {
