@@ -203,6 +203,30 @@ class BinlogBinaryParserSpec extends AnyFunSuite with SparkTestSession {
     assert(!write.extra.contains("body_decode_error"))
   }
 
+  test("CRC32-checksummed files: 4-byte tails excluded from every body") {
+    val f = new FileBuilder
+    // FDE declaring checksum alg 1: body ends [alg, crc32x4]
+    val fde = new Array[Byte](84)
+    fde(84 - 5) = 1
+    f.event(T0, 15, fde)
+    def ck(body: Array[Byte]): Array[Byte] =
+      body ++ Array[Byte](0x11, 0x22, 0x33, 0x44) // unverified CRC tail
+    f.event(T0, 2, ck(queryBody("shop", "BEGIN")))
+    f.event(T0, 19, ck(tableMapBody(7, "shop", "orders")))
+    f.event(T0 + 1, 30, ck(rowsBody(7, 42, 43)))
+    f.event(T0 + 1, 16, ck(xidBody(9)))
+
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000003").toSeq
+    assert(evs.head.extra("checksum_alg") == "1")
+    val q = evs(1)
+    assert(q.query == "BEGIN", s"CRC bytes leaked into query: '${q.query}'")
+    val w = evs(3)
+    assert(w.row_images == Seq(Seq("42"), Seq("43")),
+      "CRC tail misread as a row image")
+    assert(!w.extra.contains("body_decode_error"))
+    assert(evs(4).xid.contains(9L))
+  }
+
   test("bad magic fails loudly; truncated tail stops cleanly") {
     intercept[IllegalArgumentException] {
       BinlogBinaryParser.decodeFile("nope".getBytes, "f").toSeq
