@@ -249,6 +249,45 @@ class BinlogBinaryParserSpec extends AnyFunSuite with SparkTestSession {
     assert(evs(1).xid.contains(5L)) // decode continued past the bad body
   }
 
+  test("invariants hold over randomized event chains (generative)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 25).foreach { trial =>
+      val f = new FileBuilder
+      f.event(T0, 15, new Array[Byte](84))
+      var expectedRows = List.empty[Seq[Seq[String]]]
+      var nEvents = 1
+      var mapped = false
+      (0 until 1 + rnd.nextInt(20)).foreach { i =>
+        rnd.nextInt(4) match {
+          case 0 =>
+            f.event(T0 + i, 19, tableMapBody(5, "s", "t")); mapped = true
+            nEvents += 1
+          case 1 if mapped =>
+            val vals = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(1000))
+            f.event(T0 + i, 30, rowsBody(5, vals: _*))
+            expectedRows ::= vals.map(v => Seq(v.toString))
+            nEvents += 1
+          case 2 =>
+            f.event(T0 + i, 16, xidBody(rnd.nextLong())); nEvents += 1
+          case _ =>
+            f.event(T0 + i, 2, queryBody("s", s"Q$i")); nEvents += 1
+        }
+      }
+      val evs = BinlogBinaryParser.decodeFile(f.bytes, s"mysql-bin.$trial").toSeq
+      // every event decoded, in order, with strictly increasing end positions
+      assert(evs.size == nEvents)
+      val positions = evs.flatMap(_.log_position)
+      assert(positions == positions.sorted && positions.distinct == positions)
+      assert(evs.map(_.event_index) == (0L until nEvents.toLong))
+      // no decode errors anywhere, and row images match what was written
+      assert(evs.forall(e => !e.extra.contains("body_decode_error")))
+      val gotRows = evs.filter(_.event_type == "WriteRowsEventV2").map(_.row_images)
+      assert(gotRows == expectedRows.reverse)
+      // every rows event after a TABLE_MAP carries its table name
+      assert(evs.filter(_.event_type == "WriteRowsEventV2").forall(_.table == "t"))
+    }
+  }
+
   test("binary source drives the full comparison end to end") {
     val dir = Files.createTempDirectory("binbin").toFile
     Files.write(new java.io.File(dir, "mysql-bin.000007").toPath, buildFixture())
