@@ -266,6 +266,24 @@ object BinlogBinaryParser {
   private def bit(bitmap: Array[Byte], i: Int): Boolean =
     (bitmap(i / 8) >> (i % 8) & 1) == 1
 
+  private def readBigEndian(b: ByteBuffer, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (b.get & 0xFFL); i += 1 }
+    v
+  }
+
+  /** Fractional-seconds part of TIMESTAMP2/DATETIME2 as microseconds:
+    * ceil(fsp/2) big-endian bytes holding the fraction in 10^-(2·bytes). */
+  private def readFrac(b: ByteBuffer, fsp: Int): Long = {
+    val nBytes = (fsp + 1) / 2
+    if (nBytes == 0) 0L
+    else {
+      val raw = readBigEndian(b, nBytes)
+      raw * math.pow(10, 6 - 2 * nBytes).toLong
+    }
+  }
+
   /** Decode the row images of one ROWS event. `isUpdate` events carry a
     * second present-columns bitmap and alternate before/after images.
     * Supported value types: the integer family, FLOAT/DOUBLE and
@@ -298,6 +316,25 @@ object BinlogBinaryParser {
         val len = if (m < 256) body.get & 0xFF else body.getShort & 0xFFFF
         val s = new Array[Byte](len); body.get(s)
         new String(s, "UTF-8")
+      case 17 =>                                                // TIMESTAMP2
+        // 4 bytes BIG-endian unix seconds + ceil(fsp/2) fractional bytes;
+        // stringified as epoch seconds with 6 fractional digits when fsp>0
+        val sec = readBigEndian(body, 4)
+        val micros = readFrac(body, m)
+        if (m == 0) sec.toString else sec.toString + "." + f"$micros%06d"
+      case 18 =>                                                // DATETIME2
+        // 5 bytes BIG-endian packed: sign(1) yearMonth(17) day(5)
+        // hour(5) minute(6) second(6), then fractional like TIMESTAMP2
+        val packed = readBigEndian(body, 5) - 0x8000000000L
+        val ym = (packed >> 22) & 0x1FFFF
+        val year = ym / 13; val month = ym % 13
+        val day = (packed >> 17) & 0x1F
+        val hour = (packed >> 12) & 0x1F
+        val minute = (packed >> 6) & 0x3F
+        val second = packed & 0x3F
+        val micros = readFrac(body, m)
+        val base = f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$second%02d"
+        if (m == 0) base else base + "." + f"$micros%06d"
       case other =>
         throw new IllegalArgumentException(s"unsupported column type $other")
     }

@@ -203,6 +203,46 @@ class BinlogBinaryParserSpec extends AnyFunSuite with SparkTestSession {
     assert(!write.extra.contains("body_decode_error"))
   }
 
+  test("decodes TIMESTAMP2/DATETIME2 row columns") {
+    val f = new FileBuilder
+    f.event(T0, 15, new Array[Byte](84))
+    val tm = {
+      val o = new ByteArrayOutputStream()
+      (0 until 6).foreach(i => o.write(((3L >> (8 * i)) & 0xFF).toInt))
+      o.write(le(0, 2))
+      o.write(1); o.write("s".getBytes); o.write(0)
+      o.write(1); o.write("t".getBytes); o.write(0)
+      o.write(2)                            // 2 columns
+      o.write(17); o.write(18)              // TIMESTAMP2, DATETIME2
+      o.write(2)                            // metadata length
+      o.write(3)                            // ts fsp=3
+      o.write(0)                            // dt fsp=0
+      o.write(0)                            // null bitmap
+      o.toByteArray
+    }
+    f.event(T0, 19, tm)
+    val rows = {
+      val o = new ByteArrayOutputStream()
+      (0 until 6).foreach(i => o.write(((3L >> (8 * i)) & 0xFF).toInt))
+      o.write(le(0, 2)); o.write(le(2, 2))
+      o.write(2); o.write(0x03)             // width 2, both present
+      o.write(0x00)                         // null bitmap
+      // TIMESTAMP2 fsp=3: 4B BE seconds + 2B BE fraction (units of 1e-4 s)
+      o.write(Array[Byte](
+        ((T0 >> 24) & 0xFF).toByte, ((T0 >> 16) & 0xFF).toByte,
+        ((T0 >> 8) & 0xFF).toByte, (T0 & 0xFF).toByte))
+      o.write(Array[Byte](0x04, 0xD2.toByte)) // 1234 -> .123400
+      // DATETIME2 fsp=0: 2024-05-01 12:34:56
+      val ym = 2024L * 13 + 5
+      val packed = 0x8000000000L | (ym << 22) | (1L << 17) | (12L << 12) | (34L << 6) | 56L
+      o.write((0 until 5).reverse.map(i => ((packed >> (8 * i)) & 0xFF).toByte).toArray)
+      o.toByteArray
+    }
+    f.event(T0 + 1, 30, rows)
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000004").toSeq
+    assert(evs(2).row_images == Seq(Seq(s"$T0.123400", "2024-05-01 12:34:56")))
+  }
+
   test("CRC32-checksummed files: 4-byte tails excluded from every body") {
     val f = new FileBuilder
     // FDE declaring checksum alg 1: body ends [alg, crc32x4]
