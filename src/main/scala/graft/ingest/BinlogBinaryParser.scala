@@ -284,6 +284,44 @@ object BinlogBinaryParser {
     }
   }
 
+  /** Bytes needed for a partial digit group (MySQL decimal packing). */
+  private val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  /** MySQL NEWDECIMAL: base-10^9 groups of 4 bytes big-endian with
+    * compressed leading/trailing partial groups; sign = MSB of the first
+    * byte (negative values stored bitwise-inverted). */
+  private def decodeNewDecimal(b: ByteBuffer, precision: Int, scale: Int): String = {
+    val intDigits = precision - scale
+    val nBytes = (intDigits / 9) * 4 + dig2bytes(intDigits % 9) +
+      (scale / 9) * 4 + dig2bytes(scale % 9)
+    val raw = new Array[Byte](nBytes)
+    b.get(raw)
+    val negative = (raw(0) & 0x80) == 0
+    if (negative) { var i = 0; while (i < nBytes) { raw(i) = (~raw(i)).toByte; i += 1 } }
+    raw(0) = (raw(0) ^ 0x80).toByte
+    val rb = ByteBuffer.wrap(raw)
+
+    val sb = new StringBuilder
+    val lead = intDigits % 9
+    if (lead > 0) sb.append(readBigEndian(rb, dig2bytes(lead)).toString)
+    (0 until intDigits / 9).foreach { _ =>
+      val g = readBigEndian(rb, 4)
+      sb.append(if (sb.isEmpty) g.toString else f"$g%09d")
+    }
+    val intPart = {
+      val t = sb.toString.dropWhile(_ == '0')
+      if (t.isEmpty) "0" else t
+    }
+    val fb = new StringBuilder
+    (0 until scale / 9).foreach(_ => fb.append(f"${readBigEndian(rb, 4)}%09d"))
+    val tail = scale % 9
+    if (tail > 0) {
+      val g = readBigEndian(rb, dig2bytes(tail))
+      fb.append(("%0" + tail + "d").format(g))
+    }
+    (if (negative) "-" else "") + intPart + (if (scale > 0) "." + fb else "")
+  }
+
   /** Decode the row images of one ROWS event. `isUpdate` events carry a
     * second present-columns bitmap and alternate before/after images.
     * Supported value types: the integer family, FLOAT/DOUBLE and
@@ -335,6 +373,8 @@ object BinlogBinaryParser {
         val micros = readFrac(body, m)
         val base = f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$second%02d"
         if (m == 0) base else base + "." + f"$micros%06d"
+      case 246 =>                                               // NEWDECIMAL
+        decodeNewDecimal(body, precision = m & 0xFF, scale = (m >> 8) & 0xFF)
       case other =>
         throw new IllegalArgumentException(s"unsupported column type $other")
     }

@@ -243,6 +243,48 @@ class BinlogBinaryParserSpec extends AnyFunSuite with SparkTestSession {
     assert(evs(2).row_images == Seq(Seq(s"$T0.123400", "2024-05-01 12:34:56")))
   }
 
+  test("decodes NEWDECIMAL row columns (sign, group packing)") {
+    def file(metaPrecision: Int, metaScale: Int, value: Array[Byte]): Seq[Seq[String]] = {
+      val f = new FileBuilder
+      f.event(T0, 15, new Array[Byte](84))
+      val tm = {
+        val o = new ByteArrayOutputStream()
+        (0 until 6).foreach(i => o.write(((4L >> (8 * i)) & 0xFF).toInt))
+        o.write(le(0, 2))
+        o.write(1); o.write("s".getBytes); o.write(0)
+        o.write(1); o.write("t".getBytes); o.write(0)
+        o.write(1); o.write(246)            // one NEWDECIMAL column
+        o.write(2); o.write(metaPrecision); o.write(metaScale)
+        o.write(0)
+        o.toByteArray
+      }
+      f.event(T0, 19, tm)
+      val rows = {
+        val o = new ByteArrayOutputStream()
+        (0 until 6).foreach(i => o.write(((4L >> (8 * i)) & 0xFF).toInt))
+        o.write(le(0, 2)); o.write(le(2, 2))
+        o.write(1); o.write(0x01); o.write(0x00)
+        o.write(value)
+        o.toByteArray
+      }
+      f.event(T0 + 1, 30, rows)
+      BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000005").toSeq(2).row_images
+    }
+
+    // DECIMAL(10,2) = 1234567.89: int part 0x0012D687|sign, frac 0x59
+    assert(file(10, 2, Array(0x80.toByte, 0x12, 0xD6.toByte, 0x87.toByte, 0x59))
+      == Seq(Seq("1234567.89")))
+    // negative: all bytes inverted
+    assert(file(10, 2, Array(0x7F, 0xED.toByte, 0x29, 0x78, 0xA6.toByte))
+      == Seq(Seq("-1234567.89")))
+    // DECIMAL(20,6) = 12345123456789.654321 (partial + full int groups)
+    assert(file(20, 6, Array(
+      0x80.toByte, 0x30, 0x39,                       // lead "12345"
+      0x07, 0x5B, 0xCD.toByte, 0x15,                 // group "123456789"
+      0x09, 0xFB.toByte, 0xF1.toByte))               // frac "654321"
+      == Seq(Seq("12345123456789.654321")))
+  }
+
   test("CRC32-checksummed files: 4-byte tails excluded from every body") {
     val f = new FileBuilder
     // FDE declaring checksum alg 1: body ends [alg, crc32x4]
