@@ -273,6 +273,13 @@ object BinlogBinaryParser {
     v
   }
 
+  private def readLittleEndian(b: ByteBuffer, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v |= (b.get & 0xFFL) << (8 * i); i += 1 }
+    v
+  }
+
   /** Fractional-seconds part of TIMESTAMP2/DATETIME2 as microseconds:
     * ceil(fsp/2) big-endian bytes holding the fraction in 10^-(2·bytes). */
   private def readFrac(b: ByteBuffer, fsp: Int): Long = {
@@ -375,6 +382,11 @@ object BinlogBinaryParser {
         if (m == 0) base else base + "." + f"$micros%06d"
       case 246 =>                                               // NEWDECIMAL
         decodeNewDecimal(body, precision = m & 0xFF, scale = (m >> 8) & 0xFF)
+      case 252 =>                                               // BLOB/TEXT
+        // m = width of the little-endian length prefix (1..4 bytes)
+        val len = readLittleEndian(body, m).toInt
+        val s = new Array[Byte](len); body.get(s)
+        new String(s, "UTF-8")
       case other =>
         throw new IllegalArgumentException(s"unsupported column type $other")
     }

@@ -243,6 +243,36 @@ class BinlogBinaryParserSpec extends AnyFunSuite with SparkTestSession {
     assert(evs(2).row_images == Seq(Seq(s"$T0.123400", "2024-05-01 12:34:56")))
   }
 
+  test("decodes BLOB/TEXT row columns (2-byte length prefix)") {
+    val f = new FileBuilder
+    f.event(T0, 15, new Array[Byte](84))
+    val tm = {
+      val o = new ByteArrayOutputStream()
+      (0 until 6).foreach(i => o.write(((6L >> (8 * i)) & 0xFF).toInt))
+      o.write(le(0, 2))
+      o.write(1); o.write("s".getBytes); o.write(0)
+      o.write(1); o.write("t".getBytes); o.write(0)
+      o.write(1); o.write(252)            // one BLOB column
+      o.write(1); o.write(2)              // metadata: 2-byte length prefix
+      o.write(0)
+      o.toByteArray
+    }
+    f.event(T0, 19, tm)
+    val payload = "hello blob"
+    val rows = {
+      val o = new ByteArrayOutputStream()
+      (0 until 6).foreach(i => o.write(((6L >> (8 * i)) & 0xFF).toInt))
+      o.write(le(0, 2)); o.write(le(2, 2))
+      o.write(1); o.write(0x01); o.write(0x00)
+      o.write(le(payload.length, 2))
+      o.write(payload.getBytes("UTF-8"))
+      o.toByteArray
+    }
+    f.event(T0 + 1, 30, rows)
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000006").toSeq
+    assert(evs(2).row_images == Seq(Seq(payload)))
+  }
+
   test("decodes NEWDECIMAL row columns (sign, group packing)") {
     def file(metaPrecision: Int, metaScale: Int, value: Array[Byte]): Seq[Seq[String]] = {
       val f = new FileBuilder
