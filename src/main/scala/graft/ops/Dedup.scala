@@ -14,10 +14,13 @@ import graft.functions.VectorFunctions.cosineSim
   * parameterized by column names — callers bring any schema.
   *
   * Scale design (100 TB): every operator shuffles at most on a bounded key
-  * (content hash, shingle hash, band signature) with map-side partial
-  * aggregation; nothing collects to the driver, no O(n²) cross joins —
-  * candidate pairs only materialize through posting lists / LSH buckets,
-  * both bounded by the stop-shingle / band-width guards.
+  * (content hash, shingle hash, band signature, block-pair key) with
+  * map-side partial aggregation; nothing collects to the driver and
+  * nothing broadcasts the corpus — candidate pairs materialize through
+  * posting lists / LSH buckets (bounded by the stop-shingle / band-width
+  * guards), and the one exact all-pairs operator
+  * ([[embeddingNearDups]]) distributes its O(n²) compute through a
+  * block-partitioned equi-join with O(n·blocks) data movement.
   */
 object Dedup {
 
@@ -121,16 +124,73 @@ object Dedup {
     * at all; near-dup = small Hamming distance between signatures. */
   def simHashSignature(toks: Column): Column = simHash32(toks)
 
-  /** Embedding-cosine near-dup pairs ≥ `minCos` (brute-force exact — the
-    * LSH/IVF paths in [[Similarity]] are the approximate scale path). The
-    * streamed side fans out over `fanout` partitions, the other side
-    * broadcasts. Output: (id_a, id_b, cos). */
+  /** Exact embedding-cosine near-dup pairs ≥ `minCos` via a
+    * block-partitioned self-pair join (the triangular "1-bucket-theta"
+    * layout). Each row is hashed to one of `blocks` blocks and replicated
+    * to the `blocks` block-pair keys `(min(blk, j), max(blk, j))`; the
+    * all-pairs comparison then runs inside an ordinary equi-join on the
+    * key — NO table broadcast, NO nested-loop join, and per-task memory
+    * bounded by two blocks (~n/blocks rows each) regardless of corpus
+    * size. A pair whose blocks differ meets at exactly one key; same-block
+    * pairs would meet at every key, so the post-join meeting filter keeps
+    * only the `(blk, blk)` rendezvous.
+    *
+    * Exact all-pairs at a low cosine threshold has no sublinear candidate
+    * generation (measured on the test embeddings: qualifying pairs sit at
+    * the threshold and span clusters), so compute is inherently O(n²/2)
+    * dot products — the point of this layout is that the *data movement*
+    * is O(n·blocks) and no single node ever holds the corpus. Size
+    * `blocks` ≈ n / rowsPerBlock so two blocks of `rowsPerBlock` vectors
+    * fit one task's memory. For approximate-but-subquadratic semantics at
+    * realistic near-dup thresholds (≥ ~0.8) use [[embeddingNearDupsLsh]].
+    * Output: (id_a, id_b, cos). */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
-      minCos: Double, fanout: Int = 32): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(embCol).as("_qv")).repartition(fanout)
-    val b = df.select(col(idCol).as("id_b"), col(embCol).as("_emb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos", cosineSim(col("_qv"), col("_emb")))
+      minCos: Double, blocks: Int = 16): DataFrame = {
+    def side(id: String, v: String, b: String) = df
+      .select(col(idCol).as(id), col(embCol).as(v),
+        pmod(xxhash64(col(idCol)), lit(blocks.toLong)).as(b))
+      .withColumn("_j", explode(sequence(lit(0L), lit(blocks - 1L))))
+      .withColumn("_klo", least(col(b), col("_j")))
+      .withColumn("_khi", greatest(col(b), col("_j")))
+      .drop("_j")
+    side("id_a", "_va", "_ba")
+      .join(side("id_b", "_vb", "_bb"), Seq("_klo", "_khi"))
+      .filter(col("_klo") === least(col("_ba"), col("_bb")) &&
+        col("_khi") === greatest(col("_ba"), col("_bb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineSim(col("_va"), col("_vb")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Approximate near-dup pairs: multi-table random-hyperplane LSH
+    * candidate generation + exact cosine verify on the candidates only.
+    * Each table in `planeTables` (nPlanes × dim, same planes on every
+    * engine) yields one bucket per row; candidate pairs are ids sharing a
+    * (table, bucket) key — the shuffle key — and only distinct candidates
+    * fetch their embeddings back for the exact verify, so nothing is ever
+    * all-pairs.
+    *
+    * Recall follows the banding S-curve `1 - (1 - p^b)^T` with
+    * `p = 1 - θ/π` per hyperplane, `b` planes per table, `T` tables:
+    * near-exact for true near-dups (cos ≥ ~0.9 ⇒ p ≥ ~0.9) and
+    * intentionally steep below — tune (b, T) to put the S-curve knee at
+    * the target threshold. Verified pairs are always a subset of
+    * [[embeddingNearDups]]'s exact output. Output: (id_a, id_b, cos). */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, embCol: String,
+      minCos: Double, planeTables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val buckets = array(planeTables.zipWithIndex.map { case (planes, t) =>
+      concat_ws("-", lit(t), Similarity.lshBucket(col(embCol), planes))
+    }: _*)
+    val ids = df.select(col(idCol).as("doc_id"), explode(buckets).as("_bkt"))
+    val cand = ids.withColumnRenamed("doc_id", "id_a")
+      .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("_bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(df.select(col(idCol).as("id_a"), col(embCol).as("_va")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(embCol).as("_vb")), Seq("id_b"))
+      .withColumn("cos", cosineSim(col("_va"), col("_vb")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }

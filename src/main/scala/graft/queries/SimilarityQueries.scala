@@ -32,37 +32,38 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------- planes
 
-  /** Deterministic ±1 hyperplane matrix (8 planes × 64 dims) from md5
-    * parity — generated once, embedded as a literal on both engines. */
-  lazy val planes: Seq[Seq[Int]] = {
+  /** Deterministic ±1 hyperplane matrix (`nPlanes` × 64 dims) from md5
+    * parity of `"${prefix}_${j}_${i}"` — generated once, embedded as a
+    * literal on both engines. */
+  private def planeTable(prefix: String, nPlanes: Int): Seq[Seq[Int]] = {
     val md = MessageDigest.getInstance("MD5")
-    (0 until 8).map { j =>
+    (0 until nPlanes).map { j =>
       (0 until 64).map { i =>
-        val h = md.digest(s"plane_${j}_$i".getBytes("UTF-8"))
+        val h = md.digest(s"${prefix}_${j}_$i".getBytes("UTF-8"))
         if ((h(0) & 1) == 0) 1 else -1
       }
     }
   }
 
-  private lazy val planesSparkLit: String =
-    planes.map(_.mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+  /** The s02 bucket table (8 planes × 64 dims). */
+  lazy val planes: Seq[Seq[Int]] = planeTable("plane", 8)
 
-  private lazy val planesDuckLit: String =
-    planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+  /** The d07 banding tables: 8 independent tables × 8 planes. */
+  lazy val lshTables: Seq[Seq[Seq[Int]]] =
+    (0 until 8).map(t => planeTable(s"tplane_$t", 8))
 
-  /** 8-bit LSH bucket of an `array<float>` column named `embedding`
-    * (Spark SQL expression text). */
-  private lazy val bucketSparkExpr: String =
-    "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + IF(" +
-      "aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (s, i) -> " +
-      s"s + CAST(element_at(embedding, i) AS DOUBLE) * element_at(element_at($planesSparkLit, j + 1), i)" +
-      ") > 0.0, shiftleft(1L, j), 0L))"
-
-  private lazy val bucketDuckExpr: String =
-    "CAST(list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
-      "list_sum(list_transform(range(1, 65), i -> " +
-      s"CAST(embedding[i] AS DOUBLE) * ($planesDuckLit)[j + 1][i]" +
+  /** DuckDB SQL for the hyperplane bucket of list-of-float `embCol` under
+    * `planes` — the exact mirror of [[graft.ops.Similarity.lshBucket]]
+    * (same ascending fold, double precision). */
+  private def duckBucket(planes: Seq[Seq[Int]], embCol: String): String = {
+    val planesLit = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"CAST(list_sum(list_transform(range(0, ${planes.size}), j -> CASE WHEN " +
+      s"list_sum(list_transform(range(1, ${planes.head.size + 1}), i -> " +
+      s"CAST($embCol[i] AS DOUBLE) * ($planesLit)[j + 1][i]" +
       ")) > 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+  }
+
+  private lazy val bucketDuckExpr: String = duckBucket(planes, "embedding")
 
   private val duckCos: String =
     "list_sum(list_transform(list_zip(qv, embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
@@ -189,16 +190,16 @@ object SimilarityQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
-  // d05 — embedding-cosine near-dup pairs (brute-force exact baseline;
-  // the LSH bucketing above is the scale path for the same predicate).
-  def d05EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val fanout = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+  // d05 — embedding-cosine near-dup pairs, exact: block-partitioned pair
+  // join (no corpus broadcast, no nested-loop join — see
+  // Dedup.embeddingNearDups). d07 is the approximate subquadratic path
+  // for the same predicate.
+  def d05EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.embeddingNearDups(
-        Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45, fanout)
+        Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45, blocks = 8)
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
         floor(col("cos") * 1000000).cast("long").as("cos_micros"))
       .orderBy("vec_a", "vec_b")
-  }
 
   val d05Oracle: String =
     s"""SELECT vec_a, vec_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros FROM (
@@ -209,11 +210,46 @@ object SimilarityQueries {
       |WHERE cos >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // d07 — the approximate scale path for d05's predicate: multi-table
+  // hyperplane-LSH candidates + exact cosine verify on candidates only.
+  // The oracle mirrors the candidate generation (same deterministic plane
+  // literals), so the gate checks blocking + verify cross-engine; measured
+  // on this data no blocking scheme reaches recall 1.0 at cos 0.45
+  // (qualifying pairs sit at the threshold), which is why the exact d05
+  // keeps the all-pairs oracle and d07 owns the banding S-curve semantics
+  // (recall ≈ 1 at true near-dup thresholds — see EmbeddingDedupSpec).
+  def d07EmbedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.embeddingNearDupsLsh(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45,
+        lshTables.map(_.map(_.map(_.toDouble))))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        floor(col("cos") * 1000000).cast("long").as("cos_micros"))
+      .orderBy("vec_a", "vec_b")
+
+  val d07Oracle: String = {
+    val buckets = lshTables.zipWithIndex.map { case (p, t) =>
+      s"'$t-' || CAST(${duckBucket(p, "embedding")} AS VARCHAR)"
+    }.mkString(", ")
+    val cosAB =
+      "list_sum(list_transform(list_zip(ea.embedding, eb.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+        " / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        " * list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, unnest([$buckets]) AS bkt FROM e),
+      |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      |  FROM x a JOIN x b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+      |scored AS (SELECT va AS vec_a, vb AS vec_b, $cosAB AS cos
+      |  FROM cand JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id)
+      |SELECT vec_a, vec_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micros
+      |FROM scored WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
+    "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -221,5 +257,6 @@ object SimilarityQueries {
     "s02_ann_lsh" -> s02Oracle,
     "s03_ann_ivf" -> s03Oracle,
     "d05_embed_neardup" -> d05Oracle,
+    "d07_embed_neardup_lsh" -> d07Oracle,
   )
 }

@@ -50,14 +50,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("d05 embedding pair join: broadcast nested loop with fanned-out stream side") {
-    // the O(n²/2) pair join SHOULD be a BroadcastNestedLoopJoin (non-equi
-    // condition) — what must not happen is a single-partition stream side
+  test("d05 embedding pair join: block-partitioned equi-join, no broadcast of the corpus") {
+    // the exact pair comparison must run inside an equi-join on the
+    // block-pair key — never a BroadcastNestedLoopJoin or cartesian
+    // (the r2 all-pairs broadcast was the one named scale-killer)
     val df = SimilarityQueries.d05EmbedNearDup(spark, dir)
     val p = plan(df)
-    assert(p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("Exchange RoundRobinPartitioning") || p.contains("REPARTITION"),
-      "stream side not fanned out across partitions")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "corpus-broadcast nested loop is back")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on the block-pair key:\n$p")
+  }
+
+  test("d07 LSH near-dup: bucket equi-join, no all-pairs operator anywhere") {
+    val p = plan(SimilarityQueries.d07EmbedNearDupLsh(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("s01/s02: query sets broadcast; corpus scanned once per query") {

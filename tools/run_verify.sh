@@ -1,9 +1,10 @@
 #!/bin/bash
 # Dev harness: run graft.Verify against a testdata dir without sbt startup cost.
-# Usage: tools/run_verify.sh [sfdir] [outdir]
+# Usage: tools/run_verify.sh [sfdir] [outdir] [query-prefix,query-prefix,...]
 set -e
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
+shift $(( $# > 2 ? 2 : $# ))
 CLASSES=/root/repo/target/scala-2.13/classes
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -15,4 +16,4 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$CLASSES:/opt/spark/jars/*" graft.Verify "$SF" "$OUT"
+  -cp "$CLASSES:/opt/spark/jars/*" graft.Verify "$SF" "$OUT" "$@"
