@@ -52,18 +52,42 @@ object SimilarityQueries {
   lazy val lshTables: Seq[Seq[Seq[Int]]] =
     (0 until 8).map(t => planeTable(s"tplane_$t", 8))
 
-  /** DuckDB SQL for the hyperplane bucket of list-of-float `embCol` under
-    * `planes` — the exact mirror of [[graft.ops.Similarity.lshBucket]]
-    * (same ascending fold, double precision). */
-  private def duckBucket(planes: Seq[Seq[Int]], embCol: String): String = {
-    val planesLit = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    s"CAST(list_sum(list_transform(range(0, ${planes.size}), j -> CASE WHEN " +
-      s"list_sum(list_transform(range(1, ${planes.head.size + 1}), i -> " +
-      s"CAST($embCol[i] AS DOUBLE) * ($planesLit)[j + 1][i]" +
-      ")) > 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
-  }
+  /** DuckDB `VALUES` rows `(tbl, pj, pvec)` — one row per plane, `pvec`
+    * a 64-element ±1 list literal. Feeding the planes in as a relation
+    * (instead of inlining the whole matrix literal inside a
+    * `list_transform` lambda, which DuckDB re-evaluates per element —
+    * round 3's gate-breaking >10-min oracle) keeps the oracle vectorized:
+    * the dot product folds over a *column* reference, so the full d07
+    * bucket computation runs in ~0.1 s at sf0.01. */
+  private def duckPlanesValues(tables: Seq[Seq[Seq[Int]]]): String =
+    tables.zipWithIndex.flatMap { case (pls, t) =>
+      pls.zipWithIndex.map { case (p, j) =>
+        s"($t, $j, ${p.mkString("[", ", ", "]")})"
+      }
+    }.mkString(",\n      |  ")
 
-  private lazy val bucketDuckExpr: String = duckBucket(planes, "embedding")
+  /** CTE bodies computing per-(vec_id, tbl) hyperplane buckets over the
+    * `embeddings` view — the exact mirror of
+    * [[graft.ops.Similarity.lshBucket]]: the dot product is the same
+    * ascending i-fold in double precision (`list_sum` over
+    * `list_transform(range(1, 65), ...)`), and the bucket is a sum of
+    * distinct powers of two (integer, order-independent), so the `> 0.0`
+    * sign test is bit-identical cross-engine. Yields CTEs `pl`, `dots`,
+    * `bk(vec_id, tbl, bucket)`. */
+  private def duckBucketCtes(tables: Seq[Seq[Seq[Int]]]): String = {
+    val dim = tables.head.head.size
+    s"""pl(tbl, pj, pvec) AS (VALUES ${duckPlanesValues(tables)}),
+      |dots AS (
+      |  SELECT e.vec_id, p.tbl, p.pj,
+      |    list_sum(list_transform(range(1, ${dim + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * p.pvec[i])) AS dot
+      |  FROM embeddings e CROSS JOIN pl p
+      |),
+      |bk AS (
+      |  SELECT vec_id, tbl,
+      |    CAST(sum(CASE WHEN dot > 0.0 THEN CAST(1 AS BIGINT) << pj ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, tbl
+      |)""".stripMargin
+  }
 
   private val duckCos: String =
     "list_sum(list_transform(list_zip(qv, embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
@@ -109,8 +133,9 @@ object SimilarityQueries {
   }
 
   val s02Oracle: String =
-    s"""WITH b AS (
-      |  SELECT vec_id, embedding, $bucketDuckExpr AS bucket FROM embeddings
+    s"""WITH ${duckBucketCtes(Seq(planes))},
+      |b AS (
+      |  SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id)
       |), q AS (
       |  SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
       |  FROM b WHERE vec_id % 50 = 0
@@ -227,15 +252,13 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
 
   val d07Oracle: String = {
-    val buckets = lshTables.zipWithIndex.map { case (p, t) =>
-      s"'$t-' || CAST(${duckBucket(p, "embedding")} AS VARCHAR)"
-    }.mkString(", ")
     val cosAB =
       "list_sum(list_transform(list_zip(ea.embedding, eb.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
         " / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
         " * list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      |x AS (SELECT vec_id, unnest([$buckets]) AS bkt FROM e),
+    s"""WITH ${duckBucketCtes(lshTables)},
+      |e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, CAST(tbl AS VARCHAR) || '-' || CAST(bucket AS VARCHAR) AS bkt FROM bk),
       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
       |  FROM x a JOIN x b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
       |scored AS (SELECT va AS vec_a, vb AS vec_b, $cosAB AS cos
