@@ -161,10 +161,17 @@ object BinlogBinaryParser {
             while (c < colCount) { types(c) = body.get & 0xFF; c += 1 }
             val metaLen = readPackedInt(body)
             val metaEnd = body.position() + metaLen
+            // validate every type code BEFORE consuming metadata — an
+            // unknown code means the meta layout is uninterpretable, and
+            // a width mismatch means it was misinterpreted; both must fail
+            // this TABLE_MAP loudly (→ body_decode_error, no registration)
+            val widths = types.map(metadataWidth)
+            require(widths.sum == metaLen,
+              s"TABLE_MAP metadata length $metaLen != expected ${widths.sum}")
             val meta = new Array[Int](colCount)
             c = 0
-            while (c < colCount && body.position() < metaEnd) {
-              meta(c) = metadataWidth(types(c)) match {
+            while (c < colCount) {
+              meta(c) = widths(c) match {
                 case 0 => 0
                 case 1 => body.get & 0xFF
                 case 2 => body.getShort & 0xFFFF
@@ -252,15 +259,27 @@ object BinlogBinaryParser {
     }
   }
 
-  /** Bytes of per-column metadata in TABLE_MAP for a column type. */
+  /** Bytes of per-column metadata in TABLE_MAP for a column type (the
+    * public table from the MySQL row-based-replication format). The match
+    * is exhaustive over known types on purpose: an unknown type code must
+    * FAIL the TABLE_MAP decode (→ `body_decode_error`, no table
+    * registration) rather than default to 0 and silently misalign every
+    * later column's metadata — the silent-wrong-decode hazard ADVICE r2/r3
+    * flagged for BIT/JSON/GEOMETRY, which are now covered. */
   private def metadataWidth(t: Int): Int = t match {
-    case 4 | 5 => 1          // FLOAT / DOUBLE: value width
-    case 252 => 1            // BLOB: length-prefix width
-    case 15 | 253 => 2       // VARCHAR / VAR_STRING: max length
-    case 246 => 2            // NEWDECIMAL: precision + scale
-    case 254 | 247 | 248 => 2 // STRING / ENUM / SET
-    case 17 | 18 | 19 => 1   // TIMESTAMP2 / DATETIME2 / TIME2: fsp
-    case _ => 0
+    case 4 | 5 => 1               // FLOAT / DOUBLE: value width
+    case 249 | 250 | 251 | 252 => 1 // TINY/MEDIUM/LONG_/BLOB: length-prefix width
+    case 245 | 255 => 1           // JSON / GEOMETRY: length-prefix width
+    case 15 | 253 => 2            // VARCHAR / VAR_STRING: max length
+    case 246 => 2                 // NEWDECIMAL: precision + scale
+    case 254 | 247 | 248 => 2     // STRING / ENUM / SET: [real_type, pack_len]
+    case 16 => 2                  // BIT: [bits % 8, bytes]
+    case 17 | 18 | 19 => 1        // TIMESTAMP2 / DATETIME2 / TIME2: fsp
+    case 0 | 1 | 2 | 3 | 6 | 7 | 8 | 9 | 10 | 11 | 12 | 13 | 14 => 0
+      // DECIMAL, TINY..INT24, NULL, TIMESTAMP, DATE, TIME, DATETIME,
+      // YEAR, NEWDATE: no metadata
+    case other => throw new IllegalArgumentException(
+      s"unknown column type $other in TABLE_MAP metadata")
   }
 
   private def bit(bitmap: Array[Byte], i: Int): Boolean =
@@ -380,13 +399,65 @@ object BinlogBinaryParser {
         val micros = readFrac(body, m)
         val base = f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$second%02d"
         if (m == 0) base else base + "." + f"$micros%06d"
+      case 19 =>                                                // TIME2
+        // 3 bytes BIG-endian around offset 0x800000: hour(10) min(6) sec(6)
+        val raw = readBigEndian(body, 3)
+        val neg = raw < 0x800000L
+        val v = if (neg) 0x800000L - raw else raw - 0x800000L
+        val micros = readFrac(body, m)
+        val base = f"${(v >> 12) & 0x3FF}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d"
+        (if (neg) "-" else "") + (if (m == 0) base else base + "." + f"$micros%06d")
+      case 10 | 14 =>                                           // DATE / NEWDATE
+        // 3 bytes little-endian packed: day(5) month(4) year(rest)
+        val v = readLittleEndian(body, 3)
+        f"${v >> 9}%04d-${(v >> 5) & 0xF}%02d-${v & 0x1F}%02d"
+      case 13 =>                                                // YEAR
+        val v = body.get & 0xFF
+        if (v == 0) "0000" else (1900 + v).toString
       case 246 =>                                               // NEWDECIMAL
         decodeNewDecimal(body, precision = m & 0xFF, scale = (m >> 8) & 0xFF)
-      case 252 =>                                               // BLOB/TEXT
+      case 249 | 250 | 251 | 252 =>                             // BLOB/TEXT
         // m = width of the little-endian length prefix (1..4 bytes)
         val len = readLittleEndian(body, m).toInt
         val s = new Array[Byte](len); body.get(s)
         new String(s, "UTF-8")
+      case 245 =>                                               // JSON
+        // m = length-prefix width; payload is MySQL binary JSON,
+        // rendered to compact JSON text
+        val len = readLittleEndian(body, m).toInt
+        val s = new Array[Byte](len); body.get(s)
+        JsonBinary.decode(s)
+      case 255 =>                                               // GEOMETRY
+        // m = length-prefix width; payload is WKB (SRID + geometry),
+        // surfaced as lowercase hex — the comparison treats it opaquely
+        val len = readLittleEndian(body, m).toInt
+        val s = new Array[Byte](len); body.get(s)
+        s.map(b => f"${b & 0xFF}%02x").mkString
+      case 16 =>                                                // BIT
+        // m = [bits % 8, whole bytes]; value is ceil(bits/8) bytes
+        // BIG-endian, surfaced as an unsigned integer
+        val bitLen = m & 0xFF
+        val nBytes = ((m >> 8) & 0xFF) + (if (bitLen > 0) 1 else 0)
+        readBigEndian(body, nBytes).toString
+      case 254 =>
+        // STRING carries the REAL type in metadata byte 0 (ENUM/SET
+        // columns reach the binlog as type 254): byte0 = real type with
+        // two high length bits folded into ~0x30, byte1 = pack length.
+        val m0 = m & 0xFF
+        val m1 = (m >> 8) & 0xFF
+        val (realType, packLen) =
+          if ((m0 & 0x30) != 0x30) ((m0 | 0x30), m1 | (((m0 & 0x30) ^ 0x30) << 4))
+          else (m0, m1)
+        realType match {
+          case 247 => // ENUM: 1- or 2-byte little-endian ordinal (1-based)
+            readLittleEndian(body, packLen).toString
+          case 248 => // SET: little-endian member bitmask
+            readLittleEndian(body, packLen).toString
+          case _ =>   // CHAR: length-prefixed like VARCHAR
+            val len = if (packLen < 256) body.get & 0xFF else body.getShort & 0xFFFF
+            val s = new Array[Byte](len); body.get(s)
+            new String(s, "UTF-8")
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported column type $other")
     }
@@ -408,6 +479,114 @@ object BinlogBinaryParser {
       if (isUpdate) useSecond = !useSecond
     }
     out.toSeq
+  }
+
+  /** MySQL binary JSON (the public `JSON` storage/replication format:
+    * type byte + value; small/large objects and arrays with
+    * offset-or-inline value entries; varlen-prefixed strings) rendered to
+    * compact JSON text — no whitespace, keys in stored order — so the
+    * output is deterministic cross-engine. Reference surfaces JSON row
+    * columns through its external decoder (`/root/reference/README.md:
+    * 35-52`); here the document is decoded natively. */
+  private[ingest] object JsonBinary {
+
+    def decode(d: Array[Byte]): String = {
+      if (d.isEmpty) return "null"
+      val sb = new StringBuilder
+      value(d, d(0) & 0xFF, 1, sb)
+      sb.toString
+    }
+
+    private def readLE(d: Array[Byte], off: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (d(off + i) & 0xFFL) << (8 * i); i += 1 }
+      v
+    }
+
+    /** Variable-length length: 7 data bits per byte (low bits first),
+      * high bit = continuation. Returns (length, next offset). */
+    private def varlen(d: Array[Byte], off0: Int): (Int, Int) = {
+      var len = 0L; var off = off0; var shift = 0; var cont = true
+      while (cont) {
+        val b = d(off) & 0xFF
+        len |= (b & 0x7FL) << shift
+        shift += 7; off += 1; cont = (b & 0x80) != 0
+      }
+      (len.toInt, off)
+    }
+
+    private def escape(s: String): String = {
+      val sb = new StringBuilder
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+
+    /** Render the value of binary type `t` whose payload starts at
+      * absolute offset `off`. */
+    private def value(d: Array[Byte], t: Int, off: Int, sb: StringBuilder): Unit =
+      t match {
+        case 0x00 | 0x01 => container(d, off, large = t == 0x01, isObj = true, sb)
+        case 0x02 | 0x03 => container(d, off, large = t == 0x03, isObj = false, sb)
+        case 0x04 => sb.append((d(off) & 0xFF) match {
+          case 1 => "true"; case 2 => "false"; case _ => "null"
+        })
+        case 0x05 => sb.append(readLE(d, off, 2).toShort.toString)
+        case 0x06 => sb.append((readLE(d, off, 2) & 0xFFFF).toString)
+        case 0x07 => sb.append(readLE(d, off, 4).toInt.toString)
+        case 0x08 => sb.append((readLE(d, off, 4) & 0xFFFFFFFFL).toString)
+        case 0x09 => sb.append(readLE(d, off, 8).toString)
+        case 0x0a => sb.append(java.lang.Long.toUnsignedString(readLE(d, off, 8)))
+        case 0x0b =>
+          sb.append(java.lang.Double.longBitsToDouble(readLE(d, off, 8)).toString)
+        case 0x0c =>
+          val (len, p) = varlen(d, off)
+          sb.append('"').append(escape(new String(d, p, len, "UTF-8"))).append('"')
+        case other =>
+          throw new IllegalArgumentException(s"unsupported JSON binary type $other")
+      }
+
+    /** Objects/arrays: header (count, size), then for objects a key-entry
+      * table (offset + length), then value entries — each a type byte plus
+      * either an inline scalar or an offset relative to the container
+      * start (`base`). Small containers use 2-byte words, large 4-byte;
+      * int32/uint32 inline only in large. */
+    private def container(d: Array[Byte], base: Int, large: Boolean,
+        isObj: Boolean, sb: StringBuilder): Unit = {
+      val w = if (large) 4 else 2
+      val count = readLE(d, base, w).toInt
+      val keyTable = base + 2 * w
+      val valTable = keyTable + (if (isObj) count * (w + 2) else 0)
+      sb.append(if (isObj) '{' else '[')
+      var i = 0
+      while (i < count) {
+        if (i > 0) sb.append(',')
+        if (isObj) {
+          val ke = keyTable + i * (w + 2)
+          val keyOff = readLE(d, ke, w).toInt
+          val keyLen = readLE(d, ke + w, 2).toInt
+          sb.append('"').append(escape(new String(d, base + keyOff, keyLen, "UTF-8")))
+            .append("\":")
+        }
+        val ve = valTable + i * (w + 1)
+        val vt = d(ve) & 0xFF
+        val inline = vt == 0x04 || vt == 0x05 || vt == 0x06 ||
+          (large && (vt == 0x07 || vt == 0x08))
+        if (inline) value(d, vt, ve + 1, sb)
+        else value(d, vt, base + readLE(d, ve + 1, w).toInt, sb)
+        i += 1
+      }
+      sb.append(if (isObj) '}' else ']')
+    }
   }
 
   private def formatUuid(sid: Array[Byte]): String = {

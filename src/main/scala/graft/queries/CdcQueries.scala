@@ -264,11 +264,116 @@ object CdcQueries {
       |  FROM joined2, tol t)
       |GROUP BY tolerance_ms, status ORDER BY tolerance_ms, status""".stripMargin
 
+  // cdc05 — S1 end-to-end under the oracle gate: the first 200 `orders`
+  // rows are encoded into REAL binlog v4 binary files (CRC32-checksummed;
+  // LONGLONG, BIT, ENUM-as-STRING, binary JSON, LONG, NEWDECIMAL, DATE,
+  // VARCHAR columns — the metadata-bearing types deliberately placed
+  // BEFORE the decimal/varchar columns so any TABLE_MAP metadata
+  // misalignment corrupts them), decoded back through
+  // `spark.read.format("binlog")`, and compared by the oracle against the
+  // same parquet rows in DuckDB. Fixture generation is driver-side by
+  // design (200 rows, a test vector — not a data path); the decode is the
+  // distributed DSv2 scan under test. Reference Stage 1:
+  // /root/reference/comparator.sh:85-101, README.md:35-52.
+  def cdc05BinarySource(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = writeCdc05Fixture(spark, dir)
+    spark.read.format("binlog").load(fixtureDir)
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(explode(col("row_images")).as("img"))
+      .select(
+        element_at(col("img"), 1).cast("long").as("o_orderkey"),
+        element_at(col("img"), 2).cast("long").as("flags_bit"),
+        element_at(col("img"), 3).cast("long").as("status_idx"),
+        element_at(col("img"), 4).as("meta_json"),
+        element_at(col("img"), 5).cast("long").as("o_custkey"),
+        element_at(col("img"), 6).as("total_dec"),
+        element_at(col("img"), 7).as("o_date"),
+        element_at(col("img"), 8).as("priority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Encode the cdc05 test vector: 200 orders rows → two checksummed
+    * binlog files (two 50-row WRITE_ROWS events per file, wrapped in
+    * GTID/BEGIN/XID). Deterministic bytes per input dir; rewritten on
+    * every call (a few KB). */
+  private def writeCdc05Fixture(spark: SparkSession, dir: String): String = {
+    import graft.ingest.BinlogBinaryWriter._
+    val rows = Tables.orders(spark, dir)
+      .orderBy("o_orderkey")
+      .limit(200)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        Tables.cents(col("o_totalprice")).as("cents"),
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"), col("o_orderpriority"))
+      .collect()
+
+    val cols = Seq(
+      ColDef.longlong,          // o_orderkey
+      ColDef.bit(12),           // o_orderkey % 4096
+      ColDef.enum(1),           // o_orderstatus ordinal (F=1, O=2, P=3)
+      ColDef.json(4),           // {"k": o_orderkey, "p": priority}
+      ColDef.long,              // o_custkey
+      ColDef.newDecimal(14, 2), // o_totalprice
+      ColDef.date,              // o_orderdate
+      ColDef.varchar(20))       // o_orderpriority
+
+    def image(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] = {
+      val key = r.getLong(0)
+      val status = r.getString(2)
+      val ordinal = status match { case "F" => 1; case "O" => 2; case "P" => 3 }
+      Seq(
+        Some(encLongLong(key)),
+        Some(encBit(key % 4096, 12)),
+        Some(encEnum(ordinal, 1)),
+        Some(encJson(Json.JObj(Seq(
+          "k" -> Json.JInt(key), "p" -> Json.JStr(r.getString(7)))), 4)),
+        Some(encLong(r.getLong(1).toInt)),
+        Some(encNewDecimal(r.getLong(3), 14, 2)),
+        Some(encDate(r.getInt(4), r.getInt(5), r.getInt(6))),
+        Some(encVarchar(r.getString(7), 20)))
+    }
+
+    val t0 = 1714564800L
+    val sid = (1 to 16).map(_.toByte).toArray
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_cdc05_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xFF}%02x").mkString)
+    out.mkdirs()
+    rows.grouped(100).zipWithIndex.foreach { case (fileRows, fi) =>
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      f.event(t0, 33, gtidBody(sid, fi + 1L))
+      f.event(t0, 2, queryBody("sf", "BEGIN"))
+      fileRows.grouped(50).foreach { batch =>
+        f.event(t0 + fi, 19, tableMapBody(11, "sf", "orders", cols))
+        f.event(t0 + fi, 30, rowsBody(11, cols.size, batch.map(image).toSeq))
+      }
+      f.event(t0 + fi, 16, xidBody(1000L + fi))
+      java.nio.file.Files.write(
+        new java.io.File(out, f"mysql-bin.${fi + 1}%06d").toPath, f.bytes)
+    }
+    out.getPath
+  }
+
+  val cdc05Oracle: String =
+    """SELECT o_orderkey,
+      |  o_orderkey % 4096 AS flags_bit,
+      |  CAST(CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 WHEN 'P' THEN 3 END AS BIGINT) AS status_idx,
+      |  '{"k":' || CAST(o_orderkey AS VARCHAR) || ',"p":"' || o_orderpriority || '"}' AS meta_json,
+      |  o_custkey,
+      |  CAST(c // 100 AS VARCHAR) || '.' || lpad(CAST(c % 100 AS VARCHAR), 2, '0') AS total_dec,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |  o_orderpriority AS priority
+      |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |      FROM orders ORDER BY o_orderkey LIMIT 200)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
     "cdc03_file_breakdown" -> (cdc03FileBreakdown _),
     "cdc04_tolerance_sweep" -> (cdc04ToleranceSweep _),
+    "cdc05_binary_source" -> (cdc05BinarySource _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,5 +381,6 @@ object CdcQueries {
     "cdc02_summary" -> cdc02Oracle,
     "cdc03_file_breakdown" -> cdc03Oracle,
     "cdc04_tolerance_sweep" -> cdc04Oracle,
+    "cdc05_binary_source" -> cdc05Oracle,
   )
 }

@@ -1,0 +1,157 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.BinlogBinaryWriter._
+
+/** Round-trip coverage for the extended row-image type family (ADVICE
+  * r2/r3 items: BIT/JSON/GEOMETRY/ENUM/SET metadata widths and value
+  * decodes): every fixture is encoded with [[BinlogBinaryWriter]] and
+  * decoded with [[BinlogBinaryParser]], so the wire layout is asserted
+  * from both sides.
+  */
+class BinlogRoundTripSpec extends AnyFunSuite {
+
+  private val T0 = 1714564800L
+
+  private def decodeRows(cols: Seq[ColDef],
+      images: Seq[Seq[Option[Array[Byte]]]],
+      checksums: Boolean = false): Seq[Seq[String]] = {
+    val f = new FileBuilder(checksums)
+    f.fde(T0)
+    f.event(T0, 19, tableMapBody(5, "s", "t", cols))
+    f.event(T0 + 1, 30, rowsBody(5, cols.size, images))
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000009").toSeq
+    val rowsEv = evs.find(_.event_type == "WriteRowsEventV2").get
+    assert(!rowsEv.extra.contains("body_decode_error"),
+      s"decode error: ${rowsEv.extra}")
+    rowsEv.row_images
+  }
+
+  test("metadata-bearing types BEFORE varchar/decimal keep alignment") {
+    // The r2/r3 silent-corruption hazard: BIT/JSON/GEOMETRY metadata widths
+    // missing from metadataWidth misaligned every LATER column's metadata.
+    // This layout breaks loudly if any width regresses.
+    val cols = Seq(
+      ColDef.bit(12),
+      ColDef.json(4),
+      ColDef.geometry(4),
+      ColDef.enum(1),
+      ColDef.set(2),
+      ColDef.varchar(300),      // 2-byte length prefix (maxLen >= 256)
+      ColDef.newDecimal(10, 2),
+      ColDef.char(10))
+    val wkb = Array[Byte](0x01, 0x02, 0x03, 0xFF.toByte)
+    val img = Seq(
+      Some(encBit(0xABC, 12)),
+      Some(encJson(Json.JObj(Seq("a" -> Json.JInt(7))), 4)),
+      Some(encBlob(wkb, 4)),
+      Some(encEnum(2, 1)),
+      Some(encSet(0x5L, 2)),
+      Some(encVarchar("after the hazard", 300)),
+      Some(encNewDecimal(-1234567, 10, 2)),
+      Some(encVarchar("chr", 255)))  // CHAR pack length < 256: 1-byte prefix
+    assert(decodeRows(cols, Seq(img)) == Seq(Seq(
+      (0xABC).toString, """{"a":7}""", "010203ff", "2", "5",
+      "after the hazard", "-12345.67", "chr")))
+  }
+
+  test("unknown TABLE_MAP column type fails loudly, not misaligned") {
+    val f = new FileBuilder()
+    f.fde(T0)
+    // type 200 is not a known MySQL column type
+    f.event(T0, 19, tableMapBody(5, "s", "t", Seq(ColDef(200, Array.empty))))
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000009").toSeq
+    assert(evs(1).extra.contains("body_decode_error"))
+  }
+
+  test("ENUM 2-byte ordinals and SET masks round-trip") {
+    val cols = Seq(ColDef.enum(2), ColDef.set(8))
+    val img = Seq(Some(encEnum(300, 2)), Some(encSet(0x8000000000000001L, 8)))
+    assert(decodeRows(cols, Seq(img)) ==
+      Seq(Seq("300", 0x8000000000000001L.toString)))
+  }
+
+  test("binary JSON: nested containers, escapes, literals, int widths") {
+    def rt(j: Json): String = {
+      val cols = Seq(ColDef.json(4))
+      decodeRows(cols, Seq(Seq(Some(encJson(j, 4))))).head.head
+    }
+    assert(rt(Json.JNull) == "null")
+    assert(rt(Json.JBool(true)) == "true")
+    assert(rt(Json.JInt(42)) == "42")
+    assert(rt(Json.JInt(100000)) == "100000")              // int32 path
+    assert(rt(Json.JInt(1L << 40)) == (1L << 40).toString) // int64 path
+    assert(rt(Json.JStr("a\"b\\c\nd")) == "\"a\\\"b\\\\c\\nd\"")
+    assert(rt(Json.JArr(Seq(Json.JInt(1), Json.JBool(false), Json.JNull)))
+      == "[1,false,null]")
+    // keys stored (and rendered) in MySQL canonical order: length then bytes
+    assert(rt(Json.JObj(Seq(
+      "bb" -> Json.JInt(2), "a" -> Json.JInt(1),
+      "nested" -> Json.JObj(Seq("x" -> Json.JArr(Seq(Json.JStr("y"))))))))
+      == """{"a":1,"bb":2,"nested":{"x":["y"]}}""")
+  }
+
+  test("DATE / YEAR / TIME2 row columns") {
+    val cols = Seq(ColDef.date, ColDef.year, ColDef.time2(0), ColDef.time2(3))
+    def time2(h: Int, m: Int, s: Int): Array[Byte] = {
+      val v = 0x800000L + ((h.toLong << 12) | (m.toLong << 6) | s.toLong)
+      (0 until 3).reverse.map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    }
+    val img = Seq(
+      Some(encDate(1998, 10, 3)),
+      Some(Array(98.toByte)),                       // YEAR: 1900+98
+      Some(time2(13, 5, 9)),
+      Some(time2(1, 2, 3) ++ Array[Byte](0x04, 0xD2.toByte))) // .1234 (fsp=3 → 2B BE)
+    assert(decodeRows(cols, Seq(img)) ==
+      Seq(Seq("1998-10-03", "1998", "13:05:09", "01:02:03.123400")))
+  }
+
+  test("NULLs and checksummed multi-image events round-trip") {
+    val cols = Seq(ColDef.longlong, ColDef.json(4), ColDef.varchar(20))
+    val imgs = Seq(
+      Seq(Some(encLongLong(1)), None, Some(encVarchar("x", 20))),
+      Seq(Some(encLongLong(2)),
+        Some(encJson(Json.JArr(Seq(Json.JInt(9))), 4)), None))
+    assert(decodeRows(cols, imgs, checksums = true) == Seq(
+      Seq("1", null, "x"), Seq("2", "[9]", null)))
+  }
+
+  test("generative: random typed rows round-trip exactly") {
+    val rnd = new scala.util.Random(7)
+    (1 to 30).foreach { _ =>
+      val n = 1 + rnd.nextInt(6)
+      val colsAndCells: Seq[(ColDef, (Option[Array[Byte]], String))] =
+        (0 until n).map { _ =>
+          rnd.nextInt(7) match {
+            case 0 =>
+              val v = rnd.nextLong()
+              (ColDef.longlong, (Some(encLongLong(v)), v.toString))
+            case 1 =>
+              val v = rnd.nextInt(1 << 20)
+              (ColDef.bit(21), (Some(encBit(v.toLong, 21)), v.toString))
+            case 2 =>
+              val ord = 1 + rnd.nextInt(250)
+              (ColDef.enum(1), (Some(encEnum(ord, 1)), ord.toString))
+            case 3 =>
+              val s = rnd.alphanumeric.take(rnd.nextInt(30)).mkString
+              (ColDef.varchar(100), (Some(encVarchar(s, 100)), s))
+            case 4 =>
+              val unscaled = rnd.nextInt(2000000000) - 1000000000
+              (ColDef.newDecimal(15, 4),
+                (Some(encNewDecimal(unscaled.toLong, 15, 4)),
+                  f"${if (unscaled < 0) "-" else ""}${math.abs(unscaled.toLong) / 10000}.${math.abs(unscaled.toLong) % 10000}%04d"))
+            case 5 =>
+              val k = rnd.nextInt(10000)
+              (ColDef.json(4),
+                (Some(encJson(Json.JObj(Seq("v" -> Json.JInt(k.toLong))), 4)),
+                  s"""{"v":$k}"""))
+            case _ => (ColDef.long, (None, null))
+          }
+        }
+      val got = decodeRows(colsAndCells.map(_._1),
+        Seq(colsAndCells.map(_._2._1)), checksums = rnd.nextBoolean())
+      assert(got == Seq(colsAndCells.map(_._2._2)))
+    }
+  }
+}
