@@ -51,6 +51,7 @@ object Verify {
       .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    queries.CdcQueries.releaseCache() // leave no persisted frames behind
     spark.stop()
   }
 }

@@ -52,52 +52,87 @@ object BinlogBinaryParser {
     36 -> "TransactionContext", 37 -> "ViewChange", 38 -> "XAPrepareLog",
     39 -> "PartialUpdateRows", 40 -> "TransactionPayload", 41 -> "HeartbeatV2")
 
-  /** Read a directory/glob of raw `.bin`/`mysql-bin.NNNNNN` files. */
+  /** Read a directory/glob of raw `.bin`/`mysql-bin.NNNNNN` files. The
+    * decode streams from each file's `PortableDataStream` one event at a
+    * time — a task's heap holds one event body, not the whole file, so
+    * oversized binlogs (a transaction overshooting max_binlog_size, even
+    * past 2 GiB) decode without pinning file-sized buffers (ADVICE r2/r3:
+    * whole-file `toArray` + Int-truncated lengths). */
   def parse(spark: SparkSession, path: String): Dataset[ParsedBinlogEvent] = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (p, stream) =>
         val base = p.split('/').last
-        decodeFile(stream.toArray(), base)
+        decodeStream(stream.open(), base)
       }
       .toDS()
   }
 
-  /** Decode one whole binlog file (pure function — unit-testable). Malformed
-    * trailing bytes end the scan (warn-and-stop, the binary analogue of the
-    * reference's skip-malformed semantics); a bad magic fails loudly. */
-  def decodeFile(bytes: Array[Byte], basename: String): Iterator[ParsedBinlogEvent] = {
-    require(bytes.length >= 4 &&
-      bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
-      bytes(2) == Magic(2) && bytes(3) == Magic(3),
+  /** Decode one in-memory binlog file image (pure function — the spec
+    * surface). Delegates to the streaming decoder. */
+  def decodeFile(bytes: Array[Byte], basename: String): Iterator[ParsedBinlogEvent] =
+    decodeStream(new java.io.ByteArrayInputStream(bytes), basename)
+
+  /** Incrementally decode a binlog byte stream: one 19-byte common header
+    * + one event body in memory at a time, yielded lazily. Malformed or
+    * truncated trailing bytes end the scan (warn-and-stop, the binary
+    * analogue of the reference's skip-malformed semantics); a bad magic
+    * fails loudly. The stream is closed when the iterator is exhausted. */
+  def decodeStream(in: java.io.InputStream, basename: String): Iterator[ParsedBinlogEvent] = {
+    val magic = readN(in, 4)
+    require(magic.exists(java.util.Arrays.equals(_, Magic)),
       s"$basename: not a binlog file (bad magic)")
     val fileSeq = "\\.(\\d+)$".r.findFirstMatchIn(basename).map(_.group(1).toLong)
 
-    val out = collection.mutable.ArrayBuffer.empty[ParsedBinlogEvent]
-    var pos = 4
-    var index = 0L
-    // file-scoped decoder state
-    var curSchema = ""
-    var curTable = ""
-    var curGtid = ""
-    // CRC32 tail length on every event once the FDE declares checksums
-    var checksumLen = 0
-    // TABLE_MAP registry: table_id → (schema, table, column types, metadata)
-    val tableDefs = collection.mutable.Map.empty[Long, (String, String, Array[Int], Array[Int])]
+    new Iterator[ParsedBinlogEvent] {
+      private var index = 0L
+      // file-scoped decoder state
+      private var curSchema = ""
+      private var curTable = ""
+      private var curGtid = ""
+      // CRC32 tail length on every event once the FDE declares checksums
+      private var checksumLen = 0
+      // TABLE_MAP registry: table_id → (schema, table, col types, metadata)
+      private val tableDefs =
+        collection.mutable.Map.empty[Long, (String, String, Array[Int], Array[Int])]
 
-    while (pos + 19 <= bytes.length) {
-      val buf = ByteBuffer.wrap(bytes, pos, bytes.length - pos).order(ByteOrder.LITTLE_ENDIAN)
-      val tsSec = buf.getInt & 0xFFFFFFFFL
-      val typeCode = buf.get & 0xFF
-      val serverId = buf.getInt & 0xFFFFFFFFL
-      val eventSize = (buf.getInt & 0xFFFFFFFFL).toInt
-      val endLogPos = buf.getInt & 0xFFFFFFFFL
-      val flags = buf.getShort & 0xFFFF
-      if (eventSize < 19 || pos + eventSize > bytes.length) {
-        pos = bytes.length // malformed tail: stop (reference warns + skips)
-      } else {
-        val body = ByteBuffer.wrap(bytes, pos + 19, eventSize - 19)
-          .order(ByteOrder.LITTLE_ENDIAN)
+      private var nextEv: ParsedBinlogEvent = _
+      private var finished = false
+
+      override def hasNext: Boolean = {
+        if (nextEv == null && !finished) advance()
+        nextEv != null
+      }
+
+      override def next(): ParsedBinlogEvent = {
+        if (!hasNext) throw new NoSuchElementException
+        val e = nextEv; nextEv = null; e
+      }
+
+      private def stop(): Unit = {
+        finished = true
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+
+      private def advance(): Unit = readN(in, 19) match {
+        case None => stop() // clean EOF (or truncated header: stop)
+        case Some(header) => decodeOne(header)
+      }
+
+      private def decodeOne(header: Array[Byte]): Unit = {
+        val buf = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+        val tsSec = buf.getInt & 0xFFFFFFFFL
+        val typeCode = buf.get & 0xFF
+        val serverId = buf.getInt & 0xFFFFFFFFL
+        val eventSize = buf.getInt & 0xFFFFFFFFL
+        val endLogPos = buf.getInt & 0xFFFFFFFFL
+        val flags = buf.getShort & 0xFFFF
+        if (eventSize < 19 || eventSize > Int.MaxValue) { stop(); return }
+        val bodyBytes = readN(in, eventSize.toInt - 19) match {
+          case None => stop(); return // truncated tail: drop the event
+          case Some(b) => b
+        }
+        val body = ByteBuffer.wrap(bodyBytes).order(ByteOrder.LITTLE_ENDIAN)
         val name = eventTypeNames.getOrElse(typeCode, s"Type$typeCode")
         var query = ""
         var xid: Option[Long] = None
@@ -116,8 +151,8 @@ object BinlogBinaryParser {
         try typeCode match {
           case 15 => // FORMAT_DESCRIPTION: ends with [checksum_alg, crc32]
             // on servers that support binlog checksums (≥5.6.1)
-            if (eventSize - 19 >= 62) {
-              val alg = bytes(pos + eventSize - 5) & 0xFF
+            if (bodyBytes.length >= 62) {
+              val alg = bodyBytes(bodyBytes.length - 5) & 0xFF
               if (alg == 1) checksumLen = 4 else if (alg == 0) checksumLen = 0
               extra("checksum_alg") = alg.toString
             }
@@ -217,7 +252,7 @@ object BinlogBinaryParser {
 
         val rfc = Instant.ofEpochSecond(tsSec).atOffset(ZoneOffset.UTC)
           .format(DateTimeFormatter.ISO_OFFSET_DATE_TIME)
-        out += ParsedBinlogEvent(
+        nextEv = ParsedBinlogEvent(
           event_type = name,
           timestamp = rfc,
           immediate_commmit_timestamp = "",
@@ -235,10 +270,20 @@ object BinlogBinaryParser {
           row_images = rowImages)
         index += 1
         if (typeCode == 16) curGtid = "" // XID closes the transaction
-        pos += eventSize
       }
     }
-    out.iterator
+  }
+
+  /** Read exactly `n` bytes, or None if the stream ends first. */
+  private def readN(in: java.io.InputStream, n: Int): Option[Array[Byte]] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) return None
+      off += r
+    }
+    Some(buf)
   }
 
   private def readUInt48(b: ByteBuffer): Long = {

@@ -110,6 +110,17 @@ object CdcQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Unpersist and drop every comparison frame materialized by
+    * [[compared]] — the hygiene hook for long-lived sessions (without it
+    * cached partitions accumulate per (session, dir) forever; ADVICE
+    * r2/r3). Safe to call between query batches: the next cdc query
+    * simply re-materializes. */
+  def releaseCache(): Unit = {
+    val it = comparedCache.values().iterator()
+    while (it.hasNext) it.next().unpersist()
+    comparedCache.clear()
+  }
+
   /** Shared oracle CTE: per-event flags replaying the comparator semantics. */
   private val oracleCte: String =
     """WITH base AS (

@@ -121,24 +121,29 @@ private object BinlogFilePruning {
     case _ => false
   }
 
-  /** Does a file with this (basename, seq) possibly satisfy the filter? */
+  /** Does a file with this (basename, seq) possibly satisfy the filter?
+    * Conservative by construction: a null or non-numeric comparison value
+    * is undecidable per-file, so it keeps the file (pruning is a pure
+    * optimization — Spark re-evaluates every filter as residual; a pushed
+    * `IN (1, NULL)` must not fail the scan at planning, ADVICE r3). */
   def keeps(f: Filter, name: String, seq: Option[Long]): Boolean = f match {
     case EqualTo("binlog_file", v) => name == v
     case In("binlog_file", vs) => vs.contains(name)
-    case EqualTo("file_seq", v) => seq.contains(asLong(v))
-    case In("file_seq", vs) => seq.exists(s => vs.map(asLong).contains(s))
-    case GreaterThan("file_seq", v) => seq.exists(_ > asLong(v))
-    case GreaterThanOrEqual("file_seq", v) => seq.exists(_ >= asLong(v))
-    case LessThan("file_seq", v) => seq.exists(_ < asLong(v))
-    case LessThanOrEqual("file_seq", v) => seq.exists(_ <= asLong(v))
+    case EqualTo("file_seq", v) => asLong(v).forall(l => seq.contains(l))
+    case In("file_seq", vs) => vs.exists(v => asLong(v).forall(l => seq.contains(l)))
+    case GreaterThan("file_seq", v) => asLong(v).forall(l => seq.exists(_ > l))
+    case GreaterThanOrEqual("file_seq", v) => asLong(v).forall(l => seq.exists(_ >= l))
+    case LessThan("file_seq", v) => asLong(v).forall(l => seq.exists(_ < l))
+    case LessThanOrEqual("file_seq", v) => asLong(v).forall(l => seq.exists(_ <= l))
     case _ => true
   }
 
-  private def asLong(v: Any): Long = v match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case n: Number => n.longValue()
-    case other => throw new IllegalArgumentException(s"non-numeric file_seq: $other")
+  /** None = undecidable (null / non-numeric) → caller keeps the file. */
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case n: Number => Some(n.longValue())
+    case _ => None
   }
 
   def fileSeq(name: String): Option[Long] =
@@ -277,23 +282,21 @@ private class BinlogReaderFactory(required: StructType)
       partition.asInstanceOf[BinlogInputPartition].file, required)
 }
 
-/** Decodes one whole file on first `next()` and streams its events,
-  * projecting only the required columns. */
+/** Streams one file's events through the incremental decoder — heap holds
+  * one event body at a time (not the file), so arbitrarily large binlogs
+  * (≥2 GiB included) decode correctly. Projects only the required
+  * columns. */
 private class BinlogPartitionReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
+
+  private var stream: java.io.InputStream = _
 
   private lazy val events: Iterator[ParsedBinlogEvent] = {
     val p = new Path(file)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(p)
-    val bytes =
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        buf
-      } finally in.close()
-    BinlogBinaryParser.decodeFile(bytes, p.getName)
+    val in = new java.io.BufferedInputStream(fs.open(p), 1 << 16)
+    stream = in
+    BinlogBinaryParser.decodeStream(in, p.getName)
   }
 
   private var current: ParsedBinlogEvent = _
@@ -336,5 +339,8 @@ private class BinlogPartitionReader(file: String, required: StructType)
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (stream != null) {
+      try stream.close() catch { case _: java.io.IOException => () }
+    }
 }

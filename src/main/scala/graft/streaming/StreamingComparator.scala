@@ -79,7 +79,28 @@ object StreamingComparator {
     * cannot precede a stream-stream join. A live feed carries unique
     * (file, position) keys; if duplicates are possible, bound them upstream
     * with [[StreamingDedup]] instead.
+    *
+    * KNOWN DIVERGENCE from the batch path (ADVICE r3): a binlog row whose
+    * timestamp strings are BOTH empty/unparseable has no real event time;
+    * it is assigned epoch 0 here, the watermark classifies it as late and
+    * drops it, and its Avro partner surfaces as AVRO_ONLY — where the
+    * batch comparator flags the same pair MISMATCH_TS (the reference's
+    * Go-zero-time rule, compare_timestamps.go:206-216). To recover batch
+    * semantics, split those rows off with [[partitionUnparseableBinlog]]
+    * BEFORE this join and report them MISMATCH_TS out-of-band.
     */
+  /** Split a normalized binlog stream into (timestamped, untimestamped):
+    * rows in the second frame have no parseable commit timestamp at all,
+    * would be dropped by [[compareStreams]]'s watermark as epoch-0 late
+    * data, and per the batch semantics should be reported MISMATCH_TS
+    * out-of-band (see the divergence note on [[compareStreams]]). */
+  def partitionUnparseableBinlog(binlogStream: DataFrame): (DataFrame, DataFrame) = {
+    val parseable = coalesce(
+      Normalize.parseRfc3339(col("immediate_commmit_timestamp")),
+      Normalize.parseRfc3339(col("timestamp"))).isNotNull
+    (binlogStream.filter(parseable), binlogStream.filter(!parseable))
+  }
+
   def compareStreams(
       avroStream: DataFrame,
       binlogStream: DataFrame,

@@ -137,6 +137,44 @@ class BinlogDataSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(byPos.rdd.getNumPartitions == 3)
   }
 
+  test("null / non-numeric values in pushed filters keep the file (no throw)") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
+    // pruning is an optimization; undecidable values must be conservative
+    assert(BinlogFilePruning.keeps(In("file_seq", Array(1L, null)), "mysql-bin.000007", Some(7L)))
+    assert(!BinlogFilePruning.keeps(In("file_seq", Array(1L, 2L)), "mysql-bin.000007", Some(7L)))
+    assert(BinlogFilePruning.keeps(In("file_seq", Array(7L, null)), "mysql-bin.000007", Some(7L)))
+    assert(BinlogFilePruning.keeps(EqualTo("file_seq", null), "mysql-bin.000007", Some(7L)))
+    assert(BinlogFilePruning.keeps(EqualTo("file_seq", "x"), "mysql-bin.000007", Some(7L)))
+    assert(BinlogFilePruning.keeps(GreaterThan("file_seq", null), "mysql-bin.000007", Some(7L)))
+    // and the full scan path survives a null inside an IN list
+    val dir = Files.createTempDirectory("dsv2null").toFile
+    writeFile(dir, "mysql-bin.000001", 2, 1714564800L)
+    val got = spark.read.format("binlog").load(dir.getPath)
+      .filter(col("file_seq").isin(1L, null))
+      .count()
+    assert(got == 2)
+  }
+
+  test("decode streams incrementally: events surface before EOF is read") {
+    val dir = Files.createTempDirectory("dsv2stream").toFile
+    writeFile(dir, "mysql-bin.000001", 100, 1714564800L)
+    val bytes = Files.readAllBytes(new java.io.File(dir, "mysql-bin.000001").toPath)
+    var consumed = 0
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(bytes)
+      override def read(): Int = { val r = in.read(); if (r >= 0) consumed += 1; r }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = in.read(b, off, len); if (r > 0) consumed += r; r
+      }
+    }
+    val it = BinlogBinaryParser.decodeStream(counting, "mysql-bin.000001")
+    val first = it.next()
+    assert(first.event_index == 0L)
+    assert(consumed < bytes.length / 2,
+      s"decoder buffered $consumed of ${bytes.length} bytes for one event — not streaming")
+    assert(it.size == 99) // the rest still decodes to completion
+  }
+
   test("agrees with the RDD-route parser on the same files") {
     val dir = Files.createTempDirectory("dsv2bin3").toFile
     writeFile(dir, "mysql-bin.000009", 4, 1714564800L)

@@ -108,6 +108,21 @@ class StreamingComparatorSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.get(3000L).contains(Status.AvroOnly))   // watermark passed, no partner
   }
 
+  test("partitionUnparseableBinlog splits rows with no usable event time") {
+    val spark2 = spark
+    import spark2.implicits._
+    val normalized = Comparator.normalizeBinlog(Seq(
+      ("WriteRowsEventV2", "2024-05-01T12:00:00Z", "", 10L, "mysql-bin.000001"),
+      ("WriteRowsEventV2", "", "2024-05-01T12:00:01Z", 11L, "mysql-bin.000001"),
+      ("WriteRowsEventV2", "", "not-a-timestamp", 12L, "mysql-bin.000001"),
+      ("WriteRowsEventV2", "", "", 13L, "mysql-bin.000001"),
+    ).toDF("event_type", "immediate_commmit_timestamp", "timestamp",
+      "log_position", "binlog_file"))
+    val (timed, untimed) = StreamingComparator.partitionUnparseableBinlog(normalized)
+    assert(timed.select("log_position").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+    assert(untimed.select("log_position").as[Long].collect().sorted.toSeq == Seq(12L, 13L))
+  }
+
   test("end-of-stream reconciliation reports unmatched DML as BINLOG_ONLY") {
     val spark2 = spark
     import spark2.implicits._
