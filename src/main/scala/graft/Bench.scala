@@ -20,28 +20,43 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest SF so per-query times measure the
-    // plan, not first-call JIT + codegen compilation.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Warmup pass: run EVERY query once at a small SF first, so each
+    // plan's janino codegen is compiled and the JIT is hot before any
+    // timing starts — r2/r3 showed one-off codegen/GC stalls landing on
+    // random queries and swinging the one-shot total by ±20%.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
-    // Best-of-2 per query: one-off multi-second stalls (major GC, janino
-    // codegen compiles) land on random queries run-to-run; the min of two
-    // materializations measures the plan, not the stall.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+    // Two SEPARATED full passes, min per query: residual multi-second
+    // stalls (major GC, background compilation) cluster in TIME, so
+    // consecutive best-of-2 repeats of one query can both land inside the
+    // same stall window (observed: 4.5 s twice for a 0.4 s query). A
+    // query's two measurements here are a full sweep apart, so a stall
+    // can't taint both. The d-family (dedup/near-dup, largest swings)
+    // gets a third measurement in the second pass.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
       }
-      val sec =
-        try math.min(once(), once())
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-        }
-      name -> sec
+    val pass1 = ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
+    val pass2 = ordered.map { case (name, fn) =>
+      val t = once(name, fn)
+      val t2 = if (name.startsWith("d")) math.min(t, once(name, fn)) else t
+      name -> t2
+    }.toMap
+    val results = ordered.map { case (name, _) =>
+      val (a, b) = (pass1(name), pass2(name))
+      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
     // Locale.ROOT: the default-locale `f` interpolator would emit comma
     // decimal separators (invalid JSON) on comma-decimal locales

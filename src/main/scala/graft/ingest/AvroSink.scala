@@ -70,6 +70,11 @@ object AvroSink {
     case BinaryType => Schema.create(Schema.Type.BYTES)
     case TimestampType =>
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case ArrayType(et, containsNull) =>
       val e = toAvroType(et, nestedName + "_item")
       Schema.createArray(if (containsNull) Schema.createUnion(
@@ -102,6 +107,13 @@ object AvroSink {
     case r: Row => toRecord(r, s)
     case ts: java.sql.Timestamp =>
       ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    case d: java.sql.Date =>
+      d.toLocalDate.toEpochDay.toInt
+    case bd: java.math.BigDecimal =>
+      // unscaled big-endian bytes at the SCHEMA's scale (Avro decimal)
+      val scale = s.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
+      java.nio.ByteBuffer.wrap(
+        bd.setScale(scale).unscaledValue().toByteArray)
     case seq: scala.collection.Seq[_] =>
       seq.map(toAvro(_, nonNull(s.getElementType))).asJava
     case m: scala.collection.Map[_, _] =>

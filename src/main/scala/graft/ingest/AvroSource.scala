@@ -106,7 +106,11 @@ object AvroSource {
       MapType(StringType, toDataType(schema.getValueType),
         valueContainsNull = isNullable(schema.getValueType))
     case Schema.Type.STRING | Schema.Type.ENUM => StringType
-    case Schema.Type.INT     => IntegerType
+    case Schema.Type.INT =>
+      schema.getLogicalType match {
+        case l if l != null && l.getName == "date" => DateType
+        case _ => IntegerType
+      }
     case Schema.Type.LONG =>
       schema.getLogicalType match {
         case l if l != null && (l.getName == "timestamp-millis" || l.getName == "timestamp-micros") =>
@@ -116,7 +120,12 @@ object AvroSource {
     case Schema.Type.FLOAT   => FloatType
     case Schema.Type.DOUBLE  => DoubleType
     case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      schema.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
     case other => throw new IllegalArgumentException(s"unsupported Avro type $other")
   }
 
@@ -150,14 +159,32 @@ object AvroSource {
             Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L))
         case _ => l
       }
+    case i: java.lang.Integer =>
+      s.getLogicalType match {
+        case lt if lt != null && lt.getName == "date" =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+        case _ => i
+      }
     case a: java.util.Collection[_] =>
       a.asScala.toSeq.map(convert(_, nonNull(s.getElementType)))
     case m: java.util.Map[_, _] =>
       m.asScala.map { case (k, vv) => k.toString -> convert(vv, nonNull(s.getValueType)) }.toMap
     case b: java.nio.ByteBuffer =>
-      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+      decimalOr(s, arr, arr)
     case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
-    case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
+    case f: org.apache.avro.generic.GenericFixed =>
+      val arr = f.bytes().clone()
+      decimalOr(s, arr, arr)
     case other => other
   }
+
+  /** Decimal logical type: big-endian unscaled bytes + schema scale →
+    * BigDecimal; otherwise the raw bytes. */
+  private def decimalOr(s: Schema, bytes: Array[Byte], orElse: Any): Any =
+    s.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal =>
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), d.getScale)
+      case _ => orElse
+    }
 }

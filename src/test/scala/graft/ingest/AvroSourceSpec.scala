@@ -145,6 +145,41 @@ class AvroSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(0).getTimestamp(rows(0).fieldIndex("ts")).getTime == 1714564800123L)
   }
 
+  test("decimal and date logical types round-trip through sink and source") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("avrodec").toFile.getPath + "/out"
+    val df = Seq(
+      (1L, "123456.78", "2024-05-01"),
+      (2L, "-0.01", "1969-12-31"),       // negative decimal, pre-epoch date
+      (3L, null, null),                  // nullable logical-typed columns
+    ).toDF("id", "dec_str", "date_str")
+      .select(col("id"),
+        col("dec_str").cast("decimal(12,2)").as("amount"),
+        col("date_str").cast("date").as("day"))
+    AvroSink.write(df.repartition(1), dir)
+
+    // the writer schema carries the logical types
+    val schema = AvroSource.readSchema(spark, dir)
+    val amountS = schema.getField("amount").schema().getTypes.get(1)
+    assert(amountS.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Decimal])
+    assert(schema.getField("day").schema().getTypes.get(1)
+      .getLogicalType.getName == "date")
+
+    val back = AvroSource.read(spark, dir)
+    assert(back.schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    assert(back.schema("day").dataType == org.apache.spark.sql.types.DateType)
+    val got = back.orderBy("id")
+      .select(col("id"), col("amount").cast("string"), col("day").cast("string"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "123456.78", "2024-05-01"),
+      (2L, "-0.01", "1969-12-31"),
+      (3L, null, null)))
+  }
+
   test("flattened records flow into the comparator avro contract") {
     val dir = Files.createTempDirectory("avrosrc2").toFile
     writeFixture(dir)
