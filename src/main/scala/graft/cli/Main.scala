@@ -64,6 +64,13 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A3 — the reference's shell job metrics (comparator.sh:103-107,
+    // avro_to_json.sh:75-85): count each side's input files up front and
+    // abort loudly when a side has none, before any Spark work runs.
+    val metrics = jobMetrics(spark, args)
+    println(s"[graft] processing ${metrics("binlog_files")} binlog file(s), " +
+      s"${metrics("avro_files")} avro file(s)")
+
     val prepared = prepare(spark, args)
     val compared = prepared.compared
     compared.cache()
@@ -80,8 +87,51 @@ object Main {
       bad.write.mode("overwrite").json(s"${args.out}/quarantine/$side")
     }
     summary.show(truncate = false)
+    // job metrics with the outputs (the reference's conversion summary)
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          metrics("binlog_files"), metrics("avro_files"))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("binlog_files",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("avro_files",
+            org.apache.spark.sql.types.LongType))))
+      .write.mode("overwrite").json(s"${args.out}/metrics")
+    println(s"[graft] finished: ${metrics("binlog_files")} binlog file(s), " +
+      s"${metrics("avro_files")} avro file(s) compared; outputs in ${args.out}")
     prepared.release()
     spark.stop()
+  }
+
+  /** A3 — input-file counts per side, with the reference's empty-input
+    * abort (`comparator.sh:103-107` exits 1 when no `mysql-bin.*` file is
+    * found; `avro_to_json.sh:75-85` reports none-found for `*.avro`):
+    * a side with zero input files fails here with IllegalArgumentException
+    * before any executor work is scheduled. */
+  def jobMetrics(spark: SparkSession, args: Args): Map[String, Long] = {
+    def count(path: String, pred: String => Boolean): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else if (fs.getFileStatus(p).isFile) 1L
+      else fs.listStatus(p).count(st => st.isFile && pred(st.getPath.getName)).toLong
+    }
+    val binlogFiles = (args.binlogText, args.binlogBinary, args.binlogJson) match {
+      case (Some(dir), _, _) => count(dir, _.startsWith("mysql-bin."))
+      case (_, Some(dir), _) => count(dir, _.startsWith("mysql-bin."))
+      case (_, _, Some(path)) => count(path, _.endsWith(".json"))
+      case _ => 0L
+    }
+    val avroFiles = (args.avro, args.avroJson) match {
+      case (Some(dir), _) => count(dir, _.endsWith(".avro"))
+      case (_, Some(path)) => count(path, _.endsWith(".json"))
+      case _ => 0L
+    }
+    require(binlogFiles > 0,
+      s"no binlog input files found (reference aborts: comparator.sh:103-107)")
+    require(avroFiles > 0,
+      s"no avro input files found (reference reports none-found: avro_to_json.sh:75-85)")
+    Map("binlog_files" -> binlogFiles, "avro_files" -> avroFiles)
   }
 
   /** One prepared comparison: the compared frame, the per-source rejected

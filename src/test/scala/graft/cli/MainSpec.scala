@@ -15,6 +15,28 @@ import graft.cdc.{Report, Schemas}
 class MainSpec extends AnyFunSuite with SparkTestSession {
   import Schemas.Status
 
+  test("jobMetrics counts input files and aborts on an empty side (A3)") {
+    val dir = Files.createTempDirectory("mainmetrics").toFile
+    val binlogDir = new java.io.File(dir, "bins"); binlogDir.mkdirs()
+    val avroJson = new java.io.File(dir, "avro_rows.json")
+    Files.write(avroJson.toPath, "{}".getBytes)
+
+    // empty binlog side aborts before any Spark work (reference exit 1)
+    val args = Main.Args(binlogText = Some(binlogDir.getPath),
+      avroJson = Some(avroJson.getPath))
+    intercept[IllegalArgumentException] { Main.jobMetrics(spark, args) }
+
+    Files.write(new java.io.File(binlogDir, "mysql-bin.000001").toPath, "x".getBytes)
+    Files.write(new java.io.File(binlogDir, "mysql-bin.000002").toPath, "x".getBytes)
+    Files.write(new java.io.File(binlogDir, "not-a-binlog.txt").toPath, "x".getBytes)
+    assert(Main.jobMetrics(spark, args) ==
+      Map("binlog_files" -> 2L, "avro_files" -> 1L))
+
+    // missing avro path aborts too
+    val bad = args.copy(avroJson = Some(new java.io.File(dir, "nope.json").getPath))
+    intercept[IllegalArgumentException] { Main.jobMetrics(spark, bad) }
+  }
+
   test("text-parser + avro-json sources end to end") {
     val dir = Files.createTempDirectory("cli").toFile
     val binlogDir = new java.io.File(dir, "binlogs"); binlogDir.mkdirs()
