@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ingest.AvroSink
+
+/** DSv2 route into Avro containers: spark.read.format("avrofile"). The
+  * schema/evolution/logical-type behavior is covered by AvroSourceSpec
+  * (AvroSource.read delegates here); this spec pins the scan properties —
+  * sync-marker splitting and column pruning. */
+class AvroDataSourceSpec extends AnyFunSuite with SparkTestSession {
+
+  test("large files split by sync-marker byte ranges, small ones don't") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("avrosplit").toFile.getPath + "/out"
+    // ~100 KB of records in ONE container file
+    AvroSink.write(
+      (1 to 20000).map(i => (i.toLong, s"payload_$i")).toDF("id", "s").repartition(1),
+      dir)
+
+    val whole = spark.read.format("avrofile").load(dir)
+    assert(whole.rdd.getNumPartitions == 1) // default 128 MB split: one slice
+
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val sliced = spark.read.format("avrofile").load(dir)
+      assert(sliced.rdd.getNumPartitions > 2,
+        s"expected >2 slices, got ${sliced.rdd.getNumPartitions}")
+      // every record read exactly once across slices
+      assert(sliced.count() == 20000)
+      assert(sliced.agg(sum("id")).as[Long].head() == 20000L * 20001 / 2)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
+  test("column pruning reaches the scan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("avroprune").toFile.getPath + "/out"
+    AvroSink.write(Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "x"), dir)
+    val pruned = spark.read.format("avrofile").load(dir).select("id")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("ReadSchema=[id]"),
+      s"scan not pruned to [id]:\n$planStr")
+    assert(pruned.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}
