@@ -456,6 +456,19 @@ object BinlogBinaryParser {
         // 3 bytes little-endian packed: day(5) month(4) year(rest)
         val v = readLittleEndian(body, 3)
         f"${v >> 9}%04d-${(v >> 5) & 0xF}%02d-${v & 0x1F}%02d"
+      case 7 =>                                                 // TIMESTAMP (v1)
+        // 4 bytes little-endian unix seconds (pre-5.6.4 storage)
+        readLittleEndian(body, 4).toString
+      case 12 =>                                                // DATETIME (v1)
+        // 8 bytes little-endian: the decimal number YYYYMMDDHHMMSS
+        val v = readLittleEndian(body, 8)
+        val (d, t) = (v / 1000000L, v % 1000000L)
+        f"${d / 10000}%04d-${(d / 100) % 100}%02d-${d % 100}%02d " +
+          f"${t / 10000}%02d:${(t / 100) % 100}%02d:${t % 100}%02d"
+      case 11 =>                                                // TIME (v1)
+        // 3 bytes little-endian: the decimal number HHMMSS
+        val v = readLittleEndian(body, 3)
+        f"${v / 10000}%02d:${(v / 100) % 100}%02d:${v % 100}%02d"
       case 13 =>                                                // YEAR
         val v = body.get & 0xFF
         if (v == 0) "0000" else (1900 + v).toString

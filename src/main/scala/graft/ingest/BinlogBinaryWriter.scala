@@ -151,6 +151,17 @@ object BinlogBinaryWriter {
   def encDate(year: Int, month: Int, day: Int): Array[Byte] =
     le(((year.toLong << 9) | (month.toLong << 5) | day.toLong), 3)
 
+  /** Legacy TIMESTAMP (type 7): 4 bytes LE unix seconds. */
+  def encTimestampV1(epochSec: Long): Array[Byte] = le(epochSec, 4)
+
+  /** Legacy DATETIME (type 12): 8 bytes LE decimal YYYYMMDDHHMMSS. */
+  def encDatetimeV1(y: Int, mo: Int, d: Int, h: Int, mi: Int, s: Int): Array[Byte] =
+    le(((y.toLong * 10000 + mo * 100 + d) * 1000000L) + h * 10000L + mi * 100L + s, 8)
+
+  /** Legacy TIME (type 11): 3 bytes LE decimal HHMMSS. */
+  def encTimeV1(h: Int, mi: Int, s: Int): Array[Byte] =
+    le(h * 10000L + mi * 100L + s, 3)
+
   /** JSON column value: length prefix (`prefixWidth` bytes LE) + binary
     * JSON document. */
   def encJson(doc: Json, prefixWidth: Int): Array[Byte] = {
@@ -215,6 +226,9 @@ object BinlogBinaryWriter {
     val double: ColDef = ColDef(5, Array(8.toByte))
     val date: ColDef = ColDef(10, Array.empty)
     val year: ColDef = ColDef(13, Array.empty)
+    val timestampV1: ColDef = ColDef(7, Array.empty)
+    val datetimeV1: ColDef = ColDef(12, Array.empty)
+    val timeV1: ColDef = ColDef(11, Array.empty)
     def varchar(maxLen: Int): ColDef = ColDef(15, le(maxLen.toLong, 2))
     def newDecimal(precision: Int, scale: Int): ColDef =
       ColDef(246, Array(precision.toByte, scale.toByte))

@@ -107,6 +107,16 @@ class BinlogRoundTripSpec extends AnyFunSuite {
       Seq(Seq("1998-10-03", "1998", "13:05:09", "01:02:03.123400")))
   }
 
+  test("legacy v1 temporal types (TIMESTAMP/DATETIME/TIME) round-trip") {
+    val cols = Seq(ColDef.timestampV1, ColDef.datetimeV1, ColDef.timeV1)
+    val img = Seq(
+      Some(encTimestampV1(1714564800L)),
+      Some(encDatetimeV1(2024, 5, 1, 12, 34, 56)),
+      Some(encTimeV1(23, 59, 1)))
+    assert(decodeRows(cols, Seq(img)) ==
+      Seq(Seq("1714564800", "2024-05-01 12:34:56", "23:59:01")))
+  }
+
   test("NULLs and checksummed multi-image events round-trip") {
     val cols = Seq(ColDef.longlong, ColDef.json(4), ColDef.varchar(20))
     val imgs = Seq(
