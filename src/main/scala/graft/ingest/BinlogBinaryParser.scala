@@ -445,12 +445,19 @@ object BinlogBinaryParser {
         val base = f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$second%02d"
         if (m == 0) base else base + "." + f"$micros%06d"
       case 19 =>                                                // TIME2
-        // 3 bytes BIG-endian around offset 0x800000: hour(10) min(6) sec(6)
-        val raw = readBigEndian(body, 3)
-        val neg = raw < 0x800000L
-        val v = if (neg) 0x800000L - raw else raw - 0x800000L
-        val micros = readFrac(body, m)
-        val base = f"${(v >> 12) & 0x3FF}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d"
+        // 3+ceil(fsp/2) bytes BIG-endian: ONE offset-binary number
+        // (integer part bit-packed hour(10) min(6) sec(6), fraction in
+        // the low bytes) — negatives store the whole value's complement,
+        // so integer and fraction must be decoded together
+        val fb = (m + 1) / 2
+        val raw = readBigEndian(body, 3 + fb)
+        val signed = raw - (0x800000L << (8 * fb))
+        val neg = signed < 0
+        val mag = math.abs(signed)
+        val packed = mag >> (8 * fb)
+        val fracRaw = if (fb == 0) 0L else mag & ((1L << (8 * fb)) - 1)
+        val micros = fracRaw * math.pow(10, 6 - 2 * fb).toLong
+        val base = f"${(packed >> 12) & 0x3FF}%02d:${(packed >> 6) & 0x3F}%02d:${packed & 0x3F}%02d"
         (if (neg) "-" else "") + (if (m == 0) base else base + "." + f"$micros%06d")
       case 10 | 14 =>                                           // DATE / NEWDATE
         // 3 bytes little-endian packed: day(5) month(4) year(rest)

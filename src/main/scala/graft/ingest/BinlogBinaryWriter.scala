@@ -162,6 +162,20 @@ object BinlogBinaryWriter {
   def encTimeV1(h: Int, mi: Int, s: Int): Array[Byte] =
     le(h * 10000L + mi * 100L + s, 3)
 
+  /** TIME2: one offset-binary big-endian number over 3+ceil(fsp/2) bytes —
+    * bit-packed hour(10) min(6) sec(6) with the base-10^(2·fb) fraction
+    * in the low bytes; negative times store the complement of the whole
+    * value. `fracMicros` is the magnitude's fraction in microseconds. */
+  def encTime2(negative: Boolean, h: Int, mi: Int, s: Int,
+      fracMicros: Long, fsp: Int): Array[Byte] = {
+    val fb = (fsp + 1) / 2
+    val packed = (h.toLong << 12) | (mi.toLong << 6) | s.toLong
+    val fracRaw = if (fb == 0) 0L else fracMicros / math.pow(10, 6 - 2 * fb).toLong
+    val mag = (packed << (8 * fb)) | fracRaw
+    val stored = (0x800000L << (8 * fb)) + (if (negative) -mag else mag)
+    be(stored, 3 + fb)
+  }
+
   /** JSON column value: length prefix (`prefixWidth` bytes LE) + binary
     * JSON document. */
   def encJson(doc: Json, prefixWidth: Int): Array[Byte] = {

@@ -107,6 +107,17 @@ class BinlogRoundTripSpec extends AnyFunSuite {
       Seq(Seq("1998-10-03", "1998", "13:05:09", "01:02:03.123400")))
   }
 
+  test("negative TIME2 with fractional seconds (whole-value complement)") {
+    val cols = Seq(ColDef.time2(2), ColDef.time2(2), ColDef.time2(0), ColDef.time2(6))
+    val img = Seq(
+      Some(encTime2(negative = true, 0, 0, 1, 500000, 2)),   // -00:00:01.50
+      Some(encTime2(negative = false, 10, 20, 30, 120000, 2)),
+      Some(encTime2(negative = true, 838, 59, 59, 0, 0)),    // TIME range min
+      Some(encTime2(negative = true, 1, 0, 0, 1, 6)))        // -01:00:00.000001
+    assert(decodeRows(cols, Seq(img)) == Seq(Seq(
+      "-00:00:01.500000", "10:20:30.120000", "-838:59:59", "-01:00:00.000001")))
+  }
+
   test("legacy v1 temporal types (TIMESTAMP/DATETIME/TIME) round-trip") {
     val cols = Seq(ColDef.timestampV1, ColDef.datetimeV1, ColDef.timeV1)
     val img = Seq(
