@@ -61,12 +61,14 @@ class AvroDataSource extends TableProvider
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new AvroTable(properties.get("path"))
+    new AvroTable(properties.get("path"),
+      Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-private class AvroTable(path: String) extends Table with SupportsRead {
+private class AvroTable(path: String, maxFilesPerTrigger: Option[Int])
+    extends Table with SupportsRead {
   require(path != null, "avro source requires a path (use .load(path))")
 
   private lazy val spark = org.apache.spark.sql.SparkSession.active
@@ -75,13 +77,14 @@ private class AvroTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"avro($path)"
   override def schema(): StructType = AvroSource.toStructType(avroSchema)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, avroSchema, schema())
+    new AvroScanBuilder(path, avroSchema, schema(), maxFilesPerTrigger)
 }
 
-private class AvroScanBuilder(path: String, avroSchema: Schema, full: StructType)
+private class AvroScanBuilder(path: String, avroSchema: Schema, full: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -89,14 +92,24 @@ private class AvroScanBuilder(path: String, avroSchema: Schema, full: StructType
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new AvroScan(path, avroSchema, required)
+  override def build(): Scan = new AvroScan(path, avroSchema, required, maxFilesPerTrigger)
 }
 
-private class AvroScan(path: String, avroSchema: Schema, required: StructType)
+private class AvroScan(path: String, avroSchema: Schema, required: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Micro-batch tail over an append-only directory of containers —
+    * Datastream-style CDC delivery drops completed .avro files into a
+    * bucket; the offset is a position in the name-sorted listing (see
+    * [[FileCountMicroBatchStream]]). Whole files per trigger (a file is
+    * only listed once fully written). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroMicroBatchStream(path, avroSchema.toString, required, maxFilesPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -119,7 +132,7 @@ private class AvroScan(path: String, avroSchema: Schema, required: StructType)
 
 private object AvroScanHelper {
   def listAvroFiles(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      path: String, allowEmpty: Boolean = false): Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -128,9 +141,28 @@ private object AvroScanHelper {
       else Option(fs.globStatus(new Path(
           if (path.endsWith(".avro")) path else path.stripSuffix("/") + "/*.avro")))
         .getOrElse(Array.empty).filter(_.isFile).toSeq
-    require(files.nonEmpty, s"no .avro files under $path")
+    require(allowEmpty || files.nonEmpty, s"no .avro files under $path")
     files.sortBy(_.getPath.getName)
   }
+}
+
+private class AvroMicroBatchStream(path: String, schemaJson: String,
+    required: StructType, maxFilesPerTrigger: Option[Int])
+    extends FileCountMicroBatchStream[(String, Long)](
+      () => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        // a transiently-empty listing is fine for a tail (batch reads
+        // keep the loud no-files require)
+        AvroScanHelper.listAvroFiles(spark, path, allowEmpty = true)
+          .map(st => (st.getPath.toString, st.getLen)).toIndexedSeq
+      },
+      maxFilesPerTrigger) {
+
+  override protected def makePartition(f: (String, Long)): InputPartition =
+    AvroInputPartition(f._1, 0L, f._2)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(schemaJson, required)
 }
 
 private case class AvroInputPartition(file: String, start: Long, length: Long)

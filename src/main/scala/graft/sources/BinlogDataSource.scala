@@ -213,64 +213,14 @@ private object BinlogScan {
   */
 private class BinlogMicroBatchStream(path: String, required: StructType,
     maxFilesPerTrigger: Option[Int] = None)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+    extends FileCountMicroBatchStream[String](
+      () => BinlogScan.listFiles(path).toIndexedSeq, maxFilesPerTrigger) {
 
-  private case class FileCountOffset(n: Int) extends Offset {
-    override def json(): String = s"""{"n":$n}"""
-  }
-
-  // snapshot the listing per planning cycle so latestOffset and
-  // planInputPartitions agree within one trigger
-  @volatile private var lastListing: Array[String] = Array.empty
-  // AvailableNow bound: files present when the trigger started
-  @volatile private var availableNowCap: Option[Int] = None
-
-  override def initialOffset(): Offset = FileCountOffset(0)
-
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
-
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(BinlogScan.listFiles(path).length)
-
-  override def latestOffset(): Offset =
-    throw new UnsupportedOperationException(
-      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
-
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    lastListing = BinlogScan.listFiles(path)
-    val total = availableNowCap.fold(lastListing.length)(math.min(_, lastListing.length))
-    val s = start.asInstanceOf[FileCountOffset].n
-    val capped = limit match {
-      case m: ReadMaxFiles => math.min(total, s + m.maxFiles)
-      case _ => total
-    }
-    FileCountOffset(capped)
-  }
-
-  override def reportLatestOffset(): Offset = FileCountOffset(lastListing.length)
-
-  override def deserializeOffset(json: String): Offset =
-    FileCountOffset("\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalArgumentException(s"bad binlog offset: $json")))
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileCountOffset].n
-    val e = end.asInstanceOf[FileCountOffset].n
-    val listing =
-      if (lastListing.length >= e) lastListing else BinlogScan.listFiles(path)
-    listing.slice(s, e).map(p => BinlogInputPartition(p): InputPartition)
-  }
+  override protected def makePartition(file: String): InputPartition =
+    BinlogInputPartition(file)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BinlogReaderFactory(required)
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 private case class BinlogInputPartition(file: String) extends InputPartition

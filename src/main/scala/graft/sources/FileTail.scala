@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+
+/** Shared micro-batch tail over an append-only file listing (the binlog
+  * and avrofile sources): the offset is a POSITION IN THE SORTED FILE
+  * LIST — files are created with increasing names and never rewritten
+  * once rotated, so each trigger consumes the files that appeared since
+  * the last committed offset, whole files only. State is one integer;
+  * that encoding requires the watched directory to be APPEND-ONLY while
+  * the stream (or its checkpoint) is live — purging old files would
+  * shift the listing under a count-based offset.
+  *
+  * `A` is the lister's element (file path, FileStatus, …); listing and
+  * partition planning happen on the driver only.
+  */
+private[sources] abstract class FileCountMicroBatchStream[A](
+    list: () => IndexedSeq[A],
+    maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  protected def makePartition(a: A): InputPartition
+
+  private case class FileCountOffset(n: Int) extends Offset {
+    override def json(): String = s"""{"n":$n}"""
+  }
+
+  // snapshot the listing per planning cycle so latestOffset and
+  // planInputPartitions agree within one trigger
+  @volatile private var lastListing: IndexedSeq[A] = Vector.empty
+  // AvailableNow bound: files present when the trigger started
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def initialOffset(): Offset = FileCountOffset(0)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(list().length)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    lastListing = list()
+    val total = availableNowCap.fold(lastListing.length)(math.min(_, lastListing.length))
+    val s = start.asInstanceOf[FileCountOffset].n
+    val capped = limit match {
+      case m: ReadMaxFiles => math.min(total, s + m.maxFiles)
+      case _ => total
+    }
+    FileCountOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset = FileCountOffset(lastListing.length)
+
+  override def deserializeOffset(json: String): Offset =
+    FileCountOffset("\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"bad file-tail offset: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileCountOffset].n
+    val e = end.asInstanceOf[FileCountOffset].n
+    val listing = if (lastListing.length >= e) lastListing else list()
+    listing.slice(s, e).map(makePartition).toArray
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

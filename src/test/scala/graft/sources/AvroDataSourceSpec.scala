@@ -38,6 +38,40 @@ class AvroDataSourceSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
   }
 
+  test("streaming tail: new container files consumed per restart") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("avrotail").toFile
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val out = new java.io.File(root, "out").getPath
+
+    def writeOne(sub: String, ids: Seq[Long]): Unit = {
+      val tmp = new java.io.File(root, sub).getPath
+      AvroSink.write(ids.map(i => (i, s"v$i")).toDF("id", "s").repartition(1), tmp)
+      // move the container in atomically, like a CDC delivery drop
+      val avro = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".avro")).head
+      Files.move(avro.toPath, new java.io.File(in, s"$sub.avro").toPath)
+    }
+    writeOne("f1", Seq(1L, 2L))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("avrofile").load(in.getPath)
+        .writeStream.format("json")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.json(out).count() == 2)
+
+    writeOne("f2", Seq(3L, 4L, 5L))
+    runOnce() // only the new file is consumed on restart
+    assert(spark.read.json(out).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("column pruning reaches the scan") {
     val spark2 = spark
     import spark2.implicits._
