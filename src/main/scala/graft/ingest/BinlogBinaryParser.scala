@@ -408,8 +408,12 @@ object BinlogBinaryParser {
       if (isUpdate) { val a = new Array[Byte](bmLen); body.get(a); a }
       else present1
 
+    // present-column sets are per-EVENT constants — computed once here,
+    // not per row image
     def presentCols(bm: Array[Byte]): Array[Int] =
       (0 until width).filter(bit(bm, _)).toArray
+    val cols1 = presentCols(present1)
+    val cols2 = if (isUpdate) presentCols(present2) else cols1
 
     def readValue(t: Int, m: Int): String = t match {
       case 1 => body.get.toString                               // TINY
@@ -527,20 +531,23 @@ object BinlogBinaryParser {
         throw new IllegalArgumentException(s"unsupported column type $other")
     }
 
-    def readImage(bm: Array[Byte]): Seq[String] = {
-      val cols = presentCols(bm)
+    def readImage(cols: Array[Int]): Seq[String] = {
       val nullBm = new Array[Byte]((cols.length + 7) / 8)
       body.get(nullBm)
-      cols.zipWithIndex.map { case (c, ord) =>
-        if (bit(nullBm, ord)) null else readValue(types(c), meta(c))
-      }.toSeq
+      val out = new Array[String](cols.length)
+      var ord = 0
+      while (ord < cols.length) {
+        out(ord) = if (bit(nullBm, ord)) null else readValue(types(cols(ord)), meta(cols(ord)))
+        ord += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
 
     val end = body.limit() - checksumLen
     val out = collection.mutable.ArrayBuffer.empty[Seq[String]]
     var useSecond = false
     while (body.position() < end) {
-      out += readImage(if (useSecond) present2 else present1)
+      out += readImage(if (useSecond) cols2 else cols1)
       if (isUpdate) useSecond = !useSecond
     }
     out.toSeq
