@@ -92,6 +92,40 @@ class BinlogRoundTripSpec extends AnyFunSuite {
       == """{"a":1,"bb":2,"nested":{"x":["y"]}}""")
   }
 
+  test("binary JSON large containers decode (4-byte words, inline int32)") {
+    // hand-built: the writer emits small containers only, so the decoder's
+    // large path needs an explicit byte-level fixture
+    import java.io.ByteArrayOutputStream
+    def le(v: Long, w: Int): Array[Byte] =
+      (0 until w).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val o = new ByteArrayOutputStream()
+    // large object, 2 keys: {"a": 100000 (inline int32), "b": "zz"}
+    val keyA = "a".getBytes; val keyB = "b".getBytes
+    val header = 2 * 4 + 2 * (4 + 2) + 2 * (4 + 1) // count+size, keys, values
+    val keyAOff = header
+    val keyBOff = keyAOff + 1
+    val strOff = keyBOff + 1
+    val size = strOff + 3 // varlen(1) + "zz"
+    o.write(le(2, 4)); o.write(le(size, 4))
+    o.write(le(keyAOff, 4)); o.write(le(1, 2))
+    o.write(le(keyBOff, 4)); o.write(le(1, 2))
+    o.write(0x07); o.write(le(100000, 4))       // int32 inline in LARGE only
+    o.write(0x0c); o.write(le(strOff, 4))       // string by offset
+    o.write(keyA); o.write(keyB)
+    o.write(2); o.write("zz".getBytes)          // varlen + bytes
+    val doc = Array(0x01.toByte) ++ o.toByteArray
+    assert(BinlogBinaryParser.JsonBinary.decode(doc) == """{"a":100000,"b":"zz"}""")
+
+    // large array: [uint32-inline, literal-true]
+    val a = new ByteArrayOutputStream()
+    val asize = 2 * 4 + 2 * 5
+    a.write(le(2, 4)); a.write(le(asize, 4))
+    a.write(0x08); a.write(le(0xFFFFFFFFL, 4))  // uint32 4294967295
+    a.write(0x04); a.write(le(1, 4))            // true
+    val arr = Array(0x03.toByte) ++ a.toByteArray
+    assert(BinlogBinaryParser.JsonBinary.decode(arr) == "[4294967295,true]")
+  }
+
   test("DATE / YEAR / TIME2 row columns") {
     val cols = Seq(ColDef.date, ColDef.year, ColDef.time2(0), ColDef.time2(3))
     def time2(h: Int, m: Int, s: Int): Array[Byte] = {
