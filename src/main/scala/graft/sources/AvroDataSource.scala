@@ -61,18 +61,37 @@ class AvroDataSource extends TableProvider
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new AvroTable(properties.get("path"),
+    new AvroTable(properties.get("path"), Option(schema),
       Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
 
-  override def supportsExternalMetadata(): Boolean = false
+  // a user-supplied schema lets a STREAMING tail start on a directory
+  // that has no files yet (inference needs a file header); the Avro
+  // reader schema is then derived from the StructType. Note: a derived
+  // reader schema carries no field defaults, so writer-schema EVOLUTION
+  // resolution needs the inferred (file-header) schema — omit the
+  // explicit schema when files exist.
+  override def supportsExternalMetadata(): Boolean = true
 }
 
-private class AvroTable(path: String, maxFilesPerTrigger: Option[Int])
+private class AvroTable(path: String, userSchema: Option[StructType],
+    maxFilesPerTrigger: Option[Int])
     extends Table with SupportsRead {
   require(path != null, "avro source requires a path (use .load(path))")
 
   private lazy val spark = org.apache.spark.sql.SparkSession.active
-  private lazy val avroSchema = AvroSource.readSchema(spark, path)
+  // the FILE-HEADER schema always wins when a file exists (it carries
+  // the field defaults that drive writer→reader evolution); the
+  // caller-provided StructType is only the fallback that lets a
+  // streaming tail start on a still-empty delivery directory
+  private lazy val avroSchema =
+    try AvroSource.readSchema(spark, path)
+    catch {
+      case e: IllegalArgumentException =>
+        userSchema match {
+          case Some(st) => graft.ingest.AvroSink.toAvroSchema(st, "Record")
+          case None => throw e
+        }
+    }
 
   override def name(): String = s"avro($path)"
   override def schema(): StructType = AvroSource.toStructType(avroSchema)

@@ -72,6 +72,37 @@ class AvroDataSourceSpec extends AnyFunSuite with SparkTestSession {
       == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("streaming tail with explicit schema starts on an EMPTY directory") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("avroempty").toFile
+    val in = new java.io.File(root, "in"); in.mkdirs() // no files yet
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val out = new java.io.File(root, "out").getPath
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("avrofile").schema(schema).load(in.getPath)
+        .writeStream.format("json")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce() // empty directory: zero batches of data, no failure
+    // first delivery arrives; the restart picks it up
+    val tmp = new java.io.File(root, "tmp").getPath
+    AvroSink.write(Seq((7L, "x")).toDF("id", "s").repartition(1), tmp)
+    val avro = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".avro")).head
+    Files.move(avro.toPath, new java.io.File(in, "f1.avro").toPath)
+    runOnce()
+    assert(spark.read.json(out).select("id").as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("column pruning reaches the scan") {
     val spark2 = spark
     import spark2.implicits._
