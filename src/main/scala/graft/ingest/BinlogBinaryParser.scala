@@ -77,8 +77,15 @@ object BinlogBinaryParser {
     * + one event body in memory at a time, yielded lazily. Malformed or
     * truncated trailing bytes end the scan (warn-and-stop, the binary
     * analogue of the reference's skip-malformed semantics); a bad magic
-    * fails loudly. The stream is closed when the iterator is exhausted. */
-  def decodeStream(in: java.io.InputStream, basename: String): Iterator[ParsedBinlogEvent] = {
+    * fails loudly. The stream is closed when the iterator is exhausted.
+    *
+    * `withRowImages = false` skips row-image VALUE decoding entirely
+    * (TABLE_MAP state is still tracked for schema/table attribution) —
+    * the CDC comparison consumes only headers/positions/timestamps, and
+    * image decoding (strings, decimals, JSON documents) dominates decode
+    * cost, so the DSv2 reader sets this from column pruning. */
+  def decodeStream(in: java.io.InputStream, basename: String,
+      withRowImages: Boolean = true): Iterator[ParsedBinlogEvent] = {
     val magic = readN(in, 4)
     require(magic.exists(java.util.Arrays.equals(_, Magic)),
       s"$basename: not a binlog file (bad magic)")
@@ -239,10 +246,12 @@ object BinlogBinaryParser {
               val extraLen = body.getShort & 0xFFFF
               if (extraLen > 2) body.position(body.position() + extraLen - 2)
             }
-            tableDefs.get(tableId).foreach { case (_, _, types, meta) =>
-              val isUpdate = typeCode == 24 || typeCode == 31
-              rowImages = decodeRowImages(body, types, meta, isUpdate, checksumLen)
-              extra("n_row_images") = rowImages.size.toString
+            if (withRowImages) {
+              tableDefs.get(tableId).foreach { case (_, _, types, meta) =>
+                val isUpdate = typeCode == 24 || typeCode == 31
+                rowImages = decodeRowImages(body, types, meta, isUpdate, checksumLen)
+                extra("n_row_images") = rowImages.size.toString
+              }
             }
           case _ => () // header-only decode for everything else
         } catch {

@@ -246,7 +246,11 @@ private class BinlogPartitionReader(file: String, required: StructType)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = new java.io.BufferedInputStream(fs.open(p), 1 << 16)
     stream = in
-    BinlogBinaryParser.decodeStream(in, p.getName)
+    // column pruning reaches the DECODER: when row_images is not
+    // projected, the reader skips image value decoding (the dominant
+    // decode cost) — header-only CDC scans don't pay for payloads
+    BinlogBinaryParser.decodeStream(in, p.getName,
+      withRowImages = required.fieldNames.contains("row_images"))
   }
 
   private var current: ParsedBinlogEvent = _

@@ -137,6 +137,29 @@ class BinlogDataSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(byPos.rdd.getNumPartitions == 3)
   }
 
+  test("pruning row_images skips image decoding but keeps event rows") {
+    import graft.ingest.BinlogBinaryWriter._
+    val dir = Files.createTempDirectory("dsv2noimg").toFile
+    val f = new FileBuilder()
+    f.fde(1714564800L)
+    f.event(1714564800L, 19, tableMapBody(5, "s", "t", Seq(ColDef.longlong)))
+    f.event(1714564801L, 30, rowsBody(5, 1, Seq(Seq(Some(encLongLong(42))))))
+    Files.write(new java.io.File(dir, "mysql-bin.000001").toPath, f.bytes)
+
+    val headerOnly = spark.read.format("binlog").load(dir.getPath)
+      .select("event_type", "log_position", "table")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val full = spark.read.format("binlog").load(dir.getPath)
+      .select("event_type", "log_position", "table", "row_images")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(headerOnly.toSeq == full.toSeq) // same events, same attribution
+    // with row_images projected the values are decoded
+    val imgs = spark.read.format("binlog").load(dir.getPath)
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select("row_images").collect().head.getSeq[Seq[String]](0)
+    assert(imgs == Seq(Seq("42")))
+  }
+
   test("null / non-numeric values in pushed filters keep the file (no throw)") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
     // pruning is an optimization; undecidable values must be conservative
