@@ -71,9 +71,9 @@ object Comparator {
       normalized.columns.filterNot(Seq("binlog_file", "log_position").contains)
     normalized
       .groupBy(col("binlog_file"), col("log_position"))
-      .agg(max_by(struct(valueCols.map(col): _*), col("_seq")).as("_v"))
+      .agg(max_by(struct(valueCols.toIndexedSeq.map(col): _*), col("_seq")).as("_v"))
       .select(col("binlog_file") +: col("log_position") +:
-        valueCols.map(c => col("_v." + c).as(c)): _*)
+        valueCols.toIndexedSeq.map(c => col("_v." + c).as(c)): _*)
   }
 
   /** Unwrap the Avro-JSON union wrappers and flatten `source_metadata` to the

@@ -42,7 +42,7 @@ object AvroSource {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val first =
-      if (fs.isFile(p)) p
+      if (fs.exists(p) && fs.getFileStatus(p).isFile) p
       else {
         // globStatus returns null (not empty) for a non-glob missing path
         val files = Option(fs.globStatus(new Path(

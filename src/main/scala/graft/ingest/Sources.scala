@@ -85,7 +85,8 @@ object Sources {
         when(col("_parsed").isNull || col("_parsed._corrupt_record").isNotNull,
           col("_line")))
       .select(
-        (Schemas.binlogReadSchema.fieldNames.filterNot(_ == "_corrupt_record")
+        (Schemas.binlogReadSchema.fieldNames.toIndexedSeq
+          .filterNot(_ == "_corrupt_record")
           .map(f => col("_parsed." + f).as(f)) ++
           Seq(col("_corrupt_record"), col("binlog_file_from_path"),
             col("file_seq"), col("line_no"))): _*)

@@ -49,8 +49,8 @@ object Dedup {
     val valueCols = withSeq.columns.filterNot(keyCols.contains)
     withSeq
       .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(valueCols.map(col): _*), col("_seq")).as("_v"))
-      .select(keyCols.map(col) ++
+      .agg(max_by(struct(valueCols.toIndexedSeq.map(col): _*), col("_seq")).as("_v"))
+      .select(keyCols.toIndexedSeq.map(col) ++
         valueCols.filterNot(_ == "_seq").map(c => col("_v." + c).as(c)): _*)
   }
 

@@ -156,7 +156,7 @@ private object AvroScanHelper {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val files =
-      if (fs.isFile(p)) Seq(fs.getFileStatus(p))
+      if (fs.exists(p) && fs.getFileStatus(p).isFile) Seq(fs.getFileStatus(p))
       else Option(fs.globStatus(new Path(
           if (path.endsWith(".avro")) path else path.stripSuffix("/") + "/*.avro")))
         .getOrElse(Array.empty).filter(_.isFile).toSeq

@@ -185,7 +185,7 @@ private object BinlogScan {
     val conf = new org.apache.hadoop.conf.Configuration()
     val fs = hadoopPath.getFileSystem(conf)
     val files: Array[Path] =
-      if (fs.isFile(hadoopPath)) Array(hadoopPath)
+      if (fs.exists(hadoopPath) && fs.getFileStatus(hadoopPath).isFile) Array(hadoopPath)
       else Option(fs.globStatus(hadoopPath)) match {
         case Some(matches) if matches.nonEmpty =>
           matches.flatMap { st =>
