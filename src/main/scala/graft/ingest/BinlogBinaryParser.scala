@@ -419,6 +419,16 @@ object BinlogBinaryParser {
 
     // present-column sets are per-EVENT constants — computed once here,
     // not per row image
+    // a corrupted length prefix must fail the decode (→ body_decode_error),
+    // not attempt a multi-GB allocation (OutOfMemoryError would escape the
+    // RuntimeException catch and kill the task)
+    def readSized(len: Long): Array[Byte] = {
+      require(len >= 0 && len <= body.remaining(),
+        s"declared length $len exceeds body (${body.remaining()} left)")
+      val s = new Array[Byte](len.toInt); body.get(s)
+      s
+    }
+
     def presentCols(bm: Array[Byte]): Array[Int] =
       (0 until width).filter(bit(bm, _)).toArray
     val cols1 = presentCols(present1)
@@ -496,21 +506,16 @@ object BinlogBinaryParser {
         decodeNewDecimal(body, precision = m & 0xFF, scale = (m >> 8) & 0xFF)
       case 249 | 250 | 251 | 252 =>                             // BLOB/TEXT
         // m = width of the little-endian length prefix (1..4 bytes)
-        val len = readLittleEndian(body, m).toInt
-        val s = new Array[Byte](len); body.get(s)
+        val s = readSized(readLittleEndian(body, m))
         new String(s, "UTF-8")
       case 245 =>                                               // JSON
         // m = length-prefix width; payload is MySQL binary JSON,
         // rendered to compact JSON text
-        val len = readLittleEndian(body, m).toInt
-        val s = new Array[Byte](len); body.get(s)
-        JsonBinary.decode(s)
+        JsonBinary.decode(readSized(readLittleEndian(body, m)))
       case 255 =>                                               // GEOMETRY
         // m = length-prefix width; payload is WKB (SRID + geometry),
         // surfaced as lowercase hex — the comparison treats it opaquely
-        val len = readLittleEndian(body, m).toInt
-        val s = new Array[Byte](len); body.get(s)
-        s.map(b => f"${b & 0xFF}%02x").mkString
+        readSized(readLittleEndian(body, m)).map(b => f"${b & 0xFF}%02x").mkString
       case 16 =>                                                // BIT
         // m = [bits % 8, whole bytes]; value is ceil(bits/8) bytes
         // BIG-endian, surfaced as an unsigned integer

@@ -172,6 +172,43 @@ class BinlogRoundTripSpec extends AnyFunSuite {
       Seq("1", null, "x"), Seq("2", "[9]", null)))
   }
 
+  test("fuzz: corrupted files never throw — they stop or degrade loudly") {
+    val rnd = new scala.util.Random(99)
+    // a realistic base file exercising every decode path
+    val base = {
+      val f = new FileBuilder(checksums = true)
+      f.fde(T0)
+      f.event(T0, 33, gtidBody((1 to 16).map(_.toByte).toArray, 1))
+      f.event(T0, 2, queryBody("s", "BEGIN"))
+      val cols = Seq(ColDef.longlong, ColDef.varchar(30), ColDef.newDecimal(10, 2),
+        ColDef.json(4), ColDef.enum(1), ColDef.bit(12))
+      f.event(T0, 19, tableMapBody(5, "s", "t", cols))
+      f.event(T0, 30, rowsBody(5, cols.size, Seq(Seq(
+        Some(encLongLong(1)), Some(encVarchar("x", 30)),
+        Some(encNewDecimal(123456L, 10, 2)),
+        Some(encJson(Json.JObj(Seq("k" -> Json.JInt(1))), 4)),
+        Some(encEnum(1, 1)), Some(encBit(7, 12))))))
+      f.event(T0, 16, xidBody(1))
+      f.bytes
+    }
+    (1 to 300).foreach { trial =>
+      val bytes = base.clone()
+      // corrupt 1-8 random bytes after the magic
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        val i = 4 + rnd.nextInt(bytes.length - 4)
+        bytes(i) = rnd.nextInt(256).toByte
+      }
+      // truncate sometimes
+      val mutated =
+        if (rnd.nextBoolean()) bytes.take(4 + rnd.nextInt(bytes.length - 4))
+        else bytes
+      // must terminate without throwing; event stream may be shorter or
+      // carry body_decode_error extras, never an exception
+      val evs = BinlogBinaryParser.decodeFile(mutated, s"mysql-bin.$trial").toSeq
+      assert(evs.size <= 64, "runaway event count on corrupted input")
+    }
+  }
+
   test("generative: random typed rows round-trip exactly") {
     val rnd = new scala.util.Random(7)
     (1 to 30).foreach { _ =>
