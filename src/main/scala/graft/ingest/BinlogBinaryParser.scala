@@ -105,8 +105,13 @@ object BinlogBinaryParser {
 
       private var nextEv: ParsedBinlogEvent = _
       private var finished = false
+      // events unpacked from a TransactionPayload container, served FIFO
+      private val pending = collection.mutable.Queue.empty[ParsedBinlogEvent]
+      // payload stashed by the type-40 body decode for expansion
+      private var payloadToExpand: Array[Byte] = _
 
       override def hasNext: Boolean = {
+        if (nextEv == null && pending.nonEmpty) nextEv = pending.dequeue()
         if (nextEv == null && !finished) advance()
         nextEv != null
       }
@@ -139,6 +144,50 @@ object BinlogBinaryParser {
           case None => stop(); return // truncated tail: drop the event
           case Some(b) => b
         }
+        nextEv = buildEvent(tsSec, typeCode, serverId, endLogPos, flags,
+          bodyBytes, checksumLen)
+        if (payloadToExpand != null) {
+          val payload = payloadToExpand
+          payloadToExpand = null // clear BEFORE expanding — the in-loop
+          expandPayload(payload) // nested check must not see this payload
+        }
+      }
+
+      /** Decode the uncompressed inner-event stream of a
+        * TransactionPayload container into `pending`. Inner events carry
+        * NO per-event checksum (the container's CRC covers them) and
+        * share the file's decoder state (TABLE_MAP registry, GTID
+        * scope). A malformed inner stream stops the expansion — the
+        * container event itself was already emitted. */
+      private def expandPayload(inner: Array[Byte]): Unit = {
+        var p = 0
+        var ok = true
+        while (ok && p + 19 <= inner.length) {
+          val h = ByteBuffer.wrap(inner, p, 19).order(ByteOrder.LITTLE_ENDIAN)
+          val its = h.getInt & 0xFFFFFFFFL
+          val itc = h.get & 0xFF
+          val isid = h.getInt & 0xFFFFFFFFL
+          val isz = (h.getInt & 0xFFFFFFFFL).toInt
+          val ipos = h.getInt & 0xFFFFFFFFL
+          val ifl = h.getShort & 0xFFFF
+          if (isz < 19 || p + isz > inner.length) ok = false
+          else {
+            val ibody = java.util.Arrays.copyOfRange(inner, p + 19, p + isz)
+            val ev = buildEvent(its, itc, isid, ipos, ifl, ibody, ckLen = 0)
+            pending += ev.copy(extra = ev.extra + ("in_payload" -> "1"))
+            if (payloadToExpand != null) { // nested container (not produced
+              val nested = payloadToExpand // by MySQL, but don't leak the
+              payloadToExpand = null       // stash into the next outer event)
+              expandPayload(nested)
+            }
+            p += isz
+          }
+        }
+      }
+
+      private def buildEvent(tsSec: Long, typeCode: Int, serverId: Long,
+          endLogPos: Long, flags: Int, bodyBytes: Array[Byte],
+          ckLen: Int): ParsedBinlogEvent = {
         val body = ByteBuffer.wrap(bodyBytes).order(ByteOrder.LITTLE_ENDIAN)
         val name = eventTypeNames.getOrElse(typeCode, s"Type$typeCode")
         var query = ""
@@ -174,7 +223,7 @@ object BinlogBinaryParser {
             val schemaBytes = new Array[Byte](schemaLen)
             body.get(schemaBytes)
             body.get() // trailing NUL
-            val queryBytes = new Array[Byte](body.remaining() - checksumLen)
+            val queryBytes = new Array[Byte](body.remaining() - ckLen)
             body.get(queryBytes)
             evSchema = new String(schemaBytes, "UTF-8")
             query = new String(queryBytes, "UTF-8")
@@ -231,7 +280,7 @@ object BinlogBinaryParser {
             gtidNext = curGtid
           case 4 => // ROTATE: position u64, next file name
             val rpos = body.getLong
-            val nb = new Array[Byte](body.remaining() - checksumLen); body.get(nb)
+            val nb = new Array[Byte](body.remaining() - ckLen); body.get(nb)
             extra("next_file") = new String(nb, "UTF-8")
             extra("rotate_position") = rpos.toString
           case 23 | 24 | 25 | 30 | 31 | 32 => // ROWS v1/v2: table_id u48, flags u16
@@ -249,10 +298,53 @@ object BinlogBinaryParser {
             if (withRowImages) {
               tableDefs.get(tableId).foreach { case (_, _, types, meta) =>
                 val isUpdate = typeCode == 24 || typeCode == 31
-                rowImages = decodeRowImages(body, types, meta, isUpdate, checksumLen)
+                rowImages = decodeRowImages(body, types, meta, isUpdate, ckLen)
                 extra("n_row_images") = rowImages.size.toString
               }
             }
+          case 40 => // TRANSACTION_PAYLOAD (MySQL 8.0.20+, the public
+            // WL#3549 wire format): TLV header fields — 1 = payload size,
+            // 2 = compression type (0 ZSTD, 255 NONE), 3 = uncompressed
+            // size — terminated by mark 0, then the (possibly compressed)
+            // byte stream of complete inner events
+            var compression = 255L
+            var uncompressedSize = -1L
+            var payloadSize = -1L
+            var done = false
+            while (!done) {
+              readPackedLong(body) match {
+                case 0 => done = true
+                case t =>
+                  val len = readPackedLong(body).toInt
+                  val start = body.position()
+                  val v = readPackedLong(body)
+                  body.position(start + len)
+                  t match {
+                    case 1 => payloadSize = v
+                    case 2 => compression = v
+                    case 3 => uncompressedSize = v
+                    case _ => () // unknown optional field: skipped via len
+                  }
+              }
+            }
+            val rawLen = body.remaining() - ckLen
+            require(rawLen >= 0 && (payloadSize < 0 || payloadSize <= rawLen),
+              s"payload size $payloadSize exceeds body $rawLen")
+            val raw = new Array[Byte](if (payloadSize >= 0) payloadSize.toInt else rawLen)
+            body.get(raw)
+            payloadToExpand = compression match {
+              case 0 => // ZSTD
+                require(uncompressedSize >= 0 && uncompressedSize <= Int.MaxValue,
+                  s"bad uncompressed size $uncompressedSize")
+                com.github.luben.zstd.Zstd.decompress(raw, uncompressedSize.toInt)
+              case 255 => raw // NONE
+              case other =>
+                throw new IllegalArgumentException(s"unknown payload compression $other")
+            }
+            extra("compression_type") = compression.toString
+            extra("payload_bytes") = raw.length.toString
+            if (uncompressedSize >= 0)
+              extra("uncompressed_size") = uncompressedSize.toString
           case _ => () // header-only decode for everything else
         } catch {
           case e: RuntimeException =>
@@ -261,7 +353,7 @@ object BinlogBinaryParser {
 
         val rfc = Instant.ofEpochSecond(tsSec).atOffset(ZoneOffset.UTC)
           .format(DateTimeFormatter.ISO_OFFSET_DATE_TIME)
-        nextEv = ParsedBinlogEvent(
+        val ev = ParsedBinlogEvent(
           event_type = name,
           timestamp = rfc,
           immediate_commmit_timestamp = "",
@@ -279,6 +371,7 @@ object BinlogBinaryParser {
           row_images = rowImages)
         index += 1
         if (typeCode == 16) curGtid = "" // XID closes the transaction
+        ev
       }
     }
   }
@@ -300,6 +393,17 @@ object BinlogBinaryParser {
     var i = 0
     while (i < 6) { v |= (b.get & 0xFFL) << (8 * i); i += 1 }
     v
+  }
+
+  /** MySQL length-encoded ("packed") integer, full long range. */
+  private def readPackedLong(b: ByteBuffer): Long = {
+    val first = b.get & 0xFF
+    first match {
+      case 252 => b.getShort & 0xFFFF
+      case 253 => (b.get & 0xFFL) | ((b.get & 0xFFL) << 8) | ((b.get & 0xFFL) << 16)
+      case 254 => b.getLong
+      case v => v.toLong
+    }
   }
 
   /** MySQL length-encoded ("packed") integer. */

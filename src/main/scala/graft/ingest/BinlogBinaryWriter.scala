@@ -277,6 +277,51 @@ object BinlogBinaryWriter {
 
   def xidBody(xid: Long): Array[Byte] = le(xid, 8)
 
+  /** MySQL length-encoded ("packed") integer. */
+  private def packed(v: Long): Array[Byte] =
+    if (v < 251) Array(v.toByte)
+    else if (v < (1L << 16)) Array(252.toByte) ++ le(v, 2)
+    else if (v < (1L << 24)) Array(253.toByte) ++ le(v, 3)
+    else Array(254.toByte) ++ le(v, 8)
+
+  /** TRANSACTION_PAYLOAD (type 40) body: TLV header (compression type,
+    * uncompressed size, payload size), end mark, then the inner-event
+    * byte stream — zstd-compressed when `compress` (the WL#3549 wire
+    * format). Inner events must be written WITHOUT per-event checksums. */
+  def transactionPayloadBody(innerEvents: Array[Byte], compress: Boolean): Array[Byte] = {
+    val payload =
+      if (compress) com.github.luben.zstd.Zstd.compress(innerEvents, 3)
+      else innerEvents
+    val o = new ByteArrayOutputStream()
+    def tlv(t: Long, value: Long): Unit = {
+      val v = packed(value)
+      o.write(packed(t)); o.write(packed(v.length.toLong)); o.write(v)
+    }
+    tlv(2, if (compress) 0L else 255L)              // compression type
+    if (compress) tlv(3, innerEvents.length.toLong) // uncompressed size
+    tlv(1, payload.length.toLong)                   // payload size
+    o.write(packed(0L))                             // header end mark
+    o.write(payload)
+    o.toByteArray
+  }
+
+  /** Concatenate events into an inner-payload byte stream (no magic, no
+    * checksums) for [[transactionPayloadBody]]. Each element:
+    * (tsSec, typeCode, body). */
+  def innerEventStream(events: Seq[(Long, Int, Array[Byte])]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    var logPos = 0L
+    events.foreach { case (ts, tc, body) =>
+      val size = 19 + body.length
+      logPos += size
+      val h = ByteBuffer.allocate(19).order(ByteOrder.LITTLE_ENDIAN)
+      h.putInt(ts.toInt).put(tc.toByte).putInt(1)
+        .putInt(size).putInt(logPos.toInt).putShort(0.toShort)
+      o.write(h.array()); o.write(body)
+    }
+    o.toByteArray
+  }
+
   def tableMapBody(tableId: Long, schema: String, table: String,
       cols: Seq[ColDef]): Array[Byte] = {
     val o = new ByteArrayOutputStream()

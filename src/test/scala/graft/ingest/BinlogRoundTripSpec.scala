@@ -172,6 +172,47 @@ class BinlogRoundTripSpec extends AnyFunSuite {
       Seq("1", null, "x"), Seq("2", "[9]", null)))
   }
 
+  test("TransactionPayload: zstd-compressed inner events decode with shared state") {
+    def file(compress: Boolean): Array[Byte] = {
+      val f = new FileBuilder(checksums = true)
+      f.fde(T0)
+      f.event(T0, 33, gtidBody((1 to 16).map(_.toByte).toArray, 5))
+      val cols = Seq(ColDef.longlong, ColDef.varchar(20))
+      val inner = innerEventStream(Seq(
+        (T0, 19, tableMapBody(9, "shop", "orders", cols)),
+        (T0 + 1, 30, rowsBody(9, 2, Seq(
+          Seq(Some(encLongLong(7)), Some(encVarchar("inside", 20)))))),
+        (T0 + 1, 16, xidBody(99))))
+      f.event(T0 + 1, 40, transactionPayloadBody(inner, compress))
+      // a LATER rows event must still see the TABLE_MAP registered INSIDE
+      // the payload, and the XID inside must have closed the GTID scope
+      f.event(T0 + 2, 30, rowsBody(9, 2, Seq(
+        Seq(Some(encLongLong(8)), Some(encVarchar("after", 20))))))
+      f.bytes
+    }
+    Seq(true, false).foreach { compress =>
+      val evs = BinlogBinaryParser.decodeFile(file(compress), "mysql-bin.000040").toSeq
+      assert(evs.map(_.event_type) == Seq("FormatDescription", "Gtid",
+        "TransactionPayload", "TableMap", "WriteRowsEventV2", "XID",
+        "WriteRowsEventV2"))
+      val container = evs(2)
+      assert(container.extra("compression_type") == (if (compress) "0" else "255"))
+      assert(!container.extra.contains("body_decode_error"), container.extra.toString)
+      val innerWrite = evs(4)
+      assert(innerWrite.extra("in_payload") == "1")
+      assert(innerWrite.schema == "shop" && innerWrite.table == "orders")
+      assert(innerWrite.gtid_next == "01020304-0506-0708-090a-0b0c0d0e0f10:5")
+      assert(innerWrite.row_images == Seq(Seq("7", "inside")))
+      assert(evs(5).xid.contains(99L) && evs(5).extra("in_payload") == "1")
+      // decoder state crossed the payload boundary in both directions
+      val after = evs(6)
+      assert(!after.extra.contains("in_payload"))
+      assert(after.row_images == Seq(Seq("8", "after")))
+      assert(after.gtid_next == "", "XID inside the payload should close the scope")
+      assert(evs.map(_.event_index) == (0L to 6L))
+    }
+  }
+
   test("fuzz: corrupted files never throw — they stop or degrade loudly") {
     val rnd = new scala.util.Random(99)
     // a realistic base file exercising every decode path
