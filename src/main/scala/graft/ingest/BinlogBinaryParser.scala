@@ -302,6 +302,16 @@ object BinlogBinaryParser {
                 extra("n_row_images") = rowImages.size.toString
               }
             }
+          case 29 => // ROWS_QUERY: 1-byte stored length (capped; readers
+            // take the full body), then the original SQL of the row events
+            body.get()
+            val qb = new Array[Byte](body.remaining() - ckLen); body.get(qb)
+            query = new String(qb, "UTF-8")
+          case 5 => // INTVAR: type u8 (1 = LAST_INSERT_ID, 2 = INSERT_ID),
+            // value u64 — session-variable context for the next statement
+            val vtype = body.get & 0xFF
+            extra("intvar_type") = vtype.toString
+            extra("intvar_value") = body.getLong.toString
           case 40 => // TRANSACTION_PAYLOAD (MySQL 8.0.20+, the public
             // WL#3549 wire format): TLV header fields — 1 = payload size,
             // 2 = compression type (0 ZSTD, 255 NONE), 3 = uncompressed

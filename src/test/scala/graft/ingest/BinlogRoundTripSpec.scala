@@ -172,6 +172,20 @@ class BinlogRoundTripSpec extends AnyFunSuite {
       Seq("1", null, "x"), Seq("2", "[9]", null)))
   }
 
+  test("RowsQuery carries the original SQL; Intvar carries its variable") {
+    val f = new FileBuilder(checksums = true)
+    f.fde(T0)
+    val sql = "INSERT INTO t VALUES (1, 'x')"
+    f.event(T0, 29, Array(sql.length.toByte) ++ sql.getBytes("UTF-8"))
+    val iv = java.nio.ByteBuffer.allocate(9)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).put(2.toByte).putLong(777L).array()
+    f.event(T0, 5, iv)
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000029").toSeq
+    assert(evs(1).event_type == "RowsQuery" && evs(1).query == sql)
+    assert(evs(2).event_type == "Intvar")
+    assert(evs(2).extra("intvar_type") == "2" && evs(2).extra("intvar_value") == "777")
+  }
+
   test("TransactionPayload: zstd-compressed inner events decode with shared state") {
     def file(compress: Boolean): Array[Byte] = {
       val f = new FileBuilder(checksums = true)
