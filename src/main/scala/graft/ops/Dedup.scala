@@ -124,6 +124,37 @@ object Dedup {
     * at all; near-dup = small Hamming distance between signatures. */
   def simHashSignature(toks: Column): Column = simHash32(toks)
 
+  /** SimHash near-dup PAIRS with Hamming distance ≤ `maxHamming`, found
+    * subquadratically by pigeonhole banding: the 32-bit signature splits
+    * into `bands` contiguous bands; two signatures within Hamming
+    * `bands - 1` of each other must agree on at least one whole band, so
+    * candidates come from per-band equality joins (shuffle key =
+    * (band index, band value) — never all-pairs) and the exact Hamming
+    * check runs only on candidates. With the defaults (4 × 8-bit bands,
+    * maxHamming 3) recall is EXACT, not probabilistic. Output:
+    * (id_a, id_b, hamming). */
+  def simhashNearDups(df: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole exactness needs maxHamming < bands ($maxHamming >= $bands)")
+    val bandBits = 32 / bands
+    val mask = (1 << bandBits) - 1
+    def side(id: String, sh: String) = df
+      .select(col(idCol).as(id), col(simhashCol).as(sh))
+      .select(col(id), col(sh), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b AS band, shiftright($sh, b * $bandBits) & $mask AS bval))"))
+        .as(s"_bd_$id"))
+    side("id_a", "sh_a")
+      .join(side("id_b", "sh_b"),
+        col("_bd_id_a") === col("_bd_id_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact embedding-cosine near-dup pairs ≥ `minCos` via a
     * block-partitioned self-pair join (the triangular "1-bucket-theta"
     * layout). Each row is hashed to one of `blocks` blocks and replicated

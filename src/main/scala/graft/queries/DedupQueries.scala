@@ -197,12 +197,49 @@ object DedupQueries {
       |  GROUP BY a.source, b.source)
       |ORDER BY src_a, src_b""".stripMargin
 
+  // d08 — SimHash near-dup pairs: d04's fingerprints paired
+  // subquadratically by pigeonhole banding (4 × 8-bit bands ⇒ Hamming ≤ 3
+  // implies a whole band agrees — EXACT recall from an equi-join, no
+  // all-pairs), exact Hamming verify only on candidates.
+  def d08SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("simhash", graft.ops.Dedup.simHashSignature(col("toks")))
+    graft.ops.Dedup.simhashNearDups(sh, "doc_id", "simhash")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d08Oracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 32), b ->
+      |      CASE WHEN list_sum(list_transform(
+      |             list_transform(string_split(text, ' '),
+      |               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
+      |             c -> ((c >> b) & 1) * 2 - 1)) > 0
+      |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      |  FROM documents
+      |), e AS (
+      |  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bval
+      |  FROM sh, generate_series(0, 3) t(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |    a.simhash AS sa, b2.simhash AS sb
+      |  FROM e a JOIN e b2 ON a.b = b2.b AND a.bval = b2.bval
+      |    AND a.doc_id < b2.doc_id
+      |)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
     "d04_simhash" -> (d04Simhash _),
     "d06_group_minhash" -> (d06GroupMinhash _),
+    "d08_simhash_neardup" -> (d08SimhashNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +248,6 @@ object DedupQueries {
     "d03_minhash_lsh" -> d03Oracle,
     "d04_simhash" -> d04Oracle,
     "d06_group_minhash" -> d06Oracle,
+    "d08_simhash_neardup" -> d08Oracle,
   )
 }

@@ -113,6 +113,33 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(brute.nonEmpty, "fixture produced no near-dup pairs — test is vacuous")
   }
 
+  test("Dedup.simhashNearDups equals brute-force Hamming pairs (pigeonhole exactness)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // random 32-bit signatures plus planted near-dups (flip ≤ 3 bits)
+    val base = (0 until 60).map(i => (i.toLong, rnd.nextInt().toLong & 0xFFFFFFFFL))
+    val planted = (0 until 20).map { i =>
+      val (_, sh) = base(rnd.nextInt(base.size))
+      val flips = (0 until rnd.nextInt(4)).map(_ => 1L << rnd.nextInt(32))
+      (100L + i, flips.foldLeft(sh)(_ ^ _))
+    }
+    val df = (base ++ planted).toDF("doc_id", "simhash")
+
+    val viaBands = graft.ops.Dedup.simhashNearDups(df, "doc_id", "simhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val a = df.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+    val b = df.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).toSet
+
+    assert(viaBands == brute)
+    assert(brute.nonEmpty, "fixture planted no near-dup pairs — test is vacuous")
+  }
+
   test("Similarity.cosineTopK ranks the exact neighbor first") {
     import spark.implicits._
     val corpus = Seq(
