@@ -42,6 +42,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     Seq(
       DedupQueries.d02NgramJaccard(spark, dir),
       DedupQueries.d03MinhashLsh(spark, dir),
+      DedupQueries.d08SimhashNearDup(spark, dir),
       PipelineQueries.p01TrainingMix(spark, dir)
     ).foreach { df =>
       val p = plan(df)
