@@ -73,6 +73,18 @@ object Similarity {
     * original columns plus `cluster`. */
   def assignToCentroids(df: DataFrame, centroids: DataFrame, idCols: Seq[String],
       embCol: String = "embedding", labelCol: String = "clabel",
+      centroidCol: String = "cf"): DataFrame =
+    probeCentroids(df, centroids, idCols, nprobe = 1, embCol, labelCol, centroidCol)
+
+  /** Multi-probe coarse quantization: each row is replicated to its
+    * `nprobe` nearest centroids (by cosine, ties broken by label) — the
+    * IVF search-side assignment. `nprobe = 1` is the index-side single
+    * assignment ([[assignToCentroids]]); probing more clusters on the
+    * QUERY side recovers the recall a hard nprobe=1 boundary loses, at
+    * `nprobe`× the candidate cost. Output: the original columns plus one
+    * `cluster` row per probed centroid. */
+  def probeCentroids(df: DataFrame, centroids: DataFrame, idCols: Seq[String],
+      nprobe: Int, embCol: String = "embedding", labelCol: String = "clabel",
       centroidCol: String = "cf"): DataFrame = {
     val keep = df.columns
     val w = Window.partitionBy(idCols.map(col): _*)
@@ -80,7 +92,7 @@ object Similarity {
     df.crossJoin(broadcast(centroids))
       .withColumn("_ccos", cosineSim(col(embCol), col(centroidCol)))
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .filter(col("_rn") <= nprobe)
       .select(keep.map(col) :+ col(labelCol).as("cluster"): _*)
   }
 }

@@ -215,6 +215,72 @@ object SimilarityQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // s04 — IVF with nprobe=2: same index layout as s03 (corpus rows live in
+  // their single nearest cluster), but each query probes its TWO nearest
+  // clusters and ranks over the union — the standard recall/cost dial of
+  // IVF search. Candidate sets from the two probes are disjoint (a corpus
+  // row has one home cluster), so the union needs no dedup.
+  def s04AnnIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .select(col("label").as("clabel"), expr(
+        "transform(sequence(1, 64), d -> CAST(aggregate(vs, CAST(0.0 AS DOUBLE), " +
+          "(s, v) -> s + CAST(element_at(v.embedding, d) AS DOUBLE)) / size(vs) AS FLOAT))")
+        .as("cf"))
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val probes = graft.ops.Similarity.probeCentroids(
+        assigned.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding"),
+        cent, Seq("vec_id"), nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes),
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s04Oracle: String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+        s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH vs AS (
+      |  SELECT label, list(struct_pack(vec_id := vec_id, embedding := embedding) ORDER BY vec_id) AS vs
+      |  FROM embeddings GROUP BY label
+      |), cent AS (
+      |  SELECT label AS clabel,
+      |    list_transform(range(1, 65), d ->
+      |      CAST(list_sum(list_transform(vs, v -> CAST(v.embedding[d] AS DOUBLE))) / len(vs) AS FLOAT)) AS cf
+      |  FROM vs
+      |), ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${cos("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM ranked WHERE vec_id % 50 = 0 AND rn <= 2
+      |), scored AS (
+      |  SELECT query_id, a.vec_id, ${cos("qv", "a.embedding")} AS cos
+      |  FROM assigned a JOIN q ON a.clabel = q.qc AND a.vec_id <> q.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // d05 — embedding-cosine near-dup pairs, exact: block-partitioned pair
   // join (no corpus broadcast, no nested-loop join — see
   // Dedup.embeddingNearDups). d07 is the approximate subquadratic path
@@ -271,6 +337,7 @@ object SimilarityQueries {
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
+    "s04_ann_ivf_nprobe" -> (s04AnnIvfProbe _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -279,6 +346,7 @@ object SimilarityQueries {
     "s01_ann_bruteforce" -> s01Oracle,
     "s02_ann_lsh" -> s02Oracle,
     "s03_ann_ivf" -> s03Oracle,
+    "s04_ann_ivf_nprobe" -> s04Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
