@@ -83,22 +83,38 @@ object BinlogBinaryParser {
     * (TABLE_MAP state is still tracked for schema/table attribution) —
     * the CDC comparison consumes only headers/positions/timestamps, and
     * image decoding (strings, decimals, JSON documents) dominates decode
-    * cost, so the DSv2 reader sets this from column pruning. */
+    * cost, so the DSv2 reader sets this from column pruning.
+    *
+    * Range decode (intra-file splitting, [[BinlogOffsetIndex]]): with
+    * `startOffset > 0` the caller has already positioned the stream at an
+    * EVENT boundary (a transaction-start boundary from the offset index,
+    * so the range's rows events carry their own TABLE_MAPs); the magic
+    * check is skipped and `startIndex`/`initialChecksumLen` seed the
+    * file-scoped state the skipped prefix would have produced. Decoding
+    * stops at the first event whose start is at or past `endOffset` —
+    * ranges tile the file exactly (every event belongs to the one range
+    * containing its first byte). */
   def decodeStream(in: java.io.InputStream, basename: String,
-      withRowImages: Boolean = true): Iterator[ParsedBinlogEvent] = {
-    val magic = readN(in, 4)
-    require(magic.exists(java.util.Arrays.equals(_, Magic)),
-      s"$basename: not a binlog file (bad magic)")
+      withRowImages: Boolean = true,
+      startOffset: Long = 0L, endOffset: Long = Long.MaxValue,
+      startIndex: Long = 0L, initialChecksumLen: Int = 0): Iterator[ParsedBinlogEvent] = {
+    var pos = startOffset
+    if (startOffset == 0L) {
+      val magic = readN(in, 4)
+      require(magic.exists(java.util.Arrays.equals(_, Magic)),
+        s"$basename: not a binlog file (bad magic)")
+      pos = 4L
+    }
     val fileSeq = "\\.(\\d+)$".r.findFirstMatchIn(basename).map(_.group(1).toLong)
 
     new Iterator[ParsedBinlogEvent] {
-      private var index = 0L
+      private var index = startIndex
       // file-scoped decoder state
       private var curSchema = ""
       private var curTable = ""
       private var curGtid = ""
       // CRC32 tail length on every event once the FDE declares checksums
-      private var checksumLen = 0
+      private var checksumLen = initialChecksumLen
       // TABLE_MAP registry: table_id → (schema, table, col types, metadata)
       private val tableDefs =
         collection.mutable.Map.empty[Long, (String, String, Array[Int], Array[Int])]
@@ -126,10 +142,12 @@ object BinlogBinaryParser {
         try in.close() catch { case _: java.io.IOException => () }
       }
 
-      private def advance(): Unit = readN(in, 19) match {
-        case None => stop() // clean EOF (or truncated header: stop)
-        case Some(header) => decodeOne(header)
-      }
+      private def advance(): Unit =
+        if (pos >= endOffset) stop() // range exhausted (intra-file split)
+        else readN(in, 19) match {
+          case None => stop() // clean EOF (or truncated header: stop)
+          case Some(header) => decodeOne(header)
+        }
 
       private def decodeOne(header: Array[Byte]): Unit = {
         val buf = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
@@ -144,6 +162,7 @@ object BinlogBinaryParser {
           case None => stop(); return // truncated tail: drop the event
           case Some(b) => b
         }
+        pos += eventSize
         nextEv = buildEvent(tsSec, typeCode, serverId, endLogPos, flags,
           bodyBytes, checksumLen)
         if (payloadToExpand != null) {
@@ -406,7 +425,7 @@ object BinlogBinaryParser {
   }
 
   /** MySQL length-encoded ("packed") integer, full long range. */
-  private def readPackedLong(b: ByteBuffer): Long = {
+  private[ingest] def readPackedLong(b: ByteBuffer): Long = {
     val first = b.get & 0xFF
     first match {
       case 252 => b.getShort & 0xFFFF

@@ -1,0 +1,226 @@
+package graft.ingest
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Intra-file split index for huge binlog binary files — the last per-file
+  * serialization in S1 (one binlog file = one task). A binlog has no sync
+  * markers: events chain head-to-tail and rows events depend on the
+  * TABLE_MAP/GTID state before them, so unlike Avro (sync-seek,
+  * [[graft.sources.AvroDataSource]]) a byte range is not independently
+  * decodable. The standard fix is an offset index: one header-only pass
+  * records transaction-start boundaries — GTID/ANONYMOUS_GTID events begin
+  * a transaction, and every transaction re-emits the TABLE_MAPs its rows
+  * events need (row-based replication writes a TABLE_MAP per statement) —
+  * and later scans range-split huge files at those boundaries, seeding the
+  * decoder state (event index, CRC32 tail length) from the index.
+  *
+  * The index pass is itself distributed (one task per file) and reads
+  * headers only: bodies are skipped except FORMAT_DESCRIPTION (checksum
+  * algorithm) and TRANSACTION_PAYLOAD (inner-event count, needed so
+  * event_index stays globally consistent across ranges), so it runs at
+  * sequential-IO speed, not decode speed. Reference analogue: the
+  * sequential per-file loop `/root/reference/comparator.sh:85-101` — the
+  * engine splits what the reference serializes.
+  *
+  * Binlog files are immutable once rotated; the index stores the file
+  * length it walked and the scan falls back to whole-file decode when the
+  * length no longer matches — the index is an optimization, never a
+  * correctness dependency.
+  */
+object BinlogOffsetIndex {
+
+  /** One independently-decodable byte range of one file. `start == 0`
+    * means "from the magic" (decode normally); otherwise `start` is a
+    * transaction boundary and `startIndex`/`checksumLen` seed the state
+    * the skipped prefix would have produced. */
+  case class SplitRange(basename: String, start: Long, end: Long,
+      startIndex: Long, checksumLen: Int, fileLen: Long)
+
+  /** Walk every binlog file under `path` (one Spark task per file),
+    * recording a split boundary at the first transaction start at or
+    * after each `splitBytes` multiple, and write the index as one small
+    * text file at `indexPath` (tab-separated, one line per range). */
+  def build(spark: SparkSession, path: String, indexPath: String,
+      splitBytes: Long = 128L << 20): Seq[SplitRange] = {
+    val files = graft.sources.BinlogScan.listFiles(path)
+    val sb = splitBytes
+    val ranges = spark.sparkContext
+      .parallelize(files.toSeq, math.max(1, files.length))
+      .flatMap(f => walkFile(f, sb))
+      .collect().toSeq.sortBy(r => (r.basename, r.start))
+    val out = new Path(indexPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(out, true)
+    try os.write(ranges.map(r =>
+      s"${r.basename}\t${r.start}\t${r.end}\t${r.startIndex}\t${r.checksumLen}\t${r.fileLen}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally os.close()
+    ranges
+  }
+
+  /** Read an index file back, grouped by basename, ranges in order. */
+  def load(conf: org.apache.hadoop.conf.Configuration,
+      indexPath: String): Map[String, Seq[SplitRange]] = {
+    val p = new Path(indexPath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val a = line.split('\t')
+        SplitRange(a(0), a(1).toLong, a(2).toLong, a(3).toLong, a(4).toInt, a(5).toLong)
+      }.toSeq.groupBy(_.basename).view.mapValues(_.sortBy(_.start)).toMap
+    }
+  }
+
+  /** Header-only walk of one file → its split ranges (a single whole-file
+    * range when no boundary lands past `splitBytes`). */
+  private[ingest] def walkFile(file: String, splitBytes: Long): Seq[SplitRange] = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fileLen = fs.getFileStatus(p).getLen
+    val base = p.getName
+    val in = new java.io.BufferedInputStream(fs.open(p), 1 << 16)
+    try {
+      val magic = new Array[Byte](4)
+      require(readFully(in, magic) && java.util.Arrays.equals(magic, BinlogBinaryParser.Magic),
+        s"$base: not a binlog file (bad magic)")
+      var pos = 4L
+      var index = 0L
+      var ckLen = 0
+      var nextTarget = splitBytes
+      // (boundary offset, event index there, checksum length there)
+      val bounds = collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      val hdr = new Array[Byte](19)
+      var done = false
+      while (!done) {
+        if (!readFully(in, hdr)) done = true
+        else {
+          val buf = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+          buf.getInt // timestamp
+          val typeCode = buf.get & 0xFF
+          buf.getInt // server id
+          val eventSize = buf.getInt & 0xFFFFFFFFL
+          if (eventSize < 19 || eventSize > Int.MaxValue) done = true
+          else {
+            if ((typeCode == 33 || typeCode == 34) && pos >= nextTarget) {
+              bounds += ((pos, index, ckLen))
+              nextTarget = pos + splitBytes
+            }
+            val bodyLen = eventSize.toInt - 19
+            typeCode match {
+              case 15 => // FORMAT_DESCRIPTION: checksum algorithm tail
+                val body = new Array[Byte](bodyLen)
+                if (!readFully(in, body)) done = true
+                else if (bodyLen >= 62) {
+                  val alg = body(bodyLen - 5) & 0xFF
+                  if (alg == 1) ckLen = 4 else if (alg == 0) ckLen = 0
+                }
+              case 40 => // TRANSACTION_PAYLOAD: inner events share the
+                // file's event_index sequence, so count them
+                val body = new Array[Byte](bodyLen)
+                if (!readFully(in, body)) done = true
+                else index += countPayloadEvents(body, ckLen)
+              case _ =>
+                if (!skipFully(in, bodyLen)) done = true
+            }
+            if (!done) { index += 1; pos += eventSize }
+          }
+        }
+      }
+      if (bounds.isEmpty) Seq(SplitRange(base, 0L, fileLen, 0L, 0, fileLen))
+      else {
+        val starts = (0L, 0L, 0) +: bounds.toSeq
+        val ends = bounds.toSeq.map(_._1) :+ fileLen
+        starts.zip(ends).map { case ((s, idx, ck), e) =>
+          SplitRange(base, s, e, idx, ck, fileLen)
+        }
+      }
+    } finally in.close()
+  }
+
+  /** How many events [[BinlogBinaryParser]]'s payload expansion will emit
+    * for this TRANSACTION_PAYLOAD body — 0 on any malformation, exactly
+    * mirroring the decoder's throw→`body_decode_error`→no-expansion path.
+    * Recurses into (pathological) nested containers like the decoder. */
+  private def countPayloadEvents(bodyBytes: Array[Byte], ckLen: Int): Long = {
+    try {
+      val body = ByteBuffer.wrap(bodyBytes).order(ByteOrder.LITTLE_ENDIAN)
+      var compression = 255L
+      var uncompressedSize = -1L
+      var payloadSize = -1L
+      var done = false
+      while (!done) {
+        BinlogBinaryParser.readPackedLong(body) match {
+          case 0 => done = true
+          case t =>
+            val len = BinlogBinaryParser.readPackedLong(body).toInt
+            val start = body.position()
+            val v = BinlogBinaryParser.readPackedLong(body)
+            body.position(start + len)
+            t match {
+              case 1 => payloadSize = v
+              case 2 => compression = v
+              case 3 => uncompressedSize = v
+              case _ => ()
+            }
+        }
+      }
+      val rawLen = body.remaining() - ckLen
+      if (rawLen < 0 || payloadSize > rawLen) return 0L
+      val raw = new Array[Byte](if (payloadSize >= 0) payloadSize.toInt else rawLen)
+      body.get(raw)
+      val inner = compression match {
+        case 0 =>
+          if (uncompressedSize < 0 || uncompressedSize > Int.MaxValue) return 0L
+          com.github.luben.zstd.Zstd.decompress(raw, uncompressedSize.toInt)
+        case 255 => raw
+        case _ => return 0L
+      }
+      var p = 0
+      var n = 0L
+      var ok = true
+      while (ok && p + 19 <= inner.length) {
+        val itc = inner(p + 4) & 0xFF
+        val isz = (ByteBuffer.wrap(inner, p + 9, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt & 0xFFFFFFFFL).toInt
+        if (isz < 19 || p + isz > inner.length) ok = false
+        else {
+          n += 1
+          if (itc == 40) // nested container: decoder expands recursively
+            n += countPayloadEvents(
+              java.util.Arrays.copyOfRange(inner, p + 19, p + isz), 0)
+          p += isz
+        }
+      }
+      n
+    } catch { case _: RuntimeException => 0L }
+  }
+
+  private def readFully(in: java.io.InputStream, buf: Array[Byte]): Boolean = {
+    var off = 0
+    while (off < buf.length) {
+      val r = in.read(buf, off, buf.length - off)
+      if (r < 0) return false
+      off += r
+    }
+    true
+  }
+
+  private def skipFully(in: java.io.InputStream, n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() < 0) return false // skip() stalled: probe a byte
+      else left -= 1
+    }
+    true
+  }
+}

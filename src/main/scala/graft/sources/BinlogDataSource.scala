@@ -44,7 +44,8 @@ class BinlogDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new BinlogTable(properties.get("path"),
-      Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(properties.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(properties.get("splitIndex")))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -70,7 +71,8 @@ object BinlogDataSource {
   ))
 }
 
-private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int])
+private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int],
+    splitIndex: Option[String] = None)
     extends Table with SupportsRead {
   require(path != null, "binlog source requires a path (use .load(path))")
 
@@ -80,10 +82,11 @@ private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int])
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BinlogScanBuilder(path, maxFilesPerTrigger)
+    new BinlogScanBuilder(path, maxFilesPerTrigger, splitIndex)
 }
 
-private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None)
+private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
+    splitIndex: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -107,7 +110,7 @@ private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = 
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new BinlogScan(path, required, pushed, maxFilesPerTrigger)
+    new BinlogScan(path, required, pushed, maxFilesPerTrigger, splitIndex)
 }
 
 private object BinlogFilePruning {
@@ -152,18 +155,45 @@ private object BinlogFilePruning {
 
 private class BinlogScan(path: String, required: StructType,
     pushed: Array[Filter] = Array.empty,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
+    maxFilesPerTrigger: Option[Int] = None,
+    splitIndex: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
+  /** One partition per file; with a `splitIndex` option (built by
+    * [[graft.ingest.BinlogOffsetIndex.build]]) huge files fan out into one
+    * partition per transaction-aligned byte range. A file whose length no
+    * longer matches the index entry decodes whole-file — the index is an
+    * optimization, never a correctness dependency. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val index: Map[String, Seq[graft.ingest.BinlogOffsetIndex.SplitRange]] =
+      splitIndex match {
+        case Some(ip) => graft.ingest.BinlogOffsetIndex.load(
+          new org.apache.hadoop.conf.Configuration(), ip)
+        case None => Map.empty
+      }
     BinlogScan.listFiles(path)
       .filter { p =>
         val name = p.split('/').last
         val seq = BinlogFilePruning.fileSeq(name)
         pushed.forall(BinlogFilePruning.keeps(_, name, seq))
       }
-      .map(p => BinlogInputPartition(p): InputPartition)
+      .flatMap { p =>
+        val name = p.split('/').last
+        index.get(name) match {
+          case Some(ranges) if ranges.nonEmpty && fileLen(p) == ranges.head.fileLen =>
+            ranges.map(r => BinlogInputPartition(
+              p, r.start, r.end, r.startIndex, r.checksumLen): InputPartition)
+          case _ => Seq(BinlogInputPartition(p): InputPartition)
+        }
+      }
+  }
+
+  private def fileLen(p: String): Long = {
+    val hp = new Path(p)
+    hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .getFileStatus(hp).getLen
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BinlogReaderFactory(required)
@@ -176,7 +206,7 @@ private class BinlogScan(path: String, required: StructType,
     s"binlog($path) prunedBy=[${pushed.mkString(", ")}]"
 }
 
-private object BinlogScan {
+private[graft] object BinlogScan {
   /** All binlog files under `path`, in natural (`ls -v`) order: numeric
     * suffix first, then name — the reference's processing order
     * (comparator.sh:85). */
@@ -223,34 +253,42 @@ private class BinlogMicroBatchStream(path: String, required: StructType,
     new BinlogReaderFactory(required)
 }
 
-private case class BinlogInputPartition(file: String) extends InputPartition
+/** `start == 0 && end == Long.MaxValue` is the whole-file partition; any
+  * other range comes from the transaction-aligned offset index. */
+private case class BinlogInputPartition(file: String, start: Long = 0L,
+    end: Long = Long.MaxValue, startIndex: Long = 0L, checksumLen: Int = 0)
+    extends InputPartition
 
 private class BinlogReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new BinlogPartitionReader(
-      partition.asInstanceOf[BinlogInputPartition].file, required)
+      partition.asInstanceOf[BinlogInputPartition], required)
 }
 
-/** Streams one file's events through the incremental decoder — heap holds
-  * one event body at a time (not the file), so arbitrarily large binlogs
-  * (≥2 GiB included) decode correctly. Projects only the required
+/** Streams one file-range's events through the incremental decoder — heap
+  * holds one event body at a time (not the file), so arbitrarily large
+  * binlogs (≥2 GiB included) decode correctly. Projects only the required
   * columns. */
-private class BinlogPartitionReader(file: String, required: StructType)
+private class BinlogPartitionReader(part: BinlogInputPartition, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private var stream: java.io.InputStream = _
 
   private lazy val events: Iterator[ParsedBinlogEvent] = {
-    val p = new Path(file)
+    val p = new Path(part.file)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = new java.io.BufferedInputStream(fs.open(p), 1 << 16)
+    val raw = fs.open(p)
+    if (part.start > 0) raw.seek(part.start) // range partition: event boundary
+    val in = new java.io.BufferedInputStream(raw, 1 << 16)
     stream = in
     // column pruning reaches the DECODER: when row_images is not
     // projected, the reader skips image value decoding (the dominant
     // decode cost) — header-only CDC scans don't pay for payloads
     BinlogBinaryParser.decodeStream(in, p.getName,
-      withRowImages = required.fieldNames.contains("row_images"))
+      withRowImages = required.fieldNames.contains("row_images"),
+      startOffset = part.start, endOffset = part.end,
+      startIndex = part.startIndex, initialChecksumLen = part.checksumLen)
   }
 
   private var current: ParsedBinlogEvent = _
