@@ -62,7 +62,8 @@ class AvroDataSource extends TableProvider
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new AvroTable(properties.get("path"), Option(schema),
-      Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(properties.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(properties.get("fileNameColumn")))
 
   // a user-supplied schema lets a STREAMING tail start on a directory
   // that has no files yet (inference needs a file header); the Avro
@@ -73,8 +74,14 @@ class AvroDataSource extends TableProvider
   override def supportsExternalMetadata(): Boolean = true
 }
 
+/** `fileNameColumn`: name of a virtual partition-style STRING column
+  * holding each record's source-file basename. CDC delivery directories
+  * are name-bucketed (Datastream drops `<stream>_<timestamp>.avro` files),
+  * so predicates on this column prune whole files at planning — the
+  * file-level analogue of `BinlogFilePruning` (Avro blocks carry no
+  * column stats; file name is the pruning ceiling for this format). */
 private class AvroTable(path: String, userSchema: Option[StructType],
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int], fileNameColumn: Option[String] = None)
     extends Table with SupportsRead {
   require(path != null, "avro source requires a path (use .load(path))")
 
@@ -94,28 +101,86 @@ private class AvroTable(path: String, userSchema: Option[StructType],
     }
 
   override def name(): String = s"avro($path)"
-  override def schema(): StructType = AvroSource.toStructType(avroSchema)
+  override def schema(): StructType = {
+    val base = AvroSource.toStructType(avroSchema)
+    fileNameColumn match {
+      case Some(c) =>
+        require(!base.fieldNames.contains(c),
+          s"fileNameColumn '$c' collides with a data field")
+        base.add(StructField(c, StringType, nullable = false))
+      case None => base
+    }
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, avroSchema, schema(), maxFilesPerTrigger)
+    new AvroScanBuilder(path, avroSchema, schema(), maxFilesPerTrigger, fileNameColumn)
 }
 
 private class AvroScanBuilder(path: String, avroSchema: Schema, full: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    maxFilesPerTrigger: Option[Int] = None, fileNameColumn: Option[String] = None)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new AvroScan(path, avroSchema, required, maxFilesPerTrigger)
+  /** File-name pruning: predicates on the virtual `fileNameColumn` are
+    * decidable per FILE, so they skip whole containers at planning. All
+    * filters are also returned as residual — Spark re-evaluates them, so
+    * pruning is an optimization, never a correctness dependency. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = fileNameColumn match {
+      case Some(c) => filters.filter(AvroFilePruning.prunable(_, c))
+      case None => Array.empty
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan =
+    new AvroScan(path, avroSchema, required, maxFilesPerTrigger,
+      fileNameColumn, pushed)
+}
+
+private object AvroFilePruning {
+  import org.apache.spark.sql.sources._
+
+  def prunable(f: Filter, col: String): Boolean = f match {
+    case EqualTo(a, _: String) => a == col
+    case In(a, vs) => a == col && vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(a, _) => a == col
+    case GreaterThan(a, _: String) => a == col
+    case GreaterThanOrEqual(a, _: String) => a == col
+    case LessThan(a, _: String) => a == col
+    case LessThanOrEqual(a, _: String) => a == col
+    case _ => false
+  }
+
+  /** Does a file with this basename possibly satisfy the filter?
+    * Conservative: anything undecidable keeps the file. */
+  def keeps(f: Filter, name: String): Boolean = f match {
+    case EqualTo(_, v: String) => name == v
+    case In(_, vs) => vs.exists(v => v == name)
+    case StringStartsWith(_, p) => name.startsWith(p)
+    case GreaterThan(_, v: String) => name > v
+    case GreaterThanOrEqual(_, v: String) => name >= v
+    case LessThan(_, v: String) => name < v
+    case LessThanOrEqual(_, v: String) => name <= v
+    case _ => true
+  }
 }
 
 private class AvroScan(path: String, avroSchema: Schema, required: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    fileNameColumn: Option[String] = None,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -128,25 +193,29 @@ private class AvroScan(path: String, avroSchema: Schema, required: StructType,
     * only listed once fully written). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AvroMicroBatchStream(path, avroSchema.toString, required, maxFilesPerTrigger)
+    new AvroMicroBatchStream(path, avroSchema.toString, required,
+      maxFilesPerTrigger, fileNameColumn)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val splitSize = spark.sessionState.conf.filesMaxPartitionBytes
-    AvroScanHelper.listAvroFiles(spark, path).flatMap { st =>
-      val len = st.getLen
-      if (len <= splitSize) Seq(AvroInputPartition(st.getPath.toString, 0L, len))
-      else (0L until len by splitSize).map { start =>
-        AvroInputPartition(st.getPath.toString, start, math.min(splitSize, len - start))
-      }
-    }.map(p => p: InputPartition).toArray
+    AvroScanHelper.listAvroFiles(spark, path)
+      .filter(st => pushed.forall(AvroFilePruning.keeps(_, st.getPath.getName)))
+      .flatMap { st =>
+        val len = st.getLen
+        if (len <= splitSize) Seq(AvroInputPartition(st.getPath.toString, 0L, len))
+        else (0L until len by splitSize).map { start =>
+          AvroInputPartition(st.getPath.toString, start, math.min(splitSize, len - start))
+        }
+      }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(avroSchema.toString, required)
+    new AvroReaderFactory(avroSchema.toString, required, fileNameColumn)
 
   override def description(): String =
-    s"avro($path) ReadSchema=[${required.fieldNames.mkString(", ")}]"
+    s"avro($path) ReadSchema=[${required.fieldNames.mkString(", ")}]" +
+      (if (pushed.nonEmpty) s" prunedBy=[${pushed.mkString(", ")}]" else "")
 }
 
 private object AvroScanHelper {
@@ -166,7 +235,8 @@ private object AvroScanHelper {
 }
 
 private class AvroMicroBatchStream(path: String, schemaJson: String,
-    required: StructType, maxFilesPerTrigger: Option[Int])
+    required: StructType, maxFilesPerTrigger: Option[Int],
+    fileNameColumn: Option[String] = None)
     extends FileCountMicroBatchStream[(String, Long)](
       () => {
         val spark = org.apache.spark.sql.SparkSession.active
@@ -181,24 +251,27 @@ private class AvroMicroBatchStream(path: String, schemaJson: String,
     AvroInputPartition(f._1, 0L, f._2)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(schemaJson, required)
+    new AvroReaderFactory(schemaJson, required, fileNameColumn)
 }
 
 private case class AvroInputPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
-private class AvroReaderFactory(readerSchemaJson: String, required: StructType)
+private class AvroReaderFactory(readerSchemaJson: String, required: StructType,
+    fileNameColumn: Option[String] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(
-      partition.asInstanceOf[AvroInputPartition], readerSchemaJson, required)
+      partition.asInstanceOf[AvroInputPartition], readerSchemaJson, required,
+      fileNameColumn)
 }
 
 /** Reads one (file, byte-range) slice: seek to the first sync point at or
   * after `start`, read blocks until past `start + length` — the standard
   * splittable-Avro contract (each record belongs to exactly one range). */
 private class AvroPartitionReader(part: AvroInputPartition,
-    readerSchemaJson: String, required: StructType)
+    readerSchemaJson: String, required: StructType,
+    fileNameColumn: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private val readerSchema = new Schema.Parser().parse(readerSchemaJson)
@@ -211,8 +284,25 @@ private class AvroPartitionReader(part: AvroInputPartition,
     r
   }
 
-  private val converter =
-    AvroCatalyst.recordConverter(readerSchema, required)
+  /** Record → row, with the virtual file-name column (constant per
+    * partition) spliced in at its projected ordinal when requested. */
+  private val converter: GenericRecord => InternalRow =
+    fileNameColumn.filter(required.fieldNames.contains) match {
+      case Some(c) =>
+        val vi = required.fieldIndex(c)
+        val dataSchema = StructType(required.fields.filterNot(_.name == c))
+        val fc = AvroCatalyst.fieldsConverter(readerSchema, dataSchema)
+        val fileName = UTF8String.fromString(new Path(part.file).getName)
+        rec => {
+          val vals = fc(rec)
+          val out = new Array[Any](vals.length + 1)
+          System.arraycopy(vals, 0, out, 0, vi)
+          out(vi) = fileName
+          System.arraycopy(vals, vi, out, vi + 1, vals.length - vi)
+          new GenericInternalRow(out)
+        }
+      case None => AvroCatalyst.recordConverter(readerSchema, required)
+    }
 
   private var current: InternalRow = _
 
@@ -231,6 +321,11 @@ private class AvroPartitionReader(part: AvroInputPartition,
 private[sources] object AvroCatalyst {
 
   def recordConverter(schema: Schema, required: StructType): GenericRecord => InternalRow = {
+    val fc = fieldsConverter(schema, required)
+    rec => new GenericInternalRow(fc(rec))
+  }
+
+  def fieldsConverter(schema: Schema, required: StructType): GenericRecord => Array[Any] = {
     val fields = required.fields.map { sf =>
       val f = schema.getField(sf.name)
       require(f != null, s"field ${sf.name} missing from Avro schema")
@@ -244,7 +339,7 @@ private[sources] object AvroCatalyst {
         out(i) = if (v == null) null else fields(i)._2(v)
         i += 1
       }
-      new GenericInternalRow(out)
+      out
     }
   }
 

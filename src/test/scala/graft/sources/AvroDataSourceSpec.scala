@@ -114,4 +114,51 @@ class AvroDataSourceSpec extends AnyFunSuite with SparkTestSession {
       s"scan not pruned to [id]:\n$planStr")
     assert(pruned.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("fileNameColumn predicates prune whole files at planning") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("avrofprune").toFile
+    val in = new java.io.File(root, "in"); in.mkdirs()
+    // three date-bucketed delivery files, CDC-drop style
+    Seq(("2024-05-01.avro", Seq(1L, 2L)),
+        ("2024-05-02.avro", Seq(3L, 4L)),
+        ("2024-05-03.avro", Seq(5L, 6L))).foreach { case (name, ids) =>
+      val tmp = new java.io.File(root, "tmp_" + name).getPath
+      AvroSink.write(ids.map(i => (i, s"v$i")).toDF("id", "s").repartition(1), tmp)
+      val avro = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      Files.move(avro.toPath, new java.io.File(in, name).toPath)
+    }
+
+    def read() = spark.read.format("avrofile")
+      .option("fileNameColumn", "src_file").load(in.getPath)
+
+    // the virtual column carries the basename
+    val all = read()
+    assert(all.rdd.getNumPartitions == 3)
+    assert(all.select("src_file").distinct().as[String].collect().sorted.toSeq
+      == Seq("2024-05-01.avro", "2024-05-02.avro", "2024-05-03.avro"))
+
+    // equality predicate: one file planned, values correct
+    val eq = read().filter(col("src_file") === "2024-05-02.avro")
+    assert(eq.rdd.getNumPartitions == 1, "EqualTo did not prune files")
+    assert(eq.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+
+    // range predicate: tail read prunes the head file
+    val ge = read().filter(col("src_file") >= "2024-05-02")
+    assert(ge.rdd.getNumPartitions == 2, "range predicate did not prune")
+    assert(ge.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L, 6L))
+
+    // prefix predicate + projection without the virtual column
+    val pre = read().filter(col("src_file").startsWith("2024-05-03")).select("id")
+    assert(pre.as[Long].collect().sorted.toSeq == Seq(5L, 6L))
+
+    // pruning is an optimization, not the filter: a mixed predicate the
+    // planner can't push still evaluates correctly over all files
+    val mixed = read().filter(col("src_file") =!= "2024-05-01.avro")
+    assert(mixed.rdd.getNumPartitions == 3) // Not(EqualTo) isn't prunable
+    assert(mixed.select("id").as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L, 5L, 6L))
+  }
 }
