@@ -30,11 +30,19 @@ object PipelineQueries {
       col("n_stop").cast("double") / col("n_tokens") <= 0.125 &&
       col("tok_chars").cast("double") / col("n_tokens") >= 3.5)
 
-    // stage 2 — exact dedup: canonical keeper per content hash
-    val wHash = Window.partitionBy(md5(col("text")))
+    // stage 2 — exact dedup: canonical (min-id) keeper per content hash.
+    // A min_by hash AGGREGATE, not a window: partial aggregation shrinks
+    // the shuffle map-side and there is no sort; and because the whole
+    // subtree below this exchange is defined once and consumed twice (the
+    // near-dup branch and the anti-join branch), ReuseExchange shares the
+    // scan+quality+partial-agg work instead of executing the prefix twice.
     val exact = quality
-      .withColumn("keeper", min(col("doc_id")).over(wHash))
-      .filter(col("doc_id") === col("keeper"))
+      .groupBy(md5(col("text")).as("_h"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("source"),
+          col("toks"), col("n_tokens")),
+        col("doc_id")).as("_v"))
+      .select(col("_v.*"))
 
     // stage 3 — near-dup removal: drop the max-id side of every
     // shingle-Jaccard >= 0.5 pair (d02's detector over the survivors)
