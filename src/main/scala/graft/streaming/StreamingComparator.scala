@@ -80,14 +80,17 @@ object StreamingComparator {
     * (file, position) keys; if duplicates are possible, bound them upstream
     * with [[StreamingDedup]] instead.
     *
-    * KNOWN DIVERGENCE from the batch path (ADVICE r3): a binlog row whose
-    * timestamp strings are BOTH empty/unparseable has no real event time;
-    * it is assigned epoch 0 here, the watermark classifies it as late and
-    * drops it, and its Avro partner surfaces as AVRO_ONLY — where the
-    * batch comparator flags the same pair MISMATCH_TS (the reference's
-    * Go-zero-time rule, compare_timestamps.go:206-216). To recover batch
-    * semantics, split those rows off with [[partitionUnparseableBinlog]]
-    * BEFORE this join and report them MISMATCH_TS out-of-band.
+    * BATCH-PARITY NOTE (ADVICE r3, closed in r6): a binlog row whose
+    * timestamp strings are BOTH empty/unparseable has no real event time,
+    * so no watermark can pair it with bounded state — if fed here it is
+    * assigned epoch 0, dropped as late, and its Avro partner surfaces as
+    * AVRO_ONLY where the batch comparator says MISMATCH_TS (the
+    * reference's Go-zero-time rule, compare_timestamps.go:206-216). The
+    * documented entry [[compareStreamsWithParity]] therefore splits that
+    * class off BEFORE the join and [[reclassifyUnparseable]] folds it
+    * back at the same terminal reconciliation step where BINLOG_ONLY
+    * already lives ([[reconcileBinlogOnly]]) — full status parity, pinned
+    * by the stream-vs-batch spec.
     */
   /** Split a normalized binlog stream into (timestamped, untimestamped):
     * rows in the second frame have no parseable commit timestamp at all,
@@ -127,6 +130,46 @@ object StreamingComparator {
         b("b_event_time") <= a("a_event_time") + expr(s"INTERVAL $maxSkew")
     Comparator.statusColumns(a.join(b, cond, "left_outer"), cfg)
       .drop("a_event_time", "b_event_time")
+  }
+
+  /** The documented stream-stream entry with full batch parity: splits
+    * the binlog feed into (timestamped, untimestamped), runs the
+    * watermarked join on the timestamped side only, and hands back the
+    * untimestamped remainder. Returns (statuses, unparseableBinlog) — at
+    * end of stream, run [[reclassifyUnparseable]] over the sinked
+    * statuses (the untimestamped side re-read as a batch, like
+    * [[reconcileBinlogOnly]]'s snapshot) and then [[reconcileBinlogOnly]];
+    * together the three outputs reproduce the batch comparator's status
+    * multiset exactly, unparseable class included. */
+  def compareStreamsWithParity(
+      avroStream: DataFrame,
+      binlogStream: DataFrame,
+      maxSkew: String = "10 minutes",
+      watermarkDelay: String = "1 minute",
+      cfg: Comparator.Config = Comparator.Config()): (DataFrame, DataFrame) = {
+    val (timed, untimed) = partitionUnparseableBinlog(binlogStream)
+    (compareStreams(avroStream, timed, maxSkew, watermarkDelay, cfg), untimed)
+  }
+
+  /** Terminal batch step restoring the reference's Go-zero-time rule: an
+    * AVRO_ONLY status row whose (file, position) key has an unparseable
+    * binlog partner becomes MISMATCH_TS (both sides present, parse error
+    * ⇒ counted mismatch — compare_timestamps.go:206-216); everything else
+    * passes through. Parity is at the status level — the field-level
+    * b_* columns of the reclassified rows stay the stream's (absent)
+    * view. */
+  def reclassifyUnparseable(streamOutput: DataFrame,
+      unparseableBinlog: DataFrame): DataFrame = {
+    val keys = unparseableBinlog.select(
+      col("binlog_file").as("_u_file"), col("log_position").as("_u_pos")).distinct()
+    streamOutput
+      .join(keys,
+        col("binlog_file") === col("_u_file") && col("position") === col("_u_pos"),
+        "left_outer")
+      .withColumn("status",
+        when(col("status") === Schemas.Status.AvroOnly && col("_u_pos").isNotNull,
+          lit(Schemas.Status.MismatchTs)).otherwise(col("status")))
+      .drop("_u_file", "_u_pos")
   }
 
   /** End-of-stream BINLOG_ONLY reconciliation (SURVEY §2.9): once the Avro

@@ -108,6 +108,88 @@ class StreamingComparatorSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.get(3000L).contains(Status.AvroOnly))   // watermark passed, no partner
   }
 
+  test("stream + terminal reconciliation == batch statuses, unparseable class included") {
+    val t0 = 1714564800000L
+    val dir = Files.createTempDirectory("cdcparity").toFile
+    val bDir = new java.io.File(dir, "binlog"); bDir.mkdirs()
+    val aDir = new java.io.File(dir, "avro"); aDir.mkdirs()
+
+    val bLines = Seq(
+      // MATCH partner
+      s"""{"event_type":"WriteRowsEventV2","immediate_commmit_timestamp":"2024-05-01T12:00:00Z","log_position":1000,"binlog_file":"mysql-bin.000001"}""",
+      // BOTH timestamps unparseable — batch says MISMATCH_TS (Go zero time)
+      s"""{"event_type":"UpdateRowsEventV2","immediate_commmit_timestamp":"","log_position":2000,"binlog_file":"mysql-bin.000001"}""",
+      // DML with no avro partner — BINLOG_ONLY
+      s"""{"event_type":"DeleteRowsEventV2","immediate_commmit_timestamp":"2024-05-01T12:00:01Z","log_position":4000,"binlog_file":"mysql-bin.000001"}""",
+      // non-DML with no partner — BINLOG_ONLY_SUPPRESSED
+      s"""{"event_type":"XID","immediate_commmit_timestamp":"2024-05-01T12:00:02Z","log_position":5000,"binlog_file":"mysql-bin.000001"}""")
+    val aLines = Seq(
+      avroLine(1000, t0 + 50),  // MATCH
+      avroLine(2000, t0),       // partner unparseable → MISMATCH_TS in batch
+      avroLine(3000, t0))       // AVRO_ONLY
+    // far-future rows advance both watermarks past everything above; they
+    // are excluded from the parity key set (a live stream would keep
+    // advancing on its own)
+    val far = t0 + 3600L * 1000 * 24
+    val bFar = s"""{"event_type":"WriteRowsEventV2","immediate_commmit_timestamp":"2024-05-02T12:00:10Z","log_position":888888,"binlog_file":"mysql-bin.000001"}"""
+
+    def put(d: java.io.File, name: String, content: String, mtime: Long): Unit = {
+      val f = new java.io.File(d, name)
+      Files.write(f.toPath, content.getBytes)
+      assert(f.setLastModified(mtime))
+    }
+    val w0 = System.currentTimeMillis() - 60000
+    put(bDir, "b1.json", bLines.mkString("\n"), w0)
+    put(aDir, "a1.json", aLines.mkString("\n"), w0)
+    put(aDir, "a2.json", avroLine(999999, far), w0 + 1000)
+    put(bDir, "b2.json", bFar, w0 + 2000)
+
+    // ---- batch truth
+    val bBatch = Sources.binlogJson(spark, bDir.getPath + "/*.json")
+      .filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val aBatch = Comparator.flattenWrappedAvro(
+      spark.read.schema(Schemas.avroWrappedReadSchema).json(aDir.getPath)
+        .drop("_corrupt_record"))
+    val batch = Comparator.compare(
+        Comparator.prepareBinlog(bBatch, col("log_position")),
+        Comparator.prepareAvro(aBatch))
+      .select("position", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // ---- streaming pipeline: parity entry + terminal reconciliation
+    val binlogStream = Comparator.normalizeBinlog(
+      spark.readStream.schema(Schemas.binlogReadSchema)
+        .option("maxFilesPerTrigger", 1).json(bDir.getPath)
+        .drop("_corrupt_record"))
+    val avroStream = Comparator.prepareAvro(Comparator.flattenWrappedAvro(
+      spark.readStream.schema(Schemas.avroWrappedReadSchema)
+        .option("maxFilesPerTrigger", 1).json(aDir.getPath)
+        .drop("_corrupt_record")))
+    val (main, _) = StreamingComparator.compareStreamsWithParity(
+      avroStream, binlogStream, maxSkew = "10 minutes", watermarkDelay = "1 second")
+    val q = main.writeStream.format("memory").queryName("cdc_parity")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // terminal reconciliation runs as BATCH over the same snapshot
+    val untimedBatch = StreamingComparator
+      .partitionUnparseableBinlog(Comparator.normalizeBinlog(bBatch))._2
+    val reclassified = StreamingComparator.reclassifyUnparseable(
+      spark.table("cdc_parity"), untimedBatch)
+    val seen = aBatch.select("binlog_file", "binlog_position")
+    val reconciled = StreamingComparator.reconcileBinlogOnly(
+      Comparator.prepareBinlog(bBatch, col("log_position")), seen)
+
+    val streamed = (reclassified.select("position", "status").collect() ++
+        reconciled.select("position", "status").collect())
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val keys = Set(1000L, 2000L, 3000L, 4000L, 5000L)
+    assert(streamed.view.filterKeys(keys).toMap
+      == batch.view.filterKeys(keys).toMap)
+    assert(batch(2000L) == Status.MismatchTs) // the class under test
+  }
+
   test("partitionUnparseableBinlog splits rows with no usable event time") {
     val spark2 = spark
     import spark2.implicits._
