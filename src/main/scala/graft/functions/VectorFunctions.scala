@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -80,9 +80,73 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket of an `array<float>` embedding: bit j of
+  * the result is set iff `dot(emb, planes(j)) > 0` — the signature primitive
+  * behind s02/d07's bucketed candidate generation.
+  *
+  * This replaces the earlier nested `aggregate` higher-order-function
+  * formulation, which interpreted one lambda call per vector ELEMENT per
+  * plane (HOFs are CodegenFallback in Spark) and dominated d07's runtime;
+  * here the whole planes × dims loop is one tight JVM loop per row.
+  * CodegenFallback by choice, like [[MinHashSignature]]: per-row work is
+  * hundreds of flops, so row-level dispatch overhead is noise.
+  *
+  * Exact-match semantics (mirrored by the DuckDB oracle SQL and identical
+  * to the HOF it replaces): per plane, an ascending-index left fold of
+  * `emb(i)·plane(i)` in double precision; a NULL or shorter-than-`dim`
+  * embedding contributes no set bits (bucket 0, never NULL — matching
+  * `aggregate` over the plane sequence, whose null dots fold to 0). */
+case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(planes.nonEmpty && planes.forall(_.size == planes.head.size),
+    "planes must be a non-empty rectangular matrix")
+
+  private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+  private lazy val dim = planes.head.size
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket expects array<float>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() < dim) 0L
+      else {
+        var bucket = 0L
+        var j = 0
+        while (j < mat.length) {
+          val row = mat(j)
+          var dot = 0.0
+          var i = 0
+          while (i < dim) { dot += arr.getFloat(i).toDouble * row(i); i += 1 }
+          if (dot > 0.0) bucket |= 1L << j
+          j += 1
+        }
+        bucket
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Column-level cosine similarity over two `array<float>` columns. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimilarity(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column-level hyperplane-LSH bucket (see [[HyperplaneBucket]]). */
+  def hyperplaneBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnShim.column(HyperplaneBucket(ColumnShim.expression(emb), planes))
 }

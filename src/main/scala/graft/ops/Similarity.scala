@@ -34,21 +34,11 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (one bit per plane) for an
     * `array<float>` embedding column. `planes` is a small driver-side
     * matrix (nPlanes × dim) — the same planes must be used for corpus and
-    * queries. */
-  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
-    val planesCol = typedlit(planes)
-    val dim = planes.head.size
-    val nb = planes.size
-    def at(arr: Column, idx: Column): Column = call_function("element_at", arr, idx)
-    aggregate(
-      sequence(lit(0), lit(nb - 1)), lit(0L),
-      (acc, j) => {
-        val dot = aggregate(
-          sequence(lit(1), lit(dim)), lit(0.0).cast("double"),
-          (s, i) => s + at(emb, i).cast("double") * at(at(planesCol, j + 1), i))
-        acc + when(dot > 0.0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-      })
-  }
+    * queries. Backed by the native [[graft.functions.HyperplaneBucket]]
+    * expression (one tight loop per row; the earlier nested-HOF
+    * formulation interpreted a lambda per element and dominated d07). */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    graft.functions.VectorFunctions.hyperplaneBucket(emb, planes)
 
   /** Top-k within the query's LSH bucket: both sides carry a `bucket`
     * column ([[lshBucket]]); candidates never leave their bucket (the
