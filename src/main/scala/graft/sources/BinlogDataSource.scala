@@ -45,7 +45,9 @@ class BinlogDataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new BinlogTable(properties.get("path"),
       Option(properties.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(properties.get("splitIndex")))
+      Option(properties.get("splitIndex")),
+      Option(properties.get("splitIndexAutoBuild")).exists(_.toBoolean),
+      Option(properties.get("splitBytes")).map(_.toLong))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -72,7 +74,8 @@ object BinlogDataSource {
 }
 
 private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int],
-    splitIndex: Option[String] = None)
+    splitIndex: Option[String] = None, autoBuild: Boolean = false,
+    splitBytes: Option[Long] = None)
     extends Table with SupportsRead {
   require(path != null, "binlog source requires a path (use .load(path))")
 
@@ -82,11 +85,12 @@ private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int],
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BinlogScanBuilder(path, maxFilesPerTrigger, splitIndex)
+    new BinlogScanBuilder(path, maxFilesPerTrigger, splitIndex, autoBuild, splitBytes)
 }
 
 private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
-    splitIndex: Option[String] = None)
+    splitIndex: Option[String] = None, autoBuild: Boolean = false,
+    splitBytes: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -110,7 +114,8 @@ private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = 
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new BinlogScan(path, required, pushed, maxFilesPerTrigger, splitIndex)
+    new BinlogScan(path, required, pushed, maxFilesPerTrigger, splitIndex,
+      autoBuild, splitBytes)
 }
 
 private object BinlogFilePruning {
@@ -156,20 +161,32 @@ private object BinlogFilePruning {
 private class BinlogScan(path: String, required: StructType,
     pushed: Array[Filter] = Array.empty,
     maxFilesPerTrigger: Option[Int] = None,
-    splitIndex: Option[String] = None) extends Scan with Batch {
+    splitIndex: Option[String] = None,
+    autoBuild: Boolean = false,
+    splitBytes: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** One partition per file; with a `splitIndex` option (built by
     * [[graft.ingest.BinlogOffsetIndex.build]]) huge files fan out into one
-    * partition per transaction-aligned byte range. A file whose length no
+    * partition per transaction-aligned byte range. With
+    * `splitIndexAutoBuild=true` a missing index is built right here at
+    * planning (the distributed header-only walk runs as its own small job
+    * before this scan's tasks launch) — the "first pass records offsets"
+    * pattern with no separate orchestration step. A file whose length no
     * longer matches the index entry decodes whole-file — the index is an
     * optimization, never a correctness dependency. */
   override def planInputPartitions(): Array[InputPartition] = {
     val index: Map[String, Seq[graft.ingest.BinlogOffsetIndex.SplitRange]] =
       splitIndex match {
-        case Some(ip) => graft.ingest.BinlogOffsetIndex.load(
-          new org.apache.hadoop.conf.Configuration(), ip)
+        case Some(ip) =>
+          val loaded = graft.ingest.BinlogOffsetIndex.load(
+            new org.apache.hadoop.conf.Configuration(), ip)
+          if (loaded.nonEmpty || !autoBuild) loaded
+          else graft.ingest.BinlogOffsetIndex.build(
+              org.apache.spark.sql.SparkSession.active, path, ip,
+              splitBytes.getOrElse(128L << 20))
+            .groupBy(_.basename).view.mapValues(_.sortBy(_.start)).toMap
         case None => Map.empty
       }
     BinlogScan.listFiles(path)

@@ -74,6 +74,27 @@ class BinlogSplitSpec extends AnyFunSuite with SparkTestSession {
     assert(wImg.toSeq == sImg.toSeq && wImg.length == 60)
   }
 
+  test("splitIndexAutoBuild: first scan builds the index at planning") {
+    val dir = Files.createTempDirectory("binsplit3").toFile
+    writeFixture(dir, "mysql-bin.000001", nTx = 40)
+    val index = new java.io.File(dir.getParentFile, dir.getName + ".idx").getPath
+    assert(!new java.io.File(index).exists())
+
+    val df = spark.read.format("binlog")
+      .option("splitIndex", index)
+      .option("splitIndexAutoBuild", "true")
+      .option("splitBytes", "8192")
+      .load(dir.getPath)
+    assert(df.rdd.getNumPartitions > 2, "auto-built index did not range-split")
+    assert(new java.io.File(index).exists(), "index file not written")
+    assert(df.filter(col("event_type") === "XID").count() == 40)
+
+    // second scan loads the existing index (same fan-out, no rebuild)
+    val again = spark.read.format("binlog")
+      .option("splitIndex", index).load(dir.getPath)
+    assert(again.rdd.getNumPartitions == df.rdd.getNumPartitions)
+  }
+
   test("stale index (file length mismatch) falls back to whole-file decode") {
     val dir = Files.createTempDirectory("binsplit2").toFile
     writeFixture(dir, "mysql-bin.000001", nTx = 10)
