@@ -74,6 +74,51 @@ class BinlogSplitSpec extends AnyFunSuite with SparkTestSession {
     assert(wImg.toSeq == sImg.toSeq && wImg.length == 60)
   }
 
+  test("split across TransactionPayload containers keeps event_index consistent") {
+    import BinlogBinaryWriter._
+    val dir = Files.createTempDirectory("binsplitp").toFile
+    val cols = Seq(ColDef.longlong, ColDef.varchar(32))
+    val sid = (1 to 16).map(_.toByte).toArray
+    val f = new FileBuilder(checksums = true)
+    val t0 = 1714564800L
+    f.fde(t0)
+    (0 until 30).foreach { tx =>
+      f.event(t0 + tx, 33, gtidBody(sid, tx + 1L))
+      if (tx % 2 == 0) {
+        // whole transaction as a (zstd on even/4) payload container —
+        // the index walk must count its INNER events or every later
+        // range's event_index seed is off
+        val inner = innerEventStream(Seq(
+          (t0 + tx, 19, tableMapBody(7, "app", "t", cols)),
+          (t0 + tx, 30, rowsBody(7, 2, (0 until 5).map(r =>
+            Seq(Some(encLongLong(tx * 100L + r)),
+              Some(encVarchar(s"p-$tx-$r-" + "y" * 16, 32)))))),
+          (t0 + tx, 16, xidBody(7000L + tx))))
+        f.event(t0 + tx, 40, transactionPayloadBody(inner, compress = tx % 4 == 0))
+      } else {
+        f.event(t0 + tx, 2, queryBody("app", "BEGIN"))
+        f.event(t0 + tx, 19, tableMapBody(7, "app", "t", cols))
+        f.event(t0 + tx, 30, rowsBody(7, 2, (0 until 5).map(r =>
+          Seq(Some(encLongLong(tx * 100L + r)),
+            Some(encVarchar(s"q-$tx-$r-" + "z" * 16, 32))))))
+        f.event(t0 + tx, 16, xidBody(7000L + tx))
+      }
+    }
+    Files.write(new java.io.File(dir, "mysql-bin.000001").toPath, f.bytes)
+
+    val index = new java.io.File(dir.getParentFile, dir.getName + ".idx").getPath
+    val ranges = BinlogOffsetIndex.build(spark, dir.getPath, index, splitBytes = 2048)
+    assert(ranges.size > 2, s"expected several ranges, got ${ranges.size}")
+
+    val whole = spark.read.format("binlog").load(dir.getPath)
+    val split = spark.read.format("binlog").option("splitIndex", index).load(dir.getPath)
+    val cs = Seq("event_type", "event_index", "xid", "gtid_next", "row_images")
+    val w = whole.select(cs.map(col): _*).orderBy("event_index").collect()
+    val s = split.select(cs.map(col): _*).orderBy("event_index").collect()
+    assert(w.length == s.length)
+    assert(w.toSeq == s.toSeq)
+  }
+
   test("splitIndexAutoBuild: first scan builds the index at planning") {
     val dir = Files.createTempDirectory("binsplit3").toFile
     writeFixture(dir, "mysql-bin.000001", nTx = 40)
