@@ -577,6 +577,176 @@ object CdcQueries {
       |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 400)
       |ORDER BY o_orderkey""".stripMargin
 
+  // cdc08 — S6 end-to-end under the oracle gate: 250 events rows rendered
+  // as `binlog_metadata.json` JSON-lines files (FIXTURES §1.3 shape, two
+  // files, a malformed line injected after every 50 rows), read back by
+  // the ORDER-PRESERVING wholetext+posexplode scan
+  // (Sources.binlogJsonOrdered — the read the last-wins dedup depends on),
+  // and compared field-by-field in DuckDB. The oracle replays the line
+  // numbering including the malformed lines' slots, so the quarantine
+  // drops are visible as line_no gaps, and (file_seq, line_no) pins E14/
+  // E15 + the within-file order.
+  def cdc08JsonSource(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = writeCdc08Fixture(spark, dir)
+    graft.ingest.Sources.binlogJsonOrdered(spark, fixtureDir)
+      .filter(col("_corrupt_record").isNull)
+      .select(col("event_type"), col("timestamp"),
+        col("immediate_commmit_timestamp"), col("log_position"),
+        col("table"), col("schema"), col("binlog_file"), col("gtid_next"),
+        col("xid"), col("binlog_file_from_path"), col("file_seq"),
+        col("line_no"))
+      .orderBy("file_seq", "line_no")
+  }
+
+  private def writeCdc08Fixture(spark: SparkSession, dir: String): String = {
+    val rows = Tables.events(spark, dir)
+      .orderBy("event_id")
+      .limit(250)
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"), expr("ts div 1000000000").cast("long").as("sec"))
+      .collect()
+    require(rows.length <= 250,
+      s"cdc08 fixture must stay a bounded test vector, got ${rows.length} rows")
+
+    val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    def secT(sec: Long) = dateFmt.format(java.time.Instant.ofEpochSecond(sec))
+
+    val out = tmpFixtureDir("graft_cdc08_", dir)
+    out.mkdirs()
+    rows.groupBy(r => r.getLong(1) % 2 + 1).foreach { case (seq, fileRows) =>
+      val sb = new StringBuilder
+      fileRows.sortBy(_.getLong(0)).zipWithIndex.foreach { case (r, idx) =>
+        val id = r.getLong(0); val typ = r.getString(2); val sec = r.getLong(3)
+        val et = typ match {
+          case "purchase" => "WriteRowsEventV2"
+          case "click"    => "UpdateRowsEventV2"
+          case "view"     => "DeleteRowsEventV2"
+          case "signup"   => "XID"
+          case _          => "Query"
+        }
+        val fields = collection.mutable.ArrayBuffer(
+          s""""event_type":"$et"""",
+          s""""timestamp":"${secT(sec)}Z"""")
+        if (id % 3 == 0)
+          fields += f""""immediate_commmit_timestamp":"${secT(sec)}%s.${id % 1000000}%06dZ""""
+        fields += s""""log_position":${id + 4}"""
+        fields += s""""table":"events""""
+        fields += s""""schema":"app""""
+        fields += f""""binlog_file":"mysql-bin.$seq%06d""""
+        if (id % 23 == 0) fields += s""""gtid_next":"uuid:$id""""
+        if (typ == "signup") fields += s""""xid":$id"""
+        sb ++= fields.mkString("{", ",", "}") + "\n"
+        if ((idx + 1) % 50 == 0)
+          sb ++= s"{corrupt line $idx\n"     // quarantine path (P6/K3)
+      }
+      java.nio.file.Files.write(
+        new java.io.File(out, f"mysql-bin.$seq%06d").toPath,
+        sb.toString.getBytes("UTF-8"))
+    }
+    out.getPath
+  }
+
+  val cdc08Oracle: String =
+    """WITH src AS (
+      |  SELECT CAST(event_id AS BIGINT) AS id, CAST(user_id AS BIGINT) AS uid,
+      |         event_type, epoch_ns(ts) // 1000000000 AS sec
+      |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 250)
+      |), f AS (
+      |  SELECT *,
+      |    'mysql-bin.' || lpad(CAST(uid % 2 + 1 AS VARCHAR), 6, '0') AS bfile,
+      |    strftime(make_timestamp(sec * 1000000), '%Y-%m-%dT%H:%M:%S') AS sec_t,
+      |    lpad(CAST(id % 1000000 AS VARCHAR), 6, '0') AS us6,
+      |    row_number() OVER (PARTITION BY uid % 2 ORDER BY id) - 1 AS idx
+      |  FROM src
+      |)
+      |SELECT
+      |  CASE event_type WHEN 'purchase' THEN 'WriteRowsEventV2'
+      |       WHEN 'click' THEN 'UpdateRowsEventV2'
+      |       WHEN 'view' THEN 'DeleteRowsEventV2'
+      |       WHEN 'signup' THEN 'XID' ELSE 'Query' END AS event_type,
+      |  sec_t || 'Z' AS "timestamp",
+      |  CASE WHEN id % 3 = 0 THEN sec_t || '.' || us6 || 'Z' ELSE NULL END
+      |    AS immediate_commmit_timestamp,
+      |  id + 4 AS log_position,
+      |  'events' AS "table", 'app' AS "schema",
+      |  bfile AS binlog_file,
+      |  CASE WHEN id % 23 = 0 THEN 'uuid:' || CAST(id AS VARCHAR) ELSE NULL END AS gtid_next,
+      |  CAST(CASE WHEN event_type = 'signup' THEN id ELSE NULL END AS BIGINT) AS xid,
+      |  bfile AS binlog_file_from_path,
+      |  uid % 2 + 1 AS file_seq,
+      |  CAST(idx + idx // 50 AS INT) AS line_no
+      |FROM f ORDER BY file_seq, line_no""".stripMargin
+
+  // cdc09 — S7 end-to-end under the oracle gate: 250 orders rows rendered
+  // as `avro_rows.json` (the avro-tools tojson union-wrapped encoding,
+  // FIXTURES §3.3 — `{"string": v}` / `{"long": v}` wrappers, nested
+  // source_metadata, a primary_keys array), read by Sources.avroJson,
+  // un-wrapped by Comparator.flattenWrappedAvro, and compared in DuckDB.
+  def cdc09AvroJsonSource(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = writeCdc09Fixture(spark, dir)
+    Comparator.flattenWrappedAvro(
+        graft.ingest.Sources.avroJson(spark, fixtureDir)
+          .filter(col("_corrupt_record").isNull))
+      .select(col("source_timestamp"), col("database"), col("table"),
+        col("change_type"), col("gtid"), col("binlog_file"),
+        col("binlog_position"), col("is_deleted"),
+        concat_ws(",", col("primary_keys")).as("pk_csv"))
+      .orderBy("binlog_position")
+  }
+
+  private def writeCdc09Fixture(spark: SparkSession, dir: String): String = {
+    val rows = Tables.orders(spark, dir)
+      .orderBy("o_orderkey")
+      .limit(250)
+      .select(col("o_orderkey").cast("long"), col("o_orderstatus"))
+      .collect()
+    require(rows.length <= 250,
+      s"cdc09 fixture must stay a bounded test vector, got ${rows.length} rows")
+
+    val out = tmpFixtureDir("graft_cdc09_", dir)
+    out.mkdirs()
+    rows.grouped((rows.length + 1) / 2).zipWithIndex.foreach { case (half, fi) =>
+      val sb = new StringBuilder
+      half.foreach { r =>
+        val k = r.getLong(0); val st = r.getString(1)
+        val ct = st match {
+          case "F" => "UPDATE"
+          case "O" => "INSERT"
+          case _   => "DELETE"
+        }
+        val gtid =
+          if (k % 7 == 0) s""","gtid":{"string":"uuid:$k"}""" else ""
+        sb ++= s"""{"source_timestamp":${1714564800000L + k * 1000},""" +
+          s""""source_metadata":{"database":"shop","table":"orders",""" +
+          s""""change_type":{"string":"$ct"}$gtid,""" +
+          f""""binlog_file":{"string":"mysql-bin.${k % 3 + 1}%06d"},""" +
+          s""""binlog_position":{"long":${k + 4}},""" +
+          s""""is_deleted":{"boolean":${ct == "DELETE"}},""" +
+          s""""primary_keys":["id","k${k % 5}"]},"payload":{}}""" + "\n"
+      }
+      java.nio.file.Files.write(
+        new java.io.File(out, s"avro_rows_$fi.json").toPath,
+        sb.toString.getBytes("UTF-8"))
+    }
+    out.getPath
+  }
+
+  val cdc09Oracle: String =
+    """SELECT
+      |  1714564800000 + o_orderkey * 1000 AS source_timestamp,
+      |  'shop' AS database, 'orders' AS "table",
+      |  CASE o_orderstatus WHEN 'F' THEN 'UPDATE' WHEN 'O' THEN 'INSERT'
+      |       ELSE 'DELETE' END AS change_type,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'uuid:' || CAST(o_orderkey AS VARCHAR)
+      |       ELSE NULL END AS gtid,
+      |  'mysql-bin.' || lpad(CAST(o_orderkey % 3 + 1 AS VARCHAR), 6, '0') AS binlog_file,
+      |  o_orderkey + 4 AS binlog_position,
+      |  o_orderstatus NOT IN ('F', 'O') AS is_deleted,
+      |  'id,k' || CAST(o_orderkey % 5 AS VARCHAR) AS pk_csv
+      |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 250)
+      |ORDER BY binlog_position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -585,6 +755,8 @@ object CdcQueries {
     "cdc05_binary_source" -> (cdc05BinarySource _),
     "cdc06_text_source" -> (cdc06TextSource _),
     "cdc07_avro_source" -> (cdc07AvroSource _),
+    "cdc08_json_source" -> (cdc08JsonSource _),
+    "cdc09_avrojson_source" -> (cdc09AvroJsonSource _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -595,5 +767,7 @@ object CdcQueries {
     "cdc05_binary_source" -> cdc05Oracle,
     "cdc06_text_source" -> cdc06Oracle,
     "cdc07_avro_source" -> cdc07Oracle,
+    "cdc08_json_source" -> cdc08Oracle,
+    "cdc09_avrojson_source" -> cdc09Oracle,
   )
 }
