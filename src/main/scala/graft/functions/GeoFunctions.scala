@@ -53,7 +53,10 @@ case class WkbHexToWkt(child: Expression)
       val sb = new StringBuilder
       if (srid != 0) sb.append("SRID=").append(srid).append(';')
       val end = WkbHexToWkt.geometry(bytes, 4, sb)
-      if (end < 0) null else UTF8String.fromString(sb.toString)
+      // the geometry must consume the whole payload: trailing bytes mean
+      // corruption (or a concatenated second value) → NULL, not a
+      // plausible-looking prefix
+      if (end != bytes.length) null else UTF8String.fromString(sb.toString)
     } catch { case _: RuntimeException => null }
   }
 
@@ -110,9 +113,16 @@ private[functions] object WkbHexToWkt {
     p
   }
 
+  /** Nesting bound for GEOMETRYCOLLECTION recursion: real data nests a
+    * handful of levels; a crafted payload of repeated collection headers
+    * would otherwise drive the parser StackOverflowError-deep — an Error
+    * the never-fail contract's RuntimeException catch cannot contain. */
+  private val MaxDepth = 32
+
   /** Parse one geometry (byte-order flag + type + body), appending WKT.
     * Returns the offset after it, or -1 on malformation. */
-  def geometry(b: Array[Byte], p0: Int, sb: StringBuilder): Int = {
+  def geometry(b: Array[Byte], p0: Int, sb: StringBuilder, depth: Int = 0): Int = {
+    if (depth > MaxDepth) return -1
     if (p0 + 5 > b.length) return -1
     val le = b(p0) match {
       case 1 => true
@@ -191,7 +201,7 @@ private[functions] object WkbHexToWkt {
         var i = 0L
         while (i < n) {
           if (i > 0) sb.append(", ")
-          p = geometry(b, p, sb)
+          p = geometry(b, p, sb, depth + 1)
           if (p < 0) return -1
           i += 1
         }

@@ -121,12 +121,20 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
       val arr = v.asInstanceOf[ArrayData]
       if (arr.numElements() < dim) 0L
       else {
+        // a NULL element nulls every plane's dot in the HOF this replaces
+        // (null propagates through the fold, every `when(dot > 0)` falls
+        // to 0) — match that: bucket 0, not a bucket from the remainder
+        var i = 0
+        while (i < dim) {
+          if (arr.isNullAt(i)) return 0L
+          i += 1
+        }
         var bucket = 0L
         var j = 0
         while (j < mat.length) {
           val row = mat(j)
           var dot = 0.0
-          var i = 0
+          i = 0
           while (i < dim) { dot += arr.getFloat(i).toDouble * row(i); i += 1 }
           if (dot > 0.0) bucket |= 1L << j
           j += 1

@@ -61,23 +61,35 @@ object BinlogOffsetIndex {
     ranges
   }
 
-  /** Read an index file back, grouped by basename, ranges in order. */
+  /** Read an index file back, grouped by basename, ranges in order.
+    * A missing, truncated, partially-written (concurrent auto-build), or
+    * otherwise malformed index yields an EMPTY map — the scan then
+    * decodes whole files, honoring the "optimization, never a
+    * correctness dependency" contract instead of failing at planning. */
   def load(conf: org.apache.hadoop.conf.Configuration,
-      indexPath: String): Map[String, Seq[SplitRange]] = {
-    val p = new Path(indexPath)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      text.linesIterator.filter(_.nonEmpty).map { line =>
-        val a = line.split('\t')
-        SplitRange(a(0), a(1).toLong, a(2).toLong, a(3).toLong, a(4).toInt, a(5).toLong)
-      }.toSeq.groupBy(_.basename).view.mapValues(_.sortBy(_.start)).toMap
+      indexPath: String): Map[String, Seq[SplitRange]] =
+    try {
+      val p = new Path(indexPath)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.linesIterator.filter(_.nonEmpty).map { line =>
+          val a = line.split('\t')
+          require(a.length == 6, s"malformed index line: $line")
+          SplitRange(a(0), a(1).toLong, a(2).toLong, a(3).toLong, a(4).toInt, a(5).toLong)
+        }.toSeq.groupBy(_.basename).view.mapValues(_.sortBy(_.start)).toMap
+      }
+    } catch {
+      case e @ (_: RuntimeException | _: java.io.IOException) =>
+        System.err.println(
+          s"[graft] split index $indexPath unreadable (${e.getMessage}); " +
+            "falling back to whole-file decode")
+        Map.empty
     }
-  }
 
   /** Header-only walk of one file → its split ranges (a single whole-file
     * range when no boundary lands past `splitBytes`). */

@@ -352,9 +352,7 @@ object CdcQueries {
 
     val t0 = 1714564800L
     val sid = (1 to 16).map(_.toByte).toArray
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_cdc05_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xFF}%02x").mkString)
+    val out = tmpFixtureDir("graft_cdc05_", dir)
     out.mkdirs()
     rows.grouped(100).zipWithIndex.foreach { case (fileRows, fi) =>
       val f = new FileBuilder(checksums = true)
@@ -385,11 +383,23 @@ object CdcQueries {
       |      FROM orders ORDER BY o_orderkey LIMIT 200)
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Deterministic per-(fixture, input-dir) temp directory. */
+  /** Deterministic per-(fixture, input-dir) temp directory, emptied of any
+    * previous run's files — the fixture writers derive FILE SETS from the
+    * data (e.g. one file per user_id residue), so a stale extra file from
+    * an earlier dataset at the same path would be ingested as phantom
+    * events and surface as a gate mismatch that looks like an engine bug. */
   private def tmpFixtureDir(prefix: String, dir: String): java.io.File = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xFF}%02x").mkString
-    new java.io.File(System.getProperty("java.io.tmpdir"), prefix + tag)
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"), prefix + tag)
+    if (out.exists()) {
+      java.nio.file.Files.walk(out.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    // NOT created here: the Hadoop committer behind cdc07's AvroSink write
+    // requires its output path to not exist; text-fixture writers mkdirs()
+    out
   }
 
   // cdc06 — S2 end-to-end under the oracle gate: the first 300 `events`
@@ -546,12 +556,8 @@ object CdcQueries {
     * gate exercises). Rewritten on every call; stale output removed first
     * (the Hadoop committer refuses to overwrite). */
   private def writeCdc07Fixture(spark: SparkSession, dir: String): String = {
-    val out = tmpFixtureDir("graft_cdc07_", dir)
-    if (out.exists()) {
-      java.nio.file.Files.walk(out.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    val out = tmpFixtureDir("graft_cdc07_", dir) // deletes stale output; the
+    // Hadoop committer creates the directory itself
     val slice = Tables.orders(spark, dir).orderBy("o_orderkey").limit(400)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         Tables.cents(col("o_totalprice")).as("total_cents"),
@@ -706,7 +712,9 @@ object CdcQueries {
 
     val out = tmpFixtureDir("graft_cdc09_", dir)
     out.mkdirs()
-    rows.grouped((rows.length + 1) / 2).zipWithIndex.foreach { case (half, fi) =>
+    // max(1, …): grouped(0) throws on an empty slice — an empty orders
+    // table should yield an empty result, not a driver exception
+    rows.grouped(math.max(1, (rows.length + 1) / 2)).zipWithIndex.foreach { case (half, fi) =>
       val sb = new StringBuilder
       half.foreach { r =>
         val k = r.getLong(0); val st = r.getString(1)

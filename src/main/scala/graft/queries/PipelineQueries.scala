@@ -36,6 +36,11 @@ object PipelineQueries {
     // subtree below this exchange is defined once and consumed twice (the
     // near-dup branch and the anti-join branch), ReuseExchange shares the
     // scan+quality+partial-agg work instead of executing the prefix twice.
+    // Contract: doc_id is the table's unique key. min_by keeps ONE row per
+    // hash where a window's `doc_id = min(doc_id)` filter would keep every
+    // row tied at the minimum — equivalent exactly when doc_id is unique
+    // (the oracle replays the window form, so a key-violating input would
+    // surface as a gate mismatch, not silent divergence).
     val exact = quality
       .groupBy(md5(col("text")).as("_h"))
       .agg(min_by(

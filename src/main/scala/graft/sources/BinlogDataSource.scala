@@ -177,11 +177,15 @@ private class BinlogScan(path: String, required: StructType,
     * longer matches the index entry decodes whole-file — the index is an
     * optimization, never a correctness dependency. */
   override def planInputPartitions(): Array[InputPartition] = {
+    // the SESSION's Hadoop conf, not a bare new Configuration(): index
+    // paths on filesystems configured via spark.hadoop.* (credentials,
+    // fs impls) must resolve with the same conf build() wrote through
+    lazy val hadoopConf =
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
     val index: Map[String, Seq[graft.ingest.BinlogOffsetIndex.SplitRange]] =
       splitIndex match {
         case Some(ip) =>
-          val loaded = graft.ingest.BinlogOffsetIndex.load(
-            new org.apache.hadoop.conf.Configuration(), ip)
+          val loaded = graft.ingest.BinlogOffsetIndex.load(hadoopConf, ip)
           if (loaded.nonEmpty || !autoBuild) loaded
           else graft.ingest.BinlogOffsetIndex.build(
               org.apache.spark.sql.SparkSession.active, path, ip,
@@ -198,7 +202,8 @@ private class BinlogScan(path: String, required: StructType,
       .flatMap { p =>
         val name = p.split('/').last
         index.get(name) match {
-          case Some(ranges) if ranges.nonEmpty && fileLen(p) == ranges.head.fileLen =>
+          case Some(ranges) if ranges.nonEmpty &&
+              fileLen(p, hadoopConf) == ranges.head.fileLen =>
             ranges.map(r => BinlogInputPartition(
               p, r.start, r.end, r.startIndex, r.checksumLen): InputPartition)
           case _ => Seq(BinlogInputPartition(p): InputPartition)
@@ -206,10 +211,9 @@ private class BinlogScan(path: String, required: StructType,
       }
   }
 
-  private def fileLen(p: String): Long = {
+  private def fileLen(p: String, conf: org.apache.hadoop.conf.Configuration): Long = {
     val hp = new Path(p)
-    hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .getFileStatus(hp).getLen
+    hp.getFileSystem(conf).getFileStatus(hp).getLen
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

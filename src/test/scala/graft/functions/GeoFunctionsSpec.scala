@@ -79,5 +79,12 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkTestSession {
     val bad = ByteBuffer.allocate(5).order(ByteOrder.LITTLE_ENDIAN)
       .put(1.toByte).putInt(99).array()
     assert(wkt(hex(srid(0) ++ bad)).isEmpty)
+    // trailing garbage after a complete geometry: corruption, not a prefix
+    assert(wkt(hex(srid(0) ++ wkbPoint(1, 2) ++ Array[Byte](1, 2, 3))).isEmpty)
+    // pathological nesting: depth-bounded NULL, never a StackOverflowError
+    val collHeader = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(7).putInt(1).array()
+    val deep = srid(0) ++ Array.fill(100000)(collHeader).flatten
+    assert(wkt(hex(deep)).isEmpty)
   }
 }
