@@ -17,6 +17,8 @@ import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
   *      | --binlog-binary <dir-of-raw-binlogs>)
   *     (--avro <dir-of-.avro> | --avro-json <path>)
   *     [--tolerance-ms 100] [--strict-change-type] [--out <dir>]
+  *     [--split-index <path>]   (binary input: offset index for huge-file
+  *                               range splits, auto-built on first run)
   *
   * Outputs under --out (default /tmp/graft_out): `detail/` (every
   * non-match row), `breakdown/` (per schema/table/status counts), a
@@ -34,7 +36,8 @@ object Main {
       avroJson: Option[String] = None,
       toleranceMs: Long = 100L,
       strictChangeType: Boolean = false,
-      out: String = "/tmp/graft_out")
+      out: String = "/tmp/graft_out",
+      splitIndex: Option[String] = None)
 
   def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
@@ -46,6 +49,7 @@ object Main {
     case "--tolerance-ms" :: v :: rest => parseArgs(rest, acc.copy(toleranceMs = v.toLong))
     case "--strict-change-type" :: rest => parseArgs(rest, acc.copy(strictChangeType = true))
     case "--out" :: v :: rest => parseArgs(rest, acc.copy(out = v))
+    case "--split-index" :: v :: rest => parseArgs(rest, acc.copy(splitIndex = Some(v)))
     case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
   }
 
@@ -160,8 +164,16 @@ object Main {
         val parsed = BinlogTextParser.toComparatorInput(BinlogTextParser.parse(spark, dir))
         Comparator.prepareBinlog(parsed, BinlogTextParser.seqColumn)
       case (None, Some(dir)) =>
-        // S1 — raw binary decode, no external parser process
-        val parsed = BinlogBinaryParser.parse(spark, dir).toDF()
+        // S1 — raw binary decode, no external parser process; with
+        // --split-index huge files range-split across tasks (the index is
+        // auto-built by the first run's header-only walk)
+        val parsed = args.splitIndex match {
+          case Some(idx) => spark.read.format("binlog")
+            .option("splitIndex", idx)
+            .option("splitIndexAutoBuild", "true")
+            .load(dir)
+          case None => BinlogBinaryParser.parse(spark, dir).toDF()
+        }
         Comparator.prepareBinlog(parsed, BinlogBinaryParser.seqColumn)
       case (None, None) =>
         // Order-preserving JSON-lines read: (file_seq, basename, line_no) is

@@ -40,6 +40,10 @@ object BinlogBinaryParser {
 
   val Magic: Array[Byte] = Array(0xFE.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
 
+  /** TRANSACTION_PAYLOAD nesting bound shared with the offset-index walk
+    * (the two must count identically). MySQL nests exactly one level. */
+  private[ingest] val MaxPayloadNesting = 16
+
   /** type_code → canonical event-type name (after E4's Event-suffix strip). */
   val eventTypeNames: Map[Int, String] = Map(
     0 -> "Unknown", 1 -> "StartV3", 2 -> "Query", 3 -> "Stop", 4 -> "Rotate",
@@ -167,8 +171,8 @@ object BinlogBinaryParser {
           bodyBytes, checksumLen)
         if (payloadToExpand != null) {
           val payload = payloadToExpand
-          payloadToExpand = null // clear BEFORE expanding — the in-loop
-          expandPayload(payload) // nested check must not see this payload
+          payloadToExpand = null    // clear BEFORE expanding — the in-loop
+          expandPayload(payload, 1) // nested check must not see this payload
         }
       }
 
@@ -177,8 +181,13 @@ object BinlogBinaryParser {
         * NO per-event checksum (the container's CRC covers them) and
         * share the file's decoder state (TABLE_MAP registry, GTID
         * scope). A malformed inner stream stops the expansion — the
-        * container event itself was already emitted. */
-      private def expandPayload(inner: Array[Byte]): Unit = {
+        * container event itself was already emitted. Nesting is bounded
+        * ([[BinlogBinaryParser.MaxPayloadNesting]]): MySQL produces depth
+        * 1; a crafted file of containers-in-containers must degrade
+        * (deeper levels unexpanded), not recurse StackOverflowError-deep
+        * — an Error no catch in this decoder contains. */
+      private def expandPayload(inner: Array[Byte], depth: Int): Unit = {
+        if (depth > MaxPayloadNesting) return
         var p = 0
         var ok = true
         while (ok && p + 19 <= inner.length) {
@@ -197,7 +206,7 @@ object BinlogBinaryParser {
             if (payloadToExpand != null) { // nested container (not produced
               val nested = payloadToExpand // by MySQL, but don't leak the
               payloadToExpand = null       // stash into the next outer event)
-              expandPayload(nested)
+              expandPayload(nested, depth + 1)
             }
             p += isz
           }

@@ -138,7 +138,7 @@ object BinlogOffsetIndex {
                 // file's event_index sequence, so count them
                 val body = new Array[Byte](bodyLen)
                 if (!readFully(in, body)) done = true
-                else index += countPayloadEvents(body, ckLen)
+                else index += countPayloadEvents(body, ckLen, 1)
               case _ =>
                 if (!skipFully(in, bodyLen)) done = true
             }
@@ -160,8 +160,11 @@ object BinlogOffsetIndex {
   /** How many events [[BinlogBinaryParser]]'s payload expansion will emit
     * for this TRANSACTION_PAYLOAD body — 0 on any malformation, exactly
     * mirroring the decoder's throw→`body_decode_error`→no-expansion path.
-    * Recurses into (pathological) nested containers like the decoder. */
-  private def countPayloadEvents(bodyBytes: Array[Byte], ckLen: Int): Long = {
+    * Recurses into (pathological) nested containers like the decoder,
+    * with the decoder's shared nesting bound so counts stay identical. */
+  private def countPayloadEvents(bodyBytes: Array[Byte], ckLen: Int,
+      depth: Int): Long = {
+    if (depth > BinlogBinaryParser.MaxPayloadNesting) return 0L
     try {
       val body = ByteBuffer.wrap(bodyBytes).order(ByteOrder.LITTLE_ENDIAN)
       var compression = 255L
@@ -207,7 +210,7 @@ object BinlogOffsetIndex {
           n += 1
           if (itc == 40) // nested container: decoder expands recursively
             n += countPayloadEvents(
-              java.util.Arrays.copyOfRange(inner, p + 19, p + isz), 0)
+              java.util.Arrays.copyOfRange(inner, p + 19, p + isz), 0, depth + 1)
           p += isz
         }
       }
