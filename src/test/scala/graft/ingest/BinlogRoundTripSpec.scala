@@ -227,6 +227,28 @@ class BinlogRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("pathologically nested TransactionPayload degrades at the bound, no stack overflow") {
+    // containers-in-containers far past MaxPayloadNesting (MySQL emits
+    // depth 1) — the decode must complete with deeper levels unexpanded,
+    // not recurse StackOverflowError-deep
+    var inner = innerEventStream(Seq((T0, 16, xidBody(1L))))
+    (1 to 200).foreach { _ =>
+      inner = innerEventStream(Seq(
+        (T0, 40, transactionPayloadBody(inner, compress = false))))
+    }
+    val f = new FileBuilder(checksums = false)
+    f.fde(T0)
+    f.event(T0, 40, transactionPayloadBody(inner, compress = false))
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000041").toSeq
+    // FDE + outer container + one container per expanded level (bounded)
+    val containers = evs.count(_.event_type == "TransactionPayload")
+    assert(containers >= 2 && containers <= 20,
+      s"expected bounded expansion, got $containers containers")
+    assert(!evs.exists(_.event_type == "XID"),
+      "the innermost event sits past the bound and must not be expanded")
+    assert(evs.map(_.event_index) == evs.indices.map(_.toLong))
+  }
+
   test("fuzz: corrupted files never throw — they stop or degrade loudly") {
     val rnd = new scala.util.Random(99)
     // a realistic base file exercising every decode path
