@@ -157,41 +157,45 @@ object Dedup {
 
   /** Exact embedding-cosine near-dup pairs ≥ `minCos` via a
     * block-partitioned self-pair join (the triangular "1-bucket-theta"
-    * layout). Each row is hashed to one of `blocks` blocks and replicated
-    * to the `blocks` block-pair keys `(min(blk, j), max(blk, j))`; the
-    * all-pairs comparison then runs inside an ordinary equi-join on the
-    * key — NO table broadcast, NO nested-loop join, and per-task memory
-    * bounded by two blocks (~n/blocks rows each) regardless of corpus
-    * size. A pair whose blocks differ meets at exactly one key; same-block
-    * pairs would meet at every key, so the post-join meeting filter keeps
-    * only the `(blk, blk)` rendezvous.
+    * layout). Each row hashes to one of `blocks` blocks; the LEFT join
+    * side carries a row at the block-pair keys where its block is the LOW
+    * half `(b, j ≥ b)`, the RIGHT side where it is the HIGH half
+    * `(i ≤ b, b)` — so a pair with blocks `bx ≤ by` meets at EXACTLY the
+    * key `(bx, by)`, once, by construction (the symmetric both-sides
+    * replication this replaces materialized every pair at 4× and filtered
+    * three quarters away after the join). The all-pairs comparison runs
+    * inside an ordinary equi-join on the key — NO table broadcast, NO
+    * nested-loop join, per-task memory bounded by two blocks; only the
+    * same-block rendezvous `(b, b)` sees both orderings and self-rows,
+    * dropped by one predicate inside the join.
     *
     * Exact all-pairs at a low cosine threshold has no sublinear candidate
     * generation (measured on the test embeddings: qualifying pairs sit at
     * the threshold and span clusters), so compute is inherently O(n²/2)
     * dot products — the point of this layout is that the *data movement*
-    * is O(n·blocks) and no single node ever holds the corpus. Size
+    * is O(n·blocks/2) and no single node ever holds the corpus. Size
     * `blocks` ≈ n / rowsPerBlock so two blocks of `rowsPerBlock` vectors
     * fit one task's memory. For approximate-but-subquadratic semantics at
     * realistic near-dup thresholds (≥ ~0.8) use [[embeddingNearDupsLsh]].
-    * Output: (id_a, id_b, cos). */
+    * Output: (id_a, id_b, cos), id_a < id_b. */
   def embeddingNearDups(df: DataFrame, idCol: String, embCol: String,
       minCos: Double, blocks: Int = 16): DataFrame = {
-    def side(id: String, v: String, b: String) = df
-      .select(col(idCol).as(id), col(embCol).as(v),
-        pmod(xxhash64(col(idCol)), lit(blocks.toLong)).as(b))
-      .withColumn("_j", explode(sequence(lit(0L), lit(blocks - 1L))))
-      .withColumn("_klo", least(col(b), col("_j")))
-      .withColumn("_khi", greatest(col(b), col("_j")))
-      .drop("_j")
-    side("id_a", "_va", "_ba")
-      .join(side("id_b", "_vb", "_bb"), Seq("_klo", "_khi"))
-      .filter(col("_klo") === least(col("_ba"), col("_bb")) &&
-        col("_khi") === greatest(col("_ba"), col("_bb")))
-      .filter(col("id_a") < col("id_b"))
+    val bucket = pmod(xxhash64(col(idCol)), lit(blocks.toLong))
+    val left = df
+      .select(col(idCol).as("_ia"), col(embCol).as("_va"), bucket.as("_klo"))
+      .withColumn("_khi", explode(sequence(col("_klo"), lit(blocks - 1L))))
+    val right = df
+      .select(col(idCol).as("_ib"), col(embCol).as("_vb"), bucket.as("_khi"))
+      .withColumn("_klo", explode(sequence(lit(0L), col("_khi"))))
+    left.join(right,
+        left("_klo") === right("_klo") && left("_khi") === right("_khi") &&
+          (left("_klo") =!= left("_khi") || col("_ia") < col("_ib")))
       .withColumn("cos", cosineSim(col("_va"), col("_vb")))
       .filter(col("cos") >= minCos)
-      .select("id_a", "id_b", "cos")
+      // cross-block pairs arrive in arbitrary label order: canonicalize
+      // (cosine is exactly symmetric — same fold, commuted products)
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("cos"))
   }
 
   /** Approximate near-dup pairs: multi-table random-hyperplane LSH
