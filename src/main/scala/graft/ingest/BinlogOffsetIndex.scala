@@ -53,11 +53,19 @@ object BinlogOffsetIndex {
       .collect().toSeq.sortBy(r => (r.basename, r.start))
     val out = new Path(indexPath)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = fs.create(out, true)
+    // write-then-rename: a reader must never observe a partial index — a
+    // truncation landing exactly on a line boundary would parse as a
+    // complete (wrong) index, which load()'s malformed-line fallback
+    // cannot catch
+    val tmp = new Path(out.getParent,
+      "." + out.getName + ".inprogress." + java.util.UUID.randomUUID())
+    val os = fs.create(tmp, true)
     try os.write(ranges.map(r =>
       s"${r.basename}\t${r.start}\t${r.end}\t${r.startIndex}\t${r.checksumLen}\t${r.fileLen}")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally os.close()
+    fs.delete(out, false)
+    require(fs.rename(tmp, out), s"could not move index into place at $out")
     ranges
   }
 
