@@ -52,7 +52,7 @@ case class WkbHexToWkt(child: Expression)
         ((bytes(2) & 0xFFL) << 16) | ((bytes(3) & 0xFFL) << 24)
       val sb = new StringBuilder
       if (srid != 0) sb.append("SRID=").append(srid).append(';')
-      val end = WkbHexToWkt.geometry(bytes, 4, sb)
+      val end = WkbParse.geometry(bytes, 4, sb)
       // the geometry must consume the whole payload: trailing bytes mean
       // corruption (or a concatenated second value) → NULL, not a
       // plausible-looking prefix
@@ -64,7 +64,7 @@ case class WkbHexToWkt(child: Expression)
     copy(child = c)
 }
 
-private[functions] object WkbHexToWkt {
+private[functions] object WkbParse {
 
   private def u32(b: Array[Byte], p: Int, le: Boolean): Long = {
     if (p + 4 > b.length) return -1L

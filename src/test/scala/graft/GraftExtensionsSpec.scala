@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface (GraftExtensions): every registered function must
+  * resolve from `spark.sql(...)` and agree exactly with its Column-API
+  * twin (same Catalyst expression underneath). */
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("SQL and Column routes agree for every registered function") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+
+    val viaSql = spark.sql(
+      """SELECT id,
+        |  simhash32(split(text, ' ')) AS sh,
+        |  shingle_hash60(split(text, ' '), 3) AS sh60,
+        |  minhash_sig(shingle_hash60(split(text, ' ')), 16) AS mh,
+        |  word_shingles(split(text, ' '), 2) AS ws
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+    val viaCols = docs.select(col("id"),
+        graft.functions.TextHashFunctions.simHash32(split(col("text"), " ")).as("sh"),
+        graft.functions.TextHashFunctions.shingleHash60(split(col("text"), " "), 3).as("sh60"),
+        graft.functions.TextHashFunctions.minHashSig(
+          graft.functions.TextHashFunctions.shingleHash60(split(col("text"), " ")), 16).as("mh"),
+        graft.functions.TextHashFunctions.wordShingles(split(col("text"), " "), 2).as("ws"))
+      .orderBy("id").collect()
+    assert(viaSql.toSeq == viaCols.toSeq)
+  }
+
+  test("cosine_sim and geom_hex_to_wkt resolve in SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |  geom_hex_to_wkt('00000000' ||
+        |    '0101000000000000000000f03f0000000000000040') AS w""".stripMargin)
+      .collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getString(1) == "POINT(1 2)")
+  }
+
+  test("posting_pairs expands a posting list as a SQL generator") {
+    val rows = spark.sql(
+      """SELECT p.* FROM (SELECT array(
+        |  named_struct('doc_id', 1L, 'n_sh', 5),
+        |  named_struct('doc_id', 2L, 'n_sh', 7),
+        |  named_struct('doc_id', 3L, 'n_sh', 9)) AS ds)
+        |LATERAL VIEW posting_pairs(ds) p AS doc_a, na, doc_b, nb""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("bad arguments fail at analysis with a clear message") {
+    val e = intercept[Exception](spark.sql("SELECT cosine_sim(array(1))").collect())
+    assert(e.getMessage.contains("cosine_sim"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT shingle_hash60(array('a'), 1 + 2)").collect())
+    assert(e2.getMessage.toLowerCase.contains("literal"))
+  }
+}
