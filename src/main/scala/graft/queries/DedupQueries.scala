@@ -233,6 +233,18 @@ object DedupQueries {
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // d09 — the registered SQL surface under the gate: the same simhash
+  // computation as d04, routed through `spark.sql` and the
+  // GraftExtensions-registered function instead of the Column API (the
+  // driver-contract sessions carry the extensions). A hash mismatch here
+  // and a green d04 would isolate a registration/translation bug.
+  def d09SqlSimhash(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_documents")
+    spark.sql(
+      """SELECT doc_id, simhash32(split(text, ' ')) AS simhash
+        |FROM graft_documents ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -240,6 +252,7 @@ object DedupQueries {
     "d04_simhash" -> (d04Simhash _),
     "d06_group_minhash" -> (d06GroupMinhash _),
     "d08_simhash_neardup" -> (d08SimhashNearDup _),
+    "d09_sql_simhash" -> (d09SqlSimhash _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -249,5 +262,6 @@ object DedupQueries {
     "d04_simhash" -> d04Oracle,
     "d06_group_minhash" -> d06Oracle,
     "d08_simhash_neardup" -> d08Oracle,
+    "d09_sql_simhash" -> d04Oracle, // same computation, SQL-routed
   )
 }
