@@ -52,6 +52,12 @@ object SimilarityQueries {
   lazy val lshTables: Seq[Seq[Seq[Int]]] =
     (0 until 8).map(t => planeTable(s"tplane_$t", 8))
 
+  /** Chunk count for the bounded centroid fold (s03/s04): bounds the
+    * level-2 fold row at `chunks` × 64 doubles (~512 KB) no matter how
+    * large a cluster grows. Baked identically into the Spark plan and the
+    * oracle — the chunking is part of the deterministic-fold contract. */
+  val centroidChunks: Int = 1024
+
   /** DuckDB `VALUES` rows `(tbl, pj, pvec)` — one row per plane, `pvec`
     * a 64-element ±1 list literal. Feeding the planes in as a relation
     * (instead of inlining the whole matrix literal inside a
@@ -88,6 +94,33 @@ object SimilarityQueries {
       |  FROM dots GROUP BY vec_id, tbl
       |)""".stripMargin
   }
+
+  /** CTEs `cpart`/`cpsum`/`cfold`/`cent(clabel, cf)` — the exact DuckDB
+    * mirror of [[graft.ops.Similarity.buildCentroids]]'s bounded two-level
+    * ordered fold (same `vec_id % chunks` chunking, same ascending-id fold
+    * within a chunk, same chunk-order fold of the partials), so the
+    * centroid doubles are bit-identical cross-engine without either engine
+    * ever holding a whole cluster in one row. */
+  private def duckCentroidCtes(dim: Int, chunks: Int): String =
+    s"""cpart AS (
+      |  SELECT label, vec_id % $chunks AS chunk,
+      |    list(struct_pack(id := vec_id, emb := embedding) ORDER BY vec_id) AS vs
+      |  FROM embeddings GROUP BY label, vec_id % $chunks
+      |), cpsum AS (
+      |  SELECT label, chunk,
+      |    list_transform(range(1, ${dim + 1}), d -> list_sum(list_transform(vs, v -> CAST(v.emb[d] AS DOUBLE)))) AS psum,
+      |    len(vs) AS pcnt
+      |  FROM cpart
+      |), cfold AS (
+      |  SELECT label, list(struct_pack(chunk := chunk, psum := psum, pcnt := pcnt) ORDER BY chunk) AS ps
+      |  FROM cpsum GROUP BY label
+      |), cent AS (
+      |  SELECT label AS clabel,
+      |    list_transform(range(1, ${dim + 1}), d ->
+      |      CAST(list_sum(list_transform(ps, p -> p.psum[d])) /
+      |           list_sum(list_transform(ps, p -> p.pcnt)) AS FLOAT)) AS cf
+      |  FROM cfold
+      |)""".stripMargin
 
   private val duckCos: String =
     "list_sum(list_transform(list_zip(qv, embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
@@ -151,20 +184,15 @@ object SimilarityQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   // s03 — IVF-style ANN: k-means-free coarse quantizer using the label
-  // partitions' centroids (computed with an order-fixed fold so both
-  // engines produce bit-identical doubles), nprobe=1 search inside the
-  // query's cluster. At scale: centroids are a broadcast-size table, the
-  // assignment is a per-row argmax over the broadcast, and the search
+  // partitions' centroids (computed with Similarity.buildCentroids'
+  // bounded two-level ordered fold so both engines produce bit-identical
+  // doubles and no row ever holds a whole cluster), nprobe=1 search inside
+  // the query's cluster. At scale: centroids are a broadcast-size table,
+  // the assignment is a per-row argmax over the broadcast, and the search
   // shuffles on the cluster id — the standard IVF layout.
   def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cent = emb
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
-      .select(col("label").as("clabel"), expr(
-        "transform(sequence(1, 64), d -> CAST(aggregate(vs, CAST(0.0 AS DOUBLE), " +
-          "(s, v) -> s + CAST(element_at(v.embedding, d) AS DOUBLE)) / size(vs) AS FLOAT))")
-        .as("cf"))
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
     val assigned = graft.ops.Similarity.assignToCentroids(
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
     val q = assigned.filter(col("vec_id") % 50 === 0)
@@ -185,15 +213,7 @@ object SimilarityQueries {
       s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
         s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
         s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    s"""WITH vs AS (
-      |  SELECT label, list(struct_pack(vec_id := vec_id, embedding := embedding) ORDER BY vec_id) AS vs
-      |  FROM embeddings GROUP BY label
-      |), cent AS (
-      |  SELECT label AS clabel,
-      |    list_transform(range(1, 65), d ->
-      |      CAST(list_sum(list_transform(vs, v -> CAST(v.embedding[d] AS DOUBLE))) / len(vs) AS FLOAT)) AS cf
-      |  FROM vs
-      |), assigned AS (
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS (
       |  SELECT vec_id, embedding, clabel FROM (
       |    SELECT e.vec_id, e.embedding, c.clabel,
       |      row_number() OVER (PARTITION BY e.vec_id
@@ -222,13 +242,7 @@ object SimilarityQueries {
   // row has one home cluster), so the union needs no dedup.
   def s04AnnIvfProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cent = emb
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
-      .select(col("label").as("clabel"), expr(
-        "transform(sequence(1, 64), d -> CAST(aggregate(vs, CAST(0.0 AS DOUBLE), " +
-          "(s, v) -> s + CAST(element_at(v.embedding, d) AS DOUBLE)) / size(vs) AS FLOAT))")
-        .as("cf"))
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
     val assigned = graft.ops.Similarity.assignToCentroids(
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
     val probes = graft.ops.Similarity.probeCentroids(
@@ -251,15 +265,7 @@ object SimilarityQueries {
       s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
         s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
         s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    s"""WITH vs AS (
-      |  SELECT label, list(struct_pack(vec_id := vec_id, embedding := embedding) ORDER BY vec_id) AS vs
-      |  FROM embeddings GROUP BY label
-      |), cent AS (
-      |  SELECT label AS clabel,
-      |    list_transform(range(1, 65), d ->
-      |      CAST(list_sum(list_transform(vs, v -> CAST(v.embedding[d] AS DOUBLE))) / len(vs) AS FLOAT)) AS cf
-      |  FROM vs
-      |), ranked AS (
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, ranked AS (
       |  SELECT e.vec_id, e.embedding, c.clabel,
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY ${cos("e.embedding", "c.cf")} DESC, c.clabel) AS rn

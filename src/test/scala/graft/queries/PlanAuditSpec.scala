@@ -76,6 +76,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(p2.contains("HashJoin") || p2.contains("SortMergeJoin"))
   }
 
+  test("s03/s04: centroid build never collects a whole cluster into one row") {
+    // the r6 verdict's one scale-killer: groupBy(label).agg(collect_list(
+    // struct(vec_id, embedding))) puts an entire cluster in ONE array row.
+    // The bounded build (Similarity.buildCentroids) may only collect raw
+    // embeddings under a (label, chunk) key — any collect_list of a
+    // float-array (the raw embedding type) grouped by fewer than 2 keys
+    // is the unbounded shape coming back.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types._
+    def hasFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(e, _)         => hasFloatArray(e)
+      case st: StructType          => st.fields.exists(f => hasFloatArray(f.dataType))
+      case MapType(k, v, _)        => hasFloatArray(k) || hasFloatArray(v)
+      case _                       => false
+    }
+    Seq(SimilarityQueries.s03AnnIvf(spark, dir),
+        SimilarityQueries.s04AnnIvfProbe(spark, dir)).foreach { df =>
+      df.queryExecution.optimizedPlan.foreach {
+        case agg: Aggregate =>
+          val collectsRawEmbedding = agg.aggregateExpressions.exists(_.exists {
+            case cl: CollectList => hasFloatArray(cl.child.dataType)
+            case _ => false
+          })
+          if (collectsRawEmbedding) {
+            assert(agg.groupingExpressions.size >= 2,
+              s"collect_list of raw embeddings grouped only by " +
+                s"${agg.groupingExpressions.mkString(", ")} — whole-cluster row is back")
+          }
+        case _ =>
+      }
+    }
+  }
+
   test("m02 frame sampling stays a narrow plan (no shuffle before the sink)") {
     val p = plan(MultimodalQueries.m02FrameSamples(spark, dir))
     // only the final presentation orderBy may exchange (range partitioning)
