@@ -1,8 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
@@ -33,15 +32,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  private def intLit(e: Expression, what: String): Int = e match {
+  // Bad SQL arguments surface as AnalysisException with Spark's standard
+  // error classes (not a raw runtime exception), so thrift/JDBC clients
+  // get the usual SQLSTATE + message shape.
+  private def intLit(fn: String, param: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an INT literal, got $other")
+    case _ => throw new AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
   }
 
   private def arity(name: String, args: Seq[Expression], ns: Int*): Unit =
-    require(ns.contains(args.length),
-      s"$name expects ${ns.mkString(" or ")} argument(s), got ${args.length}")
+    if (!ns.contains(args.length)) throw new AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> ns.mkString(" or "),
+        "actualNum" -> args.length.toString,
+        "docroot" -> org.apache.spark.SPARK_DOC_ROOT))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
@@ -62,7 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("shingle_hash60", args, 1, 2)
         if (args.length == 1) ShingleHash60(args(0))
-        else ShingleHash60(args(0), intLit(args(1), "shingle width"))
+        else ShingleHash60(args(0), intLit("shingle_hash60", "n", args(1)))
       }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
@@ -70,7 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("minhash_sig", args, 1, 2)
         if (args.length == 1) MinHashSignature(args(0))
-        else MinHashSignature(args(0), intLit(args(1), "permutation count"))
+        else MinHashSignature(args(0), intLit("minhash_sig", "numPerms", args(1)))
       }))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles",
@@ -78,7 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("word_shingles", args, 1, 2)
         if (args.length == 1) WordShingles(args(0))
-        else WordShingles(args(0), intLit(args(1), "shingle width"))
+        else WordShingles(args(0), intLit("word_shingles", "n", args(1)))
       }))
     ext.injectFunction((FunctionIdentifier("posting_pairs"),
       info("posting_pairs",

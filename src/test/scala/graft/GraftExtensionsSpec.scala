@@ -57,11 +57,47 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
-  test("bad arguments fail at analysis with a clear message") {
-    val e = intercept[Exception](spark.sql("SELECT cosine_sim(array(1))").collect())
+  test("bad arguments fail as AnalysisException with standard error classes") {
+    import org.apache.spark.sql.AnalysisException
+    val e = intercept[AnalysisException](spark.sql("SELECT cosine_sim(array(1))").collect())
     assert(e.getMessage.contains("cosine_sim"))
-    val e2 = intercept[Exception](
+    assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+    val e2 = intercept[AnalysisException](
       spark.sql("SELECT shingle_hash60(array('a'), 1 + 2)").collect())
-    assert(e2.getMessage.toLowerCase.contains("literal"))
+    assert(e2.getCondition == "NON_FOLDABLE_ARGUMENT")
+    assert(e2.getMessage.contains("shingle_hash60"))
+  }
+
+  test("the documented --conf spark.sql.extensions=graft.GraftExtensions route works") {
+    // a cluster user configures the extensions by class NAME — Spark
+    // instantiates it reflectively at session construction. A builder
+    // config can't reach a pre-existing local SparkContext's static conf,
+    // so pin the same mechanism directly: load by the documented name,
+    // apply to a fresh session, and require the functions resolve.
+    import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+    val ext = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[SparkSessionExtensions => Unit]
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-conf-route")
+        .withExtensions(ext)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c").head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
   }
 }
