@@ -35,75 +35,147 @@ object BinlogOffsetIndex {
   /** One independently-decodable byte range of one file. `start == 0`
     * means "from the magic" (decode normally); otherwise `start` is a
     * transaction boundary and `startIndex`/`checksumLen` seed the state
-    * the skipped prefix would have produced. */
-  case class SplitRange(basename: String, start: Long, end: Long,
-      startIndex: Long, checksumLen: Int, fileLen: Long)
+    * the skipped prefix would have produced. Keyed by the FULL path, not
+    * the basename: a glob spanning subdirectories can hold duplicate
+    * basenames (per-shard `mysql-bin.000001`), and applying one file's
+    * ranges to another whenever lengths coincide would silently decode
+    * garbage (ADVICE r6). */
+  case class SplitRange(path: String, start: Long, end: Long,
+      startIndex: Long, checksumLen: Int, fileLen: Long) {
+    def basename: String = path.split('/').last
+  }
+
+  /** Shard file name for one binlog file: basename for readability plus a
+    * path digest for identity — two `mysql-bin.000001` in different
+    * directories get distinct shards. Hashes the QUALIFIED path (scheme +
+    * authority), so `/data/x` and `file:/data/x` agree. */
+  def shardName(conf: org.apache.hadoop.conf.Configuration, file: String): String = {
+    val q = qualify(conf, file)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(q.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    s"${q.split('/').last}.$hex.idx"
+  }
+
+  /** Fully-qualified form of a path (fs scheme + authority made explicit)
+    * — index identity must not depend on how the caller spelled the
+    * path. */
+  private def qualify(conf: org.apache.hadoop.conf.Configuration,
+      file: String): String = {
+    val p = new Path(file)
+    p.getFileSystem(conf).makeQualified(p).toString
+  }
 
   /** Walk every binlog file under `path` (one Spark task per file),
     * recording a split boundary at the first transaction start at or
-    * after each `splitBytes` multiple, and write the index as one small
-    * text file at `indexPath` (tab-separated, one line per range). */
+    * after each `splitBytes` multiple. The index is a DIRECTORY at
+    * `indexPath` holding ONE SHARD PER BINLOG FILE (tab-separated, one
+    * line per range), each written atomically (temp + rename) by the task
+    * that walked the file: nothing funnels through the driver — at 100 TB
+    * (~800 k ranges) a single collected index file would be a driver
+    * choke and one huge rename — and readers load only the shards of the
+    * files they scan. Returns the number of ranges written. */
   def build(spark: SparkSession, path: String, indexPath: String,
-      splitBytes: Long = 128L << 20): Seq[SplitRange] = {
-    val files = graft.sources.BinlogScan.listFiles(path)
+      splitBytes: Long = 128L << 20): Long =
+    buildFiles(spark, graft.sources.BinlogScan.listFiles(path).toSeq,
+      indexPath, splitBytes)
+
+  /** [[build]] restricted to an explicit file list — the streaming tail
+    * indexes just the files that appeared since the last trigger. */
+  def buildFiles(spark: SparkSession, files: Seq[String], indexPath: String,
+      splitBytes: Long = 128L << 20): Long = {
+    if (files.isEmpty) return 0L
     val sb = splitBytes
-    val ranges = spark.sparkContext
-      .parallelize(files.toSeq, math.max(1, files.length))
-      .flatMap(f => walkFile(f, sb))
-      .collect().toSeq.sortBy(r => (r.basename, r.start))
-    val out = new Path(indexPath)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // write-then-rename: a reader must never observe a partial index — a
-    // truncation landing exactly on a line boundary would parse as a
-    // complete (wrong) index, which load()'s malformed-line fallback
-    // cannot catch
+    val ip = indexPath
+    // executors must resolve paths with the SESSION's Hadoop conf
+    // (spark.hadoop.* credentials / fs impls), not a bare Configuration()
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.graftshim.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    val dir = new Path(indexPath)
+    val dirFs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirFs.mkdirs(dir)
+    spark.sparkContext
+      .parallelize(files, math.max(1, files.length))
+      .map { f =>
+        val ranges = walkFile(f, sb, confBc.value.value)
+        writeShard(confBc.value.value, ip, f, ranges)
+        ranges.length.toLong
+      }
+      .sum().toLong
+  }
+
+  /** Atomically write one file's shard. Write-then-rename: a reader must
+    * never observe a partial shard — a truncation landing exactly on a
+    * line boundary would parse as a complete (wrong) index, which the
+    * malformed-line fallback cannot catch. */
+  private def writeShard(conf: org.apache.hadoop.conf.Configuration,
+      indexPath: String, file: String, ranges: Seq[SplitRange]): Unit = {
+    val out = new Path(indexPath, shardName(conf, file))
+    val fs = out.getFileSystem(conf)
     val tmp = new Path(out.getParent,
       "." + out.getName + ".inprogress." + java.util.UUID.randomUUID())
     val os = fs.create(tmp, true)
     try os.write(ranges.map(r =>
-      s"${r.basename}\t${r.start}\t${r.end}\t${r.startIndex}\t${r.checksumLen}\t${r.fileLen}")
+      s"${r.path}\t${r.start}\t${r.end}\t${r.startIndex}\t${r.checksumLen}\t${r.fileLen}")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally os.close()
     fs.delete(out, false)
-    require(fs.rename(tmp, out), s"could not move index into place at $out")
-    ranges
+    require(fs.rename(tmp, out), s"could not move index shard into place at $out")
   }
 
-  /** Read an index file back, grouped by basename, ranges in order.
-    * A missing, truncated, partially-written (concurrent auto-build), or
-    * otherwise malformed index yields an EMPTY map — the scan then
-    * decodes whole files, honoring the "optimization, never a
-    * correctness dependency" contract instead of failing at planning. */
-  def load(conf: org.apache.hadoop.conf.Configuration,
-      indexPath: String): Map[String, Seq[SplitRange]] =
+  /** Read ONE file's ranges from its shard, in order — reads only this
+    * file's shard, never the siblings'. A missing, truncated,
+    * partially-written (concurrent auto-build), or otherwise malformed
+    * shard — or one whose recorded path is not `file` (digest collision /
+    * hand-moved index) — yields an EMPTY seq: the scan then decodes the
+    * whole file, honoring the "optimization, never a correctness
+    * dependency" contract instead of failing at planning. */
+  def loadFile(conf: org.apache.hadoop.conf.Configuration,
+      indexPath: String, file: String): Seq[SplitRange] =
     try {
-      val p = new Path(indexPath)
+      val q = qualify(conf, file)
+      val p = new Path(indexPath, shardName(conf, file))
       val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) Map.empty
+      if (!fs.exists(p)) Seq.empty
       else {
         val in = fs.open(p)
         val text =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        text.linesIterator.filter(_.nonEmpty).map { line =>
+        val ranges = text.linesIterator.filter(_.nonEmpty).map { line =>
           val a = line.split('\t')
           require(a.length == 6, s"malformed index line: $line")
           SplitRange(a(0), a(1).toLong, a(2).toLong, a(3).toLong, a(4).toInt, a(5).toLong)
-        }.toSeq.groupBy(_.basename).view.mapValues(_.sortBy(_.start)).toMap
+        }.toSeq
+        require(ranges.forall(_.path == q),
+          s"shard ${p.getName} does not describe $q")
+        ranges.sortBy(_.start)
       }
     } catch {
       case e @ (_: RuntimeException | _: java.io.IOException) =>
         System.err.println(
-          s"[graft] split index $indexPath unreadable (${e.getMessage}); " +
+          s"[graft] split-index shard for $file unreadable (${e.getMessage}); " +
             "falling back to whole-file decode")
-        Map.empty
+        Seq.empty
     }
+
+  /** Does the index directory exist yet? (The auto-build trigger: absent
+    * directory = never built; present directory with a missing shard =
+    * that file appeared after the build and decodes whole.) */
+  def exists(conf: org.apache.hadoop.conf.Configuration, indexPath: String): Boolean =
+    try {
+      val p = new Path(indexPath)
+      p.getFileSystem(conf).exists(p)
+    } catch { case _: java.io.IOException => false }
 
   /** Header-only walk of one file → its split ranges (a single whole-file
     * range when no boundary lands past `splitBytes`). */
-  private[ingest] def walkFile(file: String, splitBytes: Long): Seq[SplitRange] = {
+  private[ingest] def walkFile(file0: String, splitBytes: Long,
+      conf: org.apache.hadoop.conf.Configuration): Seq[SplitRange] = {
+    val file = qualify(conf, file0) // ranges carry the canonical identity
     val p = new Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val fileLen = fs.getFileStatus(p).getLen
     val base = p.getName
     val in = new java.io.BufferedInputStream(fs.open(p), 1 << 16)
@@ -154,12 +226,12 @@ object BinlogOffsetIndex {
           }
         }
       }
-      if (bounds.isEmpty) Seq(SplitRange(base, 0L, fileLen, 0L, 0, fileLen))
+      if (bounds.isEmpty) Seq(SplitRange(file, 0L, fileLen, 0L, 0, fileLen))
       else {
         val starts = (0L, 0L, 0) +: bounds.toSeq
         val ends = bounds.toSeq.map(_._1) :+ fileLen
         starts.zip(ends).map { case ((s, idx, ck), e) =>
-          SplitRange(base, s, e, idx, ck, fileLen)
+          SplitRange(file, s, e, idx, ck, fileLen)
         }
       }
     } finally in.close()

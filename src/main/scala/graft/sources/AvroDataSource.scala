@@ -247,8 +247,8 @@ private class AvroMicroBatchStream(path: String, schemaJson: String,
       },
       maxFilesPerTrigger) {
 
-  override protected def makePartition(f: (String, Long)): InputPartition =
-    AvroInputPartition(f._1, 0L, f._2)
+  override protected def makePartitions(f: (String, Long)): Seq[InputPartition] =
+    Seq(AvroInputPartition(f._1, 0L, f._2))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(schemaJson, required, fileNameColumn)

@@ -167,48 +167,51 @@ private class BinlogScan(path: String, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** One partition per file; with a `splitIndex` option (built by
-    * [[graft.ingest.BinlogOffsetIndex.build]]) huge files fan out into one
-    * partition per transaction-aligned byte range. With
-    * `splitIndexAutoBuild=true` a missing index is built right here at
-    * planning (the distributed header-only walk runs as its own small job
-    * before this scan's tasks launch) — the "first pass records offsets"
-    * pattern with no separate orchestration step. A file whose length no
-    * longer matches the index entry decodes whole-file — the index is an
-    * optimization, never a correctness dependency. */
+  /** One partition per file; with a `splitIndex` option (a shard directory
+    * built by [[graft.ingest.BinlogOffsetIndex.build]]) huge files fan out
+    * into one partition per transaction-aligned byte range — each file's
+    * ranges load lazily from ITS OWN shard, never the siblings'. With
+    * `splitIndexAutoBuild=true`, files with no (readable) shard are walked
+    * right here at planning (the distributed header-only walk runs as its
+    * own small job before this scan's tasks launch) — the "first pass
+    * records offsets" pattern with no separate orchestration step, and new
+    * files appearing after an earlier build get shards too. A file whose
+    * length no longer matches the index entry decodes whole-file — the
+    * index is an optimization, never a correctness dependency. */
   override def planInputPartitions(): Array[InputPartition] = {
     // the SESSION's Hadoop conf, not a bare new Configuration(): index
     // paths on filesystems configured via spark.hadoop.* (credentials,
     // fs impls) must resolve with the same conf build() wrote through
     lazy val hadoopConf =
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    val index: Map[String, Seq[graft.ingest.BinlogOffsetIndex.SplitRange]] =
-      splitIndex match {
-        case Some(ip) =>
-          val loaded = graft.ingest.BinlogOffsetIndex.load(hadoopConf, ip)
-          if (loaded.nonEmpty || !autoBuild) loaded
-          else graft.ingest.BinlogOffsetIndex.build(
-              org.apache.spark.sql.SparkSession.active, path, ip,
-              splitBytes.getOrElse(128L << 20))
-            .groupBy(_.basename).view.mapValues(_.sortBy(_.start)).toMap
-        case None => Map.empty
-      }
-    BinlogScan.listFiles(path)
+    val kept = BinlogScan.listFiles(path)
       .filter { p =>
         val name = p.split('/').last
         val seq = BinlogFilePruning.fileSeq(name)
         pushed.forall(BinlogFilePruning.keeps(_, name, seq))
       }
-      .flatMap { p =>
-        val name = p.split('/').last
-        index.get(name) match {
-          case Some(ranges) if ranges.nonEmpty &&
-              fileLen(p, hadoopConf) == ranges.head.fileLen =>
-            ranges.map(r => BinlogInputPartition(
-              p, r.start, r.end, r.startIndex, r.checksumLen): InputPartition)
-          case _ => Seq(BinlogInputPartition(p): InputPartition)
+    splitIndex match {
+      case None => kept.map(p => BinlogInputPartition(p): InputPartition)
+      case Some(ip) =>
+        val idx = graft.ingest.BinlogOffsetIndex
+        var ranges = kept.map(f => f -> idx.loadFile(hadoopConf, ip, f)).toMap
+        if (autoBuild) {
+          val missing = kept.filter(f => ranges(f).isEmpty)
+          if (missing.nonEmpty) {
+            idx.buildFiles(org.apache.spark.sql.SparkSession.active,
+              missing.toSeq, ip, splitBytes.getOrElse(128L << 20))
+            ranges = ranges ++ missing.map(f => f -> idx.loadFile(hadoopConf, ip, f))
+          }
         }
-      }
+        kept.flatMap { p =>
+          ranges(p) match {
+            case rs if rs.nonEmpty && fileLen(p, hadoopConf) == rs.head.fileLen =>
+              rs.map(r => BinlogInputPartition(
+                p, r.start, r.end, r.startIndex, r.checksumLen): InputPartition)
+            case _ => Seq(BinlogInputPartition(p): InputPartition)
+          }
+        }
+    }
   }
 
   private def fileLen(p: String, conf: org.apache.hadoop.conf.Configuration): Long = {
@@ -221,7 +224,8 @@ private class BinlogScan(path: String, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new BinlogMicroBatchStream(path, required, maxFilesPerTrigger)
+    new BinlogMicroBatchStream(path, required, maxFilesPerTrigger,
+      splitIndex, autoBuild, splitBytes)
 
   override def description(): String =
     s"binlog($path) prunedBy=[${pushed.mkString(", ")}]"
@@ -261,14 +265,40 @@ private[graft] object BinlogScan {
   * that encoding requires the watched directory to be APPEND-ONLY while
   * the stream (or its checkpoint) is live — purging old files would
   * shift the listing under a count-based offset.
+  *
+  * With `splitIndex` (+ `splitIndexAutoBuild`), each consumed file fans
+  * out into one task per transaction-aligned range, exactly like the
+  * batch scan — a multi-hundred-MB rotated binlog no longer serializes
+  * its micro-batch into one task. Auto-build walks just the files new to
+  * this trigger (a small header-only job at planning) and writes their
+  * shards, so the next stream restart finds them pre-indexed.
   */
 private class BinlogMicroBatchStream(path: String, required: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    splitIndex: Option[String] = None, autoBuild: Boolean = false,
+    splitBytes: Option[Long] = None)
     extends FileCountMicroBatchStream[String](
       () => BinlogScan.listFiles(path).toIndexedSeq, maxFilesPerTrigger) {
 
-  override protected def makePartition(file: String): InputPartition =
-    BinlogInputPartition(file)
+  override protected def makePartitions(file: String): Seq[InputPartition] =
+    splitIndex match {
+      case None => Seq(BinlogInputPartition(file))
+      case Some(ip) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val conf = spark.sparkContext.hadoopConfiguration
+        val idx = graft.ingest.BinlogOffsetIndex
+        var ranges = idx.loadFile(conf, ip, file)
+        if (ranges.isEmpty && autoBuild) {
+          idx.buildFiles(spark, Seq(file), ip, splitBytes.getOrElse(128L << 20))
+          ranges = idx.loadFile(conf, ip, file)
+        }
+        val hp = new Path(file)
+        val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
+        if (ranges.nonEmpty && ranges.head.fileLen == len)
+          ranges.map(r =>
+            BinlogInputPartition(file, r.start, r.end, r.startIndex, r.checksumLen))
+        else Seq(BinlogInputPartition(file))
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BinlogReaderFactory(required)

@@ -21,7 +21,9 @@ private[sources] abstract class FileCountMicroBatchStream[A](
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  protected def makePartition(a: A): InputPartition
+  /** The partitions for one consumed file — usually one, but a source
+    * with an intra-file split index fans a huge file into several. */
+  protected def makePartitions(a: A): Seq[InputPartition]
 
   private case class FileCountOffset(n: Int) extends Offset {
     override def json(): String = s"""{"n":$n}"""
@@ -67,7 +69,7 @@ private[sources] abstract class FileCountMicroBatchStream[A](
     val s = start.asInstanceOf[FileCountOffset].n
     val e = end.asInstanceOf[FileCountOffset].n
     val listing = if (lastListing.length >= e) lastListing else list()
-    listing.slice(s, e).map(makePartition).toArray
+    listing.slice(s, e).flatMap(makePartitions).toArray
   }
 
   override def commit(end: Offset): Unit = ()

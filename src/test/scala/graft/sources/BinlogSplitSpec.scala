@@ -44,7 +44,11 @@ class BinlogSplitSpec extends AnyFunSuite with SparkTestSession {
     writeFixture(dir, "mysql-bin.000001", nTx = 60)
 
     val index = new java.io.File(dir.getParentFile, dir.getName + ".idx").getPath
-    val ranges = BinlogOffsetIndex.build(spark, dir.getPath, index, splitBytes = 8192)
+    val n = BinlogOffsetIndex.build(spark, dir.getPath, index, splitBytes = 8192)
+    val file = new java.io.File(dir, "mysql-bin.000001").getPath
+    val ranges = BinlogOffsetIndex.loadFile(
+      spark.sparkContext.hadoopConfiguration, index, file)
+    assert(n == ranges.size)
     assert(ranges.size > 3, s"expected several ranges, got ${ranges.size}")
     // ranges tile the file exactly and start at transaction boundaries
     assert(ranges.head.start == 0)
@@ -107,8 +111,8 @@ class BinlogSplitSpec extends AnyFunSuite with SparkTestSession {
     Files.write(new java.io.File(dir, "mysql-bin.000001").toPath, f.bytes)
 
     val index = new java.io.File(dir.getParentFile, dir.getName + ".idx").getPath
-    val ranges = BinlogOffsetIndex.build(spark, dir.getPath, index, splitBytes = 2048)
-    assert(ranges.size > 2, s"expected several ranges, got ${ranges.size}")
+    val nRanges = BinlogOffsetIndex.build(spark, dir.getPath, index, splitBytes = 2048)
+    assert(nRanges > 2, s"expected several ranges, got $nRanges")
 
     val whole = spark.read.format("binlog").load(dir.getPath)
     val split = spark.read.format("binlog").option("splitIndex", index).load(dir.getPath)
@@ -138,6 +142,45 @@ class BinlogSplitSpec extends AnyFunSuite with SparkTestSession {
     val again = spark.read.format("binlog")
       .option("splitIndex", index).load(dir.getPath)
     assert(again.rdd.getNumPartitions == df.rdd.getNumPartitions)
+  }
+
+  test("duplicate basenames across directories: path-keyed per-file shards") {
+    // two per-shard dirs both holding mysql-bin.000001 (different
+    // content) under one glob — the ADVICE r6 hazard: a basename-keyed
+    // index would apply one file's ranges to the other. Also pins shard
+    // independence: corrupting one file's shard must not affect another
+    // file's load (nothing reads sibling shards).
+    val root = Files.createTempDirectory("binmulti").toFile
+    val d1 = new java.io.File(root, "server1"); d1.mkdir()
+    val d2 = new java.io.File(root, "server2"); d2.mkdir()
+    writeFixture(d1, "mysql-bin.000001", nTx = 40)
+    writeFixture(d2, "mysql-bin.000001", nTx = 12)
+    val index = new java.io.File(root, "idx").getPath
+    val glob = root.getPath + "/server*"
+    BinlogOffsetIndex.build(spark, glob, index, splitBytes = 8192)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f1 = new java.io.File(d1, "mysql-bin.000001").getPath
+    val f2 = new java.io.File(d2, "mysql-bin.000001").getPath
+    val r1 = BinlogOffsetIndex.loadFile(conf, index, f1)
+    val r2 = BinlogOffsetIndex.loadFile(conf, index, f2)
+    assert(r1.nonEmpty && r2.nonEmpty)
+    // ranges carry the qualified (scheme-prefixed) identity of THEIR file
+    assert(r1.forall(_.path.endsWith(f1)) && r2.forall(_.path.endsWith(f2)))
+    assert(r1.last.fileLen != r2.last.fileLen, "fixtures should differ in length")
+
+    // per-file shard isolation: corrupt f2's shard, f1 is untouched and
+    // f2 falls back to whole-file instead of failing the plan
+    val shard2 = new java.io.File(index, BinlogOffsetIndex.shardName(conf, f2))
+    assert(shard2.exists())
+    Files.write(shard2.toPath, "garbage line, wrong shape".getBytes("UTF-8"))
+    assert(BinlogOffsetIndex.loadFile(conf, index, f1) == r1)
+    assert(BinlogOffsetIndex.loadFile(conf, index, f2).isEmpty)
+
+    val df = spark.read.format("binlog").option("splitIndex", index).load(glob)
+    assert(df.rdd.getNumPartitions == r1.size + 1,
+      "f1 range-split + f2 whole-file fallback expected")
+    assert(df.filter(col("event_type") === "XID").count() == 40 + 12)
   }
 
   test("stale index (file length mismatch) falls back to whole-file decode") {

@@ -100,4 +100,57 @@ class NativeStreamEndToEndSpec extends AnyFunSuite with SparkTestSession {
       assert(statuses.get(999999L).contains(Status.AvroOnly), s"got $statuses")
     } finally q.stop()
   }
+
+  test("huge single-file tail range-splits its micro-batch via the offset index") {
+    // one large rotated binlog arriving in a tail used to decode as ONE
+    // task per micro-batch (the r6 gap); with splitIndex wired into the
+    // stream it fans out like the batch scan, with identical output
+    import BinlogBinaryWriter._
+    val root = Files.createTempDirectory("binsplitstream").toFile
+    val binDir = new java.io.File(root, "binlogs"); binDir.mkdirs()
+    val cols = Seq(ColDef.longlong, ColDef.varchar(64))
+    val sid = (1 to 16).map(_.toByte).toArray
+    val f = new FileBuilder(checksums = true)
+    f.fde(T0)
+    (0 until 60).foreach { tx =>
+      f.event(T0 + tx, 33, gtidBody(sid, tx + 1L))
+      f.event(T0 + tx, 2, queryBody("app", "BEGIN"))
+      f.event(T0 + tx, 19, tableMapBody(7, "app", "t", cols))
+      f.event(T0 + tx, 30, rowsBody(7, cols.size, (0 until 20).map(r =>
+        Seq(Some(encLongLong(tx * 100L + r)),
+          Some(encVarchar(s"row-$tx-$r-" + "x" * 40, 64))))))
+      f.event(T0 + tx, 16, xidBody(9000L + tx))
+    }
+    Files.write(new java.io.File(binDir, "mysql-bin.000001").toPath, f.bytes)
+
+    val index = new java.io.File(root, "idx").getPath
+    val stream = spark.readStream.format("binlog")
+      .option("splitIndex", index)
+      .option("splitIndexAutoBuild", "true")
+      .option("splitBytes", "8192")
+      .load(binDir.getPath)
+    val cs = Seq("event_type", "event_index", "xid", "log_position", "gtid_next")
+    val maxParts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val streamed = collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        maxParts.getAndUpdate(m => math.max(m, df.rdd.getNumPartitions))
+        streamed.synchronized {
+          streamed ++= df.select(cs.map(col): _*).collect().map(_.toSeq)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(90000), "stream did not drain")
+
+    assert(maxParts.get > 1,
+      s"single-file micro-batch planned ${maxParts.get} partition(s) — not range-split")
+    val batch = spark.read.format("binlog").load(binDir.getPath)
+      .select(cs.map(col): _*).collect().map(_.toSeq)
+    assert(streamed.sortBy(_.toString) == batch.toSeq.sortBy(_.toString),
+      "streamed output != batch decode")
+    // the auto-built shard persists for the next restart / batch scan
+    assert(new java.io.File(index).isDirectory &&
+      new java.io.File(index).listFiles().exists(_.getName.endsWith(".idx")))
+  }
 }
