@@ -15,6 +15,13 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // SQL function surface
       .config("spark.sql.shuffle.partitions", cpus)
+      // Small-file scan parallelism: the sf0.1 parquet tables are one or
+      // two row groups, so compute-heavy SCAN stages (shingle hashing,
+      // cosine, simhash) would otherwise run on ≤2 of the 32 cores.
+      // minPartitionNum splits the scan to the core count — the local
+      // analogue of sizing maxPartitionBytes to the cluster; at real
+      // scale file volume provides this parallelism on its own.
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions._
 
@@ -24,8 +25,11 @@ import graft.functions._
   *
   * Each registration maps 1:1 onto an existing Catalyst expression, so
   * SQL and Column routes produce byte-identical plans. Optional trailing
-  * arguments (shingle width, permutation count) must be integer literals
-  * — they parameterize the expression instance itself.
+  * arguments (shingle width, permutation count, field names) must be
+  * foldable — they parameterize the expression instance itself and are
+  * evaluated at builder time (constant folding has not run yet, so
+  * `1 + 2` is folded here, the way Spark's own builders treat
+  * literal-ish parameters).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -35,13 +39,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   // Bad SQL arguments surface as AnalysisException with Spark's standard
   // error classes (not a raw runtime exception), so thrift/JDBC clients
   // get the usual SQLSTATE + message shape.
-  private def intLit(fn: String, param: String, e: Expression): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case _ => throw new AnalysisException(
+  private def nonFoldable(fn: String, param: String, typ: String): Nothing =
+    throw new AnalysisException(
       errorClass = "NON_FOLDABLE_ARGUMENT",
       messageParameters = Map(
-        "funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
+        "funcName" -> s"`$fn`", "paramName" -> s"`$param`", "paramType" -> s""""$typ""""))
+
+  // Foldable-but-not-yet-folded expressions (e.g. `1 + 2` — constant
+  // folding has not run at function-builder time) are evaluated here, the
+  // way Spark's own builders treat literal-ish parameters.
+  private def intLit(fn: String, param: String, e: Expression): Int = e match {
+    case ex if ex.foldable && ex.dataType == IntegerType =>
+      ex.eval() match {
+        case v: Int => v
+        case _ => nonFoldable(fn, param, "INT")  // foldable NULL literal
+      }
+    case _ => nonFoldable(fn, param, "INT")
   }
+
+  private def strLit(fn: String, param: String, e: Expression): String = e match {
+    case ex if ex.foldable && ex.dataType == StringType =>
+      ex.eval() match {
+        case s: UTF8String => s.toString
+        case _ => nonFoldable(fn, param, "STRING")
+      }
+    case _ => nonFoldable(fn, param, "STRING")
+  }
+
+  private def strArrayLit(fn: String, param: String, e: Expression): Seq[String] =
+    e match {
+      case ex if ex.foldable && (ex.dataType match {
+          case ArrayType(StringType, _) => true; case _ => false }) =>
+        ex.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map { i =>
+              if (a.isNullAt(i)) nonFoldable(fn, param, "ARRAY<STRING>")
+              else a.getUTF8String(i).toString
+            }
+          case _ => nonFoldable(fn, param, "ARRAY<STRING>")
+        }
+      case _ => nonFoldable(fn, param, "ARRAY<STRING>")
+    }
 
   private def arity(name: String, args: Seq[Expression], ns: Int*): Unit =
     if (!ns.contains(args.length)) throw new AnalysisException(
@@ -95,6 +133,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("posting_pairs", args, 1)
         PostingPairs(args(0))
+      }))
+    ext.injectFunction((FunctionIdentifier("marker_count"),
+      info("marker_count",
+        "marker_count(array<string>, array<string>) - count of tokens in a fixed marker set"),
+      (args: Seq[Expression]) => {
+        arity("marker_count", args, 2)
+        MarkerCount(args(0), strArrayLit("marker_count", "words", args(1)))
+      }))
+    ext.injectFunction((FunctionIdentifier("token_char_sum"),
+      info("token_char_sum",
+        "token_char_sum(array<string>) - total character count of a token array"),
+      (args: Seq[Expression]) => {
+        arity("token_char_sum", args, 1)
+        TokenCharSum(args(0))
+      }))
+    ext.injectFunction((FunctionIdentifier("vec_field_sum"),
+      info("vec_field_sum",
+        "vec_field_sum(array<struct>, field, dim) - elementwise ordered sum of a vector struct field"),
+      (args: Seq[Expression]) => {
+        arity("vec_field_sum", args, 3)
+        OrderedVecFieldSum(args(0), strLit("vec_field_sum", "field", args(1)),
+          intLit("vec_field_sum", "dim", args(2)))
+      }))
+    ext.injectFunction((FunctionIdentifier("vec_field_mean"),
+      info("vec_field_mean",
+        "vec_field_mean(array<struct>, sumField, cntField, dim) - elementwise ordered mean from (sum, count) partials"),
+      (args: Seq[Expression]) => {
+        arity("vec_field_mean", args, 4)
+        OrderedVecFieldMean(args(0), strLit("vec_field_mean", "sumField", args(1)),
+          strLit("vec_field_mean", "cntField", args(2)),
+          intLit("vec_field_mean", "dim", args(3)))
       }))
     ext.injectFunction((FunctionIdentifier("geom_hex_to_wkt"),
       info("geom_hex_to_wkt",

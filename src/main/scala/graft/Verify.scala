@@ -15,6 +15,7 @@ object Verify {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // SQL function surface
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.minPartitionNum", cpus) // see Bench.scala
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -24,7 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * MultiPoint, MultiLineString, MultiPolygon, GeometryCollection, both
   * byte orders, recursively. Malformed input → NULL (SQL convention for
   * a scalar conversion), never a task failure. Coordinates format as
-  * integers when integral (WKT convention), else `Double.toString`.
+  * integers when integral (WKT convention), else `Double.toString`;
+  * list separators are bare commas (`LINESTRING(0 0,1 1)`), matching
+  * MySQL `ST_AsText` output byte-for-byte (MySQL emits no space after
+  * the comma).
   */
 case class WkbHexToWkt(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -104,7 +107,7 @@ private[functions] object WkbParse {
     sb.append('(')
     var i = 0L
     while (i < n) {
-      if (i > 0) sb.append(", ")
+      if (i > 0) sb.append(',')
       p = point(b, p, le, sb)
       if (p < 0) return -1
       i += 1
@@ -146,7 +149,7 @@ private[functions] object WkbParse {
         sb.append("POLYGON(")
         var i = 0L
         while (i < n) {
-          if (i > 0) sb.append(", ")
+          if (i > 0) sb.append(',')
           p = ring(b, p, le, sb)
           if (p < 0) return -1
           i += 1
@@ -154,7 +157,7 @@ private[functions] object WkbParse {
         sb.append(')'); p
       case 4 | 5 | 6 => // Multi*: n full WKB children, rendered WITHOUT
         // their type tags (MySQL ST_AsText convention:
-        // MULTIPOINT(1 2, 3 4), MULTIPOLYGON(((...))) )
+        // MULTIPOINT(1 2,3 4), MULTIPOLYGON(((...))) )
         val n = u32(b, p, le); if (n < 0) return -1
         p += 4
         sb.append(tpe match {
@@ -165,7 +168,7 @@ private[functions] object WkbParse {
         val childType = tpe - 3 // 4→Point, 5→LineString, 6→Polygon
         var i = 0L
         while (i < n) {
-          if (i > 0) sb.append(", ")
+          if (i > 0) sb.append(',')
           if (p + 5 > b.length) return -1
           val cle = b(p) match {
             case 1 => true
@@ -183,7 +186,7 @@ private[functions] object WkbParse {
               sb.append('(')
               var r = 0L
               while (r < nr) {
-                if (r > 0) sb.append(", ")
+                if (r > 0) sb.append(',')
                 p = ring(b, p, cle, sb)
                 if (p < 0) return -1
                 r += 1
@@ -200,7 +203,7 @@ private[functions] object WkbParse {
         sb.append("GEOMETRYCOLLECTION(")
         var i = 0L
         while (i < n) {
-          if (i > 0) sb.append(", ")
+          if (i > 0) sb.append(',')
           p = geometry(b, p, sb, depth + 1)
           if (p < 0) return -1
           i += 1

@@ -18,9 +18,19 @@ object TextOps {
   def regexPieces(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
-  /** Marker hit count: how many tokens are in `words`. */
+  /** Marker hit count: how many tokens are in `words`. Native
+    * [[graft.functions.MarkerCount]] kernel — same semantics as
+    * `size(filter(toks, x -> x IN (words)))` without the interpreted
+    * per-element lambda. */
   def markerHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, x => x.isin(words.map(_.asInstanceOf[Any]): _*)))
+    graft.functions.FoldFunctions.markerCount(toks, words)
+
+  /** Total character count of a token array. Native
+    * [[graft.functions.TokenCharSum]] kernel — same semantics as
+    * `aggregate(toks, 0L, (acc, x) -> acc + length(x))` without the
+    * interpreted per-element lambda. */
+  def tokenCharSum(toks: Column): Column =
+    graft.functions.FoldFunctions.tokenCharSum(toks)
 
   /** Marker-token language ID over a token array: the language whose
     * marker set hits most (first in `markers` wins ties, "und" when none

@@ -21,8 +21,8 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop", expr("size(filter(toks, x -> x IN ('the','a')))"))
-      .withColumn("tok_chars", expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("n_stop", graft.ops.TextOps.markerHits(col("toks"), Seq("the", "a")))
+      .withColumn("tok_chars", graft.ops.TextOps.tokenCharSum(col("toks")))
 
     // stage 1 — quality gate (t03's OK bucket)
     val quality = docs.filter(

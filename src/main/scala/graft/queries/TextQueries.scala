@@ -81,7 +81,7 @@ object TextQueries {
     withTokens(spark, dir)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_stop", graft.ops.TextOps.markerHits(col("toks"), Seq("the", "a")))
-      .withColumn("tok_chars", expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("tok_chars", graft.ops.TextOps.tokenCharSum(col("toks")))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("mean_tok_len", col("tok_chars").cast("double") / col("n_tokens"))
       .withColumn("quality", graft.ops.TextOps.qualityBucket(

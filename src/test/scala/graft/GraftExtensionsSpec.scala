@@ -22,16 +22,36 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
         |  simhash32(split(text, ' ')) AS sh,
         |  shingle_hash60(split(text, ' '), 3) AS sh60,
         |  minhash_sig(shingle_hash60(split(text, ' ')), 16) AS mh,
-        |  word_shingles(split(text, ' '), 2) AS ws
+        |  word_shingles(split(text, ' '), 2) AS ws,
+        |  marker_count(split(text, ' '), array('the', 'a')) AS mc,
+        |  token_char_sum(split(text, ' ')) AS tcs
         |FROM ext_docs ORDER BY id""".stripMargin).collect()
     val viaCols = docs.select(col("id"),
         graft.functions.TextHashFunctions.simHash32(split(col("text"), " ")).as("sh"),
         graft.functions.TextHashFunctions.shingleHash60(split(col("text"), " "), 3).as("sh60"),
         graft.functions.TextHashFunctions.minHashSig(
           graft.functions.TextHashFunctions.shingleHash60(split(col("text"), " ")), 16).as("mh"),
-        graft.functions.TextHashFunctions.wordShingles(split(col("text"), " "), 2).as("ws"))
+        graft.functions.TextHashFunctions.wordShingles(split(col("text"), " "), 2).as("ws"),
+        graft.functions.FoldFunctions.markerCount(
+          split(col("text"), " "), Seq("the", "a")).as("mc"),
+        graft.functions.FoldFunctions.tokenCharSum(split(col("text"), " ")).as("tcs"))
       .orderBy("id").collect()
     assert(viaSql.toSeq == viaCols.toSeq)
+  }
+
+  test("SQL and Column routes agree for the vector fold kernels") {
+    val viaSql = spark.sql(
+      """SELECT
+        |  vec_field_sum(array(
+        |    named_struct('id', 1L, 'emb', array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))),
+        |    named_struct('id', 2L, 'emb', array(CAST(0.5 AS FLOAT), CAST(4.0 AS FLOAT)))),
+        |    'emb', 2) AS s,
+        |  vec_field_mean(array(
+        |    named_struct('c', 0L, 'psum', array(3.0D, 6.0D), 'pcnt', 2L),
+        |    named_struct('c', 1L, 'psum', array(1.0D, 2.0D), 'pcnt', 2L)),
+        |    'psum', 'pcnt', 2) AS m""".stripMargin).collect().head
+    assert(viaSql.getSeq[Double](0) == Seq(1.5, 6.0))
+    assert(viaSql.getSeq[Float](1) == Seq(1.0f, 2.0f))
   }
 
   test("cosine_sim and geom_hex_to_wkt resolve in SQL") {
@@ -62,10 +82,23 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
     val e = intercept[AnalysisException](spark.sql("SELECT cosine_sim(array(1))").collect())
     assert(e.getMessage.contains("cosine_sim"))
     assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+    // genuinely non-foldable (a column reference) → standard error class
     val e2 = intercept[AnalysisException](
-      spark.sql("SELECT shingle_hash60(array('a'), 1 + 2)").collect())
+      spark.sql("SELECT shingle_hash60(array('a'), id) FROM RANGE(1)").collect())
     assert(e2.getCondition == "NON_FOLDABLE_ARGUMENT")
     assert(e2.getMessage.contains("shingle_hash60"))
+  }
+
+  test("foldable-but-not-folded parameters are evaluated, not rejected") {
+    // constant folding has not run at function-builder time; `1 + 2` must
+    // behave exactly like the literal 3 (r7 ADVICE: the old builder
+    // rejected it with a message claiming the argument must be foldable
+    // when it already was)
+    val folded = spark.sql("SELECT shingle_hash60(array('a','b','c','d'), 1 + 2) AS s")
+      .collect().head.getSeq[Long](0)
+    val literal = spark.sql("SELECT shingle_hash60(array('a','b','c','d'), 3) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(folded == literal && folded.size == 2)
   }
 
   test("the documented --conf spark.sql.extensions=graft.GraftExtensions route works") {

@@ -50,23 +50,23 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkTestSession {
         .put(1.toByte).putInt(tpe).array()
 
     val line = geomHeader(2) ++ pts(le = true, (0, 0), (1, 1), (2, 0))
-    assert(wkt(hex(srid(0) ++ line)).contains("LINESTRING(0 0, 1 1, 2 0)"))
+    assert(wkt(hex(srid(0) ++ line)).contains("LINESTRING(0 0,1 1,2 0)"))
 
     val ringBytes = pts(le = true, (0, 0), (4, 0), (4, 4), (0, 0))
     val poly = geomHeader(3) ++
       ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(1).array() ++ ringBytes
-    assert(wkt(hex(srid(0) ++ poly)).contains("POLYGON((0 0, 4 0, 4 4, 0 0))"))
+    assert(wkt(hex(srid(0) ++ poly)).contains("POLYGON((0 0,4 0,4 4,0 0))"))
 
     val mp = geomHeader(4) ++
       ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(2).array() ++
       wkbPoint(1, 2) ++ wkbPoint(3, 4)
-    assert(wkt(hex(srid(0) ++ mp)).contains("MULTIPOINT(1 2, 3 4)"))
+    assert(wkt(hex(srid(0) ++ mp)).contains("MULTIPOINT(1 2,3 4)"))
 
     val coll = geomHeader(7) ++
       ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(2).array() ++
       wkbPoint(5, 6) ++ line
     assert(wkt(hex(srid(0) ++ coll))
-      .contains("GEOMETRYCOLLECTION(POINT(5 6), LINESTRING(0 0, 1 1, 2 0))"))
+      .contains("GEOMETRYCOLLECTION(POINT(5 6),LINESTRING(0 0,1 1,2 0))"))
   }
 
   test("malformed input is NULL, never a task failure") {
