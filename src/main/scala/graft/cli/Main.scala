@@ -19,6 +19,11 @@ import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
   *     [--tolerance-ms 100] [--strict-change-type] [--out <dir>]
   *     [--split-index <path>]   (binary input: offset index for huge-file
   *                               range splits, auto-built on first run)
+  *     [--no-split-index-auto-build]  (use the index if present but never
+  *                               build it at planning — for deployments
+  *                               where a scheduled job owns the build)
+  *     [--split-bytes <n>]      (target range size for the auto-built
+  *                               index; default 128 MiB)
   *
   * Outputs under --out (default /tmp/graft_out): `detail/` (every
   * non-match row), `breakdown/` (per schema/table/status counts), a
@@ -37,7 +42,9 @@ object Main {
       toleranceMs: Long = 100L,
       strictChangeType: Boolean = false,
       out: String = "/tmp/graft_out",
-      splitIndex: Option[String] = None)
+      splitIndex: Option[String] = None,
+      splitIndexAutoBuild: Boolean = true,
+      splitBytes: Option[Long] = None)
 
   def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
@@ -50,6 +57,10 @@ object Main {
     case "--strict-change-type" :: rest => parseArgs(rest, acc.copy(strictChangeType = true))
     case "--out" :: v :: rest => parseArgs(rest, acc.copy(out = v))
     case "--split-index" :: v :: rest => parseArgs(rest, acc.copy(splitIndex = Some(v)))
+    case "--no-split-index-auto-build" :: rest =>
+      parseArgs(rest, acc.copy(splitIndexAutoBuild = false))
+    case "--split-bytes" :: v :: rest =>
+      parseArgs(rest, acc.copy(splitBytes = Some(v.toLong)))
     case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
   }
 
@@ -168,10 +179,12 @@ object Main {
         // --split-index huge files range-split across tasks (the index is
         // auto-built by the first run's header-only walk)
         val parsed = args.splitIndex match {
-          case Some(idx) => spark.read.format("binlog")
-            .option("splitIndex", idx)
-            .option("splitIndexAutoBuild", "true")
-            .load(dir)
+          case Some(idx) =>
+            val rd = spark.read.format("binlog")
+              .option("splitIndex", idx)
+              .option("splitIndexAutoBuild", args.splitIndexAutoBuild.toString)
+            args.splitBytes.foreach(b => rd.option("splitBytes", b.toString))
+            rd.load(dir)
           case None => BinlogBinaryParser.parse(spark, dir).toDF()
         }
         Comparator.prepareBinlog(parsed, BinlogBinaryParser.seqColumn)

@@ -136,6 +136,18 @@ object Similarity {
     * into ONE array row in ONE reducer — gigabytes, and a >2 GB array
     * failure, once cluster size grows with the data.
     *
+    * Sizing `chunks`: the bound is RELATIVE — a level-1 row holds
+    * clusterSize/`chunks` embeddings, so the default 1024 is a 1024×
+    * mitigation, not an absolute cap (a ~10⁹-row single cluster would
+    * still overflow a level-1 row). Size it so
+    * expectedMaxClusterSize/`chunks` embeddings fit a row comfortably:
+    * `chunks ≈ expectedMaxClusterSize / 10⁵` is ample at 64–1024 dims,
+    * while level 2 stays absolutely bounded at `chunks` × dim doubles
+    * (~512 KB at the defaults). The parameter is part of the fold-order
+    * contract — the oracle must use the same value (s03/s04 bake
+    * `SimilarityQueries.centroidChunks` into both engines), so change it
+    * per-deployment, not per-run.
+    *
     * Output: (`clabel`, `cf` array<float>) — broadcast-sized, one row per
     * label. */
   def buildCentroids(df: DataFrame, dim: Int, chunks: Int = 1024,

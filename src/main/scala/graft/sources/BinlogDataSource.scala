@@ -193,14 +193,17 @@ private class BinlogScan(path: String, required: StructType,
     splitIndex match {
       case None => kept.map(p => BinlogInputPartition(p): InputPartition)
       case Some(ip) =>
+        // shard probes run in parallel (and skip entirely on a never-built
+        // index directory); a serial per-file loop here put one filesystem
+        // round trip per binlog file on the planning path (r7 ADVICE)
         val idx = graft.ingest.BinlogOffsetIndex
-        var ranges = kept.map(f => f -> idx.loadFile(hadoopConf, ip, f)).toMap
+        var ranges = idx.loadFiles(hadoopConf, ip, kept.toSeq)
         if (autoBuild) {
           val missing = kept.filter(f => ranges(f).isEmpty)
           if (missing.nonEmpty) {
             idx.buildFiles(org.apache.spark.sql.SparkSession.active,
               missing.toSeq, ip, splitBytes.getOrElse(128L << 20))
-            ranges = ranges ++ missing.map(f => f -> idx.loadFile(hadoopConf, ip, f))
+            ranges = ranges ++ idx.loadFiles(hadoopConf, ip, missing.toSeq)
           }
         }
         kept.flatMap { p =>
@@ -280,18 +283,40 @@ private class BinlogMicroBatchStream(path: String, required: StructType,
     extends FileCountMicroBatchStream[String](
       () => BinlogScan.listFiles(path).toIndexedSeq, maxFilesPerTrigger) {
 
-  override protected def makePartitions(file: String): Seq[InputPartition] =
+  // ranges for the current trigger's slice, loaded (and auto-built) once
+  // in prepareSlice — makePartitions itself stays side-effect-free
+  @volatile private var sliceRanges
+      : Map[String, Seq[graft.ingest.BinlogOffsetIndex.SplitRange]] = Map.empty
+
+  /** One shard probe pass and (with `splitIndexAutoBuild`) ONE buildFiles
+    * job for all files new to this trigger — the per-file form launched a
+    * single-task Spark job plus a conf broadcast per new file per trigger
+    * (r7 ADVICE). */
+  override protected def prepareSlice(files: Seq[String]): Unit =
     splitIndex match {
-      case None => Seq(BinlogInputPartition(file))
+      case None => ()
       case Some(ip) =>
         val spark = org.apache.spark.sql.SparkSession.active
         val conf = spark.sparkContext.hadoopConfiguration
         val idx = graft.ingest.BinlogOffsetIndex
-        var ranges = idx.loadFile(conf, ip, file)
-        if (ranges.isEmpty && autoBuild) {
-          idx.buildFiles(spark, Seq(file), ip, splitBytes.getOrElse(128L << 20))
-          ranges = idx.loadFile(conf, ip, file)
+        var ranges = idx.loadFiles(conf, ip, files)
+        if (autoBuild) {
+          val missing = files.filter(f => ranges(f).isEmpty)
+          if (missing.nonEmpty) {
+            idx.buildFiles(spark, missing, ip, splitBytes.getOrElse(128L << 20))
+            ranges = ranges ++ idx.loadFiles(conf, ip, missing)
+          }
         }
+        sliceRanges = ranges
+    }
+
+  override protected def makePartitions(file: String): Seq[InputPartition] =
+    splitIndex match {
+      case None => Seq(BinlogInputPartition(file))
+      case Some(_) =>
+        val conf =
+          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+        val ranges = sliceRanges.getOrElse(file, Seq.empty)
         val hp = new Path(file)
         val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
         if (ranges.nonEmpty && ranges.head.fileLen == len)

@@ -25,6 +25,12 @@ private[sources] abstract class FileCountMicroBatchStream[A](
     * with an intra-file split index fans a huge file into several. */
   protected def makePartitions(a: A): Seq[InputPartition]
 
+  /** Called once per [[planInputPartitions]] with the trigger's whole
+    * slice, before any [[makePartitions]] call — a source needing a batch
+    * side effect (e.g. building the split-index shards for every file new
+    * to this trigger in ONE job) does it here instead of once per file. */
+  protected def prepareSlice(files: Seq[A]): Unit = ()
+
   private case class FileCountOffset(n: Int) extends Offset {
     override def json(): String = s"""{"n":$n}"""
   }
@@ -69,7 +75,9 @@ private[sources] abstract class FileCountMicroBatchStream[A](
     val s = start.asInstanceOf[FileCountOffset].n
     val e = end.asInstanceOf[FileCountOffset].n
     val listing = if (lastListing.length >= e) lastListing else list()
-    listing.slice(s, e).flatMap(makePartitions).toArray
+    val slice = listing.slice(s, e)
+    prepareSlice(slice)
+    slice.flatMap(makePartitions).toArray
   }
 
   override def commit(end: Offset): Unit = ()

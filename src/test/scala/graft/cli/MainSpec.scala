@@ -104,6 +104,62 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
     prepared.release()
   }
 
+  test("binlog-binary + --split-index: multi-range file, auto-build toggle") {
+    import graft.ingest.BinlogBinaryWriter._
+    val dir = Files.createTempDirectory("clisplit").toFile
+    val binDir = new java.io.File(dir, "bins"); binDir.mkdirs()
+    val cols = Seq(ColDef.longlong, ColDef.varchar(64))
+    val sid = (1 to 16).map(_.toByte).toArray
+    val f = new FileBuilder(checksums = true)
+    val t0 = 1714564800L
+    f.fde(t0)
+    (0 until 40).foreach { tx =>
+      f.event(t0 + tx, 33, gtidBody(sid, tx + 1L))
+      f.event(t0 + tx, 19, tableMapBody(7, "shop", "orders", cols))
+      val images = (0 until 20).map { r =>
+        Seq(Some(encLongLong(tx * 100L + r)),
+          Some(encVarchar(s"row-$tx-$r-" + "x" * 40, 64)))
+      }
+      f.event(t0 + tx, 30, rowsBody(7, cols.size, images))
+      f.event(t0 + tx, 16, xidBody(9000L + tx))
+    }
+    Files.write(new java.io.File(binDir, "mysql-bin.000001").toPath, f.bytes)
+    val avroJson = new java.io.File(dir, "avro_rows.json")
+    Files.write(avroJson.toPath,
+      """{"source_timestamp":1714564800000,"source_metadata":{"database":"shop","table":"orders","binlog_file":{"string":"mysql-bin.000001"},"binlog_position":{"long":424242},"primary_keys":["id"]},"payload":{}}""".getBytes)
+
+    // --no-split-index-auto-build: index never built, comparison still runs
+    val idxOff = new java.io.File(dir, "idx_off").getPath
+    val comparedOff = Main.run(spark, Main.Args(
+      binlogBinary = Some(binDir.getPath), avroJson = Some(avroJson.getPath),
+      splitIndex = Some(idxOff), splitIndexAutoBuild = false))
+    assert(comparedOff.filter(col("status") === Status.BinlogOnly).count() == 40)
+    assert(!new java.io.File(idxOff).exists(), "no-auto-build must not build")
+
+    // default auto-build: first run writes shards; the scan range-splits
+    val idxOn = new java.io.File(dir, "idx_on").getPath
+    val compared = Main.run(spark, Main.Args(
+      binlogBinary = Some(binDir.getPath), avroJson = Some(avroJson.getPath),
+      splitIndex = Some(idxOn), splitBytes = Some(8192L)))
+    assert(compared.filter(col("status") === Status.BinlogOnly).count() == 40)
+    assert(compared.filter(col("status") === Status.AvroOnly).count() == 1)
+    assert(new java.io.File(idxOn).listFiles().exists(_.getName.endsWith(".idx")))
+    // the auto-built index actually range-split the file
+    val ranges = graft.ingest.BinlogOffsetIndex.loadFile(
+      spark.sparkContext.hadoopConfiguration, idxOn,
+      new java.io.File(binDir, "mysql-bin.000001").getPath)
+    assert(ranges.size > 3, s"expected several ranges, got ${ranges.size}")
+    // identical comparison either way
+    assert(comparedOff.select("position", "status").collect().toSet
+      == compared.select("position", "status").collect().toSet)
+
+    // flag parsing
+    val a = Main.parseArgs(List("--binlog-binary", "/b", "--avro-json", "/a.json",
+      "--split-index", "/i", "--no-split-index-auto-build", "--split-bytes", "8192"))
+    assert(a.splitIndex.contains("/i") && !a.splitIndexAutoBuild
+      && a.splitBytes.contains(8192L))
+  }
+
   test("argument parsing") {
     val a = Main.parseArgs(List("--binlog-json", "/b.json", "--avro", "/a",
       "--tolerance-ms", "250", "--strict-change-type", "--out", "/tmp/x"))
