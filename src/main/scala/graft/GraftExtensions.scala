@@ -148,6 +148,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("token_char_sum", args, 1)
         TokenCharSum(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("rolling_fp"),
+      info("rolling_fp",
+        "rolling_fp(array<string>) - modular rolling hash over per-token codes"),
+      (args: Seq[Expression]) => {
+        arity("rolling_fp", args, 1)
+        RollingFingerprint(args(0))
+      }))
     ext.injectFunction((FunctionIdentifier("vec_field_sum"),
       info("vec_field_sum",
         "vec_field_sum(array<struct>, field, dim) - elementwise ordered sum of a vector struct field"),

@@ -263,6 +263,44 @@ case class TokenCharSum(child: Expression)
     copy(child = c)
 }
 
+/** Modular rolling hash over per-token codes — exactly
+  * `aggregate(transform(toks, x -> CAST(length(x) * 131 +
+  * ascii(substring(x, 1, 1)) AS BIGINT)), 0L,
+  * (acc, c) -> (acc * 1000003 + c) % 2147483647)`: character length and
+  * first-CODEPOINT value (Spark's `ascii`; 0 for an empty token), folded
+  * in ascending token order. The fold stays < 2^51, so BIGINT arithmetic
+  * is identical in DuckDB. A null token nulls the fold; null input yields
+  * null. The t04 fingerprint kernel. */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with StringArrayInput with CodegenFallback {
+
+  // like TokenCharSum: a null ELEMENT nulls the fold, so nullability
+  // cannot derive from the child alone
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val t = arr.getUTF8String(i)
+      val first = if (t.numChars() == 0) 0L
+        else t.substring(0, 1).toString.codePointAt(0).toLong
+      val code = t.numChars().toLong * 131L + first
+      acc = (acc * 1000003L + code) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}
+
 object FoldFunctions {
   /** Elementwise ordered sum of a vector struct field (see
     * [[OrderedVecFieldSum]]). */
@@ -283,4 +321,8 @@ object FoldFunctions {
   /** Total character count of a token array (see [[TokenCharSum]]). */
   def tokenCharSum(toks: Column): Column =
     ColumnShim.column(TokenCharSum(ColumnShim.expression(toks)))
+
+  /** Modular rolling hash of a token array (see [[RollingFingerprint]]). */
+  def rollingFingerprint(toks: Column): Column =
+    ColumnShim.column(RollingFingerprint(ColumnShim.expression(toks)))
 }

@@ -139,11 +139,15 @@ object Dedup {
       s"pigeonhole exactness needs maxHamming < bands ($maxHamming >= $bands)")
     val bandBits = 32 / bands
     val mask = (1 << bandBits) - 1
+    // a literal array() of per-band structs — fully codegen'd, unlike the
+    // earlier transform(sequence(...)) HOF, which interpreted one lambda
+    // per band per row
     def side(id: String, sh: String) = df
       .select(col(idCol).as(id), col(simhashCol).as(sh))
-      .select(col(id), col(sh), explode(expr(
-        s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> struct(b AS band, shiftright($sh, b * $bandBits) & $mask AS bval))"))
+      .select(col(id), col(sh), explode(array(
+        (0 until bands).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col(sh), b * bandBits).bitwiseAND(mask).as("bval"))): _*))
         .as(s"_bd_$id"))
     side("id_a", "sh_a")
       .join(side("id_b", "sh_b"),

@@ -56,13 +56,11 @@ object TextOps {
 
   /** Modular rolling hash over per-token codes (length·131 ⊕ first char):
     * the cheap content fingerprint; fold stays < 2^51 so BIGINT semantics
-    * agree across engines. */
+    * agree across engines. Native [[graft.functions.RollingFingerprint]]
+    * kernel — same fold as the `aggregate`/`transform` HOF pair it
+    * replaced, without the two interpreted lambdas per token. */
   def rollingFingerprint(toks: Column): Column =
-    aggregate(
-      transform(toks, x =>
-        (length(x) * 131 + ascii(substring(x, 1, 1))).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 1000003L + c) % 2147483647L)
+    graft.functions.FoldFunctions.rollingFingerprint(toks)
 
   /** Deterministic train/valid/test assignment from a stable id: md5
     * bucket in [0, 100), stable under repartitioning/re-runs (unlike

@@ -24,7 +24,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
         |  minhash_sig(shingle_hash60(split(text, ' ')), 16) AS mh,
         |  word_shingles(split(text, ' '), 2) AS ws,
         |  marker_count(split(text, ' '), array('the', 'a')) AS mc,
-        |  token_char_sum(split(text, ' ')) AS tcs
+        |  token_char_sum(split(text, ' ')) AS tcs,
+        |  rolling_fp(split(text, ' ')) AS rfp
         |FROM ext_docs ORDER BY id""".stripMargin).collect()
     val viaCols = docs.select(col("id"),
         graft.functions.TextHashFunctions.simHash32(split(col("text"), " ")).as("sh"),
@@ -34,7 +35,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
         graft.functions.TextHashFunctions.wordShingles(split(col("text"), " "), 2).as("ws"),
         graft.functions.FoldFunctions.markerCount(
           split(col("text"), " "), Seq("the", "a")).as("mc"),
-        graft.functions.FoldFunctions.tokenCharSum(split(col("text"), " ")).as("tcs"))
+        graft.functions.FoldFunctions.tokenCharSum(split(col("text"), " ")).as("tcs"),
+        graft.functions.FoldFunctions.rollingFingerprint(
+          split(col("text"), " ")).as("rfp"))
       .orderBy("id").collect()
     assert(viaSql.toSeq == viaCols.toSeq)
   }

@@ -96,6 +96,22 @@ class FoldFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(native == Seq(5L, 0L, 10L, 3L))
   }
 
+  test("RollingFingerprint matches the aggregate/transform HOF pair incl. unicode") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq("abc de fgh", "", "héllo wörld", "a", "x " + "y" * 30)
+      .toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    val hof = df.select(expr(
+      "aggregate(transform(toks, x -> CAST(length(x) * 131 + " +
+        "ascii(substring(x, 1, 1)) AS BIGINT)), 0L, " +
+        "(acc, c) -> (acc * 1000003 + c) % 2147483647)").as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    val native = df.select(FoldFunctions.rollingFingerprint(col("toks")).as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == hof)
+  }
+
   test("null inputs yield null, matching the HOFs") {
     val spark2 = spark
     import spark2.implicits._
