@@ -111,6 +111,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("s03: nprobe=1 assignment is an aggregate argmax, not a window sort") {
+    // r8: assignToCentroids computes the per-row argmax with min_by (hash
+    // agg, map-side partials, no sort). A Window re-appearing below the
+    // candidate join means the corpus-wide sort of N×k scored rows is
+    // back; s03's only window is the final per-query top-k ranking.
+    val p = plan(SimilarityQueries.s03AnnIvf(spark, dir))
+    // count real Window nodes only — WindowGroupLimit is the top-k
+    // pushdown (desirable), not a sort-the-corpus window
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1,
+      s"expected exactly the top-k ranking window in s03, found $windows:\n$p")
+  }
+
   test("m02 frame sampling stays a narrow plan (no shuffle before the sink)") {
     val p = plan(MultimodalQueries.m02FrameSamples(spark, dir))
     // only the final presentation orderBy may exchange (range partitioning)
