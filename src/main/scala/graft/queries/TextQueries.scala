@@ -167,6 +167,32 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // t07 — the round-8 fold kernels under the gate through PURE SQL (the
+  // d09 pattern): marker_count / token_char_sum / rolling_fp routed via
+  // `spark.sql` and the GraftExtensions registrations instead of the
+  // Column API. A hash mismatch here with green t03/t04 isolates a SQL
+  // registration/translation bug.
+  def t07SqlTokenKernels(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_documents_t07")
+    spark.sql(
+      """SELECT doc_id,
+        |  marker_count(split(text, ' '), array('the', 'a')) AS n_stop,
+        |  token_char_sum(split(text, ' ')) AS tok_chars,
+        |  rolling_fp(split(text, ' ')) AS rolling
+        |FROM graft_documents_t07 ORDER BY doc_id""".stripMargin)
+  }
+
+  val t07Oracle: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INT) AS n_stop,
+      |  CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS BIGINT) AS tok_chars,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text,' '),
+      |        x -> CAST(length(x)*131 + ascii(substr(x, 1, 1)) AS BIGINT))),
+      |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS rolling
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -174,6 +200,7 @@ object TextQueries {
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_regex_tokens" -> (t05RegexTokens _),
     "t06_hash_split" -> (t06HashSplit _),
+    "t07_sql_token_kernels" -> (t07SqlTokenKernels _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,5 +210,6 @@ object TextQueries {
     "t04_fingerprint" -> t04Oracle,
     "t05_regex_tokens" -> t05Oracle,
     "t06_hash_split" -> t06Oracle,
+    "t07_sql_token_kernels" -> t07Oracle,
   )
 }
