@@ -62,6 +62,27 @@ object TextOps {
   def rollingFingerprint(toks: Column): Column =
     graft.functions.FoldFunctions.rollingFingerprint(toks)
 
+  /** Deterministic mixture sampling — the training-data "data mixing"
+    * primitive: keep a row iff its stable md5 bucket (of `id`, salted so
+    * the decision is independent of [[hashSplit]]) falls under the
+    * per-`key` rate. Rates are INTEGER thresholds per `denom` (e.g.
+    * en → 5000/10000 = down-sample English to 50%), so the keep decision
+    * is exact integer arithmetic — reproducible across engines, re-runs,
+    * and repartitioning, unlike TABLESAMPLE/rand(seed). Keys absent from
+    * `rates` keep everything (threshold = `denom`). */
+  def mixtureSample(id: Column, key: Column, rates: Map[String, Int],
+      denom: Int = 10000): Column = {
+    require(rates.values.forall(r => r >= 0 && r <= denom),
+      s"rates must lie in [0, $denom]")
+    val bucket =
+      conv(substring(md5(concat(id.cast("string"), lit("#mix"))), 1, 8), 16, 10)
+        .cast("long") % denom
+    val threshold = rates.foldLeft(lit(denom)) { case (els, (k, r)) =>
+      when(key === k, lit(r)).otherwise(els)
+    }
+    bucket < threshold
+  }
+
   /** Deterministic train/valid/test assignment from a stable id: md5
     * bucket in [0, 100), stable under repartitioning/re-runs (unlike
     * TABLESAMPLE/rand(seed), which are partitioning-dependent).

@@ -193,6 +193,35 @@ object TextQueries {
       |    (acc, c) -> (acc * 1000003 + c) % 2147483647) AS rolling
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // t08 — deterministic mixture sampling (the "data mixing" op): apply
+  // per-language sampling rates (down-sample dominant English to 50%,
+  // fr/es to 75%, keep de/zh) with the exact-integer md5-bucket decision,
+  // then report the resulting per-(lang, source) training mix. Stable
+  // under repartitioning and engine changes — the oracle replays the
+  // identical bucket arithmetic.
+  def t08MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 5000, "fr" -> 7500, "es" -> 7500)
+    withTokens(spark, dir)
+      .filter(graft.ops.TextOps.mixtureSample(col("doc_id"), col("lang"), rates))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("total_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  val t08Oracle: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
+      |FROM (
+      |  SELECT lang, source, text,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) % 10000 AS bucket
+      |  FROM documents)
+      |WHERE bucket < (CASE lang WHEN 'en' THEN 5000
+      |                          WHEN 'fr' THEN 7500
+      |                          WHEN 'es' THEN 7500
+      |                          ELSE 10000 END)
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -201,6 +230,7 @@ object TextQueries {
     "t05_regex_tokens" -> (t05RegexTokens _),
     "t06_hash_split" -> (t06HashSplit _),
     "t07_sql_token_kernels" -> (t07SqlTokenKernels _),
+    "t08_mixture_sample" -> (t08MixtureSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +241,6 @@ object TextQueries {
     "t05_regex_tokens" -> t05Oracle,
     "t06_hash_split" -> t06Oracle,
     "t07_sql_token_kernels" -> t07Oracle,
+    "t08_mixture_sample" -> t08Oracle,
   )
 }

@@ -70,6 +70,28 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq("en", "en", "de", "und")) // tie goes to earlier lang
   }
 
+  test("TextOps.mixtureSample: deterministic, rate-proportional, default-keep") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val kept = df.filter(
+      TextOps.mixtureSample(col("id"), col("lang"), Map("en" -> 5000)))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zh absent from rates → keep all; en at 5000/10000 → ~50% (md5-uniform)
+    assert(kept("zh") == 2000L)
+    assert(math.abs(kept("en") - 1000L) < 150, s"en kept ${kept("en")}")
+    // decision is a pure function of the id — re-evaluation is identical
+    val again = df.filter(
+      TextOps.mixtureSample(col("id"), col("lang"), Map("en" -> 5000)))
+      .agg(sum("id")).head().getLong(0)
+    val first = df.filter(
+      TextOps.mixtureSample(col("id"), col("lang"), Map("en" -> 5000)))
+      .agg(sum("id")).head().getLong(0)
+    assert(again == first)
+    intercept[IllegalArgumentException](
+      TextOps.mixtureSample(col("id"), col("lang"), Map("en" -> 10001)))
+  }
+
   test("TextOps quality + fingerprint columns evaluate") {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps over the lazy dog again and again")
