@@ -71,6 +71,9 @@ object Main {
       "need --binlog-text, --binlog-json or --binlog-binary")
     require(args.avro.isDefined || args.avroJson.isDefined,
       "need --avro or --avro-json")
+    require(args.splitBytes.isEmpty || args.splitIndex.isDefined,
+      "--split-bytes only applies with --split-index (it sizes the " +
+        "auto-built index ranges); pass --split-index <path> or drop it")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

@@ -27,12 +27,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * yields a null result.
   */
 private[functions] object FoldKernels {
-  /** Resolve `field` inside `array<struct<...>>`, or None. */
+  /** Resolve `field` inside `array<struct<...>>`, or None. Exact match
+    * first; otherwise a UNIQUE case-insensitive match when the session
+    * is case-insensitive (Spark's default field resolution) — an
+    * ambiguous case-insensitive match stays unresolved rather than
+    * guessing. */
   def structField(arrType: DataType, field: String): Option[(Int, DataType)] =
     arrType match {
       case ArrayType(st: StructType, _) =>
-        val i = st.fieldNames.indexOf(field)
-        if (i < 0) None else Some((i, st.fields(i).dataType))
+        val exact = st.fieldNames.indexOf(field)
+        if (exact >= 0) Some((exact, st.fields(exact).dataType))
+        else if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis) None
+        else st.fieldNames.zipWithIndex
+          .filter(_._1.equalsIgnoreCase(field)) match {
+          case Array((_, i)) => Some((i, st.fields(i).dataType))
+          case _ => None
+        }
       case _ => None
     }
 }
@@ -50,7 +60,6 @@ private[functions] object FoldKernels {
   */
 case class OrderedVecFieldSum(child: Expression, field: String, dim: Int)
     extends UnaryExpression with CodegenFallback {
-  require(dim >= 1, "dim must be positive")
 
   private lazy val (fieldIdx, fieldType) =
     FoldKernels.structField(child.dataType, field).get
@@ -63,8 +72,13 @@ case class OrderedVecFieldSum(child: Expression, field: String, dim: Int)
     case _ => false
   }
 
+  // parameter validation lives here, not in a constructor require(): the
+  // SQL route must surface bad arguments as AnalysisException (standard
+  // DATATYPE_MISMATCH), never a raw IllegalArgumentException
   override def checkInputDataTypes(): TypeCheckResult =
-    FoldKernels.structField(child.dataType, field) match {
+    if (dim < 1) TypeCheckResult.TypeCheckFailure(
+      s"vec_field_sum: dim must be positive, got $dim")
+    else FoldKernels.structField(child.dataType, field) match {
       case Some((_, ArrayType(FloatType | DoubleType, _))) =>
         TypeCheckResult.TypeCheckSuccess
       case Some((_, other)) => TypeCheckResult.TypeCheckFailure(
@@ -80,21 +94,22 @@ case class OrderedVecFieldSum(child: Expression, field: String, dim: Int)
     val n = arr.numElements()
     val sum = new Array[Double](dim)
     val isNull = new Array[Boolean](dim)
+    var liveDims = dim // once every dimension is nulled the result is fixed
     var i = 0
-    while (i < n) {
+    while (i < n && liveDims > 0) {
       if (arr.isNullAt(i)) {
-        java.util.Arrays.fill(isNull, true)
+        java.util.Arrays.fill(isNull, true); liveDims = 0
       } else {
         val row = arr.getStruct(i, numStructFields)
         if (row.isNullAt(fieldIdx)) {
-          java.util.Arrays.fill(isNull, true)
+          java.util.Arrays.fill(isNull, true); liveDims = 0
         } else {
           val vec = row.getArray(fieldIdx)
           val len = vec.numElements()
           var d = 0
           while (d < dim) {
             if (!isNull(d)) {
-              if (d >= len || vec.isNullAt(d)) isNull(d) = true
+              if (d >= len || vec.isNullAt(d)) { isNull(d) = true; liveDims -= 1 }
               else sum(d) += (if (isFloat) vec.getFloat(d).toDouble
                               else vec.getDouble(d))
             }
@@ -128,7 +143,6 @@ case class OrderedVecFieldSum(child: Expression, field: String, dim: Int)
 case class OrderedVecFieldMean(child: Expression, sumField: String,
     cntField: String, dim: Int)
     extends UnaryExpression with CodegenFallback {
-  require(dim >= 1, "dim must be positive")
 
   private lazy val sumIdx =
     FoldKernels.structField(child.dataType, sumField).get._1
@@ -140,7 +154,9 @@ case class OrderedVecFieldMean(child: Expression, sumField: String,
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (FoldKernels.structField(child.dataType, sumField),
+    if (dim < 1) TypeCheckResult.TypeCheckFailure(
+      s"vec_field_mean: dim must be positive, got $dim")
+    else (FoldKernels.structField(child.dataType, sumField),
       FoldKernels.structField(child.dataType, cntField)) match {
       case (Some((_, ArrayType(DoubleType, _))), Some((_, LongType))) =>
         TypeCheckResult.TypeCheckSuccess
@@ -158,8 +174,9 @@ case class OrderedVecFieldMean(child: Expression, sumField: String,
     val isNull = new Array[Boolean](dim)
     var cnt = 0L
     var cntNull = false
+    var liveDims = dim // all-null dims (or a null count) fix the result
     var i = 0
-    while (i < n) {
+    while (i < n && liveDims > 0 && !cntNull) {
       if (arr.isNullAt(i)) {
         java.util.Arrays.fill(isNull, true)
         cntNull = true
@@ -168,14 +185,14 @@ case class OrderedVecFieldMean(child: Expression, sumField: String,
         if (row.isNullAt(cntIdx)) cntNull = true
         else cnt += row.getLong(cntIdx)
         if (row.isNullAt(sumIdx)) {
-          java.util.Arrays.fill(isNull, true)
+          java.util.Arrays.fill(isNull, true); liveDims = 0
         } else {
           val vec = row.getArray(sumIdx)
           val len = vec.numElements()
           var d = 0
           while (d < dim) {
             if (!isNull(d)) {
-              if (d >= len || vec.isNullAt(d)) isNull(d) = true
+              if (d >= len || vec.isNullAt(d)) { isNull(d) = true; liveDims -= 1 }
               else sum(d) += vec.getDouble(d)
             }
             d += 1
@@ -204,8 +221,18 @@ case class OrderedVecFieldMean(child: Expression, sumField: String,
   * The kernel behind the language-ID hits and stopword counts (t02, t03,
   * p01). */
 case class MarkerCount(child: Expression, words: Seq[String])
-    extends UnaryExpression with StringArrayInput with CodegenFallback {
-  require(words.nonEmpty, "marker word set must be non-empty")
+    extends UnaryExpression with CodegenFallback {
+
+  // analysis-time validation (not a constructor require) so the SQL
+  // route reports AnalysisException with a standard error class
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (words.isEmpty) TypeCheckResult.TypeCheckFailure(
+      "marker_count: the marker word set must be non-empty")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected array<string>, got ${other.simpleString}")
+    }
 
   private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.size * 2)

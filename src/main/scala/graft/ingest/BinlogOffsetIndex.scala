@@ -185,22 +185,60 @@ object BinlogOffsetIndex {
           t
         }))
 
+  /** Bound on one parallel planning sweep (shard loads or stats). On
+    * expiry the caller degrades instead of hanging: ranges fall back to
+    * whole-file decode, stats to a direct per-file call — the
+    * "optimization, never a correctness dependency" contract again. */
+  private val PlanningSweepTimeout = scala.concurrent.duration.Duration(5, "min")
+
+  private def parallelSweep[A](files: Seq[String], what: String)(
+      one: String => A): Option[Map[String, A]] = {
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = loadPool
+    try Some(Await.result(
+      Future.traverse(files)(f => Future(f -> one(f))), PlanningSweepTimeout).toMap)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(
+          s"[graft] parallel $what sweep over ${files.length} files exceeded " +
+            s"$PlanningSweepTimeout; degrading (a hung filesystem call would " +
+            "otherwise block planning forever)")
+        None
+    }
+  }
+
   /** [[loadFile]] over many files with the shard reads in parallel —
     * batch planning would otherwise pay one filesystem round trip PER
     * FILE serially (r7 ADVICE); on an object store with thousands of
     * binlog files that serial chain dominates `planInputPartitions`.
     * Short-circuits to all-empty (= whole-file decode everywhere) when
-    * the index directory has never been built. */
+    * the index directory has never been built, and degrades to all-empty
+    * if the sweep times out (a hung remote read must not hang planning). */
   def loadFiles(conf: org.apache.hadoop.conf.Configuration, indexPath: String,
       files: Seq[String]): Map[String, Seq[SplitRange]] = {
     if (files.isEmpty) return Map.empty
     if (!exists(conf, indexPath)) return files.map(_ -> Seq.empty[SplitRange]).toMap
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext = loadPool
-    Await.result(
-      Future.traverse(files)(f => Future(f -> loadFile(conf, indexPath, f))),
-      Duration.Inf).toMap
+    parallelSweep(files, "index-shard")(f => loadFile(conf, indexPath, f))
+      .getOrElse(files.map(_ -> Seq.empty[SplitRange]).toMap)
+  }
+
+  /** Parallel `getFileStatus` lengths for the kept files — the range
+    * validity check (`fileLen` matches the index entry) otherwise pays
+    * the same serial per-file metadata chain [[loadFiles]] removes.
+    * Files whose stat fails (or a timed-out sweep) are simply absent;
+    * callers fall back to a direct call or whole-file decode. */
+  def statLens(conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    parallelSweep(files, "file-stat") { f =>
+      try {
+        val p = new Path(f)
+        Some(p.getFileSystem(conf).getFileStatus(p).getLen)
+      } catch { case _: java.io.IOException => None }
+    } match {
+      case Some(m) => m.collect { case (f, Some(len)) => f -> len }
+      case None => Map.empty
+    }
   }
 
   /** Header-only walk of one file → its split ranges (a single whole-file

@@ -88,11 +88,19 @@ object Similarity {
       // of k× the corpus and a hash agg that shrinks on the map side.
       // Sort-key equivalence with the window's (desc _ccos, asc label):
       // min_by over struct(-_ccos, label) — negation flips desc to asc
-      // exactly (including -0.0 vs 0.0), and a NaN cosine (zero-norm
-      // vector) is mapped to -Infinity so it still ranks FIRST, the way
-      // NaN sorts greatest under the window's descending order.
+      // exactly (including -0.0 vs 0.0). Two edge mappings keep the
+      // equivalence total: a NaN cosine (zero-norm vector) maps to
+      // -Infinity so it still ranks FIRST (NaN sorts greatest under a
+      // descending window order), and a NULL cosine (e.g. a null
+      // centroid vector) maps to +Infinity so it still ranks LAST (the
+      // window's default DESC NULLS LAST) — without this, a null first
+      // field would sort FIRST in the ascending struct comparison and a
+      // broken centroid would win every argmax. The null check runs
+      // before isnan (isnan(NULL) is NULL, which `when` treats as
+      // false-through).
       val key = struct(
-        when(isnan(col("_ccos")), lit(Double.NegativeInfinity))
+        when(col("_ccos").isNull, lit(Double.PositiveInfinity))
+          .when(isnan(col("_ccos")), lit(Double.NegativeInfinity))
           .otherwise(-col("_ccos")),
         col(labelCol))
       scored

@@ -74,22 +74,26 @@ object TextOps {
       denom: Int = 10000): Column = {
     require(rates.values.forall(r => r >= 0 && r <= denom),
       s"rates must lie in [0, $denom]")
-    val bucket =
-      conv(substring(md5(concat(id.cast("string"), lit("#mix"))), 1, 8), 16, 10)
-        .cast("long") % denom
     val threshold = rates.foldLeft(lit(denom)) { case (els, (k, r)) =>
       when(key === k, lit(r)).otherwise(els)
     }
-    bucket < threshold
+    md5Bucket(concat(id.cast("string"), lit("#mix")), denom) < threshold
   }
+
+  /** The engine's stable-bucket primitive: first 8 md5-hex chars of `s`
+    * as a long, mod `denom`. ONE definition shared by [[hashSplit]] and
+    * [[mixtureSample]] — every DuckDB oracle replays exactly
+    * `CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % denom`, so the
+    * arithmetic must never fork between call sites. */
+  private def md5Bucket(s: Column, denom: Int): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long") % denom
 
   /** Deterministic train/valid/test assignment from a stable id: md5
     * bucket in [0, 100), stable under repartitioning/re-runs (unlike
     * TABLESAMPLE/rand(seed), which are partitioning-dependent).
     * `trainPct`/`validPct` in percent; the rest is "test". */
   def hashSplit(id: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
-    val bucket =
-      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    val bucket = md5Bucket(id.cast("string"), 100)
     when(bucket < trainPct, "train")
       .when(bucket < trainPct + validPct, "valid")
       .otherwise("test")

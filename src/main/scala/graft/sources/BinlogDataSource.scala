@@ -206,20 +206,20 @@ private class BinlogScan(path: String, required: StructType,
             ranges = ranges ++ idx.loadFiles(hadoopConf, ip, missing.toSeq)
           }
         }
+        // lengths for the validity check fetched in one parallel sweep
+        // (only files that actually have ranges need a stat); a missing
+        // stat falls through to whole-file decode
+        val lens = idx.statLens(hadoopConf,
+          kept.filter(f => ranges(f).nonEmpty).toSeq)
         kept.flatMap { p =>
           ranges(p) match {
-            case rs if rs.nonEmpty && fileLen(p, hadoopConf) == rs.head.fileLen =>
+            case rs if rs.nonEmpty && lens.get(p).contains(rs.head.fileLen) =>
               rs.map(r => BinlogInputPartition(
                 p, r.start, r.end, r.startIndex, r.checksumLen): InputPartition)
             case _ => Seq(BinlogInputPartition(p): InputPartition)
           }
         }
     }
-  }
-
-  private def fileLen(p: String, conf: org.apache.hadoop.conf.Configuration): Long = {
-    val hp = new Path(p)
-    hp.getFileSystem(conf).getFileStatus(hp).getLen
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -283,10 +283,12 @@ private class BinlogMicroBatchStream(path: String, required: StructType,
     extends FileCountMicroBatchStream[String](
       () => BinlogScan.listFiles(path).toIndexedSeq, maxFilesPerTrigger) {
 
-  // ranges for the current trigger's slice, loaded (and auto-built) once
-  // in prepareSlice — makePartitions itself stays side-effect-free
+  // ranges + file lengths for the current trigger's slice, loaded (and
+  // auto-built) once in prepareSlice — makePartitions itself stays
+  // side-effect-free and pays no per-file filesystem round trip
   @volatile private var sliceRanges
       : Map[String, Seq[graft.ingest.BinlogOffsetIndex.SplitRange]] = Map.empty
+  @volatile private var sliceLens: Map[String, Long] = Map.empty
 
   /** One shard probe pass and (with `splitIndexAutoBuild`) ONE buildFiles
     * job for all files new to this trigger — the per-file form launched a
@@ -308,18 +310,15 @@ private class BinlogMicroBatchStream(path: String, required: StructType,
           }
         }
         sliceRanges = ranges
+        sliceLens = idx.statLens(conf, files.filter(f => ranges(f).nonEmpty))
     }
 
   override protected def makePartitions(file: String): Seq[InputPartition] =
     splitIndex match {
       case None => Seq(BinlogInputPartition(file))
       case Some(_) =>
-        val conf =
-          org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
         val ranges = sliceRanges.getOrElse(file, Seq.empty)
-        val hp = new Path(file)
-        val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
-        if (ranges.nonEmpty && ranges.head.fileLen == len)
+        if (ranges.nonEmpty && sliceLens.get(file).contains(ranges.head.fileLen))
           ranges.map(r =>
             BinlogInputPartition(file, r.start, r.end, r.startIndex, r.checksumLen))
         else Seq(BinlogInputPartition(file))

@@ -70,6 +70,23 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq("en", "en", "de", "und")) // tie goes to earlier lang
   }
 
+  test("probeCentroids argmax: a null centroid vector never wins (DESC NULLS LAST)") {
+    import spark.implicits._
+    // clabel 0 has a real vector; clabel 1 is broken (null cf). The
+    // window form this aggregate replaced ordered `desc nulls last`, so
+    // the null-scoring centroid could never win — the min_by key must
+    // preserve that (a naive struct(-cos, label) key sorts null FIRST
+    // and would assign every row to the broken centroid).
+    val rows = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cent = Seq((0L, Option(Seq(0.6f, 0.8f))), (1L, Option.empty[Seq[Float]]))
+      .toDF("clabel", "cf")
+    val assigned = Similarity.assignToCentroids(rows, cent, Seq("vec_id"))
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(10L -> 0L, 11L -> 0L))
+  }
+
   test("TextOps.mixtureSample: deterministic, rate-proportional, default-keep") {
     import spark.implicits._
     val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
