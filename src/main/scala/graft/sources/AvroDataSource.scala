@@ -211,7 +211,8 @@ private class AvroScan(path: String, avroSchema: Schema, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(avroSchema.toString, required, fileNameColumn)
+    new AvroReaderFactory(avroSchema.toString, required, fileNameColumn,
+      AvroReaderFactory.sessionConf())
 
   override def description(): String =
     s"avro($path) ReadSchema=[${required.fieldNames.mkString(", ")}]" +
@@ -251,19 +252,32 @@ private class AvroMicroBatchStream(path: String, schemaJson: String,
     Seq(AvroInputPartition(f._1, 0L, f._2))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(schemaJson, required, fileNameColumn)
+    new AvroReaderFactory(schemaJson, required, fileNameColumn,
+      AvroReaderFactory.sessionConf())
 }
 
 private case class AvroInputPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
 private class AvroReaderFactory(readerSchemaJson: String, required: StructType,
-    fileNameColumn: Option[String] = None)
+    fileNameColumn: Option[String] = None,
+    conf: org.apache.spark.graftshim.SerializableHadoopConf =
+      AvroReaderFactory.sessionConf())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(
       partition.asInstanceOf[AvroInputPartition], readerSchemaJson, required,
-      fileNameColumn)
+      fileNameColumn, conf)
+}
+
+private object AvroReaderFactory {
+  /** The SESSION's Hadoop conf, captured on the driver at factory
+    * construction and shipped to executors — a bare `new Configuration()`
+    * in the reader would lose `spark.hadoop.*` credentials / fs impls on
+    * object stores. */
+  def sessionConf(): org.apache.spark.graftshim.SerializableHadoopConf =
+    new org.apache.spark.graftshim.SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 }
 
 /** Reads one (file, byte-range) slice: seek to the first sync point at or
@@ -271,12 +285,14 @@ private class AvroReaderFactory(readerSchemaJson: String, required: StructType,
   * splittable-Avro contract (each record belongs to exactly one range). */
 private class AvroPartitionReader(part: AvroInputPartition,
     readerSchemaJson: String, required: StructType,
-    fileNameColumn: Option[String] = None)
+    fileNameColumn: Option[String] = None,
+    sconf: org.apache.spark.graftshim.SerializableHadoopConf =
+      AvroReaderFactory.sessionConf())
     extends PartitionReader[InternalRow] {
 
   private val readerSchema = new Schema.Parser().parse(readerSchemaJson)
   private val reader: DataFileReader[GenericRecord] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = sconf.value
     val r = new DataFileReader[GenericRecord](
       new FsInput(new Path(part.file), conf),
       new GenericDatumReader[GenericRecord](null, readerSchema))

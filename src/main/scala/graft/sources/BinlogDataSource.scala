@@ -240,7 +240,12 @@ private[graft] object BinlogScan {
     * (comparator.sh:85). */
   def listFiles(path: String): Array[String] = {
     val hadoopPath = new Path(path)
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // driver-side listing with the session's conf (spark.hadoop.*
+    // credentials / fs impls); bare Configuration() only as the
+    // sessionless fallback
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val fs = hadoopPath.getFileSystem(conf)
     val files: Array[Path] =
       if (fs.exists(hadoopPath) && fs.getFileStatus(hadoopPath).isFile) Array(hadoopPath)
@@ -334,25 +339,39 @@ private case class BinlogInputPartition(file: String, start: Long = 0L,
     end: Long = Long.MaxValue, startIndex: Long = 0L, checksumLen: Int = 0)
     extends InputPartition
 
-private class BinlogReaderFactory(required: StructType)
+private class BinlogReaderFactory(required: StructType,
+    conf: org.apache.spark.graftshim.SerializableHadoopConf =
+      BinlogReaderFactory.sessionConf())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new BinlogPartitionReader(
-      partition.asInstanceOf[BinlogInputPartition], required)
+      partition.asInstanceOf[BinlogInputPartition], required, conf)
+}
+
+private object BinlogReaderFactory {
+  /** The SESSION's Hadoop conf, captured on the driver and shipped to
+    * executors — a bare `new Configuration()` in the reader loses the
+    * session's `spark.hadoop.*` credentials / fs impls on object
+    * stores. */
+  def sessionConf(): org.apache.spark.graftshim.SerializableHadoopConf =
+    new org.apache.spark.graftshim.SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 }
 
 /** Streams one file-range's events through the incremental decoder — heap
   * holds one event body at a time (not the file), so arbitrarily large
   * binlogs (≥2 GiB included) decode correctly. Projects only the required
   * columns. */
-private class BinlogPartitionReader(part: BinlogInputPartition, required: StructType)
+private class BinlogPartitionReader(part: BinlogInputPartition, required: StructType,
+    sconf: org.apache.spark.graftshim.SerializableHadoopConf =
+      BinlogReaderFactory.sessionConf())
     extends PartitionReader[InternalRow] {
 
   private var stream: java.io.InputStream = _
 
   private lazy val events: Iterator[ParsedBinlogEvent] = {
     val p = new Path(part.file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(sconf.value)
     val raw = fs.open(p)
     if (part.start > 0) raw.seek(part.start) // range partition: event boundary
     val in = new java.io.BufferedInputStream(raw, 1 << 16)
