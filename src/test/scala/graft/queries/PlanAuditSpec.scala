@@ -32,6 +32,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("< 24.0"))
   }
 
+  test("documents-table scans prune to the columns they use") {
+    // the t/d families are scan-bound at scale: a ReadSchema carrying
+    // unused columns (lang/source/embedding payloads) multiplies the
+    // bytes every one of these full-corpus scans moves
+    val t01 = plan(TextQueries.t01TokenStats(spark, dir))
+    assert(t01.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"t01 should read exactly (doc_id, text):\n$t01")
+    val d04 = plan(DedupQueries.d04Simhash(spark, dir))
+    assert(d04.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"d04 should read exactly (doc_id, text):\n$d04")
+    val t08 = plan(TextQueries.t08MixtureSample(spark, dir))
+    assert(t08.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"),
+      s"t08 should read exactly (doc_id, text, lang, source):\n$t08")
+  }
+
   test("q05: fixed-size dims broadcast; segment filter pushed") {
     val p = plan(RelationalQueries.q05RegionRevenue(spark, dir))
     assert(p.contains("BroadcastExchange"))
