@@ -118,6 +118,25 @@ object Similarity {
     }
   }
 
+  /** Collect the broadcast-sized centroid table as a driver-side codebook
+    * for the PQ kernels ([[graft.functions.PqCodes]] /
+    * [[graft.functions.PqAdcScore]]), sorted by label (the kernels'
+    * argmax iterates in this order; sorting makes tie-breaks
+    * order-independent). Bounded by a LOUD guard: the codebook is k rows
+    * by construction (one per label — broadcast-sized like
+    * [[HyperplaneBucket]]'s plane matrix), never the corpus; the guard
+    * turns a mis-wired call into an error instead of a driver OOM. */
+  def collectCodebook(cent: DataFrame, maxK: Int = 4096,
+      labelCol: String = "clabel", centroidCol: String = "cf")
+      : Seq[(Long, Seq[Float])] = {
+    val rows = cent.select(col(labelCol), col(centroidCol)).collect()
+    require(rows.length <= maxK,
+      s"codebook has ${rows.length} entries (> $maxK): a PQ codebook must be " +
+        "broadcast-sized; refusing the driver-side collect")
+    rows.map(r => r.getAs[Number](0).longValue() -> r.getSeq[Float](1))
+      .toSeq.sortBy(_._1)
+  }
+
   /** IVF centroid build: per-label mean of the embedding vectors, computed
     * with a BOUNDED two-level ordered fold so the result doubles are
     * deterministic (cross-engine reproducible) without ever materializing

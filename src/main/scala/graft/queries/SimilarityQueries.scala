@@ -339,11 +339,111 @@ object SimilarityQueries {
       |FROM scored WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // s05 — product-quantization ANN (the compression scale path): the
+  // corpus carries only m=8 codeword labels per row (64 bytes instead of
+  // a 256-byte float vector in every scan/shuffle at 100 TB); queries
+  // rank by the ADC approximate dot (PqAdcScore — per-query-LUT
+  // semantics), keep the top `candK` candidates, then re-rank exactly by
+  // cosine over just those candidates (fetched via a broadcast equi-join
+  // that leaves the corpus in place). The codebook is the deterministic
+  // bounded-fold centroid table (one codeword per label), collected
+  // driver-side under a loud broadcast-size guard — the HyperplaneBucket
+  // plane-matrix pattern with data-derived values. Encoding is a NARROW
+  // map (codebook inside the expression): no crossJoin, no shuffle.
+  def s05AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val m = 8
+    val candK = 20
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    val encoded = emb.select(col("vec_id"),
+      PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
+    val cand = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("approx", PqFunctions.pqAdcScore(col("qv"), col("codes"), codebook, m))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= candK)
+      .select("query_id", "qv", "vec_id")
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(cand), "vec_id")
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s05Oracle: String = {
+    val m = 8
+    // subspace dot s over a 64-dim pair, ascending within the subspace —
+    // the exact fold PqCodes/PqAdcScore run
+    def subDot(a: String, b: String, s: Int) =
+      s"list_sum(list_transform(range(1, 9), i -> CAST($a[${s * 8} + i] AS DOUBLE) * CAST($b[${s * 8} + i] AS DOUBLE)))"
+    val qds = (0 until m).map(s => s"    ${subDot("q.qv", "c.cf", s)} AS d$s").mkString(",\n")
+    val eds = (0 until m).map(s => s"    ${subDot("e.embedding", "c.cf", s)} AS d$s").mkString(",\n")
+    val rns = (0 until m).map(s =>
+      s"    row_number() OVER (PARTITION BY vec_id ORDER BY d$s DESC, clabel) AS r$s").mkString(",\n")
+    val codeCols = (0 until m).map(s =>
+      s"    MAX(CASE WHEN r$s = 1 THEN clabel END) AS code$s").mkString(",\n")
+    val codeJoins = (1 until m).map(s =>
+      s"  JOIN qcd q$s ON q$s.clabel = co.code$s AND q$s.query_id = q0.query_id").mkString("\n")
+    val approx = (0 until m).map(s => s"q$s.d$s").mkString(" + ")
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+      |), qcd AS (
+      |  SELECT q.query_id, c.clabel,
+      |$qds
+      |  FROM q CROSS JOIN cent c
+      |), ecd AS (
+      |  SELECT e.vec_id, c.clabel,
+      |$eds
+      |  FROM embeddings e CROSS JOIN cent c
+      |), er AS (
+      |  SELECT vec_id, clabel,
+      |$rns
+      |  FROM ecd
+      |), codes AS (
+      |  SELECT vec_id,
+      |$codeCols
+      |  FROM er GROUP BY vec_id
+      |), app AS (
+      |  SELECT co.vec_id, q0.query_id, $approx AS approx
+      |  FROM codes co
+      |  JOIN qcd q0 ON q0.clabel = co.code0
+      |$codeJoins
+      |  WHERE co.vec_id <> q0.query_id
+      |), cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS arank
+      |    FROM app)
+      |  WHERE arank <= 20
+      |), rr AS (
+      |  SELECT c.query_id, e.vec_id,
+      |    list_sum(list_transform(list_zip(q.qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |      / sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |      * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN q ON q.query_id = c.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM rr)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
     "s04_ann_ivf_nprobe" -> (s04AnnIvfProbe _),
+    "s05_ann_pq" -> (s05AnnPq _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -353,6 +453,7 @@ object SimilarityQueries {
     "s02_ann_lsh" -> s02Oracle,
     "s03_ann_ivf" -> s03Oracle,
     "s04_ann_ivf_nprobe" -> s04Oracle,
+    "s05_ann_pq" -> s05Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The PQ kernels vs a plain-Scala reference implementation: encode
+  * argmax (ties to the smallest label), ADC score as the sum of the
+  * encoded codewords' subspace dots, and the null/short guard rails. */
+class PqFunctionsSpec extends AnyFunSuite with SparkTestSession {
+
+  private val m = 2
+  private val dim = 4
+  private val codebook: Seq[(Long, Seq[Float])] = Seq(
+    0L -> Seq(1f, 0f, 0f, 1f),
+    1L -> Seq(0f, 1f, 1f, 0f),
+    2L -> Seq(1f, 0f, 0f, 1f)) // duplicate of 0 — exercises the tie rule
+
+  private def refCodes(v: Seq[Float]): Seq[Long] =
+    (0 until m).map { s =>
+      codebook.map { case (label, cf) =>
+        val dot = (0 until dim / m).map(j =>
+          v(s * dim / m + j).toDouble * cf(s * dim / m + j).toDouble).sum
+        (label, dot)
+      }.sortBy { case (label, dot) => (-dot, label) }.head._1
+    }
+
+  private def refScore(q: Seq[Float], codes: Seq[Long]): Double =
+    (0 until m).map { s =>
+      val cf = codebook.find(_._1 == codes(s)).get._2
+      (0 until dim / m).map(j =>
+        q(s * dim / m + j).toDouble * cf(s * dim / m + j).toDouble).sum
+    }.sum
+
+  test("PqCodes matches the reference argmax incl. the smallest-label tie") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq(
+      Seq(2f, 1f, 1f, 2f),   // subspace ties between labels 0 and 2 → 0
+      Seq(0f, 3f, 3f, 0f),   // label 1 wins both
+      Seq(1f, 1f, 1f, 1f))   // full tie → smallest label per subspace
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb")
+      .select(col("id"), PqFunctions.pqCodes(col("emb"), codebook, m).as("codes"))
+      .orderBy("id").collect()
+    rows.zip(vecs).foreach { case (r, v) =>
+      assert(r.getSeq[Long](1) == refCodes(v), s"vector $v")
+    }
+  }
+
+  test("PqAdcScore equals the sum of encoded subspace dots") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(Seq(2f, 1f, 1f, 2f), Seq(0f, 3f, 3f, 0f))
+    val q = Seq(1f, 2f, 2f, 1f)
+    val rows = corpus.zipWithIndex.map { case (v, i) => (i.toLong, v, q) }
+      .toDF("id", "emb", "qv")
+      .select(col("id"),
+        PqFunctions.pqAdcScore(col("qv"),
+          PqFunctions.pqCodes(col("emb"), codebook, m), codebook, m).as("score"))
+      .orderBy("id").collect()
+    rows.zip(corpus).foreach { case (r, v) =>
+      assert(r.getDouble(1) == refScore(q, refCodes(v)), s"vector $v")
+    }
+  }
+
+  test("null / short / unknown-code inputs yield null, never a wrong bucket") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Option(Seq(1f, 2f)), Option(Seq(0L, 1L))),   // short vector
+      (2L, Option.empty[Seq[Float]], Option(Seq(0L, 1L))), // null vector
+      (3L, Option(Seq(1f, 2f, 3f, 4f)), Option(Seq(0L, 99L)))) // unknown code
+      .toDF("id", "emb", "codes")
+    val rows = df.select(col("id"),
+        PqFunctions.pqCodes(col("emb"), codebook, m).as("c"),
+        PqFunctions.pqAdcScore(col("emb"), col("codes"), codebook, m).as("s"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2)) // short → null both
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2)) // null vector
+    assert(rows(2).isNullAt(2)) // unknown codeword label
+  }
+}

@@ -139,6 +139,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       s"expected exactly the top-k ranking window in s03, found $windows:\n$p")
   }
 
+  test("s05 PQ: encode is a narrow map; candidate + re-rank windows only") {
+    // the codebook lives inside the PqCodes expression, so encoding must
+    // add NO join/shuffle of its own (an aggregate-argmax formulation
+    // would put the whole corpus through a k× shuffle); the only windows
+    // are the approx candidate cut and the exact re-rank
+    val p = plan(SimilarityQueries.s05AnnPq(spark, dir))
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"expected exactly the candidate + re-rank windows:\n$p")
+    assert(p.contains("pqcodes") || p.contains("PqCodes") ||
+      p.toLowerCase.contains("pqcodes"), s"native PQ encode missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("m02 frame sampling stays a narrow plan (no shuffle before the sink)") {
     val p = plan(MultimodalQueries.m02FrameSamples(spark, dir))
     // only the final presentation orderBy may exchange (range partitioning)
