@@ -53,6 +53,43 @@ class FoldFunctionsPropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("PQ kernels equal a plain-Scala reference on random vectors and codebooks") {
+    val spark2 = spark
+    import spark2.implicits._
+    val m = 4
+    val dim = 8
+    val sub = dim / m
+    val floatGen: Gen[Float] = Gen.chooseNum(-4f, 4f)
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(dim, floatGen)
+    val cbGen: Gen[Seq[(Long, Seq[Float])]] = for {
+      k <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(k, vecGen)
+    } yield cs.zipWithIndex.map { case (c, i) => (i.toLong * 3, c) } // sparse labels
+
+    def refCodes(cb: Seq[(Long, Seq[Float])], v: Seq[Float]): Seq[Long] =
+      (0 until m).map { s =>
+        cb.map { case (label, cf) =>
+          var dot = 0.0
+          (0 until sub).foreach(j => dot += v(s * sub + j).toDouble * cf(s * sub + j).toDouble)
+          (label, dot)
+        }.reduceLeft { (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+        }._1
+      }
+
+    samples(cbGen, 8).foreach { cb =>
+      val vecs = samples(vecGen, 25)
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "emb")
+        .select(col("id"), PqFunctions.pqCodes(col("emb"), cb, m).as("codes"))
+        .orderBy("id").collect()
+      rows.zip(vecs).foreach { case (r, v) =>
+        assert(r.getSeq[Long](1) == refCodes(cb, v),
+          s"pq_codes diverged for $v with codebook $cb")
+      }
+    }
+  }
+
   test("vector fold kernels equal their HOFs on random ragged inputs") {
     val spark2 = spark
     import spark2.implicits._
