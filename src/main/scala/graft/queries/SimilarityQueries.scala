@@ -438,12 +438,123 @@ object SimilarityQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // s06 — IVF+PQ, the production ANN layout (coarse quantizer routes
+  // each query to its cluster, PQ codes stand in for the vectors inside
+  // it): the candidate join is an EQUI-join on the cluster id — the IVF
+  // shuffle key — and the probe side carries 8 codeword labels per row,
+  // so the shuffled index side is ~64 bytes/row instead of a float
+  // vector. ADC-ranked top-20, exact cosine re-rank on candidates only
+  // (broadcast equi-join; corpus stays in place). This variant encodes
+  // raw vectors (not residuals) so the codebook stays the shared
+  // bounded-fold centroid table both engines already hold bit-identically.
+  def s06AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val m = 8
+    val candK = 20
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val encoded = assigned.select(col("vec_id"), col("cluster"),
+      PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
+    val cand = encoded.join(broadcast(q),
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("approx", PqFunctions.pqAdcScore(col("qv"), col("codes"), codebook, m))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= candK)
+      .select("query_id", "qv", "vec_id")
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(cand), "vec_id")
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s06Oracle: String = {
+    val m = 8
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+        s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    def subDot(a: String, b: String, s: Int) =
+      s"list_sum(list_transform(range(1, 9), i -> CAST($a[${s * 8} + i] AS DOUBLE) * CAST($b[${s * 8} + i] AS DOUBLE)))"
+    val qds = (0 until m).map(s => s"    ${subDot("q.qv", "c.cf", s)} AS d$s").mkString(",\n")
+    val eds = (0 until m).map(s => s"    ${subDot("e.embedding", "c.cf", s)} AS d$s").mkString(",\n")
+    val rns = (0 until m).map(s =>
+      s"    row_number() OVER (PARTITION BY vec_id ORDER BY d$s DESC, clabel) AS r$s").mkString(",\n")
+    val codeCols = (0 until m).map(s =>
+      s"    MAX(CASE WHEN r$s = 1 THEN clabel END) AS code$s").mkString(",\n")
+    val codeJoins = (1 until m).map(s =>
+      s"  JOIN qcd q$s ON q$s.clabel = co.code$s AND q$s.query_id = q0.query_id").mkString("\n")
+    val approx = (0 until m).map(s => s"q$s.d$s").mkString(" + ")
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${cos("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |), qcd AS (
+      |  SELECT q.query_id, c.clabel,
+      |$qds
+      |  FROM q CROSS JOIN cent c
+      |), ecd AS (
+      |  SELECT e.vec_id, c.clabel,
+      |$eds
+      |  FROM embeddings e CROSS JOIN cent c
+      |), er AS (
+      |  SELECT vec_id, clabel,
+      |$rns
+      |  FROM ecd
+      |), codes AS (
+      |  SELECT vec_id,
+      |$codeCols
+      |  FROM er GROUP BY vec_id
+      |), app AS (
+      |  SELECT co.vec_id, q0.query_id, $approx AS approx
+      |  FROM codes co
+      |  JOIN assigned a ON a.vec_id = co.vec_id
+      |  JOIN qcd q0 ON q0.clabel = co.code0
+      |$codeJoins
+      |  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.clabel
+      |  WHERE co.vec_id <> q0.query_id
+      |), cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS arank
+      |    FROM app)
+      |  WHERE arank <= 20
+      |), rr AS (
+      |  SELECT c.query_id, e.vec_id, ${cos("q.qv", "e.embedding")} AS cos
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN q ON q.query_id = c.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM rr)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
     "s04_ann_ivf_nprobe" -> (s04AnnIvfProbe _),
     "s05_ann_pq" -> (s05AnnPq _),
+    "s06_ann_ivfpq" -> (s06AnnIvfPq _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -454,6 +565,7 @@ object SimilarityQueries {
     "s03_ann_ivf" -> s03Oracle,
     "s04_ann_ivf_nprobe" -> s04Oracle,
     "s05_ann_pq" -> s05Oracle,
+    "s06_ann_ivfpq" -> s06Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
