@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 
-/** Product-quantization kernels for the ANN compression path (s05): the
-  * embedding splits into `m` contiguous subspaces; each subspace is
+/** Product-quantization kernels for the ANN compression path (s05/s06):
+  * the embedding splits into `m` contiguous subspaces; each subspace is
   * encoded as the label of the codebook entry with the LARGEST subspace
   * dot product (asymmetric MIPS-flavored PQ — the codebook here is the
   * deterministic bounded-fold centroid table, so both engines hold
@@ -17,21 +17,41 @@ import org.apache.spark.sql.types._
   * longs — at 100 TB the difference between 256 bytes and 64 bytes per
   * corpus row in every scan, shuffle, and cache.
   *
-  * Both expressions take the codebook as a CONSTRUCTOR parameter (the
+  * The expressions take the codebook as a CONSTRUCTOR parameter (the
   * [[HyperplaneBucket]] pattern): encoding is then a NARROW map over the
   * corpus — no crossJoin, no shuffle — which is the scale-defining
   * property (an aggregate-argmax formulation would shuffle k× the
-  * corpus).
+  * corpus). Scoring follows the standard ADC split: [[PqLut]] computes
+  * the k×m table of subspace dots ONCE per query (on the small,
+  * broadcast side), and [[PqLutScore]] reduces each candidate to `m`
+  * array reads + adds — not a recomputed dot product per pair.
   *
-  * Cross-engine exactness (mirrored by the s05 DuckDB CTEs): each
+  * Cross-engine exactness (mirrored by the s05/s06 DuckDB CTEs): each
   * subspace dot is an ascending-index left fold in double precision over
-  * dims [s·sub, (s+1)·sub); argmax ties break to the SMALLEST label;
+  * dims [s·sub, (s+1)·sub); the score is the ascending-s sum of the
+  * encoded codewords' dots; argmax ties break to the SMALLEST label;
   * comparison is IEEE `>` / `==` (so -0.0 ties 0.0, like SQL equality).
   */
 private[functions] object PqKernels {
-  /** codebook as (label, centroid) arrays, validated rectangular. */
+  /** codebook as (label, centroid) arrays. */
   def matrix(codebook: Seq[(Long, Seq[Float])]): (Array[Long], Array[Array[Float]]) =
     (codebook.map(_._1).toArray, codebook.map(_._2.toArray).toArray)
+
+  /** Shared analysis-time validation of the (codebook, m) parameters —
+    * one definition so a rule added for one PQ expression cannot be
+    * missed in the others. */
+  def validate(fn: String, codebook: Seq[(Long, Seq[Float])], m: Int)
+      : Option[TypeCheckResult] =
+    if (codebook.isEmpty || codebook.exists(_._2.size != codebook.head._2.size))
+      Some(TypeCheckResult.TypeCheckFailure(
+        s"$fn: codebook must be non-empty and rectangular"))
+    else if (codebook.map(_._1).distinct.size != codebook.size)
+      Some(TypeCheckResult.TypeCheckFailure(
+        s"$fn: codebook labels must be distinct"))
+    else if (m < 1 || codebook.head._2.size % m != 0)
+      Some(TypeCheckResult.TypeCheckFailure(
+        s"$fn: m=$m must divide the codeword dimension ${codebook.head._2.size}"))
+    else None
 }
 
 /** PQ encode: `array<float>` embedding → `array<long>` of `m` codeword
@@ -46,17 +66,11 @@ case class PqCodes(child: Expression, codebook: Seq[(Long, Seq[Float])], m: Int)
   private lazy val sub = dim / m
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (codebook.isEmpty || codebook.exists(_._2.size != codebook.head._2.size))
-      TypeCheckResult.TypeCheckFailure(
-        "pq_codes: codebook must be non-empty and rectangular")
-    else if (m < 1 || codebook.head._2.size % m != 0)
-      TypeCheckResult.TypeCheckFailure(
-        s"pq_codes: m=$m must divide the codeword dimension ${codebook.head._2.size}")
-    else child.dataType match {
+    PqKernels.validate("pq_codes", codebook, m).getOrElse(child.dataType match {
       case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"pq_codes expects array<float>, got ${other.simpleString}")
-    }
+    })
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -101,69 +115,108 @@ case class PqCodes(child: Expression, codebook: Seq[(Long, Seq[Float])], m: Int)
     copy(child = c)
 }
 
-/** Asymmetric-distance (ADC) score of a query against a PQ-encoded row:
-  * Σ_s dot(query_s, codebook(codes(s))_s), subspace folds and the outer
-  * sum both ascending. Semantically identical to the per-query LUT
-  * formulation (LUT[s][code] memoizes exactly these dots); executors are
-  * free to memoize per (query, codeword) without changing any value.
-  * Null inputs or an unknown code yield null. */
-case class PqAdcScore(left: Expression, right: Expression,
+/** The per-query ADC lookup table: `array<float>` query → `array<double>`
+  * of k×m subspace dots, laid out `lut(c*m + s) = dot(query_s,
+  * codebook(c)_s)` in codebook order. Computed ONCE per query row (the
+  * small/broadcast side of the candidate join); [[PqLutScore]] then
+  * scores each candidate with `m` reads. Null/short queries yield null. */
+case class PqLut(child: Expression, codebook: Seq[(Long, Seq[Float])], m: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val (_, cents) = PqKernels.matrix(codebook)
+  private lazy val dim = codebook.head._2.size
+  private lazy val sub = dim / m
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqKernels.validate("pq_lut", codebook, m).getOrElse(child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_lut expects array<float>, got ${other.simpleString}")
+    })
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val qv = input.asInstanceOf[ArrayData]
+    if (qv.numElements() < dim) return null
+    var i = 0
+    while (i < dim) {
+      if (qv.isNullAt(i)) return null
+      i += 1
+    }
+    val lut = new Array[Double](cents.length * m)
+    var c = 0
+    while (c < cents.length) {
+      val cf = cents(c)
+      var s = 0
+      while (s < m) {
+        val base = s * sub
+        var dot = 0.0
+        var j = 0
+        while (j < sub) {
+          dot += qv.getFloat(base + j).toDouble * cf(base + j).toDouble
+          j += 1
+        }
+        lut(c * m + s) = dot
+        s += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLut =
+    copy(child = c)
+}
+
+/** ADC score from a precomputed [[PqLut]] table and a row's
+  * [[PqCodes]]: Σ_s lut(idx(codes(s))·m + s), ascending s — `m` array
+  * reads + adds per candidate, value-identical to recomputing
+  * Σ_s dot(query_s, codebook(codes(s))_s) directly (the LUT entries ARE
+  * those dots). Null inputs or an unknown code yield null. */
+case class PqLutScore(left: Expression, right: Expression,
     codebook: Seq[(Long, Seq[Float])], m: Int)
     extends BinaryExpression with CodegenFallback {
 
-  private lazy val (labels, cents) = PqKernels.matrix(codebook)
-  private lazy val dim = codebook.head._2.size
-  private lazy val sub = dim / m
-  private lazy val byLabel: java.util.HashMap[Long, Array[Float]] = {
-    val mp = new java.util.HashMap[Long, Array[Float]](labels.length * 2)
-    labels.indices.foreach(i => mp.put(labels(i), cents(i)))
+  private lazy val labelIndex: java.util.HashMap[Long, Integer] = {
+    val mp = new java.util.HashMap[Long, Integer](codebook.size * 2)
+    codebook.map(_._1).zipWithIndex.foreach { case (l, i) => mp.put(l, i) }
     mp
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (codebook.isEmpty || codebook.exists(_._2.size != codebook.head._2.size))
-      TypeCheckResult.TypeCheckFailure(
-        "pq_adc_score: codebook must be non-empty and rectangular")
-    else if (m < 1 || codebook.head._2.size % m != 0)
-      TypeCheckResult.TypeCheckFailure(
-        s"pq_adc_score: m=$m must divide the codeword dimension ${codebook.head._2.size}")
-    else (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"pq_adc_score expects (array<float>, array<long>), got " +
-          s"${l.simpleString} and ${r.simpleString}")
-    }
+    PqKernels.validate("pq_lut_score", codebook, m).getOrElse(
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"pq_lut_score expects (array<double> lut, array<long> codes), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+      })
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(q: Any, codesIn: Any): Any = {
-    val qv = q.asInstanceOf[ArrayData]
+  override def nullSafeEval(lutIn: Any, codesIn: Any): Any = {
+    val lut = lutIn.asInstanceOf[ArrayData]
     val codes = codesIn.asInstanceOf[ArrayData]
-    if (qv.numElements() < dim || codes.numElements() != m) return null
+    if (codes.numElements() != m || lut.numElements() != codebook.size * m)
+      return null
     var score = 0.0
     var s = 0
     while (s < m) {
       if (codes.isNullAt(s)) return null
-      val cf = byLabel.get(codes.getLong(s))
-      if (cf == null) return null
-      val base = s * sub
-      var dot = 0.0
-      var j = 0
-      while (j < sub) {
-        if (qv.isNullAt(base + j)) return null
-        dot += qv.getFloat(base + j).toDouble * cf(base + j).toDouble
-        j += 1
-      }
-      score += dot
+      val idx = labelIndex.get(codes.getLong(s))
+      if (idx == null) return null
+      score += lut.getDouble(idx * m + s)
       s += 1
     }
     score
   }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): PqAdcScore =
+      newLeft: Expression, newRight: Expression): PqLutScore =
     copy(left = newLeft, right = newRight)
 }
 
@@ -172,9 +225,13 @@ object PqFunctions {
   def pqCodes(emb: Column, codebook: Seq[(Long, Seq[Float])], m: Int): Column =
     ColumnShim.column(PqCodes(ColumnShim.expression(emb), codebook, m))
 
-  /** ADC approximate score column (see [[PqAdcScore]]). */
-  def pqAdcScore(qv: Column, codes: Column, codebook: Seq[(Long, Seq[Float])],
+  /** Per-query ADC lookup table column (see [[PqLut]]). */
+  def pqLut(qv: Column, codebook: Seq[(Long, Seq[Float])], m: Int): Column =
+    ColumnShim.column(PqLut(ColumnShim.expression(qv), codebook, m))
+
+  /** ADC score from a LUT and a codes column (see [[PqLutScore]]). */
+  def pqLutScore(lut: Column, codes: Column, codebook: Seq[(Long, Seq[Float])],
       m: Int): Column =
-    ColumnShim.column(PqAdcScore(
-      ColumnShim.expression(qv), ColumnShim.expression(codes), codebook, m))
+    ColumnShim.column(PqLutScore(
+      ColumnShim.expression(lut), ColumnShim.expression(codes), codebook, m))
 }

@@ -90,8 +90,7 @@ object BinlogOffsetIndex {
     // executors must resolve paths with the SESSION's Hadoop conf
     // (spark.hadoop.* credentials / fs impls), not a bare Configuration()
     val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.graftshim.SerializableHadoopConf(
-        spark.sparkContext.hadoopConfiguration))
+      org.apache.spark.graftshim.SerializableHadoopConf.session())
     val dir = new Path(indexPath)
     val dirFs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     dirFs.mkdirs(dir)

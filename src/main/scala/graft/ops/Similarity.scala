@@ -120,7 +120,7 @@ object Similarity {
 
   /** Collect the broadcast-sized centroid table as a driver-side codebook
     * for the PQ kernels ([[graft.functions.PqCodes]] /
-    * [[graft.functions.PqAdcScore]]), sorted by label (the kernels'
+    * [[graft.functions.PqLut]] / [[graft.functions.PqLutScore]]), sorted by label (the kernels'
     * argmax iterates in this order; sorting makes tie-breaks
     * order-independent). Bounded by a LOUD guard: the codebook is k rows
     * by construction (one per label — broadcast-sized like
@@ -129,9 +129,12 @@ object Similarity {
   def collectCodebook(cent: DataFrame, maxK: Int = 4096,
       labelCol: String = "clabel", centroidCol: String = "cf")
       : Seq[(Long, Seq[Float])] = {
-    val rows = cent.select(col(labelCol), col(centroidCol)).collect()
+    // limit BEFORE collect: the guard must fire before the driver
+    // materializes a corpus-sized mis-wire, not after
+    val rows = cent.select(col(labelCol), col(centroidCol))
+      .limit(maxK + 1).collect()
     require(rows.length <= maxK,
-      s"codebook has ${rows.length} entries (> $maxK): a PQ codebook must be " +
+      s"codebook has > $maxK entries: a PQ codebook must be " +
         "broadcast-sized; refusing the driver-side collect")
     rows.map(r => r.getAs[Number](0).longValue() -> r.getSeq[Float](1))
       .toSeq.sortBy(_._1)

@@ -339,36 +339,33 @@ object SimilarityQueries {
       |FROM scored WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  // s05 — product-quantization ANN (the compression scale path): the
-  // corpus carries only m=8 codeword labels per row (64 bytes instead of
-  // a 256-byte float vector in every scan/shuffle at 100 TB); queries
-  // rank by the ADC approximate dot (PqAdcScore — per-query-LUT
-  // semantics), keep the top `candK` candidates, then re-rank exactly by
-  // cosine over just those candidates (fetched via a broadcast equi-join
-  // that leaves the corpus in place). The codebook is the deterministic
-  // bounded-fold centroid table (one codeword per label), collected
-  // driver-side under a loud broadcast-size guard — the HyperplaneBucket
-  // plane-matrix pattern with data-derived values. Encoding is a NARROW
-  // map (codebook inside the expression): no crossJoin, no shuffle.
-  def s05AnnPq(spark: SparkSession, dir: String): DataFrame = {
+  // ------------------------------------------------------------- PQ (s05/s06)
+
+  /** Shared s05/s06 search pipeline: per-query ADC LUT on the BROADCAST
+    * side ([[graft.functions.PqLut]] — k×m subspace dots computed once
+    * per query), candidates scored with m array reads each
+    * ([[graft.functions.PqLutScore]]), cut to the top `candK` by
+    * (approx desc, vec_id), then re-ranked by exact cosine. The candidate
+    * window carries ONLY (query_id, vec_id, approx) — the query vector
+    * never rides the big shuffle, preserving the ~64-byte-row movement
+    * the PQ layout exists for; the exact vectors come back via broadcast
+    * equi-joins that leave the corpus in place. */
+  private def pqSearch(emb: DataFrame, encoded: DataFrame, q: DataFrame,
+      codebook: Seq[(Long, Seq[Float])], m: Int, candK: Int,
+      joinCond: org.apache.spark.sql.Column): DataFrame = {
     import graft.functions.PqFunctions
-    val m = 8
-    val candK = 20
-    val emb = Tables.embeddings(spark, dir)
-    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
-    val codebook = graft.ops.Similarity.collectCodebook(cent)
-    val encoded = emb.select(col("vec_id"),
-      PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
-    val q = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ql = q.withColumn("lut", PqFunctions.pqLut(col("qv"), codebook, m))
     val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
-    val cand = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("approx", PqFunctions.pqAdcScore(col("qv"), col("codes"), codebook, m))
+    val cand = encoded.join(broadcast(ql), joinCond)
+      .withColumn("approx",
+        PqFunctions.pqLutScore(col("lut"), col("codes"), codebook, m))
+      .select("query_id", "vec_id", "approx")
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= candK)
-      .select("query_id", "qv", "vec_id")
+      .select("query_id", "vec_id")
     val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     emb.join(broadcast(cand), "vec_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
       .withColumn("cos", cosineSim(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= 5)
@@ -376,81 +373,40 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
-  val s05Oracle: String = {
+  // s05 — product-quantization ANN (the compression scale path): the
+  // corpus carries only m=8 codeword labels per row (64 bytes instead of
+  // a 256-byte float vector in every scan/shuffle at 100 TB); queries
+  // rank by the ADC LUT score, keep the top 20 candidates, then re-rank
+  // exactly by cosine over just those candidates. The codebook is the
+  // deterministic bounded-fold centroid table (one codeword per label),
+  // collected driver-side under a loud broadcast-size guard — the
+  // HyperplaneBucket plane-matrix pattern with data-derived values.
+  // Encoding is a NARROW map (codebook inside the expression): no
+  // crossJoin, no shuffle.
+  def s05AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
     val m = 8
-    // subspace dot s over a 64-dim pair, ascending within the subspace —
-    // the exact fold PqCodes/PqAdcScore run
-    def subDot(a: String, b: String, s: Int) =
-      s"list_sum(list_transform(range(1, 9), i -> CAST($a[${s * 8} + i] AS DOUBLE) * CAST($b[${s * 8} + i] AS DOUBLE)))"
-    val qds = (0 until m).map(s => s"    ${subDot("q.qv", "c.cf", s)} AS d$s").mkString(",\n")
-    val eds = (0 until m).map(s => s"    ${subDot("e.embedding", "c.cf", s)} AS d$s").mkString(",\n")
-    val rns = (0 until m).map(s =>
-      s"    row_number() OVER (PARTITION BY vec_id ORDER BY d$s DESC, clabel) AS r$s").mkString(",\n")
-    val codeCols = (0 until m).map(s =>
-      s"    MAX(CASE WHEN r$s = 1 THEN clabel END) AS code$s").mkString(",\n")
-    val codeJoins = (1 until m).map(s =>
-      s"  JOIN qcd q$s ON q$s.clabel = co.code$s AND q$s.query_id = q0.query_id").mkString("\n")
-    val approx = (0 until m).map(s => s"q$s.d$s").mkString(" + ")
-    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, q AS (
-      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
-      |), qcd AS (
-      |  SELECT q.query_id, c.clabel,
-      |$qds
-      |  FROM q CROSS JOIN cent c
-      |), ecd AS (
-      |  SELECT e.vec_id, c.clabel,
-      |$eds
-      |  FROM embeddings e CROSS JOIN cent c
-      |), er AS (
-      |  SELECT vec_id, clabel,
-      |$rns
-      |  FROM ecd
-      |), codes AS (
-      |  SELECT vec_id,
-      |$codeCols
-      |  FROM er GROUP BY vec_id
-      |), app AS (
-      |  SELECT co.vec_id, q0.query_id, $approx AS approx
-      |  FROM codes co
-      |  JOIN qcd q0 ON q0.clabel = co.code0
-      |$codeJoins
-      |  WHERE co.vec_id <> q0.query_id
-      |), cand AS (
-      |  SELECT query_id, vec_id FROM (
-      |    SELECT query_id, vec_id,
-      |      row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS arank
-      |    FROM app)
-      |  WHERE arank <= 20
-      |), rr AS (
-      |  SELECT c.query_id, e.vec_id,
-      |    list_sum(list_transform(list_zip(q.qv, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-      |      / sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-      |      * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
-      |  FROM cand c
-      |  JOIN embeddings e ON e.vec_id = c.vec_id
-      |  JOIN q ON q.query_id = c.query_id
-      |)
-      |SELECT query_id, rank, neighbor_id FROM (
-      |  SELECT query_id, vec_id AS neighbor_id,
-      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-      |  FROM rr)
-      |WHERE rank <= 5
-      |ORDER BY query_id, rank""".stripMargin
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    val encoded = emb.select(col("vec_id"),
+      PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    pqSearch(emb, encoded, q, codebook, m, candK = 20,
+      joinCond = col("vec_id") =!= col("query_id"))
   }
 
   // s06 — IVF+PQ, the production ANN layout (coarse quantizer routes
   // each query to its cluster, PQ codes stand in for the vectors inside
   // it): the candidate join is an EQUI-join on the cluster id — the IVF
-  // shuffle key — and the probe side carries 8 codeword labels per row,
-  // so the shuffled index side is ~64 bytes/row instead of a float
-  // vector. ADC-ranked top-20, exact cosine re-rank on candidates only
-  // (broadcast equi-join; corpus stays in place). This variant encodes
-  // raw vectors (not residuals) so the codebook stays the shared
-  // bounded-fold centroid table both engines already hold bit-identically.
+  // shuffle key — and the probe side carries 8 codeword labels per row.
+  // This variant encodes raw vectors (not residuals) so the codebook
+  // stays the shared bounded-fold centroid table both engines already
+  // hold bit-identically.
   def s06AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PqFunctions
     val m = 8
-    val candK = 20
     val emb = Tables.embeddings(spark, dir)
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
     val codebook = graft.ops.Similarity.collectCodebook(cent)
@@ -461,28 +417,25 @@ object SimilarityQueries {
     val q = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("cluster").as("qc"))
-    val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
-    val cand = encoded.join(broadcast(q),
-        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
-      .withColumn("approx", PqFunctions.pqAdcScore(col("qv"), col("codes"), codebook, m))
-      .withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= candK)
-      .select("query_id", "qv", "vec_id")
-    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    emb.join(broadcast(cand), "vec_id")
-      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
-      .withColumn("rank", row_number().over(wE))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
-      .orderBy("query_id", "rank")
+    pqSearch(emb, encoded, q, codebook, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
   }
 
-  val s06Oracle: String = {
-    val m = 8
-    def cos(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
-        s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
-        s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  /** One cosine text used by every oracle below (ascending fold in
+    * doubles — duckCos's shape with nameable operands). */
+  private def duckCosOf(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+      s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+      s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** Shared s05/s06 oracle assembly — ONE definition of the PQ CTE text
+    * (subspace dots, per-subspace argmax codes, LUT-sum approx, candidate
+    * cut, exact re-rank), so a fold-order or tie-break fix cannot land in
+    * one sibling and not the other. `prefixCtes` supplies everything up
+    * to and including the `q` CTE; `appJoins` injects s06's
+    * cluster-restriction joins ("" for s05). */
+  private def duckPqSearchSql(m: Int, prefixCtes: String,
+      appPreJoins: String, appPostJoins: String): String = {
     def subDot(a: String, b: String, s: Int) =
       s"list_sum(list_transform(range(1, 9), i -> CAST($a[${s * 8} + i] AS DOUBLE) * CAST($b[${s * 8} + i] AS DOUBLE)))"
     val qds = (0 until m).map(s => s"    ${subDot("q.qv", "c.cf", s)} AS d$s").mkString(",\n")
@@ -494,17 +447,7 @@ object SimilarityQueries {
     val codeJoins = (1 until m).map(s =>
       s"  JOIN qcd q$s ON q$s.clabel = co.code$s AND q$s.query_id = q0.query_id").mkString("\n")
     val approx = (0 until m).map(s => s"q$s.d$s").mkString(" + ")
-    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, ranked AS (
-      |  SELECT e.vec_id, e.embedding, c.clabel,
-      |    row_number() OVER (PARTITION BY e.vec_id
-      |      ORDER BY ${cos("e.embedding", "c.cf")} DESC, c.clabel) AS rn
-      |  FROM embeddings e, cent c
-      |), assigned AS (
-      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
-      |), q AS (
-      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
-      |  FROM assigned WHERE vec_id % 50 = 0
-      |), qcd AS (
+    s"""$prefixCtes, qcd AS (
       |  SELECT q.query_id, c.clabel,
       |$qds
       |  FROM q CROSS JOIN cent c
@@ -523,10 +466,8 @@ object SimilarityQueries {
       |), app AS (
       |  SELECT co.vec_id, q0.query_id, $approx AS approx
       |  FROM codes co
-      |  JOIN assigned a ON a.vec_id = co.vec_id
-      |  JOIN qcd q0 ON q0.clabel = co.code0
-      |$codeJoins
-      |  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.clabel
+      |$appPreJoins  JOIN qcd q0 ON q0.clabel = co.code0
+      |$codeJoins$appPostJoins
       |  WHERE co.vec_id <> q0.query_id
       |), cand AS (
       |  SELECT query_id, vec_id FROM (
@@ -535,7 +476,7 @@ object SimilarityQueries {
       |    FROM app)
       |  WHERE arank <= 20
       |), rr AS (
-      |  SELECT c.query_id, e.vec_id, ${cos("q.qv", "e.embedding")} AS cos
+      |  SELECT c.query_id, e.vec_id, ${duckCosOf("q.qv", "e.embedding")} AS cos
       |  FROM cand c
       |  JOIN embeddings e ON e.vec_id = c.vec_id
       |  JOIN q ON q.query_id = c.query_id
@@ -547,6 +488,27 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
   }
+
+  val s05Oracle: String = duckPqSearchSql(8,
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+      |)""".stripMargin,
+    appPreJoins = "", appPostJoins = "")
+
+  val s06Oracle: String = duckPqSearchSql(8,
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |)""".stripMargin,
+    appPreJoins = "  JOIN assigned a ON a.vec_id = co.vec_id\n",
+    appPostJoins = "\n  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.clabel")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),

@@ -212,7 +212,7 @@ private class AvroScan(path: String, avroSchema: Schema, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(avroSchema.toString, required, fileNameColumn,
-      AvroReaderFactory.sessionConf())
+      org.apache.spark.graftshim.SerializableHadoopConf.session())
 
   override def description(): String =
     s"avro($path) ReadSchema=[${required.fieldNames.mkString(", ")}]" +
@@ -253,16 +253,18 @@ private class AvroMicroBatchStream(path: String, schemaJson: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(schemaJson, required, fileNameColumn,
-      AvroReaderFactory.sessionConf())
+      org.apache.spark.graftshim.SerializableHadoopConf.session())
 }
 
 private case class AvroInputPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
+/** Factory construction happens on the DRIVER (see BinlogReaderFactory's
+  * note); `conf` is REQUIRED so an executor-side default can never
+  * resurface. */
 private class AvroReaderFactory(readerSchemaJson: String, required: StructType,
-    fileNameColumn: Option[String] = None,
-    conf: org.apache.spark.graftshim.SerializableHadoopConf =
-      AvroReaderFactory.sessionConf())
+    fileNameColumn: Option[String],
+    conf: org.apache.spark.graftshim.SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(
@@ -270,24 +272,13 @@ private class AvroReaderFactory(readerSchemaJson: String, required: StructType,
       fileNameColumn, conf)
 }
 
-private object AvroReaderFactory {
-  /** The SESSION's Hadoop conf, captured on the driver at factory
-    * construction and shipped to executors — a bare `new Configuration()`
-    * in the reader would lose `spark.hadoop.*` credentials / fs impls on
-    * object stores. */
-  def sessionConf(): org.apache.spark.graftshim.SerializableHadoopConf =
-    new org.apache.spark.graftshim.SerializableHadoopConf(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-}
-
 /** Reads one (file, byte-range) slice: seek to the first sync point at or
   * after `start`, read blocks until past `start + length` — the standard
   * splittable-Avro contract (each record belongs to exactly one range). */
 private class AvroPartitionReader(part: AvroInputPartition,
     readerSchemaJson: String, required: StructType,
-    fileNameColumn: Option[String] = None,
-    sconf: org.apache.spark.graftshim.SerializableHadoopConf =
-      AvroReaderFactory.sessionConf())
+    fileNameColumn: Option[String],
+    sconf: org.apache.spark.graftshim.SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val readerSchema = new Schema.Parser().parse(readerSchemaJson)

@@ -223,7 +223,8 @@ private class BinlogScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogReaderFactory(required)
+    new BinlogReaderFactory(required,
+      org.apache.spark.graftshim.SerializableHadoopConf.session())
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -330,7 +331,8 @@ private class BinlogMicroBatchStream(path: String, required: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BinlogReaderFactory(required)
+    new BinlogReaderFactory(required,
+      org.apache.spark.graftshim.SerializableHadoopConf.session())
 }
 
 /** `start == 0 && end == Long.MaxValue` is the whole-file partition; any
@@ -339,23 +341,18 @@ private case class BinlogInputPartition(file: String, start: Long = 0L,
     end: Long = Long.MaxValue, startIndex: Long = 0L, checksumLen: Int = 0)
     extends InputPartition
 
+/** Factory construction happens on the DRIVER, where the session conf is
+  * capturable; the readers themselves run executor-side and must receive
+  * it (a bare `new Configuration()` there would lose `spark.hadoop.*`
+  * credentials / fs impls on object stores; `SparkSession.active` would
+  * throw). Hence `conf` is REQUIRED — no default that only works
+  * driver-side. */
 private class BinlogReaderFactory(required: StructType,
-    conf: org.apache.spark.graftshim.SerializableHadoopConf =
-      BinlogReaderFactory.sessionConf())
+    conf: org.apache.spark.graftshim.SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new BinlogPartitionReader(
       partition.asInstanceOf[BinlogInputPartition], required, conf)
-}
-
-private object BinlogReaderFactory {
-  /** The SESSION's Hadoop conf, captured on the driver and shipped to
-    * executors — a bare `new Configuration()` in the reader loses the
-    * session's `spark.hadoop.*` credentials / fs impls on object
-    * stores. */
-  def sessionConf(): org.apache.spark.graftshim.SerializableHadoopConf =
-    new org.apache.spark.graftshim.SerializableHadoopConf(
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 }
 
 /** Streams one file-range's events through the incremental decoder — heap
@@ -363,8 +360,7 @@ private object BinlogReaderFactory {
   * binlogs (≥2 GiB included) decode correctly. Projects only the required
   * columns. */
 private class BinlogPartitionReader(part: BinlogInputPartition, required: StructType,
-    sconf: org.apache.spark.graftshim.SerializableHadoopConf =
-      BinlogReaderFactory.sessionConf())
+    sconf: org.apache.spark.graftshim.SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private var stream: java.io.InputStream = _

@@ -16,3 +16,13 @@ class SerializableHadoopConf(@transient conf: Configuration) extends Serializabl
   private val inner = new SerializableConfiguration(conf)
   def value: Configuration = inner.value
 }
+
+object SerializableHadoopConf {
+  /** The ACTIVE session's Hadoop conf, captured driver-side for shipping
+    * into executor tasks — the one place that builds this, so a future
+    * change (e.g. merging per-query options) lands everywhere. Must be
+    * called on the driver (readers receive the captured instance). */
+  def session(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+}

@@ -49,7 +49,7 @@ class PqFunctionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("PqAdcScore equals the sum of encoded subspace dots") {
+  test("PqLut + PqLutScore equal the sum of encoded subspace dots") {
     val spark2 = spark
     import spark2.implicits._
     val corpus = Seq(Seq(2f, 1f, 1f, 2f), Seq(0f, 3f, 3f, 0f))
@@ -57,7 +57,8 @@ class PqFunctionsSpec extends AnyFunSuite with SparkTestSession {
     val rows = corpus.zipWithIndex.map { case (v, i) => (i.toLong, v, q) }
       .toDF("id", "emb", "qv")
       .select(col("id"),
-        PqFunctions.pqAdcScore(col("qv"),
+        PqFunctions.pqLutScore(
+          PqFunctions.pqLut(col("qv"), codebook, m),
           PqFunctions.pqCodes(col("emb"), codebook, m), codebook, m).as("score"))
       .orderBy("id").collect()
     rows.zip(corpus).foreach { case (r, v) =>
@@ -75,7 +76,9 @@ class PqFunctionsSpec extends AnyFunSuite with SparkTestSession {
       .toDF("id", "emb", "codes")
     val rows = df.select(col("id"),
         PqFunctions.pqCodes(col("emb"), codebook, m).as("c"),
-        PqFunctions.pqAdcScore(col("emb"), col("codes"), codebook, m).as("s"))
+        PqFunctions.pqLutScore(
+          PqFunctions.pqLut(col("emb"), codebook, m), col("codes"),
+          codebook, m).as("s"))
       .orderBy("id").collect()
     assert(rows(0).isNullAt(1) && rows(0).isNullAt(2)) // short → null both
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2)) // null vector

@@ -147,8 +147,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     val p = plan(SimilarityQueries.s05AnnPq(spark, dir))
     assert("Window \\[".r.findAllIn(p).size == 2,
       s"expected exactly the candidate + re-rank windows:\n$p")
-    assert(p.contains("pqcodes") || p.contains("PqCodes") ||
-      p.toLowerCase.contains("pqcodes"), s"native PQ encode missing:\n$p")
+    assert(p.toLowerCase.contains("pqcodes"), s"native PQ encode missing:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
