@@ -755,6 +755,32 @@ object CdcQueries {
       |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 250)
       |ORDER BY binlog_position""".stripMargin
 
+  // cdc10 — the SQL-DDL/catalog route under the gate (d09 pattern, r7
+  // VERDICT stretch): cdc05's binary decode, but reached through
+  // `CREATE TABLE ... USING binlog OPTIONS(path ...)` + `spark.table`
+  // instead of `format("binlog").load` — the exact surface a thrift/JDBC
+  // or pure-SQL user gets. Shares cdc05's fixture and oracle; a mismatch
+  // here with a green cdc05 isolates a catalog-resolution bug.
+  def cdc10CatalogSource(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = writeCdc05Fixture(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS graft_cdc10_binlog")
+    spark.sql(
+      s"CREATE TABLE graft_cdc10_binlog USING binlog OPTIONS (path '$fixtureDir')")
+    spark.table("graft_cdc10_binlog")
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(explode(col("row_images")).as("img"))
+      .select(
+        element_at(col("img"), 1).cast("long").as("o_orderkey"),
+        element_at(col("img"), 2).cast("long").as("flags_bit"),
+        element_at(col("img"), 3).cast("long").as("status_idx"),
+        element_at(col("img"), 4).as("meta_json"),
+        element_at(col("img"), 5).cast("long").as("o_custkey"),
+        element_at(col("img"), 6).as("total_dec"),
+        element_at(col("img"), 7).as("o_date"),
+        element_at(col("img"), 8).as("priority"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -765,6 +791,7 @@ object CdcQueries {
     "cdc07_avro_source" -> (cdc07AvroSource _),
     "cdc08_json_source" -> (cdc08JsonSource _),
     "cdc09_avrojson_source" -> (cdc09AvroJsonSource _),
+    "cdc10_catalog_source" -> (cdc10CatalogSource _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -777,5 +804,6 @@ object CdcQueries {
     "cdc07_avro_source" -> cdc07Oracle,
     "cdc08_json_source" -> cdc08Oracle,
     "cdc09_avrojson_source" -> cdc09Oracle,
+    "cdc10_catalog_source" -> cdc05Oracle, // same decode, catalog-routed
   )
 }
