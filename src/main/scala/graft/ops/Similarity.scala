@@ -118,6 +118,31 @@ object Similarity {
     }
   }
 
+  /** Deterministic Lloyd (k-means) iterations seeded from the label
+    * partitions' bounded-fold means: each round reassigns every row to
+    * its nearest centroid (the [[assignToCentroids]] aggregate argmax,
+    * ties → label) and recomputes per-cluster means with the bounded
+    * two-level ordered fold ([[buildCentroids]]) — every double is
+    * cross-engine reproducible, unlike seed-dependent samplers, so the
+    * learned centroids can sit under the DuckDB gate. A cluster that
+    * loses all rows simply drops out (its mean is undefined), exactly as
+    * in the SQL mirror. At scale each iteration is one broadcast argmax
+    * (narrow + one hash agg) plus the two bounded centroid aggregates —
+    * nothing collects, nothing sorts the corpus. Returns the centroid
+    * table after `iters` reassign+recompute rounds. */
+  def kmeansCentroids(df: DataFrame, dim: Int, iters: Int, chunks: Int = 1024,
+      labelCol: String = "label", idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    var cent = buildCentroids(df, dim, chunks, labelCol, idCol, embCol)
+    (0 until iters).foreach { _ =>
+      val assigned = assignToCentroids(
+        df.select(col(idCol), col(embCol)), cent, Seq(idCol), embCol)
+      cent = buildCentroids(assigned, dim, chunks, "cluster", idCol, embCol)
+    }
+    cent
+  }
+
   /** Collect the broadcast-sized centroid table as a driver-side codebook
     * for the PQ kernels ([[graft.functions.PqCodes]] /
     * [[graft.functions.PqLut]] / [[graft.functions.PqLutScore]]), sorted by label (the kernels'

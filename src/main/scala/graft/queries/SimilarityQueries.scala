@@ -101,25 +101,26 @@ object SimilarityQueries {
     * within a chunk, same chunk-order fold of the partials), so the
     * centroid doubles are bit-identical cross-engine without either engine
     * ever holding a whole cluster in one row. */
-  private def duckCentroidCtes(dim: Int, chunks: Int): String =
-    s"""cpart AS (
-      |  SELECT label, vec_id % $chunks AS chunk,
+  private def duckCentroidCtes(dim: Int, chunks: Int, src: String = "embeddings",
+      labelCol: String = "label", sfx: String = ""): String =
+    s"""cpart$sfx AS (
+      |  SELECT $labelCol AS label, vec_id % $chunks AS chunk,
       |    list(struct_pack(id := vec_id, emb := embedding) ORDER BY vec_id) AS vs
-      |  FROM embeddings GROUP BY label, vec_id % $chunks
-      |), cpsum AS (
+      |  FROM $src GROUP BY $labelCol, vec_id % $chunks
+      |), cpsum$sfx AS (
       |  SELECT label, chunk,
       |    list_transform(range(1, ${dim + 1}), d -> list_sum(list_transform(vs, v -> CAST(v.emb[d] AS DOUBLE)))) AS psum,
       |    len(vs) AS pcnt
-      |  FROM cpart
-      |), cfold AS (
+      |  FROM cpart$sfx
+      |), cfold$sfx AS (
       |  SELECT label, list(struct_pack(chunk := chunk, psum := psum, pcnt := pcnt) ORDER BY chunk) AS ps
-      |  FROM cpsum GROUP BY label
-      |), cent AS (
+      |  FROM cpsum$sfx GROUP BY label
+      |), cent$sfx AS (
       |  SELECT label AS clabel,
       |    list_transform(range(1, ${dim + 1}), d ->
       |      CAST(list_sum(list_transform(ps, p -> p.psum[d])) /
       |           list_sum(list_transform(ps, p -> p.pcnt)) AS FLOAT)) AS cf
-      |  FROM cfold
+      |  FROM cfold$sfx
       |)""".stripMargin
 
   private val duckCos: String =
@@ -510,6 +511,46 @@ object SimilarityQueries {
     appPreJoins = "  JOIN assigned a ON a.vec_id = co.vec_id\n",
     appPostJoins = "\n  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.clabel")
 
+  // s07 — deterministic k-means (one Lloyd round): seed centroids are
+  // the label partitions' bounded-fold means, every row reassigns to its
+  // nearest centroid (aggregate argmax), per-cluster means recompute with
+  // the same bounded fold, and the corpus assigns once more against the
+  // LEARNED centroids. Output is pure integers (cluster sizes + id sums),
+  // so the gate pins the entire two-generation centroid lineage — the
+  // floats only decide assignments, where both engines are bit-identical.
+  def s07Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+    val cent1 = graft.ops.Similarity.kmeansCentroids(
+      emb, dim = 64, iters = 1, chunks = centroidChunks)
+    graft.ops.Similarity.assignToCentroids(
+        emb.select("vec_id", "embedding"), cent1, Seq("vec_id"))
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("vec_id")).cast("long").as("id_sum"))
+      .orderBy("cluster")
+  }
+
+  val s07Oracle: String = {
+    def cosText(a: String, b: String) = duckCosOf(a, b)
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, r1 AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${cosText("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), a1 AS (
+      |  SELECT vec_id, embedding, clabel AS label FROM r1 WHERE rn = 1
+      |), ${duckCentroidCtes(64, centroidChunks, src = "a1", sfx = "2")}, r2 AS (
+      |  SELECT e.vec_id, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${cosText("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent2 c
+      |)
+      |SELECT CAST(clabel AS BIGINT) AS cluster, COUNT(*) AS n_vecs,
+      |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      |FROM r2 WHERE rn = 1
+      |GROUP BY clabel ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -517,6 +558,7 @@ object SimilarityQueries {
     "s04_ann_ivf_nprobe" -> (s04AnnIvfProbe _),
     "s05_ann_pq" -> (s05AnnPq _),
     "s06_ann_ivfpq" -> (s06AnnIvfPq _),
+    "s07_kmeans" -> (s07Kmeans _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -528,6 +570,7 @@ object SimilarityQueries {
     "s04_ann_ivf_nprobe" -> s04Oracle,
     "s05_ann_pq" -> s05Oracle,
     "s06_ann_ivfpq" -> s06Oracle,
+    "s07_kmeans" -> s07Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
