@@ -148,7 +148,58 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     copy(child = c)
 }
 
+/** Elementwise float difference via DOUBLE subtraction rounded back to
+  * float — `CAST(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE) AS FLOAT)`,
+  * exactly the DuckDB route the s08 oracle uses. NOT a bare f32 subtract:
+  * `a - b` in f32 rounds the exact difference once, while double-then-
+  * float rounds twice, and the two can differ in the last bit (double
+  * rounding); picking the oracle's route makes the residuals
+  * bit-identical cross-engine. Output length = left's; a null element,
+  * null input, or shorter right side yields null. */
+case class VecSubToFloat(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_sub expects two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() < n) return null
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      out(i) = (x.getFloat(i).toDouble - y.getFloat(i).toDouble).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSubToFloat =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
+  /** Elementwise float difference (see [[VecSubToFloat]]). */
+  def vecSub(a: Column, b: Column): Column =
+    ColumnShim.column(VecSubToFloat(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** Column-level cosine similarity over two `array<float>` columns. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimilarity(

@@ -102,10 +102,11 @@ object SimilarityQueries {
     * centroid doubles are bit-identical cross-engine without either engine
     * ever holding a whole cluster in one row. */
   private def duckCentroidCtes(dim: Int, chunks: Int, src: String = "embeddings",
-      labelCol: String = "label", sfx: String = ""): String =
+      labelCol: String = "label", sfx: String = "",
+      embCol: String = "embedding"): String =
     s"""cpart$sfx AS (
       |  SELECT $labelCol AS label, vec_id % $chunks AS chunk,
-      |    list(struct_pack(id := vec_id, emb := embedding) ORDER BY vec_id) AS vs
+      |    list(struct_pack(id := vec_id, emb := $embCol) ORDER BY vec_id) AS vs
       |  FROM $src GROUP BY $labelCol, vec_id % $chunks
       |), cpsum$sfx AS (
       |  SELECT label, chunk,
@@ -355,7 +356,11 @@ object SimilarityQueries {
       codebook: Seq[(Long, Seq[Float])], m: Int, candK: Int,
       joinCond: org.apache.spark.sql.Column): DataFrame = {
     import graft.functions.PqFunctions
-    val ql = q.withColumn("lut", PqFunctions.pqLut(col("qv"), codebook, m))
+    // LUT source: the optional `lv` column (e.g. the query RESIDUAL in
+    // s08) falls back to the query vector itself; re-rank always uses qv
+    val lutSrc = if (q.columns.contains("lv")) col("lv") else col("qv")
+    val ql = q.withColumn("lut", PqFunctions.pqLut(lutSrc, codebook, m))
+      .drop("lv")
     val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
     val cand = encoded.join(broadcast(ql), joinCond)
       .withColumn("approx",
@@ -436,11 +441,13 @@ object SimilarityQueries {
     * to and including the `q` CTE; `appJoins` injects s06's
     * cluster-restriction joins ("" for s05). */
   private def duckPqSearchSql(m: Int, prefixCtes: String,
-      appPreJoins: String, appPostJoins: String): String = {
+      appPreJoins: String, appPostJoins: String,
+      corpusSrc: String = "embeddings", corpusVec: String = "embedding",
+      centName: String = "cent", qVec: String = "qv"): String = {
     def subDot(a: String, b: String, s: Int) =
       s"list_sum(list_transform(range(1, 9), i -> CAST($a[${s * 8} + i] AS DOUBLE) * CAST($b[${s * 8} + i] AS DOUBLE)))"
-    val qds = (0 until m).map(s => s"    ${subDot("q.qv", "c.cf", s)} AS d$s").mkString(",\n")
-    val eds = (0 until m).map(s => s"    ${subDot("e.embedding", "c.cf", s)} AS d$s").mkString(",\n")
+    val qds = (0 until m).map(s => s"    ${subDot(s"q.$qVec", "c.cf", s)} AS d$s").mkString(",\n")
+    val eds = (0 until m).map(s => s"    ${subDot(s"e.$corpusVec", "c.cf", s)} AS d$s").mkString(",\n")
     val rns = (0 until m).map(s =>
       s"    row_number() OVER (PARTITION BY vec_id ORDER BY d$s DESC, clabel) AS r$s").mkString(",\n")
     val codeCols = (0 until m).map(s =>
@@ -451,11 +458,11 @@ object SimilarityQueries {
     s"""$prefixCtes, qcd AS (
       |  SELECT q.query_id, c.clabel,
       |$qds
-      |  FROM q CROSS JOIN cent c
+      |  FROM q CROSS JOIN $centName c
       |), ecd AS (
       |  SELECT e.vec_id, c.clabel,
       |$eds
-      |  FROM embeddings e CROSS JOIN cent c
+      |  FROM $corpusSrc e CROSS JOIN $centName c
       |), er AS (
       |  SELECT vec_id, clabel,
       |$rns
@@ -551,6 +558,65 @@ object SimilarityQueries {
       |GROUP BY clabel ORDER BY cluster""".stripMargin
   }
 
+  // s08 — residual IVF+PQ, the full FAISS-style layout: rows quantize to
+  // their cluster, the PQ codebook is learned on the RESIDUALS
+  // (emb − centroid — what remains after the coarse quantizer explains
+  // the vector), and queries score candidates by the ADC LUT of their
+  // OWN residual against the probed cluster. At nprobe = 1 the
+  // dot(query, centroid) term of the decomposed score is constant per
+  // query, so it cannot change the within-cluster ranking and is
+  // omitted. Residuals are computed with the double-subtract-then-round
+  // kernel (VecSubToFloat) so both engines hold bit-identical residual
+  // floats; the residual codebook is the bounded-fold mean of residuals
+  // per ORIGINAL label (per-cluster residual means would be ~0 —
+  // useless codewords).
+  def s08AnnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    import graft.functions.VectorFunctions.vecSub
+    val m = 8
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(emb, cent, Seq("vec_id"))
+    val withRes = assigned.join(broadcast(cent), col("cluster") === col("clabel"))
+      .withColumn("res", vecSub(col("embedding"), col("cf")))
+      .select("vec_id", "label", "cluster", "embedding", "res")
+    val resCent = graft.ops.Similarity.buildCentroids(
+      withRes, dim = 64, chunks = centroidChunks, embCol = "res")
+    val resCodebook = graft.ops.Similarity.collectCodebook(resCent)
+    val encoded = withRes.select(col("vec_id"), col("cluster"),
+      PqFunctions.pqCodes(col("res"), resCodebook, m).as("codes"))
+    val q = withRes.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("res").as("lv"), col("cluster").as("qc"))
+    pqSearch(emb, encoded, q, resCodebook, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+  }
+
+  val s08Oracle: String = {
+    val resExpr =
+      "list_transform(range(1, 65), i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cf[i] AS DOUBLE) AS FLOAT))"
+    duckPqSearchSql(8,
+      s"""WITH ${duckCentroidCtes(64, centroidChunks)}, r1 AS (
+        |  SELECT e.vec_id, e.label, e.embedding, c.clabel,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+        |  FROM embeddings e, cent c
+        |), a1 AS (
+        |  SELECT vec_id, label, embedding, clabel FROM r1 WHERE rn = 1
+        |), res AS (
+        |  SELECT a.vec_id, a.label, a.clabel AS cluster, a.embedding,
+        |    $resExpr AS res
+        |  FROM a1 a JOIN cent c ON c.clabel = a.clabel
+        |), ${duckCentroidCtes(64, centroidChunks, src = "res", sfx = "r", embCol = "res")}, q AS (
+        |  SELECT a.vec_id AS query_id, a.embedding AS qv, a.cluster AS qc,
+        |    a.res AS qres
+        |  FROM res a WHERE a.vec_id % 50 = 0
+        |)""".stripMargin,
+      appPreJoins = "  JOIN res a ON a.vec_id = co.vec_id\n",
+      appPostJoins = "\n  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.cluster",
+      corpusSrc = "res", corpusVec = "res", centName = "centr", qVec = "qres")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -559,6 +625,7 @@ object SimilarityQueries {
     "s05_ann_pq" -> (s05AnnPq _),
     "s06_ann_ivfpq" -> (s06AnnIvfPq _),
     "s07_kmeans" -> (s07Kmeans _),
+    "s08_ann_ivfpq_res" -> (s08AnnIvfPqResidual _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -571,6 +638,7 @@ object SimilarityQueries {
     "s05_ann_pq" -> s05Oracle,
     "s06_ann_ivfpq" -> s06Oracle,
     "s07_kmeans" -> s07Oracle,
+    "s08_ann_ivfpq_res" -> s08Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )

@@ -48,6 +48,23 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.isNullAt(0))
   }
 
+  test("vecSub: double-subtract-then-round semantics, null guards") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Option(Seq(1.5f, 2.5f, 0.1f)), Option(Seq(0.5f, 1.0f, 0.3f))),
+      (2L, Option(Seq(1.0f, 2.0f, 3.0f)), Option(Seq(1.0f, 2.0f))), // right short
+      (3L, Option.empty[Seq[Float]], Option(Seq(1.0f))))            // null left
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+        graft.functions.VectorFunctions.vecSub(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    val expected = Seq(1.5f, 2.5f, 0.1f).zip(Seq(0.5f, 1.0f, 0.3f))
+      .map { case (x, y) => (x.toDouble - y.toDouble).toFloat }
+    assert(rows(0).getSeq[Float](1) == expected)
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+  }
+
   test("rejects non-float-array inputs at analysis") {
     import spark.implicits._
     val ex = intercept[Exception] {
