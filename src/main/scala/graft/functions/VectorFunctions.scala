@@ -154,8 +154,10 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
   * `a - b` in f32 rounds the exact difference once, while double-then-
   * float rounds twice, and the two can differ in the last bit (double
   * rounding); picking the oracle's route makes the residuals
-  * bit-identical cross-engine. Output length = left's; a null element,
-  * null input, or shorter right side yields null. */
+  * bit-identical cross-engine. The two arrays must have EQUAL length —
+  * any mismatch (either direction) yields null, so a mis-wired operand
+  * fails loudly downstream instead of silently truncating; null
+  * elements/inputs also yield null. */
 case class VecSubToFloat(left: Expression, right: Expression)
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -178,7 +180,7 @@ case class VecSubToFloat(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (y.numElements() < n) return null
+    if (y.numElements() != n) return null
     val out = new Array[Float](n)
     var i = 0
     while (i < n) {

@@ -761,6 +761,12 @@ object CdcQueries {
   // instead of `format("binlog").load` — the exact surface a thrift/JDBC
   // or pure-SQL user gets. Shares cdc05's fixture and oracle; a mismatch
   // here with a green cdc05 isolates a catalog-resolution bug.
+  // Table lifecycle: DROP IF EXISTS + CREATE on every call (idempotent
+  // re-runs); the table intentionally survives the call — the returned
+  // DataFrame is lazy, so dropping here would break its execution. The
+  // driver sessions use the default in-memory catalog (session-scoped,
+  // like the temp views d09/t07 leave behind); a deployment with a
+  // persistent metastore should treat the fixed name as scratch.
   def cdc10CatalogSource(spark: SparkSession, dir: String): DataFrame = {
     val fixtureDir = writeCdc05Fixture(spark, dir)
     spark.sql("DROP TABLE IF EXISTS graft_cdc10_binlog")

@@ -102,12 +102,11 @@ object SimilarityQueries {
     * centroid doubles are bit-identical cross-engine without either engine
     * ever holding a whole cluster in one row. */
   private def duckCentroidCtes(dim: Int, chunks: Int, src: String = "embeddings",
-      labelCol: String = "label", sfx: String = "",
-      embCol: String = "embedding"): String =
+      sfx: String = "", embCol: String = "embedding"): String =
     s"""cpart$sfx AS (
-      |  SELECT $labelCol AS label, vec_id % $chunks AS chunk,
+      |  SELECT label, vec_id % $chunks AS chunk,
       |    list(struct_pack(id := vec_id, emb := $embCol) ORDER BY vec_id) AS vs
-      |  FROM $src GROUP BY $labelCol, vec_id % $chunks
+      |  FROM $src GROUP BY label, vec_id % $chunks
       |), cpsum$sfx AS (
       |  SELECT label, chunk,
       |    list_transform(range(1, ${dim + 1}), d -> list_sum(list_transform(vs, v -> CAST(v.emb[d] AS DOUBLE)))) AS psum,
@@ -356,11 +355,7 @@ object SimilarityQueries {
       codebook: Seq[(Long, Seq[Float])], m: Int, candK: Int,
       joinCond: org.apache.spark.sql.Column): DataFrame = {
     import graft.functions.PqFunctions
-    // LUT source: the optional `lv` column (e.g. the query RESIDUAL in
-    // s08) falls back to the query vector itself; re-rank always uses qv
-    val lutSrc = if (q.columns.contains("lv")) col("lv") else col("qv")
-    val ql = q.withColumn("lut", PqFunctions.pqLut(lutSrc, codebook, m))
-      .drop("lv")
+    val ql = q.withColumn("lut", PqFunctions.pqLut(col("qv"), codebook, m))
     val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
     val cand = encoded.join(broadcast(ql), joinCond)
       .withColumn("approx",
@@ -538,18 +533,17 @@ object SimilarityQueries {
   }
 
   val s07Oracle: String = {
-    def cosText(a: String, b: String) = duckCosOf(a, b)
     s"""WITH ${duckCentroidCtes(64, centroidChunks)}, r1 AS (
       |  SELECT e.vec_id, e.embedding, c.clabel,
       |    row_number() OVER (PARTITION BY e.vec_id
-      |      ORDER BY ${cosText("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
       |  FROM embeddings e, cent c
       |), a1 AS (
       |  SELECT vec_id, embedding, clabel AS label FROM r1 WHERE rn = 1
       |), ${duckCentroidCtes(64, centroidChunks, src = "a1", sfx = "2")}, r2 AS (
       |  SELECT e.vec_id, c.clabel,
       |    row_number() OVER (PARTITION BY e.vec_id
-      |      ORDER BY ${cosText("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
       |  FROM embeddings e, cent2 c
       |)
       |SELECT CAST(clabel AS BIGINT) AS cluster, COUNT(*) AS n_vecs,
@@ -559,17 +553,22 @@ object SimilarityQueries {
   }
 
   // s08 — residual IVF+PQ, the full FAISS-style layout: rows quantize to
-  // their cluster, the PQ codebook is learned on the RESIDUALS
+  // their cluster and the PQ codebook is learned on the RESIDUALS
   // (emb − centroid — what remains after the coarse quantizer explains
-  // the vector), and queries score candidates by the ADC LUT of their
-  // OWN residual against the probed cluster. At nprobe = 1 the
-  // dot(query, centroid) term of the decomposed score is constant per
-  // query, so it cannot change the within-cluster ranking and is
-  // omitted. Residuals are computed with the double-subtract-then-round
-  // kernel (VecSubToFloat) so both engines hold bit-identical residual
-  // floats; the residual codebook is the bounded-fold mean of residuals
-  // per ORIGINAL label (per-cluster residual means would be ~0 —
-  // useless codewords).
+  // the vector). Scoring uses the exact MIPS decomposition
+  // dot(q, ê) = dot(q, c) + dot(q, r̂_e): the LUT is built from the FULL
+  // query vector against the residual codewords, and at nprobe = 1 the
+  // dropped dot(q, c) term is constant per query, so within-cluster
+  // ranking is unchanged (building the LUT from the query residual
+  // instead would subtract a per-candidate dot(c, r̂_e) and silently
+  // degrade recall). Residuals are computed with the
+  // double-subtract-then-round kernel (VecSubToFloat) so both engines
+  // hold bit-identical residual floats; the residual codebook is the
+  // bounded-fold mean of residuals per ORIGINAL label (per-cluster
+  // residual means would be ~0 — useless codewords). The codebook
+  // collect executes the bounded assign+residual lineage once at build
+  // time (the CdcQueries-fixture pattern); the query-side branch prunes
+  // to the ~2% query rows via filter pushdown.
   def s08AnnIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PqFunctions
     import graft.functions.VectorFunctions.vecSub
@@ -587,7 +586,7 @@ object SimilarityQueries {
       PqFunctions.pqCodes(col("res"), resCodebook, m).as("codes"))
     val q = withRes.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("res").as("lv"), col("cluster").as("qc"))
+        col("cluster").as("qc"))
     pqSearch(emb, encoded, q, resCodebook, m, candK = 20,
       joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
   }
@@ -608,13 +607,12 @@ object SimilarityQueries {
         |    $resExpr AS res
         |  FROM a1 a JOIN cent c ON c.clabel = a.clabel
         |), ${duckCentroidCtes(64, centroidChunks, src = "res", sfx = "r", embCol = "res")}, q AS (
-        |  SELECT a.vec_id AS query_id, a.embedding AS qv, a.cluster AS qc,
-        |    a.res AS qres
+        |  SELECT a.vec_id AS query_id, a.embedding AS qv, a.cluster AS qc
         |  FROM res a WHERE a.vec_id % 50 = 0
         |)""".stripMargin,
       appPreJoins = "  JOIN res a ON a.vec_id = co.vec_id\n",
       appPostJoins = "\n  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.cluster",
-      corpusSrc = "res", corpusVec = "res", centName = "centr", qVec = "qres")
+      corpusSrc = "res", corpusVec = "res", centName = "centr")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
