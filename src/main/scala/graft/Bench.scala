@@ -38,13 +38,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Two SEPARATED full passes, min per query: residual multi-second
-    // stalls (major GC, background compilation) cluster in TIME, so
-    // consecutive best-of-2 repeats of one query can both land inside the
-    // same stall window (observed: 4.5 s twice for a 0.4 s query). A
-    // query's two measurements here are a full sweep apart, so a stall
-    // can't taint both. The d-family (dedup/near-dup, largest swings)
-    // gets a third measurement in the second pass.
+    // Three SEPARATED full passes, min per query, each pass in a DIFFERENT
+    // query order. Rationale (rounds 7/8 both produced misleading official
+    // artifacts): machine-load stalls cluster in TIME, so when every pass
+    // visits queries in the same alphabetical order, one multi-minute stall
+    // window covers the same contiguous query block in all passes and
+    // min() cannot remove it (r8: q04–q13 reported at 2.8–6× their true
+    // times). With pass 1 forward, pass 2 reversed, and pass 3 in a
+    // fixed-seed shuffle, a stall window taints a given query in at most
+    // one pass, and min-of-3 recovers the true time. Per-pass values are
+    // emitted in the JSON ("passes") so a stall is adjudicable from the
+    // artifact alone: a query whose three samples disagree wildly was
+    // stalled, not regressed.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       try {
@@ -56,23 +61,24 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
       }
-    val pass1 = ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
-    val pass2 = ordered.map { case (name, fn) =>
-      val t = once(name, fn)
-      val t2 = if (name.startsWith("d")) math.min(t, once(name, fn)) else t
-      name -> t2
-    }.toMap
+    def sweep(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Map[String, Double] =
+      order.map { case (name, fn) => name -> once(name, fn) }.toMap
+    val shuffled = new scala.util.Random(20260813L).shuffle(ordered)
+    val passes = Seq(sweep(ordered), sweep(ordered.reverse), sweep(shuffled))
     val results = ordered.map { case (name, _) =>
-      val (a, b) = (pass1(name), pass2(name))
-      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val samples = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (samples.isEmpty) -1.0 else samples.min)
     }
     // Locale.ROOT: the default-locale `f` interpolator would emit comma
     // decimal separators (invalid JSON) on comma-decimal locales
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val perPass = ordered.map { case (name, _) =>
+      "\"" + name + "\":[" + passes.map(p => fmt(p(name))).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$perPass,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

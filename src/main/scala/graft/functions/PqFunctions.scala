@@ -99,6 +99,15 @@ case class PqCodes(child: Expression, codebook: Seq[(Long, Seq[Float])], m: Int)
           dot += arr.getFloat(base + j).toDouble * cf(base + j).toDouble
           j += 1
         }
+        // NaN subspace dot (zero/NaN-contaminated operands) → map to
+        // +Infinity so it ranks FIRST regardless of codebook position,
+        // matching the oracle's `ORDER BY d DESC` (NaN sorts greatest in
+        // DuckDB). Without the mapping the argmax was asymmetric: a NaN
+        // at codebook index 0 won permanently (first=true) while a NaN at
+        // any later index could never win (`dot > NaN` is false). Ties
+        // between multiple NaN dots fall through to the label tie-break,
+        // the same order row_number's `, clabel` gives the oracle.
+        if (java.lang.Double.isNaN(dot)) dot = Double.PositiveInfinity
         if (first || dot > bestDot ||
             (dot == bestDot && labels(c) < bestLabel)) {
           bestDot = dot; bestLabel = labels(c); first = false

@@ -150,11 +150,13 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
 
 /** Elementwise float difference via DOUBLE subtraction rounded back to
   * float — `CAST(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE) AS FLOAT)`,
-  * exactly the DuckDB route the s08 oracle uses. NOT a bare f32 subtract:
-  * `a - b` in f32 rounds the exact difference once, while double-then-
-  * float rounds twice, and the two can differ in the last bit (double
-  * rounding); picking the oracle's route makes the residuals
-  * bit-identical cross-engine. The two arrays must have EQUAL length —
+  * textually the DuckDB route the s08 oracle uses. The two routes are in
+  * fact provably identical for binary32 operands (the f32 difference is
+  * exactly representable in binary64 — 53 ≥ 2·24+2 — so the second
+  * rounding is innocuous); the double-route is chosen purely to MIRROR
+  * the oracle's SQL expression shape, keeping the two engines' residual
+  * text in one-to-one correspondence, not because the results can
+  * differ. The two arrays must have EQUAL length —
   * any mismatch (either direction) yields null, so a mis-wired operand
   * fails loudly downstream instead of silently truncating; null
   * elements/inputs also yield null. */

@@ -171,29 +171,32 @@ object BinlogOffsetIndex {
       p.getFileSystem(conf).exists(p)
     } catch { case _: java.io.IOException => false }
 
-  /** Bounded pool for driver-side shard loads: planning-time filesystem
-    * round trips, IO-bound, so a fixed daemon pool (not the CPU-sized
-    * global pool) overlaps them. */
-  private lazy val loadPool: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(
-        32,
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-idx-load")
-          t.setDaemon(true)
-          t
-        }))
-
   /** Bound on one parallel planning sweep (shard loads or stats). On
     * expiry the caller degrades instead of hanging: ranges fall back to
     * whole-file decode, stats to a direct per-file call — the
     * "optimization, never a correctness dependency" contract again. */
   private val PlanningSweepTimeout = scala.concurrent.duration.Duration(5, "min")
 
+  /** Driver-side parallel sweep over planning-time filesystem round trips
+    * (IO-bound → fixed 32-thread daemon pool). The pool is PER SWEEP and
+    * `shutdownNow()`'d on exit: `Await.result`'s timeout abandons but does
+    * not cancel in-flight futures, so on a shared pool a wedged filesystem
+    * call would occupy a thread forever and repeated timeouts would starve
+    * every later sweep into silent whole-file-decode degradation (r8
+    * ADVICE). shutdownNow interrupts the stragglers and the pool dies with
+    * the sweep. */
   private def parallelSweep[A](files: Seq[String], what: String)(
       one: String => A): Option[Map[String, A]] = {
     import scala.concurrent.{Await, Future}
-    implicit val ec: scala.concurrent.ExecutionContext = loadPool
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(
+      32,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-idx-load")
+        t.setDaemon(true)
+        t
+      })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(exec)
     try Some(Await.result(
       Future.traverse(files)(f => Future(f -> one(f))), PlanningSweepTimeout).toMap)
     catch {
@@ -203,7 +206,7 @@ object BinlogOffsetIndex {
             s"$PlanningSweepTimeout; degrading (a hung filesystem call would " +
             "otherwise block planning forever)")
         None
-    }
+    } finally exec.shutdownNow()
   }
 
   /** [[loadFile]] over many files with the shard reads in parallel —

