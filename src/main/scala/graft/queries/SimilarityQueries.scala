@@ -353,7 +353,8 @@ object SimilarityQueries {
     * equi-joins that leave the corpus in place. */
   private def pqSearch(emb: DataFrame, encoded: DataFrame, q: DataFrame,
       codebook: Seq[(Long, Seq[Float])], m: Int, candK: Int,
-      joinCond: org.apache.spark.sql.Column): DataFrame = {
+      joinCond: org.apache.spark.sql.Column,
+      qExact: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PqFunctions
     val ql = q.withColumn("lut", PqFunctions.pqLut(col("qv"), codebook, m))
     val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
@@ -365,8 +366,11 @@ object SimilarityQueries {
       .filter(col("arank") <= candK)
       .select("query_id", "vec_id")
     val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    // multi-probe (s10): `q` carries one row per (query, probed cluster),
+    // so the exact re-rank must join a ONE-row-per-query set (`qExact`) or
+    // every candidate would duplicate through the query join
     emb.join(broadcast(cand), "vec_id")
-      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .join(broadcast(qExact.getOrElse(q).select("query_id", "qv")), "query_id")
       .withColumn("cos", cosineSim(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= 5)
@@ -421,6 +425,56 @@ object SimilarityQueries {
     pqSearch(emb, encoded, q, codebook, m, candK = 20,
       joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
   }
+
+  // s10 — IVF+PQ at nprobe=2, the production recall/cost dial composed
+  // with ADC scoring: each query probes its TWO nearest clusters (s04's
+  // multi-probe mechanism) and the PQ approx ranking runs over the union
+  // of both clusters' candidates. The candidate join stays a cluster-key
+  // EQUI-join (the probe table just carries two rows per query); the
+  // union needs no dedup because a corpus row has exactly one home
+  // cluster. Codes are the s06 non-residual layout, so the ADC score is
+  // cluster-independent and ranking across the union is well-defined —
+  // at nprobe>1 the residual layout would need the per-cluster dot(q,c)
+  // term added back (it is no longer constant per query), which is why
+  // the multi-probe composition gates the non-residual variant.
+  def s10AnnIvfPqProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val m = 8
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val encoded = assigned.select(col("vec_id"), col("cluster"),
+      PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+    val qRows = assigned.filter(col("vec_id") % 50 === 0)
+    val probes = graft.ops.Similarity.probeCentroids(
+        qRows.select("vec_id", "embedding"), cent, Seq("vec_id"), nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    pqSearch(emb, encoded, probes, codebook, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"),
+      qExact = Some(qRows.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+  }
+
+  val s10Oracle: String = duckPqSearchSql(8,
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), qp AS (
+      |  SELECT vec_id AS query_id, clabel AS qc
+      |  FROM ranked WHERE vec_id % 50 = 0 AND rn <= 2
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |)""".stripMargin,
+    appPreJoins = "  JOIN assigned a ON a.vec_id = co.vec_id\n",
+    appPostJoins = "\n  JOIN qp ON qp.query_id = q0.query_id AND qp.qc = a.clabel")
 
   /** One cosine text used by every oracle below (ascending fold in
     * doubles — duckCos's shape with nameable operands). */
@@ -677,6 +731,7 @@ object SimilarityQueries {
     "s07_kmeans" -> (s07Kmeans _),
     "s08_ann_ivfpq_res" -> (s08AnnIvfPqResidual _),
     "s09_kmeans_multi" -> (s09KmeansMulti _),
+    "s10_ann_ivfpq_probe" -> (s10AnnIvfPqProbe _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -691,6 +746,7 @@ object SimilarityQueries {
     "s07_kmeans" -> s07Oracle,
     "s08_ann_ivfpq_res" -> s08Oracle,
     "s09_kmeans_multi" -> s09Oracle,
+    "s10_ann_ivfpq_probe" -> s10Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
