@@ -24,6 +24,11 @@ import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
   *                               where a scheduled job owns the build)
   *     [--split-bytes <n>]      (target range size for the auto-built
   *                               index; default 128 MiB)
+  *     [--centroid-chunks <n>]  (sets `spark.graft.centroid.chunks` on the
+  *                               session — the bounded-centroid-fold sizing
+  *                               dial for similarity/k-means operators run
+  *                               in this session; see the sizing note on
+  *                               graft.ops.Similarity.buildCentroids)
   *
   * Outputs under --out (default /tmp/graft_out): `detail/` (every
   * non-match row), `breakdown/` (per schema/table/status counts), a
@@ -44,7 +49,8 @@ object Main {
       out: String = "/tmp/graft_out",
       splitIndex: Option[String] = None,
       splitIndexAutoBuild: Boolean = true,
-      splitBytes: Option[Long] = None)
+      splitBytes: Option[Long] = None,
+      centroidChunks: Option[Int] = None)
 
   def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
@@ -61,6 +67,10 @@ object Main {
       parseArgs(rest, acc.copy(splitIndexAutoBuild = false))
     case "--split-bytes" :: v :: rest =>
       parseArgs(rest, acc.copy(splitBytes = Some(v.toLong)))
+    case "--centroid-chunks" :: v :: rest =>
+      val n = v.toInt
+      require(n > 0, s"--centroid-chunks must be positive, got $n")
+      parseArgs(rest, acc.copy(centroidChunks = Some(n)))
     case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
   }
 
@@ -81,6 +91,12 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deployment dial for the bounded centroid fold (graft.ops.Similarity):
+    // not used by the CDC pipeline below, but the CLI owns the session, so
+    // this is where a deployment sizes the fold for any similarity/k-means
+    // work sharing it (the sizing note at Similarity.buildCentroids)
+    args.centroidChunks.foreach(n =>
+      spark.conf.set(graft.ops.Similarity.ChunksConfKey, n.toString))
 
     // A3 — the reference's shell job metrics (comparator.sh:103-107,
     // avro_to_json.sh:75-85): count each side's input files up front and

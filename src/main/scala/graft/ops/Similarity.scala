@@ -17,6 +17,34 @@ import graft.functions.VectorFunctions.cosineSim
   */
 object Similarity {
 
+  /** Session-conf deployment dial for the bounded centroid fold's chunk
+    * count (see [[buildCentroids]]'s sizing note): operators that are not
+    * passed an explicit `chunks` resolve it from
+    * `spark.graft.centroid.chunks` (default 1024), so a deployment sizes
+    * the fold to its expected max cluster size without a code change —
+    * `--centroid-chunks` in [[graft.cli.Main]] sets it for CLI-launched
+    * sessions. The value is part of the fold-order contract: any oracle
+    * mirroring the fold must bake the SAME value (the gate queries pin
+    * theirs via `SimilarityQueries.centroidChunks` on both engines). */
+  val ChunksConfKey = "spark.graft.centroid.chunks"
+  val DefaultChunks = 1024
+
+  /** Resolve the fold chunk count: an explicit positive `chunks` wins;
+    * otherwise the session conf; loud failure on a non-positive or
+    * non-integer setting. */
+  def resolveChunks(spark: org.apache.spark.sql.SparkSession, chunks: Int): Int = {
+    if (chunks > 0) chunks
+    else {
+      val raw = spark.conf.get(ChunksConfKey, DefaultChunks.toString)
+      val v = try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$ChunksConfKey must be a positive integer, got '$raw'")
+      }
+      require(v > 0, s"$ChunksConfKey must be positive, got $v")
+      v
+    }
+  }
+
   /** Exact top-k neighbors per query by cosine. `corpus` (idCol, embCol);
     * `queries` (queryIdCol, queryEmbCol) — broadcast. Ties broken by
     * neighbor id. Output: (query_id, rank, neighbor_id, cos). */
@@ -155,19 +183,20 @@ object Similarity {
     *
     * Returns the centroid table after `iters` reassign+recompute
     * rounds. */
-  def kmeansCentroids(df: DataFrame, dim: Int, iters: Int, chunks: Int = 1024,
+  def kmeansCentroids(df: DataFrame, dim: Int, iters: Int, chunks: Int = 0,
       reseedEmpty: Boolean = false, labelCol: String = "label",
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     val spark = df.sparkSession
-    var cent = buildCentroids(df, dim, chunks, labelCol, idCol, embCol)
+    val nChunks = resolveChunks(spark, chunks)
+    var cent = buildCentroids(df, dim, nChunks, labelCol, idCol, embCol)
     (0 until iters).foreach { _ =>
       val cb = collectCodebook(cent)
       val centLit = codebookDf(spark, cb)
       val assigned = assignToCentroids(
         df.select(col(idCol), col(embCol)), centLit, Seq(idCol), embCol)
       var nextCb = collectCodebook(
-        buildCentroids(assigned, dim, chunks, "cluster", idCol, embCol))
+        buildCentroids(assigned, dim, nChunks, "cluster", idCol, embCol))
       if (reseedEmpty) {
         val emptied = cb.map(_._1).filterNot(nextCb.map(_._1).toSet)
         if (emptied.nonEmpty) {
@@ -282,15 +311,18 @@ object Similarity {
     * (~512 KB at the defaults). The parameter is part of the fold-order
     * contract — the oracle must use the same value (s03/s04 bake
     * `SimilarityQueries.centroidChunks` into both engines), so change it
-    * per-deployment, not per-run.
+    * per-deployment, not per-run. `chunks = 0` (the default) resolves the
+    * per-deployment value from [[ChunksConfKey]], the no-code-change dial
+    * the 100×-scale sizing note above calls for.
     *
     * Output: (`clabel`, `cf` array<float>) — broadcast-sized, one row per
     * label. */
-  def buildCentroids(df: DataFrame, dim: Int, chunks: Int = 1024,
+  def buildCentroids(df: DataFrame, dim: Int, chunks: Int = 0,
       labelCol: String = "label", idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    val nChunks = resolveChunks(df.sparkSession, chunks)
     val partials = df
-      .groupBy(col(labelCol), (col(idCol) % chunks).as("_chunk"))
+      .groupBy(col(labelCol), (col(idCol) % nChunks).as("_chunk"))
       .agg(array_sort(collect_list(struct(col(idCol).as("id"), col(embCol).as("emb"))))
         .as("vs"))
       .select(col(labelCol), col("_chunk"),

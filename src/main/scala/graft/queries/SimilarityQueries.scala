@@ -52,11 +52,22 @@ object SimilarityQueries {
   lazy val lshTables: Seq[Seq[Seq[Int]]] =
     (0 until 8).map(t => planeTable(s"tplane_$t", 8))
 
-  /** Chunk count for the bounded centroid fold (s03/s04): bounds the
+  /** Chunk count for the bounded centroid fold (s03–s10): bounds the
     * level-2 fold row at `chunks` × 64 doubles (~512 KB) no matter how
     * large a cluster grows. Baked identically into the Spark plan and the
-    * oracle — the chunking is part of the deterministic-fold contract. */
-  val centroidChunks: Int = 1024
+    * oracle — the chunking is part of the deterministic-fold contract.
+    * Deployment-overridable WITHOUT code via `-Dgraft.centroidChunks=N`:
+    * a JVM property (not a session conf) because the oracle SQL strings
+    * are object-init vals — both the Spark plans and the oracle text
+    * derive from this one value, so the gate stays exact at any setting.
+    * (The operator layer's session dial is
+    * [[graft.ops.Similarity.ChunksConfKey]]; the gate queries pass this
+    * value explicitly so query and oracle can never disagree.) */
+  val centroidChunks: Int = {
+    val v = sys.props.get("graft.centroidChunks").map(_.toInt).getOrElse(1024)
+    require(v > 0, s"graft.centroidChunks must be positive, got $v")
+    v
+  }
 
   /** DuckDB `VALUES` rows `(tbl, pj, pvec)` — one row per plane, `pvec`
     * a 64-element ±1 list literal. Feeding the planes in as a relation

