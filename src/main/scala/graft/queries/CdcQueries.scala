@@ -34,6 +34,16 @@ import graft.cdc.{Comparator, Report}
 object CdcQueries {
 
   private def sides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (binlog, avroRaw) = sidesRaw(spark, dir)
+    (binlog, Comparator.prepareAvro(avroRaw))
+  }
+
+  /** The synthesized inputs with the avro side RAW (un-prepared): cdc12
+    * streams the raw feed from disk and prepares it inside the streaming
+    * plan, so the prepare projections are part of what the drain
+    * exercises. Binlog side is returned prepared (it is the static side
+    * in both consumers). */
+  private def sidesRaw(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = Tables.events(spark, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
       expr("ts div 1000000000").as("sec"))
@@ -92,8 +102,7 @@ object CdcQueries {
         (col("event_id") + 20000000L).as("binlog_position"))
 
     val prepared = Comparator.prepareBinlog(binlog, col("event_id"))
-    val avro = Comparator.prepareAvro(avroMain.unionByName(avroExtra))
-    (prepared, avro)
+    (prepared, avroMain.unionByName(avroExtra))
   }
 
   /** The three report queries are views over ONE comparison run — exactly
@@ -808,6 +817,43 @@ object CdcQueries {
       .orderBy("o_orderkey")
   }
 
+  // cdc12 — the STREAMING family under the oracle gate (r8 VERDICT
+  // stretch #7): the avro change feed is drained as a bounded Structured
+  // Streaming source (Trigger.AvailableNow over a JSON-lines fixture of
+  // cdc01's exact avro side) through the stream-static comparator, the
+  // BINLOG_ONLY family is reconciled in the documented end-of-stream
+  // batch step, and the union's status counts share cdc01's oracle — so
+  // the gate now pins "drained stream == batch compare" on real data,
+  // where StreamingComparatorSpec could only pin it on a 5-row vector.
+  // The drain lands in a parquet sink (bounded, distributed — never a
+  // driver collect) and the returned frame is a lazy scan over it plus
+  // the reconciliation join.
+  def cdc12StreamDrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc12_", dir)
+    val feed = new java.io.File(root, "feed").getPath
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val (binlogStatic, avroRaw) = sidesRaw(spark, dir)
+    avroRaw.write.mode("overwrite").json(feed)
+    val avroStream = Comparator.prepareAvro(
+      spark.readStream.schema(avroRaw.schema).json(feed))
+    val q = graft.streaming.StreamingComparator
+      .compareStream(avroStream, binlogStatic)
+      .select("binlog_file", "position", "status")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val drained = spark.read.parquet(sink)
+    val binlogOnly = graft.streaming.StreamingComparator.reconcileBinlogOnly(
+        binlogStatic,
+        drained.select(col("binlog_file"), col("position").as("binlog_position")))
+      .select("binlog_file", "position", "status")
+    drained.unionByName(binlogOnly)
+      .groupBy("status").count().orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -820,6 +866,7 @@ object CdcQueries {
     "cdc09_avrojson_source" -> (cdc09AvroJsonSource _),
     "cdc10_catalog_source" -> (cdc10CatalogSource _),
     "cdc11_catalog_avro" -> (cdc11CatalogAvro _),
+    "cdc12_stream_drain" -> (cdc12StreamDrain _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -834,5 +881,6 @@ object CdcQueries {
     "cdc09_avrojson_source" -> cdc09Oracle,
     "cdc10_catalog_source" -> cdc05Oracle, // same decode, catalog-routed
     "cdc11_catalog_avro" -> cdc07Oracle, // same container read, catalog-routed
+    "cdc12_stream_drain" -> cdc01Oracle, // drained stream == batch compare
   )
 }
