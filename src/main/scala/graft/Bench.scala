@@ -22,14 +22,15 @@ object Bench {
       // analogue of sizing maxPartitionBytes to the cluster; at real
       // scale file volume provides this parallelism on its own.
       .config("spark.sql.files.minPartitionNum", cpus)
-      // Same local-mode parallelism reasoning, shuffle side: AQE's default
-      // 1 MB coalesce floor squeezes the tiny-but-CPU-heavy mid-pipeline
-      // exchanges (p01's shingle/explode stages: ~2 MB of posting data,
-      // >1 s of hashing) onto 2 tasks. A 64 KB floor lets those stages
-      // keep enough partitions for the cores; at real scale exchanges
-      // dwarf both floors and coalescing targets advisoryPartitionSize,
-      // so the setting is inert there. (ProfileP01: 2.2 s → 1.4 s.)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
+      // Evaluated and NOT adopted (r9): lowering the AQE coalesce floor
+      // (spark.sql.adaptive.coalescePartitions.minPartitionSize=64KB) to
+      // spread p01's 2-task shingle stages looked like a win in isolated
+      // consecutive runs (2.2 s → 1.4 s) but in the full bench context it
+      // left p01 flat (~2.24 s — the residual is driver-side codegen
+      // re-JIT + 10 sequential AQE job barriers, not task skew) while
+      // slowing the whole d-family 1.2–1.46× (finer partitions = more
+      // task overhead on already-fast queries). docs/PLANS.md has the
+      // stage-level attribution.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
