@@ -845,7 +845,13 @@ object CdcQueries {
       .option("path", sink).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val drained = spark.read.parquet(sink)
+    // explicit schema + pre-created dir: an EMPTY feed (a legal quiet
+    // period) runs zero micro-batches, so the sink may contain no parquet
+    // files — schema inference would throw where an empty relation (and
+    // BINLOG_ONLY-only counts from the reconciliation) is the right answer
+    new java.io.File(sink).mkdirs()
+    val drained = spark.read.schema(
+        "binlog_file STRING, position BIGINT, status STRING").parquet(sink)
     val binlogOnly = graft.streaming.StreamingComparator.reconcileBinlogOnly(
         binlogStatic,
         drained.select(col("binlog_file"), col("position").as("binlog_position")))
