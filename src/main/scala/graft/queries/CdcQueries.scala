@@ -299,7 +299,14 @@ object CdcQueries {
   // /root/reference/comparator.sh:85-101, README.md:35-52.
   def cdc05BinarySource(spark: SparkSession, dir: String): DataFrame = {
     val fixtureDir = writeCdc05Fixture(spark, dir)
-    spark.read.format("binlog").load(fixtureDir)
+    cdc05Projection(spark.read.format("binlog").load(fixtureDir))
+      .orderBy("o_orderkey")
+  }
+
+  /** The cdc05 decode projection, shared verbatim with cdc13's streaming
+    * drain so the two routes cannot drift. */
+  private def cdc05Projection(decoded: DataFrame): DataFrame =
+    decoded
       .filter(col("event_type") === "WriteRowsEventV2")
       .select(explode(col("row_images")).as("img"))
       .select(
@@ -311,8 +318,6 @@ object CdcQueries {
         element_at(col("img"), 6).as("total_dec"),
         element_at(col("img"), 7).as("o_date"),
         element_at(col("img"), 8).as("priority"))
-      .orderBy("o_orderkey")
-  }
 
   /** Encode the cdc05 test vector: 200 orders rows → two checksummed
     * binlog files (two 50-row WRITE_ROWS events per file, wrapped in
@@ -860,6 +865,36 @@ object CdcQueries {
       .groupBy("status").count().orderBy("status")
   }
 
+  // cdc13 — the native binlog DSv2 source in its STREAMING role under the
+  // gate: `readStream.format("binlog")` tails cdc05's exact fixture, the
+  // bounded feed drains with Trigger.AvailableNow into a parquet sink
+  // (distributed — no driver collect), and the drained rows go through
+  // cdc05's shared projection and oracle. With cdc12 gating the
+  // comparator's streaming JOIN semantics, this gates the streaming
+  // SOURCE's micro-batch planning/decode: a divergence between the
+  // batch and streaming read paths of BinlogDataSource (offset ordering,
+  // partial-file splits, row_images decode) was previously visible only
+  // to NativeStreamEndToEndSpec's synthetic vectors.
+  def cdc13StreamBinlog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val fixtureDir = writeCdc05Fixture(spark, dir)
+    val root = tmpFixtureDir("graft_cdc13_", dir) // wipes stale ckpt too —
+    root.mkdirs() //  a reused checkpoint would silently skip the re-decode
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val q = cdc05Projection(spark.readStream.format("binlog").load(fixtureDir))
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
+    spark.read.schema("o_orderkey BIGINT, flags_bit BIGINT, status_idx BIGINT, " +
+        "meta_json STRING, o_custkey BIGINT, total_dec STRING, o_date STRING, " +
+        "priority STRING")
+      .parquet(sink)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -873,6 +908,7 @@ object CdcQueries {
     "cdc10_catalog_source" -> (cdc10CatalogSource _),
     "cdc11_catalog_avro" -> (cdc11CatalogAvro _),
     "cdc12_stream_drain" -> (cdc12StreamDrain _),
+    "cdc13_stream_binlog" -> (cdc13StreamBinlog _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -888,5 +924,6 @@ object CdcQueries {
     "cdc10_catalog_source" -> cdc05Oracle, // same decode, catalog-routed
     "cdc11_catalog_avro" -> cdc07Oracle, // same container read, catalog-routed
     "cdc12_stream_drain" -> cdc01Oracle, // drained stream == batch compare
+    "cdc13_stream_binlog" -> cdc05Oracle, // streamed decode == batch decode
   )
 }
