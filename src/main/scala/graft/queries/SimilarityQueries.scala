@@ -365,13 +365,19 @@ object SimilarityQueries {
   private def pqSearch(emb: DataFrame, encoded: DataFrame, q: DataFrame,
       codebook: Seq[(Long, Seq[Float])], m: Int, candK: Int,
       joinCond: org.apache.spark.sql.Column,
-      qExact: Option[DataFrame] = None): DataFrame = {
+      qExact: Option[DataFrame] = None,
+      approxBoost: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.functions.PqFunctions
     val ql = q.withColumn("lut", PqFunctions.pqLut(col("qv"), codebook, m))
     val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
+    // approxBoost (s11): a probe-side double added to the ADC score —
+    // the per-cluster dot(q, c) term of the residual MIPS decomposition,
+    // required for cross-cluster comparability at nprobe > 1. Kept
+    // conditional (not `+ lit(0.0)`) so single-probe siblings' doubles
+    // stay byte-identical to their r8-gated values.
+    val lutScore = PqFunctions.pqLutScore(col("lut"), col("codes"), codebook, m)
     val cand = encoded.join(broadcast(ql), joinCond)
-      .withColumn("approx",
-        PqFunctions.pqLutScore(col("lut"), col("codes"), codebook, m))
+      .withColumn("approx", approxBoost.fold(lutScore)(b => lutScore + b))
       .select("query_id", "vec_id", "approx")
       .withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= candK)
@@ -503,7 +509,8 @@ object SimilarityQueries {
   private def duckPqSearchSql(m: Int, prefixCtes: String,
       appPreJoins: String, appPostJoins: String,
       corpusSrc: String = "embeddings", corpusVec: String = "embedding",
-      centName: String = "cent", qVec: String = "qv"): String = {
+      centName: String = "cent", qVec: String = "qv",
+      approxBoost: String = ""): String = {
     def subDot(a: String, b: String, s: Int) =
       s"list_sum(list_transform(range(1, 9), i -> CAST($a[${s * 8} + i] AS DOUBLE) * CAST($b[${s * 8} + i] AS DOUBLE)))"
     val qds = (0 until m).map(s => s"    ${subDot(s"q.$qVec", "c.cf", s)} AS d$s").mkString(",\n")
@@ -532,7 +539,7 @@ object SimilarityQueries {
       |$codeCols
       |  FROM er GROUP BY vec_id
       |), app AS (
-      |  SELECT co.vec_id, q0.query_id, $approx AS approx
+      |  SELECT co.vec_id, q0.query_id, $approx$approxBoost AS approx
       |  FROM codes co
       |$appPreJoins  JOIN qcd q0 ON q0.clabel = co.code0
       |$codeJoins$appPostJoins
@@ -732,6 +739,87 @@ object SimilarityQueries {
       corpusSrc = "res", corpusVec = "res", centName = "centr")
   }
 
+  /** Ascending-index dot product in doubles over two `array<float>`
+    * columns — the exact Spark mirror of the oracle's
+    * `list_sum(list_transform(list_zip(a, b), ...))` (same fold order,
+    * float→double casts exact, so the doubles are bit-identical).
+    * Interpreted HOF, used ONLY on broadcast-sized probe rows (the hot
+    * path keeps the codegen'd kernels). */
+  private def dotD(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  // s11 — residual IVF+PQ at nprobe=2: the COMPLETE production FAISS
+  // search path (coarse quantizer + residual codes + multi-probe). At
+  // nprobe > 1 the residual decomposition's dot(q, c) term is no longer
+  // constant per query — each probed cluster contributes its own — so the
+  // candidate score restores it explicitly:
+  //   approx = dot(q, c_probe) + Σ_s LUT[q](code_s)   ≈ dot(q, ê)
+  // (s08's comment documents exactly this requirement; s10 took the
+  // non-residual escape hatch). The dot(q, c_probe) is computed ONCE per
+  // (query, probe) on the broadcast side with the ascending double fold
+  // both engines share; candidates still move only (query_id, vec_id,
+  // approx) and the join stays a cluster-key equi-join.
+  def s11AnnIvfPqResProbe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    import graft.functions.VectorFunctions.vecSub
+    val m = 8
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(emb, cent, Seq("vec_id"))
+    val withRes = assigned.join(broadcast(cent), col("cluster") === col("clabel"))
+      .withColumn("res", vecSub(col("embedding"), col("cf")))
+      .select("vec_id", "label", "cluster", "embedding", "res")
+    val resCent = graft.ops.Similarity.buildCentroids(
+      withRes, dim = 64, chunks = centroidChunks, embCol = "res")
+    val resCodebook = graft.ops.Similarity.collectCodebook(resCent)
+    val encoded = withRes.select(col("vec_id"), col("cluster"),
+      PqFunctions.pqCodes(col("res"), resCodebook, m).as("codes"))
+    val qRows = withRes.filter(col("vec_id") % 50 === 0)
+    val probes = graft.ops.Similarity.probeCentroids(
+        qRows.select("vec_id", "embedding"), cent, Seq("vec_id"), nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+      .join(broadcast(cent), col("qc") === col("clabel"))
+      .withColumn("qcdot", dotD(col("qv"), col("cf")))
+      .select("query_id", "qv", "qc", "qcdot")
+    pqSearch(emb, encoded, probes, resCodebook, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"),
+      qExact = Some(qRows.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))),
+      approxBoost = Some(col("qcdot")))
+  }
+
+  val s11Oracle: String = {
+    val dotQC =
+      "list_sum(list_transform(list_zip(r.embedding, c.cf), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    duckPqSearchSql(8,
+      s"""WITH ${duckCentroidCtes(64, centroidChunks)}, r1 AS (
+        |  SELECT e.vec_id, e.label, e.embedding, c.clabel,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+        |  FROM embeddings e, cent c
+        |), a1 AS (
+        |  SELECT vec_id, label, embedding, clabel FROM r1 WHERE rn = 1
+        |), res AS (
+        |  SELECT a.vec_id, a.label, a.clabel AS cluster, a.embedding,
+        |    list_transform(range(1, 65), i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cf[i] AS DOUBLE) AS FLOAT)) AS res
+        |  FROM a1 a JOIN cent c ON c.clabel = a.clabel
+        |), ${duckCentroidCtes(64, centroidChunks, src = "res", sfx = "r", embCol = "res")}, qp AS (
+        |  SELECT r.vec_id AS query_id, r.clabel AS qc, $dotQC AS qcdot
+        |  FROM r1 r JOIN cent c ON c.clabel = r.clabel
+        |  WHERE r.vec_id % 50 = 0 AND r.rn <= 2
+        |), q AS (
+        |  SELECT a.vec_id AS query_id, a.embedding AS qv
+        |  FROM res a WHERE a.vec_id % 50 = 0
+        |)""".stripMargin,
+      appPreJoins = "  JOIN res a ON a.vec_id = co.vec_id\n",
+      appPostJoins = "\n  JOIN qp ON qp.query_id = q0.query_id AND qp.qc = a.cluster",
+      corpusSrc = "res", corpusVec = "res", centName = "centr",
+      approxBoost = " + qp.qcdot")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -743,6 +831,7 @@ object SimilarityQueries {
     "s08_ann_ivfpq_res" -> (s08AnnIvfPqResidual _),
     "s09_kmeans_multi" -> (s09KmeansMulti _),
     "s10_ann_ivfpq_probe" -> (s10AnnIvfPqProbe _),
+    "s11_ann_ivfpq_res_probe" -> (s11AnnIvfPqResProbe _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -758,6 +847,7 @@ object SimilarityQueries {
     "s08_ann_ivfpq_res" -> s08Oracle,
     "s09_kmeans_multi" -> s09Oracle,
     "s10_ann_ivfpq_probe" -> s10Oracle,
+    "s11_ann_ivfpq_res_probe" -> s11Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
