@@ -89,6 +89,7 @@ case class PqCodes(child: Expression, codebook: Seq[(Long, Seq[Float])], m: Int)
       val base = s * sub
       var bestLabel = 0L
       var bestDot = Double.NegativeInfinity
+      var bestNaN = false
       var first = true
       var c = 0
       while (c < labels.length) {
@@ -99,18 +100,27 @@ case class PqCodes(child: Expression, codebook: Seq[(Long, Seq[Float])], m: Int)
           dot += arr.getFloat(base + j).toDouble * cf(base + j).toDouble
           j += 1
         }
-        // NaN subspace dot (zero/NaN-contaminated operands) → map to
-        // +Infinity so it ranks FIRST regardless of codebook position,
-        // matching the oracle's `ORDER BY d DESC` (NaN sorts greatest in
-        // DuckDB). Without the mapping the argmax was asymmetric: a NaN
-        // at codebook index 0 won permanently (first=true) while a NaN at
-        // any later index could never win (`dot > NaN` is false). Ties
-        // between multiple NaN dots fall through to the label tie-break,
-        // the same order row_number's `, clabel` gives the oracle.
-        if (java.lang.Double.isNaN(dot)) dot = Double.PositiveInfinity
-        if (first || dot > bestDot ||
-            (dot == bestDot && labels(c) < bestLabel)) {
-          bestDot = dot; bestLabel = labels(c); first = false
+        // NaN subspace dot (zero/NaN/Inf-contaminated operands) ranks
+        // FIRST — strictly above +Infinity — matching the oracle's
+        // `ORDER BY d DESC` (DuckDB sorts NaN greatest, above Inf).
+        // Tracked as an explicit flag rather than mapped to +Infinity:
+        // a +Inf dot (an Inf embedding value against a non-zero
+        // codeword dim) and a NaN dot (the same value against a zero
+        // dim, Inf*0) can coexist in one argmax, and collapsing NaN to
+        // +Inf would let the label tie-break pick the Inf candidate
+        // where DuckDB codes the NaN one. Without any handling the
+        // argmax was asymmetric: a NaN at codebook index 0 won
+        // permanently (first=true) while a later NaN never could
+        // (`dot > NaN` is false). Ties among NaNs (and among equal
+        // non-NaNs) fall to the label, row_number's `, clabel` order.
+        val nan = java.lang.Double.isNaN(dot)
+        val better =
+          if (first) true
+          else if (nan || bestNaN)
+            (nan && !bestNaN) || (nan && bestNaN && labels(c) < bestLabel)
+          else dot > bestDot || (dot == bestDot && labels(c) < bestLabel)
+        if (better) {
+          bestDot = dot; bestLabel = labels(c); bestNaN = nan; first = false
         }
         c += 1
       }

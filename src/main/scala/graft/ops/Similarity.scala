@@ -33,6 +33,13 @@ object Similarity {
     * otherwise the session conf; loud failure on a non-positive or
     * non-integer setting. */
   def resolveChunks(spark: org.apache.spark.sql.SparkSession, chunks: Int): Int = {
+    // exactly 0 means "resolve from conf"; a NEGATIVE explicit argument is
+    // a caller bug (e.g. a config subtraction gone negative) and must fail
+    // loudly, not silently fall back to the session default — the fold
+    // chunking is an oracle contract, so a masked wrong value surfaces as
+    // an inexplicable gate mismatch far from the cause
+    require(chunks >= 0,
+      s"chunks must be positive, or 0 to resolve from $ChunksConfKey; got $chunks")
     if (chunks > 0) chunks
     else {
       val raw = spark.conf.get(ChunksConfKey, DefaultChunks.toString)
@@ -214,6 +221,15 @@ object Similarity {
             .select(col("_emb"))
             .collect()
             .map(_.getSeq[Float](0))
+          // loud, not silent: zip would TRUNCATE when the ranking returns
+          // fewer rows than emptied labels (corpus smaller than the label
+          // set, or every cluster emptied → no surviving centroids to rank
+          // against) — the caller opted into reseeding, so quietly losing
+          // clusters is the exact failure mode reseedEmpty exists to stop
+          require(far.length == emptied.size,
+            s"cannot reseed ${emptied.size} emptied cluster(s) " +
+              s"(${emptied.sorted.mkString(", ")}): only ${far.length} " +
+              "candidate row(s) available to rank against the surviving centroids")
           nextCb = (nextCb ++ emptied.sorted.zip(far.toSeq)).sortBy(_._1)
         }
       }

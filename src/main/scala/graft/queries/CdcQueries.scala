@@ -786,18 +786,7 @@ object CdcQueries {
     spark.sql("DROP TABLE IF EXISTS graft_cdc10_binlog")
     spark.sql(
       s"CREATE TABLE graft_cdc10_binlog USING binlog OPTIONS (path '$fixtureDir')")
-    spark.table("graft_cdc10_binlog")
-      .filter(col("event_type") === "WriteRowsEventV2")
-      .select(explode(col("row_images")).as("img"))
-      .select(
-        element_at(col("img"), 1).cast("long").as("o_orderkey"),
-        element_at(col("img"), 2).cast("long").as("flags_bit"),
-        element_at(col("img"), 3).cast("long").as("status_idx"),
-        element_at(col("img"), 4).as("meta_json"),
-        element_at(col("img"), 5).cast("long").as("o_custkey"),
-        element_at(col("img"), 6).as("total_dec"),
-        element_at(col("img"), 7).as("o_date"),
-        element_at(col("img"), 8).as("priority"))
+    cdc05Projection(spark.table("graft_cdc10_binlog"))
       .orderBy("o_orderkey")
   }
 

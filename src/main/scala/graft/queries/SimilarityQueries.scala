@@ -64,8 +64,16 @@ object SimilarityQueries {
     * [[graft.ops.Similarity.ChunksConfKey]]; the gate queries pass this
     * value explicitly so query and oracle can never disagree.) */
   val centroidChunks: Int = {
-    val v = sys.props.get("graft.centroidChunks").map(_.toInt).getOrElse(1024)
-    require(v > 0, s"graft.centroidChunks must be positive, got $v")
+    val v = sys.props.get("graft.centroidChunks").map { raw =>
+      // name the property on a bad value: a bare NumberFormatException
+      // inside this object initializer would surface as an opaque
+      // ExceptionInInitializerError with no hint at the one-char typo
+      try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"-Dgraft.centroidChunks must be a positive integer, got '$raw'")
+      }
+    }.getOrElse(1024)
+    require(v > 0, s"-Dgraft.centroidChunks must be positive, got $v")
     v
   }
 

@@ -49,6 +49,28 @@ class PqFunctionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("PqCodes NaN ranks first — strictly above +Infinity, position-independent") {
+    val spark2 = spark
+    import spark2.implicits._
+    // dim 2, m 1: an Inf embedding value gives dot = +Inf against a
+    // codeword with a non-zero first dim and dot = NaN (Inf * 0) against
+    // a zero first dim. DuckDB's ORDER BY d DESC, clabel codes the NaN
+    // codeword (NaN sorts above Inf) — both label orders must agree, and
+    // collapsing NaN to +Inf (the r9 first fix) would wrongly let the
+    // label tie-break pick the Inf codeword when it has the lower label.
+    val inf = Float.PositiveInfinity
+    def code(cb: Seq[(Long, Seq[Float])]): Long =
+      Seq((1L, Seq(inf, 1f))).toDF("id", "emb")
+        .select(PqFunctions.pqCodes(col("emb"), cb, 1).as("c"))
+        .collect().head.getSeq[Long](0).head
+    // NaN codeword carries the HIGHER label → must still win
+    assert(code(Seq(0L -> Seq(1f, 1f), 1L -> Seq(0f, 1f))) == 1L)
+    // NaN codeword carries the LOWER label → wins too
+    assert(code(Seq(0L -> Seq(0f, 1f), 1L -> Seq(1f, 1f))) == 0L)
+    // two NaN codewords → label tie-break
+    assert(code(Seq(0L -> Seq(0f, 1f), 1L -> Seq(0f, 2f))) == 0L)
+  }
+
   test("PqLut + PqLutScore equal the sum of encoded subspace dots") {
     val spark2 = spark
     import spark2.implicits._

@@ -81,14 +81,21 @@ class KmeansSpec extends AnyFunSuite with SparkTestSession {
   test("no cluster empties on the real embeddings fixture (s09's oracle has no reseed arm)") {
     // s09_kmeans_multi runs reseedEmpty=true but its DuckDB oracle mirrors
     // only the assign+fold rounds; this pins the precondition that makes
-    // that mirror exact on the gate data. If this ever fails, the oracle
-    // needs a reseed arm before s09 can stay green.
-    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .select("vec_id", "label", "embedding")
-    val seedLabels = Similarity.collectCodebook(
-      Similarity.buildCentroids(emb, dim = 64, chunks = 1024)).map(_._1)
-    val cent3 = Similarity.kmeansCentroids(
-      emb, dim = 64, iters = 3, chunks = 1024, reseedEmpty = true)
-    assert(Similarity.collectCodebook(cent3).map(_._1) == seedLabels)
+    // that mirror exact on the gate data — at the gate's ACTUAL
+    // configuration: SimilarityQueries.centroidChunks (the value both the
+    // query and the oracle bake, including a -D override) and both SFs
+    // the driver gate runs. If this ever fails, the oracle needs a reseed
+    // arm before s09 can stay green.
+    val chunks = graft.queries.SimilarityQueries.centroidChunks
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val emb = graft.Tables.embeddings(spark, dir)
+        .select("vec_id", "label", "embedding")
+      val seedLabels = Similarity.collectCodebook(
+        Similarity.buildCentroids(emb, dim = 64, chunks = chunks)).map(_._1)
+      val cent3 = Similarity.kmeansCentroids(
+        emb, dim = 64, iters = 3, chunks = chunks, reseedEmpty = true)
+      assert(Similarity.collectCodebook(cent3).map(_._1) == seedLabels,
+        s"a cluster emptied at $dir / chunks=$chunks")
+    }
   }
 }

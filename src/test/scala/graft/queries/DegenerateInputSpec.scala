@@ -36,12 +36,19 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestSession {
     val o = new java.io.File(root, "one"); o.mkdirs()
     // events.ts is INT64 TIMESTAMP(NANOS) — readable only as epoch-nanos
     // Long (Tables.events sets the same conf); the copies then carry a
-    // plain LONG ts, which every consumer already handles
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tables.foreach { t =>
+    // plain LONG ts, which every consumer already handles. Restored after
+    // the build: SparkTestSession is one JVM-wide session, and leaving the
+    // legacy conf set would contaminate later suites' nanos reads.
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try tables.foreach { t =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       df.limit(0).coalesce(1).write.parquet(s"${e.getPath}/$t.parquet")
       df.limit(1).coalesce(1).write.parquet(s"${o.getPath}/$t.parquet")
+    } finally prior match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None => spark.conf.unset(nanosKey)
     }
     (e.getPath, o.getPath)
   }

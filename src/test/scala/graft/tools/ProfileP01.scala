@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch profiler (dev-only, not a test): per-stage wall/task time for
   * p01_training_mix — the round-8 verdict asked for an attribution of its
@@ -50,33 +49,14 @@ object ProfileP01 {
     // warm once
     noop(graft.queries.PipelineQueries.p01TrainingMix(spark, sfDir))
 
-    val docs = graft.Tables.documents(spark, sfDir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("n_stop", graft.ops.TextOps.markerHits(col("toks"), Seq("the", "a")))
-      .withColumn("tok_chars", graft.ops.TextOps.tokenCharSum(col("toks")))
-    val quality = docs.filter(
-      col("n_tokens") >= 25 &&
-      col("n_stop").cast("double") / col("n_tokens") <= 0.125 &&
-      col("tok_chars").cast("double") / col("n_tokens") >= 3.5)
-    val exact = quality
-      .groupBy(md5(col("text")).as("_h"))
-      .agg(min_by(
-        struct(col("doc_id"), col("lang"), col("source"),
-          col("toks"), col("n_tokens")),
-        col("doc_id")).as("_v"))
-      .select(col("_v.*"))
-    val sh = exact
-      .filter(size(col("toks")) >= 3)
-      .withColumn("shingles",
-        graft.functions.TextHashFunctions.shingleHash60(col("toks")))
-      .withColumn("n_sh", size(col("shingles")))
-
-    timed("scan+tokenize")(noop(docs))
-    timed("quality")(noop(quality))
-    timed("exact-dedup")(noop(exact))
-    timed("shingle")(noop(sh))
-    timed("pair-counts")(noop(graft.ops.Dedup.jaccardPairCounts(sh, "doc_id")))
+    // the REAL pipeline's stage prefixes (shared definition — profiling a
+    // hand-copied lookalike is how stage attributions drift)
+    val st = graft.queries.PipelineQueries.p01Stages(spark, sfDir)
+    timed("scan+tokenize")(noop(st.docs))
+    timed("quality")(noop(st.quality))
+    timed("exact-dedup")(noop(st.exact))
+    timed("shingle")(noop(st.sh))
+    timed("pair-counts")(noop(st.pairCounts))
     timed("p01-full")(noop(graft.queries.PipelineQueries.p01TrainingMix(spark, sfDir)))
     timed("p01-full-2")(noop(graft.queries.PipelineQueries.p01TrainingMix(spark, sfDir)))
     spark.stop()
