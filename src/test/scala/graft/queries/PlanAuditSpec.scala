@@ -171,6 +171,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(scans == 1, s"expected exactly one embeddings scan in s09's final plan, got $scans:\n$p")
   }
 
+  test("s10/s11 multi-probe: cluster equi-join candidates, no all-pairs operator") {
+    // the nprobe=2 composition must keep the IVF shape: the probe table
+    // just carries two rows per query — candidates still reach the ADC
+    // scorer through a cluster-key HASH equi-join, never a cartesian; the
+    // only windows are the probe cut, the approx candidate cut, and the
+    // exact re-rank. (A BroadcastNestedLoopJoin IS expected: the k-row
+    // centroid broadcast cross in probeCentroids — the same deliberate
+    // N×k linear scan s03/s04 carry — so unlike d05 this test does not
+    // ban BNLJ outright, only the unkeyed full cartesian.)
+    Seq(SimilarityQueries.s10AnnIvfPqProbe(spark, dir),
+        SimilarityQueries.s11AnnIvfPqResProbe(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(3).mkString("\n"))
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), "candidate equi-join missing")
+      assert(p.toLowerCase.contains("pqcodes"), "native PQ encode missing")
+      val windows = "Window \\[".r.findAllIn(p).size
+      assert(windows == 3,
+        s"expected probe + candidate + re-rank windows, found $windows")
+    }
+  }
+
   test("m02 frame sampling stays a narrow plan (no shuffle before the sink)") {
     val p = plan(MultimodalQueries.m02FrameSamples(spark, dir))
     // only the final presentation orderBy may exchange (range partitioning)
