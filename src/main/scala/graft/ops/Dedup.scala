@@ -216,6 +216,66 @@ object Dedup {
     * intentionally steep below — tune (b, T) to put the S-curve knee at
     * the target threshold. Verified pairs are always a subset of
     * [[embeddingNearDups]]'s exact output. Output: (id_a, id_b, cos). */
+  /** Connected components over a near-dup pair graph — the TRANSITIVE
+    * closure production dedup needs: pairwise keep-the-min drops only one
+    * side of each edge, so a chain A~B~C keeps A and C even though they
+    * are transitively duplicates. Each vertex converges to the MINIMUM id
+    * reachable from it (the component representative), via iterative
+    * min-label propagation: every round each vertex takes the least of
+    * its own label and its neighbors' labels, a fixed point in
+    * O(component diameter) rounds.
+    *
+    * Scale shape: each round is one equi-join of the symmetrized edge
+    * list with the label table (both shuffled on vertex id — a reused
+    * partitioning) plus a min hash-aggregate; nothing collects, nothing
+    * broadcasts the graph. Near-dup components are dense and tiny
+    * (diameter 2–4), so `maxIters` is a loud-failure bound, not a tuning
+    * knob. Lineage: each round's plan nests the previous round's (the
+    * k-means r8 lesson) — pass `checkpointEvery > 0` to cut it with
+    * `localCheckpoint` at that cadence for deep/unknown-diameter graphs;
+    * the default 0 keeps the plan pure for the shallow graphs dedup
+    * produces (the convergence check executes each round anyway, so the
+    * cost without checkpointing is O(rounds²) over the EDGE table only —
+    * edges are the small derived pair set, not the corpus).
+    *
+    * `vertices`: one row per `idCol` member. `edges`: (aCol, bCol) pairs,
+    * any orientation, self-loops/duplicates tolerated. Output:
+    * (`idCol`, `component`) — component = min reachable id; isolated
+    * vertices are their own component. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      idCol: String, aCol: String, bCol: String,
+      maxIters: Int = 20, checkpointEvery: Int = 0): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    var comp = vertices.select(col(idCol).cast("long").as("id"),
+      col(idCol).cast("long").as("comp"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // min over in-neighbour labels; left join keeps isolated vertices
+      val nbrMin = sym.join(comp.withColumnRenamed("id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("ncomp"))
+      val stepped = comp.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("next"))
+      val next0 = stepped.select(col("id"), col("next").as("comp"))
+      val next =
+        if (checkpointEvery > 0 && iter % checkpointEvery == 0)
+          next0.localCheckpoint(true)
+        else next0
+      // the convergence probe doubles as the round's materialization
+      converged = stepped.filter(col("next") < col("comp")).isEmpty
+      comp = next
+    }
+    require(converged,
+      s"connected components did not converge within $maxIters rounds — " +
+        "raise maxIters (component diameter exceeds the bound)")
+    comp.select(col("id").as(idCol), col("comp").as("component"))
+  }
+
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, embCol: String,
       minCos: Double, planeTables: Seq[Seq[Seq[Double]]]): DataFrame = {
     val buckets = array(planeTables.zipWithIndex.map { case (planes, t) =>

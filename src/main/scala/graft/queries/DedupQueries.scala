@@ -245,6 +245,52 @@ object DedupQueries {
         |FROM graft_documents ORDER BY doc_id""".stripMargin)
   }
 
+  // d10 — connected components over the d02 near-dup pair graph: the
+  // TRANSITIVE closure production dedup needs (pairwise keep-the-min
+  // leaves both ends of a chain A~B~C). Every document maps to the
+  // minimum doc_id reachable through jaccard>=0.5 edges (itself if
+  // isolated) via Dedup.connectedComponents' distributed min-label
+  // propagation; the oracle computes the same closure with a recursive
+  // CTE, so the gate pins the full per-document component mapping —
+  // propagation rounds, symmetrization, isolated-vertex identity and all.
+  def d10DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Dedup.jaccardPairs(withShingles(spark, dir), "doc_id", 0.5)
+    graft.ops.Dedup.connectedComponents(
+        Tables.documents(spark, dir).select("doc_id"), pairs,
+        "doc_id", "doc_a", "doc_b")
+      .orderBy("doc_id")
+  }
+
+  val d10Oracle: String =
+    // the closure member needs RECURSIVE declared at the WITH head
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """, e AS (
+      |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM s
+      |), freq AS (
+      |  SELECT sh FROM e GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 100
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+      |      COUNT(*) AS inter
+      |    FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |    JOIN freq f ON f.sh = a.sh
+      |    GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+      |  WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
+      |), sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+      |), mn AS (
+      |  SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a
+      |)
+      |SELECT d.doc_id,
+      |  CAST(LEAST(COALESCE(m.m, d.doc_id), d.doc_id) AS BIGINT) AS component
+      |FROM documents d LEFT JOIN mn m USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -253,6 +299,7 @@ object DedupQueries {
     "d06_group_minhash" -> (d06GroupMinhash _),
     "d08_simhash_neardup" -> (d08SimhashNearDup _),
     "d09_sql_simhash" -> (d09SqlSimhash _),
+    "d10_dedup_components" -> (d10DedupComponents _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -263,5 +310,6 @@ object DedupQueries {
     "d06_group_minhash" -> d06Oracle,
     "d08_simhash_neardup" -> d08Oracle,
     "d09_sql_simhash" -> d04Oracle, // same computation, SQL-routed
+    "d10_dedup_components" -> d10Oracle,
   )
 }

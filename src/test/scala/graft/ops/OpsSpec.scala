@@ -179,6 +179,30 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(brute.nonEmpty, "fixture planted no near-dup pairs — test is vacuous")
   }
 
+  test("Dedup.connectedComponents: chains collapse transitively, isolated stay put") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), cycle 10-11-12-10, isolated 20, and a
+    // duplicate/reversed edge — every vertex must map to its component min
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (2L, 1L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(vertices, edges, "doc_id", "doc_a", "doc_b")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+    // checkpointed cadence is value-identical (the lineage-cut path)
+    val ck = Dedup.connectedComponents(vertices, edges, "doc_id", "doc_a", "doc_b",
+        checkpointEvery = 1)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(ck == got)
+    // a diameter beyond maxIters fails loudly instead of returning a
+    // partially-propagated labeling
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(vertices, edges, "doc_id", "doc_a", "doc_b",
+        maxIters = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("Similarity.cosineTopK ranks the exact neighbor first") {
     import spark.implicits._
     val corpus = Seq(
