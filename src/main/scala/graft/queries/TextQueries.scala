@@ -222,6 +222,49 @@ object TextQueries {
       |                          ELSE 10000 END)
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // t09 — per-document top terms by tf-idf ranking (keyword extraction,
+  // the text-analysis staple). Scoring keeps the idf ESSENCE while
+  // staying cross-engine exact: score = tf/df (the corpus-size factor N
+  // is constant per ranking and ln() is monotone in N/df, so per-document
+  // order under tf/df equals order under tf·idf with any monotone idf —
+  // and a single IEEE division of two small ints is exactly rounded,
+  // bit-identical in Spark and DuckDB, where each engine's libm `ln`
+  // need not be). Ties by term. Scale shape: one shuffle on
+  // (doc_id, term) for tf, one on term for df (map-side partial both),
+  // one term-keyed equi-join, one per-document top-k window.
+  def t09TopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val t09Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |)
+      |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+      |FROM (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |    CAST(row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.term) AS INT) AS rank
+      |  FROM tf t JOIN dfreq d USING (term))
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -231,6 +274,7 @@ object TextQueries {
     "t06_hash_split" -> (t06HashSplit _),
     "t07_sql_token_kernels" -> (t07SqlTokenKernels _),
     "t08_mixture_sample" -> (t08MixtureSample _),
+    "t09_top_terms" -> (t09TopTerms _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -242,5 +286,6 @@ object TextQueries {
     "t06_hash_split" -> t06Oracle,
     "t07_sql_token_kernels" -> t07Oracle,
     "t08_mixture_sample" -> t08Oracle,
+    "t09_top_terms" -> t09Oracle,
   )
 }
