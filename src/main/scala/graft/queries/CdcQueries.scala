@@ -884,6 +884,56 @@ object CdcQueries {
       .orderBy("o_orderkey")
   }
 
+  // cdc14 — the STATEFUL streaming dedup (flatMapGroupsWithState) under
+  // the gate: the avro side's keyed records are written as TWO identical
+  // JSON-lines files, streamed with maxFilesPerTrigger=1 so every key
+  // arrives twice in DIFFERENT micro-batches, and
+  // StreamingDedup.firstOccurrence must emit each key exactly once —
+  // cross-batch state, not within-batch distinct. Payloads of the two
+  // copies are identical, so the kept row is deterministic regardless of
+  // arrival interleaving. The oracle is the distinct key set from the
+  // shared `a` CTE. Drains to a parquet sink (no driver collect).
+  def cdc14StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc14_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val (_, avroRaw) = sidesRaw(spark, dir)
+    val keyed = avroRaw.select(col("binlog_file"),
+      col("binlog_position").cast("long").as("binlog_position"),
+      col("source_timestamp").cast("long").as("source_timestamp"))
+    // two identical files → every key is a cross-batch duplicate
+    keyed.coalesce(1).write.mode("overwrite").json(new java.io.File(feed, "copy1").getPath)
+    keyed.coalesce(1).write.mode("overwrite").json(new java.io.File(feed, "copy2").getPath)
+    val spark2 = spark
+    import spark2.implicits._
+    val stream = spark.readStream.schema(keyed.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").json(feed.getPath)
+      .as[graft.streaming.StreamingDedup.KeyedRecord]
+    val q = graft.streaming.StreamingDedup.firstOccurrence(stream)
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
+    spark.read.schema(
+        "binlog_file STRING, binlog_position BIGINT, source_timestamp BIGINT")
+      .parquet(sink)
+      .orderBy("binlog_file", "binlog_position")
+  }
+
+  val cdc14Oracle: String =
+    oracleCte +
+    """
+      |SELECT DISTINCT bfile AS binlog_file, CAST(pos AS BIGINT) AS binlog_position,
+      |  CAST(src_ms AS BIGINT) AS source_timestamp
+      |FROM a ORDER BY binlog_file, binlog_position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -898,6 +948,7 @@ object CdcQueries {
     "cdc11_catalog_avro" -> (cdc11CatalogAvro _),
     "cdc12_stream_drain" -> (cdc12StreamDrain _),
     "cdc13_stream_binlog" -> (cdc13StreamBinlog _),
+    "cdc14_stream_dedup" -> (cdc14StreamDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -914,5 +965,6 @@ object CdcQueries {
     "cdc11_catalog_avro" -> cdc07Oracle, // same container read, catalog-routed
     "cdc12_stream_drain" -> cdc01Oracle, // drained stream == batch compare
     "cdc13_stream_binlog" -> cdc05Oracle, // streamed decode == batch decode
+    "cdc14_stream_dedup" -> cdc14Oracle,
   )
 }
