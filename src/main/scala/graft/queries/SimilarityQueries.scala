@@ -828,6 +828,51 @@ object SimilarityQueries {
       approxBoost = " + qp.qcdot")
   }
 
+  // s12 — PERSISTED IVF+PQ index: s06's layout written to disk and
+  // searched from the read-back — the production lifecycle (an index is
+  // built ONCE and searched by many query batches; every other s-query
+  // rebuilds inline). The index is two parquet tables: codes partitioned
+  // BY CLUSTER (the physical layout an IVF inverted list IS — a probe
+  // reads only its cluster's directories at scale) and the broadcast-size
+  // codebook. The search side re-derives everything from the PERSISTED
+  // artifacts (centroids collected from the read-back codebook table, the
+  // query's cluster re-assigned against them), so the gate pins the full
+  // round-trip: float bits through parquet, the partition-column values,
+  // and build/search consistency. Shares s06's oracle — a mismatch with a
+  // green s06 isolates persistence.
+  def s12AnnIvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val m = 8
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xFF}%02x").mkString
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_s12_$tag")
+    val emb = Tables.embeddings(spark, dir)
+    // ---- index build (once) ----
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    assigned.select(col("vec_id"), col("cluster"),
+        PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(new java.io.File(root, "codes").getPath)
+    graft.ops.Similarity.codebookDf(spark, codebook)
+      .write.mode("overwrite").parquet(new java.io.File(root, "codebook").getPath)
+    // ---- search (from the persisted artifacts only) ----
+    val centRead = spark.read.parquet(new java.io.File(root, "codebook").getPath)
+    val cbRead = graft.ops.Similarity.collectCodebook(centRead)
+    val encoded = spark.read.parquet(new java.io.File(root, "codes").getPath)
+      // partition-column type inference reads small longs back as int
+      .withColumn("cluster", col("cluster").cast("long"))
+    val q = graft.ops.Similarity.assignToCentroids(
+        emb.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding"),
+        centRead, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    pqSearch(emb, encoded, q, cbRead, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -840,6 +885,7 @@ object SimilarityQueries {
     "s09_kmeans_multi" -> (s09KmeansMulti _),
     "s10_ann_ivfpq_probe" -> (s10AnnIvfPqProbe _),
     "s11_ann_ivfpq_res_probe" -> (s11AnnIvfPqResProbe _),
+    "s12_ann_ivfpq_persisted" -> (s12AnnIvfPqPersisted _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -856,6 +902,7 @@ object SimilarityQueries {
     "s09_kmeans_multi" -> s09Oracle,
     "s10_ann_ivfpq_probe" -> s10Oracle,
     "s11_ann_ivfpq_res_probe" -> s11Oracle,
+    "s12_ann_ivfpq_persisted" -> s06Oracle, // same search, persisted index
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
