@@ -873,6 +873,58 @@ object SimilarityQueries {
       joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
   }
 
+  // s13 — incremental index append with a FROZEN codebook (FAISS add()
+  // semantics, the rest of the persisted-index lifecycle): the coarse
+  // quantizer + codebook are trained on the BASE corpus only (vec_id%10
+  // != 0), the delta batch (vec_id%10 == 0) is assigned and encoded
+  // against those FROZEN artifacts — never retrained — and search runs
+  // over the union. This is how a production index absorbs a new data
+  // drop: re-training would re-shuffle every inverted list; appending
+  // encodes only the delta (a narrow map + one broadcast argmax over the
+  // new rows). The oracle mirrors the train/append split exactly: cent
+  // CTEs over the base subset, assignment and codes for ALL rows against
+  // that cent — so the gate pins that the delta really was encoded with
+  // the frozen codebook, not a retrained one.
+  def s13AnnIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val m = 8
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val cent = graft.ops.Similarity.buildCentroids(base, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    def encode(rows: DataFrame): DataFrame =
+      graft.ops.Similarity.assignToCentroids(
+          rows.select("vec_id", "embedding"), cent, Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"),
+          PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+    // base index + appended delta, both against the frozen artifacts
+    val encoded = encode(base).unionByName(encode(emb.filter(col("vec_id") % 10 === 0)))
+    val q = graft.ops.Similarity.assignToCentroids(
+        emb.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding"),
+        cent, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    pqSearch(emb, encoded, q, codebook, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+  }
+
+  val s13Oracle: String = duckPqSearchSql(8,
+    s"""WITH base AS (
+      |  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 <> 0
+      |), ${duckCentroidCtes(64, centroidChunks, src = "base")}, ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |)""".stripMargin,
+    appPreJoins = "  JOIN assigned a ON a.vec_id = co.vec_id\n",
+    appPostJoins = "\n  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.clabel")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -886,6 +938,7 @@ object SimilarityQueries {
     "s10_ann_ivfpq_probe" -> (s10AnnIvfPqProbe _),
     "s11_ann_ivfpq_res_probe" -> (s11AnnIvfPqResProbe _),
     "s12_ann_ivfpq_persisted" -> (s12AnnIvfPqPersisted _),
+    "s13_ann_index_append" -> (s13AnnIndexAppend _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -903,6 +956,7 @@ object SimilarityQueries {
     "s10_ann_ivfpq_probe" -> s10Oracle,
     "s11_ann_ivfpq_res_probe" -> s11Oracle,
     "s12_ann_ivfpq_persisted" -> s06Oracle, // same search, persisted index
+    "s13_ann_index_append" -> s13Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
