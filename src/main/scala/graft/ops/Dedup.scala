@@ -228,15 +228,20 @@ object Dedup {
     * Scale shape: each round is one equi-join of the symmetrized edge
     * list with the label table (both shuffled on vertex id — a reused
     * partitioning) plus a min hash-aggregate; nothing collects, nothing
-    * broadcasts the graph. Near-dup components are dense and tiny
-    * (diameter 2–4), so `maxIters` is a loud-failure bound, not a tuning
-    * knob. Lineage: each round's plan nests the previous round's (the
-    * k-means r8 lesson) — pass `checkpointEvery > 0` to cut it with
-    * `localCheckpoint` at that cadence for deep/unknown-diameter graphs;
-    * the default 0 keeps the plan pure for the shallow graphs dedup
-    * produces (the convergence check executes each round anyway, so the
-    * cost without checkpointing is O(rounds²) over the EDGE table only —
-    * edges are the small derived pair set, not the corpus).
+    * broadcasts the graph. The edge list is materialized ONCE up front
+    * (`localCheckpoint` — Spark's ContextCleaner reclaims the cache when
+    * the reference dies), so the rounds and the convergence probes never
+    * re-execute the upstream pair-generation pipeline (which for near-dup
+    * callers is the full corpus scan + shingle hashing). Near-dup
+    * components are dense and tiny (diameter 2–4), so `maxIters` is a
+    * loud-failure bound on LABEL-CHANGING rounds, not a tuning knob (the
+    * final confirming round is free). Lineage: each round's plan nests
+    * the previous round's (the k-means r8 lesson) — pass
+    * `checkpointEvery > 0` to cut it at that cadence for deep/
+    * unknown-diameter graphs (the checkpointed round's probe and its
+    * successor both read the one materialization); the default 0 keeps
+    * the plan pure for the shallow graphs dedup produces, at O(rounds²)
+    * re-joins of the MATERIALIZED edge table.
     *
     * `vertices`: one row per `idCol` member. `edges`: (aCol, bCol) pairs,
     * any orientation, self-loops/duplicates tolerated. Output:
@@ -245,34 +250,42 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       idCol: String, aCol: String, bCol: String,
       maxIters: Int = 20, checkpointEvery: Int = 0): DataFrame = {
-    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // one execution of the (possibly very expensive) edge pipeline,
+    // shared by every round and probe
+    val sym = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint(true)
     var comp = vertices.select(col(idCol).cast("long").as("id"),
       col(idCol).cast("long").as("comp"))
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
+    // `<=`: round maxIters+1 may run as the free CONFIRMING round of a
+    // fixed point reached exactly at round maxIters — only label-changing
+    // rounds count against the bound
+    while (!converged && iter <= maxIters) {
       iter += 1
       // min over in-neighbour labels; left join keeps isolated vertices
       val nbrMin = sym.join(comp.withColumnRenamed("id", "dst_id"),
           col("dst") === col("dst_id"))
         .groupBy(col("src"))
         .agg(min(col("comp")).as("ncomp"))
-      val stepped = comp.join(nbrMin, col("id") === col("src"), "left")
+      val stepped0 = comp.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("next"))
-      val next0 = stepped.select(col("id"), col("next").as("comp"))
-      val next =
+      // checkpoint STEPPED (not the projection): the convergence probe and
+      // the next round then both read the one materialization instead of
+      // re-executing the round's join twice
+      val stepped =
         if (checkpointEvery > 0 && iter % checkpointEvery == 0)
-          next0.localCheckpoint(true)
-        else next0
-      // the convergence probe doubles as the round's materialization
+          stepped0.localCheckpoint(true)
+        else stepped0
       converged = stepped.filter(col("next") < col("comp")).isEmpty
-      comp = next
+      comp = stepped.select(col("id"), col("next").as("comp"))
     }
     require(converged,
-      s"connected components did not converge within $maxIters rounds — " +
-        "raise maxIters (component diameter exceeds the bound)")
+      s"connected components did not converge within $maxIters label-changing " +
+        "rounds — raise maxIters (component diameter exceeds the bound)")
     comp.select(col("id").as(idCol), col("comp").as("component"))
   }
 

@@ -402,7 +402,7 @@ object CdcQueries {
     * data (e.g. one file per user_id residue), so a stale extra file from
     * an earlier dataset at the same path would be ingested as phantom
     * events and surface as a gate mismatch that looks like an engine bug. */
-  private def tmpFixtureDir(prefix: String, dir: String): java.io.File = {
+  private[queries] def tmpFixtureDir(prefix: String, dir: String): java.io.File = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xFF}%02x").mkString
     val out = new java.io.File(System.getProperty("java.io.tmpdir"), prefix + tag)
@@ -901,9 +901,17 @@ object CdcQueries {
     val sink = new java.io.File(root, "sink").getPath
     val ckpt = new java.io.File(root, "ckpt").getPath
     val (_, avroRaw) = sidesRaw(spark, dir)
-    val keyed = avroRaw.select(col("binlog_file"),
-      col("binlog_position").cast("long").as("binlog_position"),
-      col("source_timestamp").cast("long").as("source_timestamp"))
+    // pre-collapse to one row per key with min_by: avroMain/avroExtra
+    // positions CAN collide once event_ids span ~20M (pos = id+4 vs
+    // id+20000000), and on a collision firstOccurrence would keep
+    // whichever payload ARRIVED first — arrival-order-dependent, while
+    // the oracle's DISTINCT would keep both. With unique keys in the
+    // feed, the only duplicates are the two file copies (identical
+    // payloads), so the drained result is deterministic at any SF and
+    // the oracle is a plain per-key MIN.
+    val keyed = avroRaw
+      .groupBy(col("binlog_file"), col("binlog_position").cast("long").as("binlog_position"))
+      .agg(min(col("source_timestamp").cast("long")).as("source_timestamp"))
     // two identical files → every key is a cross-batch duplicate
     keyed.coalesce(1).write.mode("overwrite").json(new java.io.File(feed, "copy1").getPath)
     keyed.coalesce(1).write.mode("overwrite").json(new java.io.File(feed, "copy2").getPath)
@@ -930,9 +938,9 @@ object CdcQueries {
   val cdc14Oracle: String =
     oracleCte +
     """
-      |SELECT DISTINCT bfile AS binlog_file, CAST(pos AS BIGINT) AS binlog_position,
-      |  CAST(src_ms AS BIGINT) AS source_timestamp
-      |FROM a ORDER BY binlog_file, binlog_position""".stripMargin
+      |SELECT bfile AS binlog_file, CAST(pos AS BIGINT) AS binlog_position,
+      |  CAST(MIN(src_ms) AS BIGINT) AS source_timestamp
+      |FROM a GROUP BY bfile, pos ORDER BY binlog_file, binlog_position""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),

@@ -78,21 +78,30 @@ object DedupQueries {
       .select("doc_a", "doc_b", "inter", "un", "jaccard")
       .orderBy("doc_a", "doc_b")
 
-  val d02Oracle: String =
-    shingleCte +
+  /** Shared posting-list pair CTE block (`e` / `freq` / `scored`) — ONE
+    * definition of the inverted-index pair SQL consumed by d02 and d10,
+    * so a cap/threshold fix cannot land in one sibling and not the other
+    * (the duckPqSearchSql lesson). Mirrors Dedup.jaccardPairCounts'
+    * stop-shingle bound [2, 100]. */
+  private val pairScoredCte: String =
     """, e AS (
       |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM s
       |), freq AS (
       |  SELECT sh FROM e GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 100
-      |)
-      |SELECT doc_a, doc_b, inter, un, jaccard FROM (
+      |), scored AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
       |    COUNT(*) AS inter,
       |    a.n + b.n - COUNT(*) AS un,
       |    CAST(COUNT(*) AS DOUBLE)/(a.n + b.n - COUNT(*)) AS jaccard
       |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  JOIN freq f ON f.sh = a.sh
-      |  GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+      |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      |)""".stripMargin
+
+  val d02Oracle: String =
+    shingleCte + pairScoredCte +
+    """
+      |SELECT doc_a, doc_b, inter, un, jaccard FROM scored
       |WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -263,19 +272,9 @@ object DedupQueries {
 
   val d10Oracle: String =
     // the closure member needs RECURSIVE declared at the WITH head
-    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-    """, e AS (
-      |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM s
-      |), freq AS (
-      |  SELECT sh FROM e GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 100
-      |), pairs AS (
-      |  SELECT doc_a, doc_b FROM (
-      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-      |      COUNT(*) AS inter
-      |    FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |    JOIN freq f ON f.sh = a.sh
-      |    GROUP BY a.doc_id, b.doc_id, a.n, b.n)
-      |  WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + pairScoredCte +
+    """, pairs AS (
+      |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
       |), sym AS (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs

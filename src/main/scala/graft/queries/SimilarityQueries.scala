@@ -843,9 +843,13 @@ object SimilarityQueries {
   def s12AnnIvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PqFunctions
     val m = 8
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xFF}%02x").mkString
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_s12_$tag")
+    // CdcQueries' shared fixture-dir helper: deterministic per input dir
+    // AND wipes stale contents — without the wipe, dynamic
+    // partition-overwrite (spark.sql.sources.partitionOverwriteMode=
+    // dynamic) would leave a previous dataset's cluster directories in
+    // place and read them back as phantom index rows
+    val root = CdcQueries.tmpFixtureDir("graft_s12_", dir)
+    root.mkdirs()
     val emb = Tables.embeddings(spark, dir)
     // ---- index build (once) ----
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)

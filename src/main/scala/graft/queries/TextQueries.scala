@@ -223,13 +223,14 @@ object TextQueries {
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   // t09 — per-document top terms by tf-idf ranking (keyword extraction,
-  // the text-analysis staple). Scoring keeps the idf ESSENCE while
-  // staying cross-engine exact: score = tf/df (the corpus-size factor N
-  // is constant per ranking and ln() is monotone in N/df, so per-document
-  // order under tf/df equals order under tf·idf with any monotone idf —
-  // and a single IEEE division of two small ints is exactly rounded,
-  // bit-identical in Spark and DuckDB, where each engine's libm `ln`
-  // need not be). Ties by term. Scale shape: one shuffle on
+  // the text-analysis staple). The score is tf/df — an idf-FLAVORED
+  // ranking (rewards frequent-in-doc, rare-in-corpus terms), NOT
+  // order-identical to tf·ln(N/df) in general (the linear 1/df discounts
+  // common terms harder than the logarithm, and exact tf/df ties resolve
+  // alphabetically). Chosen deliberately: a single IEEE division of two
+  // small ints is exactly rounded and bit-identical in Spark and DuckDB,
+  // where each engine's libm `ln` need not be — the deterministic-gate
+  // discipline every query here follows. Scale shape: one shuffle on
   // (doc_id, term) for tf, one on term for df (map-side partial both),
   // one term-keyed equi-join, one per-document top-k window.
   def t09TopTerms(spark: SparkSession, dir: String): DataFrame = {
