@@ -264,9 +264,12 @@ object DedupQueries {
   // propagation rounds, symmetrization, isolated-vertex identity and all.
   def d10DedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.ops.Dedup.jaccardPairs(withShingles(spark, dir), "doc_id", 0.5)
+    // checkpointEvery=1: each round's probe and successor read one
+    // materialization instead of replaying the round's join chain —
+    // value-identical (OpsSpec pins it), ~linear instead of O(rounds²)
     graft.ops.Dedup.connectedComponents(
         Tables.documents(spark, dir).select("doc_id"), pairs,
-        "doc_id", "doc_a", "doc_b")
+        "doc_id", "doc_a", "doc_b", checkpointEvery = 1)
       .orderBy("doc_id")
   }
 
