@@ -929,6 +929,93 @@ object SimilarityQueries {
     appPreJoins = "  JOIN assigned a ON a.vec_id = co.vec_id\n",
     appPostJoins = "\n  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.clabel")
 
+  // s14 — scalar-quantized (SQ8) flat ANN, the remaining classic FAISS
+  // compression layout (PQ's codebook-free sibling): every dimension
+  // quantizes independently to an 8-bit level against per-dimension
+  // corpus [min,max] bounds, the approximate ranking scans RECONSTRUCTED
+  // vectors (4× less memory traffic than raw floats at 100 TB), and the
+  // top-20 re-rank exactly. Bounds are two 64-float aggregates (a 64-key
+  // map-side-partial shuffle + guarded broadcast-size collect — no
+  // training); encode/decode are narrow maps through the native
+  // Sq8Codes/Sq8Decode kernels; the reconstructed-vector cosine reuses
+  // the codegen'd CosineSimilarity. Every quantization op is a single
+  // exactly-rounded IEEE double op, so codes and reconstructions are
+  // bit-identical cross-engine.
+  def s14AnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sq8Functions
+    val dim = 64
+    val emb = Tables.embeddings(spark, dir)
+    val bounds = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("i").limit(dim + 1).collect()
+    require(bounds.length == dim,
+      s"expected $dim per-dimension bounds, got ${bounds.length}")
+    val mins = bounds.map(_.getFloat(1)).toSeq
+    val scales = bounds.map(r =>
+      (r.getFloat(2).toDouble - r.getFloat(1).toDouble) / 255.0).toSeq
+    val encoded = emb.select(col("vec_id"),
+      Sq8Functions.sq8Codes(col("embedding"), mins, scales).as("codes"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
+    val cand = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("approx",
+        cosineSim(col("qv"), Sq8Functions.sq8Decode(col("codes"), mins, scales)))
+      .select("query_id", "vec_id", "approx")
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= 20)
+      .select("query_id", "vec_id")
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s14Oracle: String =
+    s"""WITH bounds AS (
+      |  SELECT i, MIN(e.embedding[i]) AS mn, MAX(e.embedding[i]) AS mx
+      |  FROM embeddings e, range(1, 65) t(i) GROUP BY i
+      |), b AS (
+      |  SELECT list(CAST(mn AS FLOAT) ORDER BY i) AS mns,
+      |    list((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 255.0 ORDER BY i) AS scs
+      |  FROM bounds
+      |), dec AS (
+      |  SELECT e.vec_id,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(CAST(b.mns[i] AS DOUBLE) +
+      |        (CASE WHEN b.scs[i] = 0 OR isnan(e.embedding[i]) THEN 0
+      |              ELSE CAST(LEAST(GREATEST(floor((CAST(e.embedding[i] AS DOUBLE) - CAST(b.mns[i] AS DOUBLE)) / b.scs[i]), 0), 255) AS BIGINT)
+      |         END) * b.scs[i] AS FLOAT)) AS rec
+      |  FROM embeddings e CROSS JOIN b
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, d.vec_id, ${duckCosOf("qv", "rec")} AS approx
+      |  FROM dec d, q WHERE d.vec_id <> query_id
+      |), cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS arank
+      |    FROM scored)
+      |  WHERE arank <= 20
+      |), rr AS (
+      |  SELECT c.query_id, e.vec_id, ${duckCosOf("q.qv", "e.embedding")} AS cos
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN q ON q.query_id = c.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM rr)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -943,6 +1030,7 @@ object SimilarityQueries {
     "s11_ann_ivfpq_res_probe" -> (s11AnnIvfPqResProbe _),
     "s12_ann_ivfpq_persisted" -> (s12AnnIvfPqPersisted _),
     "s13_ann_index_append" -> (s13AnnIndexAppend _),
+    "s14_ann_sq8" -> (s14AnnSq8 _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -961,6 +1049,7 @@ object SimilarityQueries {
     "s11_ann_ivfpq_res_probe" -> s11Oracle,
     "s12_ann_ivfpq_persisted" -> s06Oracle, // same search, persisted index
     "s13_ann_index_append" -> s13Oracle,
+    "s14_ann_sq8" -> s14Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
