@@ -1016,6 +1016,102 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // s15 — IVF+SQ8 (FAISS IVFSQ): the coarse quantizer routes each query
+  // to its cluster and SQ8 levels stand in for the vectors inside it —
+  // completing the quantization matrix the engine now spans (IVF ×
+  // {flat s03, PQ s06, SQ8 here}). The candidate join stays the cluster
+  // equi-join; the probe side carries 64 byte-levels per row; approx
+  // ranks reconstructed vectors via the codegen'd cosine; exact re-rank
+  // on the top 20. Bounds and centroids are both broadcast-sized
+  // aggregates, encode is a narrow map — nothing new moves at scale.
+  def s15AnnIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sq8Functions
+    val dim = 64
+    val emb = Tables.embeddings(spark, dir)
+    val bounds = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("i").limit(dim + 1).collect()
+    require(bounds.length == dim,
+      s"expected $dim per-dimension bounds, got ${bounds.length}")
+    val mins = bounds.map(_.getFloat(1)).toSeq
+    val scales = bounds.map(r =>
+      (r.getFloat(2).toDouble - r.getFloat(1).toDouble) / 255.0).toSeq
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = dim, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val encoded = assigned.select(col("vec_id"), col("cluster"),
+      Sq8Functions.sq8Codes(col("embedding"), mins, scales).as("codes"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
+    val cand = encoded.join(broadcast(q),
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("approx",
+        cosineSim(col("qv"), Sq8Functions.sq8Decode(col("codes"), mins, scales)))
+      .select("query_id", "vec_id", "approx")
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= 20)
+      .select("query_id", "vec_id")
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(cand), "vec_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s15Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, bounds AS (
+      |  SELECT i, MIN(e.embedding[i]) AS mn, MAX(e.embedding[i]) AS mx
+      |  FROM embeddings e, range(1, 65) t(i) GROUP BY i
+      |), b AS (
+      |  SELECT list(CAST(mn AS FLOAT) ORDER BY i) AS mns,
+      |    list((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 255.0 ORDER BY i) AS scs
+      |  FROM bounds
+      |), ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), dec AS (
+      |  SELECT a.vec_id, a.clabel,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(CAST(b.mns[i] AS DOUBLE) +
+      |        (CASE WHEN b.scs[i] = 0 OR isnan(a.embedding[i]) THEN 0
+      |              ELSE CAST(LEAST(GREATEST(floor((CAST(a.embedding[i] AS DOUBLE) - CAST(b.mns[i] AS DOUBLE)) / b.scs[i]), 0), 255) AS BIGINT)
+      |         END) * b.scs[i] AS FLOAT)) AS rec
+      |  FROM assigned a CROSS JOIN b
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, d.vec_id, ${duckCosOf("qv", "rec")} AS approx
+      |  FROM dec d JOIN q ON d.clabel = q.qc AND d.vec_id <> q.query_id
+      |), cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS arank
+      |    FROM scored)
+      |  WHERE arank <= 20
+      |), rr AS (
+      |  SELECT c.query_id, e.vec_id, ${duckCosOf("q.qv", "e.embedding")} AS cos
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN q ON q.query_id = c.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM rr)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1031,6 +1127,7 @@ object SimilarityQueries {
     "s12_ann_ivfpq_persisted" -> (s12AnnIvfPqPersisted _),
     "s13_ann_index_append" -> (s13AnnIndexAppend _),
     "s14_ann_sq8" -> (s14AnnSq8 _),
+    "s15_ann_ivf_sq8" -> (s15AnnIvfSq8 _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -1050,6 +1147,7 @@ object SimilarityQueries {
     "s12_ann_ivfpq_persisted" -> s06Oracle, // same search, persisted index
     "s13_ann_index_append" -> s13Oracle,
     "s14_ann_sq8" -> s14Oracle,
+    "s15_ann_ivf_sq8" -> s15Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
