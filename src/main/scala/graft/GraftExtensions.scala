@@ -127,6 +127,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (args.length == 1) WordShingles(args(0))
         else WordShingles(args(0), intLit("word_shingles", "n", args(1)))
       }))
+    ext.injectFunction((FunctionIdentifier("bigram_stats"),
+      info("bigram_stats",
+        "bigram_stats(array<string>) - [total, distinct, top] bigram repetition counts"),
+      (args: Seq[Expression]) => {
+        arity("bigram_stats", args, 1)
+        BigramStats(args(0))
+      }))
     ext.injectFunction((FunctionIdentifier("posting_pairs"),
       info("posting_pairs",
         "posting_pairs(array<struct>) - lazy candidate-pair expansion of a posting list"),

@@ -211,6 +211,57 @@ case class WordShingles(child: Expression, n: Int = 3)
     copy(child = c)
 }
 
+/** Per-document bigram repetition statistics over an `array<string>` token
+  * column: `[total, distinct, top]` — the number of adjacent token pairs,
+  * the number of distinct pairs, and the occurrence count of the most
+  * frequent pair. These are the integer inputs of the Gopher-style
+  * repetition quality gate (duplicate-n-gram fraction, top-n-gram
+  * fraction): all downstream fractions derive from them in plain double
+  * division, so the cross-engine contract stays integer-exact. A pair is
+  * keyed by its space-joined text (`l[i] || ' ' || l[i+1]`), mirroring
+  * the oracle SQL — tokens that themselves contain spaces alias the same
+  * way in both engines. Fewer than 2 tokens → `[0, 0, 0]`; a null input
+  * row or a null token element → null (null contaminates, matching the
+  * engine's fold kernels). One tight counting loop per row instead of a
+  * sequence→transform→explode→double-aggregate HOF pipeline
+  * (one interpreted lambda dispatch per element).
+  */
+case class BigramStats(child: Expression)
+    extends UnaryExpression with StringArrayInput with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array[Any](0, 0, 0))
+    var i = 0
+    while (i < n) { // null token → null result, before any counting
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Integer]
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    var top = 0
+    i = 0
+    while (i + 1 < n) {
+      val b = org.apache.spark.unsafe.types.UTF8String.concat(
+        arr.getUTF8String(i), space, arr.getUTF8String(i + 1))
+      val c = counts.getOrDefault(b, 0) + 1
+      counts.put(b, c)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array[Any](n - 1, counts.size, top))
+  }
+
+  override protected def withNewChildInternal(c: Expression): BigramStats =
+    copy(child = c)
+}
+
 object TextHashFunctions {
   /** Distinct space-joined n-gram shingles over an `array<string>` column. */
   def wordShingles(tokens: Column, n: Int = 3): Column =
@@ -227,4 +278,9 @@ object TextHashFunctions {
   /** Distinct 60-bit hashed n-gram shingles over an `array<string>` column. */
   def shingleHash60(tokens: Column, n: Int = 3): Column =
     ColumnShim.column(ShingleHash60(ColumnShim.expression(tokens), n))
+
+  /** `[total, distinct, top]` bigram counts over an `array<string>` column
+    * (the Gopher-style repetition-signal inputs). */
+  def bigramStats(tokens: Column): Column =
+    ColumnShim.column(BigramStats(ColumnShim.expression(tokens)))
 }

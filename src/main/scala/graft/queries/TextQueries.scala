@@ -266,6 +266,56 @@ object TextQueries {
       |WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  // t10 — Gopher-style repetition signals (Rae et al. 2021 §A1.1: the
+  // duplicate-n-gram and top-n-gram quality filters): per-document bigram
+  // counts from the native BigramStats kernel, the two derived fractions,
+  // and the repetition gate. Thresholds (top2 > 0.08, dup2 > 0.12) are
+  // live on the synthetic corpus (~7% of sf0.01 docs flagged), not a
+  // constant column. Pure per-row scan — embarrassingly parallel at any
+  // scale; the only shuffle is the presentation orderBy.
+  def t10Repetition(spark: SparkSession, dir: String): DataFrame =
+    withTokens(spark, dir)
+      .withColumn("bs", graft.functions.TextHashFunctions.bigramStats(col("toks")))
+      .select(
+        col("doc_id"),
+        element_at(col("bs"), 1).as("total2"),
+        element_at(col("bs"), 2).as("distinct2"),
+        element_at(col("bs"), 3).as("top2"))
+      .withColumn("dup2_frac", when(col("total2") > 0,
+        lit(1.0) - col("distinct2").cast("double") / col("total2")))
+      .withColumn("top2_frac", when(col("total2") > 0,
+        col("top2").cast("double") / col("total2")))
+      .withColumn("repetitive", col("top2_frac") > 0.08 || col("dup2_frac") > 0.12)
+      .orderBy("doc_id")
+
+  val t10Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |bg AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] AS b
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) g
+      |), pc AS (
+      |  SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+      |), agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS INT) AS total2,
+      |         CAST(COUNT(*) AS INT) AS distinct2, CAST(MAX(c) AS INT) AS top2
+      |  FROM pc GROUP BY doc_id
+      |), j AS (
+      |  SELECT t.doc_id,
+      |    CASE WHEN t.l IS NULL THEN NULL ELSE COALESCE(a.total2, 0) END AS total2,
+      |    CASE WHEN t.l IS NULL THEN NULL ELSE COALESCE(a.distinct2, 0) END AS distinct2,
+      |    CASE WHEN t.l IS NULL THEN NULL ELSE COALESCE(a.top2, 0) END AS top2
+      |  FROM t LEFT JOIN agg a USING (doc_id)
+      |)
+      |SELECT doc_id, total2, distinct2, top2,
+      |  CASE WHEN total2 > 0
+      |       THEN CAST(1.0 AS DOUBLE) - CAST(distinct2 AS DOUBLE)/total2 END AS dup2_frac,
+      |  CASE WHEN total2 > 0 THEN CAST(top2 AS DOUBLE)/total2 END AS top2_frac,
+      |  (CASE WHEN total2 > 0 THEN CAST(top2 AS DOUBLE)/total2 END) > 0.08
+      |    OR (CASE WHEN total2 > 0
+      |             THEN CAST(1.0 AS DOUBLE) - CAST(distinct2 AS DOUBLE)/total2 END) > 0.12
+      |    AS repetitive
+      |FROM j ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -276,6 +326,7 @@ object TextQueries {
     "t07_sql_token_kernels" -> (t07SqlTokenKernels _),
     "t08_mixture_sample" -> (t08MixtureSample _),
     "t09_top_terms" -> (t09TopTerms _),
+    "t10_repetition" -> (t10Repetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -288,5 +339,6 @@ object TextQueries {
     "t07_sql_token_kernels" -> t07Oracle,
     "t08_mixture_sample" -> t08Oracle,
     "t09_top_terms" -> t09Oracle,
+    "t10_repetition" -> t10Oracle,
   )
 }

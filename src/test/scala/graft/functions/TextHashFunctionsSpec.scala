@@ -87,6 +87,51 @@ class TextHashFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(row.getSeq[Long](0) == row.getSeq[Long](1))
   }
 
+  private def refBigrams(toks: Seq[String]): Seq[Int] =
+    if (toks.length < 2) Seq(0, 0, 0)
+    else {
+      val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      Seq(toks.length - 1, counts.size, counts.values.max)
+    }
+
+  test("bigramStats matches a plain-Scala sliding-count reference (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "bb", "ccc", "d d", "e") // "d d" exercises aliasing
+    val cases = Seq.fill(60)(Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))) ++
+      Seq(Seq.empty[String], Seq("x"), Seq("x", "x"), Seq("x", "x", "x"))
+    val rows = cases.map(Tuple1(_)).toDF("toks")
+      .select(bigramStats(col("toks")).as("bs")).collect()
+    rows.zip(cases).foreach { case (row, toks) =>
+      assert(row.getSeq[Int](0) == refBigrams(toks), s"for $toks")
+    }
+  }
+
+  test("bigramStats: null token and null row contaminate to null; nullable declared") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", null, "b")), Tuple1(null: Seq[String]))
+      .toDF("toks").select(bigramStats(col("toks")).as("bs"))
+    assert(df.schema("bs").nullable)
+    assert(df.collect().forall(_.isNullAt(0)))
+    assert(df.filter(col("bs").isNotNull).count() == 0)
+  }
+
+  test("bigram_stats SQL route equals the Column route and rejects bad arity/type") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", "b", "a", "b", "a"))).toDF("toks")
+    df.createOrReplaceTempView("bs_in")
+    val viaSql = spark.sql("SELECT bigram_stats(toks) AS bs FROM bs_in").head().getSeq[Int](0)
+    val viaCol = df.select(bigramStats(col("toks")).as("bs")).head().getSeq[Int](0)
+    assert(viaSql == viaCol && viaCol == Seq(4, 2, 2))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bigram_stats(toks, 2) FROM bs_in").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bigram_stats(1) FROM bs_in").collect()
+    }
+  }
+
   test("simHash32 equals explicit bit-vote reference") {
     import spark.implicits._
     val toks = Seq("spark", "query", "spark", "join")
