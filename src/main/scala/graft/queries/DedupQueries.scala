@@ -293,6 +293,58 @@ object DedupQueries {
       |FROM documents d LEFT JOIN mn m USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // d11 — train/test decontamination sweep (the GPT-3/Gopher appendix-C
+  // discipline, n-gram-collision flavor): for every TEST-split document,
+  // count how many of its distinct 3-gram shingles also occur anywhere in
+  // the TRAIN split, and flag heavy overlap. Reuses t06's md5-bucket
+  // hashSplit (so the splits are the gated ones) and d02's 60-bit shingle
+  // hashing. Scale shape: this is the inverted-index formulation — the
+  // train shingle set is NEVER collected or broadcast (at 100 TB it is
+  // itself huge); both sides shuffle on the shingle hash, the equi-join
+  // co-partitions them, and the per-document hit count is a map-side-
+  // partial agg on doc_id. Flag threshold 0.7 is live on the synthetic
+  // corpus (6/61 test docs at sf0.01), not a constant.
+  def d11Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withShingles(spark, dir)
+      .withColumn("split", graft.ops.TextOps.hashSplit(col("doc_id")))
+    val trainSh = docs.filter(col("split") === "train")
+      .select(explode(col("shingles")).as("sh")).distinct()
+    val testDocs = docs.filter(col("split") === "test")
+      .select(col("doc_id"), col("n_sh"))
+    val hits = docs.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(trainSh, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_hit"))
+    testDocs
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0)))
+      .withColumn("overlap_frac", col("n_hit").cast("double") / col("n_sh"))
+      .withColumn("contaminated", col("overlap_frac") >= 0.7)
+      .select("doc_id", "n_sh", "n_hit", "overlap_frac", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  val d11Oracle: String =
+    shingleCte +
+    """, sp AS (
+      |  SELECT doc_id, shingles, CAST(len(shingles) AS INT) AS n_sh,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM s
+      |), tr AS (
+      |  SELECT DISTINCT unnest(shingles) AS sh FROM sp WHERE bucket < 80
+      |), te AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM sp WHERE bucket >= 90
+      |), hits AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit
+      |  FROM te JOIN tr USING (sh) GROUP BY doc_id
+      |)
+      |SELECT p.doc_id, p.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
+      |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE)/p.n_sh AS overlap_frac,
+      |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE)/p.n_sh >= 0.7 AS contaminated
+      |FROM sp p LEFT JOIN hits h USING (doc_id)
+      |WHERE p.bucket >= 90
+      |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -302,6 +354,7 @@ object DedupQueries {
     "d08_simhash_neardup" -> (d08SimhashNearDup _),
     "d09_sql_simhash" -> (d09SqlSimhash _),
     "d10_dedup_components" -> (d10DedupComponents _),
+    "d11_decontaminate" -> (d11Decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -313,5 +366,6 @@ object DedupQueries {
     "d08_simhash_neardup" -> d08Oracle,
     "d09_sql_simhash" -> d04Oracle, // same computation, SQL-routed
     "d10_dedup_components" -> d10Oracle,
+    "d11_decontaminate" -> d11Oracle,
   )
 }
