@@ -1112,6 +1112,72 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // s16 — residual IVF+PQ with a k-means-TRAINED residual codebook: s08's
+  // layout, but the residual codewords are refined by one Lloyd round
+  // (assign each residual to its nearest label-mean codeword by cosine,
+  // refold by assignment) instead of stopping at label means — FAISS's
+  // actual train() for IndexIVFPQ runs k-means on residuals, and this is
+  // that step under the gate (the refinement PLANS.md lists as the s08
+  // residual). Everything around the codebook is s08 unchanged: encode is
+  // a narrow map, LUT from the full query vector, nprobe = 1 so the
+  // dropped dot(q, c) is constant per query. The refined codebook stays
+  // ≤ #labels rows (a codeword losing every residual drops, s07's
+  // documented semantics); kmeansCentroids materializes the round's
+  // centroids as a local relation, so the corpus-scan lineage runs once
+  // per round, not O(rounds²).
+  def s16AnnIvfPqResKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    import graft.functions.VectorFunctions.vecSub
+    val m = 8
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "label", "embedding")
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(emb, cent, Seq("vec_id"))
+    val withRes = assigned.join(broadcast(cent), col("cluster") === col("clabel"))
+      .withColumn("res", vecSub(col("embedding"), col("cf")))
+      .select("vec_id", "label", "cluster", "embedding", "res")
+    val resCent = graft.ops.Similarity.kmeansCentroids(
+      withRes, dim = 64, iters = 1, chunks = centroidChunks, embCol = "res")
+    val resCodebook = graft.ops.Similarity.collectCodebook(resCent)
+    val encoded = withRes.select(col("vec_id"), col("cluster"),
+      PqFunctions.pqCodes(col("res"), resCodebook, m).as("codes"))
+    val q = withRes.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    pqSearch(emb, encoded, q, resCodebook, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+  }
+
+  val s16Oracle: String = {
+    val resExpr =
+      "list_transform(range(1, 65), i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cf[i] AS DOUBLE) AS FLOAT))"
+    duckPqSearchSql(8,
+      s"""WITH ${duckCentroidCtes(64, centroidChunks)}, r1 AS (
+        |  SELECT e.vec_id, e.label, e.embedding, c.clabel,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+        |  FROM embeddings e, cent c
+        |), a1 AS (
+        |  SELECT vec_id, label, embedding, clabel FROM r1 WHERE rn = 1
+        |), res AS (
+        |  SELECT a.vec_id, a.label, a.clabel AS cluster, a.embedding,
+        |    $resExpr AS res
+        |  FROM a1 a JOIN cent c ON c.clabel = a.clabel
+        |), ${duckCentroidCtes(64, centroidChunks, src = "res", sfx = "r", embCol = "res")}, rl AS (
+        |  SELECT a.vec_id, a.res, c.clabel,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ${duckCosOf("a.res", "c.cf")} DESC, c.clabel) AS rn
+        |  FROM res a, centr c
+        |), al AS (
+        |  SELECT vec_id, res, clabel AS label FROM rl WHERE rn = 1
+        |), ${duckCentroidCtes(64, centroidChunks, src = "al", sfx = "r2", embCol = "res")}, q AS (
+        |  SELECT a.vec_id AS query_id, a.embedding AS qv, a.cluster AS qc
+        |  FROM res a WHERE a.vec_id % 50 = 0
+        |)""".stripMargin,
+      appPreJoins = "  JOIN res a ON a.vec_id = co.vec_id\n",
+      appPostJoins = "\n  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.cluster",
+      corpusSrc = "res", corpusVec = "res", centName = "centr2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1128,6 +1194,7 @@ object SimilarityQueries {
     "s13_ann_index_append" -> (s13AnnIndexAppend _),
     "s14_ann_sq8" -> (s14AnnSq8 _),
     "s15_ann_ivf_sq8" -> (s15AnnIvfSq8 _),
+    "s16_ann_ivfpq_res_kmeans" -> (s16AnnIvfPqResKmeans _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -1148,6 +1215,7 @@ object SimilarityQueries {
     "s13_ann_index_append" -> s13Oracle,
     "s14_ann_sq8" -> s14Oracle,
     "s15_ann_ivf_sq8" -> s15Oracle,
+    "s16_ann_ivfpq_res_kmeans" -> s16Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
