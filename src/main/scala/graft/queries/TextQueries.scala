@@ -316,6 +316,56 @@ object TextQueries {
       |    AS repetitive
       |FROM j ORDER BY doc_id""".stripMargin
 
+  // t11 — deterministic sequence packing (the "documents → fixed-budget
+  // training sequences" step every pretraining pipeline runs before
+  // tokenized shards are written): within each (lang, doc-id shard),
+  // documents are laid out in doc_id order, a running token total is
+  // taken, and a document opens sequence `floor(tokens_before / 2048)` —
+  // greedy first-fit-in-order with a 2048-token budget, reported as
+  // per-sequence stats. All integer window/agg arithmetic: bit-exact
+  // cross-engine, reproducible under repartitioning. Scale shape:
+  // packing is inherently order-defined, so the window partitions by
+  // (lang, doc_id div 100000) — fixed-size id shards, the way production
+  // packers shard — keeping parallelism at #langs × #shards instead of a
+  // one-partition-per-language global sort (the shard id is constant 0 at
+  // test SFs; it exists for the 100 TB layout, not the fixture).
+  def t11SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang", "block_id").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withTokens(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("doc_id div 100000").as("block_id"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr("(cum - n_tokens) div 2048"))
+      .groupBy("lang", "block_id", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "block_id", "seq_id")
+  }
+
+  val t11Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, doc_id // 100000 AS block_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, lang, block_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY lang, block_id ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d
+      |)
+      |SELECT lang, CAST(block_id AS BIGINT) AS block_id,
+      |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+      |FROM c GROUP BY lang, block_id, seq_id
+      |ORDER BY lang, block_id, seq_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -327,6 +377,7 @@ object TextQueries {
     "t08_mixture_sample" -> (t08MixtureSample _),
     "t09_top_terms" -> (t09TopTerms _),
     "t10_repetition" -> (t10Repetition _),
+    "t11_sequence_pack" -> (t11SequencePack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +391,6 @@ object TextQueries {
     "t08_mixture_sample" -> t08Oracle,
     "t09_top_terms" -> t09Oracle,
     "t10_repetition" -> t10Oracle,
+    "t11_sequence_pack" -> t11Oracle,
   )
 }
