@@ -59,7 +59,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       DedupQueries.d03MinhashLsh(spark, dir),
       DedupQueries.d08SimhashNearDup(spark, dir),
       DedupQueries.d11Decontaminate(spark, dir),
-      PipelineQueries.p01TrainingMix(spark, dir)
+      PipelineQueries.p01TrainingMix(spark, dir),
+      PipelineQueries.p02ShardManifest(spark, dir)
     ).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
