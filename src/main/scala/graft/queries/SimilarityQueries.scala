@@ -1135,12 +1135,19 @@ object SimilarityQueries {
     val withRes = assigned.join(broadcast(cent), col("cluster") === col("clabel"))
       .withColumn("res", vecSub(col("embedding"), col("cf")))
       .select("vec_id", "label", "cluster", "embedding", "res")
+    // The residual table feeds FOUR actions (codebook init fold, the
+    // Lloyd round's assign+refold, encode, the query branch): training is
+    // iterative, so materialize the training set ONCE (bit-preserving
+    // localCheckpoint, the d10 cadence) instead of re-running
+    // scan+assign+join per action — at scale this is "cache the training
+    // sample before k-means", exactly what FAISS's train() does.
+    val withResM = withRes.localCheckpoint()
     val resCent = graft.ops.Similarity.kmeansCentroids(
-      withRes, dim = 64, iters = 1, chunks = centroidChunks, embCol = "res")
+      withResM, dim = 64, iters = 1, chunks = centroidChunks, embCol = "res")
     val resCodebook = graft.ops.Similarity.collectCodebook(resCent)
-    val encoded = withRes.select(col("vec_id"), col("cluster"),
+    val encoded = withResM.select(col("vec_id"), col("cluster"),
       PqFunctions.pqCodes(col("res"), resCodebook, m).as("codes"))
-    val q = withRes.filter(col("vec_id") % 50 === 0)
+    val q = withResM.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("cluster").as("qc"))
     pqSearch(emb, encoded, q, resCodebook, m, candK = 20,
