@@ -711,6 +711,9 @@ object SimilarityQueries {
     val withRes = assigned.join(broadcast(cent), col("cluster") === col("clabel"))
       .withColumn("res", vecSub(col("embedding"), col("cf")))
       .select("vec_id", "label", "cluster", "embedding", "res")
+      // three actions consume this lineage (codebook fold, encode, the
+      // query branch): materialize it once, bit-preserving (s16's pattern)
+      .localCheckpoint()
     val resCent = graft.ops.Similarity.buildCentroids(
       withRes, dim = 64, chunks = centroidChunks, embCol = "res")
     val resCodebook = graft.ops.Similarity.collectCodebook(resCent)
@@ -779,6 +782,9 @@ object SimilarityQueries {
     val withRes = assigned.join(broadcast(cent), col("cluster") === col("clabel"))
       .withColumn("res", vecSub(col("embedding"), col("cf")))
       .select("vec_id", "label", "cluster", "embedding", "res")
+      // three actions consume this lineage (codebook fold, encode, the
+      // query branch): materialize it once, bit-preserving (s16's pattern)
+      .localCheckpoint()
     val resCent = graft.ops.Similarity.buildCentroids(
       withRes, dim = 64, chunks = centroidChunks, embCol = "res")
     val resCodebook = graft.ops.Similarity.collectCodebook(resCent)
