@@ -69,6 +69,23 @@ object MediaPipeline {
     }
   }
 
+  /** One resized media object. */
+  case class MediaResized(media_id: Long, resized: Array[Byte])
+
+  /** Batched resize through the decoder boundary (STUB resample standing
+    * in for decode→resample→re-encode): same mapPartitions batch shape as
+    * [[decodeFeatures]] — a real implementation initializes the codec
+    * once per batch. Embarrassingly parallel per input row. */
+  def resizeImages(ds: Dataset[MediaRecord], width: Int, height: Int,
+      batchSize: Int = 64): Dataset[MediaResized] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(r =>
+        MediaResized(r.media_id, MediaDecoder.resizeImage(r.bytes, width, height))))
+    }
+  }
+
   /** One sampled frame of a media object. */
   case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 

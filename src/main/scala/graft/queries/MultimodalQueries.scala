@@ -69,13 +69,43 @@ object MultimodalQueries {
       |  CAST(('0x' || substr(md5(frame), 1, 8)) AS BIGINT) AS frame_hash
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  // m03 — batched resize through the decoder boundary: the third leg of
+  // the decode / frame-sample / resize triple. The stub's tag+truncate
+  // arithmetic ('resized:WxH:' ++ first 16 payload bytes) is replayed by
+  // the oracle over the same ASCII payloads, so the batch boundary,
+  // binary schema, and row mapping are all gate-checked even though the
+  // resample itself is a stand-in for a real codec.
+  def m03Resize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"),
+      lit("image").as("kind"), lit("image/fake").as("mime"))
+    val media = MediaPipeline.fromBinary(
+      docs.withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "kind", "mime")
+    MediaPipeline.resizeImages(media, 64, 64)
+      .toDF()
+      .select(
+        col("media_id"),
+        length(col("resized")).as("out_len"),
+        md5(col("resized")).as("out_hash"))
+      .orderBy("media_id")
+  }
+
+  val m03Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(14 + LEAST(16, strlen(text)) AS INT) AS out_len,
+      |  md5('resized:64x64:' || substr(text, 1, 16)) AS out_hash
+      |FROM documents ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_samples" -> (m02FrameSamples _),
+    "m03_resize" -> (m03Resize _),
   )
 
   val oracles: Map[String, String] = Map(
     "m01_media_features" -> m01Oracle,
     "m02_frame_samples" -> m02Oracle,
+    "m03_resize" -> m03Oracle,
   )
 }

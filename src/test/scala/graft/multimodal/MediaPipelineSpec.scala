@@ -45,6 +45,15 @@ class MediaPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(frames.forall(_.length <= 16))
   }
 
+  test("typed batched resize maps every record and matches the decoder stub") {
+    val ds = fromBinary(mediaDf(50).repartition(3), "id", "payload", "kind", "mime")
+    val out = resizeImages(ds, 64, 64, batchSize = 7).collect()
+    assert(out.length == 50)
+    assert(out.map(_.media_id).sorted.toSeq == (0L until 50L))
+    val direct = MediaDecoder.resizeImage("payload-0".getBytes("UTF-8"), 64, 64)
+    assert(out.find(_.media_id == 0L).get.resized.toSeq == direct.toSeq)
+  }
+
   test("typed frame sampling emits n indexed frames per object") {
     val ds = fromBinary(mediaDf(5), "id", "payload", "kind", "mime")
     val frames = sampleFrames(ds, n = 4).collect()
