@@ -366,6 +366,60 @@ object TextQueries {
       |FROM c GROUP BY lang, block_id, seq_id
       |ORDER BY lang, block_id, seq_id""".stripMargin
 
+  // t12 — PII redaction (the scrubbing pass a corpus pipeline runs before
+  // anything ships): regex-detect and mask emails and phone-shaped
+  // strings, report per-document redaction counts plus a hash of the
+  // scrubbed text. The synthetic corpus carries no PII, so the query
+  // injects it deterministically first (email on doc_id % 3, phone on
+  // doc_id % 5 — replayed identically by the oracle), making the counts
+  // live rather than constant. The patterns stay inside the Java∩RE2
+  // common dialect (t05's discipline) so both engines match the same
+  // spans. Pure per-row scan.
+  def t12PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val text2 = concat(col("text"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(
+        lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .withColumn("text2", text2)
+      .withColumn("n_emails", size(regexp_extract_all(
+        col("text2"), lit("user[0-9]+@example\\.com"), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(
+        col("text2"), lit("555-[0-9]{4}"), lit(0))))
+      .withColumn("redacted", regexp_replace(
+        regexp_replace(col("text2"), "user[0-9]+@example\\.com", "<EMAIL>"),
+        "555-[0-9]{4}", "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("redacted")).as("out_len"), md5(col("redacted")).as("out_hash"))
+      .orderBy("doc_id")
+  }
+
+  val t12Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    (CASE WHEN doc_id % 3 = 0
+      |          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0
+      |          THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |          ELSE '' END) AS text2
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text2, 'user[0-9]+@example\.com')) AS INT) AS n_emails,
+      |    CAST(len(regexp_extract_all(text2, '555-[0-9]{4}')) AS INT) AS n_phones,
+      |    regexp_replace(regexp_replace(text2, 'user[0-9]+@example\.com', '<EMAIL>', 'g'),
+      |                   '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |  FROM w
+      |)
+      |SELECT doc_id, n_emails, n_phones,
+      |  CAST(strlen(redacted) AS INT) AS out_len, md5(redacted) AS out_hash
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -378,6 +432,7 @@ object TextQueries {
     "t09_top_terms" -> (t09TopTerms _),
     "t10_repetition" -> (t10Repetition _),
     "t11_sequence_pack" -> (t11SequencePack _),
+    "t12_pii_redact" -> (t12PiiRedact _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -392,5 +447,6 @@ object TextQueries {
     "t09_top_terms" -> t09Oracle,
     "t10_repetition" -> t10Oracle,
     "t11_sequence_pack" -> t11Oracle,
+    "t12_pii_redact" -> t12Oracle,
   )
 }
