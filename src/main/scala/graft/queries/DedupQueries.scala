@@ -293,6 +293,57 @@ object DedupQueries {
       |FROM documents d LEFT JOIN mn m USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // d12 — the deduplicated-corpus manifest: what a user actually RUNS
+  // near-dup dedup for. d03-family pairs → d10's connected components →
+  // keep the min-id doc per component → report, per (lang, source), the
+  // before-count, kept-count, and kept token volume. Composes the two
+  // gated operators into the delete decision itself (d10 stops at
+  // labeling; the pairwise keep-the-min rule alone over-deletes on
+  // transitive chains — exactly why components exist). Same scale shape
+  // as its parts: shingle-keyed pair generation, vertex-keyed min-label
+  // propagation with per-round materialization, then one grouped agg.
+  def d12DedupManifest(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Dedup.jaccardPairs(withShingles(spark, dir), "doc_id", 0.5)
+    val comp = graft.ops.Dedup.connectedComponents(
+      Tables.documents(spark, dir).select("doc_id"), pairs,
+      "doc_id", "doc_a", "doc_b", checkpointEvery = 1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(comp, Seq("doc_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("component"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_id") === col("component"), col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  val d12Oracle: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + pairScoredCte +
+    """, pairs AS (
+      |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+      |), sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+      |), mn AS (
+      |  SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a
+      |), comp AS (
+      |  SELECT d.doc_id, LEAST(COALESCE(m.m, d.doc_id), d.doc_id) AS component
+      |  FROM documents d LEFT JOIN mn m USING (doc_id)
+      |)
+      |SELECT d.lang, d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN c.component = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN c.component = d.doc_id
+      |                THEN CAST(len(string_split(d.text, ' ')) AS BIGINT)
+      |                ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM documents d JOIN comp c USING (doc_id)
+      |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
+
   // d11 — train/test decontamination sweep (the GPT-3/Gopher appendix-C
   // discipline, n-gram-collision flavor): for every TEST-split document,
   // count how many of its distinct 3-gram shingles also occur anywhere in
@@ -355,6 +406,7 @@ object DedupQueries {
     "d09_sql_simhash" -> (d09SqlSimhash _),
     "d10_dedup_components" -> (d10DedupComponents _),
     "d11_decontaminate" -> (d11Decontaminate _),
+    "d12_dedup_manifest" -> (d12DedupManifest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -367,5 +419,6 @@ object DedupQueries {
     "d09_sql_simhash" -> d04Oracle, // same computation, SQL-routed
     "d10_dedup_components" -> d10Oracle,
     "d11_decontaminate" -> d11Oracle,
+    "d12_dedup_manifest" -> d12Oracle,
   )
 }
