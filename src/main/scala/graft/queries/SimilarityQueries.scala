@@ -1191,6 +1191,65 @@ object SimilarityQueries {
       corpusSrc = "res", corpusVec = "res", centName = "centr2")
   }
 
+  // s17 — FILTERED ANN search (the metadata-predicate vector search every
+  // production vector store implements): s03's IVF layout, but candidates
+  // must satisfy a metadata predicate (here `label % 2 = 0`). The
+  // predicate applies BEFORE the cluster-key candidate join — true
+  // pre-filtering, so the top-k is the top-k OF THE FILTERED SET (a
+  // post-rank filter would silently return fewer than k and miss
+  // qualifying neighbors ranked past k). At scale the predicate is a
+  // pushed parquet filter on the index side of the equi-join; queries
+  // themselves are NOT filtered. Neighbor labels ride the output so the
+  // gate also proves the filter held.
+  def s17AnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "label", "embedding"), cent, Seq("vec_id"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    val cand = assigned.filter(col("label") % 2 === 0)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.join(broadcast(q),
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("neighbor_label"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s17Oracle: String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+        s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS (
+      |  SELECT vec_id, label, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.label, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, a.vec_id, a.label, ${cos("qv", "a.embedding")} AS cos
+      |  FROM assigned a JOIN q ON a.clabel = q.qc AND a.vec_id <> q.query_id
+      |  WHERE a.label % 2 = 0
+      |)
+      |SELECT query_id, rank, neighbor_id, neighbor_label FROM (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    CAST(label AS BIGINT) AS neighbor_label,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1208,6 +1267,7 @@ object SimilarityQueries {
     "s14_ann_sq8" -> (s14AnnSq8 _),
     "s15_ann_ivf_sq8" -> (s15AnnIvfSq8 _),
     "s16_ann_ivfpq_res_kmeans" -> (s16AnnIvfPqResKmeans _),
+    "s17_ann_filtered" -> (s17AnnFiltered _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -1229,6 +1289,7 @@ object SimilarityQueries {
     "s14_ann_sq8" -> s14Oracle,
     "s15_ann_ivf_sq8" -> s15Oracle,
     "s16_ann_ivfpq_res_kmeans" -> s16Oracle,
+    "s17_ann_filtered" -> s17Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
