@@ -414,7 +414,41 @@ object RelationalQueries {
       |    AND l_shipdate < TIMESTAMP '1997-02-01') l
       |JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
 
+  // q33 — co-purchase part pairs (frequent-itemset counting, the
+  // market-basket staple): distinct (order, part) pairs self-joined on
+  // the order key with part_a < part_b, counted per pair, global top-10
+  // with full deterministic tie-break. Scale shape: the self-join is an
+  // equi-join on l_orderkey whose per-key expansion is bounded by TPC-H's
+  // ≤7 lineitems/order (k·(k−1)/2 ≤ 21 pairs) — the same bounded-posting
+  // discipline as d02's shingle index; a long-tailed basket table would
+  // take the same ≤L cap. The top-10 is a TakeOrdered (per-partition
+  // top-n), never a global sort.
+  def q33CopurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(10)
+  }
+
+  val q33Oracle: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |)
+      |SELECT part_a, part_b, COUNT(*) AS n_orders
+      |FROM pairs GROUP BY part_a, part_b
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
     "q32_promo_share" -> (q32PromoShare _),
     "q29_max_order_per_customer" -> (q29MaxOrderPerCustomer _),
@@ -434,6 +468,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,
+    "q33_copurchase_pairs" -> q33Oracle,
     "q29_max_order_per_customer" -> q29Oracle,
     "q30_nation_balance_share" -> q30Oracle,
     "q01_pricing_summary" -> q01Oracle,

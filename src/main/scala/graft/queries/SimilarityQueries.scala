@@ -1250,6 +1250,56 @@ object SimilarityQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // s18 — cluster purity: the evaluation join every clustering pipeline
+  // runs — IVF-assign the embeddings, join the document table's metadata
+  // on the shared id, and report each cluster's size, majority language,
+  // and purity. The cross-table hop (embeddings ↔ documents) is an
+  // equi-join on the id — at 100 TB both sides shuffle on it (or
+  // co-bucket); the per-cluster majority is a two-level agg + one window
+  // over cluster-sized rows, never the corpus.
+  def s18ClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val byLang = assigned
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      .groupBy(col("cluster").cast("long").as("cluster"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cluster").orderBy(col("n").desc, col("lang"))
+    byLang
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_vecs", sum(col("n")).over(Window.partitionBy("cluster")))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("n_vecs"),
+        col("lang").as("top_lang"), col("n").as("top_n"),
+        (col("n").cast("double") / col("n_vecs")).as("purity"))
+      .orderBy("cluster")
+  }
+
+  val s18Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS (
+      |  SELECT vec_id, clabel FROM (
+      |    SELECT e.vec_id, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), byl AS (
+      |  SELECT CAST(a.clabel AS BIGINT) AS cluster, d.lang, COUNT(*) AS n
+      |  FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+      |  GROUP BY a.clabel, d.lang
+      |)
+      |SELECT cluster, n_vecs, lang AS top_lang, n AS top_n,
+      |  CAST(n AS DOUBLE)/n_vecs AS purity
+      |FROM (
+      |  SELECT cluster, lang, n,
+      |    row_number() OVER (PARTITION BY cluster ORDER BY n DESC, lang) AS rn,
+      |    CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs
+      |  FROM byl)
+      |WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1268,6 +1318,7 @@ object SimilarityQueries {
     "s15_ann_ivf_sq8" -> (s15AnnIvfSq8 _),
     "s16_ann_ivfpq_res_kmeans" -> (s16AnnIvfPqResKmeans _),
     "s17_ann_filtered" -> (s17AnnFiltered _),
+    "s18_cluster_purity" -> (s18ClusterPurity _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -1290,6 +1341,7 @@ object SimilarityQueries {
     "s15_ann_ivf_sq8" -> s15Oracle,
     "s16_ann_ivfpq_res_kmeans" -> s16Oracle,
     "s17_ann_filtered" -> s17Oracle,
+    "s18_cluster_purity" -> s18Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
