@@ -1300,6 +1300,45 @@ object SimilarityQueries {
       |  FROM byl)
       |WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  // s19 — index-quality evaluation: recall@5 of the IVF index (s03)
+  // against the exact brute-force ground truth (s01) — the metric every
+  // ANN deployment reports before trusting an index. Both sides ARE the
+  // gated operators (the DataFrames and the oracle SQL are s01's and
+  // s03's own definitions, composed), so a recall regression isolates to
+  // the index, not the evaluator. Scale: the truth side is exact top-k
+  // over the sampled query set only (the standard evaluation protocol —
+  // ground truth is priced per-query, never per-corpus-pair), and the
+  // hit join carries (query_id, neighbor_id) pairs, k rows per query.
+  def s19AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = s01AnnBruteForce(spark, dir).filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = s03AnnIvf(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).cast("int").as("n_hits"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0)))
+      .withColumn("recall5", col("n_hits").cast("double") / 5.0)
+      .orderBy("query_id")
+  }
+
+  val s19Oracle: String =
+    s"""WITH truth AS (
+      |  SELECT query_id, neighbor_id FROM ($s01Oracle) WHERE rank <= 5
+      |), approx AS (
+      |  SELECT query_id, neighbor_id FROM ($s03Oracle)
+      |), hits AS (
+      |  SELECT t.query_id, CAST(COUNT(*) AS INT) AS n_hits
+      |  FROM truth t JOIN approx a
+      |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      |  GROUP BY t.query_id
+      |)
+      |SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE)/5.0 AS recall5
+      |FROM (SELECT DISTINCT query_id FROM truth) q
+      |LEFT JOIN hits h USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1319,6 +1358,7 @@ object SimilarityQueries {
     "s16_ann_ivfpq_res_kmeans" -> (s16AnnIvfPqResKmeans _),
     "s17_ann_filtered" -> (s17AnnFiltered _),
     "s18_cluster_purity" -> (s18ClusterPurity _),
+    "s19_ann_recall" -> (s19AnnRecall _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -1342,6 +1382,7 @@ object SimilarityQueries {
     "s16_ann_ivfpq_res_kmeans" -> s16Oracle,
     "s17_ann_filtered" -> s17Oracle,
     "s18_cluster_purity" -> s18Oracle,
+    "s19_ann_recall" -> s19Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
