@@ -942,6 +942,72 @@ object CdcQueries {
       |  CAST(MIN(src_ms) AS BIGINT) AS source_timestamp
       |FROM a GROUP BY bfile, pos ORDER BY binlog_file, binlog_position""".stripMargin
 
+  // cdc15 — WATERMARKED WINDOWED streaming aggregation under the gate
+  // (§2.9's remaining tests-only surface): the events table streams as
+  // epoch-µs JSON in one file, followed — in a strictly LATER micro-batch
+  // (maxFilesPerTrigger=1; the sentinel file's mtime is explicitly bumped
+  // so the file source must order it second) — by a single sentinel event
+  // 30 days ahead whose only job is to advance the watermark past every
+  // real window. Append mode then emits exactly the closed real windows
+  // (the sentinel's own window stays in state, never emitted, and is
+  // filtered defensively), which equals the batch tumbling-window
+  // aggregate the oracle computes. This gates watermark advancement,
+  // cross-batch state, and append-mode window emission — semantics the
+  // batch oracle could not reach without the sentinel-flush construction.
+  // Outputs are epoch-µs longs (integer gate discipline; timestamp
+  // parquet annotations differ cross-engine).
+  def cdc15StreamWindows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc15_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), expr("ts div 1000").as("t_us"), col("event_type"))
+    val aDir = new java.io.File(feed, "a"); val bDir = new java.io.File(feed, "b")
+    ev.coalesce(1).write.mode("overwrite").json(aDir.getPath)
+    val maxUs = ev.agg(max(col("t_us"))).head().getLong(0)
+    val sentinelUs = maxUs + 30L * 24 * 3600 * 1000000L
+    ev.sparkSession.range(1).select(
+        lit(-1L).as("event_id"), lit(sentinelUs).as("t_us"),
+        lit("__sentinel").as("event_type"))
+      .coalesce(1).write.mode("overwrite").json(bDir.getPath)
+    // the file source orders by modification time: force the sentinel
+    // strictly later so it cannot share (or precede) the real batch —
+    // if it ran FIRST, the watermark would mark every real event late
+    val aMax = aDir.listFiles().map(_.lastModified()).max
+    bDir.listFiles().foreach(f => f.setLastModified(aMax + 2000))
+    val stream = spark.readStream
+      .schema("event_id LONG, t_us LONG, event_type STRING")
+      .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+      .json(feed.getPath)
+      .withColumn("ts", timestamp_micros(col("t_us")))
+    val q = graft.streaming.EventWindows
+      .windowedCounts(stream, "ts", "event_type", "1 hour", "1 hour")
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        unix_micros(col("window_end")).as("window_end_us"),
+        col("event_type"), col("count").as("n_events"))
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
+    spark.read.schema(
+        "window_start_us LONG, window_end_us LONG, event_type STRING, n_events LONG")
+      .parquet(sink)
+      .filter(col("event_type") =!= "__sentinel")
+      .orderBy("window_start_us", "event_type")
+  }
+
+  val cdc15Oracle: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+      |  epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+      |  event_type, COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -957,6 +1023,7 @@ object CdcQueries {
     "cdc12_stream_drain" -> (cdc12StreamDrain _),
     "cdc13_stream_binlog" -> (cdc13StreamBinlog _),
     "cdc14_stream_dedup" -> (cdc14StreamDedup _),
+    "cdc15_stream_windows" -> (cdc15StreamWindows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -974,5 +1041,6 @@ object CdcQueries {
     "cdc12_stream_drain" -> cdc01Oracle, // drained stream == batch compare
     "cdc13_stream_binlog" -> cdc05Oracle, // streamed decode == batch decode
     "cdc14_stream_dedup" -> cdc14Oracle,
+    "cdc15_stream_windows" -> cdc15Oracle,
   )
 }
