@@ -967,7 +967,10 @@ object CdcQueries {
       .select(col("event_id"), expr("ts div 1000").as("t_us"), col("event_type"))
     val aDir = new java.io.File(feed, "a"); val bDir = new java.io.File(feed, "b")
     ev.coalesce(1).write.mode("overwrite").json(aDir.getPath)
-    val maxUs = ev.agg(max(col("t_us"))).head().getLong(0)
+    // empty feed (degenerate sweep): max() is null — any sentinel time
+    // works, since there are no real windows for the watermark to close
+    val maxRow = ev.agg(max(col("t_us"))).head()
+    val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val sentinelUs = maxUs + 30L * 24 * 3600 * 1000000L
     ev.sparkSession.range(1).select(
         lit(-1L).as("event_id"), lit(sentinelUs).as("t_us"),
@@ -976,7 +979,9 @@ object CdcQueries {
     // the file source orders by modification time: force the sentinel
     // strictly later so it cannot share (or precede) the real batch —
     // if it ran FIRST, the watermark would mark every real event late
-    val aMax = aDir.listFiles().map(_.lastModified()).max
+    val aFiles = Option(aDir.listFiles()).getOrElse(Array.empty)
+    val aMax = if (aFiles.isEmpty) System.currentTimeMillis()
+               else aFiles.map(_.lastModified()).max
     bDir.listFiles().foreach(f => f.setLastModified(aMax + 2000))
     val stream = spark.readStream
       .schema("event_id LONG, t_us LONG, event_type STRING")
