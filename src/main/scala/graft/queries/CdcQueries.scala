@@ -38,22 +38,23 @@ object CdcQueries {
     (binlog, Comparator.prepareAvro(avroRaw))
   }
 
-  /** The synthesized inputs with the avro side RAW (un-prepared): cdc12
-    * streams the raw feed from disk and prepares it inside the streaming
-    * plan, so the prepare projections are part of what the drain
-    * exercises. Binlog side is returned prepared (it is the static side
-    * in both consumers). */
-  private def sidesRaw(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val base = Tables.events(spark, dir).select(
+  private def fixtureBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
       col("event_id"), col("user_id"), col("event_type"),
       expr("ts div 1000000000").as("sec"))
 
-    val rfc = concat(date_format(timestamp_seconds(col("sec")),
-      "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
-    val file = concat(lit("mysql-bin."),
-      lpad((col("user_id") % 4).cast("string"), 6, "0"))
+  private val fixtureRfc = concat(date_format(timestamp_seconds(col("sec")),
+    "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
+  private val fixtureFile = concat(lit("mysql-bin."),
+    lpad((col("user_id") % 4).cast("string"), 6, "0"))
 
-    val binlog = base
+  /** The binlog side in its RAW (pre-normalize) JSON shape — what a feed
+    * file contains. cdc16 streams this through `normalizeBinlog` inside
+    * the streaming plan; `sidesRaw` prepares it for the static consumers. */
+  private def binlogRawSide(spark: SparkSession, dir: String): DataFrame = {
+    val rfc = fixtureRfc
+    val file = fixtureFile
+    fixtureBase(spark, dir)
       .filter(col("event_type") =!= "error")
       .select(
         when(col("event_type") === "purchase", "WriteRowsEventV2")
@@ -72,6 +73,18 @@ object CdcQueries {
         when(col("event_id") % 23 === 0, concat(lit("uuid:"), col("event_id")))
           .otherwise(lit("")).as("gtid_next"),
         col("event_id"))
+  }
+
+  /** The synthesized inputs with the avro side RAW (un-prepared): cdc12
+    * streams the raw feed from disk and prepares it inside the streaming
+    * plan, so the prepare projections are part of what the drain
+    * exercises. Binlog side is returned prepared (it is the static side
+    * in both consumers). */
+  private def sidesRaw(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = fixtureBase(spark, dir)
+    val file = fixtureFile
+
+    val binlog = binlogRawSide(spark, dir)
 
     val dml = base.filter(col("event_type").isin("purchase", "click", "view"))
     val avroMain = dml
@@ -1013,6 +1026,107 @@ object CdcQueries {
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
 
+  // cdc16 — the STREAM-STREAM comparator under the gate: both sides of
+  // cdc01's fixture stream from disk (binlog raw → normalizeBinlog, avro
+  // raw → prepareAvro, both inside the streaming plan), joined by
+  // `compareStreamsWithParity`'s watermarked interval join, drained with
+  // AvailableNow to a parquet sink, then the documented terminal batch
+  // steps (reclassifyUnparseable + reconcileBinlogOnly) — and the status
+  // counts must equal cdc01's: the oracle IS cdc01's oracle, so this
+  // gates the full parity contract, not a weaker stream-only shape.
+  // Sentinel rows a day ahead on BOTH feeds (the join watermark is the
+  // min across inputs), written as separate later-mtime files so
+  // maxFilesPerTrigger=1 forces them into later micro-batches, advance
+  // the watermark past every real row; the outer join's null side then
+  // flushes in the engine's no-data batches before AvailableNow
+  // terminates (the StreamingComparatorSpec parity construction, run on
+  // the real fixture). The sentinels' own keys (≥ 7e8, outside the
+  // fixture's id+2e7 space) never emit (nothing ever passes THEIR
+  // watermark bound) and are filtered defensively.
+  def cdc16StreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc16_", dir)
+    root.mkdirs()
+    val bFeed = new java.io.File(root, "bfeed"); bFeed.mkdirs()
+    val aFeed = new java.io.File(root, "afeed"); aFeed.mkdirs()
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+
+    val binlogRaw = binlogRawSide(spark, dir)
+    val (binlogStatic, avroRaw) = sidesRaw(spark, dir)
+    binlogRaw.coalesce(1).write.mode("overwrite")
+      .json(new java.io.File(bFeed, "b1").getPath)
+    avroRaw.coalesce(1).write.mode("overwrite")
+      .json(new java.io.File(aFeed, "a1").getPath)
+
+    // sentinels one day past the fixture's max second (empty-feed guard:
+    // any time works when there are no real rows to flush)
+    val maxRow = fixtureBase(spark, dir).agg(max(col("sec"))).head()
+    val farSec = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 24 * 3600L
+    val farRfc = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(farSec))
+    spark.range(1).select(
+        lit("WriteRowsEventV2").as("event_type"), lit(farRfc).as("timestamp"),
+        lit(farRfc).as("immediate_commmit_timestamp"),
+        lit("").as("orignal_commmit_timestamp"),
+        lit(777777778L).as("log_position"), lit("events").as("table"),
+        lit("app").as("schema"), lit("mysql-bin.000000").as("binlog_file"),
+        lit("").as("gtid_next"), lit(777777774L).as("event_id"))
+      .coalesce(1).write.mode("overwrite")
+      .json(new java.io.File(bFeed, "b2").getPath)
+    spark.range(1).select(
+        lit(farSec * 1000).as("source_timestamp"), lit("app").as("database"),
+        lit("events").as("table"), lit("INSERT").as("change_type"),
+        lit("").as("gtid"), lit("mysql-bin.000000").as("binlog_file"),
+        lit(777777777L).as("binlog_position"))
+      .coalesce(1).write.mode("overwrite")
+      .json(new java.io.File(aFeed, "a2").getPath)
+    // file source orders by mtime: the sentinels must arrive LAST (cdc15)
+    def bump(d: java.io.File, real: java.io.File): Unit = {
+      val fs = Option(real.listFiles()).getOrElse(Array.empty)
+      val base0 = if (fs.isEmpty) System.currentTimeMillis()
+                  else fs.map(_.lastModified()).max
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .foreach(f => f.setLastModified(base0 + 2000))
+    }
+    bump(new java.io.File(bFeed, "b2"), new java.io.File(bFeed, "b1"))
+    bump(new java.io.File(aFeed, "a2"), new java.io.File(aFeed, "a1"))
+
+    val binlogStream = Comparator.normalizeBinlog(
+      spark.readStream.schema(binlogRaw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").json(bFeed.getPath))
+    val avroStream = Comparator.prepareAvro(
+      spark.readStream.schema(avroRaw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").json(aFeed.getPath))
+    val (main, _) = graft.streaming.StreamingComparator.compareStreamsWithParity(
+      avroStream, binlogStream, maxSkew = "10 minutes", watermarkDelay = "1 second")
+    val q = main.select("binlog_file", "position", "status")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
+    val drained = spark.read.schema(
+        "binlog_file STRING, position BIGINT, status STRING").parquet(sink)
+      .filter(col("position") < 700000000L)
+
+    // terminal batch steps over the same snapshot (the documented contract)
+    val untimed = graft.streaming.StreamingComparator
+      .partitionUnparseableBinlog(Comparator.normalizeBinlog(binlogRaw))._2
+    val reclassified = graft.streaming.StreamingComparator
+      .reclassifyUnparseable(drained, untimed)
+    val reconciled = graft.streaming.StreamingComparator.reconcileBinlogOnly(
+        binlogStatic,
+        avroRaw.select(col("binlog_file"), col("binlog_position")))
+      .select("binlog_file", "position", "status")
+    reclassified.select("binlog_file", "position", "status")
+      .unionByName(reconciled)
+      .groupBy("status").count().orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -1029,6 +1143,7 @@ object CdcQueries {
     "cdc13_stream_binlog" -> (cdc13StreamBinlog _),
     "cdc14_stream_dedup" -> (cdc14StreamDedup _),
     "cdc15_stream_windows" -> (cdc15StreamWindows _),
+    "cdc16_stream_parity" -> (cdc16StreamParity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1047,5 +1162,7 @@ object CdcQueries {
     "cdc13_stream_binlog" -> cdc05Oracle, // streamed decode == batch decode
     "cdc14_stream_dedup" -> cdc14Oracle,
     "cdc15_stream_windows" -> cdc15Oracle,
+    "cdc16_stream_parity" -> cdc01Oracle, // the parity contract IS cdc01
+
   )
 }
