@@ -1127,6 +1127,80 @@ object CdcQueries {
       .groupBy("status").count().orderBy("status")
   }
 
+  // cdc17 — the canonical CDC CONSUMER: apply an ordered change feed
+  // (INSERT/UPDATE/DELETE per key) to materialize the final table
+  // snapshot — what `comparator.sh`'s two feeds each DESCRIBE but the
+  // reference never materializes (it only compares them). Semantics:
+  // per primary key, the event with the greatest (source_ts, position)
+  // wins; a key whose last event is a DELETE is absent from the
+  // snapshot. This is the distributed MERGE INTO / upsert-compaction
+  // every downstream CDC table maintenance job runs.
+  //
+  // Plan shape: ONE shuffle on the key, `max_by` hash aggregate with
+  // map-side partial merge (q11's last-wins discipline — no window
+  // sort over the feed), then a survivor filter. At 100 TB the feed
+  // shuffles once on the primary key and the snapshot is written
+  // bucket-partitioned by the same key, so the next day's apply
+  // co-locates for free. (src_ms, pos) is a total order per key in the
+  // fixture (positions are globally unique), so last-wins is
+  // deterministic — the same contract a real binlog's (file, offset)
+  // provides.
+  def cdc17SnapshotApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+    val ct = when(col("event_id") % 5 === 0, lit("INSERT"))
+      .otherwise(
+        when(col("event_type") === "purchase", "INSERT")
+          .when(col("event_type") === "click", "UPDATE")
+          .otherwise("DELETE"))
+    val main = base.filter(col("event_id") % 11 =!= 0).select(
+      col("user_id"),
+      (col("sec") * 1000 +
+        when(col("event_id") % 7 === 0, 150L).otherwise(0L)).as("src_ms"),
+      ct.as("ct"),
+      (col("event_id") + 4).as("pos"))
+    val extra = base.filter(col("event_id") % 13 === 0).select(
+      col("user_id"), (col("sec") * 1000).as("src_ms"),
+      lit("INSERT").as("ct"), (col("event_id") + 20000000L).as("pos"))
+    main.unionByName(extra)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("ct"), col("src_ms")),
+          struct(col("src_ms"), col("pos"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"), col("last.ct").as("last_change_type"),
+        col("last.src_ms").as("last_ts_ms"), col("n_changes"))
+      .filter(col("last_change_type") =!= "DELETE")
+      .orderBy("user_id")
+  }
+
+  val cdc17Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000000000 AS sec
+      |  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+      |), a AS (
+      |  SELECT user_id,
+      |    sec * 1000 + CASE WHEN event_id % 7 = 0 THEN 150 ELSE 0 END AS src_ms,
+      |    CASE WHEN event_id % 5 = 0 THEN 'INSERT'
+      |         ELSE CASE event_type WHEN 'purchase' THEN 'INSERT'
+      |              WHEN 'click' THEN 'UPDATE' ELSE 'DELETE' END END AS ct,
+      |    event_id + 4 AS pos
+      |  FROM base WHERE event_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT user_id, sec * 1000, 'INSERT', event_id + 20000000
+      |  FROM base WHERE event_id % 13 = 0
+      |), ranked AS (
+      |  SELECT user_id, ct, src_ms,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY src_ms DESC, pos DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM a
+      |)
+      |SELECT user_id, ct AS last_change_type, src_ms AS last_ts_ms, n_changes
+      |FROM ranked WHERE rn = 1 AND ct <> 'DELETE'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -1144,6 +1218,7 @@ object CdcQueries {
     "cdc14_stream_dedup" -> (cdc14StreamDedup _),
     "cdc15_stream_windows" -> (cdc15StreamWindows _),
     "cdc16_stream_parity" -> (cdc16StreamParity _),
+    "cdc17_snapshot_apply" -> (cdc17SnapshotApply _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1163,6 +1238,6 @@ object CdcQueries {
     "cdc14_stream_dedup" -> cdc14Oracle,
     "cdc15_stream_windows" -> cdc15Oracle,
     "cdc16_stream_parity" -> cdc01Oracle, // the parity contract IS cdc01
-
+    "cdc17_snapshot_apply" -> cdc17Oracle,
   )
 }
