@@ -1127,6 +1127,61 @@ object CdcQueries {
       .groupBy("status").count().orderBy("status")
   }
 
+  // cdc18 — checkpoint-restart parity: the fault-tolerance contract of
+  // the streaming path under the oracle gate. The feed arrives in two
+  // installments; a first AvailableNow drain consumes installment one
+  // and the query STOPS; a second query starts from the SAME checkpoint
+  // after installment two lands. The sink must end up exactly the batch
+  // comparison: the file source's checkpointed offset log has to skip
+  // every already-processed file (reprocessing would double those
+  // status counts and hash-mismatch the oracle) while picking up every
+  // new one, and the file sink's transaction log must make the two
+  // drains' output read as one consistent table. This is the
+  // crash/redeploy cycle every production streaming job lives through —
+  // cdc12 gates one uninterrupted drain, cdc18 gates the restart seam.
+  def cdc18RestartParity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc18_", dir)
+    val stage = new java.io.File(root, "stage")
+    val feed = new java.io.File(root, "feed")
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val (binlogStatic, avroRaw) = sidesRaw(spark, dir)
+    // ≥4 part files so the two installments are both non-trivial
+    avroRaw.repartition(4).write.mode("overwrite").json(stage.getPath)
+    feed.mkdirs()
+    val parts = Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+    def deliver(fs: Array[java.io.File], tag: String): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(feed, s"${tag}_${f.getName}").toPath)
+    }
+    def drain(): Unit = {
+      val avroStream = Comparator.prepareAvro(
+        spark.readStream.schema(avroRaw.schema).json(feed.getPath))
+      val q = graft.streaming.StreamingComparator
+        .compareStream(avroStream, binlogStatic)
+        .select("binlog_file", "position", "status")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val (first, second) = parts.splitAt(parts.length / 2)
+    deliver(first, "h1"); drain() // installment one, then the query stops
+    deliver(second, "h2"); drain() // restart from the same checkpoint
+    new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
+    val drained = spark.read.schema(
+        "binlog_file STRING, position BIGINT, status STRING").parquet(sink)
+    val binlogOnly = graft.streaming.StreamingComparator.reconcileBinlogOnly(
+        binlogStatic,
+        drained.select(col("binlog_file"), col("position").as("binlog_position")))
+      .select("binlog_file", "position", "status")
+    drained.unionByName(binlogOnly)
+      .groupBy("status").count().orderBy("status")
+  }
+
   // cdc17 — the canonical CDC CONSUMER: apply an ordered change feed
   // (INSERT/UPDATE/DELETE per key) to materialize the final table
   // snapshot — what `comparator.sh`'s two feeds each DESCRIBE but the
@@ -1219,6 +1274,7 @@ object CdcQueries {
     "cdc15_stream_windows" -> (cdc15StreamWindows _),
     "cdc16_stream_parity" -> (cdc16StreamParity _),
     "cdc17_snapshot_apply" -> (cdc17SnapshotApply _),
+    "cdc18_restart_parity" -> (cdc18RestartParity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1239,5 +1295,6 @@ object CdcQueries {
     "cdc15_stream_windows" -> cdc15Oracle,
     "cdc16_stream_parity" -> cdc01Oracle, // the parity contract IS cdc01
     "cdc17_snapshot_apply" -> cdc17Oracle,
+    "cdc18_restart_parity" -> cdc01Oracle, // restart must equal the batch compare
   )
 }
