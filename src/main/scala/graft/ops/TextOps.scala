@@ -80,6 +80,25 @@ object TextOps {
     md5Bucket(concat(id.cast("string"), lit("#mix")), denom) < threshold
   }
 
+  /** Deterministic stratified sampling rank: 1-based position of the row
+    * inside its `stratum` under the stable md5-of-`id` order (salted
+    * `#strat`, so the draw is independent of [[hashSplit]] and
+    * [[mixtureSample]]; exact hash ties — ~n²/2³² per stratum — resolve
+    * by `id`). `rank <= n` is then an EXACT n-per-stratum sample,
+    * reproducible across engines, re-runs and repartitioning, unlike
+    * TABLESAMPLE/rand(seed). One shuffle on the stratum key plus a
+    * per-stratum sort; when one stratum dominates a 100 TB corpus,
+    * pre-filter with a hash threshold sized from approximate stratum
+    * counts (keep hash < c·n/|stratum| of the key space), then exact-rank
+    * only the survivors — the same two-phase shape as top-k. */
+  def stratifiedRank(stratum: Column, id: Column): Column = {
+    import org.apache.spark.sql.expressions.Window
+    row_number().over(Window.partitionBy(stratum).orderBy(
+      conv(substring(md5(concat(id.cast("string"), lit("#strat"))), 1, 8), 16, 10)
+        .cast("long"),
+      id))
+  }
+
   /** The engine's stable-bucket primitive: first 8 md5-hex chars of `s`
     * as a long, mod `denom`. ONE definition shared by [[hashSplit]] and
     * [[mixtureSample]] — every DuckDB oracle replays exactly

@@ -420,6 +420,36 @@ object TextQueries {
       |  CAST(strlen(redacted) AS INT) AS out_len, md5(redacted) AS out_hash
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // t13 — exact stratified sampling: 25 documents per language, drawn by
+  // the stable salted-md5 order (TextOps.stratifiedRank), the evaluation-
+  // set / ablation-subset primitive ("give me the same N per stratum
+  // every run, on any cluster"). The sum of sampled doc_ids rides the
+  // output so the gate proves BOTH engines selected the identical rows,
+  // not merely the same number of them.
+  def t13StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("rnk",
+        graft.ops.TextOps.stratifiedRank(col("lang"), col("doc_id")))
+      .filter(col("rnk") <= 25)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).as("id_checksum"),
+        sum(col("n_chars")).as("sampled_chars"))
+      .orderBy("lang")
+
+  val t13Oracle: String =
+    """SELECT lang, COUNT(*) AS n_sampled,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+      |FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 8)) AS BIGINT),
+      |      doc_id) AS rnk
+      |  FROM documents)
+      |WHERE rnk <= 25
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -433,6 +463,7 @@ object TextQueries {
     "t10_repetition" -> (t10Repetition _),
     "t11_sequence_pack" -> (t11SequencePack _),
     "t12_pii_redact" -> (t12PiiRedact _),
+    "t13_stratified_sample" -> (t13StratifiedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +479,6 @@ object TextQueries {
     "t10_repetition" -> t10Oracle,
     "t11_sequence_pack" -> t11Oracle,
     "t12_pii_redact" -> t12Oracle,
+    "t13_stratified_sample" -> t13Oracle,
   )
 }
