@@ -1339,6 +1339,56 @@ object SimilarityQueries {
       |LEFT JOIN hits h USING (query_id)
       |ORDER BY query_id""".stripMargin
 
+  // s20 — tombstone-aware search: FAISS remove_ids() semantics, the
+  // DELETE leg of index maintenance (s12 persists, s13 appends, s20
+  // deletes). The coarse quantizer and codebook are NOT retrained — a
+  // delete must not re-shuffle the inverted lists — the deleted ids are
+  // an arbitrary id TABLE (production deletes arrive as GDPR/takedown id
+  // lists, not predicates), and the index side drops them with a
+  // LEFT ANTI join before the candidate join, so top-k is the top-k of
+  // the live set (post-rank filtering would return < k). At 100 TB the
+  // anti-join shuffles only (vec_id) pairs — or, with the s12 layout,
+  // becomes a cluster-partition-local merge since both sides carry the
+  // cluster key.
+  def s20AnnTombstones(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val m = 8
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val encoded = assigned.select(col("vec_id"), col("cluster"),
+      PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+    val tombstones = emb.filter(col("vec_id") % 9 === 0).select("vec_id")
+    val live = encoded.join(tombstones, Seq("vec_id"), "left_anti")
+    // queries are NOT filtered: a deleted vector may still arrive as a
+    // query (re-ingestion lookup); it must find live neighbors only
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    pqSearch(emb, live, q, codebook, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+  }
+
+  val s20Oracle: String = duckPqSearchSql(8,
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, live AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 <> 0
+      |), ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |)""".stripMargin,
+    appPreJoins = "  JOIN assigned a ON a.vec_id = co.vec_id\n",
+    appPostJoins = "\n  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.clabel",
+    corpusSrc = "live")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1359,6 +1409,7 @@ object SimilarityQueries {
     "s17_ann_filtered" -> (s17AnnFiltered _),
     "s18_cluster_purity" -> (s18ClusterPurity _),
     "s19_ann_recall" -> (s19AnnRecall _),
+    "s20_ann_tombstones" -> (s20AnnTombstones _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -1383,6 +1434,7 @@ object SimilarityQueries {
     "s17_ann_filtered" -> s17Oracle,
     "s18_cluster_purity" -> s18Oracle,
     "s19_ann_recall" -> s19Oracle,
+    "s20_ann_tombstones" -> s20Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
