@@ -262,13 +262,106 @@ object PipelineQueries {
       |FROM packed GROUP BY lang, block_id
       |ORDER BY lang, block_id""".stripMargin
 
+  // p03 — decontaminated EVAL-SET construction, the benchmark-building
+  // direction (p02 protects the benchmark by filtering TRAIN; p03 builds
+  // the benchmark itself): draw an exact per-language sample by stable
+  // hash order (t13's stratifiedRank — same N every run, every cluster),
+  // then DROP any candidate whose shingle overlap with the remaining
+  // (train) corpus is >= 0.5 — a held-out set leaking training text
+  // overstates every model it evaluates. The kept-id checksum rides the
+  // manifest so the gate proves the exact final membership. Scale shape:
+  // one lang-keyed window for the draw, then d11's inverted-index
+  // overlap — both sides shuffle on the 8-byte shingle hash, the
+  // candidate side is BOUNDED (25 x languages rows), nothing collects.
+  // Candidates with < 3 tokens have no shingles; they are kept
+  // (unmeasurable overlap on a 2-token doc is not evidence of leakage).
+  def p03EvalSet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("rnk",
+        graft.ops.TextOps.stratifiedRank(col("lang"), col("doc_id")))
+    val cand = docs.filter(col("rnk") <= 25)
+    val train = docs.filter(col("rnk") > 25)
+    val trainSh = graft.ops.Dedup.withShingles(train, "toks")
+      .select(explode(col("shingles")).as("sh")).distinct()
+    val contamIds = graft.ops.Dedup.withShingles(cand, "toks")
+      .select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+      .join(trainSh, Seq("sh"))
+      .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit").cast("double") / col("n_sh") >= 0.5)
+      .select("doc_id")
+    val kept = cand.join(contamIds, Seq("doc_id"), "left_anti")
+    cand.groupBy("lang").agg(count(lit(1)).as("n_candidates"))
+      .join(
+        kept.groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_checksum"),
+          sum(col("n_tokens")).as("kept_tokens")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_candidates"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_checksum"), lit(0L)).as("kept_id_checksum"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  val p03Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 8)) AS BIGINT),
+      |      doc_id) AS rnk
+      |  FROM documents
+      |), cand AS (
+      |  SELECT * FROM d WHERE rnk <= 25
+      |), tr AS (
+      |  SELECT DISTINCT unnest(shingles) AS sh FROM (
+      |    SELECT list_distinct(list_transform(
+      |      list_transform(range(1, len(toks) - 1),
+      |        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
+      |      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS shingles
+      |    FROM d WHERE rnk > 25 AND len(toks) >= 3)
+      |), csh AS (
+      |  SELECT doc_id, CAST(len(shingles) AS INT) AS n_sh,
+      |    unnest(shingles) AS sh
+      |  FROM (
+      |    SELECT doc_id, list_distinct(list_transform(
+      |      list_transform(range(1, len(toks) - 1),
+      |        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
+      |      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS shingles
+      |    FROM cand WHERE len(toks) >= 3)
+      |), contam AS (
+      |  SELECT doc_id FROM (
+      |    SELECT c.doc_id, c.n_sh, COUNT(*) AS n_hit
+      |    FROM csh c JOIN tr USING (sh) GROUP BY c.doc_id, c.n_sh)
+      |  WHERE CAST(n_hit AS DOUBLE) / n_sh >= 0.5
+      |), kept AS (
+      |  SELECT * FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+      |), cagg AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY lang
+      |), kagg AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    CAST(SUM(doc_id) AS BIGINT) AS kept_id_checksum,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+      |  FROM kept GROUP BY lang
+      |)
+      |SELECT c.lang, c.n_candidates,
+      |  COALESCE(k.n_kept, 0) AS n_kept,
+      |  COALESCE(k.kept_id_checksum, 0) AS kept_id_checksum,
+      |  COALESCE(k.kept_tokens, 0) AS kept_tokens
+      |FROM cagg c LEFT JOIN kagg k USING (lang)
+      |ORDER BY c.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_mix" -> (p01TrainingMix _),
     "p02_shard_manifest" -> (p02ShardManifest _),
+    "p03_eval_set" -> (p03EvalSet _),
   )
 
   val oracles: Map[String, String] = Map(
     "p01_training_mix" -> p01Oracle,
     "p02_shard_manifest" -> p02Oracle,
+    "p03_eval_set" -> p03Oracle,
   )
 }
