@@ -213,4 +213,27 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       .orderBy("rank").collect().map(_.getLong(2)).toSeq
     assert(got == Seq(2L, 3L))
   }
+
+  test("TextOps.stratifiedRank: exact N per stratum, stable under repartitioning") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    def draw(d: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      d.withColumn("rnk", TextOps.stratifiedRank(col("lang"), col("id")))
+        .filter(col("rnk") <= 10)
+        .select("lang", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val a = draw(df)
+    val b = draw(df.repartition(7))
+    val c = draw(df.orderBy(col("id").desc))
+    assert(a == b && a == c, "the draw must not depend on physical layout")
+    assert(a.groupBy(_._1).forall(_._2.size == 10), "exactly N per stratum")
+  }
+
+  test("TextOps.stratifiedRank: strata smaller than N keep everything") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "lang")
+    val kept = df.withColumn("rnk", TextOps.stratifiedRank(col("lang"), col("id")))
+      .filter(col("rnk") <= 10).count()
+    assert(kept == 3)
+  }
 }
