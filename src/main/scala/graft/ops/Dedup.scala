@@ -39,6 +39,39 @@ object Dedup {
       .drop("_keeper")
   }
 
+  /** C4-style sub-document exact dedup (Raffel et al. 2020 §2.2 dedup the
+    * corpus "one three-sentence span at a time", generalized to fixed
+    * token windows since this corpus has no sentence boundaries): `textCol`
+    * splits into consecutive `chunkTokens`-token chunks and the GLOBAL
+    * first occurrence of each distinct chunk — ordered by
+    * (`idCol`, chunk position) — is kept; every later copy anywhere in the
+    * corpus is marked dropped. Output: one row per chunk with
+    * (`idCol`, chunk_idx, chunk, keep) — callers reassemble documents from
+    * the kept chunks (see d13) or count removal volume.
+    *
+    * Scale shape: chunking is a pure per-row map; the keep decision is ONE
+    * shuffle keyed on the 128-bit content hash (md5 — collision-safe at
+    * corpus scale where a 60-bit key would birthday-collide) with a
+    * per-key sort bounded by the duplicate count of that chunk. Nothing
+    * collects, nothing broadcasts. The first-occurrence rule is a total
+    * order on (`idCol`, chunk_idx), so the result is independent of
+    * partitioning and cluster layout. */
+  def chunkKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 5): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val c = chunkTokens
+    val chunks = df
+      .withColumn("_toks", split(col(textCol), " "))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(_toks) / $c.0) as int) - 1), " +
+          s"i -> array_join(slice(_toks, i * $c + 1, $c), ' '))"))
+        .as(Seq("chunk_idx", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk")))
+      .orderBy(col(idCol), col("chunk_idx"))
+    chunks.withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Last-wins key dedup — the reference comparator's build-side semantics
     * (map insert, compare_timestamps.go:147) generalized to any key: keep,
     * per key, the row with the greatest `seq`. One hash aggregate

@@ -396,6 +396,48 @@ object DedupQueries {
       |WHERE p.bucket >= 90
       |ORDER BY p.doc_id""".stripMargin
 
+  // d13 — C4-style sub-document chunk dedup: 5-token windows, global
+  // first-occurrence keeps (Dedup.chunkKeepFirst's single content-hash
+  // shuffle), documents reassembled from their kept chunks in order. The
+  // per-document manifest carries the kept-text md5 so the gate proves
+  // both engines kept the IDENTICAL chunks in the identical order, not
+  // merely the same number (a doc whose every chunk duplicates an earlier
+  // one reassembles to NULL on both engines — collect_list skips the
+  // dropped nulls, string_agg FILTER returns NULL over zero rows).
+  def d13ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val marked = graft.ops.Dedup.chunkKeepFirst(
+      Tables.documents(spark, dir), "doc_id", "text", chunkTokens = 5)
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        count(when(col("keep"), 1)).cast("int").as("n_kept"),
+        sort_array(collect_list(when(col("keep"),
+          struct(col("chunk_idx"), col("chunk"))))).as("_ks"))
+      .withColumn("_kept_text", when(col("n_kept") > 0,
+        array_join(expr("transform(_ks, x -> x.chunk)"), " ")))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        length(col("_kept_text")).as("out_len"),
+        md5(col("_kept_text")).as("out_hash"))
+      .orderBy("doc_id")
+  }
+
+  val d13Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |), c AS (
+      |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |    array_to_string(l[5*i+1:5*i+5], ' ') AS chunk
+      |  FROM t, LATERAL (SELECT unnest(range(0, CAST(ceil(len(l)/5.0) AS BIGINT))) AS i) g
+      |), k AS (
+      |  SELECT doc_id, chunk_idx, chunk,
+      |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) = 1 AS keep
+      |  FROM c
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+      |  CAST(COUNT(*) FILTER (WHERE keep) AS INT) AS n_kept,
+      |  CAST(strlen(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE keep)) AS INT) AS out_len,
+      |  md5(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE keep)) AS out_hash
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -407,6 +449,7 @@ object DedupQueries {
     "d10_dedup_components" -> (d10DedupComponents _),
     "d11_decontaminate" -> (d11Decontaminate _),
     "d12_dedup_manifest" -> (d12DedupManifest _),
+    "d13_chunk_dedup" -> (d13ChunkDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -420,5 +463,6 @@ object DedupQueries {
     "d10_dedup_components" -> d10Oracle,
     "d11_decontaminate" -> d11Oracle,
     "d12_dedup_manifest" -> d12Oracle,
+    "d13_chunk_dedup" -> d13Oracle,
   )
 }

@@ -229,6 +229,30 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(a.groupBy(_._1).forall(_._2.size == 10), "exactly N per stratum")
   }
 
+  test("Dedup.chunkKeepFirst: global first occurrence wins, layout-independent") {
+    import spark.implicits._
+    // doc 1 owns "a b c" at idx 0; doc 2 repeats it at idx 1 and repeats
+    // its own "x y z" later in doc 3; unique chunks always keep
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "p q r a b c"),
+      (3L, "x y z"),
+      (4L, "x y z u v w")
+    ).toDF("doc_id", "text")
+    def kept(d: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Boolean)] =
+      Dedup.chunkKeepFirst(d, "doc_id", "text", chunkTokens = 3)
+        .select("doc_id", "chunk_idx", "keep").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq.sorted
+    val a = kept(df)
+    assert(a == Seq(
+      (1L, 0, true), (1L, 1, true),
+      (2L, 0, true), (2L, 1, false),
+      (3L, 0, true),
+      (4L, 0, false), (4L, 1, true)))
+    assert(a == kept(df.repartition(5)) && a == kept(df.orderBy(col("doc_id").desc)),
+      "the keep decision must not depend on physical layout")
+  }
+
   test("TextOps.stratifiedRank: strata smaller than N keep everything") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "lang")
