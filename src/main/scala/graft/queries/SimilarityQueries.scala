@@ -1389,6 +1389,71 @@ object SimilarityQueries {
     appPostJoins = "\n  JOIN q qq ON qq.query_id = q0.query_id AND qq.qc = a.clabel",
     corpusSrc = "live")
 
+  // s21 — RANGE search (FAISS range_search): all live neighbors within a
+  // cosine radius, not a fixed k — the dedup/retrieval primitive when the
+  // caller wants "everything at least this similar" (radius filtering,
+  // duplicate sweeps, threshold retrieval). Runs on the s04 IVF layout at
+  // nprobe=2: candidates come only from the query's two nearest clusters
+  // (the candidate join stays a cluster-key equi-join against broadcast
+  // probes), the radius predicate replaces the top-k window — so the
+  // operator has NO per-query sort at all, the cheapest shape of the
+  // family — and empty result sets survive through the left join (a query
+  // with no in-range neighbor reports n_in_range = 0, the FAISS
+  // empty-list contract). The id checksum and floor-scaled max cosine
+  // prove both engines selected the identical neighbor SETS. Radius 0.3
+  // is live on the synthetic embeddings (2–4 hits per query at sf0.01).
+  def s21AnnRange(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val qSet = assigned.filter(col("vec_id") % 50 === 0)
+    val probes = graft.ops.Similarity.probeCentroids(
+        qSet.select("vec_id", "embedding"), cent, Seq("vec_id"), nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    val hits = assigned.join(broadcast(probes),
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .filter(col("cos") >= 0.3)
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("int").as("n_in_range"),
+        sum(col("vec_id")).as("id_checksum"),
+        floor(max(col("cos")) * 1000000).cast("long").as("max_cos_micros"))
+    qSet.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_in_range"), lit(0)).as("n_in_range"),
+        col("id_checksum"), col("max_cos_micros"))
+      .orderBy("query_id")
+  }
+
+  val s21Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM ranked WHERE vec_id % 50 = 0 AND rn <= 2
+      |), scored AS (
+      |  SELECT query_id, a.vec_id, ${duckCosOf("qv", "a.embedding")} AS cos
+      |  FROM assigned a JOIN q ON a.clabel = q.qc AND a.vec_id <> q.query_id
+      |), hits AS (
+      |  SELECT query_id, CAST(COUNT(*) AS INT) AS n_in_range,
+      |    CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+      |    CAST(floor(MAX(cos) * 1000000) AS BIGINT) AS max_cos_micros
+      |  FROM scored WHERE cos >= 0.3 GROUP BY query_id
+      |)
+      |SELECT ql.query_id, COALESCE(h.n_in_range, 0) AS n_in_range,
+      |  h.id_checksum, h.max_cos_micros
+      |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0) ql
+      |LEFT JOIN hits h USING (query_id)
+      |ORDER BY ql.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1410,6 +1475,7 @@ object SimilarityQueries {
     "s18_cluster_purity" -> (s18ClusterPurity _),
     "s19_ann_recall" -> (s19AnnRecall _),
     "s20_ann_tombstones" -> (s20AnnTombstones _),
+    "s21_ann_range" -> (s21AnnRange _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
   )
@@ -1435,6 +1501,7 @@ object SimilarityQueries {
     "s18_cluster_purity" -> s18Oracle,
     "s19_ann_recall" -> s19Oracle,
     "s20_ann_tombstones" -> s20Oracle,
+    "s21_ann_range" -> s21Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
   )
