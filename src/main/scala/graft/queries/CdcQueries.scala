@@ -824,6 +824,77 @@ object CdcQueries {
       .orderBy("o_orderkey")
   }
 
+  // cdc19 — Avro writer-schema EVOLUTION under the oracle gate: one
+  // delivery directory holding containers from TWO generations of the
+  // same feed — the legacy generation carries a field the current schema
+  // dropped (`legacy_note`), the evolved generation carries a field the
+  // legacy writers never knew (`clerk`, nullable with a null default) —
+  // read back through one `avrofile` scan. That is the situation every
+  // long-lived CDC bucket is in after a producer deploy; Avro's
+  // writer→reader resolution (reader schema = the name-first file's
+  // header, per-file writer schemas from each container, defaults fill
+  // missing fields, unknown fields are skipped) must make the mixed
+  // directory read as ONE table. The gate proves all four resolution
+  // legs: legacy rows surface with clerk = NULL (reader default), evolved
+  // rows carry their values, legacy_note vanishes, and both generations'
+  // shared columns decode identically (the oracle replays the generation
+  // split from the key parity).
+  def cdc19SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = writeCdc19Fixture(spark, dir)
+    spark.read.format("avrofile").load(fixtureDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("total_cents"), col("clerk"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Write the cdc19 fixture: the same 400-order slice split by key parity
+    * across two WRITER schemas — odd keys under the legacy schema (shared
+    * columns + `legacy_note`, no `clerk`), even keys under the evolved
+    * schema (shared columns + nullable `clerk`) — each written by the
+    * engine's own parallel AvroSink, then spliced into ONE delivery dir
+    * with the evolved containers named to sort FIRST (schema inference
+    * reads the name-minimum file's header, so the reader schema is the
+    * evolved one — exactly the "latest deploy wins" posture of a real
+    * feed). */
+  private def writeCdc19Fixture(spark: SparkSession, dir: String): String = {
+    val out = tmpFixtureDir("graft_cdc19_", dir)
+    val base = Tables.orders(spark, dir).orderBy("o_orderkey").limit(400)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        Tables.cents(col("o_totalprice")).as("total_cents"))
+    val evolved = base.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("clerk",
+        when(col("o_custkey").isNotNull,
+          concat(lit("clerk-"), col("o_custkey") % 100)))
+    val legacy = base.filter(col("o_orderkey") % 2 =!= 0)
+      .withColumn("legacy_note", concat(lit("legacy-"), col("o_orderkey")))
+    val w2 = new java.io.File(out, "w2")
+    val w1 = new java.io.File(out, "w1")
+    graft.ingest.AvroSink.write(evolved.repartition(2, col("o_orderkey")), w2.getPath)
+    graft.ingest.AvroSink.write(legacy.repartition(2, col("o_orderkey")), w1.getPath)
+    def splice(src: java.io.File, prefix: String): Unit = {
+      val parts = Option(src.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(out, f"${prefix}_$i%03d.avro").toPath)
+      }
+      java.nio.file.Files.walk(src.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    splice(w2, "a_evolved") // evolved first by name ⇒ reader schema
+    splice(w1, "b_legacy")
+    out.getPath
+  }
+
+  val cdc19Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+      |  CASE WHEN o_orderkey % 2 = 0 AND o_custkey IS NOT NULL
+      |       THEN 'clerk-' || CAST(o_custkey % 100 AS VARCHAR) END AS clerk
+      |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 400)
+      |ORDER BY o_orderkey""".stripMargin
+
   // cdc12 — the STREAMING family under the oracle gate (r8 VERDICT
   // stretch #7): the avro change feed is drained as a bounded Structured
   // Streaming source (Trigger.AvailableNow over a JSON-lines fixture of
@@ -1275,6 +1346,7 @@ object CdcQueries {
     "cdc16_stream_parity" -> (cdc16StreamParity _),
     "cdc17_snapshot_apply" -> (cdc17SnapshotApply _),
     "cdc18_restart_parity" -> (cdc18RestartParity _),
+    "cdc19_schema_evolution" -> (cdc19SchemaEvolution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1296,5 +1368,6 @@ object CdcQueries {
     "cdc16_stream_parity" -> cdc01Oracle, // the parity contract IS cdc01
     "cdc17_snapshot_apply" -> cdc17Oracle,
     "cdc18_restart_parity" -> cdc01Oracle, // restart must equal the batch compare
+    "cdc19_schema_evolution" -> cdc19Oracle,
   )
 }
