@@ -1271,7 +1271,11 @@ object CdcQueries {
   // fixture (positions are globally unique), so last-wins is
   // deterministic — the same contract a real binlog's (file, offset)
   // provides.
-  def cdc17SnapshotApply(spark: SparkSession, dir: String): DataFrame = {
+  def cdc17SnapshotApply(spark: SparkSession, dir: String): DataFrame =
+    snapshotOf(applyState(cdc17Feed(spark, dir).withColumn("w", lit(1L))))
+
+  /** The cdc17/cdc20 synthetic change feed: (user_id, src_ms, ct, pos). */
+  private def cdc17Feed(spark: SparkSession, dir: String): DataFrame = {
     val base = fixtureBase(spark, dir)
       .filter(col("event_type").isin("purchase", "click", "view"))
     val ct = when(col("event_id") % 5 === 0, lit("INSERT"))
@@ -1289,15 +1293,57 @@ object CdcQueries {
       col("user_id"), (col("sec") * 1000).as("src_ms"),
       lit("INSERT").as("ct"), (col("event_id") + 20000000L).as("pos"))
     main.unionByName(extra)
-      .groupBy(col("user_id"))
-      .agg(
-        max_by(struct(col("ct"), col("src_ms")),
-          struct(col("src_ms"), col("pos"))).as("last"),
-        count(lit(1)).as("n_changes"))
-      .select(col("user_id"), col("last.ct").as("last_change_type"),
-        col("last.src_ms").as("last_ts_ms"), col("n_changes"))
-      .filter(col("last_change_type") =!= "DELETE")
-      .orderBy("user_id")
+  }
+
+  /** The apply STATE fold: per key, the greatest-(src_ms, pos) change —
+    * tombstones included — plus the accumulated change count. Input rows
+    * carry a weight `w` (1 for raw feed rows, n_changes for a prior
+    * state's rows), which is what makes the fold a commutative monoid:
+    * applyState(s1 ∪ feed2) == applyState(feed1 ∪ feed2) for ANY split —
+    * the algebra behind incremental snapshot maintenance (cdc20). */
+  private def applyState(feed: DataFrame): DataFrame = feed
+    .groupBy(col("user_id"))
+    .agg(
+      max_by(struct(col("ct"), col("src_ms"), col("pos")),
+        struct(col("src_ms"), col("pos"))).as("last"),
+      sum(col("w")).as("n_changes"))
+    .select(col("user_id"), col("last.ct").as("ct"),
+      col("last.src_ms").as("src_ms"), col("last.pos").as("pos"),
+      col("n_changes"))
+
+  /** State → published snapshot: drop tombstones, project the contract
+    * columns. Tombstones must live in the STATE (a deleted key can be
+    * re-inserted by a later installment) and die only here. */
+  private def snapshotOf(state: DataFrame): DataFrame = state
+    .select(col("user_id"), col("ct").as("last_change_type"),
+      col("src_ms").as("last_ts_ms"), col("n_changes"))
+    .filter(col("last_change_type") =!= "DELETE")
+    .orderBy("user_id")
+
+  // cdc20 — INCREMENTAL snapshot maintenance: the production posture of
+  // cdc17's apply. The feed arrives in two installments; installment 1 is
+  // folded to a keyed STATE table (tombstones retained — a deleted key
+  // must stay deletable-then-reinsertable), PERSISTED to parquet (the
+  // real overnight snapshot, read back cold), and installment 2 is folded
+  // ONTO the read-back state. Because the apply fold is a commutative
+  // monoid (max_by over the (src_ms, pos) total order + additive counts —
+  // see applyState), the result must equal cdc17's one-shot apply over
+  // the whole feed, which is exactly what sharing cdc17's oracle gates.
+  // The split is by POSITION PARITY — adversarially interleaved, so every
+  // key with ≥2 changes has events in both installments and a mere
+  // "replay day 2" implementation cannot pass — associativity is the
+  // only way through. At 100 TB: the state table is written
+  // bucket-partitioned on the key, so tomorrow's apply shuffles only the
+  // new day's feed.
+  def cdc20IncrementalApply(spark: SparkSession, dir: String): DataFrame = {
+    val feed = cdc17Feed(spark, dir)
+    val day1 = feed.filter(col("pos") % 2 === 0).withColumn("w", lit(1L))
+    val day2 = feed.filter(col("pos") % 2 =!= 0).withColumn("w", lit(1L))
+    val snapDir = new java.io.File(tmpFixtureDir("graft_cdc20_", dir), "state")
+    applyState(day1).write.mode("overwrite").parquet(snapDir.getPath)
+    val state1 = spark.read.parquet(snapDir.getPath)
+    snapshotOf(applyState(
+      state1.withColumnRenamed("n_changes", "w").unionByName(day2)))
   }
 
   val cdc17Oracle: String =
@@ -1347,6 +1393,7 @@ object CdcQueries {
     "cdc17_snapshot_apply" -> (cdc17SnapshotApply _),
     "cdc18_restart_parity" -> (cdc18RestartParity _),
     "cdc19_schema_evolution" -> (cdc19SchemaEvolution _),
+    "cdc20_incremental_apply" -> (cdc20IncrementalApply _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1369,5 +1416,6 @@ object CdcQueries {
     "cdc17_snapshot_apply" -> cdc17Oracle,
     "cdc18_restart_parity" -> cdc01Oracle, // restart must equal the batch compare
     "cdc19_schema_evolution" -> cdc19Oracle,
+    "cdc20_incremental_apply" -> cdc17Oracle, // incremental == one-shot apply
   )
 }
