@@ -415,6 +415,28 @@ object CdcQueries {
     * data (e.g. one file per user_id residue), so a stale extra file from
     * an earlier dataset at the same path would be ingested as phantom
     * events and surface as a gate mismatch that looks like an engine bug. */
+  /** Run a bounded streaming drain with `spark.sql.shuffle.partitions`
+    * temporarily lowered to 4. Every cdc1x drain creates a FRESH
+    * checkpoint per run (tmpFixtureDir wipes stale state), so the state
+    * partition count is a per-run dial, not a compatibility surface —
+    * and the drained results (status counts, keyed rows) are
+    * partition-count-invariant. At the batch default of 32, each
+    * micro-batch of a few-hundred-row fixture pays 32 state-store
+    * commits PER stateful operator (a stream-stream join carries four
+    * stores per partition), which is pure fixed cost; 4 partitions keep
+    * identical output at an eighth of it. Streaming pins the value into
+    * the checkpoint's offset metadata at query start, so the conf is
+    * held across the whole drain and restored after — a restart drain
+    * (cdc18) re-reads the pinned value from the checkpoint regardless.
+    * At 100 TB this dial goes the other way (hundreds of partitions);
+    * the point is that it IS the deployment dial, per feed volume. */
+  private[queries] def withDrainPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try body finally spark.conf.set(key, prev)
+  }
+
   private[queries] def tmpFixtureDir(prefix: String, dir: String): java.io.File = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xFF}%02x").mkString
@@ -914,15 +936,17 @@ object CdcQueries {
     val ckpt = new java.io.File(root, "ckpt").getPath
     val (binlogStatic, avroRaw) = sidesRaw(spark, dir)
     avroRaw.write.mode("overwrite").json(feed)
-    val avroStream = Comparator.prepareAvro(
-      spark.readStream.schema(avroRaw.schema).json(feed))
-    val q = graft.streaming.StreamingComparator
-      .compareStream(avroStream, binlogStatic)
-      .select("binlog_file", "position", "status")
-      .writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withDrainPartitions(spark) {
+      val avroStream = Comparator.prepareAvro(
+        spark.readStream.schema(avroRaw.schema).json(feed))
+      val q = graft.streaming.StreamingComparator
+        .compareStream(avroStream, binlogStatic)
+        .select("binlog_file", "position", "status")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // explicit schema + pre-created dir: an EMPTY feed (a legal quiet
     // period) runs zero micro-batches, so the sink may contain no parquet
     // files — schema inference would throw where an empty relation (and
@@ -1001,17 +1025,19 @@ object CdcQueries {
     keyed.coalesce(1).write.mode("overwrite").json(new java.io.File(feed, "copy2").getPath)
     val spark2 = spark
     import spark2.implicits._
-    val stream = spark.readStream.schema(keyed.schema)
-      .option("maxFilesPerTrigger", 1)
-      .option("recursiveFileLookup", "true").json(feed.getPath)
-      .as[graft.streaming.StreamingDedup.KeyedRecord]
-    val q = graft.streaming.StreamingDedup.firstOccurrence(stream)
-      .toDF()
-      .writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withDrainPartitions(spark) {
+      val stream = spark.readStream.schema(keyed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").json(feed.getPath)
+        .as[graft.streaming.StreamingDedup.KeyedRecord]
+      val q = graft.streaming.StreamingDedup.firstOccurrence(stream)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
     spark.read.schema(
         "binlog_file STRING, binlog_position BIGINT, source_timestamp BIGINT")
@@ -1067,21 +1093,23 @@ object CdcQueries {
     val aMax = if (aFiles.isEmpty) System.currentTimeMillis()
                else aFiles.map(_.lastModified()).max
     bDir.listFiles().foreach(f => f.setLastModified(aMax + 2000))
-    val stream = spark.readStream
-      .schema("event_id LONG, t_us LONG, event_type STRING")
-      .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
-      .json(feed.getPath)
-      .withColumn("ts", timestamp_micros(col("t_us")))
-    val q = graft.streaming.EventWindows
-      .windowedCounts(stream, "ts", "event_type", "1 hour", "1 hour")
-      .select(unix_micros(col("window_start")).as("window_start_us"),
-        unix_micros(col("window_end")).as("window_end_us"),
-        col("event_type"), col("count").as("n_events"))
-      .writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withDrainPartitions(spark) {
+      val stream = spark.readStream
+        .schema("event_id LONG, t_us LONG, event_type STRING")
+        .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+        .json(feed.getPath)
+        .withColumn("ts", timestamp_micros(col("t_us")))
+      val q = graft.streaming.EventWindows
+        .windowedCounts(stream, "ts", "event_type", "1 hour", "1 hour")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          unix_micros(col("window_end")).as("window_end_us"),
+          col("event_type"), col("count").as("n_events"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
     spark.read.schema(
         "window_start_us LONG, window_end_us LONG, event_type STRING, n_events LONG")
@@ -1164,21 +1192,23 @@ object CdcQueries {
     bump(new java.io.File(bFeed, "b2"), new java.io.File(bFeed, "b1"))
     bump(new java.io.File(aFeed, "a2"), new java.io.File(aFeed, "a1"))
 
-    val binlogStream = Comparator.normalizeBinlog(
-      spark.readStream.schema(binlogRaw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true").json(bFeed.getPath))
-    val avroStream = Comparator.prepareAvro(
-      spark.readStream.schema(avroRaw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true").json(aFeed.getPath))
-    val (main, _) = graft.streaming.StreamingComparator.compareStreamsWithParity(
-      avroStream, binlogStream, maxSkew = "10 minutes", watermarkDelay = "1 second")
-    val q = main.select("binlog_file", "position", "status")
-      .writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withDrainPartitions(spark) {
+      val binlogStream = Comparator.normalizeBinlog(
+        spark.readStream.schema(binlogRaw.schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("recursiveFileLookup", "true").json(bFeed.getPath))
+      val avroStream = Comparator.prepareAvro(
+        spark.readStream.schema(avroRaw.schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("recursiveFileLookup", "true").json(aFeed.getPath))
+      val (main, _) = graft.streaming.StreamingComparator.compareStreamsWithParity(
+        avroStream, binlogStream, maxSkew = "10 minutes", watermarkDelay = "1 second")
+      val q = main.select("binlog_file", "position", "status")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
     val drained = spark.read.schema(
         "binlog_file STRING, position BIGINT, status STRING").parquet(sink)
@@ -1228,7 +1258,7 @@ object CdcQueries {
       java.nio.file.Files.copy(f.toPath,
         new java.io.File(feed, s"${tag}_${f.getName}").toPath)
     }
-    def drain(): Unit = {
+    def drain(): Unit = withDrainPartitions(spark) {
       val avroStream = Comparator.prepareAvro(
         spark.readStream.schema(avroRaw.schema).json(feed.getPath))
       val q = graft.streaming.StreamingComparator
