@@ -359,6 +359,72 @@ object SimilarityQueries {
       |FROM scored WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // d14 — SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication", 2023): k-means-cluster the
+  // embedding space, then drop near-duplicates WITHIN clusters only. This
+  // is the semantic-dedup operator real curation pipelines run where
+  // d05's exact all-pairs predicate is unaffordable: the pairwise cosine
+  // join is partitioned by the cluster id, so the quadratic term is
+  // n_c² per cluster instead of N² — with k sized so clusters stay
+  // bounded (the paper runs k = 50 000 over 5 B embeddings), the
+  // whole pass is one centroid broadcast + one shuffle on the cluster
+  // key. Keep rule: a vector is DROPPED iff any lower-id vector in its
+  // cluster is τ-similar (cos ≥ 0.35). This order-free rule is a
+  // conservative superset of the paper's sequential greedy (a dropped
+  // vector can still shadow later ones — they differ only on chains
+  // a~b~c without a~c); it is chosen because it is engine-exact in one
+  // join pass, where the sequential variant needs an iterative fixpoint
+  // (d10's connected-components machinery serves that need). Output is
+  // pure integers per cluster (sizes + kept-id checksum), pinning
+  // centroid lineage, assignment, and the drop set. A nonempty cluster
+  // always keeps its minimum id, so the kept side never vanishes.
+  def d14SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val left = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val right = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val dropped = left.join(right, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .filter(col("cos") >= 0.35)
+      .select(col("id_b").as("vec_id")).distinct()
+    val tot = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("vec_id")).cast("long").as("kept_id_sum"))
+    tot.join(kept, Seq("cluster"))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_vecs"), col("n_kept"), col("kept_id_sum"))
+      .orderBy("cluster")
+  }
+
+  val d14Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), drops AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM assigned a JOIN assigned b
+      |    ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+      |  WHERE ${duckCosOf("a.embedding", "b.embedding")} >= 0.35
+      |)
+      |SELECT CAST(s.clabel AS BIGINT) AS cluster,
+      |  COUNT(*) AS n_vecs,
+      |  COUNT(*) FILTER (WHERE d.vec_id IS NULL) AS n_kept,
+      |  CAST(SUM(s.vec_id) FILTER (WHERE d.vec_id IS NULL) AS BIGINT) AS kept_id_sum
+      |FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
+      |GROUP BY s.clabel ORDER BY cluster""".stripMargin
+
   // ------------------------------------------------------------- PQ (s05/s06)
 
   /** Shared s05/s06 search pipeline: per-query ADC LUT on the BROADCAST
@@ -1478,6 +1544,7 @@ object SimilarityQueries {
     "s21_ann_range" -> (s21AnnRange _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
+    "d14_semdedup" -> (d14SemDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1504,5 +1571,6 @@ object SimilarityQueries {
     "s21_ann_range" -> s21Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
+    "d14_semdedup" -> d14Oracle,
   )
 }
