@@ -1376,8 +1376,10 @@ object CdcQueries {
       state1.withColumnRenamed("n_changes", "w").unionByName(day2)))
   }
 
-  val cdc17Oracle: String =
-    """WITH base AS (
+  /** cdc17Feed's exact arithmetic as oracle CTEs (`base`, `a`) — shared
+    * by every oracle that replays the change feed (cdc17/20/21). */
+  private val cdcFeedCte: String =
+    """base AS (
       |  SELECT event_id, user_id, event_type,
       |    epoch_ns(ts) // 1000000000 AS sec
       |  FROM events WHERE event_type IN ('purchase', 'click', 'view')
@@ -1392,7 +1394,51 @@ object CdcQueries {
       |  UNION ALL
       |  SELECT user_id, sec * 1000, 'INSERT', event_id + 20000000
       |  FROM base WHERE event_id % 13 = 0
-      |), ranked AS (
+      |)""".stripMargin
+
+  // cdc21 — SCD2 HISTORY build from the change feed: where cdc17 folds
+  // the feed to its final snapshot (one row per surviving key), cdc21
+  // materializes the full slowly-changing-dimension type-2 table — one
+  // row per non-DELETE change, valid from its own (src_ms) until the
+  // NEXT change to the same key (any type — a DELETE closes the open
+  // interval without emitting a version), open-ended for the key's last
+  // change. This is the warehouse-side history table every CDC consumer
+  // eventually backfills. Plan: ONE shuffle on the key, one window sort
+  // per key partition for `lead` — at 100 TB the feed shuffles once on
+  // the primary key, same co-location cdc17's snapshot uses, and the
+  // history appends partition-locally on the next incremental batch.
+  // (src_ms, pos) is a per-key total order (positions globally unique),
+  // so intervals are deterministic; same-ms consecutive changes yield a
+  // zero-length interval for the earlier one, the documented SCD2
+  // convention for intra-tick rewrites.
+  def cdc21Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("src_ms"), col("pos"))
+    cdc17Feed(spark, dir)
+      .withColumn("valid_to_ms", lead(col("src_ms"), 1).over(w))
+      .filter(col("ct") =!= "DELETE")
+      .select(col("user_id"), col("pos").as("version_pos"),
+        col("ct").as("change_type"), col("src_ms").as("valid_from_ms"),
+        col("valid_to_ms"),
+        when(col("valid_to_ms").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "valid_from_ms", "version_pos")
+  }
+
+  val cdc21Oracle: String =
+    s"""WITH $cdcFeedCte, v AS (
+      |  SELECT user_id, pos, ct, src_ms,
+      |    lead(src_ms) OVER (PARTITION BY user_id
+      |                       ORDER BY src_ms, pos) AS valid_to_ms
+      |  FROM a
+      |)
+      |SELECT user_id, pos AS version_pos, ct AS change_type,
+      |  src_ms AS valid_from_ms, valid_to_ms,
+      |  CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM v WHERE ct <> 'DELETE'
+      |ORDER BY user_id, valid_from_ms, version_pos""".stripMargin
+
+  val cdc17Oracle: String =
+    s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
       |    row_number() OVER (PARTITION BY user_id
       |                       ORDER BY src_ms DESC, pos DESC) AS rn,
@@ -1424,6 +1470,7 @@ object CdcQueries {
     "cdc18_restart_parity" -> (cdc18RestartParity _),
     "cdc19_schema_evolution" -> (cdc19SchemaEvolution _),
     "cdc20_incremental_apply" -> (cdc20IncrementalApply _),
+    "cdc21_scd2_history" -> (cdc21Scd2History _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1447,5 +1494,6 @@ object CdcQueries {
     "cdc18_restart_parity" -> cdc01Oracle, // restart must equal the batch compare
     "cdc19_schema_evolution" -> cdc19Oracle,
     "cdc20_incremental_apply" -> cdc17Oracle, // incremental == one-shot apply
+    "cdc21_scd2_history" -> cdc21Oracle,
   )
 }
