@@ -438,6 +438,82 @@ object DedupQueries {
       |  md5(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE keep)) AS out_hash
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // d15 — BLOOM-FILTER decontamination: the approximate-membership scale
+  // path for exact content matching. d11's inverted-index join ships the
+  // benchmark's shingle table through a shuffle; at 100 TB the cheap
+  // first pass is a broadcast Bloom bitmask over benchmark CONTENT
+  // hashes — every executor filters locally, no shuffle touches the
+  // corpus, and only bloom-positive rows (a tiny superset of the truth)
+  // continue to an exact verify. Layout here: k = 2 bit positions per
+  // key from the engines' shared md5-bucket idiom, m = 512 bits — m is
+  // deliberately small so FALSE POSITIVES are live at sf0.1 (~0.07 FP
+  // rate) and the gate pins the exact FP SET, not just the happy path;
+  // a production deployment sizes m ≈ 10·n for ~1% FP and ships it as
+  // one bitmask broadcast. The distinct-bit table stands in for the
+  // bitmask (identical semantics under the gate); the in_set truth join
+  // is gate instrumentation, not part of the operator. n_missed pins the
+  // Bloom invariant NO FALSE NEGATIVES cross-engine: it must be 0 at
+  // every SF, proven by the oracle hash, not asserted.
+  def d15BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val m = 512
+    def bit(i: Int, key: Column): Column =
+      conv(substring(md5(concat(key, lit(s"#b$i"))), 1, 8), 16, 10)
+        .cast("long") % m
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("key"))
+    val benchKeys = keyed.filter(col("doc_id") % 37 === 0)
+      .select("key").distinct()
+    val bits = benchKeys
+      .select(explode(array(bit(0, col("key")), bit(1, col("key")))).as("bit"))
+      .distinct()
+    val probed = keyed
+      .withColumn("b0", bit(0, col("key")))
+      .withColumn("b1", bit(1, col("key")))
+      .join(broadcast(bits.select(col("bit").as("b0"), lit(1).as("h0"))),
+        Seq("b0"), "left")
+      .join(broadcast(bits.select(col("bit").as("b1"), lit(1).as("h1"))),
+        Seq("b1"), "left")
+      .withColumn("flagged", col("h0").isNotNull && col("h1").isNotNull)
+    probed
+      .join(broadcast(benchKeys.withColumn("in_set", lit(1))), Seq("key"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("flagged") && col("in_set").isNotNull, 1L).otherwise(0L))
+          .as("n_true_pos"),
+        sum(when(col("flagged") && col("in_set").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(!col("flagged") && col("in_set").isNotNull, 1L).otherwise(0L))
+          .as("n_missed"),
+        sum(when(col("flagged"), col("doc_id")).otherwise(0L)).cast("long")
+          .as("flagged_id_sum"))
+  }
+
+  val d15Oracle: String = {
+    def bit(i: Int, key: String) =
+      s"CAST(('0x' || substr(md5($key || '#b$i'), 1, 8)) AS BIGINT) % 512"
+    s"""WITH k AS (SELECT doc_id, md5(text) AS key FROM documents),
+      |bench AS (SELECT DISTINCT key FROM k WHERE doc_id % 37 = 0),
+      |bits AS (
+      |  SELECT DISTINCT ${bit(0, "key")} AS bit FROM bench
+      |  UNION
+      |  SELECT ${bit(1, "key")} FROM bench
+      |), p AS (
+      |  SELECT doc_id, key,
+      |    (${bit(0, "key")} IN (SELECT bit FROM bits))
+      |      AND (${bit(1, "key")} IN (SELECT bit FROM bits)) AS flagged,
+      |    key IN (SELECT key FROM bench) AS in_set
+      |  FROM k
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CASE WHEN flagged AND in_set THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+      |  CAST(SUM(CASE WHEN flagged AND NOT in_set THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+      |  CAST(SUM(CASE WHEN NOT flagged AND in_set THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+      |  CAST(SUM(CASE WHEN flagged THEN doc_id ELSE 0 END) AS BIGINT) AS flagged_id_sum
+      |FROM p""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -450,6 +526,7 @@ object DedupQueries {
     "d11_decontaminate" -> (d11Decontaminate _),
     "d12_dedup_manifest" -> (d12DedupManifest _),
     "d13_chunk_dedup" -> (d13ChunkDedup _),
+    "d15_bloom_decontaminate" -> (d15BloomDecontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -464,5 +541,6 @@ object DedupQueries {
     "d11_decontaminate" -> d11Oracle,
     "d12_dedup_manifest" -> d12Oracle,
     "d13_chunk_dedup" -> d13Oracle,
+    "d15_bloom_decontaminate" -> d15Oracle,
   )
 }
