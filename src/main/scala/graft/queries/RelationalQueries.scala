@@ -447,7 +447,73 @@ object RelationalQueries {
       |FROM pairs GROUP BY part_a, part_b
       |ORDER BY n_orders DESC, part_a, part_b LIMIT 10""".stripMargin
 
+  // q34 — distributed histogram-quantile SKETCH: the approximate-quantile
+  // operator a 100 TB pipeline uses where q28's exact median (full sort /
+  // exact partition) is unaffordable. Two corpus passes, both plain
+  // aggregations that partial-combine map-side: pass 1 finds exact
+  // integer bounds (min/max cents), pass 2 folds every row into one of
+  // 64 fixed bins; everything after is constant-size (64-row cumsum,
+  // 4-row quantile pick) and runs broadcast. The answer is the BIN
+  // holding the p-th value — its index, its exact integer bounds, and
+  // the cumulative count — so the gate is pure integers; the bin
+  // arithmetic `(c - lo) * 64 DIV (hi - lo + 1)` is exact in both
+  // engines (no double division, no boundary jitter). The standard
+  // error-bound story applies: bin width bounds the value error, and
+  // refining is re-running pass 2 on one bin's range. Contrast with
+  // t-digest/GK sketches: those trade determinism for one pass; this
+  // form is deterministic and mergeable (histograms add), which is what
+  // the oracle gate — and a reproducible pipeline — needs.
+  def q34QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.lineitem(spark, dir)
+      .select(cents(col("l_extendedprice")).as("c"))
+    val stats = c.agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+      count(lit(1)).as("n_rows"))
+    val hist = c.crossJoin(broadcast(stats))
+      .select(expr("((c - lo) * 64) DIV (hi - lo + 1)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val cum = hist // 64 rows: the single-partition window is fine forever
+      .withColumn("cum", sum(col("n")).over(Window.orderBy("bin")))
+    val quants = spark.range(1)
+      .select(explode(array(lit(50L), lit(90L), lit(95L), lit(99L))).as("p"))
+      .crossJoin(broadcast(stats))
+      .withColumn("target", expr("(p * n_rows + 99) DIV 100"))
+    quants.join(broadcast(cum), col("cum") >= col("target"))
+      .groupBy("p", "target", "lo", "hi")
+      .agg(min(col("bin")).as("bin"))
+      .join(broadcast(cum), Seq("bin"))
+      .select(col("p"), col("target"), col("bin"),
+        expr("lo + (bin * (hi - lo + 1)) DIV 64").as("bin_lo_cents"),
+        expr("lo + ((bin + 1) * (hi - lo + 1)) DIV 64").as("bin_hi_cents"),
+        col("cum").as("cum_count"))
+      .orderBy("p")
+  }
+
+  val q34Oracle: String =
+    """WITH c AS (
+      |  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem
+      |), b AS (
+      |  SELECT MIN(c) AS lo, MAX(c) AS hi, COUNT(*) AS n_rows FROM c
+      |), hist AS (
+      |  SELECT ((c.c - b.lo) * 64) // (b.hi - b.lo + 1) AS bin, COUNT(*) AS n
+      |  FROM c, b GROUP BY 1
+      |), cum AS (
+      |  SELECT bin, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM hist
+      |), t AS (
+      |  SELECT CAST(p AS BIGINT) AS p, (CAST(p AS BIGINT) * n_rows + 99) // 100 AS target
+      |  FROM (SELECT unnest([50, 90, 95, 99]) AS p), b
+      |), pick AS (
+      |  SELECT t.p, t.target, MIN(c.bin) AS bin
+      |  FROM t JOIN cum c ON c.cum >= t.target GROUP BY t.p, t.target
+      |)
+      |SELECT p.p, p.target, p.bin,
+      |  b.lo + (p.bin * (b.hi - b.lo + 1)) // 64 AS bin_lo_cents,
+      |  b.lo + ((p.bin + 1) * (b.hi - b.lo + 1)) // 64 AS bin_hi_cents,
+      |  c.cum AS cum_count
+      |FROM pick p JOIN cum c ON c.bin = p.bin, b
+      |ORDER BY p.p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
     "q32_promo_share" -> (q32PromoShare _),
@@ -466,6 +532,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,
     "q33_copurchase_pairs" -> q33Oracle,
