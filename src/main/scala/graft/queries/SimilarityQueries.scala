@@ -359,6 +359,66 @@ object SimilarityQueries {
       |FROM scored WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // d16 — LSH recall evaluation for the text/embedding dedup family: the
+  // s19 pattern (score the approximate operator against its own exact
+  // baseline, both already gated) applied to d05/d07. d05's
+  // block-partitioned all-pairs join is ground truth; d07's multi-table
+  // hyperplane-LSH candidates + exact verify is the scale path; this
+  // query joins the two pair sets and reports the confusion counts plus
+  // an integer checksum of the MISSED pair set — so a silent recall
+  // regression in the banding scheme (more tables, fewer planes, a bad
+  // plane literal) becomes an oracle hash mismatch, not a guess. d07's
+  // verify step re-checks the exact cosine, so false positives are
+  // structurally zero — n_found counts candidates that survived verify.
+  // The measured number documented in PLANS.md: recall < 1 at τ = 0.45
+  // on this corpus because qualifying pairs sit AT the threshold (the
+  // banding S-curve's flat region); the operator contract is recall ≈ 1
+  // at true near-dup thresholds, and this query is the instrument that
+  // proves it per-corpus instead of asserting it.
+  def d16LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = graft.ops.Dedup.embeddingNearDups(
+        emb, "vec_id", "embedding", 0.45, blocks = 8)
+      .select(col("id_a"), col("id_b"))
+    val approx = graft.ops.Dedup.embeddingNearDupsLsh(
+        emb, "vec_id", "embedding", 0.45,
+        lshTables.map(_.map(_.map(_.toDouble))))
+      .select(col("id_a").as("fa"), col("id_b").as("fb"))
+    exact.join(approx,
+        col("id_a") === col("fa") && col("id_b") === col("fb"), "left")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(when(col("fa").isNotNull, 1L).otherwise(0L)).as("n_found"),
+        sum(when(col("fa").isNull, 1L).otherwise(0L)).as("n_missed"),
+        sum(when(col("fa").isNull, col("id_a") * 1000000L + col("id_b"))
+          .otherwise(0L)).cast("long").as("missed_pair_checksum"))
+  }
+
+  val d16Oracle: String = {
+    val cosAB =
+      "list_sum(list_transform(list_zip(ea.embedding, eb.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+        " / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        " * list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH ${duckBucketCtes(lshTables)},
+      |e AS (SELECT vec_id, embedding FROM embeddings),
+      |x AS (SELECT vec_id, CAST(tbl AS VARCHAR) || '-' || CAST(bucket AS VARCHAR) AS bkt FROM bk),
+      |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      |  FROM x a JOIN x b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+      |approx AS (SELECT va AS vec_a, vb AS vec_b
+      |  FROM cand JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id
+      |  WHERE $cosAB >= 0.45),
+      |exact AS (SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b
+      |  FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id
+      |  WHERE $cosAB >= 0.45)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+      |  CAST(SUM(CASE WHEN ap.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+      |  CAST(SUM(CASE WHEN ap.vec_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+      |  CAST(SUM(CASE WHEN ap.vec_a IS NULL
+      |       THEN ex.vec_a * 1000000 + ex.vec_b ELSE 0 END) AS BIGINT) AS missed_pair_checksum
+      |FROM exact ex LEFT JOIN approx ap
+      |  ON ap.vec_a = ex.vec_a AND ap.vec_b = ex.vec_b""".stripMargin
+  }
+
   // d14 — SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
   // web-scale through semantic deduplication", 2023): k-means-cluster the
   // embedding space, then drop near-duplicates WITHIN clusters only. This
@@ -1545,6 +1605,7 @@ object SimilarityQueries {
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
+    "d16_lsh_recall" -> (d16LshRecall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1572,5 +1633,6 @@ object SimilarityQueries {
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
+    "d16_lsh_recall" -> d16Oracle,
   )
 }
