@@ -544,6 +544,111 @@ object TextQueries {
       |    AND n_stop >= 2 AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // t15 — CCNet-style corpus-LM familiarity tiers (Wenzek et al. 2020
+  // §4.3: score each document under a language model, split the corpus
+  // into head/middle/tail by score percentile; the head feeds training).
+  // The LM here is the corpus's own bigram frequency table — the
+  // hash-count analog of CCNet's KenLM, chosen because counts are
+  // integers both engines agree on bit-for-bit where log-perplexities
+  // are libm-divergent. Plan: one shuffle to count bigrams (map-side
+  // partial), one bigram-keyed equi-join back (the count table prunes to
+  // a top-V vocabulary at production scale — rare bigrams contribute
+  // count≈1 noise), then tertiles by rank over the per-DOC score table —
+  // a total-order sort of 16-byte rows, NOT the corpus text; at 100 TB
+  // that is a standard range-partitioned sort of N_docs rows. Tier
+  // boundaries are rank arithmetic (`(rn-1)*3 DIV n`), not score
+  // thresholds, so the gate stays live at every SF (absolute counts grow
+  // with corpus size; ranks don't). Zero-bigram docs (single-token) pin
+  // avg_fam = 0 and sort to the tail deterministically.
+  def t15FamiliarityTiers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = withTokens(spark, dir).select(col("doc_id"), col("toks"))
+    val bg = docs.select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val cnt = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+    val perDoc = bg.join(cnt, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("familiarity"))
+    val scored = docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("familiarity"), lit(0L)).as("familiarity"))
+      .withColumn("avg_fam", when(col("n_bigrams") === 0, 0L)
+        .otherwise(expr("familiarity DIV n_bigrams")))
+    val n = scored.agg(count(lit(1)).as("n_docs"))
+    scored.crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("avg_fam").desc, col("doc_id"))))
+      .withColumn("tier", expr("CASE ((rn - 1) * 3) DIV n_docs " +
+        "WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"))
+      .select(col("doc_id"), col("n_bigrams"), col("familiarity"),
+        col("avg_fam"), col("tier"))
+      .orderBy("doc_id")
+  }
+
+  val t15Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |), bg AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(l))) AS i) g
+      |), cnt AS (
+      |  SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1
+      |), perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(c) AS familiarity
+      |  FROM bg JOIN cnt USING (bigram) GROUP BY doc_id
+      |), scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(COALESCE(p.familiarity, 0) AS BIGINT) AS familiarity,
+      |    CAST(CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0
+      |         ELSE p.familiarity // p.n_bigrams END AS BIGINT) AS avg_fam
+      |  FROM t LEFT JOIN perdoc p USING (doc_id)
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY avg_fam DESC, doc_id) AS rn,
+      |    COUNT(*) OVER () AS n_docs
+      |  FROM scored
+      |)
+      |SELECT doc_id, n_bigrams, familiarity, avg_fam,
+      |  CASE ((rn - 1) * 3) // n_docs
+      |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
+  // t16 — leakage-safe GROUPED split: t06 assigns splits by document id,
+  // which lets near-duplicate documents from one source straddle
+  // train/test (the contamination path d11/d15 then have to clean up).
+  // The standard fix (GroupShuffleSplit in scikit-learn terms) hashes the
+  // GROUP key — here `source`, the provenance unit near-dups cluster
+  // in — so every source lands wholly in one split by construction.
+  // Same md5-bucket idiom as t06, so the two queries differ ONLY in the
+  // hashed key; per-split distinct-source counts plus a doc-id sum pin
+  // the assignment exactly. Pure scan + one 3-group aggregate — the
+  // grouping is a pure function of a row-local column at any scale.
+  def t16GroupedSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split", graft.ops.TextOps.hashSplit(col("source")))
+      .groupBy("split")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        sum(col("doc_id")).as("doc_id_sum"))
+      .orderBy("split")
+
+  val t16Oracle: String =
+    """SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+      |            ELSE 'test' END AS split,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+      |FROM (
+      |  SELECT doc_id, source, text,
+      |    CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -559,6 +664,8 @@ object TextQueries {
     "t12_pii_redact" -> (t12PiiRedact _),
     "t13_stratified_sample" -> (t13StratifiedSample _),
     "t14_gopher_filters" -> (t14GopherFilters _),
+    "t15_familiarity_tiers" -> (t15FamiliarityTiers _),
+    "t16_grouped_split" -> (t16GroupedSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -576,5 +683,7 @@ object TextQueries {
     "t12_pii_redact" -> t12Oracle,
     "t13_stratified_sample" -> t13Oracle,
     "t14_gopher_filters" -> t14Oracle,
+    "t15_familiarity_tiers" -> t15Oracle,
+    "t16_grouped_split" -> t16Oracle,
   )
 }
