@@ -1437,6 +1437,56 @@ object CdcQueries {
       |FROM v WHERE ct <> 'DELETE'
       |ORDER BY user_id, valid_from_ms, version_pos""".stripMargin
 
+  // cdc22 — replication-LAG percentiles, the CDC ops metric every
+  // consumer dashboard graphs: per event-time window (hour of source
+  // commit), the exact p50/p95/max of apply-lag. The fixture feed
+  // carries no apply timestamp, so lag is synthesized as a deterministic
+  // pseudo-random consumer delay (Knuth-hash of the globally-unique
+  // `pos`, mod 5 s) — the PERCENTILE MACHINERY is the operator under
+  // test, and the hash spreads delays across the full range so every
+  // percentile is live at every SF. Exact integer percentiles by the
+  // ceil-rank rule (`rn == (n*p+99) DIV 100` over the per-window lag
+  // order, pos as tiebreak) — no interpolation, no doubles. Plan: ONE
+  // shuffle on the window key, one bounded per-window sort (window
+  // population is the declared cost bound; a window too hot to sort is
+  // what q34's histogram-sketch form is for). At 100 TB the hour key
+  // gives natural time-partition pruning for incremental refresh.
+  def cdc22LagPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lagged = cdc17Feed(spark, dir)
+      .withColumn("lag_ms", (col("pos") * 2654435761L) % 5000)
+      .withColumn("hr", expr("src_ms DIV 3600000"))
+    val byHr = Window.partitionBy("hr")
+    lagged
+      .withColumn("rn", row_number().over(byHr.orderBy(col("lag_ms"), col("pos"))))
+      .withColumn("n", count(lit(1)).over(byHr))
+      .groupBy("hr")
+      .agg(count(lit(1)).as("n_changes"),
+        max(when(col("rn") === expr("(n * 50 + 99) DIV 100"), col("lag_ms")))
+          .as("p50_lag_ms"),
+        max(when(col("rn") === expr("(n * 95 + 99) DIV 100"), col("lag_ms")))
+          .as("p95_lag_ms"),
+        max(col("lag_ms")).as("max_lag_ms"))
+      .orderBy("hr")
+  }
+
+  val cdc22Oracle: String =
+    s"""WITH $cdcFeedCte, l AS (
+      |  SELECT src_ms // 3600000 AS hr,
+      |    (pos * 2654435761) % 5000 AS lag_ms, pos
+      |  FROM a
+      |), r AS (
+      |  SELECT hr, lag_ms,
+      |    row_number() OVER (PARTITION BY hr ORDER BY lag_ms, pos) AS rn,
+      |    COUNT(*) OVER (PARTITION BY hr) AS n
+      |  FROM l
+      |)
+      |SELECT hr, COUNT(*) AS n_changes,
+      |  CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN lag_ms END) AS BIGINT) AS p50_lag_ms,
+      |  CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN lag_ms END) AS BIGINT) AS p95_lag_ms,
+      |  CAST(MAX(lag_ms) AS BIGINT) AS max_lag_ms
+      |FROM r GROUP BY hr ORDER BY hr""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1471,6 +1521,7 @@ object CdcQueries {
     "cdc19_schema_evolution" -> (cdc19SchemaEvolution _),
     "cdc20_incremental_apply" -> (cdc20IncrementalApply _),
     "cdc21_scd2_history" -> (cdc21Scd2History _),
+    "cdc22_lag_percentiles" -> (cdc22LagPercentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1495,5 +1546,6 @@ object CdcQueries {
     "cdc19_schema_evolution" -> cdc19Oracle,
     "cdc20_incremental_apply" -> cdc17Oracle, // incremental == one-shot apply
     "cdc21_scd2_history" -> cdc21Oracle,
+    "cdc22_lag_percentiles" -> cdc22Oracle,
   )
 }
