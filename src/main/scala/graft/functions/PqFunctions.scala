@@ -239,6 +239,82 @@ case class PqLutScore(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-subspace squared RECONSTRUCTION error of an encoded row —
+  * `array<float>` embedding × `array<long>` codes → `array<double>` of
+  * `m` errors, err(s) = Σ_j (e[s·sub+j] − codeword[codes(s)][s·sub+j])²
+  * as an ascending-j double fold (each square is one widen-subtract-
+  * multiply — no `pow`, whose libm need not be exact even for p = 2).
+  * This is the distortion diagnostic FAISS reports at train time; s22
+  * aggregates it corpus-wide per subspace. Null embedding / short
+  * embedding / null codes row → null (mirrors [[PqCodes]]: a row that
+  * never encoded contributes no distortion). A label absent from the
+  * codebook is a CONFIG bug, not a data condition — loud
+  * IllegalArgumentException naming the label, the collectCodebook
+  * discipline. */
+case class PqSqError(left: Expression, right: Expression,
+    codebook: Seq[(Long, Seq[Float])], m: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  private lazy val (labels, cents) = PqKernels.matrix(codebook)
+  private lazy val dim = codebook.head._2.size
+  private lazy val sub = dim / m
+  private lazy val labelIndex: java.util.HashMap[Long, Integer] = {
+    val mp = new java.util.HashMap[Long, Integer](codebook.size * 2)
+    labels.zipWithIndex.foreach { case (l, i) => mp.put(l, i) }
+    mp
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    PqKernels.validate("pq_sq_error", codebook, m).getOrElse(
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"pq_sq_error expects (array<float> embedding, array<long> codes), " +
+            s"got ${l.simpleString} and ${r.simpleString}")
+      })
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(embIn: Any, codesIn: Any): Any = {
+    val arr = embIn.asInstanceOf[ArrayData]
+    val codes = codesIn.asInstanceOf[ArrayData]
+    if (arr.numElements() < dim || codes.numElements() != m) return null
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    val errs = new Array[Double](m)
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val label = codes.getLong(s)
+      val idx = labelIndex.get(label)
+      if (idx == null) throw new IllegalArgumentException(
+        s"pq_sq_error: code label $label at subspace $s is not in the " +
+          s"${codebook.size}-entry codebook — stale codes or wrong codebook")
+      val cf = cents(idx)
+      val base = s * sub
+      var err = 0.0
+      var j = 0
+      while (j < sub) {
+        val d = arr.getFloat(base + j).toDouble - cf(base + j).toDouble
+        err += d * d
+        j += 1
+      }
+      errs(s) = err
+      s += 1
+    }
+    new GenericArrayData(errs)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqSqError =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqFunctions {
   /** PQ codes column (see [[PqCodes]]). */
   def pqCodes(emb: Column, codebook: Seq[(Long, Seq[Float])], m: Int): Column =
@@ -253,4 +329,10 @@ object PqFunctions {
       m: Int): Column =
     ColumnShim.column(PqLutScore(
       ColumnShim.expression(lut), ColumnShim.expression(codes), codebook, m))
+
+  /** Per-subspace squared reconstruction error (see [[PqSqError]]). */
+  def pqSqError(emb: Column, codes: Column, codebook: Seq[(Long, Seq[Float])],
+      m: Int): Column =
+    ColumnShim.column(PqSqError(
+      ColumnShim.expression(emb), ColumnShim.expression(codes), codebook, m))
 }

@@ -1580,6 +1580,79 @@ object SimilarityQueries {
       |LEFT JOIN hits h USING (query_id)
       |ORDER BY ql.query_id""".stripMargin
 
+  // s22 — PQ quantization DISTORTION, the index-quality diagnostic FAISS
+  // prints at train time (imbalance + per-subquantizer error): for every
+  // encoded row, the squared reconstruction error against its codeword,
+  // aggregated corpus-wide PER SUBSPACE. A subspace whose error is an
+  // outlier is mis-trained (bad codebook slice, collapsed clusters) —
+  // this is the number an operator watches before shipping an index, and
+  // a regression in encode/codebook lineage moves it even when search
+  // top-k happens to survive. Engine: the native [[graft.functions
+  // .PqSqError]] kernel decodes against the constructor codebook, so the
+  // whole query is a NARROW map + posexplode + an 8-group aggregate — no
+  // join, no shuffle beyond the fixed-size agg; at 100 TB it rides a
+  // single corpus scan. Cross-engine exactness: per-row per-subspace
+  // error is an ascending-j double fold of widen-subtract-square (no
+  // libm `pow`), floor-scaled to micros PER ROW before the corpus sum so
+  // the aggregate is an integer — layout- and fold-order-independent.
+  def s22PqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val m = 8
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    val encoded = emb.select(col("vec_id"), col("embedding"),
+      PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+    encoded
+      .select(posexplode(PqFunctions.pqSqError(
+        col("embedding"), col("codes"), codebook, m)).as(Seq("subspace", "err")))
+      .select(col("subspace"),
+        floor(col("err") * 1000000d).cast("long").as("err_micros"))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_micros")).as("err_micros_sum"),
+        max(col("err_micros")).as("max_err_micros"))
+      .orderBy("subspace")
+  }
+
+  val s22Oracle: String = {
+    val m = 8
+    def subDot(a: String, b: String, s: Int) =
+      s"list_sum(list_transform(range(1, 9), i -> CAST($a[${s * 8} + i] AS DOUBLE) * CAST($b[${s * 8} + i] AS DOUBLE)))"
+    val eds = (0 until m).map(s => s"    ${subDot("e.embedding", "c.cf", s)} AS d$s").mkString(",\n")
+    val rns = (0 until m).map(s =>
+      s"    row_number() OVER (PARTITION BY vec_id ORDER BY d$s DESC, clabel) AS r$s").mkString(",\n")
+    val codeCols = (0 until m).map(s =>
+      s"    MAX(CASE WHEN r$s = 1 THEN clabel END) AS code$s").mkString(",\n")
+    val codeList = (0 until m).map(s => s"co.code$s").mkString("[", ", ", "]")
+    val diff = "(CAST(e.embedding[s.s*8 + i] AS DOUBLE) - CAST(c.cf[s.s*8 + i] AS DOUBLE))"
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, ecd AS (
+      |  SELECT e.vec_id, c.clabel,
+      |$eds
+      |  FROM embeddings e CROSS JOIN cent c
+      |), er AS (
+      |  SELECT vec_id, clabel,
+      |$rns
+      |  FROM ecd
+      |), codes AS (
+      |  SELECT vec_id,
+      |$codeCols
+      |  FROM er GROUP BY vec_id
+      |), err AS (
+      |  SELECT e.vec_id, CAST(s.s AS INT) AS subspace,
+      |    CAST(floor(list_sum(list_transform(range(1, 9), i ->
+      |      $diff * $diff)) * 1000000.0) AS BIGINT) AS err_micros
+      |  FROM embeddings e
+      |  JOIN codes co USING (vec_id),
+      |  LATERAL (SELECT unnest(range(0, $m)) AS s) s
+      |  JOIN cent c ON c.clabel = $codeList[s.s + 1]
+      |)
+      |SELECT subspace, COUNT(*) AS n_vecs,
+      |  CAST(SUM(err_micros) AS BIGINT) AS err_micros_sum,
+      |  CAST(MAX(err_micros) AS BIGINT) AS max_err_micros
+      |FROM err GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1602,6 +1675,7 @@ object SimilarityQueries {
     "s19_ann_recall" -> (s19AnnRecall _),
     "s20_ann_tombstones" -> (s20AnnTombstones _),
     "s21_ann_range" -> (s21AnnRange _),
+    "s22_pq_distortion" -> (s22PqDistortion _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -1630,6 +1704,7 @@ object SimilarityQueries {
     "s19_ann_recall" -> s19Oracle,
     "s20_ann_tombstones" -> s20Oracle,
     "s21_ann_range" -> s21Oracle,
+    "s22_pq_distortion" -> s22Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,

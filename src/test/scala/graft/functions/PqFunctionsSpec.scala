@@ -106,4 +106,58 @@ class PqFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2)) // null vector
     assert(rows(2).isNullAt(2)) // unknown codeword label
   }
+
+  private def refSqError(v: Seq[Float], codes: Seq[Long]): Seq[Double] =
+    (0 until m).map { s =>
+      val cf = codebook.find(_._1 == codes(s)).get._2
+      (0 until dim / m).map { j =>
+        val d = v(s * dim / m + j).toDouble - cf(s * dim / m + j).toDouble
+        d * d
+      }.sum
+    }
+
+  test("PqSqError matches the reference per-subspace reconstruction error") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq(Seq(2f, 1f, 1f, 2f), Seq(0f, 3f, 3f, 0f), Seq(1f, 1f, 1f, 1f))
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb")
+      .select(col("id"), col("emb"),
+        PqFunctions.pqSqError(col("emb"),
+          PqFunctions.pqCodes(col("emb"), codebook, m), codebook, m).as("errs"))
+      .orderBy("id").collect()
+    rows.zip(vecs).foreach { case (r, v) =>
+      assert(r.getSeq[Double](2) == refSqError(v, refCodes(v)), s"vector $v")
+    }
+    // a perfectly-representable vector (a codeword itself) has zero error
+    val zero = Seq((0L, Seq(0f, 1f, 1f, 0f))).toDF("id", "emb")
+      .select(PqFunctions.pqSqError(col("emb"),
+        PqFunctions.pqCodes(col("emb"), codebook, m), codebook, m))
+      .head().getSeq[Double](0)
+    assert(zero == Seq(0.0, 0.0))
+  }
+
+  test("PqSqError null rails mirror PqCodes; stale label is LOUD") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Option(Seq(1f, 2f)), Option(Seq(0L, 1L))),      // short vector
+      (2L, Option.empty[Seq[Float]], Option(Seq(0L, 1L))), // null vector
+      (3L, Option(Seq(1f, 2f, 3f, 4f)), Option.empty[Seq[Long]])) // null codes
+      .toDF("id", "emb", "codes")
+    val rows = df.select(col("id"),
+        PqFunctions.pqSqError(col("emb"), col("codes"), codebook, m).as("e"))
+      .orderBy("id").collect()
+    assert(rows.forall(_.isNullAt(1)))
+    // unknown label = stale codes or wrong codebook → loud config error
+    // (local mode surfaces the IAE directly; a cluster wraps it in
+    // SparkException — assert on the message, not the wrapper)
+    val boom = intercept[Exception] {
+      Seq((1L, Seq(1f, 2f, 3f, 4f), Seq(0L, 99L))).toDF("id", "emb", "codes")
+        .select(PqFunctions.pqSqError(col("emb"), col("codes"), codebook, m))
+        .collect()
+    }
+    assert(boom.getMessage.contains("99") ||
+      Option(boom.getCause).exists(_.getMessage.contains("99")))
+  }
 }
