@@ -514,6 +514,55 @@ object DedupQueries {
       |FROM p""".stripMargin
   }
 
+  // d17 — MinHash ESTIMATOR accuracy (the d16 instrument pointed at d03's
+  // machinery): for every truly-overlapping pair above Jaccard 0.2, the
+  // 16-perm signature agreement count next to the exact intersection, and
+  // the estimator error as the PURE-INTEGER signed numerator
+  // `matches·un − 16·inter` (the exact value of (est − jaccard)·16·un —
+  // no double ever forms, so the gate pins the estimator bit-for-bit).
+  // This is the per-corpus calibration table for choosing perms/bands: a
+  // hashing regression (perm constants, shingle width, banding) moves
+  // these integers even when d03's thresholded output happens to agree.
+  // The ≥ 0.2 cut is the integer predicate 5·inter ≥ un. Plan shape is
+  // d02's posting-list pair join plus one signature equi-join per side —
+  // nothing quadratic, candidates bounded by the stop-shingle cap.
+  def d17MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.minHashSig
+    val docs = withShingles(spark, dir)
+    val sigs = docs.select(col("doc_id"), minHashSig(col("shingles")).as("sig"))
+    jaccardPairCounts(docs)
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 5 >= col("un"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("sig_matches", expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))").cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        col("un").cast("long").as("un"), col("sig_matches"),
+        (col("sig_matches") * col("un") - col("inter") * 16L).as("err_num"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d17Oracle: String =
+    shingleCte + pairScoredCte +
+    s""", sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 16), j -> list_min(list_transform(
+      |      list_transform(shingles, h0 -> h0 % $P),
+      |      h -> (((1664525 * j + 1013904223) % $P) * h + (22695477 * j + 12345) % $P) % $P))) AS sg
+      |  FROM s
+      |)
+      |SELECT p.doc_a, p.doc_b, CAST(p.inter AS BIGINT) AS inter,
+      |  CAST(p.un AS BIGINT) AS un,
+      |  CAST(len(list_filter(range(1, 17), i -> sa.sg[i] = sb.sg[i])) AS BIGINT) AS sig_matches,
+      |  CAST(len(list_filter(range(1, 17), i -> sa.sg[i] = sb.sg[i])) * p.un
+      |       - p.inter * 16 AS BIGINT) AS err_num
+      |FROM scored p
+      |JOIN sig sa ON sa.doc_id = p.doc_a
+      |JOIN sig sb ON sb.doc_id = p.doc_b
+      |WHERE p.inter * 5 >= p.un
+      |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -527,6 +576,7 @@ object DedupQueries {
     "d12_dedup_manifest" -> (d12DedupManifest _),
     "d13_chunk_dedup" -> (d13ChunkDedup _),
     "d15_bloom_decontaminate" -> (d15BloomDecontaminate _),
+    "d17_minhash_estimate" -> (d17MinhashEstimate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -542,5 +592,6 @@ object DedupQueries {
     "d12_dedup_manifest" -> d12Oracle,
     "d13_chunk_dedup" -> d13Oracle,
     "d15_bloom_decontaminate" -> d15Oracle,
+    "d17_minhash_estimate" -> d17Oracle,
   )
 }
