@@ -97,15 +97,61 @@ object MultimodalQueries {
       |  md5('resized:64x64:' || substr(text, 1, 16)) AS out_hash
       |FROM documents ORDER BY 1""".stripMargin
 
+  // m04 — exact MEDIA dedup by payload content hash (the d01 operator at
+  // the binary boundary): a media lake's first dedup pass groups on the
+  // decoder-reported content hash — computed INSIDE the batched decode,
+  // so identical bytes dedup regardless of filename/id — and reports, per
+  // duplicate group, the canonical keeper and the bytes reclaimed. The
+  // corpus has no exact duplicates below sf0.1, so duplicates are
+  // INJECTED deterministically (every doc_id % 7 == 0 payload re-ingested
+  // under media_id + 10M — the t12/t14 structure-injection pattern),
+  // keeping the group/keeper/savings arithmetic live at every SF while
+  // natural sf0.1 duplicates still flow through. One shuffle on the
+  // 128-bit hash; at 100 TB this is the same single-pass layout as d01
+  // with payload bytes never leaving their executor (only hash + length
+  // ride the shuffle).
+  def m04MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val injected = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val docs = base.unionByName(injected)
+      .select(col("doc_id"), col("text"),
+        lit("image").as("kind"), lit("image/fake").as("mime"))
+    val media = MediaPipeline.fromBinary(
+      docs.withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "kind", "mime")
+    MediaPipeline.decodeFeatures(media, batchSize = 64)
+      .toDF()
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("media_id")).as("keeper_id"),
+        (max(col("byte_len")) * (count(lit(1)) - 1)).as("bytes_saved"))
+      .filter(col("n_copies") >= 2)
+      .orderBy("content_hash")
+  }
+
+  val m04Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 7 = 0
+      |)
+      |SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+      |  CAST(MIN(media_id) AS BIGINT) AS keeper_id,
+      |  CAST(MAX(strlen(text)) * (COUNT(*) - 1) AS BIGINT) AS bytes_saved
+      |FROM m GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_samples" -> (m02FrameSamples _),
     "m03_resize" -> (m03Resize _),
+    "m04_media_dedup" -> (m04MediaDedup _),
   )
 
   val oracles: Map[String, String] = Map(
     "m01_media_features" -> m01Oracle,
     "m02_frame_samples" -> m02Oracle,
     "m03_resize" -> m03Oracle,
+    "m04_media_dedup" -> m04Oracle,
   )
 }
