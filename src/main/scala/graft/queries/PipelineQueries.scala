@@ -353,15 +353,100 @@ object PipelineQueries {
       |FROM cagg c LEFT JOIN kagg k USING (lang)
       |ORDER BY c.lang""".stripMargin
 
+  // p04 — pretrain curation v2, composing this round's operators into one
+  // declarative lineage the way p01 composes round 5's: Gopher word-count
+  // bounds (t14's first rule) → exact-dedup keeper (p01's min_by hash
+  // agg) → CCNet familiarity tiers computed over the SURVIVORS (t15's
+  // rank arithmetic — stage order is load-bearing: dedup first means the
+  // bigram LM trains on unique text, the published CCNet order) → drop
+  // the tail tier → leakage-safe grouped split (t16) → per-(split, lang)
+  // manifest. One corpus scan feeds everything; the only wide exchanges
+  // are the content-hash agg, the bigram count + join-back, and the
+  // N_docs-row rank sort — each already costed in its standalone query.
+  def p04CurationV2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val quality = docs.filter(col("n_tokens") >= 25 && col("n_tokens") <= 50000)
+    val exact = quality.groupBy(md5(col("text")).as("_h"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
+        col("toks"), col("n_tokens")), col("doc_id")).as("_v"))
+      .select(col("_v.*"))
+    val bg = exact.select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val cnt = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+    val perDoc = bg.join(cnt, "bigram").groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"), sum(col("c")).as("fam"))
+    val scored = exact.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("avg_fam", when(coalesce(col("nb"), lit(0L)) === 0, 0L)
+        .otherwise(expr("fam DIV nb")))
+    val n = scored.agg(count(lit(1)).as("n_docs"))
+    val kept = scored.crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("avg_fam").desc, col("doc_id"))))
+      .filter(expr("((rn - 1) * 3) DIV n_docs") < 2)
+    kept
+      .withColumn("split", graft.ops.TextOps.hashSplit(col("source")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy("split", "lang")
+  }
+
+  val p04Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), q AS (
+      |  SELECT * FROM d WHERE n_tokens BETWEEN 25 AND 50000
+      |), x AS (
+      |  SELECT * FROM (
+      |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM q)
+      |  WHERE doc_id = keeper
+      |), bg AS (
+      |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+      |  FROM x, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+      |), cnt AS (
+      |  SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1
+      |), pd AS (
+      |  SELECT doc_id, COUNT(*) AS nb, SUM(c) AS fam
+      |  FROM bg JOIN cnt USING (bigram) GROUP BY 1
+      |), sc AS (
+      |  SELECT x.doc_id, x.lang, x.source, x.n_tokens,
+      |    CASE WHEN COALESCE(pd.nb, 0) = 0 THEN 0
+      |         ELSE pd.fam // pd.nb END AS avg_fam
+      |  FROM x LEFT JOIN pd USING (doc_id)
+      |), r AS (
+      |  SELECT *, row_number() OVER (ORDER BY avg_fam DESC, doc_id) AS rn,
+      |    COUNT(*) OVER () AS n FROM sc
+      |), k AS (
+      |  SELECT * FROM r WHERE ((rn - 1) * 3) // n < 2
+      |)
+      |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+      |            ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM (SELECT *,
+      |  CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100 AS b FROM k)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_mix" -> (p01TrainingMix _),
     "p02_shard_manifest" -> (p02ShardManifest _),
     "p03_eval_set" -> (p03EvalSet _),
+    "p04_curation_v2" -> (p04CurationV2 _),
   )
 
   val oracles: Map[String, String] = Map(
     "p01_training_mix" -> p01Oracle,
     "p02_shard_manifest" -> p02Oracle,
     "p03_eval_set" -> p03Oracle,
+    "p04_curation_v2" -> p04Oracle,
   )
 }
