@@ -1487,6 +1487,52 @@ object CdcQueries {
       |  CAST(MAX(lag_ms) AS BIGINT) AS max_lag_ms
       |FROM r GROUP BY hr ORDER BY hr""".stripMargin
 
+  // cdc23 — out-of-order ARRIVAL metrics: for each event, its lateness
+  // vs the maximum source timestamp among all earlier log positions (the
+  // running high-watermark a streaming consumer would hold when this row
+  // arrives), aggregated per source-hour. This is THE table you read to
+  // choose a watermark delay: `max_lateness_ms` bounds the
+  // `withWatermark` setting that loses zero events, `n_late / n_events`
+  // says what a tighter bound drops. The feed is genuinely out of order
+  // by construction (the %7 +150 ms skew and the pos+20M re-delivery
+  // branch both displace src_ms against pos), so the counts are live.
+  // Cost model: ONE global sort by log position for the running max —
+  // the same N_feed-row (not corpus-row) total-order sort t15's rank
+  // uses; at 100 TB a range-partitioned sort on pos, which parquet log
+  // files already nearly provide.
+  def cdc23LatenessMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    cdc17Feed(spark, dir)
+      .withColumn("hwm", max(col("src_ms")).over(w))
+      .withColumn("late_ms",
+        when(col("hwm") > col("src_ms"), col("hwm") - col("src_ms"))
+          .otherwise(0L))
+      .groupBy(expr("src_ms DIV 3600000").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_ms") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_ms")).as("max_lateness_ms"),
+        sum(col("late_ms")).as("sum_lateness_ms"))
+      .orderBy("hr")
+  }
+
+  val cdc23Oracle: String =
+    s"""WITH $cdcFeedCte, l AS (
+      |  SELECT src_ms,
+      |    MAX(src_ms) OVER (ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM a
+      |), m AS (
+      |  SELECT src_ms // 3600000 AS hr,
+      |    CASE WHEN hwm > src_ms THEN hwm - src_ms ELSE 0 END AS late_ms
+      |  FROM l
+      |)
+      |SELECT hr, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(MAX(late_ms) AS BIGINT) AS max_lateness_ms,
+      |  CAST(SUM(late_ms) AS BIGINT) AS sum_lateness_ms
+      |FROM m GROUP BY hr ORDER BY hr""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1522,6 +1568,7 @@ object CdcQueries {
     "cdc20_incremental_apply" -> (cdc20IncrementalApply _),
     "cdc21_scd2_history" -> (cdc21Scd2History _),
     "cdc22_lag_percentiles" -> (cdc22LagPercentiles _),
+    "cdc23_lateness_metrics" -> (cdc23LatenessMetrics _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1547,5 +1594,6 @@ object CdcQueries {
     "cdc20_incremental_apply" -> cdc17Oracle, // incremental == one-shot apply
     "cdc21_scd2_history" -> cdc21Oracle,
     "cdc22_lag_percentiles" -> cdc22Oracle,
+    "cdc23_lateness_metrics" -> cdc23Oracle,
   )
 }

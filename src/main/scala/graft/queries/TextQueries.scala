@@ -649,6 +649,40 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // t17 — exact per-language heavy-hitter tokens (support ≥ 1% of the
+  // language's token mass): the vocabulary/stop-word discovery pass a
+  // tokenizer pipeline runs before training. EXACT two-aggregation form —
+  // one shuffle on (lang, term) with map-side partial counts, one
+  // broadcast-sized per-lang total joined back, integer predicate
+  // `100·cnt ≥ total` (no double shares). This is the deterministic
+  // alternative to Misra-Gries/SpaceSaving sketches, whose merge states
+  // are partition-layout-dependent and therefore ungateable; at 100 TB
+  // the (lang, term) agg is the same wordcount shape Spark was built on,
+  // and the 1% support floor bounds the output at ≤100 terms per
+  // language regardless of corpus size.
+  def t17HeavyTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    val cnt = toks.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy("lang").agg(sum(col("cnt")).as("total"))
+    cnt.join(broadcast(tot), "lang")
+      .filter(col("cnt") * 100 >= col("total"))
+      .select(col("lang"), col("term"), col("cnt"), col("total"))
+      .orderBy("lang", "term")
+  }
+
+  val t17Oracle: String =
+    """WITH t AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+      |), c AS (
+      |  SELECT lang, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+      |), g AS (
+      |  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY 1
+      |)
+      |SELECT c.lang, c.term, c.cnt, g.total
+      |FROM c JOIN g USING (lang) WHERE c.cnt * 100 >= g.total
+      |ORDER BY c.lang, c.term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -666,6 +700,7 @@ object TextQueries {
     "t14_gopher_filters" -> (t14GopherFilters _),
     "t15_familiarity_tiers" -> (t15FamiliarityTiers _),
     "t16_grouped_split" -> (t16GroupedSplit _),
+    "t17_heavy_tokens" -> (t17HeavyTokens _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -685,5 +720,6 @@ object TextQueries {
     "t14_gopher_filters" -> t14Oracle,
     "t15_familiarity_tiers" -> t15Oracle,
     "t16_grouped_split" -> t16Oracle,
+    "t17_heavy_tokens" -> t17Oracle,
   )
 }
