@@ -1653,6 +1653,46 @@ object SimilarityQueries {
       |FROM err GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // s23 — IVF inverted-list BALANCE statistics, FAISS's
+  // `imbalance_factor` next to s22's distortion: per-cluster population
+  // min/max and Σn², from which imbalance = k·Σn²/N² (reported as its
+  // exact integer parts — the division is the reader's). An imbalanced
+  // index is the OTHER way IVF degrades silently: search cost at
+  // nprobe=p is the sum of the p probed list lengths, so one hot cluster
+  // makes every query that probes it pay; FAISS prints exactly this
+  // statistic after train(). One centroid broadcast + one count-shuffle
+  // on the cluster key; constant-size output at any corpus scale.
+  def s23IvfStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("k_nonempty"),
+        sum(col("n")).as("n_total"),
+        min(col("n")).as("min_cluster"),
+        max(col("n")).as("max_cluster"),
+        sum(col("n") * col("n")).as("sum_sq_sizes"))
+  }
+
+  val s23Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS (
+      |  SELECT vec_id, clabel FROM (
+      |    SELECT e.vec_id, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), sizes AS (
+      |  SELECT clabel, COUNT(*) AS n FROM assigned GROUP BY clabel
+      |)
+      |SELECT COUNT(*) AS k_nonempty,
+      |  CAST(SUM(n) AS BIGINT) AS n_total,
+      |  CAST(MIN(n) AS BIGINT) AS min_cluster,
+      |  CAST(MAX(n) AS BIGINT) AS max_cluster,
+      |  CAST(SUM(n * n) AS BIGINT) AS sum_sq_sizes
+      |FROM sizes""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1676,6 +1716,7 @@ object SimilarityQueries {
     "s20_ann_tombstones" -> (s20AnnTombstones _),
     "s21_ann_range" -> (s21AnnRange _),
     "s22_pq_distortion" -> (s22PqDistortion _),
+    "s23_ivf_stats" -> (s23IvfStats _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -1705,6 +1746,7 @@ object SimilarityQueries {
     "s20_ann_tombstones" -> s20Oracle,
     "s21_ann_range" -> s21Oracle,
     "s22_pq_distortion" -> s22Oracle,
+    "s23_ivf_stats" -> s23Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
