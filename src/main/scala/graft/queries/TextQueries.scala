@@ -683,6 +683,42 @@ object TextQueries {
       |FROM c JOIN g USING (lang) WHERE c.cnt * 100 >= g.total
       |ORDER BY c.lang, c.term""".stripMargin
 
+  // t18 — per-language VOCABULARY statistics: type count, token mass,
+  // hapax/dis legomena counts, and the modal frequency — the
+  // Heaps/Zipf-shape table a tokenizer-training run reads to size its
+  // vocabulary and a corpus-health check reads to spot boilerplate
+  // collapse (a scraped-garbage language shows up as a crashing
+  // type/token ratio and a vanishing hapax share). Same (lang, term)
+  // wordcount shuffle as t17 — map-side partial counts, then a
+  // per-lang re-aggregation whose output is ONE row per language at
+  // any corpus size; all five statistics are integers, so the gate is
+  // exact. At 100 TB this is two chained hash aggregates on narrowing
+  // keys — the canonical Spark shape; nothing is collected or sorted.
+  def t18VocabStats(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+    cnt.groupBy("lang").agg(
+      count(lit(1)).as("n_types"),
+      sum(col("cnt")).as("n_tokens"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n_dis"),
+      max(col("cnt")).as("max_freq"))
+      .orderBy("lang")
+  }
+
+  val t18Oracle: String =
+    """WITH t AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+      |), c AS (
+      |  SELECT lang, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+      |)
+      |SELECT lang, COUNT(*) AS n_types, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+      |  CAST(MAX(cnt) AS BIGINT) AS max_freq
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -701,6 +737,7 @@ object TextQueries {
     "t15_familiarity_tiers" -> (t15FamiliarityTiers _),
     "t16_grouped_split" -> (t16GroupedSplit _),
     "t17_heavy_tokens" -> (t17HeavyTokens _),
+    "t18_vocab_stats" -> (t18VocabStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -721,5 +758,6 @@ object TextQueries {
     "t15_familiarity_tiers" -> t15Oracle,
     "t16_grouped_split" -> t16Oracle,
     "t17_heavy_tokens" -> t17Oracle,
+    "t18_vocab_stats" -> t18Oracle,
   )
 }
