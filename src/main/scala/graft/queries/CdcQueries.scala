@@ -1533,6 +1533,60 @@ object CdcQueries {
       |  CAST(SUM(late_ms) AS BIGINT) AS sum_lateness_ms
       |FROM m GROUP BY hr ORDER BY hr""".stripMargin
 
+  // cdc24 — per-key change-SEQUENCE audit: classify every event by the
+  // transition from its predecessor in the key's (src_ms, pos) order —
+  // INSERT-after-INSERT (redundant snapshot re-delivery), UPDATE/DELETE
+  // with no prior event (orphan: the consumer bootstrapped mid-stream),
+  // UPDATE/DELETE after a DELETE (resurrection without re-insert). This
+  // is the feed-quality audit a CDC consumer runs before trusting
+  // cdc17's apply: orphans say the initial snapshot is missing, dup
+  // inserts say the producer re-sends, after-delete says tombstone
+  // handling upstream is broken. The fixture feed produces all of them
+  // by construction (ct is a function of event_type/event_id, not of
+  // history), so every class has live counts. Plan shape: ONE shuffle
+  // on the key for the lag window (the same keyed sort cdc21's SCD2
+  // build pays), then a tiny class aggregate; per-class n_events /
+  // n_keys / pos_sum are integers, so the gate is exact. At 100 TB the
+  // per-key ordered walk is exactly the apply's own access pattern —
+  // no new data movement class.
+  def cdc24SequenceAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("src_ms", "pos")
+    cdc17Feed(spark, dir)
+      .withColumn("prev_ct", lag(col("ct"), 1).over(w))
+      .withColumn("kind",
+        when(col("prev_ct").isNull && col("ct") =!= "INSERT",
+          concat(lit("ORPHAN_"), col("ct")))
+          .when(col("prev_ct") === "INSERT" && col("ct") === "INSERT",
+            lit("DUP_INSERT"))
+          .when(col("prev_ct") === "DELETE" && col("ct") =!= "INSERT",
+            concat(lit("AFTER_DELETE_"), col("ct")))
+          .otherwise(lit("OK")))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_keys"),
+        sum(col("pos")).as("pos_sum"))
+      .orderBy("kind")
+  }
+
+  val cdc24Oracle: String =
+    s"""WITH $cdcFeedCte, l AS (
+      |  SELECT user_id, ct, pos,
+      |    lag(ct) OVER (PARTITION BY user_id ORDER BY src_ms, pos) AS prev_ct
+      |  FROM a
+      |), k AS (
+      |  SELECT user_id, pos,
+      |    CASE WHEN prev_ct IS NULL AND ct <> 'INSERT' THEN 'ORPHAN_' || ct
+      |         WHEN prev_ct = 'INSERT' AND ct = 'INSERT' THEN 'DUP_INSERT'
+      |         WHEN prev_ct = 'DELETE' AND ct <> 'INSERT' THEN 'AFTER_DELETE_' || ct
+      |         ELSE 'OK' END AS kind
+      |  FROM l
+      |)
+      |SELECT kind, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+      |  CAST(SUM(pos) AS BIGINT) AS pos_sum
+      |FROM k GROUP BY kind ORDER BY kind""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1569,6 +1623,7 @@ object CdcQueries {
     "cdc21_scd2_history" -> (cdc21Scd2History _),
     "cdc22_lag_percentiles" -> (cdc22LagPercentiles _),
     "cdc23_lateness_metrics" -> (cdc23LatenessMetrics _),
+    "cdc24_sequence_audit" -> (cdc24SequenceAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1595,5 +1650,6 @@ object CdcQueries {
     "cdc21_scd2_history" -> cdc21Oracle,
     "cdc22_lag_percentiles" -> cdc22Oracle,
     "cdc23_lateness_metrics" -> cdc23Oracle,
+    "cdc24_sequence_audit" -> cdc24Oracle,
   )
 }
