@@ -512,7 +512,58 @@ object RelationalQueries {
       |FROM pick p JOIN cum c ON c.bin = p.bin, b
       |ORDER BY p.p""".stripMargin
 
+  // q35 — ordered FUNNEL analysis over the event stream: how many users
+  // progressed view → click → purchase with each stage STRICTLY AFTER
+  // the previous one — the product-analytics operator class (sequence
+  // matching) the sessionize/as-of family (q20/q21) doesn't cover.
+  // Stage timestamps are the classic iterated-min form: t_view =
+  // min(ts | view), t_click = min(ts | click ∧ ts > t_view), t_purchase
+  // likewise — each stage is a filter + hash aggregate + equi-join, ALL
+  // keyed on user_id, so at 100 TB the whole funnel is one shuffle key
+  // end to end (stages 2/3 co-locate with stage 1's partitioning; AQE
+  // sees shrinking stage cardinalities and broadcasts the survivor
+  // sets). `ts` is the epoch-nanos Long (Tables.events), so the strict
+  // `>` comparisons are exact integers in both engines; per-stage
+  // user counts and id-sums pin WHICH users survived, not just how many.
+  def q35Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_id_sum"))
+        .select(lit(name).as("stage"), col("n_users"), col("user_id_sum"))
+    stage(v, "1_view").unionByName(stage(c, "2_click"))
+      .unionByName(stage(p, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  val q35Oracle: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(epoch_ns(ts)) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click GROUP BY 1
+      |)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+      |  CAST(SUM(user_id) AS BIGINT) AS user_id_sum FROM v
+      |UNION ALL SELECT '2_click', COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM c
+      |UNION ALL SELECT '3_purchase', COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM p
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_funnel" -> (q35Funnel _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
@@ -532,6 +583,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q35_funnel" -> q35Oracle,
     "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,
