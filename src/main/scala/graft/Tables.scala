@@ -25,10 +25,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events` with `ts` as epoch-nanos Long (see object doc). */
+  /** `events` with `ts` as epoch-nanos Long (see object doc).
+    *
+    * The generated parquet has shipped `ts` as both INT64 TIMESTAMP(NANOS)
+    * (reads as epoch-nanos Long under `nanosAsLong`) and TIMESTAMP(MICROS)
+    * (reads as TIMESTAMP_NTZ). Every consumer — and every DuckDB oracle,
+    * via `epoch_ns(ts)` — is written against the epoch-nanos-Long contract,
+    * so normalize both layouts to it here. The NTZ wall-clock is epoch UTC
+    * (writer is tz-naive; session tz pinned to UTC), so the
+    * cast-to-timestamp → `unix_micros` → ×1000 route is exact.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 
   /** Exact integer cents from a 2-decimal-valued double column. The testdata
