@@ -1587,6 +1587,65 @@ object CdcQueries {
       |  CAST(SUM(pos) AS BIGINT) AS pos_sum
       |FROM k GROUP BY kind ORDER BY kind""".stripMargin
 
+  // cdc25 — TRANSACTION ASSEMBLY from commit markers: the binlog feed
+  // interleaves row events with XID commit events per file; a consumer
+  // that needs transactional atomicity (apply-all-or-none, exactly-once
+  // sinks) must re-group each DML with the NEXT XID at a higher log
+  // position in its file — the classic as-of association, computed here
+  // with one conditional running-min window over the per-file position
+  // order (no join, no self-cross). DMLs after the last XID of a file
+  // are an open (uncommitted) tail — reported as committed=false. The
+  // result is the transaction-size profile: how many txns of each size,
+  // with a Σ commit-position checksum pinning WHICH commits were
+  // assembled, not just how many. Plan shape: one shuffle on
+  // binlog_file for the window (the file is the reference's natural
+  // unit of order — cdc03/cdc05 pin the same key), then two tiny hash
+  // aggs. At scale the per-file sort is the tail-read's own order, and
+  // file count grows with data so the window partitioning is not skewed.
+  def cdc25TxnAssembly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("binlog_file").orderBy("log_position")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    binlogRawSide(spark, dir)
+      .select(col("event_type"), col("binlog_file"), col("log_position"))
+      .withColumn("commit_pos",
+        min(when(col("event_type") === "XID", col("log_position"))).over(w))
+      .filter(col("event_type") =!= "XID")
+      .groupBy(col("binlog_file"),
+        coalesce(col("commit_pos"), lit(-1L)).as("commit_pos"))
+      .agg(count(lit(1)).as("txn_size"))
+      .groupBy((col("commit_pos") >= 0).as("committed"), col("txn_size"))
+      .agg(count(lit(1)).as("n_txns"),
+        sum(col("commit_pos")).as("commit_pos_sum"))
+      .orderBy("committed", "txn_size")
+  }
+
+  val cdc25Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id, event_type,
+      |    'mysql-bin.' || lpad(CAST(user_id % 4 AS VARCHAR), 6, '0') AS bfile
+      |  FROM events WHERE event_type <> 'error'
+      |), b AS (
+      |  SELECT bfile, event_id + 4 AS pos,
+      |    CASE event_type WHEN 'purchase' THEN 'WriteRowsEventV2'
+      |         WHEN 'click' THEN 'UpdateRowsEventV2'
+      |         WHEN 'view' THEN 'DeleteRowsEventV2' ELSE 'XID' END AS btype
+      |  FROM base
+      |), assoc AS (
+      |  SELECT bfile, pos, btype,
+      |    min(CASE WHEN btype = 'XID' THEN pos END)
+      |      OVER (PARTITION BY bfile ORDER BY pos
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS commit_pos
+      |  FROM b
+      |), txns AS (
+      |  SELECT bfile, COALESCE(commit_pos, -1) AS commit_pos,
+      |    COUNT(*) AS txn_size
+      |  FROM assoc WHERE btype <> 'XID' GROUP BY bfile, COALESCE(commit_pos, -1)
+      |)
+      |SELECT commit_pos >= 0 AS committed, txn_size,
+      |  COUNT(*) AS n_txns, CAST(SUM(commit_pos) AS BIGINT) AS commit_pos_sum
+      |FROM txns GROUP BY 1, 2 ORDER BY committed, txn_size""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1624,6 +1683,7 @@ object CdcQueries {
     "cdc22_lag_percentiles" -> (cdc22LagPercentiles _),
     "cdc23_lateness_metrics" -> (cdc23LatenessMetrics _),
     "cdc24_sequence_audit" -> (cdc24SequenceAudit _),
+    "cdc25_txn_assembly" -> (cdc25TxnAssembly _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1651,5 +1711,6 @@ object CdcQueries {
     "cdc22_lag_percentiles" -> cdc22Oracle,
     "cdc23_lateness_metrics" -> cdc23Oracle,
     "cdc24_sequence_audit" -> cdc24Oracle,
+    "cdc25_txn_assembly" -> cdc25Oracle,
   )
 }
