@@ -1646,6 +1646,31 @@ object CdcQueries {
       |  COUNT(*) AS n_txns, CAST(SUM(commit_pos) AS BIGINT) AS commit_pos_sum
       |FROM txns GROUP BY 1, 2 ORDER BY committed, txn_size""".stripMargin
 
+  // cdc26 — HOT-KEY SKEW PROFILE of the change feed: per-key change
+  // counts reduced to a log2-bucket histogram (bucket = bit length of
+  // the count, i.e. floor(log2 n)+1 — an exact integer, no float log).
+  // This is the table that decides every skew mitigation on this feed:
+  // whether cdc17's per-key fold needs salting, what AQE skew-join
+  // thresholds are real, and how wide the cdc24 window partitions run.
+  // Two hash aggs — the (key) shuffle is one cdc17 already pays, the
+  // histogram is 64 rows max at any scale. Exact integers gate it.
+  def cdc26KeySkew(spark: SparkSession, dir: String): DataFrame = {
+    cdc17Feed(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .groupBy(length(expr("bin(cnt)")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_events"),
+        max(col("cnt")).as("max_cnt"))
+      .orderBy("bucket")
+  }
+
+  val cdc26Oracle: String =
+    s"""WITH $cdcFeedCte, c AS (
+      |  SELECT user_id, COUNT(*) AS cnt FROM a GROUP BY user_id
+      |)
+      |SELECT length(bin(cnt)) AS bucket, COUNT(*) AS n_keys,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_events, MAX(cnt) AS max_cnt
+      |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1684,6 +1709,7 @@ object CdcQueries {
     "cdc23_lateness_metrics" -> (cdc23LatenessMetrics _),
     "cdc24_sequence_audit" -> (cdc24SequenceAudit _),
     "cdc25_txn_assembly" -> (cdc25TxnAssembly _),
+    "cdc26_key_skew" -> (cdc26KeySkew _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1712,5 +1738,6 @@ object CdcQueries {
     "cdc23_lateness_metrics" -> cdc23Oracle,
     "cdc24_sequence_audit" -> cdc24Oracle,
     "cdc25_txn_assembly" -> cdc25Oracle,
+    "cdc26_key_skew" -> cdc26Oracle,
   )
 }
