@@ -257,6 +257,79 @@ object AnalyticQueries {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, event_id""".stripMargin
 
+  // q36 — PEAK-CONCURRENCY SWEEP over session intervals: sessionize (the
+  // gated q20 definition), reduce each session to its [start, end] µs
+  // interval, then the classic +1/−1 boundary sweep — per distinct
+  // boundary instant, active = (starts ≤ t) − (ends < t), so a session
+  // ending exactly when another starts still overlaps it, and the value
+  // is order-independent within a tied instant (no tie-break needed).
+  // Reported per hour of the boundary instant: peak concurrent sessions
+  // + boundary counts — the capacity-planning table for any stateful
+  // stream consumer (peak live sessions bounds mapGroupsWithState state).
+  // Plan shape: the q20 per-user window shuffle, a per-instant hash agg,
+  // ONE total-order running-sum window over the distinct-boundary table
+  // (two boundaries per session, range-partitionable at scale — same
+  // class as cdc23's pos sort), then an hour hash agg. Peak is defined
+  // at boundary instants (concurrency is constant between boundaries,
+  // so each hour's true max is at a boundary in that hour or is the
+  // carried-in value at its first boundary).
+  def q36PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Sessions.sessionize(
+        Tables.events(spark, dir).withColumn("t_us", tsUs),
+        "user_id", "t_us", "event_id", 1800L * 1000000L)
+      .groupBy("user_id", "session_id")
+      .agg(min(col("t_us")).as("s_us"), max(col("t_us")).as("e_us"))
+    val bounds = sess.select(col("s_us").as("t"), lit(1L).as("st"), lit(0L).as("en"))
+      .unionByName(
+        sess.select(col("e_us").as("t"), lit(0L).as("st"), lit(1L).as("en")))
+      .groupBy("t")
+      .agg(sum(col("st")).as("n_starts"), sum(col("en")).as("n_ends"))
+    val wIncl = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bounds
+      .withColumn("active", sum(col("n_starts")).over(wIncl) -
+        coalesce(sum(col("n_ends")).over(wPrev), lit(0L)))
+      .groupBy((expr("t div 3600000000") * 3600L).as("hour_s"))
+      .agg(max(col("active")).as("peak_concurrent"),
+        sum(col("n_starts")).as("n_starts"), sum(col("n_ends")).as("n_ends"))
+      .orderBy("hour_s")
+  }
+
+  val q36Oracle: String =
+    """WITH sess AS (
+      |  SELECT user_id, session_id, MIN(t) AS s_us, MAX(t) AS e_us FROM (
+      |    SELECT user_id, t,
+      |      SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id, epoch_us(ts) AS t,
+      |        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |                  IS NULL THEN 1
+      |             WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |                  > 1800000000 THEN 1
+      |             ELSE 0 END AS is_new
+      |      FROM events))
+      |  GROUP BY user_id, session_id
+      |), bounds AS (
+      |  SELECT t, SUM(st) AS n_starts, SUM(en) AS n_ends FROM (
+      |    SELECT s_us AS t, 1 AS st, 0 AS en FROM sess
+      |    UNION ALL
+      |    SELECT e_us, 0, 1 FROM sess)
+      |  GROUP BY t
+      |), active AS (
+      |  SELECT t, n_starts, n_ends,
+      |    SUM(n_starts) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - COALESCE(SUM(n_ends) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS active
+      |  FROM bounds
+      |)
+      |SELECT (t // 3600000000) * 3600 AS hour_s,
+      |  CAST(MAX(active) AS BIGINT) AS peak_concurrent,
+      |  CAST(SUM(n_starts) AS BIGINT) AS n_starts,
+      |  CAST(SUM(n_ends) AS BIGINT) AS n_ends
+      |FROM active GROUP BY 1 ORDER BY hour_s""".stripMargin
+
   // q22 — two-stage salted aggregation: the skew pattern for hot grouping
   // keys (event_type has 5 values; at 100 TB a single-stage groupBy would
   // funnel each key through one reducer). Stage 1 spreads each key over 16
@@ -415,6 +488,7 @@ object AnalyticQueries {
     "q19_small_qty_orders" -> (q19SmallQuantityOrders _),
     "q20_sessionize" -> (q20Sessionize _),
     "q21_last_click_before_purchase" -> (q21LastClickBeforePurchase _),
+    "q36_peak_concurrency" -> (q36PeakConcurrency _),
     "q22_salted_agg" -> (q22SaltedAgg _),
     "q23_approx_distinct" -> (q23ApproxDistinct _),
     "q24_json_map" -> (q24JsonMap _),
@@ -436,6 +510,7 @@ object AnalyticQueries {
     "q19_small_qty_orders" -> q19Oracle,
     "q20_sessionize" -> q20Oracle,
     "q21_last_click_before_purchase" -> q21Oracle,
+    "q36_peak_concurrency" -> q36Oracle,
     "q22_salted_agg" -> q22Oracle,
     "q23_approx_distinct" -> q23Oracle,
     "q24_json_map" -> q24Oracle,
