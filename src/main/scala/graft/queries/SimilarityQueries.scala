@@ -1693,6 +1693,58 @@ object SimilarityQueries {
       |  CAST(SUM(n * n) AS BIGINT) AS sum_sq_sizes
       |FROM sizes""".stripMargin
 
+  // s24 — PER-CLUSTER PROTOTYPE (coreset) SELECTION: for every IVF
+  // cluster, keep the 8 vectors most similar to their own centroid —
+  // the "most prototypical" representatives. This is the selection
+  // primitive behind cluster-based data pruning (keep prototypes /
+  // drop them, per the density argument in SemDeDup §5 and
+  // prototype-based coreset papers): once a corpus is clustered, both
+  // pruning policies and human inspection want "the m examples that
+  // define each cluster". Plan shape: the gated assignment
+  // (broadcast-centroid argmax agg), ONE broadcast equi-join back to
+  // the centroid table for the self-cosine (no pairwise join — cost is
+  // N·1, not N·k), a per-cluster top-m window over (cos desc, vec_id),
+  // and an integer reduction (count / id-checksum / cut-off id) that
+  // pins the exact selected set. The window partitions by cluster —
+  // thousands of lists at scale, bounded by the s23 balance profile.
+  def s24ClusterPrototypes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val w = Window.partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
+    assigned
+      .join(broadcast(cent.withColumnRenamed("clabel", "cluster")), Seq("cluster"))
+      .withColumn("ccos", cosineSim(col("embedding"), col("cf")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n_sel"),
+        sum(col("vec_id")).as("sel_id_sum"),
+        max_by(col("vec_id"), col("rk")).as("cutoff_id"))
+      .orderBy("cluster")
+  }
+
+  val s24Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), scored AS (
+      |  SELECT a.vec_id, a.clabel,
+      |    row_number() OVER (PARTITION BY a.clabel
+      |      ORDER BY ${duckCosOf("a.embedding", "c.cf")} DESC, a.vec_id) AS rk
+      |  FROM assigned a JOIN cent c ON a.clabel = c.clabel
+      |)
+      |SELECT CAST(clabel AS BIGINT) AS cluster, COUNT(*) AS n_sel,
+      |  CAST(SUM(vec_id) AS BIGINT) AS sel_id_sum,
+      |  CAST(max_by(vec_id, rk) AS BIGINT) AS cutoff_id
+      |FROM scored WHERE rk <= 8
+      |GROUP BY clabel ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1717,6 +1769,7 @@ object SimilarityQueries {
     "s21_ann_range" -> (s21AnnRange _),
     "s22_pq_distortion" -> (s22PqDistortion _),
     "s23_ivf_stats" -> (s23IvfStats _),
+    "s24_cluster_prototypes" -> (s24ClusterPrototypes _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -1747,6 +1800,7 @@ object SimilarityQueries {
     "s21_ann_range" -> s21Oracle,
     "s22_pq_distortion" -> s22Oracle,
     "s23_ivf_stats" -> s23Oracle,
+    "s24_cluster_prototypes" -> s24Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
