@@ -436,11 +436,84 @@ object PipelineQueries {
       |  CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 100 AS b FROM k)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // p05 — TARGET-MIXTURE QUOTA ALLOCATION (largest-remainder method):
+  // given target language proportions for a training mix and a global
+  // document budget (half the corpus), compute exact integer per-lang
+  // quotas — base = ⌊budget·pct/100⌋, then the leftover documents go to
+  // the largest fractional remainders (ties by lang) — and fill each
+  // quota by the stable md5 rank (t13's stratifiedRank, reproducible
+  // under any repartitioning). This is the operator that turns a mixture
+  // SPEC ("40% en, 20% zh, ...") into an exact document manifest; t08's
+  // mixtureSample is its rate-based cousin (keeps a fixed FRACTION per
+  // bucket, quota unknown), p05 hits an exact global budget. Hamilton's
+  // method is pure integer arithmetic, so the gate is exact. Plan shape:
+  // the quota table is 5 rows (one tiny window over it), broadcast to
+  // the corpus; the only corpus-wide work is the per-lang stable-rank
+  // window — the same (stratum) shuffle t13 pays. A lang smaller than
+  // its quota under-fills (n_sel < quota) and is visibly reported
+  // rather than silently rebalanced.
+  def p05QuotaMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val targets = Seq(("en", 40L), ("zh", 20L), ("de", 15L), ("es", 15L), ("fr", 10L))
+      .toDF("lang", "pct")
+    val budget = docs.agg((count(lit(1)) / 2).cast("long").as("budget"))
+    val wAll = Window.partitionBy()
+    val wR = Window.orderBy(col("rem").desc, col("lang"))
+    val quota = targets.crossJoin(broadcast(budget))
+      .withColumn("base", expr("(budget * pct) div 100"))
+      .withColumn("rem", (col("budget") * col("pct")) % 100)
+      .withColumn("rrank", row_number().over(wR))
+      .withColumn("leftover", col("budget") - sum(col("base")).over(wAll))
+      .select(col("lang"), col("pct"),
+        (col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+    docs
+      .withColumn("rk", graft.ops.TextOps.stratifiedRank(col("lang"), col("doc_id")))
+      .join(broadcast(quota), Seq("lang"))
+      .filter(col("rk") <= col("quota"))
+      .groupBy("lang")
+      .agg(max(col("pct")).as("pct"), max(col("quota")).as("quota"),
+        count(lit(1)).as("n_sel"), sum(col("doc_id")).as("sel_id_sum"))
+      .orderBy("lang")
+  }
+
+  val p05Oracle: String =
+    """WITH t(lang, pct) AS (
+      |  VALUES ('en', 40), ('zh', 20), ('de', 15), ('es', 15), ('fr', 10)
+      |), tot AS (SELECT COUNT(*) // 2 AS budget FROM documents),
+      |alloc AS (
+      |  SELECT lang, pct, budget, (budget * pct) // 100 AS base,
+      |    (budget * pct) % 100 AS rem
+      |  FROM t, tot
+      |), q AS (
+      |  SELECT lang, pct, base, budget,
+      |    row_number() OVER (ORDER BY rem DESC, lang) AS rrank,
+      |    SUM(base) OVER () AS base_sum
+      |  FROM alloc
+      |), quota AS (
+      |  SELECT lang, pct, base + CASE WHEN rrank <= budget - base_sum
+      |    THEN 1 ELSE 0 END AS quota FROM q
+      |), ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 8)) AS BIGINT),
+      |      doc_id) AS rk
+      |  FROM documents
+      |)
+      |SELECT r.lang, CAST(MAX(q.pct) AS BIGINT) AS pct,
+      |  CAST(MAX(q.quota) AS BIGINT) AS quota,
+      |  COUNT(*) AS n_sel, CAST(SUM(r.doc_id) AS BIGINT) AS sel_id_sum
+      |FROM ranked r JOIN quota q USING (lang)
+      |WHERE r.rk <= q.quota
+      |GROUP BY r.lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_mix" -> (p01TrainingMix _),
     "p02_shard_manifest" -> (p02ShardManifest _),
     "p03_eval_set" -> (p03EvalSet _),
     "p04_curation_v2" -> (p04CurationV2 _),
+    "p05_quota_mix" -> (p05QuotaMix _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +521,6 @@ object PipelineQueries {
     "p02_shard_manifest" -> p02Oracle,
     "p03_eval_set" -> p03Oracle,
     "p04_curation_v2" -> p04Oracle,
+    "p05_quota_mix" -> p05Oracle,
   )
 }
