@@ -563,6 +563,68 @@ object DedupQueries {
       |WHERE p.inter * 5 >= p.un
       |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
+  // d18 — EXACT SUBSTRING-SPAN dedup signal (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better", 2022): slide a 10-token
+  // window over every document (positional — repeats within a doc count,
+  // unlike d02's distinct shingle set), hash each window, and mark a
+  // window DUPLICATED iff its hash also occurs in a DIFFERENT document.
+  // The paper's ExactSubstr operator removes such spans; this query is
+  // its detection pass, reduced per language to doc/window/dup-window
+  // counts plus the id-checksum of affected docs — the table that
+  // decides whether span-level dedup is worth running on a corpus at
+  // all. The suffix-array construction the paper uses is a single-node
+  // algorithm; the distributed re-expression is exactly this
+  // hash-grouped window join (the hash plays the suffix array's role of
+  // collocating equal spans), with the window hash as the ONLY wide
+  // key. Shuffle volume is one row per token — the same class as d02's
+  // posting explode, and the cross-doc test is MIN(doc)≠MAX(doc) inside
+  // the hash group, so no pair materialization at all.
+  def d18SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val win = expr(
+      """transform(sequence(1, size(toks) - 9), i ->
+        |  cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 10))), 1, 15),
+        |       16, 10) as bigint))""".stripMargin)
+    val spans = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), explode(win).as("h"))
+    val shared = spans.groupBy("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+    val perDoc = spans.join(shared.withColumn("dup", lit(1L)), Seq("h"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_w"), sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("n_docs_with_dup"),
+        sum(col("n_w")).as("total_windows"),
+        sum(col("n_dup")).as("dup_windows"),
+        sum(when(col("n_dup") > 0, col("doc_id")).otherwise(0L)).as("dup_doc_id_sum"))
+      .orderBy("lang")
+  }
+
+  val d18Oracle: String =
+    """WITH spans AS (
+      |  SELECT doc_id, lang, unnest(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 8),
+      |    i -> CAST(('0x' || substr(md5(array_to_string(
+      |           (string_split(text, ' '))[i:i+9], ' ')), 1, 15)) AS BIGINT))) AS h
+      |  FROM documents
+      |), shared AS (
+      |  SELECT h FROM spans GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)
+      |), per_doc AS (
+      |  SELECT s.doc_id, s.lang, COUNT(*) AS n_w,
+      |    COUNT(sh.h) AS n_dup
+      |  FROM spans s LEFT JOIN shared sh ON s.h = sh.h
+      |  GROUP BY s.doc_id, s.lang
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
+      |  CAST(SUM(n_w) AS BIGINT) AS total_windows,
+      |  CAST(SUM(n_dup) AS BIGINT) AS dup_windows,
+      |  CAST(SUM(CASE WHEN n_dup > 0 THEN doc_id ELSE 0 END) AS BIGINT) AS dup_doc_id_sum
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -577,6 +639,7 @@ object DedupQueries {
     "d13_chunk_dedup" -> (d13ChunkDedup _),
     "d15_bloom_decontaminate" -> (d15BloomDecontaminate _),
     "d17_minhash_estimate" -> (d17MinhashEstimate _),
+    "d18_span_dedup" -> (d18SpanDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -593,5 +656,6 @@ object DedupQueries {
     "d13_chunk_dedup" -> d13Oracle,
     "d15_bloom_decontaminate" -> d15Oracle,
     "d17_minhash_estimate" -> d17Oracle,
+    "d18_span_dedup" -> d18Oracle,
   )
 }
