@@ -214,4 +214,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       p.contains("BroadcastHashJoin"))
     assert(exchanges <= 6, s"unexpected exchange count $exchanges:\n$p")
   }
+
+  test("cdc25: no unbounded-FOLLOWING window frame (O(n²) recompute-per-row)") {
+    // the as-of commit association must stay the reversed-sort RUNNING
+    // min: Spark evaluates [current row, unbounded following] frames by
+    // recomputing the aggregate per row (46× on the 10× data step when
+    // this regressed during development)
+    val p = plan(CdcQueries.cdc25TxnAssembly(spark, dir))
+    assert(!p.contains("unboundedfollowing$()"),
+      s"cdc25 uses an unbounded-following frame:\n$p")
+    assert(p.contains("windowspecdefinition"), "expected a window in cdc25")
+  }
+
+  test("q36: boundary sweep windows are running frames, not re-scans") {
+    val p = plan(AnalyticQueries.q36PeakConcurrency(spark, dir))
+    assert(!p.contains("unboundedfollowing$()"),
+      s"q36 uses an unbounded-following frame:\n$p")
+  }
 }
