@@ -1677,6 +1677,74 @@ object CdcQueries {
       |  CAST(SUM(cnt) AS BIGINT) AS n_events, MAX(cnt) AS max_cnt
       |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // cdc27 — SNAPSHOT TIME-TRAVEL DIFF: fold the feed to its snapshot as
+  // of the mid-point source time (cut = min + (max−min)/2, exact integer
+  // arithmetic both engines reproduce) and to its final snapshot, then
+  // reconcile: CREATED (absent at the cut — inserted later, or
+  // tombstoned-then-reinserted), DELETED (present at the cut, tombstoned
+  // later), CHANGED, UNCHANGED (same last (src_ms) and change count ⇒
+  // same last event — positions are globally unique). This is the diff a
+  // replication validator runs between two snapshot generations, and the
+  // operator behind "what changed since T" reports. Plan shape: the two
+  // applies are the SAME keyed fold (one with a pushed src_ms filter),
+  // full-outer join on the key — both sides arrive partitioned by the
+  // key from their folds, so the join adds no exchange; the class
+  // aggregate is 4 rows. Key checksums pin the exact membership of each
+  // class, not just its size.
+  def cdc27SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val feed = cdc17Feed(spark, dir)
+    val cut = feed.agg(
+      (min(col("src_ms")) + expr("(max(src_ms) - min(src_ms)) div 2")).as("cut"))
+    val atCut = feed.crossJoin(broadcast(cut))
+      .filter(col("src_ms") <= col("cut")).drop("cut")
+    val a = snapshotOf(applyState(atCut.withColumn("w", lit(1L))))
+      .select(col("user_id"), col("last_ts_ms").as("a_ts"),
+        col("n_changes").as("a_n"))
+    val b = snapshotOf(applyState(feed.withColumn("w", lit(1L))))
+      .select(col("user_id"), col("last_ts_ms").as("b_ts"),
+        col("n_changes").as("b_n"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .withColumn("kind",
+        when(col("a_ts").isNull, "CREATED")
+          .when(col("b_ts").isNull, "DELETED")
+          .when(col("a_ts") === col("b_ts") && col("a_n") === col("b_n"),
+            "UNCHANGED")
+          .otherwise("CHANGED"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("key_checksum"))
+      .orderBy("kind")
+  }
+
+  val cdc27Oracle: String =
+    s"""WITH $cdcFeedCte, cut AS (
+      |  SELECT MIN(src_ms) + (MAX(src_ms) - MIN(src_ms)) // 2 AS cut FROM a
+      |), sa AS (
+      |  SELECT user_id, src_ms AS a_ts, n_changes AS a_n FROM (
+      |    SELECT user_id, ct, src_ms,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY src_ms DESC, pos DESC) AS rn,
+      |      count(*) OVER (PARTITION BY user_id) AS n_changes
+      |    FROM a, cut WHERE src_ms <= cut)
+      |  WHERE rn = 1 AND ct <> 'DELETE'
+      |), sb AS (
+      |  SELECT user_id, src_ms AS b_ts, n_changes AS b_n FROM (
+      |    SELECT user_id, ct, src_ms,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY src_ms DESC, pos DESC) AS rn,
+      |      count(*) OVER (PARTITION BY user_id) AS n_changes
+      |    FROM a)
+      |  WHERE rn = 1 AND ct <> 'DELETE'
+      |), j AS (
+      |  SELECT COALESCE(sa.user_id, sb.user_id) AS user_id, a_ts, a_n, b_ts, b_n
+      |  FROM sa FULL OUTER JOIN sb ON sa.user_id = sb.user_id
+      |)
+      |SELECT CASE WHEN a_ts IS NULL THEN 'CREATED'
+      |            WHEN b_ts IS NULL THEN 'DELETED'
+      |            WHEN a_ts = b_ts AND a_n = b_n THEN 'UNCHANGED'
+      |            ELSE 'CHANGED' END AS kind,
+      |  COUNT(*) AS n_keys, CAST(SUM(user_id) AS BIGINT) AS key_checksum
+      |FROM j GROUP BY 1 ORDER BY kind""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1716,6 +1784,7 @@ object CdcQueries {
     "cdc24_sequence_audit" -> (cdc24SequenceAudit _),
     "cdc25_txn_assembly" -> (cdc25TxnAssembly _),
     "cdc26_key_skew" -> (cdc26KeySkew _),
+    "cdc27_snapshot_diff" -> (cdc27SnapshotDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1745,5 +1814,6 @@ object CdcQueries {
     "cdc24_sequence_audit" -> cdc24Oracle,
     "cdc25_txn_assembly" -> cdc25Oracle,
     "cdc26_key_skew" -> cdc26Oracle,
+    "cdc27_snapshot_diff" -> cdc27Oracle,
   )
 }
