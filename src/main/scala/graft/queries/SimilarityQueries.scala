@@ -1745,6 +1745,86 @@ object SimilarityQueries {
       |FROM scored WHERE rk <= 8
       |GROUP BY clabel ORDER BY cluster""".stripMargin
 
+  // s25 — CLUSTER-PARTITIONED kNN-GRAPH construction: each vector's 3
+  // nearest neighbors WITHIN its IVF cluster (cos desc, ties by id) —
+  // the standard distributed seeding for NN-Descent / graph-based ANN
+  // (an HNSW-quality graph starts from exactly this partitioned kNN),
+  // and the input to mutual-kNN agglomerative clustering. The quadratic
+  // term is n_c² per cluster (d14's declared cost class — bounded by
+  // the s23 balance profile, never N²); the per-node top-k is a window
+  // over (cluster, node). Mutual edges (i→j AND j→i) are counted via a
+  // self-equi-join of the directed edge set on the swapped key — mutual
+  // density is THE graph-quality signal NN-Descent convergence is
+  // judged by. Integer output pins nodes, edge multiset (neighbor-id
+  // checksum), and mutual count per cluster.
+  def s25KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val wk = Window.partitionBy("cluster", "id_a")
+      .orderBy(col("cos").desc, col("id_b"))
+    val edges = l.join(r, Seq("cluster"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 3)
+      .select("cluster", "id_a", "id_b")
+    val mutual = edges.join(
+        edges.select(col("cluster"), col("id_b").as("id_a"), col("id_a").as("id_b")),
+        Seq("cluster", "id_a", "id_b"))
+      .groupBy("cluster").agg((count(lit(1)) / 2).cast("long").as("n_mutual"))
+    val nodes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
+    val estats = edges.groupBy("cluster")
+      .agg(count(lit(1)).as("n_edges"), sum(col("id_b")).as("nbr_id_sum"))
+    nodes.join(estats, Seq("cluster"), "left")
+      .join(mutual, Seq("cluster"), "left")
+      .select(col("cluster").cast("long").as("cluster"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("nbr_id_sum"), lit(0L)).as("nbr_id_sum"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .orderBy("cluster")
+  }
+
+  val s25Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), edges AS (
+      |  SELECT clabel, id_a, id_b FROM (
+      |    SELECT a.clabel, a.vec_id AS id_a, b.vec_id AS id_b,
+      |      row_number() OVER (PARTITION BY a.clabel, a.vec_id
+      |        ORDER BY ${duckCosOf("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM assigned a JOIN assigned b
+      |      ON a.clabel = b.clabel AND a.vec_id <> b.vec_id)
+      |  WHERE rk <= 3
+      |), mut AS (
+      |  SELECT e1.clabel, COUNT(*) // 2 AS n_mutual
+      |  FROM edges e1 JOIN edges e2
+      |    ON e1.clabel = e2.clabel AND e1.id_a = e2.id_b AND e1.id_b = e2.id_a
+      |  GROUP BY e1.clabel
+      |), nodes AS (
+      |  SELECT clabel, COUNT(*) AS n_nodes FROM assigned GROUP BY clabel
+      |), es AS (
+      |  SELECT clabel, COUNT(*) AS n_edges, SUM(id_b) AS nbr_id_sum
+      |  FROM edges GROUP BY clabel
+      |)
+      |SELECT CAST(n.clabel AS BIGINT) AS cluster, n.n_nodes,
+      |  CAST(COALESCE(es.n_edges, 0) AS BIGINT) AS n_edges,
+      |  CAST(COALESCE(es.nbr_id_sum, 0) AS BIGINT) AS nbr_id_sum,
+      |  CAST(COALESCE(m.n_mutual, 0) AS BIGINT) AS n_mutual
+      |FROM nodes n LEFT JOIN es ON n.clabel = es.clabel
+      |LEFT JOIN mut m ON n.clabel = m.clabel
+      |ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1770,6 +1850,7 @@ object SimilarityQueries {
     "s22_pq_distortion" -> (s22PqDistortion _),
     "s23_ivf_stats" -> (s23IvfStats _),
     "s24_cluster_prototypes" -> (s24ClusterPrototypes _),
+    "s25_knn_graph" -> (s25KnnGraph _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -1801,6 +1882,7 @@ object SimilarityQueries {
     "s22_pq_distortion" -> s22Oracle,
     "s23_ivf_stats" -> s23Oracle,
     "s24_cluster_prototypes" -> s24Oracle,
+    "s25_knn_graph" -> s25Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
