@@ -719,6 +719,59 @@ object TextQueries {
       |  CAST(MAX(cnt) AS BIGINT) AS max_freq
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  // t19 — TEMPLATE / BOILERPLATE detection by shared document prefixes:
+  // within each source, documents opening with the same 5-token prefix
+  // form a "template family" when ≥3 of them share it — the scraper
+  // boilerplate signal (cookie banners, license headers, forum
+  // scaffolding) that C4/RefinedWeb remove before training. Per source:
+  // template-family count, docs covered, and the covered-id checksum
+  // (pins exactly WHICH docs matched, so a prefix-arithmetic drift
+  // can't hide in equal counts). Shuffle key is (source, prefix) —
+  // cardinality ~n_docs, map-side partial agg; no pairwise term at any
+  // scale. Prefixes shorter than 5 tokens use the whole document (both
+  // engines slice-and-clamp identically). The synthetic corpus has no
+  // naturally repeated prefixes (every count was 0), so boilerplate is
+  // INJECTED deterministically — doc_id % 9 == 0 re-ingested at
+  // doc_id + 10M with a cookie-banner prefix prepended (m04's replica
+  // pattern) — keeping every output column live while natural
+  // templates, should the data ever grow them, still flow.
+  def t19TemplateDetect(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select("source", "doc_id", "text")
+    val injected = base.filter(col("doc_id") % 9 === 0)
+      .select(col("source"), (col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("COOKIE NOTICE ACCEPT ALL - "), col("text")).as("text"))
+    val fams = base.unionByName(injected)
+      .select(col("source"), col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("prefix"))
+      .groupBy("source", "prefix")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    fams.groupBy("source")
+      .agg(count(lit(1)).as("n_prefixes"),
+        sum(when(col("n") >= 3, 1L).otherwise(0L)).as("n_templates"),
+        sum(when(col("n") >= 3, col("n")).otherwise(0L)).as("templated_docs"),
+        sum(when(col("n") >= 3, col("id_sum")).otherwise(0L)).as("templated_id_sum"))
+      .orderBy("source")
+  }
+
+  val t19Oracle: String =
+    """WITH corpus AS (
+      |  SELECT source, doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT source, doc_id + 10000000,
+      |    'COOKIE NOTICE ACCEPT ALL - ' || text
+      |  FROM documents WHERE doc_id % 9 = 0
+      |), fams AS (
+      |  SELECT source,
+      |    array_to_string((string_split(text, ' '))[1:5], ' ') AS prefix,
+      |    COUNT(*) AS n, SUM(doc_id) AS id_sum
+      |  FROM corpus GROUP BY source, prefix
+      |)
+      |SELECT source, COUNT(*) AS n_prefixes,
+      |  CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_templates,
+      |  CAST(SUM(CASE WHEN n >= 3 THEN n ELSE 0 END) AS BIGINT) AS templated_docs,
+      |  CAST(SUM(CASE WHEN n >= 3 THEN id_sum ELSE 0 END) AS BIGINT) AS templated_id_sum
+      |FROM fams GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -738,6 +791,7 @@ object TextQueries {
     "t16_grouped_split" -> (t16GroupedSplit _),
     "t17_heavy_tokens" -> (t17HeavyTokens _),
     "t18_vocab_stats" -> (t18VocabStats _),
+    "t19_template_detect" -> (t19TemplateDetect _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -759,5 +813,6 @@ object TextQueries {
     "t16_grouped_split" -> t16Oracle,
     "t17_heavy_tokens" -> t17Oracle,
     "t18_vocab_stats" -> t18Oracle,
+    "t19_template_detect" -> t19Oracle,
   )
 }
