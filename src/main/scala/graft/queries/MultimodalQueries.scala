@@ -141,11 +141,81 @@ object MultimodalQueries {
       |  CAST(MAX(strlen(text)) * (COUNT(*) - 1) AS BIGINT) AS bytes_saved
       |FROM m GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin
 
+  // m05 — cross-media duplicate-FRAME detection: where m04 dedups whole
+  // objects by content hash, m05 works at the sub-object level — sample
+  // frames through the decoder boundary (m02's path), hash each frame,
+  // and find hashes occurring in ≥2 DISTINCT media objects (shared
+  // intros/credits/watermark stills — the video-dedup signal that whole-
+  // file hashing misses). Replicas injected as in m04 (%7 re-ingested at
+  // media_id+10M) keep the cross-media families live. Output is one
+  // summary row: frame/hash totals, shared-hash mass, and the affected-
+  // media count + id-checksum (pins WHICH objects share frames). Plan:
+  // the frame explode is a narrow typed flatMap (4 rows/object), one
+  // hash-key shuffle for the family agg, a semi-join back for the
+  // affected set — no pairwise term; the same inverted-index shape as
+  // d18 one level down the media hierarchy.
+  def m05FrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val injected = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val docs = base.unionByName(injected)
+      .select(col("doc_id"), col("text"),
+        lit("video").as("kind"), lit("video/fake").as("mime"))
+    val media = MediaPipeline.fromBinary(
+      docs.withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "kind", "mime")
+    val frames = MediaPipeline.sampleFrames(media, n = 4)
+      .toDF()
+      .select(col("media_id"),
+        expr("CAST(conv(substr(md5(frame), 1, 8), 16, 10) AS BIGINT)").as("h"))
+    val fam = frames.groupBy("h")
+      .agg(countDistinct(col("media_id")).as("nm"), count(lit(1)).as("nf"))
+    val famStats = fam.agg(
+      count(lit(1)).as("n_hashes"),
+      sum(col("nf")).as("n_frames"),
+      sum(when(col("nm") >= 2, 1L).otherwise(0L)).as("n_shared_hashes"),
+      sum(when(col("nm") >= 2, col("nf")).otherwise(0L)).as("n_shared_frames"))
+    val affected = frames
+      .join(fam.filter(col("nm") >= 2).select("h"), Seq("h"), "left_semi")
+      .select("media_id").distinct()
+      .agg(count(lit(1)).as("n_affected_media"),
+        sum(col("media_id")).as("affected_id_sum"))
+    famStats.crossJoin(affected)
+  }
+
+  val m05Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 7 = 0
+      |), f AS (
+      |  SELECT media_id,
+      |    CAST(('0x' || substr(md5(
+      |      substr(text, ((i*strlen(text))//4 % strlen(text)) + 1,
+      |             LEAST(16, strlen(text) - ((i*strlen(text))//4 % strlen(text))))
+      |    ), 1, 8)) AS BIGINT) AS h
+      |  FROM m, generate_series(0, 3) t(i)
+      |), fam AS (
+      |  SELECT h, COUNT(DISTINCT media_id) AS nm, COUNT(*) AS nf FROM f GROUP BY h
+      |), fs AS (
+      |  SELECT COUNT(*) AS n_hashes, CAST(SUM(nf) AS BIGINT) AS n_frames,
+      |    CAST(SUM(CASE WHEN nm >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_hashes,
+      |    CAST(SUM(CASE WHEN nm >= 2 THEN nf ELSE 0 END) AS BIGINT) AS n_shared_frames
+      |  FROM fam
+      |), aff AS (
+      |  SELECT COUNT(*) AS n_affected_media,
+      |    CAST(SUM(media_id) AS BIGINT) AS affected_id_sum
+      |  FROM (SELECT DISTINCT media_id FROM f
+      |        WHERE h IN (SELECT h FROM fam WHERE nm >= 2))
+      |)
+      |SELECT * FROM fs, aff""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_samples" -> (m02FrameSamples _),
     "m03_resize" -> (m03Resize _),
     "m04_media_dedup" -> (m04MediaDedup _),
+    "m05_frame_dedup" -> (m05FrameDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -153,5 +223,6 @@ object MultimodalQueries {
     "m02_frame_samples" -> m02Oracle,
     "m03_resize" -> m03Oracle,
     "m04_media_dedup" -> m04Oracle,
+    "m05_frame_dedup" -> m05Oracle,
   )
 }
