@@ -330,6 +330,38 @@ object AnalyticQueries {
       |  CAST(SUM(n_ends) AS BIGINT) AS n_ends
       |FROM active GROUP BY 1 ORDER BY hour_s""".stripMargin
 
+  // q37 — COHORT RETENTION MATRIX: users grouped by their first-activity
+  // epoch-week (the cohort), then for each later week the count of
+  // cohort members still active — the (cohort_week, week_offset) →
+  // n_users triangle every product-analytics stack computes. Weeks are
+  // exact integer epoch-week indices (µs div week-µs), so the gate is
+  // exact. Plan shape: one (user) shuffle for the first-week fold, one
+  // (user, week) distinct (map-side partial), a broadcast-able join of
+  // the per-user cohort back to the activity set, and the final
+  // (cohort, offset) hash agg — no window, no self-join; every shuffle
+  // key has corpus-proportional cardinality (no skew funnel).
+  def q37CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("week"))
+    val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_id_sum"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q37Oracle: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+      |), cohort AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+      |)
+      |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+      |  COUNT(*) AS n_users, CAST(SUM(e.user_id) AS BIGINT) AS user_id_sum
+      |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   // q22 — two-stage salted aggregation: the skew pattern for hot grouping
   // keys (event_type has 5 values; at 100 TB a single-stage groupBy would
   // funnel each key through one reducer). Stage 1 spreads each key over 16
@@ -489,6 +521,7 @@ object AnalyticQueries {
     "q20_sessionize" -> (q20Sessionize _),
     "q21_last_click_before_purchase" -> (q21LastClickBeforePurchase _),
     "q36_peak_concurrency" -> (q36PeakConcurrency _),
+    "q37_cohort_retention" -> (q37CohortRetention _),
     "q22_salted_agg" -> (q22SaltedAgg _),
     "q23_approx_distinct" -> (q23ApproxDistinct _),
     "q24_json_map" -> (q24JsonMap _),
@@ -511,6 +544,7 @@ object AnalyticQueries {
     "q20_sessionize" -> q20Oracle,
     "q21_last_click_before_purchase" -> q21Oracle,
     "q36_peak_concurrency" -> q36Oracle,
+    "q37_cohort_retention" -> q37Oracle,
     "q22_salted_agg" -> q22Oracle,
     "q23_approx_distinct" -> q23Oracle,
     "q24_json_map" -> q24Oracle,
