@@ -1745,6 +1745,65 @@ object CdcQueries {
       |  COUNT(*) AS n_keys, CAST(SUM(user_id) AS BIGINT) AS key_checksum
       |FROM j GROUP BY 1 ORDER BY kind""".stripMargin
 
+  // cdc28 — WATERMARKED APPLY with late-event quarantine: the batch
+  // replay of what a `withWatermark(100ms)` streaming consumer actually
+  // computes. An event is LATE iff it arrives (in log-position order)
+  // after the running high-watermark has passed src_ms + 100 ms
+  // (cdc23's lateness definition, hardened into a routing decision):
+  // late events go to the quarantine (counted, pos-checksummed — the
+  // reprocessing queue), on-time events fold through the cdc17 apply to
+  // the watermarked snapshot. The output row carries both sides, so the
+  // gate pins the exact partition of the feed AND the fold over the
+  // kept half. The feed's %7 +150 ms skew keeps the quarantine
+  // non-empty at every SF. Plan: one pos-ordered running-max window
+  // (range-partitionable total order, cdc23's class; incremental
+  // O(n) frame), then the standard keyed fold.
+  def cdc28WatermarkApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wHwm = Window.orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = cdc17Feed(spark, dir)
+      .withColumn("hwm", max(col("src_ms")).over(wHwm))
+      .withColumn("late",
+        col("hwm").isNotNull && col("src_ms") < col("hwm") - 100L)
+    val snap = snapshotOf(applyState(
+      marked.filter(!col("late")).withColumn("w", lit(1L))))
+    val applied = snap.agg(count(lit(1)).as("n_keys"),
+      sum(col("user_id")).as("key_checksum"),
+      sum(col("n_changes")).as("n_changes_applied"))
+    val quarantined = marked.filter(col("late"))
+      .agg(count(lit(1)).as("n_quarantined"),
+        sum(col("pos")).as("quarantined_pos_sum"))
+    applied.crossJoin(quarantined)
+  }
+
+  val cdc28Oracle: String =
+    s"""WITH $cdcFeedCte, marked AS (
+      |  SELECT user_id, src_ms, ct, pos,
+      |    MAX(src_ms) OVER (ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM a
+      |), routed AS (
+      |  SELECT *, hwm IS NOT NULL AND src_ms < hwm - 100 AS late FROM marked
+      |), snap AS (
+      |  SELECT user_id, n_changes FROM (
+      |    SELECT user_id, ct,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY src_ms DESC, pos DESC) AS rn,
+      |      count(*) OVER (PARTITION BY user_id) AS n_changes
+      |    FROM routed WHERE NOT late)
+      |  WHERE rn = 1 AND ct <> 'DELETE'
+      |), applied AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(user_id) AS BIGINT) AS key_checksum,
+      |    CAST(SUM(n_changes) AS BIGINT) AS n_changes_applied
+      |  FROM snap
+      |), quar AS (
+      |  SELECT COUNT(*) AS n_quarantined,
+      |    CAST(SUM(pos) AS BIGINT) AS quarantined_pos_sum
+      |  FROM routed WHERE late
+      |)
+      |SELECT * FROM applied, quar""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1785,6 +1844,7 @@ object CdcQueries {
     "cdc25_txn_assembly" -> (cdc25TxnAssembly _),
     "cdc26_key_skew" -> (cdc26KeySkew _),
     "cdc27_snapshot_diff" -> (cdc27SnapshotDiff _),
+    "cdc28_watermark_apply" -> (cdc28WatermarkApply _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1815,5 +1875,6 @@ object CdcQueries {
     "cdc25_txn_assembly" -> cdc25Oracle,
     "cdc26_key_skew" -> cdc26Oracle,
     "cdc27_snapshot_diff" -> cdc27Oracle,
+    "cdc28_watermark_apply" -> cdc28Oracle,
   )
 }
