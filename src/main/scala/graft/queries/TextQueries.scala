@@ -772,6 +772,42 @@ object TextQueries {
       |  CAST(SUM(CASE WHEN n >= 3 THEN id_sum ELSE 0 END) AS BIGINT) AS templated_id_sum
       |FROM fams GROUP BY source ORDER BY source""".stripMargin
 
+  // t20 — PACKING-WASTE PLANNING table: per language and per candidate
+  // context length L ∈ {128, 512, 2048}, the exact padding waste of the
+  // naive one-doc-per-sequence layout — seqs = Σ⌈n/L⌉ and waste =
+  // Σ(⌈n/L⌉·L − n), all in integer arithmetic ((n + L − 1) div L). This
+  // is the table that justifies (or kills) running t11's sequence
+  // packing at a given context length: waste/(waste + tokens) is the
+  // fraction of compute a training run would burn on pad tokens. One
+  // scan, one (lang) hash agg with map-side partials; the per-L sums
+  // are three fused conditional aggregates, not three passes.
+  def t20PackingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val n = col("n_tokens")
+    def seqs(l: Int) = sum(expr(s"(n_tokens + ${l - 1}) div $l"))
+    def waste(l: Int) = sum(expr(s"((n_tokens + ${l - 1}) div $l) * $l - n_tokens"))
+    withTokens(spark, dir)
+      .select(col("lang"), size(col("toks")).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(n).as("total_tokens"),
+        seqs(128).as("seqs_128"), waste(128).as("waste_128"),
+        seqs(512).as("seqs_512"), waste(512).as("waste_512"),
+        seqs(2048).as("seqs_2048"), waste(2048).as("waste_2048"))
+      .orderBy("lang")
+  }
+
+  val t20Oracle: String =
+    """WITH d AS (
+      |  SELECT lang, len(string_split(text, ' ')) AS n FROM documents
+      |)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  CAST(SUM((n + 127) // 128) AS BIGINT) AS seqs_128,
+      |  CAST(SUM(((n + 127) // 128) * 128 - n) AS BIGINT) AS waste_128,
+      |  CAST(SUM((n + 511) // 512) AS BIGINT) AS seqs_512,
+      |  CAST(SUM(((n + 511) // 512) * 512 - n) AS BIGINT) AS waste_512,
+      |  CAST(SUM((n + 2047) // 2048) AS BIGINT) AS seqs_2048,
+      |  CAST(SUM(((n + 2047) // 2048) * 2048 - n) AS BIGINT) AS waste_2048
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -792,6 +828,7 @@ object TextQueries {
     "t17_heavy_tokens" -> (t17HeavyTokens _),
     "t18_vocab_stats" -> (t18VocabStats _),
     "t19_template_detect" -> (t19TemplateDetect _),
+    "t20_packing_waste" -> (t20PackingWaste _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -814,5 +851,6 @@ object TextQueries {
     "t17_heavy_tokens" -> t17Oracle,
     "t18_vocab_stats" -> t18Oracle,
     "t19_template_detect" -> t19Oracle,
+    "t20_packing_waste" -> t20Oracle,
   )
 }
