@@ -562,8 +562,53 @@ object RelationalQueries {
       |UNION ALL SELECT '3_purchase', COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM p
       |ORDER BY stage""".stripMargin
 
+  // q38 — PARTITIONED NTILE deciles: per-region order-value decile table
+  // (decile boundaries + mass), the distribution summary BI layers build
+  // band pricing / outlier panels from. ntile(10) is the one ranking
+  // window family the inventory lacked (row_number/rank/dense_rank are
+  // q09/q10's); its ANSI fill rule (first n mod 10 deciles get the extra
+  // row) is deterministic here because the order key (cents, o_orderkey)
+  // is unique. Plan: broadcast the 3-row dim chain (region→nation) onto
+  // customers, one (region) window shuffle — five partitions of
+  // corpus-proportional width, range-partitionable at scale — then the
+  // tiny (region, decile) agg.
+  def q38RegionDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val w = Window.partitionBy("r_name").orderBy(col("cents"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("cents"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("r_name", "decile")
+      .agg(count(lit(1)).as("n_orders"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"), sum(col("cents")).as("sum_cents"))
+      .orderBy("r_name", "decile")
+  }
+
+  val q38Oracle: String =
+    """SELECT r_name, decile, COUNT(*) AS n_orders,
+      |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM (
+      |  SELECT r.r_name, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+      |    o.o_orderkey,
+      |    ntile(10) OVER (PARTITION BY r.r_name
+      |      ORDER BY CAST(round(o.o_totalprice * 100) AS BIGINT), o.o_orderkey) AS decile
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+      |GROUP BY r_name, decile ORDER BY r_name, decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_funnel" -> (q35Funnel _),
+    "q38_region_deciles" -> (q38RegionDeciles _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
@@ -584,6 +629,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q35_funnel" -> q35Oracle,
+    "q38_region_deciles" -> q38Oracle,
     "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,
