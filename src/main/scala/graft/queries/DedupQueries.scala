@@ -625,6 +625,91 @@ object DedupQueries {
       |  CAST(SUM(CASE WHEN n_dup > 0 THEN doc_id ELSE 0 END) AS BIGINT) AS dup_doc_id_sum
       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // d19 — LSH (bands × rows) CALIBRATION SWEEP: the tuning table behind
+  // d03's fixed (4×4) choice. One 16-perm MinHash signature, banded
+  // three ways — (16×1), (8×2), (4×4) — giving the S-curve's three
+  // operating points (match probability 1−(1−j^r)^b: permissive →
+  // strict). Per config: candidate-pair count (the COST — every
+  // candidate pays an exact verification) and exact-verified ≥0.5
+  // count + id checksum (the YIELD). Real deployments pick (b, r) from
+  // exactly this table; the sweep shares the signature build and each
+  // config is the same band-key shuffle d03 runs, so cost scales with
+  // the candidate mass, never pairwise. Integer outputs gate exactly.
+  def d19LshSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashFunctions.minHashSig
+    val docs = withShingles(spark, dir).select(col("doc_id"), col("shingles"),
+      col("n_sh"), minHashSig(col("shingles"), 16).as("sig"))
+    val configs = Seq((16, 1), (8, 2), (4, 4))
+    configs.map { case (b, r) =>
+      val bandExprs = (0 until b).map { i =>
+        val parts = (1 to r).map(k => s"element_at(sig, ${r * i + k})")
+        s"concat_ws('-', $i, ${parts.mkString(", ")})"
+      }
+      val banded = docs.select(col("doc_id"),
+        explode(array(bandExprs.map(expr): _*)).as("band"))
+      val cand = banded.select(col("doc_id").as("doc_a"), col("band"))
+        .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val ver = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+          col("n_sh").as("na")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+          col("n_sh").as("nb")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= 0.5)
+        .agg(count(lit(1)).as("n_verified"),
+          coalesce(sum(col("doc_a") + col("doc_b")), lit(0L)).as("verified_id_sum"))
+      nCand.crossJoin(ver)
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"), col("verified_id_sum"))
+    }.reduce(_ unionByName _).orderBy("bands")
+  }
+
+  val d19Oracle: String = {
+    def bandList(b: Int, r: Int): String = {
+      val parts = (1 to r).map(k => s"sg[$r*b + $k]").mkString(", ")
+      s"list_transform(range(0, $b), b -> concat_ws('-', b, $parts))"
+    }
+    def cfg(b: Int, r: Int): String =
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+        |  (SELECT COUNT(*) FROM cand_${b}_$r) AS n_candidates,
+        |  (SELECT COUNT(*) FROM ver_${b}_$r) AS n_verified,
+        |  (SELECT CAST(COALESCE(SUM(doc_a + doc_b), 0) AS BIGINT)
+        |   FROM ver_${b}_$r) AS verified_id_sum""".stripMargin
+    def candCtes(b: Int, r: Int): String =
+      s"""banded_${b}_$r AS (
+        |  SELECT doc_id, unnest(${bandList(b, r)}) AS band FROM sig
+        |), cand_${b}_$r AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded_${b}_$r a JOIN banded_${b}_$r b
+        |    ON a.band = b.band AND a.doc_id < b.doc_id
+        |), ver_${b}_$r AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT c.doc_a, c.doc_b,
+        |      len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+        |      sa.n AS na, sb.n AS nb
+        |    FROM cand_${b}_$r c
+        |    JOIN sig sa ON sa.doc_id = c.doc_a
+        |    JOIN sig sb ON sb.doc_id = c.doc_b)
+        |  WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
+        |)""".stripMargin
+    shingleCte +
+    s""", sig AS (
+      |  SELECT doc_id, shingles, len(shingles) AS n,
+      |    list_transform(range(0, 16), j -> list_min(list_transform(
+      |      list_transform(shingles, h0 -> h0 % $P),
+      |      h -> (((1664525 * j + 1013904223) % $P) * h + (22695477 * j + 12345) % $P) % $P))) AS sg
+      |  FROM s
+      |), ${candCtes(16, 1)}, ${candCtes(8, 2)}, ${candCtes(4, 4)}
+      |${cfg(16, 1)}
+      |UNION ALL ${cfg(8, 2)}
+      |UNION ALL ${cfg(4, 4)}
+      |ORDER BY bands""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -640,6 +725,7 @@ object DedupQueries {
     "d15_bloom_decontaminate" -> (d15BloomDecontaminate _),
     "d17_minhash_estimate" -> (d17MinhashEstimate _),
     "d18_span_dedup" -> (d18SpanDedup _),
+    "d19_lsh_sweep" -> (d19LshSweep _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -657,5 +743,6 @@ object DedupQueries {
     "d15_bloom_decontaminate" -> d15Oracle,
     "d17_minhash_estimate" -> d17Oracle,
     "d18_span_dedup" -> d18Oracle,
+    "d19_lsh_sweep" -> d19Oracle,
   )
 }
