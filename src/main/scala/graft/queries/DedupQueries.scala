@@ -710,6 +710,99 @@ object DedupQueries {
       |ORDER BY bands""".stripMargin
   }
 
+  // d20 — INCREMENTAL exact dedup: the production posture of d01, the
+  // dedup analogue of cdc20's incremental apply. Day-1 docs (even ids)
+  // fold to a content-hash → keeper INDEX that is PERSISTED to parquet
+  // (the real overnight index, read back cold); day-2 docs (odd ids,
+  // plus injected syndicated copies of day-1 content at +10M and
+  // intra-day duplicates at +20M — the corpus has no natural exact
+  // dups) are deduped in two stages: intra-batch (min-id keeper per
+  // hash) then anti-joined against the index. Per-language counts of
+  // each drop class + kept-id checksum pin the exact routing. At
+  // 100 TB this is THE dedup deployment shape: today's crawl shuffles
+  // on its own hashes and probes the bucketed index — yesterday's
+  // corpus is never rescanned. The oracle replays the same logic
+  // one-shot, so the gate proves the persisted round-trip changes
+  // nothing (cdc20's parity argument).
+  def d20IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    val day1 = base.filter(col("doc_id") % 2 === 0)
+    val syndicated = day1.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000001L).as("doc_id"), col("lang"), col("h"))
+    val intraDup = base.filter(col("doc_id") % 2 =!= 0 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("lang"), col("h"))
+    val day2 = base.filter(col("doc_id") % 2 =!= 0)
+      .unionByName(syndicated).unionByName(intraDup)
+
+    val idxDir = new java.io.File(
+      CdcQueries.tmpFixtureDir("graft_d20_", dir), "index")
+    day1.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+      .write.mode("overwrite").parquet(idxDir.getPath)
+    val index = spark.read.parquet(idxDir.getPath)
+
+    val wIntra = Window.partitionBy("h").orderBy("doc_id")
+    val marked = day2.withColumn("rk", row_number().over(wIntra))
+    val survivors = marked.filter(col("rk") === 1)
+      .join(index.select(col("h"), lit(1L).as("in_index")), Seq("h"), "left")
+    marked.filter(col("rk") > 1)
+      .groupBy("lang").agg(count(lit(1)).as("n_intra_dropped"))
+      .join(survivors.groupBy("lang").agg(
+        count(lit(1)).as("n_batch_uniques"),
+        sum(when(col("in_index").isNotNull, 1L).otherwise(0L)).as("n_index_dropped"),
+        sum(when(col("in_index").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("in_index").isNull, col("doc_id")).otherwise(0L)).as("kept_id_sum")),
+        Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_intra_dropped"), lit(0L)).as("n_intra_dropped"),
+        coalesce(col("n_batch_uniques"), lit(0L)).as("n_batch_uniques"),
+        coalesce(col("n_index_dropped"), lit(0L)).as("n_index_dropped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+      .orderBy("lang")
+  }
+
+  val d20Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, md5(text) AS h FROM documents
+      |), day1 AS (
+      |  SELECT * FROM base WHERE doc_id % 2 = 0
+      |), day2 AS (
+      |  SELECT doc_id, lang, h FROM base WHERE doc_id % 2 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000001, lang, h FROM day1 WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, lang, h FROM base
+      |  WHERE doc_id % 2 <> 0 AND doc_id % 7 = 0
+      |), idx AS (
+      |  SELECT h, MIN(doc_id) AS keeper FROM day1 GROUP BY h
+      |), marked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+      |  FROM day2
+      |), surv AS (
+      |  SELECT m.*, i.h IS NOT NULL AS in_index
+      |  FROM marked m LEFT JOIN idx i ON m.h = i.h
+      |  WHERE m.rk = 1
+      |), intra AS (
+      |  SELECT lang, COUNT(*) AS n_intra_dropped FROM marked
+      |  WHERE rk > 1 GROUP BY lang
+      |), ss AS (
+      |  SELECT lang, COUNT(*) AS n_batch_uniques,
+      |    SUM(CASE WHEN in_index THEN 1 ELSE 0 END) AS n_index_dropped,
+      |    SUM(CASE WHEN in_index THEN 0 ELSE 1 END) AS n_kept,
+      |    SUM(CASE WHEN in_index THEN 0 ELSE doc_id END) AS kept_id_sum
+      |  FROM surv GROUP BY lang
+      |)
+      |SELECT COALESCE(i.lang, s.lang) AS lang,
+      |  CAST(COALESCE(n_intra_dropped, 0) AS BIGINT) AS n_intra_dropped,
+      |  CAST(COALESCE(n_batch_uniques, 0) AS BIGINT) AS n_batch_uniques,
+      |  CAST(COALESCE(n_index_dropped, 0) AS BIGINT) AS n_index_dropped,
+      |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(kept_id_sum, 0) AS BIGINT) AS kept_id_sum
+      |FROM intra i FULL OUTER JOIN ss s ON i.lang = s.lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -726,6 +819,7 @@ object DedupQueries {
     "d17_minhash_estimate" -> (d17MinhashEstimate _),
     "d18_span_dedup" -> (d18SpanDedup _),
     "d19_lsh_sweep" -> (d19LshSweep _),
+    "d20_incremental_dedup" -> (d20IncrementalDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -744,5 +838,6 @@ object DedupQueries {
     "d17_minhash_estimate" -> d17Oracle,
     "d18_span_dedup" -> d18Oracle,
     "d19_lsh_sweep" -> d19Oracle,
+    "d20_incremental_dedup" -> d20Oracle,
   )
 }
