@@ -34,11 +34,13 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestSession {
     val root = Files.createTempDirectory("graft_degen").toFile
     val e = new java.io.File(root, "empty"); e.mkdirs()
     val o = new java.io.File(root, "one"); o.mkdirs()
-    // events.ts is INT64 TIMESTAMP(NANOS) — readable only as epoch-nanos
-    // Long (Tables.events sets the same conf); the copies then carry a
-    // plain LONG ts, which every consumer already handles. Restored after
-    // the build: SparkTestSession is one JVM-wide session, and leaving the
-    // legacy conf set would contaminate later suites' nanos reads.
+    // events.ts has shipped as both INT64 TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS); under the legacy conf a nanos column copies as a
+    // plain LONG ts, a micros column as TIMESTAMP_NTZ — Tables.events
+    // normalizes BOTH layouts to the epoch-nanos-Long contract, so the
+    // copies are consumable either way. Conf restored after the build:
+    // SparkTestSession is one JVM-wide session, and leaving the legacy
+    // conf set would contaminate later suites' reads.
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(nanosKey)
     spark.conf.set(nanosKey, "true")
