@@ -591,6 +591,29 @@ object RelationalQueries {
       .orderBy("r_name", "decile")
   }
 
+  // q39 — ORDERED STRING AGGREGATION (listagg family): nations per
+  // region as a deterministic comma-joined sorted list. The one
+  // aggregate family (collect → order → serialize) the inventory
+  // lacked; determinism comes from the explicit array_sort — a bare
+  // collect_list order is partitioning-dependent and ungateable, which
+  // is itself the lesson this query pins (the oracle's string_agg
+  // carries the same explicit ORDER BY). Broadcast-size dims; one tiny
+  // hash agg.
+  def q39RegionNations(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+      .orderBy("r_name")
+
+  val q39Oracle: String =
+    """SELECT r_name, COUNT(*) AS n_nations,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   val q38Oracle: String =
     """SELECT r_name, decile, COUNT(*) AS n_orders,
       |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
@@ -609,6 +632,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_funnel" -> (q35Funnel _),
     "q38_region_deciles" -> (q38RegionDeciles _),
+    "q39_region_nations" -> (q39RegionNations _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
@@ -630,6 +654,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q35_funnel" -> q35Oracle,
     "q38_region_deciles" -> q38Oracle,
+    "q39_region_nations" -> q39Oracle,
     "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,
