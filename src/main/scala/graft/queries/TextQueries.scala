@@ -808,6 +808,49 @@ object TextQueries {
       |  CAST(SUM(((n + 2047) // 2048) * 2048 - n) AS BIGINT) AS waste_2048
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // t21 — CROSS-SOURCE SYNDICATION MATRIX: which source pairs carry the
+  // same content (mirrors, syndication, scraped re-posts) — the
+  // provenance table a curation pipeline consults before treating
+  // sources as independent (double-counting syndicated content skews
+  // both mixture weights and dedup statistics). Content identity is the
+  // exact hash; the matrix entry (a, b) counts distinct shared hashes.
+  // The corpus has no natural cross-source duplicates, so syndication
+  // is injected deterministically: doc_id % 6 == 0 re-published at
+  // +30M into the NEXT source (src<k> → src<(k+1) mod 20> — both
+  // engines derive it from the digits). Plan: per-(hash, source)
+  // distinct, then pairs INSIDE each hash group via a self equi-join
+  // on the hash — group sizes are source-bounded (≤20), so the
+  // quadratic term is capped at 190 per hash regardless of corpus
+  // size; shuffle keys are (hash) only.
+  def t21SyndicationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("source"), col("text"))
+    val nextSrc = concat(lit("src"),
+      ((substring(col("source"), 4, 10).cast("long") + 1) % 20).cast("string"))
+    val corpus = base.unionByName(
+      Tables.documents(spark, dir).filter(col("doc_id") % 6 === 0)
+        .select(nextSrc.as("source"), col("text")))
+    val e = corpus.select(md5(col("text")).as("h"), col("source")).distinct()
+    e.join(e.select(col("h"), col("source").as("source_b")), Seq("h"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val t21Oracle: String =
+    """WITH corpus AS (
+      |  SELECT source, text FROM documents
+      |  UNION ALL
+      |  SELECT 'src' || CAST((CAST(substr(source, 4) AS BIGINT) + 1) % 20 AS VARCHAR),
+      |    text
+      |  FROM documents WHERE doc_id % 6 = 0
+      |), e AS (
+      |  SELECT DISTINCT md5(text) AS h, source FROM corpus
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -829,6 +872,7 @@ object TextQueries {
     "t18_vocab_stats" -> (t18VocabStats _),
     "t19_template_detect" -> (t19TemplateDetect _),
     "t20_packing_waste" -> (t20PackingWaste _),
+    "t21_syndication_matrix" -> (t21SyndicationMatrix _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -852,5 +896,6 @@ object TextQueries {
     "t18_vocab_stats" -> t18Oracle,
     "t19_template_detect" -> t19Oracle,
     "t20_packing_waste" -> t20Oracle,
+    "t21_syndication_matrix" -> t21Oracle,
   )
 }
