@@ -1804,6 +1804,41 @@ object CdcQueries {
       |)
       |SELECT * FROM applied, quar""".stripMargin
 
+  // cdc29 — TOMBSTONE / COMPACTION-DEBT profile: the final keyed STATE
+  // (tombstones retained — cdc20's persistence contract) bucketed by
+  // key range (user_id div 100), reporting live vs tombstone counts and
+  // the tombstone-id checksum per bucket. This is the table a state
+  // store's compaction scheduler reads: buckets carrying mostly DELETE
+  // markers are pure storage debt (they exist only to suppress
+  // re-inserts) and compact first; a bucket's live fraction prices the
+  // rewrite. Plan: the cdc17 keyed fold, then one tiny bucket agg —
+  // bucket count scales as keyspace/100, and the div-bucketing is the
+  // same range-partition arithmetic a real LSM state store compacts by.
+  def cdc29CompactionDebt(spark: SparkSession, dir: String): DataFrame =
+    applyState(cdc17Feed(spark, dir).withColumn("w", lit(1L)))
+      .groupBy(expr("user_id div 100").as("key_bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("ct") =!= "DELETE", 1L).otherwise(0L)).as("n_live"),
+        sum(when(col("ct") === "DELETE", 1L).otherwise(0L)).as("n_tombstones"),
+        sum(when(col("ct") === "DELETE", col("user_id")).otherwise(0L))
+          .as("tombstone_id_sum"))
+      .orderBy("key_bucket")
+
+  val cdc29Oracle: String =
+    s"""WITH $cdcFeedCte, st AS (
+      |  SELECT user_id, ct FROM (
+      |    SELECT user_id, ct,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY src_ms DESC, pos DESC) AS rn
+      |    FROM a)
+      |  WHERE rn = 1
+      |)
+      |SELECT user_id // 100 AS key_bucket, COUNT(*) AS n_keys,
+      |  CAST(SUM(CASE WHEN ct <> 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      |  CAST(SUM(CASE WHEN ct = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
+      |  CAST(SUM(CASE WHEN ct = 'DELETE' THEN user_id ELSE 0 END) AS BIGINT) AS tombstone_id_sum
+      |FROM st GROUP BY 1 ORDER BY key_bucket""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1845,6 +1880,7 @@ object CdcQueries {
     "cdc26_key_skew" -> (cdc26KeySkew _),
     "cdc27_snapshot_diff" -> (cdc27SnapshotDiff _),
     "cdc28_watermark_apply" -> (cdc28WatermarkApply _),
+    "cdc29_compaction_debt" -> (cdc29CompactionDebt _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1876,5 +1912,6 @@ object CdcQueries {
     "cdc26_key_skew" -> cdc26Oracle,
     "cdc27_snapshot_diff" -> cdc27Oracle,
     "cdc28_watermark_apply" -> cdc28Oracle,
+    "cdc29_compaction_debt" -> cdc29Oracle,
   )
 }
