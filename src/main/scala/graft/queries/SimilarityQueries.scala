@@ -1825,6 +1825,66 @@ object SimilarityQueries {
       |LEFT JOIN mut m ON n.clabel = m.clabel
       |ORDER BY cluster""".stripMargin
 
+  // s26 — the PRODUCTION SEARCH CONFIGURATION: every search-time feature
+  // the ladder built, composed in one query — IVF multi-probe (s10's
+  // nprobe=2 probes), PQ/ADC candidate scoring (s05's LUT path),
+  // tombstone-masked index (s20's delete maintenance), and a metadata
+  // pre-filter (s17's label predicate), finished with the exact
+  // re-rank. This is what a real vector-search deployment actually
+  // runs; gating the COMPOSITION catches interaction bugs the
+  // single-feature queries can't (e.g. a filter applied after the
+  // candidate cut would silently shrink recall — here it must be in
+  // the index side of the ADC join to match the oracle). Plan shape is
+  // s10's: candidate join stays a cluster-key equi-join against
+  // broadcast probes; filter and tombstone anti-join land on the
+  // encoded (8-longs-per-row) side BEFORE the join, so masked/filtered
+  // vectors never ride the shuffle.
+  def s26ProductionSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val m = 8
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "label", "embedding"), cent, Seq("vec_id"))
+    val encoded = assigned.select(col("vec_id"), col("cluster"), col("label"),
+      PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+    val tombstones = emb.filter(col("vec_id") % 9 === 0).select("vec_id")
+    val searchable = encoded.filter(col("label") % 2 === 0)
+      .join(tombstones, Seq("vec_id"), "left_anti")
+    val qRows = assigned.filter(col("vec_id") % 50 === 0)
+    val probes = graft.ops.Similarity.probeCentroids(
+        qRows.select("vec_id", "embedding"), cent, Seq("vec_id"), nprobe = 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    pqSearch(emb, searchable, probes, codebook, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"),
+      qExact = Some(qRows.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))))
+  }
+
+  val s26Oracle: String = duckPqSearchSql(8,
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, live AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 9 <> 0 AND label % 2 = 0
+      |), ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), qp AS (
+      |  SELECT vec_id AS query_id, clabel AS qc
+      |  FROM ranked WHERE vec_id % 50 = 0 AND rn <= 2
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |)""".stripMargin,
+    appPreJoins = "  JOIN assigned a ON a.vec_id = co.vec_id\n",
+    appPostJoins = "\n  JOIN qp ON qp.query_id = q0.query_id AND qp.qc = a.clabel",
+    corpusSrc = "live")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1851,6 +1911,7 @@ object SimilarityQueries {
     "s23_ivf_stats" -> (s23IvfStats _),
     "s24_cluster_prototypes" -> (s24ClusterPrototypes _),
     "s25_knn_graph" -> (s25KnnGraph _),
+    "s26_production_search" -> (s26ProductionSearch _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -1883,6 +1944,7 @@ object SimilarityQueries {
     "s23_ivf_stats" -> s23Oracle,
     "s24_cluster_prototypes" -> s24Oracle,
     "s25_knn_graph" -> s25Oracle,
+    "s26_production_search" -> s26Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
