@@ -803,6 +803,66 @@ object DedupQueries {
       |FROM intra i FULL OUTER JOIN ss s ON i.lang = s.lang
       |ORDER BY lang""".stripMargin
 
+  // d21 — INCREMENTAL NOVELTY SCORING: for each day-2 document (odd
+  // ids), the fraction of its distinct 3-gram shingles NEVER SEEN in
+  // the day-1 corpus (even ids) — the n-gram novelty signal curation
+  // pipelines use to price an incremental crawl batch (a batch that is
+  // mostly old n-grams adds little; per-doc novelty also feeds
+  // quality-weighted sampling). Reduced per language: docs, shingle
+  // masses, and the count + id-checksum of MOSTLY-NOVEL docs (integer
+  // predicate 5·novel ≥ 4·total, i.e. ≥80%). Plan: day-1's distinct
+  // shingle set is the probe side of ONE shingle-keyed left join
+  // (d02's shuffle class — 8-byte keys); per-doc and per-lang aggs on
+  // top. At 100 TB the day-1 set is the bucketed n-gram index d20's
+  // pattern persists; today's batch probes it without rescanning
+  // yesterday.
+  def d21NoveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("shingles")).as("h"))
+    val day1 = sh.filter(col("doc_id") % 2 === 0).select("h").distinct()
+      .withColumn("seen", lit(1L))
+    val perDoc = sh.filter(col("doc_id") % 2 =!= 0)
+      .join(day1, Seq("h"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("total_shingles"),
+        sum(col("n_novel")).as("novel_shingles"),
+        sum(when(col("n_novel") * 5 >= col("n_sh") * 4, 1L).otherwise(0L))
+          .as("n_mostly_novel"),
+        sum(when(col("n_novel") * 5 >= col("n_sh") * 4, col("doc_id"))
+          .otherwise(0L)).as("mostly_novel_id_sum"))
+      .orderBy("lang")
+  }
+
+  val d21Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
+      |    g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)))) AS h
+      |  FROM d
+      |), day1 AS (
+      |  SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 0
+      |), per_doc AS (
+      |  SELECT s.doc_id, s.lang, COUNT(*) AS n_sh,
+      |    SUM(CASE WHEN d1.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+      |  FROM sh s LEFT JOIN day1 d1 ON s.h = d1.h
+      |  WHERE s.doc_id % 2 <> 0
+      |  GROUP BY s.doc_id, s.lang
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+      |  CAST(SUM(n_novel) AS BIGINT) AS novel_shingles,
+      |  CAST(SUM(CASE WHEN n_novel * 5 >= n_sh * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_novel,
+      |  CAST(SUM(CASE WHEN n_novel * 5 >= n_sh * 4 THEN doc_id ELSE 0 END) AS BIGINT) AS mostly_novel_id_sum
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -820,6 +880,7 @@ object DedupQueries {
     "d18_span_dedup" -> (d18SpanDedup _),
     "d19_lsh_sweep" -> (d19LshSweep _),
     "d20_incremental_dedup" -> (d20IncrementalDedup _),
+    "d21_novelty_score" -> (d21NoveltyScore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -839,5 +900,6 @@ object DedupQueries {
     "d18_span_dedup" -> d18Oracle,
     "d19_lsh_sweep" -> d19Oracle,
     "d20_incremental_dedup" -> d20Oracle,
+    "d21_novelty_score" -> d21Oracle,
   )
 }
