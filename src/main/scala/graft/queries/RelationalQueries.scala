@@ -614,6 +614,76 @@ object RelationalQueries {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  // q40 — NULL-AWARE ANTI-JOIN SEMANTICS, pinned cross-engine: the ANSI
+  // `NOT IN` trap. Three formulations of "customers with no order since
+  // 1998-06-01" in one output: NOT EXISTS (the correct anti-join — 8
+  // rows at sf0.01), NOT IN against a probe set CONTAINING A NULL
+  // (injected — returns ZERO rows, because `x NOT IN (..., NULL)` is
+  // never true under three-valued logic), and NOT IN with the standard
+  // IS NOT NULL remediation (equals NOT EXISTS again). Every engine
+  // migration hits this; gating all three branches pins that Spark's
+  // null-aware anti-join planning (the NOT IN path) and its left-anti
+  // (the NOT EXISTS path) both implement the same ANSI semantics DuckDB
+  // does. Expressed through the SQL surface (spark.sql over temp views)
+  // because `NOT IN <subquery>` has no DataFrame-API equivalent — the
+  // null-aware anti-join is a planner feature, not a join type the API
+  // exposes.
+  def q40AntiJoinSemantics(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_q40_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q40_orders")
+    spark.sql(
+      """WITH recent AS (
+        |  SELECT o_custkey FROM graft_q40_orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+        |), ne AS (
+        |  SELECT c_custkey FROM graft_q40_customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+        |), ni_null AS (
+        |  SELECT c_custkey FROM graft_q40_customer
+        |  WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM recent UNION ALL SELECT CAST(NULL AS BIGINT))
+        |), ni_clean AS (
+        |  SELECT c_custkey FROM graft_q40_customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM recent
+        |                          WHERE o_custkey IS NOT NULL)
+        |)
+        |SELECT 'a_not_exists' AS method, COUNT(*) AS n_rows,
+        |  CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS key_checksum FROM ne
+        |UNION ALL
+        |SELECT 'b_not_in_with_null', COUNT(*),
+        |  CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) FROM ni_null
+        |UNION ALL
+        |SELECT 'c_not_in_clean', COUNT(*),
+        |  CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) FROM ni_clean
+        |ORDER BY method""".stripMargin)
+  }
+
+  val q40Oracle: String =
+    """WITH recent AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+      |), ne AS (
+      |  SELECT c_custkey FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+      |), ni_null AS (
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_custkey NOT IN
+      |    (SELECT o_custkey FROM recent UNION ALL SELECT CAST(NULL AS BIGINT))
+      |), ni_clean AS (
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_custkey NOT IN (SELECT o_custkey FROM recent
+      |                          WHERE o_custkey IS NOT NULL)
+      |)
+      |SELECT 'a_not_exists' AS method, COUNT(*) AS n_rows,
+      |  CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS key_checksum FROM ne
+      |UNION ALL
+      |SELECT 'b_not_in_with_null', COUNT(*),
+      |  CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) FROM ni_null
+      |UNION ALL
+      |SELECT 'c_not_in_clean', COUNT(*),
+      |  CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) FROM ni_clean
+      |ORDER BY method""".stripMargin
+
   val q38Oracle: String =
     """SELECT r_name, decile, COUNT(*) AS n_orders,
       |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
@@ -633,6 +703,7 @@ object RelationalQueries {
     "q35_funnel" -> (q35Funnel _),
     "q38_region_deciles" -> (q38RegionDeciles _),
     "q39_region_nations" -> (q39RegionNations _),
+    "q40_antijoin_semantics" -> (q40AntiJoinSemantics _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
@@ -655,6 +726,7 @@ object RelationalQueries {
     "q35_funnel" -> q35Oracle,
     "q38_region_deciles" -> q38Oracle,
     "q39_region_nations" -> q39Oracle,
+    "q40_antijoin_semantics" -> q40Oracle,
     "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,
