@@ -1839,6 +1839,48 @@ object CdcQueries {
       |  CAST(SUM(CASE WHEN ct = 'DELETE' THEN user_id ELSE 0 END) AS BIGINT) AS tombstone_id_sum
       |FROM st GROUP BY 1 ORDER BY key_bucket""".stripMargin
 
+  // cdc30 — MULTI-TABLE FEED ROUTING: one change feed fanned out to
+  // per-table snapshots (the Debezium-topic consumer shape: a single
+  // stream carries many tables; the consumer routes each change by its
+  // table identity and folds each route independently). The fixture
+  // feed's table column is constant, so the route key is synthesized
+  // from key parity — two tables with disjoint key spaces, exactly the
+  // property real routing has. The output is the per-table snapshot
+  // summary; a routing bug (row sent to both, or neither) breaks the
+  // disjoint counts/checksums. Plan: ONE keyed fold over (table, key) —
+  // the route key rides the same shuffle as the primary key, so fan-out
+  // adds no extra exchange; this is why topic-routing consumers scale
+  // linearly in table count.
+  def cdc30MultiTableRoute(spark: SparkSession, dir: String): DataFrame =
+    cdc17Feed(spark, dir)
+      .withColumn("tbl", when(col("user_id") % 2 === 0, "users_even")
+        .otherwise("users_odd"))
+      .groupBy("tbl", "user_id")
+      .agg(max_by(col("ct"), struct(col("src_ms"), col("pos"))).as("last_ct"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last_ct") =!= "DELETE")
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("key_checksum"),
+        sum(col("n_changes")).as("n_changes_total"))
+      .orderBy("tbl")
+
+  val cdc30Oracle: String =
+    s"""WITH $cdcFeedCte, st AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 'users_even'
+      |              ELSE 'users_odd' END AS tbl,
+      |    user_id, ct, n_changes FROM (
+      |    SELECT user_id, ct,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY src_ms DESC, pos DESC) AS rn,
+      |      count(*) OVER (PARTITION BY user_id) AS n_changes
+      |    FROM a)
+      |  WHERE rn = 1 AND ct <> 'DELETE'
+      |)
+      |SELECT tbl, COUNT(*) AS n_keys,
+      |  CAST(SUM(user_id) AS BIGINT) AS key_checksum,
+      |  CAST(SUM(n_changes) AS BIGINT) AS n_changes_total
+      |FROM st GROUP BY tbl ORDER BY tbl""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1881,6 +1923,7 @@ object CdcQueries {
     "cdc27_snapshot_diff" -> (cdc27SnapshotDiff _),
     "cdc28_watermark_apply" -> (cdc28WatermarkApply _),
     "cdc29_compaction_debt" -> (cdc29CompactionDebt _),
+    "cdc30_multitable_route" -> (cdc30MultiTableRoute _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1913,5 +1956,6 @@ object CdcQueries {
     "cdc27_snapshot_diff" -> cdc27Oracle,
     "cdc28_watermark_apply" -> cdc28Oracle,
     "cdc29_compaction_debt" -> cdc29Oracle,
+    "cdc30_multitable_route" -> cdc30Oracle,
   )
 }
