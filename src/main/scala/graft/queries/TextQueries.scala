@@ -851,6 +851,54 @@ object TextQueries {
       |FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // t22 — SCRIPT / ENCODING AUDIT: per language, the exact multibyte
+  // mass of the text — Σ(byte length − char length), the count of docs
+  // containing ANY multibyte character, and the ASCII-only count. Two
+  // distinct things are being gated. As a data product it is the
+  // label-vs-script consistency check (a 'zh' corpus that is almost
+  // entirely ASCII is mislabeled or transliterated — exactly what this
+  // synthetic corpus shows, which real lang-ID pipelines flag daily).
+  // As an engine property it pins UTF-8 handling parity: Spark's
+  // length/octet_length and DuckDB's length/strlen must count the SAME
+  // chars and bytes for every non-ASCII codepoint in the corpus, or
+  // the integer masses diverge — the cheapest possible cross-engine
+  // encoding conformance test. One scan, one tiny hash agg. The
+  // synthetic corpus is pure ASCII in every language (including 'zh' —
+  // the mislabel finding itself), so the multibyte branch is fed by
+  // injected replicas: doc_id % 8 == 0 re-ingested at +40M with a CJK
+  // prefix ("数据 " — two 3-byte codepoints), proving byte/char parity
+  // on real multibyte content.
+  def t22ScriptAudit(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select("lang", "doc_id", "text")
+    val injected = base.filter(col("doc_id") % 8 === 0)
+      .select(col("lang"), (col("doc_id") + 40000000L).as("doc_id"),
+        concat(lit("数据 "), col("text")).as("text"))
+    base.unionByName(injected)
+      .select(col("lang"), col("doc_id"),
+        (octet_length(col("text")) - length(col("text"))).cast("long").as("mb"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("mb")).as("multibyte_mass"),
+        sum(when(col("mb") > 0, 1L).otherwise(0L)).as("n_multibyte_docs"),
+        sum(when(col("mb") === 0, 1L).otherwise(0L)).as("n_ascii_docs"),
+        sum(when(col("mb") > 0, col("doc_id")).otherwise(0L)).as("multibyte_id_sum"))
+      .orderBy("lang")
+  }
+
+  val t22Oracle: String =
+    """WITH documents_plus AS (
+      |  SELECT lang, doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT lang, doc_id + 40000000, '数据 ' || text
+      |  FROM documents WHERE doc_id % 8 = 0
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(strlen(text) - length(text)) AS BIGINT) AS multibyte_mass,
+      |  CAST(SUM(CASE WHEN strlen(text) > length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_multibyte_docs,
+      |  CAST(SUM(CASE WHEN strlen(text) = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_ascii_docs,
+      |  CAST(SUM(CASE WHEN strlen(text) > length(text) THEN doc_id ELSE 0 END) AS BIGINT) AS multibyte_id_sum
+      |FROM documents_plus GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -873,6 +921,7 @@ object TextQueries {
     "t19_template_detect" -> (t19TemplateDetect _),
     "t20_packing_waste" -> (t20PackingWaste _),
     "t21_syndication_matrix" -> (t21SyndicationMatrix _),
+    "t22_script_audit" -> (t22ScriptAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -897,5 +946,6 @@ object TextQueries {
     "t19_template_detect" -> t19Oracle,
     "t20_packing_waste" -> t20Oracle,
     "t21_syndication_matrix" -> t21Oracle,
+    "t22_script_audit" -> t22Oracle,
   )
 }
