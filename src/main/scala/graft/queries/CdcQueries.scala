@@ -1881,6 +1881,26 @@ object CdcQueries {
       |  CAST(SUM(n_changes) AS BIGINT) AS n_changes_total
       |FROM st GROUP BY tbl ORDER BY tbl""".stripMargin
 
+  // cdc31 — IDEMPOTENT REPLAY (at-least-once → exactly-once): the feed
+  // arrives TWICE (the duplicate delivery every at-least-once transport
+  // — Kafka, Kinesis, a retried batch job — eventually produces), and
+  // the consumer must still converge to the same snapshot as a single
+  // clean delivery. The exactly-once recovery is deduplication on the
+  // DELIVERY IDENTITY — the log position, globally unique in any real
+  // binlog — before the keyed apply fold. Sharing cdc17's oracle is the
+  // gate: a consumer that skips the dedup double-counts n_changes; one
+  // that dedups on the wrong key (user_id) collapses distinct changes.
+  // Plan shape: the dedup shuffles on pos, the fold on user_id — the
+  // honest two-exchange cost of idempotence when delivery and primary
+  // keys differ (bucketing the transport by primary key is the 100 TB
+  // optimization that would fuse them, noted, not assumed).
+  def cdc31IdempotentReplay(spark: SparkSession, dir: String): DataFrame = {
+    val feed = cdc17Feed(spark, dir)
+    val atLeastOnce = feed.unionByName(feed) // duplicate delivery
+    val exactlyOnce = atLeastOnce.dropDuplicates(Seq("pos")) // delivery-id dedup
+    snapshotOf(applyState(exactlyOnce.withColumn("w", lit(1L))))
+  }
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1924,6 +1944,7 @@ object CdcQueries {
     "cdc28_watermark_apply" -> (cdc28WatermarkApply _),
     "cdc29_compaction_debt" -> (cdc29CompactionDebt _),
     "cdc30_multitable_route" -> (cdc30MultiTableRoute _),
+    "cdc31_idempotent_replay" -> (cdc31IdempotentReplay _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1957,5 +1978,6 @@ object CdcQueries {
     "cdc28_watermark_apply" -> cdc28Oracle,
     "cdc29_compaction_debt" -> cdc29Oracle,
     "cdc30_multitable_route" -> cdc30Oracle,
+    "cdc31_idempotent_replay" -> cdc17Oracle, // replayed feed == clean feed
   )
 }

@@ -684,6 +684,80 @@ object RelationalQueries {
       |  CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) FROM ni_clean
       |ORDER BY method""".stripMargin
 
+  // q41 — EXACT-INTEGER REGRESSION MOMENTS (the regr_*/corr aggregate
+  // family): per return flag, does order quantity drift over ship time?
+  // Spark's regr_slope/corr run Welford-style streaming updates whose
+  // float rounding is merge-order-dependent — ungateable cross-engine
+  // and nondeterministic run-to-run at scale. The production-grade
+  // alternative this query pins: accumulate the five raw moments (Σx,
+  // Σy, Σxy, Σx², Σy²) as exact integers over integer-valued inputs
+  // (quantity; ship day centered on a FIXED epoch 1995-01-01 so Σy²
+  // stays small), then combine once per group. The combination runs in
+  // decimal(38,0) on Spark and HUGEINT on DuckDB — the 128-bit-exact
+  // path that survives any group size the 64-bit moments allow (the
+  // long moments themselves bound the envelope: n·max(y²) ≲ 9.2e18 →
+  // n ≲ 1.4e12 rows/group at this date range — comfortably past 100 TB).
+  // The final slope/corr/intercept are each a fixed dag of IEEE ops on
+  // exactly-cast integers (casts, one product, sqrt, divisions — all
+  // correctly rounded), so the doubles are bit-identical cross-engine.
+  // Plan: one partial+final hash agg over the pushed two-column scan —
+  // the cheapest possible distributed regression.
+  def q41RegrMoments(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(col("l_quantity")).cast("long")
+    val y = datediff(col("l_shipdate").cast("date"),
+      lit("1995-01-01").cast("date")).cast("long")
+    val m = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast(dec)
+    val num = (nD * col("sxy").cast(dec) - col("sx").cast(dec) * col("sy").cast(dec))
+      .cast("double")
+    val denx = (nD * col("sxx").cast(dec) - col("sx").cast(dec) * col("sx").cast(dec))
+      .cast("double")
+    val deny = (nD * col("syy").cast(dec) - col("sy").cast(dec) * col("sy").cast(dec))
+      .cast("double")
+    m.withColumn("slope", num / denx)
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double"))
+      .withColumn("corr", num / sqrt(denx * deny))
+      .select("l_returnflag", "n", "sx", "sy", "sxy", "sxx", "syy",
+        "slope", "intercept", "corr")
+      .orderBy("l_returnflag")
+  }
+
+  val q41Oracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM (
+      |    SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x,
+      |      CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS y
+      |    FROM lineitem)
+      |  GROUP BY l_returnflag
+      |), c AS (
+      |  SELECT *,
+      |    CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+      |         - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS num,
+      |    CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+      |         - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS denx,
+      |    CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+      |         - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS deny
+      |  FROM m
+      |)
+      |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+      |  num / denx AS slope,
+      |  (CAST(sy AS DOUBLE) - (num / denx) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+      |  num / sqrt(denx * deny) AS corr
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
   val q38Oracle: String =
     """SELECT r_name, decile, COUNT(*) AS n_orders,
       |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
@@ -704,6 +778,7 @@ object RelationalQueries {
     "q38_region_deciles" -> (q38RegionDeciles _),
     "q39_region_nations" -> (q39RegionNations _),
     "q40_antijoin_semantics" -> (q40AntiJoinSemantics _),
+    "q41_regr_moments" -> (q41RegrMoments _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
@@ -727,6 +802,7 @@ object RelationalQueries {
     "q38_region_deciles" -> q38Oracle,
     "q39_region_nations" -> q39Oracle,
     "q40_antijoin_semantics" -> q40Oracle,
+    "q41_regr_moments" -> q41Oracle,
     "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,

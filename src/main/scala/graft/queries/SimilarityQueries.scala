@@ -2,7 +2,7 @@ package graft.queries
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1885,6 +1885,90 @@ object SimilarityQueries {
     appPostJoins = "\n  JOIN qp ON qp.query_id = q0.query_id AND qp.qc = a.clabel",
     corpusSrc = "live")
 
+  // s27 — BINARY (sign-bit) quantization ANN, the last classic FAISS
+  // compression layout the matrix lacked (IndexBinaryFlat): each 64-dim
+  // float vector compresses 256× to 64 sign bits, candidates rank by
+  // Hamming distance (two xor+bit_count integer ops — the cheapest
+  // possible scan at 100 TB: 8 bytes/vector of memory traffic), and the
+  // top-20 re-rank exactly by cosine. The signs pack into TWO 32-bit
+  // words in a BIGINT pair rather than one 64-bit word because the
+  // oracle engine raises on `1 << 63` overflow — the split costs one
+  // extra xor and removes the sign-bit hazard in both engines. Packing
+  // is a narrow map (codegen'd HOF over the array — no shuffle); the
+  // candidate generation broadcasts the query signatures against one
+  // corpus scan (s01's shape at 1/32 the bytes); Hamming is exact
+  // integer arithmetic, so ranks are bit-identical cross-engine by
+  // construction — no float-fold contract needed until the re-rank.
+  def s27AnnBinary(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def packWord(offset: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + IF(element_at(embedding, i + $offset + 1) > CAST(0 AS FLOAT),
+         |                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+    val coded = emb.select(col("vec_id"),
+      packWord(0).as("sig_lo"), packWord(32).as("sig_hi"))
+    val q = coded.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("vec_id"))
+    val cand = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(col("sig_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("sig_hi").bitwiseXOR(col("q_hi")))).cast("int"))
+      .select("query_id", "vec_id", "hamming")
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= 20)
+      .select("query_id", "vec_id", "hamming")
+    val qv = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(cand), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("hamming"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s27Oracle: String =
+    s"""WITH coded AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig_lo,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN embedding[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig_hi
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi
+      |  FROM coded WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, c.vec_id,
+      |    CAST(bit_count(xor(c.sig_lo, q.q_lo)) + bit_count(xor(c.sig_hi, q.q_hi)) AS INT) AS hamming
+      |  FROM coded c, q WHERE c.vec_id <> q.query_id
+      |), cand AS (
+      |  SELECT query_id, vec_id, hamming FROM (
+      |    SELECT query_id, vec_id, hamming,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS arank
+      |    FROM scored)
+      |  WHERE arank <= 20
+      |), qv AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+      |), rr AS (
+      |  SELECT c.query_id, e.vec_id, c.hamming, ${duckCosOf("qv.qv", "e.embedding")} AS cos
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN qv ON qv.query_id = c.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id, hamming FROM (
+      |  SELECT query_id, vec_id AS neighbor_id, hamming,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM rr)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1912,6 +1996,7 @@ object SimilarityQueries {
     "s24_cluster_prototypes" -> (s24ClusterPrototypes _),
     "s25_knn_graph" -> (s25KnnGraph _),
     "s26_production_search" -> (s26ProductionSearch _),
+    "s27_ann_binary" -> (s27AnnBinary _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -1945,6 +2030,7 @@ object SimilarityQueries {
     "s24_cluster_prototypes" -> s24Oracle,
     "s25_knn_graph" -> s25Oracle,
     "s26_production_search" -> s26Oracle,
+    "s27_ann_binary" -> s27Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
