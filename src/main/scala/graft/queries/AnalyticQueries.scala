@@ -362,6 +362,96 @@ object AnalyticQueries {
       |FROM ev e JOIN cohort c ON e.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  // q43 — TIME-SERIES GAP-FILL + FORWARD FILL: densify each user's
+  // sparse daily activity onto the corpus-wide day grid (sequence +
+  // explode — Spark's generate_series), zero/forward-fill, and report
+  // per-user gap structure (active days, total/max gap) plus a
+  // checksum of the forward-filled daily close. The densify/ffill pair
+  // is the feature-engineering operator every training-data
+  // timeseries pipeline runs before windowed featurization; `last(...,
+  // ignoreNulls)` over a running frame is its Spark form (DuckDB:
+  // last_value IGNORE NULLS). Determinism: the daily close is max_by
+  // over the (µs, event_id) total order; gaps are integer day
+  // arithmetic; the grid span is a 1-row broadcast. Plan: one (user,
+  // day) agg shuffle, the grid generated narrow per user (days are
+  // bounded — users × days rows, never a shuffle of the raw feed),
+  // one (user) window for the fill. At 100 TB the grid mass is
+  // |users|·|days| — orders below the event mass it summarizes.
+  def q43GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_id"), cents(col("value")).as("v_cents"),
+        expr("ts div 1000").as("us"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(max_by(col("v_cents"),
+        struct(col("us"), col("event_id"))).as("close_cents"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select("user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("close_ff",
+        last(col("close_cents"), ignoreNulls = true).over(wf))
+    val wl = Window.partitionBy("user_id").orderBy("day")
+    val gapAgg = daily.select("user_id", "day")
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(wl) - 1)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_active_days"),
+        sum(coalesce(col("gap"), lit(0L))).as("n_gap_days"),
+        max(coalesce(col("gap"), lit(0L))).as("max_gap"))
+    filled.filter(col("close_ff").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_filled_days"),
+        sum(col("close_ff")).as("ff_checksum"))
+      .join(gapAgg, Seq("user_id"))
+      .select(col("user_id"), col("n_active_days"), col("n_gap_days"),
+        col("max_gap"), col("n_filled_days"), col("ff_checksum"))
+      .orderBy("user_id")
+  }
+
+  val q43Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS v_cents, epoch_us(ts) AS us
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, day, v_cents AS close_cents FROM (
+      |    SELECT user_id, day, v_cents,
+      |      row_number() OVER (PARTITION BY user_id, day
+      |                         ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1
+      |), span AS (
+      |  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      |), grid AS (
+      |  SELECT u.user_id, unnest(generate_series(s.d0, s.d1)) AS day
+      |  FROM (SELECT DISTINCT user_id FROM daily) u, span s
+      |), filled AS (
+      |  SELECT g.user_id, g.day,
+      |    last_value(d.close_cents IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff
+      |  FROM grid g LEFT JOIN daily d
+      |    ON d.user_id = g.user_id AND d.day = g.day
+      |), ga AS (
+      |  SELECT user_id, COUNT(*) AS n_active_days,
+      |    CAST(SUM(COALESCE(gap, 0)) AS BIGINT) AS n_gap_days,
+      |    MAX(COALESCE(gap, 0)) AS max_gap
+      |  FROM (
+      |    SELECT user_id,
+      |      day - lag(day) OVER (PARTITION BY user_id ORDER BY day) - 1 AS gap
+      |    FROM daily)
+      |  GROUP BY user_id
+      |), fa AS (
+      |  SELECT user_id, COUNT(*) AS n_filled_days,
+      |    CAST(SUM(close_ff) AS BIGINT) AS ff_checksum
+      |  FROM filled WHERE close_ff IS NOT NULL GROUP BY user_id
+      |)
+      |SELECT user_id, n_active_days, n_gap_days, max_gap,
+      |  n_filled_days, ff_checksum
+      |FROM fa JOIN ga USING (user_id) ORDER BY user_id""".stripMargin
+
   // q22 — two-stage salted aggregation: the skew pattern for hot grouping
   // keys (event_type has 5 values; at 100 TB a single-stage groupBy would
   // funnel each key through one reducer). Stage 1 spreads each key over 16
@@ -522,6 +612,7 @@ object AnalyticQueries {
     "q21_last_click_before_purchase" -> (q21LastClickBeforePurchase _),
     "q36_peak_concurrency" -> (q36PeakConcurrency _),
     "q37_cohort_retention" -> (q37CohortRetention _),
+    "q43_gap_fill" -> (q43GapFill _),
     "q22_salted_agg" -> (q22SaltedAgg _),
     "q23_approx_distinct" -> (q23ApproxDistinct _),
     "q24_json_map" -> (q24JsonMap _),
@@ -545,6 +636,7 @@ object AnalyticQueries {
     "q21_last_click_before_purchase" -> q21Oracle,
     "q36_peak_concurrency" -> q36Oracle,
     "q37_cohort_retention" -> q37Oracle,
+    "q43_gap_fill" -> q43Oracle,
     "q22_salted_agg" -> q22Oracle,
     "q23_approx_distinct" -> q23Oracle,
     "q24_json_map" -> q24Oracle,

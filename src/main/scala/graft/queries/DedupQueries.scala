@@ -863,6 +863,81 @@ object DedupQueries {
       |  CAST(SUM(CASE WHEN n_novel * 5 >= n_sh * 4 THEN doc_id ELSE 0 END) AS BIGINT) AS mostly_novel_id_sum
       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // d22 — COUNT-MIN SKETCH token frequencies (Cormode–Muthukrishnan):
+  // the constant-memory mergeable frequency summary every streaming /
+  // multi-pass corpus profiler carries where an exact (lang, term)
+  // wordcount (t17) would hold the full vocabulary. Build: each token
+  // fans out to depth=4 (row, bucket) cells — bucket_j(term) is the
+  // engine's stable md5 bucket salted by the row index, identical hex
+  // in both engines — and the whole sketch is ONE hash aggregate over
+  // 4×256 cells: constant state per executor, map-side partial merge,
+  // exactly the mergeability the structure exists for. Probe: the
+  // exact heavy-hitter set (cnt·200 ≥ total, an integer predicate, no
+  // top-k tie hazard) joins the 1024-cell sketch and takes min over
+  // the 4 rows. The gate pins the CMS invariant est ≥ exact plus the
+  // exact overestimates — collisions at width 256 against a ~10k-type
+  // vocabulary keep the overestimate branch live, so a hashing or
+  // min-fold bug cannot hide. All-integer output.
+  def d22CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val depth = 4
+    val width = 256
+    def bucket(j: Int, term: Column): Column =
+      conv(substring(md5(concat(lit(s"cms${j}_"), term)), 1, 8), 16, 10)
+        .cast("long") % width
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val cells = toks
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("term")).as("bucket"))): _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("exact"))
+    val tot = cnt.agg(sum(col("exact")).as("total"))
+    val heavy = cnt.crossJoin(broadcast(tot))
+      .filter(col("exact") * 200 >= col("total"))
+      .select("term", "exact")
+    val probes = heavy
+      .select(col("term"), col("exact"), explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"), bucket(j, col("term")).as("bucket"))): _*)).as("p"))
+      .select(col("term"), col("exact"), col("p.j").as("j"),
+        col("p.bucket").as("bucket"))
+    probes.join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy("term", "exact")
+      .agg(min(col("cell")).as("est"))
+      .withColumn("overest", col("est") - col("exact"))
+      .select("term", "exact", "est", "overest")
+      .orderBy("term")
+  }
+
+  val d22Oracle: String = {
+    val width = 256
+    def bucket(j: Int, term: String): String =
+      s"CAST(('0x' || substr(md5('cms${j}_' || $term), 1, 8)) AS BIGINT) % $width"
+    s"""WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |), cells AS (
+      |  SELECT j, bucket, COUNT(*) AS cell FROM (
+      |    ${(0 until 4).map(j =>
+            s"SELECT $j AS j, ${bucket(j, "term")} AS bucket FROM toks")
+            .mkString("\n    UNION ALL ")}
+      |  ) GROUP BY j, bucket
+      |), cnt AS (
+      |  SELECT term, COUNT(*) AS exact FROM toks GROUP BY term
+      |), tot AS (
+      |  SELECT CAST(SUM(exact) AS BIGINT) AS total FROM cnt
+      |), heavy AS (
+      |  SELECT term, exact FROM cnt, tot WHERE exact * 200 >= total
+      |), probes AS (
+      |  ${(0 until 4).map(j =>
+            s"SELECT term, exact, $j AS j, ${bucket(j, "term")} AS bucket FROM heavy")
+            .mkString("\n  UNION ALL ")}
+      |)
+      |SELECT term, exact, MIN(cell) AS est, MIN(cell) - exact AS overest
+      |FROM probes JOIN cells USING (j, bucket)
+      |GROUP BY term, exact
+      |ORDER BY term""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -881,6 +956,7 @@ object DedupQueries {
     "d19_lsh_sweep" -> (d19LshSweep _),
     "d20_incremental_dedup" -> (d20IncrementalDedup _),
     "d21_novelty_score" -> (d21NoveltyScore _),
+    "d22_countmin" -> (d22CountMin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -901,5 +977,6 @@ object DedupQueries {
     "d19_lsh_sweep" -> d19Oracle,
     "d20_incremental_dedup" -> d20Oracle,
     "d21_novelty_score" -> d21Oracle,
+    "d22_countmin" -> d22Oracle,
   )
 }

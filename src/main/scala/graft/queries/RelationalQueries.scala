@@ -758,6 +758,37 @@ object RelationalQueries {
       |  num / sqrt(denx * deny) AS corr
       |FROM c ORDER BY l_returnflag""".stripMargin
 
+  // q42 — RELATIVE-RANK WINDOWS (percent_rank / cume_dist): each
+  // customer's account-balance standing within its market segment —
+  // the normalized-score families that survive where ntile's bucket
+  // fill rule (q38) is too coarse. Both are exact rational functions
+  // of integer window ranks ((rank−1)/(n−1) and peers_through/n), so
+  // the doubles are one integer-to-integer IEEE division in each
+  // engine — bit-identical, no float-ordering hazard even with tied
+  // balances (ties share a value by definition). The order key is
+  // exact integer cents. Plan: one (segment) window shuffle over the
+  // pushed 3-column scan; segments are few but each partition is
+  // range-sortable at scale — the same distribution ntile survives.
+  def q42RelativeRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("bal_cents"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_cents"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("c_custkey")
+  }
+
+  val q42Oracle: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY CAST(round(c_acctbal * 100) AS BIGINT))
+      |ORDER BY c_custkey""".stripMargin
+
   val q38Oracle: String =
     """SELECT r_name, decile, COUNT(*) AS n_orders,
       |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
@@ -779,6 +810,7 @@ object RelationalQueries {
     "q39_region_nations" -> (q39RegionNations _),
     "q40_antijoin_semantics" -> (q40AntiJoinSemantics _),
     "q41_regr_moments" -> (q41RegrMoments _),
+    "q42_relative_rank" -> (q42RelativeRank _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
@@ -803,6 +835,7 @@ object RelationalQueries {
     "q39_region_nations" -> q39Oracle,
     "q40_antijoin_semantics" -> q40Oracle,
     "q41_regr_moments" -> q41Oracle,
+    "q42_relative_rank" -> q42Oracle,
     "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,
