@@ -720,11 +720,15 @@ object RelationalQueries {
       .cast("double")
     val deny = (nD * col("syy").cast(dec) - col("sy").cast(dec) * col("sy").cast(dec))
       .cast("double")
-    m.withColumn("slope", num / denx)
+    // NULLIF guards: a degenerate group (n = 1, or constant x or y) has a
+    // zero variance denominator — slope/corr are undefined there, and the
+    // ANSI engines disagree on bare x/0.0 (Spark raises, DuckDB returns
+    // inf), so both sides share the explicit null convention.
+    m.withColumn("slope", num / nullif(denx, lit(0.0)))
       .withColumn("intercept",
         (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
           / col("n").cast("double"))
-      .withColumn("corr", num / sqrt(denx * deny))
+      .withColumn("corr", num / nullif(sqrt(denx * deny), lit(0.0)))
       .select("l_returnflag", "n", "sx", "sy", "sxy", "sxx", "syy",
         "slope", "intercept", "corr")
       .orderBy("l_returnflag")
@@ -753,9 +757,9 @@ object RelationalQueries {
       |  FROM m
       |)
       |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
-      |  num / denx AS slope,
-      |  (CAST(sy AS DOUBLE) - (num / denx) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-      |  num / sqrt(denx * deny) AS corr
+      |  num / NULLIF(denx, 0) AS slope,
+      |  (CAST(sy AS DOUBLE) - (num / NULLIF(denx, 0)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+      |  num / NULLIF(sqrt(denx * deny), 0) AS corr
       |FROM c ORDER BY l_returnflag""".stripMargin
 
   // q42 — RELATIVE-RANK WINDOWS (percent_rank / cume_dist): each
