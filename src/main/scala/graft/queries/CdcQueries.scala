@@ -1901,6 +1901,31 @@ object CdcQueries {
     snapshotOf(applyState(exactlyOnce.withColumn("w", lit(1L))))
   }
 
+  // cdc32 — LOG CONTINUITY AUDIT (the GTID/offset-gap check every CDC
+  // operator runs before trusting a feed): bucket the delivery
+  // positions (pos div 1000) and report per-bucket density — count,
+  // range, and missing-in-range = (max − min + 1 − n), the cheapest
+  // exact gap mass when positions are unique (they are: cdc17Feed's
+  // contract). The feed's own structure keeps every branch live:
+  // event_id % 11 suppression punches real gaps in the main range, and
+  // the +20M synthetic inserts create a second sparse range whose
+  // buckets are nearly all gap. One hash aggregate on the bucket key —
+  // map-side partial, output rows = occupied buckets, scale-free.
+  def cdc32LogGaps(spark: SparkSession, dir: String): DataFrame =
+    cdc17Feed(spark, dir)
+      .groupBy(expr("pos div 1000").as("bucket"))
+      .agg(count(lit(1)).as("n_pos"), min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        (max(col("pos")) - min(col("pos")) + 1 - count(lit(1))).as("n_missing"))
+      .orderBy("bucket")
+
+  val cdc32Oracle: String =
+    s"""WITH $cdcFeedCte
+      |SELECT pos // 1000 AS bucket, COUNT(*) AS n_pos,
+      |  MIN(pos) AS min_pos, MAX(pos) AS max_pos,
+      |  MAX(pos) - MIN(pos) + 1 - COUNT(*) AS n_missing
+      |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1945,6 +1970,7 @@ object CdcQueries {
     "cdc29_compaction_debt" -> (cdc29CompactionDebt _),
     "cdc30_multitable_route" -> (cdc30MultiTableRoute _),
     "cdc31_idempotent_replay" -> (cdc31IdempotentReplay _),
+    "cdc32_log_gaps" -> (cdc32LogGaps _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1979,5 +2005,6 @@ object CdcQueries {
     "cdc29_compaction_debt" -> cdc29Oracle,
     "cdc30_multitable_route" -> cdc30Oracle,
     "cdc31_idempotent_replay" -> cdc17Oracle, // replayed feed == clean feed
+    "cdc32_log_gaps" -> cdc32Oracle,
   )
 }

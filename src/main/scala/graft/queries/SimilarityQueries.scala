@@ -1969,6 +1969,114 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // s28 — MAXIMAL MARGINAL RELEVANCE diversification (Carbonell &
+  // Goldstein '98): re-rank each query's top-20 exact-cosine
+  // candidates into 5 picks by greedily maximizing
+  // 0.7·rel − 0.3·max_sim_to_already_picked — the de-duplicating
+  // re-rank every RAG retrieval stack runs between ANN and the
+  // context window. Greedy selection is inherently sequential in k,
+  // so the plan unrolls the FIXED k=5 into 4 join+argmax stages over
+  // the per-query candidate table (20 rows/query, localCheckpoint'd
+  // once — ONE corpus scan total, constant plan depth, the s09
+  // iteration lesson); the candidate×candidate sim table is bounded
+  // at 380 rows/query and shuffles on query_id only. Both λ weights
+  // are written as the literal doubles 0.7/0.3 in both engines (never
+  // `1 − λ`, whose float result differs from the 0.3 literal); rel
+  // and sim come from the shared ascending cosine fold, so scores are
+  // bit-identical and the integer picks gate exactly.
+  def s28MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wC = Window.partitionBy("query_id").orderBy(col("rel").desc, col("vec_id"))
+    val cand = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("rel", cosineSim(col("qv"), col("embedding")))
+      .withColumn("crank", row_number().over(wC)).filter(col("crank") <= 20)
+      .select("query_id", "vec_id", "rel", "embedding")
+      .localCheckpoint()
+    val pair = cand.as("a")
+      .join(cand.as("b"), Seq("query_id"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("query_id"), col("a.vec_id").as("a_id"),
+        col("b.vec_id").as("b_id"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
+      .localCheckpoint()
+    val candS = cand.select("query_id", "vec_id", "rel")
+    var selected = candS
+      .withColumn("rn", row_number().over(wC)).filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("pick"))
+    for (k <- 2 to 5) {
+      val remaining = candS.join(selected.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+      val maxSim = pair
+        .join(selected.select(col("query_id"), col("vec_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id").as("vec_id"))
+        .agg(max(col("sim")).as("max_sim"))
+      val wS = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id"))
+      val pick = remaining.join(maxSim, Seq("query_id", "vec_id"))
+        .withColumn("score",
+          lit(0.7) * col("rel") - lit(0.3) * col("max_sim"))
+        .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), lit(k).as("pick"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("pick"),
+        col("vec_id").as("picked_id"))
+      .orderBy("query_id", "pick")
+  }
+
+  val s28Oracle: String = {
+    val steps = (2 to 5).map { k =>
+      s"""sel$k AS (
+        |  SELECT query_id, vec_id, $k AS pick FROM (
+        |    SELECT c.query_id, c.vec_id,
+        |      row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+        |                 - CAST(0.3 AS DOUBLE) * m.max_sim DESC,
+        |        c.vec_id) AS rn
+        |    FROM cand c
+        |    JOIN (SELECT p.query_id, p.a_id, MAX(p.sim) AS max_sim
+        |          FROM pair p JOIN selu${k - 1} s
+        |            ON s.query_id = p.query_id AND s.vec_id = p.b_id
+        |          GROUP BY p.query_id, p.a_id) m
+        |      ON m.query_id = c.query_id AND m.a_id = c.vec_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM selu${k - 1} s2
+        |                      WHERE s2.query_id = c.query_id
+        |                        AND s2.vec_id = c.vec_id)
+        |  ) WHERE rn = 1
+        |), selu$k AS (
+        |  SELECT * FROM selu${k - 1} UNION ALL SELECT * FROM sel$k
+        |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |  WHERE vec_id % 50 = 0
+      |), cand AS (
+      |  SELECT query_id, vec_id, rel, embedding FROM (
+      |    SELECT query_id, e.vec_id, ${duckCosOf("q.qv", "e.embedding")} AS rel,
+      |      e.embedding,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY ${duckCosOf("q.qv", "e.embedding")} DESC, e.vec_id) AS crank
+      |    FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+      |  WHERE crank <= 20
+      |), pair AS (
+      |  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+      |    ${duckCosOf("a.embedding", "b.embedding")} AS sim
+      |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+      |    AND a.vec_id <> b.vec_id
+      |), selu1 AS (
+      |  SELECT query_id, vec_id, 1 AS pick FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rel DESC, vec_id) AS rn
+      |    FROM cand) WHERE rn = 1
+      |), $steps
+      |SELECT query_id, pick, vec_id AS picked_id
+      |FROM selu5 ORDER BY query_id, pick""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -1997,6 +2105,7 @@ object SimilarityQueries {
     "s25_knn_graph" -> (s25KnnGraph _),
     "s26_production_search" -> (s26ProductionSearch _),
     "s27_ann_binary" -> (s27AnnBinary _),
+    "s28_mmr_diversify" -> (s28MmrDiversify _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2031,6 +2140,7 @@ object SimilarityQueries {
     "s25_knn_graph" -> s25Oracle,
     "s26_production_search" -> s26Oracle,
     "s27_ann_binary" -> s27Oracle,
+    "s28_mmr_diversify" -> s28Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,

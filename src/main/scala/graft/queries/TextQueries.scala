@@ -899,6 +899,50 @@ object TextQueries {
       |  CAST(SUM(CASE WHEN strlen(text) > length(text) THEN doc_id ELSE 0 END) AS BIGINT) AS multibyte_id_sum
       |FROM documents_plus GROUP BY lang ORDER BY lang""".stripMargin
 
+  // t23 — SLIDING-WINDOW CHUNKING with overlap (the RAG / long-context
+  // ingestion step): size 32 tokens, stride 24 (8-token overlap) — the
+  // "chunk the corpus for retrieval" operator d13 (disjoint 5-gram
+  // dedup chunks) and t11 (packing) don't cover, because overlap means
+  // a token belongs to up to two chunks. Per doc: token/chunk counts,
+  // the short tail chunk's length, and a checksum over every chunk's
+  // md5 (the engine's stable-bucket idiom) — so a boundary off-by-one
+  // in ANY chunk of ANY doc breaks the gate. Chunking is a pure
+  // per-row map over the token array (HOF over bounded chunk indices —
+  // no explode, no shuffle); at 100 TB this runs entirely inside the
+  // scan stage and the only shuffle is whatever consumes the chunks.
+  def t23RagChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        expr("1 + (CASE WHEN n_tokens <= 32 THEN 0 ELSE (n_tokens - 32 + 23) div 24 END)"))
+      .withColumn("last_chunk_len", col("n_tokens") - (col("n_chunks") - 1) * 24)
+      .withColumn("chunk_checksum", expr(
+        """aggregate(sequence(0, CAST(n_chunks AS INT) - 1), CAST(0 AS BIGINT),
+          |  (acc, j) -> acc + CAST(conv(substring(
+          |      md5(concat_ws(' ', slice(toks, j * 24 + 1, 32))), 1, 8), 16, 10) AS BIGINT)
+          |    % 1000000000)""".stripMargin))
+      .select("doc_id", "n_tokens", "n_chunks", "last_chunk_len", "chunk_checksum")
+      .orderBy("doc_id")
+
+  val t23Oracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), k AS (
+      |  SELECT doc_id, toks, n_tokens,
+      |    1 + (CASE WHEN n_tokens <= 32 THEN 0
+      |              ELSE (n_tokens - 32 + 23) // 24 END) AS n_chunks
+      |  FROM c
+      |)
+      |SELECT doc_id, n_tokens, n_chunks,
+      |  n_tokens - (n_chunks - 1) * 24 AS last_chunk_len,
+      |  CAST(list_sum(list_transform(range(0, CAST(n_chunks AS INT)), j ->
+      |    CAST(('0x' || substr(md5(array_to_string(toks[(j * 24 + 1):(j * 24 + 32)], ' ')), 1, 8)) AS BIGINT)
+      |      % 1000000000)) AS BIGINT) AS chunk_checksum
+      |FROM k ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -922,6 +966,7 @@ object TextQueries {
     "t20_packing_waste" -> (t20PackingWaste _),
     "t21_syndication_matrix" -> (t21SyndicationMatrix _),
     "t22_script_audit" -> (t22ScriptAudit _),
+    "t23_rag_chunks" -> (t23RagChunks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -947,5 +992,6 @@ object TextQueries {
     "t20_packing_waste" -> t20Oracle,
     "t21_syndication_matrix" -> t21Oracle,
     "t22_script_audit" -> t22Oracle,
+    "t23_rag_chunks" -> t23Oracle,
   )
 }
