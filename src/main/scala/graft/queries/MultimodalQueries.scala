@@ -1,9 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorFunctions.cosineSim
 import graft.multimodal.MediaPipeline
 
 /** Multimodal pipeline exercised through the oracle gate: document text
@@ -210,12 +212,71 @@ object MultimodalQueries {
       |)
       |SELECT * FROM fs, aff""".stripMargin
 
+  // m06 — CROSS-MODAL SEARCH: the "embed the media, search the
+  // embeddings" bridge — media bytes flow through the REAL typed
+  // mapPartitions decode boundary into an 8-dim feature vector (the
+  // stub's md5-derived exact binary fractions: each dim is
+  // hexbyte/256, lossless in float AND double, so even the cosine is
+  // oracle-checkable), then top-3 nearest media per query by the
+  // shared ascending cosine fold — s01's broadcast-query/one-scan
+  // shape applied at the media boundary. This gates the full
+  // modality bridge (binary → batch decode → vector column →
+  // similarity join) as one lineage: a batching, schema, or
+  // float-scaling bug anywhere in MediaPipeline lands as a rank
+  // mismatch. A real deployment swaps the stub for a codec+encoder;
+  // the plumbing (the part Spark owns) is what's gated.
+  def m06CrossModalSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"),
+      lit("image").as("kind"), lit("image/fake").as("mime"))
+    val media = MediaPipeline.fromBinary(
+      docs.withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "kind", "mime")
+    val feats = MediaPipeline.decodeFeatures(media, batchSize = 64)
+      .toDF().select(col("media_id"), col("feature"))
+    val q = feats.filter(col("media_id") % 50 === 0)
+      .select(col("media_id").as("query_id"), col("feature").as("qf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("media_id"))
+    feats.join(broadcast(q), col("media_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qf"), col("feature")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("media_id").as("neighbor_media_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val m06Oracle: String = {
+    val cos = "list_sum(list_transform(list_zip(q.qf, f.feature), x -> x[1] * x[2]))" +
+      " / sqrt(list_sum(list_transform(q.qf, x -> x * x))" +
+      " * list_sum(list_transform(f.feature, x -> x * x)))"
+    s"""WITH f AS (
+      |  SELECT doc_id AS media_id,
+      |    list_transform(range(0, 8), i ->
+      |      CAST(CAST(('0x' || substr(md5(text), i * 2 + 1, 2)) AS INT) AS DOUBLE)
+      |        / CAST(256 AS DOUBLE)) AS feature
+      |  FROM documents
+      |), q AS (
+      |  SELECT media_id AS query_id, feature AS qf FROM f WHERE media_id % 50 = 0
+      |), scored AS (
+      |  SELECT q.query_id, f.media_id, $cos AS cos
+      |  FROM f, q WHERE f.media_id <> q.query_id
+      |)
+      |SELECT query_id, rank, media_id AS neighbor_media_id FROM (
+      |  SELECT query_id, media_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, media_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_samples" -> (m02FrameSamples _),
     "m03_resize" -> (m03Resize _),
     "m04_media_dedup" -> (m04MediaDedup _),
     "m05_frame_dedup" -> (m05FrameDedup _),
+    "m06_crossmodal_search" -> (m06CrossModalSearch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,5 +285,6 @@ object MultimodalQueries {
     "m03_resize" -> m03Oracle,
     "m04_media_dedup" -> m04Oracle,
     "m05_frame_dedup" -> m05Oracle,
+    "m06_crossmodal_search" -> m06Oracle,
   )
 }

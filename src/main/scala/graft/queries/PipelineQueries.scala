@@ -508,12 +508,76 @@ object PipelineQueries {
       |WHERE r.rk <= q.quota
       |GROUP BY r.lang ORDER BY lang""".stripMargin
 
+  // p06 — the DATASET CARD: the per-language one-row summary every
+  // released training corpus ships (docs, exact-dup mass, token mass,
+  // mixture retention, split sizes) — and the cheapest drift monitor a
+  // data pipeline runs nightly. Every column reuses a GATED definition
+  // verbatim (d01's md5 content identity, t01's whitespace tokens,
+  // t08's mixture thresholds, t06's hash split), so the card cannot
+  // drift from the operators it summarizes — the point of gating the
+  // composition separately. Plan: one scan with per-doc flags, a
+  // (lang, content-hash) pre-aggregate for the distinct count, then
+  // the per-lang fold — two narrowing hash aggregates, no window, no
+  // collect; output rows = |langs| at any corpus size.
+  def p06DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 5000, "fr" -> 7500, "es" -> 7500)
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("text"))
+      .withColumn("h", md5(col("text")))
+      .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("mix_kept",
+        graft.ops.TextOps.mixtureSample(col("doc_id"), col("lang"), rates))
+      .withColumn("split", graft.ops.TextOps.hashSplit(col("doc_id")))
+    val perHash = d.groupBy("lang", "h")
+      .agg(count(lit(1)).as("n"), sum(col("ntok")).as("ntok"),
+        sum(when(col("mix_kept"), 1L).otherwise(0L)).as("n_mix"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    perHash.groupBy("lang")
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_unique_texts"),
+        (sum(col("n")) - count(lit(1))).as("n_dup_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(col("n_mix")).as("n_mix_kept"),
+        sum(col("n_train")).as("n_train"), sum(col("n_valid")).as("n_valid"),
+        sum(col("n_test")).as("n_test"))
+      .orderBy("lang")
+  }
+
+  val p06Oracle: String =
+    """WITH d AS (
+      |  SELECT lang, md5(text) AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) % 10000
+      |      < (CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 7500
+      |                   WHEN 'es' THEN 7500 ELSE 10000 END) AS mix_kept,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS sb
+      |  FROM documents
+      |), ph AS (
+      |  SELECT lang, h, COUNT(*) AS n, CAST(SUM(ntok) AS BIGINT) AS ntok,
+      |    CAST(SUM(CASE WHEN mix_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_mix,
+      |    CAST(SUM(CASE WHEN sb < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |    CAST(SUM(CASE WHEN sb >= 80 AND sb < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+      |    CAST(SUM(CASE WHEN sb >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      |  FROM d GROUP BY lang, h
+      |)
+      |SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_unique_texts,
+      |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_mix) AS BIGINT) AS n_mix_kept,
+      |  CAST(SUM(n_train) AS BIGINT) AS n_train,
+      |  CAST(SUM(n_valid) AS BIGINT) AS n_valid,
+      |  CAST(SUM(n_test) AS BIGINT) AS n_test
+      |FROM ph GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_mix" -> (p01TrainingMix _),
     "p02_shard_manifest" -> (p02ShardManifest _),
     "p03_eval_set" -> (p03EvalSet _),
     "p04_curation_v2" -> (p04CurationV2 _),
     "p05_quota_mix" -> (p05QuotaMix _),
+    "p06_dataset_card" -> (p06DatasetCard _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -522,5 +586,6 @@ object PipelineQueries {
     "p03_eval_set" -> p03Oracle,
     "p04_curation_v2" -> p04Oracle,
     "p05_quota_mix" -> p05Oracle,
+    "p06_dataset_card" -> p06Oracle,
   )
 }
