@@ -452,6 +452,35 @@ object AnalyticQueries {
       |  n_filled_days, ff_checksum
       |FROM fa JOIN ga USING (user_id) ORDER BY user_id""".stripMargin
 
+  // q44 — BITWISE + BOOLEAN aggregate families (bit_and/or/xor,
+  // bool_and/bool_or): the flag-mask folds (permission masks, feature
+  // flags, shard-coverage bitmaps) and guard predicates (every/any)
+  // relational engines ship and this inventory hadn't pinned. All are
+  // commutative-associative integer/boolean monoids — map-side partial
+  // merge, exact cross-engine by construction, skew-immune. One hash
+  // aggregate over the pushed 3-column scan.
+  def q44BitBoolAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        bit_and(col("user_id")).as("uid_and"),
+        bit_or(col("user_id")).as("uid_or"),
+        bit_xor(col("user_id")).as("uid_xor"),
+        bool_and(col("value") < 100.0).as("all_small"),
+        bool_or(col("value") > 400.0).as("any_large"),
+        bool_and(col("value") > 0.0).as("all_positive"))
+      .orderBy("event_type")
+
+  val q44Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(bit_and(user_id) AS BIGINT) AS uid_and,
+      |  CAST(bit_or(user_id) AS BIGINT) AS uid_or,
+      |  CAST(bit_xor(user_id) AS BIGINT) AS uid_xor,
+      |  bool_and(value < 100.0) AS all_small,
+      |  bool_or(value > 400.0) AS any_large,
+      |  bool_and(value > 0.0) AS all_positive
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // q22 — two-stage salted aggregation: the skew pattern for hot grouping
   // keys (event_type has 5 values; at 100 TB a single-stage groupBy would
   // funnel each key through one reducer). Stage 1 spreads each key over 16
@@ -613,6 +642,7 @@ object AnalyticQueries {
     "q36_peak_concurrency" -> (q36PeakConcurrency _),
     "q37_cohort_retention" -> (q37CohortRetention _),
     "q43_gap_fill" -> (q43GapFill _),
+    "q44_bit_bool_aggs" -> (q44BitBoolAggs _),
     "q22_salted_agg" -> (q22SaltedAgg _),
     "q23_approx_distinct" -> (q23ApproxDistinct _),
     "q24_json_map" -> (q24JsonMap _),
@@ -637,6 +667,7 @@ object AnalyticQueries {
     "q36_peak_concurrency" -> q36Oracle,
     "q37_cohort_retention" -> q37Oracle,
     "q43_gap_fill" -> q43Oracle,
+    "q44_bit_bool_aggs" -> q44Oracle,
     "q22_salted_agg" -> q22Oracle,
     "q23_approx_distinct" -> q23Oracle,
     "q24_json_map" -> q24Oracle,

@@ -2077,6 +2077,60 @@ object SimilarityQueries {
       |FROM selu5 ORDER BY query_id, pick""".stripMargin
   }
 
+  // s29 — the ANN RECALL MATRIX: corpus-level recall@5 of three gated
+  // index layouts (s02 hyperplane-LSH, s03 IVF nprobe=1, s27 binary
+  // signs) against s01's exact top-5 in ONE table — the benchmark
+  // report a vector-infra team regenerates whenever the corpus or a
+  // quantizer changes, and the s19 per-query evaluation aggregated to
+  // the fleet view. Engine and oracle both COMPOSE the already-gated
+  // definitions (the DataFrames and oracle SQL of s01/s02/s03/s27
+  // verbatim), so this gate can only break if the composition itself
+  // does. Truth is localCheckpoint'd once; each method row is a
+  // (query_id, neighbor_id) semi-join + global count — nothing new
+  // moves at scale beyond the three candidate pipelines themselves.
+  def s29RecallMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val truth = s01AnnBruteForce(spark, dir).filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    def row(method: String, approx: DataFrame): DataFrame = {
+      val h = truth.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("n_hits"))
+      truth.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(h)
+        .select(lit(method).as("method"), col("n_queries"), col("n_hits"),
+          // NULLIF: zero queries (empty corpus) → undefined recall, the
+          // shared cross-engine null convention (q41's ANSI /0 lesson).
+          (col("n_hits").cast("double")
+            / nullif(col("n_queries").cast("double") * 5.0, lit(0.0))).as("recall5"))
+    }
+    row("a_lsh", s02AnnLsh(spark, dir))
+      .unionByName(row("b_ivf", s03AnnIvf(spark, dir)))
+      .unionByName(row("c_binary", s27AnnBinary(spark, dir)))
+      .orderBy("method")
+  }
+
+  val s29Oracle: String = {
+    def m(method: String, sql: String): String =
+      s"""SELECT '$method' AS method,
+        |  (SELECT COUNT(DISTINCT query_id) FROM truth) AS n_queries,
+        |  (SELECT COUNT(*) FROM truth t
+        |   JOIN (SELECT query_id, neighbor_id FROM ($sql)) a
+        |     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id) AS n_hits""".stripMargin
+    s"""WITH truth AS (
+      |  SELECT query_id, neighbor_id FROM ($s01Oracle) WHERE rank <= 5
+      |)
+      |SELECT method, n_queries, n_hits,
+      |  CAST(n_hits AS DOUBLE) / NULLIF(CAST(n_queries AS DOUBLE) * 5.0, 0) AS recall5
+      |FROM (
+      |${m("a_lsh", s02Oracle)}
+      |UNION ALL
+      |${m("b_ivf", s03Oracle)}
+      |UNION ALL
+      |${m("c_binary", s27Oracle)}
+      |)
+      |ORDER BY method""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -2106,6 +2160,7 @@ object SimilarityQueries {
     "s26_production_search" -> (s26ProductionSearch _),
     "s27_ann_binary" -> (s27AnnBinary _),
     "s28_mmr_diversify" -> (s28MmrDiversify _),
+    "s29_recall_matrix" -> (s29RecallMatrix _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2141,6 +2196,7 @@ object SimilarityQueries {
     "s26_production_search" -> s26Oracle,
     "s27_ann_binary" -> s27Oracle,
     "s28_mmr_diversify" -> s28Oracle,
+    "s29_recall_matrix" -> s29Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -943,6 +944,79 @@ object TextQueries {
       |      % 1000000000)) AS BIGINT) AS chunk_checksum
       |FROM k ORDER BY doc_id""".stripMargin
 
+  // t24 — COLLOCATION MINING by PMI-ratio (the classic corpus
+  // linguistics table, and the phrase-vocabulary input a tokenizer
+  // merges candidate pairs from): adjacent-bigram counts vs unigram
+  // expectations, ranked by lift = c_xy·N / (c_x·c_y). The ranking
+  // deliberately uses the RATIO, not log-PMI — ln diverges across
+  // libm implementations (the t09 lesson) while the ratio is two
+  // exact-integer-to-double casts, one product each side, one
+  // division: bit-identical cross-engine, and monotone in PMI so the
+  // ranking is the same. Products stay double-exact while
+  // c_xy·N < 2^53 — beyond that, rank on the exact integer cross
+  // comparison instead (documented envelope). Plan: bigram + unigram
+  // wordcount shuffles, two term-keyed joins, then a global top-20
+  // over the thresholded candidate set (c_xy ≥ 20 — collocation
+  // candidates are vocabulary-sized, so the single-partition final
+  // sort is the declared top-k stage, not a corpus sort).
+  def t24Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+    val uni = docs.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_term"))
+    val big = docs.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+    val n = big.agg(sum(col("c_xy")).as("n_bigrams"))
+    val cand = big.filter(col("c_xy") >= 20)
+      .withColumn("x", split(col("bg"), " ").getItem(0))
+      .withColumn("y", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("term").as("x"), col("c_term").as("c_x")), Seq("x"))
+      .join(uni.select(col("term").as("y"), col("c_term").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        (col("c_xy").cast("double") * col("n_bigrams").cast("double"))
+          / (col("c_x").cast("double") * col("c_y").cast("double")))
+    val w = Window.orderBy(col("lift").desc, col("x"), col("y"))
+    cand.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 20)
+      .select("rank", "x", "y", "c_xy", "c_x", "c_y", "lift")
+      .orderBy("rank")
+  }
+
+  val t24Oracle: String =
+    """WITH d AS (
+      |  SELECT string_split(text, ' ') AS toks FROM documents
+      |), uni AS (
+      |  SELECT term, COUNT(*) AS c_term
+      |  FROM (SELECT unnest(toks) AS term FROM d) GROUP BY term
+      |), big AS (
+      |  SELECT bg, COUNT(*) AS c_xy FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |    FROM d WHERE len(toks) >= 2) GROUP BY bg
+      |), n AS (
+      |  SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bigrams FROM big
+      |), cand AS (
+      |  SELECT string_split(bg, ' ')[1] AS x, string_split(bg, ' ')[2] AS y,
+      |    c_xy FROM big WHERE c_xy >= 20
+      |), scored AS (
+      |  SELECT c.x, c.y, c.c_xy, ux.c_term AS c_x, uy.c_term AS c_y,
+      |    (CAST(c.c_xy AS DOUBLE) * CAST(n.n_bigrams AS DOUBLE))
+      |      / (CAST(ux.c_term AS DOUBLE) * CAST(uy.c_term AS DOUBLE)) AS lift
+      |  FROM cand c
+      |  JOIN uni ux ON ux.term = c.x
+      |  JOIN uni uy ON uy.term = c.y
+      |  CROSS JOIN n
+      |)
+      |SELECT rank, x, y, c_xy, c_x, c_y, lift FROM (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, x, y) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -967,6 +1041,7 @@ object TextQueries {
     "t21_syndication_matrix" -> (t21SyndicationMatrix _),
     "t22_script_audit" -> (t22ScriptAudit _),
     "t23_rag_chunks" -> (t23RagChunks _),
+    "t24_collocations" -> (t24Collocations _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -993,5 +1068,6 @@ object TextQueries {
     "t21_syndication_matrix" -> t21Oracle,
     "t22_script_audit" -> t22Oracle,
     "t23_rag_chunks" -> t23Oracle,
+    "t24_collocations" -> t24Oracle,
   )
 }
