@@ -793,6 +793,71 @@ object RelationalQueries {
       |             ORDER BY CAST(round(c_acctbal * 100) AS BIGINT))
       |ORDER BY c_custkey""".stripMargin
 
+  // q45 — GROUPING_ID over rollup: the ANSI disambiguation column that
+  // separates "the NULL group" from "the rolled-up subtotal" — without
+  // it a rollup over nullable keys is unreadable, which is why every
+  // BI extract carries it. Gates that Spark's grouping_id() bit order
+  // (leftmost grouping column = most significant bit, the ANSI rule)
+  // matches the oracle engine's GROUPING(). Same partial+final hash
+  // agg over grouping sets as q13 — the expand operator replicates
+  // rows per set, map-side partials absorb the blow-up.
+  def q45GroupingId(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  val q45Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  // q46 — CO-BUCKETED JOIN, gated end-to-end: both join sides are
+  // WRITTEN as bucketed tables (16 buckets on the order key, sorted
+  // within buckets — the physical layout that answers "this join
+  // shuffles every run" at 100 TB), read back through the catalog, and
+  // joined with a merge hint so the bucket layout — not a broadcast —
+  // is what eliminates the exchange (BucketedJoinSpec pins the
+  // mechanism; this query pushes real testdata through it under the
+  // oracle). The write cost is paid once and amortized over every
+  // subsequent co-located join — the nightly-build pattern. Oracle is
+  // the plain join: bucketing must change NOTHING but the plan.
+  def q46BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xFF}%02x").mkString
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_q46_$tag").getPath
+    val li = s"graft_q46_li_$tag"
+    val od = s"graft_q46_od_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $li")
+    spark.sql(s"DROP TABLE IF EXISTS $od")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_cents"))
+      .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/li").mode("overwrite").saveAsTable(li)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/od").mode("overwrite").saveAsTable(od)
+    spark.table(li)
+      .join(spark.table(od).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), sum(col("price_cents")).as("revenue_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q46Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val q38Oracle: String =
     """SELECT r_name, decile, COUNT(*) AS n_orders,
       |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
@@ -815,6 +880,8 @@ object RelationalQueries {
     "q40_antijoin_semantics" -> (q40AntiJoinSemantics _),
     "q41_regr_moments" -> (q41RegrMoments _),
     "q42_relative_rank" -> (q42RelativeRank _),
+    "q45_grouping_id" -> (q45GroupingId _),
+    "q46_bucketed_join" -> (q46BucketedJoin _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
@@ -840,6 +907,8 @@ object RelationalQueries {
     "q40_antijoin_semantics" -> q40Oracle,
     "q41_regr_moments" -> q41Oracle,
     "q42_relative_rank" -> q42Oracle,
+    "q45_grouping_id" -> q45Oracle,
+    "q46_bucketed_join" -> q46Oracle,
     "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,

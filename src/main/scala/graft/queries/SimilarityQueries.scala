@@ -2131,6 +2131,40 @@ object SimilarityQueries {
       |ORDER BY method""".stripMargin
   }
 
+  // s30 — SHARD-PARALLEL SEARCH MERGE: the distributed-serving layout —
+  // the corpus split over 4 shards (vec_id mod 4, the id-hash sharding
+  // a fleet of index servers uses), exact top-5 PER SHARD, then a
+  // global merge of the 20 shard survivors. Sharing s01's oracle IS
+  // the theorem being gated: per-shard top-k ⊇ the global top-k's
+  // members in that shard, so merge-of-shard-top-k == direct top-k,
+  // exactly — the property that makes scatter-gather serving correct.
+  // A merge that takes shard-rank instead of score, or drops a shard,
+  // fails the gate. Plan: the shard id rides the same scan (no extra
+  // shuffle); the merge window sees ≤ 20 rows/query.
+  def s30ShardedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wS = Window.partitionBy("query_id", "shard")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val perShard = emb.withColumn("shard", pmod(col("vec_id"), lit(4)))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("srank", row_number().over(wS)).filter(col("srank") <= 5)
+      .select("query_id", "vec_id", "cos")
+    val wG = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    perShard.withColumn("rank", row_number().over(wG).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** s30 shares s01's oracle restricted to the merge depth — see the
+    * scatter-gather theorem in the s30 doc comment. */
+  val s30Oracle: String =
+    s"""SELECT query_id, rank, neighbor_id FROM ($s01Oracle)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -2161,6 +2195,7 @@ object SimilarityQueries {
     "s27_ann_binary" -> (s27AnnBinary _),
     "s28_mmr_diversify" -> (s28MmrDiversify _),
     "s29_recall_matrix" -> (s29RecallMatrix _),
+    "s30_sharded_search" -> (s30ShardedSearch _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2197,6 +2232,7 @@ object SimilarityQueries {
     "s27_ann_binary" -> s27Oracle,
     "s28_mmr_diversify" -> s28Oracle,
     "s29_recall_matrix" -> s29Oracle,
+    "s30_sharded_search" -> s30Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,

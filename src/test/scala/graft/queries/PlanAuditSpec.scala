@@ -231,4 +231,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("unboundedfollowing$()"),
       s"q36 uses an unbounded-following frame:\n$p")
   }
+
+  test("q46: co-bucketed join eliminates the join-side exchanges") {
+    // the bucket layout — not a broadcast — must be what avoids the
+    // shuffle: the plan may contain the post-join aggregate's exchange
+    // (on o_orderpriority) but neither join input may re-shuffle, and
+    // the join must be the merge join the hint requests
+    val p = plan(RelationalQueries.q46BucketedJoin(spark, dir))
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join inputs re-shuffled:\n$p")
+  }
 }
