@@ -836,12 +836,19 @@ object RelationalQueries {
     val od = s"graft_q46_od_$tag"
     spark.sql(s"DROP TABLE IF EXISTS $li")
     spark.sql(s"DROP TABLE IF EXISTS $od")
+    // repartition by the bucket key FIRST: Spark's bucket assignment is
+    // the same Murmur3-mod-16 as HashPartitioning, so each write task
+    // then owns exactly one bucket → 16 files per table instead of
+    // (tasks × buckets) small files — the layout hygiene a 100 TB
+    // nightly bucketed build cannot skip.
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_cents"))
+      .repartition(16, col("l_orderkey"))
       .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$base/li").mode("overwrite").saveAsTable(li)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(16, col("o_orderkey"))
       .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$base/od").mode("overwrite").saveAsTable(od)
     spark.table(li)
