@@ -1926,6 +1926,45 @@ object CdcQueries {
       |  MAX(pos) - MIN(pos) + 1 - COUNT(*) AS n_missing
       |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // cdc33 — CHUNKED TABLE CHECKSUMS (the pt-table-checksum pattern —
+  // THE consistency tool of the MySQL replication world this engine's
+  // reference lives in): the applied state folds to per-key-chunk
+  // (user_id div 10) rows of count + an order-independent content
+  // checksum (sum of each row's md5 bucket over its full serialized
+  // form, tombstones included — a replica must match deletes too) +
+  // the chunk's key range. Two replicas compare this table instead of
+  // shipping rows; a single divergent column anywhere flips exactly
+  // one chunk's checksum. The SUM-of-hashes form (not hash-of-concat)
+  // is what makes the checksum partition-order-independent — the only
+  // kind a distributed engine can promise. One extra hash agg over
+  // the keyed state; chunk count scales as |keys|/10.
+  def cdc33TableChecksum(spark: SparkSession, dir: String): DataFrame =
+    applyState(cdc17Feed(spark, dir).withColumn("w", lit(1L)))
+      .withColumn("row_h",
+        conv(substring(md5(concat_ws("|", col("user_id"), col("ct"),
+          col("src_ms"), col("pos"), col("n_changes"))), 1, 8), 16, 10)
+          .cast("long"))
+      .groupBy(expr("user_id div 10").as("chunk"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("row_h")).as("chunk_checksum"),
+        min(col("user_id")).as("min_key"), max(col("user_id")).as("max_key"))
+      .orderBy("chunk")
+
+  val cdc33Oracle: String =
+    s"""WITH $cdcFeedCte, st AS (
+      |  SELECT user_id, ct, src_ms, pos, n_changes FROM (
+      |    SELECT user_id, ct, src_ms, pos,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY src_ms DESC, pos DESC) AS rn,
+      |      count(*) OVER (PARTITION BY user_id) AS n_changes
+      |    FROM a) WHERE rn = 1
+      |)
+      |SELECT user_id // 10 AS chunk, COUNT(*) AS n_keys,
+      |  CAST(SUM(CAST(('0x' || substr(md5(
+      |    user_id || '|' || ct || '|' || src_ms || '|' || pos || '|' || n_changes
+      |  ), 1, 8)) AS BIGINT)) AS BIGINT) AS chunk_checksum,
+      |  MIN(user_id) AS min_key, MAX(user_id) AS max_key
+      |FROM st GROUP BY 1 ORDER BY chunk""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -1971,6 +2010,7 @@ object CdcQueries {
     "cdc30_multitable_route" -> (cdc30MultiTableRoute _),
     "cdc31_idempotent_replay" -> (cdc31IdempotentReplay _),
     "cdc32_log_gaps" -> (cdc32LogGaps _),
+    "cdc33_table_checksum" -> (cdc33TableChecksum _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2006,5 +2046,6 @@ object CdcQueries {
     "cdc30_multitable_route" -> cdc30Oracle,
     "cdc31_idempotent_replay" -> cdc17Oracle, // replayed feed == clean feed
     "cdc32_log_gaps" -> cdc32Oracle,
+    "cdc33_table_checksum" -> cdc33Oracle,
   )
 }

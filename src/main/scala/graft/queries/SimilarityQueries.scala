@@ -2165,6 +2165,57 @@ object SimilarityQueries {
     s"""SELECT query_id, rank, neighbor_id FROM ($s01Oracle)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // s31 — CENTROID DRIFT monitor: the index-staleness metric a vector
+  // platform watches to decide when to RETRAIN the coarse quantizer —
+  // per-label L2 distance between centroids trained on the day-1 half
+  // (vec_id parity, cdc20's split discipline) and on the full corpus,
+  // floor-scaled to integer micros for the exact gate. Both centroid
+  // builds are the engine's bounded deterministic fold
+  // (buildCentroids); the distance is one zip-fold in doubles — the
+  // same ascending-fold contract every cosine in this file shares.
+  // Plan: two bounded centroid builds (broadcast-sized outputs) and a
+  // |labels|-row join — nothing corpus-sized moves.
+  def s31CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cA = graft.ops.Similarity
+      .buildCentroids(emb.filter(col("vec_id") % 2 === 0), dim = 64,
+        chunks = centroidChunks)
+      .select(col("clabel"), col("cf").as("cfa"))
+    val cB = graft.ops.Similarity
+      .buildCentroids(emb, dim = 64, chunks = centroidChunks)
+      .select(col("clabel"), col("cf").as("cfb"))
+    val counts = emb.groupBy(col("label").as("clabel"))
+      .agg(count(lit(1)).as("n_full"),
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_half"))
+    cA.join(cB, Seq("clabel")).join(counts, Seq("clabel"))
+      .withColumn("drift_micro", floor(expr(
+        """sqrt(aggregate(zip_with(cfa, cfb,
+          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+          |          * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)) * 1000000""".stripMargin))
+        .cast("long"))
+      .select("clabel", "n_half", "n_full", "drift_micro")
+      .orderBy("clabel")
+  }
+
+  val s31Oracle: String =
+    s"""WITH half AS (
+      |  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 2 = 0
+      |), ${duckCentroidCtes(64, centroidChunks, src = "half", sfx = "_a")},
+      |${duckCentroidCtes(64, centroidChunks, sfx = "_b")},
+      |counts AS (
+      |  SELECT label AS clabel, COUNT(*) AS n_full,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_half
+      |  FROM embeddings GROUP BY label
+      |)
+      |SELECT a.clabel, c.n_half, c.n_full,
+      |  CAST(floor(sqrt(list_sum(list_transform(list_zip(a.cf, b.cf),
+      |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+      |       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))) * 1000000) AS BIGINT) AS drift_micro
+      |FROM cent_a a JOIN cent_b b ON a.clabel = b.clabel
+      |JOIN counts c ON c.clabel = a.clabel
+      |ORDER BY a.clabel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -2196,6 +2247,7 @@ object SimilarityQueries {
     "s28_mmr_diversify" -> (s28MmrDiversify _),
     "s29_recall_matrix" -> (s29RecallMatrix _),
     "s30_sharded_search" -> (s30ShardedSearch _),
+    "s31_centroid_drift" -> (s31CentroidDrift _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2233,6 +2285,7 @@ object SimilarityQueries {
     "s28_mmr_diversify" -> s28Oracle,
     "s29_recall_matrix" -> s29Oracle,
     "s30_sharded_search" -> s30Oracle,
+    "s31_centroid_drift" -> s31Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,

@@ -1017,6 +1017,65 @@ object TextQueries {
       |  FROM scored)
       |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  // t25 — HEAPS-LAW VOCABULARY GROWTH: distinct types seen after the
+  // first N tokens of the corpus in (doc_id, position) order, for a
+  // ladder of N — the curve a tokenizer-sizing or crawl-saturation
+  // analysis reads (flattening curve ⇒ the crawl is re-visiting its
+  // vocabulary). Exact formulation: each type's FIRST global position
+  // (min over one (term) shuffle), then one broadcast of the 9-row
+  // threshold table against the vocabulary scan — never a per-prefix
+  // recount. The global token order is a running-sum window over
+  // doc_id (range-partitionable at 100 TB — t11's sharded-cumsum
+  // argument at corpus granularity). All integers; exact gate.
+  def t25HeapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val wO = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = docs
+      .withColumn("off",
+        coalesce(sum(size(col("toks")).cast("long")).over(wO), lit(0L)))
+      .select(col("off"), posexplode(col("toks")).as(Seq("i", "term")))
+      .select((col("off") + col("i") + 1).as("gp"), col("term"))
+    val fp = toks.groupBy("term").agg(min(col("gp")).as("fp"))
+    val total = toks.agg(count(lit(1)).as("total_tokens"))
+    val thr = spark.range(1).select(explode(array(
+      Seq(1000L, 2000L, 5000L, 10000L, 20000L, 50000L, 100000L, 200000L,
+        500000L).map(lit(_)): _*)).as("threshold"))
+    fp.join(broadcast(thr), col("fp") <= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_tokens_seen", least(col("threshold"), col("total_tokens")))
+      .select("threshold", "n_tokens_seen", "n_types")
+      .orderBy("threshold")
+  }
+
+  val t25Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), o AS (
+      |  SELECT doc_id, toks,
+      |    COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS off
+      |  FROM d
+      |), tok AS (
+      |  SELECT off + unnest(range(1, len(toks) + 1)) AS gp,
+      |    unnest(toks) AS term
+      |  FROM o
+      |), fp AS (
+      |  SELECT term, MIN(gp) AS fp FROM tok GROUP BY term
+      |), tot AS (
+      |  SELECT COUNT(*) AS total_tokens FROM tok
+      |), thr AS (
+      |  SELECT CAST(unnest([1000, 2000, 5000, 10000, 20000, 50000,
+      |                      100000, 200000, 500000]) AS BIGINT) AS threshold
+      |)
+      |SELECT threshold, LEAST(threshold, total_tokens) AS n_tokens_seen,
+      |  COUNT(*) AS n_types
+      |FROM fp JOIN thr ON fp.fp <= thr.threshold CROSS JOIN tot
+      |GROUP BY threshold, total_tokens ORDER BY threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -1042,6 +1101,7 @@ object TextQueries {
     "t22_script_audit" -> (t22ScriptAudit _),
     "t23_rag_chunks" -> (t23RagChunks _),
     "t24_collocations" -> (t24Collocations _),
+    "t25_heaps_curve" -> (t25HeapsCurve _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1069,5 +1129,6 @@ object TextQueries {
     "t22_script_audit" -> t22Oracle,
     "t23_rag_chunks" -> t23Oracle,
     "t24_collocations" -> t24Oracle,
+    "t25_heaps_curve" -> t25Oracle,
   )
 }
