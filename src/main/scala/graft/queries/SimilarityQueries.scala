@@ -2216,6 +2216,108 @@ object SimilarityQueries {
       |JOIN counts c ON c.clabel = a.clabel
       |ORDER BY a.clabel""".stripMargin
 
+  // s32 — DISTRIBUTED PCA TOP COMPONENT by power iteration: 3 rounds
+  // of v ← normalize(Σᵢ xᵢ·(xᵢ·v)) over the corpus — the dominant
+  // direction an embedding-quality audit reads (a collapsing encoder
+  // shows one direction absorbing the variance), and the projection
+  // axis cheap whitening/rank-reduction uses. The distributed float
+  // hazard — Σᵢ xᵢwᵢ has no canonical order — is closed by the SAME
+  // bounded two-level ordered fold buildCentroids uses (chunk by
+  // vec_id, ascending-id level-1 kernel fold, ascending-chunk level-2
+  // fold): the sum is deterministic at any parallelism. Between
+  // rounds the 64-dim accumulator COLLECTS (one guarded row — the s09
+  // materialization discipline) and re-lifts as a literal, so plan
+  // depth is constant and the corpus scans once per round; the driver
+  // normalization is the same ascending fold + IEEE sqrt the oracle's
+  // list_sum replays. Output: per-label projection extremes onto the
+  // converged axis, floor-scaled to integer micros. Uncentered
+  // variant (the mean-removal composition is buildCentroids + one
+  // VecSub — documented, not duplicated here). A zero-norm round
+  // (empty corpus) keeps the previous axis — both engines then emit
+  // zero rows, so the convention never reaches the gate.
+  def s32PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val emb = Tables.embeddings(spark, dir)
+    def dotLit(v: Seq[Double]): Column = {
+      val vlit = array(v.map(lit): _*)
+      aggregate(zip_with(col("embedding"), vlit,
+        (x: Column, p: Column) => x.cast("double") * p),
+        lit(0.0), (a: Column, b: Column) => a + b)
+    }
+    var v: Seq[Double] = Seq.fill(dim)(0.125) // exact 1/8 — unit start
+    for (_ <- 1 to 3) {
+      val scaled = emb
+        .withColumn("w", dotLit(v))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            (x: Column) => x.cast("double") * col("w")).as("emb"))
+      val level1 = scaled
+        .groupBy((col("vec_id") % centroidChunks).as("_chunk"))
+        .agg(array_sort(collect_list(struct(col("vec_id").as("id"),
+          col("emb")))).as("vs"))
+        .select(col("_chunk").as("chunk"),
+          graft.functions.FoldFunctions.vecFieldSum(col("vs"), "emb", dim)
+            .as("psum"))
+      val sRows = level1
+        .agg(array_sort(collect_list(struct(col("chunk"), col("psum"))))
+          .as("ps"))
+        .select(graft.functions.FoldFunctions.vecFieldSum(col("ps"), "psum", dim)
+          .as("s"))
+        .collect()
+      require(sRows.length == 1, s"power-iteration fold returned ${sRows.length} rows")
+      val s = sRows(0).getSeq[Double](0)
+      val norm = math.sqrt(s.foldLeft(0.0)((a, x) => a + x * x))
+      if (norm > 0) v = s.map(_ / norm)
+    }
+    emb.withColumn("p", dotLit(v))
+      .groupBy(col("label").as("clabel"))
+      .agg(count(lit(1)).as("n"),
+        floor(min(col("p")) * 1000000).cast("long").as("proj_min_micro"),
+        floor(max(col("p")) * 1000000).cast("long").as("proj_max_micro"))
+      .orderBy("clabel")
+  }
+
+  val s32Oracle: String = {
+    def round(k: Int): String =
+      s"""w$k AS (
+        |  SELECT e.vec_id,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE) *
+        |      list_sum(list_transform(list_zip(e.embedding, v.v),
+        |        z -> CAST(z[1] AS DOUBLE) * z[2]))) AS emb
+        |  FROM embeddings e, v${k - 1} v
+        |), cp$k AS (
+        |  SELECT vec_id % $centroidChunks AS chunk,
+        |    list(struct_pack(id := vec_id, emb := emb) ORDER BY vec_id) AS vs
+        |  FROM w$k GROUP BY vec_id % $centroidChunks
+        |), ps$k AS (
+        |  SELECT chunk, list_transform(range(1, 65),
+        |    d -> list_sum(list_transform(vs, t -> t.emb[d]))) AS psum
+        |  FROM cp$k
+        |), s$k AS (
+        |  SELECT list_transform(range(1, 65),
+        |    d -> list_sum(list_transform(ps, p -> p.psum[d]))) AS s
+        |  FROM (SELECT list(struct_pack(chunk := chunk, psum := psum)
+        |                    ORDER BY chunk) AS ps FROM ps$k)
+        |), v$k AS (
+        |  SELECT list_transform(s,
+        |    x -> x / sqrt(list_sum(list_transform(s, y -> y * y)))) AS v
+        |  FROM s$k
+        |)""".stripMargin
+    s"""WITH v0 AS (
+      |  SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v
+      |), ${round(1)}, ${round(2)}, ${round(3)},
+      |proj AS (
+      |  SELECT e.label AS clabel,
+      |    list_sum(list_transform(list_zip(e.embedding, v.v),
+      |      z -> CAST(z[1] AS DOUBLE) * z[2])) AS p
+      |  FROM embeddings e, v3 v
+      |)
+      |SELECT clabel, COUNT(*) AS n,
+      |  CAST(floor(MIN(p) * 1000000) AS BIGINT) AS proj_min_micro,
+      |  CAST(floor(MAX(p) * 1000000) AS BIGINT) AS proj_max_micro
+      |FROM proj GROUP BY clabel ORDER BY clabel""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -2248,6 +2350,7 @@ object SimilarityQueries {
     "s29_recall_matrix" -> (s29RecallMatrix _),
     "s30_sharded_search" -> (s30ShardedSearch _),
     "s31_centroid_drift" -> (s31CentroidDrift _),
+    "s32_power_iteration" -> (s32PowerIteration _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2286,6 +2389,7 @@ object SimilarityQueries {
     "s29_recall_matrix" -> s29Oracle,
     "s30_sharded_search" -> s30Oracle,
     "s31_centroid_drift" -> s31Oracle,
+    "s32_power_iteration" -> s32Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,

@@ -232,6 +232,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       s"q36 uses an unbounded-following frame:\n$p")
   }
 
+  test("s32: converged axis is a literal — final plan scans the corpus once") {
+    // the power-iteration rounds collect the 64-dim accumulator and
+    // re-lift it, so the RETURNED projection plan must not nest the
+    // three rounds' fold subtrees (the s09 iteration-lineage lesson)
+    val p = plan(SimilarityQueries.s32PowerIteration(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 corpus scan in the final plan, got $scans:\n$p")
+    assert(!p.contains("vec_field_sum") && !p.contains("OrderedVecFieldSum"),
+      s"fold subtree leaked into the projection plan:\n$p")
+  }
+
   test("q46: co-bucketed join eliminates the join-side exchanges") {
     // the bucket layout — not a broadcast — must be what avoids the
     // shuffle: the plan may contain the post-join aggregate's exchange
