@@ -109,6 +109,91 @@ object AnalyticQueries {
       |   SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
       |) ORDER BY c_custkey""".stripMargin
 
+  // q47 — BAG-SEMANTICS set ops (INTERSECT ALL / EXCEPT ALL): the
+  // multiset algebra q15's distinct forms don't reach — ANSI
+  // min-multiplicity intersection and multiplicity subtraction, the
+  // semantics dedup-aware reconciliation ("how many line-level
+  // occurrences survive in both feeds") actually needs. Inputs are
+  // genuine multisets (supplier keys repeat across lineitems); the
+  // distinct-form row is included as the contrast that catches an
+  // implementation quietly deduping. Counts and key checksums only —
+  // all integer. Spark plans these as aggregate-count + generate
+  // (replicate min(c1,c2) / max(c1−c2,0)) — one shuffle per side.
+  def q47BagSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val a = li.filter(round(col("l_quantity")).cast("long") >= 45)
+      .select(col("l_suppkey"))
+    val b = li.filter(round(col("l_discount") * 100).cast("long") >= 8)
+      .select(col("l_suppkey"))
+    def stats(tag: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("l_suppkey")), lit(0L)).as("key_checksum"))
+        .select(lit(tag).as("op"), col("n_rows"), col("key_checksum"))
+    stats("1_intersect_all", a.intersectAll(b))
+      .unionByName(stats("2_except_all", a.exceptAll(b)))
+      .unionByName(stats("3_intersect_distinct", a.intersect(b)))
+      .orderBy("op")
+  }
+
+  val q47Oracle: String =
+    """WITH a AS (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE CAST(round(l_quantity) AS BIGINT) >= 45
+      |), b AS (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE CAST(round(l_discount * 100) AS BIGINT) >= 8
+      |)
+      |SELECT '1_intersect_all' AS op, COUNT(*) AS n_rows,
+      |  CAST(COALESCE(SUM(l_suppkey), 0) AS BIGINT) AS key_checksum
+      |FROM (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b)
+      |UNION ALL
+      |SELECT '2_except_all', COUNT(*),
+      |  CAST(COALESCE(SUM(l_suppkey), 0) AS BIGINT)
+      |FROM (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+      |UNION ALL
+      |SELECT '3_intersect_distinct', COUNT(*),
+      |  CAST(COALESCE(SUM(l_suppkey), 0) AS BIGINT)
+      |FROM (SELECT l_suppkey FROM a INTERSECT SELECT l_suppkey FROM b)
+      |ORDER BY op""".stripMargin
+
+  // q48 — DECIMAL MONEY AGGREGATION: the engine's cents-integer
+  // discipline (Tables.cents) is one answer to float money; fixed-point
+  // DECIMAL is the other, and a warehouse migration needs BOTH gated.
+  // Cast-to-decimal(18,2) rounds each double to the nearest cent
+  // identically in both engines (round-to-nearest at scale 2), sums
+  // are exact fixed-point (no order dependence), and the discounted
+  // product runs at scale 4 under both engines' ANSI scale rules —
+  // so every output digit is exact. avg() is deliberately absent: its
+  // result scale diverges cross-engine (Spark widens the scale,
+  // DuckDB returns DOUBLE) — derive means from sum/n downstream.
+  def q48DecimalMoney(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("l_extendedprice").cast("decimal(18,2)")
+    val d = col("l_discount").cast("decimal(18,2)")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), p.as("p"), d.as("d"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        // sum result precision differs across engines (Spark p+10,
+        // DuckDB 38) — pin the OUTPUT type explicitly on both sides
+        sum(col("p")).cast("decimal(38,2)").as("sum_price"),
+        min(col("p")).as("min_price"), max(col("p")).as("max_price"),
+        sum(col("p") * (lit(1).cast("decimal(18,2)") - col("d")))
+          .cast("decimal(38,4)").as("sum_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  val q48Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(p) AS DECIMAL(38,2)) AS sum_price,
+      |  MIN(p) AS min_price, MAX(p) AS max_price,
+      |  CAST(SUM(p * (CAST(1 AS DECIMAL(18,2)) - d)) AS DECIMAL(38,4)) AS sum_disc
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+      |    CAST(l_discount AS DECIMAL(18,2)) AS d
+      |  FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // q16 — scalar expression battery: date parts, CASE buckets, string ops.
   def q16ScalarExprs(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -643,6 +728,8 @@ object AnalyticQueries {
     "q37_cohort_retention" -> (q37CohortRetention _),
     "q43_gap_fill" -> (q43GapFill _),
     "q44_bit_bool_aggs" -> (q44BitBoolAggs _),
+    "q47_bag_setops" -> (q47BagSetOps _),
+    "q48_decimal_money" -> (q48DecimalMoney _),
     "q22_salted_agg" -> (q22SaltedAgg _),
     "q23_approx_distinct" -> (q23ApproxDistinct _),
     "q24_json_map" -> (q24JsonMap _),
@@ -668,6 +755,8 @@ object AnalyticQueries {
     "q37_cohort_retention" -> q37Oracle,
     "q43_gap_fill" -> q43Oracle,
     "q44_bit_bool_aggs" -> q44Oracle,
+    "q47_bag_setops" -> q47Oracle,
+    "q48_decimal_money" -> q48Oracle,
     "q22_salted_agg" -> q22Oracle,
     "q23_approx_distinct" -> q23Oracle,
     "q24_json_map" -> q24Oracle,
