@@ -1965,6 +1965,88 @@ object CdcQueries {
       |  MIN(user_id) AS min_key, MAX(user_id) AS max_key
       |FROM st GROUP BY 1 ORDER BY chunk""".stripMargin
 
+  // cdc34 — NATIVE SESSION WINDOWS under the gate: Spark's
+  // session_window (dynamic-gap merging in the state store — the one
+  // windowing family cdc15's fixed tumbling windows don't reach)
+  // drained via the cdc15 scaffolding: JSON feed + a far-future
+  // sentinel whose watermark advance closes every real session, with
+  // maxFilesPerTrigger forcing the sentinel into its own later
+  // micro-batch. Session semantics being gated: events of one user
+  // merge iff the next starts before last_ts + 30 min (strict <), and
+  // the published session end is last_ts + gap — the oracle replays
+  // exactly that with a per-user running new-session sum. State scales
+  // as (users × open sessions); the watermark is what bounds it — the
+  // property this drain exists to pin.
+  def cdc34StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc34_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"))
+    val aDir = new java.io.File(feed, "a"); val bDir = new java.io.File(feed, "b")
+    ev.coalesce(1).write.mode("overwrite").json(aDir.getPath)
+    val maxRow = ev.agg(max(col("t_us"))).head()
+    val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val sentinelUs = maxUs + 30L * 24 * 3600 * 1000000L
+    ev.sparkSession.range(1)
+      .select(lit(-1L).as("user_id"), lit(sentinelUs).as("t_us"))
+      .coalesce(1).write.mode("overwrite").json(bDir.getPath)
+    val aFiles = Option(aDir.listFiles()).getOrElse(Array.empty)
+    val aMax = if (aFiles.isEmpty) System.currentTimeMillis()
+               else aFiles.map(_.lastModified()).max
+    bDir.listFiles().foreach(f => f.setLastModified(aMax + 2000))
+    withDrainPartitions(spark) {
+      val stream = spark.readStream
+        .schema("user_id LONG, t_us LONG")
+        .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+        .json(feed.getPath)
+        .withColumn("ts", timestamp_micros(col("t_us")))
+        .withWatermark("ts", "1 minute")
+      val q = stream
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
+    spark.read.schema(
+        "user_id LONG, session_start_us LONG, session_end_us LONG, n_events LONG")
+      .parquet(sink)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val cdc34Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us FROM events
+      |), g AS (
+      |  SELECT user_id, t_us,
+      |    CASE WHEN t_us - lag(t_us) OVER w >= 1800000000 OR
+      |              lag(t_us) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+      |), s AS (
+      |  SELECT user_id, t_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+      |                      ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM g
+      |)
+      |SELECT user_id, MIN(t_us) AS session_start_us,
+      |  MAX(t_us) + 1800000000 AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, grp
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -2011,6 +2093,7 @@ object CdcQueries {
     "cdc31_idempotent_replay" -> (cdc31IdempotentReplay _),
     "cdc32_log_gaps" -> (cdc32LogGaps _),
     "cdc33_table_checksum" -> (cdc33TableChecksum _),
+    "cdc34_stream_sessions" -> (cdc34StreamSessions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2047,5 +2130,6 @@ object CdcQueries {
     "cdc31_idempotent_replay" -> cdc17Oracle, // replayed feed == clean feed
     "cdc32_log_gaps" -> cdc32Oracle,
     "cdc33_table_checksum" -> cdc33Oracle,
+    "cdc34_stream_sessions" -> cdc34Oracle,
   )
 }

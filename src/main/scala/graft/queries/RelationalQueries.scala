@@ -865,6 +865,38 @@ object RelationalQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // q49 — CORRELATED LATERAL JOIN (top-N-per-group as the optimizer
+  // sees it): each customer's two largest orders via a correlated
+  // LATERAL subquery with ORDER BY + LIMIT — the SQL shape analysts
+  // write, distinct from the window formulation (q29/q38 family)
+  // because it exercises Spark's lateral-join planner (correlated
+  // subquery decorrelation into a ranked join), reachable only
+  // through the SQL surface. Deterministic: the lateral orders by
+  // (cents DESC, o_orderkey). At scale the decorrelated plan is the
+  // same one shuffle + per-key rank the window form pays — gating
+  // both shapes pins that equivalence.
+  def q49LateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_q49_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q49_orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.cents
+        |FROM graft_q49_customer c, LATERAL (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM graft_q49_orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, o_orderkey LIMIT 2
+        |) t
+        |ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""".stripMargin)
+  }
+
+  val q49Oracle: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.cents
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY cents DESC, o_orderkey LIMIT 2
+      |) t
+      |ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""".stripMargin
+
   val q38Oracle: String =
     """SELECT r_name, decile, COUNT(*) AS n_orders,
       |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
@@ -889,6 +921,7 @@ object RelationalQueries {
     "q42_relative_rank" -> (q42RelativeRank _),
     "q45_grouping_id" -> (q45GroupingId _),
     "q46_bucketed_join" -> (q46BucketedJoin _),
+    "q49_lateral_topn" -> (q49LateralTopN _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
@@ -916,6 +949,7 @@ object RelationalQueries {
     "q42_relative_rank" -> q42Oracle,
     "q45_grouping_id" -> q45Oracle,
     "q46_bucketed_join" -> q46Oracle,
+    "q49_lateral_topn" -> q49Oracle,
     "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,
