@@ -270,6 +270,59 @@ object MultimodalQueries {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  // m07 — the MEDIA MANIFEST card: one row summarizing the corpus
+  // through EVERY typed decoder boundary in one lineage — ingestion
+  // (object count, byte mass), exact payload dedup (m04's content
+  // identity), and frame sampling (m05's per-frame hashes) — the
+  // dataset card a multimodal release ships next to p06's text card,
+  // and the nightly drift monitor for the media side. Aggregates are
+  // all counts/sums of exact hashes: a batching or slicing bug in
+  // any boundary flips a number.
+  def m07MediaManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("text"),
+      lit("video").as("kind"), lit("video/fake").as("mime"))
+    val media = MediaPipeline.fromBinary(
+      docs.withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "kind", "mime")
+    val feats = MediaPipeline.decodeFeatures(media, batchSize = 64).toDF()
+    val base = feats.agg(
+      count(lit(1)).as("n_media"),
+      coalesce(sum(col("byte_len")), lit(0L)).as("total_bytes"),
+      count_distinct(col("content_hash")).as("n_unique_payloads"))
+    val frames = MediaPipeline.sampleFrames(media, n = 4).toDF()
+      .select(expr("CAST(conv(substr(md5(frame), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .agg(count(lit(1)).as("n_frames"),
+        count_distinct(col("h")).as("n_unique_frame_hashes"))
+    base.crossJoin(frames)
+      .withColumn("dup_payloads", col("n_media") - col("n_unique_payloads"))
+      .select("n_media", "total_bytes", "n_unique_payloads", "dup_payloads",
+        "n_frames", "n_unique_frame_hashes")
+  }
+
+  val m07Oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(('0x' || substr(md5(
+      |      substr(text, ((i*strlen(text))//4 % strlen(text)) + 1,
+      |             LEAST(16, strlen(text) - ((i*strlen(text))//4 % strlen(text))))
+      |    ), 1, 8)) AS BIGINT) AS h
+      |  FROM documents, generate_series(0, 3) t(i)
+      |), b AS (
+      |  SELECT COUNT(*) AS n_media,
+      |    CAST(COALESCE(SUM(strlen(text)), 0) AS BIGINT) AS total_bytes,
+      |    COUNT(DISTINCT md5(text)) AS n_unique_payloads
+      |  FROM documents
+      |), fr AS (
+      |  SELECT COUNT(*) AS n_frames,
+      |    COUNT(DISTINCT h) AS n_unique_frame_hashes
+      |  FROM f
+      |)
+      |SELECT n_media, total_bytes, n_unique_payloads,
+      |  n_media - n_unique_payloads AS dup_payloads,
+      |  n_frames, n_unique_frame_hashes
+      |FROM b, fr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_samples" -> (m02FrameSamples _),
@@ -277,6 +330,7 @@ object MultimodalQueries {
     "m04_media_dedup" -> (m04MediaDedup _),
     "m05_frame_dedup" -> (m05FrameDedup _),
     "m06_crossmodal_search" -> (m06CrossModalSearch _),
+    "m07_media_manifest" -> (m07MediaManifest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,5 +340,6 @@ object MultimodalQueries {
     "m04_media_dedup" -> m04Oracle,
     "m05_frame_dedup" -> m05Oracle,
     "m06_crossmodal_search" -> m06Oracle,
+    "m07_media_manifest" -> m07Oracle,
   )
 }

@@ -897,6 +897,43 @@ object RelationalQueries {
       |) t
       |ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""".stripMargin
 
+  // q50 — RANGE-frame windows (value-based frames): each order's
+  // trailing-30-day count and revenue within its customer — the
+  // rolling-metric family where the frame is defined by the ORDER
+  // VALUE (days), not row offsets; a ROWS frame silently miscounts
+  // whenever a customer has gap days or same-day orders, which is
+  // exactly the bug gating both engines' RANGE semantics pins. Order
+  // key is the integer epoch-day (ties allowed: ANSI RANGE makes
+  // same-day peers share the frame). One (customer) window shuffle;
+  // all integers.
+  def q50RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("day"),
+        cents(col("o_totalprice")).as("cents"))
+      .withColumn("n_trailing_30d", count(lit(1)).over(w))
+      .withColumn("cents_trailing_30d", sum(col("cents")).over(w))
+      .select("o_custkey", "o_orderkey", "day",
+        "n_trailing_30d", "cents_trailing_30d")
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  val q50Oracle: String =
+    """SELECT o_custkey, o_orderkey, day,
+      |  COUNT(*) OVER w AS n_trailing_30d,
+      |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_trailing_30d
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   val q38Oracle: String =
     """SELECT r_name, decile, COUNT(*) AS n_orders,
       |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
@@ -922,6 +959,7 @@ object RelationalQueries {
     "q45_grouping_id" -> (q45GroupingId _),
     "q46_bucketed_join" -> (q46BucketedJoin _),
     "q49_lateral_topn" -> (q49LateralTopN _),
+    "q50_range_frame" -> (q50RangeFrame _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
@@ -950,6 +988,7 @@ object RelationalQueries {
     "q45_grouping_id" -> q45Oracle,
     "q46_bucketed_join" -> q46Oracle,
     "q49_lateral_topn" -> q49Oracle,
+    "q50_range_frame" -> q50Oracle,
     "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,

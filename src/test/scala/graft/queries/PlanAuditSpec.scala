@@ -232,6 +232,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       s"q36 uses an unbounded-following frame:\n$p")
   }
 
+  test("s27/s30: candidate stages broadcast the query side, never cross-join") {
+    for ((name, df) <- Seq(
+        "s27" -> SimilarityQueries.s27AnnBinary(spark, dir),
+        "s30" -> SimilarityQueries.s30ShardedSearch(spark, dir))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name: query side not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product:\n$p")
+    }
+  }
+
+  test("s28: MMR pair table is a query-keyed equi-join, not all-pairs") {
+    // candidate × candidate joins on query_id (20 rows/query bounded) —
+    // an unkeyed formulation would be a cartesian over the corpus
+    val p = plan(SimilarityQueries.s28MmrDiversify(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"s28 cartesian product:\n$p")
+  }
+
   test("s32: converged axis is a literal — final plan scans the corpus once") {
     // the power-iteration rounds collect the 64-dim accumulator and
     // re-lift it, so the RETURNED projection plan must not nest the
