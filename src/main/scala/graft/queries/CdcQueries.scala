@@ -2047,6 +2047,59 @@ object CdcQueries {
       |FROM s GROUP BY user_id, grp
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // cdc35 — ACTIVE-ACTIVE MERGE with site priority: two origins feed
+  // the same keyspace (site `a` = the full change feed; site `b` = a
+  // replayed subset bearing its own delivery ids and forced UPDATEs —
+  // the conflicting writer), and conflicts resolve by last-writer-wins
+  // ordered on (src_ms, site_priority, pos) — the deterministic
+  // conflict-resolution rule (LWW + fixed site tie-break) multi-master
+  // replication deploys when clocks tie. Gated output: per winning
+  // site, surviving keys + checksum + how many of its wins were
+  // CONTESTED (the key saw both sites) — the conflict-rate metric an
+  // active-active operator alarms on. One shuffle on the key; the
+  // site dimension rides the same exchange.
+  def cdc35ActiveActive(spark: SparkSession, dir: String): DataFrame = {
+    val a = cdc17Feed(spark, dir)
+      .select(col("user_id"), col("src_ms"), col("ct"), col("pos"),
+        lit("a").as("site"), lit(1L).as("prio"))
+    val b = cdc17Feed(spark, dir).filter(col("pos") % 3 === 0)
+      .select(col("user_id"), col("src_ms"), lit("UPDATE").as("ct"),
+        (col("pos") + 50000000L).as("pos"), lit("b").as("site"),
+        lit(2L).as("prio"))
+    a.unionByName(b)
+      .groupBy("user_id")
+      .agg(max_by(struct(col("ct"), col("site")),
+          struct(col("src_ms"), col("prio"), col("pos"))).as("last"),
+        count_distinct(col("site")).as("n_sites"))
+      .select(col("user_id"), col("last.ct").as("ct"),
+        col("last.site").as("site"), col("n_sites"))
+      .filter(col("ct") =!= "DELETE")
+      .groupBy("site")
+      .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("key_checksum"),
+        sum(when(col("n_sites") === 2, 1L).otherwise(0L)).as("n_contested"))
+      .orderBy("site")
+  }
+
+  val cdc35Oracle: String =
+    s"""WITH $cdcFeedCte, sides AS (
+      |  SELECT user_id, src_ms, ct, pos, 'a' AS site, 1 AS prio FROM a
+      |  UNION ALL
+      |  SELECT user_id, src_ms, 'UPDATE', pos + 50000000, 'b', 2
+      |  FROM a WHERE pos % 3 = 0
+      |), won AS (
+      |  SELECT user_id, ct, site, n_sites FROM (
+      |    SELECT user_id, ct, site,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY src_ms DESC, prio DESC, pos DESC) AS rn,
+      |      count(DISTINCT site) OVER (PARTITION BY user_id) AS n_sites
+      |    FROM sides)
+      |  WHERE rn = 1 AND ct <> 'DELETE'
+      |)
+      |SELECT site, COUNT(*) AS n_keys,
+      |  CAST(SUM(user_id) AS BIGINT) AS key_checksum,
+      |  CAST(SUM(CASE WHEN n_sites = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_contested
+      |FROM won GROUP BY site ORDER BY site""".stripMargin
+
   val cdc17Oracle: String =
     s"""WITH $cdcFeedCte, ranked AS (
       |  SELECT user_id, ct, src_ms,
@@ -2094,6 +2147,7 @@ object CdcQueries {
     "cdc32_log_gaps" -> (cdc32LogGaps _),
     "cdc33_table_checksum" -> (cdc33TableChecksum _),
     "cdc34_stream_sessions" -> (cdc34StreamSessions _),
+    "cdc35_active_active" -> (cdc35ActiveActive _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2131,5 +2185,6 @@ object CdcQueries {
     "cdc32_log_gaps" -> cdc32Oracle,
     "cdc33_table_checksum" -> cdc33Oracle,
     "cdc34_stream_sessions" -> cdc34Oracle,
+    "cdc35_active_active" -> cdc35Oracle,
   )
 }

@@ -2235,19 +2235,24 @@ object SimilarityQueries {
   // VecSub — documented, not duplicated here). A zero-norm round
   // (empty corpus) keeps the previous axis — both engines then emit
   // zero rows, so the convention never reaches the gate.
-  def s32PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+  /** Dot of the `embedding` column with a literal axis — ascending zip
+    * fold in doubles (the oracle's list_sum shape). */
+  private def dotAxis(v: Seq[Double]): Column = {
+    val vlit = array(v.map(lit): _*)
+    aggregate(zip_with(col("embedding"), vlit,
+      (x: Column, p: Column) => x.cast("double") * p),
+      lit(0.0), (a: Column, b: Column) => a + b)
+  }
+
+  /** The 3-round power-iteration axis (see s32's doc comment) — shared
+    * by s32 (projection card) and s33 (whitened residual search). */
+  private def powerAxis(spark: SparkSession, dir: String): Seq[Double] = {
     val dim = 64
     val emb = Tables.embeddings(spark, dir)
-    def dotLit(v: Seq[Double]): Column = {
-      val vlit = array(v.map(lit): _*)
-      aggregate(zip_with(col("embedding"), vlit,
-        (x: Column, p: Column) => x.cast("double") * p),
-        lit(0.0), (a: Column, b: Column) => a + b)
-    }
     var v: Seq[Double] = Seq.fill(dim)(0.125) // exact 1/8 — unit start
     for (_ <- 1 to 3) {
       val scaled = emb
-        .withColumn("w", dotLit(v))
+        .withColumn("w", dotAxis(v))
         .select(col("vec_id"),
           transform(col("embedding"),
             (x: Column) => x.cast("double") * col("w")).as("emb"))
@@ -2269,7 +2274,12 @@ object SimilarityQueries {
       val norm = math.sqrt(s.foldLeft(0.0)((a, x) => a + x * x))
       if (norm > 0) v = s.map(_ / norm)
     }
-    emb.withColumn("p", dotLit(v))
+    v
+  }
+
+  def s32PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val v = powerAxis(spark, dir)
+    Tables.embeddings(spark, dir).withColumn("p", dotAxis(v))
       .groupBy(col("label").as("clabel"))
       .agg(count(lit(1)).as("n"),
         floor(min(col("p")) * 1000000).cast("long").as("proj_min_micro"),
@@ -2277,7 +2287,8 @@ object SimilarityQueries {
       .orderBy("clabel")
   }
 
-  val s32Oracle: String = {
+  /** v0..v3 power-iteration CTE chain — shared by s32 and s33. */
+  private val duckPowerCtes: String = {
     def round(k: Int): String =
       s"""w$k AS (
         |  SELECT e.vec_id,
@@ -2303,9 +2314,13 @@ object SimilarityQueries {
         |    x -> x / sqrt(list_sum(list_transform(s, y -> y * y)))) AS v
         |  FROM s$k
         |)""".stripMargin
-    s"""WITH v0 AS (
+    s"""v0 AS (
       |  SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS v
-      |), ${round(1)}, ${round(2)}, ${round(3)},
+      |), ${round(1)}, ${round(2)}, ${round(3)}""".stripMargin
+  }
+
+  val s32Oracle: String =
+    s"""WITH $duckPowerCtes,
       |proj AS (
       |  SELECT e.label AS clabel,
       |    list_sum(list_transform(list_zip(e.embedding, v.v),
@@ -2316,7 +2331,61 @@ object SimilarityQueries {
       |  CAST(floor(MIN(p) * 1000000) AS BIGINT) AS proj_min_micro,
       |  CAST(floor(MAX(p) * 1000000) AS BIGINT) AS proj_max_micro
       |FROM proj GROUP BY clabel ORDER BY clabel""".stripMargin
+
+  // s33 — PCA-WHITENED residual search: project OUT the dominant
+  // direction (s32's converged axis) and search what remains —
+  // r = x − (x·v)v per vector, top-3 cosine over residuals. The
+  // anisotropy fix retrieval stacks apply when one direction (length,
+  // frequency, layout) swamps cosine and every neighbor list collapses
+  // onto it. The residual rounds to FLOAT per dimension through one
+  // double-arithmetic dag (subtract after the w·v[d] product, then one
+  // cast) so both engines hold identical bits; the axis enters the
+  // plan as a literal (constant depth — the s32 discipline), and the
+  // search is s01's broadcast-query single-scan shape over residuals.
+  def s33PcaResidualSearch(spark: SparkSession, dir: String): DataFrame = {
+    val v = powerAxis(spark, dir)
+    val vlit = array(v.map(lit): _*)
+    val emb = Tables.embeddings(spark, dir)
+    val res = emb.withColumn("w", dotAxis(v))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), vlit,
+          (x: Column, p: Column) =>
+            (x.cast("double") - col("w") * p).cast("float")).as("r"))
+    val q = res.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("r").as("qr"))
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    res.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qr"), col("r")))
+      .withColumn("rank", row_number().over(wE).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
   }
+
+  val s33Oracle: String =
+    s"""WITH $duckPowerCtes,
+      |rw AS (
+      |  SELECT e.vec_id, e.embedding, v.v,
+      |    list_sum(list_transform(list_zip(e.embedding, v.v),
+      |      z -> CAST(z[1] AS DOUBLE) * z[2])) AS w
+      |  FROM embeddings e, v3 v
+      |), res AS (
+      |  SELECT vec_id, list_transform(range(1, 65),
+      |    d -> CAST(CAST(embedding[d] AS DOUBLE) - w * v[d] AS FLOAT)) AS r
+      |  FROM rw
+      |), q AS (
+      |  SELECT vec_id AS query_id, r AS qr FROM res WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, c.vec_id, ${duckCosOf("q.qr", "c.r")} AS cos
+      |  FROM res c, q WHERE c.vec_id <> q.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
@@ -2351,6 +2420,7 @@ object SimilarityQueries {
     "s30_sharded_search" -> (s30ShardedSearch _),
     "s31_centroid_drift" -> (s31CentroidDrift _),
     "s32_power_iteration" -> (s32PowerIteration _),
+    "s33_pca_residual_search" -> (s33PcaResidualSearch _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2390,6 +2460,7 @@ object SimilarityQueries {
     "s30_sharded_search" -> s30Oracle,
     "s31_centroid_drift" -> s31Oracle,
     "s32_power_iteration" -> s32Oracle,
+    "s33_pca_residual_search" -> s33Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
