@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ AnalyticQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      CdcQueries.queries ++ MultimodalQueries.queries ++ PipelineQueries.queries
+      CdcQueries.queries ++ MultimodalQueries.queries ++
+      PipelineQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AnalyticQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      CdcQueries.oracles ++ MultimodalQueries.oracles ++ PipelineQueries.oracles
+      CdcQueries.oracles ++ MultimodalQueries.oracles ++
+      PipelineQueries.oracles ++ GraphQueries.oracles
 }

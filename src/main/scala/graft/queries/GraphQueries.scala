@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the co-purchase graph (parts co-occurring in an
+  * order, edge weight = co-occurrence count, thresholded at ≥ 2 — q33's
+  * pair semantics promoted to an edge list): deterministic PageRank and
+  * exact triangle counting — the two classic distributed graph kernels a
+  * relational engine is asked for first (recommendation centrality,
+  * community density).
+  *
+  * Float discipline: PageRank's per-vertex neighbor-contribution sum is
+  * the one order-dependent float fold in the family, closed the same way
+  * every fold in this engine is closed — contributions collect into a
+  * src-sorted list and fold ascending (the oracle's `list_sum` over
+  * `list(... ORDER BY src)`), so ranks are bit-identical cross-engine and
+  * under any partitioning. Triangle counting is pure integer joins.
+  *
+  * Scale notes: the edge list shuffles on the vertex key; per-vertex
+  * adjacency lists are bounded by the weight threshold (at 100 TB raise
+  * the threshold or cap lists — the documented dial); rank tables
+  * materialize per round (localCheckpoint) so the 3-round lineage stays
+  * flat — the s09/s32 iteration discipline.
+  */
+object GraphQueries {
+
+  /** Undirected thresholded co-purchase edges, one row per direction
+    * (src, dst): the adjacency both kernels consume. */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+  }
+
+  private val duckEdgesCte: String =
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+      |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |), e AS (
+      |  SELECT pa AS src, pb AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT pb, pa FROM pairs
+      |)""".stripMargin
+
+  // g01 — DETERMINISTIC PAGERANK (damping 0.85, 3 rounds, unnormalized
+  // r₀ = 1): r'(v) = 0.15 + 0.85·Σ_{u→v} r(u)/deg(u), the neighbor sum
+  // folded in ascending-src order per vertex. Each round is ONE shuffle
+  // on dst plus a broadcast-free join of the (vertex, rank) table back
+  // onto the edge list keyed on src — the textbook Pregel round as
+  // plain relational ops; ranks materialize between rounds. Output:
+  // global top-20 by (rank DESC, part), rank floor-scaled to micros.
+  def g01Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("part"), lit(1.0).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val contribs = e.join(ranks.withColumnRenamed("part", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), col("src"), (col("r") / col("deg")).as("contrib"))
+      val summed = contribs
+        .groupBy(col("dst"))
+        .agg(array_sort(collect_list(struct(col("src"), col("contrib"))))
+          .as("cs"))
+        .select(col("dst").as("part"),
+          (lit(0.15) + lit(0.85) * aggregate(col("cs"), lit(0.0),
+            (acc: Column, c: Column) => acc + c.getField("contrib"))).as("r"))
+      ranks = summed.localCheckpoint()
+    }
+    val w = Window.orderBy(col("r").desc, col("part"))
+    ranks.join(deg.withColumnRenamed("src", "part"), Seq("part"))
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .filter(col("pos") <= 20)
+      .select(col("pos"), col("part"), col("deg"),
+        floor(col("r") * 1000000).cast("long").as("rank_micro"))
+      .orderBy("pos")
+  }
+
+  val g01Oracle: String = {
+    def round(k: Int): String =
+      s"""r$k AS (
+        |  SELECT dst AS part,
+        |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * list_sum(
+        |      list_transform(cs, c -> c.contrib)) AS r
+        |  FROM (
+        |    SELECT e.dst,
+        |      list(struct_pack(src := e.src, contrib := p.r / d.deg)
+        |           ORDER BY e.src) AS cs
+        |    FROM e
+        |    JOIN r${k - 1} p ON p.part = e.src
+        |    JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst)
+        |)""".stripMargin
+    s"""WITH $duckEdgesCte, deg AS (
+      |  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+      |), r0 AS (
+      |  SELECT src AS part, CAST(1.0 AS DOUBLE) AS r FROM deg
+      |), ${round(1)}, ${round(2)}, ${round(3)}
+      |SELECT pos, part, deg, rank_micro FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY r.r DESC, r.part) AS INT) AS pos,
+      |    r.part, d.deg, CAST(floor(r.r * 1000000) AS BIGINT) AS rank_micro
+      |  FROM r3 r JOIN deg d ON d.src = r.part)
+      |WHERE pos <= 20 ORDER BY pos""".stripMargin
+  }
+
+  // g02 — EXACT TRIANGLE COUNT + wedge census: triangles enumerated on
+  // the ORIENTED (a < b) edge list — e(a,b) ⋈ e(b,c) ⋈ e(a,c), each
+  // triangle counted exactly once — and wedges (open 2-paths) from the
+  // undirected degree census. Two vertex-keyed equi-join shuffles;
+  // everything is integer, so the gate is exact. The wedge/triangle
+  // pair is the global clustering coefficient's numerator/denominator,
+  // published as raw integers (the cross-engine-stable form).
+  def g02Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val oriented = e.filter(col("src") < col("dst")).localCheckpoint()
+    val tri = oriented.select(col("src").as("a"), col("dst").as("b"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .join(oriented.select(col("src").as("a"), col("dst").as("c")),
+        Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // integer division throughout: deg·(deg−1) is even, and keeping the
+    // per-vertex wedge count a LONG keeps the global sum exact past the
+    // 2^53 double envelope
+    val census = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      expr("sum(deg) div 2").as("n_edges"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    census.crossJoin(tri)
+      .select("n_vertices", "n_edges", "n_wedges", "n_triangles")
+  }
+
+  val g02Oracle: String =
+    s"""WITH $duckEdgesCte, o AS (
+      |  SELECT src AS a, dst AS b FROM e WHERE src < dst
+      |), tri AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM o e1 JOIN o e2 ON e1.b = e2.a
+      |  WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+      |), deg AS (
+      |  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+      |), census AS (
+      |  SELECT COUNT(*) AS n_vertices,
+      |    CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+      |    CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+      |  FROM deg
+      |)
+      |SELECT n_vertices, n_edges, n_wedges, n_triangles FROM census, tri""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_pagerank" -> (g01Pagerank _),
+    "g02_triangles" -> (g02Triangles _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g01_pagerank" -> g01Oracle,
+    "g02_triangles" -> g02Oracle,
+  )
+}
