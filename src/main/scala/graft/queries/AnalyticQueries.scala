@@ -194,6 +194,36 @@ object AnalyticQueries {
       |  FROM lineitem)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // q51 — SALTED SKEW JOIN: q22's two-stage trick applied to the JOIN
+  // (the other operator a hot key melts at 100 TB): the fact side
+  // carries a deterministic salt (l_orderkey mod 16), the dimension
+  // side replicates 16× with every salt value, and the join keys on
+  // (suppkey, salt) — so one hot supplier's rows spread over 16
+  // reducers instead of one. A shuffle-hash hint forces the exchange
+  // the technique exists to reshape (broadcast would bypass it and
+  // prove nothing). The oracle is the PLAIN join: salting must change
+  // the distribution, never the result — which is the whole gate.
+  def q51SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("cents"),
+        pmod(col("l_orderkey"), lit(salts)).as("salt"))
+    val dim = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    fact.join(dim.hint("shuffle_hash"),
+        fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+      .orderBy("s_nationkey")
+  }
+
+  val q51Oracle: String =
+    """SELECT s_nationkey, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   // q16 — scalar expression battery: date parts, CASE buckets, string ops.
   def q16ScalarExprs(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -730,6 +760,7 @@ object AnalyticQueries {
     "q44_bit_bool_aggs" -> (q44BitBoolAggs _),
     "q47_bag_setops" -> (q47BagSetOps _),
     "q48_decimal_money" -> (q48DecimalMoney _),
+    "q51_salted_join" -> (q51SaltedJoin _),
     "q22_salted_agg" -> (q22SaltedAgg _),
     "q23_approx_distinct" -> (q23ApproxDistinct _),
     "q24_json_map" -> (q24JsonMap _),
@@ -757,6 +788,7 @@ object AnalyticQueries {
     "q44_bit_bool_aggs" -> q44Oracle,
     "q47_bag_setops" -> q47Oracle,
     "q48_decimal_money" -> q48Oracle,
+    "q51_salted_join" -> q51Oracle,
     "q22_salted_agg" -> q22Oracle,
     "q23_approx_distinct" -> q23Oracle,
     "q24_json_map" -> q24Oracle,

@@ -571,6 +571,100 @@ object PipelineQueries {
       |  CAST(SUM(n_test) AS BIGINT) AS n_test
       |FROM ph GROUP BY lang ORDER BY lang""".stripMargin
 
+  // p07 — INCREMENTAL CURATION (the nightly posture of p01): only
+  // day-2 arrivals (doc-id parity, cdc20's adversarial split) flow
+  // through the funnel — quality gate (p01's t03 rules, expressed as
+  // EXACT integer predicates: stop·8 ≤ n, chars·2 ≥ 7n) → exact-dedup
+  // against BOTH the persisted day-1 content-hash index (d20's
+  // pattern) and intra-batch (min-id keeper) → mixture sampling
+  // (t08's thresholds). Output is the per-language FUNNEL — the
+  // stage-by-stage survivor counts an operator reads to spot a
+  // regressing filter the morning after. At 100 TB the day-1 index
+  // join is the only contact with history, keyed on the content hash —
+  // yesterday's corpus is never rescanned.
+  def p07IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 5000, "fr" -> 7500, "es" -> 7500)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        graft.ops.TextOps.markerHits(col("toks"), Seq("the", "a")).cast("long"))
+      .withColumn("tok_chars",
+        graft.ops.TextOps.tokenCharSum(col("toks")).cast("long"))
+      .withColumn("h", md5(col("text")))
+    val day1Index = docs.filter(col("doc_id") % 2 === 0).select("h").distinct()
+    val day2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val quality = day2.filter(col("n_tokens") >= 25 &&
+      col("n_stop") * 8 <= col("n_tokens") &&
+      col("tok_chars") * 2 >= col("n_tokens") * 7)
+    val fresh = quality.join(day1Index, Seq("h"), "left_anti")
+      .groupBy("h")
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens")),
+        col("doc_id")).as("_v"))
+      .select(col("_v.*"))
+    val kept = fresh.filter(
+      graft.ops.TextOps.mixtureSample(col("doc_id"), col("lang"), rates))
+    val f0 = day2.groupBy("lang").agg(count(lit(1)).as("n_raw"))
+    val f1 = quality.groupBy("lang").agg(count(lit(1)).as("n_quality"))
+    val f2 = fresh.groupBy("lang").agg(count(lit(1)).as("n_new"))
+    val f3 = kept.groupBy("lang").agg(count(lit(1)).as("n_kept"),
+      sum(col("n_tokens")).as("tokens_kept"))
+    f0.join(f1, Seq("lang"), "left").join(f2, Seq("lang"), "left")
+      .join(f3, Seq("lang"), "left")
+      .select(col("lang"), col("n_raw"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy("lang")
+  }
+
+  val p07Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, md5(text) AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |      x -> length(x))) AS BIGINT) AS tok_chars
+      |  FROM documents
+      |), day1 AS (
+      |  SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0
+      |), day2 AS (
+      |  SELECT * FROM d WHERE doc_id % 2 <> 0
+      |), quality AS (
+      |  SELECT * FROM day2
+      |  WHERE n_tokens >= 25 AND n_stop * 8 <= n_tokens
+      |    AND tok_chars * 2 >= n_tokens * 7
+      |), fresh AS (
+      |  SELECT doc_id, lang, n_tokens FROM (
+      |    SELECT q.doc_id, q.lang, q.n_tokens,
+      |      row_number() OVER (PARTITION BY q.h ORDER BY q.doc_id) AS rn
+      |    FROM quality q
+      |    WHERE NOT EXISTS (SELECT 1 FROM day1 i WHERE i.h = q.h))
+      |  WHERE rn = 1
+      |), kept AS (
+      |  SELECT * FROM fresh
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8)) AS BIGINT) % 10000
+      |    < (CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 7500
+      |                 WHEN 'es' THEN 7500 ELSE 10000 END)
+      |)
+      |SELECT f0.lang, f0.n_raw,
+      |  COALESCE(f1.n_quality, 0) AS n_quality,
+      |  COALESCE(f2.n_new, 0) AS n_new,
+      |  COALESCE(f3.n_kept, 0) AS n_kept,
+      |  COALESCE(f3.tokens_kept, 0) AS tokens_kept
+      |FROM (SELECT lang, COUNT(*) AS n_raw FROM day2 GROUP BY lang) f0
+      |LEFT JOIN (SELECT lang, COUNT(*) AS n_quality FROM quality GROUP BY lang) f1
+      |  ON f1.lang = f0.lang
+      |LEFT JOIN (SELECT lang, COUNT(*) AS n_new FROM fresh GROUP BY lang) f2
+      |  ON f2.lang = f0.lang
+      |LEFT JOIN (SELECT lang, COUNT(*) AS n_kept,
+      |             CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+      |           FROM kept GROUP BY lang) f3
+      |  ON f3.lang = f0.lang
+      |ORDER BY f0.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_mix" -> (p01TrainingMix _),
     "p02_shard_manifest" -> (p02ShardManifest _),
@@ -578,6 +672,7 @@ object PipelineQueries {
     "p04_curation_v2" -> (p04CurationV2 _),
     "p05_quota_mix" -> (p05QuotaMix _),
     "p06_dataset_card" -> (p06DatasetCard _),
+    "p07_incremental_curation" -> (p07IncrementalCuration _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -587,5 +682,6 @@ object PipelineQueries {
     "p04_curation_v2" -> p04Oracle,
     "p05_quota_mix" -> p05Oracle,
     "p06_dataset_card" -> p06Oracle,
+    "p07_incremental_curation" -> p07Oracle,
   )
 }
