@@ -161,13 +161,82 @@ object GraphQueries {
       |)
       |SELECT n_vertices, n_edges, n_wedges, n_triangles FROM census, tri""".stripMargin
 
+  // g03 — K-CORE DECOMPOSITION (k = 3, bounded peel): iteratively drop
+  // vertices of degree < k and the edges touching them — the standard
+  // "dense community backbone" extraction (k-core is what graph
+  // preprocessing runs before community detection or GNN sampling to
+  // shed the long low-degree tail). Each peel round is one degree
+  // aggregate plus two vertex-keyed LEFT SEMI joins — exactly the
+  // Pregel round as relational ops; the survivor edge set materializes
+  // between rounds (localCheckpoint) so the lineage stays flat at any
+  // round count (the s09/g01 iteration discipline). The round ladder is
+  // UNROLLED to a fixed depth on both engines and the gate pins every
+  // intermediate peel GENERATION (the bounded-round formulation; a
+  // fixpoint run just raises `rounds` — the documented dial; on the
+  // gate data sf0.1 empties by round 2 while sf0.01 is still shedding
+  // its low-degree fringe at round 4, so the ladder exercises both the
+  // converged and the still-peeling regime). Everything is integer; the
+  // vertex-id checksum pins the exact surviving set. At 100 TB: no
+  // round shuffles more than the live edge list on its vertex key, and
+  // the live set only shrinks. Oracle note: each round's CTE references
+  // its predecessor twice (degree filter + edge restriction) — without
+  // MATERIALIZED, CTE inlining re-evaluates the chain exponentially.
+  def g03Kcore(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val rounds = 4
+    def stats(e: DataFrame, r: Int): DataFrame =
+      e.agg(
+        countDistinct(col("src")).as("n_vertices"),
+        expr("count(*) div 2").as("n_edges"),
+        coalesce(sum_distinct(col("src")), lit(0L)).as("vid_sum"))
+        .select(lit(r).cast("int").as("round"), col("n_vertices"),
+          col("n_edges"), col("vid_sum"))
+    var live = edges(spark, dir).localCheckpoint()
+    val perRound = scala.collection.mutable.ArrayBuffer(stats(live, 0))
+    for (r <- 1 to rounds) {
+      val keep = live.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      live = live
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint()
+      perRound += stats(live, r)
+    }
+    perRound.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  val g03Oracle: String = {
+    val k = 3
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (
+        |  SELECT src FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= $k),
+        |e$r AS MATERIALIZED (
+        |  SELECT t.src, t.dst FROM e${r - 1} t
+        |  JOIN k$r a ON t.src = a.src JOIN k$r b ON t.dst = b.src
+        |)""".stripMargin
+    }.mkString(", ")
+    val stats = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS round,
+        |  CAST(COUNT(DISTINCT src) AS BIGINT) AS n_vertices,
+        |  CAST(COUNT(*) // 2 AS BIGINT) AS n_edges,
+        |  CAST(COALESCE(SUM(DISTINCT src), 0) AS BIGINT) AS vid_sum
+        |FROM e$r""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH $duckEdgesCte, e0 AS MATERIALIZED (SELECT src, dst FROM e), $roundCtes
+      |SELECT round, n_vertices, n_edges, vid_sum FROM ($stats)
+      |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (g01Pagerank _),
     "g02_triangles" -> (g02Triangles _),
+    "g03_kcore" -> (g03Kcore _),
   )
 
   val oracles: Map[String, String] = Map(
     "g01_pagerank" -> g01Oracle,
     "g02_triangles" -> g02Oracle,
+    "g03_kcore" -> g03Oracle,
   )
 }

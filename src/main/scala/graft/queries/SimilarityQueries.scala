@@ -2387,6 +2387,133 @@ object SimilarityQueries {
       |WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  // s34 — GRAPH-BASED ANN SEARCH (the DiskANN/HNSW family's search
+  // pattern over the s25 kNN graph, made deterministic and relational):
+  // entry point = the query's nearest cluster's PROTOTYPE (s24's
+  // argmax-self-cosine rule at m=1 — the graph-search "fixed entry
+  // node"), candidates = the closed 2-hop out-neighborhood of the entry
+  // in the directed top-3 kNN edge list (≤ 1 + 3 + 9 nodes), finished
+  // with the exact re-rank. Best-first beam search is inherently
+  // sequential; the bounded-hop ball is its deterministic, relational
+  // stand-in — same index (the kNN graph), same entry discipline, and
+  // the expansion is two vertex-keyed equi-joins instead of a data-
+  // dependent loop, so the whole search stays one declarative plan.
+  // The gate pins the entry choice, the exact candidate-set size, and
+  // the final ranking. At scale: the edge list shuffles on the vertex
+  // key (id_a) and is probed twice; queries and the per-cluster
+  // prototype table are broadcast; the re-rank shuffles (query_id,
+  // cand) only — query vectors never ride the candidate shuffle.
+  def s34GraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    // directed top-3 kNN edges within each cluster — s25's exact rule
+    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val wk = Window.partitionBy("cluster", "id_a")
+      .orderBy(col("cos").desc, col("id_b"))
+    val edges = l.join(r, Seq("cluster"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 3)
+      .select("id_a", "id_b")
+      .localCheckpoint() // probed at hop 1 and hop 2 — build the graph once
+    // entry node per cluster: s24's prototype rule at m = 1
+    val wp = Window.partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
+    val proto = assigned
+      .join(broadcast(cent.withColumnRenamed("clabel", "cluster")), Seq("cluster"))
+      .withColumn("ccos", cosineSim(col("embedding"), col("cf")))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("vec_id").as("entry_id"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cluster"))
+      .join(broadcast(proto), Seq("cluster"))
+      .select("query_id", "qv", "entry_id")
+      .localCheckpoint() // tiny; anchors entry/ball/re-rank to one snapshot
+    val h1 = q.select(col("query_id"), col("entry_id").as("id_a"))
+      .join(edges, Seq("id_a"))
+      .select(col("query_id"), col("id_b").as("cand"))
+    val h2 = h1.withColumnRenamed("cand", "id_a")
+      .join(edges, Seq("id_a"))
+      .select(col("query_id"), col("id_b").as("cand"))
+    val ball = q.select(col("query_id"), col("entry_id").as("cand"))
+      .unionByName(h1).unionByName(h2)
+      .distinct()
+      .filter(col("cand") =!= col("query_id"))
+    val nc = ball.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
+    ball
+      .join(emb.select(col("vec_id").as("cand"), col("embedding")), Seq("cand"))
+      .join(broadcast(q.select("query_id", "qv", "entry_id")), Seq("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .join(broadcast(nc), Seq("query_id"))
+      .select(col("query_id"), col("entry_id"), col("n_cand"), col("rank"),
+        col("cand").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s34Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), edges AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      row_number() OVER (PARTITION BY a.clabel, a.vec_id
+      |        ORDER BY ${duckCosOf("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM assigned a JOIN assigned b
+      |      ON a.clabel = b.clabel AND a.vec_id <> b.vec_id)
+      |  WHERE rk <= 3
+      |), proto AS (
+      |  SELECT clabel, vec_id AS entry_id FROM (
+      |    SELECT a.clabel, a.vec_id,
+      |      row_number() OVER (PARTITION BY a.clabel
+      |        ORDER BY ${duckCosOf("a.embedding", "c.cf")} DESC, a.vec_id) AS rn
+      |    FROM assigned a JOIN cent c ON a.clabel = c.clabel)
+      |  WHERE rn = 1
+      |), q AS MATERIALIZED (
+      |  SELECT a.vec_id AS query_id, a.embedding AS qv, p.entry_id
+      |  FROM assigned a JOIN proto p ON a.clabel = p.clabel
+      |  WHERE a.vec_id % 50 = 0
+      |), ball AS MATERIALIZED (
+      |  SELECT DISTINCT query_id, cand FROM (
+      |    SELECT query_id, entry_id AS cand FROM q
+      |    UNION ALL
+      |    SELECT q.query_id, e.id_b FROM q JOIN edges e ON e.id_a = q.entry_id
+      |    UNION ALL
+      |    SELECT q.query_id, e2.id_b FROM q
+      |    JOIN edges e ON e.id_a = q.entry_id
+      |    JOIN edges e2 ON e2.id_a = e.id_b)
+      |  WHERE cand <> query_id
+      |), nc AS (
+      |  SELECT query_id, COUNT(*) AS n_cand FROM ball GROUP BY query_id
+      |), scored AS (
+      |  SELECT b.query_id, q.entry_id, b.cand,
+      |    ${duckCosOf("q.qv", "e.embedding")} AS cos
+      |  FROM ball b
+      |  JOIN q ON q.query_id = b.query_id
+      |  JOIN embeddings e ON e.vec_id = b.cand
+      |)
+      |SELECT s.query_id, s.entry_id, nc.n_cand, s.rank, s.neighbor_id FROM (
+      |  SELECT query_id, entry_id, cand AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, cand) AS INT) AS rank
+      |  FROM scored) s
+      |JOIN nc ON nc.query_id = s.query_id
+      |WHERE s.rank <= 3
+      |ORDER BY s.query_id, s.rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -2421,6 +2548,7 @@ object SimilarityQueries {
     "s31_centroid_drift" -> (s31CentroidDrift _),
     "s32_power_iteration" -> (s32PowerIteration _),
     "s33_pca_residual_search" -> (s33PcaResidualSearch _),
+    "s34_graph_search" -> (s34GraphSearch _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2461,6 +2589,7 @@ object SimilarityQueries {
     "s31_centroid_drift" -> s31Oracle,
     "s32_power_iteration" -> s32Oracle,
     "s33_pca_residual_search" -> s33Oracle,
+    "s34_graph_search" -> s34Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
