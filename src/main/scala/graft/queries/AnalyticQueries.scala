@@ -742,6 +742,52 @@ object AnalyticQueries {
       |  CAST(MAX(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_cents
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // q52 — IGNORE NULLS window family: forward-fill (last_value), previous
+  // non-null (lag), first and second non-null seen so far (first_value /
+  // nth_value) — the null-skipping navigation functions every gap-carrying
+  // time series (sensor feeds, sparse CDC columns, sessionized metrics)
+  // leans on, and a distinct evaluation path in both engines (the frame
+  // must SKIP null rows, not just null out — a plain `last_value` over the
+  // same frame returns a different column). `value` has no nulls in the
+  // testdata, so nulls are INJECTED deterministically (view/error rows) to
+  // keep every skip path live; the surviving doubles are carried through
+  // untouched (no arithmetic), so the gate is byte-exact. Deterministic
+  // user sample keeps the row-level output gate-sized at any SF. One
+  // shuffle on user_id; all four functions share one window spec.
+  def q52IgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("user_id") % 97 === 0)
+      .select(col("user_id"), col("event_id"), tsUs.as("t"),
+        when(col("event_type").isin("view", "error"), lit(null))
+          .otherwise(col("value")).as("v"))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("ffill", last(col("v"), ignoreNulls = true).over(wCum))
+      .withColumn("prev_nn", lag(col("v"), 1, null, ignoreNulls = true).over(wOrd))
+      .withColumn("second_nn", nth_value(col("v"), 2, ignoreNulls = true).over(wCum))
+      .withColumn("first_nn", first(col("v"), ignoreNulls = true).over(wCum))
+      .orderBy("user_id", "t", "event_id")
+  }
+
+  val q52Oracle: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t,
+      |    CASE WHEN event_type IN ('view', 'error') THEN NULL
+      |         ELSE value END AS v
+      |  FROM events WHERE user_id % 97 = 0
+      |)
+      |SELECT user_id, event_id, t, v,
+      |  last_value(v IGNORE NULLS) OVER w AS ffill,
+      |  lag(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY t, event_id) AS prev_nn,
+      |  nth_value(v, 2 IGNORE NULLS) OVER w AS second_nn,
+      |  first_value(v IGNORE NULLS) OVER w AS first_nn
+      |FROM base
+      |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, t, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
@@ -761,6 +807,7 @@ object AnalyticQueries {
     "q47_bag_setops" -> (q47BagSetOps _),
     "q48_decimal_money" -> (q48DecimalMoney _),
     "q51_salted_join" -> (q51SaltedJoin _),
+    "q52_ignore_nulls" -> (q52IgnoreNulls _),
     "q22_salted_agg" -> (q22SaltedAgg _),
     "q23_approx_distinct" -> (q23ApproxDistinct _),
     "q24_json_map" -> (q24JsonMap _),
@@ -789,6 +836,7 @@ object AnalyticQueries {
     "q47_bag_setops" -> q47Oracle,
     "q48_decimal_money" -> q48Oracle,
     "q51_salted_join" -> q51Oracle,
+    "q52_ignore_nulls" -> q52Oracle,
     "q22_salted_agg" -> q22Oracle,
     "q23_approx_distinct" -> q23Oracle,
     "q24_json_map" -> q24Oracle,

@@ -938,6 +938,89 @@ object DedupQueries {
       |ORDER BY term""".stripMargin
   }
 
+  // d23 — TF-WEIGHTED SPARSE COSINE similarity join (the AllPairs/PPJoin
+  // family): documents as sparse term-frequency vectors over word
+  // TRIGRAMS, pairs generated through the posting-list inverted index
+  // (the d02 machinery — one shuffle on the term, native PostingPairs
+  // expansion, df-capped lists), scored with the exact weighted cosine.
+  // This is the weighted complement of d02's set Jaccard: tf multiplicity
+  // matters (repeated boilerplate phrases — t19's template replicas —
+  // raise a pair's score under cosine but not under Jaccard). Trigram
+  // terms, not unigrams: the synthetic corpus draws from a ~30-word
+  // vocabulary, so every unigram is a stop-term at sf0.1 and the df cap
+  // [2, 100] would keep nothing — the trigram space is combinatorial and
+  // keeps the posting-list cost model live at every SF (the same reason
+  // d02 shingles at n = 3). Exactness: cosine² in parts-per-million by
+  // pure BIGINT arithmetic — dot²·10⁶ div (‖a‖²·‖b‖²) — no sqrt, no
+  // float fold; norms are defined over the df-kept vocabulary (the
+  // capped subspace IS the declared metric space, so the score is a true
+  // cosine there). The posting lists feed both the pair expansion and
+  // the norms from ONE materialization (localCheckpoint — the p01
+  // anti-join-diamond lesson: the two consumers prune differently, so
+  // ReuseExchange cannot fire).
+  def d23TfCosine(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 2), i -> concat_ws(' ',
+          |  element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))""".stripMargin))
+        .as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("tf"))
+    val lists = tf
+      .groupBy("term")
+      .agg(collect_list(struct(col("doc_id"), col("tf"))).as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+      .localCheckpoint()
+    val n2 = lists
+      .select(explode(col("ds")).as("dt"))
+      .select(col("dt.doc_id").as("doc_id"), col("dt.tf").as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf").cast("long") * col("tf")).as("n2"))
+    val dots = lists
+      .select(graft.functions.PostingPairs.postingPairs(col("ds"))
+        .as(Seq("doc_a", "na", "doc_b", "nb")))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("na").cast("long") * col("nb")).as("dot"))
+    dots
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .withColumn("simsq_ppm", expr("(dot * dot * 1000000) div (n2_a * n2_b)"))
+      .filter(col("simsq_ppm") >= 250000)
+      .select("doc_a", "doc_b", "dot", "n2_a", "n2_b", "simsq_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d23Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), tf AS MATERIALIZED (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS term
+      |    FROM toks WHERE len(tk) >= 3)
+      |  GROUP BY doc_id, term
+      |), kept AS (
+      |  SELECT term FROM tf GROUP BY term HAVING COUNT(*) BETWEEN 2 AND 100
+      |), ktf AS MATERIALIZED (
+      |  SELECT t.doc_id, t.term, t.tf FROM tf t JOIN kept k ON k.term = t.term
+      |), n2 AS (
+      |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM ktf GROUP BY doc_id
+      |), dots AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM ktf a JOIN ktf b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, dot, n2_a, n2_b, simsq_ppm FROM (
+      |  SELECT doc_a, doc_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+      |    CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT) AS simsq_ppm
+      |  FROM dots
+      |  JOIN n2 na ON na.doc_id = doc_a
+      |  JOIN n2 nb ON nb.doc_id = doc_b)
+      |WHERE simsq_ppm >= 250000
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -957,6 +1040,7 @@ object DedupQueries {
     "d20_incremental_dedup" -> (d20IncrementalDedup _),
     "d21_novelty_score" -> (d21NoveltyScore _),
     "d22_countmin" -> (d22CountMin _),
+    "d23_tf_cosine" -> (d23TfCosine _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -978,5 +1062,6 @@ object DedupQueries {
     "d20_incremental_dedup" -> d20Oracle,
     "d21_novelty_score" -> d21Oracle,
     "d22_countmin" -> d22Oracle,
+    "d23_tf_cosine" -> d23Oracle,
   )
 }
