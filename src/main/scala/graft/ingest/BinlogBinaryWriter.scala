@@ -367,6 +367,37 @@ object BinlogBinaryWriter {
     o.toByteArray
   }
 
+  /** UPDATE rows body (v2, type 31): same layout as [[rowsBody]] except
+    * TWO present bitmaps (before-image and after-image column sets — both
+    * full-width here, as mysqld writes with binlog_row_image=FULL), and
+    * each row is a BEFORE image followed by its AFTER image. The decoder
+    * surfaces the pair as two consecutive entries of `row_images`. */
+  def updateRowsBody(tableId: Long, nCols: Int,
+      pairs: Seq[(Seq[Option[Array[Byte]]], Seq[Option[Array[Byte]]])]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(le(tableId, 6).padTo(6, 0.toByte))
+    o.write(le(0, 2))
+    o.write(le(2, 2)) // v2 extra-data length (self-inclusive)
+    require(nCols < 251)
+    o.write(nCols)
+    val bmLen = (nCols + 7) / 8
+    val present = new Array[Byte](bmLen)
+    (0 until nCols).foreach(i => present(i / 8) = (present(i / 8) | (1 << (i % 8))).toByte)
+    o.write(present)
+    o.write(present)
+    def img(cells: Seq[Option[Array[Byte]]]): Unit = {
+      require(cells.size == nCols, "image arity mismatch")
+      val nulls = new Array[Byte](bmLen)
+      cells.zipWithIndex.foreach { case (c, i) =>
+        if (c.isEmpty) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
+      }
+      o.write(nulls)
+      cells.foreach(_.foreach(o.write))
+    }
+    pairs.foreach { case (b, a) => img(b); img(a) }
+    o.toByteArray
+  }
+
   // --------------------------------------------------------- file builder
 
   /** Accumulates events into one binlog file image. With `checksums` on,

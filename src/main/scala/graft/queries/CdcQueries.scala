@@ -2112,6 +2112,122 @@ object CdcQueries {
       |FROM ranked WHERE rn = 1 AND ct <> 'DELETE'
       |ORDER BY user_id""".stripMargin
 
+  // cdc36 — COLUMN-CHURN AUDIT from UPDATE row-image pairs: the first 150
+  // orders rows are encoded as real UpdateRowsEventV2 binary events (the
+  // two-bitmap before/after wire layout, binlog_row_image=FULL) with
+  // deterministic mutations — custkey bumped when key % 2 = 0, status
+  // rotated when key % 3 = 0, total +1.00 when key % 5 = 0, priority and
+  // the PK never touched — decoded back through the DSv2 binlog scan, and
+  // reduced to the per-column change-frequency table (n_updates,
+  // n_changed, changed-row key checksum). This is the "hot column" audit
+  // behind minimal-row-image sizing, index design, and downstream
+  // column-level CDC routing; it is also the only gate that exercises the
+  // UPDATE decode path's image PAIRING (cdc01–04 consume synthesized
+  // feeds): an off-by-one in before/after alternation flips every
+  // changed-flag and the oracle — which recomputes the expected counts
+  // from the same `orders` rows and mod rules — catches it. The pairing
+  // is a pure per-event array transform (no join, no extra shuffle); the
+  // unpivot to per-column rows is stack() over five booleans.
+  def cdc36ColumnChurn(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = writeCdc36Fixture(spark, dir)
+    val decoded = spark.read.format("binlog").load(fixtureDir)
+      .filter(col("event_type") === "UpdateRowsEventV2")
+      .select(explode(expr(
+        """transform(sequence(0, cast(size(row_images) div 2 as int) - 1),
+          |  j -> struct(element_at(row_images, 2 * j + 1) AS b,
+          |              element_at(row_images, 2 * j + 2) AS a))""".stripMargin))
+        .as("p"))
+      .select(
+        element_at(col("p.b"), 1).cast("long").as("okey"),
+        (element_at(col("p.b"), 2) =!= element_at(col("p.a"), 2)).as("ch_custkey"),
+        (element_at(col("p.b"), 3) =!= element_at(col("p.a"), 3)).as("ch_status"),
+        (element_at(col("p.b"), 4) =!= element_at(col("p.a"), 4)).as("ch_total"),
+        (element_at(col("p.b"), 5) =!= element_at(col("p.a"), 5)).as("ch_priority"),
+        (element_at(col("p.b"), 1) =!= element_at(col("p.a"), 1)).as("ch_okey"))
+    decoded
+      .select(col("okey"), expr(
+        """stack(5, 'o_custkey', ch_custkey, 'o_orderstatus', ch_status,
+          |  'o_totalprice', ch_total, 'o_orderpriority', ch_priority,
+          |  'o_orderkey', ch_okey) AS (col_name, changed)""".stripMargin))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_updates"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("changed"), col("okey")).otherwise(0L)).as("changed_key_sum"))
+      .orderBy("col_name")
+  }
+
+  /** Encode the cdc36 test vector: 150 orders rows → one binlog file of
+    * three UpdateRowsEventV2 events (50 before/after pairs each) wrapped
+    * in GTID/BEGIN/XID, with the documented mod-rule mutations. */
+  private def writeCdc36Fixture(spark: SparkSession, dir: String): String = {
+    import graft.ingest.BinlogBinaryWriter._
+    val rows = Tables.orders(spark, dir)
+      .orderBy("o_orderkey")
+      .limit(150)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        Tables.cents(col("o_totalprice")).as("cents"), col("o_orderpriority"))
+      .collect()
+    require(rows.length <= 150,
+      s"cdc36 fixture must stay a bounded test vector, got ${rows.length} rows")
+
+    val cols = Seq(
+      ColDef.longlong,          // o_orderkey (PK, never changes)
+      ColDef.long,              // o_custkey
+      ColDef.enum(1),           // o_orderstatus ordinal (F=1, O=2, P=3)
+      ColDef.newDecimal(14, 2), // o_totalprice
+      ColDef.varchar(20))       // o_orderpriority (never changes)
+
+    def pair(r: org.apache.spark.sql.Row)
+        : (Seq[Option[Array[Byte]]], Seq[Option[Array[Byte]]]) = {
+      val key = r.getLong(0)
+      val ck = r.getLong(1)
+      val ordinal = r.getString(2) match { case "F" => 1; case "O" => 2; case "P" => 3 }
+      val cents = r.getLong(3)
+      val prio = r.getString(4)
+      def img(c: Long, o: Int, t: Long): Seq[Option[Array[Byte]]] = Seq(
+        Some(encLongLong(key)), Some(encLong(c.toInt)), Some(encEnum(o, 1)),
+        Some(encNewDecimal(t, 14, 2)), Some(encVarchar(prio, 20)))
+      val afterCk = if (key % 2 == 0) ck + 1 else ck
+      val afterOrd = if (key % 3 == 0) (ordinal % 3) + 1 else ordinal
+      val afterCents = if (key % 5 == 0) cents + 100 else cents
+      (img(ck, ordinal, cents), img(afterCk, afterOrd, afterCents))
+    }
+
+    val t0 = 1714564800L
+    val sid = (1 to 16).map(_.toByte).toArray
+    val out = tmpFixtureDir("graft_cdc36_", dir)
+    out.mkdirs()
+    val f = new FileBuilder(checksums = true)
+    f.fde(t0)
+    f.event(t0, 33, gtidBody(sid, 1L))
+    f.event(t0, 2, queryBody("sf", "BEGIN"))
+    rows.grouped(50).foreach { batch =>
+      f.event(t0, 19, tableMapBody(11, "sf", "orders", cols))
+      f.event(t0, 31, updateRowsBody(11, cols.size, batch.map(pair).toSeq))
+    }
+    f.event(t0, 16, xidBody(2000L))
+    java.nio.file.Files.write(
+      new java.io.File(out, "mysql-bin.000001").toPath, f.bytes)
+    out.getPath
+  }
+
+  val cdc36Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 150
+      |), rules(col_name, sel) AS (VALUES
+      |  ('o_custkey', 2), ('o_orderstatus', 3), ('o_totalprice', 5),
+      |  ('o_orderpriority', 0), ('o_orderkey', 0))
+      |SELECT r.col_name,
+      |  COUNT(*) AS n_updates,
+      |  CAST(COUNT(*) FILTER (WHERE r.sel > 0 AND b.o_orderkey % r.sel = 0)
+      |    AS BIGINT) AS n_changed,
+      |  CAST(COALESCE(SUM(b.o_orderkey)
+      |    FILTER (WHERE r.sel > 0 AND b.o_orderkey % r.sel = 0), 0)
+      |    AS BIGINT) AS changed_key_sum
+      |FROM base b CROSS JOIN rules r
+      |GROUP BY r.col_name
+      |ORDER BY r.col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -2148,6 +2264,7 @@ object CdcQueries {
     "cdc33_table_checksum" -> (cdc33TableChecksum _),
     "cdc34_stream_sessions" -> (cdc34StreamSessions _),
     "cdc35_active_active" -> (cdc35ActiveActive _),
+    "cdc36_column_churn" -> (cdc36ColumnChurn _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2186,5 +2303,6 @@ object CdcQueries {
     "cdc33_table_checksum" -> cdc33Oracle,
     "cdc34_stream_sessions" -> cdc34Oracle,
     "cdc35_active_active" -> cdc35Oracle,
+    "cdc36_column_churn" -> cdc36Oracle,
   )
 }
