@@ -228,15 +228,74 @@ object GraphQueries {
       |ORDER BY round""".stripMargin
   }
 
+  // g04 — COMMON-NEIGHBOR LINK PREDICTION (the Liben-Nowell–Kleinberg
+  // score family): for every non-adjacent vertex pair with ≥ 2 common
+  // neighbors, the neighbor-set Jaccard — the "customers who bought
+  // these two parts' shared companions" recommendation score. Wedge
+  // enumeration is ONE self-equi-join of the edge list on the center
+  // vertex (the g02 wedge census's cost model, Σ deg² — bounded by the
+  // same weight-threshold dial); adjacency is subtracted with a LEFT
+  // ANTI join on the oriented edge set, and degrees arrive by two
+  // vertex-keyed joins. Jaccard in exact integer ppm — cn·10⁶ div
+  // (deg_a + deg_b − cn) — so the global top-25 ranking (ties by pair)
+  // is bit-stable cross-engine. The final window is a top-k over the
+  // scored-pair table, not the corpus.
+  def g04LinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint() // wedge join probes it twice
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val wedges = e.select(col("src").as("x"), col("dst").as("a"))
+      .join(e.select(col("src").as("x"), col("dst").as("b")), Seq("x"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+    val oriented = e.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val nonAdj = wedges.join(oriented, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("src").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("src").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .withColumn("jaccard_ppm",
+        expr("(cn * 1000000) div (deg_a + deg_b - cn)"))
+    val w = Window.orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+    nonAdj.withColumn("pos", row_number().over(w).cast("int"))
+      .filter(col("pos") <= 25)
+      .select("pos", "a", "b", "cn", "deg_a", "deg_b", "jaccard_ppm")
+      .orderBy("pos")
+  }
+
+  val g04Oracle: String =
+    s"""WITH $duckEdgesCte, deg AS (
+      |  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+      |), wedges AS (
+      |  SELECT ea.dst AS a, eb.dst AS b, COUNT(*) AS cn
+      |  FROM e ea JOIN e eb ON ea.src = eb.src AND ea.dst < eb.dst
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |), nonadj AS (
+      |  SELECT w.a, w.b, w.cn, da.deg AS deg_a, db.deg AS deg_b,
+      |    (w.cn * 1000000) // (da.deg + db.deg - w.cn) AS jaccard_ppm
+      |  FROM wedges w
+      |  JOIN deg da ON da.src = w.a
+      |  JOIN deg db ON db.src = w.b
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.b)
+      |)
+      |SELECT pos, a, b, cn, deg_a, deg_b, CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+      |FROM (
+      |  SELECT CAST(row_number() OVER (
+      |      ORDER BY jaccard_ppm DESC, a, b) AS INT) AS pos, *
+      |  FROM nonadj)
+      |WHERE pos <= 25 ORDER BY pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (g01Pagerank _),
     "g02_triangles" -> (g02Triangles _),
     "g03_kcore" -> (g03Kcore _),
+    "g04_link_prediction" -> (g04LinkPrediction _),
   )
 
   val oracles: Map[String, String] = Map(
     "g01_pagerank" -> g01Oracle,
     "g02_triangles" -> g02Oracle,
     "g03_kcore" -> g03Oracle,
+    "g04_link_prediction" -> g04Oracle,
   )
 }

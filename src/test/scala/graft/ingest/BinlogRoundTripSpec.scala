@@ -323,4 +323,30 @@ class BinlogRoundTripSpec extends AnyFunSuite {
       assert(got == Seq(colsAndCells.map(_._2._2)))
     }
   }
+
+  test("UpdateRowsEventV2 pairs: before/after alternation with NULL cells") {
+    // The cdc36 wire path: two present bitmaps, then (before, after) per
+    // row. A NULL appearing only on one side must not shift the other
+    // side's cells, and the alternation must hold across rows.
+    val cols = Seq(ColDef.longlong, ColDef.varchar(20), ColDef.newDecimal(10, 2))
+    def img(k: Long, s: Option[String], c: Option[Long]) = Seq(
+      Some(encLongLong(k)),
+      s.map(encVarchar(_, 20)),
+      c.map(encNewDecimal(_, 10, 2)))
+    val pairs = Seq(
+      (img(1, Some("a"), Some(100)), img(1, Some("b"), Some(100))),
+      (img(2, None, Some(250)), img(2, Some("now"), None)),
+      (img(3, Some("same"), None), img(3, Some("same"), None)))
+    val f = new FileBuilder(checksums = true)
+    f.fde(T0)
+    f.event(T0, 19, tableMapBody(7, "s", "t", cols))
+    f.event(T0 + 1, 31, updateRowsBody(7, cols.size, pairs))
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000010").toSeq
+    val up = evs.find(_.event_type == "UpdateRowsEventV2").get
+    assert(!up.extra.contains("body_decode_error"), s"decode error: ${up.extra}")
+    assert(up.row_images == Seq(
+      Seq("1", "a", "1.00"), Seq("1", "b", "1.00"),
+      Seq("2", null, "2.50"), Seq("2", "now", null),
+      Seq("3", "same", null), Seq("3", "same", null)))
+  }
 }

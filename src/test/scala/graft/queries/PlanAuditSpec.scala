@@ -261,6 +261,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       s"fold subtree leaked into the projection plan:\n$p")
   }
 
+  test("g01/g03/s34: graph plans stay vertex-keyed — no cartesian expansion") {
+    // the graph family's scale contract: every round/hop is an equi-join
+    // on a vertex key; an accidental BNLJ or cartesian would be O(V·E)
+    Seq(
+      GraphQueries.g01Pagerank(spark, dir),
+      GraphQueries.g03Kcore(spark, dir),
+      SimilarityQueries.s34GraphSearch(spark, dir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+    }
+  }
+
+  test("d23: pairs come from the posting-list generator, not a self-join of the corpus") {
+    // the sparse-cosine pair expansion must run through PostingPairs over
+    // the capped lists (the d02 cost model); a term self-join would carry
+    // the uncapped quadratic blowup of hot terms at scale
+    val p = plan(DedupQueries.d23TfCosine(spark, dir))
+    assert(p.contains("postingpairs"),
+      s"expected the PostingPairs generator in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("q46: co-bucketed join eliminates the join-side exchanges") {
     // the bucket layout — not a broadcast — must be what avoids the
     // shuffle: the plan may contain the post-join aggregate's exchange
