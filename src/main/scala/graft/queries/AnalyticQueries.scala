@@ -788,6 +788,57 @@ object AnalyticQueries {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, t, event_id""".stripMargin
 
+  // q53 — EXACT SLIDING-WINDOW DISTINCT COUNT (trailing-7-day active
+  // users per event type): the one windowed metric a plain window frame
+  // CANNOT express efficiently — COUNT(DISTINCT) over a moving frame
+  // either isn't supported (Spark) or holds a per-row distinct state.
+  // The scalable exact formulation: reduce to distinct (type, day, user)
+  // granules, EXPAND each granule to the ≤ 7 window days it covers (a
+  // 7× row multiplier — constant, not data-dependent), dedup, and count
+  // with plain hash aggregates. Every step is a bounded shuffle on its
+  // group key; no collect_set state, no per-row set union. Cover days
+  // are restricted to days present in the data (a trailing window needs
+  // no future grid). All integers — day = epoch-µs div 86 400 000 000 —
+  // so the gate is exact at every SF.
+  def q53SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val days = du.select("day").distinct()
+    val daily = du.groupBy("event_type", "day").agg(count(lit(1)).as("dau"))
+    val u7d = du
+      .select(col("event_type"), col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .distinct()
+      .groupBy("event_type", "day").agg(count(lit(1)).as("u7d"))
+    daily.join(u7d, Seq("event_type", "day"))
+      .select("event_type", "day", "dau", "u7d")
+      .orderBy("event_type", "day")
+  }
+
+  val q53Oracle: String =
+    """WITH du AS (
+      |  SELECT DISTINCT event_type,
+      |    epoch_us(ts) // 86400000000 AS day, user_id
+      |  FROM events
+      |), days AS (
+      |  SELECT DISTINCT day FROM du
+      |), daily AS (
+      |  SELECT event_type, day, COUNT(*) AS dau FROM du GROUP BY 1, 2
+      |), cov AS (
+      |  SELECT DISTINCT event_type, user_id, du.day + r.range AS day
+      |  FROM du CROSS JOIN range(7) r
+      |), u7d AS (
+      |  SELECT event_type, day, COUNT(*) AS u7d
+      |  FROM cov WHERE day IN (SELECT day FROM days)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d.event_type, d.day, d.dau, u.u7d
+      |FROM daily d JOIN u7d u ON d.event_type = u.event_type AND d.day = u.day
+      |ORDER BY d.event_type, d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
@@ -808,6 +859,7 @@ object AnalyticQueries {
     "q48_decimal_money" -> (q48DecimalMoney _),
     "q51_salted_join" -> (q51SaltedJoin _),
     "q52_ignore_nulls" -> (q52IgnoreNulls _),
+    "q53_sliding_distinct" -> (q53SlidingDistinct _),
     "q22_salted_agg" -> (q22SaltedAgg _),
     "q23_approx_distinct" -> (q23ApproxDistinct _),
     "q24_json_map" -> (q24JsonMap _),
@@ -837,6 +889,7 @@ object AnalyticQueries {
     "q48_decimal_money" -> q48Oracle,
     "q51_salted_join" -> q51Oracle,
     "q52_ignore_nulls" -> q52Oracle,
+    "q53_sliding_distinct" -> q53Oracle,
     "q22_salted_agg" -> q22Oracle,
     "q23_approx_distinct" -> q23Oracle,
     "q24_json_map" -> q24Oracle,

@@ -2228,6 +2228,98 @@ object CdcQueries {
       |GROUP BY r.col_name
       |ORDER BY r.col_name""".stripMargin
 
+  // cdc37 — SCHEMA-EPOCH ASSIGNMENT from the log itself: ALTER TABLE
+  // statements arrive as Query events INTERLEAVED with row events, and
+  // every row event must be decoded under the schema version in force at
+  // its log position — the assignment step every real CDC applier runs
+  // before it can pick the right schema from its registry (cdc19 gates
+  // the evolution semantics; this gates the epoch BOUNDARY placement).
+  // Epoch = running count of prior ALTERs on the table, a running-frame
+  // window over the total (file_seq, event_index) order — O(n), the
+  // cdc25 frame discipline; at scale the window partitions by (schema,
+  // table) since epochs are per-table. The fixture interleaves two
+  // ALTERs into 8 write batches (epochs of 2/3/3 events); the oracle
+  // recomputes the expected (rows, key-checksum) per epoch from the same
+  // `orders` rows and the fixture's deterministic batch layout, so a
+  // row event landing on the wrong side of a boundary breaks the gate.
+  def cdc37DdlEpoch(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = writeCdc37Fixture(spark, dir)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("file_seq"), col("event_index"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    spark.read.format("binlog").load(fixtureDir)
+      .withColumn("epoch",
+        sum(when(col("event_type") === "Query" &&
+          col("query").startsWith("ALTER TABLE orders"), 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(col("epoch"),
+        size(col("row_images")).cast("long").as("n_rows"),
+        expr("""aggregate(transform(row_images,
+          |  im -> cast(element_at(im, 1) as bigint)), 0L, (a, x) -> a + x)""".stripMargin)
+          .as("key_sum"))
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_events"), sum(col("n_rows")).as("n_rows"),
+        sum(col("key_sum")).as("key_sum"))
+      .orderBy("epoch")
+  }
+
+  /** Encode the cdc37 test vector: 200 orders rows → 8 WriteRows batches
+    * of 25 (each with its TableMap), with `ALTER TABLE orders ...` Query
+    * events injected after batch 2 and batch 5 — epochs of 2 / 3 / 3 row
+    * events. Single file, checksummed, GTID/BEGIN/XID-wrapped. */
+  private def writeCdc37Fixture(spark: SparkSession, dir: String): String = {
+    import graft.ingest.BinlogBinaryWriter._
+    val rows = Tables.orders(spark, dir)
+      .orderBy("o_orderkey")
+      .limit(200)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .collect()
+    require(rows.length <= 200,
+      s"cdc37 fixture must stay a bounded test vector, got ${rows.length} rows")
+
+    val cols = Seq(ColDef.longlong, ColDef.long)
+    def image(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+      Seq(Some(encLongLong(r.getLong(0))), Some(encLong(r.getLong(1).toInt)))
+
+    val t0 = 1714564800L
+    val sid = (1 to 16).map(_.toByte).toArray
+    val out = tmpFixtureDir("graft_cdc37_", dir)
+    out.mkdirs()
+    val f = new FileBuilder(checksums = true)
+    f.fde(t0)
+    f.event(t0, 33, gtidBody(sid, 1L))
+    f.event(t0, 2, queryBody("sf", "BEGIN"))
+    rows.grouped(25).zipWithIndex.foreach { case (batch, bi) =>
+      f.event(t0, 19, tableMapBody(11, "sf", "orders", cols))
+      f.event(t0, 30, rowsBody(11, cols.size, batch.map(image).toSeq))
+      if (bi == 1) f.event(t0, 2,
+        queryBody("sf", "ALTER TABLE orders ADD COLUMN note VARCHAR(20)"))
+      if (bi == 4) f.event(t0, 2,
+        queryBody("sf", "ALTER TABLE orders DROP COLUMN note"))
+    }
+    f.event(t0, 16, xidBody(3000L))
+    java.nio.file.Files.write(
+      new java.io.File(out, "mysql-bin.000001").toPath, f.bytes)
+    out.getPath
+  }
+
+  val cdc37Oracle: String =
+    """WITH ranked AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    row_number() OVER (ORDER BY o_orderkey) AS rn
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
+      |), assigned AS (
+      |  SELECT *,
+      |    CASE WHEN rn <= 50 THEN 0 WHEN rn <= 125 THEN 1 ELSE 2 END AS epoch,
+      |    ((rn - 1) // 25) AS batch
+      |  FROM ranked
+      |)
+      |SELECT CAST(epoch AS BIGINT) AS epoch,
+      |  CAST(COUNT(DISTINCT batch) AS BIGINT) AS n_events,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |FROM assigned GROUP BY epoch ORDER BY epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -2265,6 +2357,7 @@ object CdcQueries {
     "cdc34_stream_sessions" -> (cdc34StreamSessions _),
     "cdc35_active_active" -> (cdc35ActiveActive _),
     "cdc36_column_churn" -> (cdc36ColumnChurn _),
+    "cdc37_ddl_epoch" -> (cdc37DdlEpoch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2304,5 +2397,6 @@ object CdcQueries {
     "cdc34_stream_sessions" -> cdc34Oracle,
     "cdc35_active_active" -> cdc35Oracle,
     "cdc36_column_churn" -> cdc36Oracle,
+    "cdc37_ddl_epoch" -> cdc37Oracle,
   )
 }
