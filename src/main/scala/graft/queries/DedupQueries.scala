@@ -1021,6 +1021,62 @@ object DedupQueries {
       |WHERE simsq_ppm >= 250000
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // d24 — SOFT DEDUP (down-weighting instead of deletion): every document
+  // keeps weight 1/|component| over the d10 near-dup components, so a
+  // family of k near-copies contributes one document's worth of mass to
+  // the training mixture instead of k (or instead of 1 chosen arbitrarily
+  // — the alternative policies are d12's hard keeper and no dedup; soft
+  // weighting is what a sampler uses when it wants determinism without
+  // discarding coverage). Weights are exact integer ppm (10⁶ div size;
+  // the div-floor loses < 1 ppm per doc and is identical cross-engine).
+  // Output per (lang, source): raw doc count, effective ppm mass (the
+  // "deduplicated corpus size" the mixture planner reads), and the
+  // distinct components touching the group. Plan: the gated CC labeling,
+  // one component-keyed size join, one (lang, source) hash agg.
+  def d24SoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Dedup.jaccardPairs(withShingles(spark, dir), "doc_id", 0.5)
+    val comp = graft.ops.Dedup.connectedComponents(
+      Tables.documents(spark, dir).select("doc_id"), pairs,
+      "doc_id", "doc_a", "doc_b", checkpointEvery = 1)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("csize"))
+    Tables.documents(spark, dir).select("doc_id", "lang", "source")
+      .join(comp, Seq("doc_id"))
+      .join(sizes, Seq("component"))
+      .withColumn("w_ppm", expr("1000000 div csize"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w_ppm")).as("eff_ppm"),
+        countDistinct(col("component")).as("n_components"))
+      .orderBy("lang", "source")
+  }
+
+  val d24Oracle: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + pairScoredCte +
+    """, pairs AS (
+      |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+      |), sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+      |), mn AS (
+      |  SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a
+      |), comp AS (
+      |  SELECT d.doc_id, d.lang, d.source,
+      |    LEAST(COALESCE(m.m, d.doc_id), d.doc_id) AS component
+      |  FROM documents d LEFT JOIN mn m USING (doc_id)
+      |), sizes AS (
+      |  SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+      |)
+      |SELECT c.lang, c.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(1000000 // s.csize) AS BIGINT) AS eff_ppm,
+      |  CAST(COUNT(DISTINCT c.component) AS BIGINT) AS n_components
+      |FROM comp c JOIN sizes s USING (component)
+      |GROUP BY c.lang, c.source
+      |ORDER BY c.lang, c.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -1041,6 +1097,7 @@ object DedupQueries {
     "d21_novelty_score" -> (d21NoveltyScore _),
     "d22_countmin" -> (d22CountMin _),
     "d23_tf_cosine" -> (d23TfCosine _),
+    "d24_soft_dedup" -> (d24SoftDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1063,5 +1120,6 @@ object DedupQueries {
     "d21_novelty_score" -> d21Oracle,
     "d22_countmin" -> d22Oracle,
     "d23_tf_cosine" -> d23Oracle,
+    "d24_soft_dedup" -> d24Oracle,
   )
 }

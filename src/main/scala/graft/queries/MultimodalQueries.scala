@@ -323,6 +323,77 @@ object MultimodalQueries {
       |  n_frames, n_unique_frame_hashes
       |FROM b, fr""".stripMargin
 
+  // m08 — SCENE SEGMENTATION (shot-boundary detection): 8 ordered frames
+  // per media object through the decoder boundary, a boundary wherever
+  // consecutive frame hashes differ, scenes = runs of identical frames —
+  // the video-curation primitive behind per-scene sampling, scene-level
+  // dedup, and "static clip" filtering (n_scenes = 1 means every sampled
+  // frame matched). Short payloads make the stub sampler re-read
+  // overlapping byte windows, so repeated frames genuinely occur and the
+  // run-length structure is live at every SF. The natural corpus is all
+  // 8-distinct-frame objects (every doc ≥ 48 chars), so two clip classes
+  // are INJECTED deterministically — %11 replaced by a 128-byte constant
+  // payload (every 16-byte frame window is identical → one scene, the
+  // "static clip"; 128 = 8·16 so no short tail window sneaks in a
+  // boundary) and %13≡5 given a 32-byte constant prefix (the leading
+  // frames collapse into one run → a middle bucket) — keeping all three
+  // histogram regimes live. Plan: the frame explode is the narrow typed flatMap
+  // (8 rows/object); the boundary detection is one lag window per media
+  // object (8-row partitions); the histogram is a hash agg on the
+  // per-media scene count. Output pins the exact scene-count
+  // distribution and which media land in each bucket.
+  def m08SceneSegments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, lit("b" * 128))
+          .when(col("doc_id") % 13 === 5,
+            concat(lit("a" * 32), substring(col("text"), 1, 32)))
+          .otherwise(col("text")).as("text"),
+        lit("video").as("kind"), lit("video/fake").as("mime"))
+    val media = MediaPipeline.fromBinary(
+      docs.withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "kind", "mime")
+    val frames = MediaPipeline.sampleFrames(media, n = 8)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"),
+        expr("CAST(conv(substr(md5(frame), 1, 8), 16, 10) AS BIGINT)").as("h"))
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    val scenes = frames
+      .withColumn("prev", lag(col("h"), 1).over(w))
+      .groupBy("media_id")
+      .agg(sum(when(col("prev").isNull || col("prev") =!= col("h"), 1L)
+        .otherwise(0L)).as("n_scenes"))
+    scenes.groupBy("n_scenes")
+      .agg(count(lit(1)).as("n_media"), sum(col("media_id")).as("media_id_sum"))
+      .orderBy("n_scenes")
+  }
+
+  val m08Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN repeat('b', 128)
+      |         WHEN doc_id % 13 = 5 THEN repeat('a', 32) || substr(text, 1, 32)
+      |         ELSE text END AS text
+      |  FROM documents
+      |), f AS (
+      |  SELECT media_id, i,
+      |    CAST(('0x' || substr(md5(
+      |      substr(text, ((i*strlen(text))//8 % strlen(text)) + 1,
+      |             LEAST(16, strlen(text) - ((i*strlen(text))//8 % strlen(text))))
+      |    ), 1, 8)) AS BIGINT) AS h
+      |  FROM m, generate_series(0, 7) t(i)
+      |), runs AS (
+      |  SELECT media_id,
+      |    SUM(CASE WHEN prev IS NULL OR prev <> h THEN 1 ELSE 0 END) AS n_scenes
+      |  FROM (SELECT media_id, h,
+      |          lag(h) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      |        FROM f)
+      |  GROUP BY media_id
+      |)
+      |SELECT CAST(n_scenes AS BIGINT) AS n_scenes, COUNT(*) AS n_media,
+      |  CAST(SUM(media_id) AS BIGINT) AS media_id_sum
+      |FROM runs GROUP BY n_scenes ORDER BY n_scenes""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_samples" -> (m02FrameSamples _),
@@ -331,6 +402,7 @@ object MultimodalQueries {
     "m05_frame_dedup" -> (m05FrameDedup _),
     "m06_crossmodal_search" -> (m06CrossModalSearch _),
     "m07_media_manifest" -> (m07MediaManifest _),
+    "m08_scene_segments" -> (m08SceneSegments _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,5 +413,6 @@ object MultimodalQueries {
     "m05_frame_dedup" -> m05Oracle,
     "m06_crossmodal_search" -> m06Oracle,
     "m07_media_manifest" -> m07Oracle,
+    "m08_scene_segments" -> m08Oracle,
   )
 }
