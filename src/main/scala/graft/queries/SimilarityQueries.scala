@@ -2514,6 +2514,130 @@ object SimilarityQueries {
       |WHERE s.rank <= 3
       |ORDER BY s.query_id, s.rank""".stripMargin
 
+  // s35 — OPQ-STYLE ROTATED PQ distortion (the OPQ/ITQ family's core
+  // claim, measured): rotate every vector by the Householder reflection
+  // H = I − 2uuᵀ/(u·u) with u = v − e₁ (v = s32's power-iteration axis),
+  // which maps the corpus's dominant direction onto coordinate axis 1 —
+  // energy that previously SPANNED subspaces now concentrates in
+  // subspace 0 — then train and encode PQ on the rotated corpus and
+  // report per-subspace quantization error next to the identity
+  // baseline (s22's diagnostic, two variants side by side). This is the
+  // decision table an index builder reads to choose OPQ-vs-PQ; the gate
+  // pins both codebook lineages and every per-subspace error. Exactness:
+  // u and u₂ = 2u/(u·u) derive from v by the SAME ascending fold /
+  // division dag on both engines (driver fold == DuckDB list_sum; the
+  // rotation is s33's project-subtract-cast-to-float shape with u₂ as
+  // the projection axis and u as the subtraction axis); per-row errors
+  // floor to micros before the corpus sum. Plan: rotation is a narrow
+  // map (axis literals, no join); each arm is s22's single-scan shape;
+  // the rotated table materializes once (localCheckpoint) so codebook
+  // build and encode share it.
+  def s35OpqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val m = 8
+    val emb = Tables.embeddings(spark, dir)
+    def arm(src: DataFrame, variant: String): DataFrame = {
+      val cent = graft.ops.Similarity.buildCentroids(src, dim = 64, chunks = centroidChunks)
+      val codebook = graft.ops.Similarity.collectCodebook(cent)
+      src.select(col("vec_id"),
+          PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"),
+          col("embedding"))
+        .select(posexplode(PqFunctions.pqSqError(
+          col("embedding"), col("codes"), codebook, m)).as(Seq("subspace", "err")))
+        .select(lit(variant).as("variant"), col("subspace"),
+          floor(col("err") * 1000000d).cast("long").as("err_micros"))
+    }
+    val v = powerAxis(spark, dir)
+    val u = v.zipWithIndex.map { case (x, i) => if (i == 0) x - 1.0 else x }
+    val uu = u.foldLeft(0.0)((a, x) => a + x * x)
+    require(uu > 1e-12, s"degenerate rotation: power axis is e1 (u·u = $uu)")
+    val u2 = u.map(x => 2.0 * x / uu)
+    val ulit = array(u.map(lit): _*)
+    val rot = emb.withColumn("w", dotAxis(u2))
+      .select(col("label"), col("vec_id"),
+        zip_with(col("embedding"), ulit,
+          (x: Column, p: Column) =>
+            (x.cast("double") - col("w") * p).cast("float")).as("embedding"))
+      .localCheckpoint() // codebook build + encode share one materialization
+    arm(emb.select("label", "vec_id", "embedding"), "identity")
+      .unionByName(arm(rot, "opq"))
+      .groupBy("variant", "subspace")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_micros")).as("err_micros_sum"),
+        max(col("err_micros")).as("max_err_micros"))
+      .orderBy("variant", "subspace")
+  }
+
+  val s35Oracle: String = {
+    val m = 8
+    // s22's error-CTE block, parameterized over (source relation, embedding
+    // column, centroid suffix) so the identity and rotated arms cannot
+    // drift from the gated s22 formulation
+    def errCtes(sfx: String, src: String, embCol: String, centSfx: String): String = {
+      def subDot(a: String, b: String, s: Int) =
+        s"list_sum(list_transform(range(1, 9), i -> CAST($a[${s * 8} + i] AS DOUBLE) * CAST($b[${s * 8} + i] AS DOUBLE)))"
+      val eds = (0 until m).map(s =>
+        s"    ${subDot(s"e.$embCol", "c.cf", s)} AS d$s").mkString(",\n")
+      val rns = (0 until m).map(s =>
+        s"    row_number() OVER (PARTITION BY vec_id ORDER BY d$s DESC, clabel) AS r$s").mkString(",\n")
+      val codeCols = (0 until m).map(s =>
+        s"    MAX(CASE WHEN r$s = 1 THEN clabel END) AS code$s").mkString(",\n")
+      val codeList = (0 until m).map(s => s"co.code$s").mkString("[", ", ", "]")
+      val diff = s"(CAST(e.$embCol[s.s*8 + i] AS DOUBLE) - CAST(c.cf[s.s*8 + i] AS DOUBLE))"
+      s"""ecd$sfx AS (
+        |  SELECT e.vec_id, c.clabel,
+        |$eds
+        |  FROM $src e CROSS JOIN cent$centSfx c
+        |), er$sfx AS (
+        |  SELECT vec_id, clabel,
+        |$rns
+        |  FROM ecd$sfx
+        |), codes$sfx AS (
+        |  SELECT vec_id,
+        |$codeCols
+        |  FROM er$sfx GROUP BY vec_id
+        |), err$sfx AS (
+        |  SELECT e.vec_id, CAST(s.s AS INT) AS subspace,
+        |    CAST(floor(list_sum(list_transform(range(1, 9), i ->
+        |      $diff * $diff)) * 1000000.0) AS BIGINT) AS err_micros
+        |  FROM $src e
+        |  JOIN codes$sfx co USING (vec_id),
+        |  LATERAL (SELECT unnest(range(0, $m)) AS s) s
+        |  JOIN cent$centSfx c ON c.clabel = $codeList[s.s + 1]
+        |)""".stripMargin
+    }
+    def armSelect(variant: String, sfx: String): String =
+      s"""SELECT '$variant' AS variant, subspace, COUNT(*) AS n_vecs,
+        |  CAST(SUM(err_micros) AS BIGINT) AS err_micros_sum,
+        |  CAST(MAX(err_micros) AS BIGINT) AS max_err_micros
+        |FROM err$sfx GROUP BY subspace""".stripMargin
+    s"""WITH $duckPowerCtes, hu AS (
+      |  SELECT list_transform(range(1, 65),
+      |    i -> v[i] - CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS u
+      |  FROM v3
+      |), hu2 AS (
+      |  SELECT u, list_transform(u, x -> 2.0 * x / uu) AS u2 FROM (
+      |    SELECT u, list_sum(list_transform(u, x -> x * x)) AS uu FROM hu)
+      |), rw AS (
+      |  SELECT e.vec_id, e.label, e.embedding, t.u,
+      |    list_sum(list_transform(list_zip(e.embedding, t.u2),
+      |      z -> CAST(z[1] AS DOUBLE) * z[2])) AS w
+      |  FROM embeddings e, hu2 t
+      |), rot AS (
+      |  SELECT vec_id, label, list_transform(range(1, 65),
+      |    d -> CAST(CAST(embedding[d] AS DOUBLE) - w * u[d] AS FLOAT)) AS r
+      |  FROM rw
+      |), ${duckCentroidCtes(64, centroidChunks)},
+      |${duckCentroidCtes(64, centroidChunks, src = "rot", sfx = "r", embCol = "r")},
+      |${errCtes("_i", "embeddings", "embedding", "")},
+      |${errCtes("_r", "rot", "r", "r")}
+      |SELECT variant, subspace, n_vecs, err_micros_sum, max_err_micros FROM (
+      |  ${armSelect("identity", "_i")}
+      |  UNION ALL
+      |  ${armSelect("opq", "_r")})
+      |ORDER BY variant, subspace""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -2549,6 +2673,7 @@ object SimilarityQueries {
     "s32_power_iteration" -> (s32PowerIteration _),
     "s33_pca_residual_search" -> (s33PcaResidualSearch _),
     "s34_graph_search" -> (s34GraphSearch _),
+    "s35_opq_distortion" -> (s35OpqDistortion _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2590,6 +2715,7 @@ object SimilarityQueries {
     "s32_power_iteration" -> s32Oracle,
     "s33_pca_residual_search" -> s33Oracle,
     "s34_graph_search" -> s34Oracle,
+    "s35_opq_distortion" -> s35Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
