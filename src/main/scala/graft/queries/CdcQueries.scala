@@ -2320,6 +2320,85 @@ object CdcQueries {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
       |FROM assigned GROUP BY epoch ORDER BY epoch""".stripMargin
 
+  // cdc38 — GTID-SET COVERAGE AUDIT: the `gtid_executed`-interval math a
+  // replication operator runs to answer "which transactions am I
+  // missing?" — per source UUID, the contiguous GNO intervals actually
+  // present in the log and the holes between them. The fixture writes
+  // REAL Gtid events for two source servers with deterministic holes
+  // (uuid A: gno 1–40 skipping multiples of 7; uuid B: 1–25 skipping
+  // multiples of 11), interleaved in log order; the engine recovers
+  // intervals with the gaps-and-islands rule (gno − row_number over the
+  // per-uuid gno order — one shuffle on the uuid, O(n) windows), and the
+  // oracle regenerates the same sets from the hole rules. A decoder that
+  // drops or duplicates a Gtid event, or mis-formats the uuid, moves
+  // interval/hole counts. At scale the uuid is the natural partition key
+  // (a fleet has few sources, each with millions of gnos — the window is
+  // per-uuid ordered, range-partitionable).
+  def cdc38GtidCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = writeCdc38Fixture(spark, dir)
+    val W = org.apache.spark.sql.expressions.Window
+    val g = spark.read.format("binlog").load(fixtureDir)
+      .filter(col("event_type") === "Gtid")
+      .select(substring_index(col("gtid_next"), ":", 1).as("uuid"),
+        substring_index(col("gtid_next"), ":", -1).cast("long").as("gno"))
+    g.withColumn("grp",
+        col("gno") - row_number().over(W.partitionBy("uuid").orderBy("gno")))
+      .groupBy("uuid")
+      .agg(count(lit(1)).as("n_txns"),
+        countDistinct(col("grp")).as("n_intervals"),
+        min(col("gno")).as("min_gno"), max(col("gno")).as("max_gno"),
+        (max(col("gno")) - min(col("gno")) + 1 - count(lit(1))).as("n_missing"))
+      .orderBy("uuid")
+  }
+
+  /** Encode the cdc38 test vector: interleaved GTID+BEGIN+XID transactions
+    * from two source UUIDs with deterministic GNO holes. */
+  private def writeCdc38Fixture(spark: SparkSession, dir: String): String = {
+    import graft.ingest.BinlogBinaryWriter._
+    val t0 = 1714564800L
+    val sidA = (1 to 16).map(_.toByte).toArray
+    val sidB = (101 to 116).map(_.toByte).toArray
+    val out = tmpFixtureDir("graft_cdc38_", dir)
+    out.mkdirs()
+    val f = new FileBuilder(checksums = true)
+    f.fde(t0)
+    val txns =
+      (1 to 40).filter(_ % 7 != 0).map(g => (sidA, g.toLong)) ++
+        (1 to 25).filter(_ % 11 != 0).map(g => (sidB, g.toLong))
+    // interleave in a deterministic round-robin-ish log order: sort by gno
+    // then uuid so the two sources' transactions alternate through the file
+    txns.sortBy { case (sid, g) => (g, sid(0).toInt) }.zipWithIndex.foreach {
+      case ((sid, gno), i) =>
+        f.event(t0, 33, gtidBody(sid, gno))
+        f.event(t0, 2, queryBody("sf", "BEGIN"))
+        f.event(t0, 16, xidBody(10000L + i))
+    }
+    java.nio.file.Files.write(
+      new java.io.File(out, "mysql-bin.000001").toPath, f.bytes)
+    out.getPath
+  }
+
+  val cdc38Oracle: String =
+    """WITH g AS (
+      |  SELECT '01020304-0506-0708-090a-0b0c0d0e0f10' AS uuid,
+      |    CAST(r.range + 1 AS BIGINT) AS gno
+      |  FROM range(40) r WHERE (r.range + 1) % 7 <> 0
+      |  UNION ALL
+      |  SELECT '65666768-696a-6b6c-6d6e-6f7071727374',
+      |    CAST(r.range + 1 AS BIGINT)
+      |  FROM range(25) r WHERE (r.range + 1) % 11 <> 0
+      |), isl AS (
+      |  SELECT uuid, gno,
+      |    gno - row_number() OVER (PARTITION BY uuid ORDER BY gno) AS grp
+      |  FROM g
+      |)
+      |SELECT uuid, COUNT(*) AS n_txns,
+      |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_intervals,
+      |  CAST(MIN(gno) AS BIGINT) AS min_gno,
+      |  CAST(MAX(gno) AS BIGINT) AS max_gno,
+      |  CAST(MAX(gno) - MIN(gno) + 1 - COUNT(*) AS BIGINT) AS n_missing
+      |FROM isl GROUP BY uuid ORDER BY uuid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -2358,6 +2437,7 @@ object CdcQueries {
     "cdc35_active_active" -> (cdc35ActiveActive _),
     "cdc36_column_churn" -> (cdc36ColumnChurn _),
     "cdc37_ddl_epoch" -> (cdc37DdlEpoch _),
+    "cdc38_gtid_coverage" -> (cdc38GtidCoverage _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2398,5 +2478,6 @@ object CdcQueries {
     "cdc35_active_active" -> cdc35Oracle,
     "cdc36_column_churn" -> cdc36Oracle,
     "cdc37_ddl_epoch" -> cdc37Oracle,
+    "cdc38_gtid_coverage" -> cdc38Oracle,
   )
 }

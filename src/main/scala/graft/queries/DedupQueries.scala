@@ -1077,6 +1077,94 @@ object DedupQueries {
       |GROUP BY c.lang, c.source
       |ORDER BY c.lang, c.source""".stripMargin
 
+  // d25 — NEAR-DUP-AWARE SPLIT LEAKAGE (the eval-integrity table): a
+  // train/test split drawn per DOCUMENT leaks — near-duplicate pairs
+  // straddle the boundary and the test set is contaminated by
+  // construction; splitting per near-dup COMPONENT (every doc inherits
+  // its d10 component's assignment) makes straddling impossible. This
+  // query runs BOTH policies over the same deterministic assignment rule
+  // (residue-5 on doc_id vs on component label) and reports the
+  // straddling-pair count side by side — nonzero for the naive arm
+  // (data-dependent, live at every SF), structurally zero for the
+  // component arm, and the gate pins that the implementation actually
+  // achieves the zero (a broken component join resurrects leaks). This
+  // is t16's grouped-split argument upgraded from exact-key groups to
+  // the transitive near-dup closure. Plan: the gated pair+CC subtrees,
+  // two id-keyed assignment joins per arm, two hash aggs.
+  def d25SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val pairs = graft.ops.Dedup.jaccardPairs(withShingles(spark, dir), "doc_id", 0.5)
+      .select("doc_a", "doc_b").localCheckpoint() // probed by both arms
+    val comp = graft.ops.Dedup.connectedComponents(
+      docs, pairs.toDF(), "doc_id", "doc_a", "doc_b", checkpointEvery = 1)
+    def arm(assign: DataFrame, policy: String): DataFrame = {
+      val a = assign.select(col("doc_id").as("doc_a"), col("is_train").as("tr_a"))
+      val b = assign.select(col("doc_id").as("doc_b"), col("is_train").as("tr_b"))
+      val leaks = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("tr_a") =!= col("tr_b"), 1L).otherwise(0L)).as("n_leaky_pairs"))
+      val counts = assign.agg(
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test"))
+      counts.crossJoin(leaks).select(lit(policy).as("policy"),
+        col("n_train"), col("n_test"), col("n_pairs"), col("n_leaky_pairs"))
+    }
+    val naive = docs.withColumn("is_train", col("doc_id") % 5 =!= 0)
+    val byComp = comp.withColumn("is_train", col("component") % 5 =!= 0)
+      .select("doc_id", "is_train")
+    arm(naive, "per_document").unionByName(arm(byComp, "per_component"))
+      .orderBy("policy")
+  }
+
+  val d25Oracle: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + pairScoredCte +
+    """, pairs AS (
+      |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+      |), sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+      |), mn AS (
+      |  SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a
+      |), comp AS (
+      |  SELECT d.doc_id,
+      |    LEAST(COALESCE(m.m, d.doc_id), d.doc_id) AS component
+      |  FROM documents d LEFT JOIN mn m USING (doc_id)
+      |), naive AS (
+      |  SELECT doc_id, doc_id % 5 <> 0 AS is_train FROM documents
+      |), bycomp AS (
+      |  SELECT doc_id, component % 5 <> 0 AS is_train FROM comp
+      |), arms AS (
+      |  SELECT 'per_document' AS policy, a.is_train AS tr_a, b.is_train AS tr_b
+      |  FROM pairs p JOIN naive a ON a.doc_id = p.doc_a
+      |  JOIN naive b ON b.doc_id = p.doc_b
+      |  UNION ALL
+      |  SELECT 'per_component', a.is_train, b.is_train
+      |  FROM pairs p JOIN bycomp a ON a.doc_id = p.doc_a
+      |  JOIN bycomp b ON b.doc_id = p.doc_b
+      |), leak AS (
+      |  SELECT policy, COUNT(*) AS n_pairs,
+      |    CAST(SUM(CASE WHEN tr_a <> tr_b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_leaky_pairs
+      |  FROM arms GROUP BY policy
+      |), counts AS (
+      |  SELECT 'per_document' AS policy,
+      |    CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |    CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+      |  FROM naive
+      |  UNION ALL
+      |  SELECT 'per_component',
+      |    CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM bycomp
+      |)
+      |SELECT c.policy, c.n_train, c.n_test, l.n_pairs, l.n_leaky_pairs
+      |FROM counts c JOIN leak l USING (policy)
+      |ORDER BY c.policy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -1098,6 +1186,7 @@ object DedupQueries {
     "d22_countmin" -> (d22CountMin _),
     "d23_tf_cosine" -> (d23TfCosine _),
     "d24_soft_dedup" -> (d24SoftDedup _),
+    "d25_split_leakage" -> (d25SplitLeakage _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1121,5 +1210,6 @@ object DedupQueries {
     "d22_countmin" -> d22Oracle,
     "d23_tf_cosine" -> d23Oracle,
     "d24_soft_dedup" -> d24Oracle,
+    "d25_split_leakage" -> d25Oracle,
   )
 }
