@@ -897,6 +897,49 @@ object RelationalQueries {
       |) t
       |ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""".stripMargin
 
+  // q54 — CORRELATED SCALAR-AGGREGATE subqueries (the decorrelation
+  // planner's core case): customers above their own nation's average
+  // balance, written as two correlated scalar subqueries against the
+  // same derived table — exactly the shape Catalyst must rewrite into
+  // aggregate + join (RewriteCorrelatedScalarSubquery); the window/join
+  // formulations elsewhere (q29/q30) are the contrast family, this one
+  // gates the SQL-surface rewrite itself. The above-average predicate is
+  // kept in pure integers (cents·count > sum-of-cents) so no float mean
+  // ever materializes — the cross-engine-exact form of `bal > AVG(bal)`.
+  def q54CorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_q54_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_q54_nation")
+    spark.sql(
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM graft_q54_customer
+        |)
+        |SELECT n.n_name, COUNT(*) AS n_above,
+        |  CAST(SUM(c.c_custkey) AS BIGINT) AS key_sum
+        |FROM c JOIN graft_q54_nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.cents * (SELECT COUNT(*) FROM c c2
+        |                 WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(c3.cents) FROM c c3
+        |       WHERE c3.c_nationkey = c.c_nationkey)
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+
+  val q54Oracle: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |)
+      |SELECT n.n_name, COUNT(*) AS n_above,
+      |  CAST(SUM(c.c_custkey) AS BIGINT) AS key_sum
+      |FROM c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE c.cents * (SELECT COUNT(*) FROM c c2
+      |                 WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT SUM(c3.cents) FROM c c3
+      |       WHERE c3.c_nationkey = c.c_nationkey)
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
   // q50 — RANGE-frame windows (value-based frames): each order's
   // trailing-30-day count and revenue within its customer — the
   // rolling-metric family where the frame is defined by the ORDER
@@ -960,6 +1003,7 @@ object RelationalQueries {
     "q46_bucketed_join" -> (q46BucketedJoin _),
     "q49_lateral_topn" -> (q49LateralTopN _),
     "q50_range_frame" -> (q50RangeFrame _),
+    "q54_correlated_agg" -> (q54CorrelatedAgg _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
@@ -989,6 +1033,7 @@ object RelationalQueries {
     "q46_bucketed_join" -> q46Oracle,
     "q49_lateral_topn" -> q49Oracle,
     "q50_range_frame" -> q50Oracle,
+    "q54_correlated_agg" -> q54Oracle,
     "q34_quantile_sketch" -> q34Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,

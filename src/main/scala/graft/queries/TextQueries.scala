@@ -1076,6 +1076,54 @@ object TextQueries {
       |FROM fp JOIN thr ON fp.fp <= thr.threshold CROSS JOIN tot
       |GROUP BY threshold, total_tokens ORDER BY threshold""".stripMargin
 
+  // t26 — TOKENIZER FERTILITY PROFILE per language: chars-per-token and
+  // bytes-per-char ratios — the two numbers a tokenizer-budget plan
+  // reads (fertility decides how many TOKENS a byte budget buys per
+  // language; bytes-per-char exposes multi-byte scripts that make byte
+  // budgets lie about character volume). All masses are exact integers
+  // (char count, whitespace-token count, UTF-8 octet count) with ratios
+  // in div-floored ppm. The raw corpus is ASCII, so a CJK phrase is
+  // INJECTED deterministically (%17 prefix) to keep the bytes≠chars arm
+  // live — t22's script-audit injection discipline. Engine-fn mapping
+  // pinned by the gate: Spark `length`/`octet_length` == DuckDB
+  // `length`/`strlen` (characters vs octets). One scan, one hash agg.
+  def t26Fertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(col("doc_id") % 17 === 0, concat(lit("模型训练数据 "), col("text")))
+          .otherwise(col("text")).as("text"))
+    docs
+      .select(col("lang"), length(col("text")).cast("long").as("chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("chars"),
+        sum(col("toks")).as("tokens"),
+        sum(col("bytes")).as("bytes_utf8"))
+      .withColumn("chars_per_token_ppm", expr("(chars * 1000000) div tokens"))
+      .withColumn("bytes_per_char_ppm", expr("(bytes_utf8 * 1000000) div chars"))
+      .orderBy("lang")
+  }
+
+  val t26Oracle: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CASE WHEN doc_id % 17 = 0 THEN '模型训练数据 ' || text
+      |         ELSE text END AS text
+      |  FROM documents
+      |), m AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(length(text)) AS BIGINT) AS chars,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+      |    CAST(SUM(strlen(text)) AS BIGINT) AS bytes_utf8
+      |  FROM d GROUP BY lang
+      |)
+      |SELECT lang, n_docs, chars, tokens, bytes_utf8,
+      |  CAST((chars * 1000000) // tokens AS BIGINT) AS chars_per_token_ppm,
+      |  CAST((bytes_utf8 * 1000000) // chars AS BIGINT) AS bytes_per_char_ppm
+      |FROM m ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -1102,6 +1150,7 @@ object TextQueries {
     "t23_rag_chunks" -> (t23RagChunks _),
     "t24_collocations" -> (t24Collocations _),
     "t25_heaps_curve" -> (t25HeapsCurve _),
+    "t26_fertility" -> (t26Fertility _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1130,5 +1179,6 @@ object TextQueries {
     "t23_rag_chunks" -> t23Oracle,
     "t24_collocations" -> t24Oracle,
     "t25_heaps_curve" -> t25Oracle,
+    "t26_fertility" -> t26Oracle,
   )
 }
