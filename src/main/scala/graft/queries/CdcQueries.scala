@@ -2399,6 +2399,51 @@ object CdcQueries {
       |  CAST(MAX(gno) - MIN(gno) + 1 - COUNT(*) AS BIGINT) AS n_missing
       |FROM isl GROUP BY uuid ORDER BY uuid""".stripMargin
 
+  // cdc39 — STREAMING multi-table fan-out (cdc30's routing in its
+  // streaming role): the change feed drains through `writeStream
+  // .partitionBy(tbl)` into a route-partitioned parquet layout — the
+  // Debezium-consumer-to-lakehouse shape, where the SINK's physical
+  // layout IS the routing — and the per-table snapshot summary is then
+  // computed from the read-back files, against cdc30's unchanged oracle.
+  // A mismatch with a green cdc30 isolates the streaming path: micro-
+  // batch planning, the partitioned sink commit protocol, or partition-
+  // column round-tripping (tbl leaves the data files and returns via
+  // directory discovery). Empty-feed guard: pre-created dir + explicit
+  // schema (the cdc12 lesson — zero micro-batches leave no files, and
+  // inference would throw where an empty snapshot is correct).
+  def cdc39StreamRoute(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc39_", dir)
+    val feedDir = new java.io.File(root, "feed").getPath
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val feed = cdc17Feed(spark, dir)
+    feed.write.mode("overwrite").json(feedDir)
+    withDrainPartitions(spark) {
+      val s = spark.readStream.schema(feed.schema).json(feedDir)
+        .withColumn("tbl", when(col("user_id") % 2 === 0, "users_even")
+          .otherwise("users_odd"))
+      val q = s.writeStream.format("parquet")
+        .partitionBy("tbl")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    new java.io.File(sink).mkdirs()
+    val drained = spark.read
+      .schema("user_id BIGINT, src_ms BIGINT, ct STRING, pos BIGINT, tbl STRING")
+      .parquet(sink)
+    drained
+      .groupBy("tbl", "user_id")
+      .agg(max_by(col("ct"), struct(col("src_ms"), col("pos"))).as("last_ct"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last_ct") =!= "DELETE")
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_keys"), sum(col("user_id")).as("key_checksum"),
+        sum(col("n_changes")).as("n_changes_total"))
+      .orderBy("tbl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -2438,6 +2483,7 @@ object CdcQueries {
     "cdc36_column_churn" -> (cdc36ColumnChurn _),
     "cdc37_ddl_epoch" -> (cdc37DdlEpoch _),
     "cdc38_gtid_coverage" -> (cdc38GtidCoverage _),
+    "cdc39_stream_route" -> (cdc39StreamRoute _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2479,5 +2525,6 @@ object CdcQueries {
     "cdc36_column_churn" -> cdc36Oracle,
     "cdc37_ddl_epoch" -> cdc37Oracle,
     "cdc38_gtid_coverage" -> cdc38Oracle,
+    "cdc39_stream_route" -> cdc30Oracle, // same routing summary, streamed
   )
 }
