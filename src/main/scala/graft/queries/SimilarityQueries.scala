@@ -2435,6 +2435,15 @@ object SimilarityQueries {
       .join(broadcast(proto), Seq("cluster"))
       .select("query_id", "qv", "entry_id")
       .localCheckpoint() // tiny; anchors entry/ball/re-rank to one snapshot
+    graphBallSearch(edges, q, emb)
+  }
+
+  /** The s34/s36 shared search body: closed 2-hop ball around each query's
+    * entry node over the directed kNN `edges`, exact cosine re-rank top-3.
+    * `q` carries (query_id, qv, entry_id); one definition so the inline
+    * and persisted-index routes cannot drift. */
+  private def graphBallSearch(edges: DataFrame, q: DataFrame,
+      emb: DataFrame): DataFrame = {
     val h1 = q.select(col("query_id"), col("entry_id").as("id_a"))
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
@@ -2457,6 +2466,62 @@ object SimilarityQueries {
       .select(col("query_id"), col("entry_id"), col("n_cand"), col("rank"),
         col("cand").as("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
+
+  // s36 — the GRAPH INDEX PERSISTED (DiskANN's disk story for the s34
+  // search): the three index artifacts — the directed kNN edge list, the
+  // per-cluster entry prototypes, and the vec→cluster assignment — are
+  // written to parquet once and the search re-derives EVERYTHING from
+  // the read-back (no centroid recompute, no graph rebuild: a pure
+  // graph-index lookup, which is the point of a persisted navigable
+  // graph). Shares s34's oracle — a mismatch with a green s34 isolates
+  // persistence: long/float round-trips, partition-column typing, or
+  // build/search drift. Raw vectors for the exact re-rank come from the
+  // corpus table, as on-disk graph indexes do (the graph is the index;
+  // vectors stay in their own store).
+  def s36GraphPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val root = CdcQueries.tmpFixtureDir("graft_s36_", dir)
+    root.mkdirs()
+    val emb = Tables.embeddings(spark, dir)
+    // ---- build (once): s34's exact index structures ----
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val wk = Window.partitionBy("cluster", "id_a")
+      .orderBy(col("cos").desc, col("id_b"))
+    l.join(r, Seq("cluster"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 3)
+      .select("id_a", "id_b")
+      .write.mode("overwrite").parquet(new java.io.File(root, "edges").getPath)
+    val wp = Window.partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
+    assigned
+      .join(broadcast(cent.withColumnRenamed("clabel", "cluster")), Seq("cluster"))
+      .withColumn("ccos", cosineSim(col("embedding"), col("cf")))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("vec_id").as("entry_id"))
+      .write.mode("overwrite").parquet(new java.io.File(root, "proto").getPath)
+    assigned.select("vec_id", "cluster")
+      .write.mode("overwrite").parquet(new java.io.File(root, "assign").getPath)
+    // ---- search (from the persisted artifacts only) ----
+    val edgesR = spark.read.parquet(new java.io.File(root, "edges").getPath)
+    val protoR = spark.read.parquet(new java.io.File(root, "proto").getPath)
+    val assignR = spark.read.parquet(new java.io.File(root, "assign").getPath)
+    val q = assignR.filter(col("vec_id") % 50 === 0)
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster"))
+      .join(broadcast(protoR), Seq("cluster"))
+      .select("query_id", "qv", "entry_id")
+      .localCheckpoint()
+    graphBallSearch(edgesR, q, emb)
   }
 
   val s34Oracle: String =
@@ -2674,6 +2739,7 @@ object SimilarityQueries {
     "s33_pca_residual_search" -> (s33PcaResidualSearch _),
     "s34_graph_search" -> (s34GraphSearch _),
     "s35_opq_distortion" -> (s35OpqDistortion _),
+    "s36_graph_persisted" -> (s36GraphPersisted _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2716,6 +2782,7 @@ object SimilarityQueries {
     "s33_pca_residual_search" -> s33Oracle,
     "s34_graph_search" -> s34Oracle,
     "s35_opq_distortion" -> s35Oracle,
+    "s36_graph_persisted" -> s34Oracle, // same search, persisted graph index
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
