@@ -285,11 +285,71 @@ object GraphQueries {
       |  FROM nonadj)
       |WHERE pos <= 25 ORDER BY pos""".stripMargin
 
+  // g05 — LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan et al.'s LPA,
+  // made deterministic): labels start as vertex ids; each synchronous
+  // round every vertex adopts the label most frequent among its
+  // neighbors, ties broken by the SMALLEST label (LPA's classic
+  // nondeterminism — random tie-breaks and visit order — is replaced by
+  // a total order so the gate can pin the result; 2 unrolled rounds).
+  // Distinct from d10/g03: CC propagates min over any connectivity, LPA
+  // aggregates neighbor MAJORITY — it splits a connected graph into
+  // dense communities. Each round = one dst-keyed join to fetch neighbor
+  // labels + one (vertex, label) count agg + one per-vertex argmax
+  // (min_by on (−cnt, label) — an aggregate, not a sort); labels
+  // materialize between rounds (the g01 discipline). Output pins the
+  // full community census: per final label, size + member checksum.
+  def g05LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint()
+    val verts = e.select(col("src").as("v")).distinct()
+    var labels = verts.select(col("v"), col("v").as("lbl")).localCheckpoint()
+    for (_ <- 1 to 2) {
+      val nbr = e.join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val adopted = nbr.groupBy("v")
+        .agg(min_by(col("lbl"), struct((-col("cnt")).as("nc"), col("lbl")))
+          .as("new_lbl"))
+      labels = verts
+        .join(adopted, Seq("v"), "left")
+        .join(labels, Seq("v"))
+        .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("v")).as("member_sum"))
+      .orderBy("community")
+  }
+
+  val g05Oracle: String = {
+    def round(k: Int): String =
+      s"""nbr$k AS MATERIALIZED (
+        |  SELECT e.src AS v, l.lbl, COUNT(*) AS cnt
+        |  FROM e JOIN l${k - 1} l ON l.v = e.dst
+        |  GROUP BY e.src, l.lbl
+        |), ad$k AS MATERIALIZED (
+        |  SELECT v, lbl AS new_lbl FROM (
+        |    SELECT v, lbl,
+        |      row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+        |    FROM nbr$k)
+        |  WHERE rn = 1
+        |), l$k AS MATERIALIZED (
+        |  SELECT p.v, COALESCE(a.new_lbl, p.lbl) AS lbl
+        |  FROM l${k - 1} p LEFT JOIN ad$k a ON a.v = p.v
+        |)""".stripMargin
+    s"""WITH $duckEdgesCte, l0 AS MATERIALIZED (
+      |  SELECT DISTINCT src AS v, src AS lbl FROM e
+      |), ${round(1)}, ${round(2)}
+      |SELECT lbl AS community, COUNT(*) AS n_members,
+      |  CAST(SUM(v) AS BIGINT) AS member_sum
+      |FROM l2 GROUP BY lbl ORDER BY community""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (g01Pagerank _),
     "g02_triangles" -> (g02Triangles _),
     "g03_kcore" -> (g03Kcore _),
     "g04_link_prediction" -> (g04LinkPrediction _),
+    "g05_label_prop" -> (g05LabelProp _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,5 +357,6 @@ object GraphQueries {
     "g02_triangles" -> g02Oracle,
     "g03_kcore" -> g03Oracle,
     "g04_link_prediction" -> g04Oracle,
+    "g05_label_prop" -> g05Oracle,
   )
 }
