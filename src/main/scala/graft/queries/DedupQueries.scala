@@ -37,7 +37,7 @@ object DedupQueries {
       Tables.documents(spark, dir).withColumn("toks", split(col("text"), " ")),
       "toks")
 
-  private val shingleCte: String =
+  private[queries] val shingleCte: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3
@@ -83,7 +83,7 @@ object DedupQueries {
     * so a cap/threshold fix cannot land in one sibling and not the other
     * (the duckPqSearchSql lesson). Mirrors Dedup.jaccardPairCounts'
     * stop-shingle bound [2, 100]. */
-  private val pairScoredCte: String =
+  private[queries] val pairScoredCte: String =
     """, e AS (
       |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM s
       |), freq AS (

@@ -344,12 +344,75 @@ object GraphQueries {
       |FROM l2 GROUP BY lbl ORDER BY community""".stripMargin
   }
 
+  // g06 — BOUNDED MULTI-ROUND BFS from a deterministic seed (the
+  // highest-degree vertex, ties by smallest id — the "hub" a reachability
+  // or influence analysis starts from): 3 synchronous frontier rounds of
+  // min-distance propagation (dist = min(dist, 1 + min neighbor dist) —
+  // each round one dst-keyed join + one vertex min-agg, distances
+  // materialized between rounds), then the exact distance histogram with
+  // vertices still unreached after the ladder reported as distance −1
+  // (the bounded-round contract, as g03: a full BFS raises `rounds`).
+  // Distinct from g03/g05: this is traversal DEPTH, the primitive behind
+  // hop-bounded neighborhoods and diameter estimates. All integers.
+  def g06BfsDistance(spark: SparkSession, dir: String): DataFrame = {
+    val INF = 999L
+    val e = edges(spark, dir).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seed = deg.orderBy(col("deg").desc, col("src")).limit(1)
+      .select(col("src").as("v"), lit(0L).as("d0"))
+    var dist = deg.select(col("src").as("v"))
+      .join(broadcast(seed), Seq("v"), "left")
+      .select(col("v"), coalesce(col("d0"), lit(INF)).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val nd = e.join(dist.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src").as("v"))
+        .agg((min(col("dist")) + 1).as("nd"))
+      dist = dist.join(nd, Seq("v"), "left")
+        .select(col("v"),
+          least(col("dist"), coalesce(col("nd"), lit(INF))).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+      .withColumn("distance",
+        when(col("dist") >= INF, lit(-1L)).otherwise(col("dist")))
+      .groupBy("distance")
+      .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("vid_sum"))
+      .orderBy("distance")
+  }
+
+  val g06Oracle: String = {
+    def round(k: Int): String =
+      s"""nd$k AS MATERIALIZED (
+        |  SELECT e.src AS v, MIN(p.dist) + 1 AS nd
+        |  FROM e JOIN dist${k - 1} p ON p.v = e.dst
+        |  GROUP BY e.src
+        |), dist$k AS MATERIALIZED (
+        |  SELECT p.v, LEAST(p.dist, COALESCE(n.nd, 999)) AS dist
+        |  FROM dist${k - 1} p LEFT JOIN nd$k n ON n.v = p.v
+        |)""".stripMargin
+    s"""WITH $duckEdgesCte, deg AS (
+      |  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+      |), seed AS (
+      |  SELECT src AS v FROM deg ORDER BY deg DESC, src LIMIT 1
+      |), dist0 AS MATERIALIZED (
+      |  SELECT d.src AS v,
+      |    CASE WHEN s.v IS NOT NULL THEN 0 ELSE 999 END AS dist
+      |  FROM deg d LEFT JOIN seed s ON s.v = d.src
+      |), ${round(1)}, ${round(2)}, ${round(3)}
+      |SELECT CAST(CASE WHEN dist >= 999 THEN -1 ELSE dist END AS BIGINT)
+      |    AS distance,
+      |  COUNT(*) AS n_vertices, CAST(SUM(v) AS BIGINT) AS vid_sum
+      |FROM dist3 GROUP BY 1 ORDER BY distance""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_pagerank" -> (g01Pagerank _),
     "g02_triangles" -> (g02Triangles _),
     "g03_kcore" -> (g03Kcore _),
     "g04_link_prediction" -> (g04LinkPrediction _),
     "g05_label_prop" -> (g05LabelProp _),
+    "g06_bfs_distance" -> (g06BfsDistance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -358,5 +421,6 @@ object GraphQueries {
     "g03_kcore" -> g03Oracle,
     "g04_link_prediction" -> g04Oracle,
     "g05_label_prop" -> g05Oracle,
+    "g06_bfs_distance" -> g06Oracle,
   )
 }

@@ -665,6 +665,75 @@ object PipelineQueries {
       |  ON f3.lang = f0.lang
       |ORDER BY f0.lang""".stripMargin
 
+  // p08 — the RELEASE CARD: one per-language table carrying every number
+  // a dataset release decision reads, computed from ONE shared near-dup
+  // closure — raw doc/token mass, the HARD-dedup survivor count (d12's
+  // keep-the-component-min policy), the SOFT-dedup effective mass (d24's
+  // 1/|component| ppm weights), and the component-split train/test sizes
+  // (d25's leakage-proof assignment). Composing all four policies over
+  // one closure is the point: the card's columns must be mutually
+  // consistent (hard ≤ soft-effective ≤ raw; train+test = raw) because
+  // they share a lineage, and the gate pins that consistency — separate
+  // pipelines could silently diverge on closure parameters. Plan: the
+  // gated CC subtree once, one component-size join, one (lang) hash agg.
+  def p08ReleaseCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val sh = graft.ops.Dedup.withShingles(
+      docs.withColumn("toks", split(col("text"), " ")), "toks")
+    val pairs = graft.ops.Dedup.jaccardPairs(sh, "doc_id", 0.5)
+    val comp = graft.ops.Dedup.connectedComponents(
+      docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b",
+      checkpointEvery = 1)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("csize"))
+    docs
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .join(comp, Seq("doc_id"))
+      .join(sizes, Seq("component"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tokens"),
+        sum(when(col("doc_id") === col("component"), 1L).otherwise(0L))
+          .as("n_kept_hard"),
+        sum(expr("1000000 div csize")).as("eff_ppm"),
+        sum(when(col("component") % 5 =!= 0, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("component") % 5 === 0, 1L).otherwise(0L)).as("n_test"))
+      .orderBy("lang")
+  }
+
+  val p08Oracle: String =
+    DedupQueries.shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    DedupQueries.pairScoredCte +
+    """, pairs AS (
+      |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+      |), sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a
+      |), mn AS (
+      |  SELECT a AS doc_id, MIN(b) AS m FROM reach GROUP BY a
+      |), comp AS (
+      |  SELECT dd.doc_id, dd.lang,
+      |    CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS tokens,
+      |    LEAST(COALESCE(m.m, dd.doc_id), dd.doc_id) AS component
+      |  FROM documents dd LEFT JOIN mn m USING (doc_id)
+      |), sizes AS (
+      |  SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+      |)
+      |SELECT c.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(c.tokens) AS BIGINT) AS tokens,
+      |  CAST(SUM(CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept_hard,
+      |  CAST(SUM(1000000 // s.csize) AS BIGINT) AS eff_ppm,
+      |  CAST(SUM(CASE WHEN c.component % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_train,
+      |  CAST(SUM(CASE WHEN c.component % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_test
+      |FROM comp c JOIN sizes s USING (component)
+      |GROUP BY c.lang ORDER BY c.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_mix" -> (p01TrainingMix _),
     "p02_shard_manifest" -> (p02ShardManifest _),
@@ -673,6 +742,7 @@ object PipelineQueries {
     "p05_quota_mix" -> (p05QuotaMix _),
     "p06_dataset_card" -> (p06DatasetCard _),
     "p07_incremental_curation" -> (p07IncrementalCuration _),
+    "p08_release_card" -> (p08ReleaseCard _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -683,5 +753,6 @@ object PipelineQueries {
     "p05_quota_mix" -> p05Oracle,
     "p06_dataset_card" -> p06Oracle,
     "p07_incremental_curation" -> p07Oracle,
+    "p08_release_card" -> p08Oracle,
   )
 }
