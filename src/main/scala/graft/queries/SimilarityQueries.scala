@@ -2703,6 +2703,149 @@ object SimilarityQueries {
       |ORDER BY variant, subspace""".stripMargin
   }
 
+  // s37 — HYBRID SEARCH with Reciprocal Rank Fusion (the production
+  // retrieval composition: BM25-family lexical + dense vector, fused by
+  // RRF — what every two-tower search deployment actually serves):
+  // lexical arm = d23's trigram-tf sparse cosine restricted to the query
+  // entities (posting-list pair generation, integer-ppm scores, top-10
+  // per query); vector arm = s01's broadcast-query cosine top-10 over
+  // the same entity ids (the testdata convention doc_id == vec_id, as
+  // m06's cross-modal bridge established); fusion = the standard
+  // RRF k=60, kept exact as 10⁶ div (60 + rank) per arm — candidates
+  // outside an arm's top-10 contribute 0, the standard top-k RRF. The
+  // FULL OUTER candidate union is the interaction the single-arm gates
+  // can't see: a fused rank moves when EITHER arm's tie-break moves.
+  // Plan: both arms are their gated shapes; the fusion is one
+  // (query, cand)-keyed full-outer join + a per-query top-5 window.
+  def s37HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    // lexical arm — d23's machinery, unthresholded, directed from queries
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 2), i -> concat_ws(' ',
+          |  element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))""".stripMargin))
+        .as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("tf"))
+    val lists = tf
+      .groupBy("term")
+      .agg(collect_list(struct(col("doc_id"), col("tf"))).as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+      .localCheckpoint()
+    val n2 = lists
+      .select(explode(col("ds")).as("dt"))
+      .select(col("dt.doc_id").as("doc_id"), col("dt.tf").as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf").cast("long") * col("tf")).as("n2"))
+    val sim = lists
+      .select(graft.functions.PostingPairs.postingPairs(col("ds"))
+        .as(Seq("doc_a", "na", "doc_b", "nb")))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("na").cast("long") * col("nb")).as("dot"))
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .withColumn("simsq_ppm", expr("(dot * dot * 1000000) div (n2_a * n2_b)"))
+      .select("doc_a", "doc_b", "simsq_ppm")
+    val directed = sim
+      .select(col("doc_a").as("query_id"), col("doc_b").as("cand"), col("simsq_ppm"))
+      .unionByName(sim.select(col("doc_b").as("query_id"), col("doc_a").as("cand"),
+        col("simsq_ppm")))
+      .filter(col("query_id") % 50 === 0)
+    val wL = Window.partitionBy("query_id")
+      .orderBy(col("simsq_ppm").desc, col("cand"))
+    val lex = directed.withColumn("r_lex", row_number().over(wL))
+      .filter(col("r_lex") <= 10)
+      .select("query_id", "cand", "r_lex")
+    // vector arm — s01's gated shape at k = 10
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val vec = graft.ops.Similarity.cosineTopK(emb, q, 10)
+      .select(col("query_id"), col("neighbor_id").as("cand"),
+        col("rank").as("r_vec"))
+    // RRF fusion
+    val fused = lex.join(vec, Seq("query_id", "cand"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000 div (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r_vec)"), lit(0L)))
+    val wF = Window.partitionBy("query_id").orderBy(col("rrf_ppm").desc, col("cand"))
+    fused.withColumn("rank", row_number().over(wF).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand").as("neighbor_id"),
+        col("rrf_ppm"),
+        coalesce(col("r_lex"), lit(-1)).cast("int").as("r_lex"),
+        coalesce(col("r_vec"), lit(-1)).cast("int").as("r_vec"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s37Oracle: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), tf AS MATERIALIZED (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS term
+      |    FROM toks WHERE len(tk) >= 3)
+      |  GROUP BY doc_id, term
+      |), kept AS (
+      |  SELECT term FROM tf GROUP BY term HAVING COUNT(*) BETWEEN 2 AND 100
+      |), ktf AS MATERIALIZED (
+      |  SELECT t.doc_id, t.term, t.tf FROM tf t JOIN kept k ON k.term = t.term
+      |), n2 AS (
+      |  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM ktf GROUP BY doc_id
+      |), dots AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM ktf a JOIN ktf b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), sim AS MATERIALIZED (
+      |  SELECT doc_a, doc_b,
+      |    CAST((dot * dot * 1000000) // (na.n2 * nb.n2) AS BIGINT) AS simsq_ppm
+      |  FROM dots
+      |  JOIN n2 na ON na.doc_id = doc_a
+      |  JOIN n2 nb ON nb.doc_id = doc_b
+      |), lex AS (
+      |  SELECT query_id, cand, r_lex FROM (
+      |    SELECT query_id, cand,
+      |      CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY simsq_ppm DESC, cand) AS INT) AS r_lex
+      |    FROM (
+      |      SELECT doc_a AS query_id, doc_b AS cand, simsq_ppm FROM sim
+      |      UNION ALL
+      |      SELECT doc_b, doc_a, simsq_ppm FROM sim)
+      |    WHERE query_id % 50 = 0)
+      |  WHERE r_lex <= 10
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |  WHERE vec_id % 50 = 0
+      |), vec AS (
+      |  SELECT query_id, cand, r_vec FROM (
+      |    SELECT query_id, vec_id AS cand,
+      |      CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, vec_id) AS INT) AS r_vec
+      |    FROM (
+      |      SELECT query_id, vec_id, $duckCos AS cos
+      |      FROM embeddings, q WHERE vec_id <> query_id))
+      |  WHERE r_vec <= 10
+      |), fused AS (
+      |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+      |    COALESCE(l.cand, v.cand) AS cand, l.r_lex, v.r_vec,
+      |    CAST(COALESCE(1000000 // (60 + l.r_lex), 0)
+      |      + COALESCE(1000000 // (60 + v.r_vec), 0) AS BIGINT) AS rrf_ppm
+      |  FROM lex l FULL JOIN vec v
+      |    ON l.query_id = v.query_id AND l.cand = v.cand
+      |)
+      |SELECT query_id, rank, neighbor_id, rrf_ppm,
+      |  CAST(COALESCE(r_lex, -1) AS INT) AS r_lex,
+      |  CAST(COALESCE(r_vec, -1) AS INT) AS r_vec
+      |FROM (
+      |  SELECT query_id, cand AS neighbor_id, rrf_ppm, r_lex, r_vec,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_ppm DESC, cand) AS INT) AS rank
+      |  FROM fused)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -2740,6 +2883,7 @@ object SimilarityQueries {
     "s34_graph_search" -> (s34GraphSearch _),
     "s35_opq_distortion" -> (s35OpqDistortion _),
     "s36_graph_persisted" -> (s36GraphPersisted _),
+    "s37_hybrid_rrf" -> (s37HybridRrf _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2783,6 +2927,7 @@ object SimilarityQueries {
     "s34_graph_search" -> s34Oracle,
     "s35_opq_distortion" -> s35Oracle,
     "s36_graph_persisted" -> s34Oracle, // same search, persisted graph index
+    "s37_hybrid_rrf" -> s37Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
