@@ -72,13 +72,20 @@ object GraphQueries {
       val contribs = e.join(ranks.withColumnRenamed("part", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst"), col("src"), (col("r") / col("deg")).as("contrib"))
+      // the neighbor fold runs through the native OrderedVecFieldSum
+      // kernel (1-dim vector per contribution) instead of the interpreted
+      // `aggregate` HOF — identical ascending-src add order, so the
+      // doubles (and the oracle hashes) are bit-identical; the HOF
+      // dispatched one interpreted lambda per contribution (the r8
+      // FoldFunctions lesson)
       val summed = contribs
         .groupBy(col("dst"))
-        .agg(array_sort(collect_list(struct(col("src"), col("contrib"))))
-          .as("cs"))
+        .agg(array_sort(collect_list(
+          struct(col("src"), array(col("contrib")).as("cv")))).as("cs"))
         .select(col("dst").as("part"),
-          (lit(0.15) + lit(0.85) * aggregate(col("cs"), lit(0.0),
-            (acc: Column, c: Column) => acc + c.getField("contrib"))).as("r"))
+          (lit(0.15) + lit(0.85) * element_at(
+            graft.functions.FoldFunctions.vecFieldSum(col("cs"), "cv", 1), 1))
+            .as("r"))
       ranks = summed.localCheckpoint()
     }
     val w = Window.orderBy(col("r").desc, col("part"))
