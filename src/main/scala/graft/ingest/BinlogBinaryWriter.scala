@@ -277,6 +277,15 @@ object BinlogBinaryWriter {
 
   def xidBody(xid: Long): Array[Byte] = le(xid, 8)
 
+  /** ROTATE body: next-file start position (u64) + next file name bytes
+    * (no terminator — the name runs to the checksum tail). */
+  def rotateBody(nextFile: String, pos: Long = 4L): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(le(pos, 8))
+    o.write(nextFile.getBytes("UTF-8"))
+    o.toByteArray
+  }
+
   /** MySQL length-encoded ("packed") integer. */
   private def packed(v: Long): Array[Byte] =
     if (v < 251) Array(v.toByte)

@@ -2444,6 +2444,97 @@ object CdcQueries {
       .orderBy("tbl")
   }
 
+  // cdc40 — ROTATE-CHAIN CONTINUITY AUDIT: a binlog stream's file chain
+  // is self-describing — every file ends with a ROTATE event naming its
+  // successor and start position — and a consumer that trusts directory
+  // listing order alone misses renames/gaps the chain would expose. The
+  // fixture writes three files, each (except the last) ending in a real
+  // Rotate event; the audit decodes per-file content (row counts + key
+  // checksums from deterministic orders slices) alongside the rotate
+  // target, and verifies the declared successor equals the next file's
+  // actual name (a lead window over file_seq). This is the first gate on
+  // the Rotate decode path (position + name surfaced via `extra`).
+  def cdc40RotateChain(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = writeCdc40Fixture(spark, dir)
+    val W = org.apache.spark.sql.expressions.Window
+    val decoded = spark.read.format("binlog").load(fixtureDir)
+    val rot = decoded.filter(col("event_type") === "Rotate")
+      .select(col("file_seq"),
+        element_at(col("extra"), "next_file").as("next_file"),
+        element_at(col("extra"), "rotate_position").cast("long").as("rotate_pos"))
+    val content = decoded.filter(col("event_type") === "WriteRowsEventV2")
+      .select(col("file_seq"), col("binlog_file"),
+        size(col("row_images")).cast("long").as("nr"),
+        expr("""aggregate(transform(row_images,
+          |  im -> cast(element_at(im, 1) as bigint)), 0L, (a, x) -> a + x)""".stripMargin)
+          .as("ks"))
+      .groupBy("file_seq", "binlog_file")
+      .agg(sum(col("nr")).as("n_rows"), sum(col("ks")).as("key_sum"))
+    val chained = content.join(rot, Seq("file_seq"), "left")
+      .withColumn("declared_next", col("next_file"))
+      .withColumn("actual_next",
+        lead(col("binlog_file"), 1).over(W.orderBy("file_seq")))
+      .withColumn("chain_ok",
+        (col("declared_next").isNull && col("actual_next").isNull) ||
+          (col("declared_next") === col("actual_next")))
+    chained.select(col("file_seq"), col("binlog_file"), col("n_rows"),
+        col("key_sum"), col("declared_next"), col("rotate_pos"), col("chain_ok"))
+      .orderBy("file_seq")
+  }
+
+  /** Encode the cdc40 test vector: 150 orders rows across three binlog
+    * files (50 each), files 1 and 2 ending with a real ROTATE event
+    * naming the successor. */
+  private def writeCdc40Fixture(spark: SparkSession, dir: String): String = {
+    import graft.ingest.BinlogBinaryWriter._
+    val rows = Tables.orders(spark, dir)
+      .orderBy("o_orderkey")
+      .limit(150)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .collect()
+    require(rows.length <= 150,
+      s"cdc40 fixture must stay a bounded test vector, got ${rows.length} rows")
+    val cols = Seq(ColDef.longlong, ColDef.long)
+    def image(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+      Seq(Some(encLongLong(r.getLong(0))), Some(encLong(r.getLong(1).toInt)))
+    val t0 = 1714564800L
+    val sid = (1 to 16).map(_.toByte).toArray
+    val out = tmpFixtureDir("graft_cdc40_", dir)
+    out.mkdirs()
+    rows.grouped(50).zipWithIndex.foreach { case (batch, fi) =>
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      f.event(t0, 33, gtidBody(sid, fi + 1L))
+      f.event(t0, 2, queryBody("sf", "BEGIN"))
+      f.event(t0, 19, tableMapBody(11, "sf", "orders", cols))
+      f.event(t0, 30, rowsBody(11, cols.size, batch.map(image).toSeq))
+      f.event(t0, 16, xidBody(4000L + fi))
+      if (fi < 2) f.event(t0, 4, rotateBody(f"mysql-bin.${fi + 2}%06d"))
+      java.nio.file.Files.write(
+        new java.io.File(out, f"mysql-bin.${fi + 1}%06d").toPath, f.bytes)
+    }
+    out.getPath
+  }
+
+  val cdc40Oracle: String =
+    """WITH ranked AS (
+      |  SELECT o_orderkey,
+      |    row_number() OVER (ORDER BY o_orderkey) AS rn
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 150)
+      |), per_file AS (
+      |  SELECT ((rn - 1) // 50) + 1 AS file_seq,
+      |    COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      |  FROM ranked GROUP BY 1
+      |)
+      |SELECT CAST(file_seq AS BIGINT) AS file_seq,
+      |  printf('mysql-bin.%06d', file_seq) AS binlog_file,
+      |  n_rows, key_sum,
+      |  CASE WHEN file_seq < 3
+      |       THEN printf('mysql-bin.%06d', file_seq + 1) END AS declared_next,
+      |  CASE WHEN file_seq < 3 THEN CAST(4 AS BIGINT) END AS rotate_pos,
+      |  TRUE AS chain_ok
+      |FROM per_file ORDER BY file_seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -2484,6 +2575,7 @@ object CdcQueries {
     "cdc37_ddl_epoch" -> (cdc37DdlEpoch _),
     "cdc38_gtid_coverage" -> (cdc38GtidCoverage _),
     "cdc39_stream_route" -> (cdc39StreamRoute _),
+    "cdc40_rotate_chain" -> (cdc40RotateChain _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2526,5 +2618,6 @@ object CdcQueries {
     "cdc37_ddl_epoch" -> cdc37Oracle,
     "cdc38_gtid_coverage" -> cdc38Oracle,
     "cdc39_stream_route" -> cdc30Oracle, // same routing summary, streamed
+    "cdc40_rotate_chain" -> cdc40Oracle,
   )
 }

@@ -1165,6 +1165,75 @@ object DedupQueries {
       |FROM counts c JOIN leak l USING (policy)
       |ORDER BY c.policy""".stripMargin
 
+  // d26 — CONTAINMENT near-dup detection (Broder's containment
+  // coefficient, inter/min(|A|,|B|)): the subset-duplication class that
+  // Jaccard structurally MISSES — a document wholly contained in a
+  // larger one (excerpts, truncated syndication, template cores) has
+  // containment ≈ 1 but Jaccard ≈ |small|/|large|, below any sane
+  // near-dup threshold. The natural corpus has no such pairs (replicas
+  // are near-identical: all 25-256 containment-hits also pass Jaccard),
+  // so half-documents are INJECTED (%41 → first half of the token
+  // stream at doc_id + 20M) and the query reports exactly the
+  // high-containment / low-Jaccard class — the pairs a Jaccard-only
+  // pipeline ships as "not duplicates". Same posting-list cost model as
+  // d02 (shared jaccardPairCounts); the score is one more integer-ppm
+  // column off the same (inter, na, nb) triple.
+  def d26Containment(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val injected = base.unionByName(
+      base.filter(col("doc_id") % 41 === 0)
+        .withColumn("tk", split(col("text"), " "))
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          array_join(expr("slice(tk, 1, cast(size(tk) div 2 as int))"), " ")
+            .as("text")))
+    val sh = graft.ops.Dedup.withShingles(
+      injected.withColumn("toks", split(col("text"), " ")), "toks")
+    graft.ops.Dedup.jaccardPairCounts(sh, "doc_id")
+      .withColumn("cont_ppm", expr("(inter * 1000000) div least(na, nb)"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("cont_ppm") >= 800000 && col("jaccard") < 0.5)
+      .select("doc_a", "doc_b", "inter", "na", "nb", "cont_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d26Oracle: String =
+    """WITH dd AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000000,
+      |    array_to_string(string_split(text, ' ')[1:
+      |      len(string_split(text, ' ')) // 2], ' ')
+      |  FROM documents WHERE doc_id % 41 = 0
+      |), d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM dd
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(toks) - 1),
+      |        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])),
+      |      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS shingles
+      |  FROM d
+      |), e AS (
+      |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS sh FROM s
+      |), freq AS (
+      |  SELECT sh FROM e GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 100
+      |), scored AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+      |    COUNT(*) AS inter,
+      |    CAST(COUNT(*) AS DOUBLE)/(a.n + b.n - COUNT(*)) AS jaccard
+      |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  JOIN freq f ON f.sh = a.sh
+      |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      |)
+      |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(na AS INT) AS na, CAST(nb AS INT) AS nb,
+      |  CAST((inter * 1000000) // LEAST(na, nb) AS BIGINT) AS cont_ppm
+      |FROM scored
+      |WHERE (inter * 1000000) // LEAST(na, nb) >= 800000 AND jaccard < 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -1187,6 +1256,7 @@ object DedupQueries {
     "d23_tf_cosine" -> (d23TfCosine _),
     "d24_soft_dedup" -> (d24SoftDedup _),
     "d25_split_leakage" -> (d25SplitLeakage _),
+    "d26_containment" -> (d26Containment _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1211,5 +1281,6 @@ object DedupQueries {
     "d23_tf_cosine" -> d23Oracle,
     "d24_soft_dedup" -> d24Oracle,
     "d25_split_leakage" -> d25Oracle,
+    "d26_containment" -> d26Oracle,
   )
 }
