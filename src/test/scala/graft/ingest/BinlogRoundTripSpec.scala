@@ -349,4 +349,15 @@ class BinlogRoundTripSpec extends AnyFunSuite {
       Seq("2", null, "2.50"), Seq("2", "now", null),
       Seq("3", "same", null), Seq("3", "same", null)))
   }
+
+  test("Rotate event surfaces next_file and position (checksummed tail excluded)") {
+    val f = new FileBuilder(checksums = true)
+    f.fde(T0)
+    f.event(T0, 4, rotateBody("mysql-bin.000042"))
+    val evs = BinlogBinaryParser.decodeFile(f.bytes, "mysql-bin.000041").toSeq
+    val r = evs.find(_.event_type == "Rotate").get
+    assert(r.extra.get("next_file").contains("mysql-bin.000042"),
+      s"extra: ${r.extra}")
+    assert(r.extra.get("rotate_position").contains("4"))
+  }
 }
