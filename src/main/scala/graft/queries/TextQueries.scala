@@ -1124,6 +1124,59 @@ object TextQueries {
       |  CAST((bytes_utf8 * 1000000) // chars AS BIGINT) AS bytes_per_char_ppm
       |FROM m ORDER BY lang""".stripMargin
 
+  // t27 — ZIPF RANK-FREQUENCY CURVE in octave (power-of-two) rank
+  // buckets: the third member of the corpus-statistics trio (t25 Heaps =
+  // vocabulary growth, t18 = per-language vocabulary shape, this = the
+  // global rank-frequency decay a Zipf fit reads). Per bucket
+  // [2^b, 2^(b+1)): type count, token mass, and the boundary
+  // frequencies — enough to eyeball the slope without ever computing a
+  // float log: bucketing is an exact range JOIN against a 20-row
+  // broadcast bucket table, NOT floor(log2(rank)) (whose IEEE rounding
+  // at bucket boundaries is exactly the cross-engine divergence this
+  // engine bans). The rank is a global (freq DESC, term) row_number —
+  // vocabulary-sized input, the t15 total-order-sort argument.
+  def t27ZipfCurve(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(col("f").desc, col("term"))
+    val ranked = freq.withColumn("rank", row_number().over(w).cast("long"))
+    val buckets = spark.range(0, 20)
+      .select(col("id").cast("int").as("b"),
+        expr("cast(pow(2, id) as bigint)").as("lo"),
+        expr("cast(pow(2, id + 1) as bigint) - 1").as("hi"))
+    ranked.join(broadcast(buckets),
+        col("rank") >= col("lo") && col("rank") <= col("hi"))
+      .groupBy("b", "lo")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("f")).as("token_mass"),
+        max(col("f")).as("f_top"),
+        min(col("f")).as("f_bottom"))
+      .orderBy("b")
+  }
+
+  val t27Oracle: String =
+    """WITH freq AS (
+      |  SELECT term, COUNT(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY term
+      |), ranked AS (
+      |  SELECT f,
+      |    CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT) AS rank
+      |  FROM freq
+      |), buckets AS (
+      |  SELECT CAST(r.range AS INT) AS b,
+      |    CAST(2 ** r.range AS BIGINT) AS lo,
+      |    CAST(2 ** (r.range + 1) AS BIGINT) - 1 AS hi
+      |  FROM range(20) r
+      |)
+      |SELECT b, lo, COUNT(*) AS n_types,
+      |  CAST(SUM(f) AS BIGINT) AS token_mass,
+      |  CAST(MAX(f) AS BIGINT) AS f_top,
+      |  CAST(MIN(f) AS BIGINT) AS f_bottom
+      |FROM ranked JOIN buckets ON rank >= lo AND rank <= hi
+      |GROUP BY b, lo ORDER BY b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -1151,6 +1204,7 @@ object TextQueries {
     "t24_collocations" -> (t24Collocations _),
     "t25_heaps_curve" -> (t25HeapsCurve _),
     "t26_fertility" -> (t26Fertility _),
+    "t27_zipf_curve" -> (t27ZipfCurve _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1180,5 +1234,6 @@ object TextQueries {
     "t24_collocations" -> t24Oracle,
     "t25_heaps_curve" -> t25Oracle,
     "t26_fertility" -> t26Oracle,
+    "t27_zipf_curve" -> t27Oracle,
   )
 }
