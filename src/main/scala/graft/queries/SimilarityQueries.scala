@@ -2846,6 +2846,145 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // s38 — GRAPH-SEARCH RECALL CALIBRATION (the graph family's d19/s19
+  // analogue): the 1-hop and 2-hop candidate balls of the s34 search,
+  // each scored against the exact top-3 truth (s01's gated definition)
+  // — recall vs candidate mass is THE dial a navigable-graph deployment
+  // tunes (hop depth ≈ HNSW's ef), and every index family in this
+  // engine ships its calibration table (LSH: d16/d19; IVF/PQ: s19/s29;
+  // graph: this). Integer-exact: hit counts and ppm recalls over the
+  // fixed 3-per-query truth set; candidate mass pins the cost side.
+  // Plan: the s34 index subtrees once (edges localCheckpoint), two
+  // ball expansions sharing them, truth = one broadcast-query corpus
+  // scan, hits via (query, cand)-keyed semi-joins.
+  def s38GraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val wk = Window.partitionBy("cluster", "id_a")
+      .orderBy(col("cos").desc, col("id_b"))
+    val edges = l.join(r, Seq("cluster"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 3)
+      .select("id_a", "id_b")
+      .localCheckpoint()
+    val wp = Window.partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
+    val proto = assigned
+      .join(broadcast(cent.withColumnRenamed("clabel", "cluster")), Seq("cluster"))
+      .withColumn("ccos", cosineSim(col("embedding"), col("cf")))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("vec_id").as("entry_id"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cluster"))
+      .join(broadcast(proto), Seq("cluster"))
+      .select("query_id", "qv", "entry_id")
+      .localCheckpoint()
+    val h1 = q.select(col("query_id"), col("entry_id").as("id_a"))
+      .join(edges, Seq("id_a"))
+      .select(col("query_id"), col("id_b").as("cand"))
+    val ball1 = q.select(col("query_id"), col("entry_id").as("cand"))
+      .unionByName(h1).distinct()
+      .filter(col("cand") =!= col("query_id"))
+      .localCheckpoint() // ball2 extends it; both arms score it
+    val h2 = ball1.withColumnRenamed("cand", "id_a")
+      .join(edges, Seq("id_a"))
+      .select(col("query_id"), col("id_b").as("cand"))
+    val ball2 = ball1.unionByName(h2).distinct()
+      .filter(col("cand") =!= col("query_id"))
+    val truth = graft.ops.Similarity.cosineTopK(
+        emb, q.select("query_id", "qv"), 3)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+    def arm(ball: DataFrame, hops: Int): DataFrame = {
+      val hits = truth.join(ball, Seq("query_id", "cand"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val mass = ball.agg(count(lit(1)).as("n_cand_total"))
+      val nq = q.agg(count(lit(1)).as("n_queries"))
+      nq.crossJoin(mass).crossJoin(hits)
+        .select(lit(hops).as("hops"), col("n_queries"), col("n_cand_total"),
+          col("n_hits"),
+          // NULLIF: the engine-wide rate-division convention (q41/s29
+          // lesson) — an empty corpus has zero queries and must yield a
+          // NULL recall, not an ANSI divide-by-zero
+          expr("(n_hits * 1000000) div nullif(3 * n_queries, 0)").as("recall_ppm"))
+    }
+    arm(ball1, 1).unionByName(arm(ball2, 2)).orderBy("hops")
+  }
+
+  val s38Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), edges AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      row_number() OVER (PARTITION BY a.clabel, a.vec_id
+      |        ORDER BY ${duckCosOf("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM assigned a JOIN assigned b
+      |      ON a.clabel = b.clabel AND a.vec_id <> b.vec_id)
+      |  WHERE rk <= 3
+      |), proto AS (
+      |  SELECT clabel, vec_id AS entry_id FROM (
+      |    SELECT a.clabel, a.vec_id,
+      |      row_number() OVER (PARTITION BY a.clabel
+      |        ORDER BY ${duckCosOf("a.embedding", "c.cf")} DESC, a.vec_id) AS rn
+      |    FROM assigned a JOIN cent c ON a.clabel = c.clabel)
+      |  WHERE rn = 1
+      |), q AS MATERIALIZED (
+      |  SELECT a.vec_id AS query_id, a.embedding AS qv, p.entry_id
+      |  FROM assigned a JOIN proto p ON a.clabel = p.clabel
+      |  WHERE a.vec_id % 50 = 0
+      |), ball1 AS MATERIALIZED (
+      |  SELECT DISTINCT query_id, cand FROM (
+      |    SELECT query_id, entry_id AS cand FROM q
+      |    UNION ALL
+      |    SELECT q.query_id, e.id_b FROM q JOIN edges e ON e.id_a = q.entry_id)
+      |  WHERE cand <> query_id
+      |), ball2 AS MATERIALIZED (
+      |  SELECT DISTINCT query_id, cand FROM (
+      |    SELECT query_id, cand FROM ball1
+      |    UNION ALL
+      |    SELECT b.query_id, e.id_b FROM ball1 b JOIN edges e ON e.id_a = b.cand)
+      |  WHERE cand <> query_id
+      |), truth AS MATERIALIZED (
+      |  SELECT query_id, cand FROM (
+      |    SELECT query_id, vec_id AS cand,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, vec_id) AS rank
+      |    FROM (
+      |      SELECT query_id, vec_id, ${duckCosOf("q.qv", "embeddings.embedding")} AS cos
+      |      FROM embeddings, q WHERE vec_id <> query_id))
+      |  WHERE rank <= 3
+      |), nq AS (SELECT COUNT(*) AS n_queries FROM q)
+      |SELECT hops, n_queries, n_cand_total, n_hits,
+      |  CAST((n_hits * 1000000) // NULLIF(3 * n_queries, 0) AS BIGINT) AS recall_ppm
+      |FROM (
+      |  SELECT 1 AS hops, nq.n_queries,
+      |    (SELECT COUNT(*) FROM ball1) AS n_cand_total,
+      |    (SELECT COUNT(*) FROM truth t
+      |     WHERE EXISTS (SELECT 1 FROM ball1 b
+      |       WHERE b.query_id = t.query_id AND b.cand = t.cand)) AS n_hits
+      |  FROM nq
+      |  UNION ALL
+      |  SELECT 2, nq.n_queries,
+      |    (SELECT COUNT(*) FROM ball2),
+      |    (SELECT COUNT(*) FROM truth t
+      |     WHERE EXISTS (SELECT 1 FROM ball2 b
+      |       WHERE b.query_id = t.query_id AND b.cand = t.cand))
+      |  FROM nq)
+      |ORDER BY hops""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s02_ann_lsh" -> (s02AnnLsh _),
@@ -2884,6 +3023,7 @@ object SimilarityQueries {
     "s35_opq_distortion" -> (s35OpqDistortion _),
     "s36_graph_persisted" -> (s36GraphPersisted _),
     "s37_hybrid_rrf" -> (s37HybridRrf _),
+    "s38_graph_recall" -> (s38GraphRecall _),
     "d05_embed_neardup" -> (d05EmbedNearDup _),
     "d07_embed_neardup_lsh" -> (d07EmbedNearDupLsh _),
     "d14_semdedup" -> (d14SemDedup _),
@@ -2928,6 +3068,7 @@ object SimilarityQueries {
     "s35_opq_distortion" -> s35Oracle,
     "s36_graph_persisted" -> s34Oracle, // same search, persisted graph index
     "s37_hybrid_rrf" -> s37Oracle,
+    "s38_graph_recall" -> s38Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
