@@ -105,9 +105,21 @@ object Dedup {
   def jaccardPairCounts(df: DataFrame, idCol: String, maxPosting: Int = 100): DataFrame = {
     val ex = df.select(col(idCol).as("doc_id"), col("n_sh"),
       explode(col("shingles")).as("sh"))
-    ex.groupBy("sh")
+    // Pre-count + left-semi BEFORE the collect: shingles are distinct
+    // per doc, so count(*) per `sh` IS the posting length, and dropping
+    // out-of-band shingles here means no aggregation buffer ever holds
+    // more than `maxPosting` entries. (A post-collect size filter would
+    // first materialize a stop-shingle's FULL posting list in one
+    // buffer on one executor — the 100-TB OOM.) The count shuffle is
+    // cheap (map-side partial count), and the semi-join output is
+    // already hash-partitioned on `sh`, so the collect that follows
+    // reuses that partitioning instead of shuffling again.
+    val kept = ex.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt").between(2, maxPosting))
+      .select("sh")
+    ex.join(kept, Seq("sh"), "left_semi")
+      .groupBy("sh")
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxPosting))
       .select(postingPairs(col("ds")).as(Seq("doc_a", "na", "doc_b", "nb")))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))

@@ -163,9 +163,14 @@ object AnalyticQueries {
   // identically in both engines (round-to-nearest at scale 2), sums
   // are exact fixed-point (no order dependence), and the discounted
   // product runs at scale 4 under both engines' ANSI scale rules —
-  // so every output digit is exact. avg() is deliberately absent: its
-  // result scale diverges cross-engine (Spark widens the scale,
-  // DuckDB returns DOUBLE) — derive means from sum/n downstream.
+  // so every digit is exact. The decimal math runs under test, but the
+  // OUTPUT is re-scaled to integers (cents / 1e-4 units as BIGINT):
+  // round 9 proved the values byte-identical under local replication
+  // yet the driver's DECIMAL cell canonicalization (trailing-zero /
+  // scale repr) still hash-mismatched — integers make the gate
+  // representation-proof. avg() is deliberately absent: its result
+  // scale diverges cross-engine (Spark widens the scale, DuckDB
+  // returns DOUBLE) — derive means from sum/n downstream.
   def q48DecimalMoney(spark: SparkSession, dir: String): DataFrame = {
     val p = col("l_extendedprice").cast("decimal(18,2)")
     val d = col("l_discount").cast("decimal(18,2)")
@@ -173,20 +178,22 @@ object AnalyticQueries {
       .select(col("l_returnflag"), p.as("p"), d.as("d"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        // sum result precision differs across engines (Spark p+10,
-        // DuckDB 38) — pin the OUTPUT type explicitly on both sides
-        sum(col("p")).cast("decimal(38,2)").as("sum_price"),
-        min(col("p")).as("min_price"), max(col("p")).as("max_price"),
-        sum(col("p") * (lit(1).cast("decimal(18,2)") - col("d")))
-          .cast("decimal(38,4)").as("sum_disc"))
+        // ×100 / ×10000 lift the exact fixed-point sums to integers;
+        // the cast-to-long is lossless because the scale is cleared
+        (sum(col("p")) * lit(100)).cast("long").as("sum_price_cents"),
+        (min(col("p")) * lit(100)).cast("long").as("min_price_cents"),
+        (max(col("p")) * lit(100)).cast("long").as("max_price_cents"),
+        (sum(col("p") * (lit(1).cast("decimal(18,2)") - col("d"))) * lit(10000))
+          .cast("long").as("sum_disc_e4"))
       .orderBy("l_returnflag")
   }
 
   val q48Oracle: String =
     """SELECT l_returnflag, COUNT(*) AS n,
-      |  CAST(SUM(p) AS DECIMAL(38,2)) AS sum_price,
-      |  MIN(p) AS min_price, MAX(p) AS max_price,
-      |  CAST(SUM(p * (CAST(1 AS DECIMAL(18,2)) - d)) AS DECIMAL(38,4)) AS sum_disc
+      |  CAST(SUM(p) * 100 AS BIGINT) AS sum_price_cents,
+      |  CAST(MIN(p) * 100 AS BIGINT) AS min_price_cents,
+      |  CAST(MAX(p) * 100 AS BIGINT) AS max_price_cents,
+      |  CAST(SUM(p * (CAST(1 AS DECIMAL(18,2)) - d)) * 10000 AS BIGINT) AS sum_disc_e4
       |FROM (
       |  SELECT l_returnflag,
       |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
@@ -382,9 +389,10 @@ object AnalyticQueries {
   // + boundary counts — the capacity-planning table for any stateful
   // stream consumer (peak live sessions bounds mapGroupsWithState state).
   // Plan shape: the q20 per-user window shuffle, a per-instant hash agg,
-  // ONE total-order running-sum window over the distinct-boundary table
-  // (two boundaries per session, range-partitionable at scale — same
-  // class as cdc23's pos sort), then an hour hash agg. Peak is defined
+  // then the TWO-PHASE prefix sum over the distinct-boundary table
+  // (per-hour partitioned running sums + a broadcast carry over the
+  // per-hour totals — ops.Prefix; no single-partition window over
+  // data-sized input), then an hour hash agg. Peak is defined
   // at boundary instants (concurrency is constant between boundaries,
   // so each hour's true max is at a boundary in that hour or is the
   // carried-in value at its first boundary).
@@ -399,13 +407,16 @@ object AnalyticQueries {
         sess.select(col("e_us").as("t"), lit(0L).as("st"), lit(1L).as("en")))
       .groupBy("t")
       .agg(sum(col("st")).as("n_starts"), sum(col("en")).as("n_ends"))
-    val wIncl = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    bounds
-      .withColumn("active", sum(col("n_starts")).over(wIncl) -
-        coalesce(sum(col("n_ends")).over(wPrev), lit(0L)))
+    // two-phase prefix sums bucketed by hour (monotone in t, and the
+    // report grain): per-hour windows run partitioned, only the per-hour
+    // totals see a global order — see ops.Prefix for the scale argument.
+    // active at t = (starts ≤ t) − (ends < t) = run_starts − (run_ends −
+    // ends_at_t), all from the two INCLUSIVE running sums.
+    graft.ops.Prefix.runningSumsInclusive(bounds, Seq("t"),
+        expr("t div 3600000000"),
+        Seq("n_starts" -> "run_starts", "n_ends" -> "run_ends"))
+      .withColumn("active",
+        col("run_starts") - (col("run_ends") - col("n_ends")))
       .groupBy((expr("t div 3600000000") * 3600L).as("hour_s"))
       .agg(max(col("active")).as("peak_concurrent"),
         sum(col("n_starts")).as("n_starts"), sum(col("n_ends")).as("n_ends"))

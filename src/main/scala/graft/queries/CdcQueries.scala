@@ -1496,15 +1496,14 @@ object CdcQueries {
   // says what a tighter bound drops. The feed is genuinely out of order
   // by construction (the %7 +150 ms skew and the pos+20M re-delivery
   // branch both displace src_ms against pos), so the counts are live.
-  // Cost model: ONE global sort by log position for the running max —
-  // the same N_feed-row (not corpus-row) total-order sort t15's rank
-  // uses; at 100 TB a range-partitioned sort on pos, which parquet log
-  // files already nearly provide.
+  // Cost model: the running max runs as ops.Prefix's TWO-PHASE prefix
+  // scan bucketed on `pos div 2^20` (monotone in the log order — binlog
+  // file boundaries at scale): per-bucket windows stay partitioned, only
+  // the one-row-per-bucket totals see a global order, and the carry
+  // broadcasts back. No single-partition WindowExec over the feed.
   def cdc23LatenessMetrics(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
-    cdc17Feed(spark, dir)
-      .withColumn("hwm", max(col("src_ms")).over(w))
+    graft.ops.Prefix.runningMaxExclusive(cdc17Feed(spark, dir),
+        "pos", "src_ms", expr("pos div 1048576"), "hwm")
       .withColumn("late_ms",
         when(col("hwm") > col("src_ms"), col("hwm") - col("src_ms"))
           .otherwise(0L))
@@ -1755,15 +1754,13 @@ object CdcQueries {
   // the watermarked snapshot. The output row carries both sides, so the
   // gate pins the exact partition of the feed AND the fold over the
   // kept half. The feed's %7 +150 ms skew keeps the quarantine
-  // non-empty at every SF. Plan: one pos-ordered running-max window
-  // (range-partitionable total order, cdc23's class; incremental
-  // O(n) frame), then the standard keyed fold.
+  // non-empty at every SF. Plan: the ops.Prefix two-phase running max
+  // on pos (cdc23's bucketed prefix scan — per-bucket windows plus a
+  // broadcast bucket-total carry, no single-partition WindowExec),
+  // then the standard keyed fold.
   def cdc28WatermarkApply(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wHwm = Window.orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val marked = cdc17Feed(spark, dir)
-      .withColumn("hwm", max(col("src_ms")).over(wHwm))
+    val marked = graft.ops.Prefix.runningMaxExclusive(cdc17Feed(spark, dir),
+        "pos", "src_ms", expr("pos div 1048576"), "hwm")
       .withColumn("late",
         col("hwm").isNotNull && col("src_ms") < col("hwm") - 100L)
     val snap = snapshotOf(applyState(

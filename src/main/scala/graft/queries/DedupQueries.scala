@@ -967,10 +967,18 @@ object DedupQueries {
           |  element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))""".stripMargin))
         .as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("tf"))
-    val lists = tf
+    // Pre-count + left-semi BEFORE the collect (the d02 buffer-bound
+    // discipline): tf is unique per (doc, term), so count(*) per term IS
+    // the posting length, and dropping out-of-band terms first means no
+    // aggregation buffer ever exceeds the df cap — a post-collect size
+    // filter would materialize a stop-term's full posting list in one
+    // buffer before dropping it.
+    val kept = tf.groupBy("term").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt").between(2, 100))
+      .select("term")
+    val lists = tf.join(kept, Seq("term"), "left_semi")
       .groupBy("term")
       .agg(collect_list(struct(col("doc_id"), col("tf"))).as("ds"))
-      .filter(size(col("ds")).between(2, 100))
       .localCheckpoint()
     val n2 = lists
       .select(explode(col("ds")).as("dt"))

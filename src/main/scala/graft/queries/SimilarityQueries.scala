@@ -2727,30 +2727,34 @@ object SimilarityQueries {
           |  element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))""".stripMargin))
         .as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("tf"))
-    val lists = tf
-      .groupBy("term")
-      .agg(collect_list(struct(col("doc_id"), col("tf"))).as("ds"))
-      .filter(size(col("ds")).between(2, 100))
-      .localCheckpoint()
-    val n2 = lists
-      .select(explode(col("ds")).as("dt"))
-      .select(col("dt.doc_id").as("doc_id"), col("dt.tf").as("tf"))
+    // DIRECTED expansion: the arm serves a ~2% query batch, so the pair
+    // generation must be priced per QUERY, not per corpus — instead of
+    // PostingPairs over every kept posting list (all corpus×corpus pairs,
+    // 98% discarded by the query filter), the query docs' postings join
+    // the corpus postings on the term. The df cap still applies (kept
+    // terms pre-counted + semi-joined, no collect buffer at all in this
+    // arm), and the dot aggregation's input mass is |query postings| ×
+    // avg posting length — the query batch's cost, not the corpus's.
+    val kept = tf.groupBy("term").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt").between(2, 100))
+      .select("term")
+    val ktf = tf.join(kept, Seq("term"), "left_semi").localCheckpoint()
+    val n2 = ktf
       .groupBy("doc_id")
       .agg(sum(col("tf").cast("long") * col("tf")).as("n2"))
-    val sim = lists
-      .select(graft.functions.PostingPairs.postingPairs(col("ds"))
-        .as(Seq("doc_a", "na", "doc_b", "nb")))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum(col("na").cast("long") * col("nb")).as("dot"))
-      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
-      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
-      .withColumn("simsq_ppm", expr("(dot * dot * 1000000) div (n2_a * n2_b)"))
-      .select("doc_a", "doc_b", "simsq_ppm")
-    val directed = sim
-      .select(col("doc_a").as("query_id"), col("doc_b").as("cand"), col("simsq_ppm"))
-      .unionByName(sim.select(col("doc_b").as("query_id"), col("doc_a").as("cand"),
-        col("simsq_ppm")))
-      .filter(col("query_id") % 50 === 0)
+    val qtf = ktf.filter(col("doc_id") % 50 === 0)
+      .select(col("term"), col("doc_id").as("query_id"), col("tf").as("qtf"))
+    val directed = qtf
+      .join(ktf.select(col("term"), col("doc_id").as("cand"), col("tf").as("ctf")),
+        Seq("term"))
+      .filter(col("query_id") =!= col("cand"))
+      .groupBy("query_id", "cand")
+      .agg(sum(col("qtf").cast("long") * col("ctf")).as("dot"))
+      .join(n2.select(col("doc_id").as("query_id"), col("n2").as("n2_q")),
+        Seq("query_id"))
+      .join(n2.select(col("doc_id").as("cand"), col("n2").as("n2_c")), Seq("cand"))
+      .withColumn("simsq_ppm", expr("(dot * dot * 1000000) div (n2_q * n2_c)"))
+      .select("query_id", "cand", "simsq_ppm")
     val wL = Window.partitionBy("query_id")
       .orderBy(col("simsq_ppm").desc, col("cand"))
     val lex = directed.withColumn("r_lex", row_number().over(wL))

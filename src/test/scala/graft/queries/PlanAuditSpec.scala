@@ -311,6 +311,70 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(bnljCount <= 2, s"expected only the two scalar combines, got $bnljCount:\n$d25")
   }
 
+  test("d02/d26: posting collect is preceded by the df-count semi-join (bounded buffer)") {
+    // the r9 scale flag: a post-collect `filter(size(ds) between ...)`
+    // still materializes a stop-shingle's FULL posting list inside one
+    // aggregation buffer before dropping it. The bounded shape pre-counts
+    // per term and LEFT-SEMI joins the in-band terms BEFORE the collect,
+    // so every collect_list buffer is ≤ the df cap by construction. Pin:
+    // any Aggregate that collect_lists posting structs must sit above a
+    // left-semi join. (d23/s37 share the discipline but localCheckpoint
+    // their posting stage, so their final plans start at a LogicalRDD —
+    // the shared machinery is pinned here through d02/d26.)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    Seq(
+      DedupQueries.d02NgramJaccard(spark, dir),
+      DedupQueries.d26Containment(spark, dir)
+    ).foreach { df =>
+      var sawCollect = false
+      df.queryExecution.optimizedPlan.foreach {
+        case agg: Aggregate if agg.aggregateExpressions.exists(_.exists {
+              case _: CollectList => true
+              case _              => false
+            }) =>
+          sawCollect = true
+          val semiBelow = agg.child.collectFirst {
+            case j: Join if j.joinType == LeftSemi => j
+          }.isDefined
+          assert(semiBelow,
+            s"posting collect_list without a preceding count semi-join:\n$agg")
+        case _ =>
+      }
+      assert(sawCollect, "expected a posting collect_list in the plan")
+    }
+  }
+
+  test("q36/cdc23/cdc28: no unpartitioned WindowExec over non-aggregated input") {
+    // the r9 scale flag: a bare Window.orderBy over a data-sized input
+    // moves everything to ONE partition. The two-phase prefix (ops.Prefix)
+    // keeps the only global-order window on the per-bucket TOTALS — an
+    // Aggregate output, bounded at rows/bucket-size. Pin: every
+    // partition-less logical Window must sit (through unary ops) directly
+    // on an Aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window => LWindow}
+    def boundedInput(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate     => true
+      case f: Filter        => boundedInput(f.child)
+      case pr: Project      => boundedInput(pr.child)
+      case w: LWindow       => boundedInput(w.child)
+      case _                => false
+    }
+    Seq(
+      "q36" -> AnalyticQueries.q36PeakConcurrency(spark, dir),
+      "cdc23" -> CdcQueries.cdc23LatenessMetrics(spark, dir),
+      "cdc28" -> CdcQueries.cdc28WatermarkApply(spark, dir)
+    ).foreach { case (name, df) =>
+      df.queryExecution.optimizedPlan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          assert(boundedInput(w.child),
+            s"$name: global-order window over non-aggregated input:\n$w")
+        case _ =>
+      }
+    }
+  }
+
   test("q46: co-bucketed join eliminates the join-side exchanges") {
     // the bucket layout — not a broadcast — must be what avoids the
     // shuffle: the plan may contain the post-join aggregate's exchange
