@@ -87,7 +87,22 @@ object Bench {
       "\"" + name + "\":[" + passes.map(p => fmt(p(name))).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$perPass,"sf":"$sfDir"}""")
+    // Artifact durability (r9: the driver's capture kept only the last
+    // 2000 chars of the ~14 KB 207-query line, and its parse came back
+    // null): the FULL payload — per-query mins plus the three per-pass
+    // samples — is written to a file, and the printed line drops
+    // "passes" (3× the bulk) and ends with the slowest-10 digest + sf,
+    // so even a tail-truncated capture still carries the headline.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$perPass,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"top10":$top10,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

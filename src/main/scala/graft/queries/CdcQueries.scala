@@ -2532,6 +2532,60 @@ object CdcQueries {
       |  TRUE AS chain_ok
       |FROM per_file ORDER BY file_seq""".stripMargin
 
+  // cdc41 — STREAMING SCHEMA-EPOCH assignment (cdc37's running-count
+  // epoch as STATE): the same DDL-interleaved fixture tails through the
+  // binlog micro-batch source, and the epoch every row event decodes
+  // under comes from [[graft.streaming.SchemaEpochs]]'
+  // flatMapGroupsWithState — one long of state per table, folded over
+  // each micro-batch's log-ordered slice — instead of cdc37's batch
+  // running-frame window (which needs the whole log at once; an applier
+  // tailing a live stream never has that). Shares cdc37's oracle: the
+  // drained, epoch-tagged rows must aggregate to exactly the batch
+  // assignment's table — state ≡ window, the same equivalence cdc20
+  // gates for the apply fold.
+  def cdc41StreamDdlEpoch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val fixtureDir = writeCdc37Fixture(spark, dir)
+    val root = tmpFixtureDir("graft_cdc41_", dir)
+    root.mkdirs()
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    import spark.implicits._
+    withDrainPartitions(spark) {
+      val ev = spark.readStream.format("binlog").load(fixtureDir)
+        .filter(col("event_type") === "WriteRowsEventV2" ||
+          (col("event_type") === "Query" &&
+            col("query").startsWith("ALTER TABLE ")))
+        .select(
+          // row events carry the TableMap name; ALTERs name their target
+          // in the statement (their `table` field is the decoder's
+          // placeholder, not the DDL target) — one key space for both
+          when(col("event_type") === "Query",
+            regexp_extract(col("query"), "^ALTER TABLE (\\w+)", 1))
+            .otherwise(col("table")).as("tbl"),
+          col("file_seq"), col("event_index"),
+          (col("event_type") === "Query").as("is_alter"),
+          coalesce(size(col("row_images")).cast("long"), lit(0L)).as("n_rows"),
+          coalesce(expr("""aggregate(transform(row_images,
+            |  im -> cast(element_at(im, 1) as bigint)), 0L, (a, x) -> a + x)""".stripMargin),
+            lit(0L)).as("key_sum"))
+        .as[graft.streaming.SchemaEpochs.TableEvent]
+      val q = graft.streaming.SchemaEpochs.assign(ev)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
+    spark.read.schema("tbl STRING, epoch BIGINT, n_rows BIGINT, key_sum BIGINT")
+      .parquet(sink)
+      .filter(col("tbl") === "orders")
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_events"), sum(col("n_rows")).as("n_rows"),
+        sum(col("key_sum")).as("key_sum"))
+      .orderBy("epoch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -2573,6 +2627,7 @@ object CdcQueries {
     "cdc38_gtid_coverage" -> (cdc38GtidCoverage _),
     "cdc39_stream_route" -> (cdc39StreamRoute _),
     "cdc40_rotate_chain" -> (cdc40RotateChain _),
+    "cdc41_stream_ddl_epoch" -> (cdc41StreamDdlEpoch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2616,5 +2671,6 @@ object CdcQueries {
     "cdc38_gtid_coverage" -> cdc38Oracle,
     "cdc39_stream_route" -> cdc30Oracle, // same routing summary, streamed
     "cdc40_rotate_chain" -> cdc40Oracle,
+    "cdc41_stream_ddl_epoch" -> cdc37Oracle, // drained state == batch window
   )
 }

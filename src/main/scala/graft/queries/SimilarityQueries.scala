@@ -2389,20 +2389,26 @@ object SimilarityQueries {
 
   // s34 — GRAPH-BASED ANN SEARCH (the DiskANN/HNSW family's search
   // pattern over the s25 kNN graph, made deterministic and relational):
-  // entry point = the query's nearest cluster's PROTOTYPE (s24's
-  // argmax-self-cosine rule at m=1 — the graph-search "fixed entry
-  // node"), candidates = the closed 2-hop out-neighborhood of the entry
-  // in the directed top-3 kNN edge list (≤ 1 + 3 + 9 nodes), finished
-  // with the exact re-rank. Best-first beam search is inherently
-  // sequential; the bounded-hop ball is its deterministic, relational
-  // stand-in — same index (the kNN graph), same entry discipline, and
-  // the expansion is two vertex-keyed equi-joins instead of a data-
-  // dependent loop, so the whole search stays one declarative plan.
-  // The gate pins the entry choice, the exact candidate-set size, and
-  // the final ranking. At scale: the edge list shuffles on the vertex
-  // key (id_a) and is probed twice; queries and the per-cluster
-  // prototype table are broadcast; the re-rank shuffles (query_id,
-  // cand) only — query vectors never ride the candidate shuffle.
+  // entry points = PER-QUERY IVF SEEDS — the query's exact top-3 within
+  // its nprobe=2 probed clusters (s04's probe + s03's candidate cut, the
+  // coarse quantizer every DiskANN deployment seeds from) — candidates =
+  // the
+  // closed 2-hop out-neighborhood of the seeds in the directed top-3
+  // kNN edge list, finished with the exact re-rank. Best-first beam
+  // search is inherently sequential; the bounded-hop ball is its
+  // deterministic, relational stand-in — same index (the kNN graph),
+  // same entry discipline, and the expansion is two vertex-keyed
+  // equi-joins instead of a data-dependent loop, so the whole search
+  // stays one declarative plan. (r9 verdict: the earlier SHARED
+  // per-cluster prototype entry measured ~3% recall@3 on s38's truth
+  // join — a fixed entry two hops from nowhere; per-query seeds lift
+  // the ball to the query's own neighborhood, recall measured in s38
+  // and recorded in PLANS.md.) The gate pins the seed choice, the
+  // exact candidate-set size, and the final ranking. At scale: the
+  // edge list shuffles on the vertex key (id_a) and is probed twice;
+  // seeding is a cluster-keyed equi-join (the s03 candidate shape);
+  // queries broadcast; the re-rank shuffles (query_id, cand) only —
+  // query vectors never ride the candidate shuffle.
   def s34GraphSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
@@ -2422,35 +2428,50 @@ object SimilarityQueries {
       .filter(col("rk") <= 3)
       .select("id_a", "id_b")
       .localCheckpoint() // probed at hop 1 and hop 2 — build the graph once
-    // entry node per cluster: s24's prototype rule at m = 1
-    val wp = Window.partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
-    val proto = assigned
-      .join(broadcast(cent.withColumnRenamed("clabel", "cluster")), Seq("cluster"))
-      .withColumn("ccos", cosineSim(col("embedding"), col("cf")))
-      .withColumn("rk", row_number().over(wp))
-      .filter(col("rk") === 1)
-      .select(col("cluster"), col("vec_id").as("entry_id"))
-    val q = assigned.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cluster"))
-      .join(broadcast(proto), Seq("cluster"))
-      .select("query_id", "qv", "entry_id")
-      .localCheckpoint() // tiny; anchors entry/ball/re-rank to one snapshot
-    graphBallSearch(edges, q, emb)
+    val qRows = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = graft.ops.Similarity.probeCentroids(
+      qRows, cent, Seq("query_id"), nprobe = 2, embCol = "qv")
+    val seeds = ivfSeeds(probes, assigned).localCheckpoint() // ≤3 rows/query
+    graphBallSearch(edges, qRows, seeds, emb)
   }
 
-  /** The s34/s36 shared search body: closed 2-hop ball around each query's
-    * entry node over the directed kNN `edges`, exact cosine re-rank top-3.
-    * `q` carries (query_id, qv, entry_id); one definition so the inline
-    * and persisted-index routes cannot drift. */
-  private def graphBallSearch(edges: DataFrame, q: DataFrame,
-      emb: DataFrame): DataFrame = {
-    val h1 = q.select(col("query_id"), col("entry_id").as("id_a"))
+  /** Per-query IVF entry seeds: the query's exact top-`k` neighbors
+    * within its PROBED clusters (s04's nprobe=2 probe + s03's candidate
+    * cut). `probes` carries (query_id, qv, cluster) — one row per
+    * (query, probed cluster); `members` carries (cluster, vec_id,
+    * embedding). Cluster-keyed equi-join — the s03 shape, never
+    * all-pairs. Output: (query_id, seed, rk), rk over BOTH probed
+    * clusters' members. */
+  private def ivfSeeds(probes: DataFrame, members: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("seed"))
+    probes.join(members.select(col("cluster"), col("vec_id").as("seed"),
+        col("embedding").as("sv")), Seq("cluster"))
+      .filter(col("seed") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("sv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "seed", "rk")
+  }
+
+  /** The s34/s36 shared search body: closed 2-hop ball around each
+    * query's IVF seed set over the directed kNN `edges`, exact cosine
+    * re-rank top-3. `qRows` carries (query_id, qv) — one row per query;
+    * `seeds` carries (query_id, seed, rk) — see [[ivfSeeds]]. `entry_id`
+    * in the output is the rank-1 seed. One definition so the inline and
+    * persisted-index routes cannot drift. */
+  private def graphBallSearch(edges: DataFrame, qRows: DataFrame,
+      seeds: DataFrame, emb: DataFrame): DataFrame = {
+    val q = qRows.join(seeds.filter(col("rk") === 1)
+        .select(col("query_id"), col("seed").as("entry_id")), Seq("query_id"))
+      .select("query_id", "qv", "entry_id")
+    val h1 = seeds.select(col("query_id"), col("seed").as("id_a"))
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
     val h2 = h1.withColumnRenamed("cand", "id_a")
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
-    val ball = q.select(col("query_id"), col("entry_id").as("cand"))
+    val ball = seeds.select(col("query_id"), col("seed").as("cand"))
       .unionByName(h1).unionByName(h2)
       .distinct()
       .filter(col("cand") =!= col("query_id"))
@@ -2458,7 +2479,7 @@ object SimilarityQueries {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
     ball
       .join(emb.select(col("vec_id").as("cand"), col("embedding")), Seq("cand"))
-      .join(broadcast(q.select("query_id", "qv", "entry_id")), Seq("query_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos", cosineSim(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 3)
@@ -2469,14 +2490,15 @@ object SimilarityQueries {
   }
 
   // s36 — the GRAPH INDEX PERSISTED (DiskANN's disk story for the s34
-  // search): the three index artifacts — the directed kNN edge list, the
-  // per-cluster entry prototypes, and the vec→cluster assignment — are
-  // written to parquet once and the search re-derives EVERYTHING from
-  // the read-back (no centroid recompute, no graph rebuild: a pure
-  // graph-index lookup, which is the point of a persisted navigable
-  // graph). Shares s34's oracle — a mismatch with a green s34 isolates
-  // persistence: long/float round-trips, partition-column typing, or
-  // build/search drift. Raw vectors for the exact re-rank come from the
+  // search): the three index artifacts — the directed kNN edge list,
+  // the coarse quantizer (centroid table, the seed router), and the
+  // vec→cluster assignment — are written to parquet once and the
+  // search re-derives EVERYTHING from the read-back (no centroid
+  // recompute, no graph rebuild: a pure graph-index lookup, which is
+  // the point of a persisted navigable graph). Shares s34's oracle — a
+  // mismatch with a green s34 isolates persistence: long/float
+  // round-trips, partition-column typing, or build/search drift. Raw
+  // vectors for the IVF seeding and the exact re-rank come from the
   // corpus table, as on-disk graph indexes do (the graph is the index;
   // vectors stay in their own store).
   def s36GraphPersisted(spark: SparkSession, dir: String): DataFrame = {
@@ -2500,28 +2522,21 @@ object SimilarityQueries {
       .filter(col("rk") <= 3)
       .select("id_a", "id_b")
       .write.mode("overwrite").parquet(new java.io.File(root, "edges").getPath)
-    val wp = Window.partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
-    assigned
-      .join(broadcast(cent.withColumnRenamed("clabel", "cluster")), Seq("cluster"))
-      .withColumn("ccos", cosineSim(col("embedding"), col("cf")))
-      .withColumn("rk", row_number().over(wp))
-      .filter(col("rk") === 1)
-      .select(col("cluster"), col("vec_id").as("entry_id"))
-      .write.mode("overwrite").parquet(new java.io.File(root, "proto").getPath)
     assigned.select("vec_id", "cluster")
       .write.mode("overwrite").parquet(new java.io.File(root, "assign").getPath)
-    // ---- search (from the persisted artifacts only) ----
+    cent.write.mode("overwrite").parquet(new java.io.File(root, "cent").getPath)
+    // ---- search (from the persisted artifacts + the vector store) ----
     val edgesR = spark.read.parquet(new java.io.File(root, "edges").getPath)
-    val protoR = spark.read.parquet(new java.io.File(root, "proto").getPath)
     val assignR = spark.read.parquet(new java.io.File(root, "assign").getPath)
-    val q = assignR.filter(col("vec_id") % 50 === 0)
-      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("cluster"))
-      .join(broadcast(protoR), Seq("cluster"))
-      .select("query_id", "qv", "entry_id")
-      .localCheckpoint()
-    graphBallSearch(edgesR, q, emb)
+    val centR = spark.read.parquet(new java.io.File(root, "cent").getPath)
+    val members = assignR.join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .select("cluster", "vec_id", "embedding")
+    val qRows = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = graft.ops.Similarity.probeCentroids(
+      qRows, centR, Seq("query_id"), nprobe = 2, embCol = "qv")
+    val seeds = ivfSeeds(probes, members).localCheckpoint()
+    graphBallSearch(edgesR, qRows, seeds, emb)
   }
 
   val s34Oracle: String =
@@ -2540,25 +2555,35 @@ object SimilarityQueries {
       |    FROM assigned a JOIN assigned b
       |      ON a.clabel = b.clabel AND a.vec_id <> b.vec_id)
       |  WHERE rk <= 3
-      |), proto AS (
-      |  SELECT clabel, vec_id AS entry_id FROM (
-      |    SELECT a.clabel, a.vec_id,
-      |      row_number() OVER (PARTITION BY a.clabel
-      |        ORDER BY ${duckCosOf("a.embedding", "c.cf")} DESC, a.vec_id) AS rn
-      |    FROM assigned a JOIN cent c ON a.clabel = c.clabel)
-      |  WHERE rn = 1
+      |), q0 AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |), qp AS MATERIALIZED (
+      |  SELECT query_id, qv, clabel FROM (
+      |    SELECT q.query_id, q.qv, c.clabel,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${duckCosOf("q.qv", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM q0 q, cent c)
+      |  WHERE rn <= 2
+      |), seeds AS MATERIALIZED (
+      |  SELECT query_id, seed, rk FROM (
+      |    SELECT p.query_id, a.vec_id AS seed,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY ${duckCosOf("p.qv", "a.embedding")} DESC, a.vec_id) AS rk
+      |    FROM qp p JOIN assigned a
+      |      ON a.clabel = p.clabel AND a.vec_id <> p.query_id)
+      |  WHERE rk <= 3
       |), q AS MATERIALIZED (
-      |  SELECT a.vec_id AS query_id, a.embedding AS qv, p.entry_id
-      |  FROM assigned a JOIN proto p ON a.clabel = p.clabel
-      |  WHERE a.vec_id % 50 = 0
+      |  SELECT q0.query_id, q0.qv, s.seed AS entry_id
+      |  FROM q0 JOIN seeds s ON s.query_id = q0.query_id AND s.rk = 1
       |), ball AS MATERIALIZED (
       |  SELECT DISTINCT query_id, cand FROM (
-      |    SELECT query_id, entry_id AS cand FROM q
+      |    SELECT query_id, seed AS cand FROM seeds
       |    UNION ALL
-      |    SELECT q.query_id, e.id_b FROM q JOIN edges e ON e.id_a = q.entry_id
+      |    SELECT s.query_id, e.id_b FROM seeds s JOIN edges e ON e.id_a = s.seed
       |    UNION ALL
-      |    SELECT q.query_id, e2.id_b FROM q
-      |    JOIN edges e ON e.id_a = q.entry_id
+      |    SELECT s.query_id, e2.id_b FROM seeds s
+      |    JOIN edges e ON e.id_a = s.seed
       |    JOIN edges e2 ON e2.id_a = e.id_b)
       |  WHERE cand <> query_id
       |), nc AS (
@@ -2879,22 +2904,15 @@ object SimilarityQueries {
       .filter(col("rk") <= 3)
       .select("id_a", "id_b")
       .localCheckpoint()
-    val wp = Window.partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
-    val proto = assigned
-      .join(broadcast(cent.withColumnRenamed("clabel", "cluster")), Seq("cluster"))
-      .withColumn("ccos", cosineSim(col("embedding"), col("cf")))
-      .withColumn("rk", row_number().over(wp))
-      .filter(col("rk") === 1)
-      .select(col("cluster"), col("vec_id").as("entry_id"))
-    val q = assigned.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cluster"))
-      .join(broadcast(proto), Seq("cluster"))
-      .select("query_id", "qv", "entry_id")
-      .localCheckpoint()
-    val h1 = q.select(col("query_id"), col("entry_id").as("id_a"))
+    val qRows = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = graft.ops.Similarity.probeCentroids(
+      qRows, cent, Seq("query_id"), nprobe = 2, embCol = "qv")
+    val seeds = ivfSeeds(probes, assigned).localCheckpoint() // s34's entry rule
+    val h1 = seeds.select(col("query_id"), col("seed").as("id_a"))
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
-    val ball1 = q.select(col("query_id"), col("entry_id").as("cand"))
+    val ball1 = seeds.select(col("query_id"), col("seed").as("cand"))
       .unionByName(h1).distinct()
       .filter(col("cand") =!= col("query_id"))
       .localCheckpoint() // ball2 extends it; both arms score it
@@ -2904,13 +2922,13 @@ object SimilarityQueries {
     val ball2 = ball1.unionByName(h2).distinct()
       .filter(col("cand") =!= col("query_id"))
     val truth = graft.ops.Similarity.cosineTopK(
-        emb, q.select("query_id", "qv"), 3)
+        emb, qRows, 3)
       .select(col("query_id"), col("neighbor_id").as("cand"))
     def arm(ball: DataFrame, hops: Int): DataFrame = {
       val hits = truth.join(ball, Seq("query_id", "cand"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
       val mass = ball.agg(count(lit(1)).as("n_cand_total"))
-      val nq = q.agg(count(lit(1)).as("n_queries"))
+      val nq = qRows.agg(count(lit(1)).as("n_queries"))
       nq.crossJoin(mass).crossJoin(hits)
         .select(lit(hops).as("hops"), col("n_queries"), col("n_cand_total"),
           col("n_hits"),
@@ -2938,22 +2956,29 @@ object SimilarityQueries {
       |    FROM assigned a JOIN assigned b
       |      ON a.clabel = b.clabel AND a.vec_id <> b.vec_id)
       |  WHERE rk <= 3
-      |), proto AS (
-      |  SELECT clabel, vec_id AS entry_id FROM (
-      |    SELECT a.clabel, a.vec_id,
-      |      row_number() OVER (PARTITION BY a.clabel
-      |        ORDER BY ${duckCosOf("a.embedding", "c.cf")} DESC, a.vec_id) AS rn
-      |    FROM assigned a JOIN cent c ON a.clabel = c.clabel)
-      |  WHERE rn = 1
       |), q AS MATERIALIZED (
-      |  SELECT a.vec_id AS query_id, a.embedding AS qv, p.entry_id
-      |  FROM assigned a JOIN proto p ON a.clabel = p.clabel
-      |  WHERE a.vec_id % 50 = 0
+      |  SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |), qp AS MATERIALIZED (
+      |  SELECT query_id, qv, clabel FROM (
+      |    SELECT q.query_id, q.qv, c.clabel,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${duckCosOf("q.qv", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM q, cent c)
+      |  WHERE rn <= 2
+      |), seeds AS MATERIALIZED (
+      |  SELECT query_id, seed FROM (
+      |    SELECT p.query_id, a.vec_id AS seed,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY ${duckCosOf("p.qv", "a.embedding")} DESC, a.vec_id) AS rk
+      |    FROM qp p JOIN assigned a
+      |      ON a.clabel = p.clabel AND a.vec_id <> p.query_id)
+      |  WHERE rk <= 3
       |), ball1 AS MATERIALIZED (
       |  SELECT DISTINCT query_id, cand FROM (
-      |    SELECT query_id, entry_id AS cand FROM q
+      |    SELECT query_id, seed AS cand FROM seeds
       |    UNION ALL
-      |    SELECT q.query_id, e.id_b FROM q JOIN edges e ON e.id_a = q.entry_id)
+      |    SELECT s.query_id, e.id_b FROM seeds s JOIN edges e ON e.id_a = s.seed)
       |  WHERE cand <> query_id
       |), ball2 AS MATERIALIZED (
       |  SELECT DISTINCT query_id, cand FROM (
@@ -2989,8 +3014,127 @@ object SimilarityQueries {
       |  FROM nq)
       |ORDER BY hops""".stripMargin
 
+  // s39 — IVF + SQ8 ON RESIDUALS: the last cell of the quantization
+  // matrix (IVF × {flat s03, PQ s06/s08/s16, SQ8 s15} — s15 scalar-
+  // quantizes RAW vectors; this quantizes the RESIDUAL vec − centroid,
+  // FAISS's IndexIVFScalarQuantizer with by_residual=true). Residuals
+  // concentrate around 0, so the per-dimension [min,max] grid — trained
+  // on the residual distribution, not the raw one — spends its 256
+  // levels on a tighter range: same 4× memory traffic as s15, finer
+  // effective resolution. Candidates reconstruct as centroid + dequant
+  // (one exactly-rounded double add per dim, mirrored textually in the
+  // oracle), rank by reconstructed cosine within the query's cluster
+  // (nprobe=1), and the top-20 re-rank exactly. Plan shape: s15's —
+  // bounds are two 64-key map-side-partial aggregates over residuals +
+  // a guarded broadcast-size collect; encode/decode are narrow maps
+  // through the native Sq8 kernels; the residual table materializes
+  // once (localCheckpoint) and feeds bounds, encode, and queries.
+  def s39AnnIvfSq8Res(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sq8Functions
+    import graft.functions.VectorFunctions.vecSub
+    val dim = 64
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = dim, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val withRes = assigned.join(broadcast(cent), col("cluster") === col("clabel"))
+      .withColumn("res", vecSub(col("embedding"), col("cf")))
+      .select("vec_id", "cluster", "embedding", "res")
+      .localCheckpoint() // feeds bounds, encode, and the query branch
+    val bounds = withRes
+      .select(posexplode(col("res")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("i").limit(dim + 1).collect()
+    require(bounds.length == dim,
+      s"expected $dim per-dimension residual bounds, got ${bounds.length}")
+    val mins = bounds.map(_.getFloat(1)).toSeq
+    val scales = bounds.map(r =>
+      (r.getFloat(2).toDouble - r.getFloat(1).toDouble) / 255.0).toSeq
+    val encoded = withRes.select(col("vec_id"), col("cluster"),
+      Sq8Functions.sq8Codes(col("res"), mins, scales).as("codes"))
+    val q = withRes.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    val wA = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))
+    val cand = encoded.join(broadcast(q),
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+      .join(broadcast(cent.withColumnRenamed("clabel", "cluster")), Seq("cluster"))
+      .withColumn("dec", Sq8Functions.sq8Decode(col("codes"), mins, scales))
+      // reconstruction = centroid + dequantized residual, one rounded
+      // double add per dimension — the oracle's exact textual mirror
+      .withColumn("rec", expr(
+        "zip_with(dec, cf, (x, y) -> CAST(CAST(x AS DOUBLE) + CAST(y AS DOUBLE) AS FLOAT))"))
+      .withColumn("approx", cosineSim(col("qv"), col("rec")))
+      .select("query_id", "vec_id", "approx")
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= 20)
+      .select("query_id", "vec_id")
+    val wE = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(cand), "vec_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s39Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, ranked AS (
+      |  SELECT e.vec_id, e.embedding, c.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |  FROM embeddings e, cent c
+      |), assigned AS (
+      |  SELECT vec_id, embedding, clabel FROM ranked WHERE rn = 1
+      |), res AS MATERIALIZED (
+      |  SELECT a.vec_id, a.clabel AS cluster, a.embedding,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cf[i] AS DOUBLE) AS FLOAT)) AS res
+      |  FROM assigned a JOIN cent c ON c.clabel = a.clabel
+      |), bounds AS (
+      |  SELECT i, MIN(r.res[i]) AS mn, MAX(r.res[i]) AS mx
+      |  FROM res r, range(1, 65) t(i) GROUP BY i
+      |), b AS (
+      |  SELECT list(CAST(mn AS FLOAT) ORDER BY i) AS mns,
+      |    list((CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 255.0 ORDER BY i) AS scs
+      |  FROM bounds
+      |), recs AS (
+      |  SELECT r.vec_id, r.cluster,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(CAST(CAST(CAST(b.mns[i] AS DOUBLE) +
+      |        (CASE WHEN b.scs[i] = 0 OR isnan(r.res[i]) THEN 0
+      |              ELSE CAST(LEAST(GREATEST(floor((CAST(r.res[i] AS DOUBLE) - CAST(b.mns[i] AS DOUBLE)) / b.scs[i]), 0), 255) AS BIGINT)
+      |         END) * b.scs[i] AS FLOAT) AS DOUBLE) + CAST(c.cf[i] AS DOUBLE) AS FLOAT)) AS rec
+      |  FROM res r CROSS JOIN b JOIN cent c ON c.clabel = r.cluster
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, cluster AS qc
+      |  FROM res WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, d.vec_id, ${duckCosOf("qv", "rec")} AS approx
+      |  FROM recs d JOIN q ON d.cluster = q.qc AND d.vec_id <> q.query_id
+      |), cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS arank
+      |    FROM scored)
+      |  WHERE arank <= 20
+      |), rr AS (
+      |  SELECT c.query_id, e.vec_id, ${duckCosOf("q.qv", "e.embedding")} AS cos
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN q ON q.query_id = c.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM rr)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
+    "s39_ann_ivf_sq8_res" -> (s39AnnIvfSq8Res _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
     "s04_ann_ivf_nprobe" -> (s04AnnIvfProbe _),
@@ -3073,6 +3217,7 @@ object SimilarityQueries {
     "s36_graph_persisted" -> s34Oracle, // same search, persisted graph index
     "s37_hybrid_rrf" -> s37Oracle,
     "s38_graph_recall" -> s38Oracle,
+    "s39_ann_ivf_sq8_res" -> s39Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,

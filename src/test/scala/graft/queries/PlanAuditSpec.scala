@@ -266,13 +266,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // on a vertex key; an accidental BNLJ or cartesian would be O(V·E)
     Seq(
       GraphQueries.g01Pagerank(spark, dir),
-      GraphQueries.g03Kcore(spark, dir),
-      SimilarityQueries.s34GraphSearch(spark, dir)
+      GraphQueries.g03Kcore(spark, dir)
     ).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
       assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
     }
+    // s34's per-query IVF seeding (r10) carries probeCentroids' k-row
+    // centroid broadcast cross — the same deliberate N×k linear scan
+    // s03/s04/s10 carry — so like the s10/s11 pin, BNLJ is allowed but
+    // the unkeyed full cartesian is not, and the ball expansion must
+    // still reach candidates through hash equi-joins on the vertex key
+    val p34 = plan(SimilarityQueries.s34GraphSearch(spark, dir))
+    assert(!p34.contains("CartesianProduct"), p34.linesIterator.take(5).mkString("\n"))
+    assert(p34.contains("BroadcastHashJoin") || p34.contains("SortMergeJoin") ||
+      p34.contains("ShuffledHashJoin"), s"vertex-keyed equi-join missing:\n$p34")
   }
 
   test("d23: pairs come from the posting-list generator, not a self-join of the corpus") {
