@@ -64,6 +64,32 @@ object Prefix {
     }.drop(bk)
   }
 
+  /** Two-phase global `row_number` over the total order (bucket primary,
+    * `tieCols` tie-break): per-bucket counts aggregate to one row per
+    * distinct bucket value; their exclusive running sum (a window over
+    * the AGGREGATED bucket table — the by-design single-partition step)
+    * is each bucket's rank offset, broadcast back; within-bucket ranks
+    * come from a bucket-partitioned window. Bit-identical to
+    * `row_number().over(Window.orderBy(bucket[.desc], tieCols...))`
+    * because the bucket IS the leading sort key — ties never cross
+    * buckets. The bucket must be non-null and broadcast-cardinality
+    * (an integer score, an hour — not a unique id). */
+  def runningRank(df: DataFrame, bucket: Column, bucketDesc: Boolean,
+      tieCols: Seq[Column], outCol: String): DataFrame = {
+    val bk = uniq("bk"); val nC = uniq("n"); val offC = uniq("off")
+    val b = df.withColumn(bk, bucket)
+    val totals = b.groupBy(col(bk)).agg(count(lit(1)).as(nC))
+    val ord = if (bucketDesc) col(bk).desc else col(bk).asc
+    val wCarry = Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)
+    val off = totals
+      .withColumn(offC, coalesce(sum(col(nC)).over(wCarry), lit(0L)))
+      .select(col(bk), col(offC))
+    val wIn = Window.partitionBy(col(bk)).orderBy(tieCols: _*)
+    b.join(broadcast(off), Seq(bk))
+      .withColumn(outCol, col(offC) + row_number().over(wIn))
+      .drop(bk, offC)
+  }
+
   /** Running MAX of `valueCol` over all STRICTLY EARLIER rows in the total
     * order `orderCol` (frame `[unboundedPreceding, -1]` — the high-
     * watermark shape: "what had I seen when this row arrived"). NULL for

@@ -88,10 +88,15 @@ object GraphQueries {
             .as("r"))
       ranks = summed.localCheckpoint()
     }
+    // top-20 via orderBy().limit() — TakeOrderedAndProject's distributed
+    // per-partition top-k + driver merge, never a single-partition sort
+    // of the full vertex rank table (r9 verdict nit); the positional
+    // window then runs over the 20 surviving rows only
     val w = Window.orderBy(col("r").desc, col("part"))
     ranks.join(deg.withColumnRenamed("src", "part"), Seq("part"))
+      .orderBy(col("r").desc, col("part"))
+      .limit(20)
       .withColumn("pos", row_number().over(w).cast("int"))
-      .filter(col("pos") <= 20)
       .select(col("pos"), col("part"), col("deg"),
         floor(col("r") * 1000000).cast("long").as("rank_micro"))
       .orderBy("pos")

@@ -384,9 +384,11 @@ object PipelineQueries {
       .withColumn("avg_fam", when(coalesce(col("nb"), lit(0L)) === 0, 0L)
         .otherwise(expr("fam DIV nb")))
     val n = scored.agg(count(lit(1)).as("n_docs"))
-    val kept = scored.crossJoin(broadcast(n))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("avg_fam").desc, col("doc_id"))))
+    // two-phase rank (ops.Prefix, the t15 discipline): per-score offsets
+    // + a score-partitioned window — no single-partition N_docs sort
+    val kept = graft.ops.Prefix.runningRank(scored, col("avg_fam"),
+        bucketDesc = true, Seq(col("doc_id")), "rn")
+      .crossJoin(broadcast(n))
       .filter(expr("((rn - 1) * 3) DIV n_docs") < 2)
     kept
       .withColumn("split", graft.ops.TextOps.hashSplit(col("source")))

@@ -554,9 +554,10 @@ object TextQueries {
   // are libm-divergent. Plan: one shuffle to count bigrams (map-side
   // partial), one bigram-keyed equi-join back (the count table prunes to
   // a top-V vocabulary at production scale — rare bigrams contribute
-  // count≈1 noise), then tertiles by rank over the per-DOC score table —
-  // a total-order sort of 16-byte rows, NOT the corpus text; at 100 TB
-  // that is a standard range-partitioned sort of N_docs rows. Tier
+  // count≈1 noise), then tertiles by the
+  // ops.Prefix two-phase rank over the per-DOC score table (per-score
+  // offsets + a score-partitioned window) — the only global-order step
+  // is over the distinct-score table, never the N_docs rows. Tier
   // boundaries are rank arithmetic (`(rn-1)*3 DIV n`), not score
   // thresholds, so the gate stays live at every SF (absolute counts grow
   // with corpus size; ranks don't). Zero-bigram docs (single-token) pin
@@ -579,9 +580,13 @@ object TextQueries {
       .withColumn("avg_fam", when(col("n_bigrams") === 0, 0L)
         .otherwise(expr("familiarity DIV n_bigrams")))
     val n = scored.agg(count(lit(1)).as("n_docs"))
-    scored.crossJoin(broadcast(n))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("avg_fam").desc, col("doc_id"))))
+    // two-phase rank (ops.Prefix): avg_fam is the leading sort key AND a
+    // broadcast-cardinality integer, so the global (avg_fam desc, doc_id)
+    // row_number decomposes into per-score offsets + a score-partitioned
+    // window — no single-partition sort of the N_docs score table
+    graft.ops.Prefix.runningRank(scored, col("avg_fam"), bucketDesc = true,
+        Seq(col("doc_id")), "rn")
+      .crossJoin(broadcast(n))
       .withColumn("tier", expr("CASE ((rn - 1) * 3) DIV n_docs " +
         "WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"))
       .select(col("doc_id"), col("n_bigrams"), col("familiarity"),
@@ -1024,17 +1029,20 @@ object TextQueries {
   // vocabulary). Exact formulation: each type's FIRST global position
   // (min over one (term) shuffle), then one broadcast of the 9-row
   // threshold table against the vocabulary scan — never a per-prefix
-  // recount. The global token order is a running-sum window over
-  // doc_id (range-partitionable at 100 TB — t11's sharded-cumsum
-  // argument at corpus granularity). All integers; exact gate.
+  // recount. The global token order comes from the ops.Prefix two-phase
+  // running sum bucketed on doc_id ranges (per-bucket windows + a
+  // broadcast bucket-total carry — no single-partition sort of the doc
+  // table). All integers; exact gate.
   def t25HeapsCurve(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val wO = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val toks = docs
-      .withColumn("off",
-        coalesce(sum(size(col("toks")).cast("long")).over(wO), lit(0L)))
+      .withColumn("sz", size(col("toks")).cast("long"))
+    // global token offset via the ops.Prefix two-phase running sum
+    // (bucketed on doc_id ranges — monotone in the doc order), exclusive
+    // form derived from the inclusive sum minus the row's own size
+    val toks = graft.ops.Prefix.runningSumsInclusive(docs, Seq("doc_id"),
+        expr("doc_id div 65536"), Seq("sz" -> "run_sz"))
+      .withColumn("off", col("run_sz") - col("sz"))
       .select(col("off"), posexplode(col("toks")).as(Seq("i", "term")))
       .select((col("off") + col("i") + 1).as("gp"), col("term"))
     val fp = toks.groupBy("term").agg(min(col("gp")).as("fp"))
@@ -1177,8 +1185,67 @@ object TextQueries {
       |FROM ranked JOIN buckets ON rank >= lo AND rank <= hi
       |GROUP BY b, lo ORDER BY b""".stripMargin
 
+  // t28 — ZIPF SLOPE FIT over t27's octave table, kept entirely in
+  // integers: for f ∝ rank^(−s), octave buckets are exactly one unit
+  // apart in log2(rank), so the per-octave decay of the bucket-top
+  // frequency IS the local slope — f_top(b+1)/f_top(b) = 2^(−s) — and
+  // the s-vs-1 comparison needs no logarithm at all, just the
+  // cross-multiplication 2·f_top(b+1) ≶ f_top(b) (s > 1 iff the
+  // doubled next-octave top still falls short). decay_ppm reports the
+  // exact integer ratio per octave pair; a downstream fit can take its
+  // −log2 offline — the GATE never computes a float log (t27's
+  // boundary-divergence ban, extended to the fit). Plan shape: t27's
+  // curve (vocabulary-sized rank sort + 20-row bucket join), then a
+  // lead window over the ≤20-row AGGREGATED octave table — the one
+  // place a global-order window is by design (ops.Prefix doc, step 3).
+  def t28ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("b")
+    t27ZipfCurve(spark, dir)
+      .select(col("b"), col("f_top"))
+      .withColumn("b_next", lead(col("b"), 1).over(w))
+      .withColumn("f_top_next", lead(col("f_top"), 1).over(w))
+      .filter(col("b_next").isNotNull)
+      .select(col("b"), col("b_next"), col("f_top"), col("f_top_next"),
+        expr("(f_top_next * 1000000) div f_top").as("decay_ppm"),
+        when(col("f_top_next") * 2 < col("f_top"), lit("STEEPER_THAN_ZIPF1"))
+          .when(col("f_top_next") * 2 === col("f_top"), lit("ZIPF1_EXACT"))
+          .otherwise(lit("SHALLOWER_THAN_ZIPF1")).as("octave_verdict"))
+      .orderBy("b")
+  }
+
+  val t28Oracle: String =
+    """WITH freq AS (
+      |  SELECT term, COUNT(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY term
+      |), ranked AS (
+      |  SELECT f,
+      |    CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT) AS rank
+      |  FROM freq
+      |), buckets AS (
+      |  SELECT CAST(r.range AS INT) AS b,
+      |    CAST(2 ** r.range AS BIGINT) AS lo,
+      |    CAST(2 ** (r.range + 1) AS BIGINT) - 1 AS hi
+      |  FROM range(20) r
+      |), curve AS (
+      |  SELECT b, CAST(MAX(f) AS BIGINT) AS f_top
+      |  FROM ranked JOIN buckets ON rank >= lo AND rank <= hi
+      |  GROUP BY b
+      |), paired AS (
+      |  SELECT b, lead(b) OVER (ORDER BY b) AS b_next,
+      |    f_top, lead(f_top) OVER (ORDER BY b) AS f_top_next
+      |  FROM curve
+      |)
+      |SELECT b, b_next, f_top, f_top_next,
+      |  CAST((f_top_next * 1000000) // f_top AS BIGINT) AS decay_ppm,
+      |  CASE WHEN f_top_next * 2 < f_top THEN 'STEEPER_THAN_ZIPF1'
+      |       WHEN f_top_next * 2 = f_top THEN 'ZIPF1_EXACT'
+      |       ELSE 'SHALLOWER_THAN_ZIPF1' END AS octave_verdict
+      |FROM paired WHERE b_next IS NOT NULL ORDER BY b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
+    "t28_zipf_slope" -> (t28ZipfSlope _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality_score" -> (t03QualityScore _),
     "t04_fingerprint" -> (t04Fingerprint _),
@@ -1235,5 +1302,6 @@ object TextQueries {
     "t25_heaps_curve" -> t25Oracle,
     "t26_fertility" -> t26Oracle,
     "t27_zipf_curve" -> t27Oracle,
+    "t28_zipf_slope" -> t28Oracle,
   )
 }
