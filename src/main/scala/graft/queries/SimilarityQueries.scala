@@ -3132,9 +3132,340 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // s40 — GRAPH-SEED NPROBE SWEEP: the recall/cost curve for s34's one
+  // remaining dial. s38 showed hop-2 adds candidates but no hits — the
+  // ball can't leave the probed clusters (kNN edges are intra-cluster),
+  // so recall is capped by the coarse-quantizer truncation and nprobe
+  // is the lever. This table prices it: per nprobe ∈ {1, 2, 4}, the
+  // seed-scoring mass (exact pairs priced by the IVF probe — the cost
+  // side), the 2-hop candidate mass, and recall@3 against s01's exact
+  // truth. The deployment reads this exactly like d19 (LSH sweep) and
+  // s29 (IVF/PQ recall matrix) — every index family ships its
+  // calibration table, and each arm COMPOSES the gated s34 definitions
+  // verbatim (same probe, same seeds, same ball). Plan: index subtrees
+  // built once (edges/queries/truth localCheckpoint), three arms share
+  // them; per-arm aggregates are 1-row folds crossJoined (the d25
+  // scalar-combine shape).
+  def s40GraphSeedSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val wk = Window.partitionBy("cluster", "id_a")
+      .orderBy(col("cos").desc, col("id_b"))
+    val edges = l.join(r, Seq("cluster"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 3)
+      .select("id_a", "id_b")
+      .localCheckpoint() // probed by all three arms' two hops
+    val qRows = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .localCheckpoint()
+    val truth = graft.ops.Similarity.cosineTopK(emb, qRows, 3)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+      .localCheckpoint()
+    val nq = qRows.agg(count(lit(1)).as("n_queries"))
+    val arms = Seq(1, 2, 4).map { np =>
+      val probes = graft.ops.Similarity.probeCentroids(
+        qRows, cent, Seq("query_id"), nprobe = np, embCol = "qv")
+      val seedCost = probes
+        .join(assigned.select(col("cluster"), col("vec_id").as("seed")),
+          Seq("cluster"))
+        .filter(col("seed") =!= col("query_id"))
+        .agg(count(lit(1)).as("n_scored"))
+      val seeds = ivfSeeds(probes, assigned)
+      val h1 = seeds.select(col("query_id"), col("seed").as("id_a"))
+        .join(edges, Seq("id_a"))
+        .select(col("query_id"), col("id_b").as("cand"))
+      val h2 = h1.withColumnRenamed("cand", "id_a")
+        .join(edges, Seq("id_a"))
+        .select(col("query_id"), col("id_b").as("cand"))
+      val ball = seeds.select(col("query_id"), col("seed").as("cand"))
+        .unionByName(h1).unionByName(h2)
+        .distinct()
+        .filter(col("cand") =!= col("query_id"))
+      val hits = truth.join(ball, Seq("query_id", "cand"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val mass = ball.agg(count(lit(1)).as("n_cand_total"))
+      nq.crossJoin(seedCost).crossJoin(mass).crossJoin(hits)
+        .select(lit(np).as("nprobe"), col("n_queries"), col("n_scored"),
+          col("n_cand_total"), col("n_hits"),
+          expr("(n_hits * 1000000) div nullif(3 * n_queries, 0)")
+            .as("recall_ppm"))
+    }
+    arms.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  val s40Oracle: String = {
+    def armCtes(np: Int): String =
+      s"""qp$np AS MATERIALIZED (
+        |  SELECT query_id, qv, clabel FROM (
+        |    SELECT q.query_id, q.qv, c.clabel,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ${duckCosOf("q.qv", "c.cf")} DESC, c.clabel) AS rn
+        |    FROM q, cent c)
+        |  WHERE rn <= $np
+        |), sc$np AS (
+        |  SELECT COUNT(*) AS n_scored FROM qp$np p
+        |  JOIN assigned a ON a.clabel = p.clabel AND a.vec_id <> p.query_id
+        |), seeds$np AS MATERIALIZED (
+        |  SELECT query_id, seed FROM (
+        |    SELECT p.query_id, a.vec_id AS seed,
+        |      row_number() OVER (PARTITION BY p.query_id
+        |        ORDER BY ${duckCosOf("p.qv", "a.embedding")} DESC, a.vec_id) AS rk
+        |    FROM qp$np p JOIN assigned a
+        |      ON a.clabel = p.clabel AND a.vec_id <> p.query_id)
+        |  WHERE rk <= 3
+        |), ball$np AS MATERIALIZED (
+        |  SELECT DISTINCT query_id, cand FROM (
+        |    SELECT query_id, seed AS cand FROM seeds$np
+        |    UNION ALL
+        |    SELECT s.query_id, e.id_b FROM seeds$np s JOIN edges e ON e.id_a = s.seed
+        |    UNION ALL
+        |    SELECT s.query_id, e2.id_b FROM seeds$np s
+        |    JOIN edges e ON e.id_a = s.seed
+        |    JOIN edges e2 ON e2.id_a = e.id_b)
+        |  WHERE cand <> query_id
+        |)""".stripMargin
+    def armSelect(np: Int): String =
+      s"""SELECT $np AS nprobe, nq.n_queries,
+        |    (SELECT n_scored FROM sc$np) AS n_scored,
+        |    (SELECT COUNT(*) FROM ball$np) AS n_cand_total,
+        |    (SELECT COUNT(*) FROM truth t
+        |     WHERE EXISTS (SELECT 1 FROM ball$np b
+        |       WHERE b.query_id = t.query_id AND b.cand = t.cand)) AS n_hits
+        |  FROM nq""".stripMargin
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), edges AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      row_number() OVER (PARTITION BY a.clabel, a.vec_id
+      |        ORDER BY ${duckCosOf("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM assigned a JOIN assigned b
+      |      ON a.clabel = b.clabel AND a.vec_id <> b.vec_id)
+      |  WHERE rk <= 3
+      |), q AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |), truth AS MATERIALIZED (
+      |  SELECT query_id, cand FROM (
+      |    SELECT query_id, vec_id AS cand,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, vec_id) AS rank
+      |    FROM (
+      |      SELECT query_id, vec_id, ${duckCosOf("q.qv", "embeddings.embedding")} AS cos
+      |      FROM embeddings, q WHERE vec_id <> query_id))
+      |  WHERE rank <= 3
+      |), nq AS (SELECT COUNT(*) AS n_queries FROM q),
+      |${armCtes(1)},
+      |${armCtes(2)},
+      |${armCtes(4)}
+      |SELECT nprobe, n_queries, n_scored, n_cand_total, n_hits,
+      |  CAST((n_hits * 1000000) // NULLIF(3 * n_queries, 0) AS BIGINT) AS recall_ppm
+      |FROM (
+      |  ${armSelect(1)}
+      |  UNION ALL
+      |  ${armSelect(2)}
+      |  UNION ALL
+      |  ${armSelect(4)})
+      |ORDER BY nprobe""".stripMargin
+  }
+
+  // s41 — BRIDGE EDGES for the graph index (DiskANN's long-range links,
+  // relationally): s40 measures the ceiling — the intra-cluster kNN ball
+  // cannot leave the probed clusters, so recall@3 saturates at the IVF
+  // truncation rate however many hops run. The fix every navigable-graph
+  // index ships is cross-partition edges: here each vector gets ONE
+  // bridge edge to its top-cosine neighbor inside its SECOND-nearest
+  // cluster (the rn=2 coarse assignment — probeCentroids' gated
+  // tie-break), and this table prices the lift: recall@3 + candidate
+  // mass of the nprobe=2-seeded 2-hop ball over {intra-only edges,
+  // intra+bridge}. Build cost: the bridge scoring joins each vector to
+  // ONE other cluster's members — the same N²/k pair-mass class as the
+  // intra kNN build itself, keyed on the cluster (never all-pairs); the
+  // N×k second-cluster probe is a vec-keyed window over k rows per
+  // vector, dwarfed by the pair scoring. Search cost: +1 out-edge per
+  // vertex (edge list grows 4/3×), ball still ≤ 4 + 16 + 64.
+  def s41GraphBridgedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val wk = Window.partitionBy("cluster", "id_a")
+      .orderBy(col("cos").desc, col("id_b"))
+    val edges = l.join(r, Seq("cluster"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 3)
+      .select("id_a", "id_b")
+      .localCheckpoint()
+    // each vector's SECOND-nearest cluster: the nprobe=2 probe minus the
+    // assignment — both share the (ccos desc, clabel) tie-break, so the
+    // leftover row is exactly rn = 2
+    val second = graft.ops.Similarity.probeCentroids(
+        emb.select("vec_id", "embedding"), cent, Seq("vec_id"), nprobe = 2)
+      .join(assigned.select(col("vec_id"), col("cluster").as("c1")), Seq("vec_id"))
+      .filter(col("cluster") =!= col("c1"))
+    val wB = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    val bridge = second.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("cluster"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("id_b"),
+        col("embedding").as("vb")), Seq("cluster"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") === 1)
+      .select("id_a", "id_b")
+    val edgesB = edges.unionByName(bridge).localCheckpoint()
+    val qRows = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .localCheckpoint()
+    val probesQ = graft.ops.Similarity.probeCentroids(
+      qRows, cent, Seq("query_id"), nprobe = 2, embCol = "qv")
+    val seeds = ivfSeeds(probesQ, assigned).localCheckpoint()
+    val truth = graft.ops.Similarity.cosineTopK(emb, qRows, 3)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+      .localCheckpoint()
+    val nq = qRows.agg(count(lit(1)).as("n_queries"))
+    def arm(variant: String, es: DataFrame): DataFrame = {
+      val h1 = seeds.select(col("query_id"), col("seed").as("id_a"))
+        .join(es, Seq("id_a"))
+        .select(col("query_id"), col("id_b").as("cand"))
+      val h2 = h1.withColumnRenamed("cand", "id_a")
+        .join(es, Seq("id_a"))
+        .select(col("query_id"), col("id_b").as("cand"))
+      val ball = seeds.select(col("query_id"), col("seed").as("cand"))
+        .unionByName(h1).unionByName(h2)
+        .distinct()
+        .filter(col("cand") =!= col("query_id"))
+      val hits = truth.join(ball, Seq("query_id", "cand"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val mass = ball.agg(count(lit(1)).as("n_cand_total"))
+      val ne = es.agg(count(lit(1)).as("n_edges"))
+      nq.crossJoin(ne).crossJoin(mass).crossJoin(hits)
+        .select(lit(variant).as("variant"), col("n_queries"), col("n_edges"),
+          col("n_cand_total"), col("n_hits"),
+          expr("(n_hits * 1000000) div nullif(3 * n_queries, 0)")
+            .as("recall_ppm"))
+    }
+    arm("1_intra", edges).unionByName(arm("2_bridged", edgesB))
+      .orderBy("variant")
+  }
+
+  val s41Oracle: String = {
+    def armSelect(variant: String, ball: String, es: String): String =
+      s"""SELECT '$variant' AS variant, nq.n_queries,
+        |    (SELECT COUNT(*) FROM $es) AS n_edges,
+        |    (SELECT COUNT(*) FROM $ball) AS n_cand_total,
+        |    (SELECT COUNT(*) FROM truth t
+        |     WHERE EXISTS (SELECT 1 FROM $ball b
+        |       WHERE b.query_id = t.query_id AND b.cand = t.cand)) AS n_hits
+        |  FROM nq""".stripMargin
+    def ballCtes(name: String, es: String): String =
+      s"""$name AS MATERIALIZED (
+        |  SELECT DISTINCT query_id, cand FROM (
+        |    SELECT query_id, seed AS cand FROM seeds
+        |    UNION ALL
+        |    SELECT s.query_id, e.id_b FROM seeds s JOIN $es e ON e.id_a = s.seed
+        |    UNION ALL
+        |    SELECT s.query_id, e2.id_b FROM seeds s
+        |    JOIN $es e ON e.id_a = s.seed
+        |    JOIN $es e2 ON e2.id_a = e.id_b)
+        |  WHERE cand <> query_id
+        |)""".stripMargin
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), edges AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      row_number() OVER (PARTITION BY a.clabel, a.vec_id
+      |        ORDER BY ${duckCosOf("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM assigned a JOIN assigned b
+      |      ON a.clabel = b.clabel AND a.vec_id <> b.vec_id)
+      |  WHERE rk <= 3
+      |), p2 AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 2
+      |), bridge AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT p.vec_id AS id_a, b.vec_id AS id_b,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |        ORDER BY ${duckCosOf("p.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM p2 p JOIN assigned b ON b.clabel = p.clabel)
+      |  WHERE rk = 1
+      |), edgesb AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM edges
+      |  UNION ALL
+      |  SELECT id_a, id_b FROM bridge
+      |), q AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |), qp AS MATERIALIZED (
+      |  SELECT query_id, qv, clabel FROM (
+      |    SELECT q.query_id, q.qv, c.clabel,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY ${duckCosOf("q.qv", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM q, cent c)
+      |  WHERE rn <= 2
+      |), seeds AS MATERIALIZED (
+      |  SELECT query_id, seed FROM (
+      |    SELECT p.query_id, a.vec_id AS seed,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY ${duckCosOf("p.qv", "a.embedding")} DESC, a.vec_id) AS rk
+      |    FROM qp p JOIN assigned a
+      |      ON a.clabel = p.clabel AND a.vec_id <> p.query_id)
+      |  WHERE rk <= 3
+      |), truth AS MATERIALIZED (
+      |  SELECT query_id, cand FROM (
+      |    SELECT query_id, vec_id AS cand,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, vec_id) AS rank
+      |    FROM (
+      |      SELECT query_id, vec_id, ${duckCosOf("q.qv", "embeddings.embedding")} AS cos
+      |      FROM embeddings, q WHERE vec_id <> query_id))
+      |  WHERE rank <= 3
+      |), nq AS (SELECT COUNT(*) AS n_queries FROM q),
+      |${ballCtes("balli", "edges")},
+      |${ballCtes("ballb", "edgesb")}
+      |SELECT variant, n_queries, n_edges, n_cand_total, n_hits,
+      |  CAST((n_hits * 1000000) // NULLIF(3 * n_queries, 0) AS BIGINT) AS recall_ppm
+      |FROM (
+      |  ${armSelect("1_intra", "balli", "edges")}
+      |  UNION ALL
+      |  ${armSelect("2_bridged", "ballb", "edgesb")})
+      |ORDER BY variant""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s39_ann_ivf_sq8_res" -> (s39AnnIvfSq8Res _),
+    "s40_graph_seed_sweep" -> (s40GraphSeedSweep _),
+    "s41_graph_bridged_recall" -> (s41GraphBridgedRecall _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
     "s04_ann_ivf_nprobe" -> (s04AnnIvfProbe _),
@@ -3218,6 +3549,8 @@ object SimilarityQueries {
     "s37_hybrid_rrf" -> s37Oracle,
     "s38_graph_recall" -> s38Oracle,
     "s39_ann_ivf_sq8_res" -> s39Oracle,
+    "s40_graph_seed_sweep" -> s40Oracle,
+    "s41_graph_bridged_recall" -> s41Oracle,
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
