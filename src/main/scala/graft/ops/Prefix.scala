@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   *
   * Identical results to the single-partition window — same oracle rows —
   * with the only total-order structure left being the bucket-totals table.
+  *
+  * CONTRACT (all helpers): the bucket, order, and value expressions must
+  * be NON-NULL. A NULL bucket would drop its row at the carry join (the
+  * original window keeps it, NULLS FIRST), and a NULL value would make
+  * `carry + local` diverge from the window's skip-nulls fold whenever a
+  * bucket's prefix is all-NULL. Every current caller feeds non-null
+  * aggregates/keys; a nullable caller must coalesce first.
   */
 object Prefix {
 
@@ -64,16 +71,19 @@ object Prefix {
     }.drop(bk)
   }
 
-  /** Two-phase global `row_number` over the total order (bucket primary,
-    * `tieCols` tie-break): per-bucket counts aggregate to one row per
-    * distinct bucket value; their exclusive running sum (a window over
-    * the AGGREGATED bucket table — the by-design single-partition step)
-    * is each bucket's rank offset, broadcast back; within-bucket ranks
-    * come from a bucket-partitioned window. Bit-identical to
-    * `row_number().over(Window.orderBy(bucket[.desc], tieCols...))`
-    * because the bucket IS the leading sort key — ties never cross
-    * buckets. The bucket must be non-null and broadcast-cardinality
-    * (an integer score, an hour — not a unique id). */
+  /** Two-phase global `row_number` over a total order: per-bucket counts
+    * aggregate to one row per distinct bucket value; their exclusive
+    * running sum (a window over the AGGREGATED bucket table — the
+    * by-design single-partition step) is each bucket's rank offset,
+    * broadcast back; within-bucket ranks come from a bucket-partitioned
+    * window over `tieCols`. Bit-identical to `row_number().over(
+    * Window.orderBy(<global order>))` provided (a) the bucket is MONOTONE
+    * in the global order (equal-order rows share a bucket), and (b)
+    * `tieCols` IS the global order restricted within a bucket — so when
+    * the bucket is a coarsening (e.g. `score div 2^16`), `tieCols` must
+    * lead with the full score before the tie-break. The bucket must be
+    * non-null and its cardinality bounded (a quantized score, an hour —
+    * never a unique id): the offset table is what broadcasts. */
   def runningRank(df: DataFrame, bucket: Column, bucketDesc: Boolean,
       tieCols: Seq[Column], outCol: String): DataFrame = {
     val bk = uniq("bk"); val nC = uniq("n"); val offC = uniq("off")

@@ -384,10 +384,11 @@ object PipelineQueries {
       .withColumn("avg_fam", when(coalesce(col("nb"), lit(0L)) === 0, 0L)
         .otherwise(expr("fam DIV nb")))
     val n = scored.agg(count(lit(1)).as("n_docs"))
-    // two-phase rank (ops.Prefix, the t15 discipline): per-score offsets
-    // + a score-partitioned window — no single-partition N_docs sort
-    val kept = graft.ops.Prefix.runningRank(scored, col("avg_fam"),
-        bucketDesc = true, Seq(col("doc_id")), "rn")
+    // two-phase rank (ops.Prefix, the t15 discipline): quantized-score
+    // bucket + full-score-led within-bucket order — no single-partition
+    // N_docs sort, and the offset table stays bounded as scores grow
+    val kept = graft.ops.Prefix.runningRank(scored, expr("avg_fam div 65536"),
+        bucketDesc = true, Seq(col("avg_fam").desc, col("doc_id")), "rn")
       .crossJoin(broadcast(n))
       .filter(expr("((rn - 1) * 3) DIV n_docs") < 2)
     kept

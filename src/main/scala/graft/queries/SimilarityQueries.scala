@@ -1757,23 +1757,34 @@ object SimilarityQueries {
   // density is THE graph-quality signal NN-Descent convergence is
   // judged by. Integer output pins nodes, edge multiset (neighbor-id
   // checksum), and mutual count per cluster.
-  def s25KnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
-    val assigned = graft.ops.Similarity.assignToCentroids(
-      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+  /** The directed top-`k` intra-cluster kNN edge list over an
+    * [[graft.ops.Similarity.assignToCentroids]] output — the ONE edge
+    * definition every graph-index query shares (s25 build stats,
+    * s34/s36 search, s38/s40/s41 calibration), so the gated search and
+    * its calibration tables cannot drift (the graphBallSearch
+    * anti-drift rationale, applied to the index build itself).
+    * Output: (cluster, id_a, id_b), rank ≤ k by (cos desc, id_b). */
+  private def knnEdges(assigned: DataFrame, k: Int = 3): DataFrame = {
     val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("va"))
     val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
       col("embedding").as("vb"))
     val wk = Window.partitionBy("cluster", "id_a")
       .orderBy(col("cos").desc, col("id_b"))
-    val edges = l.join(r, Seq("cluster"))
+    l.join(r, Seq("cluster"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("cos", cosineSim(col("va"), col("vb")))
       .withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= k)
       .select("cluster", "id_a", "id_b")
+  }
+
+  def s25KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val edges = knnEdges(assigned)
     val mutual = edges.join(
         edges.select(col("cluster"), col("id_b").as("id_a"), col("id_a").as("id_b")),
         Seq("cluster", "id_a", "id_b"))
@@ -2414,19 +2425,7 @@ object SimilarityQueries {
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
     val assigned = graft.ops.Similarity.assignToCentroids(
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
-    // directed top-3 kNN edges within each cluster — s25's exact rule
-    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
-    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
-    val wk = Window.partitionBy("cluster", "id_a")
-      .orderBy(col("cos").desc, col("id_b"))
-    val edges = l.join(r, Seq("cluster"))
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos", cosineSim(col("va"), col("vb")))
-      .withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= 3)
-      .select("id_a", "id_b")
+    val edges = knnEdges(assigned).select("id_a", "id_b")
       .localCheckpoint() // probed at hop 1 and hop 2 — build the graph once
     val qRows = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -2509,18 +2508,7 @@ object SimilarityQueries {
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
     val assigned = graft.ops.Similarity.assignToCentroids(
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
-    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
-    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
-    val wk = Window.partitionBy("cluster", "id_a")
-      .orderBy(col("cos").desc, col("id_b"))
-    l.join(r, Seq("cluster"))
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos", cosineSim(col("va"), col("vb")))
-      .withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= 3)
-      .select("id_a", "id_b")
+    knnEdges(assigned).select("id_a", "id_b")
       .write.mode("overwrite").parquet(new java.io.File(root, "edges").getPath)
     assigned.select("vec_id", "cluster")
       .write.mode("overwrite").parquet(new java.io.File(root, "assign").getPath)
@@ -2891,18 +2879,7 @@ object SimilarityQueries {
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
     val assigned = graft.ops.Similarity.assignToCentroids(
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
-    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
-    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
-    val wk = Window.partitionBy("cluster", "id_a")
-      .orderBy(col("cos").desc, col("id_b"))
-    val edges = l.join(r, Seq("cluster"))
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos", cosineSim(col("va"), col("vb")))
-      .withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= 3)
-      .select("id_a", "id_b")
+    val edges = knnEdges(assigned).select("id_a", "id_b")
       .localCheckpoint()
     val qRows = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -3151,18 +3128,7 @@ object SimilarityQueries {
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
     val assigned = graft.ops.Similarity.assignToCentroids(
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
-    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
-    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
-    val wk = Window.partitionBy("cluster", "id_a")
-      .orderBy(col("cos").desc, col("id_b"))
-    val edges = l.join(r, Seq("cluster"))
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos", cosineSim(col("va"), col("vb")))
-      .withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= 3)
-      .select("id_a", "id_b")
+    val edges = knnEdges(assigned).select("id_a", "id_b")
       .localCheckpoint() // probed by all three arms' two hops
     val qRows = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -3180,6 +3146,7 @@ object SimilarityQueries {
         .filter(col("seed") =!= col("query_id"))
         .agg(count(lit(1)).as("n_scored"))
       val seeds = ivfSeeds(probes, assigned)
+        .localCheckpoint() // the heavy per-arm stage; ball + hits + mass reuse it
       val h1 = seeds.select(col("query_id"), col("seed").as("id_a"))
         .join(edges, Seq("id_a"))
         .select(col("query_id"), col("id_b").as("cand"))
@@ -3190,6 +3157,7 @@ object SimilarityQueries {
         .unionByName(h1).unionByName(h2)
         .distinct()
         .filter(col("cand") =!= col("query_id"))
+        .localCheckpoint() // scored twice (hits + mass)
       val hits = truth.join(ball, Seq("query_id", "cand"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
       val mass = ball.agg(count(lit(1)).as("n_cand_total"))
@@ -3303,18 +3271,7 @@ object SimilarityQueries {
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
     val assigned = graft.ops.Similarity.assignToCentroids(
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
-    val l = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-      col("embedding").as("va"))
-    val r = assigned.select(col("cluster"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"))
-    val wk = Window.partitionBy("cluster", "id_a")
-      .orderBy(col("cos").desc, col("id_b"))
-    val edges = l.join(r, Seq("cluster"))
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos", cosineSim(col("va"), col("vb")))
-      .withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= 3)
-      .select("id_a", "id_b")
+    val edges = knnEdges(assigned).select("id_a", "id_b")
       .localCheckpoint()
     // each vector's SECOND-nearest cluster: the nprobe=2 probe minus the
     // assignment — both share the (ccos desc, clabel) tie-break, so the
@@ -3354,6 +3311,7 @@ object SimilarityQueries {
         .unionByName(h1).unionByName(h2)
         .distinct()
         .filter(col("cand") =!= col("query_id"))
+        .localCheckpoint() // scored twice (hits + mass)
       val hits = truth.join(ball, Seq("query_id", "cand"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
       val mass = ball.agg(count(lit(1)).as("n_cand_total"))

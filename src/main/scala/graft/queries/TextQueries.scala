@@ -580,12 +580,13 @@ object TextQueries {
       .withColumn("avg_fam", when(col("n_bigrams") === 0, 0L)
         .otherwise(expr("familiarity DIV n_bigrams")))
     val n = scored.agg(count(lit(1)).as("n_docs"))
-    // two-phase rank (ops.Prefix): avg_fam is the leading sort key AND a
-    // broadcast-cardinality integer, so the global (avg_fam desc, doc_id)
-    // row_number decomposes into per-score offsets + a score-partitioned
-    // window — no single-partition sort of the N_docs score table
-    graft.ops.Prefix.runningRank(scored, col("avg_fam"), bucketDesc = true,
-        Seq(col("doc_id")), "rn")
+    // two-phase rank (ops.Prefix): bucket on the QUANTIZED score (raw
+    // avg_fam cardinality grows with the corpus — bigram counts scale
+    // with N — so the coarsened bucket keeps the offset table 2^16×
+    // smaller than the score range), full score leads the within-bucket
+    // order — no single-partition sort of the N_docs score table
+    graft.ops.Prefix.runningRank(scored, expr("avg_fam div 65536"),
+        bucketDesc = true, Seq(col("avg_fam").desc, col("doc_id")), "rn")
       .crossJoin(broadcast(n))
       .withColumn("tier", expr("CASE ((rn - 1) * 3) DIV n_docs " +
         "WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END"))

@@ -274,11 +274,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
     // s34's per-query IVF seeding (r10) carries probeCentroids' k-row
     // centroid broadcast cross — the same deliberate N×k linear scan
-    // s03/s04/s10 carry — so like the s10/s11 pin, BNLJ is allowed but
-    // the unkeyed full cartesian is not, and the ball expansion must
-    // still reach candidates through hash equi-joins on the vertex key
+    // s03/s04/s10 carry — so like the d25 pin, BNLJs are COUNTED, not
+    // banned: exactly the one centroid cross may appear. A second BNLJ
+    // means a hop/re-rank equi-join degenerated into the O(V·E)
+    // nested loop the old blanket ban existed to catch.
     val p34 = plan(SimilarityQueries.s34GraphSearch(spark, dir))
     assert(!p34.contains("CartesianProduct"), p34.linesIterator.take(5).mkString("\n"))
+    val bnlj34 = "BroadcastNestedLoopJoin".r.findAllIn(p34).length
+    assert(bnlj34 <= 1, s"expected only the centroid-probe cross, got $bnlj34:\n$p34")
     assert(p34.contains("BroadcastHashJoin") || p34.contains("SortMergeJoin") ||
       p34.contains("ShuffledHashJoin"), s"vertex-keyed equi-join missing:\n$p34")
   }

@@ -36,6 +36,15 @@ class SchemaEpochsSpec extends AnyFunSuite with SparkTestSession {
       line("orders", 2, 2, alter = true, 0, 0),
       line("orders", 2, 3, alter = false, 4, 40),
       line("users", 2, 4, alter = false, 7, 70)).mkString("\n").getBytes)
+    // FileStreamSource orders batches by modification time; two
+    // back-to-back writes can share an mtime on coarse-granularity
+    // filesystems, which would let b2 drain first and break the
+    // cross-batch assertion — pin the order explicitly
+    val b1 = new java.io.File(in, "b1.json")
+    val b2 = new java.io.File(in, "b2.json")
+    Files.setLastModifiedTime(b2.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(b1.toPath).toMillis + 2000))
 
     val schema = StructType(Seq(
       StructField("tbl", StringType),
