@@ -74,17 +74,30 @@ object GraphQueries {
         .select(col("dst"), col("src"), (col("r") / col("deg")).as("contrib"))
       // the neighbor fold runs through the native OrderedVecFieldSum
       // kernel (1-dim vector per contribution) instead of the interpreted
-      // `aggregate` HOF — identical ascending-src add order, so the
-      // doubles (and the oracle hashes) are bit-identical; the HOF
-      // dispatched one interpreted lambda per contribution (the r8
-      // FoldFunctions lesson)
+      // `aggregate` HOF — identical ascending add order, so the doubles
+      // (and the oracle hashes) are bit-identical; the HOF dispatched
+      // one interpreted lambda per contribution (the r8 FoldFunctions
+      // lesson). TWO-LEVEL chunked (the buildCentroids discipline, r10):
+      // a celebrity vertex's full in-neighborhood in ONE collect buffer
+      // is the d02 posting-buffer OOM in graph clothing, so chunk on
+      // src div 2^10 — level 1 folds ≤1024 contributions per (dst,
+      // chunk) in src order, level 2 folds the ≤degree/1024 chunk
+      // partials in chunk order; the oracle mirrors both levels
+      // textually, so the regrouped IEEE adds stay bit-identical.
       val summed = contribs
-        .groupBy(col("dst"))
+        .withColumn("chunk", expr("src div 1024"))
+        .groupBy(col("dst"), col("chunk"))
         .agg(array_sort(collect_list(
           struct(col("src"), array(col("contrib")).as("cv")))).as("cs"))
+        .select(col("dst"), col("chunk"),
+          array(element_at(
+            graft.functions.FoldFunctions.vecFieldSum(col("cs"), "cv", 1), 1))
+            .as("pv"))
+        .groupBy(col("dst"))
+        .agg(array_sort(collect_list(struct(col("chunk"), col("pv")))).as("cs2"))
         .select(col("dst").as("part"),
           (lit(0.15) + lit(0.85) * element_at(
-            graft.functions.FoldFunctions.vecFieldSum(col("cs"), "cv", 1), 1))
+            graft.functions.FoldFunctions.vecFieldSum(col("cs2"), "pv", 1), 1))
             .as("r"))
       ranks = summed.localCheckpoint()
     }
@@ -107,15 +120,21 @@ object GraphQueries {
       s"""r$k AS (
         |  SELECT dst AS part,
         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * list_sum(
-        |      list_transform(cs, c -> c.contrib)) AS r
+        |      list_transform(ch, c -> c.s)) AS r
         |  FROM (
-        |    SELECT e.dst,
-        |      list(struct_pack(src := e.src, contrib := p.r / d.deg)
-        |           ORDER BY e.src) AS cs
-        |    FROM e
-        |    JOIN r${k - 1} p ON p.part = e.src
-        |    JOIN deg d ON d.src = e.src
-        |    GROUP BY e.dst)
+        |    SELECT dst,
+        |      list(struct_pack(chunk := chunk, s := s) ORDER BY chunk) AS ch
+        |    FROM (
+        |      SELECT e.dst, e.src // 1024 AS chunk,
+        |        list_sum(list_transform(
+        |          list(struct_pack(src := e.src, contrib := p.r / d.deg)
+        |               ORDER BY e.src),
+        |          c -> c.contrib)) AS s
+        |      FROM e
+        |      JOIN r${k - 1} p ON p.part = e.src
+        |      JOIN deg d ON d.src = e.src
+        |      GROUP BY e.dst, chunk)
+        |    GROUP BY dst)
         |)""".stripMargin
     s"""WITH $duckEdgesCte, deg AS (
       |  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
