@@ -40,6 +40,12 @@ object TextHash {
   /** 32-bit md5-prefix hash (SimHash token hash). */
   def tokenHash32(s: Array[Byte]): Long =
     java.lang.Long.parseLong(DigestUtils.md5Hex(s).substring(0, 8), 16)
+
+  /** 60-bit md5-prefix hash (wide-SimHash token hash — 15 hex digits,
+    * the [[shingleHash]] width WITHOUT the mod-p reduction: simhash
+    * wants raw independent bits, not residues). */
+  def tokenHash60(s: Array[Byte]): Long =
+    java.lang.Long.parseLong(DigestUtils.md5Hex(s).substring(0, 15), 16)
 }
 
 private[functions] trait StringArrayInput { self: UnaryExpression =>
@@ -175,6 +181,46 @@ case class SimHash32(child: Expression)
     copy(child = c)
 }
 
+/** 60-bit SimHash of a token array — [[SimHash32]]'s SCALE variant:
+  * the wider fingerprint exists so the pigeonhole bands can be 15 bits
+  * (4 × 15 at maxHamming 3), giving a 2^15 band-value space — 128× the
+  * 32-bit layout's 2^8, which at corpus scale is the difference between
+  * a band bucket holding N/2^8-ish docs (quadratic candidate blowup)
+  * and one holding a true near-dup cluster. Same ±1 frequency-vote
+  * construction, 60-bit md5-prefix token hashes (15 hex digits — the
+  * shingleHash width, un-reduced). */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with StringArrayInput with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = TextHash.tokenHash60(arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 60) {
+        votes(b) += (((h >> b) & 1L).toInt * 2) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+}
+
 /** Distinct n-gram word shingles of a token array, space-joined — the fused
   * form of `array_distinct(transform(sequence(...), i -> concat_ws(' ', ...)))`
   * (each of whose element lambdas would otherwise evaluate interpreted).
@@ -274,6 +320,11 @@ object TextHashFunctions {
   /** 32-bit SimHash column over an `array<string>` token column. */
   def simHash32(tokens: Column): Column =
     ColumnShim.column(SimHash32(ColumnShim.expression(tokens)))
+
+  /** 60-bit SimHash column over an `array<string>` token column (the
+    * wide-band scale variant — see [[SimHash60]]). */
+  def simHash60(tokens: Column): Column =
+    ColumnShim.column(SimHash60(ColumnShim.expression(tokens)))
 
   /** Distinct 60-bit hashed n-gram shingles over an `array<string>` column. */
   def shingleHash60(tokens: Column, n: Int = 3): Column =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PostingPairs.postingPairs
-import graft.functions.TextHashFunctions.{minHashSig, shingleHash60, simHash32}
+import graft.functions.TextHashFunctions.{minHashSig, shingleHash60, simHash32, simHash60}
 import graft.functions.VectorFunctions.cosineSim
 
 /** Reusable deduplication operators (the library surface behind the d01–d06
@@ -137,10 +137,17 @@ object Dedup {
   /** MinHash+LSH candidate pairs verified with exact Jaccard: `bands` bands
     * of `rowsPerBand` signature components are the bucket keys (shuffle
     * key); only same-bucket ids pair up, and the shingle sets are joined
-    * back solely for the surviving candidates. Input like [[withShingles]].
+    * back solely for the surviving candidates. Band buckets holding more
+    * than `maxBucket` docs are dropped as DEGENERATE: a giant
+    * near-identical cluster collides its band into one bucket whose
+    * self-join is quadratic in the cluster size — the hot-band analogue
+    * of [[jaccardPairCounts]]'s stop-shingles (exact dedup upstream is
+    * the intended path for such clusters) — and the pre-count +
+    * left-semi runs BEFORE the self-join, so the blowup never
+    * materializes. Input like [[withShingles]].
     * Output: (doc_a, doc_b, inter, jaccard). */
   def minHashLshPairs(df: DataFrame, idCol: String, minJaccard: Double,
-      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 4, maxBucket: Int = 256): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), col("shingles"), col("n_sh"),
       minHashSig(col("shingles"), bands * rowsPerBand).as("sig"))
     val bandExprs = (0 until bands).map { b =>
@@ -149,8 +156,12 @@ object Dedup {
     }
     val banded = docs.select(col("doc_id"),
       explode(array(bandExprs.map(expr): _*)).as("band"))
-    val cand = banded.select(col("doc_id").as("doc_a"), col("band"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+    val kept = banded.groupBy("band").agg(count(lit(1)).as("n_bd"))
+      .filter(col("n_bd").between(2, maxBucket))
+      .select("band")
+    val bandedK = banded.join(kept, Seq("band"), "left_semi")
+    val cand = bandedK.select(col("doc_id").as("doc_a"), col("band"))
+      .join(bandedK.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
@@ -169,6 +180,11 @@ object Dedup {
     * at all; near-dup = small Hamming distance between signatures. */
   def simHashSignature(toks: Column): Column = simHash32(toks)
 
+  /** Per-row 60-bit SimHash signature — the wide-band scale variant
+    * (see [[graft.functions.SimHash60]]): 15-bit pigeonhole bands give a
+    * 2^15 band-value space, 128× the 32-bit layout's. */
+  def simHashSignature60(toks: Column): Column = simHash60(toks)
+
   /** SimHash near-dup PAIRS with Hamming distance ≤ `maxHamming`, found
     * subquadratically by pigeonhole banding: the 32-bit signature splits
     * into `bands` contiguous bands; two signatures within Hamming
@@ -179,11 +195,12 @@ object Dedup {
     * maxHamming 3) recall is EXACT, not probabilistic. Output:
     * (id_a, id_b, hamming). */
   def simhashNearDups(df: DataFrame, idCol: String, simhashCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4, bits: Int = 32): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole exactness needs maxHamming < bands ($maxHamming >= $bands)")
-    val bandBits = 32 / bands
-    val mask = (1 << bandBits) - 1
+    require(bits % bands == 0, s"$bits bits must split evenly into $bands bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
     // a literal array() of per-band structs — fully codegen'd, unlike the
     // earlier transform(sequence(...)) HOF, which interpreted one lambda
     // per band per row

@@ -109,7 +109,9 @@ object DedupQueries {
   // verified with exact shingle-set Jaccard. The signature is one fused
   // Catalyst expression (MinHashSignature); the band join carries ids only
   // (distinct on two ints, not on shingle arrays), with shingle sets joined
-  // back just for the few surviving candidates.
+  // back just for the few surviving candidates. Band buckets over 256
+  // docs are dropped as degenerate (r10 — the hot-band quadratic
+  // self-join; see minHashLshPairs), pre-counted BEFORE the join.
   def d03MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.minHashLshPairs(withShingles(spark, dir), "doc_id", 0.5)
       .orderBy("doc_a", "doc_b")
@@ -126,10 +128,14 @@ object DedupQueries {
       |  SELECT doc_id, shingles, n, unnest(list_transform(range(0, 4),
       |    b -> concat_ws('-', b, sg[4*b + 1], sg[4*b + 2], sg[4*b + 3], sg[4*b + 4]))) AS band
       |  FROM sig
+      |), bcnt AS (
+      |  SELECT band FROM banded GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 256
+      |), bandedk AS (
+      |  SELECT b.* FROM banded b JOIN bcnt k USING (band)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    a.shingles AS sh_a, b.shingles AS sh_b, a.n AS na, b.n AS nb
-      |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+      |  FROM bandedk a JOIN bandedk b ON a.band = b.band AND a.doc_id < b.doc_id
       |)
       |SELECT doc_a, doc_b, inter, jaccard FROM (
       |  SELECT doc_a, doc_b,
@@ -1242,8 +1248,65 @@ object DedupQueries {
       |WHERE (inter * 1000000) // LEAST(na, nb) >= 800000 AND jaccard < 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // d27 — WIDE-BAND SIMHASH near-dup (d08's declared 100-TB layout,
+  // gated): 60-bit fingerprints split into 4 × 15-bit pigeonhole bands,
+  // so the band-value space is 2^15 — 128× d08's 2^8 — and a band
+  // bucket's expected occupancy (the quadratic self-join mass) shrinks
+  // by the same factor; recall stays EXACT for Hamming ≤ 3 (any two
+  // signatures within distance 3 agree on one whole band of 4). The
+  // wider fingerprint also kills d08's small-space false candidates:
+  // with 32 bits over this corpus's ~30-word vocabulary, hundreds of
+  // unrelated doc pairs land within Hamming 3; at 60 bits only true
+  // near-replicas do — so the gate injects deterministic tail-marker
+  // replicas of every doc_id % 37 == 0 document (the d26 pattern) and
+  // pins that each replica pairs with its source at small distance.
+  def d27Simhash60(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val injected = base.unionByName(
+      base.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("text"), lit(" tail marker")).as("text")))
+    val sh = injected
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("simhash", graft.ops.Dedup.simHashSignature60(col("toks")))
+      .select("doc_id", "simhash")
+    graft.ops.Dedup.simhashNearDups(sh, "doc_id", "simhash",
+        maxHamming = 3, bands = 4, bits = 60)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d27Oracle: String =
+    """WITH dd AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 30000000, text || ' tail marker'
+      |  FROM documents WHERE doc_id % 37 = 0
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 60), b ->
+      |      CASE WHEN list_sum(list_transform(
+      |             list_transform(string_split(text, ' '),
+      |               t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)),
+      |             c -> ((c >> b) & 1) * 2 - 1)) > 0
+      |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      |  FROM dd
+      |), e AS (
+      |  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bval
+      |  FROM sh, generate_series(0, 3) t(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |    a.simhash AS sa, b2.simhash AS sb
+      |  FROM e a JOIN e b2 ON a.b = b2.b AND a.bval = b2.bval
+      |    AND a.doc_id < b2.doc_id
+      |)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
+    "d27_simhash60" -> (d27Simhash60 _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
     "d04_simhash" -> (d04Simhash _),
@@ -1290,5 +1353,6 @@ object DedupQueries {
     "d24_soft_dedup" -> d24Oracle,
     "d25_split_leakage" -> d25Oracle,
     "d26_containment" -> d26Oracle,
+    "d27_simhash60" -> d27Oracle,
   )
 }
