@@ -3419,11 +3419,77 @@ object SimilarityQueries {
       |ORDER BY variant""".stripMargin
   }
 
+  // s42 — STREAMING INDEX INGEST (s13's append leg as a stream): the
+  // delta vectors arrive as a bounded micro-batch stream (two parquet
+  // files, maxFilesPerTrigger=1) and every batch encodes against the
+  // FROZEN coarse quantizer + codebook (FAISS add() never retrains)
+  // inside foreachBatch — the production idempotent-append pattern —
+  // landing cluster-coded rows in the parquet index. The search then
+  // runs over base ∪ drained delta and must equal s13's one-shot batch
+  // append, which sharing s13's oracle gates exactly: the cdc20/cdc41
+  // state-≡-batch equivalence, for the vector index. Plan: encode per
+  // micro-batch is s13's exact shape (broadcast centroid argmax +
+  // narrow PqCodes map — per-batch work is a narrow pipeline over the
+  // batch, no cross-batch state needed because the artifacts are
+  // frozen); the search plan is s13's, untouched by how the index rows
+  // arrived.
+  def s42StreamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.functions.PqFunctions
+    val m = 8
+    val root = CdcQueries.tmpFixtureDir("graft_s42_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val cent = graft.ops.Similarity.buildCentroids(base, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    def encode(rows: DataFrame): DataFrame =
+      graft.ops.Similarity.assignToCentroids(
+          rows.select("vec_id", "embedding"), cent, Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"),
+          PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+    // two installments → two micro-batches; adversarially interleaved
+    // by id parity-of-20 so neither batch is a contiguous id range
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "embedding")
+    delta.filter(col("vec_id") % 20 === 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    delta.filter(col("vec_id") % 20 =!= 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val sq = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        encode(b).write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    new java.io.File(sink).mkdirs() // empty feed → empty delta (cdc12 note)
+    val deltaCodes = spark.read
+      .schema("vec_id BIGINT, cluster BIGINT, codes ARRAY<BIGINT>")
+      .parquet(sink)
+    val encoded = encode(base).unionByName(deltaCodes)
+    val q = graft.ops.Similarity.assignToCentroids(
+        emb.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding"),
+        cent, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    pqSearch(emb, encoded, q, codebook, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s39_ann_ivf_sq8_res" -> (s39AnnIvfSq8Res _),
     "s40_graph_seed_sweep" -> (s40GraphSeedSweep _),
     "s41_graph_bridged_recall" -> (s41GraphBridgedRecall _),
+    "s42_stream_index_ingest" -> (s42StreamIndexIngest _),
     "s02_ann_lsh" -> (s02AnnLsh _),
     "s03_ann_ivf" -> (s03AnnIvf _),
     "s04_ann_ivf_nprobe" -> (s04AnnIvfProbe _),
@@ -3509,6 +3575,7 @@ object SimilarityQueries {
     "s39_ann_ivf_sq8_res" -> s39Oracle,
     "s40_graph_seed_sweep" -> s40Oracle,
     "s41_graph_bridged_recall" -> s41Oracle,
+    "s42_stream_index_ingest" -> s13Oracle, // streamed ingest == batch append
     "d05_embed_neardup" -> d05Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d14_semdedup" -> d14Oracle,
