@@ -43,6 +43,42 @@ object Sessions {
     withAsof.filter(isTarget)
   }
 
+  /** Cross-table backward as-of join (inclusive): for each left row, the
+    * value columns of the right row with the greatest `tsCol` ≤ the left
+    * row's `tsCol` within the same `keyCol` (DuckDB `ASOF LEFT JOIN …
+    * ON l.key = r.key AND l.ts >= r.ts` semantics — the rate-lookup /
+    * point-in-time-dimension join).
+    *
+    * Plan shape: the tagged-union single-window formulation — union both
+    * sides on (key, ts), sort right rows before left rows at ts ties,
+    * carry the last right value forward with an IGNORE NULLS running
+    * window, keep left rows. ONE shuffle on the key and no range
+    * expansion, vs. the naive inequality join whose candidate set is
+    * |left|×|right-per-key| — the only formulation that survives a dense
+    * right side at 100 TB. Contract: right is unique per (key, ts) (pre-
+    * aggregate it) and `rightCols` are non-null (a null right value would
+    * make the carry skip back past its row). */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val lTagged = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("_side")) ++
+        leftCols.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(col): _*)
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (acc, c) =>
+      acc.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(Seq(col(keyCol), col(tsCol)) ++ leftCols.map(col) ++
+        rightCols.map(c => col(s"asof_$c")): _*)
+  }
+
   /** Salted two-phase aggregation for skewed keys: partial aggregate on
     * (key, salt) — `saltBuckets`-way fan-out of each hot key — then final
     * aggregate on the key. `partials` maps each value column to a pair of

@@ -850,8 +850,43 @@ object AnalyticQueries {
       |FROM daily d JOIN u7d u ON d.event_type = u.event_type AND d.day = u.day
       |ORDER BY d.event_type, d.day""".stripMargin
 
+  // q55 — CROSS-TABLE AS-OF JOIN (the rate-lookup / point-in-time join):
+  // price every click at the user's most recent purchase value at-or-
+  // before the click instant. q21 gated the same-table last-before
+  // window; this gates the general two-relation operator — and the
+  // oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the tagged-union
+  // single-window formulation in [[graft.ops.Sessions.asOfJoin]] is
+  // checked against a dedicated as-of implementation, not against its
+  // own window translation. The right side pre-aggregates to one row
+  // per (user, instant) (asOfJoin's uniqueness contract); plan is one
+  // window shuffle on user_id — no inequality-join range expansion.
+  def q55AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("t", tsUs)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "t").agg(max(col("value")).as("pval"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "t", "event_id")
+    graft.ops.Sessions.asOfJoin(clicks, purchases, "user_id", "t", Seq("pval"))
+      .select(col("user_id"), col("event_id"),
+        col("asof_pval").as("last_purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q55Oracle: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS t, MAX(value) AS pval
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), c AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT c.user_id, c.event_id, p.pval AS last_purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
+      |ORDER BY c.user_id, c.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
+    "q55_asof_join" -> (q55AsofJoin _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
     "q13_rollup" -> (q13Rollup _),
     "q14_cube" -> (q14Cube _),
@@ -882,6 +917,7 @@ object AnalyticQueries {
 
   val oracles: Map[String, String] = Map(
     "q11_dedup_lastwins" -> q11Oracle,
+    "q55_asof_join" -> q55Oracle,
     "q12_distinct_agg" -> q12Oracle,
     "q13_rollup" -> q13Oracle,
     "q14_cube" -> q14Oracle,

@@ -42,6 +42,25 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(salted == plain)
   }
 
+  test("Sessions.asOfJoin: inclusive ties, no-match null, carry across gaps") {
+    import spark.implicits._
+    val left = Seq(
+      ("u1", 10L, "a"), // before any right row -> null
+      ("u1", 20L, "b"), // exact tie with right ts=20 -> inclusive match
+      ("u1", 35L, "c"), // between 30 and next -> carries 30
+      ("u2", 50L, "d")  // key with no right rows at all -> null
+    ).toDF("k", "t", "tag")
+    val right = Seq(("u1", 20L, 200L), ("u1", 30L, 300L))
+      .toDF("k", "t", "rv")
+    val got = Sessions.asOfJoin(left, right, "k", "t", Seq("rv"))
+      .orderBy("k", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("u1", 10L, "a", -1L), ("u1", 20L, "b", 200L),
+      ("u1", 35L, "c", 300L), ("u2", 50L, "d", -1L)))
+  }
+
   test("TextOps.hashSplit is deterministic and respects percentages") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("id")
