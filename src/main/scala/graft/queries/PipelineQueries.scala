@@ -737,8 +737,60 @@ object PipelineQueries {
       |FROM comp c JOIN sizes s USING (component)
       |GROUP BY c.lang ORDER BY c.lang""".stripMargin
 
+  // p09 — RELEASE-OVER-RELEASE DRIFT CARD: the composition-shift table a
+  // data team reads before shipping corpus v2 — per (lang, source) cell,
+  // token mass and corpus share in each release plus the share delta,
+  // flagged when a cell moved ≥ 500 ppm of the corpus. Release v1 is the
+  // deterministic 80% ingest prefix (doc_id % 10 < 8 — the "what last
+  // month's snapshot saw" model); v2 is the full corpus. All shares are
+  // INTEGER ppm (tokens·10⁶ div total — both engines truncate non-
+  // negative division identically), so the gate is exact at every SF and
+  // the card never hashes a float. Plan: ONE scan with a conditional
+  // aggregate per cell (no per-release scans), then the |cells|-row
+  // table re-aggregates to a 1-row total broadcast back over a cross
+  // join — the p06/p08 card-plan shape; output rows = |lang|×|source|
+  // regardless of corpus size.
+  def p09ReleaseDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang", "source")
+      .agg(sum(when(col("doc_id") % 10 < 8, col("ntok")).otherwise(0L))
+          .as("tok_v1"),
+        sum(col("ntok")).as("tok_v2"))
+    val totals = cells.agg(sum(col("tok_v1")).as("tot1"),
+      sum(col("tok_v2")).as("tot2"))
+    cells.crossJoin(broadcast(totals))
+      .withColumn("share_v1_ppm", expr("tok_v1 * 1000000 div tot1"))
+      .withColumn("share_v2_ppm", expr("tok_v2 * 1000000 div tot2"))
+      .withColumn("delta_ppm", col("share_v2_ppm") - col("share_v1_ppm"))
+      .withColumn("drifted", abs(col("delta_ppm")) >= 500)
+      .select("lang", "source", "tok_v1", "tok_v2", "share_v1_ppm",
+        "share_v2_ppm", "delta_ppm", "drifted")
+      .orderBy("lang", "source")
+  }
+
+  val p09Oracle: String =
+    """WITH c AS (
+      |  SELECT lang, source,
+      |    CAST(SUM(CASE WHEN doc_id % 10 < 8
+      |                  THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS tok_v1,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_v2
+      |  FROM documents GROUP BY 1, 2
+      |), t AS (
+      |  SELECT CAST(SUM(tok_v1) AS BIGINT) AS tot1,
+      |    CAST(SUM(tok_v2) AS BIGINT) AS tot2 FROM c
+      |)
+      |SELECT lang, source, tok_v1, tok_v2,
+      |  tok_v1 * 1000000 // tot1 AS share_v1_ppm,
+      |  tok_v2 * 1000000 // tot2 AS share_v2_ppm,
+      |  tok_v2 * 1000000 // tot2 - tok_v1 * 1000000 // tot1 AS delta_ppm,
+      |  abs(tok_v2 * 1000000 // tot2 - tok_v1 * 1000000 // tot1) >= 500 AS drifted
+      |FROM c CROSS JOIN t
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_mix" -> (p01TrainingMix _),
+    "p09_release_drift" -> (p09ReleaseDrift _),
     "p02_shard_manifest" -> (p02ShardManifest _),
     "p03_eval_set" -> (p03EvalSet _),
     "p04_curation_v2" -> (p04CurationV2 _),
@@ -750,6 +802,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "p01_training_mix" -> p01Oracle,
+    "p09_release_drift" -> p09Oracle,
     "p02_shard_manifest" -> p02Oracle,
     "p03_eval_set" -> p03Oracle,
     "p04_curation_v2" -> p04Oracle,
