@@ -788,9 +788,68 @@ object PipelineQueries {
       |FROM c CROSS JOIN t
       |ORDER BY lang, source""".stripMargin
 
+  // p10 — Z-ORDER LAYOUT AUDIT (the lakehouse OPTIMIZE ZORDER decision,
+  // measured instead of asserted): interleave the bits of two scan
+  // dimensions — source number and length bucket, 5 bits each — into a
+  // Morton z-value, shard on z div 16, and report each shard's dimension
+  // SPANS next to the same corpus round-robin-sharded by doc_id. Per-file
+  // min/max spans are exactly what parquet data-skipping prunes on: a
+  // z-ordered shard covers a narrow (src, len) rectangle (small spans →
+  // a filter on EITHER dimension skips most shards), while round-robin
+  // shards span the whole domain (skipping prunes nothing). The bit
+  // interleave is pure integer arithmetic ((a&2ⁱ) scaled to bit 2i+1 —
+  // no engine-specific bit intrinsics), so the gate is exact. Plan: one
+  // scan, a 2-layout explode (2× rows, no second scan), one hash agg on
+  // (layout, shard); output ≤ 128 rows at any corpus size. At 100 TB the
+  // write path this audits is repartitionByRange(z) +
+  // sortWithinPartitions(z) before the parquet write.
+  def p10ZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(substring(source, 4) as int)").as("a"),
+        least(expr("cast(n_chars div 32 as int)"), lit(31)).as("b"))
+      .withColumn("zv", expr(
+        "(a&1)*2 + (a&2)*4 + (a&4)*8 + (a&8)*16 + (a&16)*32" +
+          " + (b&1) + (b&2)*2 + (b&4)*4 + (b&8)*8 + (b&16)*16"))
+      .select(col("a"), col("b"), explode(array(
+        struct(lit("zorder").as("layout"),
+          expr("cast(zv div 16 as bigint)").as("shard")),
+        struct(lit("roundrobin").as("layout"),
+          pmod(col("doc_id"), lit(64)).cast("long").as("shard")))).as("s"))
+      .select(col("a"), col("b"), col("s.layout").as("layout"),
+        col("s.shard").as("shard"))
+      .groupBy("layout", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("a")) - min(col("a"))).cast("long").as("src_span"),
+        (max(col("b")) - min(col("b"))).cast("long").as("len_span"),
+        countDistinct(col("a") * 32 + col("b")).as("n_cells"))
+      .orderBy("layout", "shard")
+
+  val p10Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS a,
+      |    LEAST(CAST(n_chars // 32 AS INT), 31) AS b
+      |  FROM documents
+      |), z AS (
+      |  SELECT doc_id, a, b,
+      |    (a&1)*2 + (a&2)*4 + (a&4)*8 + (a&8)*16 + (a&16)*32
+      |    + (b&1) + (b&2)*2 + (b&4)*4 + (b&8)*8 + (b&16)*16 AS zv
+      |  FROM d
+      |), s AS (
+      |  SELECT 'zorder' AS layout, CAST(zv // 16 AS BIGINT) AS shard, a, b FROM z
+      |  UNION ALL
+      |  SELECT 'roundrobin', CAST(doc_id % 64 AS BIGINT), a, b FROM z
+      |)
+      |SELECT layout, shard, COUNT(*) AS n_docs,
+      |  CAST(MAX(a) - MIN(a) AS BIGINT) AS src_span,
+      |  CAST(MAX(b) - MIN(b) AS BIGINT) AS len_span,
+      |  CAST(COUNT(DISTINCT a * 32 + b) AS BIGINT) AS n_cells
+      |FROM s GROUP BY 1, 2 ORDER BY layout, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_mix" -> (p01TrainingMix _),
     "p09_release_drift" -> (p09ReleaseDrift _),
+    "p10_zorder_layout" -> (p10ZorderLayout _),
     "p02_shard_manifest" -> (p02ShardManifest _),
     "p03_eval_set" -> (p03EvalSet _),
     "p04_curation_v2" -> (p04CurationV2 _),
@@ -803,6 +862,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "p01_training_mix" -> p01Oracle,
     "p09_release_drift" -> p09Oracle,
+    "p10_zorder_layout" -> p10Oracle,
     "p02_shard_manifest" -> p02Oracle,
     "p03_eval_set" -> p03Oracle,
     "p04_curation_v2" -> p04Oracle,
