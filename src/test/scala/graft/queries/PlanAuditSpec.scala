@@ -392,6 +392,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q55: as-of join is the single-window plan — no join operator at all") {
+    // the tagged-union formulation's whole point: a backward as-of join
+    // with NO range-expanded join — one window exchange keyed on the
+    // entity. Any Join operator in this plan means the formulation
+    // regressed to the |left|×|right-per-key| inequality join.
+    val p = plan(AnalyticQueries.q55AsofJoin(spark, dir))
+    assert(!p.contains("Join"), s"q55 grew a join operator:\n$p")
+    assert(p.contains("Window"), "q55 lost its window operator")
+    assert(p.contains("hashpartitioning(user_id"),
+      "q55's window exchange is not keyed on the entity")
+  }
+
+  test("p09/p10: card queries keep the card plan shape") {
+    // p09: the only join is the 1-row totals broadcast (BNLJ count == 1),
+    // and the cell aggregate is map-side partial.
+    val p9 = plan(PipelineQueries.p09ReleaseDrift(spark, dir))
+    assert(p9.contains("partial_sum"), "p09 lost map-side partial aggregation")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p9).size == 1,
+      "p09: expected exactly the 1-row totals broadcast join")
+    assert(!p9.contains("SortMergeJoin") && !p9.contains("CartesianProduct"))
+    // p10: explode fan-out (Generate), one aggregate, no join anywhere.
+    val p10 = plan(PipelineQueries.p10ZorderLayout(spark, dir))
+    assert(p10.contains("Generate"), "p10 lost the 2-layout explode")
+    assert(!p10.contains("Join"), s"p10 grew a join:\n$p10")
+  }
+
   test("q46: co-bucketed join eliminates the join-side exchanges") {
     // the bucket layout — not a broadcast — must be what avoids the
     // shuffle: the plan may contain the post-join aggregate's exchange
