@@ -3484,8 +3484,76 @@ object SimilarityQueries {
       joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
   }
 
+  // s43 — STREAMING QUERY SERVING (s42's mirror: there the VECTORS
+  // streamed against frozen artifacts; here the QUERIES do): the query
+  // vectors arrive as a bounded micro-batch stream (two parquet files,
+  // maxFilesPerTrigger=1), and each batch runs s03's IVF nprobe=1
+  // search inside foreachBatch against an index that was built ONCE and
+  // persisted to parquet before the stream started — the scatter-gather
+  // serving path, where the index is a frozen artifact and per-batch
+  // work is batch-queries × probed-cluster only. Sharing s03's oracle
+  // gates the serving property that makes this layout correct: ANN
+  // queries are row-independent, so a query set split across arbitrary
+  // micro-batches drains to exactly the one-shot batch answer (the
+  // cdc20/cdc41/s42 state-≡-batch equivalence, for the query side).
+  // Plan per batch: broadcast the batch's assigned queries, cluster-
+  // keyed equi-join against the parquet index scan, per-query top-5
+  // window over ≤ cluster-sized candidates.
+  def s43StreamSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = CdcQueries.tmpFixtureDir("graft_s43_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val index = new java.io.File(root, "index").getPath
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+      .localCheckpoint()
+    // freeze the index as an artifact: cluster-assigned corpus, on disk
+    graft.ops.Similarity.assignToCentroids(
+        emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+      .write.mode("overwrite").parquet(index)
+    val assigned = spark.read.parquet(index) // footer schema — always written
+    // query stream: s03's query set, adversarially split so neither
+    // micro-batch is a contiguous id range
+    val q0 = emb.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    q0.filter(col("vec_id") % 100 === 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    q0.filter(col("vec_id") % 100 =!= 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val sq = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val q = graft.ops.Similarity.assignToCentroids(b, cent, Seq("vec_id"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("cluster").as("qc"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(broadcast(q),
+            col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("qc").as("cluster"),
+            col("rank"), col("vec_id").as("neighbor_id"))
+          .write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    new java.io.File(sink).mkdirs() // empty feed → empty result (cdc12 note)
+    spark.read
+      .schema("query_id BIGINT, cluster INT, rank INT, neighbor_id BIGINT")
+      .parquet(sink)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
+    "s43_stream_search" -> (s43StreamSearch _),
     "s39_ann_ivf_sq8_res" -> (s39AnnIvfSq8Res _),
     "s40_graph_seed_sweep" -> (s40GraphSeedSweep _),
     "s41_graph_bridged_recall" -> (s41GraphBridgedRecall _),
@@ -3537,6 +3605,7 @@ object SimilarityQueries {
     "s01_ann_bruteforce" -> s01Oracle,
     "s02_ann_lsh" -> s02Oracle,
     "s03_ann_ivf" -> s03Oracle,
+    "s43_stream_search" -> s03Oracle, // drained query stream == one-shot batch search
     "s04_ann_ivf_nprobe" -> s04Oracle,
     "s05_ann_pq" -> s05Oracle,
     "s06_ann_ivfpq" -> s06Oracle,
