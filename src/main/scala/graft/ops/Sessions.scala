@@ -57,10 +57,23 @@ object Sessions {
     * |left|×|right-per-key| — the only formulation that survives a dense
     * right side at 100 TB. Contract: right is unique per (key, ts) (pre-
     * aggregate it) and `rightCols` are non-null (a null right value would
-    * make the carry skip back past its row). */
-  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+    * make the carry skip back past its row). Null-`tsCol` right rows are
+    * dropped up front — ASOF's `l.ts >= r.ts` never matches them, while
+    * an ascending window sort would put them FIRST and carry their value
+    * into every pre-first-match left row. */
+  def asOfJoin(left: DataFrame, right0: DataFrame, keyCol: String,
       tsCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    require(!leftCols.contains("_side") && !rightCols.contains("_side"),
+      "asOfJoin: '_side' is reserved")
+    require(leftCols.intersect(rightCols).isEmpty,
+      s"asOfJoin: value column names collide across sides: " +
+        leftCols.intersect(rightCols).mkString(", "))
+    require(!rightCols.contains(keyCol) && !rightCols.contains(tsCol),
+      "asOfJoin: rightCols must not repeat the key/ts columns")
+    require(leftCols.intersect(rightCols.map("asof_" + _)).isEmpty,
+      "asOfJoin: left column collides with an asof_* output name")
+    val right = right0.filter(col(tsCol).isNotNull)
     val lTagged = left.select(
       Seq(col(keyCol), col(tsCol), lit(1).as("_side")) ++
         leftCols.map(col) ++

@@ -759,9 +759,18 @@ object PipelineQueries {
         sum(col("ntok")).as("tok_v2"))
     val totals = cells.agg(sum(col("tok_v1")).as("tot1"),
       sum(col("tok_v2")).as("tot2"))
+    // ppm numerators are widened (decimal(38,0) here, HUGEINT in the
+    // oracle) BEFORE the ·10⁶ scale-up: a BIGINT `tok * 1000000` wraps
+    // once the corpus passes ~9.2e12 tokens (~37 TB of text) — silently
+    // in Spark, as an error in DuckDB. Spark's `div` on decimal inputs
+    // truncates exactly to BIGINT (no intermediate scale-6 rounding;
+    // pinned by the 9999999999999·10⁶ div 10¹³ = 999999 case in the
+    // review), so both engines stay exact to ~10³⁸-token corpora.
     cells.crossJoin(broadcast(totals))
-      .withColumn("share_v1_ppm", expr("tok_v1 * 1000000 div tot1"))
-      .withColumn("share_v2_ppm", expr("tok_v2 * 1000000 div tot2"))
+      .withColumn("share_v1_ppm",
+        expr("cast(tok_v1 as decimal(38,0)) * 1000000 div tot1"))
+      .withColumn("share_v2_ppm",
+        expr("cast(tok_v2 as decimal(38,0)) * 1000000 div tot2"))
       .withColumn("delta_ppm", col("share_v2_ppm") - col("share_v1_ppm"))
       .withColumn("drifted", abs(col("delta_ppm")) >= 500)
       .select("lang", "source", "tok_v1", "tok_v2", "share_v1_ppm",
@@ -781,10 +790,12 @@ object PipelineQueries {
       |    CAST(SUM(tok_v2) AS BIGINT) AS tot2 FROM c
       |)
       |SELECT lang, source, tok_v1, tok_v2,
-      |  tok_v1 * 1000000 // tot1 AS share_v1_ppm,
-      |  tok_v2 * 1000000 // tot2 AS share_v2_ppm,
-      |  tok_v2 * 1000000 // tot2 - tok_v1 * 1000000 // tot1 AS delta_ppm,
-      |  abs(tok_v2 * 1000000 // tot2 - tok_v1 * 1000000 // tot1) >= 500 AS drifted
+      |  CAST(CAST(tok_v1 AS HUGEINT) * 1000000 // tot1 AS BIGINT) AS share_v1_ppm,
+      |  CAST(CAST(tok_v2 AS HUGEINT) * 1000000 // tot2 AS BIGINT) AS share_v2_ppm,
+      |  CAST(CAST(tok_v2 AS HUGEINT) * 1000000 // tot2
+      |       - CAST(tok_v1 AS HUGEINT) * 1000000 // tot1 AS BIGINT) AS delta_ppm,
+      |  abs(CAST(tok_v2 AS HUGEINT) * 1000000 // tot2
+      |      - CAST(tok_v1 AS HUGEINT) * 1000000 // tot1) >= 500 AS drifted
       |FROM c CROSS JOIN t
       |ORDER BY lang, source""".stripMargin
 

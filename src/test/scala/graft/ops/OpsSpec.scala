@@ -61,6 +61,24 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       ("u1", 35L, "c", 300L), ("u2", 50L, "d", -1L)))
   }
 
+  test("Sessions.asOfJoin: null-ts right rows never match; name collisions rejected") {
+    import spark.implicits._
+    val left = Seq(("u1", 50L, "a")).toDF("k", "t", "tag")
+    // DuckDB ASOF semantics: l.ts >= NULL is never true, so the null-ts
+    // right row must NOT be carried into the pre-first-match left row
+    val right = Seq(("u1", Option.empty[Long], 99L), ("u1", Some(100L), 1L))
+      .toDF("k", "t", "rv")
+    val got = Sessions.asOfJoin(left, right, "k", "t", Seq("rv"))
+      .collect().map(r => r.isNullAt(3)).toSeq
+    assert(got == Seq(true), "null-ts right row leaked into the carry")
+    // value-column name shared across sides → rejected up front
+    val clash = Seq(("u1", 1L, 2L)).toDF("k", "t", "rv")
+    val leftClash = Seq(("u1", 1L, 3L)).toDF("k", "t", "rv")
+    intercept[IllegalArgumentException] {
+      Sessions.asOfJoin(leftClash, clash, "k", "t", Seq("rv"))
+    }
+  }
+
   test("TextOps.hashSplit is deterministic and respects percentages") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("id")
