@@ -107,6 +107,29 @@ object TextOps {
   private def md5Bucket(s: Column, denom: Int): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long") % denom
 
+  /** One BPE merge step over a symbol array: replace every adjacent
+    * occurrence of (`a`, `b`) with the merged symbol `a+b`, simultaneously.
+    * Requires `a != b`, which guarantees occurrences cannot overlap (an
+    * overlap at positions i, i+1 would force a = b), so "merge everywhere
+    * at once" is unambiguous — no greedy left-to-right tiebreak — and the
+    * step is a pure per-row array expression replayable in SQL. Used by
+    * the t29 BPE trainer; pairs with the same left/right symbol are simply
+    * never chosen as merge candidates (the trainer filters them out). */
+  def bpeMergePair(syms: Column, a: String, b: String): Column = {
+    require(a != b, "bpeMergePair requires distinct symbols: a self-pair " +
+      "(a,a) has ambiguous overlapping occurrences (e.g. [a,a,a])")
+    transform(
+      filter(sequence(lit(1), size(syms)), i =>
+        !(i > 1 &&
+          element_at(syms, (i - 1).cast("int")) === a &&
+          element_at(syms, i.cast("int")) === b)),
+      i => when(
+        element_at(syms, i.cast("int")) === a &&
+          i < size(syms) &&
+          element_at(syms, (i + 1).cast("int")) === b,
+        lit(a + b)).otherwise(element_at(syms, i.cast("int"))))
+  }
+
   /** Deterministic train/valid/test assignment from a stable id: md5
     * bucket in [0, 100), stable under repartitioning/re-runs (unlike
     * TABLESAMPLE/rand(seed), which are partitioning-dependent).

@@ -1244,8 +1244,121 @@ object TextQueries {
       |       ELSE 'SHALLOWER_THAN_ZIPF1' END AS octave_verdict
       |FROM paired WHERE b_next IS NOT NULL ORDER BY b""".stripMargin
 
+  // t29 — BPE tokenizer TRAINING (Sennrich et al. 2016): 3 merge rounds
+  // over the corpus's lowercase-alpha words. The classic trainer layout:
+  // aggregate the corpus to a (word, freq) vocabulary FIRST (Heaps' law —
+  // vocab grows ~O(N^0.8) sublinearly, so at 100 TB this is the only
+  // corpus-sized scan), then each round is one pair-count shuffle over the
+  // vocab-sized symbol table + a 1-row bounded top-pair collect + a pure
+  // array-map merge (the s09 Lloyd-rounds pattern, applied to tokenizer
+  // training). Merges are restricted to pairs with left≠right, which makes
+  // the simultaneous merge unambiguous: occurrences of a pair (a,b) with
+  // a≠b can never overlap (an overlap at i, i+1 would force a=b), so
+  // "replace everywhere at once" needs no greedy left-to-right tiebreak
+  // and the SQL oracle can replicate it with a pure per-position filter +
+  // transform. Counts are freq-weighted BIGINTs; symbols are ASCII — every
+  // compared value is exact in both engines.
+  def t29BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", regexp_extract_all(col("word"), lit("[a-z]"), lit(0)))
+      .select("freq", "syms")
+      .localCheckpoint()
+
+    def pairCounts(df: DataFrame): DataFrame =
+      df.select(col("freq"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("pair_count"))
+
+    var cur = words
+    var out: Option[DataFrame] = None
+    for (round <- 1 to 3) {
+      val pc = pairCounts(cur)
+      val top = pc.orderBy(col("pair_count").desc, col("a"), col("b")).limit(1)
+      val rows = top.collect() // 1 row by construction (bounded collect)
+      require(rows.nonEmpty,
+        s"t29: no mergeable symbol pair at round $round — corpus has no multi-char alpha words")
+      val (a, b) = (rows(0).getString(0), rows(0).getString(1))
+      cur = cur.withColumn("syms",
+        graft.ops.TextOps.bpeMergePair(col("syms"), a, b)).localCheckpoint()
+      val vocab = cur.select(explode(col("syms")).as("s"))
+        .agg(count_distinct(col("s")).as("vocab_after"))
+      val roundRow = top.withColumn("round", lit(round))
+        .crossJoin(broadcast(vocab))
+        .select(col("round"), col("a").as("left_sym"), col("b").as("right_sym"),
+          col("pair_count"), col("vocab_after"))
+      out = Some(out.fold(roundRow)(_.unionAll(roundRow)))
+    }
+    out.get.orderBy("round")
+  }
+
+  val t29Oracle: String =
+    """WITH w AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
+      |), s0 AS (
+      |  SELECT freq, regexp_extract_all(word, '[a-z]') AS syms FROM w
+      |), p1 AS (
+      |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
+      |  FROM s0, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
+      |  WHERE syms[i] <> syms[i+1] GROUP BY 1, 2
+      |), t1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1
+      |), s1 AS (
+      |  SELECT freq,
+      |    list_transform(
+      |      list_filter(range(1, len(syms)+1),
+      |        i -> NOT (i > 1 AND syms[i-1] = t1.a AND syms[i] = t1.b)),
+      |      i -> CASE WHEN syms[i] = t1.a AND i < len(syms) AND syms[i+1] = t1.b
+      |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
+      |  FROM s0, t1
+      |), v1 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v FROM s1, unnest(s1.syms) AS u(s)
+      |), p2 AS (
+      |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
+      |  FROM s1, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
+      |  WHERE syms[i] <> syms[i+1] GROUP BY 1, 2
+      |), t2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1
+      |), s2 AS (
+      |  SELECT freq,
+      |    list_transform(
+      |      list_filter(range(1, len(syms)+1),
+      |        i -> NOT (i > 1 AND syms[i-1] = t2.a AND syms[i] = t2.b)),
+      |      i -> CASE WHEN syms[i] = t2.a AND i < len(syms) AND syms[i+1] = t2.b
+      |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
+      |  FROM s1, t2
+      |), v2 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v FROM s2, unnest(s2.syms) AS u(s)
+      |), p3 AS (
+      |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
+      |  FROM s2, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
+      |  WHERE syms[i] <> syms[i+1] GROUP BY 1, 2
+      |), t3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1
+      |), s3 AS (
+      |  SELECT freq,
+      |    list_transform(
+      |      list_filter(range(1, len(syms)+1),
+      |        i -> NOT (i > 1 AND syms[i-1] = t3.a AND syms[i] = t3.b)),
+      |      i -> CASE WHEN syms[i] = t3.a AND i < len(syms) AND syms[i+1] = t3.b
+      |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
+      |  FROM s2, t3
+      |), v3 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v FROM s3, unnest(s3.syms) AS u(s))
+      |SELECT 1 AS round, a AS left_sym, b AS right_sym, c AS pair_count,
+      |  (SELECT v FROM v1) AS vocab_after FROM t1
+      |UNION ALL
+      |SELECT 2, a, b, c, (SELECT v FROM v2) FROM t2
+      |UNION ALL
+      |SELECT 3, a, b, c, (SELECT v FROM v3) FROM t3
+      |ORDER BY round""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
+    "t29_bpe_merges" -> (t29BpeMerges _),
     "t28_zipf_slope" -> (t28ZipfSlope _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality_score" -> (t03QualityScore _),
@@ -1304,5 +1417,6 @@ object TextQueries {
     "t26_fertility" -> t26Oracle,
     "t27_zipf_curve" -> t27Oracle,
     "t28_zipf_slope" -> t28Oracle,
+    "t29_bpe_merges" -> t29Oracle,
   )
 }

@@ -297,4 +297,25 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("rnk") <= 10).count()
     assert(kept == 3)
   }
+
+  test("TextOps.bpeMergePair: simultaneous non-overlapping merge semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("e", "r", "e", "r")),      // two disjoint matches
+      (2L, Seq("r", "e", "r", "e")),      // interior match only: r,[er],e
+      (3L, Seq("e", "r")),                // whole word merges
+      (4L, Seq("e")),                     // too short — unchanged
+      (5L, Seq("r", "r", "e")),           // no match at pos 1 (r,r)
+      (6L, Seq("e", "e", "r", "r"))       // middle pair only: e,[er],r
+    ).toDF("id", "syms")
+    val got = df.withColumn("m", TextOps.bpeMergePair(col("syms"), "e", "r"))
+      .orderBy("id").collect().map(_.getSeq[String](2).toList).toList
+    assert(got == List(
+      List("er", "er"), List("r", "er", "e"), List("er"),
+      List("e"), List("r", "r", "e"), List("e", "er", "r")))
+    // self-pairs are rejected — their occurrences can overlap
+    intercept[IllegalArgumentException] {
+      TextOps.bpeMergePair(col("syms"), "a", "a")
+    }
+  }
 }
