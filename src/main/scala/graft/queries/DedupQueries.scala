@@ -1304,7 +1304,80 @@ object DedupQueries {
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // d28 — EDIT-DISTANCE VERIFY of LSH candidates: the exact-verification
+  // stage of a production fuzzy-dedup funnel (LSH proposes, an exact
+  // metric confirms before anything is dropped). Candidates are d03's
+  // minhash-band pairs (bucket-keyed equi-join, df-capped — never
+  // all-pairs); each candidate then passes (1) a free length gate —
+  // |len_a − len_b| is a Levenshtein lower bound, so pairs whose length
+  // gap alone exceeds the 20% budget never pay the O(n·m) distance — and
+  // (2) exact Levenshtein over a 1000-char prefix (the per-pair cost
+  // bound: at 100 TB compared cost is candidates × O(cap²), independent
+  // of document length; both engines' levenshtein and substring are
+  // character-based, so the capped distance is exact cross-engine).
+  // Verdict is integer ppm of the longer compared prefix — no floats.
+  def d28EditVerify(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 1000
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, cap).as("head"),
+        least(length(col("text")), lit(cap)).as("len"))
+    val cand = graft.ops.Dedup
+      .minHashLshPairs(withShingles(spark, dir), "doc_id", 0.5)
+      .select("doc_a", "doc_b")
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("head").as("head_a"),
+        col("len").as("len_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("head").as("head_b"),
+        col("len").as("len_b")), Seq("doc_b"))
+      .filter(abs(col("len_a") - col("len_b")) * 5 <= greatest(col("len_a"), col("len_b")))
+      .withColumn("lev", levenshtein(col("head_a"), col("head_b")))
+      .withColumn("lev_ppm",
+        expr("CAST(lev AS BIGINT) * 1000000 DIV greatest(len_a, len_b)"))
+      .filter(col("lev_ppm") <= 200000)
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("lev_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d28Oracle: String =
+    shingleCte +
+    s""", sig AS (
+      |  SELECT doc_id, shingles, len(shingles) AS n,
+      |    list_transform(range(0, 16), j -> list_min(list_transform(
+      |      list_transform(shingles, h0 -> h0 % $P),
+      |      h -> (((1664525 * j + 1013904223) % $P) * h + (22695477 * j + 12345) % $P) % $P))) AS sg
+      |  FROM s
+      |), banded AS (
+      |  SELECT doc_id, shingles, n, unnest(list_transform(range(0, 4),
+      |    b -> concat_ws('-', b, sg[4*b + 1], sg[4*b + 2], sg[4*b + 3], sg[4*b + 4]))) AS band
+      |  FROM sig
+      |), bcnt AS (
+      |  SELECT band FROM banded GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 256
+      |), bandedk AS (
+      |  SELECT b.* FROM banded b JOIN bcnt k USING (band)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.shingles AS sh_a, b.shingles AS sh_b, a.n AS na, b.n AS nb
+      |  FROM bandedk a JOIN bandedk b ON a.band = b.band AND a.doc_id < b.doc_id
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)/(na + nb - len(list_intersect(sh_a, sh_b))) AS jaccard
+      |    FROM cand)
+      |  WHERE jaccard >= 0.5
+      |), dl AS (
+      |  SELECT doc_id, substr(text, 1, 1000) AS head,
+      |    least(length(text), 1000) AS l
+      |  FROM documents
+      |)
+      |SELECT doc_a, doc_b, CAST(levenshtein(a.head, b.head) AS INT) AS lev,
+      |  CAST(CAST(levenshtein(a.head, b.head) AS BIGINT) * 1000000 // greatest(a.l, b.l) AS BIGINT) AS lev_ppm
+      |FROM pairs JOIN dl a ON doc_a = a.doc_id JOIN dl b ON doc_b = b.doc_id
+      |WHERE abs(a.l - b.l) * 5 <= greatest(a.l, b.l)
+      |  AND CAST(levenshtein(a.head, b.head) AS BIGINT) * 1000000 // greatest(a.l, b.l) <= 200000
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d28_edit_verify" -> (d28EditVerify _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d27_simhash60" -> (d27Simhash60 _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -1331,6 +1404,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d28_edit_verify" -> d28Oracle,
     "d01_exact_dedup" -> d01Oracle,
     "d02_ngram_jaccard" -> d02Oracle,
     "d03_minhash_lsh" -> d03Oracle,

@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       DedupQueries.d02NgramJaccard(spark, dir),
       DedupQueries.d03MinhashLsh(spark, dir),
       DedupQueries.d08SimhashNearDup(spark, dir),
+      DedupQueries.d28EditVerify(spark, dir),
       DedupQueries.d11Decontaminate(spark, dir),
       PipelineQueries.p01TrainingMix(spark, dir),
       PipelineQueries.p02ShardManifest(spark, dir)
