@@ -228,6 +228,36 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s44 — BIG-BATCH serving: s03's IVF search with the query side SHUFFLED
+  // instead of broadcast. s03's broadcast-probe contract is right for an
+  // online query batch (thousands of rows); the offline shapes — scoring a
+  // 100 TB corpus against millions of queries (semdedup sweeps, kNN-graph
+  // refresh, eval-set retrieval) — can't broadcast the query table, so the
+  // probe join becomes a cluster-keyed ShuffledHashJoin: both sides
+  // exchange on the IVF cluster key, each cluster's queries meet exactly
+  // that cluster's members, and nothing is driver- or memory-bound by the
+  // query count. Same candidate cut, same ranking, same rows — the gate
+  // shares s03's oracle, and PlanAudit pins that the probe join is
+  // broadcast-free (the one BroadcastExchange allowed in the plan is the
+  // bounded centroid table inside the assignment argmax).
+  def s44BatchSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cluster").as("qc"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(q.hint("shuffle_hash"),
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("qc").as("cluster"), col("rank"),
+        col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   val s03Oracle: String = {
     def cos(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
@@ -3554,6 +3584,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s43_stream_search" -> (s43StreamSearch _),
+    "s44_batch_search" -> (s44BatchSearch _),
     "s39_ann_ivf_sq8_res" -> (s39AnnIvfSq8Res _),
     "s40_graph_seed_sweep" -> (s40GraphSeedSweep _),
     "s41_graph_bridged_recall" -> (s41GraphBridgedRecall _),
@@ -3606,6 +3637,7 @@ object SimilarityQueries {
     "s02_ann_lsh" -> s02Oracle,
     "s03_ann_ivf" -> s03Oracle,
     "s43_stream_search" -> s03Oracle, // drained query stream == one-shot batch search
+    "s44_batch_search" -> s03Oracle, // shuffled-probe plan, identical rows
     "s04_ann_ivf_nprobe" -> s04Oracle,
     "s05_ann_pq" -> s05Oracle,
     "s06_ann_ivfpq" -> s06Oracle,

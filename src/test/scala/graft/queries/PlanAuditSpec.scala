@@ -393,6 +393,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("s44: big-batch probe join shuffles both sides — query table never broadcast") {
+    val p = plan(SimilarityQueries.s44BatchSearch(spark, dir))
+    assert(p.contains("ShuffledHashJoin [cluster"),
+      s"probe join must be a cluster-keyed ShuffledHashJoin:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      "the query side must not broadcast in the batch-serving plan")
+    // top-5/query is cut map-side before the query-keyed exchange
+    assert(p.contains("row_number(), 5, Partial"),
+      "expected a partial WindowGroupLimit below the rank exchange")
+  }
+
   test("q55: as-of join is the single-window plan — no join operator at all") {
     // the tagged-union formulation's whole point: a backward as-of join
     // with NO range-expanded join — one window exchange keyed on the
