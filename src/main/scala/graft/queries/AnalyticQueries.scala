@@ -884,9 +884,46 @@ object AnalyticQueries {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
       |ORDER BY c.user_id, c.event_id""".stripMargin
 
+  // q56 — NATIVE RECURSIVE CTE (SQL:1999 recursion, Spark 4's UnionLoop
+  // operator): level-by-level walk of the implicit binary-heap hierarchy
+  // over supplier keys (parent(k) = (k−1) DIV 2, root 0), aggregated per
+  // depth. Each recursion step is an ordinary keyed equi-join of the
+  // previous level against the base table — at scale the loop body plans
+  // exactly like g06's hand-rolled BFS rounds (vertex-keyed shuffle per
+  // level, level width bounded by the branching factor), but here the
+  // iteration is declared in SQL and driven by the engine, which gates
+  // Spark's recursion machinery itself against DuckDB's WITH RECURSIVE.
+  // Depth grows O(log n) with the supplier count, so the gate stays live
+  // and cheap at every SF. All-integer output.
+  def q56RecursiveTree(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier_q56")
+    spark.sql(
+      """WITH RECURSIVE r AS (
+        |  SELECT CAST(0 AS BIGINT) AS key, 0 AS depth
+        |  UNION ALL
+        |  SELECT s.s_suppkey, r.depth + 1
+        |  FROM graft_supplier_q56 s JOIN r ON (s.s_suppkey - 1) DIV 2 = r.key
+        |  WHERE s.s_suppkey >= 1
+        |)
+        |SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(key) AS BIGINT) AS sum_key
+        |FROM r GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val q56Oracle: String =
+    """WITH RECURSIVE r AS (
+      |  SELECT CAST(0 AS BIGINT) AS key, 0 AS depth
+      |  UNION ALL
+      |  SELECT s.s_suppkey, r.depth + 1
+      |  FROM supplier s JOIN r ON (s.s_suppkey - 1) // 2 = r.key
+      |  WHERE s.s_suppkey >= 1
+      |)
+      |SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(key) AS BIGINT) AS sum_key
+      |FROM r GROUP BY depth ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q55_asof_join" -> (q55AsofJoin _),
+    "q56_recursive_tree" -> (q56RecursiveTree _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
     "q13_rollup" -> (q13Rollup _),
     "q14_cube" -> (q14Cube _),
@@ -916,6 +953,7 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q56_recursive_tree" -> q56Oracle,
     "q11_dedup_lastwins" -> q11Oracle,
     "q55_asof_join" -> q55Oracle,
     "q12_distinct_agg" -> q12Oracle,

@@ -404,6 +404,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "expected a partial WindowGroupLimit below the rank exchange")
   }
 
+  test("q56: recursion runs in the engine's UnionLoop, not a driver loop") {
+    val p = plan(AnalyticQueries.q56RecursiveTree(spark, dir))
+    assert(p.contains("UnionLoop"), s"expected native recursive execution:\n$p")
+    assert(p.contains("partial_count"), "per-depth aggregate should map-side combine")
+  }
+
   test("q55: as-of join is the single-window plan — no join operator at all") {
     // the tagged-union formulation's whole point: a backward as-of join
     // with NO range-expanded join — one window exchange keyed on the
