@@ -1286,14 +1286,23 @@ object TextQueries {
       require(rows.nonEmpty,
         s"t29: no mergeable symbol pair at round $round — corpus has no multi-char alpha words")
       val (a, b) = (rows(0).getString(0), rows(0).getString(1))
+      // compression curve: both totals are computed INDEPENDENTLY of
+      // pair_count on each side of the gate, so the hash compare proves
+      // the merge invariant syms_after = syms_before − pair_count (each
+      // non-overlapping occurrence removes exactly one symbol) — a
+      // cross-engine check on the merge kernel itself, not just its count
+      val before = cur.agg(sum(col("freq") * size(col("syms"))).as("syms_before"))
       cur = cur.withColumn("syms",
         graft.ops.TextOps.bpeMergePair(col("syms"), a, b)).localCheckpoint()
-      val vocab = cur.select(explode(col("syms")).as("s"))
-        .agg(count_distinct(col("s")).as("vocab_after"))
+      val after = cur.select(explode(col("syms")).as("s"), col("freq"))
+        .agg(count_distinct(col("s")).as("vocab_after"),
+          sum(col("freq")).as("syms_after"))
       val roundRow = top.withColumn("round", lit(round))
-        .crossJoin(broadcast(vocab))
+        .crossJoin(broadcast(before))
+        .crossJoin(broadcast(after))
         .select(col("round"), col("a").as("left_sym"), col("b").as("right_sym"),
-          col("pair_count"), col("vocab_after"))
+          col("pair_count"), col("vocab_after"),
+          col("syms_before"), col("syms_after"))
       out = Some(out.fold(roundRow)(_.unionAll(roundRow)))
     }
     out.get.orderBy("round")
@@ -1319,7 +1328,9 @@ object TextQueries {
       |      i -> CASE WHEN syms[i] = t1.a AND i < len(syms) AND syms[i+1] = t1.b
       |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
       |  FROM s0, t1
-      |), v1 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v FROM s1, unnest(s1.syms) AS u(s)
+      |), v1 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v,
+      |    CAST(SUM(freq) AS BIGINT) AS sa FROM s1, unnest(s1.syms) AS u(s)
+      |), b1 AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS sb FROM s0
       |), p2 AS (
       |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
       |  FROM s1, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
@@ -1333,7 +1344,9 @@ object TextQueries {
       |      i -> CASE WHEN syms[i] = t2.a AND i < len(syms) AND syms[i+1] = t2.b
       |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
       |  FROM s1, t2
-      |), v2 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v FROM s2, unnest(s2.syms) AS u(s)
+      |), v2 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v,
+      |    CAST(SUM(freq) AS BIGINT) AS sa FROM s2, unnest(s2.syms) AS u(s)
+      |), b2 AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS sb FROM s1
       |), p3 AS (
       |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
       |  FROM s2, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
@@ -1347,13 +1360,17 @@ object TextQueries {
       |      i -> CASE WHEN syms[i] = t3.a AND i < len(syms) AND syms[i+1] = t3.b
       |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
       |  FROM s2, t3
-      |), v3 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v FROM s3, unnest(s3.syms) AS u(s))
+      |), v3 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v,
+      |    CAST(SUM(freq) AS BIGINT) AS sa FROM s3, unnest(s3.syms) AS u(s)
+      |), b3 AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS sb FROM s2)
       |SELECT 1 AS round, a AS left_sym, b AS right_sym, c AS pair_count,
-      |  (SELECT v FROM v1) AS vocab_after FROM t1
+      |  (SELECT v FROM v1) AS vocab_after,
+      |  (SELECT sb FROM b1) AS syms_before,
+      |  (SELECT sa FROM v1) AS syms_after FROM t1
       |UNION ALL
-      |SELECT 2, a, b, c, (SELECT v FROM v2) FROM t2
+      |SELECT 2, a, b, c, (SELECT v FROM v2), (SELECT sb FROM b2), (SELECT sa FROM v2) FROM t2
       |UNION ALL
-      |SELECT 3, a, b, c, (SELECT v FROM v3) FROM t3
+      |SELECT 3, a, b, c, (SELECT v FROM v3), (SELECT sb FROM b3), (SELECT sa FROM v3) FROM t3
       |ORDER BY round""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
