@@ -195,7 +195,8 @@ object Dedup {
     * maxHamming 3) recall is EXACT, not probabilistic. Output:
     * (id_a, id_b, hamming). */
   def simhashNearDups(df: DataFrame, idCol: String, simhashCol: String,
-      maxHamming: Int = 3, bands: Int = 4, bits: Int = 32): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4, bits: Int = 32,
+      maxBucket: Int = 256): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole exactness needs maxHamming < bands ($maxHamming >= $bands)")
     require(bits % bands == 0, s"$bits bits must split evenly into $bands bands")
@@ -211,8 +212,19 @@ object Dedup {
           lit(b).as("band"),
           shiftright(col(sh), b * bandBits).bitwiseAND(mask).as("bval"))): _*))
         .as(s"_bd_$id"))
-    side("id_a", "sh_a")
-      .join(side("id_b", "sh_b"),
+    // hot-band cap, the d03/d02 discipline: a giant near-identical cluster
+    // collides one band value into a bucket whose self-join is quadratic
+    // in the cluster size. Pre-count band values and left-semi BEFORE the
+    // self-join (singletons can't pair, over-cap buckets are declared
+    // degenerate — exact dedup upstream is the intended path for such
+    // clusters), so the blowup never materializes.
+    val l = side("id_a", "sh_a")
+    val r = side("id_b", "sh_b")
+    val kept = l.groupBy("_bd_id_a").agg(count(lit(1)).as("n_bk"))
+      .filter(col("n_bk").between(2, maxBucket))
+      .select(col("_bd_id_a").as("_bd_keep"))
+    l.join(kept, col("_bd_id_a") === col("_bd_keep"), "left_semi")
+      .join(r.join(kept, col("_bd_id_b") === col("_bd_keep"), "left_semi"),
         col("_bd_id_a") === col("_bd_id_b") && col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming",

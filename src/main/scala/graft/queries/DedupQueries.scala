@@ -238,10 +238,14 @@ object DedupQueries {
       |), e AS (
       |  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bval
       |  FROM sh, generate_series(0, 3) t(b)
+      |), bk AS (
+      |  SELECT b, bval FROM e GROUP BY b, bval HAVING COUNT(*) BETWEEN 2 AND 256
+      |), ek AS (
+      |  SELECT e.* FROM e JOIN bk USING (b, bval)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
       |    a.simhash AS sa, b2.simhash AS sb
-      |  FROM e a JOIN e b2 ON a.b = b2.b AND a.bval = b2.bval
+      |  FROM ek a JOIN ek b2 ON a.b = b2.b AND a.bval = b2.bval
       |    AND a.doc_id < b2.doc_id
       |)
       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
@@ -1294,10 +1298,14 @@ object DedupQueries {
       |), e AS (
       |  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bval
       |  FROM sh, generate_series(0, 3) t(b)
+      |), bk AS (
+      |  SELECT b, bval FROM e GROUP BY b, bval HAVING COUNT(*) BETWEEN 2 AND 256
+      |), ek AS (
+      |  SELECT e.* FROM e JOIN bk USING (b, bval)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
       |    a.simhash AS sa, b2.simhash AS sb
-      |  FROM e a JOIN e b2 ON a.b = b2.b AND a.bval = b2.bval
+      |  FROM ek a JOIN ek b2 ON a.b = b2.b AND a.bval = b2.bval
       |    AND a.doc_id < b2.doc_id
       |)
       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming

@@ -358,6 +358,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("d08/d27: band self-join sits above bucket-count semi-joins (capped buckets)") {
+    // the hot-band analogue of the d02 posting cap: a giant near-identical
+    // cluster collides one band value into a bucket whose self-join is
+    // quadratic in the cluster size. The bounded shape pre-counts band
+    // values and left-semi joins BOTH sides before the self-join.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq(
+      DedupQueries.d08SimhashNearDup(spark, dir),
+      DedupQueries.d27Simhash60(spark, dir)
+    ).foreach { df =>
+      val semis = df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+      assert(semis.size >= 2,
+        s"expected both band sides semi-joined against the bucket-count filter, " +
+          s"found ${semis.size}:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("q36/cdc23/cdc28/t15/t25/p04: no unpartitioned WindowExec over non-aggregated input") {
     // the r9 scale flag: a bare Window.orderBy over a data-sized input
     // moves everything to ONE partition. The two-phase prefix (ops.Prefix)
