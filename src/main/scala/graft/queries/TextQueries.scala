@@ -1373,7 +1373,79 @@ object TextQueries {
       |SELECT 3, a, b, c, (SELECT v FROM v3), (SELECT sb FROM b3), (SELECT sa FROM v3) FROM t3
       |ORDER BY round""".stripMargin
 
+  // t30 — STREAMING corpus ingest + quality gate: the continuous-curation
+  // leg of the text family (the s42/s43 pattern applied to documents).
+  // The corpus arrives as two adversarially-split micro-batches (doc_id %
+  // 7 tags batch 1, so neither batch is a contiguous range); each batch
+  // runs t03's per-document quality scoring inside `foreachBatch` and
+  // appends the gated per-doc rows; the drained sink aggregates to the
+  // per-(lang, quality) training-mix table. Per-document scoring is
+  // embarrassingly parallel — state-free, so drained stream ≡ one-shot
+  // batch by construction, and the gate shares the batch arithmetic with
+  // the DuckDB oracle. At scale this is the production shape for "filter
+  // the crawl as it lands": no global state, restart-safe checkpointing,
+  // per-batch cost proportional to batch size.
+  def t30StreamQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = CdcQueries.tmpFixtureDir("graft_t30_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    docs.filter(col("doc_id") % 7 === 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    docs.filter(col("doc_id") % 7 =!= 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val sq = spark.readStream
+      .schema("doc_id BIGINT, lang STRING, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_stop", graft.ops.TextOps.markerHits(col("toks"), Seq("the", "a")))
+          .withColumn("tok_chars", graft.ops.TextOps.tokenCharSum(col("toks")))
+          .withColumn("quality", graft.ops.TextOps.qualityBucket(
+            col("n_tokens"),
+            col("n_stop").cast("double") / col("n_tokens"),
+            col("tok_chars").cast("double") / col("n_tokens")))
+          .select("doc_id", "lang", "n_tokens", "quality")
+          .write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    new java.io.File(sink).mkdirs() // empty feed → empty result (cdc12 note)
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, n_tokens INT, quality STRING")
+      .parquet(sink)
+      .groupBy("lang", "quality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .orderBy("lang", "quality")
+  }
+
+  val t30Oracle: String =
+    """SELECT lang, quality, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+      |FROM (
+      |  SELECT lang, n_tokens,
+      |    CASE WHEN n_tokens < 25 THEN 'TOO_SHORT'
+      |         WHEN CAST(n_stop AS DOUBLE)/n_tokens > 0.125 THEN 'STOPWORD_HEAVY'
+      |         WHEN CAST(tok_chars AS DOUBLE)/n_tokens < 3.5 THEN 'SHORT_TOKENS'
+      |         ELSE 'OK' END AS quality
+      |  FROM (
+      |    SELECT lang,
+      |      CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+      |      CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INT) AS n_stop,
+      |      CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS BIGINT) AS tok_chars
+      |    FROM documents))
+      |GROUP BY lang, quality ORDER BY lang, quality""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_stream_quality" -> (t30StreamQuality _),
     "t01_token_stats" -> (t01TokenStats _),
     "t29_bpe_merges" -> (t29BpeMerges _),
     "t28_zipf_slope" -> (t28ZipfSlope _),
@@ -1435,5 +1507,6 @@ object TextQueries {
     "t27_zipf_curve" -> t27Oracle,
     "t28_zipf_slope" -> t28Oracle,
     "t29_bpe_merges" -> t29Oracle,
+    "t30_stream_quality" -> t30Oracle,
   )
 }
