@@ -1384,8 +1384,102 @@ object DedupQueries {
       |  AND CAST(levenshtein(a.head, b.head) AS BIGINT) * 1000000 // greatest(a.l, b.l) <= 200000
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // d29 — SHARED-SPAN MEASUREMENT between near-dup candidates: the
+  // cross-document substring-dedup metric (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better" §4 — their unit is the
+  // longest shared substring; ours is its token-level analogue). For each
+  // d03 candidate pair, positioned 8-gram hashes of both documents meet
+  // on an equi-join over (pair, gram-hash); matches on the same alignment
+  // diagonal (i − j) that are consecutive form a shared span, extracted
+  // with the classic gaps-and-islands trick (i − row_number per diagonal
+  // is constant within a run) — so the longest common contiguous token
+  // run is computed by joins + windows, never by per-pair string DP. All
+  // windows are keyed by (pair, diagonal); candidate mass is LSH-capped;
+  // at 100 TB this is the production "verify and LOCATE the overlap"
+  // stage that decides clip-vs-drop for near-duplicate documents.
+  // An L-run of 8-grams covers L+7 tokens. All-integer output.
+  def d29SharedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3) // d03's shingle-eligibility domain
+    val grams = docs.select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("toks")) - 7, lit(0))),
+        i => struct(i.as("pos"),
+          conv(substring(md5(concat_ws(" ",
+            slice(col("toks"), i, lit(8)))), 1, 15), 16, 10)
+            .cast("long").as("gv")))).as("g8"))
+      .select(col("doc_id"), col("g8.pos").as("pos"), col("g8.gv").as("gv"))
+    val cand = graft.ops.Dedup
+      .minHashLshPairs(withShingles(spark, dir), "doc_id", 0.5)
+      .select("doc_a", "doc_b")
+    val matches = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("pos").as("i"),
+        col("gv")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("j"),
+        col("gv")), Seq("doc_b", "gv"))
+    val wDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("i")
+    matches
+      .withColumn("diag", col("i") - col("j"))
+      .withColumn("grp", col("i") - row_number().over(wDiag))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("run")).as("n_matches"), count(lit(1)).as("n_runs"),
+        (max(col("run")) + 7).as("longest_span_tokens"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d29Oracle: String =
+    shingleCte +
+    s""", sig AS (
+      |  SELECT doc_id, shingles, len(shingles) AS n,
+      |    list_transform(range(0, 16), j -> list_min(list_transform(
+      |      list_transform(shingles, h0 -> h0 % $P),
+      |      h -> (((1664525 * j + 1013904223) % $P) * h + (22695477 * j + 12345) % $P) % $P))) AS sg
+      |  FROM s
+      |), banded AS (
+      |  SELECT doc_id, shingles, n, unnest(list_transform(range(0, 4),
+      |    b -> concat_ws('-', b, sg[4*b + 1], sg[4*b + 2], sg[4*b + 3], sg[4*b + 4]))) AS band
+      |  FROM sig
+      |), bcnt AS (
+      |  SELECT band FROM banded GROUP BY band HAVING COUNT(*) BETWEEN 2 AND 256
+      |), bandedk AS (
+      |  SELECT b.* FROM banded b JOIN bcnt k USING (band)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.shingles AS sh_a, b.shingles AS sh_b, a.n AS na, b.n AS nb
+      |  FROM bandedk a JOIN bandedk b ON a.band = b.band AND a.doc_id < b.doc_id
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)/(na + nb - len(list_intersect(sh_a, sh_b))) AS jaccard
+      |    FROM cand)
+      |  WHERE jaccard >= 0.5
+      |), g AS (
+      |  SELECT doc_id, i,
+      |    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS gv
+      |  FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) q
+      |), mm AS (
+      |  SELECT p.doc_a, p.doc_b, ga.i AS i, gb.i AS j
+      |  FROM pairs p
+      |  JOIN g ga ON ga.doc_id = p.doc_a
+      |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.gv = ga.gv
+      |), runs AS (
+      |  SELECT doc_a, doc_b, i - j AS diag,
+      |    i - row_number() OVER (PARTITION BY doc_a, doc_b, i - j ORDER BY i) AS grp
+      |  FROM mm
+      |), rl AS (
+      |  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run
+      |  FROM runs GROUP BY doc_a, doc_b, diag, grp
+      |)
+      |SELECT doc_a, doc_b, CAST(SUM(run) AS BIGINT) AS n_matches,
+      |  COUNT(*) AS n_runs, CAST(MAX(run) + 7 AS BIGINT) AS longest_span_tokens
+      |FROM rl GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d28_edit_verify" -> (d28EditVerify _),
+    "d29_shared_spans" -> (d29SharedSpans _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d27_simhash60" -> (d27Simhash60 _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -1413,6 +1507,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "d28_edit_verify" -> d28Oracle,
+    "d29_shared_spans" -> d29Oracle,
     "d01_exact_dedup" -> d01Oracle,
     "d02_ngram_jaccard" -> d02Oracle,
     "d03_minhash_lsh" -> d03Oracle,

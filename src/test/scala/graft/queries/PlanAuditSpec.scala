@@ -59,6 +59,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       DedupQueries.d03MinhashLsh(spark, dir),
       DedupQueries.d08SimhashNearDup(spark, dir),
       DedupQueries.d28EditVerify(spark, dir),
+      DedupQueries.d29SharedSpans(spark, dir),
       DedupQueries.d11Decontaminate(spark, dir),
       PipelineQueries.p01TrainingMix(spark, dir),
       PipelineQueries.p02ShardManifest(spark, dir)
