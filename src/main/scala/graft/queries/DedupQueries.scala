@@ -1398,17 +1398,24 @@ object DedupQueries {
   // at 100 TB this is the production "verify and LOCATE the overlap"
   // stage that decides clip-vs-drop for near-duplicate documents.
   // An L-run of 8-grams covers L+7 tokens. All-integer output.
-  def d29SharedSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3) // d03's shingle-eligibility domain
-    val grams = docs.select(col("doc_id"), explode(transform(
+  /** Positioned 8-gram hashes of a (doc_id, toks) frame: one row per
+    * window start, (doc_id, pos, gv) with gv the 60-bit md5-prefix hash
+    * of the space-joined window — the substring-location primitive shared
+    * by d29 (span measurement) and d30 (span clipping). */
+  private def grams8(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(transform(
         sequence(lit(1), greatest(size(col("toks")) - 7, lit(0))),
         i => struct(i.as("pos"),
           conv(substring(md5(concat_ws(" ",
             slice(col("toks"), i, lit(8)))), 1, 15), 16, 10)
             .cast("long").as("gv")))).as("g8"))
       .select(col("doc_id"), col("g8.pos").as("pos"), col("g8.gv").as("gv"))
+
+  def d29SharedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3) // d03's shingle-eligibility domain
+    val grams = grams8(docs)
     val cand = graft.ops.Dedup
       .minHashLshPairs(withShingles(spark, dir), "doc_id", 0.5)
       .select("doc_a", "doc_b")
@@ -1477,9 +1484,99 @@ object DedupQueries {
       |  COUNT(*) AS n_runs, CAST(MAX(run) + 7 AS BIGINT) AS longest_span_tokens
       |FROM rl GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
 
+  // d30 — SPAN-LEVEL DECONTAMINATION (clip, don't drop): d11 flags whole
+  // documents; the production action for benchmark overlap is to remove
+  // only the contaminated WINDOW and keep the rest of the document
+  // (open-source pipelines clip matched benchmark spans ± a margin). The
+  // held-out split's distinct 8-grams are the benchmark set; every train
+  // document position whose 8-gram appears there is contaminated and
+  // covers tokens [i, i+7]; overlapping covers union into maximal spans
+  // via the running-max islands window (a span starts where i exceeds the
+  // cummax of previous span ends — all windows keyed by doc_id). Output
+  // is the per-language clip report: docs touched, tokens removed vs
+  // total in touched docs, span count — the numbers a release card needs
+  // to state benchmark-leakage handling. One gram-keyed semi-join + one
+  // doc-keyed window; the benchmark gram set is itself distributed
+  // (semi-join, never a broadcast list) so a 100× benchmark suite
+  // changes nothing structurally.
+  def d30DecontaminateClip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("split", graft.ops.TextOps.hashSplit(col("doc_id")))
+    val bench = grams8(docs.filter(col("split") === "test"))
+      .select("gv").distinct()
+    val hits = grams8(docs.filter(col("split") === "train"))
+      .join(bench, Seq("gv"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + 7)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), max(col("pos") + 7).as("e"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + 1).as("removed"),
+        count(lit(1)).as("n_spans"))
+    docs.filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), size(col("toks")).as("n_toks"))
+      .join(perDoc, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_touched"),
+        sum(col("removed")).as("tokens_removed"),
+        sum(col("n_toks").cast("long")).as("tokens_in_touched"),
+        sum(col("n_spans")).as("n_spans"))
+      .orderBy("lang")
+  }
+
+  val d30Oracle: String =
+    """WITH dd AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, bucket, i,
+      |    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS gv
+      |  FROM dd, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) q
+      |), bench AS (
+      |  SELECT DISTINCT gv FROM g WHERE bucket >= 90
+      |), hits AS (
+      |  SELECT DISTINCT g.doc_id, g.i FROM g JOIN bench USING (gv) WHERE g.bucket < 80
+      |), isl AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR i > max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS ni
+      |  FROM hits
+      |), isl2 AS (
+      |  SELECT doc_id, i, SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl
+      |), sp2 AS (
+      |  SELECT doc_id, island, MIN(i) AS s, MAX(i + 7) AS e
+      |  FROM isl2 GROUP BY 1, 2
+      |), pd AS (
+      |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS removed,
+      |    CAST(COUNT(*) AS BIGINT) AS n_spans
+      |  FROM sp2 GROUP BY 1
+      |)
+      |SELECT lang, COUNT(*) AS n_docs_touched,
+      |  CAST(SUM(removed) AS BIGINT) AS tokens_removed,
+      |  CAST(SUM(len(toks)) AS BIGINT) AS tokens_in_touched,
+      |  CAST(SUM(n_spans) AS BIGINT) AS n_spans
+      |FROM dd JOIN pd USING (doc_id)
+      |WHERE bucket < 80
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d28_edit_verify" -> (d28EditVerify _),
     "d29_shared_spans" -> (d29SharedSpans _),
+    "d30_decontaminate_clip" -> (d30DecontaminateClip _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d27_simhash60" -> (d27Simhash60 _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -1508,6 +1605,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "d28_edit_verify" -> d28Oracle,
     "d29_shared_spans" -> d29Oracle,
+    "d30_decontaminate_clip" -> d30Oracle,
     "d01_exact_dedup" -> d01Oracle,
     "d02_ngram_jaccard" -> d02Oracle,
     "d03_minhash_lsh" -> d03Oracle,
