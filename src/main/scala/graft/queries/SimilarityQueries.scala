@@ -258,6 +258,75 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s45 — MUTUAL NEAREST NEIGHBORS across two sides of the corpus (the
+  // bitext-mining / alignment shape — Artetxe & Schwenk 2019's candidate
+  // stage: a pair survives only if each end is the other's top-1). Sides
+  // are the even/odd `label` halves standing in for two languages; both
+  // share the IVF coarse quantizer, candidates meet in a cluster-keyed
+  // equi-join (never all-pairs), each direction takes its top-1 by
+  // (cos desc, id), and the mutual filter is an equi-join of the two
+  // direction tables. Ids-only output. At 100 TB both direction top-1
+  // cuts are WindowGroupLimit-able per key and the mutual join is keyed
+  // by the pair — no step holds more than a cluster's candidates.
+  def s45MutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding", "label"), cent, Seq("vec_id"))
+    val a = assigned.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("cluster"))
+    val b = assigned.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("cluster"))
+    val scored = a.join(b, Seq("cluster"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+    val wa = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    val wb = Window.partitionBy("id_b").orderBy(col("cos").desc, col("id_a"))
+    val topAB = scored.withColumn("r", row_number().over(wa))
+      .filter(col("r") === 1).select(col("cluster"), col("id_a"), col("id_b"))
+    val topBA = scored.withColumn("r", row_number().over(wb))
+      .filter(col("r") === 1).select(col("id_a"), col("id_b"))
+    topAB.join(topBA, Seq("id_a", "id_b"))
+      .select(col("cluster").cast("long").as("cluster"), col("id_a"), col("id_b"))
+      .orderBy("id_a")
+  }
+
+  val s45Oracle: String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+        s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS (
+      |  SELECT vec_id, embedding, label, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, e.label, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), a AS (
+      |  SELECT vec_id AS id_a, embedding AS va, clabel AS cluster
+      |  FROM assigned WHERE label % 2 = 0
+      |), b AS (
+      |  SELECT vec_id AS id_b, embedding AS vb, clabel AS cluster
+      |  FROM assigned WHERE label % 2 = 1
+      |), scored AS (
+      |  SELECT a.cluster, id_a, id_b, ${cos("va", "vb")} AS cos
+      |  FROM a JOIN b USING (cluster)
+      |), tab AS (
+      |  SELECT cluster, id_a, id_b FROM (
+      |    SELECT cluster, id_a, id_b,
+      |      row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS r
+      |    FROM scored) WHERE r = 1
+      |), tba AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      row_number() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a) AS r
+      |    FROM scored) WHERE r = 1
+      |)
+      |SELECT CAST(t.cluster AS BIGINT) AS cluster, id_a, id_b
+      |FROM tab t JOIN tba USING (id_a, id_b)
+      |ORDER BY id_a""".stripMargin
+  }
+
   val s03Oracle: String = {
     def cos(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
@@ -3585,6 +3654,7 @@ object SimilarityQueries {
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s43_stream_search" -> (s43StreamSearch _),
     "s44_batch_search" -> (s44BatchSearch _),
+    "s45_mutual_nn" -> (s45MutualNn _),
     "s39_ann_ivf_sq8_res" -> (s39AnnIvfSq8Res _),
     "s40_graph_seed_sweep" -> (s40GraphSeedSweep _),
     "s41_graph_bridged_recall" -> (s41GraphBridgedRecall _),
@@ -3638,6 +3708,7 @@ object SimilarityQueries {
     "s03_ann_ivf" -> s03Oracle,
     "s43_stream_search" -> s03Oracle, // drained query stream == one-shot batch search
     "s44_batch_search" -> s03Oracle, // shuffled-probe plan, identical rows
+    "s45_mutual_nn" -> s45Oracle,
     "s04_ann_ivf_nprobe" -> s04Oracle,
     "s05_ann_pq" -> s05Oracle,
     "s06_ann_ivfpq" -> s06Oracle,
