@@ -147,6 +147,53 @@ case class ShingleHash60(child: Expression, n: Int = 3)
     copy(child = c)
 }
 
+/** POSITIONED 60-bit n-gram hashes: one `struct<pos:int, gv:bigint>` per
+  * window start (1-based, every occurrence — no distinct), the
+  * substring-LOCATION primitive behind span measurement/clipping (d29/
+  * d30), where [[ShingleHash60]]'s set form would lose the alignment.
+  * Same hash math: first 15 md5-hex chars of the space-joined window as
+  * BIGINT, identical to
+  * `('0x'||substr(md5(array_to_string(list_slice(toks,i,i+n-1),' ')),1,15))::BIGINT`.
+  * Fused single loop per row vs the transform(sequence(...)) HOF route's
+  * interpreted lambda + expression-dispatch md5 per window. */
+case class ShinglePos60(child: Expression, n: Int)
+    extends UnaryExpression with StringArrayInput with CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("gv", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val m = math.max(total - n + 1, 0)
+    val out = new Array[Any](m)
+    val sep = " ".getBytes("UTF-8")
+    var i = 0
+    while (i < m) {
+      val bos = new java.io.ByteArrayOutputStream(64)
+      var k = 0
+      while (k < n) {
+        if (k > 0) bos.write(sep)
+        bos.write(arr.getUTF8String(i + k).getBytes)
+        k += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        i + 1,
+        java.lang.Long.parseLong(
+          DigestUtils.md5Hex(bos.toByteArray).substring(0, 15), 16))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShinglePos60 =
+    copy(child = c)
+}
+
 /** 32-bit SimHash of a token array: per-bit ±1 frequency votes over the
   * tokens' 32-bit hashes; bit set iff its vote sum is positive. */
 case class SimHash32(child: Expression)
@@ -329,6 +376,11 @@ object TextHashFunctions {
   /** Distinct 60-bit hashed n-gram shingles over an `array<string>` column. */
   def shingleHash60(tokens: Column, n: Int = 3): Column =
     ColumnShim.column(ShingleHash60(ColumnShim.expression(tokens), n))
+
+  /** Positioned (1-based, non-distinct) 60-bit n-gram hashes:
+    * `array<struct<pos:int, gv:bigint>>`. */
+  def shinglePos60(tokens: Column, n: Int): Column =
+    ColumnShim.column(ShinglePos60(ColumnShim.expression(tokens), n))
 
   /** `[total, distinct, top]` bigram counts over an `array<string>` column
     * (the Gopher-style repetition-signal inputs). */

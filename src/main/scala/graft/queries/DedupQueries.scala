@@ -1401,14 +1401,14 @@ object DedupQueries {
   /** Positioned 8-gram hashes of a (doc_id, toks) frame: one row per
     * window start, (doc_id, pos, gv) with gv the 60-bit md5-prefix hash
     * of the space-joined window — the substring-location primitive shared
-    * by d29 (span measurement) and d30 (span clipping). */
+    * by d29 (span measurement) and d30 (span clipping). Native
+    * [[graft.functions.ShinglePos60]] kernel (one fused loop per row; the
+    * transform(sequence(...)) HOF route interprets a lambda and
+    * re-dispatches md5 per window — on a corpus-scan-bound operator that
+    * per-element overhead is the scan cost). */
   private def grams8(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(transform(
-        sequence(lit(1), greatest(size(col("toks")) - 7, lit(0))),
-        i => struct(i.as("pos"),
-          conv(substring(md5(concat_ws(" ",
-            slice(col("toks"), i, lit(8)))), 1, 15), 16, 10)
-            .cast("long").as("gv")))).as("g8"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextHashFunctions.shinglePos60(col("toks"), 8)).as("g8"))
       .select(col("doc_id"), col("g8.pos").as("pos"), col("g8.gv").as("gv"))
 
   def d29SharedSpans(spark: SparkSession, dir: String): DataFrame = {

@@ -147,4 +147,31 @@ class TextHashFunctionsSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(got == expected)
   }
+
+  test("shinglePos60 == the transform(sequence) HOF route, 1-based, every occurrence") {
+    import spark.implicits._
+    // repeated window ("a b c" twice) — both positions must survive (no
+    // distinct). The HOF reference needs an explicit size guard because
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark — the raw
+    // transform(sequence(1, size-2)) route crashes in slice(toks, 0, n)
+    // on arrays shorter than the window, one of the hazards the native
+    // kernel removes.
+    val df = Seq(
+      Tuple1(Seq("a", "b", "c", "d", "a", "b", "c")),
+      Tuple1(Seq("x", "y", "z", "w"))).toDF("toks")
+      .select(
+        shinglePos60(col("toks"), 3).as("native"),
+        expr("""transform(
+          sequence(1, size(toks) - 2),
+          i -> struct(CAST(i AS INT) AS pos,
+            CAST(conv(substr(md5(concat_ws(' ', slice(toks, i, 3))), 1, 15), 16, 10) AS BIGINT) AS gv))""")
+          .as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) == r.getSeq[org.apache.spark.sql.Row](1))
+    }
+    // short and empty arrays: native yields empty, totally
+    val shorts = Seq(Tuple1(Seq("x", "y")), Tuple1(Seq[String]())).toDF("toks")
+      .select(shinglePos60(col("toks"), 3).as("native"))
+    shorts.collect().foreach(r => assert(r.getSeq[org.apache.spark.sql.Row](0).isEmpty))
+  }
 }
