@@ -111,6 +111,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (args.length == 1) ShingleHash60(args(0))
         else ShingleHash60(args(0), intLit("shingle_hash60", "n", args(1)))
       }))
+    ext.injectFunction((FunctionIdentifier("shingle_pos60"),
+      info("shingle_pos60",
+        "shingle_pos60(array<string>, n) - positioned (1-based, non-distinct) " +
+          "60-bit n-gram hashes as array<struct<pos:int, gv:bigint>>"),
+      (args: Seq[Expression]) => {
+        arity("shingle_pos60", args, 2)
+        ShinglePos60(args(0), intLit("shingle_pos60", "n", args(1)))
+      }))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(array<string>|array<bigint>[, numPerms]) - MinHash signature"),

@@ -25,7 +25,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
         |  word_shingles(split(text, ' '), 2) AS ws,
         |  marker_count(split(text, ' '), array('the', 'a')) AS mc,
         |  token_char_sum(split(text, ' ')) AS tcs,
-        |  rolling_fp(split(text, ' ')) AS rfp
+        |  rolling_fp(split(text, ' ')) AS rfp,
+        |  shingle_pos60(split(text, ' '), 3) AS sp60
         |FROM ext_docs ORDER BY id""".stripMargin).collect()
     val viaCols = docs.select(col("id"),
         graft.functions.TextHashFunctions.simHash32(split(col("text"), " ")).as("sh"),
@@ -37,7 +38,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
           split(col("text"), " "), Seq("the", "a")).as("mc"),
         graft.functions.FoldFunctions.tokenCharSum(split(col("text"), " ")).as("tcs"),
         graft.functions.FoldFunctions.rollingFingerprint(
-          split(col("text"), " ")).as("rfp"))
+          split(col("text"), " ")).as("rfp"),
+        graft.functions.TextHashFunctions.shinglePos60(
+          split(col("text"), " "), 3).as("sp60"))
       .orderBy("id").collect()
     assert(viaSql.toSeq == viaCols.toSeq)
   }
