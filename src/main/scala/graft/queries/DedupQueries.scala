@@ -1406,7 +1406,7 @@ object DedupQueries {
     * transform(sequence(...)) HOF route interprets a lambda and
     * re-dispatches md5 per window — on a corpus-scan-bound operator that
     * per-element overhead is the scan cost). */
-  private def grams8(docs: DataFrame): DataFrame =
+  private[queries] def grams8(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(graft.functions.TextHashFunctions.shinglePos60(col("toks"), 8)).as("g8"))
       .select(col("doc_id"), col("g8.pos").as("pos"), col("g8.gv").as("gv"))
@@ -1499,8 +1499,30 @@ object DedupQueries {
   // doc-keyed window; the benchmark gram set is itself distributed
   // (semi-join, never a broadcast list) so a 100× benchmark suite
   // changes nothing structurally.
-  def d30DecontaminateClip(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document clip report over contaminated gram positions: each
+    * (doc_id, pos) hit covers tokens [pos, pos+7]; overlapping covers
+    * union into maximal spans via the running-max islands window (a span
+    * starts where pos exceeds the cummax of previous span ends — windows
+    * keyed by doc_id). Output: (doc_id, removed, n_spans). Shared by d30
+    * and the p11 release funnel. */
+  private[queries] def clipReport(hits: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + 7)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), max(col("pos") + 7).as("e"))
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + 1).as("removed"),
+        count(lit(1)).as("n_spans"))
+  }
+
+  def d30DecontaminateClip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("split", graft.ops.TextOps.hashSplit(col("doc_id")))
@@ -1508,19 +1530,7 @@ object DedupQueries {
       .select("gv").distinct()
     val hits = grams8(docs.filter(col("split") === "train"))
       .join(bench, Seq("gv"), "left_semi")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val prevEnd = max(col("pos") + 7)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = hits
-      .withColumn("ni",
-        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
-      .withColumn("island",
-        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("doc_id", "island")
-      .agg(min(col("pos")).as("s"), max(col("pos") + 7).as("e"))
-    val perDoc = islands.groupBy("doc_id")
-      .agg(sum(col("e") - col("s") + 1).as("removed"),
-        count(lit(1)).as("n_spans"))
+    val perDoc = clipReport(hits)
     docs.filter(col("split") === "train")
       .select(col("doc_id"), col("lang"), size(col("toks")).as("n_toks"))
       .join(perDoc, Seq("doc_id"))

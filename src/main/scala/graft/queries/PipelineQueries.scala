@@ -857,8 +857,94 @@ object PipelineQueries {
       |  CAST(COUNT(DISTINCT a * 32 + b) AS BIGINT) AS n_cells
       |FROM s GROUP BY 1, 2 ORDER BY layout, shard""".stripMargin
 
+  // p11 — CLIPPED RELEASE: the curated-release funnel with span-level
+  // decontamination integrated (quality word-count bound → exact-dedup
+  // keeper → leakage clip → per-language token accounting). Stage order
+  // is load-bearing: dedup BEFORE clipping means the benchmark gram set
+  // and the clip spans are computed over unique text (a duplicated
+  // contaminated doc would otherwise multiply its spans), and the
+  // held-out split is carved from the deduped survivors — the same docs
+  // that seed p03's eval set. Output is the release accounting a model
+  // card states: per language, surviving docs, raw tokens, tokens
+  // clipped for benchmark leakage (d30's islands over d29's positioned
+  // grams), final token budget, and how many docs were touched. One
+  // corpus scan; wide exchanges are the content-hash dedup window, the
+  // gram semi-join, and the doc-keyed clip window — each already costed
+  // in its standalone query (d01/d30).
+  def p11ClippedRelease(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .filter(col("n_toks") >= 25) // Gopher word-count lower bound (t14 rule 1)
+    val kept = graft.ops.Dedup.exactKeepers(docs, "text", "doc_id")
+      .withColumn("split", graft.ops.TextOps.hashSplit(col("doc_id")))
+    val bench = DedupQueries.grams8(kept.filter(col("split") === "test"))
+      .select("gv").distinct()
+    val train = kept.filter(col("split") === "train")
+    val perDoc = DedupQueries.clipReport(
+      DedupQueries.grams8(train).join(bench, Seq("gv"), "left_semi"))
+    train.select("doc_id", "lang", "n_toks")
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("tokens_raw"),
+        sum(coalesce(col("removed"), lit(0L))).as("tokens_removed"),
+        (sum(col("n_toks").cast("long")) -
+          sum(coalesce(col("removed"), lit(0L)))).as("tokens_final"),
+        sum(when(col("removed").isNotNull, 1L).otherwise(0L)).as("docs_clipped"))
+      .orderBy("lang")
+  }
+
+  val p11Oracle: String =
+    """WITH dd AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 25
+      |), k AS (
+      |  SELECT * FROM (
+      |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS kp FROM dd)
+      |  WHERE doc_id = kp
+      |), g AS (
+      |  SELECT doc_id, bucket, i,
+      |    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS gv
+      |  FROM k, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) q
+      |), bench AS (
+      |  SELECT DISTINCT gv FROM g WHERE bucket >= 90
+      |), hits AS (
+      |  SELECT DISTINCT g.doc_id, g.i FROM g JOIN bench USING (gv) WHERE g.bucket < 80
+      |), isl AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR i > max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS ni
+      |  FROM hits
+      |), isl2 AS (
+      |  SELECT doc_id, i, SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl
+      |), sp2 AS (
+      |  SELECT doc_id, island, MIN(i) AS s, MAX(i + 7) AS e
+      |  FROM isl2 GROUP BY 1, 2
+      |), pd AS (
+      |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS removed
+      |  FROM sp2 GROUP BY 1
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS tokens_raw,
+      |  CAST(SUM(COALESCE(removed, 0)) AS BIGINT) AS tokens_removed,
+      |  CAST(SUM(n_toks) - SUM(COALESCE(removed, 0)) AS BIGINT) AS tokens_final,
+      |  CAST(SUM(CASE WHEN removed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_clipped
+      |FROM k LEFT JOIN pd USING (doc_id)
+      |WHERE bucket < 80
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_training_mix" -> (p01TrainingMix _),
+    "p11_clipped_release" -> (p11ClippedRelease _),
     "p09_release_drift" -> (p09ReleaseDrift _),
     "p10_zorder_layout" -> (p10ZorderLayout _),
     "p02_shard_manifest" -> (p02ShardManifest _),
@@ -872,6 +958,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "p01_training_mix" -> p01Oracle,
+    "p11_clipped_release" -> p11Oracle,
     "p09_release_drift" -> p09Oracle,
     "p10_zorder_layout" -> p10Oracle,
     "p02_shard_manifest" -> p02Oracle,
