@@ -327,6 +327,81 @@ object SimilarityQueries {
       |ORDER BY id_a""".stripMargin
   }
 
+  // s46 — CDC-DRIVEN INDEX SYNC (the RAG-sync pattern): a change feed of
+  // embedding UPDATES applied to a served vector index. Base corpus =
+  // version 0; every vec_id % 3 == 0 receives a version-1 update with a
+  // deterministically different vector (the reversed embedding — exact in
+  // both engines); the applied state is last-wins per vec_id (max_by over
+  // version — cdc20's apply shape), encoded against the quantizer FROZEN
+  // on the base corpus (FAISS add() never retrains — s13/s42's contract),
+  // and searched with the s03 candidate cut. The gate pins the end-to-end
+  // property a sync pipeline must keep: search results reflect exactly
+  // the post-apply state (updated vectors move clusters; stale versions
+  // never match). Batch form of the s42 stream (drain ≡ batch there).
+  def s46CdcIndexSync(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cent = graft.ops.Similarity.buildCentroids(
+      Tables.embeddings(spark, dir), dim = 64, chunks = centroidChunks)
+    val events = base.withColumn("version", lit(0L))
+      .unionByName(base.filter(col("vec_id") % 3 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+        .withColumn("version", lit(1L)))
+    val applied = events.groupBy("vec_id")
+      .agg(max_by(col("embedding"), col("version")).as("embedding"),
+        max(col("version")).as("version"))
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      applied, cent, Seq("vec_id"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(q),
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        (col("version") === 1L).as("neighbor_updated"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s46Oracle: String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+        s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, applied AS (
+      |  SELECT vec_id, embedding, version FROM (
+      |    SELECT vec_id, embedding, version,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY version DESC) AS vr
+      |    FROM (
+      |      SELECT vec_id, embedding, 0 AS version FROM embeddings
+      |      UNION ALL
+      |      SELECT vec_id, list_reverse(embedding), 1 AS version
+      |      FROM embeddings WHERE vec_id % 3 = 0))
+      |  WHERE vr = 1
+      |), assigned AS (
+      |  SELECT vec_id, embedding, version, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, e.version, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM applied e, cent c)
+      |  WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, a.vec_id, a.version, ${cos("qv", "a.embedding")} AS cos
+      |  FROM assigned a JOIN q ON a.clabel = q.qc AND a.vec_id <> q.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id, neighbor_updated FROM (
+      |  SELECT query_id, vec_id AS neighbor_id, version = 1 AS neighbor_updated,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val s03Oracle: String = {
     def cos(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
@@ -3655,6 +3730,7 @@ object SimilarityQueries {
     "s43_stream_search" -> (s43StreamSearch _),
     "s44_batch_search" -> (s44BatchSearch _),
     "s45_mutual_nn" -> (s45MutualNn _),
+    "s46_cdc_index_sync" -> (s46CdcIndexSync _),
     "s39_ann_ivf_sq8_res" -> (s39AnnIvfSq8Res _),
     "s40_graph_seed_sweep" -> (s40GraphSeedSweep _),
     "s41_graph_bridged_recall" -> (s41GraphBridgedRecall _),
@@ -3709,6 +3785,7 @@ object SimilarityQueries {
     "s43_stream_search" -> s03Oracle, // drained query stream == one-shot batch search
     "s44_batch_search" -> s03Oracle, // shuffled-probe plan, identical rows
     "s45_mutual_nn" -> s45Oracle,
+    "s46_cdc_index_sync" -> s46Oracle,
     "s04_ann_ivf_nprobe" -> s04Oracle,
     "s05_ann_pq" -> s05Oracle,
     "s06_ann_ivfpq" -> s06Oracle,
