@@ -1583,10 +1583,88 @@ object DedupQueries {
       |WHERE bucket < 80
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // d31 — CONTENT-DEFINED CHUNKING (the Rabin/gear-hash storage-dedup
+  // primitive, token-level): chunk boundaries fall where the rolling
+  // window's content hash ≡ 0 (mod 16) — a pure function of LOCAL
+  // content, so an insertion early in a document only reshapes chunks
+  // until the next boundary, where fixed-size chunking (d13) shifts every
+  // subsequent window. Expected chunk ≈ 16 tokens. Boundary positions
+  // come from the shared positioned-gram kernel; chunk spans derive from
+  // boundary lag + the tail remainder (doc-keyed windows); chunk identity
+  // is the md5 of the sliced token span, counted corpus-wide for the
+  // cross-document duplicate-chunk report per language — the
+  // incremental-transfer / delta-storage accounting at 100 TB. */
+  def d31CdcChunking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select("doc_id", "lang", "toks")
+    val b = grams8(dd).filter(col("gv") % 16 === 0)
+      .select(col("doc_id"), col("pos").as("i"))
+    val wD = Window.partitionBy("doc_id").orderBy("i")
+    val heads = b.withColumn("s", coalesce(lag(col("i"), 1).over(wD), lit(0)) + 1)
+      .select(col("doc_id"), col("s"), col("i").as("e"))
+    val lastb = b.groupBy("doc_id").agg(max(col("i")).as("mb"))
+    val tails = dd.join(lastb, Seq("doc_id"), "left")
+      .withColumn("mb", coalesce(col("mb"), lit(0)))
+      .filter(col("mb") < size(col("toks")))
+      .select(col("doc_id"), (col("mb") + 1).as("s"), size(col("toks")).as("e"))
+    val ch = heads.unionByName(tails).join(dd, Seq("doc_id"))
+      .select(col("doc_id"), col("s"), col("e"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("s"), col("e") - col("s") + 1))).as("h"))
+    val hc = ch.groupBy("h").agg(count(lit(1)).as("c"))
+    ch.join(dd.select("doc_id", "lang"), Seq("doc_id")).join(hc, Seq("h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct_chunks"),
+        sum((col("e") - col("s") + 1).cast("long")).as("total_tokens"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_chunk_instances"),
+        sum(when(col("c") > 1, (col("e") - col("s") + 1).cast("long"))
+          .otherwise(0L)).as("dup_tokens"))
+      .orderBy("lang")
+  }
+
+  val d31Oracle: String =
+    """WITH dd AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, i,
+      |    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS gv
+      |  FROM dd, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) q
+      |), b AS (
+      |  SELECT doc_id, i FROM g WHERE gv % 16 = 0
+      |), heads AS (
+      |  SELECT doc_id, COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s, i AS e
+      |  FROM b
+      |), lastb AS (
+      |  SELECT doc_id, MAX(i) AS mb FROM b GROUP BY doc_id
+      |), tails AS (
+      |  SELECT dd.doc_id, COALESCE(mb, 0) + 1 AS s, len(toks) AS e
+      |  FROM dd LEFT JOIN lastb USING (doc_id)
+      |  WHERE COALESCE(mb, 0) < len(toks)
+      |), sp AS (
+      |  SELECT * FROM heads UNION ALL SELECT * FROM tails
+      |), ch AS (
+      |  SELECT sp.doc_id, s, e,
+      |    md5(array_to_string(list_slice(toks, s, e), ' ')) AS h
+      |  FROM sp JOIN dd USING (doc_id)
+      |), hc AS (
+      |  SELECT h, COUNT(*) AS c FROM ch GROUP BY h
+      |)
+      |SELECT lang, COUNT(*) AS n_chunks,
+      |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+      |  CAST(SUM(e - s + 1) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunk_instances,
+      |  CAST(SUM(CASE WHEN c > 1 THEN e - s + 1 ELSE 0 END) AS BIGINT) AS dup_tokens
+      |FROM ch JOIN dd USING (doc_id) JOIN hc USING (h)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d28_edit_verify" -> (d28EditVerify _),
     "d29_shared_spans" -> (d29SharedSpans _),
     "d30_decontaminate_clip" -> (d30DecontaminateClip _),
+    "d31_cdc_chunking" -> (d31CdcChunking _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d27_simhash60" -> (d27Simhash60 _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -1616,6 +1694,7 @@ object DedupQueries {
     "d28_edit_verify" -> d28Oracle,
     "d29_shared_spans" -> d29Oracle,
     "d30_decontaminate_clip" -> d30Oracle,
+    "d31_cdc_chunking" -> d31Oracle,
     "d01_exact_dedup" -> d01Oracle,
     "d02_ngram_jaccard" -> d02Oracle,
     "d03_minhash_lsh" -> d03Oracle,
