@@ -437,7 +437,102 @@ object GraphQueries {
       |FROM dist3 GROUP BY 1 ORDER BY distance""".stripMargin
   }
 
+  // g07 — PERSONALIZED PAGERANK (random walk with restart): g01's rounds
+  // with the teleport mass directed at a SEED SET (part % 97 == 0)
+  // instead of spread uniformly — r'(v) = 0.15·seed(v) + 0.85·Σ
+  // contribs, r₀ = seed indicator. The locality-sensitive ranking behind
+  // "related items" recommendations and seed-expansion community
+  // detection. Same scale shape as g01: per-round one dst-keyed shuffle,
+  // the two-level ordered fold (celebrity in-neighborhoods never
+  // materialize in one buffer), ranks localCheckpoint between rounds;
+  // the seed join is vertex-keyed. Dense iteration (zero ranks carried)
+  // keeps the oracle an exact textual mirror; a sparse frontier is the
+  // production optimization when seeds ≪ vertices, same plan shape.
+  def g07PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seeds = deg.select(col("src").as("part"),
+        when(col("src") % 97 === 0, lit(1.0)).otherwise(lit(0.0)).as("sv"))
+      .localCheckpoint()
+    var ranks = seeds.select(col("part"), col("sv").as("r")).localCheckpoint()
+    for (_ <- 1 to 3) {
+      val contribs = e.join(ranks.withColumnRenamed("part", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), col("src"), (col("r") / col("deg")).as("contrib"))
+      val summed = contribs
+        .withColumn("chunk", expr("src div 1024"))
+        .groupBy(col("dst"), col("chunk"))
+        .agg(array_sort(collect_list(
+          struct(col("src"), array(col("contrib")).as("cv")))).as("cs"))
+        .select(col("dst"), col("chunk"),
+          array(element_at(
+            graft.functions.FoldFunctions.vecFieldSum(col("cs"), "cv", 1), 1))
+            .as("pv"))
+        .groupBy(col("dst"))
+        .agg(array_sort(collect_list(struct(col("chunk"), col("pv")))).as("cs2"))
+        .select(col("dst").as("part"),
+          element_at(
+            graft.functions.FoldFunctions.vecFieldSum(col("cs2"), "pv", 1), 1)
+            .as("s"))
+      ranks = summed.join(seeds, Seq("part"))
+        .select(col("part"),
+          (lit(0.15) * col("sv") + lit(0.85) * col("s")).as("r"))
+        .localCheckpoint()
+    }
+    val w = Window.orderBy(col("r").desc, col("part"))
+    ranks.join(deg.withColumnRenamed("src", "part"), Seq("part"))
+      .join(seeds, Seq("part"))
+      .orderBy(col("r").desc, col("part"))
+      .limit(20)
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .select(col("pos"), col("part"), col("deg"),
+        floor(col("r") * 1000000).cast("long").as("rank_micro"),
+        (col("sv") === 1.0).as("is_seed"))
+      .orderBy("pos")
+  }
+
+  val g07Oracle: String = {
+    def round(k: Int): String =
+      s"""r$k AS (
+        |  SELECT t.part, CAST(0.15 AS DOUBLE) * sd.sv + CAST(0.85 AS DOUBLE) * t.s AS r
+        |  FROM (
+        |    SELECT dst AS part, list_sum(list_transform(ch, c -> c.s)) AS s
+        |    FROM (
+        |      SELECT dst,
+        |        list(struct_pack(chunk := chunk, s := s) ORDER BY chunk) AS ch
+        |      FROM (
+        |        SELECT e.dst, e.src // 1024 AS chunk,
+        |          list_sum(list_transform(
+        |            list(struct_pack(src := e.src, contrib := p.r / d.deg)
+        |                 ORDER BY e.src),
+        |            c -> c.contrib)) AS s
+        |        FROM e
+        |        JOIN r${k - 1} p ON p.part = e.src
+        |        JOIN deg d ON d.src = e.src
+        |        GROUP BY e.dst, chunk)
+        |      GROUP BY dst)) t
+        |  JOIN seeds sd ON sd.part = t.part
+        |)""".stripMargin
+    s"""WITH $duckEdgesCte, deg AS (
+      |  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+      |), seeds AS (
+      |  SELECT src AS part,
+      |    CASE WHEN src % 97 = 0 THEN CAST(1.0 AS DOUBLE)
+      |         ELSE CAST(0.0 AS DOUBLE) END AS sv
+      |  FROM deg
+      |), r0 AS (
+      |  SELECT part, sv AS r FROM seeds
+      |), ${round(1)}, ${round(2)}, ${round(3)}
+      |SELECT pos, part, deg, rank_micro, is_seed FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY r.r DESC, r.part) AS INT) AS pos,
+      |    r.part, d.deg, CAST(floor(r.r * 1000000) AS BIGINT) AS rank_micro,
+      |    sd.sv = 1.0 AS is_seed
+      |  FROM r3 r JOIN deg d ON d.src = r.part JOIN seeds sd ON sd.part = r.part)
+      |WHERE pos <= 20 ORDER BY pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g07_personalized_pagerank" -> (g07PersonalizedPagerank _),
     "g01_pagerank" -> (g01Pagerank _),
     "g02_triangles" -> (g02Triangles _),
     "g03_kcore" -> (g03Kcore _),
@@ -447,6 +542,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g07_personalized_pagerank" -> g07Oracle,
     "g01_pagerank" -> g01Oracle,
     "g02_triangles" -> g02Oracle,
     "g03_kcore" -> g03Oracle,
