@@ -175,10 +175,16 @@ case class ShinglePos60(child: Expression, n: Int)
     var i = 0
     while (i < m) {
       val bos = new java.io.ByteArrayOutputStream(64)
+      // null elements are SKIPPED, matching concat_ws / array_to_string
+      // (the documented oracle equivalence) — not dereferenced (NPE)
+      var wrote = false
       var k = 0
       while (k < n) {
-        if (k > 0) bos.write(sep)
-        bos.write(arr.getUTF8String(i + k).getBytes)
+        if (!arr.isNullAt(i + k)) {
+          if (wrote) bos.write(sep)
+          bos.write(arr.getUTF8String(i + k).getBytes)
+          wrote = true
+        }
         k += 1
       }
       out(i) = org.apache.spark.sql.catalyst.InternalRow(

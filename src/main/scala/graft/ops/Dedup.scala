@@ -192,7 +192,14 @@ object Dedup {
     * candidates come from per-band equality joins (shuffle key =
     * (band index, band value) — never all-pairs) and the exact Hamming
     * check runs only on candidates. With the defaults (4 × 8-bit bands,
-    * maxHamming 3) recall is EXACT, not probabilistic. Output:
+    * maxHamming 3) recall is EXACT *up to the `maxBucket` cap*: a band
+    * value shared by more than `maxBucket` signatures is declared
+    * degenerate and contributes NO candidates (a near-identical cluster
+    * that large belongs to exact dedup upstream — the d02/d03 stop-term
+    * discipline; its pairs are findable through their OTHER bands only if
+    * those are under-cap too). Callers needing unconditional exactness
+    * must raise `maxBucket` above the largest expected cluster size and
+    * accept the quadratic bucket self-join that implies. Output:
     * (id_a, id_b, hamming). */
   def simhashNearDups(df: DataFrame, idCol: String, simhashCol: String,
       maxHamming: Int = 3, bands: Int = 4, bits: Int = 32,

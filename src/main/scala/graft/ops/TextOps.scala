@@ -118,7 +118,10 @@ object TextOps {
   def bpeMergePair(syms: Column, a: String, b: String): Column = {
     require(a != b, "bpeMergePair requires distinct symbols: a self-pair " +
       "(a,a) has ambiguous overlapping occurrences (e.g. [a,a,a])")
-    transform(
+    // arrays shorter than 2 contain no pair and pass through unchanged —
+    // also the guard against Spark's DESCENDING sequence(1, 0) == [1, 0],
+    // whose out-of-range element_at would crash under ANSI mode
+    when(size(syms) < 2, syms).otherwise(transform(
       filter(sequence(lit(1), size(syms)), i =>
         !(i > 1 &&
           element_at(syms, (i - 1).cast("int")) === a &&
@@ -127,7 +130,7 @@ object TextOps {
         element_at(syms, i.cast("int")) === a &&
           i < size(syms) &&
           element_at(syms, (i + 1).cast("int")) === b,
-        lit(a + b)).otherwise(element_at(syms, i.cast("int"))))
+        lit(a + b)).otherwise(element_at(syms, i.cast("int")))))
   }
 
   /** Deterministic train/valid/test assignment from a stable id: md5

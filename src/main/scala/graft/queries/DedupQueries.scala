@@ -37,6 +37,45 @@ object DedupQueries {
       Tables.documents(spark, dir).withColumn("toks", split(col("text"), " ")),
       "toks")
 
+  /** DuckDB CTE for positioned 8-gram hashes of `src` (must expose
+    * doc_id + toks; `cols` prepends extra carried columns, e.g.
+    * "bucket, ") — the SQL mirror of [[grams8]] /
+    * [[graft.functions.ShinglePos60]], defined ONCE so the four oracles
+    * that locate substrings (d29/d30/d31/p11) can never drift apart. */
+  private[queries] def duckGrams8Cte(src: String, cols: String = ""): String =
+    s"""g AS (
+      |  SELECT doc_id, ${cols}i,
+      |    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS gv
+      |  FROM $src, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) q
+      |)""".stripMargin
+
+  /** DuckDB CTE chain turning a `hits(doc_id, i)` relation of
+    * contaminated gram positions (each covering tokens [i, i+7]) into the
+    * per-document clip report `pd(doc_id, removed, n_spans)` — the SQL
+    * mirror of [[clipReport]]'s running-max islands, shared by the d30
+    * and p11 oracles. */
+  private[queries] val duckClipCtes: String =
+    """isl AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR i > max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS ni
+      |  FROM hits
+      |), isl2 AS (
+      |  SELECT doc_id, i, SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM isl
+      |), sp2 AS (
+      |  SELECT doc_id, island, MIN(i) AS s, MAX(i + 7) AS e
+      |  FROM isl2 GROUP BY 1, 2
+      |), pd AS (
+      |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS removed,
+      |    CAST(COUNT(*) AS BIGINT) AS n_spans
+      |  FROM sp2 GROUP BY 1
+      |)""".stripMargin
+
   private[queries] val shingleCte: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1321,12 +1360,18 @@ object DedupQueries {
   // gap alone exceeds the 20% budget never pay the O(n·m) distance — and
   // (2) exact Levenshtein over a 1000-char prefix (the per-pair cost
   // bound: at 100 TB compared cost is candidates × O(cap²), independent
-  // of document length; both engines' levenshtein and substring are
-  // character-based, so the capped distance is exact cross-engine).
-  // Verdict is integer ppm of the longer compared prefix — no floats.
+  // of document length). GATE DOMAIN: ASCII-exact documents only
+  // (octet_length = char length, the same test in both engines) —
+  // Spark's levenshtein counts CODE POINTS while DuckDB's counts UTF-8
+  // BYTES, so a non-ASCII pair would diverge ('é'→'e' is 1 vs 2); the
+  // engine-side distance (code points) is the correct one, the
+  // restriction just keeps the byte-based oracle honest on the domain
+  // where the two definitions coincide. Verdict is integer ppm of the
+  // longer compared prefix — no floats.
   def d28EditVerify(spark: SparkSession, dir: String): DataFrame = {
     val cap = 1000
     val docs = Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), substring(col("text"), 1, cap).as("head"),
         least(length(col("text")), lit(cap)).as("len"))
     val cand = graft.ops.Dedup
@@ -1376,6 +1421,7 @@ object DedupQueries {
       |  SELECT doc_id, substr(text, 1, 1000) AS head,
       |    least(length(text), 1000) AS l
       |  FROM documents
+      |  WHERE strlen(text) = length(text)
       |)
       |SELECT doc_a, doc_b, CAST(levenshtein(a.head, b.head) AS INT) AS lev,
       |  CAST(CAST(levenshtein(a.head, b.head) AS BIGINT) * 1000000 // greatest(a.l, b.l) AS BIGINT) AS lev_ppm
@@ -1463,11 +1509,7 @@ object DedupQueries {
       |      CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)/(na + nb - len(list_intersect(sh_a, sh_b))) AS jaccard
       |    FROM cand)
       |  WHERE jaccard >= 0.5
-      |), g AS (
-      |  SELECT doc_id, i,
-      |    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS gv
-      |  FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) q
-      |), mm AS (
+      |), ${duckGrams8Cte("d")}, mm AS (
       |  SELECT p.doc_a, p.doc_b, ga.i AS i, gb.i AS j
       |  FROM pairs p
       |  JOIN g ga ON ga.doc_id = p.doc_a
@@ -1543,38 +1585,15 @@ object DedupQueries {
   }
 
   val d30Oracle: String =
-    """WITH dd AS (
+    s"""WITH dd AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
       |  FROM documents
-      |), g AS (
-      |  SELECT doc_id, bucket, i,
-      |    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS gv
-      |  FROM dd, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) q
-      |), bench AS (
+      |), ${duckGrams8Cte("dd", "bucket, ")}, bench AS (
       |  SELECT DISTINCT gv FROM g WHERE bucket >= 90
       |), hits AS (
       |  SELECT DISTINCT g.doc_id, g.i FROM g JOIN bench USING (gv) WHERE g.bucket < 80
-      |), isl AS (
-      |  SELECT doc_id, i,
-      |    CASE WHEN max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-      |         OR i > max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      |         THEN 1 ELSE 0 END AS ni
-      |  FROM hits
-      |), isl2 AS (
-      |  SELECT doc_id, i, SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
-      |    ROWS UNBOUNDED PRECEDING) AS island
-      |  FROM isl
-      |), sp2 AS (
-      |  SELECT doc_id, island, MIN(i) AS s, MAX(i + 7) AS e
-      |  FROM isl2 GROUP BY 1, 2
-      |), pd AS (
-      |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS removed,
-      |    CAST(COUNT(*) AS BIGINT) AS n_spans
-      |  FROM sp2 GROUP BY 1
-      |)
+      |), $duckClipCtes
       |SELECT lang, COUNT(*) AS n_docs_touched,
       |  CAST(SUM(removed) AS BIGINT) AS tokens_removed,
       |  CAST(SUM(len(toks)) AS BIGINT) AS tokens_in_touched,
@@ -1626,13 +1645,9 @@ object DedupQueries {
   }
 
   val d31Oracle: String =
-    """WITH dd AS (
+    s"""WITH dd AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
-      |), g AS (
-      |  SELECT doc_id, i,
-      |    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS gv
-      |  FROM dd, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) q
-      |), b AS (
+      |), ${duckGrams8Cte("dd")}, b AS (
       |  SELECT doc_id, i FROM g WHERE gv % 16 = 0
       |), heads AS (
       |  SELECT doc_id, COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s, i AS e

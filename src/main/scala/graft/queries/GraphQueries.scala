@@ -474,9 +474,16 @@ object GraphQueries {
           element_at(
             graft.functions.FoldFunctions.vecFieldSum(col("cs2"), "pv", 1), 1)
             .as("s"))
-      ranks = summed.join(seeds, Seq("part"))
+      // seeds LEFT-joins summed (not inner): a vertex receiving no
+      // in-contributions this round still holds its 0.15·seed restart
+      // mass — an inner join would silently evict an in-degree-0 seed
+      // (possible in a general directed graph; this graph is symmetrized
+      // so every vertex has in-edges, but the recurrence must not depend
+      // on that)
+      ranks = seeds.join(summed, Seq("part"), "left")
         .select(col("part"),
-          (lit(0.15) * col("sv") + lit(0.85) * col("s")).as("r"))
+          (lit(0.15) * col("sv") +
+            lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
         .localCheckpoint()
     }
     val w = Window.orderBy(col("r").desc, col("part"))
@@ -494,7 +501,8 @@ object GraphQueries {
   val g07Oracle: String = {
     def round(k: Int): String =
       s"""r$k AS (
-        |  SELECT t.part, CAST(0.15 AS DOUBLE) * sd.sv + CAST(0.85 AS DOUBLE) * t.s AS r
+        |  SELECT sd.part, CAST(0.15 AS DOUBLE) * sd.sv
+        |    + CAST(0.85 AS DOUBLE) * COALESCE(t.s, CAST(0.0 AS DOUBLE)) AS r
         |  FROM (
         |    SELECT dst AS part, list_sum(list_transform(ch, c -> c.s)) AS s
         |    FROM (
@@ -511,7 +519,7 @@ object GraphQueries {
         |        JOIN deg d ON d.src = e.src
         |        GROUP BY e.dst, chunk)
         |      GROUP BY dst)) t
-        |  JOIN seeds sd ON sd.part = t.part
+        |  RIGHT JOIN seeds sd ON sd.part = t.part
         |)""".stripMargin
     s"""WITH $duckEdgesCte, deg AS (
       |  SELECT src, COUNT(*) AS deg FROM e GROUP BY src

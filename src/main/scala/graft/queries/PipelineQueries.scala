@@ -896,7 +896,7 @@ object PipelineQueries {
   }
 
   val p11Oracle: String =
-    """WITH dd AS (
+    s"""WITH dd AS (
       |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
       |    CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
@@ -906,33 +906,11 @@ object PipelineQueries {
       |  SELECT * FROM (
       |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS kp FROM dd)
       |  WHERE doc_id = kp
-      |), g AS (
-      |  SELECT doc_id, bucket, i,
-      |    CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS gv
-      |  FROM k, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) q
-      |), bench AS (
+      |), ${DedupQueries.duckGrams8Cte("k", "bucket, ")}, bench AS (
       |  SELECT DISTINCT gv FROM g WHERE bucket >= 90
       |), hits AS (
       |  SELECT DISTINCT g.doc_id, g.i FROM g JOIN bench USING (gv) WHERE g.bucket < 80
-      |), isl AS (
-      |  SELECT doc_id, i,
-      |    CASE WHEN max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-      |         OR i > max(i + 7) OVER (PARTITION BY doc_id ORDER BY i
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      |         THEN 1 ELSE 0 END AS ni
-      |  FROM hits
-      |), isl2 AS (
-      |  SELECT doc_id, i, SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
-      |    ROWS UNBOUNDED PRECEDING) AS island
-      |  FROM isl
-      |), sp2 AS (
-      |  SELECT doc_id, island, MIN(i) AS s, MAX(i + 7) AS e
-      |  FROM isl2 GROUP BY 1, 2
-      |), pd AS (
-      |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS removed
-      |  FROM sp2 GROUP BY 1
-      |)
+      |), ${DedupQueries.duckClipCtes}
       |SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_toks) AS BIGINT) AS tokens_raw,
       |  CAST(SUM(COALESCE(removed, 0)) AS BIGINT) AS tokens_removed,

@@ -1285,7 +1285,8 @@ object TextQueries {
       val rows = top.collect() // 1 row by construction (bounded collect)
       require(rows.nonEmpty,
         s"t29: no mergeable symbol pair at round $round — corpus has no multi-char alpha words")
-      val (a, b) = (rows(0).getString(0), rows(0).getString(1))
+      val (a, b, cnt) =
+        (rows(0).getString(0), rows(0).getString(1), rows(0).getLong(2))
       // compression curve: both totals are computed INDEPENDENTLY of
       // pair_count on each side of the gate, so the hash compare proves
       // the merge invariant syms_after = syms_before − pair_count (each
@@ -1297,10 +1298,16 @@ object TextQueries {
       val after = cur.select(explode(col("syms")).as("s"), col("freq"))
         .agg(count_distinct(col("s")).as("vocab_after"),
           sum(col("freq")).as("syms_after"))
-      val roundRow = top.withColumn("round", lit(round))
+      // the round row is built from the COLLECTED top pair (already the
+      // distributed aggregation's result) — re-embedding the `top` plan
+      // here would re-execute the whole pair-count shuffle at final
+      // collection, doubling every round's cost for identical values
+      val roundRow = spark.range(1)
+        .select(lit(round).as("round"), lit(a).as("left_sym"),
+          lit(b).as("right_sym"), lit(cnt).as("pair_count"))
         .crossJoin(broadcast(before))
         .crossJoin(broadcast(after))
-        .select(col("round"), col("a").as("left_sym"), col("b").as("right_sym"),
+        .select(col("round"), col("left_sym"), col("right_sym"),
           col("pair_count"), col("vocab_after"),
           col("syms_before"), col("syms_after"))
       out = Some(out.fold(roundRow)(_.unionAll(roundRow)))

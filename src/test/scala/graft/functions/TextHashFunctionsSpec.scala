@@ -173,5 +173,12 @@ class TextHashFunctionsSpec extends AnyFunSuite with SparkTestSession {
     val shorts = Seq(Tuple1(Seq("x", "y")), Tuple1(Seq[String]())).toDF("toks")
       .select(shinglePos60(col("toks"), 3).as("native"))
     shorts.collect().foreach(r => assert(r.getSeq[org.apache.spark.sql.Row](0).isEmpty))
+    // null elements skip like concat_ws (no NPE): window (a, NULL, b)
+    // hashes the same bytes as "a b"
+    val withNull = spark.sql(
+      """SELECT shingle_pos60(array('a', CAST(NULL AS STRING), 'b'), 3) AS g,
+        |       shingle_pos60(array('a', 'b'), 2) AS ref""".stripMargin).head()
+    assert(withNull.getSeq[org.apache.spark.sql.Row](0).head.getLong(1) ==
+      withNull.getSeq[org.apache.spark.sql.Row](1).head.getLong(1))
   }
 }

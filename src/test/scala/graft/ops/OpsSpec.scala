@@ -306,13 +306,14 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       (3L, Seq("e", "r")),                // whole word merges
       (4L, Seq("e")),                     // too short — unchanged
       (5L, Seq("r", "r", "e")),           // no match at pos 1 (r,r)
-      (6L, Seq("e", "e", "r", "r"))       // middle pair only: e,[er],r
+      (6L, Seq("e", "e", "r", "r")),      // middle pair only: e,[er],r
+      (7L, Seq[String]())                 // empty — unchanged (no ANSI crash)
     ).toDF("id", "syms")
     val got = df.withColumn("m", TextOps.bpeMergePair(col("syms"), "e", "r"))
       .orderBy("id").collect().map(_.getSeq[String](2).toList).toList
     assert(got == List(
       List("er", "er"), List("r", "er", "e"), List("er"),
-      List("e"), List("r", "r", "e"), List("e", "er", "r")))
+      List("e"), List("r", "r", "e"), List("e", "er", "r"), List()))
     // self-pairs are rejected — their occurrences can overlap
     intercept[IllegalArgumentException] {
       TextOps.bpeMergePair(col("syms"), "a", "a")
