@@ -370,6 +370,96 @@ object Dedup {
     comp.select(col("id").as(idCol), col("comp").as("component"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the round-count answer to [[connectedComponents]]'s
+    * diameter bound: min-label propagation needs O(diameter) rounds, so a
+    * 100 TB web-graph-shaped corpus with million-hop chains (long path
+    * components arise from e.g. boilerplate chains) stalls it; star
+    * contraction converges in O(log² n) rounds REGARDLESS of diameter by
+    * rewriting the edge set itself toward per-component stars centered at
+    * the minimum id.
+    *
+    *  - large-star(c): every strictly-larger neighbor of c re-attaches to
+    *    m = min(N(c) ∪ {c});
+    *  - small-star(c): every smaller-or-equal neighbor (and c itself)
+    *    re-attaches to the minimum of that smaller neighborhood.
+    *
+    * Both steps preserve connectivity (every rewritten edge replaces a
+    * path through c); the fixed point is a star per component whose
+    * center is the component minimum.
+    *
+    * Scale shape: each half-round is one vertex-keyed min-aggregate plus
+    * one equi-join back onto the (re-oriented) edge list — the same
+    * shuffle budget as one label-propagation round, never a buffer
+    * proportional to a neighborhood (the min folds in the aggregate). The
+    * edge set is `distinct` canonical (u < v) rows, so it SHRINKS
+    * monotonically toward one edge per non-center vertex; convergence is
+    * an edge-set fixed point (count equal + set difference empty — both
+    * cheap aggregates over the new materialization, no extra pass over
+    * the old one). Each round materializes via `localCheckpoint`, the
+    * iteration discipline every loop in this engine uses.
+    *
+    * Output contract is identical to [[connectedComponents]]:
+    * (`idCol`, component = min reachable id), isolated vertices map to
+    * themselves — g08 gates the two algorithms against the same
+    * recursive-closure oracle. */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+      idCol: String, aCol: String, bCol: String,
+      maxIters: Int = 16): DataFrame = {
+    var e = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = e.isEmpty // no edges: nothing to contract
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // LARGE-STAR over the full (symmetrized) neighborhood of each
+      // center c: attach every neighbor n > c to min(N(c) ∪ {c}).
+      val nbrs = e.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(e.select(col("v").as("c"), col("u").as("n")))
+      val mins = nbrs.groupBy("c").agg(min(col("n")).as("mn"))
+      val ls = nbrs.join(mins, Seq("c"))
+        .filter(col("n") > col("c"))
+        // m = least(mn, c) ≤ c < n, so (m, n) is already (small, large)
+        .select(least(col("mn"), col("c")).as("u"), col("n").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // SMALL-STAR on the (small → large) orientation: for each center
+      // c = v, its strictly-smaller neighbors are exactly the u's; attach
+      // them (and c) to their minimum.
+      val smaller = ls.select(col("v").as("c"), col("u").as("n"))
+      val mins2 = smaller.groupBy("c").agg(min(col("n")).as("mn"))
+      val next = smaller.join(mins2, Seq("c"))
+        .filter(col("n") =!= col("mn"))
+        .select(col("mn").as("u"), col("n").as("v"))
+        .unionByName(mins2.select(col("mn").as("u"), col("c").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point: same canonical edge set (counts equal and nothing
+      // new — both sets are distinct, so one-sided except suffices)
+      converged =
+        next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+    }
+    require(converged,
+      s"star contraction did not converge within $maxIters rounds — " +
+        "raise maxIters")
+    // converged edge set is a star per component centered at the min id:
+    // leaf's min neighbor IS the center; the center's least(self, nbr)
+    // is itself; isolated vertices never appear in e.
+    val ctr = e.select(col("u").as("nid"), col("v").as("other"))
+      .unionByName(e.select(col("v").as("nid"), col("u").as("other")))
+      .groupBy("nid").agg(min(col("other")).as("mn"))
+    vertices.select(col(idCol).cast("long").as("id"))
+      .join(ctr, col("id") === col("nid"), "left")
+      .select(col("id").as(idCol),
+        least(col("id"), coalesce(col("mn"), col("id"))).as("component"))
+  }
+
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, embCol: String,
       minCos: Double, planeTables: Seq[Seq[Seq[Double]]]): DataFrame = {
     val buckets = array(planeTables.zipWithIndex.map { case (planes, t) =>

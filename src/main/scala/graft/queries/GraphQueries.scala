@@ -539,7 +539,32 @@ object GraphQueries {
       |WHERE pos <= 20 ORDER BY pos""".stripMargin
   }
 
+  // g08 — connected components by STAR CONTRACTION (large-star/small-star,
+  // Kiveris et al. 2014): the O(log² n)-round CC that replaces d10's
+  // O(diameter) min-label propagation when components can be long chains
+  // (at 100 TB, boilerplate chains make million-hop paths — propagation
+  // stalls, contraction doesn't). Runs over the SAME d02 near-dup pair
+  // graph and shares d10's recursive-closure oracle verbatim, so a
+  // mismatch isolates the contraction algorithm itself — rewrite rules,
+  // orientation invariants, fixed-point detection, isolated-vertex
+  // identity. Scale shape per half-round: one vertex-keyed min aggregate
+  // + one equi-join; the canonical edge set shrinks monotonically toward
+  // one star per component.
+  def g08CcStar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+    val pairs = graft.ops.Dedup.jaccardPairs(
+      graft.ops.Dedup.withShingles(docs, "toks"), "doc_id", 0.5)
+    graft.ops.Dedup.connectedComponentsStar(
+        Tables.documents(spark, dir).select("doc_id"), pairs,
+        "doc_id", "doc_a", "doc_b")
+      .orderBy("doc_id")
+  }
+
+  val g08Oracle: String = DedupQueries.d10Oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g08_cc_star" -> (g08CcStar _),
     "g07_personalized_pagerank" -> (g07PersonalizedPagerank _),
     "g01_pagerank" -> (g01Pagerank _),
     "g02_triangles" -> (g02Triangles _),
@@ -550,6 +575,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g08_cc_star" -> g08Oracle,
     "g07_personalized_pagerank" -> g07Oracle,
     "g01_pagerank" -> g01Oracle,
     "g02_triangles" -> g02Oracle,

@@ -240,6 +240,38 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("Dedup.connectedComponentsStar matches min-label CC, converges on a long path") {
+    import spark.implicits._
+    // same fixture as the propagation test, plus a 9-hop path 30..39 that
+    // exercises multi-round contraction, and a star already centered at a
+    // NON-minimum (41-40, 41-42) that large-star must re-center
+    val vertices = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L) ++
+      (30L to 39L) ++ Seq(40L, 41L, 42L)).toDF("doc_id")
+    val edges = (Seq((1L, 2L), (3L, 2L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (2L, 1L), (41L, 40L), (41L, 42L)) ++
+      (30L until 39L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(vertices, edges,
+        "doc_id", "doc_a", "doc_b")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val prop = Dedup.connectedComponents(vertices, edges,
+        "doc_id", "doc_a", "doc_b")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(star == prop)
+    assert(star.filter(_._1 >= 30L).forall { case (v, c) =>
+      c == (if (v <= 39L) 30L else 40L) })
+    // edge-free graph: every vertex is its own component, zero rounds
+    val lone = Dedup.connectedComponentsStar(Seq(5L, 6L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+        "doc_id", "doc_a", "doc_b")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(lone == Seq(5L -> 5L, 6L -> 6L))
+    // insufficient round bound fails loudly
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponentsStar(vertices, edges, "doc_id", "doc_a",
+        "doc_b", maxIters = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("Similarity.cosineTopK ranks the exact neighbor first") {
     import spark.implicits._
     val corpus = Seq(
