@@ -920,8 +920,92 @@ object AnalyticQueries {
       |SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(key) AS BIGINT) AS sum_key
       |FROM r GROUP BY depth ORDER BY depth""".stripMargin
 
+  // q57 — KMV / THETA DISTINCT-COUNT SKETCH (Bar-Yossef et al. 2002; the
+  // DataSketches theta family): per group keep the k=32 smallest 60-bit
+  // md5 hashes of the key; estimate = (k−1)·2^60 / kth-smallest-hash, or
+  // the exact kept count when fewer than k distinct values exist. Unlike
+  // HyperLogLog it needs NO small-range correction branch (no libm log —
+  // the one float op is a single division of exactly-representable
+  // values, bit-identical cross-engine), and it MERGES: the `__ALL__`
+  // row's sketch is built from the per-group k-min sets, never from the
+  // raw data — k smallest of a union of k-min sets equals k smallest of
+  // the union — which is exactly how per-partition sketches combine on a
+  // 1000-executor rollup. Exact distinct counts ride along so the gate
+  // (and the reader) sees the real error. Scale shape: one (grp, hash)
+  // distinct shuffle, then a rank-limited window Spark rewrites to
+  // map-side WindowGroupLimit; the merged arm reads ≤ k rows per group
+  // and folds them in ONE bounded sort_array aggregate (≤ k·|groups|
+  // elements by construction) — no constant-partition window, so the
+  // "single partition" WindowExec class never appears.
+  def q57KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val h = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"),
+        conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val perGroup = h
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("grp").orderBy("h")))
+      .filter(col("rn") <= k)
+      .localCheckpoint(true)
+    val perGroupSketch = perGroup.groupBy("grp")
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === k, col("h"))).as("kth"))
+    val mergedSketch = perGroup.select("h").distinct()
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .select(lit("__ALL__").as("grp"),
+        least(size(col("hs")), lit(k)).cast("long").as("n_kept"),
+        when(size(col("hs")) >= k, element_at(col("hs"), k)).as("kth"))
+    val sketches = perGroupSketch.unionByName(mergedSketch)
+    val exact = h.groupBy("grp").agg(count(lit(1)).as("n_exact"))
+      .unionByName(h.select("h").distinct()
+        .agg(count(lit(1)).as("n_exact"))
+        .select(lit("__ALL__").as("grp"), col("n_exact")))
+    sketches.join(exact, Seq("grp"))
+      .select(col("grp"), col("n_exact"), col("n_kept"),
+        coalesce(col("kth"), lit(-1L)).as("kth_hash"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(31.0) * lit(1152921504606846976.0)
+            / col("kth").cast("double")).as("est"))
+      .orderBy("grp")
+  }
+
+  val q57Oracle: String =
+    """WITH h AS (
+      |  SELECT DISTINCT o_orderpriority AS grp,
+      |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM orders
+      |), kept AS (
+      |  SELECT * FROM (
+      |    SELECT grp, h,
+      |      row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      |    FROM h) WHERE rn <= 32
+      |), keptall AS (
+      |  SELECT * FROM (
+      |    SELECT '__ALL__' AS grp, h, row_number() OVER (ORDER BY h) AS rn
+      |    FROM (SELECT DISTINCT h FROM kept)) WHERE rn <= 32
+      |), sk AS (
+      |  SELECT grp, COUNT(*) AS n_kept,
+      |    MAX(CASE WHEN rn = 32 THEN h END) AS kth
+      |  FROM (SELECT * FROM kept UNION ALL SELECT * FROM keptall)
+      |  GROUP BY grp
+      |), ex AS (
+      |  SELECT grp, COUNT(*) AS n_exact FROM h GROUP BY grp
+      |  UNION ALL
+      |  SELECT '__ALL__', COUNT(DISTINCT h) FROM h
+      |)
+      |SELECT s.grp, e.n_exact, s.n_kept,
+      |  COALESCE(s.kth, -1) AS kth_hash,
+      |  CASE WHEN s.n_kept < 32 THEN CAST(s.n_kept AS DOUBLE)
+      |       ELSE CAST(31 AS DOUBLE) * 1152921504606846976.0
+      |            / CAST(s.kth AS DOUBLE) END AS est
+      |FROM sk s JOIN ex e USING (grp) ORDER BY s.grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
+    "q57_kmv_distinct" -> (q57KmvDistinct _),
     "q55_asof_join" -> (q55AsofJoin _),
     "q56_recursive_tree" -> (q56RecursiveTree _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
@@ -953,6 +1037,7 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q57_kmv_distinct" -> q57Oracle,
     "q56_recursive_tree" -> q56Oracle,
     "q11_dedup_lastwins" -> q11Oracle,
     "q55_asof_join" -> q55Oracle,
