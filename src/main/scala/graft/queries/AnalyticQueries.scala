@@ -1003,9 +1003,78 @@ object AnalyticQueries {
       |            / CAST(s.kth AS DOUBLE) END AS est
       |FROM sk s JOIN ex e USING (grp) ORDER BY s.grp""".stripMargin
 
+  // q58 — COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan 2005):
+  // a d=4 × w=64 integer counter matrix; each term adds its count to one
+  // slot per row (md5-derived slot index), estimate = min over the 4
+  // slots. Everything is INTEGER — counters, estimates, errors — so the
+  // gate is exact cross-engine with zero float hazard, and the sketch
+  // MERGES by plain element-wise sum: per-partition (i, slot) partial
+  // counts combine in one ≤256-row shuffle, exactly how 1000 executors
+  // (or 1000 daily corpus shards) would fold their sketches into one.
+  // The CMS guarantee rides along in the output: `overest ≥ 0` always
+  // (one-sided error), and the exact counts sit next to the estimates so
+  // the gate measures the real collision error at this tiny w. Scale
+  // shape: one term-keyed count shuffle (the natural partial the corpus
+  // needs anyway), a ×4 slot expansion of the TERM-COUNT table (not the
+  // token stream), a ≤256-row counter aggregate that is broadcast back
+  // at probe time; the probe set is the exact top-10, orderBy().limit()
+  // over the aggregated term table.
+  def q58CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val w = 64L
+    val rows = array((0 until 4).map(lit(_)): _*)
+    def slot(i: Column, term: Column): Column =
+      pmod(conv(substring(md5(concat_ws(":", i, term)), 1, 8), 16, 10)
+        .cast("long"), lit(w))
+    val tc = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val counters = tc
+      .select(explode(rows).as("i"), col("term"), col("cnt"))
+      .select(col("i"), slot(col("i"), col("term")).as("c"), col("cnt"))
+      .groupBy("i", "c").agg(sum("cnt").as("bucket_cnt"))
+    val probe = tc.orderBy(col("cnt").desc, col("term")).limit(10)
+    probe
+      .select(explode(rows).as("i"), col("term"), col("cnt"))
+      .select(col("i"), slot(col("i"), col("term")).as("c"),
+        col("term"), col("cnt"))
+      .join(broadcast(counters), Seq("i", "c"))
+      .groupBy("term", "cnt").agg(min("bucket_cnt").as("cms_est"))
+      .select(col("term"), col("cnt").as("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overest"))
+      .orderBy("term")
+  }
+
+  val q58Oracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |), tc AS (
+      |  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+      |), ex AS (
+      |  SELECT i, term, cnt,
+      |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || term), 1, 8))
+      |      AS BIGINT) % 64 AS c
+      |  FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+      |), counters AS (
+      |  SELECT i, c, SUM(cnt) AS bucket_cnt FROM ex GROUP BY i, c
+      |), probe AS (
+      |  SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 10
+      |), pex AS (
+      |  SELECT i, term, cnt,
+      |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || term), 1, 8))
+      |      AS BIGINT) % 64 AS c
+      |  FROM probe CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+      |)
+      |SELECT p.term, CAST(p.cnt AS BIGINT) AS exact_cnt,
+      |  CAST(MIN(co.bucket_cnt) AS BIGINT) AS cms_est,
+      |  CAST(MIN(co.bucket_cnt) - p.cnt AS BIGINT) AS overest
+      |FROM pex p JOIN counters co ON co.i = p.i AND co.c = p.c
+      |GROUP BY p.term, p.cnt ORDER BY p.term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q57_kmv_distinct" -> (q57KmvDistinct _),
+    "q58_countmin_heavy" -> (q58CountMin _),
     "q55_asof_join" -> (q55AsofJoin _),
     "q56_recursive_tree" -> (q56RecursiveTree _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
@@ -1038,6 +1107,7 @@ object AnalyticQueries {
 
   val oracles: Map[String, String] = Map(
     "q57_kmv_distinct" -> q57Oracle,
+    "q58_countmin_heavy" -> q58Oracle,
     "q56_recursive_tree" -> q56Oracle,
     "q11_dedup_lastwins" -> q11Oracle,
     "q55_asof_join" -> q55Oracle,
