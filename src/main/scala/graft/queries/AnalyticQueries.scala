@@ -1071,10 +1071,74 @@ object AnalyticQueries {
       |FROM pex p JOIN counters co ON co.i = p.i AND co.c = p.c
       |GROUP BY p.term, p.cnt ORDER BY p.term""".stripMargin
 
+  // q59 — SEQUENTIAL FUNNEL (view → click → purchase) with per-step
+  // time-gap constraints, by weekly first-touch cohort: the product-
+  // analytics / MATCH_RECOGNIZE-lite shape. Semantics: a user's funnel
+  // anchors at their FIRST view; step k+1 is the first qualifying event
+  // STRICTLY after step k and within 48 h of it — each step's timestamp
+  // conditions on the previous step's, which is what makes this a
+  // sequence match and not three independent aggregates. Scale shape:
+  // entirely user-keyed — one per-type filtered aggregate and two
+  // user-keyed equi-joins (no windows, no per-user sort, no
+  // re-partitioning between steps: every shuffle is on user_id, so AQE
+  // reuses the co-location); the cohort rollup at the end is a
+  // handful-of-rows aggregate. Timestamps stay in the table's epoch-nanos
+  // Long contract end-to-end (q37's integer epoch-week idiom for the
+  // cohort key; latency in integer seconds via `div`) — no float, no
+  // timestamp-repr hazard, exact gate.
+  def q59Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val gapNs = lit(172800000000000L) // 48 h in nanos
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + gapNs)
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("c_ts") && col("ts") <= col("c_ts") + gapNs)
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .groupBy(expr("(v_ts div 1000) div 604800000000").as("cohort_week"))
+      .agg(count(lit(1)).as("n_view"),
+        count(col("c_ts")).as("n_click"),
+        count(col("p_ts")).as("n_purchase"),
+        coalesce(sum(expr("(p_ts - v_ts) div 1000000000")), lit(0L))
+          .as("sum_convert_secs"))
+      .orderBy("cohort_week")
+  }
+
+  val q59Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events
+      |), v AS (
+      |  SELECT user_id, MIN(ts) AS v_ts FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS c_ts
+      |  FROM ev e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      |    AND e.ts <= v.v_ts + 172800000000000
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts
+      |  FROM ev e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |    AND e.ts <= c.c_ts + 172800000000000
+      |  GROUP BY e.user_id
+      |)
+      |SELECT (v.v_ts // 1000) // 604800000000 AS cohort_week,
+      |  COUNT(*) AS n_view, COUNT(c.c_ts) AS n_click,
+      |  COUNT(p.p_ts) AS n_purchase,
+      |  CAST(COALESCE(SUM((p.p_ts - v.v_ts) // 1000000000), 0) AS BIGINT)
+      |    AS sum_convert_secs
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q57_kmv_distinct" -> (q57KmvDistinct _),
     "q58_countmin_heavy" -> (q58CountMin _),
+    "q59_funnel_cohort" -> (q59Funnel _),
     "q55_asof_join" -> (q55AsofJoin _),
     "q56_recursive_tree" -> (q56RecursiveTree _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
@@ -1108,6 +1172,7 @@ object AnalyticQueries {
   val oracles: Map[String, String] = Map(
     "q57_kmv_distinct" -> q57Oracle,
     "q58_countmin_heavy" -> q58Oracle,
+    "q59_funnel_cohort" -> q59Oracle,
     "q56_recursive_tree" -> q56Oracle,
     "q11_dedup_lastwins" -> q11Oracle,
     "q55_asof_join" -> q55Oracle,
