@@ -1451,7 +1451,66 @@ object TextQueries {
       |    FROM documents))
       |GROUP BY lang, quality ORDER BY lang, quality""".stripMargin
 
+  // t31 — GOOD-TURING FREQUENCY SMOOTHING (Good 1953; the Katz-backoff
+  // prerequisite): count-of-counts N_r over the term frequency table,
+  // the smoothed count r* = (r+1)·N_{r+1}/N_r kept as an EXACT rational
+  // (integer numerator and denominator — no float division in the gate;
+  // `rstar_ppm` carries the fixed-point quotient for the reader), and
+  // the unseen-probability mass P₀ = N₁/N as the same ppm integer on
+  // every row. The LM-smoothing table every n-gram model ships with,
+  // in the engine's integer-exact discipline. Scale shape: one
+  // term-keyed count shuffle (the corpus vocabulary fold), then
+  // count-of-counts over the TERM-COUNT table — cardinality ≤ distinct
+  // frequencies (hundreds at any corpus size) — and a self-join on
+  // r+1 over that tiny table; nothing downstream of the first shuffle
+  // is data-sized.
+  def t31GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("r"))
+      .localCheckpoint(true)
+    val nr = tc.groupBy("r").agg(count(lit(1)).as("n_r")).localCheckpoint(true)
+    val totals = tc.agg(sum("r").as("n_tokens"),
+      sum(when(col("r") === 1, lit(1L)).otherwise(lit(0L))).as("n_singletons"))
+    val nrNext = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r_next"))
+    nr.join(nrNext, Seq("r"), "left")
+      .filter(col("r") <= 15)
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        ((col("r") + 1) * coalesce(col("n_r_next"), lit(0L))).as("rstar_num"),
+        col("n_r").as("rstar_den"),
+        expr("((r + 1) * coalesce(n_r_next, 0L) * 1000000L) div n_r")
+          .as("rstar_ppm"),
+        expr("(n_singletons * 1000000L) div n_tokens").as("p0_ppm"))
+      .orderBy("r")
+  }
+
+  val t31Oracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |), tc AS (
+      |  SELECT term, COUNT(*) AS r FROM toks GROUP BY term
+      |), nr AS (
+      |  SELECT r, COUNT(*) AS n_r FROM tc GROUP BY r
+      |), tot AS (
+      |  SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_singletons
+      |  FROM tc
+      |)
+      |SELECT a.r, a.n_r,
+      |  CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r_next,
+      |  CAST((a.r + 1) * COALESCE(b.n_r, 0) AS BIGINT) AS rstar_num,
+      |  a.n_r AS rstar_den,
+      |  CAST(((a.r + 1) * COALESCE(b.n_r, 0) * 1000000) // a.n_r AS BIGINT)
+      |    AS rstar_ppm,
+      |  CAST((t.n_singletons * 1000000) // t.n_tokens AS BIGINT) AS p0_ppm
+      |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 CROSS JOIN tot t
+      |WHERE a.r <= 15 ORDER BY a.r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_good_turing" -> (t31GoodTuring _),
     "t30_stream_quality" -> (t30StreamQuality _),
     "t01_token_stats" -> (t01TokenStats _),
     "t29_bpe_merges" -> (t29BpeMerges _),
@@ -1515,5 +1574,6 @@ object TextQueries {
     "t28_zipf_slope" -> t28Oracle,
     "t29_bpe_merges" -> t29Oracle,
     "t30_stream_quality" -> t30Oracle,
+    "t31_good_turing" -> t31Oracle,
   )
 }
