@@ -563,7 +563,77 @@ object GraphQueries {
 
   val g08Oracle: String = DedupQueries.d10Oracle
 
+  // g09 — HITS HUBS & AUTHORITIES (Kleinberg 1999) on the bipartite
+  // customer→part purchase graph, in the UNNORMALIZED integer form:
+  // a(p) = Σ_{c→p} h(c), h(c) = Σ_{c→p} a(p), h⁰ = 1 — i.e. exact
+  // walk-counting centrality. Dropping the per-round L2 normalization
+  // is what makes the kernel float-free: every score is a BIGINT, sums
+  // are order-independent, and the gate is exact with zero fold
+  // discipline needed (normalization only rescales; the top-k ORDER is
+  // identical). Two rounds keep magnitudes ≤ Σdeg·maxdeg² — bounded by
+  // ~deg³·|V|, far under 2^63 even at 100 TB fan-outs of 10⁴ (the
+  // documented dial: more rounds ⇒ switch to the g01 ordered-float
+  // fold). Scale shape: the round alternates two keyed aggregates —
+  // shuffle on part, shuffle on cust — over the edge list, exactly the
+  // Pregel-as-relational shape g01 uses, with per-round localCheckpoint
+  // keeping lineage flat; top-10 per side via orderBy().limit() on the
+  // aggregated score tables, never a global window over data.
+  def g09Hits(spark: SparkSession, dir: String): DataFrame = {
+    val ol = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct().localCheckpoint()
+    var h = ol.select("cust").distinct().withColumn("h", lit(1L))
+    var a = ol.select("part").distinct().withColumn("a", lit(0L))
+    for (_ <- 1 to 2) {
+      a = ol.join(h, Seq("cust")).groupBy("part")
+        .agg(sum("h").as("a")).localCheckpoint(true)
+      h = ol.join(a, Seq("part")).groupBy("cust")
+        .agg(sum("a").as("h")).localCheckpoint(true)
+    }
+    val topA = a.orderBy(col("a").desc, col("part")).limit(10)
+      .select(lit("authority").as("side"), col("part").as("id"), col("a").as("score"))
+    val topH = h.orderBy(col("h").desc, col("cust")).limit(10)
+      .select(lit("hub").as("side"), col("cust").as("id"), col("h").as("score"))
+    topA.unionByName(topH)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("side").orderBy(col("score").desc, col("id"))))
+      .orderBy("side", "rank")
+  }
+
+  val g09Oracle: String =
+    """WITH ol AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |), a1 AS (
+      |  SELECT part, CAST(COUNT(*) AS BIGINT) AS a FROM ol GROUP BY part
+      |), h1 AS (
+      |  SELECT cust, CAST(SUM(a1.a) AS BIGINT) AS h
+      |  FROM ol JOIN a1 USING (part) GROUP BY cust
+      |), a2 AS (
+      |  SELECT part, CAST(SUM(h1.h) AS BIGINT) AS a
+      |  FROM ol JOIN h1 USING (cust) GROUP BY part
+      |), h2 AS (
+      |  SELECT cust, CAST(SUM(a2.a) AS BIGINT) AS h
+      |  FROM ol JOIN a2 USING (part) GROUP BY cust
+      |), topa AS (
+      |  SELECT 'authority' AS side, part AS id, a AS score
+      |  FROM a2 ORDER BY a DESC, part LIMIT 10
+      |), toph AS (
+      |  SELECT 'hub' AS side, cust AS id, h AS score
+      |  FROM h2 ORDER BY h DESC, cust LIMIT 10
+      |), u AS (
+      |  SELECT * FROM topa UNION ALL SELECT * FROM toph
+      |)
+      |SELECT side, id, score,
+      |  CAST(row_number() OVER (PARTITION BY side
+      |    ORDER BY score DESC, id) AS INT) AS rank
+      |FROM u ORDER BY side, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g09_hits" -> (g09Hits _),
     "g08_cc_star" -> (g08CcStar _),
     "g07_personalized_pagerank" -> (g07PersonalizedPagerank _),
     "g01_pagerank" -> (g01Pagerank _),
@@ -575,6 +645,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g09_hits" -> g09Oracle,
     "g08_cc_star" -> g08Oracle,
     "g07_personalized_pagerank" -> g07Oracle,
     "g01_pagerank" -> g01Oracle,
