@@ -1509,7 +1509,78 @@ object TextQueries {
       |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 CROSS JOIN tot t
       |WHERE a.r <= 15 ORDER BY a.r""".stripMargin
 
+  // t32 — KNESER-NEY CONTINUATION COUNTS (Kneser & Ney 1995; the other
+  // half of the modern-LM smoothing pair next to t31's Good-Turing): the
+  // lower-order KN distribution weighs a word by how many DISTINCT left
+  // contexts it completes (N1+(•w)), not how often it occurs — the
+  // "Francisco" correction (huge raw count, one context). Computed
+  // integer-exact over the bigram TYPE table: c_cont(w) = rows with
+  // right = w, fanout(w) = N1+(w•) = rows with left = w, and the two
+  // normalized masses as ppm integers — pkn_ppm over the bigram-type
+  // total (the actual KN lower-order probability), pml_ppm over the
+  // token total (the ML unigram it replaces). Output = top-15 terms by
+  // continuation count, which visibly reorders vs t09's raw-count top.
+  // Scale shape: one token-keyed count shuffle, one bigram-type-keyed
+  // distinct shuffle, two GROUP BYs over the type table, 1-row totals
+  // broadcast, and a distributed TakeOrdered top-15 — nothing
+  // single-partition, nothing data-sized after the type table.
+  def t32KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withTokens(spark, dir).select(col("toks"))
+    val pairs = toks.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("bg"))
+      .select(col("bg.l").as("l"), col("bg.r").as("r"))
+    val types = pairs.groupBy("l", "r").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val raw = toks.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("r_raw"))
+    val cont = types.groupBy("r").agg(count(lit(1)).as("c_cont"))
+      .withColumnRenamed("r", "term")
+    val fan = types.groupBy("l").agg(count(lit(1)).as("fanout"))
+      .withColumnRenamed("l", "term")
+    val totals = types.agg(count(lit(1)).as("n_bigram_types"))
+      .crossJoin(raw.agg(sum("r_raw").as("n_tokens")))
+    raw.join(cont, Seq("term"), "inner")
+      .join(fan, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("r_raw"), col("c_cont"),
+        coalesce(col("fanout"), lit(0L)).as("fanout"),
+        expr("c_cont * 1000000L div n_bigram_types").as("pkn_ppm"),
+        expr("r_raw * 1000000L div n_tokens").as("pml_ppm"))
+      .orderBy(col("c_cont").desc, col("term")).limit(15)
+  }
+
+  val t32Oracle: String =
+    """WITH t AS (
+      |  SELECT string_split(text, ' ') AS l FROM documents
+      |), bg AS (
+      |  SELECT l[i] AS lw, l[i+1] AS rw
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(l))) AS i) g
+      |), types AS (
+      |  SELECT lw, rw FROM bg GROUP BY lw, rw
+      |), raw AS (
+      |  SELECT unnest(l) AS term FROM t
+      |), rawc AS (
+      |  SELECT term, COUNT(*) AS r_raw FROM raw GROUP BY term
+      |), cont AS (
+      |  SELECT rw AS term, COUNT(*) AS c_cont FROM types GROUP BY rw
+      |), fan AS (
+      |  SELECT lw AS term, COUNT(*) AS fanout FROM types GROUP BY lw
+      |), tot AS (
+      |  SELECT (SELECT COUNT(*) FROM types) AS n_bigram_types,
+      |    (SELECT CAST(SUM(r_raw) AS BIGINT) FROM rawc) AS n_tokens
+      |)
+      |SELECT r.term, r.r_raw, c.c_cont,
+      |  CAST(COALESCE(f.fanout, 0) AS BIGINT) AS fanout,
+      |  CAST(c.c_cont * 1000000 // t.n_bigram_types AS BIGINT) AS pkn_ppm,
+      |  CAST(r.r_raw * 1000000 // t.n_tokens AS BIGINT) AS pml_ppm
+      |FROM rawc r JOIN cont c USING (term) LEFT JOIN fan f USING (term)
+      |CROSS JOIN tot t
+      |ORDER BY c.c_cont DESC, r.term LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_kneser_ney" -> (t32KneserNey _),
     "t31_good_turing" -> (t31GoodTuring _),
     "t30_stream_quality" -> (t30StreamQuality _),
     "t01_token_stats" -> (t01TokenStats _),
@@ -1544,6 +1615,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t32_kneser_ney" -> t32Oracle,
     "t01_token_stats" -> t01Oracle,
     "t02_lang_id" -> t02Oracle,
     "t03_quality_score" -> t03Oracle,
