@@ -1242,7 +1242,114 @@ object AnalyticQueries {
       |  p.n_bloom_pass - e.n_true_rows AS n_false_pos, e.sum_qty_true
       |FROM passes p CROSS JOIN ex e""".stripMargin
 
+  // q61 — HYPERLOGLOG REGISTER SKETCH (Flajolet et al. 2007), built from
+  // integer primitives and gated on its MERGE law — completing the
+  // mergeable-sketch family next to q57 (KMV), q58 (count-min) and q60
+  // (Bloom): distinct parts per returnflag, m = 64 registers, the
+  // 60-bit md5 value split as register = h >> 54 and rank
+  // ρ = (leading zeros of the remaining 54 bits) + 1 via the engines'
+  // shared `length(bin(x))` = ⌊log2 x⌋+1 identity (the cdc29 trick) —
+  // no floats anywhere. The gate carries the sketch BOTH ways: direct
+  // per-flag register maxima, and per-shard partial sketches (orderkey
+  // mod 4 — the "independent executors" stand-in) merged by register
+  // max; `sum48` and `sum48_merged` must agree, which is exactly the
+  // 100-TB property that matters (partial sketches from any partitioning
+  // combine losslessly — the property approx_count_distinct relies on,
+  // here exposed as data). The harmonic-mean estimate keeps the integer
+  // discipline: Σ 2^(48-ρ) is an exact BIGINT (absent registers
+  // contribute 2^48), est = α·m²·2^48/sum via two integer divisions
+  // computed identically cross-engine, err_ppm audits it against the
+  // exact distinct count. Scale shape: NO distinct before the sketch —
+  // ρ flows from every row and partial-aggregates map-side into ≤
+  // flags×shards×64 rows; only the audit column pays the exact-distinct
+  // shuffle (drop it in production and nothing data-sized remains
+  // after the scan).
+  def q61HllSketch(spark: SparkSession, dir: String): DataFrame = {
+    val m = 64
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        pmod(col("l_orderkey"), lit(4)).as("shard"),
+        col("l_partkey"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("reg", expr("shiftright(h, 54)"))
+      .withColumn("rest", expr("h % 18014398509481984L"))
+      .withColumn("rho", when(col("rest") === 0, lit(55))
+        .otherwise(lit(55) - length(expr("bin(rest)"))).cast("int"))
+    // direct sketch: per-flag register maxima
+    val direct = base.groupBy("l_returnflag", "reg")
+      .agg(max(col("rho")).as("r"))
+    // sharded partials merged by register max — the merge law under test
+    val merged = base.groupBy("l_returnflag", "shard", "reg")
+      .agg(max(col("rho")).as("r"))
+      .groupBy("l_returnflag", "reg").agg(max(col("r")).as("r"))
+    def sumCol(df: DataFrame, out: String): DataFrame =
+      df.groupBy("l_returnflag")
+        .agg((sum(expr("shiftright(281474976710656L, cast(r as int))")) +
+          (lit(m) - count(lit(1))) * lit(281474976710656L)).as(out),
+          count(lit(1)).as(out + "_present"))
+    val dSum = sumCol(direct, "sum48")
+    val mSum = sumCol(merged, "sum48_merged").drop("sum48_merged_present")
+    val exact = Tables.lineitem(spark, dir).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    dSum.join(mSum, "l_returnflag").join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"),
+        col("sum48_present").as("n_regs_hit"),
+        col("sum48"), col("sum48_merged"),
+        expr("(((281474976710656L * 4096) div sum48) * 709) div 1000")
+          .as("est"),
+        expr("abs((((281474976710656L * 4096) div sum48) * 709) div 1000" +
+          " - n_exact) * 1000000L div n_exact").as("err_ppm"))
+      .orderBy("l_returnflag")
+  }
+
+  val q61Oracle: String =
+    """WITH base AS (
+      |  SELECT l_returnflag, l_orderkey % 4 AS shard,
+      |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM lineitem
+      |), rho AS (
+      |  SELECT l_returnflag, shard, h >> 54 AS reg,
+      |    CASE WHEN h % 18014398509481984 = 0 THEN 55
+      |         ELSE 55 - length(bin(h % 18014398509481984)) END AS rho
+      |  FROM base
+      |), direct AS (
+      |  SELECT l_returnflag, reg, MAX(rho) AS r
+      |  FROM rho GROUP BY l_returnflag, reg
+      |), partials AS (
+      |  SELECT l_returnflag, shard, reg, MAX(rho) AS r
+      |  FROM rho GROUP BY l_returnflag, shard, reg
+      |), merged AS (
+      |  SELECT l_returnflag, reg, MAX(r) AS r
+      |  FROM partials GROUP BY l_returnflag, reg
+      |), dsum AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(281474976710656 >> CAST(r AS INT)) +
+      |      (64 - COUNT(*)) * 281474976710656 AS BIGINT) AS sum48,
+      |    COUNT(*) AS n_regs_hit
+      |  FROM direct GROUP BY l_returnflag
+      |), msum AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(281474976710656 >> CAST(r AS INT)) +
+      |      (64 - COUNT(*)) * 281474976710656 AS BIGINT) AS sum48_merged
+      |  FROM merged GROUP BY l_returnflag
+      |), exact AS (
+      |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT d.l_returnflag, e.n_exact, d.n_regs_hit, d.sum48,
+      |  m.sum48_merged,
+      |  CAST(((281474976710656 * 4096 // d.sum48) * 709) // 1000 AS BIGINT)
+      |    AS est,
+      |  CAST(abs(((281474976710656 * 4096 // d.sum48) * 709) // 1000
+      |    - e.n_exact) * 1000000 // e.n_exact AS BIGINT) AS err_ppm
+      |FROM dsum d JOIN msum m USING (l_returnflag)
+      |JOIN exact e USING (l_returnflag)
+      |ORDER BY d.l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_hll_sketch" -> (q61HllSketch _),
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q57_kmv_distinct" -> (q57KmvDistinct _),
     "q58_countmin_heavy" -> (q58CountMin _),
@@ -1279,6 +1386,7 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_hll_sketch" -> q61Oracle,
     "q57_kmv_distinct" -> q57Oracle,
     "q58_countmin_heavy" -> q58Oracle,
     "q59_funnel_cohort" -> q59Oracle,
