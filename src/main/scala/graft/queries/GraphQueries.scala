@@ -632,7 +632,164 @@ object GraphQueries {
       |    ORDER BY score DESC, id) AS INT) AS rank
       |FROM u ORDER BY side, rank""".stripMargin
 
+  // g10 — HYPERBALL NEIGHBORHOOD FUNCTION (Boldi, Rosa & Vigna 2011;
+  // HyperANF): estimate |ball_t(v)| for every vertex simultaneously by
+  // giving each vertex a 16-register HyperLogLog of its ball and
+  // iterating register-wise max along edges — the O(m·rounds) algorithm
+  // that replaced exact all-pairs BFS for graph-distance statistics.
+  // Registers are q61's integer discipline scaled down (b=4: register
+  // = h >> 56, ρ = 57 − length(bin(h % 2^56))); a sketch is 16 (v, reg,
+  // r) rows, a round is one edge join + one (v, reg)-keyed max — fully
+  // relational, materialized per round (the g-family localCheckpoint
+  // discipline), never a per-vertex visited set. The estimator is the
+  // real HLL two-regime form: harmonic mean Σ2^(48-ρ) with absent
+  // registers at 2^48, switching to LINEAR COUNTING (m·ln(m/V), the
+  // small-range correction) below 2.5m — ln(16/V) has only 16 possible
+  // arguments, so it ships as an integer-e3 CASE table identical in
+  // both engines (no floats cross the gate). Output: the neighborhood
+  // function N(t) = Σ_v est|ball_t(v)| for t = 0, 1, 2 next to the
+  // EXACT Σ|ball_t(v)| (distinct 2-hop join — affordable at test SF as
+  // an audit; at 100 TB the exact column is dropped and only the sketch
+  // path remains, which is the entire point of the algorithm).
+  def g10Hyperball(spark: SparkSession, dir: String): DataFrame = {
+    val m = 16
+    val p48 = 281474976710656L // 2^48
+    val e = edges(spark, dir).localCheckpoint()
+    val verts = e.select(col("src").as("v")).distinct().localCheckpoint()
+    val init = verts
+      .withColumn("h",
+        conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .select(col("v"), expr("shiftright(h, 56)").as("reg"),
+        when(expr("h % 72057594037927936L") === 0, lit(57))
+          .otherwise(lit(57) - length(expr("bin(h % 72057594037927936L)")))
+          .cast("int").as("r"))
+    val lcCase = "CASE nzero WHEN 1 THEN 44361 WHEN 2 THEN 33271 " +
+      "WHEN 3 THEN 26784 WHEN 4 THEN 22181 WHEN 5 THEN 18610 " +
+      "WHEN 6 THEN 15693 WHEN 7 THEN 13227 WHEN 8 THEN 11090 " +
+      "WHEN 9 THEN 9206 WHEN 10 THEN 7520 WHEN 11 THEN 5995 " +
+      "WHEN 12 THEN 4603 WHEN 13 THEN 3322 WHEN 14 THEN 2137 " +
+      "WHEN 15 THEN 1033 ELSE 0 END"
+    def ballEst(sk: DataFrame, t: Int): DataFrame =
+      sk.groupBy("v")
+        .agg((sum(expr("shiftright(281474976710656L, cast(r as int))")) +
+          (lit(m) - count(lit(1))) * lit(p48)).as("sum48"),
+          (lit(m.toLong) - count(lit(1))).as("nzero"))
+        .withColumn("ratio", least(
+          expr("72057594037927936L div greatest(sum48, 1L)"),
+          lit(1000000000000L)))
+        .withColumn("est_e3",
+          when(col("nzero") > 0 && col("ratio") * 673 <= 40000,
+            expr(lcCase)).otherwise(col("ratio") * lit(673)))
+        .agg(count(lit(1)).as("n_vertices"),
+          sum(col("est_e3")).as("sum_ball_est_e3"))
+        .withColumn("t", lit(t))
+    var sk = init.localCheckpoint()
+    val ests = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    ests += ballEst(sk, 0)
+    for (t <- 1 to 2) {
+      val contrib = sk.join(e, sk("v") === e("dst"))
+        .select(e("src").as("v"), col("reg"), col("r"))
+      sk = contrib.unionByName(sk.select("v", "reg", "r"))
+        .groupBy("v", "reg").agg(max(col("r")).as("r"))
+        .localCheckpoint()
+      ests += ballEst(sk, t)
+    }
+    // exact audit: closed 1- and 2-hop neighborhood sizes via distinct joins
+    val self = verts.select(col("v").as("src"), col("v").as("dst"))
+    val b1 = e.unionByName(self).distinct().localCheckpoint()
+    val b2 = b1.join(
+        b1.select(col("src").as("mid"), col("dst").as("d2")),
+        col("dst") === col("mid"))
+      .select(col("src"), col("d2").as("dst")).distinct()
+    val exacts = verts.agg(count(lit(1)).as("exact_sum"))
+      .withColumn("t", lit(0))
+      .unionByName(b1.agg(count(lit(1)).as("exact_sum")).withColumn("t", lit(1)))
+      .unionByName(b2.agg(count(lit(1)).as("exact_sum")).withColumn("t", lit(2)))
+    ests.reduce(_.unionByName(_))
+      .join(exacts, "t")
+      .select(col("t"), col("n_vertices"), col("sum_ball_est_e3"),
+        col("exact_sum"),
+        expr("abs(sum_ball_est_e3 div 1000 - exact_sum) * 1000000L" +
+          " div exact_sum").as("err_ppm"))
+      .orderBy("t")
+  }
+
+  private val duckLcCase: String =
+    """CASE nzero WHEN 1 THEN 44361 WHEN 2 THEN 33271 WHEN 3 THEN 26784
+      |    WHEN 4 THEN 22181 WHEN 5 THEN 18610 WHEN 6 THEN 15693
+      |    WHEN 7 THEN 13227 WHEN 8 THEN 11090 WHEN 9 THEN 9206
+      |    WHEN 10 THEN 7520 WHEN 11 THEN 5995 WHEN 12 THEN 4603
+      |    WHEN 13 THEN 3322 WHEN 14 THEN 2137 WHEN 15 THEN 1033
+      |    ELSE 0 END""".stripMargin
+
+  private def duckEstCte(sk: String, t: Int): String =
+    s"""sums$t AS (
+       |  SELECT v,
+       |    CAST(SUM(281474976710656 >> CAST(r AS INT)) +
+       |      (16 - COUNT(*)) * 281474976710656 AS BIGINT) AS sum48,
+       |    16 - COUNT(*) AS nzero
+       |  FROM $sk GROUP BY v
+       |), pe$t AS (
+       |  SELECT v, nzero,
+       |    least(72057594037927936 // greatest(sum48, 1), 1000000000000)
+       |      AS ratio
+       |  FROM sums$t
+       |), est$t AS (
+       |  SELECT $t AS t, COUNT(*) AS n_vertices,
+       |    CAST(SUM(CASE WHEN nzero > 0 AND ratio * 673 <= 40000
+       |      THEN $duckLcCase
+       |      ELSE ratio * 673 END) AS BIGINT) AS sum_ball_est_e3
+       |  FROM pe$t
+       |)""".stripMargin
+
+  val g10Oracle: String =
+    s"""WITH $duckEdgesCte,
+       |verts AS (SELECT DISTINCT src AS v FROM e),
+       |hs AS (
+       |  SELECT v, CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS h
+       |  FROM verts
+       |), sk0 AS (
+       |  SELECT v, h >> 56 AS reg,
+       |    CASE WHEN h % 72057594037927936 = 0 THEN 57
+       |         ELSE 57 - length(bin(h % 72057594037927936)) END AS r
+       |  FROM hs
+       |), sk1 AS (
+       |  SELECT v, reg, MAX(r) AS r FROM (
+       |    SELECT e.src AS v, s.reg, s.r FROM sk0 s JOIN e ON s.v = e.dst
+       |    UNION ALL SELECT v, reg, r FROM sk0
+       |  ) GROUP BY v, reg
+       |), sk2 AS (
+       |  SELECT v, reg, MAX(r) AS r FROM (
+       |    SELECT e.src AS v, s.reg, s.r FROM sk1 s JOIN e ON s.v = e.dst
+       |    UNION ALL SELECT v, reg, r FROM sk1
+       |  ) GROUP BY v, reg
+       |), ${duckEstCte("sk0", 0)},
+       |${duckEstCte("sk1", 1)},
+       |${duckEstCte("sk2", 2)},
+       |slf AS (SELECT v AS src, v AS dst FROM verts),
+       |b1 AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e UNION ALL SELECT src, dst FROM slf)
+       |), b2 AS (
+       |  SELECT DISTINCT a.src, b.dst FROM b1 a JOIN b1 b ON a.dst = b.src
+       |), ex AS (
+       |  SELECT 0 AS t, (SELECT COUNT(*) FROM verts) AS exact_sum
+       |  UNION ALL SELECT 1, (SELECT COUNT(*) FROM b1)
+       |  UNION ALL SELECT 2, (SELECT COUNT(*) FROM b2)
+       |), es AS (
+       |  SELECT * FROM est0 UNION ALL SELECT * FROM est1
+       |  UNION ALL SELECT * FROM est2
+       |)
+       |SELECT es.t, es.n_vertices, es.sum_ball_est_e3,
+       |  CAST(ex.exact_sum AS BIGINT) AS exact_sum,
+       |  CAST(abs(es.sum_ball_est_e3 // 1000 - ex.exact_sum) * 1000000
+       |    // ex.exact_sum AS BIGINT) AS err_ppm
+       |FROM es JOIN ex USING (t) ORDER BY es.t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g10_hyperball" -> (g10Hyperball _),
     "g09_hits" -> (g09Hits _),
     "g08_cc_star" -> (g08CcStar _),
     "g07_personalized_pagerank" -> (g07PersonalizedPagerank _),
@@ -645,6 +802,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g10_hyperball" -> g10Oracle,
     "g09_hits" -> g09Oracle,
     "g08_cc_star" -> g08Oracle,
     "g07_personalized_pagerank" -> g07Oracle,
