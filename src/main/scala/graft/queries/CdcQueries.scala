@@ -2586,7 +2586,74 @@ object CdcQueries {
       .orderBy("epoch")
   }
 
+  // cdc42 — STREAMING SCD2 history (cdc21's warehouse history table as
+  // STATE): the change feed splits into two strictly time-ordered
+  // micro-batches (file mtimes pinned so the file source's time order is
+  // the feed order — the SchemaEpochsSpec discipline), tails through
+  // [[graft.streaming.StreamingScd2]]'s flatMapGroupsWithState — one open
+  // version of state per key, closed versions emitted as the next change
+  // arrives, open versions emitted provisionally — and the drained sink
+  // reconciles last-wins per (key, version): a closed emission supersedes
+  // its provisional open one. Shares cdc21's oracle: the reconciled
+  // drain must BE the batch `lead`-window history, state ≡ window — the
+  // same equivalence cdc41 gates for schema epochs and cdc20 for the
+  // apply fold.
+  def cdc42StreamScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = tmpFixtureDir("graft_cdc42_", dir)
+    root.mkdirs()
+    val feedDir = new java.io.File(root, "feed")
+    feedDir.mkdirs()
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val feed = cdc17Feed(spark, dir).select("user_id", "src_ms", "ct", "pos")
+    val cut = feed
+      .agg(expr("min(src_ms) + (max(src_ms) - min(src_ms)) div 2").as("c"))
+      .head.getLong(0)
+    def pinMtimes(ms: Long, seen: Set[String]): Set[String] = {
+      val fs = Option(feedDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet"))
+      fs.filterNot(f => seen(f.getName)).foreach(_.setLastModified(ms))
+      fs.map(_.getName).toSet
+    }
+    feed.filter(col("src_ms") <= cut).coalesce(1)
+      .write.mode("append").parquet(feedDir.getPath)
+    val first = pinMtimes(1000000000000L, Set.empty)
+    feed.filter(col("src_ms") > cut).coalesce(1)
+      .write.mode("append").parquet(feedDir.getPath)
+    pinMtimes(1000000060000L, first)
+    withDrainPartitions(spark) {
+      val changes = spark.readStream
+        .schema("user_id BIGINT, src_ms BIGINT, ct STRING, pos BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feedDir.getPath)
+        .as[graft.streaming.StreamingScd2.Change]
+      val q = graft.streaming.StreamingScd2.build(changes)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
+    spark.read
+      .schema("user_id BIGINT, version_pos BIGINT, change_type STRING," +
+        " valid_from_ms BIGINT, valid_to_ms BIGINT")
+      .parquet(sink)
+      .groupBy("user_id", "version_pos")
+      .agg(max_by(
+        struct(col("change_type"), col("valid_from_ms"), col("valid_to_ms")),
+        struct(col("valid_to_ms").isNotNull)).as("v"))
+      .select(col("user_id"), col("version_pos"),
+        col("v.change_type").as("change_type"),
+        col("v.valid_from_ms").as("valid_from_ms"),
+        col("v.valid_to_ms").as("valid_to_ms"),
+        when(col("v.valid_to_ms").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("user_id", "valid_from_ms", "version_pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc42_stream_scd2" -> (cdc42StreamScd2 _),
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
     "cdc03_file_breakdown" -> (cdc03FileBreakdown _),
@@ -2672,5 +2739,6 @@ object CdcQueries {
     "cdc39_stream_route" -> cdc30Oracle, // same routing summary, streamed
     "cdc40_rotate_chain" -> cdc40Oracle,
     "cdc41_stream_ddl_epoch" -> cdc37Oracle, // drained state == batch window
+    "cdc42_stream_scd2" -> cdc21Oracle, // reconciled drain == batch SCD2
   )
 }
