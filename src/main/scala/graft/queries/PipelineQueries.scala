@@ -920,7 +920,89 @@ object PipelineQueries {
       |WHERE bucket < 80
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // p12 — TEMPERATURE-WEIGHTED LANGUAGE MIXTURE (the multilingual
+  // rebalancing dial of XLM-R / mT5: sample language l with probability
+  // ∝ n_l^α): where p05 consumes a mixture SPEC, p12 DERIVES one from
+  // corpus token counts, at the three α values that stay integer-exact —
+  // α = 1 (natural: weight = n), α = 0 (uniform: weight = 1), and the
+  // classic α = ½ via EXACT INTEGER SQUARE ROOT: the double `sqrt` is
+  // correctly rounded but its floor can still sit one off an exact
+  // integer boundary, so both engines apply the same ±1 correction
+  // (`(c+1)² ≤ n → c+1; c² > n → c−1`) and the gate never depends on
+  // float rounding. Output per (α, lang): the natural share, the
+  // tempered share, and `boost_ppm` — the up/down-sampling factor
+  // low-resource languages actually receive (the number the papers
+  // quote). Scale shape: one lang-keyed count shuffle over the corpus;
+  // everything after is a ≤ |langs|-row table — the derivation composes
+  // with p05's quota filler for the manifest step.
+  def p12TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val isqrt = expr(
+      """CASE WHEN (cast(floor(sqrt(cast(n_tokens AS double))) AS bigint) + 1)
+        |          * (cast(floor(sqrt(cast(n_tokens AS double))) AS bigint) + 1)
+        |          <= n_tokens
+        |     THEN cast(floor(sqrt(cast(n_tokens AS double))) AS bigint) + 1
+        |     WHEN cast(floor(sqrt(cast(n_tokens AS double))) AS bigint)
+        |          * cast(floor(sqrt(cast(n_tokens AS double))) AS bigint)
+        |          > n_tokens
+        |     THEN cast(floor(sqrt(cast(n_tokens AS double))) AS bigint) - 1
+        |     ELSE cast(floor(sqrt(cast(n_tokens AS double))) AS bigint)
+        |END""".stripMargin)
+    val weighted = byLang.select(col("lang"), col("n_tokens"),
+        explode(array(
+          struct(lit(100L).as("alpha_e2"), col("n_tokens").as("weight")),
+          struct(lit(50L).as("alpha_e2"), isqrt.as("weight")),
+          struct(lit(0L).as("alpha_e2"), lit(1L).as("weight")))).as("aw"))
+      .select(col("lang"), col("n_tokens"),
+        col("aw.alpha_e2").as("alpha_e2"), col("aw.weight").as("weight"))
+    val totals = weighted.groupBy("alpha_e2")
+      .agg(sum("weight").as("w_total"), sum("n_tokens").as("tok_total"))
+    weighted.join(broadcast(totals), "alpha_e2")
+      .select(col("alpha_e2"), col("lang"), col("n_tokens"), col("weight"),
+        expr("n_tokens * 1000000L div tok_total").as("nat_share_ppm"),
+        expr("weight * 1000000L div w_total").as("temp_share_ppm"),
+        expr("(weight * 1000000L div w_total) * 1000000L" +
+          " div (n_tokens * 1000000L div tok_total)").as("boost_ppm"))
+      .orderBy("alpha_e2", "lang")
+  }
+
+  val p12Oracle: String =
+    """WITH bylang AS (
+      |  SELECT lang,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang
+      |), c AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS c0
+      |  FROM bylang
+      |), w AS (
+      |  SELECT lang, n_tokens, a.alpha_e2,
+      |    CASE a.alpha_e2
+      |      WHEN 100 THEN n_tokens
+      |      WHEN 0 THEN 1
+      |      ELSE CASE WHEN (c0 + 1) * (c0 + 1) <= n_tokens THEN c0 + 1
+      |                WHEN c0 * c0 > n_tokens THEN c0 - 1
+      |                ELSE c0 END
+      |    END AS weight
+      |  FROM c CROSS JOIN (SELECT unnest([100, 50, 0]) AS alpha_e2) a
+      |), tot AS (
+      |  SELECT alpha_e2, CAST(SUM(weight) AS BIGINT) AS w_total,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+      |  FROM w GROUP BY alpha_e2
+      |)
+      |SELECT CAST(w.alpha_e2 AS BIGINT) AS alpha_e2, w.lang, w.n_tokens,
+      |  CAST(w.weight AS BIGINT) AS weight,
+      |  CAST(w.n_tokens * 1000000 // t.tok_total AS BIGINT) AS nat_share_ppm,
+      |  CAST(w.weight * 1000000 // t.w_total AS BIGINT) AS temp_share_ppm,
+      |  CAST((w.weight * 1000000 // t.w_total) * 1000000
+      |    // (w.n_tokens * 1000000 // t.tok_total) AS BIGINT) AS boost_ppm
+      |FROM w JOIN tot t USING (alpha_e2)
+      |ORDER BY alpha_e2, w.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_temperature_mix" -> (p12TemperatureMix _),
     "p01_training_mix" -> (p01TrainingMix _),
     "p11_clipped_release" -> (p11ClippedRelease _),
     "p09_release_drift" -> (p09ReleaseDrift _),
@@ -935,6 +1017,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p12_temperature_mix" -> p12Oracle,
     "p01_training_mix" -> p01Oracle,
     "p11_clipped_release" -> p11Oracle,
     "p09_release_drift" -> p09Oracle,
