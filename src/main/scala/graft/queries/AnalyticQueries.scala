@@ -1348,7 +1348,111 @@ object AnalyticQueries {
       |JOIN exact e USING (l_returnflag)
       |ORDER BY d.l_returnflag""".stripMargin
 
+  // q62 — THETA-SKETCH SET INTERSECTION (the DataSketches/Druid
+  // "audience overlap" estimator; Dasgupta et al. 2016): q57 keeps the
+  // k smallest hashes per group and estimates each group's distinct
+  // count — q62 composes two such sketches to estimate the
+  // INTERSECTION, the operation raw distinct-counts cannot answer
+  // (|A∩B| from a pairwise join is exactly what a 1000-executor rollup
+  // wants to avoid). The theta rule: θ = min(θ_A, θ_B) (a group with
+  // fewer than k distinct keys keeps everything and is exact — θ = 2^60),
+  // the retained intersection is the common kept hashes below θ, and
+  // est = common · 2^60 / θ — the one float op a single division of
+  // identically-derived operands, q57's bit-identical discipline. The
+  // exact pairwise intersection rides along as the audit (affordable at
+  // test SF; dropped at 100 TB, which is the point of the sketch).
+  // Scale shape: one (grp, hash) distinct shuffle + the map-side
+  // WindowGroupLimit k-min rank; every pair computation reads ≤ k rows
+  // per group, the 10-row pair table broadcasts, and only the audit
+  // column pays the full A⋈B join.
+  def q62ThetaIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val p60 = 1152921504606846976L // 2^60
+    val h = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"),
+        conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct().localCheckpoint(true)
+    val kmin = h
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("grp").orderBy("h")))
+      .filter(col("rn") <= k)
+      .localCheckpoint(true)
+    val meta = kmin.groupBy("grp")
+      .agg(count(lit(1)).as("n_kept"),
+        coalesce(max(when(col("rn") === k, col("h"))), lit(p60)).as("theta"))
+    val pairs = meta.select(col("grp").as("grp_a"), col("theta").as("th_a"))
+      .join(meta.select(col("grp").as("grp_b"), col("theta").as("th_b")),
+        col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        least(col("th_a"), col("th_b")).as("theta"))
+    val common = kmin.select(col("grp").as("grp_a"), col("h"))
+      .join(kmin.select(col("grp").as("grp_b"), col("h")), Seq("h"))
+      .filter(col("grp_a") < col("grp_b"))
+      .join(broadcast(pairs), Seq("grp_a", "grp_b"))
+      .filter(col("h") < col("theta"))
+      .groupBy("grp_a", "grp_b", "theta")
+      .agg(count(lit(1)).as("n_common_kept"))
+    val exactInter = h.select(col("grp").as("grp_a"), col("h"))
+      .join(h.select(col("grp").as("grp_b"), col("h")), Seq("h"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(count(lit(1)).as("n_exact_inter"))
+    pairs
+      .join(common.drop("theta"), Seq("grp_a", "grp_b"), "left")
+      .join(exactInter, Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"), col("theta"),
+        coalesce(col("n_common_kept"), lit(0L)).as("n_common_kept"),
+        (coalesce(col("n_common_kept"), lit(0L)).cast("double") *
+          lit(p60.toDouble) / col("theta").cast("double")).as("est_inter"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"))
+      .orderBy("grp_a", "grp_b")
+  }
+
+  val q62Oracle: String =
+    """WITH h AS (
+      |  SELECT DISTINCT o_orderpriority AS grp,
+      |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM orders
+      |), kmin AS (
+      |  SELECT * FROM (
+      |    SELECT grp, h,
+      |      row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+      |    FROM h)
+      |  WHERE rn <= 64
+      |), meta AS (
+      |  SELECT grp, COUNT(*) AS n_kept,
+      |    COALESCE(MAX(CASE WHEN rn = 64 THEN h END), 1152921504606846976)
+      |      AS theta
+      |  FROM kmin GROUP BY grp
+      |), pairs AS (
+      |  SELECT a.grp AS grp_a, b.grp AS grp_b,
+      |    least(a.theta, b.theta) AS theta
+      |  FROM meta a JOIN meta b ON a.grp < b.grp
+      |), common AS (
+      |  SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_common_kept
+      |  FROM kmin a JOIN kmin b ON a.h = b.h AND a.grp < b.grp
+      |  JOIN pairs p ON p.grp_a = a.grp AND p.grp_b = b.grp
+      |  WHERE a.h < p.theta
+      |  GROUP BY 1, 2
+      |), ex AS (
+      |  SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_exact_inter
+      |  FROM h a JOIN h b ON a.h = b.h AND a.grp < b.grp
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.grp_a, p.grp_b, p.theta,
+      |  CAST(COALESCE(c.n_common_kept, 0) AS BIGINT) AS n_common_kept,
+      |  CAST(COALESCE(c.n_common_kept, 0) AS DOUBLE) * 1152921504606846976
+      |    / CAST(p.theta AS DOUBLE) AS est_inter,
+      |  CAST(COALESCE(e.n_exact_inter, 0) AS BIGINT) AS n_exact_inter
+      |FROM pairs p
+      |LEFT JOIN common c ON c.grp_a = p.grp_a AND c.grp_b = p.grp_b
+      |LEFT JOIN ex e ON e.grp_a = p.grp_a AND e.grp_b = p.grp_b
+      |ORDER BY p.grp_a, p.grp_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_theta_intersect" -> (q62ThetaIntersect _),
     "q61_hll_sketch" -> (q61HllSketch _),
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
     "q57_kmv_distinct" -> (q57KmvDistinct _),
@@ -1386,6 +1490,7 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_theta_intersect" -> q62Oracle,
     "q61_hll_sketch" -> q61Oracle,
     "q57_kmv_distinct" -> q57Oracle,
     "q58_countmin_heavy" -> q58Oracle,
