@@ -1373,11 +1373,12 @@ object AnalyticQueries {
         conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
           .cast("long").as("h"))
       .distinct().localCheckpoint(true)
+    // derives from the checkpointed `h` — left un-checkpointed so the
+    // map-side WindowGroupLimit stays visible in the audited plan
     val kmin = h
       .withColumn("rn",
         row_number().over(Window.partitionBy("grp").orderBy("h")))
       .filter(col("rn") <= k)
-      .localCheckpoint(true)
     val meta = kmin.groupBy("grp")
       .agg(count(lit(1)).as("n_kept"),
         coalesce(max(when(col("rn") === k, col("h"))), lit(p60)).as("theta"))

@@ -509,4 +509,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
       s"probe side shuffled before the bloom test:\n$p")
   }
+
+  test("q61/q62/g10/t32: sketch and top-k plans keep their scale shapes") {
+    // q61: the HLL register fold is pure hash aggregation — no window,
+    // no sort, map-side partials under the register maxima
+    val hll = plan(AnalyticQueries.q61HllSketch(spark, dir))
+    assert(!hll.contains("WindowExec"), s"q61 grew a window:\n$hll")
+    assert(hll.contains("partial_max"), s"q61 lost map-side partials:\n$hll")
+    // q62: the k-min rank must run as a map-side group limit before the
+    // full window, and pair assembly must never go cartesian
+    val theta = plan(AnalyticQueries.q62ThetaIntersect(spark, dir))
+    assert(theta.contains("WindowGroupLimit"),
+      s"q62 k-min rank lost its group-limit rewrite:\n$theta")
+    assert(!theta.contains("CartesianProduct"), s"q62 went all-pairs:\n$theta")
+    // g10: register propagation is edge-keyed joins + keyed maxima only
+    val hb = plan(GraphQueries.g10Hyperball(spark, dir))
+    assert(!hb.contains("CartesianProduct"), s"g10 went all-pairs:\n$hb")
+    assert(!hb.contains("WindowExec"), s"g10 grew a window:\n$hb")
+    // t32: the top-15 is a distributed TakeOrdered, not a global sort
+    val kn = plan(TextQueries.t32KneserNey(spark, dir))
+    assert(kn.contains("TakeOrderedAndProject"),
+      s"t32 top-k must be TakeOrdered:\n$kn")
+  }
 }
