@@ -394,7 +394,102 @@ object MultimodalQueries {
       |  CAST(SUM(media_id) AS BIGINT) AS media_id_sum
       |FROM runs GROUP BY n_scenes ORDER BY n_scenes""".stripMargin
 
+  // m09 — TEMPORAL ALIGNMENT between near-duplicate videos: m05 finds
+  // frames shared across media; a video DEDUP decision needs more — how
+  // LONG a run of frames two media share in the same order (full re-upload
+  // vs a loop/clip that merely reuses stills). The fixture injects both
+  // classes: exact re-uploads (%7 at +10M — all 4 frames align, run 4)
+  // and LOOPED variants (%5 at +20M, payload doubled — the sampler lands
+  // on the original's frames 0/2 but at shifted indices, so hashes are
+  // shared while no two matches sit on one diagonal: run 1). Matching
+  // pairs come from the frame inverted index under the house hot-key
+  // discipline (per-hash distinct-media count, semi-join into [2,32]
+  // before the self-join — a watermark still shared by thousands of
+  // videos must not go quadratic), runs from d29's gaps-and-islands on
+  // the (pair, diagonal) key (ia − row_number), and the output folds to
+  // the run-length histogram with a pair-id checksum pinning WHICH pairs
+  // sit in each class. Plan shape: typed frame flatMap (4 rows/object),
+  // one hash-keyed count + semi-join, the capped hash-keyed pair join,
+  // pair-keyed windows — no all-pairs term anywhere.
+  def m09TemporalAlign(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = base
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(col("text"), col("text")).as("text")))
+      .select(col("doc_id"), col("text"),
+        lit("video").as("kind"), lit("video/fake").as("mime"))
+    val media = MediaPipeline.fromBinary(
+      docs.withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "kind", "mime")
+    val frames = MediaPipeline.sampleFrames(media, n = 4)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"),
+        expr("CAST(conv(substr(md5(frame), 1, 8), 16, 10) AS BIGINT)").as("h"))
+    val fam = frames.groupBy("h")
+      .agg(countDistinct(col("media_id")).as("nm"))
+      .filter(col("nm").between(2, 32)).select("h")
+    val ff = frames.join(fam, Seq("h"), "left_semi")
+    val mt = ff.select(col("media_id").as("ma"), col("frame_idx").as("ia"),
+        col("h"))
+      .join(ff.select(col("media_id").as("mb"), col("frame_idx").as("ib"),
+        col("h")), Seq("h"))
+      .filter(col("ma") < col("mb"))
+    val w = Window.partitionBy(col("ma"), col("mb"), col("ia") - col("ib"))
+      .orderBy("ia")
+    val runs = mt.withColumn("grp", col("ia") - row_number().over(w))
+      .groupBy(col("ma"), col("mb"), (col("ia") - col("ib")).as("diag"),
+        col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy("ma", "mb").agg(max(col("run_len")).as("run_len"))
+      .groupBy("run_len")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ma") + col("mb")).as("pair_id_sum"))
+      .orderBy("run_len")
+  }
+
+  val m09Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, text || text FROM documents
+      |  WHERE doc_id % 5 = 0
+      |), f AS (
+      |  SELECT media_id, i AS frame_idx,
+      |    CAST(('0x' || substr(md5(
+      |      substr(text, ((i*strlen(text))//4 % strlen(text)) + 1,
+      |             LEAST(16, strlen(text) - ((i*strlen(text))//4 % strlen(text))))
+      |    ), 1, 8)) AS BIGINT) AS h
+      |  FROM m, generate_series(0, 3) t(i)
+      |), fam AS (
+      |  SELECT h FROM f GROUP BY h
+      |  HAVING COUNT(DISTINCT media_id) BETWEEN 2 AND 32
+      |), ff AS (
+      |  SELECT * FROM f WHERE h IN (SELECT h FROM fam)
+      |), mt AS (
+      |  SELECT a.media_id AS ma, b.media_id AS mb,
+      |    a.frame_idx AS ia, b.frame_idx AS ib
+      |  FROM ff a JOIN ff b ON a.h = b.h AND a.media_id < b.media_id
+      |), runs AS (
+      |  SELECT ma, mb, COUNT(*) AS run_len FROM (
+      |    SELECT ma, mb, ia - ib AS diag,
+      |      ia - row_number() OVER (PARTITION BY ma, mb, ia - ib
+      |                              ORDER BY ia) AS grp
+      |    FROM mt)
+      |  GROUP BY ma, mb, diag, grp
+      |), longest AS (
+      |  SELECT ma, mb, MAX(run_len) AS run_len FROM runs GROUP BY ma, mb
+      |)
+      |SELECT run_len, COUNT(*) AS n_pairs,
+      |  CAST(SUM(ma + mb) AS BIGINT) AS pair_id_sum
+      |FROM longest GROUP BY run_len ORDER BY run_len""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_temporal_align" -> (m09TemporalAlign _),
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_samples" -> (m02FrameSamples _),
     "m03_resize" -> (m03Resize _),
@@ -406,6 +501,7 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m09_temporal_align" -> m09Oracle,
     "m01_media_features" -> m01Oracle,
     "m02_frame_samples" -> m02Oracle,
     "m03_resize" -> m03Oracle,
