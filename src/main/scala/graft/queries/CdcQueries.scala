@@ -2608,8 +2608,10 @@ object CdcQueries {
     val sink = new java.io.File(root, "sink").getPath
     val ckpt = new java.io.File(root, "ckpt").getPath
     val feed = cdc17Feed(spark, dir).select("user_id", "src_ms", "ct", "pos")
+    // coalesce: an empty feed has NULL min/max and the cut is unused
     val cut = feed
-      .agg(expr("min(src_ms) + (max(src_ms) - min(src_ms)) div 2").as("c"))
+      .agg(expr("coalesce(min(src_ms) + (max(src_ms) - min(src_ms)) div 2," +
+        " 0L)").as("c"))
       .head.getLong(0)
     def pinMtimes(ms: Long, seen: Set[String]): Set[String] = {
       val fs = Option(feedDir.listFiles()).getOrElse(Array.empty)

@@ -788,7 +788,87 @@ object GraphQueries {
        |    // ex.exact_sum AS BIGINT) AS err_ppm
        |FROM es JOIN ex USING (t) ORDER BY es.t""".stripMargin
 
+  // g11 — WEIGHTED MULTI-SOURCE SHORTEST PATHS (Bellman-Ford / min-plus,
+  // 3 bounded rounds): g06 gives hop distance; real recommendation /
+  // routing graphs are WEIGHTED, and the distributed answer is the
+  // min-plus relaxation — dist'(v) = min(dist(v), min over in-edges
+  // (dist(u) + cost(u,v))) — which is exactly one edge join + one
+  // vertex-keyed MIN per round, the same Pregel-as-relational shape as
+  // g01 with (min, +) replacing (sum, ×). Edge cost = max(1, 10 − w)
+  // (stronger co-purchase ⇒ cheaper hop; integer, so every distance is
+  // exact and the gate needs no float discipline). Seeds: every 100th
+  // part id at distance 0, the multi-source form a "distance from the
+  // catalog heads" feature actually ships with. Rounds materialize via
+  // localCheckpoint (flat lineage); vertices unreached in 3 relaxations
+  // are absent by construction (the bounded-frontier contract, like
+  // g06). Output: the exact distance histogram with a vertex-id
+  // checksum pinning WHICH vertices sit at each distance.
+  def g11WeightedPaths(spark: SparkSession, dir: String): DataFrame = {
+    // edges() drops the weight after thresholding; rebuild the weighted
+    // pair table here (same co-purchase definition, w kept for the cost)
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val weighted = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val cost = weighted
+      .select(col("pa").as("src"), col("pb").as("dst"),
+        greatest(lit(1L), lit(10L) - col("w")).as("c"))
+      .unionByName(weighted.select(col("pb").as("src"), col("pa").as("dst"),
+        greatest(lit(1L), lit(10L) - col("w")).as("c")))
+      .localCheckpoint()
+    var dist = cost.select(col("src").as("v")).distinct()
+      .filter(col("v") % 100 === 0)
+      .select(col("v"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val relaxed = dist.join(cost, dist("v") === cost("src"))
+        .select(cost("dst").as("v"), (dist("d") + cost("c")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("v").agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    dist.groupBy("d")
+      .agg(count(lit(1)).as("n_vertices"), sum(col("v")).as("v_sum"))
+      .orderBy("d")
+  }
+
+  val g11Oracle: String =
+    s"""WITH $duckEdgesCte,
+       |cost AS (
+       |  SELECT pa AS src, pb AS dst, greatest(1, 10 - w) AS c FROM pairs
+       |  UNION ALL
+       |  SELECT pb, pa, greatest(1, 10 - w) FROM pairs
+       |), d0 AS (
+       |  SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS d FROM cost
+       |  WHERE src % 100 = 0
+       |), d1 AS (
+       |  SELECT v, MIN(d) AS d FROM (
+       |    SELECT v, d FROM d0
+       |    UNION ALL
+       |    SELECT c.dst AS v, d0.d + c.c AS d FROM d0 JOIN cost c ON d0.v = c.src
+       |  ) GROUP BY v
+       |), d2 AS (
+       |  SELECT v, MIN(d) AS d FROM (
+       |    SELECT v, d FROM d1
+       |    UNION ALL
+       |    SELECT c.dst AS v, d1.d + c.c AS d FROM d1 JOIN cost c ON d1.v = c.src
+       |  ) GROUP BY v
+       |), d3 AS (
+       |  SELECT v, MIN(d) AS d FROM (
+       |    SELECT v, d FROM d2
+       |    UNION ALL
+       |    SELECT c.dst AS v, d2.d + c.c AS d FROM d2 JOIN cost c ON d2.v = c.src
+       |  ) GROUP BY v
+       |)
+       |SELECT d, COUNT(*) AS n_vertices, CAST(SUM(v) AS BIGINT) AS v_sum
+       |FROM d3 GROUP BY d ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g11_weighted_paths" -> (g11WeightedPaths _),
     "g10_hyperball" -> (g10Hyperball _),
     "g09_hits" -> (g09Hits _),
     "g08_cc_star" -> (g08CcStar _),
@@ -802,6 +882,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g11_weighted_paths" -> g11Oracle,
     "g10_hyperball" -> g10Oracle,
     "g09_hits" -> g09Oracle,
     "g08_cc_star" -> g08Oracle,
