@@ -43,11 +43,16 @@ object Sessions {
     withAsof.filter(isTarget)
   }
 
-  /** Cross-table backward as-of join (inclusive): for each left row, the
-    * value columns of the right row with the greatest `tsCol` ≤ the left
-    * row's `tsCol` within the same `keyCol` (DuckDB `ASOF LEFT JOIN …
-    * ON l.key = r.key AND l.ts >= r.ts` semantics — the rate-lookup /
-    * point-in-time-dimension join).
+  /** Cross-table as-of join (inclusive): for each left row, the value
+    * columns of the matching right row within the same `keyCol` —
+    * backward (default): the right row with the greatest `tsCol` ≤ the
+    * left row's (DuckDB `ASOF LEFT JOIN … ON l.key = r.key AND
+    * l.ts >= r.ts`, the rate-lookup / point-in-time-dimension join);
+    * `forward = true`: the right row with the SMALLEST `tsCol` ≥ the
+    * left's (`l.ts <= r.ts` — the next-scheduled-event / next-quote
+    * lookup). Forward is the same tagged-union single-window plan with
+    * the sort reversed — right rows still order before left at ts ties,
+    * so equal timestamps match in both directions (inclusive).
     *
     * Plan shape: the tagged-union single-window formulation — union both
     * sides on (key, ts), sort right rows before left rows at ts ties,
@@ -62,7 +67,8 @@ object Sessions {
     * an ascending window sort would put them FIRST and carry their value
     * into every pre-first-match left row. */
   def asOfJoin(left: DataFrame, right0: DataFrame, keyCol: String,
-      tsCol: String, rightCols: Seq[String]): DataFrame = {
+      tsCol: String, rightCols: Seq[String],
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
     require(!leftCols.contains("_side") && !rightCols.contains("_side"),
       "asOfJoin: '_side' is reserved")
@@ -82,7 +88,11 @@ object Sessions {
       Seq(col(keyCol), col(tsCol), lit(0).as("_side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCols.map(col): _*)
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"))
+    // null-ts LEFT rows must see no carry in either direction (ASOF's
+    // inequality never matches NULL): asc puts them first already;
+    // desc needs nulls_first explicitly
+    val tsOrder = if (forward) col(tsCol).desc_nulls_first else col(tsCol).asc
+    val w = Window.partitionBy(keyCol).orderBy(tsOrder, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (acc, c) =>
       acc.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))

@@ -1452,7 +1452,42 @@ object AnalyticQueries {
       |LEFT JOIN ex e ON e.grp_a = p.grp_a AND e.grp_b = p.grp_b
       |ORDER BY p.grp_a, p.grp_b""".stripMargin
 
+  // q63 — FORWARD AS-OF JOIN: q55 looks backward (last purchase at or
+  // before each click — the point-in-time dimension lookup); q63 is the
+  // other direction every attribution pipeline also needs — the NEXT
+  // purchase at or after each click (did this click convert, and to
+  // what?). Same single-window tagged-union plan with the sort reversed
+  // (ops/Sessions.asOfJoin forward=true): ONE key shuffle, no range
+  // expansion, right-before-left at ties so equal timestamps match
+  // inclusively in both directions. Gated against DuckDB's native
+  // `ASOF LEFT JOIN … ON l.ts <= r.ts`.
+  def q63AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("t", tsUs)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "t").agg(max(col("value")).as("pval"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "t", "event_id")
+    graft.ops.Sessions.asOfJoin(clicks, purchases, "user_id", "t",
+        Seq("pval"), forward = true)
+      .select(col("user_id"), col("event_id"),
+        col("asof_pval").as("next_purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q63Oracle: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS t, MAX(value) AS pval
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), c AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT c.user_id, c.event_id, p.pval AS next_purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t <= p.t
+      |ORDER BY c.user_id, c.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_asof_forward" -> (q63AsofForward _),
     "q62_theta_intersect" -> (q62ThetaIntersect _),
     "q61_hll_sketch" -> (q61HllSketch _),
     "q11_dedup_lastwins" -> (q11DedupLastWins _),
@@ -1491,6 +1526,7 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q63_asof_forward" -> q63Oracle,
     "q62_theta_intersect" -> q62Oracle,
     "q61_hll_sketch" -> q61Oracle,
     "q57_kmv_distinct" -> q57Oracle,

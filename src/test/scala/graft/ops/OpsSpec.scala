@@ -61,6 +61,28 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       ("u1", 35L, "c", 300L), ("u2", 50L, "d", -1L)))
   }
 
+  test("Sessions.asOfJoin forward: inclusive ties, next-match carry, null-ts left unmatched") {
+    import spark.implicits._
+    val left = Seq(
+      ("u1", 10L, "a"),             // next right at 20 -> 200
+      ("u1", 20L, "b"),             // exact tie -> inclusive match 200
+      ("u1", 35L, "c"),             // after last right -> null
+      ("u2", 50L, "d")              // key with no right rows -> null
+    ).toDF("k", "t", "tag")
+      .unionByName(Seq(("u1", Option.empty[Long], "e")).toDF("k", "t", "tag"))
+    val right = Seq(("u1", 20L, 200L), ("u1", 30L, 300L))
+      .toDF("k", "t", "rv")
+    val got = Sessions.asOfJoin(left, right, "k", "t", Seq("rv"),
+        forward = true)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -99L else r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
+    assert(got == Seq(
+      ("u1", -99L, "e", -1L), // null-ts left must see no carry
+      ("u1", 10L, "a", 200L), ("u1", 20L, "b", 200L),
+      ("u1", 35L, "c", -1L), ("u2", 50L, "d", -1L)))
+  }
+
   test("Sessions.asOfJoin: null-ts right rows never match; name collisions rejected") {
     import spark.implicits._
     val left = Seq(("u1", 50L, "a")).toDF("k", "t", "tag")
