@@ -1486,7 +1486,55 @@ object AnalyticQueries {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t <= p.t
       |ORDER BY c.user_id, c.event_id""".stripMargin
 
+  // q64 — ARBITRARY GROUPING SETS: the grouping surface ROLLUP (q13) and
+  // CUBE (q14) cannot express — a hand-picked, non-hierarchical,
+  // non-exhaustive set list mixing overlapping dimensions
+  // ((flag, status), (flag, shipmode), (shipmode), ()) — exercised
+  // through the native `groupingSets` API (one Expand + one aggregate,
+  // NOT a union of four scans: the Expand multiplies each input row by
+  // the set count after partial aggregation, which is what makes a
+  // 40-set report affordable at 100 TB). grouping_id disambiguates rows
+  // where a NULL dimension value could collide with the "grouped out"
+  // marker. Gated against DuckDB's GROUP BY GROUPING SETS.
+  def q64GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("ship_month", month(col("l_shipdate")).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag"), col("ship_month")),
+          Seq(col("ship_month")),
+          Seq.empty),
+        col("l_returnflag"), col("l_linestatus"), col("ship_month"))
+      .agg(grouping_id().as("gid"),
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first,
+        col("ship_month").asc_nulls_first)
+
+  val q64Oracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+      |    l_quantity, l_extendedprice
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag, l_linestatus, ship_month,
+      |  CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2 +
+      |       GROUPING(ship_month) AS BIGINT) AS gid,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  COUNT(*) AS n_rows
+      |FROM li
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag, ship_month), (ship_month), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+      |  l_linestatus ASC NULLS FIRST, ship_month ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_grouping_sets" -> (q64GroupingSets _),
     "q63_asof_forward" -> (q63AsofForward _),
     "q62_theta_intersect" -> (q62ThetaIntersect _),
     "q61_hll_sketch" -> (q61HllSketch _),
@@ -1526,6 +1574,7 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q64_grouping_sets" -> q64Oracle,
     "q63_asof_forward" -> q63Oracle,
     "q62_theta_intersect" -> q62Oracle,
     "q61_hll_sketch" -> q61Oracle,
