@@ -3725,7 +3725,88 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s47 — MATRYOSHKA TRUNCATION RECALL (Kusupati et al. 2022): MRL-style
+  // deployments serve the PREFIX of an embedding (first 16/32 of 64
+  // dims) to cut index bytes and distance FLOPs 2–4×, betting that
+  // prefix ordering approximates full ordering. s47 measures that bet
+  // the way s19/s29/s38 measure theirs — exact top-3 under each prefix
+  // length vs exact top-3 under the full vector, fleet recall in ppm —
+  // with dim = 64 riding along as the must-be-exactly-1e6 control row.
+  // The slice is `slice(embedding, 1, d)` on BOTH sides, so the kernel's
+  // ascending-index cosine fold is unchanged and every truncated cosine
+  // stays bit-identical cross-engine (the s01 float discipline survives
+  // truncation because truncation preserves fold order). Queries are a
+  // 1/200 id slice: the cost is 3 brute-force scans by design — this is
+  // the calibration table a team runs ONCE per model to pick a serving
+  // dim, not a serving path (s03/s44 are the serving paths).
+  def s47Matryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def topkAt(d: Int): DataFrame = {
+      val c = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      val q = c.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.ops.Similarity.cosineTopK(c, q, 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("dim", lit(d.toLong))
+    }
+    val truth = topkAt(64).drop("dim").localCheckpoint(true)
+    val ests = Seq(16, 32, 64).map(topkAt).reduce(_.unionByName(_))
+    val nq = emb.filter(col("vec_id") % 50 === 0)
+      .agg(count(lit(1)).as("n_queries"))
+    val hits = ests.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("dim").agg(count(lit(1)).as("n_hits"))
+    // literal dim spine: a prefix length with ZERO overlap must still
+    // report its (honest) 0-recall row
+    import spark.implicits._
+    Seq(16L, 32L, 64L).toDF("dim")
+      .join(hits, Seq("dim"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("dim"), col("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0L) * 1000000L div (3 * n_queries)")
+          .as("recall_ppm"))
+      .orderBy("dim")
+  }
+
+  val s47Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |  WHERE vec_id % 50 = 0
+      |), dims AS (SELECT unnest([16, 32, 64]) AS dim),
+      |scored AS (
+      |  SELECT d.dim, q.query_id, e.vec_id,
+      |    list_sum(list_transform(list_zip(q.qv[1:d.dim], e.embedding[1:d.dim]),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |    / sqrt(list_sum(list_transform(q.qv[1:d.dim],
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |      * list_sum(list_transform(e.embedding[1:d.dim],
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
+      |  FROM embeddings e, q, dims d WHERE e.vec_id <> q.query_id
+      |), top AS (
+      |  SELECT dim, query_id, vec_id AS neighbor_id FROM (
+      |    SELECT dim, query_id, vec_id,
+      |      row_number() OVER (PARTITION BY dim, query_id
+      |                         ORDER BY cos DESC, vec_id) AS rank
+      |    FROM scored)
+      |  WHERE rank <= 3
+      |), truth AS (
+      |  SELECT query_id, neighbor_id FROM top WHERE dim = 64
+      |), hits AS (
+      |  SELECT t.dim, COUNT(*) AS n_hits
+      |  FROM top t JOIN truth u
+      |    ON t.query_id = u.query_id AND t.neighbor_id = u.neighbor_id
+      |  GROUP BY t.dim
+      |), nq AS (SELECT COUNT(*) AS n_queries FROM q)
+      |SELECT CAST(d.dim AS BIGINT) AS dim, nq.n_queries,
+      |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(COALESCE(h.n_hits, 0) * 1000000 // (3 * nq.n_queries)
+      |    AS BIGINT) AS recall_ppm
+      |FROM dims d LEFT JOIN hits h ON h.dim = d.dim
+      |CROSS JOIN nq ORDER BY d.dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s47_matryoshka" -> (s47Matryoshka _),
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s43_stream_search" -> (s43StreamSearch _),
     "s44_batch_search" -> (s44BatchSearch _),
@@ -3779,6 +3860,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s47_matryoshka" -> s47Oracle,
     "s01_ann_bruteforce" -> s01Oracle,
     "s02_ann_lsh" -> s02Oracle,
     "s03_ann_ivf" -> s03Oracle,
