@@ -28,17 +28,24 @@ import graft.Tables
   */
 object GraphQueries {
 
-  /** Undirected thresholded co-purchase edges, one row per direction
-    * (src, dst): the adjacency both kernels consume. */
-  private def edges(spark: SparkSession, dir: String): DataFrame = {
+  /** Thresholded co-purchase pairs WITH their weight — the single edge
+    * definition of the family: (pa < pb, w = co-occurrence count ≥ 2).
+    * [[edges]] drops the weight; g11 keeps it for the cost term. */
+  private def weightedPairs(spark: SparkSession, dir: String): DataFrame = {
     val op = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    op.select(col("l_orderkey"), col("l_partkey").as("pa"))
       .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
         Seq("l_orderkey"))
       .filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
+  }
+
+  /** Undirected thresholded co-purchase edges, one row per direction
+    * (src, dst): the adjacency both kernels consume. */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = weightedPairs(spark, dir)
     pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
   }
@@ -804,16 +811,7 @@ object GraphQueries {
   // g06). Output: the exact distance histogram with a vertex-id
   // checksum pinning WHICH vertices sit at each distance.
   def g11WeightedPaths(spark: SparkSession, dir: String): DataFrame = {
-    // edges() drops the weight after thresholding; rebuild the weighted
-    // pair table here (same co-purchase definition, w kept for the cost)
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val weighted = op.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(op.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .filter(col("pa") < col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val weighted = weightedPairs(spark, dir)
     val cost = weighted
       .select(col("pa").as("src"), col("pb").as("dst"),
         greatest(lit(1L), lit(10L) - col("w")).as("c"))

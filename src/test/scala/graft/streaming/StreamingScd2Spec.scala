@@ -54,7 +54,8 @@ class StreamingScd2Spec extends AnyFunSuite with SparkTestSession {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000),
+      "drain did not finish within 60s — assertions below would see a partial table")
 
     val raw = spark.table("sscd2").as[Version].collect().toSeq
     // raw emissions: provisional opens + closes (a superseded version
