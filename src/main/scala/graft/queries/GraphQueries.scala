@@ -336,8 +336,10 @@ object GraphQueries {
   // (min_by on (−cnt, label) — an aggregate, not a sort); labels
   // materialize between rounds (the g01 discipline). Output pins the
   // full community census: per final label, size + member checksum.
-  def g05LabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).localCheckpoint()
+  /** Two synchronous label-propagation rounds over a (src, dst) edge
+    * table (majority label, ties by smallest label): the community
+    * assignment g05 reports and g12 scores. */
+  private def propLabels(e: DataFrame): DataFrame = {
     val verts = e.select(col("src").as("v")).distinct()
     var labels = verts.select(col("v"), col("v").as("lbl")).localCheckpoint()
     for (_ <- 1 to 2) {
@@ -353,12 +355,18 @@ object GraphQueries {
         .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
     }
-    labels.groupBy(col("lbl").as("community"))
+    labels
+  }
+
+  def g05LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint()
+    propLabels(e).groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), sum(col("v")).as("member_sum"))
       .orderBy("community")
   }
 
-  val g05Oracle: String = {
+  /** The label-propagation CTE chain (l0 → l2), shared by g05 and g12. */
+  private val duckLabelCtes: String = {
     def round(k: Int): String =
       s"""nbr$k AS MATERIALIZED (
         |  SELECT e.src AS v, l.lbl, COUNT(*) AS cnt
@@ -374,13 +382,16 @@ object GraphQueries {
         |  SELECT p.v, COALESCE(a.new_lbl, p.lbl) AS lbl
         |  FROM l${k - 1} p LEFT JOIN ad$k a ON a.v = p.v
         |)""".stripMargin
-    s"""WITH $duckEdgesCte, l0 AS MATERIALIZED (
+    s"""l0 AS MATERIALIZED (
       |  SELECT DISTINCT src AS v, src AS lbl FROM e
-      |), ${round(1)}, ${round(2)}
+      |), ${round(1)}, ${round(2)}""".stripMargin
+  }
+
+  val g05Oracle: String =
+    s"""WITH $duckEdgesCte, $duckLabelCtes
       |SELECT lbl AS community, COUNT(*) AS n_members,
       |  CAST(SUM(v) AS BIGINT) AS member_sum
       |FROM l2 GROUP BY lbl ORDER BY community""".stripMargin
-  }
 
   // g06 — BOUNDED MULTI-ROUND BFS from a deterministic seed (the
   // highest-degree vertex, ties by smallest id — the "hub" a reachability
@@ -865,7 +876,71 @@ object GraphQueries {
        |SELECT d, COUNT(*) AS n_vertices, CAST(SUM(v) AS BIGINT) AS v_sum
        |FROM d3 GROUP BY d ORDER BY d""".stripMargin
 
+  // g12 — MODULARITY of the g05 communities (Newman & Girvan 2004): the
+  // number that says whether a community assignment MEANS anything —
+  // Q = Σ_c [in_c/E − (d_c/E)²] over the directed edge table (E = 2m).
+  // Kept EXACT: multiply through by E² and the per-community
+  // contribution is the integer in_c·E − d_c², summed as a BIGINT and
+  // reported with the fixed-point quotient q_e6 = num·10⁶ div E² — no
+  // float ever forms, so the gate pins the label rounds AND the score
+  // arithmetic (overflow bound: |q_num| ≤ E², safe to ~3·10⁹ directed
+  // edges — past that, carry the per-community terms at e3 scale).
+  // Plan shape: the label table joins the edge list twice (src, dst) —
+  // both vertex-keyed shuffles — then everything folds to ≤ |communities|
+  // rows; one broadcast 1-row E. This is the evaluation step a
+  // community-detection pipeline runs after every g05-style pass, the
+  // same calibrate-what-you-ship stance as s19/s38/s47.
+  def g12Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint()
+    val labels = propLabels(e).localCheckpoint()
+    val eTot = e.agg(count(lit(1)).as("e_directed"))
+    val inC = e
+      .join(labels.select(col("v").as("src"), col("lbl").as("ls")), "src")
+      .join(labels.select(col("v").as("dst"), col("lbl").as("ld")), "dst")
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("lbl")).agg(count(lit(1)).as("in_c"))
+    val dC = e.groupBy("src").agg(count(lit(1)).as("dv"))
+      .join(labels.select(col("v").as("src"), col("lbl")), "src")
+      .groupBy("lbl").agg(sum(col("dv")).as("d_c"))
+    dC.join(inC, Seq("lbl"), "left")
+      .select(col("lbl"), coalesce(col("in_c"), lit(0L)).as("in_c"),
+        col("d_c"))
+      .crossJoin(broadcast(eTot))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("e_directed")).as("e_directed"),
+        sum(col("in_c") * col("e_directed") - col("d_c") * col("d_c"))
+          .as("q_num"))
+      .select(col("n_communities"), col("e_directed"), col("q_num"),
+        expr("q_num * 1000000L div (e_directed * e_directed)").as("q_e6"))
+  }
+
+  val g12Oracle: String =
+    s"""WITH $duckEdgesCte, $duckLabelCtes,
+      |etot AS (SELECT COUNT(*) AS e_directed FROM e),
+      |inc AS (
+      |  SELECT a.lbl, COUNT(*) AS in_c
+      |  FROM e JOIN l2 a ON e.src = a.v JOIN l2 b ON e.dst = b.v
+      |  WHERE a.lbl = b.lbl GROUP BY a.lbl
+      |), deg AS (
+      |  SELECT src AS v, COUNT(*) AS dv FROM e GROUP BY src
+      |), dc AS (
+      |  SELECT a.lbl, CAST(SUM(d.dv) AS BIGINT) AS d_c
+      |  FROM deg d JOIN l2 a ON d.v = a.v GROUP BY a.lbl
+      |), per AS (
+      |  SELECT dc.lbl, CAST(COALESCE(inc.in_c, 0) AS BIGINT) AS in_c,
+      |    dc.d_c
+      |  FROM dc LEFT JOIN inc USING (lbl)
+      |)
+      |SELECT COUNT(*) AS n_communities,
+      |  CAST(MAX(etot.e_directed) AS BIGINT) AS e_directed,
+      |  CAST(SUM(in_c * etot.e_directed - d_c * d_c) AS BIGINT) AS q_num,
+      |  CAST(SUM(in_c * etot.e_directed - d_c * d_c) * 1000000
+      |    // (MAX(etot.e_directed) * MAX(etot.e_directed)) AS BIGINT)
+      |    AS q_e6
+      |FROM per CROSS JOIN etot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g12_modularity" -> (g12Modularity _),
     "g11_weighted_paths" -> (g11WeightedPaths _),
     "g10_hyperball" -> (g10Hyperball _),
     "g09_hits" -> (g09Hits _),
@@ -880,6 +955,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g12_modularity" -> g12Oracle,
     "g11_weighted_paths" -> g11Oracle,
     "g10_hyperball" -> g10Oracle,
     "g09_hits" -> g09Oracle,
