@@ -1001,7 +1001,113 @@ object PipelineQueries {
       |FROM w JOIN tot t USING (alpha_e2)
       |ORDER BY alpha_e2, w.lang""".stripMargin
 
+  // p13 — CONSISTENT-HASH RING vs NAIVE MOD under a shard-count change
+  // (Karger et al. 1997; the partition-stability question every storage
+  // resize asks): when 8 shards become 9, `id mod n` reassigns ~8/9 of
+  // all objects (every data movement system's nightmare) while a hash
+  // ring with virtual nodes moves ~1/9 — p13 computes BOTH assignments
+  // at n = 8 and n = 9 and reports the moved fraction and the 9-shard
+  // load peak per scheme, in exact ppm. The ring is RELATIONAL but
+  // broadcast-shaped: 8 vnodes/shard hash to 60-bit positions, the
+  // ≤ 72-row (pos, shard) table folds into ONE sorted array literal
+  // that broadcasts to the corpus scan, and each object's successor
+  // lookup is a per-row array scan (`filter(ring, x.pos >= h)[0]` with
+  // wraparound to ring[0]) — no join, no shuffle, no per-object ring
+  // walk; the corpus is touched exactly once. The md5 ring positions
+  // and object hashes are the engines' shared 60-bit discipline, so
+  // every assignment — and therefore every moved/stayed verdict — is
+  // exactly replicated in the oracle.
+  def p13ConsistentHash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      conv(substring(md5(concat(lit("obj:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"))
+    def ringArr(n: Int): DataFrame =
+      spark.range(n).select(col("id").as("shard"))
+        .crossJoin(spark.range(8).select(col("id").as("r")))
+        .select(col("shard"),
+          conv(substring(md5(concat(lit("vn:"), col("shard").cast("string"),
+            lit(":"), col("r").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("pos"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("shard"))))
+          .as(s"ring$n"))
+    val assigned = docs
+      .crossJoin(broadcast(ringArr(8)))
+      .crossJoin(broadcast(ringArr(9)))
+      .select(col("doc_id"),
+        expr("coalesce(get(filter(ring8, x -> x.pos >= h), 0).shard," +
+          " ring8[0].shard)").as("rs8"),
+        expr("coalesce(get(filter(ring9, x -> x.pos >= h), 0).shard," +
+          " ring9[0].shard)").as("rs9"),
+        pmod(col("doc_id"), lit(8)).as("ms8"),
+        pmod(col("doc_id"), lit(9)).as("ms9"))
+    val byScheme = assigned
+      .select(col("doc_id"), lit("mod").as("scheme"),
+        col("ms8").as("s8"), col("ms9").as("s9"))
+      .unionByName(assigned.select(col("doc_id"), lit("ring").as("scheme"),
+        col("rs8").as("s8"), col("rs9").as("s9")))
+    val stats = byScheme.groupBy("scheme")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_moved"))
+    val load9 = byScheme.groupBy("scheme", "s9")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("scheme").agg(max(col("c")).as("max_load9"))
+    stats.join(load9, "scheme")
+      .select(col("scheme"), col("n_docs"), col("n_moved"),
+        expr("n_moved * 1000000L div n_docs").as("moved_ppm"),
+        expr("max_load9 * 1000000L div n_docs").as("max_load9_ppm"))
+      .orderBy("scheme")
+  }
+
+  val p13Oracle: String = {
+    def vn(n: Int): String =
+      s"""vn$n AS (
+         |  SELECT s.s AS shard,
+         |    CAST(('0x' || substr(md5(concat('vn:', CAST(s.s AS VARCHAR),
+         |      ':', CAST(r.r AS VARCHAR))), 1, 15)) AS BIGINT) AS pos
+         |  FROM (SELECT unnest(range(0, $n)) AS s) s,
+         |       (SELECT unnest(range(0, 8)) AS r) r
+         |), ring$n AS (
+         |  SELECT list(struct_pack(pos := pos, shard := shard)
+         |              ORDER BY pos) AS ring
+         |  FROM vn$n
+         |)""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5('obj:' || CAST(doc_id AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM documents
+       |), ${vn(8)}, ${vn(9)},
+       |a AS (
+       |  SELECT doc_id,
+       |    COALESCE(list_filter(r8.ring, x -> x.pos >= h)[1].shard,
+       |      r8.ring[1].shard) AS rs8,
+       |    COALESCE(list_filter(r9.ring, x -> x.pos >= h)[1].shard,
+       |      r9.ring[1].shard) AS rs9,
+       |    doc_id % 8 AS ms8, doc_id % 9 AS ms9
+       |  FROM docs CROSS JOIN ring8 r8 CROSS JOIN ring9 r9
+       |), b AS (
+       |  SELECT doc_id, 'mod' AS scheme, ms8 AS s8, ms9 AS s9 FROM a
+       |  UNION ALL
+       |  SELECT doc_id, 'ring', rs8, rs9 FROM a
+       |), st AS (
+       |  SELECT scheme, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_moved
+       |  FROM b GROUP BY scheme
+       |), ld AS (
+       |  SELECT scheme, MAX(c) AS max_load9 FROM (
+       |    SELECT scheme, s9, COUNT(*) AS c FROM b GROUP BY scheme, s9)
+       |  GROUP BY scheme
+       |)
+       |SELECT st.scheme, st.n_docs, st.n_moved,
+       |  CAST(st.n_moved * 1000000 // st.n_docs AS BIGINT) AS moved_ppm,
+       |  CAST(ld.max_load9 * 1000000 // st.n_docs AS BIGINT)
+       |    AS max_load9_ppm
+       |FROM st JOIN ld USING (scheme) ORDER BY st.scheme""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_consistent_hash" -> (p13ConsistentHash _),
     "p12_temperature_mix" -> (p12TemperatureMix _),
     "p01_training_mix" -> (p01TrainingMix _),
     "p11_clipped_release" -> (p11ClippedRelease _),
@@ -1017,6 +1123,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p13_consistent_hash" -> p13Oracle,
     "p12_temperature_mix" -> p12Oracle,
     "p01_training_mix" -> p01Oracle,
     "p11_clipped_release" -> p11Oracle,
