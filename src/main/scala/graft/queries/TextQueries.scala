@@ -1258,24 +1258,33 @@ object TextQueries {
   // and the SQL oracle can replicate it with a pure per-position filter +
   // transform. Counts are freq-weighted BIGINTs; symbols are ASCII — every
   // compared value is exact in both engines.
-  def t29BpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+  /** Freq-weighted adjacent-symbol pair counts over a (freq, syms) word
+    * table — the BPE learning statistic (t29 trains on it; t33 re-derives
+    * the same merges before applying them per language). */
+  private def bpePairCounts(df: DataFrame): DataFrame =
+    df.select(col("freq"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum(col("freq")).as("pair_count"))
+
+  /** The global lowercase-alpha word-frequency table with its symbol
+    * decomposition — BPE's training corpus view (t29/t33). */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", regexp_extract_all(col("word"), lit("[a-z]"), lit(0)))
       .select("freq", "syms")
-      .localCheckpoint()
 
-    def pairCounts(df: DataFrame): DataFrame =
-      df.select(col("freq"),
-          explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
-        .filter(col("a") =!= col("b"))
-        .groupBy("a", "b").agg(sum(col("freq")).as("pair_count"))
+  def t29BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = bpeWords(spark, dir).localCheckpoint()
+
+    def pairCounts(df: DataFrame): DataFrame = bpePairCounts(df)
 
     var cur = words
     var out: Option[DataFrame] = None
@@ -1579,7 +1588,102 @@ object TextQueries {
       |CROSS JOIN tot t
       |ORDER BY c.c_cont DESC, r.term LIMIT 15""".stripMargin
 
+  // t33 — BPE ENCODE, per language (t29's consumer): train the 3 merges
+  // GLOBALLY on the corpus word table (t29's exact loop — same pair
+  // statistic, same (count desc, a, b) tiebreak, so the learned merges
+  // are identical), then APPLY them to every language's word table and
+  // report the tokenizer-fairness metric multilingual work quotes: which
+  // languages actually get the compression. chars_total is the symbol
+  // count before any merge, syms_total after all three, saved_ppm their
+  // exact ratio — a language whose character bigrams never won a merge
+  // shows saved_ppm 0 (train-set skew made visible, the t15/p12 concern
+  // at the tokenizer layer). Scale shape: the learn phase is t29's (3
+  // bounded 1-row collects over a pair-count shuffle); the apply phase
+  // is 3 narrow per-row kernel maps (bpeMergePair) over the (lang, word)
+  // table and one lang-keyed aggregate — nothing new shuffles.
+  def t33BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    var cur = bpeWords(spark, dir).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (round <- 1 to 3) {
+      val rows = bpePairCounts(cur)
+        .orderBy(col("pair_count").desc, col("a"), col("b")).limit(1)
+        .collect() // 1 row by construction (bounded collect, t29's shape)
+      require(rows.nonEmpty,
+        s"t33: no mergeable symbol pair at round $round")
+      val (a, b) = (rows(0).getString(0), rows(0).getString(1))
+      merges += ((a, b))
+      cur = cur.withColumn("syms",
+        graft.ops.TextOps.bpeMergePair(col("syms"), a, b)).localCheckpoint()
+    }
+    val lw = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        regexp_extract_all(col("word"), lit("[a-z]"), lit(0)))
+    val applied = merges.foldLeft(lw) { case (df, (a, b)) =>
+      df.withColumn("syms", graft.ops.TextOps.bpeMergePair(col("syms"), a, b))
+    }
+    applied.groupBy("lang")
+      .agg(sum(col("freq")).as("n_word_occurrences"),
+        sum(col("freq") * length(col("word"))).as("chars_total"),
+        sum(col("freq") * size(col("syms"))).as("syms_total"))
+      .select(col("lang"), col("n_word_occurrences"), col("chars_total"),
+        col("syms_total"),
+        expr("(chars_total - syms_total) * 1000000L div chars_total")
+          .as("saved_ppm"))
+      .orderBy("lang")
+  }
+
+  val t33Oracle: String = {
+    // the learn chain is t29's (global word table, 3 rounds); the apply
+    // chain runs the same per-position merge over the per-LANG table
+    def mergeExpr(t: String): String =
+      s"""list_transform(
+         |      list_filter(range(1, len(syms)+1),
+         |        i -> NOT (i > 1 AND syms[i-1] = $t.a AND syms[i] = $t.b)),
+         |      i -> CASE WHEN syms[i] = $t.a AND i < len(syms) AND syms[i+1] = $t.b
+         |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms""".stripMargin
+    def learnRound(k: Int): String =
+      s"""p$k AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM s${k - 1}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
+         |  WHERE syms[i] <> syms[i+1] GROUP BY 1, 2
+         |), t$k AS (SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1
+         |), s$k AS (
+         |  SELECT freq, ${mergeExpr(s"t$k")}
+         |  FROM s${k - 1}, t$k
+         |)""".stripMargin
+    def applyRound(k: Int): String =
+      s"""lw$k AS (
+         |  SELECT lang, word, freq, ${mergeExpr(s"t$k")}
+         |  FROM lw${k - 1}, t$k
+         |)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word
+       |), s0 AS (
+       |  SELECT freq, regexp_extract_all(word, '[a-z]') AS syms FROM w
+       |), ${learnRound(1)}, ${learnRound(2)}, ${learnRound(3)},
+       |lw0 AS (
+       |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    regexp_extract_all(word, '[a-z]') AS syms
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |        FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY lang, word
+       |), ${applyRound(1)}, ${applyRound(2)}, ${applyRound(3)}
+       |SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_word_occurrences,
+       |  CAST(SUM(freq * strlen(word)) AS BIGINT) AS chars_total,
+       |  CAST(SUM(freq * len(syms)) AS BIGINT) AS syms_total,
+       |  CAST((SUM(freq * strlen(word)) - SUM(freq * len(syms))) * 1000000
+       |    // SUM(freq * strlen(word)) AS BIGINT) AS saved_ppm
+       |FROM lw3 GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_bpe_encode" -> (t33BpeEncode _),
     "t32_kneser_ney" -> (t32KneserNey _),
     "t31_good_turing" -> (t31GoodTuring _),
     "t30_stream_quality" -> (t30StreamQuality _),
@@ -1615,6 +1719,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t33_bpe_encode" -> t33Oracle,
     "t32_kneser_ney" -> t32Oracle,
     "t01_token_stats" -> t01Oracle,
     "t02_lang_id" -> t02Oracle,
