@@ -3766,8 +3766,8 @@ object SimilarityQueries {
       .crossJoin(broadcast(nq))
       .select(col("dim"), col("n_queries"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        expr("coalesce(n_hits, 0L) * 1000000L div (3 * n_queries)")
-          .as("recall_ppm"))
+        expr("coalesce(n_hits, 0L) * 1000000L" +
+          " div greatest(3 * n_queries, 1L)").as("recall_ppm"))
       .orderBy("dim")
   }
 
@@ -3802,8 +3802,8 @@ object SimilarityQueries {
       |), nq AS (SELECT COUNT(*) AS n_queries FROM q)
       |SELECT CAST(d.dim AS BIGINT) AS dim, nq.n_queries,
       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-      |  CAST(COALESCE(h.n_hits, 0) * 1000000 // (3 * nq.n_queries)
-      |    AS BIGINT) AS recall_ppm
+      |  CAST(COALESCE(h.n_hits, 0) * 1000000
+      |    // greatest(3 * nq.n_queries, 1) AS BIGINT) AS recall_ppm
       |FROM dims d LEFT JOIN hits h ON h.dim = d.dim
       |CROSS JOIN nq ORDER BY d.dim""".stripMargin
 
