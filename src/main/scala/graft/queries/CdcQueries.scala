@@ -2654,7 +2654,35 @@ object CdcQueries {
       .orderBy("user_id", "valid_from_ms", "version_pos")
   }
 
+  // cdc43 — BINLOG → AVRO → READ-BACK roundtrip identity: the reference
+  // pipeline's two media (binlog bytes in, Avro containers out) composed
+  // as one gate — cdc05's binary decode projection is WRITTEN through
+  // the distributed AvroSink (4 containers, executor-side, the cdc07
+  // write path) and read back via the avrofile DSv2 source, and the
+  // result must BE cdc05's direct decode (shares cdc05's oracle
+  // verbatim). This pins the sink/source pair as mutual inverses over
+  // every type the projection carries (longs, nullable strings) — a
+  // serialization asymmetry anywhere (union encoding, empty-string vs
+  // null, sync-marker block splits across the 4 containers) lands as a
+  // hash mismatch. Scale shape: decode and write are both distributed
+  // (the repartition is the cdc07 4-container layout); nothing driver-
+  // side but the bounded fixture writer cdc05 already owns.
+  def cdc43AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = writeCdc05Fixture(spark, dir)
+    val decoded = cdc05Projection(
+      spark.read.format("binlog").load(fixtureDir))
+    val out = tmpFixtureDir("graft_cdc43_", dir)
+    graft.ingest.AvroSink.write(
+      decoded.repartition(4, col("o_orderkey")), out.getPath)
+    spark.read.format("avrofile").load(out.getPath)
+      .select(col("o_orderkey"), col("flags_bit"), col("status_idx"),
+        col("meta_json"), col("o_custkey"), col("total_dec"),
+        col("o_date"), col("priority"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc43_avro_roundtrip" -> (cdc43AvroRoundtrip _),
     "cdc42_stream_scd2" -> (cdc42StreamScd2 _),
     "cdc01_status_counts" -> (cdc01StatusCounts _),
     "cdc02_summary" -> (cdc02Summary _),
@@ -2742,5 +2770,6 @@ object CdcQueries {
     "cdc40_rotate_chain" -> cdc40Oracle,
     "cdc41_stream_ddl_epoch" -> cdc37Oracle, // drained state == batch window
     "cdc42_stream_scd2" -> cdc21Oracle, // reconciled drain == batch SCD2
+    "cdc43_avro_roundtrip" -> cdc05Oracle, // write∘read == identity on the decode
   )
 }
