@@ -939,7 +939,82 @@ object GraphQueries {
       |    AS q_e6
       |FROM per CROSS JOIN etot""".stripMargin
 
+  // g13 — K-TRUSS PEELING (Cohen 2008; k = 4): the EDGE-level community
+  // core g03's vertex-level k-core can't see — an edge survives only
+  // while it participates in ≥ k−2 = 2 triangles of the SURVIVING
+  // subgraph, so each round recomputes triangle support on the peeled
+  // edge set and drops the weak edges (support shrinks as neighbors
+  // vanish — the same cascade as k-core, one level down). Two bounded
+  // rounds (the g06 contract: a fixpoint truss raises `rounds`), each
+  // round = g02's oriented triangle enumeration (a<b<c, two keyed joins)
+  // with every triangle attributed to its three edges, one edge-keyed
+  // support count, one semi-join peel, materialized. Output: the edge
+  // count and an edge checksum per round — the checksum pins WHICH edges
+  // survive, not just how many. All integers.
+  def g13Ktruss(spark: SparkSession, dir: String): DataFrame = {
+    var o = edges(spark, dir).filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .localCheckpoint()
+    def roundRow(r: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(col("a") * lit(1000003L) + col("b")), lit(0L))
+          .as("edge_checksum"))
+        .select(lit(r.toLong).as("round"), col("n_edges"),
+          col("edge_checksum"))
+    val rows = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    rows += roundRow(0, o)
+    for (r <- 1 to 2) {
+      val tri = o
+        .join(o.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(o.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .select(col("a"), col("b"), col("c"))
+      val sup = tri.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(tri.select(col("b").as("x"), col("c").as("y")))
+        .unionByName(tri.select(col("a").as("x"), col("c").as("y")))
+        .groupBy("x", "y").agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+      o = o.join(sup.select(col("x").as("a"), col("y").as("b")),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+      rows += roundRow(r, o)
+    }
+    rows.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  val g13Oracle: String = {
+    def peel(k: Int): String =
+      s"""tri$k AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM o${k - 1} e1 JOIN o${k - 1} e2 ON e1.b = e2.a
+         |  JOIN o${k - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+         |), sup$k AS (
+         |  SELECT x, y, COUNT(*) AS supp FROM (
+         |    SELECT a AS x, b AS y FROM tri$k
+         |    UNION ALL SELECT b, c FROM tri$k
+         |    UNION ALL SELECT a, c FROM tri$k)
+         |  GROUP BY x, y HAVING COUNT(*) >= 2
+         |), o$k AS (
+         |  SELECT o.a, o.b FROM o${k - 1} o
+         |  WHERE EXISTS (SELECT 1 FROM sup$k s WHERE s.x = o.a AND s.y = o.b)
+         |)""".stripMargin
+    s"""WITH $duckEdgesCte, o0 AS (
+       |  SELECT src AS a, dst AS b FROM e WHERE src < dst
+       |), ${peel(1)}, ${peel(2)},
+       |r AS (
+       |  SELECT 0 AS round, COUNT(*) AS n_edges,
+       |    COALESCE(SUM(a * 1000003 + b), 0) AS edge_checksum FROM o0
+       |  UNION ALL
+       |  SELECT 1, COUNT(*), COALESCE(SUM(a * 1000003 + b), 0) FROM o1
+       |  UNION ALL
+       |  SELECT 2, COUNT(*), COALESCE(SUM(a * 1000003 + b), 0) FROM o2
+       |)
+       |SELECT CAST(round AS BIGINT) AS round, n_edges,
+       |  CAST(edge_checksum AS BIGINT) AS edge_checksum
+       |FROM r ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g13_ktruss" -> (g13Ktruss _),
     "g12_modularity" -> (g12Modularity _),
     "g11_weighted_paths" -> (g11WeightedPaths _),
     "g10_hyperball" -> (g10Hyperball _),
@@ -955,6 +1030,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g13_ktruss" -> g13Oracle,
     "g12_modularity" -> g12Oracle,
     "g11_weighted_paths" -> g11Oracle,
     "g10_hyperball" -> g10Oracle,
