@@ -1533,7 +1533,76 @@ object AnalyticQueries {
       |ORDER BY gid, l_returnflag ASC NULLS FIRST,
       |  l_linestatus ASC NULLS FIRST, ship_month ASC NULLS FIRST""".stripMargin
 
+  // q65 — AMS F₂ SKETCH (Alon, Matias & Szegedy 1996): the second
+  // frequency moment Σf² — the self-join size, the number a cost-based
+  // optimizer wants before it picks a join strategy — estimated by 8
+  // independent ±1-sign accumulators Z_j = Σ sign_j(key) over the raw
+  // rows, est = mean of Z_j². The sketch is LINEAR (Z of a union is the
+  // sum of Zs), which is the strongest merge law in the family — q65
+  // carries it as data like q61: per-shard partials summed must equal
+  // the direct accumulator on every row. Signs come from one md5 bit
+  // (the engines' shared hash), every quantity is an exact integer
+  // (|Z| ≤ rows, Z² well inside BIGINT), and the exact Σf² rides along
+  // with err_ppm. Scale shape: the 8-way explode is a narrow map;
+  // both accumulator paths partial-aggregate map-side to ≤ 8×shards
+  // rows; only the exact audit pays the key-distinct shuffle. (The
+  // 16-way explode widens the scan 16× — at 100 TB compute all 16 signs
+  // in one pass with a native multi-sign kernel instead; the sketch
+  // algebra is unchanged.)
+  def q65AmsF2(spark: SparkSession, dir: String): DataFrame = {
+    val signs = Tables.lineitem(spark, dir)
+      .select(pmod(col("l_orderkey"), lit(4)).as("shard"), col("l_partkey"))
+      .select(col("shard"), col("l_partkey"),
+        explode(array((0 until 16).map(j => lit(j)): _*)).as("j"))
+      .withColumn("sign",
+        (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("l_partkey").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2) * 2 - 1)
+    val zDirect = signs.groupBy("j").agg(sum(col("sign")).as("z"))
+    val zMerged = signs.groupBy("j", "shard").agg(sum(col("sign")).as("zp"))
+      .groupBy("j").agg(sum(col("zp")).as("z_merged"))
+    val est = zDirect.agg(expr("sum(z * z) div 16").as("f2_est"))
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("f2_exact"))
+    zDirect.join(zMerged, "j")
+      .crossJoin(broadcast(est))
+      .crossJoin(broadcast(exact))
+      .select(col("j").cast("long").as("j"), col("z"), col("z_merged"),
+        (col("z") * col("z")).as("z2"), col("f2_est"), col("f2_exact"),
+        expr("abs(f2_est - f2_exact) * 1000000L div f2_exact")
+          .as("err_ppm"))
+      .orderBy("j")
+  }
+
+  val q65Oracle: String =
+    """WITH signs AS (
+      |  SELECT l_orderkey % 4 AS shard, l_partkey, j.j,
+      |    (CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+      |      CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2) * 2 - 1
+      |      AS sign
+      |  FROM lineitem CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+      |), zd AS (
+      |  SELECT j, CAST(SUM(sign) AS BIGINT) AS z FROM signs GROUP BY j
+      |), zm AS (
+      |  SELECT j, CAST(SUM(zp) AS BIGINT) AS z_merged FROM (
+      |    SELECT j, shard, SUM(sign) AS zp FROM signs GROUP BY j, shard)
+      |  GROUP BY j
+      |), est AS (
+      |  SELECT CAST(SUM(z * z) // 16 AS BIGINT) AS f2_est FROM zd
+      |), ex AS (
+      |  SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact FROM (
+      |    SELECT l_partkey, COUNT(*) AS f FROM lineitem GROUP BY l_partkey)
+      |)
+      |SELECT CAST(zd.j AS BIGINT) AS j, zd.z, zm.z_merged,
+      |  CAST(zd.z * zd.z AS BIGINT) AS z2, est.f2_est, ex.f2_exact,
+      |  CAST(abs(est.f2_est - ex.f2_exact) * 1000000 // ex.f2_exact
+      |    AS BIGINT) AS err_ppm
+      |FROM zd JOIN zm USING (j) CROSS JOIN est CROSS JOIN ex
+      |ORDER BY zd.j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_ams_f2" -> (q65AmsF2 _),
     "q64_grouping_sets" -> (q64GroupingSets _),
     "q63_asof_forward" -> (q63AsofForward _),
     "q62_theta_intersect" -> (q62ThetaIntersect _),
@@ -1574,6 +1643,7 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_ams_f2" -> q65Oracle,
     "q64_grouping_sets" -> q64Oracle,
     "q63_asof_forward" -> q63Oracle,
     "q62_theta_intersect" -> q62Oracle,
