@@ -1535,9 +1535,11 @@ object AnalyticQueries {
 
   // q65 — AMS F₂ SKETCH (Alon, Matias & Szegedy 1996): the second
   // frequency moment Σf² — the self-join size, the number a cost-based
-  // optimizer wants before it picks a join strategy — estimated by 8
+  // optimizer wants before it picks a join strategy — estimated by 16
   // independent ±1-sign accumulators Z_j = Σ sign_j(key) over the raw
-  // rows, est = mean of Z_j². The sketch is LINEAR (Z of a union is the
+  // rows, est = mean of Z_j² (single-estimator σ is √2·F₂, so the
+  // 16-mean lands within ~35%; the audit column shows the real draw,
+  // and production raises k — the cost is linear). The sketch is LINEAR (Z of a union is the
   // sum of Zs), which is the strongest merge law in the family — q65
   // carries it as data like q61: per-shard partials summed must equal
   // the direct accumulator on every row. Signs come from one md5 bit
@@ -1558,7 +1560,10 @@ object AnalyticQueries {
         (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
           col("l_partkey").cast("string"))), 1, 8), 16, 10)
           .cast("long") % 2) * 2 - 1)
+      .localCheckpoint() // zDirect, zMerged and est all reuse the widest
+                         // (16×-exploded) frame — materialize it once
     val zDirect = signs.groupBy("j").agg(sum(col("sign")).as("z"))
+      .localCheckpoint(true)
     val zMerged = signs.groupBy("j", "shard").agg(sum(col("sign")).as("zp"))
       .groupBy("j").agg(sum(col("zp")).as("z_merged"))
     val est = zDirect.agg(expr("sum(z * z) div 16").as("f2_est"))

@@ -1284,12 +1284,10 @@ object TextQueries {
   def t29BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     val words = bpeWords(spark, dir).localCheckpoint()
 
-    def pairCounts(df: DataFrame): DataFrame = bpePairCounts(df)
-
     var cur = words
     var out: Option[DataFrame] = None
     for (round <- 1 to 3) {
-      val pc = pairCounts(cur)
+      val pc = bpePairCounts(cur)
       val top = pc.orderBy(col("pair_count").desc, col("a"), col("b")).limit(1)
       val rows = top.collect() // 1 row by construction (bounded collect)
       require(rows.nonEmpty,
@@ -1324,70 +1322,55 @@ object TextQueries {
     out.get.orderBy("round")
   }
 
-  val t29Oracle: String =
-    """WITH w AS (
-      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-      |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
-      |), s0 AS (
-      |  SELECT freq, regexp_extract_all(word, '[a-z]') AS syms FROM w
-      |), p1 AS (
-      |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
-      |  FROM s0, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
-      |  WHERE syms[i] <> syms[i+1] GROUP BY 1, 2
-      |), t1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1
-      |), s1 AS (
-      |  SELECT freq,
-      |    list_transform(
-      |      list_filter(range(1, len(syms)+1),
-      |        i -> NOT (i > 1 AND syms[i-1] = t1.a AND syms[i] = t1.b)),
-      |      i -> CASE WHEN syms[i] = t1.a AND i < len(syms) AND syms[i+1] = t1.b
-      |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
-      |  FROM s0, t1
-      |), v1 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v,
-      |    CAST(SUM(freq) AS BIGINT) AS sa FROM s1, unnest(s1.syms) AS u(s)
-      |), b1 AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS sb FROM s0
-      |), p2 AS (
-      |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
-      |  FROM s1, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
-      |  WHERE syms[i] <> syms[i+1] GROUP BY 1, 2
-      |), t2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1
-      |), s2 AS (
-      |  SELECT freq,
-      |    list_transform(
-      |      list_filter(range(1, len(syms)+1),
-      |        i -> NOT (i > 1 AND syms[i-1] = t2.a AND syms[i] = t2.b)),
-      |      i -> CASE WHEN syms[i] = t2.a AND i < len(syms) AND syms[i+1] = t2.b
-      |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
-      |  FROM s1, t2
-      |), v2 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v,
-      |    CAST(SUM(freq) AS BIGINT) AS sa FROM s2, unnest(s2.syms) AS u(s)
-      |), b2 AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS sb FROM s1
-      |), p3 AS (
-      |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
-      |  FROM s2, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
-      |  WHERE syms[i] <> syms[i+1] GROUP BY 1, 2
-      |), t3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1
-      |), s3 AS (
-      |  SELECT freq,
-      |    list_transform(
-      |      list_filter(range(1, len(syms)+1),
-      |        i -> NOT (i > 1 AND syms[i-1] = t3.a AND syms[i] = t3.b)),
-      |      i -> CASE WHEN syms[i] = t3.a AND i < len(syms) AND syms[i+1] = t3.b
-      |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
-      |  FROM s2, t3
-      |), v3 AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v,
-      |    CAST(SUM(freq) AS BIGINT) AS sa FROM s3, unnest(s3.syms) AS u(s)
-      |), b3 AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS sb FROM s2)
-      |SELECT 1 AS round, a AS left_sym, b AS right_sym, c AS pair_count,
-      |  (SELECT v FROM v1) AS vocab_after,
-      |  (SELECT sb FROM b1) AS syms_before,
-      |  (SELECT sa FROM v1) AS syms_after FROM t1
-      |UNION ALL
-      |SELECT 2, a, b, c, (SELECT v FROM v2), (SELECT sb FROM b2), (SELECT sa FROM v2) FROM t2
-      |UNION ALL
-      |SELECT 3, a, b, c, (SELECT v FROM v3), (SELECT sb FROM b3), (SELECT sa FROM v3) FROM t3
-      |ORDER BY round""".stripMargin
+  /** Shared DuckDB BPE SQL — the merge transform and one learn round
+    * (pK/tK/sK), composed by BOTH t29's and t33's oracles so the learned
+    * merges can never drift between the trainer and the encoder. */
+  private def duckBpeMergeExpr(t: String): String =
+    s"""list_transform(
+       |      list_filter(range(1, len(syms)+1),
+       |        i -> NOT (i > 1 AND syms[i-1] = $t.a AND syms[i] = $t.b)),
+       |      i -> CASE WHEN syms[i] = $t.a AND i < len(syms) AND syms[i+1] = $t.b
+       |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms""".stripMargin
+
+  private def duckBpeLearnRound(k: Int): String =
+    s"""p$k AS (
+       |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
+       |  FROM s${k - 1}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
+       |  WHERE syms[i] <> syms[i+1] GROUP BY 1, 2
+       |), t$k AS (SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1
+       |), s$k AS (
+       |  SELECT freq, ${duckBpeMergeExpr(s"t$k")}
+       |  FROM s${k - 1}, t$k
+       |)""".stripMargin
+
+  /** The global word table + 3 learn rounds (w, s0, p/t/s 1-3). */
+  private val duckBpeLearnChain: String =
+    s"""w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word
+       |), s0 AS (
+       |  SELECT freq, regexp_extract_all(word, '[a-z]') AS syms FROM w
+       |), ${duckBpeLearnRound(1)}, ${duckBpeLearnRound(2)}, ${duckBpeLearnRound(3)}""".stripMargin
+
+  val t29Oracle: String = {
+    def stats(k: Int): String =
+      s"""v$k AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v,
+         |    CAST(SUM(freq) AS BIGINT) AS sa FROM s$k, unnest(s$k.syms) AS u(s)
+         |), b$k AS (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS sb
+         |  FROM s${k - 1})""".stripMargin
+    s"""WITH $duckBpeLearnChain,
+       |${stats(1)}, ${stats(2)}, ${stats(3)}
+       |SELECT 1 AS round, a AS left_sym, b AS right_sym, c AS pair_count,
+       |  (SELECT v FROM v1) AS vocab_after,
+       |  (SELECT sb FROM b1) AS syms_before,
+       |  (SELECT sa FROM v1) AS syms_after FROM t1
+       |UNION ALL
+       |SELECT 2, a, b, c, (SELECT v FROM v2), (SELECT sb FROM b2), (SELECT sa FROM v2) FROM t2
+       |UNION ALL
+       |SELECT 3, a, b, c, (SELECT v FROM v3), (SELECT sb FROM b3), (SELECT sa FROM v3) FROM t3
+       |ORDER BY round""".stripMargin
+  }
 
   // t30 — STREAMING corpus ingest + quality gate: the continuous-curation
   // leg of the text family (the s42/s43 pattern applied to documents).
@@ -1636,36 +1619,14 @@ object TextQueries {
   }
 
   val t33Oracle: String = {
-    // the learn chain is t29's (global word table, 3 rounds); the apply
+    // the learn chain IS t29's (shared duckBpeLearnChain); the apply
     // chain runs the same per-position merge over the per-LANG table
-    def mergeExpr(t: String): String =
-      s"""list_transform(
-         |      list_filter(range(1, len(syms)+1),
-         |        i -> NOT (i > 1 AND syms[i-1] = $t.a AND syms[i] = $t.b)),
-         |      i -> CASE WHEN syms[i] = $t.a AND i < len(syms) AND syms[i+1] = $t.b
-         |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms""".stripMargin
-    def learnRound(k: Int): String =
-      s"""p$k AS (
-         |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS c
-         |  FROM s${k - 1}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
-         |  WHERE syms[i] <> syms[i+1] GROUP BY 1, 2
-         |), t$k AS (SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1
-         |), s$k AS (
-         |  SELECT freq, ${mergeExpr(s"t$k")}
-         |  FROM s${k - 1}, t$k
-         |)""".stripMargin
     def applyRound(k: Int): String =
       s"""lw$k AS (
-         |  SELECT lang, word, freq, ${mergeExpr(s"t$k")}
+         |  SELECT lang, word, freq, ${duckBpeMergeExpr(s"t$k")}
          |  FROM lw${k - 1}, t$k
          |)""".stripMargin
-    s"""WITH w AS (
-       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
-       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word
-       |), s0 AS (
-       |  SELECT freq, regexp_extract_all(word, '[a-z]') AS syms FROM w
-       |), ${learnRound(1)}, ${learnRound(2)}, ${learnRound(3)},
+    s"""WITH $duckBpeLearnChain,
        |lw0 AS (
        |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq,
        |    regexp_extract_all(word, '[a-z]') AS syms
