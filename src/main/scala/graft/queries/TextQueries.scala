@@ -1643,7 +1643,88 @@ object TextQueries {
        |FROM lw3 GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // t34 — POSITIONAL-INDEX PHRASE SEARCH: the serving-side primitive
+  // behind every "exact phrase" query — a positional inverted index
+  // (term → (doc, pos) postings) intersected with position offsets,
+  // NOT a document scan. The phrase under test is data-derived (the
+  // corpus's most frequent word trigram, ties by gram — so the gate
+  // stays live at every SF), its three words broadcast as a 1-row
+  // filter so only THEIR postings enter the join, and the match is the
+  // classic two-step intersection p₂.pos = p₁.pos+1 ∧ p₃.pos = p₁.pos+2
+  // keyed on doc_id. Output: the phrase, its document frequency, total
+  // occurrences, and a doc checksum pinning WHICH documents match.
+  // Scale shape: postings shuffle once on the term for the filter
+  // semi-join, once on doc_id for the intersection — the phrase-query
+  // cost is proportional to the three posting lists, never the corpus;
+  // hot stop-words as phrase terms are the documented dial (cap or
+  // bigram-index them, the d02 discipline).
+  def t34PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withTokens(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+    val grams = withTokens(spark, dir)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 2),
+        zip_with(slice(col("toks"), lit(2), size(col("toks")) - 2),
+          slice(col("toks"), lit(3), size(col("toks")) - 2),
+          (b, c) => struct(b.as("b"), c.as("c"))),
+        (a, bc) => concat(a, lit(" "), bc.getField("b"), lit(" "),
+          bc.getField("c")))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(1)
+      .select(split(col("g"), " ").as("ws"))
+      .select(element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"),
+        element_at(col("ws"), 3).as("w3"))
+    val withPhrase = toks.crossJoin(broadcast(grams))
+    val p1 = withPhrase.filter(col("w") === col("w1"))
+      .select(col("doc_id"), col("pos"), col("w1"), col("w2"), col("w3"))
+    val p2 = toks.select(col("doc_id").as("d2"), col("pos").as("pos2"),
+      col("w").as("wb"))
+    val p3 = toks.select(col("doc_id").as("d3"), col("pos").as("pos3"),
+      col("w").as("wc"))
+    val hits = p1
+      .join(p2, col("d2") === col("doc_id") &&
+        col("pos2") === col("pos") + 1 && col("wb") === col("w2"))
+      .join(p3, col("d3") === col("doc_id") &&
+        col("pos3") === col("pos") + 2 && col("wc") === col("w3"))
+    hits.groupBy("w1", "w2", "w3")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        sum(col("doc_id") * col("pos")).as("match_checksum"))
+  }
+
+  val t34Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |), grams AS (
+      |  SELECT l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) x
+      |), top1 AS (
+      |  SELECT string_split(g, ' ') AS ws FROM (
+      |    SELECT g, COUNT(*) AS c FROM grams GROUP BY g
+      |    ORDER BY c DESC, g LIMIT 1)
+      |), phrase AS (
+      |  SELECT ws[1] AS w1, ws[2] AS w2, ws[3] AS w3 FROM top1
+      |), postings AS (
+      |  SELECT doc_id, i - 1 AS pos, l[i] AS w
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) x
+      |), hits AS (
+      |  SELECT p1.doc_id, p1.pos, ph.w1, ph.w2, ph.w3
+      |  FROM postings p1
+      |  CROSS JOIN phrase ph
+      |  JOIN postings p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+      |    AND p2.w = ph.w2
+      |  JOIN postings p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+      |    AND p3.w = ph.w3
+      |  WHERE p1.w = ph.w1
+      |)
+      |SELECT w1, w2, w3, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_occurrences,
+      |  CAST(SUM(doc_id * pos) AS BIGINT) AS match_checksum
+      |FROM hits GROUP BY w1, w2, w3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t34_phrase_search" -> (t34PhraseSearch _),
     "t33_bpe_encode" -> (t33BpeEncode _),
     "t32_kneser_ney" -> (t32KneserNey _),
     "t31_good_turing" -> (t31GoodTuring _),
@@ -1680,6 +1761,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t34_phrase_search" -> t34Oracle,
     "t33_bpe_encode" -> t33Oracle,
     "t32_kneser_ney" -> t32Oracle,
     "t01_token_stats" -> t01Oracle,
