@@ -1539,41 +1539,41 @@ object AnalyticQueries {
   // independent ±1-sign accumulators Z_j = Σ sign_j(key) over the raw
   // rows, est = mean of Z_j² (single-estimator σ is √2·F₂, so the
   // 16-mean lands within ~35%; the audit column shows the real draw,
-  // and production raises k — the cost is linear). The sketch is LINEAR (Z of a union is the
-  // sum of Zs), which is the strongest merge law in the family — q65
-  // carries it as data like q61: per-shard partials summed must equal
-  // the direct accumulator on every row. Signs come from one md5 bit
-  // (the engines' shared hash), every quantity is an exact integer
-  // (|Z| ≤ rows, Z² well inside BIGINT), and the exact Σf² rides along
-  // with err_ppm. Scale shape: the 8-way explode is a narrow map;
-  // both accumulator paths partial-aggregate map-side to ≤ 8×shards
-  // rows; only the exact audit pays the key-distinct shuffle. (The
-  // 16-way explode widens the scan 16× — at 100 TB compute all 16 signs
-  // in one pass with a native multi-sign kernel instead; the sketch
-  // algebra is unchanged.)
+  // and production raises k — the cost is linear). The sketch is LINEAR
+  // (Z of a union is the sum of Zs), the strongest merge law in the
+  // family — carried as data like q61: per-shard partials summed must
+  // equal the direct accumulator on every row. The 16 signs are 16
+  // BITS of ONE md5 per row (the engines' shared 60-bit hash) pulled
+  // by shift-and-mask inside 16 aggregate columns — one hash per row,
+  // no row explosion, everything partial-aggregates map-side to
+  // ≤ shards rows of 16 counters; only the exact Σf² audit pays the
+  // key shuffle. All quantities exact integers (|Z| ≤ rows).
   def q65AmsF2(spark: SparkSession, dir: String): DataFrame = {
-    val signs = Tables.lineitem(spark, dir)
-      .select(pmod(col("l_orderkey"), lit(4)).as("shard"), col("l_partkey"))
-      .select(col("shard"), col("l_partkey"),
-        explode(array((0 until 16).map(j => lit(j)): _*)).as("j"))
-      .withColumn("sign",
-        (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
-          col("l_partkey").cast("string"))), 1, 8), 16, 10)
-          .cast("long") % 2) * 2 - 1)
-      .localCheckpoint() // zDirect, zMerged and est all reuse the widest
-                         // (16×-exploded) frame — materialize it once
-    val zDirect = signs.groupBy("j").agg(sum(col("sign")).as("z"))
-      .localCheckpoint(true)
-    val zMerged = signs.groupBy("j", "shard").agg(sum(col("sign")).as("zp"))
-      .groupBy("j").agg(sum(col("zp")).as("z_merged"))
-    val est = zDirect.agg(expr("sum(z * z) div 16").as("f2_est"))
+    val base = Tables.lineitem(spark, dir)
+      .select(pmod(col("l_orderkey"), lit(4)).as("shard"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    def zAggs(prefix: String) = (0 until 16).map(j =>
+      sum(expr(s"(shiftright(h, $j) % 2) * 2 - 1")).as(s"$prefix$j"))
+    val direct = base.agg(zAggs("z").head, zAggs("z").tail: _*)
+    val merged = base.groupBy("shard")
+      .agg(zAggs("p").head, zAggs("p").tail: _*)
+      .agg((0 until 16).map(j => sum(col(s"p$j")).as(s"m$j")).head,
+        (0 until 16).map(j => sum(col(s"p$j")).as(s"m$j")).tail: _*)
+    def unpivot(df: DataFrame, prefix: String, out: String) =
+      df.select(explode(array((0 until 16).map(j =>
+        struct(lit(j.toLong).as("j"), col(s"$prefix$j").as(out))): _*))
+        .as("s")).select(col("s.j").as("j"), col(s"s.$out").as(out))
+    val zd = unpivot(direct, "z", "z").localCheckpoint(true)
+    val zm = unpivot(merged, "m", "z_merged")
+    val est = zd.agg(expr("sum(z * z) div 16").as("f2_est"))
     val exact = Tables.lineitem(spark, dir)
       .groupBy("l_partkey").agg(count(lit(1)).as("f"))
       .agg(sum(col("f") * col("f")).as("f2_exact"))
-    zDirect.join(zMerged, "j")
+    zd.join(zm, "j")
       .crossJoin(broadcast(est))
       .crossJoin(broadcast(exact))
-      .select(col("j").cast("long").as("j"), col("z"), col("z_merged"),
+      .select(col("j"), col("z"), col("z_merged"),
         (col("z") * col("z")).as("z2"), col("f2_est"), col("f2_exact"),
         expr("abs(f2_est - f2_exact) * 1000000L div f2_exact")
           .as("err_ppm"))
@@ -1581,12 +1581,15 @@ object AnalyticQueries {
   }
 
   val q65Oracle: String =
-    """WITH signs AS (
-      |  SELECT l_orderkey % 4 AS shard, l_partkey, j.j,
-      |    (CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
-      |      CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2) * 2 - 1
-      |      AS sign
-      |  FROM lineitem CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+    """WITH base AS (
+      |  SELECT l_orderkey % 4 AS shard,
+      |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM lineitem
+      |), signs AS (
+      |  SELECT shard, j.j,
+      |    ((h >> CAST(j.j AS INT)) & 1) * 2 - 1 AS sign
+      |  FROM base CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
       |), zd AS (
       |  SELECT j, CAST(SUM(sign) AS BIGINT) AS z FROM signs GROUP BY j
       |), zm AS (
