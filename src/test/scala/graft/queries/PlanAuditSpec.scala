@@ -531,4 +531,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(kn.contains("TakeOrderedAndProject"),
       s"t32 top-k must be TakeOrdered:\n$kn")
   }
+
+  test("q65/g13/t34/p13: closing additions keep their scale shapes") {
+    // q65: the sign accumulators partial-aggregate map-side, and the
+    // only Generates are the two 1-row unpivots ABOVE the aggregates —
+    // the lineitem scan itself is never row-exploded
+    val ams = plan(AnalyticQueries.q65AmsF2(spark, dir))
+    assert(ams.contains("partial_sum"), s"q65 lost map-side partials:\n$ams")
+    assert("Generate".r.findAllIn(ams).size <= 2,
+      s"q65 grew a data-sized explode:\n$ams")
+    // g13: the peel is keyed joins only — no cartesian, no window
+    val kt = plan(GraphQueries.g13Ktruss(spark, dir))
+    assert(!kt.contains("CartesianProduct"), s"g13 went all-pairs:\n$kt")
+    assert(!kt.contains("WindowExec"), s"g13 grew a window:\n$kt")
+    // t34: the phrase reaches the postings as a broadcast, and the
+    // position intersection never goes cartesian
+    val ph = plan(TextQueries.t34PhraseSearch(spark, dir))
+    assert(ph.contains("BroadcastExchange"),
+      s"t34 phrase filter must broadcast:\n$ph")
+    assert(!ph.contains("CartesianProduct"), s"t34 went all-pairs:\n$ph")
+    // p13: the ring lookup is per-row — the corpus side joins nothing
+    // but the two broadcast 1-row ring arrays
+    val ch = plan(PipelineQueries.p13ConsistentHash(spark, dir))
+    assert(!ch.contains("SortMergeJoin") && !ch.contains("ShuffledHashJoin"),
+      s"p13 assignment path must not shuffle-join the corpus:\n$ch")
+  }
 }
