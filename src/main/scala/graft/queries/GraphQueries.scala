@@ -1013,7 +1013,114 @@ object GraphQueries {
        |FROM r ORDER BY round""".stripMargin
   }
 
+  // g14 — LUBY'S MAXIMAL INDEPENDENT SET (Luby 1986): the symmetry-
+  // breaking primitive behind distributed scheduling and conflict
+  // resolution — per round, a vertex enters the MIS iff its random
+  // priority beats every active neighbor's, then winners AND their
+  // neighbors leave the active set. Priorities are the engines' shared
+  // 60-bit md5 (tie-broken by vertex id, so the comparison is a total
+  // order and the rounds are DETERMINISTIC — no RNG crosses the gate),
+  // each round is one dst-keyed neighbor-max, one priority comparison,
+  // two anti-joins, materialized (the g-family discipline). Two bounded
+  // rounds (Luby needs O(log n) for maximality; the bounded-round
+  // contract of g06/g13). The output carries its own correctness audit:
+  // `n_conflict_edges` — edges with BOTH endpoints in the cumulative
+  // MIS — must be 0 by construction and is computed, not asserted.
+  def g14LubyMis(spark: SparkSession, dir: String): DataFrame = {
+    val pr = (v: Column) =>
+      conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+    val e0 = edges(spark, dir).localCheckpoint()
+    var active = e0.select(col("src").as("v")).distinct()
+      .withColumn("h", pr(col("v"))).localCheckpoint()
+    var activeEdges = e0.localCheckpoint()
+    var mis = active.filter(lit(false)).select(col("v"), col("h"))
+    val out = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    for (r <- 1 to 2) {
+      val nbrMax = activeEdges
+        .join(active.select(col("v").as("dst"), col("h").as("hd")), "dst")
+        .groupBy(col("src").as("v"))
+        .agg(max(struct(col("hd"), col("dst"))).as("nm"))
+      val winners = active.join(nbrMax, Seq("v"), "left")
+        .filter(col("nm").isNull ||
+          struct(col("h").as("hd"), col("v").as("dst")) > col("nm"))
+        .select("v", "h").localCheckpoint()
+      mis = mis.unionByName(winners).localCheckpoint()
+      val removed = winners.select("v")
+        .unionByName(activeEdges
+          .join(winners.select(col("v").as("src")), Seq("src"))
+          .select(col("dst").as("v")))
+        .distinct().localCheckpoint()
+      active = active.join(removed, Seq("v"), "left_anti").localCheckpoint()
+      activeEdges = activeEdges
+        .join(active.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(active.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val conflicts = e0.filter(col("src") < col("dst"))
+        .join(mis.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(mis.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      out += mis.agg(count(lit(1)).as("n_mis"), sum(col("v")).as("mis_checksum"))
+        .crossJoin(active.agg(count(lit(1)).as("n_active")))
+        .crossJoin(conflicts.agg(count(lit(1)).as("n_conflict_edges")))
+        .select(lit(r.toLong).as("round"), col("n_mis"),
+          coalesce(col("mis_checksum"), lit(0L)).as("mis_checksum"),
+          col("n_active"), col("n_conflict_edges"))
+    }
+    out.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  val g14Oracle: String = {
+    def round(k: Int): String =
+      s"""nm$k AS (
+         |  SELECT e.src AS v, MAX(struct_pack(hd := a.h, dst := e.dst)) AS nm
+         |  FROM ae${k - 1} e JOIN act${k - 1} a ON a.v = e.dst
+         |  GROUP BY e.src
+         |), win$k AS (
+         |  SELECT a.v, a.h FROM act${k - 1} a LEFT JOIN nm$k n ON n.v = a.v
+         |  WHERE n.nm IS NULL OR struct_pack(hd := a.h, dst := a.v) > n.nm
+         |), mis$k AS (
+         |  SELECT v, h FROM mis${k - 1} UNION ALL SELECT v, h FROM win$k
+         |), rem$k AS (
+         |  SELECT DISTINCT v FROM (
+         |    SELECT v FROM win$k
+         |    UNION ALL
+         |    SELECT e.dst AS v FROM ae${k - 1} e
+         |    JOIN win$k w ON w.v = e.src)
+         |), act$k AS (
+         |  SELECT a.* FROM act${k - 1} a
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem$k r WHERE r.v = a.v)
+         |), ae$k AS (
+         |  SELECT e.* FROM ae${k - 1} e
+         |  WHERE EXISTS (SELECT 1 FROM act$k a WHERE a.v = e.src)
+         |    AND EXISTS (SELECT 1 FROM act$k a WHERE a.v = e.dst)
+         |), row$k AS (
+         |  SELECT $k AS round,
+         |    (SELECT COUNT(*) FROM mis$k) AS n_mis,
+         |    (SELECT COALESCE(SUM(v), 0) FROM mis$k) AS mis_checksum,
+         |    (SELECT COUNT(*) FROM act$k) AS n_active,
+         |    (SELECT COUNT(*) FROM e
+         |     WHERE src < dst
+         |       AND EXISTS (SELECT 1 FROM mis$k m WHERE m.v = src)
+         |       AND EXISTS (SELECT 1 FROM mis$k m WHERE m.v = dst))
+         |      AS n_conflict_edges
+         |)""".stripMargin
+    s"""WITH $duckEdgesCte,
+       |act0 AS (
+       |  SELECT v, CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))
+       |    AS BIGINT) AS h
+       |  FROM (SELECT DISTINCT src AS v FROM e)
+       |), ae0 AS (SELECT src, dst FROM e),
+       |mis0 AS (SELECT v, h FROM act0 WHERE 1 = 0),
+       |${round(1)}, ${round(2)}
+       |SELECT CAST(round AS BIGINT) AS round, CAST(n_mis AS BIGINT) AS n_mis,
+       |  CAST(mis_checksum AS BIGINT) AS mis_checksum,
+       |  CAST(n_active AS BIGINT) AS n_active,
+       |  CAST(n_conflict_edges AS BIGINT) AS n_conflict_edges
+       |FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g14_luby_mis" -> (g14LubyMis _),
     "g13_ktruss" -> (g13Ktruss _),
     "g12_modularity" -> (g12Modularity _),
     "g11_weighted_paths" -> (g11WeightedPaths _),
@@ -1030,6 +1137,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g14_luby_mis" -> g14Oracle,
     "g13_ktruss" -> g13Oracle,
     "g12_modularity" -> g12Oracle,
     "g11_weighted_paths" -> g11Oracle,
