@@ -1609,7 +1609,85 @@ object AnalyticQueries {
       |FROM zd JOIN zm USING (j) CROSS JOIN est CROSS JOIN ex
       |ORDER BY zd.j""".stripMargin
 
+  // q66 — INCREMENTAL VIEW MAINTENANCE FOR JOINS (the delta rule
+  // Δ(A⋈B) = ΔA⋈B' ∪ A⋈ΔB with B' = B∪ΔB): cdc20 gates incremental
+  // maintenance of an AGGREGATE; q66 gates the JOIN case — the algebra
+  // a materialized revenue view relies on when both fact sides receive
+  // new rows. Both sides split into base + delta by key residue, and
+  // the view (revenue cents per order priority) is computed TWICE: the
+  // full recompute over the unioned tables, and the incremental form —
+  // the old view's partial aggregates plus the two delta joins, summed.
+  // The gate is the equality, carried as data on every row (the q61/q65
+  // merge-law stance): full_cents = incr_cents and n_rows_full =
+  // n_rows_incr, exact integers. Scale shape: the delta joins touch
+  // |Δ|·(selectivity) rows, not the view — which is the entire point;
+  // every join is keyed, aggregates combine by summing partials.
+  def q66IvmJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val line = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("c"))
+    val aBase = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val aDelta = orders.filter(col("o_orderkey") % 5 === 0)
+    val bBase = line.filter(col("l_orderkey") % 7 =!= 0)
+    val bDelta = line.filter(col("l_orderkey") % 7 === 0)
+    def view(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("c")).as("cents"), count(lit(1)).as("n"))
+    val full = view(aBase.unionByName(aDelta), bBase.unionByName(bDelta))
+      .withColumnRenamed("cents", "full_cents")
+      .withColumnRenamed("n", "n_rows_full")
+    val incr = view(aBase, bBase)
+      .unionByName(view(aDelta, bBase.unionByName(bDelta)))
+      .unionByName(view(aBase, bDelta))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("cents")).as("incr_cents"),
+        sum(col("n")).as("n_rows_incr"))
+    full.join(incr, "o_orderpriority")
+      .select(col("o_orderpriority"), col("full_cents"), col("incr_cents"),
+        col("n_rows_full"), col("n_rows_incr"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q66Oracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority FROM orders
+      |), l AS (
+      |  SELECT l_orderkey,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem
+      |), ab AS (SELECT * FROM o WHERE o_orderkey % 5 <> 0),
+      |ad AS (SELECT * FROM o WHERE o_orderkey % 5 = 0),
+      |bb AS (SELECT * FROM l WHERE l_orderkey % 7 <> 0),
+      |bd AS (SELECT * FROM l WHERE l_orderkey % 7 = 0),
+      |full_v AS (
+      |  SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS full_cents,
+      |    COUNT(*) AS n_rows_full
+      |  FROM o JOIN l ON l_orderkey = o_orderkey
+      |  GROUP BY o_orderpriority
+      |), parts AS (
+      |  SELECT o_orderpriority, SUM(c) AS cents, COUNT(*) AS n
+      |  FROM ab JOIN bb ON l_orderkey = o_orderkey GROUP BY 1
+      |  UNION ALL
+      |  SELECT o_orderpriority, SUM(c), COUNT(*)
+      |  FROM ad JOIN (SELECT * FROM bb UNION ALL SELECT * FROM bd) b
+      |    ON b.l_orderkey = o_orderkey GROUP BY 1
+      |  UNION ALL
+      |  SELECT o_orderpriority, SUM(c), COUNT(*)
+      |  FROM ab JOIN bd ON l_orderkey = o_orderkey GROUP BY 1
+      |), incr_v AS (
+      |  SELECT o_orderpriority, CAST(SUM(cents) AS BIGINT) AS incr_cents,
+      |    CAST(SUM(n) AS BIGINT) AS n_rows_incr
+      |  FROM parts GROUP BY o_orderpriority
+      |)
+      |SELECT o_orderpriority, f.full_cents, i.incr_cents,
+      |  f.n_rows_full, i.n_rows_incr
+      |FROM full_v f JOIN incr_v i USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_ivm_join" -> (q66IvmJoin _),
     "q65_ams_f2" -> (q65AmsF2 _),
     "q64_grouping_sets" -> (q64GroupingSets _),
     "q63_asof_forward" -> (q63AsofForward _),
@@ -1651,6 +1729,7 @@ object AnalyticQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_ivm_join" -> q66Oracle,
     "q65_ams_f2" -> q65Oracle,
     "q64_grouping_sets" -> q64Oracle,
     "q63_asof_forward" -> q63Oracle,
