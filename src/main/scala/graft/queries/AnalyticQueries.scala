@@ -1555,11 +1555,13 @@ object AnalyticQueries {
           .cast("long").as("h"))
     def zAggs(prefix: String) = (0 until 16).map(j =>
       sum(expr(s"(shiftright(h, $j) % 2) * 2 - 1")).as(s"$prefix$j"))
-    val direct = base.agg(zAggs("z").head, zAggs("z").tail: _*)
+    val z = zAggs("z")
+    val p = zAggs("p")
+    val m = (0 until 16).map(j => sum(col(s"p$j")).as(s"m$j"))
+    val direct = base.agg(z.head, z.tail: _*)
     val merged = base.groupBy("shard")
-      .agg(zAggs("p").head, zAggs("p").tail: _*)
-      .agg((0 until 16).map(j => sum(col(s"p$j")).as(s"m$j")).head,
-        (0 until 16).map(j => sum(col(s"p$j")).as(s"m$j")).tail: _*)
+      .agg(p.head, p.tail: _*)
+      .agg(m.head, m.tail: _*)
     def unpivot(df: DataFrame, prefix: String, out: String) =
       df.select(explode(array((0 until 16).map(j =>
         struct(lit(j.toLong).as("j"), col(s"$prefix$j").as(out))): _*))
@@ -1635,7 +1637,9 @@ object AnalyticQueries {
       a.join(b, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(sum(col("c")).as("cents"), count(lit(1)).as("n"))
-    val full = view(aBase.unionByName(aDelta), bBase.unionByName(bDelta))
+    // full recompute reads the UNFILTERED frames (row-identical to the
+    // base∪delta union, without scanning each table twice)
+    val full = view(orders, line)
       .withColumnRenamed("cents", "full_cents")
       .withColumnRenamed("n", "n_rows_full")
     val incr = view(aBase, bBase)
