@@ -2681,7 +2681,59 @@ object CdcQueries {
       .orderBy("o_orderkey")
   }
 
+  // cdc44 — MULTI-SOURCE GLOBAL WATERMARK (the Flink/Beam min-rule:
+  // a join over several feeds may only advance its event-time clock to
+  // the MINIMUM of the per-source watermarks, because the slowest feed
+  // can still deliver older events): the feed splits into two "regions"
+  // (user_id parity — cdc35's active-active fixture shape), each
+  // carries its own watermark max(src_ms) − 300 000, and the admission
+  // audit reports, per source, how many events sit at or below the
+  // GLOBAL (min) watermark — closable now — vs held open only because
+  // the OTHER source lags (the n_held_by_peer column is the number an
+  // operator actually pages on: state the slow feed is pinning in
+  // everyone else). Pure aggregates: two max-shuffles and one broadcast
+  // 1-row watermark table; the admission pass is one scan. cdc23 gates
+  // single-feed lateness; cdc44 gates the cross-feed composition rule.
+  def cdc44MultiWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val feed = cdc17Feed(spark, dir)
+      .withColumn("source", pmod(col("user_id"), lit(2)).cast("long"))
+    val wm = feed.groupBy("source")
+      .agg((max(col("src_ms")) - 300000L).as("src_wm"))
+    val global = wm.agg(min(col("src_wm")).as("global_wm"))
+    feed.join(broadcast(wm), "source")
+      .crossJoin(broadcast(global))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("src_wm")).as("src_wm"),
+        max(col("global_wm")).as("global_wm"),
+        sum(when(col("src_ms") <= col("global_wm"), 1L).otherwise(0L))
+          .as("n_closable"),
+        sum(when(col("src_ms") <= col("src_wm") &&
+          col("src_ms") > col("global_wm"), 1L).otherwise(0L))
+          .as("n_held_by_peer"))
+      .orderBy("source")
+  }
+
+  val cdc44Oracle: String =
+    s"""WITH $cdcFeedCte, f AS (
+      |  SELECT user_id % 2 AS source, src_ms FROM a
+      |), wm AS (
+      |  SELECT source, MAX(src_ms) - 300000 AS src_wm
+      |  FROM f GROUP BY source
+      |), g AS (SELECT MIN(src_wm) AS global_wm FROM wm)
+      |SELECT f.source, COUNT(*) AS n_events,
+      |  CAST(MAX(wm.src_wm) AS BIGINT) AS src_wm,
+      |  CAST(MAX(g.global_wm) AS BIGINT) AS global_wm,
+      |  CAST(SUM(CASE WHEN f.src_ms <= g.global_wm THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_closable,
+      |  CAST(SUM(CASE WHEN f.src_ms <= wm.src_wm
+      |    AND f.src_ms > g.global_wm THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_held_by_peer
+      |FROM f JOIN wm USING (source) CROSS JOIN g
+      |GROUP BY f.source ORDER BY f.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc44_multi_watermark" -> (cdc44MultiWatermark _),
     "cdc43_avro_roundtrip" -> (cdc43AvroRoundtrip _),
     "cdc42_stream_scd2" -> (cdc42StreamScd2 _),
     "cdc01_status_counts" -> (cdc01StatusCounts _),
@@ -2771,5 +2823,6 @@ object CdcQueries {
     "cdc41_stream_ddl_epoch" -> cdc37Oracle, // drained state == batch window
     "cdc42_stream_scd2" -> cdc21Oracle, // reconciled drain == batch SCD2
     "cdc43_avro_roundtrip" -> cdc05Oracle, // write∘read == identity on the decode
+    "cdc44_multi_watermark" -> cdc44Oracle,
   )
 }
