@@ -103,6 +103,11 @@ object Bench {
     val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"top10":$top10,"sf":"$sfDir"}""")
+    // FINAL line is a short (~500 B) pure-JSON summary: the driver keeps
+    // only the tail of stdout, and the full per-query line above outgrows
+    // it at 258 queries (r10's BENCH artifact parsed as null). A tail
+    // capture of any plausible size always contains this whole line.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"top10":$top10,"sf":"$sfDir","full_payload":"$outFile"}""")
     spark.stop()
   }
 }

@@ -192,18 +192,20 @@ object Dedup {
     * candidates come from per-band equality joins (shuffle key =
     * (band index, band value) — never all-pairs) and the exact Hamming
     * check runs only on candidates. With the defaults (4 × 8-bit bands,
-    * maxHamming 3) recall is EXACT *up to the `maxBucket` cap*: a band
-    * value shared by more than `maxBucket` signatures is declared
-    * degenerate and contributes NO candidates (a near-identical cluster
-    * that large belongs to exact dedup upstream — the d02/d03 stop-term
-    * discipline; its pairs are findable through their OTHER bands only if
-    * those are under-cap too). Callers needing unconditional exactness
-    * must raise `maxBucket` above the largest expected cluster size and
-    * accept the quadratic bucket self-join that implies. Output:
+    * maxHamming 3) recall is EXACT and unconditional — `maxBucket`
+    * defaults to `Int.MaxValue`, so no bucket is ever dropped and the
+    * pigeonhole guarantee holds for every pair. Capping is OPT-IN for
+    * corpora with giant near-identical clusters: pass a finite
+    * `maxBucket` and a band value shared by more than that many
+    * signatures is declared degenerate and contributes NO candidates
+    * (a cluster that large belongs to exact dedup upstream — the
+    * d02/d03 stop-term discipline; its pairs are then findable through
+    * their OTHER bands only if those are under-cap too), trading that
+    * recall loss for a bounded bucket self-join. Output:
     * (id_a, id_b, hamming). */
   def simhashNearDups(df: DataFrame, idCol: String, simhashCol: String,
       maxHamming: Int = 3, bands: Int = 4, bits: Int = 32,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole exactness needs maxHamming < bands ($maxHamming >= $bands)")
     require(bits % bands == 0, s"$bits bits must split evenly into $bands bands")
@@ -413,7 +415,8 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    var converged = e.isEmpty // no edges: nothing to contract
+    var eCount = e.count() // carried across rounds: next round's old-size
+    var converged = eCount == 0L // no edges: nothing to contract
     var iter = 0
     while (!converged && iter < maxIters) {
       iter += 1
@@ -439,10 +442,19 @@ object Dedup {
         .unionByName(mins2.select(col("mn").as("u"), col("c").as("v")))
         .distinct()
         .localCheckpoint(true)
-      // fixed point: same canonical edge set (counts equal and nothing
-      // new — both sets are distinct, so one-sided except suffices)
-      converged =
-        next.count() == e.count() && next.exceptAll(e).isEmpty
+      // fixed point: same canonical edge set — counts equal AND nothing
+      // new (both sets are distinct, so a one-sided check suffices).
+      // ONE action per round: e's count is carried from the previous
+      // round, and next's size + its fresh-edge count come from a single
+      // aggregate over a left join against the (checkpointed) old set.
+      val st = next
+        .join(e.select(col("u"), col("v"), lit(1).as("_in_e")),
+          Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("_in_e").isNull, 1)).as("fresh"))
+        .head()
+      converged = st.getLong(0) == eCount && st.getLong(1) == 0L
+      eCount = st.getLong(0)
       e = next
     }
     require(converged,

@@ -259,7 +259,9 @@ object DedupQueries {
     val sh = Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("simhash", graft.ops.Dedup.simHashSignature(col("toks")))
-    graft.ops.Dedup.simhashNearDups(sh, "doc_id", "simhash")
+    // explicit production cap (library default is uncapped/exact): a band
+    // value shared by >256 signatures is degenerate on this corpus class
+    graft.ops.Dedup.simhashNearDups(sh, "doc_id", "simhash", maxBucket = 256)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
@@ -1314,7 +1316,7 @@ object DedupQueries {
       .withColumn("simhash", graft.ops.Dedup.simHashSignature60(col("toks")))
       .select("doc_id", "simhash")
     graft.ops.Dedup.simhashNearDups(sh, "doc_id", "simhash",
-        maxHamming = 3, bands = 4, bits = 60)
+        maxHamming = 3, bands = 4, bits = 60, maxBucket = 256)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }

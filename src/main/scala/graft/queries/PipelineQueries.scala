@@ -963,8 +963,12 @@ object PipelineQueries {
       .select(col("alpha_e2"), col("lang"), col("n_tokens"), col("weight"),
         expr("n_tokens * 1000000L div tok_total").as("nat_share_ppm"),
         expr("weight * 1000000L div w_total").as("temp_share_ppm"),
+        // greatest(.., 1): a language holding < 1 ppm of corpus tokens
+        // floors nat_share_ppm to 0, and ANSI div-by-zero would kill the
+        // whole query on plausible long-tail corpora — clamp mirrors s47
         expr("(weight * 1000000L div w_total) * 1000000L" +
-          " div (n_tokens * 1000000L div tok_total)").as("boost_ppm"))
+          " div greatest(n_tokens * 1000000L div tok_total, 1L)")
+          .as("boost_ppm"))
       .orderBy("alpha_e2", "lang")
   }
 
@@ -997,7 +1001,8 @@ object PipelineQueries {
       |  CAST(w.n_tokens * 1000000 // t.tok_total AS BIGINT) AS nat_share_ppm,
       |  CAST(w.weight * 1000000 // t.w_total AS BIGINT) AS temp_share_ppm,
       |  CAST((w.weight * 1000000 // t.w_total) * 1000000
-      |    // (w.n_tokens * 1000000 // t.tok_total) AS BIGINT) AS boost_ppm
+      |    // greatest(w.n_tokens * 1000000 // t.tok_total, 1) AS BIGINT)
+      |    AS boost_ppm
       |FROM w JOIN tot t USING (alpha_e2)
       |ORDER BY alpha_e2, w.lang""".stripMargin
 

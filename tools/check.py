@@ -43,6 +43,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failed = []
+    vacuous = []  # gates that "pass" on 0 rows compare nothing (r10 t31)
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(
@@ -88,9 +89,16 @@ def main():
                 print(f"  spark={a}\n  duck ={b}")
             failed.append(name)
         else:
-            print(f"OK   {name} ({len(sr)} rows)")
+            if len(sr) == 0:
+                vacuous.append(name)
+                print(f"WARN {name}: VACUOUS gate — both sides 0 rows, "
+                      f"nothing was actually compared")
+            else:
+                print(f"OK   {name} ({len(sr)} rows)")
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
-    sys.exit(1 if failed else 0)
+    if vacuous:
+        print(f"vacuous (0-row) gates: {vacuous}")
+    sys.exit(1 if failed or vacuous else 0)
 
 
 if __name__ == "__main__":
