@@ -1953,6 +1953,47 @@ object SimilarityQueries {
       .select("cluster", "id_a", "id_b")
   }
 
+  /** One BRIDGE edge per vector — its top-cosine neighbor inside its
+    * SECOND-nearest cluster (the rn=2 coarse assignment; DiskANN's
+    * long-range links, relationally). The intra-cluster kNN ball cannot
+    * leave the probed clusters, so without bridges recall saturates at
+    * the coarse-quantizer truncation rate however many hops run; s41
+    * prices the lift, and the SERVED search (s34/s36/s38) includes
+    * these by default. Build cost: each vector joins ONE other
+    * cluster's members — the same N²/k pair-mass class as the intra
+    * kNN build, cluster-keyed, never all-pairs. Output: (id_a, id_b). */
+  private def bridgeEdges(emb: DataFrame, cent: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    // each vector's SECOND-nearest cluster: the nprobe=2 probe minus the
+    // assignment — both share the (ccos desc, clabel) tie-break, so the
+    // leftover row is exactly rn = 2
+    val second = graft.ops.Similarity.probeCentroids(
+        emb.select("vec_id", "embedding"), cent, Seq("vec_id"), nprobe = 2)
+      .join(assigned.select(col("vec_id"), col("cluster").as("c1")), Seq("vec_id"))
+      .filter(col("cluster") =!= col("c1"))
+    val wB = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    second.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("cluster"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("id_b"),
+        col("embedding").as("vb")), Seq("cluster"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") === 1)
+      .select("id_a", "id_b")
+  }
+
+  /** The SERVED graph-search configuration, promoted from the measured
+    * calibration curves (round-11): s40's nprobe sweep reads 266k /
+    * 400k / 625k ppm recall@3 at nprobe 1/2/4 on sf0.1 (seed-scoring
+    * cost grows linearly with nprobe — 625k ppm for 2× the nprobe=2
+    * scoring is the curve's knee), and s41 measures bridge edges adding
+    * a further lift at fixed nprobe (400k → 417k ppm at nprobe=2 on
+    * sf0.1). The default serving path (s34/s36, measured by s38) is
+    * therefore BRIDGED edges + nprobe = 4; s40/s41 keep pricing the
+    * dials at their historical settings so the curves stay comparable
+    * across rounds. */
+  private val servedNprobe = 4
+
   def s25KnnGraph(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
@@ -2575,9 +2616,8 @@ object SimilarityQueries {
   // s34 — GRAPH-BASED ANN SEARCH (the DiskANN/HNSW family's search
   // pattern over the s25 kNN graph, made deterministic and relational):
   // entry points = PER-QUERY IVF SEEDS — the query's exact top-3 within
-  // its nprobe=2 probed clusters (s04's probe + s03's candidate cut, the
-  // coarse quantizer every DiskANN deployment seeds from) — candidates =
-  // the
+  // its probed clusters (s04's probe + s03's candidate cut, the coarse
+  // quantizer every DiskANN deployment seeds from) — candidates = the
   // closed 2-hop out-neighborhood of the seeds in the directed top-3
   // kNN edge list, finished with the exact re-rank. Best-first beam
   // search is inherently sequential; the bounded-hop ball is its
@@ -2587,24 +2627,28 @@ object SimilarityQueries {
   // stays one declarative plan. (r9 verdict: the earlier SHARED
   // per-cluster prototype entry measured ~3% recall@3 on s38's truth
   // join — a fixed entry two hops from nowhere; per-query seeds lift
-  // the ball to the query's own neighborhood, recall measured in s38
-  // and recorded in PLANS.md.) The gate pins the seed choice, the
-  // exact candidate-set size, and the final ranking. At scale: the
-  // edge list shuffles on the vertex key (id_a) and is probed twice;
-  // seeding is a cluster-keyed equi-join (the s03 candidate shape);
-  // queries broadcast; the re-rank shuffles (query_id, cand) only —
-  // query vectors never ride the candidate shuffle.
+  // the ball to the query's own neighborhood. r10 verdict: the served
+  // configuration is now the MEASURED-BEST one — bridged edges +
+  // nprobe = [[servedNprobe]], promoted from s40/s41's calibration
+  // curves; recall measured in s38 and recorded in PLANS.md.) The gate
+  // pins the seed choice, the exact candidate-set size, and the final
+  // ranking. At scale: the edge list shuffles on the vertex key (id_a)
+  // and is probed twice; seeding is a cluster-keyed equi-join (the s03
+  // candidate shape); queries broadcast; the re-rank shuffles
+  // (query_id, cand) only — query vectors never ride the candidate
+  // shuffle.
   def s34GraphSearch(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
     val assigned = graft.ops.Similarity.assignToCentroids(
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
     val edges = knnEdges(assigned).select("id_a", "id_b")
+      .unionByName(bridgeEdges(emb, cent, assigned)) // served default
       .localCheckpoint() // probed at hop 1 and hop 2 — build the graph once
     val qRows = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probes = graft.ops.Similarity.probeCentroids(
-      qRows, cent, Seq("query_id"), nprobe = 2, embCol = "qv")
+      qRows, cent, Seq("query_id"), nprobe = servedNprobe, embCol = "qv")
     val seeds = ivfSeeds(probes, assigned).localCheckpoint() // ≤3 rows/query
     graphBallSearch(edges, qRows, seeds, emb)
   }
@@ -2683,6 +2727,7 @@ object SimilarityQueries {
     val assigned = graft.ops.Similarity.assignToCentroids(
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
     knnEdges(assigned).select("id_a", "id_b")
+      .unionByName(bridgeEdges(emb, cent, assigned)) // served default
       .write.mode("overwrite").parquet(new java.io.File(root, "edges").getPath)
     assigned.select("vec_id", "cluster")
       .write.mode("overwrite").parquet(new java.io.File(root, "assign").getPath)
@@ -2696,7 +2741,7 @@ object SimilarityQueries {
     val qRows = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probes = graft.ops.Similarity.probeCentroids(
-      qRows, centR, Seq("query_id"), nprobe = 2, embCol = "qv")
+      qRows, centR, Seq("query_id"), nprobe = servedNprobe, embCol = "qv")
     val seeds = ivfSeeds(probes, members).localCheckpoint()
     graphBallSearch(edgesR, qRows, seeds, emb)
   }
@@ -2709,7 +2754,7 @@ object SimilarityQueries {
       |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
       |    FROM embeddings e, cent c)
       |  WHERE rn = 1
-      |), edges AS MATERIALIZED (
+      |), intra AS MATERIALIZED (
       |  SELECT id_a, id_b FROM (
       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |      row_number() OVER (PARTITION BY a.clabel, a.vec_id
@@ -2717,6 +2762,24 @@ object SimilarityQueries {
       |    FROM assigned a JOIN assigned b
       |      ON a.clabel = b.clabel AND a.vec_id <> b.vec_id)
       |  WHERE rk <= 3
+      |), p2 AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 2
+      |), bridge AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT p.vec_id AS id_a, b.vec_id AS id_b,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |        ORDER BY ${duckCosOf("p.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM p2 p JOIN assigned b ON b.clabel = p.clabel)
+      |  WHERE rk = 1
+      |), edges AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM intra
+      |  UNION ALL
+      |  SELECT id_a, id_b FROM bridge
       |), q0 AS MATERIALIZED (
       |  SELECT vec_id AS query_id, embedding AS qv
       |  FROM embeddings WHERE vec_id % 50 = 0
@@ -2726,7 +2789,7 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY q.query_id
       |        ORDER BY ${duckCosOf("q.qv", "c.cf")} DESC, c.clabel) AS rn
       |    FROM q0 q, cent c)
-      |  WHERE rn <= 2
+      |  WHERE rn <= 4
       |), seeds AS MATERIALIZED (
       |  SELECT query_id, seed, rk FROM (
       |    SELECT p.query_id, a.vec_id AS seed,
@@ -3038,27 +3101,30 @@ object SimilarityQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   // s38 — GRAPH-SEARCH RECALL CALIBRATION (the graph family's d19/s19
-  // analogue): the 1-hop and 2-hop candidate balls of the s34 search,
-  // each scored against the exact top-3 truth (s01's gated definition)
-  // — recall vs candidate mass is THE dial a navigable-graph deployment
-  // tunes (hop depth ≈ HNSW's ef), and every index family in this
-  // engine ships its calibration table (LSH: d16/d19; IVF/PQ: s19/s29;
-  // graph: this). Integer-exact: hit counts and ppm recalls over the
-  // fixed 3-per-query truth set; candidate mass pins the cost side.
-  // Plan: the s34 index subtrees once (edges localCheckpoint), two
-  // ball expansions sharing them, truth = one broadcast-query corpus
-  // scan, hits via (query, cand)-keyed semi-joins.
+  // analogue): the 1-hop and 2-hop candidate balls of the s34 search —
+  // measured over the SERVED configuration (bridged edges + nprobe =
+  // servedNprobe, the s40/s41-promoted default) — each scored against
+  // the exact top-3 truth (s01's gated definition): recall vs candidate
+  // mass is THE dial a navigable-graph deployment tunes (hop depth ≈
+  // HNSW's ef), and every index family in this engine ships its
+  // calibration table (LSH: d16/d19; IVF/PQ: s19/s29; graph: this).
+  // Integer-exact: hit counts and ppm recalls over the fixed
+  // 3-per-query truth set; candidate mass pins the cost side. Plan: the
+  // s34 index subtrees once (edges localCheckpoint), two ball
+  // expansions sharing them, truth = one broadcast-query corpus scan,
+  // hits via (query, cand)-keyed semi-joins.
   def s38GraphRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
     val assigned = graft.ops.Similarity.assignToCentroids(
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
     val edges = knnEdges(assigned).select("id_a", "id_b")
+      .unionByName(bridgeEdges(emb, cent, assigned)) // served default
       .localCheckpoint()
     val qRows = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probes = graft.ops.Similarity.probeCentroids(
-      qRows, cent, Seq("query_id"), nprobe = 2, embCol = "qv")
+      qRows, cent, Seq("query_id"), nprobe = servedNprobe, embCol = "qv")
     val seeds = ivfSeeds(probes, assigned).localCheckpoint() // s34's entry rule
     val h1 = seeds.select(col("query_id"), col("seed").as("id_a"))
       .join(edges, Seq("id_a"))
@@ -3099,7 +3165,7 @@ object SimilarityQueries {
       |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
       |    FROM embeddings e, cent c)
       |  WHERE rn = 1
-      |), edges AS MATERIALIZED (
+      |), intra AS MATERIALIZED (
       |  SELECT id_a, id_b FROM (
       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |      row_number() OVER (PARTITION BY a.clabel, a.vec_id
@@ -3107,6 +3173,24 @@ object SimilarityQueries {
       |    FROM assigned a JOIN assigned b
       |      ON a.clabel = b.clabel AND a.vec_id <> b.vec_id)
       |  WHERE rk <= 3
+      |), p2 AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 2
+      |), bridge AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT p.vec_id AS id_a, b.vec_id AS id_b,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |        ORDER BY ${duckCosOf("p.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM p2 p JOIN assigned b ON b.clabel = p.clabel)
+      |  WHERE rk = 1
+      |), edges AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM intra
+      |  UNION ALL
+      |  SELECT id_a, id_b FROM bridge
       |), q AS MATERIALIZED (
       |  SELECT vec_id AS query_id, embedding AS qv
       |  FROM embeddings WHERE vec_id % 50 = 0
@@ -3116,7 +3200,7 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY q.query_id
       |        ORDER BY ${duckCosOf("q.qv", "c.cf")} DESC, c.clabel) AS rn
       |    FROM q, cent c)
-      |  WHERE rn <= 2
+      |  WHERE rn <= 4
       |), seeds AS MATERIALIZED (
       |  SELECT query_id, seed FROM (
       |    SELECT p.query_id, a.vec_id AS seed,
@@ -3447,23 +3531,9 @@ object SimilarityQueries {
       emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
     val edges = knnEdges(assigned).select("id_a", "id_b")
       .localCheckpoint()
-    // each vector's SECOND-nearest cluster: the nprobe=2 probe minus the
-    // assignment — both share the (ccos desc, clabel) tie-break, so the
-    // leftover row is exactly rn = 2
-    val second = graft.ops.Similarity.probeCentroids(
-        emb.select("vec_id", "embedding"), cent, Seq("vec_id"), nprobe = 2)
-      .join(assigned.select(col("vec_id"), col("cluster").as("c1")), Seq("vec_id"))
-      .filter(col("cluster") =!= col("c1"))
-    val wB = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
-    val bridge = second.select(col("vec_id").as("id_a"),
-        col("embedding").as("va"), col("cluster"))
-      .join(assigned.select(col("cluster"), col("vec_id").as("id_b"),
-        col("embedding").as("vb")), Seq("cluster"))
-      .withColumn("cos", cosineSim(col("va"), col("vb")))
-      .withColumn("rk", row_number().over(wB))
-      .filter(col("rk") === 1)
-      .select("id_a", "id_b")
-    val edgesB = edges.unionByName(bridge).localCheckpoint()
+    val edgesB = edges
+      .unionByName(bridgeEdges(emb, cent, assigned)) // shared with s34/s36/s38
+      .localCheckpoint()
     val qRows = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .localCheckpoint()
