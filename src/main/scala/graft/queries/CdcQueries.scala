@@ -2732,7 +2732,87 @@ object CdcQueries {
       |FROM f JOIN wm USING (source) CROSS JOIN g
       |GROUP BY f.source ORDER BY f.source""".stripMargin
 
+  // cdc45 — STREAMING INCREMENTAL VIEW MAINTENANCE over the binlog
+  // source: q66 gates the delta rule Δ(A⋈B) = ΔA⋈B′ ∪ A⋈ΔB as batch
+  // algebra; cdc45 DRIVES it from a live change feed — the engine's own
+  // incremental shape end-to-end (the reference's one-pass probe loop,
+  // compare_timestamps.go:168, applied to a derived view). ΔA (the
+  // orders delta, q66's key-residue split) rides the wire as REAL
+  // binlog-v4 files written by the distributed [[graft.ingest
+  // .BinlogSink]] (no driver collect), streams back through
+  // `readStream.format("binlog")` with maxFilesPerTrigger=1 so the
+  // delta arrives across MULTIPLE micro-batches, and foreachBatch
+  // maintains the materialized view: each batch appends the partial
+  // aggregates of ΔA_k ⋈ B′ to the view's parquet state — partition-
+  // local appends, additive partials, never a view rewrite. The initial
+  // state is the old view's partials plus the one-shot A⋈ΔB leg, so
+  // after the drain Σ(state) = q66's exact incremental decomposition
+  // and the gate SHARES q66's oracle: a mismatch against a green q66
+  // isolates the streaming delivery (source micro-batch planning,
+  // sink encode, foreachBatch state handling), not the algebra.
+  // At 100 TB: per batch the work is |ΔA_k| join-probes against B′
+  // (keyed equi-join, delta-sized) plus a ≤|priorities|-row append —
+  // the view is never rescanned, which is the entire point of IVM.
+  def cdc45StreamIvm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc45_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val line = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), Tables.cents(col("l_extendedprice")).as("c"))
+    val aBase = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val aDelta = orders.filter(col("o_orderkey") % 5 === 0)
+    val bBase = line.filter(col("l_orderkey") % 7 =!= 0)
+    val bDelta = line.filter(col("l_orderkey") % 7 === 0)
+    def partials(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("c")).as("cents"), count(lit(1)).as("n"))
+    // ΔA → four real binlog files (keyed repartition: deterministic
+    // membership, any partitioning sums to the same view)
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      aDelta.repartition(4, col("o_orderkey")), feed)
+    // state₀ = old view's partials + the A⋈ΔB leg (ΔB applied batch-side
+    // — the feed under maintenance here is A's; q66 already gates the
+    // both-sides algebra, so B′ enters as the static join side)
+    partials(aBase, bBase).unionByName(partials(aBase, bDelta))
+      .write.mode("overwrite").parquet(state)
+    val bPrime = bBase.unionByName(bDelta)
+      .localCheckpoint(true) // B′ = B ∪ ΔB: built once, probed per batch
+    withDrainPartitions(spark) {
+      val q = spark.readStream.format("binlog")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val dA = batch.filter(col("event_type") === "WriteRowsEventV2")
+            .select(explode(col("row_images")).as("img"))
+            .select(element_at(col("img"), 1).cast("long").as("o_orderkey"),
+              element_at(col("img"), 2).as("o_orderpriority"))
+          partials(dA, bPrime).write.mode("append").parquet(state)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val incr = spark.read.parquet(state)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("cents")).as("incr_cents"), sum(col("n")).as("n_rows_incr"))
+    val full = partials(orders, line)
+      .withColumnRenamed("cents", "full_cents")
+      .withColumnRenamed("n", "n_rows_full")
+    full.join(incr, "o_orderpriority")
+      .select(col("o_orderpriority"), col("full_cents"), col("incr_cents"),
+        col("n_rows_full"), col("n_rows_incr"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc45_stream_ivm" -> (cdc45StreamIvm _),
     "cdc44_multi_watermark" -> (cdc44MultiWatermark _),
     "cdc43_avro_roundtrip" -> (cdc43AvroRoundtrip _),
     "cdc42_stream_scd2" -> (cdc42StreamScd2 _),
@@ -2824,5 +2904,8 @@ object CdcQueries {
     "cdc42_stream_scd2" -> cdc21Oracle, // reconciled drain == batch SCD2
     "cdc43_avro_roundtrip" -> cdc05Oracle, // write∘read == identity on the decode
     "cdc44_multi_watermark" -> cdc44Oracle,
+    // stream-maintained view == q66's batch IVM decomposition — a
+    // mismatch against a green q66 isolates the streaming delivery
+    "cdc45_stream_ivm" -> AnalyticQueries.q66Oracle,
   )
 }
