@@ -11,6 +11,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev-only subset (comma-separated name prefixes) — e.g. the top-10
+    // under a constrained heap for the spill-safety demonstration; the
+    // driver never sets it, so the official artifact is always the full set
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // SQL function surface
@@ -42,7 +48,7 @@ object Bench {
     // timing starts — r2/r3 showed one-off codegen/GC stalls landing on
     // random queries and swinging the one-shot total by ±20%.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    SparkEntry.queries.toSeq.filter(q => keep(q._1)).sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -59,7 +65,7 @@ object Bench {
     // emitted in the JSON ("passes") so a stall is adjudicable from the
     // artifact alone: a query whose three samples disagree wildly was
     // stalled, not regressed.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq.filter(q => keep(q._1)).sortBy(_._1)
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       try {
         val t0 = System.nanoTime()
