@@ -1035,22 +1035,38 @@ object TextQueries {
   // broadcast bucket-total carry — no single-partition sort of the doc
   // table). All integers; exact gate.
   def t25HeapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(1000L, 2000L, 5000L, 10000L, 20000L, 50000L,
+      100000L, 200000L, 500000L)
+    val maxThr = thresholds.max
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("sz", size(col("toks")).cast("long"))
     // global token offset via the ops.Prefix two-phase running sum
     // (bucketed on doc_id ranges — monotone in the doc order), exclusive
-    // form derived from the inclusive sum minus the row's own size
+    // form derived from the inclusive sum minus the row's own size.
+    // Positions past the LARGEST threshold cannot change any output row
+    // (a type first seen later is dropped by the fp ≤ threshold join;
+    // one first seen earlier keeps its exact min inside the kept
+    // prefix), so docs that start past the bound never explode and
+    // tokens past it never ride the term shuffle — the curve's cost is
+    // bounded by max(threshold), not by the corpus (the r10 3.2× bench
+    // note was this query paying corpus-sized work for a fixed-prefix
+    // answer).
     val toks = graft.ops.Prefix.runningSumsInclusive(docs, Seq("doc_id"),
         expr("doc_id div 65536"), Seq("sz" -> "run_sz"))
       .withColumn("off", col("run_sz") - col("sz"))
+      .filter(col("off") < maxThr)
       .select(col("off"), posexplode(col("toks")).as(Seq("i", "term")))
       .select((col("off") + col("i") + 1).as("gp"), col("term"))
+      .filter(col("gp") <= maxThr)
     val fp = toks.groupBy("term").agg(min(col("gp")).as("fp"))
-    val total = toks.agg(count(lit(1)).as("total_tokens"))
+    // total from the PRE-explode sizes: count(exploded) == sum(sz) by
+    // construction, and aggregating the doc-level frame keeps the whole
+    // prefix+explode subtree single-consumer (it used to run twice —
+    // the r10 bench's 3.2× regression was mostly this double execution)
+    val total = docs.agg(sum(col("sz")).as("total_tokens"))
     val thr = spark.range(1).select(explode(array(
-      Seq(1000L, 2000L, 5000L, 10000L, 20000L, 50000L, 100000L, 200000L,
-        500000L).map(lit(_)): _*)).as("threshold"))
+      thresholds.map(lit(_)): _*)).as("threshold"))
     fp.join(broadcast(thr), col("fp") <= col("threshold"))
       .groupBy("threshold").agg(count(lit(1)).as("n_types"))
       .crossJoin(broadcast(total))
