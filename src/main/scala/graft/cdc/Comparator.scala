@@ -29,7 +29,18 @@ object Comparator {
     *                     compare_timestamps.go:214)
     * @param strictChangeType corrected DELETE-suffix semantics instead of the
     *                     reference's dead branch (SURVEY E12) */
-  case class Config(toleranceMs: Long = 100L, strictChangeType: Boolean = false)
+  /** @param bandJoinTolerance evaluate E10's tolerance as a time-bucketed
+    *                     BAND-JOIN predicate instead of a post-join filter
+    *                     expression — the SURVEY §4 deferred candidate.
+    *                     Same statuses bit-for-bit (cdc46 gates it against
+    *                     cdc04's oracle); the point is the PLAN: the
+    *                     within-tolerance pairs come from an equi-join on
+    *                     (key, time-bucket) with the band check inside the
+    *                     join condition, the q25 range-join shape — the
+    *                     form a tolerance-keyed (rather than position-
+    *                     keyed) reconciliation would need at scale. */
+  case class Config(toleranceMs: Long = 100L, strictChangeType: Boolean = false,
+      bandJoinTolerance: Boolean = false)
 
   /** Go's `time.Time` zero value (year 1) in epoch micros: a binlog event with
     * *both* timestamp fields empty is compared against this and therefore
@@ -172,14 +183,55 @@ object Comparator {
     val joined = a.join(b,
       a("a_file") === b("b_file") && a("a_pos") === b("b_pos"),
       joinType)
-    statusColumns(joined, cfg)
+    if (!cfg.bandJoinTolerance) statusColumns(joined, cfg)
+    else {
+      // E10 as a BAND JOIN (q25's time-bucket machinery): a pair is within
+      // tolerance iff |Δt| ≤ tol, and with bucket width W = tol·1000 µs two
+      // in-band timestamps land in the same or adjacent buckets — so the
+      // binlog side explodes to its bucket ± 1 (constant 3×) and the pair
+      // search is an EQUI-join on (key, bucket) carrying the exact band
+      // check, never a theta join. Membership keys on (file, pos, a_µs):
+      // duplicate avro rows on one key are compared independently
+      // (reference :168-247), and rows with equal timestamps are
+      // indistinguishable for tolerance, so the distinct is lossless.
+      // Parse-error binlog rows never enter (they mismatch by E8's rule);
+      // the both-empty Go-zero time DOES enter and matches nothing — the
+      // always-mismatch quirk falls out of the band itself.
+      val w = math.max(cfg.toleranceMs * 1000L, 1L) // tol=0 ⇒ exact-µs bucket
+      val bT = renameBinlogSide(binlog)
+        .filter(!binlogTsParseError)
+        .select(col("b_file"), col("b_pos"), binlogTsMicros.as("_b_us"))
+        .select(col("b_file"), col("b_pos"), col("_b_us"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("_nb"))
+        .select(col("b_file"), col("b_pos"), col("_b_us"),
+          (expr(s"_b_us div ${w}L") + col("_nb")).as("_bkt"))
+      val aT = renameAvroSide(avro)
+        .select(col("a_file"), col("a_pos"),
+          (col("a_source_ts_ms") * 1000L).as("_a_us"))
+        .withColumn("_bkt", expr(s"_a_us div ${w}L"))
+      val within = bT.join(aT,
+          bT("b_file") === aT("a_file") && bT("b_pos") === aT("a_pos") &&
+            bT("_bkt") === aT("_bkt") &&
+            abs(aT("_a_us") - bT("_b_us")) <= lit(cfg.toleranceMs * 1000L))
+        .select(col("a_file").as("_w_file"), col("a_pos").as("_w_pos"),
+          col("_a_us").as("_w_us"))
+        .distinct()
+      val flagged = joined.join(within,
+          col("a_file") === col("_w_file") && col("a_pos") === col("_w_pos") &&
+            col("a_source_ts_ms") * 1000L === col("_w_us"), "left")
+        .withColumn("_ts_within", col("_w_file").isNotNull)
+        .drop("_w_file", "_w_pos", "_w_us")
+      statusColumns(flagged, cfg, tsOutside = Some(!col("_ts_within")))
+        .drop("_ts_within")
+    }
   }
 
   /** The comparison flag/status expressions over an already-joined frame
     * carrying the canonical `b_*` / `a_*` columns — shared by the batch
     * full-outer plan and the streaming joins (which build their own join
     * with watermark/time-bound predicates). */
-  private[graft] def statusColumns(joined: DataFrame, cfg: Config): DataFrame = {
+  private[graft] def statusColumns(joined: DataFrame, cfg: Config,
+      tsOutside: Option[Column] = None): DataFrame = {
     // E8 timestamp coalesce + parse, with the reference's quirks
     // (compare_timestamps.go:197-216):
     //  - prefer immediate_commmit_timestamp (RFC3339Nano) else timestamp
@@ -191,8 +243,11 @@ object Comparator {
     val avroMicros = col("a_source_ts_ms") * 1000L
 
     val bothPresent = col("_b_present") && col("_a_present")
-    val tsMismatch =
-      parseError || outsideTolerance(avroMicros, binlogMicros, cfg.toleranceMs)
+    // tsOutside: caller-supplied out-of-band verdict (the band-join mode)
+    // replacing the default post-join tolerance expression — E8's
+    // parse-error short-circuit stays in front either way
+    val tsMismatch = parseError ||
+      tsOutside.getOrElse(outsideTolerance(avroMicros, binlogMicros, cfg.toleranceMs))
     // E11 / E13 — flagged only; never counted in `mismatches`
     // (reference :228,:245 commented out); skipped after a parse error (:210).
     val gtidMismatch = !parseError &&

@@ -2811,7 +2811,34 @@ object CdcQueries {
       .orderBy("o_orderpriority")
   }
 
+  // cdc46 — E10's tolerance as a BAND-JOIN PREDICATE (SURVEY §4's one
+  // deferred Catalyst candidate, closed): the same five-tolerance sweep
+  // as cdc04, but each tolerance's MISMATCH_TS verdict comes from
+  // `Config(bandJoinTolerance = true)` — within-tolerance pairs found by
+  // an equi-join on (key, time-bucket) with the band check riding the
+  // join condition (q25's range-join shape; bucket width = the
+  // tolerance), not by a post-join filter expression. Shares cdc04's
+  // oracle: identical counts at every tolerance is exactly the
+  // "same rows via the band-join plan" contract — a divergence isolates
+  // the band machinery (bucket math, ±1 adjacency, duplicate-key
+  // membership) from the tolerance semantics. Five compares instead of
+  // cdc04's one cached pass: the sweep is the gate's job; a deployment
+  // runs one tolerance.
+  def cdc46BandTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Comparator
+    val (b, a) = sides(spark, dir)
+    val bp = b.localCheckpoint(true) // five compares share the prepared sides
+    val ap = a.localCheckpoint(true)
+    Seq(0L, 50L, 100L, 250L, 1000L).map { tol =>
+      Comparator.compare(bp, ap,
+          Comparator.Config(toleranceMs = tol, bandJoinTolerance = true))
+        .groupBy("status").agg(count(lit(1)).as("count"))
+        .select(lit(tol).as("tolerance_ms"), col("status"), col("count"))
+    }.reduce(_ unionByName _).orderBy("tolerance_ms", "status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc46_band_tolerance" -> (cdc46BandTolerance _),
     "cdc45_stream_ivm" -> (cdc45StreamIvm _),
     "cdc44_multi_watermark" -> (cdc44MultiWatermark _),
     "cdc43_avro_roundtrip" -> (cdc43AvroRoundtrip _),
@@ -2907,5 +2934,7 @@ object CdcQueries {
     // stream-maintained view == q66's batch IVM decomposition — a
     // mismatch against a green q66 isolates the streaming delivery
     "cdc45_stream_ivm" -> AnalyticQueries.q66Oracle,
+    // band-join tolerance == cdc04's post-join-filter sweep, bit-for-bit
+    "cdc46_band_tolerance" -> cdc04Oracle,
   )
 }

@@ -556,4 +556,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!ch.contains("SortMergeJoin") && !ch.contains("ShuffledHashJoin"),
       s"p13 assignment path must not shuffle-join the corpus:\n$ch")
   }
+
+  test("cdc46: the tolerance band rides an equi-join — no theta/nested-loop pairing") {
+    // the band-join mode's entire point is the PLAN: within-tolerance
+    // pairs must come from an equi-join on (key, time-bucket) with the
+    // band check as a join-condition residual, never a cartesian or
+    // nested-loop theta join over the feeds
+    val p = plan(CdcQueries.cdc46BandTolerance(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"band pairing went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"band pairing degenerated to a nested loop:\n$p")
+    assert(p.contains("_bkt"), s"time-bucket key missing from the plan:\n$p")
+  }
 }
