@@ -32,13 +32,27 @@ object BinlogSink {
     * encoder loudly); `rowsPerEvent` bounds WRITE_ROWS event size so a
     * large partition becomes many bounded events, not one giant one. */
   def writeKeyedStrings(df: DataFrame, dir: String, maxLen: Int = 20,
+      rowsPerEvent: Int = 100): Unit =
+    writeChanges(df.selectExpr(
+      "cast(1 as int)", "cast(" + df.columns(0) + " as bigint)",
+      df.columns(1)), dir, maxLen, rowsPerEvent)
+
+  /** Write a CHANGELOG: `df`'s first three columns are (INT op, BIGINT
+    * key, STRING payload) with op = +1 (insert) or −1 (delete). Inserts
+    * encode as WRITE_ROWS events, deletes as DELETE_ROWS events — the
+    * binlog's NATIVE retraction — batched in partition order so a
+    * decoder replaying the file in event order reconstructs the exact
+    * signed multiset. One file per non-empty partition, as
+    * [[writeKeyedStrings]]. */
+  def writeChanges(df: DataFrame, dir: String, maxLen: Int = 20,
       rowsPerEvent: Int = 100): Unit = {
     import BinlogBinaryWriter._
     val out = new java.io.File(dir)
     out.mkdirs()
     val dirPath = out.getPath
     val cols = Seq(ColDef.longlong, ColDef.varchar(maxLen))
-    df.selectExpr("cast(" + df.columns(0) + " as bigint)", df.columns(1))
+    df.selectExpr("cast(" + df.columns(0) + " as int)",
+        "cast(" + df.columns(1) + " as bigint)", df.columns(2))
       .rdd.foreachPartition { rows =>
         if (rows.hasNext) {
           val pid = TaskContext.getPartitionId()
@@ -48,18 +62,29 @@ object BinlogSink {
           f.fde(t0)
           f.event(t0, 33, gtidBody(sid, pid + 1L))
           f.event(t0, 2, queryBody("sf", "BEGIN"))
-          rows.grouped(rowsPerEvent).foreach { batch =>
-            val images = batch.map { r =>
-              val s = r.getString(1)
-              // the TABLE_MAP declares VARCHAR(maxLen); a longer payload
-              // would still self-describe on the wire but lie to every
-              // schema-aware consumer — reject it at the sink
-              require(s.getBytes("UTF-8").length <= maxLen,
-                s"payload exceeds declared VARCHAR($maxLen): '$s'")
-              Seq(Some(encLongLong(r.getLong(0))), Some(encVarchar(s, maxLen)))
-            }.toSeq
+          // group CONSECUTIVE same-op rows into one event (an event has
+          // one type), preserving partition order on the wire
+          val it = rows.map { r =>
+            val op = r.getInt(0)
+            require(op == 1 || op == -1, s"op must be +1/-1, got $op")
+            val s = r.getString(2)
+            // the TABLE_MAP declares VARCHAR(maxLen); a longer payload
+            // would still self-describe on the wire but lie to every
+            // schema-aware consumer — reject it at the sink
+            require(s.getBytes("UTF-8").length <= maxLen,
+              s"payload exceeds declared VARCHAR($maxLen): '$s'")
+            (op, Seq(Some(encLongLong(r.getLong(1))),
+              Some(encVarchar(s, maxLen))))
+          }.buffered
+          while (it.hasNext) {
+            val op = it.head._1
+            val batch = scala.collection.mutable.ArrayBuffer
+              .empty[Seq[Option[Array[Byte]]]]
+            while (it.hasNext && it.head._1 == op && batch.size < rowsPerEvent)
+              batch += it.next()._2
             f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-            f.event(t0, 30, rowsBody(11, cols.size, images))
+            f.event(t0, if (op == 1) 30 else 32,
+              rowsBody(11, cols.size, batch.toSeq))
           }
           f.event(t0, 16, xidBody(1000L + pid))
           java.nio.file.Files.write(

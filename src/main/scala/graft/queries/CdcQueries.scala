@@ -2837,7 +2837,82 @@ object CdcQueries {
     }.reduce(_ unionByName _).orderBy("tolerance_ms", "status")
   }
 
+  // cdc47 — streaming IVM WITH RETRACTIONS: cdc45 maintains a view under
+  // inserts; real changelogs also DELETE, and a maintained aggregate must
+  // retract — the signed-multiset algebra (Σop, Σop·value per group)
+  // every IVM engine runs on its delta stream. The retraction is carried
+  // NATIVELY: the changelog rides the wire as binlog WRITE_ROWS (+1) and
+  // DELETE_ROWS (−1) events (BinlogSink.writeChanges — inserts precede
+  // their deletes on each file, a real changelog's contract), streams
+  // back through the binlog source across multiple micro-batches, and
+  // foreachBatch appends each batch's SIGNED partial aggregates to the
+  // view state. Signed sums are commutative/associative, so any batch
+  // split folds to the same view — which is exactly what the oracle
+  // gates: the drained view equals the batch aggregate over the
+  // surviving multiset. At 100 TB: per batch the work is one delta-sized
+  // map + a ≤|groups|-row append; deletes cost the same as inserts (the
+  // point of signed partials — no base-view lookup, no rescan).
+  def cdc47StreamRetract(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc47_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+    // signed changelog: every DML row inserts; every %3 row is later
+    // retracted (same key/group — a genuine delete of an existing row)
+    val ins = base.select(lit(1).as("op"), col("user_id").as("k"),
+      col("event_type").as("grp"), col("event_id").as("ord"))
+    val del = base.filter(col("event_id") % 3 === 0)
+      .select(lit(-1).as("op"), col("user_id").as("k"),
+        col("event_type").as("grp"), (col("event_id") + 100000000L).as("ord"))
+    val changelog = ins.unionByName(del)
+      .repartition(4, col("k"))
+      .sortWithinPartitions("ord") // inserts precede their deletes per file
+      .select("op", "k", "grp")
+    graft.ingest.BinlogSink.writeChanges(changelog, feed)
+    withDrainPartitions(spark) {
+      val q = spark.readStream.format("binlog")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .filter(col("event_type")
+              .isin("WriteRowsEventV2", "DeleteRowsEventV2"))
+            .select(when(col("event_type") === "WriteRowsEventV2", 1L)
+              .otherwise(-1L).as("w"),
+              explode(col("row_images")).as("img"))
+            .select(col("w"),
+              element_at(col("img"), 1).cast("long").as("k"),
+              element_at(col("img"), 2).as("event_type"))
+            .groupBy("event_type")
+            .agg(sum(col("w")).as("n"), sum(col("w") * col("k")).as("ksum"))
+            .write.mode("append").parquet(state)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(state)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_rows"), sum(col("ksum")).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val cdc47Oracle: String =
+    """SELECT event_type,
+      |  CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_rows,
+      |  CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END)
+      |    AS BIGINT) AS value_sum
+      |FROM events WHERE event_type IN ('purchase', 'click', 'view')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc47_stream_retract" -> (cdc47StreamRetract _),
     "cdc46_band_tolerance" -> (cdc46BandTolerance _),
     "cdc45_stream_ivm" -> (cdc45StreamIvm _),
     "cdc44_multi_watermark" -> (cdc44MultiWatermark _),
@@ -2936,5 +3011,6 @@ object CdcQueries {
     "cdc45_stream_ivm" -> AnalyticQueries.q66Oracle,
     // band-join tolerance == cdc04's post-join-filter sweep, bit-for-bit
     "cdc46_band_tolerance" -> cdc04Oracle,
+    "cdc47_stream_retract" -> cdc47Oracle,
   )
 }

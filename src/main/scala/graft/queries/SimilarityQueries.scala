@@ -3877,7 +3877,68 @@ object SimilarityQueries {
       |FROM dims d LEFT JOIN hits h ON h.dim = d.dim
       |CROSS JOIN nq ORDER BY d.dim""".stripMargin
 
+  // s48 — HARD-NEGATIVE MINING (the contrastive-training data step every
+  // embedding-model pipeline runs — SimCSE/SBERT's triplet construction):
+  // per anchor query, the exact nearest SAME-label neighbor (the
+  // positive) and the exact nearest DIFFERENT-label neighbor (the hard
+  // negative — the pair that actually moves a contrastive loss), plus
+  // the margin between them. A small margin flags anchors whose labels
+  // the embedding can't yet separate — the rows a curriculum samples
+  // first. Exactness: cosines floored to micros through the shared
+  // double dag (the s32/s22 discipline); selection ties break on
+  // vec_id. Plan: the s01 broadcast-query single corpus scan, one
+  // window over (query, same-label) — never all-pairs, anchors
+  // broadcast.
+  def s48HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val wS = Window.partitionBy("query_id", "same")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("same", col("label") === col("qlabel"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") === 1)
+      .withColumn("cos_micro", floor(col("cos") * 1000000d).cast("long"))
+    top.groupBy("query_id")
+      .agg(max(when(col("same"), col("vec_id"))).as("pos_id"),
+        max(when(col("same"), col("cos_micro"))).as("pos_cos_micro"),
+        max(when(!col("same"), col("vec_id"))).as("neg_id"),
+        max(when(!col("same"), col("cos_micro"))).as("neg_cos_micro"))
+      .withColumn("margin_micro", col("pos_cos_micro") - col("neg_cos_micro"))
+      .orderBy("query_id")
+  }
+
+  val s48Oracle: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+      |  FROM embeddings WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, e.vec_id, e.label = q.qlabel AS same,
+      |    ${duckCosOf("q.qv", "e.embedding")} AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+      |), top AS (
+      |  SELECT query_id, vec_id, same,
+      |    CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id, same
+      |      ORDER BY cos DESC, vec_id) AS rk
+      |    FROM scored)
+      |  WHERE rk = 1
+      |)
+      |SELECT query_id,
+      |  MAX(CASE WHEN same THEN vec_id END) AS pos_id,
+      |  MAX(CASE WHEN same THEN cos_micro END) AS pos_cos_micro,
+      |  MAX(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+      |  MAX(CASE WHEN NOT same THEN cos_micro END) AS neg_cos_micro,
+      |  MAX(CASE WHEN same THEN cos_micro END)
+      |    - MAX(CASE WHEN NOT same THEN cos_micro END) AS margin_micro
+      |FROM top GROUP BY query_id ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s48_hard_negatives" -> (s48HardNegatives _),
     "s47_matryoshka" -> (s47Matryoshka _),
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
     "s43_stream_search" -> (s43StreamSearch _),
@@ -3933,6 +3994,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "s47_matryoshka" -> s47Oracle,
+    "s48_hard_negatives" -> s48Oracle,
     "s01_ann_bruteforce" -> s01Oracle,
     "s02_ann_lsh" -> s02Oracle,
     "s03_ann_ivf" -> s03Oracle,

@@ -1745,7 +1745,80 @@ object TextQueries {
       |  CAST(SUM(doc_id * pos) AS BIGINT) AS match_checksum
       |FROM hits GROUP BY w1, w2, w3""".stripMargin
 
+  // t35 — HASHED-BIGRAM IMPORTANCE WEIGHTS (the DSIR recipe, Xie et al.
+  // 2023: resample pretraining data toward a target domain by the ratio
+  // of hashed n-gram likelihoods): bigrams hash into 1024 buckets (the
+  // shared 60-bit md5 discipline), the TARGET distribution comes from
+  // the English slice, the SOURCE from the whole corpus, and each doc
+  // scores the MEAN per-bigram importance ratio P_target/P_source.
+  // Declared deviation from the paper: DSIR sums LOG ratios; ln() is
+  // libm-dependent and ungateable cross-engine, so the engine ships the
+  // mean LIKELIHOOD ratio in exact integers — same ranking intent
+  // (target-like docs score high), bit-exact gate. Overflow-safe
+  // staging: per-bucket masses to ppb first (≤1e9), then the ratio to
+  // ppm (product ≤1e15) — holds at any corpus size. Plan: one
+  // bigram-keyed count shuffle each side, a 1024-row ratio table
+  // BROADCAST to the per-doc scan, one doc-keyed aggregate; single-token
+  // docs carry no bigram and drop (documented). Output: top-20 docs by
+  // score — the resampling head.
+  def t35ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(spark, dir).select(col("doc_id"), col("lang"), col("toks"))
+    val bigrams = docs.select(col("doc_id"), col("lang"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("bkt",
+        conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long") % 1024L)
+    val sCnt = bigrams.groupBy("bkt").agg(count(lit(1)).as("s_cnt"))
+    val tCnt = bigrams.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).as("t_cnt"))
+    val totals = sCnt.agg(sum("s_cnt").as("s_tot"))
+      .crossJoin(tCnt.agg(sum("t_cnt").as("t_tot")))
+    val ratio = sCnt.join(tCnt, Seq("bkt"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bkt"), expr(
+        """((coalesce(t_cnt, 0L) * 1000000000L div t_tot) * 1000000L)
+          |  div greatest(s_cnt * 1000000000L div s_tot, 1L)""".stripMargin)
+        .as("ratio_ppm"))
+    bigrams.join(broadcast(ratio), Seq("bkt"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(ratio_ppm) div count(1)").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id")).limit(20)
+  }
+
+  val t35Oracle: String =
+    """WITH bg AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(b), 1, 15)) AS BIGINT) % 1024 AS bkt
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |        i -> string_split(text, ' ')[i] || ' ' ||
+      |             string_split(text, ' ')[i + 1])) AS b
+      |    FROM documents)
+      |), s AS (
+      |  SELECT bkt, COUNT(*) AS s_cnt FROM bg GROUP BY bkt
+      |), t AS (
+      |  SELECT bkt, COUNT(*) AS t_cnt FROM bg WHERE lang = 'en' GROUP BY bkt
+      |), tot AS (
+      |  SELECT (SELECT CAST(SUM(s_cnt) AS BIGINT) FROM s) AS s_tot,
+      |         (SELECT CAST(SUM(t_cnt) AS BIGINT) FROM t) AS t_tot
+      |), r AS (
+      |  SELECT s.bkt,
+      |    CAST(((COALESCE(t.t_cnt, 0) * 1000000000 // tot.t_tot) * 1000000)
+      |      // greatest(s.s_cnt * 1000000000 // tot.s_tot, 1) AS BIGINT)
+      |      AS ratio_ppm
+      |  FROM s LEFT JOIN t USING (bkt) CROSS JOIN tot
+      |)
+      |SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+      |FROM bg JOIN r USING (bkt)
+      |GROUP BY doc_id, lang
+      |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_importance_weights" -> (t35ImportanceWeights _),
     "t34_phrase_search" -> (t34PhraseSearch _),
     "t33_bpe_encode" -> (t33BpeEncode _),
     "t32_kneser_ney" -> (t32KneserNey _),
@@ -1784,6 +1857,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "t34_phrase_search" -> t34Oracle,
+    "t35_importance_weights" -> t35Oracle,
     "t33_bpe_encode" -> t33Oracle,
     "t32_kneser_ney" -> t32Oracle,
     "t01_token_stats" -> t01Oracle,

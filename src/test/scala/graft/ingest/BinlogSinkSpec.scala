@@ -34,6 +34,39 @@ class BinlogSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(back == (0 until 250).map(i => (i.toLong, s"payload_$i")).toSet)
   }
 
+  test("writeChanges encodes +1 as WRITE_ROWS and -1 as DELETE_ROWS, order preserved") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_c_").toString
+    // alternating ops force multiple events per file (one event per op run)
+    val rows = (0 until 60).map(i =>
+      (if (i % 3 == 0) -1 else 1, i.toLong, s"g${i % 2}"))
+    val df = rows.toDF("op", "k", "v").coalesce(1)
+    BinlogSink.writeChanges(df, dir)
+    val back = spark.read.format("binlog").load(dir)
+      .filter(col("event_type").isin("WriteRowsEventV2", "DeleteRowsEventV2"))
+      .select(col("event_type"), col("event_index"),
+        explode(col("row_images")).as("img"))
+      .select(col("event_type"),
+        element_at(col("img"), 1).cast("long").as("k"),
+        element_at(col("img"), 2).as("v"))
+      .collect()
+    val expectIns = rows.filter(_._1 == 1).map(r => (r._2, r._3)).toSet
+    val expectDel = rows.filter(_._1 == -1).map(r => (r._2, r._3)).toSet
+    assert(back.filter(_.getString(0) == "WriteRowsEventV2")
+      .map(r => (r.getLong(1), r.getString(2))).toSet == expectIns)
+    assert(back.filter(_.getString(0) == "DeleteRowsEventV2")
+      .map(r => (r.getLong(1), r.getString(2))).toSet == expectDel)
+  }
+
+  test("writeChanges rejects an op outside +1/-1") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_o_").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      BinlogSink.writeChanges(Seq((2, 1L, "x")).toDF("op", "k", "v"), dir)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("empty input writes no files; decoder sees an empty directory") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_e_").toString
