@@ -2911,7 +2911,98 @@ object CdcQueries {
       |FROM events WHERE event_type IN ('purchase', 'click', 'view')
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // cdc48 — IDEMPOTENT (exactly-once) foreachBatch SINK discipline:
+  // foreachBatch gives at-least-once delivery — a batch whose sink write
+  // committed but whose checkpoint offset didn't is REDELIVERED on
+  // restart, and cdc45's plain parquet appends would double-count it.
+  // The production fix is batch-id-keyed idempotent writes: partials
+  // land in a state table PARTITIONED BY batch_id with dynamic
+  // partition-overwrite, so a redelivered batch REPLACES its own
+  // partition instead of appending next to it. The gate PROVES the
+  // property by injecting the failure: after the drain, the first
+  // batch's write is deliberately re-executed (same batch_id, same
+  // rows — the redelivery), and the final view still has to equal q66's
+  // batch decomposition — sharing q66's oracle, so a double-count is a
+  // hash mismatch, not a silent drift. cdc18 gates SOURCE restart
+  // parity (offsets); cdc48 gates SINK redelivery parity (writes) —
+  // together the two halves of streaming exactly-once.
+  def cdc48IdempotentSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc48_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val line = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), Tables.cents(col("l_extendedprice")).as("c"))
+    val aBase = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val aDelta = orders.filter(col("o_orderkey") % 5 === 0)
+    val bBase = line.filter(col("l_orderkey") % 7 =!= 0)
+    val bDelta = line.filter(col("l_orderkey") % 7 === 0)
+    def partials(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("c")).as("cents"), count(lit(1)).as("n"))
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      aDelta.repartition(4, col("o_orderkey")), feed)
+    val bPrime = bBase.unionByName(bDelta).localCheckpoint(true)
+    def decode(batch: DataFrame): DataFrame = batch
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(explode(col("row_images")).as("img"))
+      .select(element_at(col("img"), 1).cast("long").as("o_orderkey"),
+        element_at(col("img"), 2).as("o_orderpriority"))
+    // the idempotent write: one partition per batch id, dynamic overwrite
+    def applyBatch(delta: DataFrame, id: Long): Unit =
+      partials(delta, bPrime)
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(state)
+    // state₀ under the same discipline (batch_id −1 = the old view's
+    // partials against the OLD B, −2 = the one-shot A⋈ΔB leg — not
+    // applyBatch, which joins B′ and would double-count ΔB)
+    partials(aBase, bBase).withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(state)
+    partials(aBase, bDelta).withColumn("batch_id", lit(-2L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(state)
+    withDrainPartitions(spark) {
+      val q = spark.readStream.format("binlog")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          applyBatch(decode(batch), id)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // INJECTED REDELIVERY: re-apply batch 0's write from a batch re-read
+    // of the lowest-numbered feed file — the crash-after-commit replay.
+    // With append semantics this would double batch 0's partials; the
+    // partition overwrite must absorb it bit-for-bit.
+    val firstFile = new java.io.File(feed).listFiles().map(_.getName).min
+    applyBatch(
+      decode(spark.read.format("binlog").load(s"$feed/$firstFile")), 0L)
+    val incr = spark.read.parquet(state)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("cents")).as("incr_cents"), sum(col("n")).as("n_rows_incr"))
+    val full = partials(orders, line)
+      .withColumnRenamed("cents", "full_cents")
+      .withColumnRenamed("n", "n_rows_full")
+    full.join(incr, "o_orderpriority")
+      .select(col("o_orderpriority"), col("full_cents"), col("incr_cents"),
+        col("n_rows_full"), col("n_rows_incr"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc48_idempotent_sink" -> (cdc48IdempotentSink _),
     "cdc47_stream_retract" -> (cdc47StreamRetract _),
     "cdc46_band_tolerance" -> (cdc46BandTolerance _),
     "cdc45_stream_ivm" -> (cdc45StreamIvm _),
@@ -3012,5 +3103,7 @@ object CdcQueries {
     // band-join tolerance == cdc04's post-join-filter sweep, bit-for-bit
     "cdc46_band_tolerance" -> cdc04Oracle,
     "cdc47_stream_retract" -> cdc47Oracle,
+    // redelivered-batch write absorbed ⇒ still q66's exact decomposition
+    "cdc48_idempotent_sink" -> AnalyticQueries.q66Oracle,
   )
 }
