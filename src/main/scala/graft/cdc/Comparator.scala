@@ -38,7 +38,16 @@ object Comparator {
     *                     (key, time-bucket) with the band check inside the
     *                     join condition, the q25 range-join shape — the
     *                     form a tolerance-keyed (rather than position-
-    *                     keyed) reconciliation would need at scale. */
+    *                     keyed) reconciliation would need at scale.
+    *                     CONTRACT: the binlog side must be unique per
+    *                     (file, position) — `prepareBinlog`'s last-wins
+    *                     dedup output, the same expectation `compare`
+    *                     documents. Within-band membership keys on
+    *                     (file, pos, avro-µs); a duplicate-keyed binlog
+    *                     side would let a sibling row's in-band timestamp
+    *                     vouch for a pair whose own Δt is out of band.
+    *                     Batch-only (the mode builds a distinct + second
+    *                     join, which streaming plans reject). */
   case class Config(toleranceMs: Long = 100L, strictChangeType: Boolean = false,
       bandJoinTolerance: Boolean = false)
 
@@ -185,6 +194,9 @@ object Comparator {
       joinType)
     if (!cfg.bandJoinTolerance) statusColumns(joined, cfg)
     else {
+      require(!binlog.isStreaming && !avro.isStreaming,
+        "bandJoinTolerance is batch-only: the within-band membership " +
+          "needs a distinct + rejoin that streaming plans reject")
       // E10 as a BAND JOIN (q25's time-bucket machinery): a pair is within
       // tolerance iff |Δt| ≤ tol, and with bucket width W = tol·1000 µs two
       // in-band timestamps land in the same or adjacent buckets — so the

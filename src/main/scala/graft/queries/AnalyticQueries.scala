@@ -1265,17 +1265,12 @@ object AnalyticQueries {
   // shuffle (drop it in production and nothing data-sized remains
   // after the scan).
   def q61HllSketch(spark: SparkSession, dir: String): DataFrame = {
-    val m = 64
-    val base = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"),
-        pmod(col("l_orderkey"), lit(4)).as("shard"),
-        col("l_partkey"),
-        conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-      .withColumn("reg", expr("shiftright(h, 54)"))
-      .withColumn("rest", expr("h % 18014398509481984L"))
-      .withColumn("rho", when(col("rest") === 0, lit(55))
-        .otherwise(lit(55) - length(expr("bin(rest)"))).cast("int"))
+    import graft.ops.Hll
+    val base = Hll.withRegRho(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          pmod(col("l_orderkey"), lit(4)).as("shard"), col("l_partkey")),
+      col("l_partkey"))
     // direct sketch: per-flag register maxima
     val direct = base.groupBy("l_returnflag", "reg")
       .agg(max(col("rho")).as("r"))
@@ -1285,9 +1280,7 @@ object AnalyticQueries {
       .groupBy("l_returnflag", "reg").agg(max(col("r")).as("r"))
     def sumCol(df: DataFrame, out: String): DataFrame =
       df.groupBy("l_returnflag")
-        .agg((sum(expr("shiftright(281474976710656L, cast(r as int))")) +
-          (lit(m) - count(lit(1))) * lit(281474976710656L)).as(out),
-          count(lit(1)).as(out + "_present"))
+        .agg(Hll.sum48OverR.as(out), count(lit(1)).as(out + "_present"))
     val dSum = sumCol(direct, "sum48")
     val mSum = sumCol(merged, "sum48_merged").drop("sum48_merged_present")
     val exact = Tables.lineitem(spark, dir).groupBy("l_returnflag")
@@ -1296,10 +1289,9 @@ object AnalyticQueries {
       .select(col("l_returnflag"), col("n_exact"),
         col("sum48_present").as("n_regs_hit"),
         col("sum48"), col("sum48_merged"),
-        expr("(((281474976710656L * 4096) div sum48) * 709) div 1000")
-          .as("est"),
-        expr("abs((((281474976710656L * 4096) div sum48) * 709) div 1000" +
-          " - n_exact) * 1000000L div n_exact").as("err_ppm"))
+        Hll.estExpr("sum48").as("est"),
+        expr(s"abs(${Hll.estSql("sum48")} - n_exact) * 1000000L div n_exact")
+          .as("err_ppm"))
       .orderBy("l_returnflag")
   }
 

@@ -2753,6 +2753,52 @@ object CdcQueries {
   // At 100 TB: per batch the work is |ΔA_k| join-probes against B′
   // (keyed equi-join, delta-sized) plus a ≤|priorities|-row append —
   // the view is never rescanned, which is the entire point of IVM.
+  /** q66's fixture splits, shared by cdc45/cdc48 so the three consumers
+    * of q66's oracle (q66 itself, the streaming IVM, the idempotent
+    * sink) cannot drift from the decomposition the oracle gates. */
+  private case class IvmFixture(orders: DataFrame, line: DataFrame,
+      aBase: DataFrame, aDelta: DataFrame,
+      bBase: DataFrame, bDelta: DataFrame) {
+    def partials(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("c")).as("cents"), count(lit(1)).as("n"))
+  }
+
+  private def ivmFixture(spark: SparkSession, dir: String): IvmFixture = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val line = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), Tables.cents(col("l_extendedprice")).as("c"))
+    IvmFixture(orders, line,
+      orders.filter(col("o_orderkey") % 5 =!= 0),
+      orders.filter(col("o_orderkey") % 5 === 0),
+      line.filter(col("l_orderkey") % 7 =!= 0),
+      line.filter(col("l_orderkey") % 7 === 0))
+  }
+
+  /** The binlog-decoded ΔA projection cdc45/cdc48 share. */
+  private def decodeIvmDelta(batch: DataFrame): DataFrame = batch
+    .filter(col("event_type") === "WriteRowsEventV2")
+    .select(explode(col("row_images")).as("img"))
+    .select(element_at(col("img"), 1).cast("long").as("o_orderkey"),
+      element_at(col("img"), 2).as("o_orderpriority"))
+
+  /** The q66 output shape over a maintained state table — full recompute
+    * next to the streamed incremental, q66's oracle columns. */
+  private def ivmReport(fx: IvmFixture, state: DataFrame): DataFrame = {
+    val incr = state
+      .groupBy("o_orderpriority")
+      .agg(sum(col("cents")).as("incr_cents"), sum(col("n")).as("n_rows_incr"))
+    fx.partials(fx.orders, fx.line)
+      .withColumnRenamed("cents", "full_cents")
+      .withColumnRenamed("n", "n_rows_full")
+      .join(incr, "o_orderpriority")
+      .select(col("o_orderpriority"), col("full_cents"), col("incr_cents"),
+        col("n_rows_full"), col("n_rows_incr"))
+      .orderBy("o_orderpriority")
+  }
+
   def cdc45StreamIvm(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val root = tmpFixtureDir("graft_cdc45_", dir)
@@ -2760,28 +2806,18 @@ object CdcQueries {
     val feed = new java.io.File(root, "feed").getPath
     val state = new java.io.File(root, "state").getPath
     val ckpt = new java.io.File(root, "ckpt").getPath
-    val orders = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-    val line = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), Tables.cents(col("l_extendedprice")).as("c"))
-    val aBase = orders.filter(col("o_orderkey") % 5 =!= 0)
-    val aDelta = orders.filter(col("o_orderkey") % 5 === 0)
-    val bBase = line.filter(col("l_orderkey") % 7 =!= 0)
-    val bDelta = line.filter(col("l_orderkey") % 7 === 0)
-    def partials(a: DataFrame, b: DataFrame): DataFrame =
-      a.join(b, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(sum(col("c")).as("cents"), count(lit(1)).as("n"))
+    val fx = ivmFixture(spark, dir)
     // ΔA → four real binlog files (keyed repartition: deterministic
     // membership, any partitioning sums to the same view)
     graft.ingest.BinlogSink.writeKeyedStrings(
-      aDelta.repartition(4, col("o_orderkey")), feed)
+      fx.aDelta.repartition(4, col("o_orderkey")), feed)
     // state₀ = old view's partials + the A⋈ΔB leg (ΔB applied batch-side
     // — the feed under maintenance here is A's; q66 already gates the
     // both-sides algebra, so B′ enters as the static join side)
-    partials(aBase, bBase).unionByName(partials(aBase, bDelta))
+    fx.partials(fx.aBase, fx.bBase)
+      .unionByName(fx.partials(fx.aBase, fx.bDelta))
       .write.mode("overwrite").parquet(state)
-    val bPrime = bBase.unionByName(bDelta)
+    val bPrime = fx.bBase.unionByName(fx.bDelta)
       .localCheckpoint(true) // B′ = B ∪ ΔB: built once, probed per batch
     withDrainPartitions(spark) {
       val q = spark.readStream.format("binlog")
@@ -2789,26 +2825,14 @@ object CdcQueries {
         .load(feed)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val dA = batch.filter(col("event_type") === "WriteRowsEventV2")
-            .select(explode(col("row_images")).as("img"))
-            .select(element_at(col("img"), 1).cast("long").as("o_orderkey"),
-              element_at(col("img"), 2).as("o_orderpriority"))
-          partials(dA, bPrime).write.mode("append").parquet(state)
+          fx.partials(decodeIvmDelta(batch), bPrime)
+            .write.mode("append").parquet(state)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val incr = spark.read.parquet(state)
-      .groupBy("o_orderpriority")
-      .agg(sum(col("cents")).as("incr_cents"), sum(col("n")).as("n_rows_incr"))
-    val full = partials(orders, line)
-      .withColumnRenamed("cents", "full_cents")
-      .withColumnRenamed("n", "n_rows_full")
-    full.join(incr, "o_orderpriority")
-      .select(col("o_orderpriority"), col("full_cents"), col("incr_cents"),
-        col("n_rows_full"), col("n_rows_incr"))
-      .orderBy("o_orderpriority")
+    ivmReport(fx, spark.read.parquet(state))
   }
 
   // cdc46 — E10's tolerance as a BAND-JOIN PREDICATE (SURVEY §4's one
@@ -2933,51 +2957,30 @@ object CdcQueries {
     val feed = new java.io.File(root, "feed").getPath
     val state = new java.io.File(root, "state").getPath
     val ckpt = new java.io.File(root, "ckpt").getPath
-    val orders = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-    val line = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), Tables.cents(col("l_extendedprice")).as("c"))
-    val aBase = orders.filter(col("o_orderkey") % 5 =!= 0)
-    val aDelta = orders.filter(col("o_orderkey") % 5 === 0)
-    val bBase = line.filter(col("l_orderkey") % 7 =!= 0)
-    val bDelta = line.filter(col("l_orderkey") % 7 === 0)
-    def partials(a: DataFrame, b: DataFrame): DataFrame =
-      a.join(b, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(sum(col("c")).as("cents"), count(lit(1)).as("n"))
+    val fx = ivmFixture(spark, dir)
     graft.ingest.BinlogSink.writeKeyedStrings(
-      aDelta.repartition(4, col("o_orderkey")), feed)
-    val bPrime = bBase.unionByName(bDelta).localCheckpoint(true)
-    def decode(batch: DataFrame): DataFrame = batch
-      .filter(col("event_type") === "WriteRowsEventV2")
-      .select(explode(col("row_images")).as("img"))
-      .select(element_at(col("img"), 1).cast("long").as("o_orderkey"),
-        element_at(col("img"), 2).as("o_orderpriority"))
-    // the idempotent write: one partition per batch id, dynamic overwrite
-    def applyBatch(delta: DataFrame, id: Long): Unit =
-      partials(delta, bPrime)
-        .withColumn("batch_id", lit(id))
+      fx.aDelta.repartition(4, col("o_orderkey")), feed)
+    val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
+    // the idempotent write: one partition per id, dynamic overwrite
+    def writeIdempotent(part: DataFrame, id: Long): Unit =
+      part.withColumn("batch_id", lit(id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(state)
+    def applyBatch(batch: DataFrame, id: Long): Unit =
+      writeIdempotent(fx.partials(decodeIvmDelta(batch), bPrime), id)
     // state₀ under the same discipline (batch_id −1 = the old view's
-    // partials against the OLD B, −2 = the one-shot A⋈ΔB leg — not
-    // applyBatch, which joins B′ and would double-count ΔB)
-    partials(aBase, bBase).withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(state)
-    partials(aBase, bDelta).withColumn("batch_id", lit(-2L))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(state)
+    // partials against the OLD B, −2 = the one-shot A⋈ΔB leg — NOT a
+    // B′ join, which would double-count ΔB)
+    writeIdempotent(fx.partials(fx.aBase, fx.bBase), -1L)
+    writeIdempotent(fx.partials(fx.aBase, fx.bDelta), -2L)
     withDrainPartitions(spark) {
       val q = spark.readStream.format("binlog")
         .option("maxFilesPerTrigger", 1)
         .load(feed)
         .writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          applyBatch(decode(batch), id)
-        }
+        .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, id) }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -2987,21 +2990,102 @@ object CdcQueries {
     // With append semantics this would double batch 0's partials; the
     // partition overwrite must absorb it bit-for-bit.
     val firstFile = new java.io.File(feed).listFiles().map(_.getName).min
-    applyBatch(
-      decode(spark.read.format("binlog").load(s"$feed/$firstFile")), 0L)
-    val incr = spark.read.parquet(state)
-      .groupBy("o_orderpriority")
-      .agg(sum(col("cents")).as("incr_cents"), sum(col("n")).as("n_rows_incr"))
-    val full = partials(orders, line)
-      .withColumnRenamed("cents", "full_cents")
-      .withColumnRenamed("n", "n_rows_full")
-    full.join(incr, "o_orderpriority")
-      .select(col("o_orderpriority"), col("full_cents"), col("incr_cents"),
-        col("n_rows_full"), col("n_rows_incr"))
-      .orderBy("o_orderpriority")
+    applyBatch(spark.read.format("binlog").load(s"$feed/$firstFile"), 0L)
+    ivmReport(fx, spark.read.parquet(state).drop("batch_id"))
   }
 
+  // cdc49 — STREAMING SKETCH-VIEW MAINTENANCE: the third face of the IVM
+  // family (cdc45 joins, cdc47 signed aggregates, this: MERGEABLE
+  // SKETCHES — the view class a 100-TB deployment actually maintains,
+  // because registers are bytes where distinct-sets are terabytes).
+  // The change feed streams through the binlog source and foreachBatch
+  // appends per-batch HLL REGISTER PARTIALS (group, register, max rho —
+  // q61's exact 64-register/48-bit integer arithmetic); the final view
+  // is the register-max fold over all partials. Register max is a
+  // commutative idempotent monoid, so ANY batch split — and any batch
+  // REDELIVERY, for free, unlike cdc48's sums — folds to the same
+  // registers; the oracle gates the drained registers, the register-sum,
+  // and the resulting estimate against the batch sketch plus the exact
+  // distinct count. Deletes deliberately absent: register max cannot
+  // retract (sketch views are insert-only monotone — documented
+  // contract, cdc47 is the retraction story).
+  def cdc49StreamSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc49_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      base.select(col("user_id"), col("event_type"))
+        .repartition(4, col("user_id")), feed)
+    withDrainPartitions(spark) {
+      val q = spark.readStream.format("binlog")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.Hll.withRegRho(
+              batch.filter(col("event_type") === "WriteRowsEventV2")
+                .select(explode(col("row_images")).as("img"))
+                .select(element_at(col("img"), 1).cast("long").as("user_id"),
+                  element_at(col("img"), 2).as("event_type")),
+              col("user_id"))
+            .groupBy("event_type", "reg").agg(max(col("rho")).as("r"))
+            .write.mode("append").parquet(state)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val regs = spark.read.parquet(state)
+      .groupBy("event_type", "reg").agg(max(col("r")).as("r"))
+    val sums = regs.groupBy("event_type")
+      .agg(graft.ops.Hll.sum48OverR.as("sum48"),
+        count(lit(1)).as("n_regs_hit"))
+    val exact = base.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sums.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_regs_hit"),
+        col("sum48"), graft.ops.Hll.estExpr("sum48").as("est"))
+      .orderBy("event_type")
+  }
+
+  val cdc49Oracle: String =
+    """WITH dml AS (
+      |  SELECT user_id, event_type FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |), b AS (
+      |  SELECT event_type,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM dml
+      |), rho AS (
+      |  SELECT event_type, h >> 54 AS reg,
+      |    CASE WHEN h % 18014398509481984 = 0 THEN 55
+      |         ELSE 55 - length(bin(h % 18014398509481984)) END AS rho
+      |  FROM b
+      |), regs AS (
+      |  SELECT event_type, reg, MAX(rho) AS r FROM rho GROUP BY 1, 2
+      |), s AS (
+      |  SELECT event_type,
+      |    CAST(SUM(281474976710656 >> CAST(r AS INT))
+      |      + (64 - COUNT(*)) * 281474976710656 AS BIGINT) AS sum48,
+      |    COUNT(*) AS n_regs_hit
+      |  FROM regs GROUP BY event_type
+      |), x AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      |  FROM dml GROUP BY event_type
+      |)
+      |SELECT s.event_type, x.n_exact, s.n_regs_hit, s.sum48,
+      |  CAST((((281474976710656 * 4096) // s.sum48) * 709) // 1000
+      |    AS BIGINT) AS est
+      |FROM s JOIN x USING (event_type) ORDER BY s.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc49_stream_sketch" -> (cdc49StreamSketch _),
     "cdc48_idempotent_sink" -> (cdc48IdempotentSink _),
     "cdc47_stream_retract" -> (cdc47StreamRetract _),
     "cdc46_band_tolerance" -> (cdc46BandTolerance _),
@@ -3105,5 +3189,6 @@ object CdcQueries {
     "cdc47_stream_retract" -> cdc47Oracle,
     // redelivered-batch write absorbed ⇒ still q66's exact decomposition
     "cdc48_idempotent_sink" -> AnalyticQueries.q66Oracle,
+    "cdc49_stream_sketch" -> cdc49Oracle,
   )
 }

@@ -1769,6 +1769,11 @@ object TextQueries {
         (a, b) => concat(a, lit(" "), b))).as("bg"))
       .withColumn("bkt",
         conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long") % 1024L)
+      .drop("bg") // only the bucket travels
+      // three consumers (source counts, target counts, per-doc probe):
+      // materialize the tokenize+hash scan once instead of thrice — the
+      // t25 lesson, applied before the bench finds it
+      .localCheckpoint(true)
     val sCnt = bigrams.groupBy("bkt").agg(count(lit(1)).as("s_cnt"))
     val tCnt = bigrams.filter(col("lang") === "en")
       .groupBy("bkt").agg(count(lit(1)).as("t_cnt"))

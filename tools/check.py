@@ -95,7 +95,9 @@ def main():
                       f"nothing was actually compared")
             else:
                 print(f"OK   {name} ({len(sr)} rows)")
-    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
+    ok = len(oracle) - len(failed) - len(vacuous)
+    tail = f", {len(vacuous)} vacuous" if vacuous else ""
+    print(f"\n{ok}/{len(oracle)} queries match{tail}")
     if vacuous:
         print(f"vacuous (0-row) gates: {vacuous}")
     sys.exit(1 if failed or vacuous else 0)
