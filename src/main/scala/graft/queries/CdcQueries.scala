@@ -2920,7 +2920,10 @@ object CdcQueries {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    spark.read.parquet(state)
+    new java.io.File(state).mkdirs() // empty feed → zero batches (cdc12)
+    spark.read
+      .schema("event_type STRING, n BIGINT, ksum BIGINT")
+      .parquet(state)
       .groupBy("event_type")
       .agg(sum(col("n")).as("n_rows"), sum(col("ksum")).as("value_sum"))
       .orderBy("event_type")
@@ -2988,10 +2991,21 @@ object CdcQueries {
     // INJECTED REDELIVERY: re-apply batch 0's write from a batch re-read
     // of the lowest-numbered feed file — the crash-after-commit replay.
     // With append semantics this would double batch 0's partials; the
-    // partition overwrite must absorb it bit-for-bit.
-    val firstFile = new java.io.File(feed).listFiles().map(_.getName).min
-    applyBatch(spark.read.format("binlog").load(s"$feed/$firstFile"), 0L)
-    ivmReport(fx, spark.read.parquet(state).drop("batch_id"))
+    // partition overwrite must absorb it bit-for-bit. (An empty delta —
+    // a legal quiet period — wrote no files and ran no batches: nothing
+    // to redeliver.)
+    val feedFiles = Option(new java.io.File(feed).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    if (feedFiles.nonEmpty) {
+      applyBatch(
+        spark.read.format("binlog").load(s"$feed/${feedFiles.min}"), 0L)
+    }
+    // empty-corpus quiet period: partitioned writes of empty frames may
+    // leave no files at all — explicit schema + pre-created dir (cdc12)
+    new java.io.File(state).mkdirs()
+    ivmReport(fx, spark.read
+      .schema("o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT")
+      .parquet(state).drop("batch_id"))
   }
 
   // cdc49 — STREAMING SKETCH-VIEW MAINTENANCE: the third face of the IVM
@@ -3040,7 +3054,10 @@ object CdcQueries {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val regs = spark.read.parquet(state)
+    new java.io.File(state).mkdirs() // empty feed → zero batches (cdc12)
+    val regs = spark.read
+      .schema("event_type STRING, reg BIGINT, r INT")
+      .parquet(state)
       .groupBy("event_type", "reg").agg(max(col("r")).as("r"))
     val sums = regs.groupBy("event_type")
       .agg(graft.ops.Hll.sum48OverR.as("sum48"),
