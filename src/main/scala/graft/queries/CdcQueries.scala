@@ -2825,14 +2825,15 @@ object CdcQueries {
         .load(feed)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          fx.partials(decodeIvmDelta(batch), bPrime)
-            .write.mode("append").parquet(state)
+          graft.streaming.ViewMaintenance.appendBatch(
+            fx.partials(decodeIvmDelta(batch), bPrime), state)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    ivmReport(fx, spark.read.parquet(state))
+    ivmReport(fx, graft.streaming.ViewMaintenance.readState(spark, state,
+      "o_orderpriority STRING, cents BIGINT, n BIGINT"))
   }
 
   // cdc46 — E10's tolerance as a BAND-JOIN PREDICATE (SURVEY §4's one
@@ -2903,27 +2904,26 @@ object CdcQueries {
         .load(feed)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch
-            .filter(col("event_type")
-              .isin("WriteRowsEventV2", "DeleteRowsEventV2"))
-            .select(when(col("event_type") === "WriteRowsEventV2", 1L)
-              .otherwise(-1L).as("w"),
-              explode(col("row_images")).as("img"))
-            .select(col("w"),
-              element_at(col("img"), 1).cast("long").as("k"),
-              element_at(col("img"), 2).as("event_type"))
-            .groupBy("event_type")
-            .agg(sum(col("w")).as("n"), sum(col("w") * col("k")).as("ksum"))
-            .write.mode("append").parquet(state)
+          graft.streaming.ViewMaintenance.appendBatch(
+            batch
+              .filter(col("event_type")
+                .isin("WriteRowsEventV2", "DeleteRowsEventV2"))
+              .select(when(col("event_type") === "WriteRowsEventV2", 1L)
+                .otherwise(-1L).as("w"),
+                explode(col("row_images")).as("img"))
+              .select(col("w"),
+                element_at(col("img"), 1).cast("long").as("k"),
+                element_at(col("img"), 2).as("event_type"))
+              .groupBy("event_type")
+              .agg(sum(col("w")).as("n"), sum(col("w") * col("k")).as("ksum")),
+            state)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    new java.io.File(state).mkdirs() // empty feed → zero batches (cdc12)
-    spark.read
-      .schema("event_type STRING, n BIGINT, ksum BIGINT")
-      .parquet(state)
+    graft.streaming.ViewMaintenance.readState(spark, state,
+        "event_type STRING, n BIGINT, ksum BIGINT")
       .groupBy("event_type")
       .agg(sum(col("n")).as("n_rows"), sum(col("ksum")).as("value_sum"))
       .orderBy("event_type")
@@ -2966,11 +2966,7 @@ object CdcQueries {
     val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
     // the idempotent write: one partition per id, dynamic overwrite
     def writeIdempotent(part: DataFrame, id: Long): Unit =
-      part.withColumn("batch_id", lit(id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(state)
+      graft.streaming.ViewMaintenance.applyIdempotent(part, state, id)
     def applyBatch(batch: DataFrame, id: Long): Unit =
       writeIdempotent(fx.partials(decodeIvmDelta(batch), bPrime), id)
     // state₀ under the same discipline (batch_id −1 = the old view's
@@ -3000,12 +2996,9 @@ object CdcQueries {
       applyBatch(
         spark.read.format("binlog").load(s"$feed/${feedFiles.min}"), 0L)
     }
-    // empty-corpus quiet period: partitioned writes of empty frames may
-    // leave no files at all — explicit schema + pre-created dir (cdc12)
-    new java.io.File(state).mkdirs()
-    ivmReport(fx, spark.read
-      .schema("o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT")
-      .parquet(state).drop("batch_id"))
+    ivmReport(fx, graft.streaming.ViewMaintenance.readState(spark, state,
+      "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT")
+      .drop("batch_id"))
   }
 
   // cdc49 — STREAMING SKETCH-VIEW MAINTENANCE: the third face of the IVM
@@ -3041,23 +3034,22 @@ object CdcQueries {
         .load(feed)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.ops.Hll.withRegRho(
-              batch.filter(col("event_type") === "WriteRowsEventV2")
-                .select(explode(col("row_images")).as("img"))
-                .select(element_at(col("img"), 1).cast("long").as("user_id"),
-                  element_at(col("img"), 2).as("event_type")),
-              col("user_id"))
-            .groupBy("event_type", "reg").agg(max(col("rho")).as("r"))
-            .write.mode("append").parquet(state)
+          graft.streaming.ViewMaintenance.appendBatch(
+            graft.ops.Hll.withRegRho(
+                batch.filter(col("event_type") === "WriteRowsEventV2")
+                  .select(explode(col("row_images")).as("img"))
+                  .select(element_at(col("img"), 1).cast("long").as("user_id"),
+                    element_at(col("img"), 2).as("event_type")),
+                col("user_id"))
+              .groupBy("event_type", "reg").agg(max(col("rho")).as("r")),
+            state)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    new java.io.File(state).mkdirs() // empty feed → zero batches (cdc12)
-    val regs = spark.read
-      .schema("event_type STRING, reg BIGINT, r INT")
-      .parquet(state)
+    val regs = graft.streaming.ViewMaintenance.readState(spark, state,
+        "event_type STRING, reg BIGINT, r INT")
       .groupBy("event_type", "reg").agg(max(col("r")).as("r"))
     val sums = regs.groupBy("event_type")
       .agg(graft.ops.Hll.sum48OverR.as("sum48"),
