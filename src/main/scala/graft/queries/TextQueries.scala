@@ -1822,7 +1822,69 @@ object TextQueries {
       |GROUP BY doc_id, lang
       |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
 
+  // t36 — LM-SCORE DOCUMENT FILTERING (CCNet's perplexity filter, in
+  // this engine's integer-exact discipline): score every document by
+  // the MEAN Kneser–Ney lower-order probability of its tokens —
+  // pkn(w) = N1+(·w) / bigram-type-total, t32's exact distribution —
+  // and emit the 20 LOWEST-scoring docs: the rows a CCNet-style
+  // pipeline drops or down-weights (low continuation mass ≈ tokens
+  // that complete few contexts ≈ boilerplate/noise). Declared
+  // deviation: CCNet scores with a smoothed LM's log-perplexity; logs
+  // are libm-dependent and ungateable, so the engine ships the mean
+  // continuation probability in exact ppm (same ordering intent:
+  // unusual-token docs score low). A doc token never seen as a bigram
+  // RIGHT side carries pkn = 0 (the unseen-continuation convention).
+  // Plan: one bigram-type shuffle (t32's), one vocab-keyed count, the
+  // corpus token table joins the vocab table on the term key (the
+  // standard term-keyed shuffle), one doc-keyed aggregate, distributed
+  // TakeOrdered bottom-20.
+  def t36LmScoreFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(spark, dir).select(col("doc_id"), col("lang"), col("toks"))
+    val pairs = docs.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("bg"))
+      .select(col("bg.l").as("l"), col("bg.r").as("r"))
+    val types = pairs.distinct().localCheckpoint(true) // feeds cont + total
+    val cont = types.groupBy("r").agg(count(lit(1)).as("c_cont"))
+      .withColumnRenamed("r", "term")
+    val nTypes = types.agg(count(lit(1)).as("n_bigram_types"))
+    docs.select(col("doc_id"), col("lang"), explode(col("toks")).as("term"))
+      .join(cont, Seq("term"), "left")
+      .crossJoin(broadcast(nTypes))
+      .select(col("doc_id"), col("lang"),
+        expr("coalesce(c_cont, 0L) * 1000000L div n_bigram_types")
+          .as("pkn_ppm"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"),
+        expr("sum(pkn_ppm) div count(1)").as("score_ppm"))
+      .orderBy(col("score_ppm").asc, col("doc_id")).limit(20)
+  }
+
+  val t36Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+      |), types AS (
+      |  SELECT DISTINCT l, r FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)),
+      |        i -> struct_pack(l := toks[i], r := toks[i + 1]))) AS bg
+      |    FROM d) t(bg), LATERAL (SELECT bg.l AS l, bg.r AS r)
+      |), cont AS (
+      |  SELECT r AS term, COUNT(*) AS c_cont FROM types GROUP BY r
+      |), nt AS (
+      |  SELECT COUNT(*) AS n_bigram_types FROM types
+      |), tok AS (
+      |  SELECT doc_id, lang, unnest(toks) AS term FROM d
+      |)
+      |SELECT doc_id, lang, COUNT(*) AS n_toks,
+      |  CAST(SUM(COALESCE(c.c_cont, 0) * 1000000 // nt.n_bigram_types)
+      |    // COUNT(*) AS BIGINT) AS score_ppm
+      |FROM tok LEFT JOIN cont c USING (term) CROSS JOIN nt
+      |GROUP BY doc_id, lang
+      |ORDER BY score_ppm ASC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t36_lm_score_filter" -> (t36LmScoreFilter _),
     "t35_importance_weights" -> (t35ImportanceWeights _),
     "t34_phrase_search" -> (t34PhraseSearch _),
     "t33_bpe_encode" -> (t33BpeEncode _),
@@ -1863,6 +1925,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "t34_phrase_search" -> t34Oracle,
     "t35_importance_weights" -> t35Oracle,
+    "t36_lm_score_filter" -> t36Oracle,
     "t33_bpe_encode" -> t33Oracle,
     "t32_kneser_ney" -> t32Oracle,
     "t01_token_stats" -> t01Oracle,

@@ -557,6 +557,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       s"p13 assignment path must not shuffle-join the corpus:\n$ch")
   }
 
+  test("t35/t36: corpus-side joins stay keyed; t35's ratio table broadcasts") {
+    // t35: the 1024-row bucket-ratio table must reach the per-doc probe
+    // as a broadcast — a shuffle join there moves the corpus for a
+    // constant-sized dimension
+    // the 1-row broadcast totals crossJoins are the d25 scalar-combine
+    // shape — BNLJ Cross against a 1-row build is the accepted pattern,
+    // so (as in the s34 pin) loops are COUNTED against the known 1-row
+    // sites, and CartesianProduct stays banned outright
+    val p35 = plan(TextQueries.t35ImportanceWeights(spark, dir))
+    assert(p35.contains("BroadcastHashJoin"),
+      s"t35 ratio join must broadcast:\n$p35")
+    assert(!p35.contains("CartesianProduct"), s"t35 went cartesian:\n$p35")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p35).length <= 2,
+      s"t35 grew a loop beyond the two 1-row totals crosses:\n$p35")
+    // t36: the token→vocab join is term-KEYED (equi), never a loop
+    val p36 = plan(TextQueries.t36LmScoreFilter(spark, dir))
+    assert(!p36.contains("CartesianProduct"), s"t36 went cartesian:\n$p36")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p36).length <= 1,
+      s"t36 grew a loop beyond the 1-row type-total cross:\n$p36")
+    assert(p36.contains("TakeOrderedAndProject"),
+      s"t36 bottom-20 must be a distributed TakeOrdered:\n$p36")
+  }
+
   test("cdc46: the tolerance band rides an equi-join — no theta/nested-loop pairing") {
     // the band-join mode's entire point is the PLAN: within-tolerance
     // pairs must come from an equi-join on (key, time-bucket) with the
