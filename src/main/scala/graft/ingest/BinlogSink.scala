@@ -1,6 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.TaskContext
 
 /** Distributed binlog binary SINK — the write-side complement of
@@ -32,14 +33,12 @@ object BinlogSink {
     * encoder loudly); `rowsPerEvent` bounds WRITE_ROWS event size so a
     * large partition becomes many bounded events, not one giant one. */
   def writeKeyedStrings(df: DataFrame, dir: String, maxLen: Int = 20,
-      rowsPerEvent: Int = 100): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+      rowsPerEvent: Int = 100): Unit =
     // col(), not selectExpr: a column name that parses as an expression
     // ("k-1", "user.id") must stay a name, never arithmetic or a struct path
     writeChanges(df.select(lit(1).as("op"),
       col(df.columns(0)).cast("bigint"), col(df.columns(1))),
       dir, maxLen, rowsPerEvent)
-  }
 
   /** Write a CHANGELOG: `df`'s first three columns are (INT op, BIGINT
     * key, STRING payload) with op = +1 (insert) or −1 (delete). Inserts
@@ -56,9 +55,7 @@ object BinlogSink {
     val dirPath = out.getPath
     val cols = Seq(ColDef.longlong, ColDef.varchar(maxLen))
     val c = df.columns // positional contract; col() keeps names opaque
-    df.select(org.apache.spark.sql.functions.col(c(0)).cast("int"),
-        org.apache.spark.sql.functions.col(c(1)).cast("bigint"),
-        org.apache.spark.sql.functions.col(c(2)))
+    df.select(col(c(0)).cast("int"), col(c(1)).cast("bigint"), col(c(2)))
       .rdd.foreachPartition { rows =>
         if (rows.hasNext) {
           val pid = TaskContext.getPartitionId()

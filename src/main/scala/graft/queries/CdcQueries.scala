@@ -2753,6 +2753,34 @@ object CdcQueries {
   // At 100 TB: per batch the work is |ΔA_k| join-probes against B′
   // (keyed equi-join, delta-sized) plus a ≤|priorities|-row append —
   // the view is never rescanned, which is the entire point of IVM.
+  /** The (feed, state, ckpt) path triple every streaming-IVM gate uses,
+    * under a fresh per-(prefix, dir) fixture root. */
+  private def streamDirs(prefix: String, dir: String): (String, String, String) = {
+    val root = tmpFixtureDir(prefix, dir)
+    root.mkdirs()
+    (new java.io.File(root, "feed").getPath,
+      new java.io.File(root, "state").getPath,
+      new java.io.File(root, "ckpt").getPath)
+  }
+
+  /** The cdc45/47/48/49 shared drain: the binlog source file-by-file
+    * (maxFilesPerTrigger=1 — the delta arrives across MULTIPLE
+    * micro-batches), `apply` per batch, AvailableNow to completion,
+    * under the cdc1x drain partition dial. */
+  private def drainBinlogFeed(spark: SparkSession, feed: String,
+      ckpt: String)(apply: (DataFrame, Long) => Unit): Unit =
+    withDrainPartitions(spark) {
+      val q = spark.readStream.format("binlog")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+        .writeStream
+        .foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** q66's fixture splits, shared by cdc45/cdc48 so the three consumers
     * of q66's oracle (q66 itself, the streaming IVM, the idempotent
     * sink) cannot drift from the decomposition the oracle gates. */
@@ -2800,12 +2828,7 @@ object CdcQueries {
   }
 
   def cdc45StreamIvm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val root = tmpFixtureDir("graft_cdc45_", dir)
-    root.mkdirs()
-    val feed = new java.io.File(root, "feed").getPath
-    val state = new java.io.File(root, "state").getPath
-    val ckpt = new java.io.File(root, "ckpt").getPath
+    val (feed, state, ckpt) = streamDirs("graft_cdc45_", dir)
     val fx = ivmFixture(spark, dir)
     // ΔA → four real binlog files (keyed repartition: deterministic
     // membership, any partitioning sums to the same view)
@@ -2819,18 +2842,9 @@ object CdcQueries {
       .write.mode("overwrite").parquet(state)
     val bPrime = fx.bBase.unionByName(fx.bDelta)
       .localCheckpoint(true) // B′ = B ∪ ΔB: built once, probed per batch
-    withDrainPartitions(spark) {
-      val q = spark.readStream.format("binlog")
-        .option("maxFilesPerTrigger", 1)
-        .load(feed)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.streaming.ViewMaintenance.appendBatch(
-            fx.partials(decodeIvmDelta(batch), bPrime), state)
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    drainBinlogFeed(spark, feed, ckpt) { (batch, _) =>
+      graft.streaming.ViewMaintenance.appendBatch(
+        fx.partials(decodeIvmDelta(batch), bPrime), state)
     }
     ivmReport(fx, graft.streaming.ViewMaintenance.readState(spark, state,
       "o_orderpriority STRING, cents BIGINT, n BIGINT"))
@@ -2850,7 +2864,6 @@ object CdcQueries {
   // cdc04's one cached pass: the sweep is the gate's job; a deployment
   // runs one tolerance.
   def cdc46BandTolerance(spark: SparkSession, dir: String): DataFrame = {
-    import graft.cdc.Comparator
     val (b, a) = sides(spark, dir)
     val bp = b.localCheckpoint(true) // five compares share the prepared sides
     val ap = a.localCheckpoint(true)
@@ -2878,12 +2891,7 @@ object CdcQueries {
   // map + a ≤|groups|-row append; deletes cost the same as inserts (the
   // point of signed partials — no base-view lookup, no rescan).
   def cdc47StreamRetract(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val root = tmpFixtureDir("graft_cdc47_", dir)
-    root.mkdirs()
-    val feed = new java.io.File(root, "feed").getPath
-    val state = new java.io.File(root, "state").getPath
-    val ckpt = new java.io.File(root, "ckpt").getPath
+    val (feed, state, ckpt) = streamDirs("graft_cdc47_", dir)
     val base = fixtureBase(spark, dir)
       .filter(col("event_type").isin("purchase", "click", "view"))
     // signed changelog: every DML row inserts; every %3 row is later
@@ -2898,29 +2906,20 @@ object CdcQueries {
       .sortWithinPartitions("ord") // inserts precede their deletes per file
       .select("op", "k", "grp")
     graft.ingest.BinlogSink.writeChanges(changelog, feed)
-    withDrainPartitions(spark) {
-      val q = spark.readStream.format("binlog")
-        .option("maxFilesPerTrigger", 1)
-        .load(feed)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.streaming.ViewMaintenance.appendBatch(
-            batch
-              .filter(col("event_type")
-                .isin("WriteRowsEventV2", "DeleteRowsEventV2"))
-              .select(when(col("event_type") === "WriteRowsEventV2", 1L)
-                .otherwise(-1L).as("w"),
-                explode(col("row_images")).as("img"))
-              .select(col("w"),
-                element_at(col("img"), 1).cast("long").as("k"),
-                element_at(col("img"), 2).as("event_type"))
-              .groupBy("event_type")
-              .agg(sum(col("w")).as("n"), sum(col("w") * col("k")).as("ksum")),
-            state)
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    drainBinlogFeed(spark, feed, ckpt) { (batch, _) =>
+      graft.streaming.ViewMaintenance.appendBatch(
+        batch
+          .filter(col("event_type")
+            .isin("WriteRowsEventV2", "DeleteRowsEventV2"))
+          .select(when(col("event_type") === "WriteRowsEventV2", 1L)
+            .otherwise(-1L).as("w"),
+            explode(col("row_images")).as("img"))
+          .select(col("w"),
+            element_at(col("img"), 1).cast("long").as("k"),
+            element_at(col("img"), 2).as("event_type"))
+          .groupBy("event_type")
+          .agg(sum(col("w")).as("n"), sum(col("w") * col("k")).as("ksum")),
+        state)
     }
     graft.streaming.ViewMaintenance.readState(spark, state,
         "event_type STRING, n BIGINT, ksum BIGINT")
@@ -2954,36 +2953,21 @@ object CdcQueries {
   // parity (offsets); cdc48 gates SINK redelivery parity (writes) —
   // together the two halves of streaming exactly-once.
   def cdc48IdempotentSink(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val root = tmpFixtureDir("graft_cdc48_", dir)
-    root.mkdirs()
-    val feed = new java.io.File(root, "feed").getPath
-    val state = new java.io.File(root, "state").getPath
-    val ckpt = new java.io.File(root, "ckpt").getPath
+    import graft.streaming.ViewMaintenance
+    val (feed, state, ckpt) = streamDirs("graft_cdc48_", dir)
     val fx = ivmFixture(spark, dir)
     graft.ingest.BinlogSink.writeKeyedStrings(
       fx.aDelta.repartition(4, col("o_orderkey")), feed)
     val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
-    // the idempotent write: one partition per id, dynamic overwrite
-    def writeIdempotent(part: DataFrame, id: Long): Unit =
-      graft.streaming.ViewMaintenance.applyIdempotent(part, state, id)
     def applyBatch(batch: DataFrame, id: Long): Unit =
-      writeIdempotent(fx.partials(decodeIvmDelta(batch), bPrime), id)
+      ViewMaintenance.applyIdempotent(
+        fx.partials(decodeIvmDelta(batch), bPrime), state, id)
     // state₀ under the same discipline (batch_id −1 = the old view's
     // partials against the OLD B, −2 = the one-shot A⋈ΔB leg — NOT a
     // B′ join, which would double-count ΔB)
-    writeIdempotent(fx.partials(fx.aBase, fx.bBase), -1L)
-    writeIdempotent(fx.partials(fx.aBase, fx.bDelta), -2L)
-    withDrainPartitions(spark) {
-      val q = spark.readStream.format("binlog")
-        .option("maxFilesPerTrigger", 1)
-        .load(feed)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, id) }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
+    drainBinlogFeed(spark, feed, ckpt)(applyBatch)
     // INJECTED REDELIVERY: re-apply batch 0's write from a batch re-read
     // of the lowest-numbered feed file — the crash-after-commit replay.
     // With append semantics this would double batch 0's partials; the
@@ -2996,7 +2980,7 @@ object CdcQueries {
       applyBatch(
         spark.read.format("binlog").load(s"$feed/${feedFiles.min}"), 0L)
     }
-    ivmReport(fx, graft.streaming.ViewMaintenance.readState(spark, state,
+    ivmReport(fx, ViewMaintenance.readState(spark, state,
       "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT")
       .drop("batch_id"))
   }
@@ -3017,36 +3001,22 @@ object CdcQueries {
   // retract (sketch views are insert-only monotone — documented
   // contract, cdc47 is the retraction story).
   def cdc49StreamSketch(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val root = tmpFixtureDir("graft_cdc49_", dir)
-    root.mkdirs()
-    val feed = new java.io.File(root, "feed").getPath
-    val state = new java.io.File(root, "state").getPath
-    val ckpt = new java.io.File(root, "ckpt").getPath
+    val (feed, state, ckpt) = streamDirs("graft_cdc49_", dir)
     val base = fixtureBase(spark, dir)
       .filter(col("event_type").isin("purchase", "click", "view"))
     graft.ingest.BinlogSink.writeKeyedStrings(
       base.select(col("user_id"), col("event_type"))
         .repartition(4, col("user_id")), feed)
-    withDrainPartitions(spark) {
-      val q = spark.readStream.format("binlog")
-        .option("maxFilesPerTrigger", 1)
-        .load(feed)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.streaming.ViewMaintenance.appendBatch(
-            graft.ops.Hll.withRegRho(
-                batch.filter(col("event_type") === "WriteRowsEventV2")
-                  .select(explode(col("row_images")).as("img"))
-                  .select(element_at(col("img"), 1).cast("long").as("user_id"),
-                    element_at(col("img"), 2).as("event_type")),
-                col("user_id"))
-              .groupBy("event_type", "reg").agg(max(col("rho")).as("r")),
-            state)
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    drainBinlogFeed(spark, feed, ckpt) { (batch, _) =>
+      graft.streaming.ViewMaintenance.appendBatch(
+        graft.ops.Hll.withRegRho(
+            batch.filter(col("event_type") === "WriteRowsEventV2")
+              .select(explode(col("row_images")).as("img"))
+              .select(element_at(col("img"), 1).cast("long").as("user_id"),
+                element_at(col("img"), 2).as("event_type")),
+            col("user_id"))
+          .groupBy("event_type", "reg").agg(max(col("rho")).as("r")),
+        state)
     }
     val regs = graft.streaming.ViewMaintenance.readState(spark, state,
         "event_type STRING, reg BIGINT, r INT")
