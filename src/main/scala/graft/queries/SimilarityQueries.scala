@@ -2677,21 +2677,28 @@ object SimilarityQueries {
     * `seeds` carries (query_id, seed, rk) — see [[ivfSeeds]]. `entry_id`
     * in the output is the rank-1 seed. One definition so the inline and
     * persisted-index routes cannot drift. */
-  private def graphBallSearch(edges: DataFrame, qRows: DataFrame,
-      seeds: DataFrame, emb: DataFrame): DataFrame = {
-    val q = qRows.join(seeds.filter(col("rk") === 1)
-        .select(col("query_id"), col("seed").as("entry_id")), Seq("query_id"))
-      .select("query_id", "qv", "entry_id")
+  /** The closed 2-hop candidate ball around each query's seed set —
+    * shared by the plain search ([[graphBallSearch]]) and the filtered
+    * one (s49) so the expansion cannot drift. */
+  private def hopBall(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val h1 = seeds.select(col("query_id"), col("seed").as("id_a"))
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
     val h2 = h1.withColumnRenamed("cand", "id_a")
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
-    val ball = seeds.select(col("query_id"), col("seed").as("cand"))
+    seeds.select(col("query_id"), col("seed").as("cand"))
       .unionByName(h1).unionByName(h2)
       .distinct()
       .filter(col("cand") =!= col("query_id"))
+  }
+
+  private def graphBallSearch(edges: DataFrame, qRows: DataFrame,
+      seeds: DataFrame, emb: DataFrame): DataFrame = {
+    val q = qRows.join(seeds.filter(col("rk") === 1)
+        .select(col("query_id"), col("seed").as("entry_id")), Seq("query_id"))
+      .select("query_id", "qv", "entry_id")
+    val ball = hopBall(edges, seeds)
     val nc = ball.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
     ball
@@ -2746,8 +2753,13 @@ object SimilarityQueries {
     graphBallSearch(edgesR, qRows, seeds, emb)
   }
 
-  val s34Oracle: String =
-    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
+  /** The SERVED graph index (bridged edges + nprobe = [[servedNprobe]])
+    * as oracle CTE text — coarse quantizer, assignment, intra + bridge
+    * edges, query seeds, and the closed 2-hop ball — shared by
+    * s34/s36's oracle and s49's filtered variant so the served-index
+    * SQL cannot drift between the gates. */
+  private val duckServedGraphCtes: String =
+    s"""${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
       |  SELECT vec_id, embedding, clabel FROM (
       |    SELECT e.vec_id, e.embedding, c.clabel,
       |      row_number() OVER (PARTITION BY e.vec_id
@@ -2813,7 +2825,10 @@ object SimilarityQueries {
       |  WHERE cand <> query_id
       |), nc AS (
       |  SELECT query_id, COUNT(*) AS n_cand FROM ball GROUP BY query_id
-      |), scored AS (
+      |)""".stripMargin
+
+  val s34Oracle: String =
+    s"""WITH $duckServedGraphCtes, scored AS (
       |  SELECT b.query_id, q.entry_id, b.cand,
       |    ${duckCosOf("q.qv", "e.embedding")} AS cos
       |  FROM ball b
@@ -2826,6 +2841,77 @@ object SimilarityQueries {
       |      ORDER BY cos DESC, cand) AS INT) AS rank
       |  FROM scored) s
       |JOIN nc ON nc.query_id = s.query_id
+      |WHERE s.rank <= 3
+      |ORDER BY s.query_id, s.rank""".stripMargin
+
+  // s49 — ATTRIBUTE-FILTERED search over the SERVED graph index (the
+  // s17 question — "nearest neighbors WHERE label matches" — answered
+  // by the graph index instead of the IVF list): the ball expands over
+  // the UNfiltered bridged graph (filtering edges would disconnect it —
+  // the known failure mode of pre-filtered navigable graphs at low
+  // selectivity), then candidates POST-filter on the predicate before
+  // the exact re-rank — the standard post-filtering strategy, priced
+  // honestly: n_cand vs n_allowed on every row is the selectivity tax
+  // (top-k among allowed comes from a ball sized for unfiltered top-k,
+  // so low selectivity starves recall — the dial a deployment reads
+  // before choosing post-filter vs a per-predicate index). Same label
+  // predicate as s17 (label % 2 = 0), same served index as s34 (shared
+  // hopBall + CTE text), integer/id-only output.
+  def s49GraphFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val edges = knnEdges(assigned).select("id_a", "id_b")
+      .unionByName(bridgeEdges(emb, cent, assigned)) // served default
+      .localCheckpoint()
+    val qRows = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probes = graft.ops.Similarity.probeCentroids(
+      qRows, cent, Seq("query_id"), nprobe = servedNprobe, embCol = "qv")
+    val seeds = ivfSeeds(probes, assigned).localCheckpoint()
+    val ball = hopBall(edges, seeds).localCheckpoint() // counted + filtered
+    val nc = ball.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+    val allowed = ball.join(
+      emb.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("cand"), col("label"), col("embedding")),
+      Seq("cand"))
+    val na = allowed.groupBy("query_id").agg(count(lit(1)).as("n_allowed"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
+    allowed.join(broadcast(qRows), Seq("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .join(broadcast(nc), Seq("query_id"))
+      .join(broadcast(na), Seq("query_id"))
+      .select(col("query_id"), col("n_cand"), col("n_allowed"), col("rank"),
+        col("cand").as("neighbor_id"),
+        col("label").cast("long").as("neighbor_label"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s49Oracle: String =
+    s"""WITH $duckServedGraphCtes, allowed AS MATERIALIZED (
+      |  SELECT b.query_id, b.cand, e.label, e.embedding
+      |  FROM ball b JOIN embeddings e
+      |    ON e.vec_id = b.cand AND e.label % 2 = 0
+      |), na AS (
+      |  SELECT query_id, COUNT(*) AS n_allowed FROM allowed GROUP BY query_id
+      |), scored AS (
+      |  SELECT a.query_id, a.cand, a.label,
+      |    ${duckCosOf("q0.qv", "a.embedding")} AS cos
+      |  FROM allowed a JOIN q0 ON q0.query_id = a.query_id
+      |)
+      |SELECT s.query_id, nc.n_cand, na.n_allowed, s.rank, s.neighbor_id,
+      |  s.neighbor_label
+      |FROM (
+      |  SELECT query_id, cand AS neighbor_id,
+      |    CAST(label AS BIGINT) AS neighbor_label,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, cand) AS INT) AS rank
+      |  FROM scored) s
+      |JOIN nc ON nc.query_id = s.query_id
+      |JOIN na ON na.query_id = s.query_id
       |WHERE s.rank <= 3
       |ORDER BY s.query_id, s.rank""".stripMargin
 
@@ -3938,6 +4024,7 @@ object SimilarityQueries {
       |FROM top GROUP BY query_id ORDER BY query_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s49_graph_filtered" -> (s49GraphFiltered _),
     "s48_hard_negatives" -> (s48HardNegatives _),
     "s47_matryoshka" -> (s47Matryoshka _),
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
@@ -3995,6 +4082,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "s47_matryoshka" -> s47Oracle,
     "s48_hard_negatives" -> s48Oracle,
+    "s49_graph_filtered" -> s49Oracle,
     "s01_ann_bruteforce" -> s01Oracle,
     "s02_ann_lsh" -> s02Oracle,
     "s03_ann_ivf" -> s03Oracle,
