@@ -2856,7 +2856,10 @@ object SimilarityQueries {
   // so low selectivity starves recall — the dial a deployment reads
   // before choosing post-filter vs a per-predicate index). Same label
   // predicate as s17 (label % 2 = 0), same served index as s34 (shared
-  // hopBall + CTE text), integer/id-only output.
+  // hopBall + CTE text), integer/id-only output. A query whose ball
+  // holds NO allowed candidate emits no rows (both engines — the
+  // honest post-filter outcome; production either widens the ball or
+  // falls back to the s17 per-predicate index for such queries).
   def s49GraphFiltered(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
