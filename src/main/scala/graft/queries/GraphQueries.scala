@@ -1119,7 +1119,59 @@ object GraphQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // g15 — TRUNCATED HARMONIC CENTRALITY (Boldi & Vigna 2014's axioms
+  // pick harmonic over closeness on disconnected graphs; HyperBall is
+  // its estimator at scale — g10 gates those registers): HC_t(v) =
+  // Σ_{τ≤t} (|B(v,τ)| − |B(v,τ−1)|)/τ, here computed EXACTLY at t = 2
+  // over per-vertex closed-ball sizes — the same distinct hop joins as
+  // g10's audit arm, read per vertex instead of summed globally. With
+  // τ ∈ {1, 2} the weights are exact in e6 fixed point with NO
+  // division: hc_e6 = (b1 − 1)·1e6 + (b2 − b1)·5e5 (b0 = 1, the closed
+  // ball contains the vertex). Truncation is the declared cost bound:
+  // each extra hop is one more per-vertex distinct join (the N·deg^t
+  // class) — at 100 TB one runs HyperBall (g10's registers) instead of
+  // exact balls, and this gate is the exact anchor that calibrates it.
+  // Output: top-20 by (hc_e6 DESC, v) — the broadcast-hub ranking.
+  def g15HarmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint()
+    val verts = e.select(col("src")).distinct()
+    val self = verts.select(col("src"), col("src").as("dst"))
+    val b1 = e.unionByName(self).distinct().localCheckpoint()
+    val b2 = b1.join(
+        b1.select(col("src").as("mid"), col("dst").as("d2")),
+        col("dst") === col("mid"))
+      .select(col("src"), col("d2").as("dst")).distinct()
+    val c1 = b1.groupBy("src").agg(count(lit(1)).as("n1"))
+    val c2 = b2.groupBy("src").agg(count(lit(1)).as("n2"))
+    c1.join(c2, "src")
+      .select(col("src").as("v"), col("n1").as("b1"), col("n2").as("b2"),
+        ((col("n1") - 1) * 1000000L + (col("n2") - col("n1")) * 500000L)
+          .as("hc_e6"))
+      .orderBy(col("hc_e6").desc, col("v")).limit(20)
+  }
+
+  val g15Oracle: String =
+    s"""WITH $duckEdgesCte, verts AS (
+      |  SELECT DISTINCT src FROM e
+      |), b1 AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM e
+      |    UNION ALL
+      |    SELECT src, src FROM verts)
+      |), b2 AS (
+      |  SELECT DISTINCT a.src, b.dst FROM b1 a JOIN b1 b ON a.dst = b.src
+      |), c1 AS (
+      |  SELECT src, COUNT(*) AS n1 FROM b1 GROUP BY src
+      |), c2 AS (
+      |  SELECT src, COUNT(*) AS n2 FROM b2 GROUP BY src
+      |)
+      |SELECT src AS v, n1 AS b1, n2 AS b2,
+      |  CAST((n1 - 1) * 1000000 + (n2 - n1) * 500000 AS BIGINT) AS hc_e6
+      |FROM c1 JOIN c2 USING (src)
+      |ORDER BY hc_e6 DESC, v LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g15_harmonic_centrality" -> (g15HarmonicCentrality _),
     "g14_luby_mis" -> (g14LubyMis _),
     "g13_ktruss" -> (g13Ktruss _),
     "g12_modularity" -> (g12Modularity _),
@@ -1138,6 +1190,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "g14_luby_mis" -> g14Oracle,
+    "g15_harmonic_centrality" -> g15Oracle,
     "g13_ktruss" -> g13Oracle,
     "g12_modularity" -> g12Oracle,
     "g11_weighted_paths" -> g11Oracle,
