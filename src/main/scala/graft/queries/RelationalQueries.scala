@@ -488,6 +488,56 @@ object RelationalQueries {
       .orderBy("p")
   }
 
+  // q67 — the HISTOGRAM MERGE LAW gated as data (q34 claims "histograms
+  // add"; this proves it the way q61/q62/q65 prove their sketches'
+  // merge laws): the corpus shards on l_orderkey % 4, each shard folds
+  // its own 64-bin histogram against the SHARED global bounds (the
+  // frozen-quantizer discipline — merging histograms built on different
+  // bounds is the classic silent error), the shard histograms merge by
+  // summing bin counts, and every output row carries the direct count
+  // NEXT TO the merged count plus the merged cumulative — bin-exact
+  // equality is what the oracle hashes. This is the distributed
+  // quantile story at 100 TB: shards sketch locally, the coordinator
+  // sums 64-row tables, q34's read-off runs on the merge.
+  def q67HistMerge(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.lineitem(spark, dir)
+      .select(cents(col("l_extendedprice")).as("c"),
+        pmod(col("l_orderkey"), lit(4)).as("shard"))
+    val stats = c.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val binned = c.crossJoin(broadcast(stats))
+      .select(col("shard"), expr("((c - lo) * 64) DIV (hi - lo + 1)").as("bin"))
+    val direct = binned.groupBy("bin").agg(count(lit(1)).as("n_direct"))
+    val merged = binned.groupBy("shard", "bin").agg(count(lit(1)).as("n"))
+      .groupBy("bin").agg(sum(col("n")).as("n_merged"))
+    direct.join(merged, "bin")
+      .withColumn("cum_merged", // 64 rows: single-partition window is fine
+        sum(col("n_merged")).over(Window.orderBy("bin")))
+      .select(col("bin"), col("n_direct"), col("n_merged"), col("cum_merged"))
+      .orderBy("bin")
+  }
+
+  val q67Oracle: String =
+    """WITH c AS (
+      |  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c,
+      |    l_orderkey % 4 AS shard
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT MIN(c) AS lo, MAX(c) AS hi FROM c
+      |), binned AS (
+      |  SELECT shard, ((c.c - b.lo) * 64) // (b.hi - b.lo + 1) AS bin
+      |  FROM c, b
+      |), direct AS (
+      |  SELECT bin, COUNT(*) AS n_direct FROM binned GROUP BY bin
+      |), shards AS (
+      |  SELECT shard, bin, COUNT(*) AS n FROM binned GROUP BY shard, bin
+      |), merged AS (
+      |  SELECT bin, CAST(SUM(n) AS BIGINT) AS n_merged FROM shards GROUP BY bin
+      |)
+      |SELECT bin, n_direct, n_merged,
+      |  CAST(SUM(n_merged) OVER (ORDER BY bin) AS BIGINT) AS cum_merged
+      |FROM direct JOIN merged USING (bin)
+      |ORDER BY bin""".stripMargin
+
   val q34Oracle: String =
     """WITH c AS (
       |  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem
@@ -1005,6 +1055,7 @@ object RelationalQueries {
     "q50_range_frame" -> (q50RangeFrame _),
     "q54_correlated_agg" -> (q54CorrelatedAgg _),
     "q34_quantile_sketch" -> (q34QuantileSketch _),
+    "q67_hist_merge" -> (q67HistMerge _),
     "q33_copurchase_pairs" -> (q33CopurchasePairs _),
     "q31_dormant_customers" -> (q31DormantCustomers _),
     "q32_promo_share" -> (q32PromoShare _),
@@ -1035,6 +1086,7 @@ object RelationalQueries {
     "q50_range_frame" -> q50Oracle,
     "q54_correlated_agg" -> q54Oracle,
     "q34_quantile_sketch" -> q34Oracle,
+    "q67_hist_merge" -> q67Oracle,
     "q31_dormant_customers" -> q31Oracle,
     "q32_promo_share" -> q32Oracle,
     "q33_copurchase_pairs" -> q33Oracle,
