@@ -146,16 +146,26 @@ object Dedup {
     * left-semi runs BEFORE the self-join, so the blowup never
     * materializes. Input like [[withShingles]].
     * Output: (doc_a, doc_b, inter, jaccard). */
-  def minHashLshPairs(df: DataFrame, idCol: String, minJaccard: Double,
-      bands: Int = 4, rowsPerBand: Int = 4, maxBucket: Int = 256): DataFrame = {
-    val docs = df.select(col(idCol).as("doc_id"), col("shingles"), col("n_sh"),
+  /** The MinHash band keys of a [[withShingles]] frame: one row per
+    * (doc, band), `band` = band index + its signature slice — THE LSH
+    * bucket key shared by the batch pair search ([[minHashLshPairs]])
+    * and the streaming ingest index (d32), so the two cannot drift.
+    * Output: (doc_id, band). */
+  def minHashBands(df: DataFrame, idCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val sig = df.select(col(idCol).as("doc_id"),
       minHashSig(col("shingles"), bands * rowsPerBand).as("sig"))
     val bandExprs = (0 until bands).map { b =>
       val parts = (1 to rowsPerBand).map(r => s"element_at(sig, ${rowsPerBand * b + r})")
       s"concat_ws('-', $b, ${parts.mkString(", ")})"
     }
-    val banded = docs.select(col("doc_id"),
-      explode(array(bandExprs.map(expr): _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandExprs.map(expr): _*)).as("band"))
+  }
+
+  def minHashLshPairs(df: DataFrame, idCol: String, minJaccard: Double,
+      bands: Int = 4, rowsPerBand: Int = 4, maxBucket: Int = 256): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), col("shingles"), col("n_sh"))
+    val banded = minHashBands(df, idCol, bands, rowsPerBand)
     val kept = banded.groupBy("band").agg(count(lit(1)).as("n_bd"))
       .filter(col("n_bd").between(2, maxBucket))
       .select("band")

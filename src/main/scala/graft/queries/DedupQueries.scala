@@ -1677,11 +1677,108 @@ object DedupQueries {
       |FROM ch JOIN dd USING (doc_id) JOIN hc USING (h)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // d32 — STREAMING NEAR-DUP AT INGEST (the production posture of d03:
+  // documents arrive as a stream and each must be flagged against
+  // everything ALREADY ingested, not a completed corpus): the corpus
+  // rides the wire as binlog files in doc_id-RANGE partitions (ordered
+  // ingestion — the binlog source's natural-version file order), and
+  // per micro-batch the new docs' MinHash band keys (d03's exact
+  // banding, shared via Dedup.minHashBands) probe the ACCUMULATED band
+  // index (a ViewMaintenance state of distinct bands — set union is
+  // idempotent, so redelivery is free) plus the batch's own
+  // smaller-id-first intra-batch minima; hits flag, then the batch's
+  // bands join the index. Because batches are id-ordered and ALL docs
+  // index (dups too — the d20 convention keeps syndication chains
+  // findable), the flagged set is EXACTLY "∃ earlier doc sharing a band
+  // bucket" — batch-split-independent, which is what lets a plain batch
+  // oracle gate a stream. Flagging is EXISTENCE (semi-joins on the band
+  // key, no pair materialization), so hot bands cost one probe, not a
+  // k²/2 blowup — cheaper than d03's verified pairs because ingest only
+  // needs the verdict; candidates needing exact-Jaccard verification
+  // route to d03/d28 downstream. Output per lang: corpus size, flagged
+  // count, flagged-id checksum.
+  def d32StreamLshIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = CdcQueries.tmpFixtureDir("graft_d32_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val flags = new java.io.File(root, "flags").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // id-RANGE partitions → the sink's file numbering IS ingestion order
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      docs.repartitionByRange(4, col("doc_id")), feed, maxLen = 2048)
+    val q = spark.readStream.format("binlog")
+      .option("maxFilesPerTrigger", 1)
+      .load(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("doc_id"),
+            element_at(col("img"), 2).as("text"))
+          .withColumn("toks", split(col("text"), " "))
+        val banded = graft.ops.Dedup.minHashBands(
+            graft.ops.Dedup.withShingles(d, "toks"), "doc_id")
+          .localCheckpoint(true) // probed twice + appended
+        val idx = ViewMaintenance.readState(spark, state, "band STRING")
+        val hitIdx = banded.join(idx, Seq("band"), "left_semi")
+          .select("doc_id")
+        val intraMin = banded.groupBy("band").agg(min(col("doc_id")).as("mn"))
+        val hitIntra = banded.join(intraMin, Seq("band"))
+          .filter(col("doc_id") > col("mn")).select("doc_id")
+        ViewMaintenance.appendBatch(
+          hitIdx.unionByName(hitIntra).distinct(), flags)
+        ViewMaintenance.appendBatch(banded.select("band").distinct(), state)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val flagged = ViewMaintenance.readState(spark, flags, "doc_id BIGINT")
+      .withColumn("flagged", lit(1L))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("flagged"), lit(0L))).as("n_flagged"),
+        sum(when(col("flagged").isNotNull, col("doc_id")).otherwise(0L))
+          .as("flagged_id_sum"))
+      .orderBy("lang")
+  }
+
+  val d32Oracle: String =
+    shingleCte +
+    s""", sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 16), j -> list_min(list_transform(
+      |      list_transform(shingles, h0 -> h0 % $P),
+      |      h -> (((1664525 * j + 1013904223) % $P) * h + (22695477 * j + 12345) % $P) % $P))) AS sg
+      |  FROM s
+      |), banded AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4),
+      |    b -> concat_ws('-', b, sg[4*b + 1], sg[4*b + 2], sg[4*b + 3], sg[4*b + 4]))) AS band
+      |  FROM sig
+      |), bmin AS (
+      |  SELECT band, MIN(doc_id) AS mn FROM banded GROUP BY band
+      |), flagged AS (
+      |  SELECT DISTINCT b.doc_id FROM banded b
+      |  JOIN bmin m USING (band) WHERE b.doc_id > m.mn
+      |)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN d.doc_id ELSE 0 END)
+      |    AS BIGINT) AS flagged_id_sum
+      |FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d28_edit_verify" -> (d28EditVerify _),
     "d29_shared_spans" -> (d29SharedSpans _),
     "d30_decontaminate_clip" -> (d30DecontaminateClip _),
     "d31_cdc_chunking" -> (d31CdcChunking _),
+    "d32_stream_lsh_ingest" -> (d32StreamLshIngest _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d27_simhash60" -> (d27Simhash60 _),
     "d02_ngram_jaccard" -> (d02NgramJaccard _),
@@ -1712,6 +1809,7 @@ object DedupQueries {
     "d29_shared_spans" -> d29Oracle,
     "d30_decontaminate_clip" -> d30Oracle,
     "d31_cdc_chunking" -> d31Oracle,
+    "d32_stream_lsh_ingest" -> d32Oracle,
     "d01_exact_dedup" -> d01Oracle,
     "d02_ngram_jaccard" -> d02Oracle,
     "d03_minhash_lsh" -> d03Oracle,
