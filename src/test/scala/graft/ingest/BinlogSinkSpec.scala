@@ -67,6 +67,21 @@ class BinlogSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage != null)
   }
 
+  test("maxLen >= 256 takes the 2-byte VARCHAR length prefix path (d32's text payloads)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_w_").toString
+    val rows = Seq((1L, "x" * 300), (2L, "y" * 255), (3L, "short"))
+    BinlogSink.writeKeyedStrings(rows.toDF("k", "v").coalesce(1), dir,
+      maxLen = 2048)
+    val back = spark.read.format("binlog").load(dir)
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(explode(col("row_images")).as("img"))
+      .select(element_at(col("img"), 1).cast("long").as("k"),
+        element_at(col("img"), 2).as("v"))
+      .as[(Long, String)].collect().toSet
+    assert(back == rows.toSet)
+  }
+
   test("empty input writes no files; decoder sees an empty directory") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_e_").toString
