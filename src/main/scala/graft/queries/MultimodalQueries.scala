@@ -488,7 +488,83 @@ object MultimodalQueries {
       |  CAST(SUM(ma + mb) AS BIGINT) AS pair_id_sum
       |FROM longest GROUP BY run_len ORDER BY run_len""".stripMargin
 
+  // m10 — STREAMING MEDIA INGEST with a maintained manifest: the media
+  // family's streaming member (every other family has one — text t30,
+  // dedup d32, similarity s42/s43/s46, CDC throughout). Media objects
+  // arrive in id-range-ordered binlog batches; per micro-batch the
+  // payloads run through the REAL typed mapPartitions decode and
+  // frame-sample boundaries (MediaPipeline — the plumbing under test;
+  // codecs stay the documented deterministic fakes) and the manifest
+  // maintains incrementally via ViewMaintenance partials: counts and
+  // byte mass as additive sums, payload/frame uniqueness as appended
+  // per-batch distinct-hash sets folded at serve time (set union —
+  // idempotent, redelivery-free; at 100 TB that hash set IS the dedup
+  // index a media pipeline keeps anyway). Shares m07's oracle: the
+  // drained manifest must equal the one-shot batch manifest, so a
+  // mismatch isolates the streaming delivery and the per-batch decode
+  // boundaries, not the manifest arithmetic.
+  def m10StreamManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.ViewMaintenance
+    val root = CdcQueries.tmpFixtureDir("graft_m10_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val counts = new java.io.File(root, "counts").getPath
+    val ph = new java.io.File(root, "ph").getPath
+    val fh = new java.io.File(root, "fh").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .repartitionByRange(4, col("doc_id")), feed, maxLen = 2048)
+    val q = spark.readStream.format("binlog")
+      .option("maxFilesPerTrigger", 1)
+      .load(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("doc_id"),
+            element_at(col("img"), 2).as("text"),
+            lit("video").as("kind"), lit("video/fake").as("mime"))
+        val media = MediaPipeline.fromBinary(
+          docs.withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "kind", "mime")
+        val feats = MediaPipeline.decodeFeatures(media, batchSize = 64).toDF()
+          .localCheckpoint(true) // counts + hash set share one decode
+        val frames = MediaPipeline.sampleFrames(media, n = 4).toDF()
+          .select(expr(
+            "CAST(conv(substr(md5(frame), 1, 8), 16, 10) AS BIGINT)").as("h"))
+          .localCheckpoint(true)
+        ViewMaintenance.appendBatch(feats.agg(
+          count(lit(1)).as("n_media"),
+          coalesce(sum(col("byte_len")), lit(0L)).as("total_bytes"),
+          lit(0L).as("n_frames"))
+          .unionByName(frames.agg(lit(0L).as("n_media"),
+            lit(0L).as("total_bytes"), count(lit(1)).as("n_frames"))), counts)
+        ViewMaintenance.appendBatch(
+          feats.select(col("content_hash")).distinct(), ph)
+        ViewMaintenance.appendBatch(frames.select(col("h")).distinct(), fh)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sums = ViewMaintenance.readState(spark, counts,
+        "n_media BIGINT, total_bytes BIGINT, n_frames BIGINT")
+      .agg(sum(col("n_media")).as("n_media"),
+        sum(col("total_bytes")).as("total_bytes"),
+        sum(col("n_frames")).as("n_frames"))
+    val uniqP = ViewMaintenance.readState(spark, ph, "content_hash STRING")
+      .agg(count_distinct(col("content_hash")).as("n_unique_payloads"))
+    val uniqF = ViewMaintenance.readState(spark, fh, "h BIGINT")
+      .agg(count_distinct(col("h")).as("n_unique_frame_hashes"))
+    sums.crossJoin(uniqP).crossJoin(uniqF)
+      .withColumn("dup_payloads", col("n_media") - col("n_unique_payloads"))
+      .select("n_media", "total_bytes", "n_unique_payloads", "dup_payloads",
+        "n_frames", "n_unique_frame_hashes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_stream_manifest" -> (m10StreamManifest _),
     "m09_temporal_align" -> (m09TemporalAlign _),
     "m01_media_features" -> (m01MediaFeatures _),
     "m02_frame_samples" -> (m02FrameSamples _),
@@ -510,5 +586,7 @@ object MultimodalQueries {
     "m06_crossmodal_search" -> m06Oracle,
     "m07_media_manifest" -> m07Oracle,
     "m08_scene_segments" -> m08Oracle,
+    // stream-maintained manifest == the one-shot batch manifest
+    "m10_stream_manifest" -> m07Oracle,
   )
 }
