@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to stdout, not through sbt's logger:
+// the bench contract is "final stdout line is one pure-JSON summary", and
+// sbt's default LoggedOutput decorates every line with "[info] ", which
+// made the driver's JSON tail-parse fail (BENCH_r09–r11 all parsed null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

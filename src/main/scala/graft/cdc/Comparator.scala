@@ -233,7 +233,14 @@ object Comparator {
             col("a_source_ts_ms") * 1000L === col("_w_us"), "left")
         .withColumn("_ts_within", col("_w_file").isNotNull)
         .drop("_w_file", "_w_pos", "_w_us")
-      statusColumns(flagged, cfg, tsOutside = Some(!col("_ts_within")))
+      // Null-semantics parity with the default path: a null a_source_ts_ms
+      // makes the default tolerance expression NULL (coalesced match-ward
+      // in statusColumns), whereas the band non-membership would read as a
+      // definite out-of-band — so emit NULL, not true, in that case.
+      // (Unreachable after prepareAvro's coalesce; parity for raw callers.)
+      val bandOutside = when(col("a_source_ts_ms").isNull,
+        lit(null).cast("boolean")).otherwise(!col("_ts_within"))
+      statusColumns(flagged, cfg, tsOutside = Some(bandOutside))
         .drop("_ts_within")
     }
   }

@@ -411,9 +411,17 @@ object BinlogBinaryWriter {
 
   /** Accumulates events into one binlog file image. With `checksums` on,
     * every event (including the FDE that declares them) carries a real
-    * CRC32 tail computed over header + body, and event sizes include it. */
-  final class FileBuilder(checksums: Boolean = false) {
-    private val out = new ByteArrayOutputStream()
+    * CRC32 tail computed over header + body, and event sizes include it.
+    *
+    * With a `sink` stream, events are written THROUGH as they are built
+    * (heap holds one event at a time, so a partition's file size is
+    * bounded by storage, not executor memory or the 2 GB byte-array
+    * limit); without one they accumulate in memory and [[bytes]] returns
+    * the file image (the fixture-writer mode). */
+  final class FileBuilder(checksums: Boolean = false,
+      sink: java.io.OutputStream = null) {
+    private val buf = if (sink == null) new ByteArrayOutputStream() else null
+    private val out: java.io.OutputStream = if (sink == null) buf else sink
     out.write(BinlogBinaryParser.Magic)
     private var logPos = 4L
 
@@ -457,6 +465,13 @@ object BinlogBinaryWriter {
       }
     }
 
-    def bytes: Array[Byte] = out.toByteArray
+    /** Flush the sink stream (no-op in buffering mode). */
+    def flush(): Unit = out.flush()
+
+    def bytes: Array[Byte] = {
+      require(buf != null,
+        "bytes is only available in buffering mode (no sink stream)")
+      buf.toByteArray
+    }
   }
 }

@@ -3,6 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.TaskContext
+import org.apache.hadoop.fs.Path
 
 /** Distributed binlog binary SINK — the write-side complement of
   * [[graft.sources.BinlogDataSource]], as [[AvroSink]] is to the Avro
@@ -20,6 +21,15 @@ import org.apache.spark.TaskContext
   * the streaming-IVM gate (cdc45), which replays a relational delta as a
   * genuine binlog change feed.
   *
+  * IO goes through the Hadoop FileSystem API — `dir` is resolved with
+  * `Path.getFileSystem` against the session's conf (captured driver-side
+  * and broadcast into tasks, exactly as the read side does in
+  * `BinlogDataSource`), so the sink is correct on HDFS/object storage,
+  * not just a shared POSIX mount: executors write through `fs.create`,
+  * never to their own local disks. Events STREAM to the output as they
+  * are encoded (heap holds one event, not the file), so a partition's
+  * file size is bounded by storage, not executor memory.
+  *
   * Shape supported: (BIGINT key, STRING payload) — LONGLONG + VARCHAR on
   * the wire. Wider rows belong to the fixture writers until a caller
   * needs them distributed; this sink deliberately starts at the shape
@@ -35,9 +45,11 @@ object BinlogSink {
   def writeKeyedStrings(df: DataFrame, dir: String, maxLen: Int = 20,
       rowsPerEvent: Int = 100): Unit =
     // col(), not selectExpr: a column name that parses as an expression
-    // ("k-1", "user.id") must stay a name, never arithmetic or a struct path
-    writeChanges(df.select(lit(1).as("op"),
-      col(df.columns(0)).cast("bigint"), col(df.columns(1))),
+    // ("k-1", "user.id") must stay a name, never arithmetic or a struct
+    // path. toDF renames positionally first, so the injected "_op" can
+    // never collide with a caller column that happens to share the name.
+    writeChanges(df.select(col(df.columns(0)), col(df.columns(1)))
+      .toDF("_k", "_v").select(lit(1).as("_op"), col("_k"), col("_v")),
       dir, maxLen, rowsPerEvent)
 
   /** Write a CHANGELOG: `df`'s first three columns are (INT op, BIGINT
@@ -50,49 +62,67 @@ object BinlogSink {
   def writeChanges(df: DataFrame, dir: String, maxLen: Int = 20,
       rowsPerEvent: Int = 100): Unit = {
     import BinlogBinaryWriter._
-    val out = new java.io.File(dir)
-    out.mkdirs()
-    val dirPath = out.getPath
+    val sconf = org.apache.spark.graftshim.SerializableHadoopConf.session()
+    val dirPath = new Path(dir)
+    dirPath.getFileSystem(sconf.value).mkdirs(dirPath)
+    // qualified URI string, so executors resolve the SAME filesystem the
+    // driver did even when `dir` was scheme-less
+    val dirUri = dirPath
+      .getFileSystem(sconf.value).makeQualified(dirPath).toString
     val cols = Seq(ColDef.longlong, ColDef.varchar(maxLen))
-    val c = df.columns // positional contract; col() keeps names opaque
-    df.select(col(c(0)).cast("int"), col(c(1)).cast("bigint"), col(c(2)))
+    // Alias the three positional columns to internal names FIRST: the
+    // downstream select resolves by name, and a caller whose own columns
+    // shadow the aliases (e.g. a payload column literally named "_op")
+    // must not make col("_op") ambiguous. toDF renames ALL columns
+    // positionally, so no caller name can collide.
+    val c = df.columns
+    require(c.length >= 3,
+      s"writeChanges needs (op, key, payload) columns; got ${c.length}")
+    df.select(col(c(0)), col(c(1)), col(c(2))).toDF("_op", "_k", "_v")
+      .select(col("_op").cast("int"), col("_k").cast("bigint"), col("_v"))
       .rdd.foreachPartition { rows =>
         if (rows.hasNext) {
           val pid = TaskContext.getPartitionId()
           val t0 = 1714564800L
           val sid = (1 to 16).map(_.toByte).toArray
-          val f = new FileBuilder(checksums = true)
-          f.fde(t0)
-          f.event(t0, 33, gtidBody(sid, pid + 1L))
-          f.event(t0, 2, queryBody("sf", "BEGIN"))
-          // group CONSECUTIVE same-op rows into one event (an event has
-          // one type), preserving partition order on the wire
-          val it = rows.map { r =>
-            val op = r.getInt(0)
-            require(op == 1 || op == -1, s"op must be +1/-1, got $op")
-            val s = r.getString(2)
-            // the TABLE_MAP declares VARCHAR(maxLen); a longer payload
-            // would still self-describe on the wire but lie to every
-            // schema-aware consumer — reject it at the sink
-            require(s.getBytes("UTF-8").length <= maxLen,
-              s"payload exceeds declared VARCHAR($maxLen): '$s'")
-            (op, Seq(Some(encLongLong(r.getLong(1))),
-              Some(encVarchar(s, maxLen))))
-          }.buffered
-          while (it.hasNext) {
-            val op = it.head._1
-            val batch = scala.collection.mutable.ArrayBuffer
-              .empty[Seq[Option[Array[Byte]]]]
-            while (it.hasNext && it.head._1 == op && batch.size < rowsPerEvent)
-              batch += it.next()._2
-            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-            f.event(t0, if (op == 1) 30 else 32,
-              rowsBody(11, cols.size, batch.toSeq))
-          }
-          f.event(t0, 16, xidBody(1000L + pid))
-          java.nio.file.Files.write(
-            new java.io.File(dirPath, f"mysql-bin.${pid + 1}%06d").toPath,
-            f.bytes)
+          val out = new Path(dirUri, f"mysql-bin.${pid + 1}%06d")
+          val os = out.getFileSystem(sconf.value).create(out, true)
+          try {
+            val f = new FileBuilder(checksums = true,
+              sink = new java.io.BufferedOutputStream(os, 1 << 16))
+            f.fde(t0)
+            f.event(t0, 33, gtidBody(sid, pid + 1L))
+            f.event(t0, 2, queryBody("sf", "BEGIN"))
+            // group CONSECUTIVE same-op rows into one event (an event has
+            // one type), preserving partition order on the wire
+            val it = rows.map { r =>
+              val op = r.getInt(0)
+              require(op == 1 || op == -1, s"op must be +1/-1, got $op")
+              require(!r.isNullAt(2),
+                s"null payload for key ${r.getLong(1)}: the wire column is " +
+                "declared NOT NULL VARCHAR; filter or fill nulls before the sink")
+              val s = r.getString(2)
+              // the TABLE_MAP declares VARCHAR(maxLen); a longer payload
+              // would still self-describe on the wire but lie to every
+              // schema-aware consumer — reject it at the sink
+              require(s.getBytes("UTF-8").length <= maxLen,
+                s"payload exceeds declared VARCHAR($maxLen): '$s'")
+              (op, Seq(Some(encLongLong(r.getLong(1))),
+                Some(encVarchar(s, maxLen))))
+            }.buffered
+            while (it.hasNext) {
+              val op = it.head._1
+              val batch = scala.collection.mutable.ArrayBuffer
+                .empty[Seq[Option[Array[Byte]]]]
+              while (it.hasNext && it.head._1 == op && batch.size < rowsPerEvent)
+                batch += it.next()._2
+              f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+              f.event(t0, if (op == 1) 30 else 32,
+                rowsBody(11, cols.size, batch.toSeq))
+            }
+            f.event(t0, 16, xidBody(1000L + pid))
+            f.flush()
+          } finally os.close()
         }
       }
   }

@@ -211,8 +211,18 @@ object Dedup {
     * (a cluster that large belongs to exact dedup upstream — the
     * d02/d03 stop-term discipline; its pairs are then findable through
     * their OTHER bands only if those are under-cap too), trading that
-    * recall loss for a bounded bucket self-join. Output:
-    * (id_a, id_b, hamming). */
+    * recall loss for a bounded bucket self-join.
+    *
+    * '''Behavior change (r11):''' `maxBucket` previously defaulted to
+    * 256 — a silent recall cap. The default is now `Int.MaxValue`
+    * (exact recall), so a caller who relied on the old implicit cap now
+    * gets an UNBOUNDED bucket self-join: a corpus with a giant
+    * near-identical cluster (k docs sharing a band value) costs O(k²)
+    * candidate pairs. If such clusters exist and are not exact-deduped
+    * upstream, pass `maxBucket = 256` explicitly to restore the old
+    * bounded behavior.
+    *
+    * Output: (id_a, id_b, hamming). */
   def simhashNearDups(df: DataFrame, idCol: String, simhashCol: String,
       maxHamming: Int = 3, bands: Int = 4, bits: Int = 32,
       maxBucket: Int = Int.MaxValue): DataFrame = {

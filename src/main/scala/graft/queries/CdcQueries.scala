@@ -2883,12 +2883,15 @@ object CdcQueries {
   // DELETE_ROWS (−1) events (BinlogSink.writeChanges — inserts precede
   // their deletes on each file, a real changelog's contract), streams
   // back through the binlog source across multiple micro-batches, and
-  // foreachBatch appends each batch's SIGNED partial aggregates to the
-  // view state. Signed sums are commutative/associative, so any batch
-  // split folds to the same view — which is exactly what the oracle
-  // gates: the drained view equals the batch aggregate over the
+  // foreachBatch lands each batch's SIGNED partial aggregates in the
+  // view state under cdc48's exactly-once discipline (batch_id-partition
+  // overwrite + an injected batch-0 redelivery — signed sums would
+  // double-count a replay, unlike cdc49's idempotent maxima, so the
+  // sink MUST absorb it). Signed sums are commutative/associative, so
+  // any batch split folds to the same view — which is exactly what the
+  // oracle gates: the drained view equals the batch aggregate over the
   // surviving multiset. At 100 TB: per batch the work is one delta-sized
-  // map + a ≤|groups|-row append; deletes cost the same as inserts (the
+  // map + a ≤|groups|-row write; deletes cost the same as inserts (the
   // point of signed partials — no base-view lookup, no rescan).
   def cdc47StreamRetract(spark: SparkSession, dir: String): DataFrame = {
     val (feed, state, ckpt) = streamDirs("graft_cdc47_", dir)
@@ -2906,23 +2909,38 @@ object CdcQueries {
       .sortWithinPartitions("ord") // inserts precede their deletes per file
       .select("op", "k", "grp")
     graft.ingest.BinlogSink.writeChanges(changelog, feed)
-    drainBinlogFeed(spark, feed, ckpt) { (batch, _) =>
-      graft.streaming.ViewMaintenance.appendBatch(
-        batch
-          .filter(col("event_type")
-            .isin("WriteRowsEventV2", "DeleteRowsEventV2"))
-          .select(when(col("event_type") === "WriteRowsEventV2", 1L)
-            .otherwise(-1L).as("w"),
-            explode(col("row_images")).as("img"))
-          .select(col("w"),
-            element_at(col("img"), 1).cast("long").as("k"),
-            element_at(col("img"), 2).as("event_type"))
-          .groupBy("event_type")
-          .agg(sum(col("w")).as("n"), sum(col("w") * col("k")).as("ksum")),
-        state)
+    // Signed sums are NOT redelivery-idempotent (a replayed batch would
+    // double its +/− weights — unlike cdc49's register maxima), so this
+    // gate uses applyIdempotent's batch_id-partition overwrite, and
+    // PROVES it by re-applying batch 0's write from the recorded file(s)
+    // — the same crash-after-commit replay cdc48 injects, now absorbed
+    // by a retraction-bearing view.
+    def signedPartials(batch: DataFrame): DataFrame = batch
+      .filter(col("event_type")
+        .isin("WriteRowsEventV2", "DeleteRowsEventV2"))
+      .select(when(col("event_type") === "WriteRowsEventV2", 1L)
+        .otherwise(-1L).as("w"),
+        explode(col("row_images")).as("img"))
+      .select(col("w"),
+        element_at(col("img"), 1).cast("long").as("k"),
+        element_at(col("img"), 2).as("event_type"))
+      .groupBy("event_type")
+      .agg(sum(col("w")).as("n"), sum(col("w") * col("k")).as("ksum"))
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      graft.streaming.ViewMaintenance.applyIdempotent(
+        signedPartials(batch), state, id)
+    }
+    drainBinlogFeed(spark, feed, ckpt)(applyBatch)
+    if (batch0Files.nonEmpty) {
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"$feed/$f"): _*), 0L)
     }
     graft.streaming.ViewMaintenance.readState(spark, state,
-        "event_type STRING, n BIGINT, ksum BIGINT")
+        "event_type STRING, n BIGINT, ksum BIGINT, batch_id BIGINT")
       .groupBy("event_type")
       .agg(sum(col("n")).as("n_rows"), sum(col("ksum")).as("value_sum"))
       .orderBy("event_type")
@@ -2959,9 +2977,20 @@ object CdcQueries {
     graft.ingest.BinlogSink.writeKeyedStrings(
       fx.aDelta.repartition(4, col("o_orderkey")), feed)
     val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
-    def applyBatch(batch: DataFrame, id: Long): Unit =
+    // record which feed file(s) batch 0 ACTUALLY processed (≤1 here by
+    // maxFilesPerTrigger=1 — a bounded fixture-side collect), rather than
+    // inferring "the lexicographically smallest file": if the source's
+    // natural-version order ever diverged from name order, an inferred
+    // redelivery would replace batch 0's partition with DIFFERENT partials
+    // and fail the gate spuriously instead of isolating a sink bug.
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
       ViewMaintenance.applyIdempotent(
         fx.partials(decodeIvmDelta(batch), bPrime), state, id)
+    }
     // state₀ under the same discipline (batch_id −1 = the old view's
     // partials against the OLD B, −2 = the one-shot A⋈ΔB leg — NOT a
     // B′ join, which would double-count ΔB)
@@ -2969,16 +2998,14 @@ object CdcQueries {
     ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
     drainBinlogFeed(spark, feed, ckpt)(applyBatch)
     // INJECTED REDELIVERY: re-apply batch 0's write from a batch re-read
-    // of the lowest-numbered feed file — the crash-after-commit replay.
+    // of the file(s) batch 0 processed — the crash-after-commit replay.
     // With append semantics this would double batch 0's partials; the
     // partition overwrite must absorb it bit-for-bit. (An empty delta —
     // a legal quiet period — wrote no files and ran no batches: nothing
     // to redeliver.)
-    val feedFiles = Option(new java.io.File(feed).listFiles())
-      .getOrElse(Array.empty).map(_.getName)
-    if (feedFiles.nonEmpty) {
-      applyBatch(
-        spark.read.format("binlog").load(s"$feed/${feedFiles.min}"), 0L)
+    if (batch0Files.nonEmpty) {
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"$feed/$f"): _*), 0L)
     }
     ivmReport(fx, ViewMaintenance.readState(spark, state,
       "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT")

@@ -248,8 +248,13 @@ private[graft] object BinlogScan {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     val fs = hadoopPath.getFileSystem(conf)
+    // hidden-file convention (Spark's file sources do the same): "."/"_"
+    // prefixed names are metadata (checksum sidecars, _SUCCESS markers,
+    // in-progress temp files), never binlog data
+    def visible(p: Path): Boolean =
+      !p.getName.startsWith(".") && !p.getName.startsWith("_")
     val files: Array[Path] =
-      if (fs.exists(hadoopPath) && fs.getFileStatus(hadoopPath).isFile) Array(hadoopPath)
+      (if (fs.exists(hadoopPath) && fs.getFileStatus(hadoopPath).isFile) Array(hadoopPath)
       else Option(fs.globStatus(hadoopPath)) match {
         case Some(matches) if matches.nonEmpty =>
           matches.flatMap { st =>
@@ -257,7 +262,7 @@ private[graft] object BinlogScan {
             else fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath)
           }
         case _ => fs.listStatus(hadoopPath).filter(_.isFile).map(_.getPath)
-      }
+      }).filter(visible)
     def seq(name: String): Long =
       "\\.(\\d+)$".r.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(Long.MaxValue)
     files.map(_.toString)

@@ -43,7 +43,11 @@ object ViewMaintenance {
     * `schema` is the partials schema in DDL form; include `batch_id
     * BIGINT` when the state was written by [[applyIdempotent]]. */
   def readState(spark: SparkSession, stateDir: String, schema: String): DataFrame = {
-    new java.io.File(stateDir).mkdirs()
+    // Hadoop FS, not java.io: stateDir may live on HDFS/object storage on
+    // a real cluster — resolve it with the session's conf like every
+    // source does, so the pre-create lands where the writes will.
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
     spark.read.schema(schema).parquet(stateDir)
   }
 }

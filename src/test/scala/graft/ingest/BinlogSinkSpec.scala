@@ -22,7 +22,10 @@ class BinlogSinkSpec extends AnyFunSuite with SparkTestSession {
     val df = (0 until 250).map(i => (i.toLong, s"payload_$i")).toDF("k", "v")
       .repartition(4, col("k"))
     BinlogSink.writeKeyedStrings(df, dir, maxLen = 20)
-    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    // the Hadoop local FS adds hidden .crc integrity sidecars — data files
+    // are the visible ones
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
     assert(files.nonEmpty && files.forall(_.startsWith("mysql-bin.")),
       files.mkString(","))
     val back = spark.read.format("binlog").load(dir)
@@ -80,6 +83,51 @@ class BinlogSinkSpec extends AnyFunSuite with SparkTestSession {
         element_at(col("img"), 2).as("v"))
       .as[(Long, String)].collect().toSet
     assert(back == rows.toSet)
+  }
+
+  test("explicit file: URI routes through the Hadoop FileSystem API") {
+    import spark.implicits._
+    val raw = java.nio.file.Files.createTempDirectory("graft_binlog_sink_u_")
+    val dir = "file://" + raw.toString // scheme-qualified, as HDFS/S3 would be
+    val df = (0 until 20).map(i => (i.toLong, s"u_$i")).toDF("k", "v")
+      .repartition(2, col("k"))
+    BinlogSink.writeKeyedStrings(df, dir)
+    val files = raw.toFile.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.nonEmpty && files.forall(_.startsWith("mysql-bin.")))
+    val back = spark.read.format("binlog").load(dir)
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(explode(col("row_images")).as("img"))
+      .select(element_at(col("img"), 1).cast("long").as("k"),
+        element_at(col("img"), 2).as("v"))
+      .as[(Long, String)].collect().toSet
+    assert(back == (0 until 20).map(i => (i.toLong, s"u_$i")).toSet)
+  }
+
+  test("caller columns named op/_op/_k cannot shadow the sink's internals") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_s_").toString
+    // a payload column literally named "op" and a key named "_op": the
+    // positional toDF rename must keep resolution unambiguous
+    val df = Seq((1, 10L, "a"), (-1, 11L, "b")).toDF("_k", "_op", "op")
+    BinlogSink.writeChanges(df, dir)
+    val back = spark.read.format("binlog").load(dir)
+      .filter(col("event_type").isin("WriteRowsEventV2", "DeleteRowsEventV2"))
+      .select(explode(col("row_images")).as("img"))
+      .select(element_at(col("img"), 1).cast("long").as("k"))
+      .as[Long].collect().toSet
+    assert(back == Set(10L, 11L))
+  }
+
+  test("null payload fails with a clear message, not an NPE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_n_").toString
+    val df = Seq((1L, "ok"), (2L, null: String)).toDF("k", "v").coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      BinlogSink.writeKeyedStrings(df, dir)
+    }
+    assert(e.getMessage.contains("null payload")
+      || Option(e.getCause).exists(_.getMessage.contains("null payload")))
   }
 
   test("empty input writes no files; decoder sees an empty directory") {
