@@ -46,8 +46,18 @@ object Comparator {
     *                     (file, pos, avro-µs); a duplicate-keyed binlog
     *                     side would let a sibling row's in-band timestamp
     *                     vouch for a pair whose own Δt is out of band.
-    *                     Batch-only (the mode builds a distinct + second
-    *                     join, which streaming plans reject). */
+    *                     Supported for batch AND the stream-static shape
+    *                     (avro stream ⟕ static binlog — cdc50's gate):
+    *                     there the static side is bucketed once and the
+    *                     within-band flag rides a second chained
+    *                     stream-static equi-join on (key, bucket), with no
+    *                     distinct (the unique-key contract above makes at
+    *                     most one exploded bucket row match). Stream-STREAM
+    *                     band mode stays rejected: both formulations need
+    *                     a second join against the binlog feed, and Spark
+    *                     allows only one stream-stream join per plan
+    *                     without multi-watermark state the tolerance
+    *                     semantics don't need. */
   case class Config(toleranceMs: Long = 100L, strictChangeType: Boolean = false,
       bandJoinTolerance: Boolean = false)
 
@@ -193,10 +203,47 @@ object Comparator {
       a("a_file") === b("b_file") && a("a_pos") === b("b_pos"),
       joinType)
     if (!cfg.bandJoinTolerance) statusColumns(joined, cfg)
+    else if (avro.isStreaming && !binlog.isStreaming) {
+      // STREAM-STATIC band mode (E10 served under streaming — cdc50): the
+      // static binlog side is bucketed ONCE (±1 explode, the batch shape
+      // below) and the within-band flag comes from a second chained
+      // stream-static equi-join on (file, pos, bucket) carrying the exact
+      // band check — no distinct, no rejoin of stream-derived frames
+      // (which streaming would reject as a stream-stream self-join). The
+      // unique-(file, pos) contract means the three exploded bucket rows
+      // have distinct bucket values, so at most ONE can match a given
+      // stream row: the join cannot duplicate. At scale the bucketed
+      // static side is built once per (re)start and either broadcast or
+      // shuffled on the same key as the main join.
+      val w = math.max(cfg.toleranceMs * 1000L, 1L)
+      val bBand = renameBinlogSide(binlog)
+        .filter(!binlogTsParseError)
+        .select(col("b_file").as("_bb_file"), col("b_pos").as("_bb_pos"),
+          binlogTsMicros.as("_bb_us"))
+        .select(col("_bb_file"), col("_bb_pos"), col("_bb_us"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("_nb"))
+        .select(col("_bb_file"), col("_bb_pos"), col("_bb_us"),
+          (expr(s"_bb_us div ${w}L") + col("_nb")).as("_bb_bkt"))
+      val flagged = joined
+        .withColumn("_a_us", col("a_source_ts_ms") * 1000L)
+        .withColumn("_a_bkt", expr(s"_a_us div ${w}L"))
+        .join(bBand,
+          col("a_file") === col("_bb_file") && col("a_pos") === col("_bb_pos") &&
+            col("_a_bkt") === col("_bb_bkt") &&
+            abs(col("_a_us") - col("_bb_us")) <= lit(cfg.toleranceMs * 1000L),
+          "left")
+        .withColumn("_ts_within", col("_bb_file").isNotNull)
+        .drop("_bb_file", "_bb_pos", "_bb_us", "_bb_bkt", "_a_us", "_a_bkt")
+      val bandOutside = when(col("a_source_ts_ms").isNull,
+        lit(null).cast("boolean")).otherwise(!col("_ts_within"))
+      statusColumns(flagged, cfg, tsOutside = Some(bandOutside))
+        .drop("_ts_within")
+    }
     else {
       require(!binlog.isStreaming && !avro.isStreaming,
-        "bandJoinTolerance is batch-only: the within-band membership " +
-          "needs a distinct + rejoin that streaming plans reject")
+        "bandJoinTolerance under streaming is stream-static only (static " +
+          "binlog side); the stream-stream form would need a second " +
+          "stream-stream join, which Spark plans reject")
       // E10 as a BAND JOIN (q25's time-bucket machinery): a pair is within
       // tolerance iff |Δt| ≤ tol, and with bucket width W = tol·1000 µs two
       // in-band timestamps land in the same or adjacent buckets — so the

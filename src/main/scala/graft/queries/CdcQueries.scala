@@ -3090,7 +3090,63 @@ object CdcQueries {
       |    AS BIGINT) AS est
       |FROM s JOIN x USING (event_type) ORDER BY s.event_type""".stripMargin
 
+  // cdc50 — E10's tolerance band SERVED UNDER STREAMING: cdc46 gates the
+  // band-join plan in batch; this drains the same five-tolerance sweep
+  // through the STREAM-STATIC comparator with
+  // Config(bandJoinTolerance = true) — the within-band flag rides a
+  // second chained stream-static equi-join on (file, pos, time-bucket)
+  // against the once-bucketed static side (Comparator.compareJoined's
+  // streaming branch; no distinct, no stream-derived rejoin). One drain,
+  // five unioned branches (the sweep shares the per-micro-batch feed
+  // scan; a deployment runs one tolerance), BINLOG_ONLY reconciled in
+  // the documented end-of-stream batch step — tolerance-independent
+  // (left-outer emits every avro row at every tolerance), so it is
+  // computed once and replicated across the sweep by explode. Shares
+  // cdc04's oracle: a divergence isolates the STREAMING band delivery
+  // (micro-batch planning, the chained-join plan, the drain) from the
+  // band machinery (cdc46) and the tolerance semantics (cdc04).
+  def cdc50StreamBandTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tols = Seq(0L, 50L, 100L, 250L, 1000L)
+    val root = tmpFixtureDir("graft_cdc50_", dir)
+    val feed = new java.io.File(root, "feed").getPath
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val (binlogStatic, avroRaw) = sidesRaw(spark, dir)
+    avroRaw.write.mode("overwrite").json(feed)
+    withDrainPartitions(spark) {
+      val avroStream = Comparator.prepareAvro(
+        spark.readStream.schema(avroRaw.schema).json(feed))
+      val q = tols.map { tol =>
+          graft.streaming.StreamingComparator.compareStream(
+              avroStream, binlogStatic,
+              Comparator.Config(toleranceMs = tol, bandJoinTolerance = true))
+            .select(lit(tol).as("tolerance_ms"), col("binlog_file"),
+              col("position"), col("status"))
+        }.reduce(_ unionByName _)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
+    val drained = spark.read.schema("tolerance_ms BIGINT, " +
+        "binlog_file STRING, position BIGINT, status STRING")
+      .parquet(sink)
+    val binlogOnly = graft.streaming.StreamingComparator.reconcileBinlogOnly(
+        binlogStatic,
+        drained.filter(col("tolerance_ms") === 0L)
+          .select(col("binlog_file"), col("position").as("binlog_position")))
+      .select(col("binlog_file"), col("position"), col("status"),
+        explode(typedlit(tols)).as("tolerance_ms"))
+    drained.unionByName(binlogOnly.select(
+        "tolerance_ms", "binlog_file", "position", "status"))
+      .groupBy("tolerance_ms", "status").agg(count(lit(1)).as("count"))
+      .orderBy("tolerance_ms", "status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc50_stream_band" -> (cdc50StreamBandTolerance _),
     "cdc49_stream_sketch" -> (cdc49StreamSketch _),
     "cdc48_idempotent_sink" -> (cdc48IdempotentSink _),
     "cdc47_stream_retract" -> (cdc47StreamRetract _),
@@ -3192,6 +3248,7 @@ object CdcQueries {
     "cdc45_stream_ivm" -> AnalyticQueries.q66Oracle,
     // band-join tolerance == cdc04's post-join-filter sweep, bit-for-bit
     "cdc46_band_tolerance" -> cdc04Oracle,
+    "cdc50_stream_band" -> cdc04Oracle, // streaming band == batch sweep
     "cdc47_stream_retract" -> cdc47Oracle,
     // redelivered-batch write absorbed ⇒ still q66's exact decomposition
     "cdc48_idempotent_sink" -> AnalyticQueries.q66Oracle,

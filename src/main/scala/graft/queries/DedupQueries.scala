@@ -1773,7 +1773,97 @@ object DedupQueries {
       |FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // d33 — STREAMING DECONTAMINATION AT INGEST (d15's bloom pass in the
+  // production posture, the d32 pattern applied to it: an LLM pipeline
+  // decontaminates documents as they ARRIVE, not in a batch sweep over a
+  // finished corpus). The eval-set fingerprint index — d15's exact
+  // 512-bit/2-hash bloom BIT set over benchmark content hashes — is
+  // maintained as ViewMaintenance state (distinct bits: set union is
+  // idempotent, so an eval-set refresh is just another append and
+  // redelivery is free); the corpus rides the wire as binlog files and
+  // each micro-batch probes the index with two chained EXISTENCE
+  // semi-joins (bit0 present AND bit1 present — no pair
+  // materialization, and the ≤512-row bit table broadcasts), appending
+  // bloom-positive doc_ids to a flags state. The index is static across
+  // the drain, so the flagged set is batch-split-independent — which is
+  // what lets this SHARE d15's oracle verbatim: a mismatch against a
+  // green d15 isolates the streaming delivery (wire round-trip of the
+  // text, per-batch probe plan, state handling), not the bloom math.
+  // The in_set truth join stays gate instrumentation, computed
+  // batch-side exactly as in d15. At 100 TB: per batch the work is two
+  // broadcast semi-joins over the batch's rows — no shuffle touches the
+  // corpus, the d15 scale argument unchanged by streaming.
+  def d33StreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val m = 512
+    def bit(i: Int, key: Column): Column =
+      conv(substring(md5(concat(key, lit(s"#b$i"))), 1, 8), 16, 10)
+        .cast("long") % m
+    val root = CdcQueries.tmpFixtureDir("graft_d33_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val flags = new java.io.File(root, "flags").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // the eval-set index: one append here; a refreshed eval set would be
+    // another (distinct-at-read makes overlapping appends harmless)
+    ViewMaintenance.appendBatch(
+      docs.filter(col("doc_id") % 37 === 0)
+        .select(md5(col("text")).as("key")).distinct()
+        .select(explode(array(bit(0, col("key")), bit(1, col("key"))))
+          .as("bit"))
+        .distinct(),
+      state)
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      docs.repartitionByRange(4, col("doc_id")), feed, maxLen = 2048)
+    val q = spark.readStream.format("binlog")
+      .option("maxFilesPerTrigger", 1)
+      .load(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bits = ViewMaintenance.readState(spark, state, "bit BIGINT")
+          .distinct()
+        val d = batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("doc_id"),
+            md5(element_at(col("img"), 2)).as("key"))
+          .withColumn("b0", bit(0, col("key")))
+          .withColumn("b1", bit(1, col("key")))
+        ViewMaintenance.appendBatch(
+          d.join(broadcast(bits.select(col("bit").as("b0"))),
+              Seq("b0"), "left_semi")
+            .join(broadcast(bits.select(col("bit").as("b1"))),
+              Seq("b1"), "left_semi")
+            .select("doc_id"),
+          flags)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // d15's report columns over the DRAINED flag set (in_set = gate truth)
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("key"))
+    val benchKeys = keyed.filter(col("doc_id") % 37 === 0)
+      .select("key").distinct()
+    keyed
+      .join(ViewMaintenance.readState(spark, flags, "doc_id BIGINT")
+        .withColumn("flagged", lit(1L)), Seq("doc_id"), "left")
+      .join(broadcast(benchKeys.withColumn("in_set", lit(1))), Seq("key"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("flagged").isNotNull, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("flagged").isNotNull && col("in_set").isNotNull, 1L)
+          .otherwise(0L)).as("n_true_pos"),
+        sum(when(col("flagged").isNotNull && col("in_set").isNull, 1L)
+          .otherwise(0L)).as("n_false_pos"),
+        sum(when(col("flagged").isNull && col("in_set").isNotNull, 1L)
+          .otherwise(0L)).as("n_missed"),
+        sum(when(col("flagged").isNotNull, col("doc_id")).otherwise(0L))
+          .cast("long").as("flagged_id_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d33_stream_decontaminate" -> (d33StreamDecontaminate _),
     "d28_edit_verify" -> (d28EditVerify _),
     "d29_shared_spans" -> (d29SharedSpans _),
     "d30_decontaminate_clip" -> (d30DecontaminateClip _),
@@ -1822,6 +1912,7 @@ object DedupQueries {
     "d12_dedup_manifest" -> d12Oracle,
     "d13_chunk_dedup" -> d13Oracle,
     "d15_bloom_decontaminate" -> d15Oracle,
+    "d33_stream_decontaminate" -> d15Oracle, // streamed probe == batch pass
     "d17_minhash_estimate" -> d17Oracle,
     "d18_span_dedup" -> d18Oracle,
     "d19_lsh_sweep" -> d19Oracle,
