@@ -2618,13 +2618,16 @@ object SimilarityQueries {
   // entry points = PER-QUERY IVF SEEDS — the query's exact top-3 within
   // its probed clusters (s04's probe + s03's candidate cut, the coarse
   // quantizer every DiskANN deployment seeds from) — candidates = the
-  // closed 2-hop out-neighborhood of the seeds in the directed top-3
-  // kNN edge list, finished with the exact re-rank. Best-first beam
-  // search is inherently sequential; the bounded-hop ball is its
-  // deterministic, relational stand-in — same index (the kNN graph),
-  // same entry discipline, and the expansion is two vertex-keyed
-  // equi-joins instead of a data-dependent loop, so the whole search
-  // stays one declarative plan. (r9 verdict: the earlier SHARED
+  // closed 1-hop out-neighborhood of the seeds in the directed top-3
+  // kNN edge list plus the hop-2 expansion of its top-[[servedBeam]]
+  // nodes by exact cosine (s50's priced beam), finished with the exact
+  // re-rank. Best-first beam search is inherently sequential; the
+  // beam-limited bounded-hop ball is its deterministic, relational
+  // stand-in — same index (the kNN graph), same entry discipline, the
+  // same score-then-prune frontier rule, and the expansion is two
+  // vertex-keyed equi-joins plus one bounded window instead of a
+  // data-dependent loop, so the whole search stays one declarative
+  // plan. (r9 verdict: the earlier SHARED
   // per-cluster prototype entry measured ~3% recall@3 on s38's truth
   // join — a fixed entry two hops from nowhere; per-query seeds lift
   // the ball to the query's own neighborhood. r10 verdict: the served
@@ -2677,18 +2680,40 @@ object SimilarityQueries {
     * `seeds` carries (query_id, seed, rk) — see [[ivfSeeds]]. `entry_id`
     * in the output is the rank-1 seed. One definition so the inline and
     * persisted-index routes cannot drift. */
-  /** The closed 2-hop candidate ball around each query's seed set —
-    * shared by the plain search ([[graphBallSearch]]) and the filtered
-    * one (s49) so the expansion cannot drift. */
-  private def hopBall(edges: DataFrame, seeds: DataFrame): DataFrame = {
+  /** The served BEAM width: only the top-`servedBeam` hop-1 frontier
+    * nodes (by exact cosine to the query) expand to hop 2. Promoted from
+    * s50's measured curve (sf0.1: recall@3 identical to the unbounded
+    * 2-hop ball — 633333 ppm — at 1195 vs 1910 candidates and 320 vs 536
+    * hop-2 expansions; sf0.01 identical recall down to beam 2). */
+  private val servedBeam = 8
+
+  /** The served candidate ball around each query's seed set — shared by
+    * the plain search ([[graphBallSearch]]), the filtered one (s49), and
+    * the persisted route (s36) so the expansion cannot drift: the FULL
+    * closed 1-hop frontier (every visited node is a candidate — its
+    * exact-cosine score is computed for the re-rank anyway, and that
+    * score IS the beam selection), of which only the top-[[servedBeam]]
+    * expand to hop 2. */
+  private def hopBall(edges: DataFrame, seeds: DataFrame,
+      emb: DataFrame, qRows: DataFrame, beam: Int = servedBeam): DataFrame = {
     val h1 = seeds.select(col("query_id"), col("seed").as("id_a"))
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
-    val h2 = h1.withColumnRenamed("cand", "id_a")
+    val ball1 = seeds.select(col("query_id"), col("seed").as("cand"))
+      .unionByName(h1).distinct()
+      .filter(col("cand") =!= col("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
+    val scored1 = ball1
+      .join(emb.select(col("vec_id").as("cand"), col("embedding")), Seq("cand"))
+      .join(broadcast(qRows.select("query_id", "qv")), Seq("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .select("query_id", "cand", "rk")
+    val h2 = scored1.filter(col("rk") <= beam)
+      .withColumnRenamed("cand", "id_a")
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
-    seeds.select(col("query_id"), col("seed").as("cand"))
-      .unionByName(h1).unionByName(h2)
+    scored1.select("query_id", "cand").unionByName(h2)
       .distinct()
       .filter(col("cand") =!= col("query_id"))
   }
@@ -2698,7 +2723,7 @@ object SimilarityQueries {
     val q = qRows.join(seeds.filter(col("rk") === 1)
         .select(col("query_id"), col("seed").as("entry_id")), Seq("query_id"))
       .select("query_id", "qv", "entry_id")
-    val ball = hopBall(edges, seeds)
+    val ball = hopBall(edges, seeds, emb, qRows)
     val nc = ball.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
     ball
@@ -2753,11 +2778,12 @@ object SimilarityQueries {
     graphBallSearch(edgesR, qRows, seeds, emb)
   }
 
-  /** The SERVED graph index (bridged edges + nprobe = [[servedNprobe]])
-    * as oracle CTE text — coarse quantizer, assignment, intra + bridge
-    * edges, query seeds, and the closed 2-hop ball — shared by
-    * s34/s36's oracle and s49's filtered variant so the served-index
-    * SQL cannot drift between the gates. */
+  /** The SERVED graph index (bridged edges + nprobe = [[servedNprobe]]
+    * + beam = [[servedBeam]]) as oracle CTE text — coarse quantizer,
+    * assignment, intra + bridge edges, query seeds, the scored hop-1
+    * frontier, and the beam-limited 2-hop ball — shared by s34/s36's
+    * oracle, s49's filtered variant, and s50's sweep so the
+    * served-index SQL cannot drift between the gates. */
   private val duckServedGraphCtes: String =
     s"""${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
       |  SELECT vec_id, embedding, clabel FROM (
@@ -2813,15 +2839,25 @@ object SimilarityQueries {
       |), q AS MATERIALIZED (
       |  SELECT q0.query_id, q0.qv, s.seed AS entry_id
       |  FROM q0 JOIN seeds s ON s.query_id = q0.query_id AND s.rk = 1
-      |), ball AS MATERIALIZED (
+      |), ball1 AS MATERIALIZED (
       |  SELECT DISTINCT query_id, cand FROM (
       |    SELECT query_id, seed AS cand FROM seeds
       |    UNION ALL
-      |    SELECT s.query_id, e.id_b FROM seeds s JOIN edges e ON e.id_a = s.seed
+      |    SELECT s.query_id, e.id_b FROM seeds s JOIN edges e ON e.id_a = s.seed)
+      |  WHERE cand <> query_id
+      |), scored1 AS MATERIALIZED (
+      |  SELECT b.query_id, b.cand,
+      |    row_number() OVER (PARTITION BY b.query_id
+      |      ORDER BY ${duckCosOf("q0.qv", "e.embedding")} DESC, b.cand) AS rk
+      |  FROM ball1 b
+      |  JOIN q0 ON q0.query_id = b.query_id
+      |  JOIN embeddings e ON e.vec_id = b.cand
+      |), ball AS MATERIALIZED (
+      |  SELECT DISTINCT query_id, cand FROM (
+      |    SELECT query_id, cand FROM scored1
       |    UNION ALL
-      |    SELECT s.query_id, e2.id_b FROM seeds s
-      |    JOIN edges e ON e.id_a = s.seed
-      |    JOIN edges e2 ON e2.id_a = e.id_b)
+      |    SELECT s.query_id, e.id_b FROM scored1 s
+      |    JOIN edges e ON e.id_a = s.cand WHERE s.rk <= $servedBeam)
       |  WHERE cand <> query_id
       |), nc AS (
       |  SELECT query_id, COUNT(*) AS n_cand FROM ball GROUP BY query_id
@@ -2873,7 +2909,8 @@ object SimilarityQueries {
     val probes = graft.ops.Similarity.probeCentroids(
       qRows, cent, Seq("query_id"), nprobe = servedNprobe, embCol = "qv")
     val seeds = ivfSeeds(probes, assigned).localCheckpoint()
-    val ball = hopBall(edges, seeds).localCheckpoint() // counted + filtered
+    val ball = hopBall(edges, seeds, emb, qRows)
+      .localCheckpoint() // counted + filtered
     val nc = ball.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
     val allowed = ball.join(
       emb.filter(col("label") % 2 === 0)
@@ -2917,6 +2954,128 @@ object SimilarityQueries {
       |JOIN na ON na.query_id = s.query_id
       |WHERE s.rank <= 3
       |ORDER BY s.query_id, s.rank""".stripMargin
+
+  // s50 — BEAM-WIDTH pricing for the served graph search (the last
+  // unpriced dial after s40's nprobe and s41's bridge curves): the
+  // hop-ball expands its ENTIRE hop-1 frontier; a best-first beam
+  // search expands only the top-B frontier nodes by exact distance to
+  // the query. This table prices B: all hop-1 nodes stay CANDIDATES
+  // (they were visited and scored anyway — that score IS the beam
+  // selection), but only the top-B expand to hop 2. Per B ∈
+  // {2, 4, 8, unbounded-sentinel}: expansion count (the cost side —
+  // hop-2 edge probes are B per query instead of |frontier|), candidate
+  // mass, and recall@3 against s38's exact truth join. The unbounded
+  // arm reproduces the pre-beam 2-hop ball, anchoring the curve to the
+  // round-11 served config. MEASURED (sf0.1, PLANS.md): beam = 8
+  // matches the unbounded ball's recall exactly (633333 ppm, 76 hits)
+  // at 1195 vs 1910 candidates and 320 vs 536 hop-2 edge probes;
+  // beam = 4 drops one hit. The curve therefore PROMOTED beam = 8 as
+  // the served default ([[servedBeam]], consumed by [[hopBall]] and
+  // the shared oracle CTEs) — this gate remains the pricing
+  // instrument, its beam-8 arm now gating the served ball. Plan: index
+  // subtrees once (edges/seeds/truth localCheckpoint), the hop-1
+  // frontier scored ONCE and sliced per arm, per-arm aggregates 1-row
+  // crossJoined folds (the s40 shape).
+  def s50BeamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val edges = knnEdges(assigned).select("id_a", "id_b")
+      .unionByName(bridgeEdges(emb, cent, assigned)) // served default
+      .localCheckpoint()
+    val qRows = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .localCheckpoint()
+    val probes = graft.ops.Similarity.probeCentroids(
+      qRows, cent, Seq("query_id"), nprobe = servedNprobe, embCol = "qv")
+    val seeds = ivfSeeds(probes, assigned).localCheckpoint()
+    val truth = graft.ops.Similarity.cosineTopK(emb, qRows, 3)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+      .localCheckpoint()
+    val h1 = seeds.select(col("query_id"), col("seed").as("id_a"))
+      .join(edges, Seq("id_a"))
+      .select(col("query_id"), col("id_b").as("cand"))
+    val ball1 = seeds.select(col("query_id"), col("seed").as("cand"))
+      .unionByName(h1).distinct()
+      .filter(col("cand") =!= col("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
+    val scored1 = ball1
+      .join(emb.select(col("vec_id").as("cand"), col("embedding")), Seq("cand"))
+      .join(broadcast(qRows), Seq("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .select("query_id", "cand", "rk")
+      .localCheckpoint() // every beam arm slices it
+    val nq = qRows.agg(count(lit(1)).as("n_queries"))
+    val arms = Seq(2, 4, 8, 1000000).map { b =>
+      val beam = scored1.filter(col("rk") <= b).select("query_id", "cand")
+      val h2 = beam.withColumnRenamed("cand", "id_a")
+        .join(edges, Seq("id_a"))
+        .select(col("query_id"), col("id_b").as("cand"))
+      val ball = scored1.select("query_id", "cand").unionByName(h2)
+        .distinct()
+        .filter(col("cand") =!= col("query_id"))
+        .localCheckpoint() // scored twice (hits + mass)
+      val expanded = beam.agg(count(lit(1)).as("n_expanded"))
+      val hits = truth.join(ball, Seq("query_id", "cand"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val mass = ball.agg(count(lit(1)).as("n_cand_total"))
+      nq.crossJoin(expanded).crossJoin(mass).crossJoin(hits)
+        .select(lit(b).as("beam"), col("n_queries"), col("n_expanded"),
+          col("n_cand_total"), col("n_hits"),
+          expr("(n_hits * 1000000) div nullif(3 * n_queries, 0)")
+            .as("recall_ppm"))
+    }
+    arms.reduce(_ unionByName _).orderBy("beam")
+  }
+
+  val s50Oracle: String = {
+    def armCtes(b: Int): String =
+      s"""ball$b AS MATERIALIZED (
+        |  SELECT DISTINCT query_id, cand FROM (
+        |    SELECT query_id, cand FROM scored1
+        |    UNION ALL
+        |    SELECT s.query_id, e.id_b FROM scored1 s
+        |    JOIN edges e ON e.id_a = s.cand WHERE s.rk <= $b)
+        |  WHERE cand <> query_id
+        |)""".stripMargin
+    def armSelect(b: Int): String =
+      s"""SELECT $b AS beam, nq.n_queries,
+        |    (SELECT COUNT(*) FROM scored1 WHERE rk <= $b) AS n_expanded,
+        |    (SELECT COUNT(*) FROM ball$b) AS n_cand_total,
+        |    (SELECT COUNT(*) FROM truth t
+        |     WHERE EXISTS (SELECT 1 FROM ball$b bl
+        |       WHERE bl.query_id = t.query_id AND bl.cand = t.cand)) AS n_hits
+        |  FROM nq""".stripMargin
+    s"""WITH $duckServedGraphCtes, truth AS MATERIALIZED (
+      |  SELECT query_id, cand FROM (
+      |    SELECT query_id, vec_id AS cand,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos DESC, vec_id) AS rank
+      |    FROM (
+      |      SELECT query_id, vec_id,
+      |        ${duckCosOf("q0.qv", "embeddings.embedding")} AS cos
+      |      FROM embeddings, q0 WHERE vec_id <> query_id))
+      |  WHERE rank <= 3
+      |), nq AS (SELECT COUNT(*) AS n_queries FROM q0),
+      |${armCtes(2)},
+      |${armCtes(4)},
+      |${armCtes(8)},
+      |${armCtes(1000000)}
+      |SELECT beam, n_queries, n_expanded, n_cand_total, n_hits,
+      |  CAST((n_hits * 1000000) // NULLIF(3 * n_queries, 0) AS BIGINT)
+      |    AS recall_ppm
+      |FROM (
+      |  ${armSelect(2)}
+      |  UNION ALL
+      |  ${armSelect(4)}
+      |  UNION ALL
+      |  ${armSelect(8)}
+      |  UNION ALL
+      |  ${armSelect(1000000)})
+      |ORDER BY beam""".stripMargin
+  }
 
   // s35 — OPQ-STYLE ROTATED PQ distortion (the OPQ/ITQ family's core
   // claim, measured): rotate every vector by the Householder reflection
@@ -3222,7 +3381,17 @@ object SimilarityQueries {
       .unionByName(h1).distinct()
       .filter(col("cand") =!= col("query_id"))
       .localCheckpoint() // ball2 extends it; both arms score it
-    val h2 = ball1.withColumnRenamed("cand", "id_a")
+    // hop 2 is the SERVED expansion: only the top-servedBeam frontier
+    // nodes by exact cosine expand (s50's promoted default), so this
+    // gate measures the recall of the configuration s34 actually serves
+    val wB = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
+    val h2 = ball1
+      .join(emb.select(col("vec_id").as("cand"), col("embedding")), Seq("cand"))
+      .join(broadcast(qRows), Seq("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= servedBeam)
+      .select(col("query_id"), col("cand").as("id_a"))
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
     val ball2 = ball1.unionByName(h2).distinct()
@@ -3304,11 +3473,18 @@ object SimilarityQueries {
       |    UNION ALL
       |    SELECT s.query_id, e.id_b FROM seeds s JOIN edges e ON e.id_a = s.seed)
       |  WHERE cand <> query_id
+      |), sc1 AS MATERIALIZED (
+      |  SELECT b.query_id, b.cand,
+      |    row_number() OVER (PARTITION BY b.query_id
+      |      ORDER BY ${duckCosOf("q.qv", "e.embedding")} DESC, b.cand) AS rk
+      |  FROM ball1 b JOIN q ON q.query_id = b.query_id
+      |  JOIN embeddings e ON e.vec_id = b.cand
       |), ball2 AS MATERIALIZED (
       |  SELECT DISTINCT query_id, cand FROM (
       |    SELECT query_id, cand FROM ball1
       |    UNION ALL
-      |    SELECT b.query_id, e.id_b FROM ball1 b JOIN edges e ON e.id_a = b.cand)
+      |    SELECT s.query_id, e.id_b FROM sc1 s
+      |    JOIN edges e ON e.id_a = s.cand WHERE s.rk <= $servedBeam)
       |  WHERE cand <> query_id
       |), truth AS MATERIALIZED (
       |  SELECT query_id, cand FROM (
@@ -4028,6 +4204,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s49_graph_filtered" -> (s49GraphFiltered _),
+    "s50_beam_sweep" -> (s50BeamSweep _),
     "s48_hard_negatives" -> (s48HardNegatives _),
     "s47_matryoshka" -> (s47Matryoshka _),
     "s01_ann_bruteforce" -> (s01AnnBruteForce _),
@@ -4086,6 +4263,7 @@ object SimilarityQueries {
     "s47_matryoshka" -> s47Oracle,
     "s48_hard_negatives" -> s48Oracle,
     "s49_graph_filtered" -> s49Oracle,
+    "s50_beam_sweep" -> s50Oracle,
     "s01_ann_bruteforce" -> s01Oracle,
     "s02_ann_lsh" -> s02Oracle,
     "s03_ann_ivf" -> s03Oracle,
