@@ -1617,8 +1617,12 @@ object TextQueries {
         s"t33: no mergeable symbol pair at round $round")
       val (a, b) = (rows(0).getString(0), rows(0).getString(1))
       merges += ((a, b))
-      cur = cur.withColumn("syms",
-        graft.ops.TextOps.bpeMergePair(col("syms"), a, b)).localCheckpoint()
+      // the post-merge table feeds only the NEXT round's pair counts —
+      // after the last round nothing consumes it, so skip that job (the
+      // apply phase below re-derives from documents)
+      if (round < 3)
+        cur = cur.withColumn("syms",
+          graft.ops.TextOps.bpeMergePair(col("syms"), a, b)).localCheckpoint()
     }
     val lw = Tables.documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("word"))
