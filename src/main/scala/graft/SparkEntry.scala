@@ -24,6 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ AnalyticQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      PqQueries.queries ++ GraphAnnQueries.queries ++ StreamSearchQueries.queries ++
       CdcQueries.queries ++ MultimodalQueries.queries ++
       PipelineQueries.queries ++ GraphQueries.queries
 
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ AnalyticQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      PqQueries.oracles ++ GraphAnnQueries.oracles ++ StreamSearchQueries.oracles ++
       CdcQueries.oracles ++ MultimodalQueries.oracles ++
       PipelineQueries.oracles ++ GraphQueries.oracles
 }

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.cosineSim
+import SimilarityQueries.{centroidChunks, duckCentroidCtes, duckCosOf}
+import PqQueries.pqSearch
+
+/** The STREAMING/SERVING search family (split from SimilarityQueries in
+  * r12 — same code, same oracles): streaming index ingest with a frozen
+  * codebook (s42), streaming query serving (s43), big-batch serving
+  * (s44), and CDC-driven index sync (s46). Batch anchors they share
+  * oracles with stay in their own families (s03 in SimilarityQueries,
+  * s13 in PqQueries) — a streamed/served mismatch isolates delivery.
+  */
+object StreamSearchQueries {
+  // s44 — BIG-BATCH serving: s03's IVF search with the query side SHUFFLED
+  // instead of broadcast. s03's broadcast-probe contract is right for an
+  // online query batch (thousands of rows); the offline shapes — scoring a
+  // 100 TB corpus against millions of queries (semdedup sweeps, kNN-graph
+  // refresh, eval-set retrieval) — can't broadcast the query table, so the
+  // probe join becomes a cluster-keyed ShuffledHashJoin: both sides
+  // exchange on the IVF cluster key, each cluster's queries meet exactly
+  // that cluster's members, and nothing is driver- or memory-bound by the
+  // query count. Same candidate cut, same ranking, same rows — the gate
+  // shares s03's oracle, and PlanAudit pins that the probe join is
+  // broadcast-free (the one BroadcastExchange allowed in the plan is the
+  // bounded centroid table inside the assignment argmax).
+  def s44BatchSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cluster").as("qc"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(q.hint("shuffle_hash"),
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("qc").as("cluster"), col("rank"),
+        col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  // s46 — CDC-DRIVEN INDEX SYNC (the RAG-sync pattern): a change feed of
+  // embedding UPDATES applied to a served vector index. Base corpus =
+  // version 0; every vec_id % 3 == 0 receives a version-1 update with a
+  // deterministically different vector (the reversed embedding — exact in
+  // both engines); the applied state is last-wins per vec_id (max_by over
+  // version — cdc20's apply shape), encoded against the quantizer FROZEN
+  // on the base corpus (FAISS add() never retrains — s13/s42's contract),
+  // and searched with the s03 candidate cut. The gate pins the end-to-end
+  // property a sync pipeline must keep: search results reflect exactly
+  // the post-apply state (updated vectors move clusters; stale versions
+  // never match). Batch form of the s42 stream (drain ≡ batch there).
+  def s46CdcIndexSync(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cent = graft.ops.Similarity.buildCentroids(
+      Tables.embeddings(spark, dir), dim = 64, chunks = centroidChunks)
+    val events = base.withColumn("version", lit(0L))
+      .unionByName(base.filter(col("vec_id") % 3 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+        .withColumn("version", lit(1L)))
+    val applied = events.groupBy("vec_id")
+      .agg(max_by(col("embedding"), col("version")).as("embedding"),
+        max(col("version")).as("version"))
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      applied, cent, Seq("vec_id"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(q),
+        col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        (col("version") === 1L).as("neighbor_updated"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s46Oracle: String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+        s" / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        s" * list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, applied AS (
+      |  SELECT vec_id, embedding, version FROM (
+      |    SELECT vec_id, embedding, version,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY version DESC) AS vr
+      |    FROM (
+      |      SELECT vec_id, embedding, 0 AS version FROM embeddings
+      |      UNION ALL
+      |      SELECT vec_id, list_reverse(embedding), 1 AS version
+      |      FROM embeddings WHERE vec_id % 3 = 0))
+      |  WHERE vr = 1
+      |), assigned AS (
+      |  SELECT vec_id, embedding, version, clabel FROM (
+      |    SELECT e.vec_id, e.embedding, e.version, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM applied e, cent c)
+      |  WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, clabel AS qc
+      |  FROM assigned WHERE vec_id % 50 = 0
+      |), scored AS (
+      |  SELECT query_id, a.vec_id, a.version, ${cos("qv", "a.embedding")} AS cos
+      |  FROM assigned a JOIN q ON a.clabel = q.qc AND a.vec_id <> q.query_id
+      |)
+      |SELECT query_id, rank, neighbor_id, neighbor_updated FROM (
+      |  SELECT query_id, vec_id AS neighbor_id, version = 1 AS neighbor_updated,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // s42 — STREAMING INDEX INGEST (s13's append leg as a stream): the
+  // delta vectors arrive as a bounded micro-batch stream (two parquet
+  // files, maxFilesPerTrigger=1) and every batch encodes against the
+  // FROZEN coarse quantizer + codebook (FAISS add() never retrains)
+  // inside foreachBatch — the production idempotent-append pattern —
+  // landing cluster-coded rows in the parquet index. The search then
+  // runs over base ∪ drained delta and must equal s13's one-shot batch
+  // append, which sharing s13's oracle gates exactly: the cdc20/cdc41
+  // state-≡-batch equivalence, for the vector index. Plan: encode per
+  // micro-batch is s13's exact shape (broadcast centroid argmax +
+  // narrow PqCodes map — per-batch work is a narrow pipeline over the
+  // batch, no cross-batch state needed because the artifacts are
+  // frozen); the search plan is s13's, untouched by how the index rows
+  // arrived.
+  def s42StreamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.functions.PqFunctions
+    val m = 8
+    val root = CdcQueries.tmpFixtureDir("graft_s42_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val cent = graft.ops.Similarity.buildCentroids(base, dim = 64, chunks = centroidChunks)
+    val codebook = graft.ops.Similarity.collectCodebook(cent)
+    def encode(rows: DataFrame): DataFrame =
+      graft.ops.Similarity.assignToCentroids(
+          rows.select("vec_id", "embedding"), cent, Seq("vec_id"))
+        .select(col("vec_id"), col("cluster"),
+          PqFunctions.pqCodes(col("embedding"), codebook, m).as("codes"))
+    // two installments → two micro-batches; adversarially interleaved
+    // by id parity-of-20 so neither batch is a contiguous id range
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "embedding")
+    delta.filter(col("vec_id") % 20 === 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    delta.filter(col("vec_id") % 20 =!= 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val sq = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        encode(b).write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    new java.io.File(sink).mkdirs() // empty feed → empty delta (cdc12 note)
+    val deltaCodes = spark.read
+      .schema("vec_id BIGINT, cluster BIGINT, codes ARRAY<BIGINT>")
+      .parquet(sink)
+    val encoded = encode(base).unionByName(deltaCodes)
+    val q = graft.ops.Similarity.assignToCentroids(
+        emb.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding"),
+        cent, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cluster").as("qc"))
+    pqSearch(emb, encoded, q, codebook, m, candK = 20,
+      joinCond = col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+  }
+
+  // s43 — STREAMING QUERY SERVING (s42's mirror: there the VECTORS
+  // streamed against frozen artifacts; here the QUERIES do): the query
+  // vectors arrive as a bounded micro-batch stream (two parquet files,
+  // maxFilesPerTrigger=1), and each batch runs s03's IVF nprobe=1
+  // search inside foreachBatch against an index that was built ONCE and
+  // persisted to parquet before the stream started — the scatter-gather
+  // serving path, where the index is a frozen artifact and per-batch
+  // work is batch-queries × probed-cluster only. Sharing s03's oracle
+  // gates the serving property that makes this layout correct: ANN
+  // queries are row-independent, so a query set split across arbitrary
+  // micro-batches drains to exactly the one-shot batch answer (the
+  // cdc20/cdc41/s42 state-≡-batch equivalence, for the query side).
+  // Plan per batch: broadcast the batch's assigned queries, cluster-
+  // keyed equi-join against the parquet index scan, per-query top-5
+  // window over ≤ cluster-sized candidates.
+  def s43StreamSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = CdcQueries.tmpFixtureDir("graft_s43_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val index = new java.io.File(root, "index").getPath
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val emb = Tables.embeddings(spark, dir)
+    val cent = graft.ops.Similarity.buildCentroids(emb, dim = 64, chunks = centroidChunks)
+      .localCheckpoint()
+    // freeze the index as an artifact: cluster-assigned corpus, on disk
+    graft.ops.Similarity.assignToCentroids(
+        emb.select("vec_id", "embedding"), cent, Seq("vec_id"))
+      .write.mode("overwrite").parquet(index)
+    val assigned = spark.read.parquet(index) // footer schema — always written
+    // query stream: s03's query set, adversarially split so neither
+    // micro-batch is a contiguous id range
+    val q0 = emb.filter(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    q0.filter(col("vec_id") % 100 === 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    q0.filter(col("vec_id") % 100 =!= 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val sq = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val q = graft.ops.Similarity.assignToCentroids(b, cent, Seq("vec_id"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            col("cluster").as("qc"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(broadcast(q),
+            col("cluster") === col("qc") && col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("qc").as("cluster"),
+            col("rank"), col("vec_id").as("neighbor_id"))
+          .write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    new java.io.File(sink).mkdirs() // empty feed → empty result (cdc12 note)
+    spark.read
+      .schema("query_id BIGINT, cluster INT, rank INT, neighbor_id BIGINT")
+      .parquet(sink)
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s42_stream_index_ingest" -> (s42StreamIndexIngest _),
+    "s43_stream_search" -> (s43StreamSearch _),
+    "s44_batch_search" -> (s44BatchSearch _),
+    "s46_cdc_index_sync" -> (s46CdcIndexSync _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s42_stream_index_ingest" -> PqQueries.s13Oracle, // streamed ingest == batch append
+    "s43_stream_search" -> SimilarityQueries.s03Oracle, // drained query stream == one-shot batch search
+    "s44_batch_search" -> SimilarityQueries.s03Oracle, // shuffled-probe plan, identical rows
+    "s46_cdc_index_sync" -> s46Oracle,
+  )
+}

@@ -148,7 +148,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // add NO join/shuffle of its own (an aggregate-argmax formulation
     // would put the whole corpus through a k× shuffle); the only windows
     // are the approx candidate cut and the exact re-rank
-    val p = plan(SimilarityQueries.s05AnnPq(spark, dir))
+    val p = plan(PqQueries.s05AnnPq(spark, dir))
     assert("Window \\[".r.findAllIn(p).size == 2,
       s"expected exactly the candidate + re-rank windows:\n$p")
     assert(p.toLowerCase.contains("pqcodes"), s"native PQ encode missing:\n$p")
@@ -184,8 +184,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // centroid broadcast cross in probeCentroids — the same deliberate
     // N×k linear scan s03/s04 carry — so unlike d05 this test does not
     // ban BNLJ outright, only the unkeyed full cartesian.)
-    Seq(SimilarityQueries.s10AnnIvfPqProbe(spark, dir),
-        SimilarityQueries.s11AnnIvfPqResProbe(spark, dir)).foreach { df =>
+    Seq(PqQueries.s10AnnIvfPqProbe(spark, dir),
+        PqQueries.s11AnnIvfPqResProbe(spark, dir)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p.linesIterator.take(3).mkString("\n"))
       assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
@@ -280,7 +280,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // banned: exactly the one centroid cross may appear. A second BNLJ
     // means a hop/re-rank equi-join degenerated into the O(V·E)
     // nested loop the old blanket ban existed to catch.
-    val p34 = plan(SimilarityQueries.s34GraphSearch(spark, dir))
+    val p34 = plan(GraphAnnQueries.s34GraphSearch(spark, dir))
     assert(!p34.contains("CartesianProduct"), p34.linesIterator.take(5).mkString("\n"))
     val bnlj34 = "BroadcastNestedLoopJoin".r.findAllIn(p34).length
     assert(bnlj34 <= 1, s"expected only the centroid-probe cross, got $bnlj34:\n$p34")
@@ -415,7 +415,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("s44: big-batch probe join shuffles both sides — query table never broadcast") {
-    val p = plan(SimilarityQueries.s44BatchSearch(spark, dir))
+    val p = plan(StreamSearchQueries.s44BatchSearch(spark, dir))
     assert(p.contains("ShuffledHashJoin [cluster"),
       s"probe join must be a cluster-keyed ShuffledHashJoin:\n$p")
     assert(!p.contains("BroadcastHashJoin"),
