@@ -1735,7 +1735,12 @@ object DedupQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // distinct at read: the flags table is a SET — under a redelivered
+    // batch the same doc_id would be appended twice, and a raw read would
+    // duplicate rows through the report join below (the set-union
+    // idempotence claim holds only if the reader folds duplicates)
     val flagged = ViewMaintenance.readState(spark, flags, "doc_id BIGINT")
+      .distinct()
       .withColumn("flagged", lit(1L))
     Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
       .join(flagged, Seq("doc_id"), "left")
@@ -1846,7 +1851,10 @@ object DedupQueries {
     val benchKeys = keyed.filter(col("doc_id") % 37 === 0)
       .select("key").distinct()
     keyed
+      // distinct at read — the d32 note: the flag SET must fold a
+      // redelivered batch's duplicate appends before the report join
       .join(ViewMaintenance.readState(spark, flags, "doc_id BIGINT")
+        .distinct()
         .withColumn("flagged", lit(1L)), Seq("doc_id"), "left")
       .join(broadcast(benchKeys.withColumn("in_set", lit(1))), Seq("key"), "left")
       .agg(
