@@ -82,11 +82,23 @@ object BinlogSink {
       .select(col("_op").cast("int"), col("_k").cast("bigint"), col("_v"))
       .rdd.foreachPartition { rows =>
         if (rows.hasNext) {
-          val pid = TaskContext.getPartitionId()
+          val tc = TaskContext.get()
+          val pid = tc.partitionId()
           val t0 = 1714564800L
           val sid = (1 to 16).map(_.toByte).toArray
-          val out = new Path(dirUri, f"mysql-bin.${pid + 1}%06d")
-          val os = out.getFileSystem(sconf.value).create(out, true)
+          // task-commit protocol: write to a hidden per-ATTEMPT temp path,
+          // rename into place only after a fully-written close — a failed
+          // or speculative attempt never leaves a truncated file under the
+          // final name (readers skip "."-prefixed names), and concurrent
+          // attempts never contend on one path. The encode is
+          // deterministic per partition, so whichever attempt commits
+          // last renames an identical file — the rename race is benign.
+          val fin = new Path(dirUri, f"mysql-bin.${pid + 1}%06d")
+          val tmp = new Path(dirUri,
+            f".mysql-bin.${pid + 1}%06d.attempt${tc.taskAttemptId()}")
+          val fs = fin.getFileSystem(sconf.value)
+          val os = fs.create(tmp, true)
+          var committed = false
           try {
             val f = new FileBuilder(checksums = true,
               sink = new java.io.BufferedOutputStream(os, 1 << 16))
@@ -98,6 +110,9 @@ object BinlogSink {
             val it = rows.map { r =>
               val op = r.getInt(0)
               require(op == 1 || op == -1, s"op must be +1/-1, got $op")
+              require(!r.isNullAt(1),
+                "null key: the wire key column is a NOT NULL LONGLONG; " +
+                "filter or fill nulls before the sink")
               require(!r.isNullAt(2),
                 s"null payload for key ${r.getLong(1)}: the wire column is " +
                 "declared NOT NULL VARCHAR; filter or fill nulls before the sink")
@@ -122,7 +137,14 @@ object BinlogSink {
             }
             f.event(t0, 16, xidBody(1000L + pid))
             f.flush()
-          } finally os.close()
+            committed = true
+          } finally {
+            os.close()
+            if (committed) {
+              fs.delete(fin, false) // stale committer's file, if any
+              fs.rename(tmp, fin)
+            } else fs.delete(tmp, false) // failed attempt leaves nothing
+          }
         }
       }
   }

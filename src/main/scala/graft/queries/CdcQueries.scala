@@ -2781,6 +2781,37 @@ object CdcQueries {
       q.awaitTermination()
     }
 
+  /** cdc47/cdc48's shared EXACTLY-ONCE drain: per batch, land
+    * `partials(batch)` in its own batch_id partition
+    * (ViewMaintenance.applyIdempotent), recording which feed file(s)
+    * batch 0 ACTUALLY processed (≤1 by maxFilesPerTrigger=1 — a bounded
+    * fixture-side collect) rather than inferring "the lexicographically
+    * smallest": if natural-version order ever diverged from name order,
+    * an inferred redelivery would replace batch 0's partition with
+    * DIFFERENT partials and fail spuriously instead of isolating a sink
+    * bug. After the drain, batch 0's write is re-applied from the
+    * recorded file(s) — the injected crash-after-commit redelivery the
+    * partition overwrite must absorb bit-for-bit. (An empty feed — a
+    * legal quiet period — wrote no files and ran no batches: nothing to
+    * redeliver.) */
+  private def drainIdempotentWithRedelivery(spark: SparkSession,
+      feed: String, ckpt: String, state: String)
+      (partials: DataFrame => DataFrame): Unit = {
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      graft.streaming.ViewMaintenance.applyIdempotent(
+        partials(batch), state, id)
+    }
+    drainBinlogFeed(spark, feed, ckpt)(applyBatch)
+    if (batch0Files.nonEmpty) {
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"$feed/$f"): _*), 0L)
+    }
+  }
+
   /** q66's fixture splits, shared by cdc45/cdc48 so the three consumers
     * of q66's oracle (q66 itself, the streaming IVM, the idempotent
     * sink) cannot drift from the decomposition the oracle gates. */
@@ -2926,19 +2957,7 @@ object CdcQueries {
         element_at(col("img"), 2).as("event_type"))
       .groupBy("event_type")
       .agg(sum(col("w")).as("n"), sum(col("w") * col("k")).as("ksum"))
-    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
-    def applyBatch(batch: DataFrame, id: Long): Unit = {
-      if (id == 0L && batch0Files.isEmpty)
-        batch0Files ++= batch.select(col("binlog_file")).distinct()
-          .collect().map(_.getString(0))
-      graft.streaming.ViewMaintenance.applyIdempotent(
-        signedPartials(batch), state, id)
-    }
-    drainBinlogFeed(spark, feed, ckpt)(applyBatch)
-    if (batch0Files.nonEmpty) {
-      applyBatch(spark.read.format("binlog")
-        .load(batch0Files.toSeq.map(f => s"$feed/$f"): _*), 0L)
-    }
+    drainIdempotentWithRedelivery(spark, feed, ckpt, state)(signedPartials)
     graft.streaming.ViewMaintenance.readState(spark, state,
         "event_type STRING, n BIGINT, ksum BIGINT, batch_id BIGINT")
       .groupBy("event_type")
@@ -2977,36 +2996,15 @@ object CdcQueries {
     graft.ingest.BinlogSink.writeKeyedStrings(
       fx.aDelta.repartition(4, col("o_orderkey")), feed)
     val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
-    // record which feed file(s) batch 0 ACTUALLY processed (≤1 here by
-    // maxFilesPerTrigger=1 — a bounded fixture-side collect), rather than
-    // inferring "the lexicographically smallest file": if the source's
-    // natural-version order ever diverged from name order, an inferred
-    // redelivery would replace batch 0's partition with DIFFERENT partials
-    // and fail the gate spuriously instead of isolating a sink bug.
-    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
-    def applyBatch(batch: DataFrame, id: Long): Unit = {
-      if (id == 0L && batch0Files.isEmpty)
-        batch0Files ++= batch.select(col("binlog_file")).distinct()
-          .collect().map(_.getString(0))
-      ViewMaintenance.applyIdempotent(
-        fx.partials(decodeIvmDelta(batch), bPrime), state, id)
-    }
     // state₀ under the same discipline (batch_id −1 = the old view's
     // partials against the OLD B, −2 = the one-shot A⋈ΔB leg — NOT a
     // B′ join, which would double-count ΔB)
     ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
     ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
-    drainBinlogFeed(spark, feed, ckpt)(applyBatch)
-    // INJECTED REDELIVERY: re-apply batch 0's write from a batch re-read
-    // of the file(s) batch 0 processed — the crash-after-commit replay.
-    // With append semantics this would double batch 0's partials; the
-    // partition overwrite must absorb it bit-for-bit. (An empty delta —
-    // a legal quiet period — wrote no files and ran no batches: nothing
-    // to redeliver.)
-    if (batch0Files.nonEmpty) {
-      applyBatch(spark.read.format("binlog")
-        .load(batch0Files.toSeq.map(f => s"$feed/$f"): _*), 0L)
-    }
+    // drain + the injected batch-0 redelivery the partition overwrite
+    // must absorb (see drainIdempotentWithRedelivery)
+    drainIdempotentWithRedelivery(spark, feed, ckpt, state)(b =>
+      fx.partials(decodeIvmDelta(b), bPrime))
     ivmReport(fx, ViewMaintenance.readState(spark, state,
       "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT")
       .drop("batch_id"))

@@ -505,11 +505,17 @@ object DedupQueries {
   // is gate instrumentation, not part of the operator. n_missed pins the
   // Bloom invariant NO FALSE NEGATIVES cross-engine: it must be 0 at
   // every SF, proven by the oracle hash, not asserted.
+  /** d15/d33's shared bloom layout — 512 bits, k = 2 positions per key
+    * from the engines' md5-bucket idiom. ONE definition for the batch
+    * pass and the streaming probe (they share an oracle: a drift here
+    * would read as a delivery bug). */
+  private val bloomBits = 512
+  private def bloomBit(i: Int, key: Column): Column =
+    conv(substring(md5(concat(key, lit(s"#b$i"))), 1, 8), 16, 10)
+      .cast("long") % bloomBits
+
   def d15BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val m = 512
-    def bit(i: Int, key: Column): Column =
-      conv(substring(md5(concat(key, lit(s"#b$i"))), 1, 8), 16, 10)
-        .cast("long") % m
+    def bit(i: Int, key: Column): Column = bloomBit(i, key)
     val keyed = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("key"))
     val benchKeys = keyed.filter(col("doc_id") % 37 === 0)
@@ -1800,10 +1806,7 @@ object DedupQueries {
   // corpus, the d15 scale argument unchanged by streaming.
   def d33StreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.ViewMaintenance
-    val m = 512
-    def bit(i: Int, key: Column): Column =
-      conv(substring(md5(concat(key, lit(s"#b$i"))), 1, 8), 16, 10)
-        .cast("long") % m
+    def bit(i: Int, key: Column): Column = bloomBit(i, key) // d15's layout
     val root = CdcQueries.tmpFixtureDir("graft_d33_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed").getPath

@@ -231,9 +231,17 @@ object GraphAnnQueries {
     * closed 1-hop frontier (every visited node is a candidate — its
     * exact-cosine score is computed for the re-rank anyway, and that
     * score IS the beam selection), of which only the top-[[servedBeam]]
-    * expand to hop 2. */
+    * expand to hop 2. Output (query_id, cand, cos): every candidate is
+    * scored exactly ONCE here — the score that selected the beam is the
+    * score the re-rank consumes (duplicates fold in the pair group-by;
+    * cos is a pure function of the pair, so max is the single value). */
   private def hopBall(edges: DataFrame, seeds: DataFrame,
       emb: DataFrame, qRows: DataFrame, beam: Int = servedBeam): DataFrame = {
+    def scoreCands(c: DataFrame): DataFrame = c
+      .join(emb.select(col("vec_id").as("cand"), col("embedding")), Seq("cand"))
+      .join(broadcast(qRows.select("query_id", "qv")), Seq("query_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+      .select("query_id", "cand", "cos")
     val h1 = seeds.select(col("query_id"), col("seed").as("id_a"))
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
@@ -241,35 +249,30 @@ object GraphAnnQueries {
       .unionByName(h1).distinct()
       .filter(col("cand") =!= col("query_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
-    val scored1 = ball1
-      .join(emb.select(col("vec_id").as("cand"), col("embedding")), Seq("cand"))
-      .join(broadcast(qRows.select("query_id", "qv")), Seq("query_id"))
-      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+    val scored1 = scoreCands(ball1)
       .withColumn("rk", row_number().over(w))
-      .select("query_id", "cand", "rk")
     val h2 = scored1.filter(col("rk") <= beam)
       .withColumnRenamed("cand", "id_a")
       .join(edges, Seq("id_a"))
       .select(col("query_id"), col("id_b").as("cand"))
-    scored1.select("query_id", "cand").unionByName(h2)
-      .distinct()
       .filter(col("cand") =!= col("query_id"))
+    scored1.select("query_id", "cand", "cos")
+      .unionByName(scoreCands(h2.distinct()))
+      .groupBy("query_id", "cand").agg(max(col("cos")).as("cos"))
   }
 
   private def graphBallSearch(edges: DataFrame, qRows: DataFrame,
       seeds: DataFrame, emb: DataFrame): DataFrame = {
     val q = qRows.join(seeds.filter(col("rk") === 1)
         .select(col("query_id"), col("seed").as("entry_id")), Seq("query_id"))
-      .select("query_id", "qv", "entry_id")
-    val ball = hopBall(edges, seeds, emb, qRows)
+      .select("query_id", "entry_id")
+    val ball = hopBall(edges, seeds, emb, qRows) // carries the exact cos
     val nc = ball.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
     ball
-      .join(emb.select(col("vec_id").as("cand"), col("embedding")), Seq("cand"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 3)
+      .join(broadcast(q), Seq("query_id"))
       .join(broadcast(nc), Seq("query_id"))
       .select(col("query_id"), col("entry_id"), col("n_cand"), col("rank"),
         col("cand").as("neighbor_id"))
@@ -447,17 +450,16 @@ object GraphAnnQueries {
     val probes = graft.ops.Similarity.probeCentroids(
       qRows, cent, Seq("query_id"), nprobe = servedNprobe, embCol = "qv")
     val seeds = ivfSeeds(probes, assigned).localCheckpoint()
-    val ball = hopBall(edges, seeds, emb, qRows)
+    val ball = hopBall(edges, seeds, emb, qRows) // carries the exact cos
       .localCheckpoint() // counted + filtered
     val nc = ball.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
     val allowed = ball.join(
       emb.filter(col("label") % 2 === 0)
-        .select(col("vec_id").as("cand"), col("label"), col("embedding")),
+        .select(col("vec_id").as("cand"), col("label")),
       Seq("cand"))
     val na = allowed.groupBy("query_id").agg(count(lit(1)).as("n_allowed"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))
-    allowed.join(broadcast(qRows), Seq("query_id"))
-      .withColumn("cos", cosineSim(col("qv"), col("embedding")))
+    allowed
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= 3)
       .join(broadcast(nc), Seq("query_id"))

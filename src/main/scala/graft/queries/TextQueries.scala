@@ -1609,7 +1609,8 @@ object TextQueries {
   def t33BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     var cur = bpeWords(spark, dir).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    for (round <- 1 to 3) {
+    val rounds = 3
+    for (round <- 1 to rounds) {
       val rows = bpePairCounts(cur)
         .orderBy(col("pair_count").desc, col("a"), col("b")).limit(1)
         .collect() // 1 row by construction (bounded collect, t29's shape)
@@ -1620,7 +1621,7 @@ object TextQueries {
       // the post-merge table feeds only the NEXT round's pair counts —
       // after the last round nothing consumes it, so skip that job (the
       // apply phase below re-derives from documents)
-      if (round < 3)
+      if (round < rounds)
         cur = cur.withColumn("syms",
           graft.ops.TextOps.bpeMergePair(col("syms"), a, b)).localCheckpoint()
     }

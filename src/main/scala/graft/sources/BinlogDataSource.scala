@@ -250,12 +250,14 @@ private[graft] object BinlogScan {
     val fs = hadoopPath.getFileSystem(conf)
     // hidden-file convention (Spark's file sources do the same): "."/"_"
     // prefixed names are metadata (checksum sidecars, _SUCCESS markers,
-    // in-progress temp files), never binlog data
+    // in-progress temp files), never binlog data. Applied to DIRECTORY
+    // and glob LISTINGS only — a caller who names one file explicitly
+    // gets exactly that file, hidden-looking or not.
     def visible(p: Path): Boolean =
       !p.getName.startsWith(".") && !p.getName.startsWith("_")
     val files: Array[Path] =
-      (if (fs.exists(hadoopPath) && fs.getFileStatus(hadoopPath).isFile) Array(hadoopPath)
-      else Option(fs.globStatus(hadoopPath)) match {
+      if (fs.exists(hadoopPath) && fs.getFileStatus(hadoopPath).isFile) Array(hadoopPath)
+      else (Option(fs.globStatus(hadoopPath)) match {
         case Some(matches) if matches.nonEmpty =>
           matches.flatMap { st =>
             if (st.isFile) Array(st.getPath)

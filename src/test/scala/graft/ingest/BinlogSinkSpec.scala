@@ -146,5 +146,10 @@ class BinlogSinkSpec extends AnyFunSuite with SparkTestSession {
       BinlogSink.writeKeyedStrings(df, dir, maxLen = 20)
     }
     assert(e.getMessage != null)
+    // commit protocol: the failed attempt wrote only a hidden temp file
+    // and deleted it — no truncated file may survive under a final name
+    val left = new java.io.File(dir).listFiles()
+      .map(_.getName).filterNot(_.startsWith("."))
+    assert(left.isEmpty, s"failed write left visible files: ${left.mkString(",")}")
   }
 }
