@@ -1111,7 +1111,125 @@ object PipelineQueries {
        |FROM st JOIN ld USING (scheme) ORDER BY st.scheme""".stripMargin
   }
 
+  // p14 — STREAMING TOKEN-QUOTA ADMISSION (p05's per-language cap in
+  // the ingest posture: a curation pipeline admits documents as they
+  // ARRIVE until each language's token budget fills — it does not
+  // buffer the crawl and cap in a batch pass). Documents ride the wire
+  // as id-range-ordered binlog batches (the d32/d33 ingest discipline);
+  // per micro-batch, each doc's admission verdict is "tokens consumed
+  // by same-language docs with SMALLER doc_id < quota", computed from
+  // the ACCUMULATED per-language totals (ViewMaintenance state of
+  // additive partials — one ≤|langs|-row append per batch) plus an
+  // intra-batch running sum (two-phase, lang-keyed window). The strict
+  // id-prefix rule makes the admitted set batch-split-independent, so a
+  // plain batch window oracle gates the stream. The quota is derived
+  // from the data (global token count div 6 — a same-for-every-language
+  // budget that big languages overflow and small ones never reach, so
+  // both admission outcomes are live at every SF; the t31 lesson).
+  // The last admitted doc may overshoot its language's budget — the
+  // documented greedy-admission convention (a doc is atomic). At 100 TB:
+  // per batch one narrow map + a lang-keyed window + a ≤|langs|-row
+  // state read/append — admission never shuffles the corpus.
+  def p14StreamQuotaAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.ViewMaintenance
+    val root = CdcQueries.tmpFixtureDir("graft_p14_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val admitted = new java.io.File(root, "admitted").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // data-derived per-language budget (integer-exact on both engines)
+    val totRow = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head()
+    val quota = if (totRow.isNullAt(0)) 0L else totRow.getLong(0) / 6L
+    // lang rides the wire in the payload next to the text (the sink is
+    // (key, payload); a one-char language tag + '|' keeps decode exact)
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      docs.select(col("doc_id"), concat(col("lang"), lit("|"), col("text"))
+          .as("payload"))
+        .repartitionByRange(4, col("doc_id")),
+      feed, maxLen = 2100)
+    val q = spark.readStream.format("binlog")
+      .option("maxFilesPerTrigger", 1)
+      .load(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("doc_id"),
+            element_at(col("img"), 2).as("payload"))
+          .select(col("doc_id"),
+            substring_index(col("payload"), "|", 1).as("lang"),
+            expr("substring(payload, instr(payload, '|') + 1)").as("text"))
+          .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+        val prior = ViewMaintenance.readState(spark, state,
+            "lang STRING, t BIGINT")
+          .groupBy("lang").agg(sum(col("t")).as("prior_toks"))
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val scored = d
+          .withColumn("intra_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+          .join(broadcast(prior), Seq("lang"), "left")
+          .withColumn("before",
+            col("intra_before") + coalesce(col("prior_toks"), lit(0L)))
+          .localCheckpoint(true) // admission write + state append
+        ViewMaintenance.appendBatch(
+          scored.filter(col("before") < quota)
+            .select("doc_id", "lang", "toks"), admitted)
+        ViewMaintenance.appendBatch(
+          scored.groupBy("lang").agg(sum(col("toks")).as("t")), state)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val adm = ViewMaintenance.readState(spark, admitted,
+        "doc_id BIGINT, lang STRING, toks BIGINT")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("toks")).as("tokens_admitted"),
+        sum(col("doc_id")).as("admitted_id_sum"))
+    docs.select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens_seen"))
+      .join(adm, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("tokens_seen"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("tokens_admitted"), lit(0L)).as("tokens_admitted"),
+        coalesce(col("admitted_id_sum"), lit(0L)).as("admitted_id_sum"))
+      .orderBy("lang")
+  }
+
+  val p14Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents
+      |), q AS (
+      |  SELECT CAST(SUM(toks) // 6 AS BIGINT) AS quota FROM d
+      |), cum AS (
+      |  SELECT doc_id, lang, toks,
+      |    COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      |  FROM d
+      |), adm AS (
+      |  SELECT lang, COUNT(*) AS n_admitted,
+      |    CAST(SUM(toks) AS BIGINT) AS tokens_admitted,
+      |    CAST(SUM(doc_id) AS BIGINT) AS admitted_id_sum
+      |  FROM cum, q WHERE before < q.quota GROUP BY lang
+      |)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(d.toks) AS BIGINT) AS tokens_seen,
+      |  COALESCE(MIN(a.n_admitted), 0) AS n_admitted,
+      |  COALESCE(MIN(a.tokens_admitted), 0) AS tokens_admitted,
+      |  COALESCE(MIN(a.admitted_id_sum), 0) AS admitted_id_sum
+      |FROM d LEFT JOIN adm a ON a.lang = d.lang
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_stream_quota_admission" -> (p14StreamQuotaAdmission _),
     "p13_consistent_hash" -> (p13ConsistentHash _),
     "p12_temperature_mix" -> (p12TemperatureMix _),
     "p01_training_mix" -> (p01TrainingMix _),
@@ -1128,6 +1246,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p14_stream_quota_admission" -> p14Oracle,
     "p13_consistent_hash" -> p13Oracle,
     "p12_temperature_mix" -> p12Oracle,
     "p01_training_mix" -> p01Oracle,

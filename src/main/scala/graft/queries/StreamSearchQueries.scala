@@ -254,7 +254,123 @@ object StreamSearchQueries {
       .orderBy("query_id", "rank")
   }
 
+  // s51 — STREAMING kNN-GRAPH MAINTENANCE (the graph index's INSERT
+  // path, completing the maintenance matrix: s42 maintains the PQ list,
+  // s46 syncs it under CDC, d32 maintains the LSH band index — this
+  // maintains the NAVIGABLE GRAPH as vectors arrive). The coarse
+  // quantizer is FROZEN before the stream (s13/s42's codebook
+  // discipline); vectors arrive in id-ordered micro-batches (id-range
+  // parquet slices, arrival order forced by mtime — the binlog
+  // natural-version discipline on a parquet feed), and each batch
+  // computes its vectors' directed top-3 edges against the ACCUMULATED
+  // same-cluster members (ViewMaintenance state) plus same-batch
+  // members with SMALLER ids — so the maintained edge set is exactly
+  // "top-3 among same-cluster vectors with smaller vec_id", a strict
+  // id-prefix rule that is batch-split-independent (the d32 trick),
+  // which is what lets a plain batch oracle gate the stream. Per batch
+  // the work is one cluster-keyed equi-join of the batch against its
+  // clusters' members (the s03 candidate shape — never all-pairs) plus
+  // a |batch|-row state append; at 100 TB the per-arrival cost is the
+  // honest IVF-routed insert (score within the routed cluster), the
+  // bound a real DiskANN insert then improves with a graph walk —
+  // s34/s50's priced search machinery, anchored by this exact
+  // maintenance contract. Output: per-cluster edge counts and integer
+  // id checksums of the drained edge state.
+  def s51StreamGraphMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.ViewMaintenance
+    val root = CdcQueries.tmpFixtureDir("graft_s51_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val state = new java.io.File(root, "state").getPath
+    val edgesOut = new java.io.File(root, "edges").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cent = graft.ops.Similarity.buildCentroids(
+      Tables.embeddings(spark, dir), dim = 64, chunks = centroidChunks)
+    // four id-range slices, arrival order = id order (mtime-forced, the
+    // cdc16 bump discipline — the file source picks files by mod time)
+    val maxRow = emb.agg(max(col("vec_id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val mx = maxRow.getLong(0)
+      val cuts = Seq(0L, mx / 4 + 1, mx / 2 + 1, 3 * mx / 4 + 1, mx + 1)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        val d = new java.io.File(feed, s"slice$i")
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(d.getPath)
+        val base = System.currentTimeMillis()
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .foreach(f => f.setLastModified(base + 4000L * i))
+      }
+    }
+    val q = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(feed.getPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val a = graft.ops.Similarity.assignToCentroids(
+            batch.select("vec_id", "embedding"), cent, Seq("vec_id"))
+          .select("vec_id", "cluster", "embedding")
+          .localCheckpoint(true) // candidates AND probe side AND append
+        val st = ViewMaintenance.readState(spark, state,
+          "vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>")
+        // candidates = accumulated same-cluster members ∪ same-batch
+        // members with smaller ids (strict id-prefix rule)
+        val cands = st.unionByName(a)
+          .select(col("cluster"), col("vec_id").as("nbr"),
+            col("embedding").as("nv"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("nbr"))
+        ViewMaintenance.appendBatch(
+          a.join(cands, Seq("cluster"))
+            .filter(col("nbr") < col("vec_id"))
+            .withColumn("cos", cosineSim(col("embedding"), col("nv")))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3)
+            .select(col("cluster"), col("vec_id"), col("nbr")),
+          edgesOut)
+        ViewMaintenance.appendBatch(a, state)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.streaming.ViewMaintenance.readState(spark, edgesOut,
+        "cluster BIGINT, vec_id BIGINT, nbr BIGINT")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("vec_id")).as("n_sources"),
+        sum(col("vec_id")).as("src_id_sum"),
+        sum(col("nbr")).as("nbr_id_sum"))
+      .orderBy("cluster")
+  }
+
+  val s51Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel AS cluster FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), edges AS (
+      |  SELECT cluster, vec_id, nbr FROM (
+      |    SELECT a.cluster, a.vec_id, b.vec_id AS nbr,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${duckCosOf("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM assigned a JOIN assigned b
+      |      ON b.cluster = a.cluster AND b.vec_id < a.vec_id)
+      |  WHERE rk <= 3
+      |)
+      |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_edges,
+      |  COUNT(DISTINCT vec_id) AS n_sources,
+      |  CAST(SUM(vec_id) AS BIGINT) AS src_id_sum,
+      |  CAST(SUM(nbr) AS BIGINT) AS nbr_id_sum
+      |FROM edges GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s51_stream_graph_maintain" -> (s51StreamGraphMaintain _),
     "s42_stream_index_ingest" -> (s42StreamIndexIngest _),
     "s43_stream_search" -> (s43StreamSearch _),
     "s44_batch_search" -> (s44BatchSearch _),
@@ -262,6 +378,7 @@ object StreamSearchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s51_stream_graph_maintain" -> s51Oracle,
     "s42_stream_index_ingest" -> PqQueries.s13Oracle, // streamed ingest == batch append
     "s43_stream_search" -> SimilarityQueries.s03Oracle, // drained query stream == one-shot batch search
     "s44_batch_search" -> SimilarityQueries.s03Oracle, // shuffled-probe plan, identical rows
