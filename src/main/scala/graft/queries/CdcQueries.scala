@@ -2794,7 +2794,7 @@ object CdcQueries {
     * partition overwrite must absorb bit-for-bit. (An empty feed — a
     * legal quiet period — wrote no files and ran no batches: nothing to
     * redeliver.) */
-  private def drainIdempotentWithRedelivery(spark: SparkSession,
+  private[queries] def drainIdempotentWithRedelivery(spark: SparkSession,
       feed: String, ckpt: String, state: String)
       (partials: DataFrame => DataFrame): Unit = {
     val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]

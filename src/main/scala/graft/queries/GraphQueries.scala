@@ -1170,7 +1170,69 @@ object GraphQueries {
       |FROM c1 JOIN c2 USING (src)
       |ORDER BY hc_e6 DESC, v LIMIT 20""".stripMargin
 
+  // g16 — STREAMING GRAPH-METRIC MAINTENANCE WITH RETRACTIONS (the
+  // g-family's streaming member, completing the maintenance matrix from
+  // the graph side: cdc47 proved signed aggregates over a changelog;
+  // this applies them to a maintained GRAPH metric). The co-purchase
+  // edge set arrives as a binlog changelog — every directed edge row
+  // inserts (WRITE_ROWS, +1), and edges whose endpoint sum ≡ 0 (mod 3)
+  // are later retracted (DELETE_ROWS, −1, the wire-native retraction).
+  // The maintained view is per-vertex signed DEGREE partials
+  // (Σop per src — a ≤|vertices|-row write per batch) under cdc48's
+  // exactly-once discipline (batch_id partition overwrite + the
+  // injected batch-0 redelivery, via the shared drain helper); the
+  // serve-time fold is g02's exact degree census — vertices, edges,
+  // wedges — over the SURVIVING graph, gated against the batch census
+  // of the surviving edge set. Signed sums are order-independent, so
+  // no arrival ordering is needed (unlike d32/s51's prefix rules). At
+  // 100 TB: per batch one delta-sized map + a vertex-keyed partial
+  // aggregate; deletes cost the same as inserts, and the census never
+  // rescans the edge history.
+  def g16StreamDegreeRetract(spark: SparkSession, dir: String): DataFrame = {
+    val root = CdcQueries.tmpFixtureDir("graft_g16_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val pairs = weightedPairs(spark, dir)
+    val dirs = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    val ins = dirs.select(lit(1).as("op"), col("src"),
+      col("dst").cast("string").as("v"))
+    val del = dirs.filter((col("src") + col("dst")) % 3 === 0)
+      .select(lit(-1).as("op"), col("src"), col("dst").cast("string").as("v"))
+    graft.ingest.BinlogSink.writeChanges(
+      ins.unionByName(del).repartition(4, col("src")), feed)
+    CdcQueries.drainIdempotentWithRedelivery(spark, feed, ckpt, state) { b =>
+      b.filter(col("event_type").isin("WriteRowsEventV2", "DeleteRowsEventV2"))
+        .select(when(col("event_type") === "WriteRowsEventV2", 1L)
+          .otherwise(-1L).as("w"),
+          explode(col("row_images")).as("img"))
+        .select(col("w"), element_at(col("img"), 1).cast("long").as("src"))
+        .groupBy("src").agg(sum(col("w")).as("d"))
+    }
+    graft.streaming.ViewMaintenance.readState(spark, state,
+        "src BIGINT, d BIGINT, batch_id BIGINT")
+      .groupBy("src").agg(sum(col("d")).as("deg"))
+      .filter(col("deg") > 0)
+      .agg(count(lit(1)).as("n_vertices"),
+        expr("sum(deg) div 2").as("n_edges"),
+        sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+  }
+
+  val g16Oracle: String =
+    s"""WITH $duckEdgesCte, surv AS (
+      |  SELECT src, dst FROM e WHERE (src + dst) % 3 <> 0
+      |), deg AS (
+      |  SELECT src, COUNT(*) AS deg FROM surv GROUP BY src
+      |)
+      |SELECT COUNT(*) AS n_vertices,
+      |  CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+      |  CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+      |FROM deg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g16_stream_degree_retract" -> (g16StreamDegreeRetract _),
     "g15_harmonic_centrality" -> (g15HarmonicCentrality _),
     "g14_luby_mis" -> (g14LubyMis _),
     "g13_ktruss" -> (g13Ktruss _),
@@ -1189,6 +1251,7 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "g16_stream_degree_retract" -> g16Oracle,
     "g14_luby_mis" -> g14Oracle,
     "g15_harmonic_centrality" -> g15Oracle,
     "g13_ktruss" -> g13Oracle,
