@@ -62,6 +62,61 @@ class StreamingComparatorSpec extends AnyFunSuite with SparkTestSession {
       3000L -> Status.AvroOnly))
   }
 
+  test("stream-static BAND mode matches the default path's statuses (and widens with tolerance)") {
+    val t0 = 1714564800000L
+    val dir = Files.createTempDirectory("cdcband").toFile
+    val binlogFile = new java.io.File(dir, "binlog_metadata.json")
+    Files.write(binlogFile.toPath, binlogLines.mkString("\n").getBytes)
+    val streamDir = new java.io.File(dir, "avro"); streamDir.mkdirs()
+    Files.write(new java.io.File(streamDir, "batch1.json").toPath, Seq(
+      avroLine(1000, t0 + 50),   // in band at tol 100
+      avroLine(2000, t0 + 500),  // out of band at 100, IN at 1000
+      avroLine(3000, t0)         // AVRO_ONLY either way
+    ).mkString("\n").getBytes)
+    val binlogStatic = Comparator.prepareBinlog(
+      Sources.binlogJson(spark, binlogFile.getPath)
+        .filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      col("log_position"))
+    def drain(tol: Long, name: String): Map[Long, String] = {
+      val avroStream = Comparator.prepareAvro(Comparator.flattenWrappedAvro(
+        StreamingComparator.avroJsonStream(spark, streamDir.getPath)
+          .drop("_corrupt_record")))
+      val q = StreamingComparator.compareStream(avroStream, binlogStatic,
+          Comparator.Config(toleranceMs = tol, bandJoinTolerance = true))
+        .select("position", "status")
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(drain(100L, "cdc_band100") == Map(
+      1000L -> Status.Match,
+      2000L -> Status.MismatchTs,
+      3000L -> Status.AvroOnly))
+    assert(drain(1000L, "cdc_band1000") == Map(
+      1000L -> Status.Match,
+      2000L -> Status.Match, // Δ=500ms inside the 1000ms band
+      3000L -> Status.AvroOnly))
+  }
+
+  test("stream-stream band mode is rejected with a precise message") {
+    val dir = Files.createTempDirectory("cdcbandss").toFile
+    val bDir = new java.io.File(dir, "binlog"); bDir.mkdirs()
+    val aDir = new java.io.File(dir, "avro"); aDir.mkdirs()
+    val binlogStream = Comparator.normalizeBinlog(
+      spark.readStream.schema(Schemas.binlogReadSchema)
+        .json(bDir.getPath).drop("_corrupt_record"))
+    val avroStream = Comparator.prepareAvro(Comparator.flattenWrappedAvro(
+      spark.readStream.schema(Schemas.avroWrappedReadSchema)
+        .json(aDir.getPath).drop("_corrupt_record")))
+    val e = intercept[IllegalArgumentException] {
+      Comparator.compareJoined(binlogStream, avroStream,
+        Comparator.Config(bandJoinTolerance = true), "left_outer")
+    }
+    assert(e.getMessage.contains("stream-static only"))
+  }
+
   test("stream-stream join pairs in-window events; AVRO_ONLY after watermark") {
     val t0 = 1714564800000L
     val dir = Files.createTempDirectory("cdcss").toFile
