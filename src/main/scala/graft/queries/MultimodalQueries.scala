@@ -563,7 +563,98 @@ object MultimodalQueries {
         "n_frames", "n_unique_frame_hashes")
   }
 
+  // m11 — STREAMING MEDIA DEDUP AT INGEST (m04's whole-object dedup in
+  // the arrival posture, closing the media maintenance pair with m10:
+  // the manifest tracks what arrived, this decides KEEP vs DUPLICATE as
+  // it arrives). Media objects — m04's exact corpus including the %7
+  // replicas re-ingested at id+10M — ride id-range-ordered binlog
+  // batches; each batch runs the REAL typed decode (MediaPipeline
+  // through the binary boundary, m10's discipline), then flags an
+  // object as duplicate iff its content hash exists in the ACCUMULATED
+  // keeper index (ViewMaintenance state of per-hash min ids — min is
+  // idempotent, so index redelivery is free) or an earlier-id batchmate
+  // shares it — the d32 strict-prefix trick, so with id-ordered arrival
+  // the flagged set is exactly "all copies except the per-hash global
+  // keeper" and the drained report reconstructs m04's table
+  // bit-for-bit: SHARES m04's oracle, a mismatch isolates the streaming
+  // delivery (wire round-trip, per-batch decode, index handling), not
+  // the dedup semantics. At 100 TB: per batch one hash-keyed semi-probe
+  // of the broadcast-sized index delta plus a ≤|hashes|-row append —
+  // the corpus never reshuffles.
+  def m11StreamMediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.ViewMaintenance
+    val root = CdcQueries.tmpFixtureDir("graft_m11_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val idx = new java.io.File(root, "idx").getPath
+    val flags = new java.io.File(root, "flags").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      corpus.repartitionByRange(4, col("doc_id")), feed, maxLen = 2048)
+    val q = spark.readStream.format("binlog")
+      .option("maxFilesPerTrigger", 1)
+      .load(feed)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("media_id"),
+            element_at(col("img"), 2).as("text"),
+            lit("image").as("kind"), lit("image/fake").as("mime"))
+        val feats = MediaPipeline.decodeFeatures(
+            MediaPipeline.fromBinary(
+              docs.withColumn("payload", encode(col("text"), "UTF-8")),
+              "media_id", "payload", "kind", "mime"),
+            batchSize = 64).toDF()
+          .select("media_id", "content_hash", "byte_len")
+          .localCheckpoint(true) // index probe + intra minima + appends
+        val known = ViewMaintenance.readState(spark, idx,
+          "content_hash STRING, keeper BIGINT, blen BIGINT")
+        val hitIdx = feats
+          .join(known.select("content_hash"), Seq("content_hash"), "left_semi")
+        val intraMin = feats.groupBy("content_hash")
+          .agg(min(col("media_id")).as("mn"))
+        val hitIntra = feats.join(intraMin, Seq("content_hash"))
+          .filter(col("media_id") > col("mn"))
+          .select("content_hash", "media_id", "byte_len")
+        ViewMaintenance.appendBatch(
+          hitIdx.select("content_hash", "media_id", "byte_len")
+            .unionByName(hitIntra).distinct(), flags)
+        ViewMaintenance.appendBatch(
+          feats.groupBy("content_hash")
+            .agg(min(col("media_id")).as("keeper"),
+              max(col("byte_len")).as("blen")), idx)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // m04's exact report from the drained states: per hash with ≥1
+    // flagged copy — copies = flagged + the keeper; all copies carry one
+    // payload, so byte_len is constant per hash and m04's
+    // max(byte_len)·(n−1) is blen·n_flagged
+    val keepers = ViewMaintenance.readState(spark, idx,
+        "content_hash STRING, keeper BIGINT, blen BIGINT")
+      .groupBy("content_hash")
+      .agg(min(col("keeper")).as("keeper_id"), max(col("blen")).as("blen"))
+    ViewMaintenance.readState(spark, flags,
+        "content_hash STRING, media_id BIGINT, byte_len BIGINT")
+      .distinct() // redelivered appends fold (the d32/d33 set discipline)
+      .groupBy("content_hash").agg(count(lit(1)).as("n_flagged"))
+      .join(keepers, Seq("content_hash"))
+      .select(col("content_hash"),
+        (col("n_flagged") + 1L).as("n_copies"),
+        col("keeper_id"),
+        (col("blen") * col("n_flagged")).as("bytes_saved"))
+      .orderBy("content_hash")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_stream_media_dedup" -> (m11StreamMediaDedup _),
     "m10_stream_manifest" -> (m10StreamManifest _),
     "m09_temporal_align" -> (m09TemporalAlign _),
     "m01_media_features" -> (m01MediaFeatures _),
@@ -582,6 +673,7 @@ object MultimodalQueries {
     "m02_frame_samples" -> m02Oracle,
     "m03_resize" -> m03Oracle,
     "m04_media_dedup" -> m04Oracle,
+    "m11_stream_media_dedup" -> m04Oracle, // dedup-at-ingest == batch dedup
     "m05_frame_dedup" -> m05Oracle,
     "m06_crossmodal_search" -> m06Oracle,
     "m07_media_manifest" -> m07Oracle,

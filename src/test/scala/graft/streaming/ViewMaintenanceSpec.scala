@@ -43,4 +43,18 @@ class ViewMaintenanceSpec extends AnyFunSuite with SparkTestSession {
     assert(df.count() == 0)
     assert(df.columns.toSeq == Seq("k", "v"))
   }
+
+  test("explicit file: URI routes through the Hadoop FileSystem API") {
+    import spark.implicits._
+    // scheme-qualified, as an HDFS/S3 state dir would be — the pre-create
+    // and the idempotent write must resolve the SAME filesystem
+    val state = "file://" + tmp("uri")
+    assert(ViewMaintenance.readState(spark, state, "k STRING, v BIGINT")
+      .count() == 0) // pre-creates via Hadoop FS, no java.io
+    ViewMaintenance.applyIdempotent(Seq(("a", 4L)).toDF("k", "v"), state, 0L)
+    val out = ViewMaintenance.readState(spark, state,
+        "k STRING, v BIGINT, batch_id BIGINT")
+      .select("k", "v").as[(String, Long)].collect().toSet
+    assert(out == Set(("a", 4L)))
+  }
 }
