@@ -1197,6 +1197,7 @@ object GraphQueries {
     val pairs = weightedPairs(spark, dir)
     val dirs = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(true) // ins + del both read it: one pair build
     val ins = dirs.select(lit(1).as("op"), col("src"),
       col("dst").cast("string").as("v"))
     val del = dirs.filter((col("src") + col("dst")) % 3 === 0)

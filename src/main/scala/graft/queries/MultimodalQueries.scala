@@ -570,10 +570,11 @@ object MultimodalQueries {
   // replicas re-ingested at id+10M — ride id-range-ordered binlog
   // batches; each batch runs the REAL typed decode (MediaPipeline
   // through the binary boundary, m10's discipline), then flags an
-  // object as duplicate iff its content hash exists in the ACCUMULATED
-  // keeper index (ViewMaintenance state of per-hash min ids — min is
-  // idempotent, so index redelivery is free) or an earlier-id batchmate
-  // shares it — the d32 strict-prefix trick, so with id-ordered arrival
+  // object as duplicate iff the ACCUMULATED keeper index (ViewMaintenance
+  // state of per-hash min ids — min is idempotent, so index redelivery
+  // is free) holds a STRICTLY smaller id for its content hash, or an
+  // earlier-id batchmate shares it — the d32 strict-prefix trick, so
+  // with id-ordered arrival
   // the flagged set is exactly "all copies except the per-hash global
   // keeper" and the drained report reconstructs m04's table
   // bit-for-bit: SHARES m04's oracle, a mismatch isolates the streaming
@@ -596,11 +597,11 @@ object MultimodalQueries {
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
     graft.ingest.BinlogSink.writeKeyedStrings(
       corpus.repartitionByRange(4, col("doc_id")), feed, maxLen = 2048)
-    val q = spark.readStream.format("binlog")
-      .option("maxFilesPerTrigger", 1)
-      .load(feed)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+        if (id == 0L && batch0Files.isEmpty)
+          batch0Files ++= batch.select(col("binlog_file")).distinct()
+            .collect().map(_.getString(0))
         val docs = batch.filter(col("event_type") === "WriteRowsEventV2")
           .select(explode(col("row_images")).as("img"))
           .select(element_at(col("img"), 1).cast("long").as("media_id"),
@@ -615,8 +616,17 @@ object MultimodalQueries {
           .localCheckpoint(true) // index probe + intra minima + appends
         val known = ViewMaintenance.readState(spark, idx,
           "content_hash STRING, keeper BIGINT, blen BIGINT")
-        val hitIdx = feats
-          .join(known.select("content_hash"), Seq("content_hash"), "left_semi")
+        // STRICT keeper < media_id, not bare hash existence: under a
+        // redelivered batch the index already holds the batch's OWN
+        // per-hash minima (keeper == the keeper's id), and a bare
+        // existence probe would flag the keepers themselves; the strict
+        // inequality makes the probe yield the identical flag set on
+        // replay, so the re-appended rows fold in the serve-time
+        // distinct — redelivery-safe for real, not by assumption.
+        val hitIdx = feats.join(
+          known.select(col("content_hash").as("_kh"), col("keeper")),
+          col("_kh") === col("content_hash") &&
+            col("keeper") < col("media_id"), "left_semi")
         val intraMin = feats.groupBy("content_hash")
           .agg(min(col("media_id")).as("mn"))
         val hitIntra = feats.join(intraMin, Seq("content_hash"))
@@ -629,10 +639,22 @@ object MultimodalQueries {
           feats.groupBy("content_hash")
             .agg(min(col("media_id")).as("keeper"),
               max(col("byte_len")).as("blen")), idx)
-      }
+    }
+    val q = spark.readStream.format("binlog")
+      .option("maxFilesPerTrigger", 1)
+      .load(feed)
+      .writeStream
+      .foreachBatch(applyBatch _)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // INJECTED REDELIVERY (the cdc48 discipline): re-apply batch 0 from
+    // its recorded file — the strict-inequality probe and the idempotent
+    // index minima must absorb it; a double-count is an oracle mismatch.
+    if (batch0Files.nonEmpty) {
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"$feed/$f"): _*), 0L)
+    }
     // m04's exact report from the drained states: per hash with ≥1
     // flagged copy — copies = flagged + the keeper; all copies carry one
     // payload, so byte_len is constant per hash and m04's

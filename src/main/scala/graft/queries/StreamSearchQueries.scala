@@ -287,7 +287,8 @@ object StreamSearchQueries {
     val ckpt = new java.io.File(root, "ckpt").getPath
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val cent = graft.ops.Similarity.buildCentroids(
-      Tables.embeddings(spark, dir), dim = 64, chunks = centroidChunks)
+        Tables.embeddings(spark, dir), dim = 64, chunks = centroidChunks)
+      .localCheckpoint(true) // FROZEN quantizer: built once, not per batch
     // four id-range slices, arrival order = id order (mtime-forced, the
     // cdc16 bump discipline — the file source picks files by mod time)
     val maxRow = emb.agg(max(col("vec_id"))).head()
