@@ -58,17 +58,26 @@ object BinlogSink {
     * binlog's NATIVE retraction — batched in partition order so a
     * decoder replaying the file in event order reconstructs the exact
     * signed multiset. One file per non-empty partition, as
-    * [[writeKeyedStrings]]. */
+    * [[writeKeyedStrings]]. The output directory is OVERWRITTEN at the
+    * job level (DataFrame `mode("overwrite")` semantics) — required by
+    * the first-attempt-wins task commit, which never deletes an
+    * already-committed file. */
   def writeChanges(df: DataFrame, dir: String, maxLen: Int = 20,
       rowsPerEvent: Int = 100): Unit = {
     import BinlogBinaryWriter._
     val sconf = org.apache.spark.graftshim.SerializableHadoopConf.session()
     val dirPath = new Path(dir)
-    dirPath.getFileSystem(sconf.value).mkdirs(dirPath)
+    val driverFs = dirPath.getFileSystem(sconf.value)
+    // OVERWRITE semantics at the JOB level (Spark's mode("overwrite")):
+    // clear the target before the job, because task commits are
+    // first-attempt-wins (an existing committed file is KEPT — see the
+    // rename protocol below), so stale files from a previous job must
+    // not survive into this one's output.
+    driverFs.delete(dirPath, true)
+    driverFs.mkdirs(dirPath)
     // qualified URI string, so executors resolve the SAME filesystem the
     // driver did even when `dir` was scheme-less
-    val dirUri = dirPath
-      .getFileSystem(sconf.value).makeQualified(dirPath).toString
+    val dirUri = driverFs.makeQualified(dirPath).toString
     val cols = Seq(ColDef.longlong, ColDef.varchar(maxLen))
     // Alias the three positional columns to internal names FIRST: the
     // downstream select resolves by name, and a caller whose own columns
@@ -90,9 +99,15 @@ object BinlogSink {
           // rename into place only after a fully-written close — a failed
           // or speculative attempt never leaves a truncated file under the
           // final name (readers skip "."-prefixed names), and concurrent
-          // attempts never contend on one path. The encode is
-          // deterministic per partition, so whichever attempt commits
-          // last renames an identical file — the rename race is benign.
+          // attempts never contend on one path. Commit is FIRST-attempt-
+          // wins: a committed file is never deleted (a zombie attempt
+          // deleting the winner's file and then dying would silently lose
+          // the partition), and a loser discards its own temp — the two
+          // attempts carry the same row multiset, so either file is a
+          // correct encode of the partition. Hadoop rename/delete report
+          // failure by RETURNING false, not throwing — every result is
+          // checked, so a failed commit fails the task loudly instead of
+          // reporting success with no output.
           val fin = new Path(dirUri, f"mysql-bin.${pid + 1}%06d")
           val tmp = new Path(dirUri,
             f".mysql-bin.${pid + 1}%06d.attempt${tc.taskAttemptId()}")
@@ -141,8 +156,15 @@ object BinlogSink {
           } finally {
             os.close()
             if (committed) {
-              fs.delete(fin, false) // stale committer's file, if any
-              fs.rename(tmp, fin)
+              if (!fs.rename(tmp, fin)) {
+                // rename refuses when fin exists: a sibling attempt
+                // already committed this partition — keep ITS file,
+                // discard ours; any other refusal is a real commit
+                // failure and must fail the task
+                if (fs.exists(fin)) fs.delete(tmp, false)
+                else throw new java.io.IOException(
+                  s"binlog sink commit failed: rename $tmp -> $fin")
+              }
             } else fs.delete(tmp, false) // failed attempt leaves nothing
           }
         }

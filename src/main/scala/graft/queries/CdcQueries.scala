@@ -2800,14 +2800,26 @@ object CdcQueries {
     * redeliver.) */
   private[queries] def drainIdempotentWithRedelivery(spark: SparkSession,
       feed: String, ckpt: String, state: String)
-      (partials: DataFrame => DataFrame): Unit = {
+      (partials: DataFrame => DataFrame): Unit =
+    drainWithRedelivery(spark, feed, ckpt)((batch, id) =>
+      graft.streaming.ViewMaintenance.applyIdempotent(
+        partials(batch), state, id))
+
+  /** The record-and-redeliver scaffold alone, for gates whose per-batch
+    * apply manages its own (possibly multiple) replay-safe states
+    * (m11's strict-probe flags + idempotent keeper minima; p14's
+    * batch_id-filtered quota state): drain the binlog feed, remember
+    * which file(s) batch 0 processed, then re-apply batch 0 from them —
+    * the injected crash-after-commit replay the gate must absorb. */
+  private[queries] def drainWithRedelivery(spark: SparkSession,
+      feed: String, ckpt: String)
+      (apply: (DataFrame, Long) => Unit): Unit = {
     val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
     def applyBatch(batch: DataFrame, id: Long): Unit = {
       if (id == 0L && batch0Files.isEmpty)
         batch0Files ++= batch.select(col("binlog_file")).distinct()
           .collect().map(_.getString(0))
-      graft.streaming.ViewMaintenance.applyIdempotent(
-        partials(batch), state, id)
+      apply(batch, id)
     }
     drainBinlogFeed(spark, feed, ckpt)(applyBatch)
     if (batch0Files.nonEmpty) {

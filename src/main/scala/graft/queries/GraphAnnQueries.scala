@@ -368,7 +368,7 @@ object GraphAnnQueries {
       |      row_number() OVER (PARTITION BY q.query_id
       |        ORDER BY ${duckCosOf("q.qv", "c.cf")} DESC, c.clabel) AS rn
       |    FROM q0 q, cent c)
-      |  WHERE rn <= 4
+      |  WHERE rn <= $servedNprobe
       |), seeds AS MATERIALIZED (
       |  SELECT query_id, seed, rk FROM (
       |    SELECT p.query_id, a.vec_id AS seed,
@@ -727,7 +727,7 @@ object GraphAnnQueries {
       |      row_number() OVER (PARTITION BY q.query_id
       |        ORDER BY ${duckCosOf("q.qv", "c.cf")} DESC, c.clabel) AS rn
       |    FROM q, cent c)
-      |  WHERE rn <= 4
+      |  WHERE rn <= $servedNprobe
       |), seeds AS MATERIALIZED (
       |  SELECT query_id, seed FROM (
       |    SELECT p.query_id, a.vec_id AS seed,

@@ -583,7 +583,6 @@ object MultimodalQueries {
   // of the broadcast-sized index delta plus a ≤|hashes|-row append —
   // the corpus never reshuffles.
   def m11StreamMediaDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.ViewMaintenance
     val root = CdcQueries.tmpFixtureDir("graft_m11_", dir)
     root.mkdirs()
@@ -597,11 +596,10 @@ object MultimodalQueries {
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
     graft.ingest.BinlogSink.writeKeyedStrings(
       corpus.repartitionByRange(4, col("doc_id")), feed, maxLen = 2048)
-    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
-    def applyBatch(batch: DataFrame, id: Long): Unit = {
-        if (id == 0L && batch0Files.isEmpty)
-          batch0Files ++= batch.select(col("binlog_file")).distinct()
-            .collect().map(_.getString(0))
+    // drain + the injected batch-0 redelivery (the cdc48 discipline, via
+    // the shared scaffold): the strict-inequality probe below and the
+    // idempotent index minima must absorb the replay bit-for-bit
+    CdcQueries.drainWithRedelivery(spark, feed, ckpt) { (batch, _) =>
         val docs = batch.filter(col("event_type") === "WriteRowsEventV2")
           .select(explode(col("row_images")).as("img"))
           .select(element_at(col("img"), 1).cast("long").as("media_id"),
@@ -639,21 +637,6 @@ object MultimodalQueries {
           feats.groupBy("content_hash")
             .agg(min(col("media_id")).as("keeper"),
               max(col("byte_len")).as("blen")), idx)
-    }
-    val q = spark.readStream.format("binlog")
-      .option("maxFilesPerTrigger", 1)
-      .load(feed)
-      .writeStream
-      .foreachBatch(applyBatch _)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // INJECTED REDELIVERY (the cdc48 discipline): re-apply batch 0 from
-    // its recorded file — the strict-inequality probe and the idempotent
-    // index minima must absorb it; a double-count is an oracle mismatch.
-    if (batch0Files.nonEmpty) {
-      applyBatch(spark.read.format("binlog")
-        .load(batch0Files.toSeq.map(f => s"$feed/$f"): _*), 0L)
     }
     // m04's exact report from the drained states: per hash with ≥1
     // flagged copy — copies = flagged + the keeper; all copies carry one

@@ -1119,7 +1119,9 @@ object PipelineQueries {
   // per micro-batch, each doc's admission verdict is "tokens consumed
   // by same-language docs with SMALLER doc_id < quota", computed from
   // the ACCUMULATED per-language totals (ViewMaintenance state of
-  // additive partials — one ≤|langs|-row append per batch) plus an
+  // additive partials under the cdc48 exactly-once discipline: batch_id
+  // partition overwrites, the prior read filtered to batch_id < id, and
+  // an INJECTED batch-0 redelivery absorbed bit-for-bit) plus an
   // intra-batch running sum (two-phase, lang-keyed window). The strict
   // id-prefix rule makes the admitted set batch-split-independent, so a
   // plain batch window oracle gates the stream. The quota is derived
@@ -1131,7 +1133,6 @@ object PipelineQueries {
   // per batch one narrow map + a lang-keyed window + a ≤|langs|-row
   // state read/append — admission never shuffles the corpus.
   def p14StreamQuotaAdmission(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.ViewMaintenance
     val root = CdcQueries.tmpFixtureDir("graft_p14_", dir)
     root.mkdirs()
@@ -1152,41 +1153,40 @@ object PipelineQueries {
           .as("payload"))
         .repartitionByRange(4, col("doc_id")),
       feed, maxLen = 2100)
-    val q = spark.readStream.format("binlog")
-      .option("maxFilesPerTrigger", 1)
-      .load(feed)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val d = batch.filter(col("event_type") === "WriteRowsEventV2")
-          .select(explode(col("row_images")).as("img"))
-          .select(element_at(col("img"), 1).cast("long").as("doc_id"),
-            element_at(col("img"), 2).as("payload"))
-          .select(col("doc_id"),
-            substring_index(col("payload"), "|", 1).as("lang"),
-            expr("substring(payload, instr(payload, '|') + 1)").as("text"))
-          .withColumn("toks", size(split(col("text"), " ")).cast("long"))
-        val prior = ViewMaintenance.readState(spark, state,
-            "lang STRING, t BIGINT")
-          .groupBy("lang").agg(sum(col("t")).as("prior_toks"))
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val scored = d
-          .withColumn("intra_before", coalesce(sum(col("toks")).over(w), lit(0L)))
-          .join(broadcast(prior), Seq("lang"), "left")
-          .withColumn("before",
-            col("intra_before") + coalesce(col("prior_toks"), lit(0L)))
-          .localCheckpoint(true) // admission write + state append
-        ViewMaintenance.appendBatch(
-          scored.filter(col("before") < quota)
-            .select("doc_id", "lang", "toks"), admitted)
-        ViewMaintenance.appendBatch(
-          scored.groupBy("lang").agg(sum(col("toks")).as("t")), state)
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // drain + the injected batch-0 redelivery (the cdc48 discipline):
+    // both states land via applyIdempotent (batch_id partition
+    // overwrite), and the prior-totals read FILTERS to batch_id < id —
+    // a replayed batch therefore sees the same prior, computes the same
+    // admissions, and overwrites its own partitions bit-for-bit
+    CdcQueries.drainWithRedelivery(spark, feed, ckpt) { (batch, id) =>
+      val d = batch.filter(col("event_type") === "WriteRowsEventV2")
+        .select(explode(col("row_images")).as("img"))
+        .select(element_at(col("img"), 1).cast("long").as("doc_id"),
+          element_at(col("img"), 2).as("payload"))
+        .select(col("doc_id"),
+          substring_index(col("payload"), "|", 1).as("lang"),
+          expr("substring(payload, instr(payload, '|') + 1)").as("text"))
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      val prior = ViewMaintenance.readState(spark, state,
+          "lang STRING, t BIGINT, batch_id BIGINT")
+        .filter(col("batch_id") < id) // replay reads the SAME prior
+        .groupBy("lang").agg(sum(col("t")).as("prior_toks"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val scored = d
+        .withColumn("intra_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .join(broadcast(prior), Seq("lang"), "left")
+        .withColumn("before",
+          col("intra_before") + coalesce(col("prior_toks"), lit(0L)))
+        .localCheckpoint(true) // admission write + state write
+      ViewMaintenance.applyIdempotent(
+        scored.filter(col("before") < quota)
+          .select("doc_id", "lang", "toks"), admitted, id)
+      ViewMaintenance.applyIdempotent(
+        scored.groupBy("lang").agg(sum(col("toks")).as("t")), state, id)
+    }
     val adm = ViewMaintenance.readState(spark, admitted,
-        "doc_id BIGINT, lang STRING, toks BIGINT")
+        "doc_id BIGINT, lang STRING, toks BIGINT, batch_id BIGINT")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_admitted"),
         sum(col("toks")).as("tokens_admitted"),

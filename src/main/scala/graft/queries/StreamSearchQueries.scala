@@ -267,10 +267,15 @@ object StreamSearchQueries {
   // members with SMALLER ids — so the maintained edge set is exactly
   // "top-3 among same-cluster vectors with smaller vec_id", a strict
   // id-prefix rule that is batch-split-independent (the d32 trick),
-  // which is what lets a plain batch oracle gate the stream. Per batch
-  // the work is one cluster-keyed equi-join of the batch against its
-  // clusters' members (the s03 candidate shape — never all-pairs) plus
-  // a |batch|-row state append; at 100 TB the per-arrival cost is the
+  // which is what lets a plain batch oracle gate the stream. Both
+  // states land under cdc48's exactly-once discipline (batch_id
+  // partition overwrites; the candidate probe anti-joins the batch's
+  // own ids out of the state so a replay sees the original candidate
+  // set; the gate INJECTS a batch-0 redelivery and must absorb it).
+  // Per batch the work is one cluster-keyed equi-join of the batch
+  // against its clusters' members (the s03 candidate shape — never
+  // all-pairs) plus a |batch|-row state write; at 100 TB the per-arrival
+  // cost is the
   // honest IVF-routed insert (score within the routed cluster), the
   // bound a real DiskANN insert then improves with a graph walk —
   // s34/s50's priced search machinery, anchored by this exact
@@ -304,41 +309,63 @@ object StreamSearchQueries {
           .foreach(f => f.setLastModified(base + 4000L * i))
       }
     }
-    val q = spark.readStream
-      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
-      .option("maxFilesPerTrigger", 1)
-      .option("recursiveFileLookup", "true")
-      .parquet(feed.getPath)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    // batch-0 file recording for the injected redelivery (the parquet
+    // analogue of CdcQueries.drainWithRedelivery's binlog_file capture —
+    // bounded: maxFilesPerTrigger=1)
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+        if (id == 0L && batch0Files.isEmpty)
+          batch0Files ++= batch.select(input_file_name()).distinct()
+            .collect().map(_.getString(0)).filter(_.nonEmpty)
         val a = graft.ops.Similarity.assignToCentroids(
             batch.select("vec_id", "embedding"), cent, Seq("vec_id"))
           .select("vec_id", "cluster", "embedding")
           .localCheckpoint(true) // candidates AND probe side AND append
-        val st = ViewMaintenance.readState(spark, state,
-          "vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>")
         // candidates = accumulated same-cluster members ∪ same-batch
-        // members with smaller ids (strict id-prefix rule)
+        // members with smaller ids (strict id-prefix rule). The state is
+        // ANTI-joined against the batch's own ids: under a redelivered
+        // batch the state already holds the batch's members, and without
+        // the exclusion each batchmate would appear TWICE in the window
+        // (crowding out a real neighbor) — with it, a replay sees the
+        // exact candidate set of the original run.
+        val st = ViewMaintenance.readState(spark, state,
+            "vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT")
+          .drop("batch_id")
+          .join(a.select("vec_id"), Seq("vec_id"), "left_anti")
         val cands = st.unionByName(a)
           .select(col("cluster"), col("vec_id").as("nbr"),
             col("embedding").as("nv"))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("cos").desc, col("nbr"))
-        ViewMaintenance.appendBatch(
+        ViewMaintenance.applyIdempotent(
           a.join(cands, Seq("cluster"))
             .filter(col("nbr") < col("vec_id"))
             .withColumn("cos", cosineSim(col("embedding"), col("nv")))
             .withColumn("rk", row_number().over(w))
             .filter(col("rk") <= 3)
             .select(col("cluster"), col("vec_id"), col("nbr")),
-          edgesOut)
-        ViewMaintenance.appendBatch(a, state)
-      }
+          edgesOut, id)
+        ViewMaintenance.applyIdempotent(a, state, id)
+    }
+    val q = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(feed.getPath)
+      .writeStream
+      .foreachBatch(applyBatch _)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // INJECTED REDELIVERY: the anti-joined probe plus the batch_id
+    // partition overwrites must absorb a batch-0 replay bit-for-bit
+    if (batch0Files.nonEmpty) {
+      applyBatch(spark.read
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(batch0Files.toSeq: _*), 0L)
+    }
     graft.streaming.ViewMaintenance.readState(spark, edgesOut,
-        "cluster BIGINT, vec_id BIGINT, nbr BIGINT")
+        "cluster BIGINT, vec_id BIGINT, nbr BIGINT, batch_id BIGINT")
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_edges"),
         countDistinct(col("vec_id")).as("n_sources"),
