@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.cdc.{Comparator, Report}
+import graft.streaming.Drains.{drainBinlogFeed, drainIdempotentWithRedelivery,
+  drainWithRedelivery, streamDirs, tmpFixtureDir, withDrainPartitions}
 
 /** The CDC comparison engine (graft.cdc, SURVEY §2.5/§3.3) exercised through
   * the driver's oracle gate: both comparator inputs are synthesized
@@ -410,46 +412,11 @@ object CdcQueries {
       |      FROM orders ORDER BY o_orderkey LIMIT 200)
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Deterministic per-(fixture, input-dir) temp directory, emptied of any
-    * previous run's files — the fixture writers derive FILE SETS from the
-    * data (e.g. one file per user_id residue), so a stale extra file from
-    * an earlier dataset at the same path would be ingested as phantom
-    * events and surface as a gate mismatch that looks like an engine bug. */
-  /** Run a bounded streaming drain with `spark.sql.shuffle.partitions`
-    * temporarily lowered to 4. Every cdc1x drain creates a FRESH
-    * checkpoint per run (tmpFixtureDir wipes stale state), so the state
-    * partition count is a per-run dial, not a compatibility surface —
-    * and the drained results (status counts, keyed rows) are
-    * partition-count-invariant. At the batch default of 32, each
-    * micro-batch of a few-hundred-row fixture pays 32 state-store
-    * commits PER stateful operator (a stream-stream join carries four
-    * stores per partition), which is pure fixed cost; 4 partitions keep
-    * identical output at an eighth of it. Streaming pins the value into
-    * the checkpoint's offset metadata at query start, so the conf is
-    * held across the whole drain and restored after — a restart drain
-    * (cdc18) re-reads the pinned value from the checkpoint regardless.
-    * At 100 TB this dial goes the other way (hundreds of partitions);
-    * the point is that it IS the deployment dial, per feed volume. */
-  private[queries] def withDrainPartitions[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try body finally spark.conf.set(key, prev)
-  }
-
-  private[queries] def tmpFixtureDir(prefix: String, dir: String): java.io.File = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xFF}%02x").mkString
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"), prefix + tag)
-    if (out.exists()) {
-      java.nio.file.Files.walk(out.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
-    // NOT created here: the Hadoop committer behind cdc07's AvroSink write
-    // requires its output path to not exist; text-fixture writers mkdirs()
-    out
-  }
+  // The fixture/drain scaffolds (tmpFixtureDir, withDrainPartitions, the
+  // drain/redelivery family) live in graft.streaming.Drains since r13 —
+  // they serve six query families, so they belong to the streaming
+  // package, not to this (sibling) queries file. The imports at the top
+  // keep every historical call site below textually unchanged.
 
   // cdc06 — S2 end-to-end under the oracle gate: the first 300 `events`
   // rows are rendered into the reference decoder's TEXT block format
@@ -2757,77 +2724,6 @@ object CdcQueries {
   // At 100 TB: per batch the work is |ΔA_k| join-probes against B′
   // (keyed equi-join, delta-sized) plus a ≤|priorities|-row append —
   // the view is never rescanned, which is the entire point of IVM.
-  /** The (feed, state, ckpt) path triple every streaming-IVM gate uses,
-    * under a fresh per-(prefix, dir) fixture root. */
-  private def streamDirs(prefix: String, dir: String): (String, String, String) = {
-    val root = tmpFixtureDir(prefix, dir)
-    root.mkdirs()
-    (new java.io.File(root, "feed").getPath,
-      new java.io.File(root, "state").getPath,
-      new java.io.File(root, "ckpt").getPath)
-  }
-
-  /** The cdc45/47/48/49 shared drain: the binlog source file-by-file
-    * (maxFilesPerTrigger=1 — the delta arrives across MULTIPLE
-    * micro-batches), `apply` per batch, AvailableNow to completion,
-    * under the cdc1x drain partition dial. */
-  private def drainBinlogFeed(spark: SparkSession, feed: String,
-      ckpt: String)(apply: (DataFrame, Long) => Unit): Unit =
-    withDrainPartitions(spark) {
-      val q = spark.readStream.format("binlog")
-        .option("maxFilesPerTrigger", 1)
-        .load(feed)
-        .writeStream
-        .foreachBatch(apply)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-
-  /** cdc47/cdc48's shared EXACTLY-ONCE drain: per batch, land
-    * `partials(batch)` in its own batch_id partition
-    * (ViewMaintenance.applyIdempotent), recording which feed file(s)
-    * batch 0 ACTUALLY processed (≤1 by maxFilesPerTrigger=1 — a bounded
-    * fixture-side collect) rather than inferring "the lexicographically
-    * smallest": if natural-version order ever diverged from name order,
-    * an inferred redelivery would replace batch 0's partition with
-    * DIFFERENT partials and fail spuriously instead of isolating a sink
-    * bug. After the drain, batch 0's write is re-applied from the
-    * recorded file(s) — the injected crash-after-commit redelivery the
-    * partition overwrite must absorb bit-for-bit. (An empty feed — a
-    * legal quiet period — wrote no files and ran no batches: nothing to
-    * redeliver.) */
-  private[queries] def drainIdempotentWithRedelivery(spark: SparkSession,
-      feed: String, ckpt: String, state: String)
-      (partials: DataFrame => DataFrame): Unit =
-    drainWithRedelivery(spark, feed, ckpt)((batch, id) =>
-      graft.streaming.ViewMaintenance.applyIdempotent(
-        partials(batch), state, id))
-
-  /** The record-and-redeliver scaffold alone, for gates whose per-batch
-    * apply manages its own (possibly multiple) replay-safe states
-    * (m11's strict-probe flags + idempotent keeper minima; p14's
-    * batch_id-filtered quota state): drain the binlog feed, remember
-    * which file(s) batch 0 processed, then re-apply batch 0 from them —
-    * the injected crash-after-commit replay the gate must absorb. */
-  private[queries] def drainWithRedelivery(spark: SparkSession,
-      feed: String, ckpt: String)
-      (apply: (DataFrame, Long) => Unit): Unit = {
-    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
-    def applyBatch(batch: DataFrame, id: Long): Unit = {
-      if (id == 0L && batch0Files.isEmpty)
-        batch0Files ++= batch.select(col("binlog_file")).distinct()
-          .collect().map(_.getString(0))
-      apply(batch, id)
-    }
-    drainBinlogFeed(spark, feed, ckpt)(applyBatch)
-    if (batch0Files.nonEmpty) {
-      applyBatch(spark.read.format("binlog")
-        .load(batch0Files.toSeq.map(f => s"$feed/$f"): _*), 0L)
-    }
-  }
-
   /** q66's fixture splits, shared by cdc45/cdc48 so the three consumers
     * of q66's oracle (q66 itself, the streaming IVM, the idempotent
     * sink) cannot drift from the decomposition the oracle gates. */

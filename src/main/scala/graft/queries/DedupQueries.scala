@@ -794,7 +794,7 @@ object DedupQueries {
       .unionByName(syndicated).unionByName(intraDup)
 
     val idxDir = new java.io.File(
-      CdcQueries.tmpFixtureDir("graft_d20_", dir), "index")
+      graft.streaming.Drains.tmpFixtureDir("graft_d20_", dir), "index")
     day1.groupBy("h").agg(min(col("doc_id")).as("keeper"))
       .write.mode("overwrite").parquet(idxDir.getPath)
     val index = spark.read.parquet(idxDir.getPath)
@@ -1705,7 +1705,7 @@ object DedupQueries {
   // count, flagged-id checksum.
   def d32StreamLshIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.ViewMaintenance
-    val root = CdcQueries.tmpFixtureDir("graft_d32_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_d32_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed").getPath
     val state = new java.io.File(root, "state").getPath
@@ -1807,7 +1807,7 @@ object DedupQueries {
   def d33StreamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.ViewMaintenance
     def bit(i: Int, key: Column): Column = bloomBit(i, key) // d15's layout
-    val root = CdcQueries.tmpFixtureDir("graft_d33_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_d33_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed").getPath
     val state = new java.io.File(root, "state").getPath

@@ -292,7 +292,7 @@ object GraphAnnQueries {
   // corpus table, as on-disk graph indexes do (the graph is the index;
   // vectors stay in their own store).
   def s36GraphPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val root = CdcQueries.tmpFixtureDir("graft_s36_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_s36_", dir)
     root.mkdirs()
     val emb = Tables.embeddings(spark, dir)
     // ---- build (once): s34's exact index structures ----

@@ -1189,7 +1189,7 @@ object GraphQueries {
   // aggregate; deletes cost the same as inserts, and the census never
   // rescans the edge history.
   def g16StreamDegreeRetract(spark: SparkSession, dir: String): DataFrame = {
-    val root = CdcQueries.tmpFixtureDir("graft_g16_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_g16_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed").getPath
     val state = new java.io.File(root, "state").getPath
@@ -1204,7 +1204,7 @@ object GraphQueries {
       .select(lit(-1).as("op"), col("src"), col("dst").cast("string").as("v"))
     graft.ingest.BinlogSink.writeChanges(
       ins.unionByName(del).repartition(4, col("src")), feed)
-    CdcQueries.drainIdempotentWithRedelivery(spark, feed, ckpt, state) { b =>
+    graft.streaming.Drains.drainIdempotentWithRedelivery(spark, feed, ckpt, state) { b =>
       b.filter(col("event_type").isin("WriteRowsEventV2", "DeleteRowsEventV2"))
         .select(when(col("event_type") === "WriteRowsEventV2", 1L)
           .otherwise(-1L).as("w"),

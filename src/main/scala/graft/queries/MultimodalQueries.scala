@@ -506,7 +506,7 @@ object MultimodalQueries {
   def m10StreamManifest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.ViewMaintenance
-    val root = CdcQueries.tmpFixtureDir("graft_m10_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_m10_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed").getPath
     val counts = new java.io.File(root, "counts").getPath
@@ -584,7 +584,7 @@ object MultimodalQueries {
   // the corpus never reshuffles.
   def m11StreamMediaDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.ViewMaintenance
-    val root = CdcQueries.tmpFixtureDir("graft_m11_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_m11_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed").getPath
     val idx = new java.io.File(root, "idx").getPath
@@ -599,7 +599,7 @@ object MultimodalQueries {
     // drain + the injected batch-0 redelivery (the cdc48 discipline, via
     // the shared scaffold): the strict-inequality probe below and the
     // idempotent index minima must absorb the replay bit-for-bit
-    CdcQueries.drainWithRedelivery(spark, feed, ckpt) { (batch, _) =>
+    graft.streaming.Drains.drainWithRedelivery(spark, feed, ckpt) { (batch, _) =>
         val docs = batch.filter(col("event_type") === "WriteRowsEventV2")
           .select(explode(col("row_images")).as("img"))
           .select(element_at(col("img"), 1).cast("long").as("media_id"),

@@ -1134,7 +1134,7 @@ object PipelineQueries {
   // state read/append — admission never shuffles the corpus.
   def p14StreamQuotaAdmission(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.ViewMaintenance
-    val root = CdcQueries.tmpFixtureDir("graft_p14_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_p14_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed").getPath
     val state = new java.io.File(root, "state").getPath
@@ -1158,7 +1158,7 @@ object PipelineQueries {
     // overwrite), and the prior-totals read FILTERS to batch_id < id —
     // a replayed batch therefore sees the same prior, computes the same
     // admissions, and overwrites its own partitions bit-for-bit
-    CdcQueries.drainWithRedelivery(spark, feed, ckpt) { (batch, id) =>
+    graft.streaming.Drains.drainWithRedelivery(spark, feed, ckpt) { (batch, id) =>
       val d = batch.filter(col("event_type") === "WriteRowsEventV2")
         .select(explode(col("row_images")).as("img"))
         .select(element_at(col("img"), 1).cast("long").as("doc_id"),

@@ -415,7 +415,7 @@ object PqQueries {
     // partition-overwrite (spark.sql.sources.partitionOverwriteMode=
     // dynamic) would leave a previous dataset's cluster directories in
     // place and read them back as phantom index rows
-    val root = CdcQueries.tmpFixtureDir("graft_s12_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_s12_", dir)
     root.mkdirs()
     val emb = Tables.embeddings(spark, dir)
     // ---- index build (once) ----

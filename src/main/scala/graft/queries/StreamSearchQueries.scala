@@ -140,7 +140,7 @@ object StreamSearchQueries {
     import org.apache.spark.sql.streaming.Trigger
     import graft.functions.PqFunctions
     val m = 8
-    val root = CdcQueries.tmpFixtureDir("graft_s42_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_s42_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed").getPath
     val sink = new java.io.File(root, "sink").getPath
@@ -204,7 +204,7 @@ object StreamSearchQueries {
   // window over ≤ cluster-sized candidates.
   def s43StreamSearch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val root = CdcQueries.tmpFixtureDir("graft_s43_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_s43_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed").getPath
     val index = new java.io.File(root, "index").getPath
@@ -284,7 +284,7 @@ object StreamSearchQueries {
   def s51StreamGraphMaintain(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.ViewMaintenance
-    val root = CdcQueries.tmpFixtureDir("graft_s51_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_s51_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed"); feed.mkdirs()
     val state = new java.io.File(root, "state").getPath
@@ -310,7 +310,7 @@ object StreamSearchQueries {
       }
     }
     // batch-0 file recording for the injected redelivery (the parquet
-    // analogue of CdcQueries.drainWithRedelivery's binlog_file capture —
+    // analogue of graft.streaming.Drains.drainWithRedelivery's binlog_file capture —
     // bounded: maxFilesPerTrigger=1)
     val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
     def applyBatch(batch: DataFrame, id: Long): Unit = {

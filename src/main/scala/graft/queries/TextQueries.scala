@@ -1402,7 +1402,7 @@ object TextQueries {
   // per-batch cost proportional to batch size.
   def t30StreamQuality(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val root = CdcQueries.tmpFixtureDir("graft_t30_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_t30_", dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed").getPath
     val sink = new java.io.File(root, "sink").getPath
