@@ -1,7 +1,8 @@
 package graft.ingest
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, max, octet_length}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.TaskContext
 import org.apache.hadoop.fs.Path
 
@@ -30,40 +31,57 @@ import org.apache.hadoop.fs.Path
   * are encoded (heap holds one event, not the file), so a partition's
   * file size is bounded by storage, not executor memory.
   *
-  * Shape supported: (BIGINT key, STRING payload) — LONGLONG + VARCHAR on
-  * the wire. Wider rows belong to the fixture writers until a caller
-  * needs them distributed; this sink deliberately starts at the shape
-  * its gate exercises rather than shipping untested encoders.
+  * Row shapes (r13): any arity of BIGINT / INT / STRING data columns —
+  * LONGLONG / LONG / VARCHAR on the wire, nulls carried by the row
+  * image's null bitmap. VARCHAR bounds are DERIVED FROM THE DATA by
+  * default (max UTF-8 byte length + headroom, one extra aggregate pass
+  * over the input — pass an explicit `maxLen` to skip it when the input
+  * is expensive to recompute), so a fixture-generator change at a new
+  * scale factor can never trip a hard-coded bound (the r12-advice
+  * d33/m11 2048-byte cliff).
   */
 object BinlogSink {
 
-  /** Write `df`'s first two columns (BIGINT, STRING) as checksummed
-    * binlog files under `dir`, one file per non-empty partition.
-    * `maxLen` bounds the VARCHAR payload (longer strings fail the
-    * encoder loudly); `rowsPerEvent` bounds WRITE_ROWS event size so a
-    * large partition becomes many bounded events, not one giant one. */
-  def writeKeyedStrings(df: DataFrame, dir: String, maxLen: Int = 20,
+  /** Write `df`'s first two columns (BIGINT key, STRING payload) as
+    * checksummed binlog files under `dir`, one file per non-empty
+    * partition — the keyed-insert convenience over [[writeChanges]].
+    * Nulls are REJECTED loudly (a null key or payload in a keyed insert
+    * feed is a caller bug, not a changelog value); use [[writeChanges]]
+    * directly for nullable columns. `maxLen <= 0` (the default) derives
+    * the VARCHAR bound from the data; a positive value pins it (longer
+    * payloads fail the encoder loudly). `rowsPerEvent` bounds WRITE_ROWS
+    * event size so a large partition becomes many bounded events, not
+    * one giant one. */
+  def writeKeyedStrings(df: DataFrame, dir: String, maxLen: Int = 0,
       rowsPerEvent: Int = 100): Unit =
     // col(), not selectExpr: a column name that parses as an expression
     // ("k-1", "user.id") must stay a name, never arithmetic or a struct
     // path. toDF renames positionally first, so the injected "_op" can
     // never collide with a caller column that happens to share the name.
-    writeChanges(df.select(col(df.columns(0)), col(df.columns(1)))
-      .toDF("_k", "_v").select(lit(1).as("_op"), col("_k"), col("_v")),
-      dir, maxLen, rowsPerEvent)
+    writeChangesImpl(df.select(col(df.columns(0)), col(df.columns(1)))
+      .toDF("_k", "_v")
+      .select(lit(1).as("_op"), col("_k").cast("bigint"), col("_v")),
+      dir, maxLen, rowsPerEvent, allowNulls = false)
 
-  /** Write a CHANGELOG: `df`'s first three columns are (INT op, BIGINT
-    * key, STRING payload) with op = +1 (insert) or −1 (delete). Inserts
-    * encode as WRITE_ROWS events, deletes as DELETE_ROWS events — the
-    * binlog's NATIVE retraction — batched in partition order so a
-    * decoder replaying the file in event order reconstructs the exact
-    * signed multiset. One file per non-empty partition, as
+  /** Write a CHANGELOG: `df`'s first column is INT op = +1 (insert) or
+    * −1 (delete); every following column is a data column encoded by its
+    * Spark type — `BIGINT` → LONGLONG, `INT` → LONG, `STRING` → VARCHAR
+    * (any other type is rejected loudly). Inserts encode as WRITE_ROWS
+    * events, deletes as DELETE_ROWS events — the binlog's NATIVE
+    * retraction — batched in partition order so a decoder replaying the
+    * file in event order reconstructs the exact signed multiset. NULL
+    * data values ride the row image's null bitmap and decode back as
+    * null `row_images` cells. One file per non-empty partition, as
     * [[writeKeyedStrings]]. The output directory is OVERWRITTEN at the
     * job level (DataFrame `mode("overwrite")` semantics) — required by
     * the first-attempt-wins task commit, which never deletes an
     * already-committed file. */
-  def writeChanges(df: DataFrame, dir: String, maxLen: Int = 20,
-      rowsPerEvent: Int = 100): Unit = {
+  def writeChanges(df: DataFrame, dir: String, maxLen: Int = 0,
+      rowsPerEvent: Int = 100): Unit =
+    writeChangesImpl(df, dir, maxLen, rowsPerEvent, allowNulls = true)
+
+  private def writeChangesImpl(df: DataFrame, dir: String, maxLen: Int,
+      rowsPerEvent: Int, allowNulls: Boolean): Unit = {
     import BinlogBinaryWriter._
     val sconf = org.apache.spark.graftshim.SerializableHadoopConf.session()
     val dirPath = new Path(dir)
@@ -78,18 +96,47 @@ object BinlogSink {
     // qualified URI string, so executors resolve the SAME filesystem the
     // driver did even when `dir` was scheme-less
     val dirUri = driverFs.makeQualified(dirPath).toString
-    val cols = Seq(ColDef.longlong, ColDef.varchar(maxLen))
-    // Alias the three positional columns to internal names FIRST: the
+    // Alias the positional columns to internal names FIRST: the
     // downstream select resolves by name, and a caller whose own columns
     // shadow the aliases (e.g. a payload column literally named "_op")
     // must not make col("_op") ambiguous. toDF renames ALL columns
     // positionally, so no caller name can collide.
     val c = df.columns
-    require(c.length >= 3,
-      s"writeChanges needs (op, key, payload) columns; got ${c.length}")
-    df.select(col(c(0)), col(c(1)), col(c(2))).toDF("_op", "_k", "_v")
-      .select(col("_op").cast("int"), col("_k").cast("bigint"), col("_v"))
-      .rdd.foreachPartition { rows =>
+    require(c.length >= 2,
+      s"writeChanges needs (op, data columns...); got ${c.length}")
+    val dataNames = (1 until c.length).map(i => s"_c$i")
+    val prepared = df.select(c.toIndexedSeq.map(col): _*)
+      .toDF(("_op" +: dataNames): _*)
+      .select(col("_op").cast("int") +: dataNames.map(col): _*)
+    val types: Seq[DataType] = prepared.schema.drop(1).map(_.dataType)
+    types.zipWithIndex.foreach { case (t, i) =>
+      require(t == LongType || t == IntegerType || t == StringType,
+        s"unsupported wire type for data column ${i + 1}: $t " +
+          "(supported: BIGINT -> LONGLONG, INT -> LONG, STRING -> VARCHAR)")
+    }
+    // VARCHAR bounds: pinned by the caller, or derived from the data
+    // (max UTF-8 byte length + headroom, floor 20) in ONE aggregate —
+    // the TABLE_MAP must declare a bound every payload honors, and a
+    // literal bound is a silent cliff at the next scale factor.
+    val strIdx = types.zipWithIndex.collect { case (StringType, i) => i }
+    val bounds: Map[Int, Int] =
+      if (maxLen > 0) strIdx.map(_ -> maxLen).toMap
+      else if (strIdx.isEmpty) Map.empty[Int, Int]
+      else {
+        val aggs = strIdx.map(i =>
+          max(octet_length(col(dataNames(i)))).as(s"_m$i"))
+        val row = prepared.agg(aggs.head, aggs.tail: _*).head()
+        strIdx.zipWithIndex.map { case (i, j) =>
+          i -> math.max((if (row.isNullAt(j)) 0 else row.getInt(j)) + 16, 20)
+        }.toMap
+      }
+    val cols: Seq[ColDef] = types.zipWithIndex.map {
+      case (LongType, _) => ColDef.longlong
+      case (IntegerType, _) => ColDef.long
+      case (StringType, i) => ColDef.varchar(bounds(i))
+      case (t, i) => throw new IllegalStateException(s"unreachable: $t at $i")
+    }
+    prepared.rdd.foreachPartition { rows =>
         if (rows.hasNext) {
           val tc = TaskContext.get()
           val pid = tc.partitionId()
@@ -125,20 +172,33 @@ object BinlogSink {
             val it = rows.map { r =>
               val op = r.getInt(0)
               require(op == 1 || op == -1, s"op must be +1/-1, got $op")
-              require(!r.isNullAt(1),
-                "null key: the wire key column is a NOT NULL LONGLONG; " +
-                "filter or fill nulls before the sink")
-              require(!r.isNullAt(2),
-                s"null payload for key ${r.getLong(1)}: the wire column is " +
-                "declared NOT NULL VARCHAR; filter or fill nulls before the sink")
-              val s = r.getString(2)
-              // the TABLE_MAP declares VARCHAR(maxLen); a longer payload
-              // would still self-describe on the wire but lie to every
-              // schema-aware consumer — reject it at the sink
-              require(s.getBytes("UTF-8").length <= maxLen,
-                s"payload exceeds declared VARCHAR($maxLen): '$s'")
-              (op, Seq(Some(encLongLong(r.getLong(1))),
-                Some(encVarchar(s, maxLen))))
+              val cells: Seq[Option[Array[Byte]]] =
+                types.zipWithIndex.map { case (t, i) =>
+                  val fi = i + 1
+                  if (r.isNullAt(fi)) {
+                    require(allowNulls,
+                      if (i == 0) "null key: the wire key column is a NOT " +
+                        "NULL LONGLONG; filter or fill nulls before the sink"
+                      else s"null payload for key ${r.get(1)}: the wire " +
+                        "column is declared NOT NULL VARCHAR; filter or " +
+                        "fill nulls before the sink")
+                    None
+                  } else Some(t match {
+                    case LongType => encLongLong(r.getLong(fi))
+                    case IntegerType => encLong(r.getInt(fi))
+                    case StringType =>
+                      val s = r.getString(fi)
+                      // the TABLE_MAP declares VARCHAR(bound); a longer
+                      // payload would still self-describe on the wire but
+                      // lie to every schema-aware consumer — reject it
+                      require(s.getBytes("UTF-8").length <= bounds(i),
+                        s"payload exceeds declared VARCHAR(${bounds(i)}): '$s'")
+                      encVarchar(s, bounds(i))
+                    case other => throw new IllegalStateException(
+                      s"unreachable wire type $other")
+                  })
+                }
+              (op, cells)
             }.buffered
             while (it.hasNext) {
               val op = it.head._1
@@ -154,18 +214,35 @@ object BinlogSink {
             f.flush()
             committed = true
           } finally {
-            os.close()
+            // failure path: a close() throwing on an already-broken stream
+            // must not mask the root cause or skip the temp delete — leaked
+            // "."-files are skipped by readers, so cleanup is best-effort
             if (committed) {
-              if (!fs.rename(tmp, fin)) {
-                // rename refuses when fin exists: a sibling attempt
-                // already committed this partition — keep ITS file,
-                // discard ours; any other refusal is a real commit
-                // failure and must fail the task
-                if (fs.exists(fin)) fs.delete(tmp, false)
+              os.close()
+              // First-attempt-wins: a committed file is never replaced.
+              // HDFS rename refuses an existing destination by itself; a
+              // local FS delegates to POSIX rename(2), which silently
+              // REPLACES — so check exists BEFORE renaming there too. The
+              // check-then-rename window (TOCTOU) remains open on local
+              // FS and is documented rather than closed: sibling attempts
+              // encode the same row multiset, so a racing replacement is
+              // still a correct encode of the partition.
+              if (fs.exists(fin)) fs.delete(tmp, false) // sibling committed
+              else if (!fs.rename(tmp, fin)) {
+                if (fs.exists(fin)) fs.delete(tmp, false) // lost the race
                 else throw new java.io.IOException(
                   s"binlog sink commit failed: rename $tmp -> $fin")
               }
-            } else fs.delete(tmp, false) // failed attempt leaves nothing
+            } else {
+              // failure path: close() often throws on an already-broken
+              // stream — suppress it so the ROOT-CAUSE exception
+              // propagates and the temp delete still runs (leaked
+              // "."-files would be skipped by readers anyway; this keeps
+              // cleanup deterministic, not just best-effort)
+              try os.close()
+              catch { case scala.util.control.NonFatal(_) => () }
+              fs.delete(tmp, false) // failed attempt leaves nothing
+            }
           }
         }
       }

@@ -3059,7 +3059,72 @@ object CdcQueries {
       .orderBy("tolerance_ms", "status")
   }
 
+  // cdc51 — MID-STREAM STATE COMPACTION (the IVM lifecycle gap: every
+  // ViewMaintenance state appends one batch_id partition per micro-batch
+  // forever — correct at any scale, but a year-long stream lists
+  // hundreds of thousands of partitions on every serve-time read). This
+  // is cdc48's exactly-once IVM with `ViewMaintenance.compact` run
+  // INSIDE the drain: after batch 1 lands, the state₀ seeds (−1/−2) and
+  // batch 0 fold into ONE base snapshot (additive sums summed — the
+  // mergeable-partials contract is precisely what makes the fold
+  // lossless), committed by a single Hadoop-FS rename; batches ≥ 1 stay
+  // live partitions. The gate then injects BOTH redelivery classes a
+  // compacted state must absorb: (a) a COVERED batch (batch 0, via the
+  // shared scaffold) — its recreated partition is ignored by the
+  // read-side live rule, the compaction-specific failure mode; and (b)
+  // an IN-FLIGHT post-compaction batch (the last batch, recorded
+  // in-drain) — absorbed by the batch_id partition overwrite, proving
+  // the cdc48 contract SURVIVES compaction for uncovered batches.
+  // Shares q66's oracle: any double-count (either replay) or fold loss
+  // (the compaction) is a hash mismatch. At 100 TB this is the
+  // difference between a serve-time read that lists |batches| parquet
+  // partitions and one that lists (1 base + in-flight few) — compaction
+  // cost is one fold over ≤|groups|·|batches| partial rows, amortized
+  // at the caller's cadence.
+  def cdc51CompactedIvm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val (feed, state, ckpt) = streamDirs("graft_cdc51_", dir)
+    val fx = ivmFixture(spark, dir)
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      fx.aDelta.repartition(4, col("o_orderkey")), feed)
+    val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
+    val stateSchema =
+      "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT"
+    def foldPartials(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+    // the last batch's file set, recorded in-drain (bounded:
+    // maxFilesPerTrigger=1) for the in-flight replay below
+    val lateFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    var lateId = -1L
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      ViewMaintenance.applyIdempotent(
+        fx.partials(decodeIvmDelta(batch), bPrime), state, id)
+      if (id == 1L) // MID-stream: seeds + batch 0 → base; batch 1+ live
+        ViewMaintenance.compact(spark, state, stateSchema, upto = 0L)(foldPartials)
+      if (id > 0L) {
+        lateFiles.clear()
+        lateFiles ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+        lateId = id
+      }
+    }
+    // drain + injected replay (a): the scaffold re-applies batch 0 — a
+    // COVERED batch whose recreated partition the live rule must ignore
+    drainWithRedelivery(spark, feed, ckpt)(applyBatch)
+    // injected replay (b): the last (post-compaction, in-flight) batch —
+    // absorbed by its own partition overwrite, the cdc48 contract
+    if (lateFiles.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(lateFiles.toSeq.map(f => s"$feed/$f"): _*), lateId)
+    ivmReport(fx,
+      ViewMaintenance.readState(spark, state, stateSchema).drop("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc51_compacted_ivm" -> (cdc51CompactedIvm _),
     "cdc50_stream_band" -> (cdc50StreamBandTolerance _),
     "cdc49_stream_sketch" -> (cdc49StreamSketch _),
     "cdc48_idempotent_sink" -> (cdc48IdempotentSink _),
@@ -3166,6 +3231,9 @@ object CdcQueries {
     "cdc47_stream_retract" -> cdc47Oracle,
     // redelivered-batch write absorbed ⇒ still q66's exact decomposition
     "cdc48_idempotent_sink" -> AnalyticQueries.q66Oracle,
+    // mid-stream compaction + covered AND in-flight replays absorbed ⇒
+    // still q66's exact decomposition (isolates the compaction machinery)
+    "cdc51_compacted_ivm" -> AnalyticQueries.q66Oracle,
     "cdc49_stream_sketch" -> cdc49Oracle,
   )
 }

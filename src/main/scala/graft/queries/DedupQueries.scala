@@ -1714,7 +1714,7 @@ object DedupQueries {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // id-RANGE partitions → the sink's file numbering IS ingestion order
     graft.ingest.BinlogSink.writeKeyedStrings(
-      docs.repartitionByRange(4, col("doc_id")), feed, maxLen = 2048)
+      docs.repartitionByRange(4, col("doc_id")), feed) // VARCHAR bound derived from the data (r12 advice)
     val q = spark.readStream.format("binlog")
       .option("maxFilesPerTrigger", 1)
       .load(feed)
@@ -1824,7 +1824,7 @@ object DedupQueries {
         .distinct(),
       state)
     graft.ingest.BinlogSink.writeKeyedStrings(
-      docs.repartitionByRange(4, col("doc_id")), feed, maxLen = 2048)
+      docs.repartitionByRange(4, col("doc_id")), feed) // VARCHAR bound derived from the data (r12 advice)
     val q = spark.readStream.format("binlog")
       .option("maxFilesPerTrigger", 1)
       .load(feed)

@@ -515,7 +515,7 @@ object MultimodalQueries {
     val ckpt = new java.io.File(root, "ckpt").getPath
     graft.ingest.BinlogSink.writeKeyedStrings(
       Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-        .repartitionByRange(4, col("doc_id")), feed, maxLen = 2048)
+        .repartitionByRange(4, col("doc_id")), feed) // VARCHAR bound derived from the data (r12 advice)
     val q = spark.readStream.format("binlog")
       .option("maxFilesPerTrigger", 1)
       .load(feed)
@@ -595,7 +595,7 @@ object MultimodalQueries {
       base.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
     graft.ingest.BinlogSink.writeKeyedStrings(
-      corpus.repartitionByRange(4, col("doc_id")), feed, maxLen = 2048)
+      corpus.repartitionByRange(4, col("doc_id")), feed) // VARCHAR bound derived from the data (r12 advice)
     // drain + the injected batch-0 redelivery (the cdc48 discipline, via
     // the shared scaffold): the strict-inequality probe below and the
     // idempotent index minima must absorb the replay bit-for-bit
@@ -658,7 +658,92 @@ object MultimodalQueries {
       .orderBy("content_hash")
   }
 
+  // m12 — SET-STATE COMPACTION (cdc51 proves compaction for additive
+  // sums; this proves it for the other two partial classes in one gate:
+  // m11's flags are a SET state — fold = distinct — and its keeper index
+  // is an idempotent MIN/MAX register state — fold = per-hash
+  // min(keeper)/max(blen)). Same corpus, wire, decode, and strict-probe
+  // semantics as m11, but both states land under applyIdempotent
+  // (batch_id partition overwrite), and after batch 1 each is compacted
+  // into a base snapshot MID-drain. The injected batch-0 redelivery (the
+  // shared scaffold) then exercises the covered-replay path on BOTH
+  // folds: the replayed batch re-probes the compacted index — whose base
+  // holds exactly the folded minima, so the strict keeper < media_id
+  // rule yields the identical flag set — and its recreated batch_id=0
+  // partitions are ignored by the read-side live rule. Shares m04's
+  // oracle: a mismatch isolates the compaction machinery from the dedup
+  // semantics (m04) and the streaming delivery (m11). Serve-time reads
+  // need no distinct here — exactly-once + compaction make the states
+  // duplicate-free by construction (m11 keeps the at-least-once posture
+  // for contrast; this gate is the upgraded one).
+  def m12CompactedMediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_m12_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val idx = new java.io.File(root, "idx").getPath
+    val flags = new java.io.File(root, "flags").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val idxSchema = "content_hash STRING, keeper BIGINT, blen BIGINT, batch_id BIGINT"
+    val flagSchema = "content_hash STRING, media_id BIGINT, byte_len BIGINT, batch_id BIGINT"
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      corpus.repartitionByRange(4, col("doc_id")), feed)
+    graft.streaming.Drains.drainWithRedelivery(spark, feed, ckpt) { (batch, id) =>
+        val docs = batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("media_id"),
+            element_at(col("img"), 2).as("text"),
+            lit("image").as("kind"), lit("image/fake").as("mime"))
+        val feats = MediaPipeline.decodeFeatures(
+            MediaPipeline.fromBinary(
+              docs.withColumn("payload", encode(col("text"), "UTF-8")),
+              "media_id", "payload", "kind", "mime"),
+            batchSize = 64).toDF()
+          .select("media_id", "content_hash", "byte_len")
+          .localCheckpoint(true) // index probe + intra minima + both writes
+        val known = ViewMaintenance.readState(spark, idx, idxSchema)
+        val hitIdx = feats.join(
+          known.select(col("content_hash").as("_kh"), col("keeper")),
+          col("_kh") === col("content_hash") &&
+            col("keeper") < col("media_id"), "left_semi")
+        val intraMin = feats.groupBy("content_hash")
+          .agg(min(col("media_id")).as("mn"))
+        val hitIntra = feats.join(intraMin, Seq("content_hash"))
+          .filter(col("media_id") > col("mn"))
+          .select("content_hash", "media_id", "byte_len")
+        ViewMaintenance.applyIdempotent(
+          hitIdx.select("content_hash", "media_id", "byte_len")
+            .unionByName(hitIntra).distinct(), flags, id)
+        ViewMaintenance.applyIdempotent(
+          feats.groupBy("content_hash")
+            .agg(min(col("media_id")).as("keeper"),
+              max(col("byte_len")).as("blen")), idx, id)
+        if (id == 1L) { // MID-drain: both states fold batch 0 into a base
+          ViewMaintenance.compact(spark, flags, flagSchema, upto = 0L)(_.distinct())
+          ViewMaintenance.compact(spark, idx, idxSchema, upto = 0L)(
+            _.groupBy("content_hash")
+              .agg(min(col("keeper")).as("keeper"), max(col("blen")).as("blen")))
+        }
+    }
+    val keepers = ViewMaintenance.readState(spark, idx, idxSchema)
+      .groupBy("content_hash")
+      .agg(min(col("keeper")).as("keeper_id"), max(col("blen")).as("blen"))
+    ViewMaintenance.readState(spark, flags, flagSchema)
+      .groupBy("content_hash").agg(count(lit(1)).as("n_flagged"))
+      .join(keepers, Seq("content_hash"))
+      .select(col("content_hash"),
+        (col("n_flagged") + 1L).as("n_copies"),
+        col("keeper_id"),
+        (col("blen") * col("n_flagged")).as("bytes_saved"))
+      .orderBy("content_hash")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_compacted_media_dedup" -> (m12CompactedMediaDedup _),
     "m11_stream_media_dedup" -> (m11StreamMediaDedup _),
     "m10_stream_manifest" -> (m10StreamManifest _),
     "m09_temporal_align" -> (m09TemporalAlign _),
@@ -679,6 +764,8 @@ object MultimodalQueries {
     "m03_resize" -> m03Oracle,
     "m04_media_dedup" -> m04Oracle,
     "m11_stream_media_dedup" -> m04Oracle, // dedup-at-ingest == batch dedup
+    // compacted set/min-max states + covered replay == batch dedup
+    "m12_compacted_media_dedup" -> m04Oracle,
     "m05_frame_dedup" -> m05Oracle,
     "m06_crossmodal_search" -> m06Oracle,
     "m07_media_manifest" -> m07Oracle,

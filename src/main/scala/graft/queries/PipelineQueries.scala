@@ -1146,13 +1146,14 @@ object PipelineQueries {
     val totRow = docs
       .agg(sum(size(split(col("text"), " ")).cast("long"))).head()
     val quota = if (totRow.isNullAt(0)) 0L else totRow.getLong(0) / 6L
-    // lang rides the wire in the payload next to the text (the sink is
-    // (key, payload); a one-char language tag + '|' keeps decode exact)
-    graft.ingest.BinlogSink.writeKeyedStrings(
-      docs.select(col("doc_id"), concat(col("lang"), lit("|"), col("text"))
-          .as("payload"))
+    // lang and text ride the wire as their OWN typed columns — the r13
+    // multi-column sink (op, doc_id BIGINT, lang STRING, text STRING →
+    // LONGLONG + VARCHAR + VARCHAR, bounds derived from the data),
+    // retiring the r12 `lang|text` payload-packing workaround
+    graft.ingest.BinlogSink.writeChanges(
+      docs.select(lit(1).as("op"), col("doc_id"), col("lang"), col("text"))
         .repartitionByRange(4, col("doc_id")),
-      feed, maxLen = 2100)
+      feed)
     // drain + the injected batch-0 redelivery (the cdc48 discipline):
     // both states land via applyIdempotent (batch_id partition
     // overwrite), and the prior-totals read FILTERS to batch_id < id —
@@ -1162,10 +1163,8 @@ object PipelineQueries {
       val d = batch.filter(col("event_type") === "WriteRowsEventV2")
         .select(explode(col("row_images")).as("img"))
         .select(element_at(col("img"), 1).cast("long").as("doc_id"),
-          element_at(col("img"), 2).as("payload"))
-        .select(col("doc_id"),
-          substring_index(col("payload"), "|", 1).as("lang"),
-          expr("substring(payload, instr(payload, '|') + 1)").as("text"))
+          element_at(col("img"), 2).as("lang"),
+          element_at(col("img"), 3).as("text"))
         .withColumn("toks", size(split(col("text"), " ")).cast("long"))
       val prior = ViewMaintenance.readState(spark, state,
           "lang STRING, t BIGINT, batch_id BIGINT")

@@ -119,6 +119,58 @@ class BinlogSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(back == Set(10L, 11L))
   }
 
+  test("multi-column changelog round-trips: BIGINT + INT + two VARCHARs, nulls on the bitmap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_m_").toString
+    // (op, id BIGINT, qty INT, tag STRING?, note STRING) — the r13 wide
+    // shape; tag carries nulls, which must ride the row image's null
+    // bitmap and decode back as null cells, not fail or become ""
+    val rows = (0 until 40).map { i =>
+      (if (i % 5 == 0) -1 else 1, i.toLong, i * 3,
+        if (i % 4 == 0) null else s"tag$i", s"note_${i}_" + ("z" * (i % 7)))
+    }
+    val df = rows.toDF("op", "id", "qty", "tag", "note").coalesce(1)
+    BinlogSink.writeChanges(df, dir) // VARCHAR bounds derived from the data
+    val back = spark.read.format("binlog").load(dir)
+      .filter(col("event_type").isin("WriteRowsEventV2", "DeleteRowsEventV2"))
+      .select(col("event_type"), explode(col("row_images")).as("img"))
+      .select(
+        (when(col("event_type") === "WriteRowsEventV2", 1).otherwise(-1)).as("op"),
+        element_at(col("img"), 1).cast("long").as("id"),
+        element_at(col("img"), 2).cast("int").as("qty"),
+        element_at(col("img"), 3).as("tag"),
+        element_at(col("img"), 4).as("note"))
+      .as[(Int, Long, Int, Option[String], String)].collect().toSet
+    val expect = rows.map { case (op, id, q, t, n) =>
+      (op, id, q, Option(t), n) }.toSet
+    assert(back == expect)
+  }
+
+  test("derived VARCHAR bound crosses the 2-byte prefix threshold from the data alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_d_").toString
+    // no explicit maxLen: one 300-byte payload forces a derived bound
+    // >= 256, which must flip the wire to the 2-byte length prefix
+    val rows = Seq((1L, "x" * 300), (2L, "short"))
+    BinlogSink.writeKeyedStrings(rows.toDF("k", "v").coalesce(1), dir)
+    val back = spark.read.format("binlog").load(dir)
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(explode(col("row_images")).as("img"))
+      .select(element_at(col("img"), 1).cast("long").as("k"),
+        element_at(col("img"), 2).as("v"))
+      .as[(Long, String)].collect().toSet
+    assert(back == rows.toSet)
+  }
+
+  test("unsupported wire type is rejected loudly at plan time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_t_").toString
+    val e = intercept[IllegalArgumentException] {
+      BinlogSink.writeChanges(Seq((1, 1L, 2.5)).toDF("op", "k", "x"), dir)
+    }
+    assert(e.getMessage.contains("unsupported wire type"))
+  }
+
   test("null payload fails with a clear message, not an NPE") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_n_").toString
