@@ -3123,7 +3123,46 @@ object CdcQueries {
       ViewMaintenance.readState(spark, state, stateSchema).drop("batch_id"))
   }
 
+  // cdc53 — RESTART-MID-DRAIN for the maintenance matrix (additive
+  // member): cdc18 proves the offset seam for the comparator's parquet
+  // sink; every r12 maintenance gate absorbs a redelivered BATCH; this
+  // proves the two COMPOSE on a maintained state — cdc48's exactly-once
+  // IVM drained as two Trigger.AvailableNow runs against the SAME
+  // checkpoint, with the second half of the feed files arriving between
+  // them (strictly later natural-version numbers — the count-based
+  // offset contract). Run 2's offset log must skip run 1's files and
+  // its batch ids must CONTINUE (a restarted counter would overwrite
+  // run 1's batch_id partitions with run 2's partials — exactly the
+  // corruption this gate would catch); the recorded batch-0 file is
+  // then re-applied ACROSS the restart boundary (the injected
+  // redelivery). Shares q66's oracle: reprocessed files, restarted
+  // counters, and unabsorbed replays are all hash mismatches.
+  def cdc53RestartIvm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc53_", dir)
+    root.mkdirs()
+    val staging = new java.io.File(root, "staging").getPath
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val fx = ivmFixture(spark, dir)
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      fx.aDelta.repartition(4, col("o_orderkey")), staging)
+    val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
+    graft.streaming.Drains.drainBinlogRestartWithRedelivery(
+        spark, staging, feed, ckpt) { (batch, id) =>
+      ViewMaintenance.applyIdempotent(
+        fx.partials(decodeIvmDelta(batch), bPrime), state, id)
+    }
+    ivmReport(fx, ViewMaintenance.readState(spark, state,
+      "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT")
+      .drop("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc53_restart_ivm" -> (cdc53RestartIvm _),
     "cdc51_compacted_ivm" -> (cdc51CompactedIvm _),
     "cdc50_stream_band" -> (cdc50StreamBandTolerance _),
     "cdc49_stream_sketch" -> (cdc49StreamSketch _),
@@ -3234,6 +3273,9 @@ object CdcQueries {
     // mid-stream compaction + covered AND in-flight replays absorbed ⇒
     // still q66's exact decomposition (isolates the compaction machinery)
     "cdc51_compacted_ivm" -> AnalyticQueries.q66Oracle,
+    // two-run drain on one checkpoint + cross-restart replay absorbed ⇒
+    // still q66's exact decomposition (isolates the offset/restart seam)
+    "cdc53_restart_ivm" -> AnalyticQueries.q66Oracle,
     "cdc49_stream_sketch" -> cdc49Oracle,
   )
 }

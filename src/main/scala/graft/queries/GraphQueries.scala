@@ -1232,7 +1232,56 @@ object GraphQueries {
       |  CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
       |FROM deg""".stripMargin
 
+  // g17 — RESTART-MID-DRAIN for the SIGNED state class (cdc53 proves the
+  // two-run seam for additive partials; signed retraction weights are
+  // the class where a restart bug is most corrosive — a reprocessed
+  // DELETE_ROWS file double-retracts and silently UNDERCOUNTS the
+  // surviving graph). Same changelog, decode, and per-vertex signed
+  // degree partials as g16, but the feed files arrive in two
+  // installments across two Trigger.AvailableNow runs on ONE checkpoint
+  // (continued batch ids, the count-based offset contract), with the
+  // recorded batch-0 file re-applied across the restart boundary.
+  // Shares g16's oracle — a mismatch isolates the offset/restart seam
+  // from the retraction algebra.
+  def g17RestartDegree(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_g17_", dir)
+    root.mkdirs()
+    val staging = new java.io.File(root, "staging").getPath
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val pairs = weightedPairs(spark, dir)
+    val dirs = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(true)
+    val ins = dirs.select(lit(1).as("op"), col("src"),
+      col("dst").cast("string").as("v"))
+    val del = dirs.filter((col("src") + col("dst")) % 3 === 0)
+      .select(lit(-1).as("op"), col("src"), col("dst").cast("string").as("v"))
+    graft.ingest.BinlogSink.writeChanges(
+      ins.unionByName(del).repartition(4, col("src")), staging)
+    graft.streaming.Drains.drainBinlogRestartWithRedelivery(
+        spark, staging, feed, ckpt) { (b, id) =>
+      graft.streaming.ViewMaintenance.applyIdempotent(
+        b.filter(col("event_type").isin("WriteRowsEventV2", "DeleteRowsEventV2"))
+          .select(when(col("event_type") === "WriteRowsEventV2", 1L)
+            .otherwise(-1L).as("w"),
+            explode(col("row_images")).as("img"))
+          .select(col("w"), element_at(col("img"), 1).cast("long").as("src"))
+          .groupBy("src").agg(sum(col("w")).as("d")),
+        state, id)
+    }
+    graft.streaming.ViewMaintenance.readState(spark, state,
+        "src BIGINT, d BIGINT, batch_id BIGINT")
+      .groupBy("src").agg(sum(col("d")).as("deg"))
+      .filter(col("deg") > 0)
+      .agg(count(lit(1)).as("n_vertices"),
+        expr("sum(deg) div 2").as("n_edges"),
+        sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g17_restart_degree" -> (g17RestartDegree _),
     "g16_stream_degree_retract" -> (g16StreamDegreeRetract _),
     "g15_harmonic_centrality" -> (g15HarmonicCentrality _),
     "g14_luby_mis" -> (g14LubyMis _),
@@ -1252,6 +1301,9 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // two-run drain + cross-restart replay == one-run census (isolates
+    // the offset/restart seam from the retraction algebra)
+    "g17_restart_degree" -> g16Oracle,
     "g16_stream_degree_retract" -> g16Oracle,
     "g14_luby_mis" -> g14Oracle,
     "g15_harmonic_centrality" -> g15Oracle,

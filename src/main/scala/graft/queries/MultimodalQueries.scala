@@ -742,7 +742,83 @@ object MultimodalQueries {
       .orderBy("content_hash")
   }
 
+  // m13 — RESTART-MID-DRAIN for the SET state class (cdc53 additive,
+  // g17 signed, this closes the matrix: m11's flag set + keeper-minima
+  // register index). Same corpus, wire, decode, strict-probe and
+  // serve-time-distinct semantics as m11, but the feed arrives in two
+  // installments across two Trigger.AvailableNow runs on ONE checkpoint,
+  // with the recorded batch-0 file re-applied across the restart
+  // boundary. The restart hazard here is the at-least-once appends: a
+  // reprocessed file would re-append its flags AND its keeper minima —
+  // the minima fold idempotently but the flag set relies on the probe
+  // replaying identically, which only holds if the offset log skips
+  // exactly the right files. Shares m04's oracle.
+  def m13RestartMediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_m13_", dir)
+    root.mkdirs()
+    val staging = new java.io.File(root, "staging").getPath
+    val feed = new java.io.File(root, "feed").getPath
+    val idx = new java.io.File(root, "idx").getPath
+    val flags = new java.io.File(root, "flags").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      corpus.repartitionByRange(4, col("doc_id")), staging)
+    graft.streaming.Drains.drainBinlogRestartWithRedelivery(
+        spark, staging, feed, ckpt) { (batch, _) =>
+        val docs = batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("media_id"),
+            element_at(col("img"), 2).as("text"),
+            lit("image").as("kind"), lit("image/fake").as("mime"))
+        val feats = MediaPipeline.decodeFeatures(
+            MediaPipeline.fromBinary(
+              docs.withColumn("payload", encode(col("text"), "UTF-8")),
+              "media_id", "payload", "kind", "mime"),
+            batchSize = 64).toDF()
+          .select("media_id", "content_hash", "byte_len")
+          .localCheckpoint(true)
+        val known = ViewMaintenance.readState(spark, idx,
+          "content_hash STRING, keeper BIGINT, blen BIGINT")
+        val hitIdx = feats.join(
+          known.select(col("content_hash").as("_kh"), col("keeper")),
+          col("_kh") === col("content_hash") &&
+            col("keeper") < col("media_id"), "left_semi")
+        val intraMin = feats.groupBy("content_hash")
+          .agg(min(col("media_id")).as("mn"))
+        val hitIntra = feats.join(intraMin, Seq("content_hash"))
+          .filter(col("media_id") > col("mn"))
+          .select("content_hash", "media_id", "byte_len")
+        ViewMaintenance.appendBatch(
+          hitIdx.select("content_hash", "media_id", "byte_len")
+            .unionByName(hitIntra).distinct(), flags)
+        ViewMaintenance.appendBatch(
+          feats.groupBy("content_hash")
+            .agg(min(col("media_id")).as("keeper"),
+              max(col("byte_len")).as("blen")), idx)
+    }
+    val keepers = ViewMaintenance.readState(spark, idx,
+        "content_hash STRING, keeper BIGINT, blen BIGINT")
+      .groupBy("content_hash")
+      .agg(min(col("keeper")).as("keeper_id"), max(col("blen")).as("blen"))
+    ViewMaintenance.readState(spark, flags,
+        "content_hash STRING, media_id BIGINT, byte_len BIGINT")
+      .distinct() // cross-restart replay folds (the m11 set discipline)
+      .groupBy("content_hash").agg(count(lit(1)).as("n_flagged"))
+      .join(keepers, Seq("content_hash"))
+      .select(col("content_hash"),
+        (col("n_flagged") + 1L).as("n_copies"),
+        col("keeper_id"),
+        (col("blen") * col("n_flagged")).as("bytes_saved"))
+      .orderBy("content_hash")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_restart_media_dedup" -> (m13RestartMediaDedup _),
     "m12_compacted_media_dedup" -> (m12CompactedMediaDedup _),
     "m11_stream_media_dedup" -> (m11StreamMediaDedup _),
     "m10_stream_manifest" -> (m10StreamManifest _),
@@ -766,6 +842,9 @@ object MultimodalQueries {
     "m11_stream_media_dedup" -> m04Oracle, // dedup-at-ingest == batch dedup
     // compacted set/min-max states + covered replay == batch dedup
     "m12_compacted_media_dedup" -> m04Oracle,
+    // two-run drain + cross-restart replay == batch dedup (isolates the
+    // offset/restart seam for the set-state class)
+    "m13_restart_media_dedup" -> m04Oracle,
     "m05_frame_dedup" -> m05Oracle,
     "m06_crossmodal_search" -> m06Oracle,
     "m07_media_manifest" -> m07Oracle,

@@ -397,7 +397,169 @@ object StreamSearchQueries {
       |  CAST(SUM(nbr) AS BIGINT) AS nbr_id_sum
       |FROM edges GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // s52 — DELETE PATH FOR THE MAINTAINED kNN GRAPH (s51 maintains the
+  // insert path; a real ANN service also takes deletes — g16 proved
+  // retractions for degree censuses and s20 proved tombstones for
+  // IVF-PQ; this applies the tombstone semantics at the GRAPH layer).
+  // The feed carries s51's id-ordered insert slices (op = +1) followed
+  // by retraction slices (op = −1, the vec_id % 9 residue class — a
+  // data-derived rule live at every SF): per batch, inserts run s51's
+  // exact edge maintenance and deletes land in a TOMBSTONE state
+  // (applyIdempotent — a replayed delete batch overwrites its own
+  // partition). The serve-time read filters tombstoned SOURCES (the
+  // node is gone) and tombstoned NEIGHBORS (its incident edges are
+  // dead) — s20's posture: a source that lost neighbors serves FEWER
+  // than 3 until a repair re-densifies, the documented trade every
+  // tombstone index makes (the alternative, recomputing ranks 4+ at
+  // delete time, rescans the cluster per delete). The oracle is s51's
+  // batch kNN graph with a survivor filter on both endpoints, so a
+  // mismatch isolates the delete machinery from the insert math (s51).
+  // Both replay classes injected: batch 0 (an insert batch — the s51
+  // anti-join argument makes the recomputed edge partition identical)
+  // and the LAST batch (a delete batch — partition overwrite). At
+  // 100 TB: a delete costs one ≤|batch|-row state write; serving pays
+  // two keyed anti-joins against the (small, compactable) tombstone set.
+  def s52StreamGraphDelete(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.ViewMaintenance
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_s52_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val state = new java.io.File(root, "state").getPath
+    val edgesOut = new java.io.File(root, "edges").getPath
+    val tomb = new java.io.File(root, "tomb").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cent = graft.ops.Similarity.buildCentroids(
+        Tables.embeddings(spark, dir), dim = 64, chunks = centroidChunks)
+      .localCheckpoint(true) // FROZEN quantizer (s51's discipline)
+    // four id-range INSERT slices then two DELETE slices, arrival order
+    // forced by mtime (the s51/cdc16 bump discipline); deletes arrive
+    // after every insert — the maintained-then-deleted lifecycle
+    val maxRow = emb.agg(max(col("vec_id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val mx = maxRow.getLong(0)
+      val cuts = Seq(0L, mx / 4 + 1, mx / 2 + 1, 3 * mx / 4 + 1, mx + 1)
+      val base = System.currentTimeMillis()
+      def slice(i: Int, df: DataFrame): Unit = {
+        val d = new java.io.File(feed, s"slice$i")
+        df.coalesce(1).write.mode("overwrite").parquet(d.getPath)
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .foreach(f => f.setLastModified(base + 4000L * i))
+      }
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        slice(i, emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select(lit(1).as("op"), col("vec_id"), col("embedding")))
+      }
+      val dels = emb.filter(col("vec_id") % 9 === 0)
+        .select(lit(-1).as("op"), col("vec_id"),
+          lit(null).cast("array<float>").as("embedding"))
+      slice(4, dels.filter(col("vec_id") < mx / 2 + 1))
+      slice(5, dels.filter(col("vec_id") >= mx / 2 + 1))
+    }
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val lastFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    var lastId = -1L
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+        if (id == 0L && batch0Files.isEmpty)
+          batch0Files ++= batch.select(input_file_name()).distinct()
+            .collect().map(_.getString(0)).filter(_.nonEmpty)
+        if (id > 0L) {
+          lastFiles.clear()
+          lastFiles ++= batch.select(input_file_name()).distinct()
+            .collect().map(_.getString(0)).filter(_.nonEmpty)
+          lastId = id
+        }
+        val b = batch.localCheckpoint(true) // split once: inserts + deletes
+        // deletes → tombstones (idempotent: partition overwrite per batch)
+        ViewMaintenance.applyIdempotent(
+          b.filter(col("op") === -1).select("vec_id"), tomb, id)
+        // inserts → s51's exact edge maintenance (anti-joined state probe,
+        // strict id-prefix rule, bounded top-3 window)
+        val a = graft.ops.Similarity.assignToCentroids(
+            b.filter(col("op") === 1).select("vec_id", "embedding"),
+            cent, Seq("vec_id"))
+          .select("vec_id", "cluster", "embedding")
+          .localCheckpoint(true)
+        val st = ViewMaintenance.readState(spark, state,
+            "vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT")
+          .drop("batch_id")
+          .join(a.select("vec_id"), Seq("vec_id"), "left_anti")
+        val cands = st.unionByName(a)
+          .select(col("cluster"), col("vec_id").as("nbr"),
+            col("embedding").as("nv"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("nbr"))
+        ViewMaintenance.applyIdempotent(
+          a.join(cands, Seq("cluster"))
+            .filter(col("nbr") < col("vec_id"))
+            .withColumn("cos", cosineSim(col("embedding"), col("nv")))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3)
+            .select(col("cluster"), col("vec_id"), col("nbr")),
+          edgesOut, id)
+        ViewMaintenance.applyIdempotent(a, state, id)
+    }
+    val q = spark.readStream
+      .schema("op INT, vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(feed.getPath)
+      .writeStream
+      .foreachBatch(applyBatch _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def replay(files: Seq[String], id: Long): Unit =
+      applyBatch(spark.read
+        .schema("op INT, vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(files: _*), id)
+    // injected replays: an INSERT batch (0) and the last (DELETE) batch
+    if (batch0Files.nonEmpty) replay(batch0Files.toSeq, 0L)
+    if (lastFiles.nonEmpty) replay(lastFiles.toSeq, lastId)
+    val tombs = ViewMaintenance.readState(spark, tomb,
+        "vec_id BIGINT, batch_id BIGINT")
+      .select("vec_id")
+    ViewMaintenance.readState(spark, edgesOut,
+        "cluster BIGINT, vec_id BIGINT, nbr BIGINT, batch_id BIGINT")
+      .join(tombs, Seq("vec_id"), "left_anti") // node gone
+      .join(tombs.select(col("vec_id").as("nbr")), Seq("nbr"), "left_anti") // edge dead
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("vec_id")).as("n_sources"),
+        sum(col("vec_id")).as("src_id_sum"),
+        sum(col("nbr")).as("nbr_id_sum"))
+      .orderBy("cluster")
+  }
+
+  val s52Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel AS cluster FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), edges AS (
+      |  SELECT cluster, vec_id, nbr FROM (
+      |    SELECT a.cluster, a.vec_id, b.vec_id AS nbr,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${duckCosOf("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM assigned a JOIN assigned b
+      |      ON b.cluster = a.cluster AND b.vec_id < a.vec_id)
+      |  WHERE rk <= 3
+      |), surv AS (
+      |  SELECT cluster, vec_id, nbr FROM edges
+      |  WHERE vec_id % 9 <> 0 AND nbr % 9 <> 0
+      |)
+      |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_edges,
+      |  COUNT(DISTINCT vec_id) AS n_sources,
+      |  CAST(SUM(vec_id) AS BIGINT) AS src_id_sum,
+      |  CAST(SUM(nbr) AS BIGINT) AS nbr_id_sum
+      |FROM surv GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s52_stream_graph_delete" -> (s52StreamGraphDelete _),
     "s51_stream_graph_maintain" -> (s51StreamGraphMaintain _),
     "s42_stream_index_ingest" -> (s42StreamIndexIngest _),
     "s43_stream_search" -> (s43StreamSearch _),
@@ -406,6 +568,7 @@ object StreamSearchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s52_stream_graph_delete" -> s52Oracle, // s51's graph, survivor-filtered
     "s51_stream_graph_maintain" -> s51Oracle,
     "s42_stream_index_ingest" -> PqQueries.s13Oracle, // streamed ingest == batch append
     "s43_stream_search" -> SimilarityQueries.s03Oracle, // drained query stream == one-shot batch search

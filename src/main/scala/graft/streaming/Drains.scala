@@ -107,6 +107,51 @@ object Drains {
     drainWithRedelivery(spark, feed, ckpt)((batch, id) =>
       ViewMaintenance.applyIdempotent(partials(batch), state, id))
 
+  /** The RESTART-mid-drain scaffold: binlog files staged under `staging`
+    * are delivered into `feed` in two installments against ONE
+    * checkpoint — deliver half, drain to completion, the query STOPS;
+    * deliver the rest, drain again from the same checkpoint. The second
+    * run's offset log must skip every file run 1 committed while picking
+    * up every new one (the count-based offset encoding makes the watched
+    * dir append-only in natural-version order — staged files carry
+    * strictly increasing `mysql-bin.N` numbers, so later deliveries
+    * always sort after consumed ones), and batch ids CONTINUE across the
+    * seam, so a batch_id-partitioned sink state is never rewritten by
+    * run 2. This composes cdc18's source-restart proof with the
+    * maintenance sinks' replay-safety — and then goes one further: after
+    * run 2, the recorded batch-0 file is re-applied (the injected
+    * crash-after-commit redelivery), now landing ACROSS the restart
+    * boundary. */
+  def drainBinlogRestartWithRedelivery(spark: SparkSession,
+      staging: String, feed: String, ckpt: String)
+      (apply: (DataFrame, Long) => Unit): Unit = {
+    val fd = new java.io.File(feed); fd.mkdirs()
+    val staged = Option(new java.io.File(staging).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    val (h1, h2) = staged.splitAt((staged.length + 1) / 2)
+    def deliver(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      require(f.renameTo(new java.io.File(fd, f.getName)),
+        s"fixture deliver failed: $f")
+    }
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyRec(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      apply(batch, id)
+    }
+    deliver(h1)
+    drainBinlogFeed(spark, feed, ckpt)(applyRec)
+    deliver(h2)
+    drainBinlogFeed(spark, feed, ckpt)(applyRec)
+    if (batch0Files.nonEmpty) {
+      applyRec(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"$feed/$f"): _*), 0L)
+    }
+  }
+
   /** The record-and-redeliver scaffold alone, for gates whose per-batch
     * apply manages its own (possibly multiple) replay-safe states (m11's
     * strict-probe flags + idempotent keeper minima; p14's
