@@ -53,11 +53,15 @@ object Comparator {
     *                     stream-static equi-join on (key, bucket), with no
     *                     distinct (the unique-key contract above makes at
     *                     most one exploded bucket row match). Stream-STREAM
-    *                     band mode stays rejected: both formulations need
-    *                     a second join against the binlog feed, and Spark
-    *                     allows only one stream-stream join per plan
-    *                     without multi-watermark state the tolerance
-    *                     semantics don't need. */
+    *                     band mode is NOT this flag: a second join against
+    *                     the binlog feed would be a second stream-stream
+    *                     join. The working formulation folds the band into
+    *                     the ONE watermarked join — bucket exploded on the
+    *                     binlog side, the band check riding the join
+    *                     condition, unmatched rows resolved at the terminal
+    *                     reconciliation — and lives in
+    *                     [[graft.streaming.StreamingComparator.compareStreamsBandSweep]]
+    *                     (gated by cdc52 against cdc04's oracle). */
   case class Config(toleranceMs: Long = 100L, strictChangeType: Boolean = false,
       bandJoinTolerance: Boolean = false)
 

@@ -1112,22 +1112,24 @@ object CdcQueries {
   // the real fixture). The sentinels' own keys (≥ 7e8, outside the
   // fixture's id+2e7 space) never emit (nothing ever passes THEIR
   // watermark bound) and are filtered defensively.
-  def cdc16StreamParity(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val root = tmpFixtureDir("graft_cdc16_", dir)
-    root.mkdirs()
+  /** cdc16/cdc52's shared two-sided streaming fixture: both cdc01 sides
+    * written as JSON feeds (one real file each) plus far-future sentinel
+    * files on BOTH feeds — written with later mtimes so
+    * maxFilesPerTrigger=1 forces them into later micro-batches — that
+    * advance the min-across-inputs watermark past every real row,
+    * flushing the outer join's null side in the engine's no-data batches
+    * before AvailableNow terminates. Sentinel keys (pos ≥ 7e8,
+    * mysql-bin.000000) never emit and are filtered defensively
+    * post-drain. */
+  private def parityFeeds(spark: SparkSession, dir: String,
+      root: java.io.File, binlogRaw: DataFrame, avroRaw: DataFrame)
+      : (java.io.File, java.io.File) = {
     val bFeed = new java.io.File(root, "bfeed"); bFeed.mkdirs()
     val aFeed = new java.io.File(root, "afeed"); aFeed.mkdirs()
-    val sink = new java.io.File(root, "sink").getPath
-    val ckpt = new java.io.File(root, "ckpt").getPath
-
-    val binlogRaw = binlogRawSide(spark, dir)
-    val (binlogStatic, avroRaw) = sidesRaw(spark, dir)
     binlogRaw.coalesce(1).write.mode("overwrite")
       .json(new java.io.File(bFeed, "b1").getPath)
     avroRaw.coalesce(1).write.mode("overwrite")
       .json(new java.io.File(aFeed, "a1").getPath)
-
     // sentinels one day past the fixture's max second (empty-feed guard:
     // any time works when there are no real rows to flush)
     val maxRow = fixtureBase(spark, dir).agg(max(col("sec"))).head()
@@ -1161,6 +1163,19 @@ object CdcQueries {
     }
     bump(new java.io.File(bFeed, "b2"), new java.io.File(bFeed, "b1"))
     bump(new java.io.File(aFeed, "a2"), new java.io.File(aFeed, "a1"))
+    (bFeed, aFeed)
+  }
+
+  def cdc16StreamParity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpFixtureDir("graft_cdc16_", dir)
+    root.mkdirs()
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+
+    val binlogRaw = binlogRawSide(spark, dir)
+    val (binlogStatic, avroRaw) = sidesRaw(spark, dir)
+    val (bFeed, aFeed) = parityFeeds(spark, dir, root, binlogRaw, avroRaw)
 
     withDrainPartitions(spark) {
       val binlogStream = Comparator.normalizeBinlog(
@@ -3161,7 +3176,91 @@ object CdcQueries {
       .drop("batch_id"))
   }
 
+  // cdc52 — the tolerance band under STREAM-STREAM (the one tolerance
+  // posture left: cdc46 batch band, cdc50 stream-static band, cdc16
+  // stream-stream post-join-filter). The Config scaladoc's old rejection
+  // assumed the band needs a SECOND stream-stream join; the restructure
+  // that makes it ONE join lives in
+  // StreamingComparator.compareStreamsBandSweep: (tolerance, bucket ± 1)
+  // exploded on the binlog side, (tolerance, bucket) on the avro side, a
+  // single watermarked left-outer equi-join on (file, pos, tol, bucket)
+  // carrying the exact band check — the whole five-tolerance sweep in
+  // one plan (a deployment runs one tolerance: explode factor 3).
+  // Harness is cdc16's: sentinel files flush the outer join's null side;
+  // the terminal batch steps then (a) reclassify an unmatched avro row
+  // to MISMATCH_TS when its key exists in the binlog snapshot — which
+  // folds the out-of-band, parse-error, AND Go-zero-time classes in one
+  // presence check — and (b) reconcile BINLOG_ONLY, replicated across
+  // the sweep by explode (tolerance-independent, the cdc50 device).
+  // Shares cdc04's oracle: a divergence isolates the stream-stream band
+  // delivery from the band machinery (cdc46), the streaming band
+  // serving (cdc50), and the tolerance semantics (cdc04).
+  def cdc52StreamStreamBand(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.cdc.Schemas
+    val tols = Seq(0L, 50L, 100L, 250L, 1000L)
+    val root = tmpFixtureDir("graft_cdc52_", dir)
+    root.mkdirs()
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val binlogRaw = binlogRawSide(spark, dir)
+    val (binlogStaticLazy, avroRaw) = sidesRaw(spark, dir)
+    val binlogStatic = binlogStaticLazy.localCheckpoint(true) // cdc12 note
+    val (bFeed, aFeed) = parityFeeds(spark, dir, root, binlogRaw, avroRaw)
+    withDrainPartitions(spark) {
+      val binlogStream = Comparator.normalizeBinlog(
+        spark.readStream.schema(binlogRaw.schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("recursiveFileLookup", "true").json(bFeed.getPath))
+      val avroStream = Comparator.prepareAvro(
+        spark.readStream.schema(avroRaw.schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("recursiveFileLookup", "true").json(aFeed.getPath))
+      // the E8 parse-error class carries no event time — split off
+      // pre-join; its pairs resolve at the terminal presence check
+      val (timed, _) = graft.streaming.StreamingComparator
+        .partitionUnparseableBinlog(binlogStream)
+      val q = graft.streaming.StreamingComparator
+        .compareStreamsBandSweep(avroStream, timed, tols,
+          maxSkew = "10 minutes", watermarkDelay = "1 second")
+        .select("tolerance_ms", "binlog_file", "position", "status")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    new java.io.File(sink).mkdirs() // empty feed → empty relation (cdc12 note)
+    val drained = spark.read.schema(
+        "tolerance_ms BIGINT, binlog_file STRING, position BIGINT, status STRING")
+      .parquet(sink)
+      .filter(col("position") < 700000000L)
+    // terminal (a): no in-band partner BUT the key exists in the binlog
+    // snapshot ⇒ MISMATCH_TS (out-of-band / parse-error / Go-zero, one
+    // presence check); truly absent ⇒ AVRO_ONLY stands
+    val bKeys = binlogStatic.select(col("binlog_file").as("_k_file"),
+      col("log_position").as("_k_pos")).distinct()
+    val reclassified = drained.join(bKeys,
+        col("binlog_file") === col("_k_file") &&
+          col("position") === col("_k_pos"), "left_outer")
+      .withColumn("status",
+        when(col("status") === Schemas.Status.AvroOnly && col("_k_pos").isNotNull,
+          lit(Schemas.Status.MismatchTs)).otherwise(col("status")))
+      .drop("_k_file", "_k_pos")
+    // terminal (b): BINLOG_ONLY, tolerance-independent → explode (cdc50)
+    val binlogOnly = graft.streaming.StreamingComparator.reconcileBinlogOnly(
+        binlogStatic,
+        avroRaw.select(col("binlog_file"), col("binlog_position")))
+      .select(col("binlog_file"), col("position"), col("status"),
+        explode(typedlit(tols)).as("tolerance_ms"))
+    reclassified.select("tolerance_ms", "binlog_file", "position", "status")
+      .unionByName(binlogOnly.select(
+        "tolerance_ms", "binlog_file", "position", "status"))
+      .groupBy("tolerance_ms", "status").agg(count(lit(1)).as("count"))
+      .orderBy("tolerance_ms", "status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc52_stream_stream_band" -> (cdc52StreamStreamBand _),
     "cdc53_restart_ivm" -> (cdc53RestartIvm _),
     "cdc51_compacted_ivm" -> (cdc51CompactedIvm _),
     "cdc50_stream_band" -> (cdc50StreamBandTolerance _),
@@ -3267,6 +3366,8 @@ object CdcQueries {
     // band-join tolerance == cdc04's post-join-filter sweep, bit-for-bit
     "cdc46_band_tolerance" -> cdc04Oracle,
     "cdc50_stream_band" -> cdc04Oracle, // streaming band == batch sweep
+    // stream-STREAM band (one exploded equi-join) == the batch sweep
+    "cdc52_stream_stream_band" -> cdc04Oracle,
     "cdc47_stream_retract" -> cdc47Oracle,
     // redelivered-batch write absorbed ⇒ still q66's exact decomposition
     "cdc48_idempotent_sink" -> AnalyticQueries.q66Oracle,

@@ -132,6 +132,90 @@ object StreamingComparator {
       .drop("a_event_time", "b_event_time")
   }
 
+  /** Stream-STREAM band-join tolerance sweep — E10 with BOTH feeds live
+    * (cdc46 gates the band plan in batch, cdc50 stream-static; this
+    * closes the last tolerance posture). The earlier rejection note
+    * (Comparator.Config) assumed the band needs a SECOND join against
+    * the binlog feed — two stream-stream joins. The restructure that
+    * makes it one join: explode (tolerance, bucket ± 1) on the binlog
+    * side and (tolerance, bucket) on the avro side, so within-band pair
+    * discovery for the WHOLE sweep is a single watermarked stream-stream
+    * equi-join on (file, pos, tolerance, bucket) carrying the exact band
+    * check — plus the event-time range bound that lets Spark evict join
+    * state (`maxSkew`, which must be ≥ the largest tolerance).
+    *
+    * Matched pairs emit per-tolerance MATCH / MISMATCH_GTID /
+    * MISMATCH_CHANGE_TYPE live (within-band ⇒ never a ts mismatch; the
+    * E8 parse-error class must be split off BEFORE this join —
+    * [[partitionUnparseableBinlog]] — since those rows carry no real
+    * event time). An avro row with NO in-band partner at a tolerance
+    * emits once the watermark passes (left-outer, null b-side) as
+    * AVRO_ONLY — provisionally: the terminal batch step must reclassify
+    * it to MISMATCH_TS when the key exists in the binlog snapshot
+    * (out-of-band, parse-error, and Go-zero-time partners all land
+    * there), exactly where BINLOG_ONLY reconciliation already lives.
+    * The unique-(file, pos) binlog contract (Comparator.Config's band
+    * note) guarantees at most one bucket row matches per (avro, tol), so
+    * the explode can never duplicate a pair.
+    *
+    * At scale: join state is bounded by maxSkew + delay per side ×
+    * (|tolerances| × 3) bucket rows on the binlog side — the sweep
+    * multiplies state by a small constant; a deployment runs ONE
+    * tolerance (explode factor 3, the q25 band-join constant). */
+  def compareStreamsBandSweep(
+      avroStream: DataFrame,
+      binlogStream: DataFrame,
+      tolerances: Seq[Long],
+      maxSkew: String = "10 minutes",
+      watermarkDelay: String = "1 minute",
+      cfg: Comparator.Config = Comparator.Config()): DataFrame = {
+    val bTimed = binlogStream
+      .withColumn("b_event_time", coalesce(
+        Normalize.parseRfc3339(col("immediate_commmit_timestamp")),
+        Normalize.parseRfc3339(col("timestamp")),
+        timestamp_seconds(lit(0))))
+      .withWatermark("b_event_time", watermarkDelay)
+    val aTimed = avroStream
+      .withColumn("a_event_time", timestamp_millis(col("source_timestamp")))
+      .withWatermark("a_event_time", watermarkDelay)
+    // binlog side: commit micros + (tolerance, bucket ± 1) explode —
+    // bucket width w = tol ms in µs (tol 0 ⇒ exact-µs bucket), the
+    // cdc46/q25 adjacency construction, one struct per (tol, nb)
+    val bBand = Comparator.renameBinlogSide(bTimed, keep = Seq("b_event_time"))
+      .withColumn("_b_us", Comparator.binlogTsMicros)
+      .select(col("*"), explode(array(
+        (for (t <- tolerances; nb <- Seq(-1L, 0L, 1L)) yield {
+          val w = math.max(t * 1000L, 1L)
+          struct(lit(t).as("t"),
+            (expr(s"_b_us div ${w}L") + lit(nb)).as("k"))
+        }): _*)).as("_btb"))
+      .select(col("*"), col("_btb.t").as("_b_tol"), col("_btb.k").as("_b_bkt"))
+      .drop("_btb")
+    val aBand = Comparator.renameAvroSide(aTimed, keep = Seq("a_event_time"))
+      .withColumn("_a_us", col("a_source_ts_ms") * 1000L)
+      .select(col("*"), explode(array(
+        tolerances.map { t =>
+          val w = math.max(t * 1000L, 1L)
+          struct(lit(t).as("t"), expr(s"_a_us div ${w}L").as("k"))
+        }: _*)).as("_atb"))
+      .select(col("*"), col("_atb.t").as("_a_tol"), col("_atb.k").as("_a_bkt"))
+      .drop("_atb")
+    val cond: Column =
+      aBand("a_file") === bBand("b_file") && aBand("a_pos") === bBand("b_pos") &&
+        aBand("_a_tol") === bBand("_b_tol") && aBand("_a_bkt") === bBand("_b_bkt") &&
+        abs(aBand("_a_us") - bBand("_b_us")) <= aBand("_a_tol") * 1000L &&
+        bBand("b_event_time") >= aBand("a_event_time") - expr(s"INTERVAL $maxSkew") &&
+        bBand("b_event_time") <= aBand("a_event_time") + expr(s"INTERVAL $maxSkew")
+    // within-band ⇒ tsOutside = false; the E8 parse-error short-circuit
+    // inside statusColumns stays in front (vacuously false here — the
+    // caller splits unparseable rows off pre-join)
+    Comparator.statusColumns(aBand.join(bBand, cond, "left_outer"), cfg,
+        tsOutside = Some(lit(false)))
+      .withColumn("tolerance_ms", col("_a_tol"))
+      .drop("a_event_time", "b_event_time", "_a_us", "_b_us",
+        "_a_tol", "_a_bkt", "_b_tol", "_b_bkt")
+  }
+
   /** The documented stream-stream entry with full batch parity: splits
     * the binlog feed into (timestamped, untimestamped), runs the
     * watermarked join on the timestamped side only, and hands back the
