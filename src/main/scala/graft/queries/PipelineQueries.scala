@@ -1227,7 +1227,73 @@ object PipelineQueries {
       |FROM d LEFT JOIN adm a ON a.lang = d.lang
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // p15 — MAINTAINED-STATE METRICS surface (the operational "is my view
+  // healthy" query every IVM user hand-writes, promoted to one call:
+  // ViewMaintenance.stateMetrics): a per-language token-sum state is
+  // maintained over four DETERMINISTIC id-range batches (the s51
+  // quartile cuts — DuckDB can replay exactly which batch each doc
+  // landed in, which hash-partitioned feeds cannot offer), batches 0–1
+  // are compacted into a base snapshot, and the gate pins the manifest
+  // the metrics report: the base row (its reserved batch_id encodes the
+  // coverage; covered_upto recovers it) plus the two live batches, each
+  // with its exact partial-row count (= distinct languages in the
+  // slice). File/byte columns exist on the API but are writer-layout-
+  // dependent, so the gate selects the oracle-exact columns — the same
+  // bytes>0 sanity lives in the spec suite instead. No streaming drain:
+  // the surface under test is the manifest, so the batches apply
+  // directly (applyIdempotent in a loop) and the gate stays batch-cheap.
+  def p15StateMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_p15_", dir)
+    root.mkdirs()
+    val state = new java.io.File(root, "state").getPath
+    val stateSchema = "lang STRING, t BIGINT, batch_id BIGINT"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val mx = maxRow.getLong(0)
+      val cuts = Seq(0L, mx / 4 + 1, mx / 2 + 1, 3 * mx / 4 + 1, mx + 1)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        ViewMaintenance.applyIdempotent(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .groupBy("lang").agg(sum(col("toks")).as("t")),
+          state, i.toLong)
+      }
+      ViewMaintenance.compact(spark, state, stateSchema, upto = 1L)(
+        _.groupBy("lang").agg(sum(col("t")).as("t")))
+    }
+    ViewMaintenance.stateMetrics(spark, state, stateSchema)
+      .select("batch_id", "is_base", "covered_upto", "n_rows")
+  }
+
+  val p15Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang FROM documents
+      |), mx AS (
+      |  SELECT MAX(doc_id) AS m FROM d
+      |), sl AS (
+      |  SELECT lang,
+      |    CASE WHEN doc_id < m // 4 + 1 THEN 0
+      |         WHEN doc_id < m // 2 + 1 THEN 1
+      |         WHEN doc_id < (3 * m) // 4 + 1 THEN 2
+      |         ELSE 3 END AS b
+      |  FROM d, mx
+      |)
+      |SELECT * FROM (
+      |  SELECT CAST(-1000000001 AS BIGINT) AS batch_id, TRUE AS is_base,
+      |    CAST(1 AS BIGINT) AS covered_upto,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_rows
+      |  FROM sl WHERE b <= 1
+      |  UNION ALL
+      |  SELECT CAST(b AS BIGINT), FALSE, CAST(-1 AS BIGINT),
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT)
+      |  FROM sl WHERE b >= 2 GROUP BY b)
+      |ORDER BY batch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_state_metrics" -> (p15StateMetrics _),
     "p14_stream_quota_admission" -> (p14StreamQuotaAdmission _),
     "p13_consistent_hash" -> (p13ConsistentHash _),
     "p12_temperature_mix" -> (p12TemperatureMix _),
@@ -1245,6 +1311,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p15_state_metrics" -> p15Oracle,
     "p14_stream_quota_admission" -> p14Oracle,
     "p13_consistent_hash" -> p13Oracle,
     "p12_temperature_mix" -> p12Oracle,

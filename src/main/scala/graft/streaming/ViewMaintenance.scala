@@ -95,6 +95,47 @@ object ViewMaintenance {
       .sorted.headOption
   }
 
+  /** Operational health view of a maintained state — the "is my view
+    * healthy" diagnostic every IVM user otherwise hand-writes: one row
+    * per `batch_id=` partition on disk (bases AND live batches — a
+    * diagnostic shows what EXISTS, not just what serves) with row, file,
+    * and byte counts. Row counts come from one partition-grouped
+    * aggregate over the state (parquet footer counts — no data pages
+    * read); file/byte counts from a driver-side FS listing, which is
+    * bounded by the partition count — the very quantity [[compact]]
+    * keeps small. Base snapshots report their coverage in
+    * `covered_upto`; live batches carry −1 there. */
+  def stateMetrics(spark: SparkSession, stateDir: String,
+      schema: String): DataFrame = {
+    import org.apache.spark.sql.functions.count
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val manifest: Seq[(Long, Boolean, Long, Long, Long)] =
+      fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName.startsWith("batch_id="))
+        .map { d =>
+          val id = d.getName.stripPrefix("batch_id=").toLong
+          val files = fs.listStatus(d).toSeq.filter(f => f.isFile && {
+            val n = f.getPath.getName
+            !n.startsWith(".") && !n.startsWith("_")
+          })
+          (id, id <= BaseMark, if (id <= BaseMark) BaseMark - id else -1L,
+            files.size.toLong, files.map(_.getLen).sum)
+        }
+    import spark.implicits._
+    val fsSide = manifest
+      .toDF("batch_id", "is_base", "covered_upto", "n_files", "bytes")
+    val rowCounts = spark.read.schema(schema).parquet(stateDir)
+      .groupBy("batch_id").agg(count(lit(1)).as("n_rows"))
+    fsSide.join(rowCounts, Seq("batch_id"), "left")
+      .na.fill(0L, Seq("n_rows"))
+      .select("batch_id", "is_base", "covered_upto", "n_rows",
+        "n_files", "bytes")
+      .orderBy("batch_id")
+  }
+
   /** Fold every live partition with `batch_id <= upto` — the previous
     * base (if any) plus the covered batch partitions — into ONE new base
     * snapshot, atomically: the folded partials are written to a hidden

@@ -44,6 +44,71 @@ class ViewMaintenanceSpec extends AnyFunSuite with SparkTestSession {
     assert(df.columns.toSeq == Seq("k", "v"))
   }
 
+  test("compact: folds covered partitions into a base; live rule ignores a recreated covered batch") {
+    import spark.implicits._
+    val state = tmp("cmp")
+    val schema = "k STRING, v BIGINT, batch_id BIGINT"
+    ViewMaintenance.applyIdempotent(Seq(("a", 1L)).toDF("k", "v"), state, -1L) // seed
+    ViewMaintenance.applyIdempotent(Seq(("a", 2L), ("b", 3L)).toDF("k", "v"), state, 0L)
+    ViewMaintenance.applyIdempotent(Seq(("b", 4L)).toDF("k", "v"), state, 1L)
+    ViewMaintenance.compact(spark, state, schema, upto = 0L)(
+      _.groupBy("k").agg(sum("v").as("v")))
+    def folded = ViewMaintenance.readState(spark, state, schema)
+      .groupBy("k").agg(sum("v").as("v")).as[(String, Long)].collect().toMap
+    assert(folded == Map("a" -> 3L, "b" -> 7L))
+    // covered partitions GC'd; exactly one base dir on disk
+    val dirs = new java.io.File(state).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs == Seq("batch_id=-1000000000", "batch_id=1"), dirs)
+    // a COVERED batch redelivered after compaction: partition reappears
+    // on disk but the live rule must ignore it
+    ViewMaintenance.applyIdempotent(Seq(("a", 2L), ("b", 3L)).toDF("k", "v"), state, 0L)
+    assert(folded == Map("a" -> 3L, "b" -> 7L))
+    // an IN-FLIGHT batch redelivered: partition overwrite absorbs it
+    ViewMaintenance.applyIdempotent(Seq(("b", 4L)).toDF("k", "v"), state, 1L)
+    assert(folded == Map("a" -> 3L, "b" -> 7L))
+    // a SECOND compaction folds the previous base + newly covered batches
+    ViewMaintenance.applyIdempotent(Seq(("c", 9L)).toDF("k", "v"), state, 2L)
+    ViewMaintenance.compact(spark, state, schema, upto = 1L)(
+      _.groupBy("k").agg(sum("v").as("v")))
+    assert(folded == Map("a" -> 3L, "b" -> 7L, "c" -> 9L))
+    val dirs2 = new java.io.File(state).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(dirs2 == Seq("batch_id=-1000000001", "batch_id=2"), dirs2)
+  }
+
+  test("compact: refuses to shrink coverage, negative upto, and non-batch_id states") {
+    import spark.implicits._
+    val state = tmp("cmpreq")
+    val schema = "k STRING, v BIGINT, batch_id BIGINT"
+    ViewMaintenance.applyIdempotent(Seq(("a", 1L)).toDF("k", "v"), state, 0L)
+    ViewMaintenance.applyIdempotent(Seq(("a", 1L)).toDF("k", "v"), state, 1L)
+    ViewMaintenance.compact(spark, state, schema, upto = 1L)(df => df)
+    intercept[IllegalArgumentException] {
+      ViewMaintenance.compact(spark, state, schema, upto = 0L)(df => df)
+    }
+    intercept[IllegalArgumentException] {
+      ViewMaintenance.compact(spark, state, schema, upto = -1L)(df => df)
+    }
+    intercept[IllegalArgumentException] {
+      ViewMaintenance.compact(spark, state, "k STRING, v BIGINT", 0L)(df => df)
+    }
+  }
+
+  test("stateMetrics: one row per partition with real counts; bases carry coverage") {
+    import spark.implicits._
+    val state = tmp("met")
+    val schema = "k STRING, v BIGINT, batch_id BIGINT"
+    ViewMaintenance.applyIdempotent(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), state, 0L)
+    ViewMaintenance.applyIdempotent(Seq(("c", 3L)).toDF("k", "v"), state, 1L)
+    ViewMaintenance.compact(spark, state, schema, upto = 0L)(df => df)
+    val m = ViewMaintenance.stateMetrics(spark, state, schema)
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect().toSeq
+    assert(m.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((-1000000000L, true, 0L, 2L), (1L, false, -1L, 1L)))
+    assert(m.forall(r => r._5 >= 1L && r._6 > 0L)) // n_files, bytes real
+  }
+
   test("explicit file: URI routes through the Hadoop FileSystem API") {
     import spark.implicits._
     // scheme-qualified, as an HDFS/S3 state dir would be — the pre-create
