@@ -220,7 +220,10 @@ object Dedup {
     * near-identical cluster (k docs sharing a band value) costs O(k²)
     * candidate pairs. If such clusters exist and are not exact-deduped
     * upstream, pass `maxBucket = 256` explicitly to restore the old
-    * bounded behavior.
+    * bounded behavior. Relying on the unbounded default logs a WARN at
+    * plan time (r12 advice) so exact recall stays a deliberate choice —
+    * the performance cliff is data-dependent and invisible until a hot
+    * band value arrives, which is exactly when a silent default hurts.
     *
     * Output: (id_a, id_b, hamming). */
   def simhashNearDups(df: DataFrame, idCol: String, simhashCol: String,
@@ -228,6 +231,12 @@ object Dedup {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole exactness needs maxHamming < bands ($maxHamming >= $bands)")
+    if (maxBucket == Int.MaxValue)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "simhashNearDups: unbounded band buckets (maxBucket default) give " +
+          "EXACT recall, but k docs sharing one band value cost O(k^2) " +
+          "candidate pairs - pass maxBucket (e.g. 256) to cap hot buckets " +
+          "when giant near-identical clusters are not exact-deduped upstream")
     require(bits % bands == 0, s"$bits bits must split evenly into $bands bands")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
