@@ -95,6 +95,25 @@ class ViewMaintenanceSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("readState's live rule is a PartitionFilter: covered dirs pruned at the scan") {
+    import spark.implicits._
+    // the 100-TB point of compaction is that a serve-time read never
+    // SCANS covered partitions — the live rule must land in the scan's
+    // PartitionFilters (metadata pruning), not in a post-scan Filter
+    val state = tmp("prune")
+    val schema = "k STRING, v BIGINT, batch_id BIGINT"
+    ViewMaintenance.applyIdempotent(Seq(("a", 1L)).toDF("k", "v"), state, 0L)
+    ViewMaintenance.applyIdempotent(Seq(("b", 2L)).toDF("k", "v"), state, 1L)
+    ViewMaintenance.compact(spark, state, schema, upto = 0L)(df => df)
+    ViewMaintenance.applyIdempotent(Seq(("a", 1L)).toDF("k", "v"), state, 0L) // covered replay
+    val df = ViewMaintenance.readState(spark, state, schema)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [((batch_id")
+      || (p.contains("PartitionFilters: [") && p.contains("batch_id#")), p)
+    assert(df.select("k", "v").as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("b", 2L)))
+  }
+
   test("stateMetrics: one row per partition with real counts; bases carry coverage") {
     import spark.implicits._
     val state = tmp("met")
