@@ -419,10 +419,15 @@ object StreamSearchQueries {
   // and the LAST batch (a delete batch — partition overwrite). At
   // 100 TB: a delete costs one ≤|batch|-row state write; serving pays
   // two keyed anti-joins against the (small, compactable) tombstone set.
-  def s52StreamGraphDelete(spark: SparkSession, dir: String): DataFrame = {
+  /** s52/s53's shared drain: s51's insert maintenance + the tombstone
+    * delete path, with both replay classes injected. Returns the
+    * (vectors, edges, tombstones) state dirs for the caller's serve (or
+    * repair) step. */
+  private def graphDeleteDrain(spark: SparkSession, dir: String,
+      prefix: String): (String, String, String) = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.ViewMaintenance
-    val root = graft.streaming.Drains.tmpFixtureDir("graft_s52_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir(prefix, dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed"); feed.mkdirs()
     val state = new java.io.File(root, "state").getPath
@@ -517,6 +522,12 @@ object StreamSearchQueries {
     // injected replays: an INSERT batch (0) and the last (DELETE) batch
     if (batch0Files.nonEmpty) replay(batch0Files.toSeq, 0L)
     if (lastFiles.nonEmpty) replay(lastFiles.toSeq, lastId)
+    (state, edgesOut, tomb)
+  }
+
+  def s52StreamGraphDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val (_, edgesOut, tomb) = graphDeleteDrain(spark, dir, "graft_s52_")
     val tombs = ViewMaintenance.readState(spark, tomb,
         "vec_id BIGINT, batch_id BIGINT")
       .select("vec_id")
@@ -531,6 +542,118 @@ object StreamSearchQueries {
         sum(col("nbr")).as("nbr_id_sum"))
       .orderBy("cluster")
   }
+
+  // s53 — GRAPH REPAIR (re-densification) after deletes: s52's serve is
+  // the documented degraded posture — a source whose top-3 lost a
+  // tombstoned neighbor serves fewer than 3 until repaired. This gate
+  // IS the repair: after the drain, the AFFECTED set (surviving sources
+  // with ≥ 1 tombstoned neighbor in the maintained edge state) has its
+  // top-3 recomputed against the SURVIVING same-cluster members with
+  // smaller ids, and the repaired edge set replaces their rows. The
+  // unaffected sources' edges are provably already correct (none of
+  // their original top-3 was deleted, so their top-3 among survivors is
+  // unchanged), which is what lets the oracle be the from-scratch kNN
+  // graph over the survivors — repair must restore the index to the
+  // as-if-rebuilt state, the contract that makes tombstones a
+  // deferred-maintenance strategy instead of permanent recall decay.
+  // Per-cluster n_repaired pins WHO was repaired, not just the final
+  // counts. At 100 TB: the affected set is |tombstones|-proportional
+  // (only sources that POINTED AT a deleted vector), and the recompute
+  // is one cluster-keyed join of that small set against its clusters'
+  // survivors — never a rebuild, never all-pairs.
+  def s53GraphRepair(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val (state, edgesOut, tomb) = graphDeleteDrain(spark, dir, "graft_s53_")
+    val tombs = ViewMaintenance.readState(spark, tomb,
+        "vec_id BIGINT, batch_id BIGINT")
+      .select("vec_id").localCheckpoint(true) // probed four times below
+    val vecs = ViewMaintenance.readState(spark, state,
+        "vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT")
+      .drop("batch_id")
+    val survivors = vecs.join(tombs, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // repair probe side + candidate side
+    val edges = ViewMaintenance.readState(spark, edgesOut,
+        "cluster BIGINT, vec_id BIGINT, nbr BIGINT, batch_id BIGINT")
+      .join(tombs, Seq("vec_id"), "left_anti") // tombstoned sources drop
+      .localCheckpoint(true) // affected split + kept split
+    // affected = surviving sources that lost ≥ 1 edge to a tombstone
+    val affected = edges
+      .join(tombs.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+      .select("vec_id").distinct()
+    // recompute ONLY the affected sources: cluster-keyed join against
+    // surviving smaller-id members (the s51 candidate shape, restricted)
+    val aSide = survivors.join(affected, Seq("vec_id"), "left_semi")
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr"))
+    val repaired = aSide.join(
+        survivors.select(col("cluster"), col("vec_id").as("nbr"),
+          col("embedding").as("nv")), Seq("cluster"))
+      .filter(col("nbr") < col("vec_id"))
+      .withColumn("cos", cosineSim(col("embedding"), col("nv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("cluster", "vec_id", "nbr")
+    val kept = edges
+      .join(affected, Seq("vec_id"), "left_anti") // unaffected: provably correct
+      .select("cluster", "vec_id", "nbr")
+    val nRepaired = survivors.select("vec_id", "cluster")
+      .join(affected, Seq("vec_id"), "left_semi")
+      .groupBy("cluster").agg(count(lit(1)).as("n_repaired"))
+    kept.unionByName(repaired)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("vec_id")).as("n_sources"),
+        sum(col("vec_id")).as("src_id_sum"),
+        sum(col("nbr")).as("nbr_id_sum"))
+      .join(nRepaired, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_edges"), col("n_sources"),
+        col("src_id_sum"), col("nbr_id_sum"),
+        coalesce(col("n_repaired"), lit(0L)).as("n_repaired"))
+      .orderBy("cluster")
+  }
+
+  val s53Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel AS cluster FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), full_edges AS (
+      |  SELECT cluster, vec_id, nbr FROM (
+      |    SELECT a.cluster, a.vec_id, b.vec_id AS nbr,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${duckCosOf("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM assigned a JOIN assigned b
+      |      ON b.cluster = a.cluster AND b.vec_id < a.vec_id)
+      |  WHERE rk <= 3
+      |), surv AS (
+      |  SELECT vec_id, embedding, cluster FROM assigned WHERE vec_id % 9 <> 0
+      |), repaired_graph AS (
+      |  SELECT cluster, vec_id, nbr FROM (
+      |    SELECT a.cluster, a.vec_id, b.vec_id AS nbr,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${duckCosOf("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM surv a JOIN surv b
+      |      ON b.cluster = a.cluster AND b.vec_id < a.vec_id)
+      |  WHERE rk <= 3
+      |), affected AS (
+      |  SELECT DISTINCT vec_id FROM full_edges
+      |  WHERE vec_id % 9 <> 0 AND nbr % 9 = 0
+      |), nrep AS (
+      |  SELECT s.cluster, COUNT(*) AS n_repaired
+      |  FROM surv s JOIN affected USING (vec_id) GROUP BY s.cluster
+      |), census AS (
+      |  SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_edges,
+      |    COUNT(DISTINCT vec_id) AS n_sources,
+      |    CAST(SUM(vec_id) AS BIGINT) AS src_id_sum,
+      |    CAST(SUM(nbr) AS BIGINT) AS nbr_id_sum
+      |  FROM repaired_graph GROUP BY cluster
+      |)
+      |SELECT c.cluster, c.n_edges, c.n_sources, c.src_id_sum,
+      |  c.nbr_id_sum, COALESCE(MIN(n.n_repaired), 0) AS n_repaired
+      |FROM census c LEFT JOIN nrep n ON n.cluster = c.cluster
+      |GROUP BY 1, 2, 3, 4, 5 ORDER BY c.cluster""".stripMargin
 
   val s52Oracle: String =
     s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
@@ -559,6 +682,7 @@ object StreamSearchQueries {
       |FROM surv GROUP BY cluster ORDER BY cluster""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s53_graph_repair" -> (s53GraphRepair _),
     "s52_stream_graph_delete" -> (s52StreamGraphDelete _),
     "s51_stream_graph_maintain" -> (s51StreamGraphMaintain _),
     "s42_stream_index_ingest" -> (s42StreamIndexIngest _),
@@ -569,6 +693,8 @@ object StreamSearchQueries {
 
   val oracles: Map[String, String] = Map(
     "s52_stream_graph_delete" -> s52Oracle, // s51's graph, survivor-filtered
+    // repair restores the as-if-rebuilt-on-survivors graph exactly
+    "s53_graph_repair" -> s53Oracle,
     "s51_stream_graph_maintain" -> s51Oracle,
     "s42_stream_index_ingest" -> PqQueries.s13Oracle, // streamed ingest == batch append
     "s43_stream_search" -> SimilarityQueries.s03Oracle, // drained query stream == one-shot batch search
