@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, lit, max, octet_length}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.TaskContext
 import org.apache.hadoop.fs.Path
 
@@ -31,9 +31,12 @@ import org.apache.hadoop.fs.Path
   * are encoded (heap holds one event, not the file), so a partition's
   * file size is bounded by storage, not executor memory.
   *
-  * Row shapes (r13): any arity of BIGINT / INT / STRING data columns —
-  * LONGLONG / LONG / VARCHAR on the wire, nulls carried by the row
-  * image's null bitmap. VARCHAR bounds are DERIVED FROM THE DATA by
+  * Row shapes (r13): any arity of BIGINT / INT / STRING / FLOAT /
+  * DOUBLE data columns — LONGLONG / LONG / VARCHAR / FLOAT / DOUBLE on
+  * the wire, nulls carried by the row image's null bitmap. Floats
+  * round-trip EXACTLY: the wire carries IEEE bytes and the decoder
+  * renders java.lang.Float.toString, whose shortest-representation
+  * contract parses back to the identical bits. VARCHAR bounds are DERIVED FROM THE DATA by
   * default (max UTF-8 byte length + headroom, one extra aggregate pass
   * over the input — pass an explicit `maxLen` to skip it when the input
   * is expensive to recompute), so a fixture-generator change at a new
@@ -65,8 +68,9 @@ object BinlogSink {
 
   /** Write a CHANGELOG: `df`'s first column is INT op = +1 (insert) or
     * −1 (delete); every following column is a data column encoded by its
-    * Spark type — `BIGINT` → LONGLONG, `INT` → LONG, `STRING` → VARCHAR
-    * (any other type is rejected loudly). Inserts encode as WRITE_ROWS
+    * Spark type — `BIGINT` → LONGLONG, `INT` → LONG, `STRING` → VARCHAR,
+    * `FLOAT` → FLOAT, `DOUBLE` → DOUBLE (any other type is rejected
+    * loudly). Inserts encode as WRITE_ROWS
     * events, deletes as DELETE_ROWS events — the binlog's NATIVE
     * retraction — batched in partition order so a decoder replaying the
     * file in event order reconstructs the exact signed multiset. NULL
@@ -110,9 +114,11 @@ object BinlogSink {
       .select(col("_op").cast("int") +: dataNames.map(col): _*)
     val types: Seq[DataType] = prepared.schema.drop(1).map(_.dataType)
     types.zipWithIndex.foreach { case (t, i) =>
-      require(t == LongType || t == IntegerType || t == StringType,
+      require(t == LongType || t == IntegerType || t == StringType ||
+          t == FloatType || t == DoubleType,
         s"unsupported wire type for data column ${i + 1}: $t " +
-          "(supported: BIGINT -> LONGLONG, INT -> LONG, STRING -> VARCHAR)")
+          "(supported: BIGINT -> LONGLONG, INT -> LONG, STRING -> VARCHAR, " +
+          "FLOAT -> FLOAT, DOUBLE -> DOUBLE)")
     }
     // VARCHAR bounds: pinned by the caller, or derived from the data
     // (max UTF-8 byte length + headroom, floor 20) in ONE aggregate —
@@ -133,6 +139,8 @@ object BinlogSink {
     val cols: Seq[ColDef] = types.zipWithIndex.map {
       case (LongType, _) => ColDef.longlong
       case (IntegerType, _) => ColDef.long
+      case (FloatType, _) => ColDef.float
+      case (DoubleType, _) => ColDef.double
       case (StringType, i) => ColDef.varchar(bounds(i))
       case (t, i) => throw new IllegalStateException(s"unreachable: $t at $i")
     }
@@ -186,6 +194,8 @@ object BinlogSink {
                   } else Some(t match {
                     case LongType => encLongLong(r.getLong(fi))
                     case IntegerType => encLong(r.getInt(fi))
+                    case FloatType => encFloat(r.getFloat(fi))
+                    case DoubleType => encDouble(r.getDouble(fi))
                     case StringType =>
                       val s = r.getString(fi)
                       // the TABLE_MAP declares VARCHAR(bound); a longer

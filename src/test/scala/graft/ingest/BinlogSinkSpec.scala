@@ -162,11 +162,35 @@ class BinlogSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(back == rows.toSet)
   }
 
+  test("FLOAT/DOUBLE columns round-trip bit-exactly through the wire") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_f_").toString
+    // adversarial values: subnormal, negative zero, float-imprecise
+    // decimals, extremes — Float.toString's shortest-representation
+    // contract must parse back to identical bits through the decoder
+    val rows = Seq(
+      (1L, 0.1f, 0.1), (2L, -0.0f, -0.0), (3L, Float.MinPositiveValue, 2.5e-308),
+      (4L, 3.4028235e38f, 1.7976931348623157e308), (5L, -1.5f, 3.141592653589793))
+    BinlogSink.writeChanges(
+      rows.map(r => (1, r._1, r._2, r._3)).toDF("op", "k", "f", "d").coalesce(1), dir)
+    val back = spark.read.format("binlog").load(dir)
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(explode(col("row_images")).as("img"))
+      .select(element_at(col("img"), 1).cast("long").as("k"),
+        element_at(col("img"), 2).cast("float").as("f"),
+        element_at(col("img"), 3).cast("double").as("d"))
+      .as[(Long, Float, Double)].collect().toSet
+    // compare raw BITS (== would pass -0.0 against 0.0)
+    def bits(s: Set[(Long, Float, Double)]) = s.map { case (k, f, d) =>
+      (k, java.lang.Float.floatToRawIntBits(f), java.lang.Double.doubleToRawLongBits(d)) }
+    assert(bits(back) == bits(rows.toSet))
+  }
+
   test("unsupported wire type is rejected loudly at plan time") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_t_").toString
     val e = intercept[IllegalArgumentException] {
-      BinlogSink.writeChanges(Seq((1, 1L, 2.5)).toDF("op", "k", "x"), dir)
+      BinlogSink.writeChanges(Seq((1, 1L, true)).toDF("op", "k", "x"), dir)
     }
     assert(e.getMessage.contains("unsupported wire type"))
   }
