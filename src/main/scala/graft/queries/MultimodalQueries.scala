@@ -722,12 +722,17 @@ object MultimodalQueries {
           feats.groupBy("content_hash")
             .agg(min(col("media_id")).as("keeper"),
               max(col("byte_len")).as("blen")), idx, id)
-        if (id == 1L) { // MID-drain: both states fold batch 0 into a base
-          ViewMaintenance.compact(spark, flags, flagSchema, upto = 0L)(_.distinct())
-          ViewMaintenance.compact(spark, idx, idxSchema, upto = 0L)(
-            _.groupBy("content_hash")
-              .agg(min(col("keeper")).as("keeper"), max(col("blen")).as("blen")))
-        }
+        // MID-drain compaction via the POLICY (cdc51 pins the explicit
+        // form; this pins maybeCompact): with maxLive=2/keepLast=1 the
+        // fold fires exactly once — after batch 2, covering batches 0–1
+        // — and declines everywhere else, including after the injected
+        // batch-0 replay (the recreated covered partition is not live)
+        ViewMaintenance.maybeCompact(spark, flags, flagSchema,
+          maxLive = 2, keepLast = 1)(_.distinct())
+        ViewMaintenance.maybeCompact(spark, idx, idxSchema,
+          maxLive = 2, keepLast = 1)(
+          _.groupBy("content_hash")
+            .agg(min(col("keeper")).as("keeper"), max(col("blen")).as("blen")))
     }
     val keepers = ViewMaintenance.readState(spark, idx, idxSchema)
       .groupBy("content_hash")

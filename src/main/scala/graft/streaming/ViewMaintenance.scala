@@ -95,6 +95,36 @@ object ViewMaintenance {
       .sorted.headOption
   }
 
+  /** The compaction POLICY companion to [[compact]]: fold when the LIVE
+    * batch-partition count exceeds `maxLive`, covering everything except
+    * the `keepLast` most recent batches. keepLast is an efficiency
+    * courtesy, not a correctness need — a covered batch's redelivery is
+    * absorbed by the read-side live rule anyway — but leaving the most
+    * recent batches uncovered lets their redeliveries take the cheap
+    * partition-overwrite path instead of landing dead partitions that
+    * wait for the next GC. Call it from the maintenance loop after each
+    * batch; it costs one FS listing when it declines. Returns true when
+    * a compaction ran. */
+  def maybeCompact(spark: SparkSession, stateDir: String, schema: String,
+      maxLive: Int = 64, keepLast: Int = 2)
+      (fold: DataFrame => DataFrame): Boolean = {
+    require(maxLive >= 1 && keepLast >= 0,
+      s"need maxLive >= 1 (got $maxLive) and keepLast >= 0 (got $keepLast)")
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val ids = fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") =>
+        n.stripPrefix("batch_id=").toLong }
+    val covered = ids.filter(_ <= BaseMark).sorted.headOption
+      .map(BaseMark - _).getOrElse(Long.MinValue)
+    val live = ids.filter(id => id > BaseMark && id > covered).sorted
+    val upto = live.dropRight(keepLast).lastOption
+    if (live.size <= maxLive || upto.isEmpty || upto.get < 0L) false
+    else { compact(spark, stateDir, schema, upto.get)(fold); true }
+  }
+
   /** Operational health view of a maintained state — the "is my view
     * healthy" diagnostic every IVM user otherwise hand-writes: one row
     * per `batch_id=` partition on disk (bases AND live batches — a

@@ -95,6 +95,36 @@ class ViewMaintenanceSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("maybeCompact: fires only past maxLive, keeps keepLast batches live, composes") {
+    import spark.implicits._
+    val state = tmp("pol")
+    val schema = "k STRING, v BIGINT, batch_id BIGINT"
+    def fold(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("v").as("v"))
+    def dirs = new java.io.File(state).listFiles().map(_.getName)
+      .filter(_.startsWith("batch_id=")).sorted.toSeq
+    (0 to 2).foreach { i =>
+      ViewMaintenance.applyIdempotent(Seq(("a", 1L)).toDF("k", "v"), state, i.toLong)
+    }
+    // 3 live > maxLive=2 → compacts everything but the last 1 (upto = 1)
+    assert(ViewMaintenance.maybeCompact(spark, state, schema,
+      maxLive = 2, keepLast = 1)(fold))
+    assert(dirs == Seq("batch_id=-1000000001", "batch_id=2"), dirs)
+    // base + 1 live → declines
+    assert(!ViewMaintenance.maybeCompact(spark, state, schema,
+      maxLive = 2, keepLast = 1)(fold))
+    // two more batches → 3 live again → recompacts on top of the base
+    (3 to 4).foreach { i =>
+      ViewMaintenance.applyIdempotent(Seq(("a", 1L)).toDF("k", "v"), state, i.toLong)
+    }
+    assert(ViewMaintenance.maybeCompact(spark, state, schema,
+      maxLive = 2, keepLast = 1)(fold))
+    assert(dirs == Seq("batch_id=-1000000003", "batch_id=4"), dirs)
+    val out = ViewMaintenance.readState(spark, state, schema)
+      .groupBy("k").agg(sum("v").as("v")).as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 5L))
+  }
+
   test("readState's live rule is a PartitionFilter: covered dirs pruned at the scan") {
     import spark.implicits._
     // the 100-TB point of compaction is that a serve-time read never
