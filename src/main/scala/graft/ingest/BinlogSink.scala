@@ -82,10 +82,29 @@ object BinlogSink {
     * already-committed file. */
   def writeChanges(df: DataFrame, dir: String, maxLen: Int = 0,
       rowsPerEvent: Int = 100): Unit =
-    writeChangesImpl(df, dir, maxLen, rowsPerEvent, allowNulls = true)
+    writeChangesImpl(df, dir, maxLen, rowsPerEvent, allowNulls = true,
+      dml = false)
+
+  /** Write a FULL-DML changelog — the one wire shape [[writeChanges]]
+    * does not speak: `df`'s first column is INT op ∈ {+1 insert,
+    * 0 update, −1 delete}; the remaining 2N columns are the BEFORE
+    * image (N columns) followed by the AFTER image (N columns, same
+    * types — the binlog_row_image=FULL layout every real changelog
+    * carries). Inserts encode their AFTER image as WRITE_ROWS, deletes
+    * their BEFORE image as DELETE_ROWS, and updates BOTH as
+    * UPDATE_ROWS (type 31, paired images — the decoder surfaces them
+    * as two consecutive `row_images` entries, before then after).
+    * Unused images (an insert's before half, a delete's after half)
+    * are ignored and may be null. Types/bounds/nulls as
+    * [[writeChanges]]; a VARCHAR column's derived bound covers both
+    * its images. */
+  def writeDml(df: DataFrame, dir: String, maxLen: Int = 0,
+      rowsPerEvent: Int = 100): Unit =
+    writeChangesImpl(df, dir, maxLen, rowsPerEvent, allowNulls = true,
+      dml = true)
 
   private def writeChangesImpl(df: DataFrame, dir: String, maxLen: Int,
-      rowsPerEvent: Int, allowNulls: Boolean): Unit = {
+      rowsPerEvent: Int, allowNulls: Boolean, dml: Boolean = false): Unit = {
     import BinlogBinaryWriter._
     val sconf = org.apache.spark.graftshim.SerializableHadoopConf.session()
     val dirPath = new Path(dir)
@@ -108,6 +127,12 @@ object BinlogSink {
     val c = df.columns
     require(c.length >= 2,
       s"writeChanges needs (op, data columns...); got ${c.length}")
+    // dml mode: (op, before-image columns, after-image columns) — the
+    // wire table has nWire columns, each data row carries 2 images
+    val nData = c.length - 1
+    require(!dml || (nData % 2 == 0 && nData >= 2),
+      s"writeDml needs (op, before x N, after x N); got $nData data columns")
+    val nWire = if (dml) nData / 2 else nData
     val dataNames = (1 until c.length).map(i => s"_c$i")
     val prepared = df.select(c.toIndexedSeq.map(col): _*)
       .toDF(("_op" +: dataNames): _*)
@@ -119,6 +144,11 @@ object BinlogSink {
         s"unsupported wire type for data column ${i + 1}: $t " +
           "(supported: BIGINT -> LONGLONG, INT -> LONG, STRING -> VARCHAR, " +
           "FLOAT -> FLOAT, DOUBLE -> DOUBLE)")
+    }
+    if (dml) (0 until nWire).foreach { i =>
+      require(types(i) == types(i + nWire),
+        s"writeDml before/after type mismatch at wire column $i: " +
+          s"${types(i)} vs ${types(i + nWire)}")
     }
     // VARCHAR bounds: pinned by the caller, or derived from the data
     // (max UTF-8 byte length + headroom, floor 20) in ONE aggregate —
@@ -136,12 +166,18 @@ object BinlogSink {
           i -> math.max((if (row.isNullAt(j)) 0 else row.getInt(j)) + 16, 20)
         }.toMap
       }
-    val cols: Seq[ColDef] = types.zipWithIndex.map {
+    // a VARCHAR wire column's bound covers BOTH its images in dml mode
+    val wireBounds: Map[Int, Int] =
+      if (!dml) bounds
+      else bounds.keys.map(_ % nWire).map { i =>
+        i -> math.max(bounds.getOrElse(i, 0), bounds.getOrElse(i + nWire, 0))
+      }.toMap
+    val cols: Seq[ColDef] = types.take(nWire).zipWithIndex.map {
       case (LongType, _) => ColDef.longlong
       case (IntegerType, _) => ColDef.long
       case (FloatType, _) => ColDef.float
       case (DoubleType, _) => ColDef.double
-      case (StringType, i) => ColDef.varchar(bounds(i))
+      case (StringType, i) => ColDef.varchar(wireBounds(i))
       case (t, i) => throw new IllegalStateException(s"unreachable: $t at $i")
     }
     prepared.rdd.foreachPartition { rows =>
@@ -179,7 +215,9 @@ object BinlogSink {
             // one type), preserving partition order on the wire
             val it = rows.map { r =>
               val op = r.getInt(0)
-              require(op == 1 || op == -1, s"op must be +1/-1, got $op")
+              require(op == 1 || op == -1 || (dml && op == 0),
+                if (dml) s"op must be +1/0/-1, got $op"
+                else s"op must be +1/-1, got $op")
               val cells: Seq[Option[Array[Byte]]] =
                 types.zipWithIndex.map { case (t, i) =>
                   val fi = i + 1
@@ -201,24 +239,35 @@ object BinlogSink {
                       // the TABLE_MAP declares VARCHAR(bound); a longer
                       // payload would still self-describe on the wire but
                       // lie to every schema-aware consumer — reject it
-                      require(s.getBytes("UTF-8").length <= bounds(i),
-                        s"payload exceeds declared VARCHAR(${bounds(i)}): '$s'")
-                      encVarchar(s, bounds(i))
+                      val b = if (dml) wireBounds(i % nWire) else bounds(i)
+                      require(s.getBytes("UTF-8").length <= b,
+                        s"payload exceeds declared VARCHAR($b): '$s'")
+                      encVarchar(s, b)
                     case other => throw new IllegalStateException(
                       s"unreachable wire type $other")
                   })
                 }
-              (op, cells)
+              // (op, before image, after image): non-dml rows carry ONE
+              // image (both halves point at it); dml rows split 2N cells
+              if (dml) { val (b, a) = cells.splitAt(nWire); (op, b, a) }
+              else (op, cells, cells)
             }.buffered
             while (it.hasNext) {
               val op = it.head._1
               val batch = scala.collection.mutable.ArrayBuffer
-                .empty[Seq[Option[Array[Byte]]]]
-              while (it.hasNext && it.head._1 == op && batch.size < rowsPerEvent)
-                batch += it.next()._2
+                .empty[(Seq[Option[Array[Byte]]], Seq[Option[Array[Byte]]])]
+              while (it.hasNext && it.head._1 == op && batch.size < rowsPerEvent) {
+                val t = it.next(); batch += ((t._2, t._3))
+              }
               f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-              f.event(t0, if (op == 1) 30 else 32,
-                rowsBody(11, cols.size, batch.toSeq))
+              op match {
+                case 1 => f.event(t0, 30, rowsBody(11, cols.size,
+                  batch.toSeq.map(_._2)))             // insert: AFTER image
+                case -1 => f.event(t0, 32, rowsBody(11, cols.size,
+                  batch.toSeq.map(_._1)))             // delete: BEFORE image
+                case 0 => f.event(t0, 31, updateRowsBody(11, cols.size,
+                  batch.toSeq))                       // update: both, paired
+              }
             }
             f.event(t0, 16, xidBody(1000L + pid))
             f.flush()

@@ -3259,7 +3259,93 @@ object CdcQueries {
       .orderBy("tolerance_ms", "status")
   }
 
+  // cdc54 — FULL-DML WIRE APPLY: the last wire shape the distributed
+  // sink didn't speak (writeChanges carries WRITE/DELETE; real
+  // changelogs also UPDATE). A deterministic insert→update→delete
+  // lifecycle per key rides the wire as native WRITE_ROWS /
+  // UPDATE_ROWS (type 31, paired before/after FULL row images) /
+  // DELETE_ROWS via BinlogSink.writeDml, decodes through the binary
+  // source, and the canonical CDC consumer applies it: per key,
+  // last-wins by the wire's own total order (file, event_index, image
+  // position — range-partitioned keys keep each key's lifecycle in one
+  // file, in order), UPDATE upserting its AFTER image (odd row_images
+  // positions — the decoder's documented pairing), DELETE tombstoning.
+  // The oracle reconstructs the surviving snapshot from the lifecycle
+  // rules directly — so a wrong image picked from an update pair, a
+  // misordered event, or a dropped delete is a hash mismatch. This is
+  // cdc17's apply semantics fed by the real wire instead of a
+  // synthesized feed: together with cdc05 (decode) and cdc43
+  // (roundtrip) it closes the loop a CDC consumer actually runs. At
+  // 100 TB: one shuffle on the key (max_by hash agg), the cdc17 plan.
+  def cdc54WireDmlApply(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpFixtureDir("graft_cdc54_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"), col("user_id"))
+    val nullK = lit(null).cast("bigint")
+    val nullV = lit(null).cast("string")
+    val v0 = concat(lit("v0:"), col("user_id"))
+    val v1 = concat(lit("v1:"), (col("user_id") + 7L))
+    val last = when(col("k") % 3 === 0, v1).otherwise(v0)
+    val ins = base.select(lit(1).as("op"), nullK.as("bk"), nullV.as("bv"),
+      col("k").as("ak"), v0.as("av"))
+    val upd = base.filter(col("k") % 3 === 0)
+      .select(lit(0).as("op"), col("k").as("bk"), v0.as("bv"),
+        col("k").as("ak"), v1.as("av"))
+    val del = base.filter(col("k") % 5 === 0)
+      .select(lit(-1).as("op"), col("k").as("bk"), last.as("bv"),
+        nullK.as("ak"), nullV.as("av"))
+    // each key's lifecycle lands in ONE file, in insert<update<delete
+    // order (range partition on the entity key + in-file sort)
+    graft.ingest.BinlogSink.writeDml(
+      ins.unionByName(upd).unionByName(del)
+        .withColumn("_key", coalesce(col("ak"), col("bk")))
+        .withColumn("_ord",
+          when(col("op") === 1, 0).when(col("op") === 0, 1).otherwise(2))
+        .repartitionByRange(4, col("_key"))
+        .sortWithinPartitions("_key", "_ord")
+        .select("op", "bk", "bv", "ak", "av"),
+      feed)
+    val ev = spark.read.format("binlog").load(feed)
+      .filter(col("event_type").isin(
+        "WriteRowsEventV2", "UpdateRowsEventV2", "DeleteRowsEventV2"))
+      .select(col("binlog_file"), col("event_index"), col("event_type"),
+        posexplode(col("row_images")).as(Seq("pos", "img")))
+    // WRITE: every image upserts; UPDATE: odd positions are AFTER
+    // images (the decoder pairs before,after consecutively); DELETE:
+    // every image tombstones its key
+    val applied = ev.filter(
+        col("event_type") =!= "UpdateRowsEventV2" || col("pos") % 2 === 1)
+      .select(
+        element_at(col("img"), 1).cast("long").as("k"),
+        element_at(col("img"), 2).as("v"),
+        when(col("event_type") === "DeleteRowsEventV2", -1).otherwise(1).as("op"),
+        struct(col("binlog_file"), col("event_index"), col("pos")).as("seq"))
+    applied.groupBy("k")
+      .agg(max_by(struct(col("op"), col("v")), col("seq")).as("w"))
+      .filter(col("w.op") === 1)
+      .select(col("k"), substring(col("w.v"), 1, 2).as("ver"))
+      .groupBy("ver")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"))
+      .orderBy("ver")
+  }
+
+  val cdc54Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k, user_id FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |), fin AS (
+      |  SELECT k,
+      |    CASE WHEN k % 3 = 0 THEN 'v1' ELSE 'v0' END AS ver
+      |  FROM base WHERE k % 5 <> 0
+      |)
+      |SELECT ver, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM fin GROUP BY ver ORDER BY ver""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc54_wire_dml_apply" -> (cdc54WireDmlApply _),
     "cdc52_stream_stream_band" -> (cdc52StreamStreamBand _),
     "cdc53_restart_ivm" -> (cdc53RestartIvm _),
     "cdc51_compacted_ivm" -> (cdc51CompactedIvm _),
@@ -3368,6 +3454,7 @@ object CdcQueries {
     "cdc50_stream_band" -> cdc04Oracle, // streaming band == batch sweep
     // stream-STREAM band (one exploded equi-join) == the batch sweep
     "cdc52_stream_stream_band" -> cdc04Oracle,
+    "cdc54_wire_dml_apply" -> cdc54Oracle,
     "cdc47_stream_retract" -> cdc47Oracle,
     // redelivered-batch write absorbed ⇒ still q66's exact decomposition
     "cdc48_idempotent_sink" -> AnalyticQueries.q66Oracle,

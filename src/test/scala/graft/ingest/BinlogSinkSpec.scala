@@ -162,6 +162,36 @@ class BinlogSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(back == rows.toSet)
   }
 
+  test("writeDml: UPDATE_ROWS carries paired before/after images; inserts/deletes pick theirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_u2_").toString
+    // (op, before_k, before_v, after_k, after_v) — FULL row images
+    val rows = Seq(
+      (1, 0L, null.asInstanceOf[String], 10L, "ten"),    // insert: after only
+      (0, 10L, "ten", 10L, "TEN"),                       // update: both
+      (1, 0L, null.asInstanceOf[String], 11L, "eleven"),
+      (-1, 11L, "eleven", 0L, null.asInstanceOf[String]), // delete: before only
+      (0, 10L, "TEN", 12L, "moved"))                     // key-changing update
+    BinlogSink.writeDml(
+      rows.toDF("op", "bk", "bv", "ak", "av").coalesce(1), dir)
+    val back = spark.read.format("binlog").load(dir)
+      .filter(col("event_type")
+        .isin("WriteRowsEventV2", "UpdateRowsEventV2", "DeleteRowsEventV2"))
+      .select(col("event_type"), col("event_index"), col("row_images"))
+      .collect()
+    // updates: row_images alternate (before, after) as consecutive entries
+    val upd = back.filter(_.getString(0) == "UpdateRowsEventV2")
+      .flatMap(_.getSeq[scala.collection.Seq[String]](2)).map(img => (img(0).toLong, img(1)))
+    assert(upd.toSeq.grouped(2).map(p => (p(0), p(1))).toSet ==
+      Set(((10L, "ten"), (10L, "TEN")), ((10L, "TEN"), (12L, "moved"))))
+    val ins = back.filter(_.getString(0) == "WriteRowsEventV2")
+      .flatMap(_.getSeq[scala.collection.Seq[String]](2)).map(img => (img(0).toLong, img(1))).toSet
+    assert(ins == Set((10L, "ten"), (11L, "eleven")))
+    val del = back.filter(_.getString(0) == "DeleteRowsEventV2")
+      .flatMap(_.getSeq[scala.collection.Seq[String]](2)).map(img => (img(0).toLong, img(1))).toSet
+    assert(del == Set((11L, "eleven")))
+  }
+
   test("FLOAT/DOUBLE columns round-trip bit-exactly through the wire") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_f_").toString
