@@ -3275,8 +3275,13 @@ object CdcQueries {
   // misordered event, or a dropped delete is a hash mismatch. This is
   // cdc17's apply semantics fed by the real wire instead of a
   // synthesized feed: together with cdc05 (decode) and cdc43
-  // (roundtrip) it closes the loop a CDC consumer actually runs. At
-  // 100 TB: one shuffle on the key (max_by hash agg), the cdc17 plan.
+  // (roundtrip) it closes the loop a CDC consumer actually runs. The
+  // apply is the fully GENERAL one — an update's BEFORE image
+  // tombstones its old key and its AFTER image upserts the new one, so
+  // KEY-CHANGING updates (the %11 class moves to k + 5·10⁷) relocate
+  // rows correctly; for same-key updates the pair collapses to an
+  // upsert because the after image's position wins the per-key order.
+  // At 100 TB: one shuffle on the key (max_by hash agg), the cdc17 plan.
   def cdc54WireDmlApply(spark: SparkSession, dir: String): DataFrame = {
     val root = tmpFixtureDir("graft_cdc54_", dir)
     root.mkdirs()
@@ -3288,19 +3293,31 @@ object CdcQueries {
     val nullV = lit(null).cast("string")
     val v0 = concat(lit("v0:"), col("user_id"))
     val v1 = concat(lit("v1:"), (col("user_id") + 7L))
-    val last = when(col("k") % 3 === 0, v1).otherwise(v0)
+    val v2 = concat(lit("v2:"), (col("user_id") + 9L))
+    val isUpd = col("k") % 3 === 0
+    val isMove = col("k") % 3 =!= 0 && col("k") % 11 === 0
+    val curKey = when(isMove, col("k") + 50000000L).otherwise(col("k"))
+    val curVal = when(isUpd, v1).when(isMove, v2).otherwise(v0)
     val ins = base.select(lit(1).as("op"), nullK.as("bk"), nullV.as("bv"),
       col("k").as("ak"), v0.as("av"))
-    val upd = base.filter(col("k") % 3 === 0)
+    val upd = base.filter(isUpd)
       .select(lit(0).as("op"), col("k").as("bk"), v0.as("bv"),
         col("k").as("ak"), v1.as("av"))
+    // the key-changing class: the row MOVES to k + 5·10⁷ (outside the
+    // base keyspace) — the before image carries the old identity
+    val mov = base.filter(isMove)
+      .select(lit(0).as("op"), col("k").as("bk"), v0.as("bv"),
+        (col("k") + 50000000L).as("ak"), v2.as("av"))
+    // deletes target the row's CURRENT identity (post-move)
     val del = base.filter(col("k") % 5 === 0)
-      .select(lit(-1).as("op"), col("k").as("bk"), last.as("bv"),
+      .select(lit(-1).as("op"), curKey.as("bk"), curVal.as("bv"),
         nullK.as("ak"), nullV.as("av"))
-    // each key's lifecycle lands in ONE file, in insert<update<delete
-    // order (range partition on the entity key + in-file sort)
+    // each lifecycle step lands in the file of the key it TARGETS
+    // (coalesce(ak, bk)), in insert<update<delete order within the file;
+    // a move's tombstone-of-old-key rides the update event in the NEW
+    // key's (later) file, which still orders after the old key's insert
     graft.ingest.BinlogSink.writeDml(
-      ins.unionByName(upd).unionByName(del)
+      ins.unionByName(upd).unionByName(mov).unionByName(del)
         .withColumn("_key", coalesce(col("ak"), col("bk")))
         .withColumn("_ord",
           when(col("op") === 1, 0).when(col("op") === 0, 1).otherwise(2))
@@ -3313,15 +3330,17 @@ object CdcQueries {
         "WriteRowsEventV2", "UpdateRowsEventV2", "DeleteRowsEventV2"))
       .select(col("binlog_file"), col("event_index"), col("event_type"),
         posexplode(col("row_images")).as(Seq("pos", "img")))
-    // WRITE: every image upserts; UPDATE: odd positions are AFTER
-    // images (the decoder pairs before,after consecutively); DELETE:
-    // every image tombstones its key
-    val applied = ev.filter(
-        col("event_type") =!= "UpdateRowsEventV2" || col("pos") % 2 === 1)
-      .select(
+    // the general apply: WRITE images upsert; DELETE images tombstone;
+    // an UPDATE's even positions (BEFORE images — the decoder pairs
+    // before,after consecutively) tombstone their key and its odd
+    // positions (AFTER images) upsert theirs — same-key updates collapse
+    // because the after position wins the per-key max_by
+    val applied = ev.select(
         element_at(col("img"), 1).cast("long").as("k"),
         element_at(col("img"), 2).as("v"),
-        when(col("event_type") === "DeleteRowsEventV2", -1).otherwise(1).as("op"),
+        when(col("event_type") === "DeleteRowsEventV2", -1)
+          .when(col("event_type") === "UpdateRowsEventV2" && col("pos") % 2 === 0, -1)
+          .otherwise(1).as("op"),
         struct(col("binlog_file"), col("event_index"), col("pos")).as("seq"))
     applied.groupBy("k")
       .agg(max_by(struct(col("op"), col("v")), col("seq")).as("w"))
@@ -3337,11 +3356,13 @@ object CdcQueries {
       |  SELECT event_id AS k, user_id FROM events
       |  WHERE event_type IN ('purchase', 'click', 'view')
       |), fin AS (
-      |  SELECT k,
-      |    CASE WHEN k % 3 = 0 THEN 'v1' ELSE 'v0' END AS ver
+      |  SELECT CASE WHEN k % 3 <> 0 AND k % 11 = 0
+      |              THEN k + 50000000 ELSE k END AS cur_k,
+      |    CASE WHEN k % 3 = 0 THEN 'v1'
+      |         WHEN k % 11 = 0 THEN 'v2' ELSE 'v0' END AS ver
       |  FROM base WHERE k % 5 <> 0
       |)
-      |SELECT ver, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum
+      |SELECT ver, COUNT(*) AS n_rows, CAST(SUM(cur_k) AS BIGINT) AS key_sum
       |FROM fin GROUP BY ver ORDER BY ver""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
