@@ -1292,7 +1292,74 @@ object PipelineQueries {
       |  FROM sl WHERE b >= 2 GROUP BY b)
       |ORDER BY batch_id""".stripMargin
 
+  // p16 — MAINTAINED-STATE SCHEMA EVOLUTION (the lifecycle seam p15's
+  // metrics don't cover: a long-lived view ADDS a partial column
+  // mid-stream — new code tracks doc counts next to token sums — and
+  // the state must keep serving across the boundary without a rewrite).
+  // Batches 0–1 land with (lang, t); batches 2–3 with (lang, t,
+  // n_docs). readState's explicit schema makes parquet surface the old
+  // partitions' missing column as NULL (never a schema-inference error
+  // or a silent drop), the serve-time fold coalesces it additively
+  // (absent = contributed 0 — the standard backfill for an additive
+  // partial, documented by the gate's own docs_tracked column counting
+  // ONLY post-evolution batches), and a compaction spanning the
+  // boundary (upto=2: one narrow batch + one wide batch + the narrow
+  // base) folds into the WIDE schema. The oracle reconstructs both
+  // metrics from the deterministic quartile batches, so a dropped old
+  // partition, a mis-coalesced null, or a fold that loses the new
+  // column is a hash mismatch. At 100 TB this is how a maintained view
+  // evolves in place: no state rewrite, no dual-write window — old
+  // partials age out through compaction.
+  def p16StateEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_p16_", dir)
+    root.mkdirs()
+    val state = new java.io.File(root, "state").getPath
+    val wideSchema = "lang STRING, t BIGINT, n_docs BIGINT, batch_id BIGINT"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val mx = maxRow.getLong(0)
+      val cuts = Seq(0L, mx / 4 + 1, mx / 2 + 1, 3 * mx / 4 + 1, mx + 1)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        val slice = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        val partials =
+          if (i < 2) slice.groupBy("lang").agg(sum(col("toks")).as("t"))
+          else slice.groupBy("lang").agg(sum(col("toks")).as("t"),
+            count(lit(1)).as("n_docs")) // the EVOLVED shape
+        ViewMaintenance.applyIdempotent(partials, state, i.toLong)
+        // compact ACROSS the evolution boundary: narrow batches 0–1 +
+        // wide batch 2 fold into one wide-schema base
+        if (i == 2)
+          ViewMaintenance.compact(spark, state, wideSchema, upto = 2L)(
+            _.groupBy("lang").agg(sum(col("t")).as("t"),
+              sum(coalesce(col("n_docs"), lit(0L))).as("n_docs")))
+      }
+    }
+    ViewMaintenance.readState(spark, state, wideSchema)
+      .groupBy("lang")
+      .agg(sum(col("t")).as("tokens"),
+        sum(coalesce(col("n_docs"), lit(0L))).as("docs_tracked"))
+      .orderBy("lang")
+  }
+
+  val p16Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents
+      |), mx AS (
+      |  SELECT MAX(doc_id) AS m FROM d
+      |)
+      |SELECT lang, CAST(SUM(toks) AS BIGINT) AS tokens,
+      |  CAST(SUM(CASE WHEN doc_id >= m // 2 + 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS docs_tracked
+      |FROM d, mx GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_state_evolution" -> (p16StateEvolution _),
     "p15_state_metrics" -> (p15StateMetrics _),
     "p14_stream_quota_admission" -> (p14StreamQuotaAdmission _),
     "p13_consistent_hash" -> (p13ConsistentHash _),
@@ -1311,6 +1378,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "p16_state_evolution" -> p16Oracle,
     "p15_state_metrics" -> p15Oracle,
     "p14_stream_quota_admission" -> p14Oracle,
     "p13_consistent_hash" -> p13Oracle,
