@@ -53,6 +53,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("EqualTo(r_name,ASIA)"))
   }
 
+  test("stream-stream band sweep: the band rides an EQUI-join on (file, pos, tol, bucket)") {
+    // cdc52's scale story: within-band pair discovery for the WHOLE
+    // tolerance sweep is ONE hash equi-join keyed on the exploded
+    // (tolerance, bucket) pair — the band check and the watermark range
+    // are residual conditions, never the join strategy. Pinned on the
+    // batch form of the same construction (withWatermark is a no-op in
+    // batch; the join condition and keys are identical).
+    import spark.implicits._
+    val b = Seq(("mysql-bin.000001", 5L, "WriteRowsEventV2",
+      "2024-01-01T00:00:00Z", "2024-01-01T00:00:00Z", "", "t", "s"))
+      .toDF("binlog_file", "log_position", "event_type", "timestamp",
+        "immediate_commmit_timestamp", "gtid_next", "table", "schema")
+    val a = Seq(("mysql-bin.000001", 5L, 1704067200000L, "", "INSERT", "db", "t"))
+      .toDF("binlog_file", "binlog_position", "source_timestamp", "gtid",
+        "change_type", "database", "table")
+    val p = plan(graft.streaming.StreamingComparator
+      .compareStreamsBandSweep(a, b, Seq(0L, 100L)))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("HashJoin [a_file") || p.contains("SortMergeJoin [a_file"), p)
+    assert(p.contains("_a_bkt") && p.contains("_b_bkt"),
+      s"bucket keys missing from the join:\n$p")
+  }
+
   test("dedup pair generation plans contain no cartesian product") {
     Seq(
       DedupQueries.d02NgramJaccard(spark, dir),
