@@ -424,6 +424,18 @@ object StreamSearchQueries {
           array((2 to dim + 1).map(i =>
             element_at(col("img"), i).cast("float")): _*).as("embedding"))
       maintainGraphInsert(spark, cent, state, edgesOut)(ins, id)
+      // compaction composes with the GRAPH maintenance: both states are
+      // exactly-once row sets, so the fold is the identity; the covered
+      // batch-0 replay after compaction still sees its original candidate
+      // set (the base holds batch 0's vectors; the anti-join removes them
+      // by id) and its recreated partitions are ignored by the live rule
+      import graft.streaming.ViewMaintenance
+      ViewMaintenance.maybeCompact(spark, state,
+        "vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT",
+        maxLive = 2, keepLast = 1)(df => df)
+      ViewMaintenance.maybeCompact(spark, edgesOut,
+        "cluster BIGINT, vec_id BIGINT, nbr BIGINT, batch_id BIGINT",
+        maxLive = 2, keepLast = 1)(df => df)
     }
     graphEdgeCensus(spark, edgesOut)
   }
