@@ -3278,7 +3278,9 @@ object CdcQueries {
   // (roundtrip) it closes the loop a CDC consumer actually runs. The
   // apply is the fully GENERAL one — an update's BEFORE image
   // tombstones its old key and its AFTER image upserts the new one, so
-  // KEY-CHANGING updates (the %11 class moves to k + 5·10⁷) relocate
+  // KEY-CHANGING updates (the %11 class moves to k + max(k) + 1 — a
+  // DATA-DERIVED offset, so no scale factor can collide moved keys with
+  // base keys; the VARCHAR-bound lesson applied to key spaces) relocate
   // rows correctly; for same-key updates the pair collapses to an
   // upsert because the after image's position wins the per-key order.
   // At 100 TB: one shuffle on the key (max_by hash agg), the cdc17 plan.
@@ -3289,6 +3291,8 @@ object CdcQueries {
     val base = fixtureBase(spark, dir)
       .filter(col("event_type").isin("purchase", "click", "view"))
       .select(col("event_id").as("k"), col("user_id"))
+    val maxKRow = base.agg(max(col("k"))).head()
+    val moveOff = (if (maxKRow.isNullAt(0)) 0L else maxKRow.getLong(0)) + 1L
     val nullK = lit(null).cast("bigint")
     val nullV = lit(null).cast("string")
     val v0 = concat(lit("v0:"), col("user_id"))
@@ -3296,18 +3300,19 @@ object CdcQueries {
     val v2 = concat(lit("v2:"), (col("user_id") + 9L))
     val isUpd = col("k") % 3 === 0
     val isMove = col("k") % 3 =!= 0 && col("k") % 11 === 0
-    val curKey = when(isMove, col("k") + 50000000L).otherwise(col("k"))
+    val curKey = when(isMove, col("k") + moveOff).otherwise(col("k"))
     val curVal = when(isUpd, v1).when(isMove, v2).otherwise(v0)
     val ins = base.select(lit(1).as("op"), nullK.as("bk"), nullV.as("bv"),
       col("k").as("ak"), v0.as("av"))
     val upd = base.filter(isUpd)
       .select(lit(0).as("op"), col("k").as("bk"), v0.as("bv"),
         col("k").as("ak"), v1.as("av"))
-    // the key-changing class: the row MOVES to k + 5·10⁷ (outside the
-    // base keyspace) — the before image carries the old identity
+    // the key-changing class: the row MOVES to k + max(k) + 1 (past
+    // the base keyspace by construction) — the before image carries the
+    // old identity
     val mov = base.filter(isMove)
       .select(lit(0).as("op"), col("k").as("bk"), v0.as("bv"),
-        (col("k") + 50000000L).as("ak"), v2.as("av"))
+        (col("k") + moveOff).as("ak"), v2.as("av"))
     // deletes target the row's CURRENT identity (post-move)
     val del = base.filter(col("k") % 5 === 0)
       .select(lit(-1).as("op"), curKey.as("bk"), curVal.as("bv"),
@@ -3355,12 +3360,14 @@ object CdcQueries {
     """WITH base AS (
       |  SELECT event_id AS k, user_id FROM events
       |  WHERE event_type IN ('purchase', 'click', 'view')
+      |), mo AS (
+      |  SELECT MAX(k) + 1 AS off FROM base
       |), fin AS (
       |  SELECT CASE WHEN k % 3 <> 0 AND k % 11 = 0
-      |              THEN k + 50000000 ELSE k END AS cur_k,
+      |              THEN k + off ELSE k END AS cur_k,
       |    CASE WHEN k % 3 = 0 THEN 'v1'
       |         WHEN k % 11 = 0 THEN 'v2' ELSE 'v0' END AS ver
-      |  FROM base WHERE k % 5 <> 0
+      |  FROM base, mo WHERE k % 5 <> 0
       |)
       |SELECT ver, COUNT(*) AS n_rows, CAST(SUM(cur_k) AS BIGINT) AS key_sum
       |FROM fin GROUP BY ver ORDER BY ver""".stripMargin

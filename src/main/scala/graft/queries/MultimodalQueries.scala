@@ -662,20 +662,26 @@ object MultimodalQueries {
   // sums; this proves it for the other two partial classes in one gate:
   // m11's flags are a SET state — fold = distinct — and its keeper index
   // is an idempotent MIN/MAX register state — fold = per-hash
-  // min(keeper)/max(blen)). Same corpus, wire, decode, and strict-probe
-  // semantics as m11, but both states land under applyIdempotent
-  // (batch_id partition overwrite), and after batch 1 each is compacted
-  // into a base snapshot MID-drain. The injected batch-0 redelivery (the
-  // shared scaffold) then exercises the covered-replay path on BOTH
-  // folds: the replayed batch re-probes the compacted index — whose base
-  // holds exactly the folded minima, so the strict keeper < media_id
-  // rule yields the identical flag set — and its recreated batch_id=0
-  // partitions are ignored by the read-side live rule. Shares m04's
-  // oracle: a mismatch isolates the compaction machinery from the dedup
-  // semantics (m04) and the streaming delivery (m11). Serve-time reads
-  // need no distinct here — exactly-once + compaction make the states
-  // duplicate-free by construction (m11 keeps the at-least-once posture
-  // for contrast; this gate is the upgraded one).
+  // min(keeper)/max(blen)). Same wire, decode, and strict-probe
+  // semantics as m11, but the corpus REMAPS ids so duplicates are
+  // ADJACENT — original at 2·doc_id, its %7 replica at 2·doc_id + 1 —
+  // putting live flag rows in EVERY id-range batch (m11's tail-replica
+  // layout leaves early batches flag-empty, and an empty partial writes
+  // no partition: the set-state compaction would silently never fire at
+  // small SFs, and the replayed batch 0 would carry no flags to prove
+  // anything with — the r13 review catch). Both states land under
+  // applyIdempotent, both compact MID-drain via the maybeCompact policy
+  // (fires exactly once, after batch 2, covering 0–1 — now guaranteed
+  // for BOTH states because every batch writes both partials), and the
+  // injected batch-0 redelivery exercises the covered-replay path on
+  // both folds: the replayed batch re-probes the compacted index —
+  // whose base holds exactly the folded minima, so the strict
+  // keeper < media_id rule yields the identical flag set — and its
+  // recreated batch_id=0 partitions are ignored by the read-side live
+  // rule. The oracle is m04's report under the id remap (same
+  // semantics, adjacent keepers). Serve-time reads need no distinct —
+  // exactly-once + compaction make the states duplicate-free by
+  // construction (m11 keeps the at-least-once posture for contrast).
   def m12CompactedMediaDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.ViewMaintenance
     val root = graft.streaming.Drains.tmpFixtureDir("graft_m12_", dir)
@@ -687,9 +693,9 @@ object MultimodalQueries {
     val idxSchema = "content_hash STRING, keeper BIGINT, blen BIGINT, batch_id BIGINT"
     val flagSchema = "content_hash STRING, media_id BIGINT, byte_len BIGINT, batch_id BIGINT"
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val corpus = base.unionByName(
-      base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    val corpus = base.select((col("doc_id") * 2L).as("doc_id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") * 2L + 1L).as("doc_id"), col("text")))
     graft.ingest.BinlogSink.writeKeyedStrings(
       corpus.repartitionByRange(4, col("doc_id")), feed)
     graft.streaming.Drains.drainWithRedelivery(spark, feed, ckpt) { (batch, id) =>
@@ -822,6 +828,17 @@ object MultimodalQueries {
       .orderBy("content_hash")
   }
 
+  val m12Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id * 2 AS media_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, text FROM documents WHERE doc_id % 7 = 0
+      |)
+      |SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+      |  CAST(MIN(media_id) AS BIGINT) AS keeper_id,
+      |  CAST(MAX(strlen(text)) * (COUNT(*) - 1) AS BIGINT) AS bytes_saved
+      |FROM m GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m13_restart_media_dedup" -> (m13RestartMediaDedup _),
     "m12_compacted_media_dedup" -> (m12CompactedMediaDedup _),
@@ -846,7 +863,8 @@ object MultimodalQueries {
     "m04_media_dedup" -> m04Oracle,
     "m11_stream_media_dedup" -> m04Oracle, // dedup-at-ingest == batch dedup
     // compacted set/min-max states + covered replay == batch dedup
-    "m12_compacted_media_dedup" -> m04Oracle,
+    // (m04's report under the adjacent-id remap — see the gate comment)
+    "m12_compacted_media_dedup" -> m12Oracle,
     // two-run drain + cross-restart replay == batch dedup (isolates the
     // offset/restart seam for the set-state class)
     "m13_restart_media_dedup" -> m04Oracle,

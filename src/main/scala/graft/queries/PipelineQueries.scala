@@ -1261,9 +1261,13 @@ object PipelineQueries {
             .groupBy("lang").agg(sum(col("toks")).as("t")),
           state, i.toLong)
       }
-      ViewMaintenance.compact(spark, state, stateSchema, upto = 1L)(
-        _.groupBy("lang").agg(sum(col("t")).as("t")))
     }
+    // UNCONDITIONAL: an empty table still compacts (the fold of nothing
+    // is an empty base) — so the metrics report the base row with
+    // n_rows = 0, exactly as the oracle's ungrouped aggregate does, and
+    // the empty-corpus case is a real manifest, not a missing one
+    ViewMaintenance.compact(spark, state, stateSchema, upto = 1L)(
+      _.groupBy("lang").agg(sum(col("t")).as("t")))
     ViewMaintenance.stateMetrics(spark, state, stateSchema)
       .select("batch_id", "is_base", "covered_upto", "n_rows")
   }

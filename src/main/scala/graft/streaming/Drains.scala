@@ -54,9 +54,12 @@ object Drains {
       .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xFF}%02x").mkString
     val out = new java.io.File(System.getProperty("java.io.tmpdir"), prefix + tag)
     if (out.exists()) {
-      java.nio.file.Files.walk(out.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
+      // Files.walk holds directory handles — close it, or every fixture
+      // call leaks an fd until GC (dozens of gates per sweep JVM)
+      val walk = java.nio.file.Files.walk(out.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
     }
     out
   }

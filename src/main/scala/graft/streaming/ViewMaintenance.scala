@@ -209,8 +209,15 @@ object ViewMaintenance {
       .filter(col("batch_id") <= upto)
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // GC ALL crashed attempts' leftovers, not just this upto's: upto
+    // grows monotonically, so a temp orphaned by a crash at an earlier
+    // coverage would otherwise persist forever — invisible to readers
+    // (dot-dirs) but inflating storage and the listing cost compaction
+    // exists to bound
+    fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".compact_attempt_"))
+      .foreach(d => fs.delete(d, true))
     val tmp = new Path(p, s".compact_attempt_$upto")
-    fs.delete(tmp, true) // a crashed attempt's leftovers
     fold(covered.drop("batch_id")).write.mode("overwrite")
       .parquet(tmp.toString)
     val fin = new Path(p, s"batch_id=$newBaseId")
