@@ -774,9 +774,13 @@ object MultimodalQueries {
     val flags = new java.io.File(root, "flags").getPath
     val ckpt = new java.io.File(root, "ckpt").getPath
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val corpus = base.unionByName(
-      base.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    // the m12 adjacent-id remap: flag rows exist in EVERY batch, so both
+    // installments of the two-run drain carry set-state work and the
+    // cross-restart batch-0 replay probes with real flags (the r13
+    // review catch, applied to the restart gate too)
+    val corpus = base.select((col("doc_id") * 2L).as("doc_id"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") * 2L + 1L).as("doc_id"), col("text")))
     graft.ingest.BinlogSink.writeKeyedStrings(
       corpus.repartitionByRange(4, col("doc_id")), staging)
     graft.streaming.Drains.drainBinlogRestartWithRedelivery(
@@ -866,8 +870,8 @@ object MultimodalQueries {
     // (m04's report under the adjacent-id remap — see the gate comment)
     "m12_compacted_media_dedup" -> m12Oracle,
     // two-run drain + cross-restart replay == batch dedup (isolates the
-    // offset/restart seam for the set-state class)
-    "m13_restart_media_dedup" -> m04Oracle,
+    // offset/restart seam for the set-state class; m12's remapped oracle)
+    "m13_restart_media_dedup" -> m12Oracle,
     "m05_frame_dedup" -> m05Oracle,
     "m06_crossmodal_search" -> m06Oracle,
     "m07_media_manifest" -> m07Oracle,
