@@ -79,11 +79,28 @@ object BinlogSink {
     * [[writeKeyedStrings]]. The output directory is OVERWRITTEN at the
     * job level (DataFrame `mode("overwrite")` semantics) — required by
     * the first-attempt-wins task commit, which never deletes an
-    * already-committed file. */
+    * already-committed file.
+    *
+    * Wire identity and framing knobs (all default to the r12 shapes —
+    * defaults produce byte-identical files to before they existed):
+    *   - `table`/`tableId` name the TABLE_MAP target, so one FEED can
+    *     carry several tables' changelogs (stage per-table sink runs,
+    *     deliver into one watched dir — the decoder's per-file registry
+    *     keys on table_id and every event carries `schema`/`table`);
+    *   - `fileSeqStart` offsets the `mysql-bin.NNNNNN` numbering, so a
+    *     second installment (later delivery, another table, an evolved
+    *     schema) sorts strictly AFTER an earlier one in the source's
+    *     natural-version order instead of colliding with it;
+    *   - `rowsPerTxn` > 0 closes the transaction (XID) and opens a new
+    *     one (GTID, BEGIN) every N rows, producing the many-transactions-
+    *     per-file layout real binlogs have; 0 keeps one transaction per
+    *     file. An event never spans a transaction boundary. */
   def writeChanges(df: DataFrame, dir: String, maxLen: Int = 0,
-      rowsPerEvent: Int = 100): Unit =
+      rowsPerEvent: Int = 100, table: String = "delta", tableId: Long = 11L,
+      fileSeqStart: Int = 1, rowsPerTxn: Int = 0): Unit =
     writeChangesImpl(df, dir, maxLen, rowsPerEvent, allowNulls = true,
-      dml = false)
+      dml = false, table = table, tableId = tableId,
+      fileSeqStart = fileSeqStart, rowsPerTxn = rowsPerTxn)
 
   /** Write a FULL-DML changelog — the one wire shape [[writeChanges]]
     * does not speak: `df`'s first column is INT op ∈ {+1 insert,
@@ -97,14 +114,20 @@ object BinlogSink {
     * Unused images (an insert's before half, a delete's after half)
     * are ignored and may be null. Types/bounds/nulls as
     * [[writeChanges]]; a VARCHAR column's derived bound covers both
-    * its images. */
+    * its images, and the same wire identity/framing knobs apply. */
   def writeDml(df: DataFrame, dir: String, maxLen: Int = 0,
-      rowsPerEvent: Int = 100): Unit =
+      rowsPerEvent: Int = 100, table: String = "delta", tableId: Long = 11L,
+      fileSeqStart: Int = 1, rowsPerTxn: Int = 0): Unit =
     writeChangesImpl(df, dir, maxLen, rowsPerEvent, allowNulls = true,
-      dml = true)
+      dml = true, table = table, tableId = tableId,
+      fileSeqStart = fileSeqStart, rowsPerTxn = rowsPerTxn)
 
   private def writeChangesImpl(df: DataFrame, dir: String, maxLen: Int,
-      rowsPerEvent: Int, allowNulls: Boolean, dml: Boolean = false): Unit = {
+      rowsPerEvent: Int, allowNulls: Boolean, dml: Boolean = false,
+      table: String = "delta", tableId: Long = 11L,
+      fileSeqStart: Int = 1, rowsPerTxn: Int = 0): Unit = {
+    require(fileSeqStart >= 1, s"fileSeqStart must be >= 1, got $fileSeqStart")
+    require(rowsPerTxn >= 0, s"rowsPerTxn must be >= 0, got $rowsPerTxn")
     import BinlogBinaryWriter._
     val sconf = org.apache.spark.graftshim.SerializableHadoopConf.session()
     val dirPath = new Path(dir)
@@ -199,9 +222,9 @@ object BinlogSink {
           // failure by RETURNING false, not throwing — every result is
           // checked, so a failed commit fails the task loudly instead of
           // reporting success with no output.
-          val fin = new Path(dirUri, f"mysql-bin.${pid + 1}%06d")
+          val fin = new Path(dirUri, f"mysql-bin.${fileSeqStart + pid}%06d")
           val tmp = new Path(dirUri,
-            f".mysql-bin.${pid + 1}%06d.attempt${tc.taskAttemptId()}")
+            f".mysql-bin.${fileSeqStart + pid}%06d.attempt${tc.taskAttemptId()}")
           val fs = fin.getFileSystem(sconf.value)
           val os = fs.create(tmp, true)
           var committed = false
@@ -209,8 +232,21 @@ object BinlogSink {
             val f = new FileBuilder(checksums = true,
               sink = new java.io.BufferedOutputStream(os, 1 << 16))
             f.fde(t0)
-            f.event(t0, 33, gtidBody(sid, pid + 1L))
-            f.event(t0, 2, queryBody("sf", "BEGIN"))
+            // transaction framing: txnIdx 0 reproduces the historical
+            // single-transaction gno/xid values exactly; later txns step
+            // by a stride far past any partition id
+            var txnIdx = 0
+            var rowsInTxn = 0
+            def openTxn(): Unit = {
+              f.event(t0, 33, gtidBody(sid, pid + 1L + 100000L * txnIdx))
+              f.event(t0, 2, queryBody("sf", "BEGIN"))
+            }
+            def closeTxn(): Unit = {
+              f.event(t0, 16, xidBody(1000L + pid + 100000L * txnIdx))
+              txnIdx += 1
+              rowsInTxn = 0
+            }
+            openTxn()
             // group CONSECUTIVE same-op rows into one event (an event has
             // one type), preserving partition order on the wire
             val it = rows.map { r =>
@@ -253,23 +289,33 @@ object BinlogSink {
               else (op, cells, cells)
             }.buffered
             while (it.hasNext) {
+              if (rowsPerTxn > 0 && rowsInTxn >= rowsPerTxn) {
+                closeTxn(); openTxn()
+              }
               val op = it.head._1
+              // an event never spans a transaction boundary: cap the
+              // batch at whichever comes first — the event bound or the
+              // rows left in this transaction
+              val cap =
+                if (rowsPerTxn > 0) math.min(rowsPerEvent, rowsPerTxn - rowsInTxn)
+                else rowsPerEvent
               val batch = scala.collection.mutable.ArrayBuffer
                 .empty[(Seq[Option[Array[Byte]]], Seq[Option[Array[Byte]]])]
-              while (it.hasNext && it.head._1 == op && batch.size < rowsPerEvent) {
+              while (it.hasNext && it.head._1 == op && batch.size < cap) {
                 val t = it.next(); batch += ((t._2, t._3))
               }
-              f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+              rowsInTxn += batch.size
+              f.event(t0, 19, tableMapBody(tableId, "sf", table, cols))
               op match {
-                case 1 => f.event(t0, 30, rowsBody(11, cols.size,
+                case 1 => f.event(t0, 30, rowsBody(tableId, cols.size,
                   batch.toSeq.map(_._2)))             // insert: AFTER image
-                case -1 => f.event(t0, 32, rowsBody(11, cols.size,
+                case -1 => f.event(t0, 32, rowsBody(tableId, cols.size,
                   batch.toSeq.map(_._1)))             // delete: BEFORE image
-                case 0 => f.event(t0, 31, updateRowsBody(11, cols.size,
+                case 0 => f.event(t0, 31, updateRowsBody(tableId, cols.size,
                   batch.toSeq))                       // update: both, paired
               }
             }
-            f.event(t0, 16, xidBody(1000L + pid))
+            closeTxn()
             f.flush()
             committed = true
           } finally {

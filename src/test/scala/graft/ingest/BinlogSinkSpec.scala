@@ -236,6 +236,73 @@ class BinlogSinkSpec extends AnyFunSuite with SparkTestSession {
       || Option(e.getCause).exists(_.getMessage.contains("null payload")))
   }
 
+  test("rowsPerTxn frames many transactions per file; every row still decodes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_x_").toString
+    // 25 rows at 7 rows/txn → 4 transactions (7+7+7+4) in ONE file:
+    // 4 GTIDs, 4 BEGINs, 4 XIDs, events never spanning a txn boundary
+    val rows = (0 until 25).map(i => (1, i.toLong, s"t$i"))
+    BinlogSink.writeChanges(rows.toDF("op", "k", "v").coalesce(1), dir,
+      rowsPerEvent = 3, rowsPerTxn = 7)
+    val ev = spark.read.format("binlog").load(dir)
+      .select("event_type", "event_index", "row_images", "gtid_next")
+      .collect()
+    assert(ev.count(_.getString(0) == "XID") == 4)
+    assert(ev.count(_.getString(0) == "Gtid") == 4)
+    assert(ev.count(r => r.getString(0) == "Query") == 4) // BEGINs
+    // the GTID gnos are distinct (one per transaction)
+    assert(ev.filter(_.getString(0) == "Gtid")
+      .map(_.getString(3)).distinct.length == 4)
+    // row batches between consecutive XIDs sum to the txn sizes
+    val back = ev.filter(_.getString(0) == "WriteRowsEventV2")
+      .flatMap(_.getSeq[scala.collection.Seq[String]](2))
+      .map(img => (img(0).toLong, img(1))).toSet
+    assert(back == rows.map(r => (r._2, r._3)).toSet)
+    // no WRITE_ROWS event crosses an XID with more rows than the txn cap
+    val ordered = ev.sortBy(_.getLong(1))
+    var inTxn = 0
+    ordered.foreach { r =>
+      r.getString(0) match {
+        case "WriteRowsEventV2" =>
+          inTxn += r.getSeq[scala.collection.Seq[String]](2).size
+          assert(inTxn <= 7, s"transaction carried $inTxn rows (cap 7)")
+        case "XID" => inTxn = 0
+        case _ => ()
+      }
+    }
+  }
+
+  test("table/tableId/fileSeqStart: two tables staged separately merge into one ordered feed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_2t_").toString
+    val feed = new java.io.File(dir, "feed"); feed.mkdirs()
+    val stA = new java.io.File(dir, "a").getPath
+    val stB = new java.io.File(dir, "b").getPath
+    BinlogSink.writeChanges(
+      (0 until 10).map(i => (1, i.toLong, s"a$i")).toDF("op", "k", "v")
+        .coalesce(1), stA, table = "ta", tableId = 21L)
+    BinlogSink.writeChanges(
+      (0 until 8).map(i => (1, i.toLong, i * 10L)).toDF("op", "k", "x")
+        .coalesce(1), stB, table = "tb", tableId = 22L, fileSeqStart = 101)
+    Seq(stA, stB).foreach { st =>
+      new java.io.File(st).listFiles().filterNot(_.getName.startsWith("."))
+        .foreach(f => assert(f.renameTo(new java.io.File(feed, f.getName))))
+    }
+    val names = feed.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(names sameElements Array("mysql-bin.000001", "mysql-bin.000101"),
+      names.mkString(","))
+    val rows = spark.read.format("binlog").load(feed.getPath)
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(col("table"), explode(col("row_images")).as("img"))
+      .select(col("table"), element_at(col("img"), 1).cast("long").as("k"),
+        element_at(col("img"), 2).as("v"))
+      .as[(String, Long, String)].collect()
+    assert(rows.filter(_._1 == "ta").map(r => (r._2, r._3)).toSet ==
+      (0 until 10).map(i => (i.toLong, s"a$i")).toSet)
+    assert(rows.filter(_._1 == "tb").map(r => (r._2, r._3.toLong)).toSet ==
+      (0 until 8).map(i => (i.toLong, i * 10L)).toSet)
+  }
+
   test("empty input writes no files; decoder sees an empty directory") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_binlog_sink_e_").toString
