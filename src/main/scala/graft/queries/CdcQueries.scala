@@ -3356,6 +3356,100 @@ object CdcQueries {
       .orderBy("ver")
   }
 
+  // cdc55 — SCHEMA EVOLUTION ON THE WIRE (the seam p16 left open: p16
+  // evolved the maintained STATE's partials, but its feed never changed
+  // shape — real CDC evolution starts upstream, with an ALTER TABLE
+  // emitting a NEW TABLE_MAP mid-binlog). The changelog's early files
+  // carry (k, v); from a data-derived midpoint the table gains a BIGINT
+  // column and later files carry (k, v, w) — each file's TABLE_MAP
+  // declares its own arity, the decoder's per-file registry applies the
+  // right layout to each ROWS event (no global schema, exactly as MySQL
+  // replicas handle ALTER), and the drain normalizes every batch to the
+  // wide shape (absent column = NULL — the image's size says which
+  // epoch the row crossed in). Mid-drain, maybeCompact folds narrow AND
+  // wide partitions into one wide-schema base (the p16 boundary fold,
+  // now fed by the wire), and the injected batch-0 redelivery lands as
+  // a COVERED narrow-epoch replay that the read-side live rule absorbs.
+  // The oracle rebuilds both epochs from the midpoint rule, so a
+  // misaligned image (wrong arity applied), a dropped narrow row, or a
+  // fold that loses the late column is a hash mismatch. At 100 TB this
+  // is a zero-downtime column add: no feed rewrite, no dual-write
+  // window, old rows age into the base with the column NULL.
+  def cdc55WireEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc55_", dir)
+    root.mkdirs()
+    val stageN = new java.io.File(root, "stage_narrow").getPath
+    val stageW = new java.io.File(root, "stage_wide").getPath
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"), col("user_id"))
+    val maxRow = base.agg(max(col("k"))).head()
+    val mid = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) / 2
+    val v = concat(lit("u"), col("user_id"))
+    // pre-ALTER installment: (op, k, v) — 2-column TABLE_MAPs
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") <= mid)
+        .select(lit(1).as("op"), col("k"), v.as("v"))
+        .repartitionByRange(2, col("k")),
+      stageN)
+    // post-ALTER installment: (op, k, v, w) — 3-column TABLE_MAPs,
+    // numbered to sort strictly after the narrow files
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") > mid)
+        .select(lit(1).as("op"), col("k"), v.as("v"),
+          (col("k") * 3L + 1L).as("w"))
+        .repartitionByRange(2, col("k")),
+      stageW, fileSeqStart = 101)
+    Seq(stageN, stageW).foreach { st =>
+      Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .foreach { f =>
+          require(f.renameTo(new java.io.File(feed, f.getName)),
+            s"fixture deliver failed: $f")
+        }
+    }
+    val wideSchema = "k BIGINT, v STRING, w BIGINT, batch_id BIGINT"
+    drainWithRedelivery(spark, feed.getPath, ckpt) { (batch, id) =>
+      // normalize EACH batch to the wide shape: the image's own arity
+      // (the TABLE_MAP that framed it) decides whether w exists
+      val norm = batch.filter(col("event_type") === "WriteRowsEventV2")
+        .select(explode(col("row_images")).as("img"))
+        .select(
+          element_at(col("img"), 1).cast("long").as("k"),
+          element_at(col("img"), 2).as("v"),
+          when(size(col("img")) >= 3,
+            element_at(col("img"), 3).cast("long")).as("w"))
+      ViewMaintenance.applyIdempotent(norm, state, id)
+      // compaction SPANS the evolution boundary: narrow partitions read
+      // as w = NULL under the wide schema and fold (identity — the
+      // state is an exactly-once row set) into a wide-schema base
+      ViewMaintenance.maybeCompact(spark, state, wideSchema,
+        maxLive = 2, keepLast = 1)(df => df)
+    }
+    ViewMaintenance.readState(spark, state, wideSchema)
+      .withColumn("epoch", when(col("w").isNull, "narrow").otherwise("wide"))
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
+        sum(coalesce(col("w"), lit(0L))).as("w_sum"))
+      .orderBy("epoch")
+  }
+
+  val cdc55Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |), mx AS (
+      |  SELECT MAX(k) // 2 AS mid FROM base
+      |)
+      |SELECT CASE WHEN k <= mid THEN 'narrow' ELSE 'wide' END AS epoch,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum,
+      |  CAST(SUM(CASE WHEN k > mid THEN 3 * k + 1 ELSE 0 END) AS BIGINT) AS w_sum
+      |FROM base, mx GROUP BY 1 ORDER BY 1""".stripMargin
+
   val cdc54Oracle: String =
     """WITH base AS (
       |  SELECT event_id AS k, user_id FROM events
@@ -3373,6 +3467,7 @@ object CdcQueries {
       |FROM fin GROUP BY ver ORDER BY ver""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc55_wire_evolution" -> (cdc55WireEvolution _),
     "cdc54_wire_dml_apply" -> (cdc54WireDmlApply _),
     "cdc52_stream_stream_band" -> (cdc52StreamStreamBand _),
     "cdc53_restart_ivm" -> (cdc53RestartIvm _),
@@ -3482,6 +3577,7 @@ object CdcQueries {
     "cdc50_stream_band" -> cdc04Oracle, // streaming band == batch sweep
     // stream-STREAM band (one exploded equi-join) == the batch sweep
     "cdc52_stream_stream_band" -> cdc04Oracle,
+    "cdc55_wire_evolution" -> cdc55Oracle,
     "cdc54_wire_dml_apply" -> cdc54Oracle,
     "cdc47_stream_retract" -> cdc47Oracle,
     // redelivered-batch write absorbed ⇒ still q66's exact decomposition
