@@ -3438,6 +3438,111 @@ object CdcQueries {
       .orderBy("epoch")
   }
 
+  // cdc56 — TRANSACTIONAL (XID-BOUNDED) APPLY WITH TORN-TAIL HOLDBACK.
+  // The reference carries XID events through its whole pipeline (P3
+  // keeps them next to the row events, compare_timestamps.go:118-127)
+  // but never makes them load-bearing; a real CDC consumer must — a
+  // binlog's unit of atomicity is the transaction, and a file can END
+  // mid-transaction (the database crashed after flushing row events
+  // but before the commit record). This gate applies a feed
+  // TRANSACTION-at-a-time: a row event's changes are visible iff a
+  // later XID in the SAME file covers them, so the torn tail (rows
+  // written, no commit) is held back rather than half-applied. The
+  // fixture: the sink slice rides multi-transaction files (rowsPerTxn —
+  // many XIDs per file, every boundary honored), plus one crafted tail
+  // file holding a COMMITTED transaction followed by a transaction the
+  // file ends inside (bounded fixture classes k % 131 ∈ {0, 1}; the
+  // torn class is ~1/131 of the corpus at any SF). The apply computes
+  // each file's LAST-XID frontier (one tiny per-file aggregate over the
+  // sparse XID events — broadcast back against the row events, never a
+  // shuffle of the data side) and keeps rows with event_index below it;
+  // files with no XID contribute nothing. The oracle excludes exactly
+  // the torn class, so a half-applied transaction (torn rows leaking
+  // through) adds a row group and any dropped committed transaction
+  // (over-eager holdback) loses one — both hash mismatches. At 100 TB
+  // the frontier side is |files| rows; the data side is untouched until
+  // the one broadcast-joined filter.
+  def cdc56TxnAtomicApply(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpFixtureDir("graft_cdc56_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    // committed bulk: many transactions per file through the sink
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 2)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(3, col("k")),
+      feed.getPath, rowsPerTxn = 50)
+    // the tail file: txn A commits, txn B is torn (no XID — EOF inside
+    // the transaction). Bounded fixture classes, written driver-side
+    // with the byte-level builder because the torn shape is precisely
+    // what the distributed sink refuses to produce.
+    val t1 = base.filter(col("k") % 131 === 0).orderBy("k").collect()
+    val t2 = base.filter(col("k") % 131 === 1).orderBy("k").collect()
+    if (t1.nonEmpty || t2.nonEmpty) {
+      import graft.ingest.BinlogBinaryWriter._
+      val bound = math.max(20,
+        (t1 ++ t2).map(_.getString(1).getBytes("UTF-8").length).max + 16)
+      val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
+      def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+        Seq(Some(encLongLong(r.getLong(0))),
+          Some(encVarchar(r.getString(1), bound)))
+      val t0 = 1714564800L
+      val sid = (1 to 16).map(_.toByte).toArray
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      f.event(t0, 33, gtidBody(sid, 901L))
+      f.event(t0, 2, queryBody("sf", "BEGIN"))
+      t1.grouped(100).foreach { b =>
+        f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+        f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
+      }
+      f.event(t0, 16, xidBody(9001L))
+      // txn B: opened, rows flushed, never committed — the file ends here
+      f.event(t0, 33, gtidBody(sid, 902L))
+      f.event(t0, 2, queryBody("sf", "BEGIN"))
+      t2.grouped(100).foreach { b =>
+        f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+        f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
+      }
+      java.nio.file.Files.write(
+        new java.io.File(feed, "mysql-bin.000501").toPath, f.bytes)
+    }
+    val ev = spark.read.format("binlog").load(feed.getPath)
+    // per-file commit frontier: the last XID's event_index (XIDs are
+    // sparse — this side is |files| rows, broadcast below)
+    val frontier = ev.filter(col("event_type") === "XID")
+      .groupBy("binlog_file").agg(max(col("event_index")).as("last_xid_idx"))
+    val committed = ev.filter(col("event_type") === "WriteRowsEventV2")
+      .select(col("binlog_file"), col("event_index"),
+        explode(col("row_images")).as("img"))
+      .join(broadcast(frontier), Seq("binlog_file"), "left")
+      // no XID after the row (or none in the file) ⇒ the transaction
+      // never committed ⇒ held back
+      .filter(col("event_index") < coalesce(col("last_xid_idx"), lit(-1L)))
+      .select(element_at(col("img"), 1).cast("long").as("k"))
+    committed
+      .withColumn("src", when(col("k") % 131 === 0, "torn_file_committed")
+        .otherwise("sink"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("src")
+  }
+
+  val cdc56Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT CASE WHEN k % 131 = 0 THEN 'torn_file_committed'
+      |            ELSE 'sink' END AS src,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM base WHERE k % 131 <> 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val cdc55Oracle: String =
     """WITH base AS (
       |  SELECT event_id AS k FROM events
@@ -3467,6 +3572,7 @@ object CdcQueries {
       |FROM fin GROUP BY ver ORDER BY ver""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc56_txn_atomic_apply" -> (cdc56TxnAtomicApply _),
     "cdc55_wire_evolution" -> (cdc55WireEvolution _),
     "cdc54_wire_dml_apply" -> (cdc54WireDmlApply _),
     "cdc52_stream_stream_band" -> (cdc52StreamStreamBand _),
@@ -3577,6 +3683,7 @@ object CdcQueries {
     "cdc50_stream_band" -> cdc04Oracle, // streaming band == batch sweep
     // stream-STREAM band (one exploded equi-join) == the batch sweep
     "cdc52_stream_stream_band" -> cdc04Oracle,
+    "cdc56_txn_atomic_apply" -> cdc56Oracle,
     "cdc55_wire_evolution" -> cdc55Oracle,
     "cdc54_wire_dml_apply" -> cdc54Oracle,
     "cdc47_stream_retract" -> cdc47Oracle,
