@@ -3532,6 +3532,108 @@ object CdcQueries {
       .orderBy("src")
   }
 
+  // cdc57 — MULTI-TABLE DEMULTIPLEX: a real binlog is one totally-
+  // ordered stream carrying EVERY table's changes (the reference's
+  // events all carry schema/table attribution from their TABLE_MAPs,
+  // json_parser.go's whitelist keeps both keys); a CDC consumer fans
+  // that single feed out into per-table maintained states without
+  // re-reading it once per table. Here two tables with different
+  // shapes — ta(k, v STRING) and tb(k, x BIGINT), distinct table_ids —
+  // interleave file-by-file in one watched dir (fileSeqStart staggers
+  // the installments so natural-version order ALTERNATES tables), and
+  // the drain routes each micro-batch by the decoded `table` column:
+  // one localCheckpoint per batch (the feed is read ONCE), then one
+  // applyIdempotent per table state. A batch holding only ta's file
+  // writes tb an empty batch — the exactly-once discipline holds
+  // per-state regardless of which tables a batch touches, and the
+  // injected batch-0 replay (a ta file) must be absorbed by BOTH
+  // states (ta by partition overwrite, tb by the empty write being a
+  // no-op). The oracle rebuilds both tables' aggregates from the base
+  // relation, so cross-table leakage (a tb row landing in ta's state),
+  // a dropped table, or a double-fed replay all hash-mismatch. At
+  // 100 TB this is THE deployment shape: one binlog subscription, N
+  // states — the alternative (N subscriptions filtering one table
+  // each) reads the feed N times.
+  def cdc57MultiTableDemux(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc57_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val stateA = new java.io.File(root, "state_ta").getPath
+    val stateB = new java.io.File(root, "state_tb").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"), col("user_id"))
+    val maxRow = base.agg(max(col("k"))).head()
+    val mid = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) / 2
+    // four staged installments, numbered so the feed ALTERNATES tables
+    // in natural-version order: ta(1), tb(2), ta(3), tb(4)
+    def stage(name: String, df: DataFrame, table: String, tableId: Long,
+        seq: Int): Unit = {
+      val st = new java.io.File(root, name).getPath
+      graft.ingest.BinlogSink.writeChanges(df.coalesce(1), st,
+        table = table, tableId = tableId, fileSeqStart = seq)
+      Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .foreach { f =>
+          require(f.renameTo(new java.io.File(feed, f.getName)),
+            s"fixture deliver failed: $f")
+        }
+    }
+    val ta = base.select(lit(1).as("op"), col("k"),
+      concat(lit("u"), col("user_id")).as("v"))
+    val tb = base.select(lit(1).as("op"), col("k"),
+      (col("user_id") * 3L).as("x"))
+    stage("st1", ta.filter(col("k") <= mid), "ta", 21L, seq = 1)
+    stage("st2", tb.filter(col("k") <= mid), "tb", 22L, seq = 2)
+    stage("st3", ta.filter(col("k") > mid), "ta", 21L, seq = 3)
+    stage("st4", tb.filter(col("k") > mid), "tb", 22L, seq = 4)
+    drainWithRedelivery(spark, feed.getPath, ckpt) { (batch, id) =>
+      // ONE pass over the batch, N routed state writes
+      val b = batch.filter(col("event_type") === "WriteRowsEventV2")
+        .select(col("table"), explode(col("row_images")).as("img"))
+        .localCheckpoint(true)
+      ViewMaintenance.applyIdempotent(
+        b.filter(col("table") === "ta")
+          .select(element_at(col("img"), 1).cast("long").as("k"),
+            element_at(col("img"), 2).as("v")),
+        stateA, id)
+      ViewMaintenance.applyIdempotent(
+        b.filter(col("table") === "tb")
+          .select(element_at(col("img"), 1).cast("long").as("k"),
+            element_at(col("img"), 2).cast("long").as("x")),
+        stateB, id)
+    }
+    val servedA = ViewMaintenance.readState(spark, stateA,
+        "k BIGINT, v STRING, batch_id BIGINT")
+      .withColumn("tbl", lit("ta"))
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
+        sum(length(col("v"))).as("payload_sum"))
+    val servedB = ViewMaintenance.readState(spark, stateB,
+        "k BIGINT, x BIGINT, batch_id BIGINT")
+      .withColumn("tbl", lit("tb"))
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
+        sum(col("x")).as("payload_sum"))
+    servedA.unionByName(servedB).orderBy("tbl")
+  }
+
+  val cdc57Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k, user_id FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT 'ta' AS tbl, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum,
+      |  CAST(SUM(LENGTH('u' || CAST(user_id AS VARCHAR))) AS BIGINT) AS payload_sum
+      |FROM base
+      |UNION ALL
+      |SELECT 'tb', COUNT(*), CAST(SUM(k) AS BIGINT),
+      |  CAST(SUM(user_id * 3) AS BIGINT)
+      |FROM base
+      |ORDER BY tbl""".stripMargin
+
   val cdc56Oracle: String =
     """WITH base AS (
       |  SELECT event_id AS k FROM events
@@ -3572,6 +3674,7 @@ object CdcQueries {
       |FROM fin GROUP BY ver ORDER BY ver""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc57_multi_table_demux" -> (cdc57MultiTableDemux _),
     "cdc56_txn_atomic_apply" -> (cdc56TxnAtomicApply _),
     "cdc55_wire_evolution" -> (cdc55WireEvolution _),
     "cdc54_wire_dml_apply" -> (cdc54WireDmlApply _),
@@ -3683,6 +3786,7 @@ object CdcQueries {
     "cdc50_stream_band" -> cdc04Oracle, // streaming band == batch sweep
     // stream-STREAM band (one exploded equi-join) == the batch sweep
     "cdc52_stream_stream_band" -> cdc04Oracle,
+    "cdc57_multi_table_demux" -> cdc57Oracle,
     "cdc56_txn_atomic_apply" -> cdc56Oracle,
     "cdc55_wire_evolution" -> cdc55Oracle,
     "cdc54_wire_dml_apply" -> cdc54Oracle,
