@@ -94,7 +94,18 @@ object BinlogSink {
     *   - `rowsPerTxn` > 0 closes the transaction (XID) and opens a new
     *     one (GTID, BEGIN) every N rows, producing the many-transactions-
     *     per-file layout real binlogs have; 0 keeps one transaction per
-    *     file. An event never spans a transaction boundary. */
+    *     file. An event never spans a transaction boundary.
+    *
+    * DETERMINISM PRECONDITION: `df` must be deterministic under
+    * recomputation. Two places rely on it — (a) the first-attempt-wins
+    * task commit keeps whichever attempt's file landed first, which is a
+    * correct encode only because sibling attempts carry the same row
+    * multiset, and (b) the derived-VARCHAR pass (`maxLen <= 0`) computes
+    * bounds in a first aggregate pass and encodes in a second, so a
+    * nondeterministic payload (e.g. rand()-derived) could exceed its own
+    * declared bound mid-write (loud, but after temp files exist).
+    * localCheckpoint a nondeterministic frame before the sink, or pin
+    * `maxLen`. */
   def writeChanges(df: DataFrame, dir: String, maxLen: Int = 0,
       rowsPerEvent: Int = 100, table: String = "delta", tableId: Long = 11L,
       fileSeqStart: Int = 1, rowsPerTxn: Int = 0): Unit =
@@ -176,7 +187,10 @@ object BinlogSink {
     // VARCHAR bounds: pinned by the caller, or derived from the data
     // (max UTF-8 byte length + headroom, floor 20) in ONE aggregate —
     // the TABLE_MAP must declare a bound every payload honors, and a
-    // literal bound is a silent cliff at the next scale factor.
+    // literal bound is a silent cliff at the next scale factor. The
+    // derive pass RECOMPUTES the input (see the determinism
+    // precondition in the scaladoc): pass-1 bounds cover pass-2
+    // payloads only for a deterministic frame.
     val strIdx = types.zipWithIndex.collect { case (StringType, i) => i }
     val bounds: Map[Int, Int] =
       if (maxLen > 0) strIdx.map(_ -> maxLen).toMap
@@ -233,16 +247,24 @@ object BinlogSink {
               sink = new java.io.BufferedOutputStream(os, 1 << 16))
             f.fde(t0)
             // transaction framing: txnIdx 0 reproduces the historical
-            // single-transaction gno/xid values exactly; later txns step
-            // by a stride far past any partition id
+            // single-transaction gno/xid values exactly at the default
+            // fileSeqStart=1; later txns step by a stride far past any
+            // realistic partition id. fileSeqStart is folded into the
+            // base so multi-installment staging into one watched dir
+            // gets (sid, gno) pairs exactly as distinct as its file
+            // numbering — two installments can collide on wire identity
+            // only if their file names would collide too. Remaining
+            // bound (documented, not closed): a feed with >100,000
+            // partitions aliases pid into a later txnIdx's stride.
+            val txnBase = fileSeqStart.toLong - 1L + pid
             var txnIdx = 0
             var rowsInTxn = 0
             def openTxn(): Unit = {
-              f.event(t0, 33, gtidBody(sid, pid + 1L + 100000L * txnIdx))
+              f.event(t0, 33, gtidBody(sid, txnBase + 1L + 100000L * txnIdx))
               f.event(t0, 2, queryBody("sf", "BEGIN"))
             }
             def closeTxn(): Unit = {
-              f.event(t0, 16, xidBody(1000L + pid + 100000L * txnIdx))
+              f.event(t0, 16, xidBody(1000L + txnBase + 100000L * txnIdx))
               txnIdx += 1
               rowsInTxn = 0
             }

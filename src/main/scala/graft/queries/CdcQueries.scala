@@ -3480,8 +3480,18 @@ object CdcQueries {
     // the transaction). Bounded fixture classes, written driver-side
     // with the byte-level builder because the torn shape is precisely
     // what the distributed sink refuses to produce.
-    val t1 = base.filter(col("k") % 131 === 0).orderBy("k").collect()
-    val t2 = base.filter(col("k") % 131 === 1).orderBy("k").collect()
+    // explicit bound on the fixture collect (the other fixture writers'
+    // limit + require discipline): the two 1/131 classes are a few
+    // hundred rows at sf0.1; hitting the cap means the fixture stopped
+    // being a bounded test vector, which must fail loudly, not OOM
+    val fixtureCap = 200000
+    val t1 = base.filter(col("k") % 131 === 0).orderBy("k")
+      .limit(fixtureCap + 1).collect()
+    val t2 = base.filter(col("k") % 131 === 1).orderBy("k")
+      .limit(fixtureCap + 1).collect()
+    require(t1.length <= fixtureCap && t2.length <= fixtureCap,
+      s"cdc56 fixture classes must stay bounded test vectors, got " +
+        s"${t1.length}/${t2.length} rows (cap $fixtureCap)")
     if (t1.nonEmpty || t2.nonEmpty) {
       import graft.ingest.BinlogBinaryWriter._
       val bound = math.max(20,

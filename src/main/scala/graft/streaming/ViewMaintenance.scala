@@ -65,12 +65,20 @@ object ViewMaintenance {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
     val df = spark.read.schema(schema).parquet(stateDir)
     newestBase(spark, stateDir) match {
-      case Some(nb) if schema.contains("batch_id") =>
+      case Some(nb) if hasBatchId(schema) =>
         df.filter(col("batch_id") === lit(nb) ||
           col("batch_id") > lit(BaseMark - nb))
       case _ => df
     }
   }
+
+  /** An applyIdempotent state is recognized by an EXACT `batch_id` field
+    * in the parsed DDL — a substring test would false-positive on a
+    * schema containing e.g. "batch_idx BIGINT" and then fail later at
+    * analysis with an obscure unresolved-column error (r13 ADVICE). */
+  private def hasBatchId(schema: String): Boolean =
+    org.apache.spark.sql.types.StructType.fromDDL(schema)
+      .fieldNames.contains("batch_id")
 
   /** Reserved `batch_id` region for base snapshots: a compaction covering
     * `upto` lands at `batch_id = BaseMark - upto`, so base ids are
@@ -138,6 +146,13 @@ object ViewMaintenance {
   def stateMetrics(spark: SparkSession, stateDir: String,
       schema: String): DataFrame = {
     import org.apache.spark.sql.functions.count
+    // same loud guard compact gives: the per-partition grouping below
+    // needs an applyIdempotent state — without it the caller would get
+    // an obscure AnalysisException instead of this message (r13 ADVICE)
+    require(hasBatchId(schema),
+      "stateMetrics needs an applyIdempotent state (an exact batch_id " +
+        "field in the schema); appendBatch states have no partition " +
+        "manifest to report")
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
@@ -198,8 +213,9 @@ object ViewMaintenance {
     * caller's race to avoid, exactly as for any table maintenance. */
   def compact(spark: SparkSession, stateDir: String, schema: String,
       upto: Long)(fold: DataFrame => DataFrame): Unit = {
-    require(schema.contains("batch_id"),
-      "compact needs an applyIdempotent state (batch_id in the schema)")
+    require(hasBatchId(schema),
+      "compact needs an applyIdempotent state (an exact batch_id field " +
+        "in the schema)")
     require(upto >= 0L, s"compaction coverage must be >= 0, got $upto")
     val coverage = newestBase(spark, stateDir).map(BaseMark - _)
     require(coverage.forall(_ <= upto),
