@@ -25,7 +25,8 @@ object SparkEntry {
     RelationalQueries.queries ++ AnalyticQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       PqQueries.queries ++ GraphAnnQueries.queries ++ StreamSearchQueries.queries ++
-      CdcQueries.queries ++ MultimodalQueries.queries ++
+      CdcQueries.queries ++ LifecycleQueries.queries ++
+      MultimodalQueries.queries ++
       PipelineQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,6 +35,7 @@ object SparkEntry {
     RelationalQueries.oracles ++ AnalyticQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       PqQueries.oracles ++ GraphAnnQueries.oracles ++ StreamSearchQueries.oracles ++
-      CdcQueries.oracles ++ MultimodalQueries.oracles ++
+      CdcQueries.oracles ++ LifecycleQueries.oracles ++
+      MultimodalQueries.oracles ++
       PipelineQueries.oracles ++ GraphQueries.oracles
 }

@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.cdc.{Comparator, Report}
+import graft.queries.CdcFixtures.{fixtureBase, ivmFixture, decodeIvmDelta,
+  ivmReport}
 import graft.streaming.Drains.{drainBinlogFeed, drainIdempotentWithRedelivery,
   drainWithRedelivery, streamDirs, tmpFixtureDir, withDrainPartitions}
 
@@ -39,11 +41,6 @@ object CdcQueries {
     val (binlog, avroRaw) = sidesRaw(spark, dir)
     (binlog, Comparator.prepareAvro(avroRaw))
   }
-
-  private def fixtureBase(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
-      col("event_id"), col("user_id"), col("event_type"),
-      expr("ts div 1000000000").as("sec"))
 
   private val fixtureRfc = concat(date_format(timestamp_seconds(col("sec")),
     "yyyy-MM-dd'T'HH:mm:ss"), lit("Z"))
@@ -2739,51 +2736,6 @@ object CdcQueries {
   // At 100 TB: per batch the work is |ΔA_k| join-probes against B′
   // (keyed equi-join, delta-sized) plus a ≤|priorities|-row append —
   // the view is never rescanned, which is the entire point of IVM.
-  /** q66's fixture splits, shared by cdc45/cdc48 so the three consumers
-    * of q66's oracle (q66 itself, the streaming IVM, the idempotent
-    * sink) cannot drift from the decomposition the oracle gates. */
-  private case class IvmFixture(orders: DataFrame, line: DataFrame,
-      aBase: DataFrame, aDelta: DataFrame,
-      bBase: DataFrame, bDelta: DataFrame) {
-    def partials(a: DataFrame, b: DataFrame): DataFrame =
-      a.join(b, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(sum(col("c")).as("cents"), count(lit(1)).as("n"))
-  }
-
-  private def ivmFixture(spark: SparkSession, dir: String): IvmFixture = {
-    val orders = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-    val line = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), Tables.cents(col("l_extendedprice")).as("c"))
-    IvmFixture(orders, line,
-      orders.filter(col("o_orderkey") % 5 =!= 0),
-      orders.filter(col("o_orderkey") % 5 === 0),
-      line.filter(col("l_orderkey") % 7 =!= 0),
-      line.filter(col("l_orderkey") % 7 === 0))
-  }
-
-  /** The binlog-decoded ΔA projection cdc45/cdc48 share. */
-  private def decodeIvmDelta(batch: DataFrame): DataFrame = batch
-    .filter(col("event_type") === "WriteRowsEventV2")
-    .select(explode(col("row_images")).as("img"))
-    .select(element_at(col("img"), 1).cast("long").as("o_orderkey"),
-      element_at(col("img"), 2).as("o_orderpriority"))
-
-  /** The q66 output shape over a maintained state table — full recompute
-    * next to the streamed incremental, q66's oracle columns. */
-  private def ivmReport(fx: IvmFixture, state: DataFrame): DataFrame = {
-    val incr = state
-      .groupBy("o_orderpriority")
-      .agg(sum(col("cents")).as("incr_cents"), sum(col("n")).as("n_rows_incr"))
-    fx.partials(fx.orders, fx.line)
-      .withColumnRenamed("cents", "full_cents")
-      .withColumnRenamed("n", "n_rows_full")
-      .join(incr, "o_orderpriority")
-      .select(col("o_orderpriority"), col("full_cents"), col("incr_cents"),
-        col("n_rows_full"), col("n_rows_incr"))
-      .orderBy("o_orderpriority")
-  }
 
   def cdc45StreamIvm(spark: SparkSession, dir: String): DataFrame = {
     val (feed, state, ckpt) = streamDirs("graft_cdc45_", dir)
@@ -3074,107 +3026,7 @@ object CdcQueries {
       .orderBy("tolerance_ms", "status")
   }
 
-  // cdc51 — MID-STREAM STATE COMPACTION (the IVM lifecycle gap: every
-  // ViewMaintenance state appends one batch_id partition per micro-batch
-  // forever — correct at any scale, but a year-long stream lists
-  // hundreds of thousands of partitions on every serve-time read). This
-  // is cdc48's exactly-once IVM with `ViewMaintenance.compact` run
-  // INSIDE the drain: after batch 1 lands, the state₀ seeds (−1/−2) and
-  // batch 0 fold into ONE base snapshot (additive sums summed — the
-  // mergeable-partials contract is precisely what makes the fold
-  // lossless), committed by a single Hadoop-FS rename; batches ≥ 1 stay
-  // live partitions. The gate then injects BOTH redelivery classes a
-  // compacted state must absorb: (a) a COVERED batch (batch 0, via the
-  // shared scaffold) — its recreated partition is ignored by the
-  // read-side live rule, the compaction-specific failure mode; and (b)
-  // an IN-FLIGHT post-compaction batch (the last batch, recorded
-  // in-drain) — absorbed by the batch_id partition overwrite, proving
-  // the cdc48 contract SURVIVES compaction for uncovered batches.
-  // Shares q66's oracle: any double-count (either replay) or fold loss
-  // (the compaction) is a hash mismatch. At 100 TB this is the
-  // difference between a serve-time read that lists |batches| parquet
-  // partitions and one that lists (1 base + in-flight few) — compaction
-  // cost is one fold over ≤|groups|·|batches| partial rows, amortized
-  // at the caller's cadence.
-  def cdc51CompactedIvm(spark: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.ViewMaintenance
-    val (feed, state, ckpt) = streamDirs("graft_cdc51_", dir)
-    val fx = ivmFixture(spark, dir)
-    graft.ingest.BinlogSink.writeKeyedStrings(
-      fx.aDelta.repartition(4, col("o_orderkey")), feed)
-    val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
-    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
-    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
-    val stateSchema =
-      "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT"
-    def foldPartials(df: DataFrame): DataFrame =
-      df.groupBy("o_orderpriority")
-        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
-    // the last batch's file set, recorded in-drain (bounded:
-    // maxFilesPerTrigger=1) for the in-flight replay below
-    val lateFiles = scala.collection.mutable.ArrayBuffer.empty[String]
-    var lateId = -1L
-    def applyBatch(batch: DataFrame, id: Long): Unit = {
-      ViewMaintenance.applyIdempotent(
-        fx.partials(decodeIvmDelta(batch), bPrime), state, id)
-      if (id == 1L) // MID-stream: seeds + batch 0 → base; batch 1+ live
-        ViewMaintenance.compact(spark, state, stateSchema, upto = 0L)(foldPartials)
-      if (id > 0L) {
-        lateFiles.clear()
-        lateFiles ++= batch.select(col("binlog_file")).distinct()
-          .collect().map(_.getString(0))
-        lateId = id
-      }
-    }
-    // drain + injected replay (a): the scaffold re-applies batch 0 — a
-    // COVERED batch whose recreated partition the live rule must ignore
-    drainWithRedelivery(spark, feed, ckpt)(applyBatch)
-    // injected replay (b): the last (post-compaction, in-flight) batch —
-    // absorbed by its own partition overwrite, the cdc48 contract
-    if (lateFiles.nonEmpty)
-      applyBatch(spark.read.format("binlog")
-        .load(lateFiles.toSeq.map(f => s"$feed/$f"): _*), lateId)
-    ivmReport(fx,
-      ViewMaintenance.readState(spark, state, stateSchema).drop("batch_id"))
-  }
 
-  // cdc53 — RESTART-MID-DRAIN for the maintenance matrix (additive
-  // member): cdc18 proves the offset seam for the comparator's parquet
-  // sink; every r12 maintenance gate absorbs a redelivered BATCH; this
-  // proves the two COMPOSE on a maintained state — cdc48's exactly-once
-  // IVM drained as two Trigger.AvailableNow runs against the SAME
-  // checkpoint, with the second half of the feed files arriving between
-  // them (strictly later natural-version numbers — the count-based
-  // offset contract). Run 2's offset log must skip run 1's files and
-  // its batch ids must CONTINUE (a restarted counter would overwrite
-  // run 1's batch_id partitions with run 2's partials — exactly the
-  // corruption this gate would catch); the recorded batch-0 file is
-  // then re-applied ACROSS the restart boundary (the injected
-  // redelivery). Shares q66's oracle: reprocessed files, restarted
-  // counters, and unabsorbed replays are all hash mismatches.
-  def cdc53RestartIvm(spark: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.ViewMaintenance
-    val root = tmpFixtureDir("graft_cdc53_", dir)
-    root.mkdirs()
-    val staging = new java.io.File(root, "staging").getPath
-    val feed = new java.io.File(root, "feed").getPath
-    val state = new java.io.File(root, "state").getPath
-    val ckpt = new java.io.File(root, "ckpt").getPath
-    val fx = ivmFixture(spark, dir)
-    graft.ingest.BinlogSink.writeKeyedStrings(
-      fx.aDelta.repartition(4, col("o_orderkey")), staging)
-    val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
-    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
-    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
-    graft.streaming.Drains.drainBinlogRestartWithRedelivery(
-        spark, staging, feed, ckpt) { (batch, id) =>
-      ViewMaintenance.applyIdempotent(
-        fx.partials(decodeIvmDelta(batch), bPrime), state, id)
-    }
-    ivmReport(fx, ViewMaintenance.readState(spark, state,
-      "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT")
-      .drop("batch_id"))
-  }
 
   // cdc52 — the tolerance band under STREAM-STREAM (the one tolerance
   // posture left: cdc46 batch band, cdc50 stream-static band, cdc16
@@ -3259,438 +3111,13 @@ object CdcQueries {
       .orderBy("tolerance_ms", "status")
   }
 
-  // cdc54 — FULL-DML WIRE APPLY: the last wire shape the distributed
-  // sink didn't speak (writeChanges carries WRITE/DELETE; real
-  // changelogs also UPDATE). A deterministic insert→update→delete
-  // lifecycle per key rides the wire as native WRITE_ROWS /
-  // UPDATE_ROWS (type 31, paired before/after FULL row images) /
-  // DELETE_ROWS via BinlogSink.writeDml, decodes through the binary
-  // source, and the canonical CDC consumer applies it: per key,
-  // last-wins by the wire's own total order (file, event_index, image
-  // position — range-partitioned keys keep each key's lifecycle in one
-  // file, in order), UPDATE upserting its AFTER image (odd row_images
-  // positions — the decoder's documented pairing), DELETE tombstoning.
-  // The oracle reconstructs the surviving snapshot from the lifecycle
-  // rules directly — so a wrong image picked from an update pair, a
-  // misordered event, or a dropped delete is a hash mismatch. This is
-  // cdc17's apply semantics fed by the real wire instead of a
-  // synthesized feed: together with cdc05 (decode) and cdc43
-  // (roundtrip) it closes the loop a CDC consumer actually runs. The
-  // apply is the fully GENERAL one — an update's BEFORE image
-  // tombstones its old key and its AFTER image upserts the new one, so
-  // KEY-CHANGING updates (the %11 class moves to k + max(k) + 1 — a
-  // DATA-DERIVED offset, so no scale factor can collide moved keys with
-  // base keys; the VARCHAR-bound lesson applied to key spaces) relocate
-  // rows correctly; for same-key updates the pair collapses to an
-  // upsert because the after image's position wins the per-key order.
-  // At 100 TB: one shuffle on the key (max_by hash agg), the cdc17 plan.
-  def cdc54WireDmlApply(spark: SparkSession, dir: String): DataFrame = {
-    val root = tmpFixtureDir("graft_cdc54_", dir)
-    root.mkdirs()
-    val feed = new java.io.File(root, "feed").getPath
-    val base = fixtureBase(spark, dir)
-      .filter(col("event_type").isin("purchase", "click", "view"))
-      .select(col("event_id").as("k"), col("user_id"))
-    val maxKRow = base.agg(max(col("k"))).head()
-    val moveOff = (if (maxKRow.isNullAt(0)) 0L else maxKRow.getLong(0)) + 1L
-    val nullK = lit(null).cast("bigint")
-    val nullV = lit(null).cast("string")
-    val v0 = concat(lit("v0:"), col("user_id"))
-    val v1 = concat(lit("v1:"), (col("user_id") + 7L))
-    val v2 = concat(lit("v2:"), (col("user_id") + 9L))
-    val isUpd = col("k") % 3 === 0
-    val isMove = col("k") % 3 =!= 0 && col("k") % 11 === 0
-    val curKey = when(isMove, col("k") + moveOff).otherwise(col("k"))
-    val curVal = when(isUpd, v1).when(isMove, v2).otherwise(v0)
-    val ins = base.select(lit(1).as("op"), nullK.as("bk"), nullV.as("bv"),
-      col("k").as("ak"), v0.as("av"))
-    val upd = base.filter(isUpd)
-      .select(lit(0).as("op"), col("k").as("bk"), v0.as("bv"),
-        col("k").as("ak"), v1.as("av"))
-    // the key-changing class: the row MOVES to k + max(k) + 1 (past
-    // the base keyspace by construction) — the before image carries the
-    // old identity
-    val mov = base.filter(isMove)
-      .select(lit(0).as("op"), col("k").as("bk"), v0.as("bv"),
-        (col("k") + moveOff).as("ak"), v2.as("av"))
-    // deletes target the row's CURRENT identity (post-move)
-    val del = base.filter(col("k") % 5 === 0)
-      .select(lit(-1).as("op"), curKey.as("bk"), curVal.as("bv"),
-        nullK.as("ak"), nullV.as("av"))
-    // each lifecycle step lands in the file of the key it TARGETS
-    // (coalesce(ak, bk)), in insert<update<delete order within the file;
-    // a move's tombstone-of-old-key rides the update event in the NEW
-    // key's (later) file, which still orders after the old key's insert
-    graft.ingest.BinlogSink.writeDml(
-      ins.unionByName(upd).unionByName(mov).unionByName(del)
-        .withColumn("_key", coalesce(col("ak"), col("bk")))
-        .withColumn("_ord",
-          when(col("op") === 1, 0).when(col("op") === 0, 1).otherwise(2))
-        .repartitionByRange(4, col("_key"))
-        .sortWithinPartitions("_key", "_ord")
-        .select("op", "bk", "bv", "ak", "av"),
-      feed)
-    val ev = spark.read.format("binlog").load(feed)
-      .filter(col("event_type").isin(
-        "WriteRowsEventV2", "UpdateRowsEventV2", "DeleteRowsEventV2"))
-      .select(col("binlog_file"), col("event_index"), col("event_type"),
-        posexplode(col("row_images")).as(Seq("pos", "img")))
-    // the general apply: WRITE images upsert; DELETE images tombstone;
-    // an UPDATE's even positions (BEFORE images — the decoder pairs
-    // before,after consecutively) tombstone their key and its odd
-    // positions (AFTER images) upsert theirs — same-key updates collapse
-    // because the after position wins the per-key max_by
-    val applied = ev.select(
-        element_at(col("img"), 1).cast("long").as("k"),
-        element_at(col("img"), 2).as("v"),
-        when(col("event_type") === "DeleteRowsEventV2", -1)
-          .when(col("event_type") === "UpdateRowsEventV2" && col("pos") % 2 === 0, -1)
-          .otherwise(1).as("op"),
-        struct(col("binlog_file"), col("event_index"), col("pos")).as("seq"))
-    applied.groupBy("k")
-      .agg(max_by(struct(col("op"), col("v")), col("seq")).as("w"))
-      .filter(col("w.op") === 1)
-      .select(col("k"), substring(col("w.v"), 1, 2).as("ver"))
-      .groupBy("ver")
-      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"))
-      .orderBy("ver")
-  }
 
-  // cdc55 — SCHEMA EVOLUTION ON THE WIRE (the seam p16 left open: p16
-  // evolved the maintained STATE's partials, but its feed never changed
-  // shape — real CDC evolution starts upstream, with an ALTER TABLE
-  // emitting a NEW TABLE_MAP mid-binlog). The changelog's early files
-  // carry (k, v); from a data-derived midpoint the table gains a BIGINT
-  // column and later files carry (k, v, w) — each file's TABLE_MAP
-  // declares its own arity, the decoder's per-file registry applies the
-  // right layout to each ROWS event (no global schema, exactly as MySQL
-  // replicas handle ALTER), and the drain normalizes every batch to the
-  // wide shape (absent column = NULL — the image's size says which
-  // epoch the row crossed in). Mid-drain, maybeCompact folds narrow AND
-  // wide partitions into one wide-schema base (the p16 boundary fold,
-  // now fed by the wire), and the injected batch-0 redelivery lands as
-  // a COVERED narrow-epoch replay that the read-side live rule absorbs.
-  // The oracle rebuilds both epochs from the midpoint rule, so a
-  // misaligned image (wrong arity applied), a dropped narrow row, or a
-  // fold that loses the late column is a hash mismatch. At 100 TB this
-  // is a zero-downtime column add: no feed rewrite, no dual-write
-  // window, old rows age into the base with the column NULL.
-  def cdc55WireEvolution(spark: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.ViewMaintenance
-    val root = tmpFixtureDir("graft_cdc55_", dir)
-    root.mkdirs()
-    val stageN = new java.io.File(root, "stage_narrow").getPath
-    val stageW = new java.io.File(root, "stage_wide").getPath
-    val feed = new java.io.File(root, "feed"); feed.mkdirs()
-    val state = new java.io.File(root, "state").getPath
-    val ckpt = new java.io.File(root, "ckpt").getPath
-    val base = fixtureBase(spark, dir)
-      .filter(col("event_type").isin("purchase", "click", "view"))
-      .select(col("event_id").as("k"), col("user_id"))
-    val maxRow = base.agg(max(col("k"))).head()
-    val mid = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) / 2
-    val v = concat(lit("u"), col("user_id"))
-    // pre-ALTER installment: (op, k, v) — 2-column TABLE_MAPs
-    graft.ingest.BinlogSink.writeChanges(
-      base.filter(col("k") <= mid)
-        .select(lit(1).as("op"), col("k"), v.as("v"))
-        .repartitionByRange(2, col("k")),
-      stageN)
-    // post-ALTER installment: (op, k, v, w) — 3-column TABLE_MAPs,
-    // numbered to sort strictly after the narrow files
-    graft.ingest.BinlogSink.writeChanges(
-      base.filter(col("k") > mid)
-        .select(lit(1).as("op"), col("k"), v.as("v"),
-          (col("k") * 3L + 1L).as("w"))
-        .repartitionByRange(2, col("k")),
-      stageW, fileSeqStart = 101)
-    Seq(stageN, stageW).foreach { st =>
-      Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("."))
-        .foreach { f =>
-          require(f.renameTo(new java.io.File(feed, f.getName)),
-            s"fixture deliver failed: $f")
-        }
-    }
-    val wideSchema = "k BIGINT, v STRING, w BIGINT, batch_id BIGINT"
-    drainWithRedelivery(spark, feed.getPath, ckpt) { (batch, id) =>
-      // normalize EACH batch to the wide shape: the image's own arity
-      // (the TABLE_MAP that framed it) decides whether w exists
-      val norm = batch.filter(col("event_type") === "WriteRowsEventV2")
-        .select(explode(col("row_images")).as("img"))
-        .select(
-          element_at(col("img"), 1).cast("long").as("k"),
-          element_at(col("img"), 2).as("v"),
-          when(size(col("img")) >= 3,
-            element_at(col("img"), 3).cast("long")).as("w"))
-      ViewMaintenance.applyIdempotent(norm, state, id)
-      // compaction SPANS the evolution boundary: narrow partitions read
-      // as w = NULL under the wide schema and fold (identity — the
-      // state is an exactly-once row set) into a wide-schema base
-      ViewMaintenance.maybeCompact(spark, state, wideSchema,
-        maxLive = 2, keepLast = 1)(df => df)
-    }
-    ViewMaintenance.readState(spark, state, wideSchema)
-      .withColumn("epoch", when(col("w").isNull, "narrow").otherwise("wide"))
-      .groupBy("epoch")
-      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
-        sum(coalesce(col("w"), lit(0L))).as("w_sum"))
-      .orderBy("epoch")
-  }
 
-  // cdc56 — TRANSACTIONAL (XID-BOUNDED) APPLY WITH TORN-TAIL HOLDBACK.
-  // The reference carries XID events through its whole pipeline (P3
-  // keeps them next to the row events, compare_timestamps.go:118-127)
-  // but never makes them load-bearing; a real CDC consumer must — a
-  // binlog's unit of atomicity is the transaction, and a file can END
-  // mid-transaction (the database crashed after flushing row events
-  // but before the commit record). This gate applies a feed
-  // TRANSACTION-at-a-time: a row event's changes are visible iff a
-  // later XID in the SAME file covers them, so the torn tail (rows
-  // written, no commit) is held back rather than half-applied. The
-  // fixture: the sink slice rides multi-transaction files (rowsPerTxn —
-  // many XIDs per file, every boundary honored), plus one crafted tail
-  // file holding a COMMITTED transaction followed by a transaction the
-  // file ends inside (bounded fixture classes k % 131 ∈ {0, 1}; the
-  // torn class is ~1/131 of the corpus at any SF). The apply computes
-  // each file's LAST-XID frontier (one tiny per-file aggregate over the
-  // sparse XID events — broadcast back against the row events, never a
-  // shuffle of the data side) and keeps rows with event_index below it;
-  // files with no XID contribute nothing. The oracle excludes exactly
-  // the torn class, so a half-applied transaction (torn rows leaking
-  // through) adds a row group and any dropped committed transaction
-  // (over-eager holdback) loses one — both hash mismatches. At 100 TB
-  // the frontier side is |files| rows; the data side is untouched until
-  // the one broadcast-joined filter.
-  def cdc56TxnAtomicApply(spark: SparkSession, dir: String): DataFrame = {
-    val root = tmpFixtureDir("graft_cdc56_", dir)
-    root.mkdirs()
-    val feed = new java.io.File(root, "feed"); feed.mkdirs()
-    val base = fixtureBase(spark, dir)
-      .filter(col("event_type").isin("purchase", "click", "view"))
-      .select(col("event_id").as("k"),
-        concat(lit("u"), col("user_id")).as("v"))
-    // committed bulk: many transactions per file through the sink
-    graft.ingest.BinlogSink.writeChanges(
-      base.filter(col("k") % 131 >= 2)
-        .select(lit(1).as("op"), col("k"), col("v"))
-        .repartitionByRange(3, col("k")),
-      feed.getPath, rowsPerTxn = 50)
-    // the tail file: txn A commits, txn B is torn (no XID — EOF inside
-    // the transaction). Bounded fixture classes, written driver-side
-    // with the byte-level builder because the torn shape is precisely
-    // what the distributed sink refuses to produce.
-    // explicit bound on the fixture collect (the other fixture writers'
-    // limit + require discipline): the two 1/131 classes are a few
-    // hundred rows at sf0.1; hitting the cap means the fixture stopped
-    // being a bounded test vector, which must fail loudly, not OOM
-    val fixtureCap = 200000
-    val t1 = base.filter(col("k") % 131 === 0).orderBy("k")
-      .limit(fixtureCap + 1).collect()
-    val t2 = base.filter(col("k") % 131 === 1).orderBy("k")
-      .limit(fixtureCap + 1).collect()
-    require(t1.length <= fixtureCap && t2.length <= fixtureCap,
-      s"cdc56 fixture classes must stay bounded test vectors, got " +
-        s"${t1.length}/${t2.length} rows (cap $fixtureCap)")
-    if (t1.nonEmpty || t2.nonEmpty) {
-      import graft.ingest.BinlogBinaryWriter._
-      val bound = math.max(20,
-        (t1 ++ t2).map(_.getString(1).getBytes("UTF-8").length).max + 16)
-      val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
-      def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
-        Seq(Some(encLongLong(r.getLong(0))),
-          Some(encVarchar(r.getString(1), bound)))
-      val t0 = 1714564800L
-      val sid = (1 to 16).map(_.toByte).toArray
-      val f = new FileBuilder(checksums = true)
-      f.fde(t0)
-      f.event(t0, 33, gtidBody(sid, 901L))
-      f.event(t0, 2, queryBody("sf", "BEGIN"))
-      t1.grouped(100).foreach { b =>
-        f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-        f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
-      }
-      f.event(t0, 16, xidBody(9001L))
-      // txn B: opened, rows flushed, never committed — the file ends here
-      f.event(t0, 33, gtidBody(sid, 902L))
-      f.event(t0, 2, queryBody("sf", "BEGIN"))
-      t2.grouped(100).foreach { b =>
-        f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-        f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
-      }
-      java.nio.file.Files.write(
-        new java.io.File(feed, "mysql-bin.000501").toPath, f.bytes)
-    }
-    val ev = spark.read.format("binlog").load(feed.getPath)
-    // per-file commit frontier: the last XID's event_index (XIDs are
-    // sparse — this side is |files| rows, broadcast below)
-    val frontier = ev.filter(col("event_type") === "XID")
-      .groupBy("binlog_file").agg(max(col("event_index")).as("last_xid_idx"))
-    val committed = ev.filter(col("event_type") === "WriteRowsEventV2")
-      .select(col("binlog_file"), col("event_index"),
-        explode(col("row_images")).as("img"))
-      .join(broadcast(frontier), Seq("binlog_file"), "left")
-      // no XID after the row (or none in the file) ⇒ the transaction
-      // never committed ⇒ held back
-      .filter(col("event_index") < coalesce(col("last_xid_idx"), lit(-1L)))
-      .select(element_at(col("img"), 1).cast("long").as("k"))
-    committed
-      .withColumn("src", when(col("k") % 131 === 0, "torn_file_committed")
-        .otherwise("sink"))
-      .groupBy("src")
-      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
-      .orderBy("src")
-  }
 
-  // cdc57 — MULTI-TABLE DEMULTIPLEX: a real binlog is one totally-
-  // ordered stream carrying EVERY table's changes (the reference's
-  // events all carry schema/table attribution from their TABLE_MAPs,
-  // json_parser.go's whitelist keeps both keys); a CDC consumer fans
-  // that single feed out into per-table maintained states without
-  // re-reading it once per table. Here two tables with different
-  // shapes — ta(k, v STRING) and tb(k, x BIGINT), distinct table_ids —
-  // interleave file-by-file in one watched dir (fileSeqStart staggers
-  // the installments so natural-version order ALTERNATES tables), and
-  // the drain routes each micro-batch by the decoded `table` column:
-  // one localCheckpoint per batch (the feed is read ONCE), then one
-  // applyIdempotent per table state. A batch holding only ta's file
-  // writes tb an empty batch — the exactly-once discipline holds
-  // per-state regardless of which tables a batch touches, and the
-  // injected batch-0 replay (a ta file) must be absorbed by BOTH
-  // states (ta by partition overwrite, tb by the empty write being a
-  // no-op). The oracle rebuilds both tables' aggregates from the base
-  // relation, so cross-table leakage (a tb row landing in ta's state),
-  // a dropped table, or a double-fed replay all hash-mismatch. At
-  // 100 TB this is THE deployment shape: one binlog subscription, N
-  // states — the alternative (N subscriptions filtering one table
-  // each) reads the feed N times.
-  def cdc57MultiTableDemux(spark: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.ViewMaintenance
-    val root = tmpFixtureDir("graft_cdc57_", dir)
-    root.mkdirs()
-    val feed = new java.io.File(root, "feed"); feed.mkdirs()
-    val stateA = new java.io.File(root, "state_ta").getPath
-    val stateB = new java.io.File(root, "state_tb").getPath
-    val ckpt = new java.io.File(root, "ckpt").getPath
-    val base = fixtureBase(spark, dir)
-      .filter(col("event_type").isin("purchase", "click", "view"))
-      .select(col("event_id").as("k"), col("user_id"))
-    val maxRow = base.agg(max(col("k"))).head()
-    val mid = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) / 2
-    // four staged installments, numbered so the feed ALTERNATES tables
-    // in natural-version order: ta(1), tb(2), ta(3), tb(4)
-    def stage(name: String, df: DataFrame, table: String, tableId: Long,
-        seq: Int): Unit = {
-      val st = new java.io.File(root, name).getPath
-      graft.ingest.BinlogSink.writeChanges(df.coalesce(1), st,
-        table = table, tableId = tableId, fileSeqStart = seq)
-      Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("."))
-        .foreach { f =>
-          require(f.renameTo(new java.io.File(feed, f.getName)),
-            s"fixture deliver failed: $f")
-        }
-    }
-    val ta = base.select(lit(1).as("op"), col("k"),
-      concat(lit("u"), col("user_id")).as("v"))
-    val tb = base.select(lit(1).as("op"), col("k"),
-      (col("user_id") * 3L).as("x"))
-    stage("st1", ta.filter(col("k") <= mid), "ta", 21L, seq = 1)
-    stage("st2", tb.filter(col("k") <= mid), "tb", 22L, seq = 2)
-    stage("st3", ta.filter(col("k") > mid), "ta", 21L, seq = 3)
-    stage("st4", tb.filter(col("k") > mid), "tb", 22L, seq = 4)
-    drainWithRedelivery(spark, feed.getPath, ckpt) { (batch, id) =>
-      // ONE pass over the batch, N routed state writes
-      val b = batch.filter(col("event_type") === "WriteRowsEventV2")
-        .select(col("table"), explode(col("row_images")).as("img"))
-        .localCheckpoint(true)
-      ViewMaintenance.applyIdempotent(
-        b.filter(col("table") === "ta")
-          .select(element_at(col("img"), 1).cast("long").as("k"),
-            element_at(col("img"), 2).as("v")),
-        stateA, id)
-      ViewMaintenance.applyIdempotent(
-        b.filter(col("table") === "tb")
-          .select(element_at(col("img"), 1).cast("long").as("k"),
-            element_at(col("img"), 2).cast("long").as("x")),
-        stateB, id)
-    }
-    val servedA = ViewMaintenance.readState(spark, stateA,
-        "k BIGINT, v STRING, batch_id BIGINT")
-      .withColumn("tbl", lit("ta"))
-      .groupBy("tbl")
-      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
-        sum(length(col("v"))).as("payload_sum"))
-    val servedB = ViewMaintenance.readState(spark, stateB,
-        "k BIGINT, x BIGINT, batch_id BIGINT")
-      .withColumn("tbl", lit("tb"))
-      .groupBy("tbl")
-      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
-        sum(col("x")).as("payload_sum"))
-    servedA.unionByName(servedB).orderBy("tbl")
-  }
 
-  val cdc57Oracle: String =
-    """WITH base AS (
-      |  SELECT event_id AS k, user_id FROM events
-      |  WHERE event_type IN ('purchase', 'click', 'view')
-      |)
-      |SELECT 'ta' AS tbl, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum,
-      |  CAST(SUM(LENGTH('u' || CAST(user_id AS VARCHAR))) AS BIGINT) AS payload_sum
-      |FROM base
-      |UNION ALL
-      |SELECT 'tb', COUNT(*), CAST(SUM(k) AS BIGINT),
-      |  CAST(SUM(user_id * 3) AS BIGINT)
-      |FROM base
-      |ORDER BY tbl""".stripMargin
-
-  val cdc56Oracle: String =
-    """WITH base AS (
-      |  SELECT event_id AS k FROM events
-      |  WHERE event_type IN ('purchase', 'click', 'view')
-      |)
-      |SELECT CASE WHEN k % 131 = 0 THEN 'torn_file_committed'
-      |            ELSE 'sink' END AS src,
-      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
-      |FROM base WHERE k % 131 <> 1
-      |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  val cdc55Oracle: String =
-    """WITH base AS (
-      |  SELECT event_id AS k FROM events
-      |  WHERE event_type IN ('purchase', 'click', 'view')
-      |), mx AS (
-      |  SELECT MAX(k) // 2 AS mid FROM base
-      |)
-      |SELECT CASE WHEN k <= mid THEN 'narrow' ELSE 'wide' END AS epoch,
-      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum,
-      |  CAST(SUM(CASE WHEN k > mid THEN 3 * k + 1 ELSE 0 END) AS BIGINT) AS w_sum
-      |FROM base, mx GROUP BY 1 ORDER BY 1""".stripMargin
-
-  val cdc54Oracle: String =
-    """WITH base AS (
-      |  SELECT event_id AS k, user_id FROM events
-      |  WHERE event_type IN ('purchase', 'click', 'view')
-      |), mo AS (
-      |  SELECT MAX(k) + 1 AS off FROM base
-      |), fin AS (
-      |  SELECT CASE WHEN k % 3 <> 0 AND k % 11 = 0
-      |              THEN k + off ELSE k END AS cur_k,
-      |    CASE WHEN k % 3 = 0 THEN 'v1'
-      |         WHEN k % 11 = 0 THEN 'v2' ELSE 'v0' END AS ver
-      |  FROM base, mo WHERE k % 5 <> 0
-      |)
-      |SELECT ver, COUNT(*) AS n_rows, CAST(SUM(cur_k) AS BIGINT) AS key_sum
-      |FROM fin GROUP BY ver ORDER BY ver""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cdc57_multi_table_demux" -> (cdc57MultiTableDemux _),
-    "cdc56_txn_atomic_apply" -> (cdc56TxnAtomicApply _),
-    "cdc55_wire_evolution" -> (cdc55WireEvolution _),
-    "cdc54_wire_dml_apply" -> (cdc54WireDmlApply _),
     "cdc52_stream_stream_band" -> (cdc52StreamStreamBand _),
-    "cdc53_restart_ivm" -> (cdc53RestartIvm _),
-    "cdc51_compacted_ivm" -> (cdc51CompactedIvm _),
     "cdc50_stream_band" -> (cdc50StreamBandTolerance _),
     "cdc49_stream_sketch" -> (cdc49StreamSketch _),
     "cdc48_idempotent_sink" -> (cdc48IdempotentSink _),
@@ -3796,19 +3223,9 @@ object CdcQueries {
     "cdc50_stream_band" -> cdc04Oracle, // streaming band == batch sweep
     // stream-STREAM band (one exploded equi-join) == the batch sweep
     "cdc52_stream_stream_band" -> cdc04Oracle,
-    "cdc57_multi_table_demux" -> cdc57Oracle,
-    "cdc56_txn_atomic_apply" -> cdc56Oracle,
-    "cdc55_wire_evolution" -> cdc55Oracle,
-    "cdc54_wire_dml_apply" -> cdc54Oracle,
     "cdc47_stream_retract" -> cdc47Oracle,
     // redelivered-batch write absorbed ⇒ still q66's exact decomposition
     "cdc48_idempotent_sink" -> AnalyticQueries.q66Oracle,
-    // mid-stream compaction + covered AND in-flight replays absorbed ⇒
-    // still q66's exact decomposition (isolates the compaction machinery)
-    "cdc51_compacted_ivm" -> AnalyticQueries.q66Oracle,
-    // two-run drain on one checkpoint + cross-restart replay absorbed ⇒
-    // still q66's exact decomposition (isolates the offset/restart seam)
-    "cdc53_restart_ivm" -> AnalyticQueries.q66Oracle,
     "cdc49_stream_sketch" -> cdc49Oracle,
   )
 }
