@@ -311,6 +311,89 @@ object BinlogOffsetIndex {
     } finally in.close()
   }
 
+  /** Header-only walk of one file from a known decode state, returning
+    * the COMMIT FRONTIER: the byte position just past the last event that
+    * CLOSES a transaction at or after `fromPos`, with the decoder state
+    * (event index, checksum length) there — the safe stop for a
+    * micro-batch tail of a GROWING binlog file (the torn tail past it —
+    * rows flushed, commit record not yet written — is held back, cdc56's
+    * class, resumed from the returned state next trigger). Closing
+    * events: XID (type 16) and a fully-readable TRANSACTION_PAYLOAD
+    * (type 40 — compressed transactions carry their XID INSIDE the
+    * container, so the container's own end is the boundary). A torn
+    * trailing event (partial header or body at EOF) or garbage sizes end
+    * the walk without advancing the frontier; a file torn inside the
+    * 4-byte magic returns the input state unchanged. Same walk state
+    * discipline as [[walkFile]] (FDE checksum algorithm, payload inner-
+    * event counting), so the returned (index, checksumLen) seed
+    * [[BinlogBinaryParser.decodeStream]] exactly.
+    *
+    * Runs wherever the caller is (the tail source calls it driver-side
+    * at offset planning); per trigger it reads only the bytes past the
+    * previous frontier — bounded by feed growth, not file size. */
+  private[graft] def commitFrontier(file: String, fromPos: Long,
+      fromIndex: Long, fromCk: Int,
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long, Int) = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    val raw = fs.open(p)
+    try {
+      var pos = fromPos
+      var index = fromIndex
+      var ckLen = fromCk
+      if (fromPos == 0L) {
+        val magic = new Array[Byte](4)
+        if (!readFully(raw, magic) ||
+            !java.util.Arrays.equals(magic, BinlogBinaryParser.Magic))
+          return (fromPos, fromIndex, fromCk)
+        pos = 4L
+      } else raw.seek(fromPos)
+      val in = new java.io.BufferedInputStream(raw, 1 << 16)
+      var fPos = fromPos
+      var fIdx = fromIndex
+      var fCk = fromCk
+      val hdr = new Array[Byte](19)
+      var done = false
+      while (!done) {
+        if (!readFully(in, hdr)) done = true
+        else {
+          val buf = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+          buf.getInt // timestamp
+          val typeCode = buf.get & 0xFF
+          buf.getInt // server id
+          val eventSize = buf.getInt & 0xFFFFFFFFL
+          if (eventSize < 19 || eventSize > Int.MaxValue) done = true
+          else {
+            val bodyLen = eventSize.toInt - 19
+            typeCode match {
+              case 15 =>
+                val body = new Array[Byte](bodyLen)
+                if (!readFully(in, body)) done = true
+                else if (bodyLen >= 62) {
+                  val alg = body(bodyLen - 5) & 0xFF
+                  if (alg == 1) ckLen = 4 else if (alg == 0) ckLen = 0
+                }
+              case 40 =>
+                val body = new Array[Byte](bodyLen)
+                if (!readFully(in, body)) done = true
+                else index += countPayloadEvents(body, ckLen, 1)
+              case _ =>
+                if (!skipFully(in, bodyLen)) done = true
+            }
+            if (!done) {
+              index += 1
+              pos += eventSize
+              if (typeCode == 16 || typeCode == 40) {
+                fPos = pos; fIdx = index; fCk = ckLen
+              }
+            }
+          }
+        }
+      }
+      (fPos, fIdx, fCk)
+    } finally raw.close()
+  }
+
   /** How many events [[BinlogBinaryParser]]'s payload expansion will emit
     * for this TRANSACTION_PAYLOAD body — 0 on any malformation, exactly
     * mirroring the decoder's throw→`body_decode_error`→no-expansion path.

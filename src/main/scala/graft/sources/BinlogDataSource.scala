@@ -47,7 +47,8 @@ class BinlogDataSource extends TableProvider with DataSourceRegister {
       Option(properties.get("maxFilesPerTrigger")).map(_.toInt),
       Option(properties.get("splitIndex")),
       Option(properties.get("splitIndexAutoBuild")).exists(_.toBoolean),
-      Option(properties.get("splitBytes")).map(_.toLong))
+      Option(properties.get("splitBytes")).map(_.toLong),
+      Option(properties.get("tailActive")).exists(_.toBoolean))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -75,7 +76,7 @@ object BinlogDataSource {
 
 private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int],
     splitIndex: Option[String] = None, autoBuild: Boolean = false,
-    splitBytes: Option[Long] = None)
+    splitBytes: Option[Long] = None, tailActive: Boolean = false)
     extends Table with SupportsRead {
   require(path != null, "binlog source requires a path (use .load(path))")
 
@@ -85,12 +86,13 @@ private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int],
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BinlogScanBuilder(path, maxFilesPerTrigger, splitIndex, autoBuild, splitBytes)
+    new BinlogScanBuilder(path, maxFilesPerTrigger, splitIndex, autoBuild,
+      splitBytes, tailActive)
 }
 
 private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
     splitIndex: Option[String] = None, autoBuild: Boolean = false,
-    splitBytes: Option[Long] = None)
+    splitBytes: Option[Long] = None, tailActive: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -115,7 +117,7 @@ private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = 
 
   override def build(): Scan =
     new BinlogScan(path, required, pushed, maxFilesPerTrigger, splitIndex,
-      autoBuild, splitBytes)
+      autoBuild, splitBytes, tailActive)
 }
 
 private object BinlogFilePruning {
@@ -163,7 +165,8 @@ private class BinlogScan(path: String, required: StructType,
     maxFilesPerTrigger: Option[Int] = None,
     splitIndex: Option[String] = None,
     autoBuild: Boolean = false,
-    splitBytes: Option[Long] = None) extends Scan with Batch {
+    splitBytes: Option[Long] = None,
+    tailActive: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -226,10 +229,19 @@ private class BinlogScan(path: String, required: StructType,
     new BinlogReaderFactory(required,
       org.apache.spark.graftshim.SerializableHadoopConf.session())
 
+  /** Two streaming postures: the default count-based stream consumes
+    * whole (closed, immutable) files; `tailActive=true` switches to
+    * (file, byte-frontier) offsets so the GROWING last file yields its
+    * newly-committed bytes each trigger ([[BinlogTailMicroBatchStream]]).
+    * A checkpoint binds to the posture it was started with — the two
+    * offset encodings are deliberately incompatible JSON. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new BinlogMicroBatchStream(path, required, maxFilesPerTrigger,
-      splitIndex, autoBuild, splitBytes)
+    if (tailActive)
+      new BinlogTailMicroBatchStream(path, required, maxFilesPerTrigger)
+    else
+      new BinlogMicroBatchStream(path, required, maxFilesPerTrigger,
+        splitIndex, autoBuild, splitBytes)
 
   override def description(): String =
     s"binlog($path) prunedBy=[${pushed.mkString(", ")}]"

@@ -1,0 +1,202 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+
+import graft.ingest.BinlogOffsetIndex
+
+/** Micro-batch tail of a binlog directory whose LAST file may still be
+  * GROWING — the deployment posture the count-based
+  * [[BinlogMicroBatchStream]] cannot serve (it consumes whole files only,
+  * the reference's FLUSH-BINARY-LOGS workaround,
+  * /root/reference/README.md:68-73): a real CDC consumer tails
+  * `mysql-bin.000042` WHILE the server appends to it. Enabled with
+  * `.option("tailActive", "true")` on the binlog source.
+  *
+  * The offset is `(n, pos, idx, ck)`:
+  *   - `n`   — how many files of the naturally-ordered listing are FULLY
+  *     consumed (the count-based offset, generalized);
+  *   - `pos` — the committed byte frontier inside file `n` (0 when that
+  *     file is untouched or absent);
+  *   - `idx`/`ck` — the decoder state (event index, checksum-tail length)
+  *     at `pos`, seeding [[graft.ingest.BinlogBinaryParser.decodeStream]]
+  *     exactly as the intra-file split index does.
+  *
+  * Each trigger advances the frontier of the ACTIVE (last-listed) file to
+  * the last COMMITTED transaction boundary
+  * ([[BinlogOffsetIndex.commitFrontier]] — a driver-side header-only walk
+  * of just the bytes that appeared since the previous trigger): the torn
+  * tail a crash can leave mid-file (rows flushed, no commit record —
+  * cdc56's class) is HELD BACK, never half-applied, and re-examined next
+  * trigger once the commit record (or more data) lands. Files that are no
+  * longer last are CLOSED by rotation (MySQL never splits a transaction
+  * across binlog files), so their remainder past the old frontier is
+  * consumed without a walk — every event, including a trailing ROTATE and
+  * any DDL between transactions, is emitted exactly once once its file
+  * closes; on the active file, events between the last commit and EOF
+  * (an open transaction's GTID/BEGIN/rows, a trailing autocommit DDL)
+  * wait for the next closing boundary or rotation. The watched directory
+  * must be APPEND-ONLY in natural-version order while the stream (or its
+  * checkpoint) lives — the count-based source's existing contract — and
+  * only its LAST file may grow.
+  *
+  * `maxFilesPerTrigger` caps file COMPLETIONS per trigger; an active-file
+  * advance consumes no budget (its batch is bounded by feed growth, not
+  * file size). Batches replay deterministically from their (start, end)
+  * offsets: every partition either ends at a recorded frontier or spans a
+  * rotated-closed (hence immutable) file. The intra-file split index is
+  * deliberately not consulted here — tail batches are growth-sized by
+  * construction; bulk backfill of closed history belongs to the batch
+  * scan or the count-based stream, both of which fan huge files out
+  * through the index.
+  *
+  * At 100 TB nothing here scales with history size: the per-trigger
+  * driver work is one directory listing plus a header walk of the new
+  * bytes, and partitions hand executors byte ranges exactly like the
+  * split-index path.
+  */
+private class BinlogTailMicroBatchStream(path: String, required: StructType,
+    maxFilesPerTrigger: Option[Int])
+    extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  import BinlogTailMicroBatchStream.TailOffset
+
+  // snapshot the listing per planning cycle so latestOffset and
+  // planInputPartitions agree within one trigger
+  @volatile private var lastListing: IndexedSeq[String] = Vector.empty
+  @volatile private var lastTarget: TailOffset = TailOffset(0, 0L, 0L, 0)
+  // AvailableNow bound: the frontier when the trigger started — a file
+  // growing DURING the drain is consumed up to here and no further
+  @volatile private var availableNowCap: Option[TailOffset] = None
+
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  override def initialOffset(): Offset = TailOffset(0, 0L, 0L, 0)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(frontierTarget(initialFrom = None, budget = Int.MaxValue))
+
+  /** The current end-of-feed frontier: every file but the last fully
+    * consumed, the last one walked to its committed boundary starting
+    * from `initialFrom` when it names the same file index. `budget` caps
+    * file completions (admission control). */
+  private def frontierTarget(initialFrom: Option[TailOffset],
+      budget: Int): TailOffset = {
+    val listing = BinlogScan.listFiles(path).toIndexedSeq
+    lastListing = listing
+    val s = initialFrom.getOrElse(TailOffset(0, 0L, 0L, 0))
+    if (listing.isEmpty || s.n >= listing.length) return s
+    val maxN = listing.length - 1
+    if (s.n.toLong + budget <= maxN) {
+      // budget exhausted on closed-file completions alone
+      TailOffset(s.n + budget, 0L, 0L, 0)
+    } else {
+      // budget reaches the active file: walk its committed frontier from
+      // the last known state (ours if we were already inside this file)
+      val (fp, fi, fc) =
+        if (s.n == maxN) (s.pos, s.idx, s.ck) else (0L, 0L, 0)
+      val (np, ni, nc) = BinlogOffsetIndex.commitFrontier(
+        listing(maxN), fp, fi, fc, hadoopConf)
+      TailOffset(maxN, np, ni, nc)
+    }
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[TailOffset]
+    val budget = limit match {
+      case m: ReadMaxFiles => m.maxFiles
+      case _ => Int.MaxValue
+    }
+    val target = frontierTarget(Some(s), budget)
+    val capped = availableNowCap match {
+      case Some(cap) if cap.lt(target) => cap
+      case _ => target
+    }
+    lastTarget = capped
+    // never move backwards (a cap recorded before this run's start —
+    // possible when a checkpointed offset already passed it)
+    if (capped.lt(s)) s else capped
+  }
+
+  override def reportLatestOffset(): Offset = lastTarget
+
+  override def deserializeOffset(json: String): Offset =
+    TailOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TailOffset]
+    val e = end.asInstanceOf[TailOffset]
+    // highest listing index this batch touches: the start-frontier file,
+    // and the end-frontier file only when we actually read into it
+    val needed = math.max(s.n, if (e.pos > 0L) e.n else e.n - 1)
+    val listing =
+      if (lastListing.length > needed) lastListing
+      else BinlogScan.listFiles(path).toIndexedSeq
+    require(listing.length > needed || e.lt(s) || (s.n == e.n && s.pos == e.pos),
+      s"binlog tail: watched dir lost files (need listing index $needed, " +
+        s"have ${listing.length}) — the dir must stay append-only while " +
+        "the stream or its checkpoint is live")
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    if (s.n == e.n) {
+      if (e.pos > s.pos)
+        parts += BinlogInputPartition(listing(s.n), s.pos, e.pos, s.idx, s.ck)
+    } else {
+      // the start-frontier file's remainder: rotation closed it, so
+      // reading to EOF is deterministic on replay
+      if (s.n < listing.length)
+        parts += BinlogInputPartition(listing(s.n), s.pos, Long.MaxValue,
+          s.idx, s.ck)
+      ((s.n + 1) until e.n).foreach { i =>
+        parts += BinlogInputPartition(listing(i))
+      }
+      if (e.pos > 0L)
+        parts += BinlogInputPartition(listing(e.n), 0L, e.pos, 0L, 0)
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new BinlogReaderFactory(required,
+      org.apache.spark.graftshim.SerializableHadoopConf.session())
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private object BinlogTailMicroBatchStream {
+
+  /** See [[BinlogTailMicroBatchStream]]'s offset contract. `pos == 0`
+    * with `n == listing length` is the canonical "everything consumed,
+    * next file not yet created" form. */
+  case class TailOffset(n: Int, pos: Long, idx: Long, ck: Int) extends Offset {
+    override def json(): String =
+      s"""{"n":$n,"pos":$pos,"idx":$idx,"ck":$ck}"""
+
+    /** Strict feed-order comparison (file index, then byte frontier). */
+    def lt(other: TailOffset): Boolean =
+      n < other.n || (n == other.n && pos < other.pos)
+  }
+
+  object TailOffset {
+    private def field(json: String, name: String): Long =
+      ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"bad binlog tail offset (no $name): $json"))
+
+    def fromJson(json: String): TailOffset =
+      TailOffset(field(json, "n").toInt, field(json, "pos"),
+        field(json, "idx"), field(json, "ck").toInt)
+  }
+}

@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.nio.file.{Files, StandardOpenOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ingest.{BinlogBinaryWriter, BinlogOffsetIndex}
+
+/** The ACTIVE-file tail (`tailActive=true`): (file, byte-frontier) offset
+  * arithmetic, the commit-frontier walk's torn-tail holdback, and the
+  * end-to-end append-between-drains contract the cdc58 gate exercises at
+  * oracle scale. */
+class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
+
+  import BinlogBinaryWriter._
+
+  private val cols = Seq(ColDef.longlong, ColDef.varchar(32))
+  private val sid = (1 to 16).map(_.toByte).toArray
+  private val t0 = 1714564800L
+
+  /** One transaction (GTID/BEGIN/TABLE_MAP/WRITE_ROWS/XID) appending keys
+    * `ks`; returns the file offset after the XID (a commit boundary). */
+  private def txn(f: FileBuilder, gno: Long, ks: Seq[Long]): Long = {
+    f.event(t0, 33, gtidBody(sid, gno))
+    f.event(t0, 2, queryBody("app", "BEGIN"))
+    f.event(t0, 19, tableMapBody(7, "app", "t", cols))
+    f.event(t0, 30, rowsBody(7, cols.size,
+      ks.map(k => Seq(Some(encLongLong(k)), Some(encVarchar(s"v$k", 32))))))
+    f.event(t0, 16, xidBody(9000L + gno))
+  }
+
+  /** A torn transaction: GTID/BEGIN/TABLE_MAP/WRITE_ROWS, NO XID.
+    * Returns the offset after the rows event (NOT a commit boundary). */
+  private def tornTxn(f: FileBuilder, gno: Long, ks: Seq[Long]): Long = {
+    f.event(t0, 33, gtidBody(sid, gno))
+    f.event(t0, 2, queryBody("app", "BEGIN"))
+    f.event(t0, 19, tableMapBody(7, "app", "t", cols))
+    f.event(t0, 30, rowsBody(7, cols.size,
+      ks.map(k => Seq(Some(encLongLong(k)), Some(encVarchar(s"v$k", 32))))))
+  }
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  test("commitFrontier: stops at the last XID, holds back the torn tail") {
+    val dir = Files.createTempDirectory("tail_fr").toFile
+    val f = new FileBuilder(checksums = true)
+    f.fde(t0)
+    val afterA = txn(f, 1L, Seq(1L, 2L))
+    tornTxn(f, 2L, Seq(3L))
+    val file = new java.io.File(dir, "mysql-bin.000001")
+    Files.write(file.toPath, f.bytes)
+
+    val (pos, idx, ck) = BinlogOffsetIndex.commitFrontier(
+      file.getPath, 0L, 0L, 0, conf)
+    assert(pos == afterA, "frontier must be the offset just past txn A's XID")
+    assert(idx == 6L) // fde + gtid + begin + table_map + rows + xid
+    assert(ck == 4)   // checksummed file
+
+    // resuming FROM the frontier over only torn bytes does not advance
+    assert(BinlogOffsetIndex.commitFrontier(
+      file.getPath, pos, idx, ck, conf) == ((pos, idx, ck)))
+  }
+
+  test("commitFrontier: resumed walk advances once the commit record lands") {
+    val dir = Files.createTempDirectory("tail_grow").toFile
+    val f = new FileBuilder(checksums = true)
+    f.fde(t0)
+    val afterA = txn(f, 1L, Seq(1L))
+    val cut = tornTxn(f, 2L, Seq(2L, 3L)) // torn HERE at drain time
+    val afterB = f.event(t0, 16, xidBody(9002L)) // the commit record
+    val afterC = txn(f, 3L, Seq(4L))
+    val all = f.bytes
+    val file = new java.io.File(dir, "mysql-bin.000001")
+
+    // installment 1: file ends MID-EVENT (7 bytes into B's XID header)
+    Files.write(file.toPath, all.slice(0, cut.toInt + 7))
+    val (p1, i1, c1) = BinlogOffsetIndex.commitFrontier(
+      file.getPath, 0L, 0L, 0, conf)
+    assert(p1 == afterA)
+
+    // append the rest; resume the walk from the recorded state
+    Files.write(file.toPath, all.slice(cut.toInt + 7, all.length),
+      StandardOpenOption.APPEND)
+    val (p2, i2, _) = BinlogOffsetIndex.commitFrontier(
+      file.getPath, p1, i1, c1, conf)
+    assert(p2 == afterC && p2 == all.length.toLong)
+    // the resumed walk re-reads B's 4 torn events, then B's XID and C's 5
+    assert(i2 == i1 + 10)
+    assert(afterB < afterC)
+  }
+
+  test("commitFrontier: file torn inside the magic returns the input state") {
+    val dir = Files.createTempDirectory("tail_magic").toFile
+    val file = new java.io.File(dir, "mysql-bin.000001")
+    Files.write(file.toPath, Array[Byte](0xFE.toByte, 'b'))
+    assert(BinlogOffsetIndex.commitFrontier(
+      file.getPath, 0L, 0L, 0, conf) == ((0L, 0L, 0)))
+  }
+
+  test("TailOffset: json round-trip and feed ordering") {
+    import BinlogTailMicroBatchStream.TailOffset
+    val o = TailOffset(3, 12345L, 42L, 4)
+    assert(TailOffset.fromJson(o.json()) == o)
+    assert(TailOffset(2, 999L, 0L, 0).lt(o))
+    assert(TailOffset(3, 12344L, 0L, 0).lt(o))
+    assert(!o.lt(o))
+    intercept[IllegalArgumentException] { TailOffset.fromJson("{\"n\":1}") }
+  }
+
+  test("admission control: maxFiles budget completes closed files first") {
+    import BinlogTailMicroBatchStream.TailOffset
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("tail_adm").toFile
+    (1 to 3).foreach { i =>
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      txn(f, i.toLong, Seq(i.toLong))
+      Files.write(new java.io.File(dir, f"mysql-bin.$i%06d").toPath, f.bytes)
+    }
+    val stream = new BinlogTailMicroBatchStream(
+      dir.getPath, BinlogDataSource.schema, Some(1))
+    val s0 = stream.initialOffset().asInstanceOf[TailOffset]
+    val s1 = stream.latestOffset(s0, ReadLimit.maxFiles(1))
+      .asInstanceOf[TailOffset]
+    assert(s1 == TailOffset(1, 0L, 0L, 0)) // one closed file completed
+    val s2 = stream.latestOffset(s1, ReadLimit.maxFiles(1))
+      .asInstanceOf[TailOffset]
+    assert(s2 == TailOffset(2, 0L, 0L, 0))
+    // budget now reaches the ACTIVE file: frontier is its last XID
+    val s3 = stream.latestOffset(s2, ReadLimit.maxFiles(1))
+      .asInstanceOf[TailOffset]
+    assert(s3.n == 2 && s3.pos > 0L && s3.ck == 4)
+    // steady state: no growth, no movement
+    assert(stream.latestOffset(s3, ReadLimit.maxFiles(1)) == s3)
+    // partitions for the closed-file batch span exactly that file
+    val parts = stream.planInputPartitions(s0, s1)
+    assert(parts.length == 1)
+  }
+
+  test("end-to-end: bytes appended between two drains on one checkpoint " +
+      "arrive exactly once; the torn tail never leaks") {
+    val root = Files.createTempDirectory("tail_e2e").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+
+    // closed file 1: two committed transactions
+    val f1 = new FileBuilder(checksums = true)
+    f1.fde(t0)
+    txn(f1, 1L, Seq(1L, 2L))
+    txn(f1, 2L, Seq(3L))
+    Files.write(new java.io.File(feed, "mysql-bin.000001").toPath, f1.bytes)
+
+    // active file 2: txn A committed; txn B torn at drain 1 (cut inside
+    // B's XID header); after drain 1 the rest lands: B completes, C
+    // commits, D stays torn forever
+    val f2 = new FileBuilder(checksums = true)
+    f2.fde(t0)
+    txn(f2, 10L, Seq(10L, 11L))
+    val cut = tornTxn(f2, 11L, Seq(12L, 13L))
+    f2.event(t0, 16, xidBody(9011L))
+    txn(f2, 12L, Seq(14L))
+    tornTxn(f2, 13L, Seq(99L))
+    val all = f2.bytes
+    val active = new java.io.File(feed, "mysql-bin.000002")
+    Files.write(active.toPath, all.slice(0, cut.toInt + 7))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("binlog")
+        .option("tailActive", "true")
+        .load(feed.getPath)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen ++= batch
+            .filter(col("event_type") === "WriteRowsEventV2")
+            .select(explode(col("row_images")).as("img"))
+            .select(element_at(col("img"), 1).cast("long"))
+            .collect().map(r => (id, r.getLong(0)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    val run1 = seen.toList
+    assert(run1.map(_._2).sorted == List(1L, 2L, 3L, 10L, 11L),
+      s"drain 1 must hold back torn txn B, got $run1")
+
+    Files.write(active.toPath, all.slice(cut.toInt + 7, all.length),
+      StandardOpenOption.APPEND)
+    drain()
+    val run2 = seen.toList.drop(run1.length)
+    assert(run2.map(_._2).sorted == List(12L, 13L, 14L),
+      s"drain 2 must deliver B and C exactly once and hold back torn D, got $run2")
+    assert(run2.map(_._1).forall(id => run1.map(_._1).forall(_ < id)),
+      "batch ids must continue across the restart seam")
+  }
+}
