@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.CdcFixtures.{fixtureBase, ivmFixture, decodeIvmDelta,
   ivmReport}
-import graft.streaming.Drains.{drainWithRedelivery, streamDirs, tmpFixtureDir}
+import graft.streaming.Drains.{drainWithRedelivery, streamDirs, tmpFixtureDir,
+  withDrainPartitions}
 
 /** The maintained-state LIFECYCLE family (split out of CdcQueries in r14
   * — the r13 verdict's mechanics task): the gates a long-running CDC
@@ -551,7 +552,170 @@ object LifecycleQueries {
       |SELECT ver, COUNT(*) AS n_rows, CAST(SUM(cur_k) AS BIGINT) AS key_sum
       |FROM fin GROUP BY ver ORDER BY ver""".stripMargin
 
+  // cdc58 — TAILING THE ACTIVE, GROWING BINLOG FILE (the one deployment
+  // posture no earlier gate could serve: every streaming posture so far
+  // consumed closed, immutable files — the reference's own workaround is
+  // FLUSH BINARY LOGS before copying, README.md:68-73; a real CDC
+  // consumer tails mysql-bin.000042 WHILE the server appends to it).
+  // The source's `tailActive=true` mode replaces file-count offsets with
+  // (file, committed-byte-frontier) offsets: each trigger walks only the
+  // bytes that appeared since the last frontier and stops at the last
+  // transaction-closing XID (BinlogOffsetIndex.commitFrontier — cdc56's
+  // torn-tail rule, now INSIDE the source), so an in-flight transaction
+  // is held back, never half-applied. The fixture: sink-written closed
+  // bulk files plus ONE byte-crafted active file holding four fixture
+  // classes (k % 131): txn A (0) committed before run 1; txn B (1) torn
+  // at run 1 — the first installment ends 7 bytes INTO B's XID header —
+  // and completed by the appended bytes; txn C (2) committed in the
+  // appended bytes; txn D (3) torn forever. Two AvailableNow runs on ONE
+  // checkpoint with the append in between, each batch applied
+  // exactly-once (applyIdempotent), plus the recorded batch-0 (whole
+  // closed file) redelivered after run 2 — the cdc48 injection. The
+  // oracle excludes exactly class 3, so: a torn row leaking early (the
+  // naive end-of-file frontier) adds D's rows; a frontier that loses
+  // track across the append drops B or C; a re-read of run-1 bytes in
+  // run 2 double-counts into a different batch partition — all hash
+  // mismatches. At 100 TB: per trigger the driver walks only the feed's
+  // GROWTH (header-only), and executors receive byte ranges exactly like
+  // the split-index path — nothing scales with history size.
+  def cdc58TailActive(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc58_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed")
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    // closed bulk: three sink-written files, delivered complete up front
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 4)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(3, col("k")),
+      feed.getPath, rowsPerTxn = 50)
+    // the ACTIVE file: bounded fixture classes, byte-crafted because a
+    // mid-event tear is precisely what the distributed sink refuses to
+    // produce (cdc56's discipline, same cap)
+    val fixtureCap = 200000
+    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
+      val rows = base.filter(col("k") % 131 === m).orderBy("k")
+        .limit(fixtureCap + 1).collect()
+      require(rows.length <= fixtureCap,
+        s"cdc58 fixture class $m must stay a bounded test vector, got " +
+          s"${rows.length} rows (cap $fixtureCap)")
+      rows
+    }
+    val (ta, tb, tc, td) = (cls(0), cls(1), cls(2), cls(3))
+    val activeFile = new java.io.File(feed, "mysql-bin.000500")
+    val appendTail: Option[Array[Byte]] =
+      if (ta.isEmpty && tb.isEmpty && tc.isEmpty && td.isEmpty) None
+      else {
+        import graft.ingest.BinlogBinaryWriter._
+        val bound = math.max(20,
+          (ta ++ tb ++ tc ++ td).map(_.getString(1).getBytes("UTF-8").length)
+            .foldLeft(0)(math.max) + 16)
+        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
+        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+          Seq(Some(encLongLong(r.getLong(0))),
+            Some(encVarchar(r.getString(1), bound)))
+        val t0 = 1714564800L
+        val sid = (1 to 16).map(_.toByte).toArray
+        val f = new FileBuilder(checksums = true)
+        var lastRows = f.fde(t0)
+        // the clean fallback cut when txn B is empty: after A's commit
+        // (or after the FDE when A is empty too)
+        var cleanCut = lastRows
+        def open(gno: Long): Unit = {
+          f.event(t0, 33, gtidBody(sid, gno))
+          f.event(t0, 2, queryBody("sf", "BEGIN"))
+        }
+        def rows(rs: Array[org.apache.spark.sql.Row]): Unit =
+          rs.grouped(100).foreach { b =>
+            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+            lastRows = f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
+          }
+        // txn A: committed entirely inside installment 1
+        if (ta.nonEmpty) {
+          open(801L); rows(ta); cleanCut = f.event(t0, 16, xidBody(8001L))
+        }
+        // txn B: rows in installment 1, XID only in the appended bytes
+        if (tb.nonEmpty) { open(802L); rows(tb) }
+        val afterBRows = lastRows
+        if (tb.nonEmpty) f.event(t0, 16, xidBody(8002L))
+        // txn C: committed, entirely in the appended bytes
+        if (tc.nonEmpty) { open(803L); rows(tc); f.event(t0, 16, xidBody(8003L)) }
+        // txn D: torn FOREVER — the file (and the fixture) end inside it
+        if (td.nonEmpty) { open(804L); rows(td) }
+        val all = f.bytes
+        // installment 1 tears 7 bytes into B's XID header when B exists,
+        // else cleanly after A's commit
+        val cut = (if (tb.nonEmpty) math.min(afterBRows + 7, all.length.toLong)
+          else cleanCut).toInt
+        java.nio.file.Files.write(activeFile.toPath, all.slice(0, cut))
+        Some(all.slice(cut, all.length))
+      }
+    // two AvailableNow runs on ONE checkpoint, the append in between;
+    // batch 0's file(s) recorded for the injected redelivery
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      ViewMaintenance.applyIdempotent(
+        batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+    }
+    def drainTail(): Unit = withDrainPartitions(spark) {
+      val q = spark.readStream.format("binlog")
+        .option("tailActive", "true")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed.getPath)
+        .writeStream
+        .foreachBatch(applyBatch _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainTail()
+    appendTail.foreach { tail =>
+      java.nio.file.Files.write(activeFile.toPath, tail,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    drainTail()
+    // injected crash-after-commit redelivery of batch 0 (a whole closed
+    // file — byte-range batches replay through the checkpoint instead)
+    if (batch0Files.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"${feed.getPath}/$f"): _*), 0L)
+    ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .withColumn("src", when(col("k") % 131 === 0, "txn_a")
+        .when(col("k") % 131 === 1, "txn_b")
+        .when(col("k") % 131 === 2, "txn_c").otherwise("bulk"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("src")
+  }
+
+  val cdc58Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT CASE WHEN k % 131 = 0 THEN 'txn_a'
+      |            WHEN k % 131 = 1 THEN 'txn_b'
+      |            WHEN k % 131 = 2 THEN 'txn_c'
+      |            ELSE 'bulk' END AS src,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM base WHERE k % 131 <> 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc58_tail_active" -> (cdc58TailActive _),
     "cdc57_multi_table_demux" -> (cdc57MultiTableDemux _),
     "cdc56_txn_atomic_apply" -> (cdc56TxnAtomicApply _),
     "cdc55_wire_evolution" -> (cdc55WireEvolution _),
@@ -561,6 +725,7 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc58_tail_active" -> cdc58Oracle,
     "cdc57_multi_table_demux" -> cdc57Oracle,
     "cdc56_txn_atomic_apply" -> cdc56Oracle,
     "cdc55_wire_evolution" -> cdc55Oracle,
