@@ -701,6 +701,325 @@ object LifecycleQueries {
       .orderBy("src")
   }
 
+  // cdc59 — COMPACTION × RESTART COMPOSITION (the seam cdc51 and cdc53
+  // each prove alone: cdc51 compacts mid-drain, cdc53 restarts mid-drain;
+  // a year-long deployment does BOTH on one checkpoint). Run 1 drains the
+  // first half of the feed and compacts at batch 1 (seeds −1/−2 + batch 0
+  // fold into a base snapshot); the query stops; the rest of the feed
+  // arrives; run 2 resumes from the SAME checkpoint — its batch ids must
+  // continue ABOVE the base (a restarted counter would land batch 0's id
+  // again and the live rule would silently ignore real data); finally the
+  // recorded batch-0 file is re-applied AFTER the restart — a COVERED
+  // batch redelivered across both seams at once, absorbed by the
+  // read-side live rule, not by partition overwrite. Shares q66's oracle:
+  // reprocessed files, restarted counters, a base that swallowed too
+  // much, and unabsorbed covered replays are all hash mismatches. The
+  // composition is free by construction (the live rule is a read-side
+  // filter; the checkpoint never learns compaction happened) — this gate
+  // PROVES it, per the r13 verdict.
+  def cdc59CompactRestartIvm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc59_", dir)
+    root.mkdirs()
+    val staging = new java.io.File(root, "staging").getPath
+    val feed = new java.io.File(root, "feed").getPath
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val fx = ivmFixture(spark, dir)
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      fx.aDelta.repartition(4, col("o_orderkey")), staging)
+    val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
+    val stateSchema =
+      "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT"
+    def foldPartials(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+    graft.streaming.Drains.drainBinlogRestartWithRedelivery(
+        spark, staging, feed, ckpt) { (batch, id) =>
+      ViewMaintenance.applyIdempotent(
+        fx.partials(decodeIvmDelta(batch), bPrime), state, id)
+      if (id == 1L) // RUN 1, mid-drain: seeds + batch 0 fold into a base
+        ViewMaintenance.compact(spark, state, stateSchema, upto = 0L)(foldPartials)
+    }
+    ivmReport(fx,
+      ViewMaintenance.readState(spark, state, stateSchema).drop("batch_id"))
+  }
+
+  // cdc60 — SNAPSHOT-BOOTSTRAP → STREAM CUTOVER AT A RECORDED POSITION
+  // (the Datastream day-1 posture, the r13 verdict's third task): a new
+  // CDC consumer bulk-loads the table's current contents as state₀,
+  // records the binlog position the snapshot corresponds to, then
+  // subscribes to the feed FROM THE BEGINNING — and must DISCARD every
+  // wire event at or before the mark with a POSITIONAL filter
+  // ((file_seq, event_index) — binlog positions are event boundaries),
+  // not rely on idempotence: the snapshot rows and the pre-mark wire
+  // rows are the same data, but they land under different batch ids, so
+  // an unfiltered replay would double-count. The mark deliberately falls
+  // MID-FILE (the data-derived median event index of the middle file),
+  // so one batch straddles it — the true cutover batch, partially
+  // discarded. Two replays are injected: batch 0 (entirely pre-mark —
+  // its redelivery must produce an EMPTY partition overwrite, proving
+  // the discard path is replay-safe) and the straddling cutover batch
+  // (absorbed by its own partition overwrite, the cdc48 contract). The
+  // oracle is the full batch apply: an off-by-one in the positional
+  // comparison (>= for >) double-counts the mark event's rows; an
+  // over-eager filter loses post-mark rows — both hash mismatches. At
+  // 100 TB the filter is one codegen'd comparison per event, and the
+  // bulk snapshot never rides the wire at all.
+  def cdc60SnapshotCutover(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val (feed, state, ckpt) = streamDirs("graft_cdc60_", dir)
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    graft.ingest.BinlogSink.writeChanges(
+      base.select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(4, col("k")),
+      feed, rowsPerTxn = 50)
+    // the recorded position: the data-derived median row-event index of
+    // the MIDDLE file — a mark no file boundary aligns with
+    val files = Option(new java.io.File(feed).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.getName).sorted.toSeq
+    val (markSeq, markIdx) =
+      if (files.isEmpty) (0L, -1L)
+      else {
+        val markFile = files((files.length - 1) / 2)
+        val mi = spark.read.format("binlog").load(s"$feed/$markFile")
+          .filter(col("event_type") === "WriteRowsEventV2")
+          .agg(min(col("event_index")), max(col("event_index"))).head()
+        val seq = "\\.(\\d+)$".r.findFirstMatchIn(markFile).get.group(1).toLong
+        if (mi.isNullAt(0)) (seq, -1L)
+        else (seq, (mi.getLong(0) + mi.getLong(1)) / 2)
+      }
+    val atOrBeforeMark = col("file_seq") < markSeq ||
+      (col("file_seq") === markSeq && col("event_index") <= markIdx)
+    def rows(ev: DataFrame): DataFrame = ev
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(col("file_seq"), col("event_index"),
+        explode(col("row_images")).as("img"))
+      .select(col("file_seq"), col("event_index"),
+        element_at(col("img"), 1).cast("long").as("k"),
+        element_at(col("img"), 2).as("v"))
+    // state₀: the bulk snapshot AS OF the mark (the batch-side apply of
+    // everything at-or-before it) — in a real deployment this is the
+    // table dump; here it is reconstructed from the same wire so the
+    // oracle covers both paths
+    if (files.nonEmpty)
+      ViewMaintenance.applyIdempotent(
+        rows(spark.read.format("binlog").load(feed)).filter(atOrBeforeMark)
+          .select("k", "v"),
+        state, -1L)
+    // the cutover drain: subscribe from the BEGINNING, discard at-or-
+    // before-mark POSITIONALLY, land the rest exactly-once; record the
+    // straddling batch for the second injected replay
+    val straddleFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    var straddleId = -1L
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      val r = rows(batch).localCheckpoint(true) // one decode, two probes
+      if (straddleFiles.isEmpty &&
+          r.filter(atOrBeforeMark).limit(1).count() > 0 &&
+          r.filter(!atOrBeforeMark).limit(1).count() > 0) {
+        straddleFiles ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+        straddleId = id
+      }
+      ViewMaintenance.applyIdempotent(
+        r.filter(!atOrBeforeMark).select("k", "v"), state, id)
+    }
+    drainWithRedelivery(spark, feed, ckpt)(applyBatch)
+    // injected replay (b): the straddling cutover batch (replay (a),
+    // batch 0 — entirely pre-mark — is the scaffold's)
+    if (straddleFiles.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(straddleFiles.toSeq.map(f => s"$feed/$f"): _*), straddleId)
+    ViewMaintenance.readState(spark, state, "k BIGINT, v STRING, batch_id BIGINT")
+      .groupBy((col("k") % 10).as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
+        sum(length(col("v"))).as("payload_sum"))
+      .orderBy("grp")
+  }
+
+  // cdc61 — THE LIFECYCLE INSIDE THE DEMUX (cdc57's deployment shape with
+  // cdc51/m12/p15's maintenance discipline composed in, the r13 verdict's
+  // fourth task): one feed read once, N routed exactly-once states, and
+  // after EVERY batch each routed state runs its own maybeCompact — the
+  // maintenance loop a real N-table consumer runs — so each state folds
+  // into its own base snapshot on its own schedule (ta's live batches
+  // trip the policy after its second file, tb's after its second). The
+  // injected batch-0 replay (a ta file) then lands as a COVERED replay
+  // for ta (its recreated partition must be ignored by the read-side
+  // live rule and show up ONLY in the metrics as a ghost) and as an
+  // empty no-op for tb. The output folds the served aggregates WITH the
+  // stateMetrics surface: n_bases pins that each state compacted to
+  // exactly one base, base_rows that the base covers the table's whole
+  // delta, ghost_rows that the covered replay's partition exists on disk
+  // for ta only — all data-derived except the structural n_bases = 1.
+  // At 100 TB: the per-state listing maybeCompact pays is exactly the
+  // quantity compaction keeps bounded, and the demux still reads the
+  // feed once.
+  def cdc61DemuxLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc61_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val stateA = new java.io.File(root, "state_ta").getPath
+    val stateB = new java.io.File(root, "state_tb").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"), col("user_id"))
+    val maxRow = base.agg(max(col("k"))).head()
+    val mid = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) / 2
+    def stage(name: String, df: DataFrame, table: String, tableId: Long,
+        seq: Int): Unit = {
+      val st = new java.io.File(root, name).getPath
+      graft.ingest.BinlogSink.writeChanges(df.coalesce(1), st,
+        table = table, tableId = tableId, fileSeqStart = seq)
+      Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .foreach { f =>
+          require(f.renameTo(new java.io.File(feed, f.getName)),
+            s"fixture deliver failed: $f")
+        }
+    }
+    val ta = base.select(lit(1).as("op"), col("k"),
+      concat(lit("u"), col("user_id")).as("v"))
+    val tb = base.select(lit(1).as("op"), col("k"),
+      (col("user_id") * 3L).as("x"))
+    stage("st1", ta.filter(col("k") <= mid), "ta", 21L, seq = 1)
+    stage("st2", tb.filter(col("k") <= mid), "tb", 22L, seq = 2)
+    stage("st3", ta.filter(col("k") > mid), "ta", 21L, seq = 3)
+    stage("st4", tb.filter(col("k") > mid), "tb", 22L, seq = 4)
+    val schemaA = "k BIGINT, v STRING, batch_id BIGINT"
+    val schemaB = "k BIGINT, x BIGINT, batch_id BIGINT"
+    drainWithRedelivery(spark, feed.getPath, ckpt) { (batch, id) =>
+      val b = batch.filter(col("event_type") === "WriteRowsEventV2")
+        .select(col("table"), explode(col("row_images")).as("img"))
+        .localCheckpoint(true) // the feed is read ONCE per batch
+      ViewMaintenance.applyIdempotent(
+        b.filter(col("table") === "ta")
+          .select(element_at(col("img"), 1).cast("long").as("k"),
+            element_at(col("img"), 2).as("v")),
+        stateA, id)
+      ViewMaintenance.applyIdempotent(
+        b.filter(col("table") === "tb")
+          .select(element_at(col("img"), 1).cast("long").as("k"),
+            element_at(col("img"), 2).cast("long").as("x")),
+        stateB, id)
+      // the maintenance loop: EVERY routed state, EVERY batch — the
+      // exactly-once row sets fold by identity
+      ViewMaintenance.maybeCompact(spark, stateA, schemaA,
+        maxLive = 1, keepLast = 0)(df => df)
+      ViewMaintenance.maybeCompact(spark, stateB, schemaB,
+        maxLive = 1, keepLast = 0)(df => df)
+    }
+    def report(stateDir: String, schema: String, tbl: String,
+        served: DataFrame): DataFrame = {
+      val m = ViewMaintenance.stateMetrics(spark, stateDir, schema)
+      val shape = m.agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_bases"),
+        sum(when(col("is_base"), col("n_rows")).otherwise(0L)).as("base_rows"),
+        sum(when(!col("is_base"), col("n_rows")).otherwise(0L)).as("ghost_rows"))
+      // 1-row broadcast combine (the PlanAudit-pinned scalar BNLJ shape)
+      served.crossJoin(broadcast(shape)).withColumn("tbl", lit(tbl))
+        .select("tbl", "n_rows", "k_sum", "n_bases", "base_rows", "ghost_rows")
+    }
+    val servedA = ViewMaintenance.readState(spark, stateA, schemaA)
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+    val servedB = ViewMaintenance.readState(spark, stateB, schemaB)
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+    report(stateA, schemaA, "ta", servedA)
+      .unionByName(report(stateB, schemaB, "tb", servedB))
+      .orderBy("tbl")
+  }
+
+  // cdc62 — SKETCH-STATE COMPACTION (the third fold class through
+  // `compact`, the r13 verdict's fifth task: cdc51/cdc59 prove additive
+  // sums, m12 proves set and min/max folds — this proves IDEMPOTENT
+  // REGISTER MAXIMA, the fold class a 100-TB deployment actually
+  // compacts, because HLL registers are bytes where distinct-sets are
+  // terabytes). cdc49's HLL view re-drained under the exactly-once
+  // discipline (applyIdempotent instead of appendBatch) with the
+  // maintenance loop running maybeCompact after every batch: register
+  // partials fold by groupBy(group, reg).max(rho) — the state's natural
+  // monoid — into a base snapshot mid-drain, and the injected batch-0
+  // replay lands as a COVERED replay the read-side live rule absorbs
+  // (register max would absorb a double-count anyway; the recreated
+  // partition still proves the filter, not the algebra, is doing the
+  // work — the same isolation m12 gives sets). Shares cdc49's oracle:
+  // identical registers, register-sums, and estimates through the
+  // compaction boundary, or hash mismatch.
+  def cdc62SketchCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val (feed, state, ckpt) = streamDirs("graft_cdc62_", dir)
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+    graft.ingest.BinlogSink.writeKeyedStrings(
+      base.select(col("user_id"), col("event_type"))
+        .repartition(4, col("user_id")), feed)
+    val regSchema = "event_type STRING, reg BIGINT, r INT, batch_id BIGINT"
+    def regFold(df: DataFrame): DataFrame =
+      df.groupBy("event_type", "reg").agg(max(col("r")).as("r"))
+    drainWithRedelivery(spark, feed, ckpt) { (batch, id) =>
+      ViewMaintenance.applyIdempotent(
+        graft.ops.Hll.withRegRho(
+            batch.filter(col("event_type") === "WriteRowsEventV2")
+              .select(explode(col("row_images")).as("img"))
+              .select(element_at(col("img"), 1).cast("long").as("user_id"),
+                element_at(col("img"), 2).as("event_type")),
+            col("user_id"))
+          .groupBy("event_type", "reg").agg(max(col("rho")).as("r")),
+        state, id)
+      ViewMaintenance.maybeCompact(spark, state, regSchema,
+        maxLive = 2, keepLast = 1)(regFold)
+    }
+    val regs = ViewMaintenance.readState(spark, state, regSchema)
+      .groupBy("event_type", "reg").agg(max(col("r")).as("r"))
+    val sums = regs.groupBy("event_type")
+      .agg(graft.ops.Hll.sum48OverR.as("sum48"),
+        count(lit(1)).as("n_regs_hit"))
+    val exact = base.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sums.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_regs_hit"),
+        col("sum48"), graft.ops.Hll.estExpr("sum48").as("est"))
+      .orderBy("event_type")
+  }
+
+  val cdc60Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k, user_id FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT k % 10 AS grp, COUNT(*) AS n_rows,
+      |  CAST(SUM(k) AS BIGINT) AS k_sum,
+      |  CAST(SUM(LENGTH('u' || CAST(user_id AS VARCHAR))) AS BIGINT)
+      |    AS payload_sum
+      |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val cdc61Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k, user_id FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |), mx AS (
+      |  SELECT MAX(k) // 2 AS mid FROM base
+      |)
+      |SELECT 'ta' AS tbl, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum,
+      |  CAST(1 AS BIGINT) AS n_bases, COUNT(*) AS base_rows,
+      |  CAST(SUM(CASE WHEN k <= mid THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ghost_rows
+      |FROM base, mx
+      |UNION ALL
+      |SELECT 'tb', COUNT(*), CAST(SUM(k) AS BIGINT),
+      |  CAST(1 AS BIGINT), COUNT(*), CAST(0 AS BIGINT)
+      |FROM base
+      |ORDER BY tbl""".stripMargin
+
   val cdc58Oracle: String =
     """WITH base AS (
       |  SELECT event_id AS k FROM events
@@ -715,6 +1034,10 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc62_sketch_compaction" -> (cdc62SketchCompaction _),
+    "cdc61_demux_lifecycle" -> (cdc61DemuxLifecycle _),
+    "cdc60_snapshot_cutover" -> (cdc60SnapshotCutover _),
+    "cdc59_compact_restart" -> (cdc59CompactRestartIvm _),
     "cdc58_tail_active" -> (cdc58TailActive _),
     "cdc57_multi_table_demux" -> (cdc57MultiTableDemux _),
     "cdc56_txn_atomic_apply" -> (cdc56TxnAtomicApply _),
@@ -725,6 +1048,12 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // register-max fold through compact == the uncompacted sketch view
+    "cdc62_sketch_compaction" -> CdcQueries.cdc49Oracle,
+    "cdc61_demux_lifecycle" -> cdc61Oracle,
+    "cdc60_snapshot_cutover" -> cdc60Oracle,
+    // compaction composed with restart ⇒ still q66's exact decomposition
+    "cdc59_compact_restart" -> AnalyticQueries.q66Oracle,
     "cdc58_tail_active" -> cdc58Oracle,
     "cdc57_multi_table_demux" -> cdc57Oracle,
     "cdc56_txn_atomic_apply" -> cdc56Oracle,
