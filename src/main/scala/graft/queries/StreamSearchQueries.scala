@@ -485,17 +485,30 @@ object StreamSearchQueries {
   // and the LAST batch (a delete batch — partition overwrite). At
   // 100 TB: a delete costs one ≤|batch|-row state write; serving pays
   // two keyed anti-joins against the (small, compactable) tombstone set.
-  /** s52/s53's shared drain: s51's insert maintenance + the tombstone
+  /** s52/s53/s55's shared drain: s51's insert maintenance + the tombstone
     * delete path, with both replay classes injected. Returns the
     * (vectors, edges, tombstones) state dirs for the caller's serve (or
-    * repair) step. */
+    * repair) step.
+    *
+    * `restart = true` delivers the six slices in two installments against
+    * ONE checkpoint (slices 0–2, drain to completion, the query STOPS;
+    * slices 3–5, drain again — cdc53's seam on the parquet feed, so the
+    * delete slices and both replays land in run 2, across the restart).
+    * `compactInDrain = true` runs `maybeCompact` on all three states
+    * after every batch (identity folds — each state is an exactly-once
+    * row set), so bases form MID-drain and, with `restart`, span the
+    * restart seam (cdc59's composition on the graph states); the replays
+    * then exercise the covered-partition live rule, not just partition
+    * overwrite. */
   private def graphDeleteDrain(spark: SparkSession, dir: String,
-      prefix: String): (String, String, String) = {
+      prefix: String, restart: Boolean = false,
+      compactInDrain: Boolean = false): (String, String, String) = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.ViewMaintenance
     val root = graft.streaming.Drains.tmpFixtureDir(prefix, dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val staging = new java.io.File(root, "staging"); staging.mkdirs()
     val state = new java.io.File(root, "state").getPath
     val edgesOut = new java.io.File(root, "edges").getPath
     val tomb = new java.io.File(root, "tomb").getPath
@@ -507,13 +520,14 @@ object StreamSearchQueries {
     // four id-range INSERT slices then two DELETE slices, arrival order
     // forced by mtime (the s51/cdc16 bump discipline); deletes arrive
     // after every insert — the maintained-then-deleted lifecycle
+    val sliceRoot = if (restart) staging else feed
     val maxRow = emb.agg(max(col("vec_id"))).head()
     if (!maxRow.isNullAt(0)) {
       val mx = maxRow.getLong(0)
       val cuts = Seq(0L, mx / 4 + 1, mx / 2 + 1, 3 * mx / 4 + 1, mx + 1)
       val base = System.currentTimeMillis()
       def slice(i: Int, df: DataFrame): Unit = {
-        val d = new java.io.File(feed, s"slice$i")
+        val d = new java.io.File(sliceRoot, s"slice$i")
         df.coalesce(1).write.mode("overwrite").parquet(d.getPath)
         Option(d.listFiles()).getOrElse(Array.empty)
           .foreach(f => f.setLastModified(base + 4000L * i))
@@ -549,17 +563,44 @@ object StreamSearchQueries {
         // probe, strict id-prefix rule, bounded top-3 window)
         maintainGraphInsert(spark, cent, state, edgesOut)(
           b.filter(col("op") === 1), id)
+        if (compactInDrain) {
+          // the maintenance loop: all three states, every batch —
+          // exactly-once row sets fold by identity (the s54 argument:
+          // replays still see their original candidate set through the
+          // base, and recreated covered partitions are read-side ignored)
+          ViewMaintenance.maybeCompact(spark, state,
+            "vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT",
+            maxLive = 2, keepLast = 1)(df => df)
+          ViewMaintenance.maybeCompact(spark, edgesOut,
+            "cluster BIGINT, vec_id BIGINT, nbr BIGINT, batch_id BIGINT",
+            maxLive = 2, keepLast = 1)(df => df)
+          ViewMaintenance.maybeCompact(spark, tomb,
+            "vec_id BIGINT, batch_id BIGINT",
+            maxLive = 2, keepLast = 1)(df => df)
+        }
     }
-    val q = spark.readStream
-      .schema("op INT, vec_id BIGINT, embedding ARRAY<FLOAT>")
-      .option("maxFilesPerTrigger", 1)
-      .option("recursiveFileLookup", "true")
-      .parquet(feed.getPath)
-      .writeStream
-      .foreachBatch(applyBatch _)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    def runDrain(): Unit = {
+      val q = spark.readStream
+        .schema("op INT, vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed.getPath)
+        .writeStream
+        .foreachBatch(applyBatch _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    if (restart) {
+      def deliver(idxs: Range): Unit = idxs.foreach { i =>
+        val d = new java.io.File(staging, s"slice$i")
+        if (d.exists())
+          require(d.renameTo(new java.io.File(feed, s"slice$i")),
+            s"fixture deliver failed: $d")
+      }
+      deliver(0 to 2); runDrain()
+      deliver(3 to 5); runDrain()
+    } else runDrain()
     def replay(files: Seq[String], id: Long): Unit =
       applyBatch(spark.read
         .schema("op INT, vec_id BIGINT, embedding ARRAY<FLOAT>")
@@ -606,9 +647,16 @@ object StreamSearchQueries {
   // (only sources that POINTED AT a deleted vector), and the recompute
   // is one cluster-keyed join of that small set against its clusters'
   // survivors — never a rebuild, never all-pairs.
-  def s53GraphRepair(spark: SparkSession, dir: String): DataFrame = {
+  /** s53's repair computation, shared with s55's serve: read the three
+    * maintained states, drop tombstoned sources, recompute ONLY the
+    * affected sources (survivors that lost ≥ 1 edge to a tombstone)
+    * against surviving smaller-id members, keep the rest. Returns
+    * (survivors, affected source ids, the repaired edge set) — the edge
+    * set provably equals the from-scratch kNN graph over the survivors
+    * (s53's oracle pins exactly that). */
+  private def repairGraph(spark: SparkSession, state: String,
+      edgesOut: String, tomb: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.streaming.ViewMaintenance
-    val (state, edgesOut, tomb) = graphDeleteDrain(spark, dir, "graft_s53_")
     val tombs = ViewMaintenance.readState(spark, tomb,
         "vec_id BIGINT, batch_id BIGINT")
       .select("vec_id").localCheckpoint(true) // probed four times below
@@ -640,10 +688,16 @@ object StreamSearchQueries {
     val kept = edges
       .join(affected, Seq("vec_id"), "left_anti") // unaffected: provably correct
       .select("cluster", "vec_id", "nbr")
+    (survivors, affected, kept.unionByName(repaired))
+  }
+
+  def s53GraphRepair(spark: SparkSession, dir: String): DataFrame = {
+    val (state, edgesOut, tomb) = graphDeleteDrain(spark, dir, "graft_s53_")
+    val (survivors, affected, graph) = repairGraph(spark, state, edgesOut, tomb)
     val nRepaired = survivors.select("vec_id", "cluster")
       .join(affected, Seq("vec_id"), "left_semi")
       .groupBy("cluster").agg(count(lit(1)).as("n_repaired"))
-    kept.unionByName(repaired)
+    graph
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_edges"),
         countDistinct(col("vec_id")).as("n_sources"),
@@ -726,7 +780,118 @@ object StreamSearchQueries {
       |  CAST(SUM(nbr) AS BIGINT) AS nbr_id_sum
       |FROM surv GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // s55 — SERVE-TIME ANN THROUGH THE FULL LIFECYCLE (the r13 stretch:
+  // "the end-to-end proof a production index owner actually wants").
+  // One index lives through everything the family proves piecewise:
+  // the insert feed arrives across a RESTART seam (two AvailableNow
+  // runs, one checkpoint — cdc53's posture on the parquet feed), all
+  // three states COMPACT mid-drain on their own schedules (maybeCompact
+  // every batch, bases spanning the restart — cdc59's composition),
+  // deletes TOMBSTONE a data-derived residue class (s52), both replay
+  // classes are injected AFTER the restart (an insert batch now covered
+  // by a base, a delete batch in flight), the graph is REPAIRED (s53's
+  // shared computation), and then the index actually SERVES: query
+  // vectors (the % 17 == 3 residue) route through the frozen quantizer
+  // to their cluster, enter at the cluster's apex (the LARGEST surviving
+  // id — the strict id-prefix rule aims every edge at smaller ids, so
+  // the max-id node is the DAG's natural entry; the min-id node has no
+  // out-edges), expand a two-hop ball along repaired edges (≤ 1+3+9
+  // candidates), and serve top-3 by exact cosine. The oracle rebuilds
+  // the entire posture from the survivors' from-scratch kNN graph — so
+  // a stale edge (missed repair), a resurrected tombstone (live-rule
+  // breach after compaction), a lost batch (restart seam), or a
+  // double-counted replay shifts the served neighbor ids and hash-
+  // mismatches. At 100 TB: the candidate ball is ≤ 13 rows per cluster
+  // (broadcast to the query side), serve cost is |queries| × 13 cosines
+  // — the graph-walk economics that make navigable indexes serve, while
+  // every maintenance state stays compacted and exactly-once.
+  def s55LifecycleServe(spark: SparkSession, dir: String): DataFrame = {
+    val (state, edgesOut, tomb) = graphDeleteDrain(spark, dir, "graft_s55_",
+      restart = true, compactInDrain = true)
+    val (survivors, _, graph0) = repairGraph(spark, state, edgesOut, tomb)
+    val graph = graph0.localCheckpoint(true) // probed per hop below
+    // entry per cluster: the surviving apex (see scaladoc above)
+    val entry = survivors.groupBy("cluster").agg(max(col("vec_id")).as("id"))
+    def hop(frontier: DataFrame): DataFrame = frontier
+      .join(graph.select(col("cluster"), col("vec_id").as("id"), col("nbr")),
+        Seq("cluster", "id"))
+      .select(col("cluster"), col("nbr").as("id"))
+    val hop1 = hop(entry)
+    val hop2 = hop(hop1)
+    val cand = entry.unionByName(hop1).unionByName(hop2).distinct()
+      .join(survivors.select(col("cluster"), col("vec_id").as("id"),
+        col("embedding").as("cv")), Seq("cluster", "id"))
+    val cent = graft.ops.Similarity.buildCentroids(
+      Tables.embeddings(spark, dir), dim = 64, chunks = centroidChunks)
+    val q = graft.ops.Similarity.assignToCentroids(
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 17 === 3)
+          .select("vec_id", "embedding"),
+        cent, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("cluster"),
+        col("embedding").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    q.join(broadcast(cand), Seq("cluster")) // ≤ 13 candidates per cluster
+      .withColumn("cos", cosineSim(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      // the quantizer's label is INT; the state schemas carry BIGINT
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_served"),
+        sum(col("id")).as("served_id_sum"),
+        sum(when(col("rk") === 1, col("id"))).as("top1_id_sum"))
+      .orderBy("cluster")
+  }
+
+  val s55Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel AS cluster FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), surv AS (
+      |  SELECT vec_id, embedding, cluster FROM assigned WHERE vec_id % 9 <> 0
+      |), repaired_graph AS (
+      |  SELECT cluster, vec_id, nbr FROM (
+      |    SELECT a.cluster, a.vec_id, b.vec_id AS nbr,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY ${duckCosOf("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM surv a JOIN surv b
+      |      ON b.cluster = a.cluster AND b.vec_id < a.vec_id)
+      |  WHERE rk <= 3
+      |), entry AS (
+      |  SELECT cluster, MAX(vec_id) AS id FROM surv GROUP BY cluster
+      |), hop1 AS (
+      |  SELECT r.cluster, r.nbr AS id FROM entry e
+      |  JOIN repaired_graph r ON r.cluster = e.cluster AND r.vec_id = e.id
+      |), hop2 AS (
+      |  SELECT r.cluster, r.nbr AS id FROM hop1 h
+      |  JOIN repaired_graph r ON r.cluster = h.cluster AND r.vec_id = h.id
+      |), cand AS (
+      |  SELECT DISTINCT u.cluster, u.id, s.embedding AS cv FROM (
+      |    SELECT cluster, id FROM entry
+      |    UNION ALL SELECT cluster, id FROM hop1
+      |    UNION ALL SELECT cluster, id FROM hop2) u
+      |  JOIN surv s ON s.cluster = u.cluster AND s.vec_id = u.id
+      |), served AS (
+      |  SELECT query_id, cluster, id, rk FROM (
+      |    SELECT q.vec_id AS query_id, q.cluster, c.id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY ${duckCosOf("q.embedding", "c.cv")} DESC, c.id) AS rk
+      |    FROM assigned q JOIN cand c ON c.cluster = q.cluster
+      |    WHERE q.vec_id % 17 = 3)
+      |  WHERE rk <= 3
+      |)
+      |SELECT CAST(cluster AS BIGINT) AS cluster,
+      |  COUNT(DISTINCT query_id) AS n_queries, COUNT(*) AS n_served,
+      |  CAST(SUM(id) AS BIGINT) AS served_id_sum,
+      |  CAST(SUM(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS top1_id_sum
+      |FROM served GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s55_lifecycle_serve" -> (s55LifecycleServe _),
     "s54_wire_vector_ingest" -> (s54WireVectorIngest _),
     "s53_graph_repair" -> (s53GraphRepair _),
     "s52_stream_graph_delete" -> (s52StreamGraphDelete _),
@@ -738,6 +903,9 @@ object StreamSearchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the full lifecycle (restart + compaction + tombstones + repair)
+    // must serve exactly what a fresh survivors-only index would
+    "s55_lifecycle_serve" -> s55Oracle,
     "s52_stream_graph_delete" -> s52Oracle, // s51's graph, survivor-filtered
     // repair restores the as-if-rebuilt-on-survivors graph exactly
     "s53_graph_repair" -> s53Oracle,
