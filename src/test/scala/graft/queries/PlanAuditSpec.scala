@@ -614,4 +614,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       s"band pairing degenerated to a nested loop:\n$p")
     assert(p.contains("_bkt"), s"time-bucket key missing from the plan:\n$p")
   }
+
+  test("s55: the lifecycle serve broadcasts the candidate ball — queries never shuffle against the corpus") {
+    // s55's serve-time scale story: after the lifecycle drain, the
+    // two-hop candidate ball is ≤ 13 rows per cluster, so the serve join
+    // must be a BroadcastHashJoin with the CANDIDATES on the broadcast
+    // side — a query table shuffled against corpus-sized state (or a
+    // nested-loop pairing) would forfeit the graph walk's entire point.
+    // Constructing the DataFrame runs the (sf0.001) drain once; the
+    // assertion is on the plan, not the data.
+    val p = plan(StreamSearchQueries.s55LifecycleServe(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"serve went cartesian:\n$p")
+    // exactly ONE nested-loop cross is expected and allowed: the bounded
+    // centroid table inside the quantizer-assignment argmax (the s44
+    // pin's accepted shape); the serve pairing itself must never be one
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"serve grew a loop beyond the bounded centroid-assignment cross:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate ball no longer broadcast:\n$p")
+  }
 }
