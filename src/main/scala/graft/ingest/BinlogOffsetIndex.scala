@@ -330,10 +330,21 @@ object BinlogOffsetIndex {
     *
     * Runs wherever the caller is (the tail source calls it driver-side
     * at offset planning); per trigger it reads only the bytes past the
-    * previous frontier — bounded by feed growth, not file size. */
+    * previous frontier — bounded by feed growth, not file size.
+    *
+    * `byteBudget` is the SOFT batch-size cap (the tail source's
+    * `maxBytesPerTrigger`): once the walk has found at least one commit
+    * boundary past `fromPos` and consumed the budget, it stops there —
+    * so a consumer restarted against a weekend of growth advances in
+    * budget-sized batches instead of planning one giant one, while a
+    * single transaction larger than the budget still advances the
+    * frontier by one whole transaction (the progress guarantee; commits
+    * are the only legal stops, so the cap is soft exactly like Spark's
+    * file-source maxBytesPerTrigger). */
   private[graft] def commitFrontier(file: String, fromPos: Long,
       fromIndex: Long, fromCk: Int,
-      conf: org.apache.hadoop.conf.Configuration): (Long, Long, Int) = {
+      conf: org.apache.hadoop.conf.Configuration,
+      byteBudget: Long = Long.MaxValue): (Long, Long, Int) = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
@@ -355,7 +366,10 @@ object BinlogOffsetIndex {
       val hdr = new Array[Byte](19)
       var done = false
       while (!done) {
-        if (!readFully(in, hdr)) done = true
+        // soft byte budget: stop at the last commit boundary once the
+        // budget is consumed AND the frontier has advanced (see scaladoc)
+        if (fPos > fromPos && pos - fromPos >= byteBudget) done = true
+        else if (!readFully(in, hdr)) done = true
         else {
           val buf = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
           buf.getInt // timestamp

@@ -48,7 +48,8 @@ class BinlogDataSource extends TableProvider with DataSourceRegister {
       Option(properties.get("splitIndex")),
       Option(properties.get("splitIndexAutoBuild")).exists(_.toBoolean),
       Option(properties.get("splitBytes")).map(_.toLong),
-      Option(properties.get("tailActive")).exists(_.toBoolean))
+      Option(properties.get("tailActive")).exists(_.toBoolean),
+      Option(properties.get("maxBytesPerTrigger")).map(_.toLong))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -76,7 +77,8 @@ object BinlogDataSource {
 
 private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int],
     splitIndex: Option[String] = None, autoBuild: Boolean = false,
-    splitBytes: Option[Long] = None, tailActive: Boolean = false)
+    splitBytes: Option[Long] = None, tailActive: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   require(path != null, "binlog source requires a path (use .load(path))")
 
@@ -87,12 +89,13 @@ private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BinlogScanBuilder(path, maxFilesPerTrigger, splitIndex, autoBuild,
-      splitBytes, tailActive)
+      splitBytes, tailActive, maxBytesPerTrigger)
 }
 
 private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
     splitIndex: Option[String] = None, autoBuild: Boolean = false,
-    splitBytes: Option[Long] = None, tailActive: Boolean = false)
+    splitBytes: Option[Long] = None, tailActive: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -117,7 +120,7 @@ private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = 
 
   override def build(): Scan =
     new BinlogScan(path, required, pushed, maxFilesPerTrigger, splitIndex,
-      autoBuild, splitBytes, tailActive)
+      autoBuild, splitBytes, tailActive, maxBytesPerTrigger)
 }
 
 private object BinlogFilePruning {
@@ -166,7 +169,8 @@ private class BinlogScan(path: String, required: StructType,
     splitIndex: Option[String] = None,
     autoBuild: Boolean = false,
     splitBytes: Option[Long] = None,
-    tailActive: Boolean = false) extends Scan with Batch {
+    tailActive: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -238,7 +242,8 @@ private class BinlogScan(path: String, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     if (tailActive)
-      new BinlogTailMicroBatchStream(path, required, maxFilesPerTrigger)
+      new BinlogTailMicroBatchStream(path, required, maxFilesPerTrigger,
+        maxBytesPerTrigger)
     else
       new BinlogMicroBatchStream(path, required, maxFilesPerTrigger,
         splitIndex, autoBuild, splitBytes)

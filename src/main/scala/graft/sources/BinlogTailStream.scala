@@ -42,10 +42,16 @@ import graft.ingest.BinlogOffsetIndex
   * only its LAST file may grow.
   *
   * `maxFilesPerTrigger` caps file COMPLETIONS per trigger; an active-file
-  * advance consumes no budget (its batch is bounded by feed growth, not
-  * file size). Batches replay deterministically from their (start, end)
-  * offsets: every partition either ends at a recorded frontier or spans a
-  * rotated-closed (hence immutable) file. The intra-file split index is
+  * advance consumes no file budget (its batch is bounded by feed growth,
+  * not file size). `maxBytesPerTrigger` additionally SOFT-caps a
+  * trigger's bytes — closed files count whole (at least one always
+  * completes), and the active-file walk stops at the last commit
+  * boundary inside the remaining budget (one whole transaction minimum,
+  * the progress guarantee) — so a consumer restarted against a weekend
+  * of growth catches up in budget-sized batches instead of planning one
+  * giant one. Batches replay deterministically from their (start, end)
+  * offsets: every partition either ends at a recorded frontier or spans
+  * a rotated-closed (hence immutable) file. The intra-file split index is
   * deliberately not consulted here — tail batches are growth-sized by
   * construction; bulk backfill of closed history belongs to the batch
   * scan or the count-based stream, both of which fan huge files out
@@ -57,7 +63,7 @@ import graft.ingest.BinlogOffsetIndex
   * split-index path.
   */
 private class BinlogTailMicroBatchStream(path: String, required: StructType,
-    maxFilesPerTrigger: Option[Int])
+    maxFilesPerTrigger: Option[Int], maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -85,7 +91,8 @@ private class BinlogTailMicroBatchStream(path: String, required: StructType,
   /** The current end-of-feed frontier: every file but the last fully
     * consumed, the last one walked to its committed boundary starting
     * from `initialFrom` when it names the same file index. `budget` caps
-    * file completions (admission control). */
+    * file completions (admission control); `maxBytesPerTrigger` (when
+    * set) soft-caps the trigger's bytes on top. */
   private def frontierTarget(initialFrom: Option[TailOffset],
       budget: Int): TailOffset = {
     val listing = BinlogScan.listFiles(path).toIndexedSeq
@@ -93,18 +100,36 @@ private class BinlogTailMicroBatchStream(path: String, required: StructType,
     val s = initialFrom.getOrElse(TailOffset(0, 0L, 0L, 0))
     if (listing.isEmpty || s.n >= listing.length) return s
     val maxN = listing.length - 1
-    if (s.n.toLong + budget <= maxN) {
-      // budget exhausted on closed-file completions alone
-      TailOffset(s.n + budget, 0L, 0L, 0)
+    val byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    // closed-file completions: bounded by the file budget and (softly —
+    // the first file always completes) the byte budget; file lengths are
+    // only stat'ed when a byte budget is actually set
+    var n = s.n
+    var bytes = 0L
+    while (n < maxN && (n - s.n) < budget && bytes < byteBudget) {
+      if (byteBudget != Long.MaxValue)
+        bytes += math.max(0L,
+          statLen(listing(n)) - (if (n == s.n) s.pos else 0L))
+      n += 1
+    }
+    if (n < maxN || (n - s.n) >= budget || bytes >= byteBudget) {
+      // a budget ran out before (or exactly at) the active file
+      TailOffset(n, 0L, 0L, 0)
     } else {
-      // budget reaches the active file: walk its committed frontier from
+      // budgets reach the active file: walk its committed frontier from
       // the last known state (ours if we were already inside this file)
       val (fp, fi, fc) =
         if (s.n == maxN) (s.pos, s.idx, s.ck) else (0L, 0L, 0)
       val (np, ni, nc) = BinlogOffsetIndex.commitFrontier(
-        listing(maxN), fp, fi, fc, hadoopConf)
+        listing(maxN), fp, fi, fc, hadoopConf, byteBudget - bytes)
       TailOffset(maxN, np, ni, nc)
     }
+  }
+
+  private def statLen(file: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    try p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+    catch { case _: java.io.IOException => 0L }
   }
 
   override def latestOffset(): Offset =

@@ -139,6 +139,63 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
     assert(parts.length == 1)
   }
 
+  test("maxBytesPerTrigger: the frontier walk stops at the last commit " +
+      "inside the budget; one transaction of progress is guaranteed") {
+    val dir = Files.createTempDirectory("tail_bb").toFile
+    val f = new FileBuilder(checksums = true)
+    f.fde(t0)
+    val after1 = txn(f, 1L, Seq(1L))
+    val after2 = txn(f, 2L, Seq(2L))
+    val after3 = txn(f, 3L, Seq(3L))
+    val file = new java.io.File(dir, "mysql-bin.000001")
+    Files.write(file.toPath, f.bytes)
+
+    // budget past txn 1 but short of txn 2's commit → stop after txn 1
+    val (p1, _, _) = BinlogOffsetIndex.commitFrontier(
+      file.getPath, 0L, 0L, 0, conf, byteBudget = after1 + 10)
+    assert(p1 == after1)
+    // budget of ONE byte still advances one whole transaction (the
+    // soft-cap progress guarantee — a stream must never stall)
+    val (p2, _, _) = BinlogOffsetIndex.commitFrontier(
+      file.getPath, 0L, 0L, 0, conf, byteBudget = 1L)
+    assert(p2 == after1)
+    // resumed budgeted walks cover the file in commit-sized steps
+    val (p3, i3, c3) = BinlogOffsetIndex.commitFrontier(
+      file.getPath, p2, 6L, 4, conf, byteBudget = 1L)
+    assert(p3 == after2)
+    val (p4, _, _) = BinlogOffsetIndex.commitFrontier(
+      file.getPath, p3, i3, c3, conf, byteBudget = 1L)
+    assert(p4 == after3)
+  }
+
+  test("maxBytesPerTrigger: closed files admit in budget-sized groups") {
+    import BinlogTailMicroBatchStream.TailOffset
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("tail_bbf").toFile
+    (1 to 3).foreach { i =>
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      txn(f, i.toLong, Seq(i.toLong))
+      Files.write(new java.io.File(dir, f"mysql-bin.$i%06d").toPath, f.bytes)
+    }
+    // budget smaller than one file: each trigger completes exactly one
+    // closed file (the at-least-one-file progress guarantee), then the
+    // active file advances by budgeted commits
+    val stream = new BinlogTailMicroBatchStream(
+      dir.getPath, BinlogDataSource.schema, None, Some(10L))
+    val s0 = stream.initialOffset().asInstanceOf[TailOffset]
+    val s1 = stream.latestOffset(s0, ReadLimit.allAvailable())
+      .asInstanceOf[TailOffset]
+    assert(s1 == TailOffset(1, 0L, 0L, 0))
+    val s2 = stream.latestOffset(s1, ReadLimit.allAvailable())
+      .asInstanceOf[TailOffset]
+    assert(s2 == TailOffset(2, 0L, 0L, 0))
+    val s3 = stream.latestOffset(s2, ReadLimit.allAvailable())
+      .asInstanceOf[TailOffset]
+    assert(s3.n == 2 && s3.pos > 0L) // active file: one commit of progress
+    assert(stream.latestOffset(s3, ReadLimit.allAvailable()) == s3)
+  }
+
   test("end-to-end: bytes appended between two drains on one checkpoint " +
       "arrive exactly once; the torn tail never leaks") {
     val root = Files.createTempDirectory("tail_e2e").toFile
