@@ -991,6 +991,206 @@ object LifecycleQueries {
       .orderBy("event_type")
   }
 
+  // cdc63 — THE FULL DEPLOYMENT SHAPE, ONE GATE: a GROWING binlog
+  // carrying TWO tables' changes, tailed live (cdc58's tailActive
+  // source), demultiplexed into per-table exactly-once states (cdc57),
+  // each running its own compaction loop (cdc61), across an
+  // append-between-runs restart seam on one checkpoint, with the torn
+  // tail held back in-source (cdc56's rule, now inside the offsets) and
+  // a batch-0 whole-file redelivery absorbed after everything. This is
+  // the configuration a real CDC consumer actually runs — every piece
+  // is proven alone by its own gate; this proves the COMPOSITION. The
+  // fixture: per-table closed sink files (classes k % 13 ∉ {9..12}),
+  // plus one byte-crafted ACTIVE file interleaving both tables'
+  // transactions — txn A (ta, class 9) committed before run 1; txn B
+  // (tb, class 10) torn at run 1 (cut mid-XID-header) and completed by
+  // the append; txn C (ta, class 11) committed in the append; txn D
+  // (tb, class 12) torn forever. The oracle expects ALL of ta and all
+  // of tb except class 12 — so a leaked torn row, a lost frontier, a
+  // cross-table routing error, a compaction that swallowed a live
+  // batch, or an unabsorbed replay is a hash mismatch. At 100 TB: one
+  // subscription reads the feed once at wire-growth granularity; N
+  // states stay compacted; nothing scales with history.
+  def cdc63TailDemux(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc63_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val stateA = new java.io.File(root, "state_ta").getPath
+    val stateB = new java.io.File(root, "state_tb").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"), col("user_id"))
+    // each table's closed file carries everything EXCEPT the classes that
+    // ride the active file for THAT table (ta: 9/11, tb: 10/12) — both
+    // tables' full row sets are on the wire exactly once
+    val closedA = col("k") % 13 =!= 9 && col("k") % 13 =!= 11
+    val closedB = col("k") % 13 =!= 10 && col("k") % 13 =!= 12
+    // closed per-table files: ta then tb in natural-version order
+    def stageClosed(name: String, df: DataFrame, table: String,
+        tableId: Long, seq: Int): Unit = {
+      val st = new java.io.File(root, name).getPath
+      graft.ingest.BinlogSink.writeChanges(df.coalesce(1), st,
+        table = table, tableId = tableId, fileSeqStart = seq, rowsPerTxn = 50)
+      Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .foreach { f =>
+          require(f.renameTo(new java.io.File(feed, f.getName)),
+            s"fixture deliver failed: $f")
+        }
+    }
+    stageClosed("stA", base.filter(closedA)
+      .select(lit(1).as("op"), col("k"),
+        concat(lit("u"), col("user_id")).as("v")), "ta", 21L, seq = 1)
+    stageClosed("stB", base.filter(closedB)
+      .select(lit(1).as("op"), col("k"),
+        (col("user_id") * 3L).as("x")), "tb", 22L, seq = 2)
+    // the ACTIVE file: both tables' transactions interleaved, built
+    // byte-level (bounded classes, cdc56/cdc58's cap discipline)
+    val fixtureCap = 200000
+    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
+      val rows = base.filter(col("k") % 13 === m).orderBy("k")
+        .limit(fixtureCap + 1).collect()
+      require(rows.length <= fixtureCap,
+        s"cdc63 fixture class $m must stay a bounded test vector, got " +
+          s"${rows.length} rows (cap $fixtureCap)")
+      rows
+    }
+    val (ta9, tb10, ta11, tb12) = (cls(9), cls(10), cls(11), cls(12))
+    val activeFile = new java.io.File(feed, "mysql-bin.000500")
+    val appendTail: Option[Array[Byte]] =
+      if (ta9.isEmpty && tb10.isEmpty && ta11.isEmpty && tb12.isEmpty) None
+      else {
+        import graft.ingest.BinlogBinaryWriter._
+        val boundA = math.max(20,
+          (ta9 ++ ta11).map(r => 1 + r.getLong(1).toString.length)
+            .foldLeft(0)(math.max) + 16)
+        val colsA = Seq(ColDef.longlong, ColDef.varchar(boundA))
+        val colsB = Seq(ColDef.longlong, ColDef.longlong)
+        def imgA(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+          Seq(Some(encLongLong(r.getLong(0))),
+            Some(encVarchar("u" + r.getLong(1), boundA)))
+        def imgB(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+          Seq(Some(encLongLong(r.getLong(0))),
+            Some(encLongLong(r.getLong(1) * 3L)))
+        val t0 = 1714564800L
+        val sid = (1 to 16).map(_.toByte).toArray
+        val f = new FileBuilder(checksums = true)
+        var lastRows = f.fde(t0)
+        var cleanCut = lastRows
+        def open(gno: Long): Unit = {
+          f.event(t0, 33, gtidBody(sid, gno))
+          f.event(t0, 2, queryBody("sf", "BEGIN"))
+        }
+        def rowsA(rs: Array[org.apache.spark.sql.Row]): Unit =
+          rs.grouped(100).foreach { b =>
+            f.event(t0, 19, tableMapBody(21L, "sf", "ta", colsA))
+            lastRows = f.event(t0, 30, rowsBody(21L, colsA.size, b.toSeq.map(imgA)))
+          }
+        def rowsB(rs: Array[org.apache.spark.sql.Row]): Unit =
+          rs.grouped(100).foreach { b =>
+            f.event(t0, 19, tableMapBody(22L, "sf", "tb", colsB))
+            lastRows = f.event(t0, 30, rowsBody(22L, colsB.size, b.toSeq.map(imgB)))
+          }
+        // txn A (ta): committed entirely inside installment 1
+        if (ta9.nonEmpty) {
+          open(821L); rowsA(ta9); cleanCut = f.event(t0, 16, xidBody(8201L))
+        }
+        // txn B (tb): rows in installment 1, XID only in the append
+        if (tb10.nonEmpty) { open(822L); rowsB(tb10) }
+        val afterBRows = lastRows
+        if (tb10.nonEmpty) f.event(t0, 16, xidBody(8202L))
+        // txn C (ta): committed, entirely in the append
+        if (ta11.nonEmpty) {
+          open(823L); rowsA(ta11); f.event(t0, 16, xidBody(8203L))
+        }
+        // txn D (tb): torn FOREVER
+        if (tb12.nonEmpty) { open(824L); rowsB(tb12) }
+        val all = f.bytes
+        val cut = (if (tb10.nonEmpty) math.min(afterBRows + 7, all.length.toLong)
+          else cleanCut).toInt
+        java.nio.file.Files.write(activeFile.toPath, all.slice(0, cut))
+        Some(all.slice(cut, all.length))
+      }
+    val schemaA = "k BIGINT, v STRING, batch_id BIGINT"
+    val schemaB = "k BIGINT, x BIGINT, batch_id BIGINT"
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      // ONE pass over the batch, N routed exactly-once writes, then the
+      // per-state maintenance loop (cdc61's discipline)
+      val b = batch.filter(col("event_type") === "WriteRowsEventV2")
+        .select(col("table"), explode(col("row_images")).as("img"))
+        .localCheckpoint(true)
+      ViewMaintenance.applyIdempotent(
+        b.filter(col("table") === "ta")
+          .select(element_at(col("img"), 1).cast("long").as("k"),
+            element_at(col("img"), 2).as("v")),
+        stateA, id)
+      ViewMaintenance.applyIdempotent(
+        b.filter(col("table") === "tb")
+          .select(element_at(col("img"), 1).cast("long").as("k"),
+            element_at(col("img"), 2).cast("long").as("x")),
+        stateB, id)
+      ViewMaintenance.maybeCompact(spark, stateA, schemaA,
+        maxLive = 1, keepLast = 0)(df => df)
+      ViewMaintenance.maybeCompact(spark, stateB, schemaB,
+        maxLive = 1, keepLast = 0)(df => df)
+    }
+    def drainTail(): Unit = withDrainPartitions(spark) {
+      val q = spark.readStream.format("binlog")
+        .option("tailActive", "true")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed.getPath)
+        .writeStream
+        .foreachBatch(applyBatch _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainTail()
+    appendTail.foreach { tail =>
+      java.nio.file.Files.write(activeFile.toPath, tail,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    drainTail()
+    // injected crash-after-commit redelivery of batch 0 (ta's closed
+    // file): ta absorbs it as a covered ghost, tb as an empty no-op
+    if (batch0Files.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"${feed.getPath}/$f"): _*), 0L)
+    val servedA = ViewMaintenance.readState(spark, stateA, schemaA)
+      .withColumn("tbl", lit("ta"))
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
+        sum(length(col("v"))).as("payload_sum"))
+    val servedB = ViewMaintenance.readState(spark, stateB, schemaB)
+      .withColumn("tbl", lit("tb"))
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
+        sum(col("x")).as("payload_sum"))
+    servedA.unionByName(servedB).orderBy("tbl")
+  }
+
+  val cdc63Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k, user_id FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT 'ta' AS tbl, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum,
+      |  CAST(SUM(LENGTH('u' || CAST(user_id AS VARCHAR))) AS BIGINT)
+      |    AS payload_sum
+      |FROM base
+      |UNION ALL
+      |SELECT 'tb', COUNT(*), CAST(SUM(k) AS BIGINT),
+      |  CAST(SUM(user_id * 3) AS BIGINT)
+      |FROM base WHERE k % 13 <> 12
+      |ORDER BY tbl""".stripMargin
+
   val cdc60Oracle: String =
     """WITH base AS (
       |  SELECT event_id AS k, user_id FROM events
@@ -1034,6 +1234,7 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc63_tail_demux" -> (cdc63TailDemux _),
     "cdc62_sketch_compaction" -> (cdc62SketchCompaction _),
     "cdc61_demux_lifecycle" -> (cdc61DemuxLifecycle _),
     "cdc60_snapshot_cutover" -> (cdc60SnapshotCutover _),
@@ -1048,6 +1249,7 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc63_tail_demux" -> cdc63Oracle,
     // register-max fold through compact == the uncompacted sketch view
     "cdc62_sketch_compaction" -> CdcQueries.cdc49Oracle,
     "cdc61_demux_lifecycle" -> cdc61Oracle,
