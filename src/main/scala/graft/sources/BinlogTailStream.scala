@@ -86,21 +86,27 @@ private class BinlogTailMicroBatchStream(path: String, required: StructType,
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(frontierTarget(initialFrom = None, budget = Int.MaxValue))
+    // the cap is everything available NOW: per-trigger file/byte budgets
+    // still pace the run's individual batches (latestOffset), but must
+    // not truncate the run itself — AvailableNow means "drain to here in
+    // as many budget-sized batches as it takes", matching the file
+    // source's maxBytesPerTrigger semantics
+    availableNowCap = Some(frontierTarget(initialFrom = None,
+      budget = Int.MaxValue, byteBudget = Long.MaxValue))
 
   /** The current end-of-feed frontier: every file but the last fully
     * consumed, the last one walked to its committed boundary starting
     * from `initialFrom` when it names the same file index. `budget` caps
     * file completions (admission control); `maxBytesPerTrigger` (when
     * set) soft-caps the trigger's bytes on top. */
-  private def frontierTarget(initialFrom: Option[TailOffset],
-      budget: Int): TailOffset = {
+  private def frontierTarget(initialFrom: Option[TailOffset], budget: Int,
+      byteBudget: Long = maxBytesPerTrigger.getOrElse(Long.MaxValue))
+      : TailOffset = {
     val listing = BinlogScan.listFiles(path).toIndexedSeq
     lastListing = listing
     val s = initialFrom.getOrElse(TailOffset(0, 0L, 0L, 0))
     if (listing.isEmpty || s.n >= listing.length) return s
     val maxN = listing.length - 1
-    val byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     // closed-file completions: bounded by the file budget and (softly —
     // the first file always completes) the byte budget; file lengths are
     // only stat'ed when a byte budget is actually set

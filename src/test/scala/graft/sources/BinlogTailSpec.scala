@@ -196,6 +196,41 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
     assert(stream.latestOffset(s3, ReadLimit.allAvailable()) == s3)
   }
 
+  test("maxBytesPerTrigger under AvailableNow: the run still drains " +
+      "everything available, in budget-sized batches") {
+    val root = Files.createTempDirectory("tail_bban").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    (1 to 2).foreach { i =>
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      txn(f, i.toLong, Seq(i.toLong * 10, i.toLong * 10 + 1))
+      Files.write(new java.io.File(feed, f"mysql-bin.$i%06d").toPath, f.bytes)
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("binlog")
+      .option("tailActive", "true")
+      .option("maxBytesPerTrigger", 10) // far below one file
+      .load(feed.getPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen ++= batch
+          .filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long"))
+          .collect().map(r => (id, r.getLong(0)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.map(_._2).sorted == List(10L, 11L, 20L, 21L),
+      s"AvailableNow must drain everything despite the byte budget: $seen")
+    assert(seen.map(_._1).distinct.length >= 2,
+      s"the byte budget should have paced the run into several batches: $seen")
+  }
+
   test("end-to-end: bytes appended between two drains on one checkpoint " +
       "arrive exactly once; the torn tail never leaks") {
     val root = Files.createTempDirectory("tail_e2e").toFile
