@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.CdcFixtures.{fixtureBase, ivmFixture, decodeIvmDelta,
   ivmReport}
-import graft.streaming.Drains.{drainWithRedelivery, streamDirs, tmpFixtureDir,
-  withDrainPartitions}
+import graft.streaming.Drains.{drainBinlogTail, drainWithRedelivery,
+  streamDirs, tmpFixtureDir}
 
 /** The maintained-state LIFECYCLE family (split out of CdcQueries in r14
   * — the r13 verdict's mechanics task): the gates a long-running CDC
@@ -669,18 +669,7 @@ object LifecycleQueries {
           .select(element_at(col("img"), 1).cast("long").as("k")),
         state, id)
     }
-    def drainTail(): Unit = withDrainPartitions(spark) {
-      val q = spark.readStream.format("binlog")
-        .option("tailActive", "true")
-        .option("maxFilesPerTrigger", 1)
-        .load(feed.getPath)
-        .writeStream
-        .foreachBatch(applyBatch _)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    def drainTail(): Unit = drainBinlogTail(spark, feed.getPath, ckpt)(applyBatch)
     drainTail()
     appendTail.foreach { tail =>
       java.nio.file.Files.write(activeFile.toPath, tail,
@@ -1140,18 +1129,7 @@ object LifecycleQueries {
       ViewMaintenance.maybeCompact(spark, stateB, schemaB,
         maxLive = 1, keepLast = 0)(df => df)
     }
-    def drainTail(): Unit = withDrainPartitions(spark) {
-      val q = spark.readStream.format("binlog")
-        .option("tailActive", "true")
-        .option("maxFilesPerTrigger", 1)
-        .load(feed.getPath)
-        .writeStream
-        .foreachBatch(applyBatch _)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    def drainTail(): Unit = drainBinlogTail(spark, feed.getPath, ckpt)(applyBatch)
     drainTail()
     appendTail.foreach { tail =>
       java.nio.file.Files.write(activeFile.toPath, tail,

@@ -92,6 +92,26 @@ object Drains {
       q.awaitTermination()
     }
 
+  /** The ACTIVE-file drain (cdc58/cdc63): the `tailActive` binlog source
+    * — (file, byte-frontier) offsets, torn tail held back in-source —
+    * file-completion-per-trigger, AvailableNow to completion. Gates call
+    * it once per installment against ONE checkpoint, appending bytes to
+    * the growing last file between runs. */
+  def drainBinlogTail(spark: SparkSession, feed: String,
+      ckpt: String)(apply: (DataFrame, Long) => Unit): Unit =
+    withDrainPartitions(spark) {
+      val q = spark.readStream.format("binlog")
+        .option("tailActive", "true")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+        .writeStream
+        .foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** The shared EXACTLY-ONCE drain: per batch, land `partials(batch)` in
     * its own batch_id partition (ViewMaintenance.applyIdempotent),
     * recording which feed file(s) batch 0 ACTUALLY processed (≤1 by
