@@ -810,12 +810,16 @@ object LifecycleQueries {
     var straddleId = -1L
     def applyBatch(batch: DataFrame, id: Long): Unit = {
       val r = rows(batch).localCheckpoint(true) // one decode, two probes
-      if (straddleFiles.isEmpty &&
-          r.filter(atOrBeforeMark).limit(1).count() > 0 &&
-          r.filter(!atOrBeforeMark).limit(1).count() > 0) {
-        straddleFiles ++= batch.select(col("binlog_file")).distinct()
-          .collect().map(_.getString(0))
-        straddleId = id
+      if (straddleFiles.isEmpty) {
+        // one aggregate decides "does this batch straddle the mark"
+        val flags = r.agg(
+          max(when(atOrBeforeMark, 1).otherwise(0)).as("pre"),
+          max(when(atOrBeforeMark, 0).otherwise(1)).as("post")).head()
+        if (!flags.isNullAt(0) && flags.getInt(0) == 1 && flags.getInt(1) == 1) {
+          straddleFiles ++= batch.select(col("binlog_file")).distinct()
+            .collect().map(_.getString(0))
+          straddleId = id
+        }
       }
       ViewMaintenance.applyIdempotent(
         r.filter(!atOrBeforeMark).select("k", "v"), state, id)

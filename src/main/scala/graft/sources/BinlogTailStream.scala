@@ -90,7 +90,10 @@ private class BinlogTailMicroBatchStream(path: String, required: StructType,
     // still pace the run's individual batches (latestOffset), but must
     // not truncate the run itself — AvailableNow means "drain to here in
     // as many budget-sized batches as it takes", matching the file
-    // source's maxBytesPerTrigger semantics
+    // source's maxBytesPerTrigger semantics. Spark doesn't hand prepare
+    // the start offset, so this walks the active file from 0 — one
+    // header-only pass per RUN (not per trigger), the price of an exact
+    // cap on a file that keeps growing during the run.
     availableNowCap = Some(frontierTarget(initialFrom = None,
       budget = Int.MaxValue, byteBudget = Long.MaxValue))
 
