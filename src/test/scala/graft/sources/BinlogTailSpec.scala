@@ -196,6 +196,40 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
     assert(stream.latestOffset(s3, ReadLimit.allAvailable()) == s3)
   }
 
+  test("crash recovery: the torn tail truncated away between triggers " +
+      "(MySQL's recovery behavior) — the stream continues from the commit") {
+    val dir = Files.createTempDirectory("tail_trunc").toFile
+    val f = new FileBuilder(checksums = true)
+    f.fde(t0)
+    val afterA = txn(f, 1L, Seq(1L))
+    tornTxn(f, 2L, Seq(2L)) // the torn tail a crash leaves
+    val all = f.bytes
+    val file = new java.io.File(dir, "mysql-bin.000001")
+    Files.write(file.toPath, all)
+
+    // trigger 1: frontier stops at the commit, torn bytes held back
+    val (p1, i1, c1) = BinlogOffsetIndex.commitFrontier(
+      file.getPath, 0L, 0L, 0, conf)
+    assert(p1 == afterA)
+
+    // server recovery truncates the file back to the committed boundary
+    // (our frontier only ever points at commits, so it stays valid)...
+    Files.write(file.toPath, all.slice(0, afterA.toInt))
+    assert(BinlogOffsetIndex.commitFrontier(
+      file.getPath, p1, i1, c1, conf) == ((p1, i1, c1)))
+
+    // ...and the resumed server re-writes the transaction (new growth):
+    // the walk advances to the new commit, never re-serving old bytes
+    val f2 = new FileBuilder(checksums = true)
+    f2.fde(t0)
+    txn(f2, 1L, Seq(1L))
+    val afterB2 = txn(f2, 2L, Seq(2L))
+    Files.write(file.toPath, f2.bytes)
+    val (p2, _, _) = BinlogOffsetIndex.commitFrontier(
+      file.getPath, p1, i1, c1, conf)
+    assert(p2 == afterB2)
+  }
+
   test("maxBytesPerTrigger under AvailableNow: the run still drains " +
       "everything available, in budget-sized batches") {
     val root = Files.createTempDirectory("tail_bban").toFile
