@@ -690,6 +690,167 @@ object LifecycleQueries {
       .orderBy("src")
   }
 
+  // cdc64 — ROTATION MID-TAIL (the one tail posture cdc58/cdc63 never
+  // exercise: there the active file stays LAST forever; a real server
+  // rotates — `FLUSH BINARY LOGS`, size limits — so the file a consumer
+  // is mid-way through CLOSES and a new active file appears). The offset
+  // seam under test: drain 1 leaves a MID-FILE committed frontier (plus
+  // decoder seed state) inside mysql-bin.000500; between drains the
+  // server completes the torn transaction, appends one more committed
+  // transaction and a trailing ROTATE, and opens mysql-bin.000501 with
+  // one committed and one forever-torn transaction. Drain 2 must (a)
+  // consume 000500's remainder PAST the recorded frontier to EOF without
+  // a walk (rotation closed it — MySQL never splits a transaction across
+  // files), resuming the decoder from the checkpointed (pos, idx, ck)
+  // seed; (b) emit the ROTATE event's file without rows (it is not DML);
+  // (c) walk 000501 to its committed frontier, holding back the torn
+  // tail; and a third, idle drain must be a NO-OP (nothing grew — a
+  // quiet server must not re-emit). A batch-0 whole-file redelivery is
+  // injected after everything (the cdc48 contract). Fixture classes
+  // (k % 131): 0 = txn A committed in installment 1; 1 = txn B torn at
+  // the cut (7 bytes into its XID header) and completed by the append;
+  // 2 = txn C committed in the append, before the ROTATE; 3 = txn D
+  // committed in the NEW file; 4 = txn E torn forever; bulk = the rest.
+  // The oracle excludes exactly class 4 — a re-read of pre-frontier
+  // bytes double-counts B, a frontier lost across the rotation drops C
+  // or D, a leaked torn tail adds E: all hash mismatches. At 100 TB
+  // rotation is the COMMON case (every binlog file ends with ROTATE);
+  // the per-trigger cost stays one listing + a walk of the new bytes.
+  def cdc64TailRotate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc64_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed")
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    // closed bulk: sink-written files, delivered complete up front
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 5)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(3, col("k")),
+      feed.getPath, rowsPerTxn = 50)
+    val fixtureCap = 200000
+    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
+      val rows = base.filter(col("k") % 131 === m).orderBy("k")
+        .limit(fixtureCap + 1).collect()
+      require(rows.length <= fixtureCap,
+        s"cdc64 fixture class $m must stay a bounded test vector, got " +
+          s"${rows.length} rows (cap $fixtureCap)")
+      rows
+    }
+    val (ta, tb, tc, td, te) = (cls(0), cls(1), cls(2), cls(3), cls(4))
+    val file500 = new java.io.File(feed, "mysql-bin.000500")
+    val file501 = new java.io.File(feed, "mysql-bin.000501")
+    // (500's appended remainder, 501's full contents) — None on an empty
+    // fixture (degenerate inputs: no active files at all)
+    val rotation: Option[(Array[Byte], Array[Byte])] =
+      if (ta.isEmpty && tb.isEmpty && tc.isEmpty && td.isEmpty && te.isEmpty)
+        None
+      else {
+        import graft.ingest.BinlogBinaryWriter._
+        val bound = math.max(20,
+          (ta ++ tb ++ tc ++ td ++ te)
+            .map(_.getString(1).getBytes("UTF-8").length)
+            .foldLeft(0)(math.max) + 16)
+        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
+        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+          Seq(Some(encLongLong(r.getLong(0))),
+            Some(encVarchar(r.getString(1), bound)))
+        val t0 = 1714564800L
+        val sid = (1 to 16).map(_.toByte).toArray
+        def txn(f: FileBuilder, gno: Long, xid: Long,
+            rs: Array[org.apache.spark.sql.Row],
+            commit: Boolean = true): (Long, Long) = {
+          f.event(t0, 33, gtidBody(sid, gno))
+          f.event(t0, 2, queryBody("sf", "BEGIN"))
+          var lastRows = 0L
+          rs.grouped(100).foreach { b =>
+            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+            lastRows = f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
+          }
+          (lastRows, if (commit) f.event(t0, 16, xidBody(xid)) else -1L)
+        }
+        // file 500: A committed | cut | B's XID, C committed, ROTATE
+        val f5 = new FileBuilder(checksums = true)
+        var cleanCut = f5.fde(t0)
+        if (ta.nonEmpty) cleanCut = txn(f5, 801L, 8001L, ta)._2
+        val afterBRows =
+          if (tb.nonEmpty) txn(f5, 802L, 8002L, tb)._1 else cleanCut
+        if (tc.nonEmpty) txn(f5, 803L, 8003L, tc)
+        f5.event(t0, 4, rotateBody("mysql-bin.000501"))
+        val all5 = f5.bytes
+        // the installment-1 cut: 7 bytes INTO B's XID header (mid-event),
+        // or cleanly after A's commit when B is empty
+        val cut = (if (tb.nonEmpty) math.min(afterBRows + 7, all5.length.toLong)
+          else cleanCut).toInt
+        java.nio.file.Files.write(file500.toPath, all5.slice(0, cut))
+        // file 501: D committed, E torn forever
+        val f6 = new FileBuilder(checksums = true)
+        f6.fde(t0)
+        if (td.nonEmpty) txn(f6, 804L, 8004L, td)
+        if (te.nonEmpty) txn(f6, 805L, 8005L, te, commit = false)
+        Some((all5.slice(cut, all5.length), f6.bytes))
+      }
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    var applied = 0L
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      applied += 1
+      ViewMaintenance.applyIdempotent(
+        batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+    }
+    def drainTail(): Unit = drainBinlogTail(spark, feed.getPath, ckpt)(applyBatch)
+    drainTail()
+    rotation.foreach { case (rest500, bytes501) =>
+      java.nio.file.Files.write(file500.toPath, rest500,
+        java.nio.file.StandardOpenOption.APPEND)
+      java.nio.file.Files.write(file501.toPath, bytes501)
+    }
+    drainTail()
+    // the idle drain: a quiet server — no growth, so NO batch may run
+    // (a re-emit would land a new batch id and double-count: a hash
+    // mismatch; the counter makes the no-op explicit too)
+    val beforeIdle = applied
+    drainTail()
+    require(applied == beforeIdle,
+      s"idle tail drain must run no batches, ran ${applied - beforeIdle}")
+    // injected crash-after-commit redelivery of batch 0
+    if (batch0Files.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"${feed.getPath}/$f"): _*), 0L)
+    ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .withColumn("src", when(col("k") % 131 === 0, "txn_a")
+        .when(col("k") % 131 === 1, "txn_b")
+        .when(col("k") % 131 === 2, "txn_c")
+        .when(col("k") % 131 === 3, "txn_d").otherwise("bulk"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("src")
+  }
+
+  val cdc64Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT CASE WHEN k % 131 = 0 THEN 'txn_a'
+      |            WHEN k % 131 = 1 THEN 'txn_b'
+      |            WHEN k % 131 = 2 THEN 'txn_c'
+      |            WHEN k % 131 = 3 THEN 'txn_d'
+      |            ELSE 'bulk' END AS src,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM base WHERE k % 131 <> 4
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // cdc59 — COMPACTION × RESTART COMPOSITION (the seam cdc51 and cdc53
   // each prove alone: cdc51 compacts mid-drain, cdc53 restarts mid-drain;
   // a year-long deployment does BOTH on one checkpoint). Run 1 drains the
@@ -836,6 +997,185 @@ object LifecycleQueries {
         sum(length(col("v"))).as("payload_sum"))
       .orderBy("grp")
   }
+
+  // cdc65 — SNAPSHOT BOOTSTRAP → LIVE-TAIL CUTOVER (cdc60's Datastream
+  // day-1 posture composed with cdc58's growing active file — the two
+  // halves of how a real consumer actually starts: bulk-load the table
+  // as state₀ at a recorded (file_seq, event_index) position, then TAIL
+  // the live, growing binlog from the beginning, discarding at-or-before
+  // the mark POSITIONALLY. cdc60 proved the discard over closed files;
+  // here the feed's last file keeps GROWING while the subscription is
+  // live, so the discard must compose with byte-frontier offsets: the
+  // cutover batch is a whole closed file (byte-frontier batches complete
+  // closed files whole), the active file's batches are growth-sized byte
+  // ranges whose event_index continues from the checkpointed decoder
+  // seed — a broken seed would mis-number events and the positional
+  // filter would discard live rows. The mark: the data-derived median
+  // row-event index of the middle CLOSED file; the active file (classes
+  // k % 131 = 0 committed before drain 1, 1 committed by the append, 2
+  // torn forever) is entirely post-mark. Replays injected: batch 0
+  // (entirely pre-mark — must land an EMPTY partition overwrite) and the
+  // straddling cutover batch (absorbed by its own partition overwrite).
+  // The oracle is the full batch apply minus the torn class — an
+  // off-by-one at the mark, a lost frontier, or a leaked torn row are
+  // all hash mismatches. At 100 TB: the snapshot never rides the wire,
+  // the filter is one codegen'd comparison, and the tail costs one
+  // header walk of the growth per trigger.
+  def cdc65TailCutover(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc65_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed")
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    // closed bulk (the table's history): everything but the live classes
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 3)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(4, col("k")),
+      feed.getPath, rowsPerTxn = 50)
+    // the recorded snapshot position: median row-event index of the
+    // middle closed file (mid-file — no boundary aligns with it)
+    val files = Option(feed.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.getName).sorted.toSeq
+    val (markSeq, markIdx) =
+      if (files.isEmpty) (0L, -1L)
+      else {
+        val markFile = files((files.length - 1) / 2)
+        val mi = spark.read.format("binlog").load(s"${feed.getPath}/$markFile")
+          .filter(col("event_type") === "WriteRowsEventV2")
+          .agg(min(col("event_index")), max(col("event_index"))).head()
+        val seq = "\\.(\\d+)$".r.findFirstMatchIn(markFile).get.group(1).toLong
+        if (mi.isNullAt(0)) (seq, -1L)
+        else (seq, (mi.getLong(0) + mi.getLong(1)) / 2)
+      }
+    val atOrBeforeMark = col("file_seq") < markSeq ||
+      (col("file_seq") === markSeq && col("event_index") <= markIdx)
+    def rows(ev: DataFrame): DataFrame = ev
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(col("file_seq"), col("event_index"),
+        explode(col("row_images")).as("img"))
+      .select(col("file_seq"), col("event_index"),
+        element_at(col("img"), 1).cast("long").as("k"),
+        element_at(col("img"), 2).as("v"))
+    // state₀: the bulk snapshot AS OF the mark
+    if (files.nonEmpty)
+      ViewMaintenance.applyIdempotent(
+        rows(spark.read.format("binlog").load(feed.getPath))
+          .filter(atOrBeforeMark).select("k", "v"),
+        state, -1L)
+    // the LIVE side: one active file, growing between the two drains
+    val fixtureCap = 200000
+    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
+      val rs = base.filter(col("k") % 131 === m).orderBy("k")
+        .limit(fixtureCap + 1).collect()
+      require(rs.length <= fixtureCap,
+        s"cdc65 fixture class $m must stay a bounded test vector, got " +
+          s"${rs.length} rows (cap $fixtureCap)")
+      rs
+    }
+    val (ta, tb, tc) = (cls(0), cls(1), cls(2))
+    val activeFile = new java.io.File(feed, "mysql-bin.000500")
+    val appendTail: Option[Array[Byte]] =
+      if (ta.isEmpty && tb.isEmpty && tc.isEmpty) None
+      else {
+        import graft.ingest.BinlogBinaryWriter._
+        val bound = math.max(20,
+          (ta ++ tb ++ tc).map(_.getString(1).getBytes("UTF-8").length)
+            .foldLeft(0)(math.max) + 16)
+        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
+        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+          Seq(Some(encLongLong(r.getLong(0))),
+            Some(encVarchar(r.getString(1), bound)))
+        val t0 = 1714564800L
+        val sid = (1 to 16).map(_.toByte).toArray
+        val f = new FileBuilder(checksums = true)
+        var cleanCut = f.fde(t0)
+        def txn(gno: Long, xid: Long, rs: Array[org.apache.spark.sql.Row],
+            commit: Boolean = true): Long = {
+          f.event(t0, 33, gtidBody(sid, gno))
+          f.event(t0, 2, queryBody("sf", "BEGIN"))
+          rs.grouped(100).foreach { b =>
+            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+            f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
+          }
+          if (commit) f.event(t0, 16, xidBody(xid)) else f.bytes.length.toLong
+        }
+        if (ta.nonEmpty) cleanCut = txn(801L, 8001L, ta)
+        // installment 1 ends cleanly after A's commit; the append brings
+        // B (committed) and C (torn forever)
+        if (tb.nonEmpty) txn(802L, 8002L, tb)
+        if (tc.nonEmpty) txn(803L, 8003L, tc, commit = false)
+        val all = f.bytes
+        val cut = cleanCut.toInt
+        java.nio.file.Files.write(activeFile.toPath, all.slice(0, cut))
+        Some(all.slice(cut, all.length))
+      }
+    // the cutover drain: subscribe from the beginning, discard pre-mark
+    // positionally; record batch 0 and the straddling batch for replays
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val straddleFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    var straddleId = -1L
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      val r = rows(batch).localCheckpoint(true) // one decode, two probes
+      if (straddleFiles.isEmpty) {
+        val flags = r.agg(
+          max(when(atOrBeforeMark, 1).otherwise(0)).as("pre"),
+          max(when(atOrBeforeMark, 0).otherwise(1)).as("post")).head()
+        if (!flags.isNullAt(0) && flags.getInt(0) == 1 && flags.getInt(1) == 1) {
+          straddleFiles ++= batch.select(col("binlog_file")).distinct()
+            .collect().map(_.getString(0))
+          straddleId = id
+        }
+      }
+      ViewMaintenance.applyIdempotent(
+        r.filter(!atOrBeforeMark).select("k", "v"), state, id)
+    }
+    def drainTail(): Unit = drainBinlogTail(spark, feed.getPath, ckpt)(applyBatch)
+    drainTail()
+    appendTail.foreach { tail =>
+      java.nio.file.Files.write(activeFile.toPath, tail,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    drainTail()
+    // injected replays: batch 0 (entirely pre-mark — an EMPTY overwrite)
+    // and the straddling cutover batch (both whole closed files — the
+    // tail source completes closed files whole, so the file-name replay
+    // reproduces the batch exactly)
+    if (batch0Files.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"${feed.getPath}/$f"): _*), 0L)
+    if (straddleFiles.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(straddleFiles.toSeq.map(f => s"${feed.getPath}/$f"): _*),
+        straddleId)
+    ViewMaintenance.readState(spark, state, "k BIGINT, v STRING, batch_id BIGINT")
+      .groupBy((col("k") % 10).as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
+        sum(length(col("v"))).as("payload_sum"))
+      .orderBy("grp")
+  }
+
+  val cdc65Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k, user_id FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT k % 10 AS grp, COUNT(*) AS n_rows,
+      |  CAST(SUM(k) AS BIGINT) AS k_sum,
+      |  CAST(SUM(LENGTH('u' || CAST(user_id AS VARCHAR))) AS BIGINT)
+      |    AS payload_sum
+      |FROM base WHERE k % 131 <> 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // cdc61 — THE LIFECYCLE INSIDE THE DEMUX (cdc57's deployment shape with
   // cdc51/m12/p15's maintenance discipline composed in, the r13 verdict's
@@ -1216,6 +1556,8 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc65_tail_cutover" -> (cdc65TailCutover _),
+    "cdc64_tail_rotate" -> (cdc64TailRotate _),
     "cdc63_tail_demux" -> (cdc63TailDemux _),
     "cdc62_sketch_compaction" -> (cdc62SketchCompaction _),
     "cdc61_demux_lifecycle" -> (cdc61DemuxLifecycle _),
@@ -1231,6 +1573,8 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc65_tail_cutover" -> cdc65Oracle,
+    "cdc64_tail_rotate" -> cdc64Oracle,
     "cdc63_tail_demux" -> cdc63Oracle,
     // register-max fold through compact == the uncompacted sketch view
     "cdc62_sketch_compaction" -> CdcQueries.cdc49Oracle,

@@ -265,6 +265,74 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
       s"the byte budget should have paced the run into several batches: $seen")
   }
 
+  test("rotation mid-tail: the old active file's remainder past the " +
+      "frontier (incl. a trailing ROTATE) is consumed to EOF, the new " +
+      "last file is walked; an idle third drain is a no-op") {
+    val root = Files.createTempDirectory("tail_rot").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+
+    // active file 1: txn A committed, txn B torn at drain 1 (cut 7 bytes
+    // into B's XID header — mid-event, the hardest tear)
+    val f1 = new FileBuilder(checksums = true)
+    f1.fde(t0)
+    txn(f1, 1L, Seq(1L, 2L))
+    val cut = tornTxn(f1, 2L, Seq(3L))
+    f1.event(t0, 16, xidBody(9002L))
+    f1.event(t0, 4, rotateBody("mysql-bin.000002")) // the server rotates
+    val all1 = f1.bytes
+    val file1 = new java.io.File(feed, "mysql-bin.000001")
+    Files.write(file1.toPath, all1.slice(0, cut.toInt + 7))
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("binlog")
+        .option("tailActive", "true")
+        .load(feed.getPath)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen ++= batch
+            .filter(col("event_type") === "WriteRowsEventV2")
+            .select(explode(col("row_images")).as("img"))
+            .select(element_at(col("img"), 1).cast("long"))
+            .collect().map(r => (id, r.getLong(0)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    val run1 = seen.toList
+    assert(run1.map(_._2).sorted == List(1L, 2L),
+      s"drain 1 must hold back torn txn B, got $run1")
+
+    // rotation: file 1 completes (B's XID + ROTATE) and file 2 appears
+    // with txn C committed and txn D torn forever
+    Files.write(file1.toPath, all1.slice(cut.toInt + 7, all1.length),
+      StandardOpenOption.APPEND)
+    val f2 = new FileBuilder(checksums = true)
+    f2.fde(t0)
+    txn(f2, 3L, Seq(4L, 5L))
+    tornTxn(f2, 4L, Seq(99L))
+    Files.write(new java.io.File(feed, "mysql-bin.000002").toPath, f2.bytes)
+
+    drain()
+    val run2 = seen.toList.drop(run1.length)
+    assert(run2.map(_._2).sorted == List(3L, 4L, 5L),
+      s"drain 2 must deliver B's held-back rows and C exactly once, " +
+        s"hold back torn D, and emit no rows for the ROTATE: $run2")
+    assert(run2.map(_._1).forall(id => run1.map(_._1).forall(_ < id)),
+      "batch ids must continue across the rotation seam")
+
+    // idle drain: nothing grew — no rows may re-emit
+    drain()
+    assert(seen.length == run1.length + run2.length,
+      s"an idle drain must be a no-op, got ${seen.toList}")
+  }
+
   test("end-to-end: bytes appended between two drains on one checkpoint " +
       "arrive exactly once; the torn tail never leaks") {
     val root = Files.createTempDirectory("tail_e2e").toFile
