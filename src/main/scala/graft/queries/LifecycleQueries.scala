@@ -851,6 +851,173 @@ object LifecycleQueries {
       |FROM base WHERE k % 131 <> 4
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // cdc66 — GTID-IDENTITY FAILOVER (the reason GTIDs exist: byte
+  // positions are PER-SERVER — after a failover the consumer points at a
+  // replica whose binlog files have different numbers and different
+  // event framing, and the only durable identity is the executed GTID
+  // set. cdc60/cdc65 cut over POSITIONALLY, which is exactly what breaks
+  // here). The posture: drain server A's feed, tracking the executed
+  // high-water gno for A's server-uuid from each batch (the consumer's
+  // own executed-GTID set — one bounded 1-row aggregate per batch, the
+  // same class as cdc60's straddle flags); at failover RECORD it once
+  // (frozen — the cutover mark, cdc60's discipline transplanted from
+  // positions to GTIDs); then the replica's file arrives under a HIGHER
+  // file number (the watched-dir append-only contract holds across
+  // failover) re-serving an overlap transaction under the SAME gtid but
+  // a DIFFERENT event framing (rows regrouped 100 → 50 per event — the
+  // replica's own batching), plus new transactions. The apply discards
+  // post-failover rows whose (sid = A's uuid, gno ≤ recorded mark) —
+  // one codegen'd comparison on the decoder's gtid_next column, fully
+  // deterministic, so the injected batch-0 redelivery replays
+  // bit-for-bit (the filter doesn't touch pre-failover file_seqs).
+  // Fixture classes (k % 131): 0 = txn P (gno 9001, server A); 1 = txn
+  // Q (gno 9002, served by BOTH servers — the overlap that must count
+  // ONCE); 2 = txn R (gno 9003, replica-only); 3 = txn S (gno 9004,
+  // torn forever on the replica); bulk = sink-written history under the
+  // sink's own server-uuid (a second sid in the set — per-sid
+  // high-waters must not mix, or the sink's gnos would swallow the
+  // replica's). The oracle excludes exactly class 3: a positional
+  // consumer double-counts Q; a set that mixes sids discards R; a
+  // leaked torn tail adds S — all hash mismatches. At 100 TB failover
+  // is routine; the filter is one comparison per event and the
+  // executed-set tracking one tiny aggregate per batch.
+  def cdc66GtidFailover(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc66_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed")
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    // server A's closed history: the sink's own sid (a SECOND server
+    // uuid in the executed set)
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 4)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(3, col("k")),
+      feed.getPath, rowsPerTxn = 50)
+    val fixtureCap = 200000
+    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
+      val rs = base.filter(col("k") % 131 === m).orderBy("k")
+        .limit(fixtureCap + 1).collect()
+      require(rs.length <= fixtureCap,
+        s"cdc66 fixture class $m must stay a bounded test vector, got " +
+          s"${rs.length} rows (cap $fixtureCap)")
+      rs
+    }
+    val (tp, tq, tr, ts) = (cls(0), cls(1), cls(2), cls(3))
+    // server A's uuid: sid bytes 33..48 (distinct from the sink's 1..16)
+    val sidA = (33 to 48).map(_.toByte).toArray
+    val uuidA = {
+      val h = sidA.map(b => f"${b & 0xff}%02x").mkString
+      s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+        s"${h.substring(16, 20)}-${h.substring(20)}"
+    }
+    val failoverSeq = 800L
+    // the two byte-crafted files: A's last (P, Q @100 rows/event) and
+    // the replica's first (Q again @50 rows/event, R, S torn) — None on
+    // an empty fixture
+    val crafted: Option[(Array[Byte], Array[Byte])] =
+      if (tp.isEmpty && tq.isEmpty && tr.isEmpty && ts.isEmpty) None
+      else {
+        import graft.ingest.BinlogBinaryWriter._
+        val bound = math.max(20,
+          (tp ++ tq ++ tr ++ ts).map(_.getString(1).getBytes("UTF-8").length)
+            .foldLeft(0)(math.max) + 16)
+        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
+        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+          Seq(Some(encLongLong(r.getLong(0))),
+            Some(encVarchar(r.getString(1), bound)))
+        val t0 = 1714564800L
+        def txn(f: FileBuilder, gno: Long, rs: Array[org.apache.spark.sql.Row],
+            perEvent: Int, commit: Boolean = true): Unit = {
+          f.event(t0, 33, gtidBody(sidA, gno))
+          f.event(t0, 2, queryBody("sf", "BEGIN"))
+          rs.grouped(perEvent).foreach { b =>
+            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+            f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
+          }
+          if (commit) { f.event(t0, 16, xidBody(8000L + gno)); () }
+        }
+        val fA = new FileBuilder(checksums = true)
+        fA.fde(t0)
+        if (tp.nonEmpty) txn(fA, 9001L, tp, perEvent = 100)
+        if (tq.nonEmpty) txn(fA, 9002L, tq, perEvent = 100)
+        val fB = new FileBuilder(checksums = true)
+        fB.fde(t0)
+        if (tq.nonEmpty) txn(fB, 9002L, tq, perEvent = 50) // the overlap
+        if (tr.nonEmpty) txn(fB, 9003L, tr, perEvent = 100)
+        if (ts.nonEmpty) txn(fB, 9004L, ts, perEvent = 100, commit = false)
+        Some((fA.bytes, fB.bytes))
+      }
+    crafted.foreach { case (bytesA, _) =>
+      java.nio.file.Files.write(
+        new java.io.File(feed, "mysql-bin.000500").toPath, bytesA)
+    }
+    // the consumer's executed-GTID high-water for A's uuid, tracked per
+    // batch while on server A, FROZEN at failover (the recorded mark)
+    var executedG = -1L
+    var frozen = false
+    val gno = substring_index(col("gtid_next"), ":", -1).cast("long")
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      val rows = batch.filter(col("event_type") === "WriteRowsEventV2")
+        .localCheckpoint(true) // one decode: the set agg + the apply
+      if (!frozen) {
+        val g = rows.filter(col("gtid_next").startsWith(uuidA + ":"))
+          .agg(max(gno)).head()
+        if (!g.isNullAt(0)) executedG = math.max(executedG, g.getLong(0))
+      }
+      // the failover discard: replica file, A's sid, already executed
+      val reServed = col("file_seq") >= failoverSeq &&
+        col("gtid_next").startsWith(uuidA + ":") && gno <= executedG
+      ViewMaintenance.applyIdempotent(
+        rows.filter(!reServed)
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+    }
+    def drainTail(): Unit = drainBinlogTail(spark, feed.getPath, ckpt)(applyBatch)
+    drainTail()
+    frozen = true // failover: record the executed set ONCE
+    crafted.foreach { case (_, bytesB) =>
+      java.nio.file.Files.write(
+        new java.io.File(feed, "mysql-bin.000800").toPath, bytesB)
+    }
+    drainTail()
+    // injected crash-after-commit redelivery of batch 0 (pre-failover —
+    // the discard filter must leave it untouched, bit-for-bit)
+    if (batch0Files.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"${feed.getPath}/$f"): _*), 0L)
+    ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .withColumn("src", when(col("k") % 131 === 0, "txn_p")
+        .when(col("k") % 131 === 1, "txn_q")
+        .when(col("k") % 131 === 2, "txn_r").otherwise("bulk"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("src")
+  }
+
+  val cdc66Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT CASE WHEN k % 131 = 0 THEN 'txn_p'
+      |            WHEN k % 131 = 1 THEN 'txn_q'
+      |            WHEN k % 131 = 2 THEN 'txn_r'
+      |            ELSE 'bulk' END AS src,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM base WHERE k % 131 <> 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // cdc59 — COMPACTION × RESTART COMPOSITION (the seam cdc51 and cdc53
   // each prove alone: cdc51 compacts mid-drain, cdc53 restarts mid-drain;
   // a year-long deployment does BOTH on one checkpoint). Run 1 drains the
@@ -1556,6 +1723,7 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc66_gtid_failover" -> (cdc66GtidFailover _),
     "cdc65_tail_cutover" -> (cdc65TailCutover _),
     "cdc64_tail_rotate" -> (cdc64TailRotate _),
     "cdc63_tail_demux" -> (cdc63TailDemux _),
@@ -1573,6 +1741,7 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc66_gtid_failover" -> cdc66Oracle,
     "cdc65_tail_cutover" -> cdc65Oracle,
     "cdc64_tail_rotate" -> cdc64Oracle,
     "cdc63_tail_demux" -> cdc63Oracle,
