@@ -851,6 +851,150 @@ object LifecycleQueries {
       |FROM base WHERE k % 131 <> 4
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // cdc67 — TAIL LAG OBSERVABILITY (the surface an operator actually
+  // alerts on: every tail gate so far proves the torn tail is held back;
+  // none lets anyone SEE it. BinlogTailOps.lagMetrics reads the
+  // consumer's own checkpoint out-of-band — last committed offset from
+  // Spark's offset log — and splits naive `EOF - offset` lag into
+  // consumable committedLagBytes vs correctly-held heldBackBytes, with
+  // the frontier's (file, event_index) exposed so the held tail can be
+  // INSPECTED). The gate makes observability falsifiable: after cdc58's
+  // drains (bulk + active file with a committed / torn-then-completed /
+  // appended-committed / torn-forever class mix), it requires
+  // committedLagBytes == 0 (a drained consumer has no consumable lag)
+  // and then DECODES the held-back tail — a batch read of the frontier
+  // file filtered to event_index >= frontierIdx — and emits it NEXT TO
+  // the served state. The oracle is the feed's FULL partition with NO
+  // exclusion: every row is either served (its class) or observably
+  // held ('held_back' = exactly the torn-forever class). A frontier
+  // index off by one event leaks the last committed transaction into
+  // held_back; a lag computation that conflates the two misses rows
+  // entirely — both hash mismatches. At 100 TB the metric is one
+  // listing + one offset read + a header walk of the new bytes,
+  // driver-side, callable while the stream runs.
+  def cdc67TailLag(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc67_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed")
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 4)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(3, col("k")),
+      feed.getPath, rowsPerTxn = 50)
+    val fixtureCap = 200000
+    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
+      val rows = base.filter(col("k") % 131 === m).orderBy("k")
+        .limit(fixtureCap + 1).collect()
+      require(rows.length <= fixtureCap,
+        s"cdc67 fixture class $m must stay a bounded test vector, got " +
+          s"${rows.length} rows (cap $fixtureCap)")
+      rows
+    }
+    val (ta, tb, tc, td) = (cls(0), cls(1), cls(2), cls(3))
+    val activeFile = new java.io.File(feed, "mysql-bin.000500")
+    val appendTail: Option[Array[Byte]] =
+      if (ta.isEmpty && tb.isEmpty && tc.isEmpty && td.isEmpty) None
+      else {
+        import graft.ingest.BinlogBinaryWriter._
+        val bound = math.max(20,
+          (ta ++ tb ++ tc ++ td).map(_.getString(1).getBytes("UTF-8").length)
+            .foldLeft(0)(math.max) + 16)
+        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
+        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+          Seq(Some(encLongLong(r.getLong(0))),
+            Some(encVarchar(r.getString(1), bound)))
+        val t0 = 1714564800L
+        val sid = (1 to 16).map(_.toByte).toArray
+        val f = new FileBuilder(checksums = true)
+        var lastRows = f.fde(t0)
+        var cleanCut = lastRows
+        def open(gno: Long): Unit = {
+          f.event(t0, 33, gtidBody(sid, gno))
+          f.event(t0, 2, queryBody("sf", "BEGIN"))
+        }
+        def rows(rs: Array[org.apache.spark.sql.Row]): Unit =
+          rs.grouped(100).foreach { b =>
+            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+            lastRows = f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
+          }
+        if (ta.nonEmpty) {
+          open(801L); rows(ta); cleanCut = f.event(t0, 16, xidBody(8001L))
+        }
+        if (tb.nonEmpty) { open(802L); rows(tb) }
+        val afterBRows = lastRows
+        if (tb.nonEmpty) f.event(t0, 16, xidBody(8002L))
+        if (tc.nonEmpty) { open(803L); rows(tc); f.event(t0, 16, xidBody(8003L)) }
+        if (td.nonEmpty) { open(804L); rows(td) } // torn FOREVER
+        val all = f.bytes
+        val cut = (if (tb.nonEmpty) math.min(afterBRows + 7, all.length.toLong)
+          else cleanCut).toInt
+        java.nio.file.Files.write(activeFile.toPath, all.slice(0, cut))
+        Some(all.slice(cut, all.length))
+      }
+    def applyBatch(batch: DataFrame, id: Long): Unit =
+      ViewMaintenance.applyIdempotent(
+        batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+    def drainTail(): Unit = drainBinlogTail(spark, feed.getPath, ckpt)(applyBatch)
+    drainTail()
+    appendTail.foreach { tail =>
+      java.nio.file.Files.write(activeFile.toPath, tail,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    drainTail()
+    // the observability surface under test
+    val lag = graft.sources.BinlogTailOps.lagMetrics(spark, feed.getPath, ckpt)
+    require(lag.committedLagBytes == 0L,
+      s"a drained consumer must have zero consumable lag, got $lag")
+    require(appendTail.isEmpty || lag.heldBackBytes > 0L == td.nonEmpty,
+      s"held-back bytes must track the torn-forever class exactly: $lag")
+    // decode the held tail from the frontier the metric exposes: these
+    // rows were never applied — together with the state they must
+    // partition the feed exactly
+    val held: DataFrame =
+      if (lag.frontierFile.isEmpty || lag.heldBackBytes == 0L)
+        spark.emptyDataFrame.select(lit(0L).as("k")).limit(0)
+      else
+        spark.read.format("binlog")
+          .load(s"${feed.getPath}/${lag.frontierFile}")
+          .filter(col("event_index") >= lag.frontierIdx &&
+            col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k"))
+    val served = ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .select(col("k"),
+        when(col("k") % 131 === 0, "txn_a")
+          .when(col("k") % 131 === 1, "txn_b")
+          .when(col("k") % 131 === 2, "txn_c").otherwise("bulk").as("src"))
+    served.unionByName(held.select(col("k"), lit("held_back").as("src")))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("src")
+  }
+
+  val cdc67Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT CASE WHEN k % 131 = 0 THEN 'txn_a'
+      |            WHEN k % 131 = 1 THEN 'txn_b'
+      |            WHEN k % 131 = 2 THEN 'txn_c'
+      |            WHEN k % 131 = 3 THEN 'held_back'
+      |            ELSE 'bulk' END AS src,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM base
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // cdc66 — GTID-IDENTITY FAILOVER (the reason GTIDs exist: byte
   // positions are PER-SERVER — after a failover the consumer points at a
   // replica whose binlog files have different numbers and different
@@ -1723,6 +1867,7 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc67_tail_lag" -> (cdc67TailLag _),
     "cdc66_gtid_failover" -> (cdc66GtidFailover _),
     "cdc65_tail_cutover" -> (cdc65TailCutover _),
     "cdc64_tail_rotate" -> (cdc64TailRotate _),
@@ -1741,6 +1886,7 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc67_tail_lag" -> cdc67Oracle,
     "cdc66_gtid_failover" -> cdc66Oracle,
     "cdc65_tail_cutover" -> cdc65Oracle,
     "cdc64_tail_rotate" -> cdc64Oracle,

@@ -265,6 +265,71 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
       s"the byte budget should have paced the run into several batches: $seen")
   }
 
+  test("lagMetrics: splits consumable lag from correctly-held torn " +
+      "bytes, reading the consumer's own checkpoint") {
+    val root = Files.createTempDirectory("tail_lag").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+
+    val f1 = new FileBuilder(checksums = true)
+    f1.fde(t0)
+    txn(f1, 1L, Seq(1L, 2L))
+    val file1 = new java.io.File(feed, "mysql-bin.000001")
+    Files.write(file1.toPath, f1.bytes)
+    val f2 = new FileBuilder(checksums = true)
+    f2.fde(t0)
+    val frontier2 = txn(f2, 2L, Seq(3L))
+    tornTxn(f2, 3L, Seq(4L))
+    val file2 = new java.io.File(feed, "mysql-bin.000002")
+    Files.write(file2.toPath, f2.bytes)
+
+    // before any drain: no committed offset — everything committed is
+    // lag, the torn tail is held-back
+    val before = BinlogTailOps.lagMetrics(spark, feed.getPath, ckpt)
+    assert(before.filesConsumed == 0)
+    assert(before.committedLagBytes == file1.length() + frontier2)
+    assert(before.heldBackBytes == file2.length() - frontier2)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("binlog")
+        .option("tailActive", "true")
+        .load(feed.getPath)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+
+    // drained: zero consumable lag; the torn tail is all that remains,
+    // and the frontier names the active file and its event index
+    val after = BinlogTailOps.lagMetrics(spark, feed.getPath, ckpt)
+    assert(after.filesListed == 2 && after.filesConsumed == 1)
+    assert(after.frontierFile == "mysql-bin.000002")
+    assert(after.frontierPos == frontier2)
+    assert(after.committedLagBytes == 0L,
+      s"a drained consumer has no consumable lag: $after")
+    assert(after.heldBackBytes == file2.length() - frontier2)
+    assert(after.frontierIdx == 6L) // fde+gtid+begin+table_map+rows+xid
+
+    // growth without draining: the torn txn completes and another tears —
+    // consumable lag reappears, held-back tracks the NEW torn tail
+    val f3 = new FileBuilder(checksums = true)
+    f3.fde(t0)
+    txn(f3, 2L, Seq(3L))
+    val frontier3 = txn(f3, 3L, Seq(4L))
+    tornTxn(f3, 4L, Seq(5L))
+    val grown = f3.bytes
+    Files.write(file2.toPath, grown.slice(file2.length().toInt, grown.length),
+      StandardOpenOption.APPEND)
+    val lag2 = BinlogTailOps.lagMetrics(spark, feed.getPath, ckpt)
+    assert(lag2.committedLagBytes == frontier3 - frontier2,
+      s"the completed txn's bytes are consumable lag: $lag2")
+    assert(lag2.heldBackBytes == grown.length - frontier3)
+  }
+
   test("rotation mid-tail: the old active file's remainder past the " +
       "frontier (incl. a trailing ROTATE) is consumed to EOF, the new " +
       "last file is walked; an idle third drain is a no-op") {
