@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.CdcFixtures.{fixtureBase, ivmFixture, decodeIvmDelta,
   ivmReport}
-import graft.streaming.Drains.{drainBinlogTail, drainWithRedelivery,
-  streamDirs, tmpFixtureDir}
+import graft.streaming.Drains.{drainBinlogFeed, drainBinlogTail,
+  drainWithRedelivery, streamDirs, tmpFixtureDir}
 
 /** The maintained-state LIFECYCLE family (split out of CdcQueries in r14
   * — the r13 verdict's mechanics task): the gates a long-running CDC
@@ -849,6 +849,142 @@ object LifecycleQueries {
       |            ELSE 'bulk' END AS src,
       |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
       |FROM base WHERE k % 131 <> 4
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // cdc68 — IN-PLACE CHECKPOINT UPGRADE, count-based → tailActive (how
+  // an EXISTING deployment adopts tailing: every count-based consumer
+  // built since cdc12 owns a checkpoint whose offsets say "N whole
+  // files consumed" — `{"n":N}`. Re-snapshotting a 100 TB table to
+  // switch sources is exactly the cost the tail mode exists to avoid,
+  // so TailOffset.fromJson accepts the count-based form directly,
+  // defaulting the missing byte-frontier fields to 0: N whole files,
+  // frontier at the start of file N — semantically exact, because the
+  // count-based source consumes whole files only. The reverse
+  // (tail → count with a MID-FILE pos) is rejected loudly by the
+  // count-based parser — silently reading just `n` would re-serve the
+  // consumed prefix. The gate: run 1 drains the closed bulk with the
+  // COUNT-BASED source (the existing deployment); the active file then
+  // appears and run 2 flips tailActive=true on the SAME checkpoint —
+  // batch ids continue, txn A lands, torn txn B is held; the append
+  // completes B and tears C forever; run 3 (still tailing) lands B and
+  // holds C; the recorded batch-0 bulk file is redelivered after
+  // everything. Oracle excludes exactly the torn class: a re-served
+  // bulk file (an upgrade that reset the offset) double-counts, a
+  // dropped installment loses B — hash mismatches either way.
+  def cdc68CheckpointUpgrade(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc68_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed")
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 3)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(3, col("k")),
+      feed.getPath, rowsPerTxn = 50)
+    val fixtureCap = 200000
+    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
+      val rs = base.filter(col("k") % 131 === m).orderBy("k")
+        .limit(fixtureCap + 1).collect()
+      require(rs.length <= fixtureCap,
+        s"cdc68 fixture class $m must stay a bounded test vector, got " +
+          s"${rs.length} rows (cap $fixtureCap)")
+      rs
+    }
+    val (ta, tb, tc) = (cls(0), cls(1), cls(2))
+    val activeFile = new java.io.File(feed, "mysql-bin.000500")
+    // (installment for run 2: A committed + B torn; append for run 3:
+    // B's completion + C torn forever)
+    val crafted: Option[(Array[Byte], Array[Byte])] =
+      if (ta.isEmpty && tb.isEmpty && tc.isEmpty) None
+      else {
+        import graft.ingest.BinlogBinaryWriter._
+        val bound = math.max(20,
+          (ta ++ tb ++ tc).map(_.getString(1).getBytes("UTF-8").length)
+            .foldLeft(0)(math.max) + 16)
+        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
+        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+          Seq(Some(encLongLong(r.getLong(0))),
+            Some(encVarchar(r.getString(1), bound)))
+        val t0 = 1714564800L
+        val sid = (1 to 16).map(_.toByte).toArray
+        val f = new FileBuilder(checksums = true)
+        var lastRows = f.fde(t0)
+        var cleanCut = lastRows
+        def open(gno: Long): Unit = {
+          f.event(t0, 33, gtidBody(sid, gno))
+          f.event(t0, 2, queryBody("sf", "BEGIN"))
+        }
+        def rows(rs: Array[org.apache.spark.sql.Row]): Unit =
+          rs.grouped(100).foreach { b =>
+            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+            lastRows = f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
+          }
+        if (ta.nonEmpty) {
+          open(801L); rows(ta); cleanCut = f.event(t0, 16, xidBody(8001L))
+        }
+        if (tb.nonEmpty) { open(802L); rows(tb) }
+        val afterBRows = lastRows
+        if (tb.nonEmpty) f.event(t0, 16, xidBody(8002L))
+        if (tc.nonEmpty) { open(803L); rows(tc) } // torn FOREVER
+        val all = f.bytes
+        val cut = (if (tb.nonEmpty) math.min(afterBRows + 7, all.length.toLong)
+          else cleanCut).toInt
+        Some((all.slice(0, cut), all.slice(cut, all.length)))
+      }
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      ViewMaintenance.applyIdempotent(
+        batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+    }
+    // run 1: the EXISTING deployment — count-based source, closed bulk
+    drainBinlogFeed(spark, feed.getPath, ckpt)(applyBatch)
+    // the active file appears; the deployment upgrades IN PLACE
+    crafted.foreach { case (inst1, _) =>
+      java.nio.file.Files.write(activeFile.toPath, inst1)
+    }
+    def drainTail(): Unit = drainBinlogTail(spark, feed.getPath, ckpt)(applyBatch)
+    drainTail()
+    crafted.foreach { case (_, inst2) =>
+      java.nio.file.Files.write(activeFile.toPath, inst2,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    drainTail()
+    // injected crash-after-commit redelivery of batch 0 (a bulk file
+    // consumed under the OLD source — the upgrade must not disturb its
+    // partition's absorbability)
+    if (batch0Files.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"${feed.getPath}/$f"): _*), 0L)
+    ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .withColumn("src", when(col("k") % 131 === 0, "txn_a")
+        .when(col("k") % 131 === 1, "txn_b").otherwise("bulk"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("src")
+  }
+
+  val cdc68Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT CASE WHEN k % 131 = 0 THEN 'txn_a'
+      |            WHEN k % 131 = 1 THEN 'txn_b'
+      |            ELSE 'bulk' END AS src,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM base WHERE k % 131 <> 2
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // cdc67 — TAIL LAG OBSERVABILITY (the surface an operator actually
@@ -1867,6 +2003,7 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc68_checkpoint_upgrade" -> (cdc68CheckpointUpgrade _),
     "cdc67_tail_lag" -> (cdc67TailLag _),
     "cdc66_gtid_failover" -> (cdc66GtidFailover _),
     "cdc65_tail_cutover" -> (cdc65TailCutover _),
@@ -1886,6 +2023,7 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc68_checkpoint_upgrade" -> cdc68Oracle,
     "cdc67_tail_lag" -> cdc67Oracle,
     "cdc66_gtid_failover" -> cdc66Oracle,
     "cdc65_tail_cutover" -> cdc65Oracle,

@@ -223,14 +223,23 @@ private object BinlogTailMicroBatchStream {
   }
 
   object TailOffset {
-    private def field(json: String, name: String): Long =
+    private def field(json: String, name: String): Option[Long] =
       ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
         .map(_.group(1).toLong)
-        .getOrElse(throw new IllegalArgumentException(
-          s"bad binlog tail offset (no $name): $json"))
 
+    /** `pos`/`idx`/`ck` default to 0 when absent, so a checkpoint
+      * written by the count-based source (`{"n":N}` — N whole files
+      * consumed, by construction no mid-file position) drives the tail
+      * source directly: an existing deployment upgrades to
+      * `tailActive=true` IN PLACE, no re-snapshot. The reverse
+      * direction is rejected by the count-based parser (a nonzero
+      * `pos` has no whole-file representation). */
     def fromJson(json: String): TailOffset =
-      TailOffset(field(json, "n").toInt, field(json, "pos"),
-        field(json, "idx"), field(json, "ck").toInt)
+      TailOffset(
+        field(json, "n").getOrElse(throw new IllegalArgumentException(
+          s"bad binlog tail offset (no n): $json")).toInt,
+        field(json, "pos").getOrElse(0L),
+        field(json, "idx").getOrElse(0L),
+        field(json, "ck").getOrElse(0L).toInt)
   }
 }

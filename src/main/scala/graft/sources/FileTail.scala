@@ -66,10 +66,24 @@ private[sources] abstract class FileCountMicroBatchStream[A](
 
   override def reportLatestOffset(): Offset = FileCountOffset(lastListing.length)
 
-  override def deserializeOffset(json: String): Offset =
+  override def deserializeOffset(json: String): Offset = {
+    // a tail-source checkpoint mid-file (nonzero pos) has no whole-file
+    // representation: silently reading just `n` would re-serve the
+    // consumed prefix of file n. Upgrading count→tail is supported
+    // (TailOffset.fromJson defaults the missing fields); downgrading
+    // tail→count is only safe at a file boundary — reject loudly.
+    "\"pos\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .filter(_.group(1).toLong != 0L)
+      .foreach { m =>
+        throw new IllegalArgumentException(
+          s"checkpoint offset $json was written by the tailActive source " +
+            s"mid-file (pos=${m.group(1)}); the count-based source cannot " +
+            "resume it — keep tailActive=true on this checkpoint")
+      }
     FileCountOffset("\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(s"bad file-tail offset: $json")))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FileCountOffset].n

@@ -106,7 +106,10 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
     assert(TailOffset(2, 999L, 0L, 0).lt(o))
     assert(TailOffset(3, 12344L, 0L, 0).lt(o))
     assert(!o.lt(o))
-    intercept[IllegalArgumentException] { TailOffset.fromJson("{\"n\":1}") }
+    // the count-based source's offset form parses as "n whole files
+    // consumed, frontier 0" — the in-place upgrade path
+    assert(TailOffset.fromJson("{\"n\":1}") == TailOffset(1, 0L, 0L, 0))
+    intercept[IllegalArgumentException] { TailOffset.fromJson("{}") }
   }
 
   test("admission control: maxFiles budget completes closed files first") {
@@ -263,6 +266,66 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
       s"AvailableNow must drain everything despite the byte budget: $seen")
     assert(seen.map(_._1).distinct.length >= 2,
       s"the byte budget should have paced the run into several batches: $seen")
+  }
+
+  test("checkpoint upgrade: a count-based checkpoint drives the tail " +
+      "source in place; the reverse (mid-file) is rejected loudly") {
+    val root = Files.createTempDirectory("tail_upg").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+
+    (1 to 2).foreach { i =>
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      txn(f, i.toLong, Seq(i.toLong * 10))
+      Files.write(new java.io.File(feed, f"mysql-bin.$i%06d").toPath, f.bytes)
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(tail: Boolean): Unit = {
+      val q = spark.readStream.format("binlog")
+        .option("tailActive", tail.toString)
+        .load(feed.getPath)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= batch
+            .filter(col("event_type") === "WriteRowsEventV2")
+            .select(explode(col("row_images")).as("img"))
+            .select(element_at(col("img"), 1).cast("long"))
+            .collect().map(_.getLong(0))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: the EXISTING deployment — count-based, whole files
+    drain(tail = false)
+    assert(seen.sorted == List(10L, 20L))
+
+    // a new ACTIVE file appears (committed + torn); the deployment
+    // flips tailActive=true on the SAME checkpoint — no re-snapshot
+    val f3 = new FileBuilder(checksums = true)
+    f3.fde(t0)
+    txn(f3, 3L, Seq(30L))
+    tornTxn(f3, 4L, Seq(99L))
+    Files.write(new java.io.File(feed, "mysql-bin.000003").toPath, f3.bytes)
+    drain(tail = true)
+    assert(seen.sorted == List(10L, 20L, 30L),
+      s"the upgraded consumer must continue exactly-once and hold the " +
+        s"torn tail: $seen")
+
+    // the checkpoint is now MID-FILE (pos > 0: the torn tail is before
+    // EOF) — downgrading to the count-based source must fail loudly,
+    // not silently re-serve file 3's consumed prefix
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(tail = false)
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("keep tailActive=true"))),
+      s"downgrade must be rejected with the guidance message, got: $ex")
   }
 
   test("lagMetrics: splits consumable lag from correctly-held torn " +
