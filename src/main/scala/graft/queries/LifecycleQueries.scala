@@ -851,6 +851,164 @@ object LifecycleQueries {
       |FROM base WHERE k % 131 <> 4
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // cdc69 — SHARDED MULTI-SOURCE TAIL (the scale-out ingest shape: a
+  // fleet of database SHARDS, each with its own growing binlog, tailed
+  // by ONE streaming query into ONE maintained state on ONE checkpoint.
+  // Spark's offset log carries one offset line per source per batch, so
+  // each shard keeps its own (file, byte-frontier) progress and its own
+  // torn-tail holdback independently — shard A's torn transaction must
+  // not stall shard B's committed one, and a restart seam must resume
+  // BOTH frontiers). The fixture shards the table by k % 2; each shard
+  // gets sink-written closed bulk (its k % 131 >= 3 rows) plus one
+  // byte-crafted active file: class 0 committed before drain 1, class 1
+  // torn at drain 1 (cut 7 bytes into its XID header) and completed by
+  // the append, class 2 torn forever — BOTH shards' active files grow
+  // between the two AvailableNow runs. File numbering is disjoint per
+  // shard (bulk 1.. vs 101.., active 500 vs 600) so the injected
+  // batch-0 redelivery can route recorded file names back to their
+  // shard's directory. The oracle excludes exactly class 2 on both
+  // shards, grouped by (shard, class): a shard whose frontier stalled
+  // or crossed into the other's offsets, a torn row leaked from either
+  // active file, or a replay absorbed into the wrong shard's rows are
+  // all hash mismatches. At 100 TB this is N subscriptions' worth of
+  // ingest under one checkpoint: per trigger the driver does one
+  // listing + growth walk PER SHARD, and the union is plan-level —
+  // no extra shuffle before the apply.
+  def cdc69ShardedUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc69_", dir)
+    root.mkdirs()
+    val feedA = new java.io.File(root, "feed_a")
+    val feedB = new java.io.File(root, "feed_b")
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    // per-shard closed bulk, disjoint file numbering
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 2 === 0 && col("k") % 131 >= 3)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(2, col("k")),
+      feedA.getPath, rowsPerTxn = 50, fileSeqStart = 1)
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 2 === 1 && col("k") % 131 >= 3)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(2, col("k")),
+      feedB.getPath, rowsPerTxn = 50, fileSeqStart = 101)
+    val fixtureCap = 200000
+    def cls(shard: Long, m: Long): Array[org.apache.spark.sql.Row] = {
+      val rs = base.filter(col("k") % 2 === shard && col("k") % 131 === m)
+        .orderBy("k").limit(fixtureCap + 1).collect()
+      require(rs.length <= fixtureCap,
+        s"cdc69 fixture class ($shard, $m) must stay a bounded test " +
+          s"vector, got ${rs.length} rows (cap $fixtureCap)")
+      rs
+    }
+    // one active file per shard: (installment 1, append) or None when
+    // the shard's live classes are all empty
+    def craft(shard: Long): Option[(Array[Byte], Array[Byte])] = {
+      val (ta, tb, tc) = (cls(shard, 0), cls(shard, 1), cls(shard, 2))
+      if (ta.isEmpty && tb.isEmpty && tc.isEmpty) None
+      else {
+        import graft.ingest.BinlogBinaryWriter._
+        val bound = math.max(20,
+          (ta ++ tb ++ tc).map(_.getString(1).getBytes("UTF-8").length)
+            .foldLeft(0)(math.max) + 16)
+        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
+        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+          Seq(Some(encLongLong(r.getLong(0))),
+            Some(encVarchar(r.getString(1), bound)))
+        val t0 = 1714564800L
+        val sid = (1 to 16).map(b => (b + 16 * shard).toByte).toArray
+        val f = new FileBuilder(checksums = true)
+        var lastRows = f.fde(t0)
+        var cleanCut = lastRows
+        def open(gno: Long): Unit = {
+          f.event(t0, 33, gtidBody(sid, gno))
+          f.event(t0, 2, queryBody("sf", "BEGIN"))
+        }
+        def rows(rs: Array[org.apache.spark.sql.Row]): Unit =
+          rs.grouped(100).foreach { b =>
+            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+            lastRows = f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
+          }
+        if (ta.nonEmpty) {
+          open(801L + shard); rows(ta)
+          cleanCut = f.event(t0, 16, xidBody(8001L + shard))
+        }
+        if (tb.nonEmpty) { open(811L + shard); rows(tb) }
+        val afterBRows = lastRows
+        if (tb.nonEmpty) f.event(t0, 16, xidBody(8011L + shard))
+        if (tc.nonEmpty) { open(821L + shard); rows(tc) } // torn FOREVER
+        val all = f.bytes
+        val cut = (if (tb.nonEmpty) math.min(afterBRows + 7, all.length.toLong)
+          else cleanCut).toInt
+        Some((all.slice(0, cut), all.slice(cut, all.length)))
+      }
+    }
+    val craftedA = craft(0)
+    val craftedB = craft(1)
+    val activeA = new java.io.File(feedA, "mysql-bin.000500")
+    val activeB = new java.io.File(feedB, "mysql-bin.000600")
+    craftedA.foreach { case (i1, _) =>
+      java.nio.file.Files.write(activeA.toPath, i1) }
+    craftedB.foreach { case (i1, _) =>
+      java.nio.file.Files.write(activeB.toPath, i1) }
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      ViewMaintenance.applyIdempotent(
+        batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+    }
+    def drain(): Unit = graft.streaming.Drains.drainBinlogTailUnion(
+      spark, Seq(feedA.getPath, feedB.getPath), ckpt)(applyBatch)
+    drain()
+    // BOTH shards grow between the runs
+    craftedA.foreach { case (_, i2) =>
+      java.nio.file.Files.write(activeA.toPath, i2,
+        java.nio.file.StandardOpenOption.APPEND) }
+    craftedB.foreach { case (_, i2) =>
+      java.nio.file.Files.write(activeB.toPath, i2,
+        java.nio.file.StandardOpenOption.APPEND) }
+    drain()
+    // injected batch-0 redelivery: recorded names route back to their
+    // shard's directory (disjoint numbering makes this unambiguous)
+    if (batch0Files.nonEmpty) {
+      val paths = batch0Files.toSeq.map { f =>
+        val inA = new java.io.File(feedA, f)
+        if (inA.isFile) inA.getPath else new java.io.File(feedB, f).getPath
+      }
+      applyBatch(spark.read.format("binlog").load(paths: _*), 0L)
+    }
+    ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .withColumn("shard", (col("k") % 2).cast("long"))
+      .withColumn("src", when(col("k") % 131 === 0, "live_committed")
+        .when(col("k") % 131 === 1, "live_appended").otherwise("bulk"))
+      .groupBy("shard", "src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("shard", "src")
+  }
+
+  val cdc69Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT k % 2 AS shard,
+      |  CASE WHEN k % 131 = 0 THEN 'live_committed'
+      |       WHEN k % 131 = 1 THEN 'live_appended'
+      |       ELSE 'bulk' END AS src,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM base WHERE k % 131 <> 2
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // cdc68 — IN-PLACE CHECKPOINT UPGRADE, count-based → tailActive (how
   // an EXISTING deployment adopts tailing: every count-based consumer
   // built since cdc12 owns a checkpoint whose offsets say "N whole
@@ -2003,6 +2161,7 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc69_sharded_union" -> (cdc69ShardedUnion _),
     "cdc68_checkpoint_upgrade" -> (cdc68CheckpointUpgrade _),
     "cdc67_tail_lag" -> (cdc67TailLag _),
     "cdc66_gtid_failover" -> (cdc66GtidFailover _),
@@ -2023,6 +2182,7 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc69_sharded_union" -> cdc69Oracle,
     "cdc68_checkpoint_upgrade" -> cdc68Oracle,
     "cdc67_tail_lag" -> cdc67Oracle,
     "cdc66_gtid_failover" -> cdc66Oracle,

@@ -43,7 +43,7 @@ class BinlogDataSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new BinlogTable(properties.get("path"),
+    new BinlogTable(BinlogScan.resolvePaths(properties),
       Option(properties.get("maxFilesPerTrigger")).map(_.toInt),
       Option(properties.get("splitIndex")),
       Option(properties.get("splitIndexAutoBuild")).exists(_.toBoolean),
@@ -75,24 +75,24 @@ object BinlogDataSource {
   ))
 }
 
-private class BinlogTable(path: String, maxFilesPerTrigger: Option[Int],
+private class BinlogTable(paths: Seq[String], maxFilesPerTrigger: Option[Int],
     splitIndex: Option[String] = None, autoBuild: Boolean = false,
     splitBytes: Option[Long] = None, tailActive: Boolean = false,
     maxBytesPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
-  require(path != null, "binlog source requires a path (use .load(path))")
+  require(paths.nonEmpty, "binlog source requires a path (use .load(path))")
 
-  override def name(): String = s"binlog($path)"
+  override def name(): String = s"binlog(${paths.mkString(", ")})"
   override def schema(): StructType = BinlogDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BinlogScanBuilder(path, maxFilesPerTrigger, splitIndex, autoBuild,
+    new BinlogScanBuilder(paths, maxFilesPerTrigger, splitIndex, autoBuild,
       splitBytes, tailActive, maxBytesPerTrigger)
 }
 
-private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
+private class BinlogScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[Int] = None,
     splitIndex: Option[String] = None, autoBuild: Boolean = false,
     splitBytes: Option[Long] = None, tailActive: Boolean = false,
     maxBytesPerTrigger: Option[Long] = None)
@@ -119,7 +119,7 @@ private class BinlogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = 
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new BinlogScan(path, required, pushed, maxFilesPerTrigger, splitIndex,
+    new BinlogScan(paths, required, pushed, maxFilesPerTrigger, splitIndex,
       autoBuild, splitBytes, tailActive, maxBytesPerTrigger)
 }
 
@@ -163,7 +163,7 @@ private object BinlogFilePruning {
     "\\.(\\d+)$".r.findFirstMatchIn(name).map(_.group(1).toLong)
 }
 
-private class BinlogScan(path: String, required: StructType,
+private class BinlogScan(paths: Seq[String], required: StructType,
     pushed: Array[Filter] = Array.empty,
     maxFilesPerTrigger: Option[Int] = None,
     splitIndex: Option[String] = None,
@@ -191,7 +191,7 @@ private class BinlogScan(path: String, required: StructType,
     // fs impls) must resolve with the same conf build() wrote through
     lazy val hadoopConf =
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
-    val kept = BinlogScan.listFiles(path)
+    val kept = BinlogScan.listFiles(paths)
       .filter { p =>
         val name = p.split('/').last
         val seq = BinlogFilePruning.fileSeq(name)
@@ -240,19 +240,53 @@ private class BinlogScan(path: String, required: StructType,
     * A checkpoint binds to the posture it was started with — the two
     * offset encodings are deliberately incompatible JSON. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // multi-path is a BATCH convenience (replays, ad-hoc unions of named
+    // files); a stream's offsets index ONE naturally-ordered listing. To
+    // consume several feeds in one query, union N single-path streams —
+    // each gets its own offsets in the checkpoint (cdc69's posture).
+    require(paths.length == 1,
+      s"a binlog STREAM watches exactly one directory, got ${paths.length} " +
+        "paths — union one readStream per feed instead (each keeps its " +
+        "own offsets in the shared checkpoint)")
     if (tailActive)
-      new BinlogTailMicroBatchStream(path, required, maxFilesPerTrigger,
+      new BinlogTailMicroBatchStream(paths.head, required, maxFilesPerTrigger,
         maxBytesPerTrigger)
     else
-      new BinlogMicroBatchStream(path, required, maxFilesPerTrigger,
+      new BinlogMicroBatchStream(paths.head, required, maxFilesPerTrigger,
         splitIndex, autoBuild, splitBytes)
+  }
 
   override def description(): String =
-    s"binlog($path) prunedBy=[${pushed.mkString(", ")}]"
+    s"binlog(${paths.mkString(", ")}) prunedBy=[${pushed.mkString(", ")}]"
 }
 
 private[graft] object BinlogScan {
+  /** The DSv2 path contract: `.load(p)` arrives as the `path` property,
+    * `.load(p1, p2, …)` as a JSON-array `paths` property (plus an
+    * optional `path`) — resolve both forms. Jackson is Spark's own
+    * bundled JSON mapper, so the array parse matches what Spark wrote. */
+  def resolvePaths(properties: util.Map[String, String]): Seq[String] = {
+    val multi = Option(properties.get("paths")).map { json =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(json, classOf[Array[String]]).toSeq
+    }.getOrElse(Seq.empty)
+    val single = Option(properties.get("path")).toSeq
+    (single ++ multi).distinct
+  }
+
+  /** Natural-order listing across SEVERAL roots (multi-path batch read):
+    * each root lists as usual, then the union re-sorts globally by the
+    * same (numeric suffix, basename) key — duplicate files named twice
+    * count once. */
+  def listFiles(paths: Seq[String]): Array[String] =
+    paths.flatMap(p => listFiles(p)).distinct.toArray
+      .sortBy(p => (fileSeqKey(p.split('/').last), p.split('/').last))
+
+  private[sources] def fileSeqKey(name: String): Long =
+    "\\.(\\d+)$".r.findFirstMatchIn(name).map(_.group(1).toLong)
+      .getOrElse(Long.MaxValue)
+
   /** All binlog files under `path`, in natural (`ls -v`) order: numeric
     * suffix first, then name — the reference's processing order
     * (comparator.sh:85). */
@@ -282,10 +316,8 @@ private[graft] object BinlogScan {
           }
         case _ => fs.listStatus(hadoopPath).filter(_.isFile).map(_.getPath)
       }).filter(visible)
-    def seq(name: String): Long =
-      "\\.(\\d+)$".r.findFirstMatchIn(name).map(_.group(1).toLong).getOrElse(Long.MaxValue)
     files.map(_.toString)
-      .sortBy(p => (seq(p.split('/').last), p.split('/').last))
+      .sortBy(p => (fileSeqKey(p.split('/').last), p.split('/').last))
   }
 }
 

@@ -112,6 +112,30 @@ object Drains {
       q.awaitTermination()
     }
 
+  /** The SHARDED tail drain (cdc69): one streaming query over the UNION
+    * of N shards' tailActive binlog sources — Spark's offset log tracks
+    * each source independently (one offset line per source per batch),
+    * so every shard gets its own (file, byte-frontier) progress and torn
+    * -tail holdback while the downstream apply sees ONE batch stream.
+    * This is the scale-out ingest shape: a fleet of database shards
+    * into one maintained state, one checkpoint. */
+  def drainBinlogTailUnion(spark: SparkSession, feeds: Seq[String],
+      ckpt: String)(apply: (DataFrame, Long) => Unit): Unit =
+    withDrainPartitions(spark) {
+      def src(feed: String): DataFrame =
+        spark.readStream.format("binlog")
+          .option("tailActive", "true")
+          .option("maxFilesPerTrigger", 1)
+          .load(feed)
+      val q = feeds.map(src).reduce(_ unionByName _)
+        .writeStream
+        .foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** The shared EXACTLY-ONCE drain: per batch, land `partials(batch)` in
     * its own batch_id partition (ViewMaintenance.applyIdempotent),
     * recording which feed file(s) batch 0 ACTUALLY processed (≤1 by
