@@ -1289,6 +1289,157 @@ object LifecycleQueries {
       |FROM base
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // cdc70 — DURABLE EXECUTED-GTID SET, FAILOVER ACROSS A RESTART
+  // (cdc66's deliberate weakness made durable: there the executed
+  // high-water lives in a driver variable, which is exactly what a
+  // crash loses — a real consumer persists its executed set WITH its
+  // data so the failover mark survives. Here the set is a maintained
+  // state of its own — per-sid max gno, the idempotent-maxima fold
+  // class cdc62 proved through compaction — written exactly-once per
+  // batch alongside the data state). Run 1 drains server A's feed,
+  // landing (sid, max gno) per batch; the process STOPS (the driver
+  // variable dies with it); the replica's higher-numbered file arrives,
+  // re-serving the overlap transaction under the same GTID; run 2
+  // resumes the SAME checkpoint and reads the failover mark FROM THE
+  // STATE — max gno for A's uuid — before its first batch, then
+  // discards re-served (sid, gno ≤ mark) rows positionally below the
+  // replica's file_seq boundary. The injected batch-0 redelivery after
+  // run 2 must be absorbed by BOTH states (data: partition overwrite;
+  // set: max is idempotent). Shares cdc66's oracle — a mark that died
+  // with the process double-counts the overlap; a set state that
+  // missed a batch discards too little; both hash mismatches. At
+  // 100 TB the set state is a few rows per batch and compacts under
+  // the register-max fold.
+  def cdc70GtidDurable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc70_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed")
+    val state = new java.io.File(root, "state").getPath
+    val gtidState = new java.io.File(root, "gtid_state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 4)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(3, col("k")),
+      feed.getPath, rowsPerTxn = 50)
+    val fixtureCap = 200000
+    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
+      val rs = base.filter(col("k") % 131 === m).orderBy("k")
+        .limit(fixtureCap + 1).collect()
+      require(rs.length <= fixtureCap,
+        s"cdc70 fixture class $m must stay a bounded test vector, got " +
+          s"${rs.length} rows (cap $fixtureCap)")
+      rs
+    }
+    val (tp, tq, tr, ts) = (cls(0), cls(1), cls(2), cls(3))
+    val sidA = (33 to 48).map(_.toByte).toArray
+    val uuidA = {
+      val h = sidA.map(b => f"${b & 0xff}%02x").mkString
+      s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+        s"${h.substring(16, 20)}-${h.substring(20)}"
+    }
+    val failoverSeq = 800L
+    val crafted: Option[(Array[Byte], Array[Byte])] =
+      if (tp.isEmpty && tq.isEmpty && tr.isEmpty && ts.isEmpty) None
+      else {
+        import graft.ingest.BinlogBinaryWriter._
+        val bound = math.max(20,
+          (tp ++ tq ++ tr ++ ts).map(_.getString(1).getBytes("UTF-8").length)
+            .foldLeft(0)(math.max) + 16)
+        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
+        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
+          Seq(Some(encLongLong(r.getLong(0))),
+            Some(encVarchar(r.getString(1), bound)))
+        val t0 = 1714564800L
+        def txn(f: FileBuilder, gno: Long, rs: Array[org.apache.spark.sql.Row],
+            perEvent: Int, commit: Boolean = true): Unit = {
+          f.event(t0, 33, gtidBody(sidA, gno))
+          f.event(t0, 2, queryBody("sf", "BEGIN"))
+          rs.grouped(perEvent).foreach { b =>
+            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
+            f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
+          }
+          if (commit) { f.event(t0, 16, xidBody(8000L + gno)); () }
+        }
+        val fA = new FileBuilder(checksums = true)
+        fA.fde(t0)
+        if (tp.nonEmpty) txn(fA, 9001L, tp, perEvent = 100)
+        if (tq.nonEmpty) txn(fA, 9002L, tq, perEvent = 100)
+        val fB = new FileBuilder(checksums = true)
+        fB.fde(t0)
+        if (tq.nonEmpty) txn(fB, 9002L, tq, perEvent = 50) // the overlap
+        if (tr.nonEmpty) txn(fB, 9003L, tr, perEvent = 100)
+        if (ts.nonEmpty) txn(fB, 9004L, ts, perEvent = 100, commit = false)
+        Some((fA.bytes, fB.bytes))
+      }
+    crafted.foreach { case (bytesA, _) =>
+      java.nio.file.Files.write(
+        new java.io.File(feed, "mysql-bin.000500").toPath, bytesA)
+    }
+    val gno = substring_index(col("gtid_next"), ":", -1).cast("long")
+    // the recovered failover mark: read at run-2 start from the SET
+    // STATE, not from any in-memory variable (None before failover)
+    var recoveredMark: Option[Long] = None
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      val rows = batch.filter(col("event_type") === "WriteRowsEventV2")
+        .localCheckpoint(true)
+      val reServed = recoveredMark match {
+        case Some(g) => col("file_seq") >= failoverSeq &&
+          col("gtid_next").startsWith(uuidA + ":") && gno <= g
+        case None => lit(false)
+      }
+      ViewMaintenance.applyIdempotent(
+        rows.filter(!reServed)
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+      // the DURABLE executed set: per-sid max gno this batch, written
+      // exactly-once next to the data (the idempotent-maxima fold class)
+      ViewMaintenance.applyIdempotent(
+        rows.filter(col("gtid_next") =!= "")
+          .select(substring_index(col("gtid_next"), ":", 1).as("sid"),
+            gno.as("gno"))
+          .groupBy("sid").agg(max(col("gno")).as("gno")),
+        gtidState, id)
+    }
+    def drainTail(): Unit = drainBinlogTail(spark, feed.getPath, ckpt)(applyBatch)
+    // run 1: server A; the process then STOPS (nothing survives in
+    // memory — recoveredMark is still None)
+    drainTail()
+    // failover: the replica's file arrives; the restarted consumer
+    // recovers its executed set FROM THE STATE before subscribing
+    crafted.foreach { case (_, bytesB) =>
+      java.nio.file.Files.write(
+        new java.io.File(feed, "mysql-bin.000800").toPath, bytesB)
+    }
+    val markRow = ViewMaintenance.readState(spark, gtidState,
+        "sid STRING, gno BIGINT, batch_id BIGINT")
+      .filter(col("sid") === uuidA)
+      .agg(max(col("gno"))).head()
+    recoveredMark = if (markRow.isNullAt(0)) None else Some(markRow.getLong(0))
+    drainTail()
+    // injected batch-0 redelivery: both states must absorb it
+    if (batch0Files.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"${feed.getPath}/$f"): _*), 0L)
+    ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .withColumn("src", when(col("k") % 131 === 0, "txn_p")
+        .when(col("k") % 131 === 1, "txn_q")
+        .when(col("k") % 131 === 2, "txn_r").otherwise("bulk"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("src")
+  }
+
   // cdc66 — GTID-IDENTITY FAILOVER (the reason GTIDs exist: byte
   // positions are PER-SERVER — after a failover the consumer points at a
   // replica whose binlog files have different numbers and different
@@ -2161,6 +2312,7 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc70_gtid_durable" -> (cdc70GtidDurable _),
     "cdc69_sharded_union" -> (cdc69ShardedUnion _),
     "cdc68_checkpoint_upgrade" -> (cdc68CheckpointUpgrade _),
     "cdc67_tail_lag" -> (cdc67TailLag _),
@@ -2182,6 +2334,8 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the durable set changes WHERE the mark lives, not what is applied
+    "cdc70_gtid_durable" -> cdc66Oracle,
     "cdc69_sharded_union" -> cdc69Oracle,
     "cdc68_checkpoint_upgrade" -> cdc68Oracle,
     "cdc67_tail_lag" -> cdc67Oracle,
