@@ -237,8 +237,12 @@ private class BinlogScan(paths: Seq[String], required: StructType,
     * whole (closed, immutable) files; `tailActive=true` switches to
     * (file, byte-frontier) offsets so the GROWING last file yields its
     * newly-committed bytes each trigger ([[BinlogTailMicroBatchStream]]).
-    * A checkpoint binds to the posture it was started with — the two
-    * offset encodings are deliberately incompatible JSON. */
+    * Checkpoint compatibility is deliberately ONE-WAY: a count-based
+    * checkpoint (`{"n":N}`, whole files only) upgrades to the tail
+    * posture in place (TailOffset.fromJson defaults the missing
+    * frontier fields), but a tail checkpoint with a MID-FILE frontier
+    * cannot drive the count-based source — its parser rejects a
+    * nonzero `pos` loudly rather than re-serve the consumed prefix. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     // multi-path is a BATCH convenience (replays, ad-hoc unions of named

@@ -25,10 +25,16 @@ import graft.ingest.BinlogOffsetIndex
   * Reads the consumer's own checkpoint (Spark's offset log: the last
   * COMMITTED batch's end offset — `offsets/N` gated on `commits/N`), so
   * it runs out-of-band of the stream, driver-side only: one listing, one
-  * offset-file read, and a header walk of at most the new bytes — at
-  * 100 TB nothing here scales with history size. The reference has no
-  * monitoring surface at all (its pipeline is one-shot batch,
-  * comparator.sh:78-123).
+  * offset-file read, and a header walk of the active file's bytes past
+  * the offset (for a caught-up consumer that is just the new growth; a
+  * badly-behind one pays a walk of the whole active file, same as the
+  * stream's own next trigger) — at 100 TB nothing here scales with
+  * history size. The walk mirrors the stream's admission-control
+  * frontier ([[BinlogTailMicroBatchStream]]'s `frontierTarget`, minus
+  * its per-trigger budgets) — a change to frontier semantics there must
+  * land here too, or the metric disagrees with what the stream will
+  * consume. The reference has no monitoring surface at all (its
+  * pipeline is one-shot batch, comparator.sh:78-123).
   */
 object BinlogTailOps {
 
@@ -69,8 +75,14 @@ object BinlogTailOps {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
-    // line 0: "v1"; line 1: batch metadata; line 2+: one offset per
-    // source — this stream is single-source, so the last line is ours
+    // line 0: "v1"; line 1: batch metadata; line 2+: ONE offset line per
+    // source. A union query (drainBinlogTailUnion) writes several — and
+    // "the last line" would silently be some OTHER feed's offset applied
+    // to this feed's listing. Refuse until told which source is which.
+    require(lines.length == 3,
+      s"checkpoint $ckpt has ${lines.length - 2} source offset lines; " +
+        "lagMetrics reads single-source tail checkpoints only — for a " +
+        "union query, compute lag per feed from its own offset line")
     val o = TailOffset.fromJson(lines.last)
     Some((o.n, o.pos, o.idx, o.ck))
   }

@@ -227,19 +227,28 @@ private object BinlogTailMicroBatchStream {
       ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
         .map(_.group(1).toLong)
 
-    /** `pos`/`idx`/`ck` default to 0 when absent, so a checkpoint
-      * written by the count-based source (`{"n":N}` — N whole files
-      * consumed, by construction no mid-file position) drives the tail
-      * source directly: an existing deployment upgrades to
-      * `tailActive=true` IN PLACE, no re-snapshot. The reverse
-      * direction is rejected by the count-based parser (a nonzero
-      * `pos` has no whole-file representation). */
-    def fromJson(json: String): TailOffset =
-      TailOffset(
-        field(json, "n").getOrElse(throw new IllegalArgumentException(
-          s"bad binlog tail offset (no n): $json")).toInt,
-        field(json, "pos").getOrElse(0L),
-        field(json, "idx").getOrElse(0L),
-        field(json, "ck").getOrElse(0L).toInt)
+    /** Accepts two forms: the tail source's own full offset, and the
+      * count-based source's `{"n":N}` (N whole files consumed — by
+      * construction no mid-file position), which parses as frontier 0:
+      * an existing deployment upgrades to `tailActive=true` IN PLACE,
+      * no re-snapshot. The defaults apply ONLY when `pos` is absent —
+      * a `pos` WITHOUT its decoder seed (`idx`/`ck`) is a corrupt tail
+      * offset, and resuming it with a zero seed would mis-number every
+      * event and leak checksum bytes into row decoding; it throws, as
+      * it always did. The reverse migration is rejected by the
+      * count-based parser (a nonzero `pos` has no whole-file
+      * representation). */
+    def fromJson(json: String): TailOffset = {
+      val n = field(json, "n").getOrElse(throw new IllegalArgumentException(
+        s"bad binlog tail offset (no n): $json")).toInt
+      field(json, "pos") match {
+        case None => TailOffset(n, 0L, 0L, 0) // count-based form
+        case Some(pos) =>
+          def req(name: String): Long =
+            field(json, name).getOrElse(throw new IllegalArgumentException(
+              s"bad binlog tail offset (pos without $name): $json"))
+          TailOffset(n, pos, req("idx"), req("ck").toInt)
+      }
+    }
   }
 }

@@ -99,18 +99,7 @@ object Drains {
     * the growing last file between runs. */
   def drainBinlogTail(spark: SparkSession, feed: String,
       ckpt: String)(apply: (DataFrame, Long) => Unit): Unit =
-    withDrainPartitions(spark) {
-      val q = spark.readStream.format("binlog")
-        .option("tailActive", "true")
-        .option("maxFilesPerTrigger", 1)
-        .load(feed)
-        .writeStream
-        .foreachBatch(apply)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    drainBinlogTailUnion(spark, Seq(feed), ckpt)(apply)
 
   /** The SHARDED tail drain (cdc69): one streaming query over the UNION
     * of N shards' tailActive binlog sources — Spark's offset log tracks
@@ -122,6 +111,7 @@ object Drains {
   def drainBinlogTailUnion(spark: SparkSession, feeds: Seq[String],
       ckpt: String)(apply: (DataFrame, Long) => Unit): Unit =
     withDrainPartitions(spark) {
+      require(feeds.nonEmpty, "drainBinlogTailUnion needs at least one feed")
       def src(feed: String): DataFrame =
         spark.readStream.format("binlog")
           .option("tailActive", "true")

@@ -110,6 +110,14 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
     // consumed, frontier 0" — the in-place upgrade path
     assert(TailOffset.fromJson("{\"n\":1}") == TailOffset(1, 0L, 0L, 0))
     intercept[IllegalArgumentException] { TailOffset.fromJson("{}") }
+    // a pos WITHOUT its decoder seed is a corrupt tail offset, not an
+    // upgrade — resuming with a zero seed would mis-number every event
+    intercept[IllegalArgumentException] {
+      TailOffset.fromJson("{\"n\":2,\"pos\":81234}")
+    }
+    intercept[IllegalArgumentException] {
+      TailOffset.fromJson("{\"n\":2,\"pos\":81234,\"idx\":6}")
+    }
   }
 
   test("admission control: maxFiles budget completes closed files first") {
