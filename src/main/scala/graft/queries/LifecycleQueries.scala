@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.CdcFixtures.{fixtureBase, ivmFixture, decodeIvmDelta,
-  ivmReport}
+import graft.queries.CdcFixtures.{boundedClass, fixtureBase, ivmFixture,
+  decodeIvmDelta, ivmReport, TailFeedWriter}
 import graft.streaming.Drains.{drainBinlogFeed, drainBinlogTail,
   drainWithRedelivery, streamDirs, tmpFixtureDir}
 
@@ -597,57 +597,29 @@ object LifecycleQueries {
       feed.getPath, rowsPerTxn = 50)
     // the ACTIVE file: bounded fixture classes, byte-crafted because a
     // mid-event tear is precisely what the distributed sink refuses to
-    // produce (cdc56's discipline, same cap)
-    val fixtureCap = 200000
-    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
-      val rows = base.filter(col("k") % 131 === m).orderBy("k")
-        .limit(fixtureCap + 1).collect()
-      require(rows.length <= fixtureCap,
-        s"cdc58 fixture class $m must stay a bounded test vector, got " +
-          s"${rows.length} rows (cap $fixtureCap)")
-      rows
-    }
-    val (ta, tb, tc, td) = (cls(0), cls(1), cls(2), cls(3))
+    // produce (cdc56's discipline; cap + bound logic shared via
+    // CdcFixtures.boundedClass/TailFeedWriter)
+    val (ta, tb, tc, td) = (boundedClass(base, "cdc58", 0),
+      boundedClass(base, "cdc58", 1), boundedClass(base, "cdc58", 2),
+      boundedClass(base, "cdc58", 3))
     val activeFile = new java.io.File(feed, "mysql-bin.000500")
     val appendTail: Option[Array[Byte]] =
       if (ta.isEmpty && tb.isEmpty && tc.isEmpty && td.isEmpty) None
       else {
-        import graft.ingest.BinlogBinaryWriter._
-        val bound = math.max(20,
-          (ta ++ tb ++ tc ++ td).map(_.getString(1).getBytes("UTF-8").length)
-            .foldLeft(0)(math.max) + 16)
-        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
-        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
-          Seq(Some(encLongLong(r.getLong(0))),
-            Some(encVarchar(r.getString(1), bound)))
-        val t0 = 1714564800L
-        val sid = (1 to 16).map(_.toByte).toArray
-        val f = new FileBuilder(checksums = true)
-        var lastRows = f.fde(t0)
+        val w = new TailFeedWriter(Seq(ta, tb, tc, td))
+        val (f, fdeOff) = w.newFile()
         // the clean fallback cut when txn B is empty: after A's commit
         // (or after the FDE when A is empty too)
-        var cleanCut = lastRows
-        def open(gno: Long): Unit = {
-          f.event(t0, 33, gtidBody(sid, gno))
-          f.event(t0, 2, queryBody("sf", "BEGIN"))
-        }
-        def rows(rs: Array[org.apache.spark.sql.Row]): Unit =
-          rs.grouped(100).foreach { b =>
-            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-            lastRows = f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
-          }
+        var cleanCut = fdeOff
         // txn A: committed entirely inside installment 1
-        if (ta.nonEmpty) {
-          open(801L); rows(ta); cleanCut = f.event(t0, 16, xidBody(8001L))
-        }
+        if (ta.nonEmpty) cleanCut = w.txn(f, 801L, 8001L, ta)._2
         // txn B: rows in installment 1, XID only in the appended bytes
-        if (tb.nonEmpty) { open(802L); rows(tb) }
-        val afterBRows = lastRows
-        if (tb.nonEmpty) f.event(t0, 16, xidBody(8002L))
+        val afterBRows =
+          if (tb.nonEmpty) w.txn(f, 802L, 8002L, tb)._1 else cleanCut
         // txn C: committed, entirely in the appended bytes
-        if (tc.nonEmpty) { open(803L); rows(tc); f.event(t0, 16, xidBody(8003L)) }
+        if (tc.nonEmpty) w.txn(f, 803L, 8003L, tc)
         // txn D: torn FOREVER — the file (and the fixture) end inside it
-        if (td.nonEmpty) { open(804L); rows(td) }
+        if (td.nonEmpty) w.txn(f, 804L, 8004L, td, commit = false)
         val all = f.bytes
         // installment 1 tears 7 bytes into B's XID header when B exists,
         // else cleanly after A's commit
@@ -733,16 +705,9 @@ object LifecycleQueries {
         .select(lit(1).as("op"), col("k"), col("v"))
         .repartitionByRange(3, col("k")),
       feed.getPath, rowsPerTxn = 50)
-    val fixtureCap = 200000
-    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
-      val rows = base.filter(col("k") % 131 === m).orderBy("k")
-        .limit(fixtureCap + 1).collect()
-      require(rows.length <= fixtureCap,
-        s"cdc64 fixture class $m must stay a bounded test vector, got " +
-          s"${rows.length} rows (cap $fixtureCap)")
-      rows
-    }
-    val (ta, tb, tc, td, te) = (cls(0), cls(1), cls(2), cls(3), cls(4))
+    val (ta, tb, tc, td, te) = (boundedClass(base, "cdc64", 0),
+      boundedClass(base, "cdc64", 1), boundedClass(base, "cdc64", 2),
+      boundedClass(base, "cdc64", 3), boundedClass(base, "cdc64", 4))
     val file500 = new java.io.File(feed, "mysql-bin.000500")
     val file501 = new java.io.File(feed, "mysql-bin.000501")
     // (500's appended remainder, 501's full contents) — None on an empty
@@ -751,37 +716,15 @@ object LifecycleQueries {
       if (ta.isEmpty && tb.isEmpty && tc.isEmpty && td.isEmpty && te.isEmpty)
         None
       else {
-        import graft.ingest.BinlogBinaryWriter._
-        val bound = math.max(20,
-          (ta ++ tb ++ tc ++ td ++ te)
-            .map(_.getString(1).getBytes("UTF-8").length)
-            .foldLeft(0)(math.max) + 16)
-        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
-        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
-          Seq(Some(encLongLong(r.getLong(0))),
-            Some(encVarchar(r.getString(1), bound)))
-        val t0 = 1714564800L
-        val sid = (1 to 16).map(_.toByte).toArray
-        def txn(f: FileBuilder, gno: Long, xid: Long,
-            rs: Array[org.apache.spark.sql.Row],
-            commit: Boolean = true): (Long, Long) = {
-          f.event(t0, 33, gtidBody(sid, gno))
-          f.event(t0, 2, queryBody("sf", "BEGIN"))
-          var lastRows = 0L
-          rs.grouped(100).foreach { b =>
-            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-            lastRows = f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
-          }
-          (lastRows, if (commit) f.event(t0, 16, xidBody(xid)) else -1L)
-        }
+        val w = new TailFeedWriter(Seq(ta, tb, tc, td, te))
         // file 500: A committed | cut | B's XID, C committed, ROTATE
-        val f5 = new FileBuilder(checksums = true)
-        var cleanCut = f5.fde(t0)
-        if (ta.nonEmpty) cleanCut = txn(f5, 801L, 8001L, ta)._2
+        val (f5, fdeOff) = w.newFile()
+        var cleanCut = fdeOff
+        if (ta.nonEmpty) cleanCut = w.txn(f5, 801L, 8001L, ta)._2
         val afterBRows =
-          if (tb.nonEmpty) txn(f5, 802L, 8002L, tb)._1 else cleanCut
-        if (tc.nonEmpty) txn(f5, 803L, 8003L, tc)
-        f5.event(t0, 4, rotateBody("mysql-bin.000501"))
+          if (tb.nonEmpty) w.txn(f5, 802L, 8002L, tb)._1 else cleanCut
+        if (tc.nonEmpty) w.txn(f5, 803L, 8003L, tc)
+        w.rotate(f5, "mysql-bin.000501")
         val all5 = f5.bytes
         // the installment-1 cut: 7 bytes INTO B's XID header (mid-event),
         // or cleanly after A's commit when B is empty
@@ -789,10 +732,9 @@ object LifecycleQueries {
           else cleanCut).toInt
         java.nio.file.Files.write(file500.toPath, all5.slice(0, cut))
         // file 501: D committed, E torn forever
-        val f6 = new FileBuilder(checksums = true)
-        f6.fde(t0)
-        if (td.nonEmpty) txn(f6, 804L, 8004L, td)
-        if (te.nonEmpty) txn(f6, 805L, 8005L, te, commit = false)
+        val (f6, _) = w.newFile()
+        if (td.nonEmpty) w.txn(f6, 804L, 8004L, td)
+        if (te.nonEmpty) w.txn(f6, 805L, 8005L, te, commit = false)
         Some((all5.slice(cut, all5.length), f6.bytes))
       }
     val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -897,51 +839,26 @@ object LifecycleQueries {
         .select(lit(1).as("op"), col("k"), col("v"))
         .repartitionByRange(2, col("k")),
       feedB.getPath, rowsPerTxn = 50, fileSeqStart = 101)
-    val fixtureCap = 200000
-    def cls(shard: Long, m: Long): Array[org.apache.spark.sql.Row] = {
-      val rs = base.filter(col("k") % 2 === shard && col("k") % 131 === m)
-        .orderBy("k").limit(fixtureCap + 1).collect()
-      require(rs.length <= fixtureCap,
-        s"cdc69 fixture class ($shard, $m) must stay a bounded test " +
-          s"vector, got ${rs.length} rows (cap $fixtureCap)")
-      rs
-    }
     // one active file per shard: (installment 1, append) or None when
-    // the shard's live classes are all empty
+    // the shard's live classes are all empty; each shard writes under
+    // its own server uuid
     def craft(shard: Long): Option[(Array[Byte], Array[Byte])] = {
-      val (ta, tb, tc) = (cls(shard, 0), cls(shard, 1), cls(shard, 2))
+      val shardBase = base.filter(col("k") % 2 === shard)
+      val (ta, tb, tc) = (boundedClass(shardBase, s"cdc69/$shard", 0),
+        boundedClass(shardBase, s"cdc69/$shard", 1),
+        boundedClass(shardBase, s"cdc69/$shard", 2))
       if (ta.isEmpty && tb.isEmpty && tc.isEmpty) None
       else {
-        import graft.ingest.BinlogBinaryWriter._
-        val bound = math.max(20,
-          (ta ++ tb ++ tc).map(_.getString(1).getBytes("UTF-8").length)
-            .foldLeft(0)(math.max) + 16)
-        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
-        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
-          Seq(Some(encLongLong(r.getLong(0))),
-            Some(encVarchar(r.getString(1), bound)))
-        val t0 = 1714564800L
-        val sid = (1 to 16).map(b => (b + 16 * shard).toByte).toArray
-        val f = new FileBuilder(checksums = true)
-        var lastRows = f.fde(t0)
-        var cleanCut = lastRows
-        def open(gno: Long): Unit = {
-          f.event(t0, 33, gtidBody(sid, gno))
-          f.event(t0, 2, queryBody("sf", "BEGIN"))
-        }
-        def rows(rs: Array[org.apache.spark.sql.Row]): Unit =
-          rs.grouped(100).foreach { b =>
-            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-            lastRows = f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
-          }
-        if (ta.nonEmpty) {
-          open(801L + shard); rows(ta)
-          cleanCut = f.event(t0, 16, xidBody(8001L + shard))
-        }
-        if (tb.nonEmpty) { open(811L + shard); rows(tb) }
-        val afterBRows = lastRows
-        if (tb.nonEmpty) f.event(t0, 16, xidBody(8011L + shard))
-        if (tc.nonEmpty) { open(821L + shard); rows(tc) } // torn FOREVER
+        val w = new TailFeedWriter(Seq(ta, tb, tc),
+          sid = (1 to 16).map(b => (b + 16 * shard).toByte).toArray)
+        val (f, fdeOff) = w.newFile()
+        var cleanCut = fdeOff
+        if (ta.nonEmpty) cleanCut = w.txn(f, 801L + shard, 8001L + shard, ta)._2
+        val afterBRows =
+          if (tb.nonEmpty) w.txn(f, 811L + shard, 8011L + shard, tb)._1
+          else cleanCut
+        if (tc.nonEmpty)
+          w.txn(f, 821L + shard, 8021L + shard, tc, commit = false) // torn
         val all = f.bytes
         val cut = (if (tb.nonEmpty) math.min(afterBRows + 7, all.length.toLong)
           else cleanCut).toInt
@@ -1045,51 +962,21 @@ object LifecycleQueries {
         .select(lit(1).as("op"), col("k"), col("v"))
         .repartitionByRange(3, col("k")),
       feed.getPath, rowsPerTxn = 50)
-    val fixtureCap = 200000
-    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
-      val rs = base.filter(col("k") % 131 === m).orderBy("k")
-        .limit(fixtureCap + 1).collect()
-      require(rs.length <= fixtureCap,
-        s"cdc68 fixture class $m must stay a bounded test vector, got " +
-          s"${rs.length} rows (cap $fixtureCap)")
-      rs
-    }
-    val (ta, tb, tc) = (cls(0), cls(1), cls(2))
+    val (ta, tb, tc) = (boundedClass(base, "cdc68", 0),
+      boundedClass(base, "cdc68", 1), boundedClass(base, "cdc68", 2))
     val activeFile = new java.io.File(feed, "mysql-bin.000500")
     // (installment for run 2: A committed + B torn; append for run 3:
     // B's completion + C torn forever)
     val crafted: Option[(Array[Byte], Array[Byte])] =
       if (ta.isEmpty && tb.isEmpty && tc.isEmpty) None
       else {
-        import graft.ingest.BinlogBinaryWriter._
-        val bound = math.max(20,
-          (ta ++ tb ++ tc).map(_.getString(1).getBytes("UTF-8").length)
-            .foldLeft(0)(math.max) + 16)
-        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
-        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
-          Seq(Some(encLongLong(r.getLong(0))),
-            Some(encVarchar(r.getString(1), bound)))
-        val t0 = 1714564800L
-        val sid = (1 to 16).map(_.toByte).toArray
-        val f = new FileBuilder(checksums = true)
-        var lastRows = f.fde(t0)
-        var cleanCut = lastRows
-        def open(gno: Long): Unit = {
-          f.event(t0, 33, gtidBody(sid, gno))
-          f.event(t0, 2, queryBody("sf", "BEGIN"))
-        }
-        def rows(rs: Array[org.apache.spark.sql.Row]): Unit =
-          rs.grouped(100).foreach { b =>
-            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-            lastRows = f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
-          }
-        if (ta.nonEmpty) {
-          open(801L); rows(ta); cleanCut = f.event(t0, 16, xidBody(8001L))
-        }
-        if (tb.nonEmpty) { open(802L); rows(tb) }
-        val afterBRows = lastRows
-        if (tb.nonEmpty) f.event(t0, 16, xidBody(8002L))
-        if (tc.nonEmpty) { open(803L); rows(tc) } // torn FOREVER
+        val w = new TailFeedWriter(Seq(ta, tb, tc))
+        val (f, fdeOff) = w.newFile()
+        var cleanCut = fdeOff
+        if (ta.nonEmpty) cleanCut = w.txn(f, 801L, 8001L, ta)._2
+        val afterBRows =
+          if (tb.nonEmpty) w.txn(f, 802L, 8002L, tb)._1 else cleanCut
+        if (tc.nonEmpty) w.txn(f, 803L, 8003L, tc, commit = false) // torn
         val all = f.bytes
         val cut = (if (tb.nonEmpty) math.min(afterBRows + 7, all.length.toLong)
           else cleanCut).toInt
@@ -1182,50 +1069,21 @@ object LifecycleQueries {
         .select(lit(1).as("op"), col("k"), col("v"))
         .repartitionByRange(3, col("k")),
       feed.getPath, rowsPerTxn = 50)
-    val fixtureCap = 200000
-    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
-      val rows = base.filter(col("k") % 131 === m).orderBy("k")
-        .limit(fixtureCap + 1).collect()
-      require(rows.length <= fixtureCap,
-        s"cdc67 fixture class $m must stay a bounded test vector, got " +
-          s"${rows.length} rows (cap $fixtureCap)")
-      rows
-    }
-    val (ta, tb, tc, td) = (cls(0), cls(1), cls(2), cls(3))
+    val (ta, tb, tc, td) = (boundedClass(base, "cdc67", 0),
+      boundedClass(base, "cdc67", 1), boundedClass(base, "cdc67", 2),
+      boundedClass(base, "cdc67", 3))
     val activeFile = new java.io.File(feed, "mysql-bin.000500")
     val appendTail: Option[Array[Byte]] =
       if (ta.isEmpty && tb.isEmpty && tc.isEmpty && td.isEmpty) None
       else {
-        import graft.ingest.BinlogBinaryWriter._
-        val bound = math.max(20,
-          (ta ++ tb ++ tc ++ td).map(_.getString(1).getBytes("UTF-8").length)
-            .foldLeft(0)(math.max) + 16)
-        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
-        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
-          Seq(Some(encLongLong(r.getLong(0))),
-            Some(encVarchar(r.getString(1), bound)))
-        val t0 = 1714564800L
-        val sid = (1 to 16).map(_.toByte).toArray
-        val f = new FileBuilder(checksums = true)
-        var lastRows = f.fde(t0)
-        var cleanCut = lastRows
-        def open(gno: Long): Unit = {
-          f.event(t0, 33, gtidBody(sid, gno))
-          f.event(t0, 2, queryBody("sf", "BEGIN"))
-        }
-        def rows(rs: Array[org.apache.spark.sql.Row]): Unit =
-          rs.grouped(100).foreach { b =>
-            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-            lastRows = f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
-          }
-        if (ta.nonEmpty) {
-          open(801L); rows(ta); cleanCut = f.event(t0, 16, xidBody(8001L))
-        }
-        if (tb.nonEmpty) { open(802L); rows(tb) }
-        val afterBRows = lastRows
-        if (tb.nonEmpty) f.event(t0, 16, xidBody(8002L))
-        if (tc.nonEmpty) { open(803L); rows(tc); f.event(t0, 16, xidBody(8003L)) }
-        if (td.nonEmpty) { open(804L); rows(td) } // torn FOREVER
+        val w = new TailFeedWriter(Seq(ta, tb, tc, td))
+        val (f, fdeOff) = w.newFile()
+        var cleanCut = fdeOff
+        if (ta.nonEmpty) cleanCut = w.txn(f, 801L, 8001L, ta)._2
+        val afterBRows =
+          if (tb.nonEmpty) w.txn(f, 802L, 8002L, tb)._1 else cleanCut
+        if (tc.nonEmpty) w.txn(f, 803L, 8003L, tc)
+        if (td.nonEmpty) w.txn(f, 804L, 8004L, td, commit = false) // torn
         val all = f.bytes
         val cut = (if (tb.nonEmpty) math.min(afterBRows + 7, all.length.toLong)
           else cleanCut).toInt
@@ -1327,16 +1185,9 @@ object LifecycleQueries {
         .select(lit(1).as("op"), col("k"), col("v"))
         .repartitionByRange(3, col("k")),
       feed.getPath, rowsPerTxn = 50)
-    val fixtureCap = 200000
-    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
-      val rs = base.filter(col("k") % 131 === m).orderBy("k")
-        .limit(fixtureCap + 1).collect()
-      require(rs.length <= fixtureCap,
-        s"cdc70 fixture class $m must stay a bounded test vector, got " +
-          s"${rs.length} rows (cap $fixtureCap)")
-      rs
-    }
-    val (tp, tq, tr, ts) = (cls(0), cls(1), cls(2), cls(3))
+    val (tp, tq, tr, ts) = (boundedClass(base, "cdc70", 0),
+      boundedClass(base, "cdc70", 1), boundedClass(base, "cdc70", 2),
+      boundedClass(base, "cdc70", 3))
     val sidA = (33 to 48).map(_.toByte).toArray
     val uuidA = {
       val h = sidA.map(b => f"${b & 0xff}%02x").mkString
@@ -1347,34 +1198,14 @@ object LifecycleQueries {
     val crafted: Option[(Array[Byte], Array[Byte])] =
       if (tp.isEmpty && tq.isEmpty && tr.isEmpty && ts.isEmpty) None
       else {
-        import graft.ingest.BinlogBinaryWriter._
-        val bound = math.max(20,
-          (tp ++ tq ++ tr ++ ts).map(_.getString(1).getBytes("UTF-8").length)
-            .foldLeft(0)(math.max) + 16)
-        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
-        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
-          Seq(Some(encLongLong(r.getLong(0))),
-            Some(encVarchar(r.getString(1), bound)))
-        val t0 = 1714564800L
-        def txn(f: FileBuilder, gno: Long, rs: Array[org.apache.spark.sql.Row],
-            perEvent: Int, commit: Boolean = true): Unit = {
-          f.event(t0, 33, gtidBody(sidA, gno))
-          f.event(t0, 2, queryBody("sf", "BEGIN"))
-          rs.grouped(perEvent).foreach { b =>
-            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-            f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
-          }
-          if (commit) { f.event(t0, 16, xidBody(8000L + gno)); () }
-        }
-        val fA = new FileBuilder(checksums = true)
-        fA.fde(t0)
-        if (tp.nonEmpty) txn(fA, 9001L, tp, perEvent = 100)
-        if (tq.nonEmpty) txn(fA, 9002L, tq, perEvent = 100)
-        val fB = new FileBuilder(checksums = true)
-        fB.fde(t0)
-        if (tq.nonEmpty) txn(fB, 9002L, tq, perEvent = 50) // the overlap
-        if (tr.nonEmpty) txn(fB, 9003L, tr, perEvent = 100)
-        if (ts.nonEmpty) txn(fB, 9004L, ts, perEvent = 100, commit = false)
+        val w = new TailFeedWriter(Seq(tp, tq, tr, ts), sid = sidA)
+        val (fA, _) = w.newFile()
+        if (tp.nonEmpty) w.txn(fA, 9001L, 17001L, tp)
+        if (tq.nonEmpty) w.txn(fA, 9002L, 17002L, tq)
+        val (fB, _) = w.newFile()
+        if (tq.nonEmpty) w.txn(fB, 9002L, 17002L, tq, perEvent = 50) // overlap
+        if (tr.nonEmpty) w.txn(fB, 9003L, 17003L, tr)
+        if (ts.nonEmpty) w.txn(fB, 9004L, 17004L, ts, commit = false)
         Some((fA.bytes, fB.bytes))
       }
     crafted.foreach { case (bytesA, _) =>
@@ -1488,16 +1319,9 @@ object LifecycleQueries {
         .select(lit(1).as("op"), col("k"), col("v"))
         .repartitionByRange(3, col("k")),
       feed.getPath, rowsPerTxn = 50)
-    val fixtureCap = 200000
-    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
-      val rs = base.filter(col("k") % 131 === m).orderBy("k")
-        .limit(fixtureCap + 1).collect()
-      require(rs.length <= fixtureCap,
-        s"cdc66 fixture class $m must stay a bounded test vector, got " +
-          s"${rs.length} rows (cap $fixtureCap)")
-      rs
-    }
-    val (tp, tq, tr, ts) = (cls(0), cls(1), cls(2), cls(3))
+    val (tp, tq, tr, ts) = (boundedClass(base, "cdc66", 0),
+      boundedClass(base, "cdc66", 1), boundedClass(base, "cdc66", 2),
+      boundedClass(base, "cdc66", 3))
     // server A's uuid: sid bytes 33..48 (distinct from the sink's 1..16)
     val sidA = (33 to 48).map(_.toByte).toArray
     val uuidA = {
@@ -1512,34 +1336,14 @@ object LifecycleQueries {
     val crafted: Option[(Array[Byte], Array[Byte])] =
       if (tp.isEmpty && tq.isEmpty && tr.isEmpty && ts.isEmpty) None
       else {
-        import graft.ingest.BinlogBinaryWriter._
-        val bound = math.max(20,
-          (tp ++ tq ++ tr ++ ts).map(_.getString(1).getBytes("UTF-8").length)
-            .foldLeft(0)(math.max) + 16)
-        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
-        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
-          Seq(Some(encLongLong(r.getLong(0))),
-            Some(encVarchar(r.getString(1), bound)))
-        val t0 = 1714564800L
-        def txn(f: FileBuilder, gno: Long, rs: Array[org.apache.spark.sql.Row],
-            perEvent: Int, commit: Boolean = true): Unit = {
-          f.event(t0, 33, gtidBody(sidA, gno))
-          f.event(t0, 2, queryBody("sf", "BEGIN"))
-          rs.grouped(perEvent).foreach { b =>
-            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-            f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
-          }
-          if (commit) { f.event(t0, 16, xidBody(8000L + gno)); () }
-        }
-        val fA = new FileBuilder(checksums = true)
-        fA.fde(t0)
-        if (tp.nonEmpty) txn(fA, 9001L, tp, perEvent = 100)
-        if (tq.nonEmpty) txn(fA, 9002L, tq, perEvent = 100)
-        val fB = new FileBuilder(checksums = true)
-        fB.fde(t0)
-        if (tq.nonEmpty) txn(fB, 9002L, tq, perEvent = 50) // the overlap
-        if (tr.nonEmpty) txn(fB, 9003L, tr, perEvent = 100)
-        if (ts.nonEmpty) txn(fB, 9004L, ts, perEvent = 100, commit = false)
+        val w = new TailFeedWriter(Seq(tp, tq, tr, ts), sid = sidA)
+        val (fA, _) = w.newFile()
+        if (tp.nonEmpty) w.txn(fA, 9001L, 17001L, tp)
+        if (tq.nonEmpty) w.txn(fA, 9002L, 17002L, tq)
+        val (fB, _) = w.newFile()
+        if (tq.nonEmpty) w.txn(fB, 9002L, 17002L, tq, perEvent = 50) // overlap
+        if (tr.nonEmpty) w.txn(fB, 9003L, 17003L, tr)
+        if (ts.nonEmpty) w.txn(fB, 9004L, 17004L, ts, commit = false)
         Some((fA.bytes, fB.bytes))
       }
     crafted.foreach { case (bytesA, _) =>
@@ -1827,47 +1631,20 @@ object LifecycleQueries {
           .filter(atOrBeforeMark).select("k", "v"),
         state, -1L)
     // the LIVE side: one active file, growing between the two drains
-    val fixtureCap = 200000
-    def cls(m: Long): Array[org.apache.spark.sql.Row] = {
-      val rs = base.filter(col("k") % 131 === m).orderBy("k")
-        .limit(fixtureCap + 1).collect()
-      require(rs.length <= fixtureCap,
-        s"cdc65 fixture class $m must stay a bounded test vector, got " +
-          s"${rs.length} rows (cap $fixtureCap)")
-      rs
-    }
-    val (ta, tb, tc) = (cls(0), cls(1), cls(2))
+    val (ta, tb, tc) = (boundedClass(base, "cdc65", 0),
+      boundedClass(base, "cdc65", 1), boundedClass(base, "cdc65", 2))
     val activeFile = new java.io.File(feed, "mysql-bin.000500")
     val appendTail: Option[Array[Byte]] =
       if (ta.isEmpty && tb.isEmpty && tc.isEmpty) None
       else {
-        import graft.ingest.BinlogBinaryWriter._
-        val bound = math.max(20,
-          (ta ++ tb ++ tc).map(_.getString(1).getBytes("UTF-8").length)
-            .foldLeft(0)(math.max) + 16)
-        val cols = Seq(ColDef.longlong, ColDef.varchar(bound))
-        def img(r: org.apache.spark.sql.Row): Seq[Option[Array[Byte]]] =
-          Seq(Some(encLongLong(r.getLong(0))),
-            Some(encVarchar(r.getString(1), bound)))
-        val t0 = 1714564800L
-        val sid = (1 to 16).map(_.toByte).toArray
-        val f = new FileBuilder(checksums = true)
-        var cleanCut = f.fde(t0)
-        def txn(gno: Long, xid: Long, rs: Array[org.apache.spark.sql.Row],
-            commit: Boolean = true): Long = {
-          f.event(t0, 33, gtidBody(sid, gno))
-          f.event(t0, 2, queryBody("sf", "BEGIN"))
-          rs.grouped(100).foreach { b =>
-            f.event(t0, 19, tableMapBody(11, "sf", "delta", cols))
-            f.event(t0, 30, rowsBody(11, cols.size, b.toSeq.map(img)))
-          }
-          if (commit) f.event(t0, 16, xidBody(xid)) else f.bytes.length.toLong
-        }
-        if (ta.nonEmpty) cleanCut = txn(801L, 8001L, ta)
+        val w = new TailFeedWriter(Seq(ta, tb, tc))
+        val (f, fdeOff) = w.newFile()
+        var cleanCut = fdeOff
+        if (ta.nonEmpty) cleanCut = w.txn(f, 801L, 8001L, ta)._2
         // installment 1 ends cleanly after A's commit; the append brings
         // B (committed) and C (torn forever)
-        if (tb.nonEmpty) txn(802L, 8002L, tb)
-        if (tc.nonEmpty) txn(803L, 8003L, tc, commit = false)
+        if (tb.nonEmpty) w.txn(f, 802L, 8002L, tb)
+        if (tc.nonEmpty) w.txn(f, 803L, 8003L, tc, commit = false)
         val all = f.bytes
         val cut = cleanCut.toInt
         java.nio.file.Files.write(activeFile.toPath, all.slice(0, cut))
