@@ -793,6 +793,119 @@ object LifecycleQueries {
       |FROM base WHERE k % 131 <> 4
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // cdc71 — BINLOG RETENTION: PURGE-SAFE TAIL (every other streaming
+  // posture — count-based AND plain tail — keys its offsets by INDEX
+  // into the directory listing, so the watched dir must stay
+  // append-only for the checkpoint's whole life. A real server runs
+  // `PURGE BINARY LOGS` / expire_logs_days: old consumed files VANISH.
+  // `purgeSafe=true` keys offsets by the file's own numeric suffix —
+  // MySQL's native (file, pos) coordinate — so retention below the
+  // committed frontier is invisible to the consumer). The gate: drain
+  // the feed (closed bulk + an active file whose txn B is torn 7 bytes
+  // into its XID header); inject the batch-0 redelivery (crash-after-
+  // commit happens BEFORE retention); then DELETE every bulk file —
+  // the listing shrinks to just the active file, which shifts every
+  // index-based offset and is exactly what the suffix-keyed form must
+  // not notice; append B's completion, committed C, torn-forever D;
+  // drain again. A structural require pins that the purge really
+  // happened (one file left on disk). Oracle excludes exactly the torn
+  // class: an offset that shifted with the listing re-serves or skips
+  // whole files — either is a hash mismatch. At 100 TB this is the
+  // difference between a consumer that runs for a week and one that
+  // runs for years: retention stays a server-side policy, not a
+  // stream-breaking event.
+  def cdc71TailPurge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    import graft.streaming.Drains.drainBinlogPurgeTail
+    val root = tmpFixtureDir("graft_cdc71_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed")
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 4)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(3, col("k")),
+      feed.getPath, rowsPerTxn = 50)
+    val (ta, tb, tc, td) = (boundedClass(base, "cdc71", 0),
+      boundedClass(base, "cdc71", 1), boundedClass(base, "cdc71", 2),
+      boundedClass(base, "cdc71", 3))
+    val activeFile = new java.io.File(feed, "mysql-bin.000500")
+    val appendTail: Option[Array[Byte]] =
+      if (ta.isEmpty && tb.isEmpty && tc.isEmpty && td.isEmpty) None
+      else {
+        val w = new TailFeedWriter(Seq(ta, tb, tc, td))
+        val (f, fdeOff) = w.newFile()
+        var cleanCut = fdeOff
+        if (ta.nonEmpty) cleanCut = w.txn(f, 801L, 8001L, ta)._2
+        val afterBRows =
+          if (tb.nonEmpty) w.txn(f, 802L, 8002L, tb)._1 else cleanCut
+        if (tc.nonEmpty) w.txn(f, 803L, 8003L, tc)
+        if (td.nonEmpty) w.txn(f, 804L, 8004L, td, commit = false) // torn
+        val all = f.bytes
+        val cut = (if (tb.nonEmpty) math.min(afterBRows + 7, all.length.toLong)
+          else cleanCut).toInt
+        java.nio.file.Files.write(activeFile.toPath, all.slice(0, cut))
+        Some(all.slice(cut, all.length))
+      }
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      ViewMaintenance.applyIdempotent(
+        batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+    }
+    drainBinlogPurgeTail(spark, feed.getPath, ckpt)(applyBatch)
+    // crash-after-commit redelivery happens BEFORE retention purges
+    if (batch0Files.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"${feed.getPath}/$f"): _*), 0L)
+    // retention: every consumed closed file vanishes; only the active
+    // file survives — every index-based offset just shifted
+    Option(feed.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        f.getName != activeFile.getName)
+      .foreach(f => require(f.delete(), s"purge failed: $f"))
+    if (appendTail.isDefined) {
+      val left = Option(feed.listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && !f.getName.startsWith("."))
+      require(left == 1, s"the purge must leave only the active file, $left")
+    }
+    appendTail.foreach { tail =>
+      java.nio.file.Files.write(activeFile.toPath, tail,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    drainBinlogPurgeTail(spark, feed.getPath, ckpt)(applyBatch)
+    ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .withColumn("src", when(col("k") % 131 === 0, "txn_a")
+        .when(col("k") % 131 === 1, "txn_b")
+        .when(col("k") % 131 === 2, "txn_c").otherwise("bulk"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("src")
+  }
+
+  val cdc71Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT CASE WHEN k % 131 = 0 THEN 'txn_a'
+      |            WHEN k % 131 = 1 THEN 'txn_b'
+      |            WHEN k % 131 = 2 THEN 'txn_c'
+      |            ELSE 'bulk' END AS src,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM base WHERE k % 131 <> 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // cdc69 — SHARDED MULTI-SOURCE TAIL (the scale-out ingest shape: a
   // fleet of database SHARDS, each with its own growing binlog, tailed
   // by ONE streaming query into ONE maintained state on ONE checkpoint.
@@ -2089,6 +2202,7 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc71_tail_purge" -> (cdc71TailPurge _),
     "cdc70_gtid_durable" -> (cdc70GtidDurable _),
     "cdc69_sharded_union" -> (cdc69ShardedUnion _),
     "cdc68_checkpoint_upgrade" -> (cdc68CheckpointUpgrade _),
@@ -2111,6 +2225,7 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc71_tail_purge" -> cdc71Oracle,
     // the durable set changes WHERE the mark lives, not what is applied
     "cdc70_gtid_durable" -> cdc66Oracle,
     "cdc69_sharded_union" -> cdc69Oracle,

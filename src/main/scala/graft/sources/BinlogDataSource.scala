@@ -49,7 +49,8 @@ class BinlogDataSource extends TableProvider with DataSourceRegister {
       Option(properties.get("splitIndexAutoBuild")).exists(_.toBoolean),
       Option(properties.get("splitBytes")).map(_.toLong),
       Option(properties.get("tailActive")).exists(_.toBoolean),
-      Option(properties.get("maxBytesPerTrigger")).map(_.toLong))
+      Option(properties.get("maxBytesPerTrigger")).map(_.toLong),
+      Option(properties.get("purgeSafe")).exists(_.toBoolean))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -78,7 +79,7 @@ object BinlogDataSource {
 private class BinlogTable(paths: Seq[String], maxFilesPerTrigger: Option[Int],
     splitIndex: Option[String] = None, autoBuild: Boolean = false,
     splitBytes: Option[Long] = None, tailActive: Boolean = false,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None, purgeSafe: Boolean = false)
     extends Table with SupportsRead {
   require(paths.nonEmpty, "binlog source requires a path (use .load(path))")
 
@@ -89,13 +90,13 @@ private class BinlogTable(paths: Seq[String], maxFilesPerTrigger: Option[Int],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BinlogScanBuilder(paths, maxFilesPerTrigger, splitIndex, autoBuild,
-      splitBytes, tailActive, maxBytesPerTrigger)
+      splitBytes, tailActive, maxBytesPerTrigger, purgeSafe)
 }
 
 private class BinlogScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[Int] = None,
     splitIndex: Option[String] = None, autoBuild: Boolean = false,
     splitBytes: Option[Long] = None, tailActive: Boolean = false,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None, purgeSafe: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -120,7 +121,7 @@ private class BinlogScanBuilder(paths: Seq[String], maxFilesPerTrigger: Option[I
 
   override def build(): Scan =
     new BinlogScan(paths, required, pushed, maxFilesPerTrigger, splitIndex,
-      autoBuild, splitBytes, tailActive, maxBytesPerTrigger)
+      autoBuild, splitBytes, tailActive, maxBytesPerTrigger, purgeSafe)
 }
 
 private object BinlogFilePruning {
@@ -170,7 +171,8 @@ private class BinlogScan(paths: Seq[String], required: StructType,
     autoBuild: Boolean = false,
     splitBytes: Option[Long] = None,
     tailActive: Boolean = false,
-    maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch {
+    maxBytesPerTrigger: Option[Long] = None,
+    purgeSafe: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -253,7 +255,10 @@ private class BinlogScan(paths: Seq[String], required: StructType,
       s"a binlog STREAM watches exactly one directory, got ${paths.length} " +
         "paths — union one readStream per feed instead (each keeps its " +
         "own offsets in the shared checkpoint)")
-    if (tailActive)
+    if (tailActive && purgeSafe)
+      new BinlogPurgeTailMicroBatchStream(paths.head, required,
+        maxFilesPerTrigger, maxBytesPerTrigger)
+    else if (tailActive)
       new BinlogTailMicroBatchStream(paths.head, required, maxFilesPerTrigger,
         maxBytesPerTrigger)
     else

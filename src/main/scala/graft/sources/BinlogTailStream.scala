@@ -208,6 +208,230 @@ private class BinlogTailMicroBatchStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
+/** The PURGE-SAFE tail (`tailActive=true, purgeSafe=true`): offsets are
+  * keyed by the binlog file's own numeric suffix — MySQL's native
+  * (file, pos) coordinate — instead of an index into the directory
+  * listing, so files OLDER than the committed frontier may be DELETED
+  * (binlog retention / `PURGE BINARY LOGS`) while the stream or its
+  * checkpoint lives. The count-based and plain-tail postures both
+  * require the watched directory to be append-only FOREVER (a listing
+  * shift breaks index-based offsets) — a contract no year-long
+  * deployment can honor.
+  *
+  * The offset is `(seq, pos, idx, ck)`: every file whose suffix is
+  * `< seq` is fully consumed; the file with suffix `== seq` (when
+  * present) is consumed to byte `pos` with decoder seed `(idx, ck)`.
+  * The caught-up canonical form is `(lastSeq + 1, 0, 0, 0)` — "waiting
+  * for a file that does not exist yet", which rotation then creates.
+  * Purge contract: delete only files with suffix strictly below the
+  * last COMMITTED offset's `seq` — the frontier file itself (loudly
+  * required present when `pos > 0`) and anything newer must stay; a
+  * file purged BELOW a committed batch that later gets replayed is the
+  * same data-retention tradeoff as expired Kafka offsets, so keep
+  * retention longer than your longest replay window.
+  *
+  * Checkpoint UPGRADE is in-place from BOTH older postures: a
+  * count-based `{"n":N}` or plain-tail `{"n":N,"pos":..}` offset is
+  * translated against the current listing at deserialize time (valid
+  * while nothing has been purged yet — upgrade FIRST, purge after; the
+  * translation fails loudly otherwise).
+  */
+private class BinlogPurgeTailMicroBatchStream(path: String,
+    required: StructType, maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  import BinlogPurgeTailMicroBatchStream.SeqOffset
+
+  @volatile private var lastListing: IndexedSeq[String] = Vector.empty
+  @volatile private var lastTarget: SeqOffset = SeqOffset(0L, 0L, 0L, 0)
+  @volatile private var availableNowCap: Option[SeqOffset] = None
+
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  private def seqOf(file: String): Long =
+    BinlogScan.fileSeqKey(file.split('/').last)
+
+  override def initialOffset(): Offset = SeqOffset(0L, 0L, 0L, 0)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(frontierTarget(initialFrom = None,
+      budget = Int.MaxValue, byteBudget = Long.MaxValue))
+
+  /** Mirror of [[BinlogTailMicroBatchStream]]'s frontier walk, with the
+    * start resolved by SUFFIX against the current listing (consumed
+    * prefixes may have been purged away). */
+  private def frontierTarget(initialFrom: Option[SeqOffset], budget: Int,
+      byteBudget: Long = maxBytesPerTrigger.getOrElse(Long.MaxValue))
+      : SeqOffset = {
+    val listing = BinlogScan.listFiles(path).toIndexedSeq
+    lastListing = listing
+    val s = initialFrom.getOrElse(SeqOffset(0L, 0L, 0L, 0))
+    if (listing.isEmpty) return s
+    // first listed file at or past the frontier suffix
+    val startIdx = listing.indexWhere(f => seqOf(f) >= s.seq)
+    if (startIdx == -1) return s // everything listed is already consumed
+    require(seqOf(listing(startIdx)) == s.seq || s.pos == 0L,
+      s"binlog purge-tail: frontier file with suffix ${s.seq} has " +
+        s"unconsumed bytes past ${s.pos} but is missing from the listing " +
+        "— purge only files with suffix BELOW the committed frontier")
+    val maxIdx = listing.length - 1
+    var i = startIdx
+    var bytes = 0L
+    while (i < maxIdx && (i - startIdx) < budget && bytes < byteBudget) {
+      if (byteBudget != Long.MaxValue)
+        bytes += math.max(0L, statLen(listing(i)) -
+          (if (seqOf(listing(i)) == s.seq) s.pos else 0L))
+      i += 1
+    }
+    if (i < maxIdx || (i - startIdx) >= budget || bytes >= byteBudget) {
+      // a budget ran out before (or exactly at) the active file: the
+      // next-to-consume file's own suffix is the offset
+      SeqOffset(seqOf(listing(i)), 0L, 0L, 0)
+    } else {
+      val (fp, fi, fc) =
+        if (seqOf(listing(maxIdx)) == s.seq) (s.pos, s.idx, s.ck)
+        else (0L, 0L, 0)
+      val (np, ni, nc) = BinlogOffsetIndex.commitFrontier(
+        listing(maxIdx), fp, fi, fc, hadoopConf, byteBudget - bytes)
+      SeqOffset(seqOf(listing(maxIdx)), np, ni, nc)
+    }
+  }
+
+  private def statLen(file: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    try p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+    catch { case _: java.io.IOException => 0L }
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeqOffset]
+    val budget = limit match {
+      case m: ReadMaxFiles => m.maxFiles
+      case _ => Int.MaxValue
+    }
+    val target = frontierTarget(Some(s), budget)
+    val capped = availableNowCap match {
+      case Some(cap) if cap.lt(target) => cap
+      case _ => target
+    }
+    lastTarget = capped
+    if (capped.lt(s)) s else capped
+  }
+
+  override def reportLatestOffset(): Offset = lastTarget
+
+  /** Accepts this stream's own `{"seq":…}` form AND the two older
+    * postures' offsets, translated against the CURRENT listing (upgrade
+    * before purging — the translation requires the listing to still
+    * contain the files the index-based offset counts). */
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset.fromJsonOrLegacy(json,
+      () => BinlogScan.listFiles(path).toIndexedSeq, seqOf)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset]
+    val e = end.asInstanceOf[SeqOffset]
+    if (!s.lt(e)) return Array.empty
+    // the listing must cover every file this batch touches; refresh if
+    // the snapshot is stale (restart replays re-list here)
+    val listing =
+      if (lastListing.exists(f => seqOf(f) >= e.seq)) lastListing
+      else BinlogScan.listFiles(path).toIndexedSeq
+    require(s.pos == 0L || listing.exists(f => seqOf(f) == s.seq),
+      s"binlog purge-tail: replay needs file with suffix ${s.seq} " +
+        s"(consumed to ${s.pos}) but it was purged — keep retention " +
+        "longer than the replay window")
+    require(e.pos == 0L || listing.exists(f => seqOf(f) == e.seq),
+      s"binlog purge-tail: batch end inside file with suffix ${e.seq} " +
+        "but it is missing from the listing")
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    listing.foreach { f =>
+      val fs = seqOf(f)
+      if (fs == s.seq && fs == e.seq) {
+        if (e.pos > s.pos)
+          parts += BinlogInputPartition(f, s.pos, e.pos, s.idx, s.ck)
+      } else if (fs == s.seq) {
+        // closed by rotation: the remainder reads to EOF
+        parts += BinlogInputPartition(f, s.pos, Long.MaxValue, s.idx, s.ck)
+      } else if (fs > s.seq && fs < e.seq) {
+        parts += BinlogInputPartition(f)
+      } else if (fs == e.seq && e.pos > 0L) {
+        parts += BinlogInputPartition(f, 0L, e.pos, 0L, 0)
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new BinlogReaderFactory(required,
+      org.apache.spark.graftshim.SerializableHadoopConf.session())
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private object BinlogPurgeTailMicroBatchStream {
+
+  /** See [[BinlogPurgeTailMicroBatchStream]]'s offset contract. */
+  case class SeqOffset(seq: Long, pos: Long, idx: Long, ck: Int)
+      extends Offset {
+    override def json(): String =
+      s"""{"seq":$seq,"pos":$pos,"idx":$idx,"ck":$ck}"""
+
+    /** Strict feed-order comparison (file suffix, then byte frontier). */
+    def lt(other: SeqOffset): Boolean =
+      seq < other.seq || (seq == other.seq && pos < other.pos)
+  }
+
+  object SeqOffset {
+    private def field(json: String, name: String): Option[Long] =
+      ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+
+    /** Parse this stream's own form, or translate a count-based /
+      * plain-tail index-based offset against the current listing — the
+      * in-place upgrade path (valid while nothing has been purged). */
+    def fromJsonOrLegacy(json: String, list: () => IndexedSeq[String],
+        seqOf: String => Long): SeqOffset =
+      field(json, "seq") match {
+        case Some(seq) =>
+          SeqOffset(seq, field(json, "pos").getOrElse(0L),
+            field(json, "idx").getOrElse(0L),
+            field(json, "ck").getOrElse(0L).toInt)
+        case None =>
+          // legacy index-based form: {"n":N[,"pos":..,"idx":..,"ck":..]}
+          val legacy = BinlogTailMicroBatchStream.TailOffset.fromJson(json)
+          if (legacy.n == 0 && legacy.pos == 0L) return SeqOffset(0L, 0L, 0L, 0)
+          val listing = list()
+          require(listing.length >= legacy.n,
+            s"cannot upgrade index-based offset $json to purgeSafe: the " +
+              s"listing has only ${listing.length} files — upgrade the " +
+              "checkpoint BEFORE purging")
+          if (legacy.pos > 0L) {
+            require(listing.length > legacy.n,
+              s"cannot upgrade index-based offset $json to purgeSafe: " +
+                s"its frontier file (index ${legacy.n}) is missing")
+            SeqOffset(seqOf(listing(legacy.n)), legacy.pos, legacy.idx,
+              legacy.ck)
+          } else if (listing.length > legacy.n)
+            SeqOffset(seqOf(listing(legacy.n)), 0L, 0L, 0)
+          else // caught up: waiting for the next file to be created
+            SeqOffset(seqOf(listing(legacy.n - 1)) + 1L, 0L, 0L, 0)
+      }
+  }
+}
+
 private object BinlogTailMicroBatchStream {
 
   /** See [[BinlogTailMicroBatchStream]]'s offset contract. `pos == 0`

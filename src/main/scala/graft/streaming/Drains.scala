@@ -101,6 +101,25 @@ object Drains {
       ckpt: String)(apply: (DataFrame, Long) => Unit): Unit =
     drainBinlogTailUnion(spark, Seq(feed), ckpt)(apply)
 
+  /** The PURGE-SAFE tail drain (cdc71): suffix-keyed offsets, so files
+    * below the committed frontier may be DELETED between runs — the
+    * binlog-retention posture neither index-keyed stream survives. */
+  def drainBinlogPurgeTail(spark: SparkSession, feed: String,
+      ckpt: String)(apply: (DataFrame, Long) => Unit): Unit =
+    withDrainPartitions(spark) {
+      val q = spark.readStream.format("binlog")
+        .option("tailActive", "true")
+        .option("purgeSafe", "true")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+        .writeStream
+        .foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** The SHARDED tail drain (cdc69): one streaming query over the UNION
     * of N shards' tailActive binlog sources — Spark's offset log tracks
     * each source independently (one offset line per source per batch),

@@ -276,6 +276,158 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
       s"the byte budget should have paced the run into several batches: $seen")
   }
 
+  test("purge-safe tail: consumed files deleted between drains, the " +
+      "stream continues from its suffix-keyed frontier; purging the " +
+      "frontier file itself fails loudly") {
+    val root = Files.createTempDirectory("tail_purge").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+
+    (1 to 2).foreach { i =>
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      txn(f, i.toLong, Seq(i.toLong * 10))
+      Files.write(new java.io.File(feed, f"mysql-bin.$i%06d").toPath, f.bytes)
+    }
+    val f3 = new FileBuilder(checksums = true)
+    f3.fde(t0)
+    txn(f3, 3L, Seq(30L))
+    tornTxn(f3, 4L, Seq(40L))
+    val all3 = f3.bytes
+    val file3 = new java.io.File(feed, "mysql-bin.000003")
+    Files.write(file3.toPath, all3)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("binlog")
+        .option("tailActive", "true")
+        .option("purgeSafe", "true")
+        .load(feed.getPath)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen ++= batch
+            .filter(col("event_type") === "WriteRowsEventV2")
+            .select(explode(col("row_images")).as("img"))
+            .select(element_at(col("img"), 1).cast("long"))
+            .collect().map(r => (id, r.getLong(0)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.map(_._2).sorted == List(10L, 20L, 30L),
+      s"drain 1 must hold back the torn txn: $seen")
+
+    // binlog retention: files BELOW the frontier are purged; the torn
+    // txn completes and a new one tears; an index-based offset would
+    // now point at the wrong file — the suffix-keyed one must not care
+    assert(new java.io.File(feed, "mysql-bin.000001").delete())
+    assert(new java.io.File(feed, "mysql-bin.000002").delete())
+    val f3b = new FileBuilder(checksums = true)
+    f3b.fde(t0)
+    txn(f3b, 3L, Seq(30L))
+    txn(f3b, 4L, Seq(40L))
+    tornTxn(f3b, 5L, Seq(99L))
+    val grown = f3b.bytes
+    Files.write(file3.toPath, grown.slice(all3.length, grown.length),
+      StandardOpenOption.APPEND)
+    drain()
+    assert(seen.map(_._2).sorted == List(10L, 20L, 30L, 40L),
+      s"after the purge the stream must deliver exactly the completed " +
+        s"txn, never re-serve or lose: $seen")
+
+    // rotation after the purge still advances
+    val f4 = new FileBuilder(checksums = true)
+    f4.fde(t0)
+    txn(f4, 6L, Seq(60L))
+    Files.write(new java.io.File(feed, "mysql-bin.000004").toPath, f4.bytes)
+    drain()
+    assert(seen.map(_._2).sorted == List(10L, 20L, 30L, 40L, 60L, 99L),
+      s"rotation closed file 3 (its tail is consumable to EOF) and " +
+        s"file 4 arrives once: $seen")
+
+    // purging the FRONTIER file (unconsumed bytes past pos) must fail
+    // loudly, not resume somewhere wrong
+    val f5 = new FileBuilder(checksums = true)
+    f5.fde(t0)
+    txn(f5, 7L, Seq(70L))
+    tornTxn(f5, 8L, Seq(80L))
+    Files.write(new java.io.File(feed, "mysql-bin.000005").toPath, f5.bytes)
+    drain() // frontier now mid-file-5 (torn txn 8 held)
+    assert(new java.io.File(feed, "mysql-bin.000005").delete())
+    val f6 = new FileBuilder(checksums = true)
+    f6.fde(t0)
+    txn(f6, 9L, Seq(90L))
+    Files.write(new java.io.File(feed, "mysql-bin.000006").toPath, f6.bytes)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(ex).exists(c => Option(c.getMessage)
+        .exists(_.contains("purge only files with suffix BELOW"))),
+      s"purging the frontier file must fail with guidance, got: $ex")
+  }
+
+  test("purge-safe upgrade: a count-based checkpoint translates to " +
+      "suffix-keyed offsets in place (before any purge)") {
+    val root = Files.createTempDirectory("tail_purge_upg").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    (1 to 2).foreach { i =>
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      txn(f, i.toLong, Seq(i.toLong * 10))
+      Files.write(new java.io.File(feed, f"mysql-bin.$i%06d").toPath, f.bytes)
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(purge: Boolean): Unit = {
+      val r = spark.readStream.format("binlog")
+        .option("tailActive", purge.toString) // count-based when false
+      val q = (if (purge) r.option("purgeSafe", "true") else r)
+        .load(feed.getPath)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= batch
+            .filter(col("event_type") === "WriteRowsEventV2")
+            .select(explode(col("row_images")).as("img"))
+            .select(element_at(col("img"), 1).cast("long"))
+            .collect().map(_.getLong(0))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(purge = false) // the existing count-based deployment
+    assert(seen.sorted == List(10L, 20L))
+    // upgrade in place: the first purge-safe drain translates the
+    // count-based offset against the intact listing and commits a
+    // suffix-keyed one (upgrade FIRST — a batch must commit in the new
+    // posture before retention may purge)
+    val f3 = new FileBuilder(checksums = true)
+    f3.fde(t0)
+    txn(f3, 3L, Seq(30L))
+    Files.write(new java.io.File(feed, "mysql-bin.000003").toPath, f3.bytes)
+    drain(purge = true)
+    assert(seen.sorted == List(10L, 20L, 30L))
+    // retention kicks in below the committed frontier; the stream
+    // continues from its suffix
+    assert(new java.io.File(feed, "mysql-bin.000001").delete())
+    assert(new java.io.File(feed, "mysql-bin.000002").delete())
+    val f4 = new FileBuilder(checksums = true)
+    f4.fde(t0)
+    txn(f4, 4L, Seq(40L))
+    Files.write(new java.io.File(feed, "mysql-bin.000004").toPath, f4.bytes)
+    drain(purge = true)
+    assert(seen.sorted == List(10L, 20L, 30L, 40L),
+      s"the upgraded, purged consumer must continue exactly-once: $seen")
+  }
+
   test("checkpoint upgrade: a count-based checkpoint drives the tail " +
       "source in place; the reverse (mid-file) is rejected loudly") {
     val root = Files.createTempDirectory("tail_upg").toFile
