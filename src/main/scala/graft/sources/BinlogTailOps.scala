@@ -58,12 +58,12 @@ object BinlogTailOps {
       frontierFile: String, frontierPos: Long, frontierIdx: Long,
       committedLagBytes: Long, heldBackBytes: Long)
 
-  /** The last COMMITTED offset in a tail stream's checkpoint: the end
-    * offset of `offsets/N` for the highest N present in `commits/`.
-    * None when no batch has committed (or the checkpoint doesn't exist
-    * yet) — the consumer is at the initial offset. */
-  def latestCommittedOffset(ckpt: String, conf: Configuration)
-      : Option[(Int, Long, Long, Int)] = {
+  /** The last COMMITTED offset line in a tail stream's checkpoint: from
+    * `offsets/N` for the highest N present in `commits/`. None when no
+    * batch has committed (or the checkpoint doesn't exist yet) — the
+    * consumer is at the initial offset. */
+  def latestCommittedOffsetJson(ckpt: String, conf: Configuration)
+      : Option[String] = {
     val commits = new Path(ckpt, "commits")
     val fs = commits.getFileSystem(conf)
     if (!fs.exists(commits)) return None
@@ -83,18 +83,46 @@ object BinlogTailOps {
       s"checkpoint $ckpt has ${lines.length - 2} source offset lines; " +
         "lagMetrics reads single-source tail checkpoints only — for a " +
         "union query, compute lag per feed from its own offset line")
-    val o = TailOffset.fromJson(lines.last)
-    Some((o.n, o.pos, o.idx, o.ck))
+    Some(lines.last)
   }
 
+  /** The last COMMITTED offset, index-form (plain-tail checkpoints). */
+  def latestCommittedOffset(ckpt: String, conf: Configuration)
+      : Option[(Int, Long, Long, Int)] =
+    latestCommittedOffsetJson(ckpt, conf).map { j =>
+      val o = TailOffset.fromJson(j)
+      (o.n, o.pos, o.idx, o.ck)
+    }
+
   /** Lag metrics for a tail consumer: checkpointed offset vs the feed's
-    * current state. Driver-side; safe to call while the stream runs
+    * current state. Reads BOTH offset forms — the plain tail's
+    * listing-index form and the purge-safe suffix-keyed form (resolved
+    * against the current listing, where consumed prefixes may have been
+    * purged away). Driver-side; safe to call while the stream runs
     * (the offset log is written atomically per batch). */
   def lagMetrics(spark: SparkSession, feed: String, ckpt: String): TailLag = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val (n0, pos0, idx0, ck0) =
-      latestCommittedOffset(ckpt, conf).getOrElse((0, 0L, 0L, 0))
     val listing = BinlogScan.listFiles(feed).toIndexedSeq
+    def seqOf(f: String): Long = BinlogScan.fileSeqKey(f.split('/').last)
+    val (n0, pos0, idx0, ck0) =
+      latestCommittedOffsetJson(ckpt, conf) match {
+        case None => (0, 0L, 0L, 0)
+        case Some(json) if json.contains("\"seq\"") =>
+          val o = BinlogPurgeTailMicroBatchStream.SeqOffset
+            .fromJsonOrLegacy(json, () => listing, seqOf)
+          val i = listing.indexWhere(f => seqOf(f) >= o.seq)
+          if (i == -1) (listing.length, 0L, 0L, 0) // everything consumed
+          else {
+            require(seqOf(listing(i)) == o.seq || o.pos == 0L,
+              s"frontier file with suffix ${o.seq} has unconsumed bytes " +
+                s"past ${o.pos} but is missing — purged too aggressively")
+            if (seqOf(listing(i)) == o.seq) (i, o.pos, o.idx, o.ck)
+            else (i, 0L, 0L, 0)
+          }
+        case Some(json) =>
+          val o = TailOffset.fromJson(json)
+          (o.n, o.pos, o.idx, o.ck)
+      }
     def len(f: String): Long = {
       val p = new Path(f)
       try p.getFileSystem(conf).getFileStatus(p).getLen

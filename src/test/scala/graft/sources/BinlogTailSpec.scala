@@ -357,6 +357,12 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
     tornTxn(f5, 8L, Seq(80L))
     Files.write(new java.io.File(feed, "mysql-bin.000005").toPath, f5.bytes)
     drain() // frontier now mid-file-5 (torn txn 8 held)
+    // lagMetrics reads the suffix-keyed offset form too, and the purge
+    // (fewer files listed than consumed-by-index) doesn't confuse it
+    val lag = BinlogTailOps.lagMetrics(spark, feed.getPath, ckpt)
+    assert(lag.committedLagBytes == 0L && lag.heldBackBytes > 0L,
+      s"drained purge-safe consumer: no consumable lag, torn tail held: $lag")
+    assert(lag.frontierFile == "mysql-bin.000005")
     assert(new java.io.File(feed, "mysql-bin.000005").delete())
     val f6 = new FileBuilder(checksums = true)
     f6.fde(t0)
