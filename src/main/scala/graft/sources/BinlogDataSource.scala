@@ -255,6 +255,12 @@ private class BinlogScan(paths: Seq[String], required: StructType,
       s"a binlog STREAM watches exactly one directory, got ${paths.length} " +
         "paths — union one readStream per feed instead (each keeps its " +
         "own offsets in the shared checkpoint)")
+    // purgeSafe exists to survive retention; silently handing back the
+    // index-keyed count stream would break on the very purge the user
+    // opted into surviving
+    require(tailActive || !purgeSafe,
+      "purgeSafe=true requires tailActive=true — the count-based stream " +
+        "keys offsets by listing index and cannot survive a purge")
     if (tailActive && purgeSafe)
       new BinlogPurgeTailMicroBatchStream(paths.head, required,
         maxFilesPerTrigger, maxBytesPerTrigger)
@@ -292,8 +298,12 @@ private[graft] object BinlogScan {
     paths.flatMap(p => listFiles(p)).distinct.toArray
       .sortBy(p => (fileSeqKey(p.split('/').last), p.split('/').last))
 
+  // compiled once — the purge-tail planning paths call this O(listing)
+  // times per trigger
+  private val SeqSuffix = "\\.(\\d+)$".r
+
   private[sources] def fileSeqKey(name: String): Long =
-    "\\.(\\d+)$".r.findFirstMatchIn(name).map(_.group(1).toLong)
+    SeqSuffix.findFirstMatchIn(name).map(_.group(1).toLong)
       .getOrElse(Long.MaxValue)
 
   /** All binlog files under `path`, in natural (`ls -v`) order: numeric

@@ -109,36 +109,12 @@ private class BinlogTailMicroBatchStream(path: String, required: StructType,
     lastListing = listing
     val s = initialFrom.getOrElse(TailOffset(0, 0L, 0L, 0))
     if (listing.isEmpty || s.n >= listing.length) return s
-    val maxN = listing.length - 1
-    // closed-file completions: bounded by the file budget and (softly —
-    // the first file always completes) the byte budget; file lengths are
-    // only stat'ed when a byte budget is actually set
-    var n = s.n
-    var bytes = 0L
-    while (n < maxN && (n - s.n) < budget && bytes < byteBudget) {
-      if (byteBudget != Long.MaxValue)
-        bytes += math.max(0L,
-          statLen(listing(n)) - (if (n == s.n) s.pos else 0L))
-      n += 1
+    TailWalk.walk(listing, s.n, s.pos, (s.pos, s.idx, s.ck),
+        frontierInLast = s.n == listing.length - 1, budget, byteBudget,
+        hadoopConf) match {
+      case Left(n) => TailOffset(n, 0L, 0L, 0)
+      case Right((np, ni, nc)) => TailOffset(listing.length - 1, np, ni, nc)
     }
-    if (n < maxN || (n - s.n) >= budget || bytes >= byteBudget) {
-      // a budget ran out before (or exactly at) the active file
-      TailOffset(n, 0L, 0L, 0)
-    } else {
-      // budgets reach the active file: walk its committed frontier from
-      // the last known state (ours if we were already inside this file)
-      val (fp, fi, fc) =
-        if (s.n == maxN) (s.pos, s.idx, s.ck) else (0L, 0L, 0)
-      val (np, ni, nc) = BinlogOffsetIndex.commitFrontier(
-        listing(maxN), fp, fi, fc, hadoopConf, byteBudget - bytes)
-      TailOffset(maxN, np, ni, nc)
-    }
-  }
-
-  private def statLen(file: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(file)
-    try p.getFileSystem(hadoopConf).getFileStatus(p).getLen
-    catch { case _: java.io.IOException => 0L }
   }
 
   override def latestOffset(): Offset =
@@ -208,6 +184,48 @@ private class BinlogTailMicroBatchStream(path: String, required: StructType,
   override def stop(): Unit = ()
 }
 
+/** The ONE copy of the tail family's admission walk, shared by both
+  * tail streams (plain index-keyed and purge-safe suffix-keyed — they
+  * differ only in how the start offset resolves to a listing index).
+  * From `startIdx` (frontier `startPos` inside `listing(startIdx)`),
+  * complete closed files under `(budget, byteBudget)` — the first file
+  * always completes (the progress guarantee) and file lengths are only
+  * stat'ed when a byte budget is actually set — then walk the LAST
+  * file's committed frontier, seeded with `seed` when the frontier is
+  * already inside it. Left(i) = a budget stopped at listing index `i`
+  * (the next file to consume, untouched); Right((pos, idx, ck)) = the
+  * last file's new committed frontier. */
+private[sources] object TailWalk {
+  def walk(listing: IndexedSeq[String], startIdx: Int, startPos: Long,
+      seed: (Long, Long, Int), frontierInLast: Boolean, budget: Int,
+      byteBudget: Long, conf: org.apache.hadoop.conf.Configuration)
+      : Either[Int, (Long, Long, Int)] = {
+    val maxIdx = listing.length - 1
+    var i = startIdx
+    var bytes = 0L
+    while (i < maxIdx && (i - startIdx) < budget && bytes < byteBudget) {
+      if (byteBudget != Long.MaxValue)
+        bytes += math.max(0L,
+          statLen(listing(i), conf) - (if (i == startIdx) startPos else 0L))
+      i += 1
+    }
+    if (i < maxIdx || (i - startIdx) >= budget || bytes >= byteBudget)
+      Left(i)
+    else {
+      val (fp, fi, fc) = if (frontierInLast) seed else (0L, 0L, 0)
+      Right(BinlogOffsetIndex.commitFrontier(
+        listing(maxIdx), fp, fi, fc, conf, byteBudget - bytes))
+    }
+  }
+
+  def statLen(file: String,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    try p.getFileSystem(conf).getFileStatus(p).getLen
+    catch { case _: java.io.IOException => 0L }
+  }
+}
+
 /** The PURGE-SAFE tail (`tailActive=true, purgeSafe=true`): offsets are
   * keyed by the binlog file's own numeric suffix — MySQL's native
   * (file, pos) coordinate — instead of an index into the directory
@@ -254,6 +272,27 @@ private class BinlogPurgeTailMicroBatchStream(path: String,
   private def seqOf(file: String): Long =
     BinlogScan.fileSeqKey(file.split('/').last)
 
+  /** Suffix-keyed offsets need the suffix to be a REAL key: every listed
+    * file must carry a numeric suffix and suffixes must be unique —
+    * otherwise two files collapse onto one key (e.g. MySQL's own
+    * `mysql-bin.index`, or any stray non-binlog file, maps to the
+    * no-suffix sentinel) and the stream would plan duplicate partitions
+    * over the same byte range. The plain tail's positional offsets are
+    * immune; this posture checks the listing every planning cycle. */
+  private def checkedSeqs(listing: IndexedSeq[String]): IndexedSeq[String] = {
+    listing.foreach { f =>
+      require(seqOf(f) != Long.MaxValue,
+        s"purgeSafe needs numeric binlog suffixes; '$f' has none — point " +
+          "the source at a directory of binlog data files only")
+    }
+    val dup = listing.groupBy(seqOf).collectFirst {
+      case (s, fs) if fs.length > 1 => fs
+    }
+    require(dup.isEmpty,
+      s"purgeSafe needs unique binlog suffixes; duplicates: ${dup.get}")
+    listing
+  }
+
   override def initialOffset(): Offset = SeqOffset(0L, 0L, 0L, 0)
 
   override def getDefaultReadLimit: ReadLimit =
@@ -269,7 +308,7 @@ private class BinlogPurgeTailMicroBatchStream(path: String,
   private def frontierTarget(initialFrom: Option[SeqOffset], budget: Int,
       byteBudget: Long = maxBytesPerTrigger.getOrElse(Long.MaxValue))
       : SeqOffset = {
-    val listing = BinlogScan.listFiles(path).toIndexedSeq
+    val listing = checkedSeqs(BinlogScan.listFiles(path).toIndexedSeq)
     lastListing = listing
     val s = initialFrom.getOrElse(SeqOffset(0L, 0L, 0L, 0))
     if (listing.isEmpty) return s
@@ -280,33 +319,18 @@ private class BinlogPurgeTailMicroBatchStream(path: String,
       s"binlog purge-tail: frontier file with suffix ${s.seq} has " +
         s"unconsumed bytes past ${s.pos} but is missing from the listing " +
         "— purge only files with suffix BELOW the committed frontier")
-    val maxIdx = listing.length - 1
-    var i = startIdx
-    var bytes = 0L
-    while (i < maxIdx && (i - startIdx) < budget && bytes < byteBudget) {
-      if (byteBudget != Long.MaxValue)
-        bytes += math.max(0L, statLen(listing(i)) -
-          (if (seqOf(listing(i)) == s.seq) s.pos else 0L))
-      i += 1
+    // startPos is s.pos exactly when the frontier file is present at
+    // startIdx (required above whenever pos > 0)
+    TailWalk.walk(listing, startIdx, s.pos, (s.pos, s.idx, s.ck),
+        frontierInLast = seqOf(listing(listing.length - 1)) == s.seq,
+        budget, byteBudget, hadoopConf) match {
+      case Left(i) =>
+        // a budget ran out before (or exactly at) the active file: the
+        // next-to-consume file's own suffix is the offset
+        SeqOffset(seqOf(listing(i)), 0L, 0L, 0)
+      case Right((np, ni, nc)) =>
+        SeqOffset(seqOf(listing(listing.length - 1)), np, ni, nc)
     }
-    if (i < maxIdx || (i - startIdx) >= budget || bytes >= byteBudget) {
-      // a budget ran out before (or exactly at) the active file: the
-      // next-to-consume file's own suffix is the offset
-      SeqOffset(seqOf(listing(i)), 0L, 0L, 0)
-    } else {
-      val (fp, fi, fc) =
-        if (seqOf(listing(maxIdx)) == s.seq) (s.pos, s.idx, s.ck)
-        else (0L, 0L, 0)
-      val (np, ni, nc) = BinlogOffsetIndex.commitFrontier(
-        listing(maxIdx), fp, fi, fc, hadoopConf, byteBudget - bytes)
-      SeqOffset(seqOf(listing(maxIdx)), np, ni, nc)
-    }
-  }
-
-  private def statLen(file: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(file)
-    try p.getFileSystem(hadoopConf).getFileStatus(p).getLen
-    catch { case _: java.io.IOException => 0L }
   }
 
   override def latestOffset(): Offset =
@@ -343,10 +367,16 @@ private class BinlogPurgeTailMicroBatchStream(path: String,
     val e = end.asInstanceOf[SeqOffset]
     if (!s.lt(e)) return Array.empty
     // the listing must cover every file this batch touches; refresh if
-    // the snapshot is stale (restart replays re-list here)
+    // the snapshot is stale (restart replays re-list here). The requires
+    // below guard the batch's ENDPOINT files — an interior file purged
+    // in violation of the retention contract is indistinguishable from
+    // legal sparse numbering, so replay safety for interiors rests on
+    // the documented contract: retention stays behind COMMITTED batches,
+    // never just written offsets (the same tradeoff as expired Kafka
+    // offsets).
     val listing =
       if (lastListing.exists(f => seqOf(f) >= e.seq)) lastListing
-      else BinlogScan.listFiles(path).toIndexedSeq
+      else checkedSeqs(BinlogScan.listFiles(path).toIndexedSeq)
     require(s.pos == 0L || listing.exists(f => seqOf(f) == s.seq),
       s"binlog purge-tail: replay needs file with suffix ${s.seq} " +
         s"(consumed to ${s.pos}) but it was purged — keep retention " +
@@ -401,14 +431,25 @@ private object BinlogPurgeTailMicroBatchStream {
 
     /** Parse this stream's own form, or translate a count-based /
       * plain-tail index-based offset against the current listing — the
-      * in-place upgrade path (valid while nothing has been purged). */
+      * in-place upgrade path. The translation validates what it CAN:
+      * the listing must still hold at least the counted files, and the
+      * mid-file frontier file must exist. A purge-before-upgrade that
+      * is exactly balanced by newly rotated files is UNDETECTABLE from
+      * a count — which is why the contract is upgrade FIRST (run one
+      * purgeSafe batch so a suffix-keyed offset commits), purge after. */
     def fromJsonOrLegacy(json: String, list: () => IndexedSeq[String],
         seqOf: String => Long): SeqOffset =
       field(json, "seq") match {
         case Some(seq) =>
-          SeqOffset(seq, field(json, "pos").getOrElse(0L),
-            field(json, "idx").getOrElse(0L),
-            field(json, "ck").getOrElse(0L).toInt)
+          val pos = field(json, "pos").getOrElse(0L)
+          // a pos without its decoder seed is a corrupt offset, not an
+          // upgrade form — resuming with a zero seed mis-numbers every
+          // event and leaks checksum bytes into row decoding
+          def req(name: String): Long =
+            field(json, name).getOrElse(throw new IllegalArgumentException(
+              s"bad binlog purge-tail offset (pos without $name): $json"))
+          if (pos == 0L) SeqOffset(seq, 0L, 0L, 0)
+          else SeqOffset(seq, pos, req("idx"), req("ck").toInt)
         case None =>
           // legacy index-based form: {"n":N[,"pos":..,"idx":..,"ck":..]}
           val legacy = BinlogTailMicroBatchStream.TailOffset.fromJson(json)

@@ -378,6 +378,57 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
       s"purging the frontier file must fail with guidance, got: $ex")
   }
 
+  test("purge-safe guards: purgeSafe without tailActive, corrupt " +
+      "offsets, and non-numeric suffixes are all rejected loudly") {
+    val root = Files.createTempDirectory("tail_guards").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val f1 = new FileBuilder(checksums = true)
+    f1.fde(t0)
+    txn(f1, 1L, Seq(1L))
+    Files.write(new java.io.File(feed, "mysql-bin.000001").toPath, f1.bytes)
+
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    def drain(opts: Map[String, String]): Unit = {
+      val r = opts.foldLeft(spark.readStream.format("binlog")) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      val q = r.load(feed.getPath)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .option("checkpointLocation",
+          new java.io.File(root, s"ckpt${opts.hashCode}").getPath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // purgeSafe without tailActive would hand back the index-keyed
+    // count stream — the very thing that breaks on a purge
+    val ex1 = intercept[Exception] { drain(Map("purgeSafe" -> "true")) }
+    assert(causes(ex1).exists(c => Option(c.getMessage)
+      .exists(_.contains("requires tailActive=true"))), s"got: $ex1")
+
+    // a suffix-less file in the watched dir collapses onto the
+    // no-suffix sentinel — the suffix is the offset KEY here
+    Files.write(new java.io.File(feed, "mysql-bin.index").toPath,
+      "mysql-bin.000001\n".getBytes("UTF-8"))
+    val ex2 = intercept[Exception] {
+      drain(Map("tailActive" -> "true", "purgeSafe" -> "true"))
+    }
+    assert(causes(ex2).exists(c => Option(c.getMessage)
+      .exists(_.contains("numeric binlog suffixes"))), s"got: $ex2")
+
+    // a pos without its decoder seed is corruption, not an upgrade form
+    import BinlogPurgeTailMicroBatchStream.SeqOffset
+    assert(SeqOffset.fromJsonOrLegacy("{\"seq\":5}",
+      () => Vector.empty, _ => 0L) == SeqOffset(5L, 0L, 0L, 0))
+    intercept[IllegalArgumentException] {
+      SeqOffset.fromJsonOrLegacy("{\"seq\":5,\"pos\":70000}",
+        () => Vector.empty, _ => 0L)
+    }
+  }
+
   test("purge-safe upgrade: a count-based checkpoint translates to " +
       "suffix-keyed offsets in place (before any purge)") {
     val root = Files.createTempDirectory("tail_purge_upg").toFile
