@@ -440,6 +440,92 @@ object StreamSearchQueries {
     graphEdgeCensus(spark, edgesOut)
   }
 
+  // s56 — SHARDED WIRE-VECTOR INGEST (cdc69's scale-out subscription
+  // composed with s54's vector wire: the corpus lives in TWO sharded
+  // source databases — vec_id % 2 — each emitting its own growing
+  // binlog of (vec_id, f0..f63) WRITE_ROWS, and ONE streaming query
+  // unions both tails into ONE maintained kNN graph on ONE checkpoint.
+  // This is the distributed RAG-ingest posture: embeddings are written
+  // where the data lives, and the index consumer subscribes to the
+  // whole fleet). The subtlety is the strict id-prefix rule: the
+  // maintained edge set equals "top-3 among same-cluster smaller ids"
+  // only if every smaller id is in state-or-same-batch at insert time,
+  // so the shards' file boundaries must ALIGN — each shard cuts its
+  // half at the SAME global id quartiles (cut k = shard A's range-k
+  // file + shard B's range-k file; per-source admission pairs them
+  // into one batch, and same-batch smaller-id candidates cover the
+  // cross-shard pairs inside a range). Misaligned boundaries would
+  // drop cross-shard edges — a hash mismatch against s51's oracle,
+  // which this gate shares (isolating the sharded-wire transport from
+  // the maintenance math). A batch-0 redelivery is injected, routed
+  // back to the owning shard's directory by file name. At 100 TB: N
+  // source databases, one subscription per shard under one checkpoint,
+  // per-batch cost unchanged from s51's cluster-keyed probe.
+  def s56ShardedWireVectors(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_s56_", dir)
+    root.mkdirs()
+    val feedA = new java.io.File(root, "feed_a"); feedA.mkdirs()
+    val feedB = new java.io.File(root, "feed_b"); feedB.mkdirs()
+    val state = new java.io.File(root, "state").getPath
+    val edgesOut = new java.io.File(root, "edges").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cent = graft.ops.Similarity.buildCentroids(
+        Tables.embeddings(spark, dir), dim = dim, chunks = centroidChunks)
+      .localCheckpoint(true) // FROZEN quantizer (s51's discipline)
+    val maxRow = emb.agg(max(col("vec_id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val mx = maxRow.getLong(0)
+      // the SAME global cuts on both shards — the boundary alignment the
+      // id-prefix rule needs
+      val cuts = Seq(0L, mx / 4 + 1, mx / 2 + 1, 3 * mx / 4 + 1, mx + 1)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), k) =>
+        Seq((0L, feedA, 1), (1L, feedB, 101)).foreach {
+          case (shard, feed, seqBase) =>
+            val staging = new java.io.File(root, s"st_${shard}_$k").getPath
+            graft.ingest.BinlogSink.writeChanges(
+              emb.filter(col("vec_id") % 2 === shard &&
+                  col("vec_id") >= lo && col("vec_id") < hi)
+                .select(lit(1).as("op") +: col("vec_id") +:
+                  (0 until dim).map(i => col("embedding")(i).as(s"f$i")): _*)
+                .coalesce(1),
+              staging, fileSeqStart = seqBase + k)
+            Option(new java.io.File(staging).listFiles())
+              .getOrElse(Array.empty)
+              .filter(f => f.isFile && !f.getName.startsWith("."))
+              .foreach { f =>
+                require(f.renameTo(new java.io.File(feed, f.getName)),
+                  s"fixture deliver failed: $f")
+              }
+        }
+      }
+    }
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      val ins = batch.filter(col("event_type") === "WriteRowsEventV2")
+        .select(explode(col("row_images")).as("img"))
+        .select(element_at(col("img"), 1).cast("long").as("vec_id"),
+          array((2 to dim + 1).map(i =>
+            element_at(col("img"), i).cast("float")): _*).as("embedding"))
+      maintainGraphInsert(spark, cent, state, edgesOut)(ins, id)
+    }
+    graft.streaming.Drains.drainBinlogTailUnion(
+      spark, Seq(feedA.getPath, feedB.getPath), ckpt)(applyBatch)
+    // injected batch-0 redelivery, routed back to the owning shard
+    if (batch0Files.nonEmpty) {
+      val paths = batch0Files.toSeq.map { f =>
+        val inA = new java.io.File(feedA, f)
+        if (inA.isFile) inA.getPath else new java.io.File(feedB, f).getPath
+      }
+      applyBatch(spark.read.format("binlog").load(paths: _*), 0L)
+    }
+    graphEdgeCensus(spark, edgesOut)
+  }
+
   val s51Oracle: String =
     s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
       |  SELECT vec_id, embedding, clabel AS cluster FROM (
@@ -892,6 +978,7 @@ object StreamSearchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s55_lifecycle_serve" -> (s55LifecycleServe _),
+    "s56_sharded_wire_vectors" -> (s56ShardedWireVectors _),
     "s54_wire_vector_ingest" -> (s54WireVectorIngest _),
     "s53_graph_repair" -> (s53GraphRepair _),
     "s52_stream_graph_delete" -> (s52StreamGraphDelete _),
@@ -911,6 +998,8 @@ object StreamSearchQueries {
     "s53_graph_repair" -> s53Oracle,
     // wire-fed maintenance == parquet-fed maintenance (isolates the
     // binlog float encode/decode from the graph math)
+    // the sharded wire changes the TRANSPORT, not the maintained graph
+    "s56_sharded_wire_vectors" -> s51Oracle,
     "s54_wire_vector_ingest" -> s51Oracle,
     "s51_stream_graph_maintain" -> s51Oracle,
     "s42_stream_index_ingest" -> PqQueries.s13Oracle, // streamed ingest == batch append
