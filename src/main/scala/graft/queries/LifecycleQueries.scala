@@ -793,6 +793,348 @@ object LifecycleQueries {
       |FROM base WHERE k % 131 <> 4
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // cdc73 — SNAPSHOT CUTOVER ON THE EXECUTED-GTID SET (the r14 verdict's
+  // second task: cdc60's bootstrap discards by (file_seq, event_index) —
+  // a PER-SERVER coordinate that dies on failover; cdc66/cdc70 proved
+  // GTIDs are the durable identity. Composed: the day-1 bootstrap takes
+  // its snapshot and records the executed-GTID SET — per-sid max gno,
+  // persisted as a maintained state of its own, cdc70's durable-set
+  // class — as THE cutover mark, no positional coordinate anywhere.
+  // The backfill then subscribes from the beginning and discards every
+  // wire row whose (sid, gno) the snapshot set covers, via a broadcast
+  // join against the frozen set. Mid-backfill the source FAILS OVER:
+  // the replica's higher-numbered file re-serves the overlap
+  // transaction Q under the SAME gtid but different framing (rows
+  // regrouped 100 → 50 per event) and position — the GTID mark
+  // discards it; a positional mark recorded at snapshot time would
+  // ADMIT it (higher file_seq) and double-count. The gate carries that
+  // negative proof structurally: it counts the replica rows the
+  // snapshot set discards but the snapshot position would admit, and
+  // requires the count positive whenever Q exists. Two replays are
+  // injected: batch 0 (entirely covered by the set — an EMPTY
+  // partition overwrite) and the failover batch (partially discarded,
+  // absorbed by its own overwrite; the frozen set keeps the filter
+  // bit-for-bit deterministic). Shares cdc66's oracle: exactly the
+  // torn class is excluded — a set that missed a sid discards too
+  // little (bulk double-counts), a mark that died with the process
+  // re-admits Q, an over-eager filter loses R; all hash mismatches.
+  // At 100 TB the set is a few rows per sid broadcast to the scan —
+  // one hashed lookup per event — and the bootstrap survives any
+  // number of failovers because the mark never references a file.
+  def cdc73GtidSetCutover(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc73_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed")
+    val state = new java.io.File(root, "state").getPath
+    val gtidState = new java.io.File(root, "gtid_state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    // pre-snapshot history: bulk under the sink's sid, then server A's
+    // last file (P, Q) — everything the snapshot will cover
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 4)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(3, col("k")),
+      feed.getPath, rowsPerTxn = 50)
+    val (tp, tq, tr, ts) = (boundedClass(base, "cdc73", 0),
+      boundedClass(base, "cdc73", 1), boundedClass(base, "cdc73", 2),
+      boundedClass(base, "cdc73", 3))
+    val sidA = (33 to 48).map(_.toByte).toArray
+    val uuidA = {
+      val h = sidA.map(b => f"${b & 0xff}%02x").mkString
+      s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+        s"${h.substring(16, 20)}-${h.substring(20)}"
+    }
+    val failoverSeq = 800L
+    val crafted: Option[(Array[Byte], Array[Byte])] =
+      if (tp.isEmpty && tq.isEmpty && tr.isEmpty && ts.isEmpty) None
+      else {
+        val w = new TailFeedWriter(Seq(tp, tq, tr, ts), sid = sidA)
+        val (fA, _) = w.newFile()
+        if (tp.nonEmpty) w.txn(fA, 9001L, 17001L, tp)
+        if (tq.nonEmpty) w.txn(fA, 9002L, 17002L, tq)
+        val (fB, _) = w.newFile()
+        if (tq.nonEmpty) w.txn(fB, 9002L, 17002L, tq, perEvent = 50) // overlap
+        if (tr.nonEmpty) w.txn(fB, 9003L, 17003L, tr)
+        if (ts.nonEmpty) w.txn(fB, 9004L, 17004L, ts, commit = false)
+        Some((fA.bytes, fB.bytes))
+      }
+    crafted.foreach { case (bytesA, _) =>
+      java.nio.file.Files.write(
+        new java.io.File(feed, "mysql-bin.000500").toPath, bytesA)
+    }
+    val gno = substring_index(col("gtid_next"), ":", -1).cast("long")
+    // THE SNAPSHOT: state₀ = everything currently in the feed, and the
+    // executed-GTID set — per-sid max gno — persisted WITH it as its
+    // own maintained state (the durable mark; no position recorded).
+    // The positional high-water below is computed ONLY for the in-gate
+    // negative proof that such a mark would break on failover.
+    var posMark: Option[(Long, Long)] = None
+    val hasFiles = Option(feed.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(f => f.isFile && !f.getName.startsWith("."))
+    if (hasFiles) {
+      val snap = spark.read.format("binlog").load(feed.getPath)
+        .filter(col("event_type") === "WriteRowsEventV2")
+        .localCheckpoint(true)
+      ViewMaintenance.applyIdempotent(
+        snap.select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, -1L)
+      ViewMaintenance.applyIdempotent(
+        snap.filter(col("gtid_next") =!= "")
+          .select(substring_index(col("gtid_next"), ":", 1).as("sid"),
+            gno.as("gno"))
+          .groupBy("sid").agg(max(col("gno")).as("gno")),
+        gtidState, -1L)
+      val pm = snap.agg(max(struct(col("file_seq"), col("event_index")))).head()
+      if (!pm.isNullAt(0)) {
+        val r = pm.getStruct(0)
+        posMark = Some((r.getLong(0), r.getLong(1)))
+      }
+    }
+    // FAILOVER, before the backfill begins: the replica's file arrives
+    // under a higher number, re-serving Q under the same gtid
+    crafted.foreach { case (_, bytesB) =>
+      java.nio.file.Files.write(
+        new java.io.File(feed, "mysql-bin.000800").toPath, bytesB)
+    }
+    // the backfill consumer recovers the mark FROM THE SET STATE (a
+    // restart-survivable read, cdc70's discipline), frozen thereafter —
+    // a tiny per-sid table broadcast into every batch's discard join
+    val executed = ViewMaintenance.readState(spark, gtidState,
+        "sid STRING, gno BIGINT, batch_id BIGINT")
+      .groupBy("sid").agg(max(col("gno")).as("exec_gno"))
+      .localCheckpoint(true)
+    def keptRows(ev: DataFrame): DataFrame = ev
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .withColumn("__sid", substring_index(col("gtid_next"), ":", 1))
+      .join(broadcast(executed), col("__sid") === col("sid"), "left")
+      .filter(col("exec_gno").isNull || gno > col("exec_gno"))
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failoverFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    var failoverId = -1L
+    var failoverEnd = (0L, 0L) // the batch's recorded end position
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      if (failoverFiles.isEmpty) {
+        // one bounded aggregate: does this batch carry replica rows,
+        // and where does it END? (the replay below reconstructs the
+        // batch from files, and must stop at the recorded end — a
+        // whole-file read would include the torn tail the STREAM's
+        // offset range correctly excluded)
+        val f = batch.agg(
+          max(when(col("file_seq") >= failoverSeq, 1).otherwise(0)),
+          max(struct(col("file_seq"), col("event_index")))).head()
+        if (!f.isNullAt(0) && f.getInt(0) == 1) {
+          failoverFiles ++= batch.select(col("binlog_file")).distinct()
+            .collect().map(_.getString(0))
+          failoverId = id
+          val e = f.getStruct(1)
+          failoverEnd = (e.getLong(0), e.getLong(1))
+        }
+      }
+      ViewMaintenance.applyIdempotent(
+        keptRows(batch)
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+    }
+    def drainTail(): Unit = drainBinlogTail(spark, feed.getPath, ckpt)(applyBatch)
+    drainTail()
+    // the NEGATIVE proof: replica rows the GTID set discards but the
+    // snapshot-time positional mark would ADMIT — the double-count a
+    // positional bootstrap suffers on failover. Must exist whenever
+    // the overlap transaction does.
+    posMark.foreach { case (ms, mi) =>
+      val admittedByPos = spark.read.format("binlog")
+        .load(s"${feed.getPath}/mysql-bin.000800")
+        .filter(col("event_type") === "WriteRowsEventV2")
+        .withColumn("__sid", substring_index(col("gtid_next"), ":", 1))
+        .join(broadcast(executed), col("__sid") === col("sid"), "left")
+        .filter(col("exec_gno").isNotNull && gno <= col("exec_gno"))
+        .filter(col("file_seq") > ms ||
+          (col("file_seq") === ms && col("event_index") > mi))
+        .count()
+      require((admittedByPos > 0) == tq.nonEmpty,
+        s"the positional mark must diverge from the GTID set exactly on " +
+          s"the re-served overlap (got $admittedByPos admitted rows, " +
+          s"overlap ${tq.length} keys)")
+    }
+    // injected replays: batch 0 (entirely covered by the set — an empty
+    // overwrite) and the failover batch (partially discarded)
+    if (batch0Files.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"${feed.getPath}/$f"): _*), 0L)
+    if (failoverFiles.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(failoverFiles.toSeq.map(f => s"${feed.getPath}/$f"): _*)
+        .filter(col("file_seq") < failoverEnd._1 ||
+          (col("file_seq") === failoverEnd._1 &&
+            col("event_index") <= failoverEnd._2)),
+        failoverId)
+    ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .withColumn("src", when(col("k") % 131 === 0, "txn_p")
+        .when(col("k") % 131 === 1, "txn_q")
+        .when(col("k") % 131 === 2, "txn_r").otherwise("bulk"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("src")
+  }
+
+  // cdc72 — PURGE-SAFE × SHARDED UNION (the r14 verdict's top task: the
+  // year-long N-shard deployment. cdc69 proved N growing feeds under ONE
+  // checkpoint; cdc71 proved retention under suffix-keyed offsets —
+  // composed here: one streaming query unions BOTH shards' purge-safe
+  // tails, so the offset log carries one `{"seq":…}` line per source,
+  // and each shard's retention deletes its own consumed files without
+  // touching the other's frontier. The fixture is cdc69's shape (per-
+  // shard closed bulk with disjoint numbering, one active file each with
+  // a committed / torn-then-appended / torn-forever class mix); between
+  // the two drains EVERY consumed bulk file on BOTH shards is purged
+  // (structural requires pin that each listing really shrank to just its
+  // active file) and both actives grow. Per-source observability rides
+  // the same gate: after the final drain, BinlogTailOps.lagMetricsUnion
+  // must report zero consumable lag on both shards and a held-back tail
+  // exactly where a torn-forever class exists. Shares cdc69's oracle —
+  // an offset that shifted with either shard's shrunken listing
+  // re-serves or skips whole files; a lag pairing that crossed feeds
+  // trips the requires; both are failures. At 100 TB this is N
+  // subscriptions × years of retention on one checkpoint: per trigger
+  // the driver pays one listing + growth walk per shard, and purges
+  // stay a server-side policy on every shard independently.
+  def cdc72PurgeShardedUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc72_", dir)
+    root.mkdirs()
+    val feedA = new java.io.File(root, "feed_a")
+    val feedB = new java.io.File(root, "feed_b")
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    // per-shard closed bulk, disjoint file numbering (redelivery routing)
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 2 === 0 && col("k") % 131 >= 3)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(2, col("k")),
+      feedA.getPath, rowsPerTxn = 50, fileSeqStart = 1)
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 2 === 1 && col("k") % 131 >= 3)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(2, col("k")),
+      feedB.getPath, rowsPerTxn = 50, fileSeqStart = 101)
+    // one active file per shard: (installment 1, append, has-torn-class)
+    // or None when the shard's live classes are all empty
+    def craft(shard: Long): Option[(Array[Byte], Array[Byte], Boolean)] = {
+      val shardBase = base.filter(col("k") % 2 === shard)
+      val (ta, tb, tc) = (boundedClass(shardBase, s"cdc72/$shard", 0),
+        boundedClass(shardBase, s"cdc72/$shard", 1),
+        boundedClass(shardBase, s"cdc72/$shard", 2))
+      if (ta.isEmpty && tb.isEmpty && tc.isEmpty) None
+      else {
+        val w = new TailFeedWriter(Seq(ta, tb, tc),
+          sid = (1 to 16).map(b => (b + 16 * shard).toByte).toArray)
+        val (f, fdeOff) = w.newFile()
+        var cleanCut = fdeOff
+        if (ta.nonEmpty) cleanCut = w.txn(f, 801L + shard, 8001L + shard, ta)._2
+        val afterBRows =
+          if (tb.nonEmpty) w.txn(f, 811L + shard, 8011L + shard, tb)._1
+          else cleanCut
+        if (tc.nonEmpty)
+          w.txn(f, 821L + shard, 8021L + shard, tc, commit = false) // torn
+        val all = f.bytes
+        val cut = (if (tb.nonEmpty) math.min(afterBRows + 7, all.length.toLong)
+          else cleanCut).toInt
+        Some((all.slice(0, cut), all.slice(cut, all.length), tc.nonEmpty))
+      }
+    }
+    val craftedA = craft(0)
+    val craftedB = craft(1)
+    val activeA = new java.io.File(feedA, "mysql-bin.000500")
+    val activeB = new java.io.File(feedB, "mysql-bin.000600")
+    craftedA.foreach { case (i1, _, _) =>
+      java.nio.file.Files.write(activeA.toPath, i1) }
+    craftedB.foreach { case (i1, _, _) =>
+      java.nio.file.Files.write(activeB.toPath, i1) }
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      ViewMaintenance.applyIdempotent(
+        batch.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+    }
+    def drain(): Unit = graft.streaming.Drains.drainBinlogPurgeTailUnion(
+      spark, Seq(feedA.getPath, feedB.getPath), ckpt)(applyBatch)
+    drain()
+    // crash-after-commit redelivery happens BEFORE retention purges;
+    // recorded names route back to their shard (disjoint numbering)
+    if (batch0Files.nonEmpty) {
+      val paths = batch0Files.toSeq.map { f =>
+        val inA = new java.io.File(feedA, f)
+        if (inA.isFile) inA.getPath else new java.io.File(feedB, f).getPath
+      }
+      applyBatch(spark.read.format("binlog").load(paths: _*), 0L)
+    }
+    // retention on BOTH shards: every consumed closed file vanishes —
+    // each listing shrinks to just its active file, which shifts every
+    // index under any index-keyed offset on either source
+    def purge(feed: java.io.File, active: java.io.File,
+        crafted: Option[_]): Unit = {
+      Option(feed.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          f.getName != active.getName)
+        .foreach(f => require(f.delete(), s"purge failed: $f"))
+      val left = Option(feed.listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && !f.getName.startsWith("."))
+      require(left == (if (crafted.isDefined) 1 else 0),
+        s"the purge must leave only the active file in $feed, got $left")
+    }
+    purge(feedA, activeA, craftedA)
+    purge(feedB, activeB, craftedB)
+    // BOTH shards grow past the purge
+    craftedA.foreach { case (_, i2, _) =>
+      java.nio.file.Files.write(activeA.toPath, i2,
+        java.nio.file.StandardOpenOption.APPEND) }
+    craftedB.foreach { case (_, i2, _) =>
+      java.nio.file.Files.write(activeB.toPath, i2,
+        java.nio.file.StandardOpenOption.APPEND) }
+    drain()
+    // per-source lag: one row per shard, paired in union plan order —
+    // a drained consumer has no consumable lag anywhere, and held-back
+    // bytes appear exactly on the shards with a torn-forever class
+    val lags = graft.sources.BinlogTailOps.lagMetricsUnion(
+      spark, Seq(feedA.getPath, feedB.getPath), ckpt)
+    lags.zip(Seq(craftedA, craftedB)).zipWithIndex.foreach {
+      case ((lag, crafted), shard) =>
+        require(lag.committedLagBytes == 0L,
+          s"drained shard $shard must have zero consumable lag: $lag")
+        val torn = crafted.exists(_._3)
+        require((lag.heldBackBytes > 0L) == torn,
+          s"shard $shard held-back bytes must track its torn-forever " +
+            s"class (torn=$torn): $lag")
+    }
+    ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .withColumn("shard", (col("k") % 2).cast("long"))
+      .withColumn("src", when(col("k") % 131 === 0, "live_committed")
+        .when(col("k") % 131 === 1, "live_appended").otherwise("bulk"))
+      .groupBy("shard", "src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("shard", "src")
+  }
+
   // cdc71 — BINLOG RETENTION: PURGE-SAFE TAIL (every other streaming
   // posture — count-based AND plain tail — keys its offsets by INDEX
   // into the directory listing, so the watched dir must stay
@@ -2202,6 +2544,8 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc73_gtid_set_cutover" -> (cdc73GtidSetCutover _),
+    "cdc72_purge_sharded_union" -> (cdc72PurgeShardedUnion _),
     "cdc71_tail_purge" -> (cdc71TailPurge _),
     "cdc70_gtid_durable" -> (cdc70GtidDurable _),
     "cdc69_sharded_union" -> (cdc69ShardedUnion _),
@@ -2225,6 +2569,12 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the set-keyed bootstrap applies exactly what the failover gate
+    // applies — snapshot + replica-only txns, torn class excluded
+    "cdc73_gtid_set_cutover" -> cdc66Oracle,
+    // purge-safe union serves exactly what the plain union serves —
+    // retention below each shard's frontier is invisible by design
+    "cdc72_purge_sharded_union" -> cdc69Oracle,
     "cdc71_tail_purge" -> cdc71Oracle,
     // the durable set changes WHERE the mark lives, not what is applied
     "cdc70_gtid_durable" -> cdc66Oracle,

@@ -293,7 +293,12 @@ private[graft] object BinlogScan {
   /** Natural-order listing across SEVERAL roots (multi-path batch read):
     * each root lists as usual, then the union re-sorts globally by the
     * same (numeric suffix, basename) key — duplicate files named twice
-    * count once. */
+    * count once. The dedup works on FULLY-QUALIFIED paths: directory
+    * and glob listings come back qualified from the filesystem, and
+    * the explicit single-file branch qualifies too, so the same file
+    * reached via two spellings (relative vs absolute, `//`, scheme
+    * present vs defaulted) collapses onto one entry instead of being
+    * read twice. */
   def listFiles(paths: Seq[String]): Array[String] =
     paths.flatMap(p => listFiles(p)).distinct.toArray
       .sortBy(p => (fileSeqKey(p.split('/').last), p.split('/').last))
@@ -326,7 +331,10 @@ private[graft] object BinlogScan {
     def visible(p: Path): Boolean =
       !p.getName.startsWith(".") && !p.getName.startsWith("_")
     val files: Array[Path] =
-      if (fs.exists(hadoopPath) && fs.getFileStatus(hadoopPath).isFile) Array(hadoopPath)
+      // qualified like the listing branches below (listStatus/globStatus
+      // return qualified paths), so multi-path dedup compares one form
+      if (fs.exists(hadoopPath) && fs.getFileStatus(hadoopPath).isFile)
+        Array(fs.makeQualified(hadoopPath))
       else (Option(fs.globStatus(hadoopPath)) match {
         case Some(matches) if matches.nonEmpty =>
           matches.flatMap { st =>

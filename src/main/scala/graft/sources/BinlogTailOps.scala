@@ -4,8 +4,6 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-import graft.ingest.BinlogOffsetIndex
-
 /** Observability for the ACTIVE-file tail ([[BinlogTailMicroBatchStream]]):
   * how far behind the feed a consumer's CHECKPOINT is, split into the two
   * quantities an operator actually alerts on —
@@ -29,12 +27,11 @@ import graft.ingest.BinlogOffsetIndex
   * the offset (for a caught-up consumer that is just the new growth; a
   * badly-behind one pays a walk of the whole active file, same as the
   * stream's own next trigger) — at 100 TB nothing here scales with
-  * history size. The walk mirrors the stream's admission-control
-  * frontier ([[BinlogTailMicroBatchStream]]'s `frontierTarget`, minus
-  * its per-trigger budgets) — a change to frontier semantics there must
-  * land here too, or the metric disagrees with what the stream will
-  * consume. The reference has no monitoring surface at all (its
-  * pipeline is one-shot batch, comparator.sh:78-123).
+  * history size. The frontier computation IS the stream's own admission
+  * walk ([[TailWalk.walk]], shared code, run without the per-trigger
+  * budgets) — the metric cannot drift from what the stream will consume.
+  * The reference has no monitoring surface at all (its pipeline is
+  * one-shot batch, comparator.sh:78-123).
   */
 object BinlogTailOps {
 
@@ -43,7 +40,13 @@ object BinlogTailOps {
   /** Lag of a tail consumer's checkpoint against its feed directory.
     *
     * @param filesListed     natural-order listing size now
-    * @param filesConsumed   files the checkpoint has fully consumed
+    * @param filesConsumed   listing index of the frontier file in the
+    *                        CURRENT listing — equal to "files fully
+    *                        consumed" for append-only feeds; for a
+    *                        purge-safe checkpoint after retention it
+    *                        counts only the SURVIVING files below the
+    *                        frontier (purged-then-consumed files are no
+    *                        longer observable from the listing)
     * @param frontierFile    file the checkpointed offset points into
     *                        ("" when everything listed is consumed)
     * @param frontierPos     committed byte frontier inside it
@@ -58,12 +61,15 @@ object BinlogTailOps {
       frontierFile: String, frontierPos: Long, frontierIdx: Long,
       committedLagBytes: Long, heldBackBytes: Long)
 
-  /** The last COMMITTED offset line in a tail stream's checkpoint: from
-    * `offsets/N` for the highest N present in `commits/`. None when no
-    * batch has committed (or the checkpoint doesn't exist yet) — the
-    * consumer is at the initial offset. */
-  def latestCommittedOffsetJson(ckpt: String, conf: Configuration)
-      : Option[String] = {
+  /** All source offset lines of the last COMMITTED batch: from
+    * `offsets/N` for the highest N present in `commits/`. The outer
+    * Option is None when no batch has committed (or the checkpoint
+    * doesn't exist yet). Inside, ONE entry per source in the query's
+    * plan order (the order the sources were unioned); a source Spark
+    * recorded at its initial offset serializes as the literal `-` and
+    * comes back as None here. */
+  def latestCommittedOffsetJsons(ckpt: String, conf: Configuration)
+      : Option[Seq[Option[String]]] = {
     val commits = new Path(ckpt, "commits")
     val fs = commits.getFileSystem(conf)
     if (!fs.exists(commits)) return None
@@ -76,15 +82,26 @@ object BinlogTailOps {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
     // line 0: "v1"; line 1: batch metadata; line 2+: ONE offset line per
-    // source. A union query (drainBinlogTailUnion) writes several — and
-    // "the last line" would silently be some OTHER feed's offset applied
-    // to this feed's listing. Refuse until told which source is which.
-    require(lines.length == 3,
-      s"checkpoint $ckpt has ${lines.length - 2} source offset lines; " +
-        "lagMetrics reads single-source tail checkpoints only — for a " +
-        "union query, compute lag per feed from its own offset line")
-    Some(lines.last)
+    // source ("-" when that source has no recorded offset yet)
+    Some(lines.drop(2).map(l => if (l.trim == "-") None else Some(l)))
   }
+
+  /** The single source's offset line (single-source tail checkpoints).
+    * A union query writes several lines — and "the last line" would
+    * silently be some OTHER feed's offset applied to this feed's
+    * listing, so multi-source checkpoints are refused here: use
+    * [[lagMetricsUnion]] with the feeds in plan order. */
+  def latestCommittedOffsetJson(ckpt: String, conf: Configuration)
+      : Option[String] =
+    latestCommittedOffsetJsons(ckpt, conf) match {
+      case None => None
+      case Some(offsets) =>
+        require(offsets.length == 1,
+          s"checkpoint $ckpt has ${offsets.length} source offset lines; " +
+            "this reads single-source tail checkpoints only — for a " +
+            "union query use lagMetricsUnion(feeds in plan order)")
+        offsets.head
+    }
 
   /** The last COMMITTED offset, index-form (plain-tail checkpoints). */
   def latestCommittedOffset(ckpt: String, conf: Configuration)
@@ -94,22 +111,54 @@ object BinlogTailOps {
       (o.n, o.pos, o.idx, o.ck)
     }
 
-  /** Lag metrics for a tail consumer: checkpointed offset vs the feed's
-    * current state. Reads BOTH offset forms — the plain tail's
-    * listing-index form and the purge-safe suffix-keyed form (resolved
-    * against the current listing, where consumed prefixes may have been
-    * purged away). Driver-side; safe to call while the stream runs
-    * (the offset log is written atomically per batch). */
+  /** Lag metrics for a single-source tail consumer: checkpointed offset
+    * vs the feed's current state. Reads BOTH offset forms — the plain
+    * tail's listing-index form and the purge-safe suffix-keyed form
+    * (resolved against the current listing, where consumed prefixes may
+    * have been purged away). Driver-side; safe to call while the stream
+    * runs (the offset log is written atomically per batch). */
   def lagMetrics(spark: SparkSession, feed: String, ckpt: String): TailLag = {
     val conf = spark.sparkContext.hadoopConfiguration
+    lagFor(feed, latestCommittedOffsetJson(ckpt, conf), conf)
+  }
+
+  /** Per-source lag for a UNION checkpoint (the cdc69/cdc72 posture: N
+    * feeds tailed by one query). Spark's offset log keeps one line per
+    * source in the query's PLAN order — the order the streams were
+    * unioned — so callers pass `feeds` in that same order and get one
+    * [[TailLag]] per feed back. Refuses a feed-count mismatch loudly
+    * rather than pair offsets with the wrong directories. */
+  def lagMetricsUnion(spark: SparkSession, feeds: Seq[String],
+      ckpt: String): Seq[TailLag] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val jsons: Seq[Option[String]] =
+      latestCommittedOffsetJsons(ckpt, conf) match {
+        case None => Seq.fill(feeds.length)(None)
+        case Some(offsets) =>
+          require(offsets.length == feeds.length,
+            s"checkpoint $ckpt has ${offsets.length} source offset lines " +
+              s"but ${feeds.length} feeds were named — pass every feed, " +
+              "in the order the streams were unioned")
+          offsets
+      }
+    feeds.lazyZip(jsons).map((f, j) => lagFor(f, j, conf))
+  }
+
+  /** One feed's lag against one (optional) committed offset line. The
+    * frontier is computed by the stream's own admission walk
+    * ([[TailWalk.walk]] with no budgets) so metric and stream cannot
+    * disagree about what is consumable. */
+  private def lagFor(feed: String, json: Option[String],
+      conf: Configuration): TailLag = {
     val listing = BinlogScan.listFiles(feed).toIndexedSeq
     def seqOf(f: String): Long = BinlogScan.fileSeqKey(f.split('/').last)
     val (n0, pos0, idx0, ck0) =
-      latestCommittedOffsetJson(ckpt, conf) match {
+      json match {
         case None => (0, 0L, 0L, 0)
-        case Some(json) if json.contains("\"seq\"") =>
+        case Some(j) if j.contains("\"seq\"") =>
           val o = BinlogPurgeTailMicroBatchStream.SeqOffset
-            .fromJsonOrLegacy(json, () => listing, seqOf)
+            .fromJsonOrLegacy(j, () => listing, seqOf,
+              f => TailWalk.statLen(f, conf))
           val i = listing.indexWhere(f => seqOf(f) >= o.seq)
           if (i == -1) (listing.length, 0L, 0L, 0) // everything consumed
           else {
@@ -119,32 +168,32 @@ object BinlogTailOps {
             if (seqOf(listing(i)) == o.seq) (i, o.pos, o.idx, o.ck)
             else (i, 0L, 0L, 0)
           }
-        case Some(json) =>
-          val o = TailOffset.fromJson(json)
+        case Some(j) =>
+          val o = TailOffset.fromJson(j)
           (o.n, o.pos, o.idx, o.ck)
       }
-    def len(f: String): Long = {
-      val p = new Path(f)
-      try p.getFileSystem(conf).getFileStatus(p).getLen
-      catch { case _: java.io.IOException => 0L }
-    }
     if (listing.isEmpty || n0 >= listing.length)
       return TailLag(listing.length, n0, "", pos0, idx0, 0L, 0L)
     val maxN = listing.length - 1
-    // closed files between the offset and the active file read whole
+    // the feed's committed frontier: the stream's own admission walk,
+    // unbudgeted (Left is unreachable — only budgets produce it)
+    val (cp, _, _) = TailWalk.walk(listing, n0, pos0, (pos0, idx0, ck0),
+        frontierInLast = n0 == maxN, budget = Int.MaxValue,
+        byteBudget = Long.MaxValue, conf) match {
+      case Right(f) => f
+      case Left(i) => throw new IllegalStateException(
+        s"unbudgeted tail walk stopped at index $i — unreachable")
+    }
+    // closed files between the offset and the active file read whole;
+    // on the active file, frontier past the offset is consumable lag
     var lag = 0L
     (n0 until maxN).foreach { i =>
-      lag += math.max(0L, len(listing(i)) - (if (i == n0) pos0 else 0L))
+      lag += math.max(0L,
+        TailWalk.statLen(listing(i), conf) - (if (i == n0) pos0 else 0L))
     }
-    // the active file: committed frontier past the offset is consumable
-    // lag; anything past the frontier is correctly-held-back
-    // when the offset is mid-active-file, seed the walk with its decoder
-    // state; otherwise walk the active file from its FDE
-    val (sp, si, sc) = if (n0 == maxN) (pos0, idx0, ck0) else (0L, 0L, 0)
-    val (cp, _, _) = BinlogOffsetIndex.commitFrontier(
-      listing(maxN), sp, si, sc, conf)
-    lag += math.max(0L, cp - sp)
-    val held = math.max(0L, len(listing(maxN)) - cp)
+    lag += math.max(0L, cp - (if (n0 == maxN) pos0 else 0L))
+    // anything past the frontier is correctly-held-back
+    val held = math.max(0L, TailWalk.statLen(listing(maxN), conf) - cp)
     TailLag(listing.length, n0,
       new Path(listing(n0)).getName, pos0, idx0, lag, held)
   }

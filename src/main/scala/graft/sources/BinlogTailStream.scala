@@ -252,7 +252,10 @@ private[sources] object TailWalk {
   * count-based `{"n":N}` or plain-tail `{"n":N,"pos":..}` offset is
   * translated against the current listing at deserialize time (valid
   * while nothing has been purged yet — upgrade FIRST, purge after; the
-  * translation fails loudly otherwise).
+  * translation validates what it can: the listing must still hold the
+  * counted files, and a mid-file frontier's file must be at least
+  * `pos` bytes long — but a purge exactly balanced by newer rotations
+  * is undetectable from a count, hence the upgrade-first contract).
   */
 private class BinlogPurgeTailMicroBatchStream(path: String,
     required: StructType, maxFilesPerTrigger: Option[Int],
@@ -360,7 +363,8 @@ private class BinlogPurgeTailMicroBatchStream(path: String,
     * contain the files the index-based offset counts). */
   override def deserializeOffset(json: String): Offset =
     SeqOffset.fromJsonOrLegacy(json,
-      () => BinlogScan.listFiles(path).toIndexedSeq, seqOf)
+      () => BinlogScan.listFiles(path).toIndexedSeq, seqOf,
+      f => TailWalk.statLen(f, hadoopConf))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset]
@@ -432,13 +436,19 @@ private object BinlogPurgeTailMicroBatchStream {
     /** Parse this stream's own form, or translate a count-based /
       * plain-tail index-based offset against the current listing — the
       * in-place upgrade path. The translation validates what it CAN:
-      * the listing must still hold at least the counted files, and the
-      * mid-file frontier file must exist. A purge-before-upgrade that
-      * is exactly balanced by newly rotated files is UNDETECTABLE from
-      * a count — which is why the contract is upgrade FIRST (run one
-      * purgeSafe batch so a suffix-keyed offset commits), purge after. */
+      * the listing must still hold at least the counted files, the
+      * mid-file frontier file must exist, and (`lenOf`) that file must
+      * be at least `pos` bytes long — a purge masked by at least as
+      * many newer rotations passes the count check with a SHIFTED
+      * listing, and the wrong file is usually shorter than the
+      * frontier. A purge-before-upgrade that is exactly balanced by
+      * newly rotated files of sufficient length remains UNDETECTABLE
+      * from a count — which is why the contract is upgrade FIRST (run
+      * one purgeSafe batch so a suffix-keyed offset commits), purge
+      * after. */
     def fromJsonOrLegacy(json: String, list: () => IndexedSeq[String],
-        seqOf: String => Long): SeqOffset =
+        seqOf: String => Long,
+        lenOf: String => Long = _ => Long.MaxValue): SeqOffset =
       field(json, "seq") match {
         case Some(seq) =>
           val pos = field(json, "pos").getOrElse(0L)
@@ -463,6 +473,12 @@ private object BinlogPurgeTailMicroBatchStream {
             require(listing.length > legacy.n,
               s"cannot upgrade index-based offset $json to purgeSafe: " +
                 s"its frontier file (index ${legacy.n}) is missing")
+            require(lenOf(listing(legacy.n)) >= legacy.pos,
+              s"cannot upgrade index-based offset $json to purgeSafe: " +
+                s"${listing(legacy.n)} is shorter than the frontier pos " +
+                s"${legacy.pos} — the listing shifted under the index " +
+                "(purge before upgrade?); upgrade the checkpoint BEFORE " +
+                "purging")
             SeqOffset(seqOf(listing(legacy.n)), legacy.pos, legacy.idx,
               legacy.ck)
           } else if (listing.length > legacy.n)

@@ -129,13 +129,31 @@ object Drains {
     * into one maintained state, one checkpoint. */
   def drainBinlogTailUnion(spark: SparkSession, feeds: Seq[String],
       ckpt: String)(apply: (DataFrame, Long) => Unit): Unit =
+    drainTailUnion(spark, feeds, ckpt, purgeSafe = false)(apply)
+
+  /** The PURGE-SAFE sharded drain (cdc72): cdc69's N-feed union with
+    * every source in the `purgeSafe` posture — per-source SUFFIX-keyed
+    * offsets under the one checkpoint, so each shard's retention can
+    * delete its own consumed files independently of the others. This is
+    * the year-long N-shard deployment shape: the union keeps one offset
+    * line per source (each a `{"seq":…}` form), a restart resumes every
+    * shard from its own suffix frontier, and a listing that shrank on
+    * one shard shifts nothing anywhere. */
+  def drainBinlogPurgeTailUnion(spark: SparkSession, feeds: Seq[String],
+      ckpt: String)(apply: (DataFrame, Long) => Unit): Unit =
+    drainTailUnion(spark, feeds, ckpt, purgeSafe = true)(apply)
+
+  private def drainTailUnion(spark: SparkSession, feeds: Seq[String],
+      ckpt: String, purgeSafe: Boolean)
+      (apply: (DataFrame, Long) => Unit): Unit =
     withDrainPartitions(spark) {
-      require(feeds.nonEmpty, "drainBinlogTailUnion needs at least one feed")
-      def src(feed: String): DataFrame =
-        spark.readStream.format("binlog")
+      require(feeds.nonEmpty, "the tail union drain needs at least one feed")
+      def src(feed: String): DataFrame = {
+        val r = spark.readStream.format("binlog")
           .option("tailActive", "true")
           .option("maxFilesPerTrigger", 1)
-          .load(feed)
+        (if (purgeSafe) r.option("purgeSafe", "true") else r).load(feed)
+      }
       val q = feeds.map(src).reduce(_ unionByName _)
         .writeStream
         .foreachBatch(apply)

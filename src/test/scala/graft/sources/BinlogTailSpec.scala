@@ -610,6 +610,191 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
     assert(lag2.heldBackBytes == grown.length - frontier3)
   }
 
+  test("lagMetricsUnion: one TailLag per feed of a purge-safe union " +
+      "checkpoint, paired in plan order; single-source lagMetrics and " +
+      "a feed-count mismatch both refuse loudly") {
+    val root = Files.createTempDirectory("tail_lagu").toFile
+    val feedA = new java.io.File(root, "feed_a"); feedA.mkdirs()
+    val feedB = new java.io.File(root, "feed_b"); feedB.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+
+    // feed A: one closed file + an active file, all committed
+    val fa1 = new FileBuilder(checksums = true)
+    fa1.fde(t0)
+    txn(fa1, 1L, Seq(10L))
+    Files.write(new java.io.File(feedA, "mysql-bin.000001").toPath, fa1.bytes)
+    val fa2 = new FileBuilder(checksums = true)
+    fa2.fde(t0)
+    txn(fa2, 2L, Seq(11L))
+    val fileA2 = new java.io.File(feedA, "mysql-bin.000002")
+    Files.write(fileA2.toPath, fa2.bytes)
+    // feed B: an active file with a committed txn and a TORN tail
+    val fb = new FileBuilder(checksums = true)
+    fb.fde(t0)
+    val frontierB = txn(fb, 1L, Seq(20L))
+    tornTxn(fb, 2L, Seq(21L))
+    val fileB = new java.io.File(feedB, "mysql-bin.000101")
+    Files.write(fileB.toPath, fb.bytes)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit =
+      graft.streaming.Drains.drainBinlogPurgeTailUnion(spark,
+        Seq(feedA.getPath, feedB.getPath), ckpt) { (batch, _) =>
+        seen ++= batch
+          .filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long"))
+          .collect().map(_.getLong(0))
+        ()
+      }
+    drain()
+    assert(seen.sorted == List(10L, 11L, 20L),
+      s"the union drain must hold back feed B's torn txn: $seen")
+
+    val lags = BinlogTailOps.lagMetricsUnion(spark,
+      Seq(feedA.getPath, feedB.getPath), ckpt)
+    assert(lags.length == 2)
+    val Seq(lagA, lagB) = lags
+    assert(lagA.committedLagBytes == 0L && lagA.heldBackBytes == 0L,
+      s"feed A is fully drained and has no torn tail: $lagA")
+    assert(lagB.committedLagBytes == 0L,
+      s"feed B is drained of everything consumable: $lagB")
+    assert(lagB.heldBackBytes == fileB.length() - frontierB,
+      s"feed B's held-back bytes are exactly its torn tail: $lagB")
+    assert(lagB.frontierFile == "mysql-bin.000101" &&
+      lagB.frontierPos == frontierB)
+
+    // retention on feed A + growth WITHOUT a drain: consumable lag
+    // reappears on A only, and B's row is unchanged — per-source
+    // pairing, not a blended number
+    assert(new java.io.File(feedA, "mysql-bin.000001").delete())
+    val fa3 = new FileBuilder(checksums = true)
+    fa3.fde(t0)
+    txn(fa3, 2L, Seq(11L))
+    val grownTo = txn(fa3, 3L, Seq(12L))
+    val grown = fa3.bytes
+    Files.write(fileA2.toPath, grown.slice(fa2.bytes.length, grown.length),
+      StandardOpenOption.APPEND)
+    val lags2 = BinlogTailOps.lagMetricsUnion(spark,
+      Seq(feedA.getPath, feedB.getPath), ckpt)
+    assert(lags2(0).committedLagBytes == grownTo - fa2.bytes.length,
+      s"feed A's new committed txn is consumable lag: ${lags2(0)}")
+    assert(lags2(0).filesListed == 1, "the purge really shrank A's listing")
+    assert(lags2(1) == lagB, "feed B's lag row must be untouched by A")
+
+    // single-source lagMetrics on a union checkpoint refuses
+    val ex1 = intercept[IllegalArgumentException] {
+      BinlogTailOps.lagMetrics(spark, feedA.getPath, ckpt)
+    }
+    assert(ex1.getMessage.contains("lagMetricsUnion"))
+    // a feed-count mismatch refuses rather than mispair
+    val ex2 = intercept[IllegalArgumentException] {
+      BinlogTailOps.lagMetricsUnion(spark, Seq(feedA.getPath), ckpt)
+    }
+    assert(ex2.getMessage.contains("source offset lines"))
+  }
+
+  test("latestCommittedOffsetJsons: a '-' offset line (a source with no " +
+      "recorded offset) reads as None, not a parse error") {
+    val root = Files.createTempDirectory("tail_dash").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt")
+    // a hand-written checkpoint: source 0 committed a suffix offset,
+    // source 1 is still at its initial offset (Spark's OffsetSeq
+    // serializes that as the literal '-')
+    new java.io.File(ckpt, "offsets").mkdirs()
+    new java.io.File(ckpt, "commits").mkdirs()
+    Files.write(new java.io.File(ckpt, "offsets/0").toPath,
+      "v1\n{}\n{\"seq\":2,\"pos\":0,\"idx\":0,\"ck\":0}\n-\n".getBytes("UTF-8"))
+    Files.write(new java.io.File(ckpt, "commits/0").toPath,
+      "v1\n{}".getBytes("UTF-8"))
+    val jsons = BinlogTailOps.latestCommittedOffsetJsons(
+      ckpt.getPath, conf)
+    assert(jsons.contains(Seq(
+      Some("{\"seq\":2,\"pos\":0,\"idx\":0,\"ck\":0}"), None)))
+    // and lagMetricsUnion treats the '-' source as at-initial-offset:
+    // its feed's whole committed content is consumable lag
+    val f1 = new FileBuilder(checksums = true)
+    f1.fde(t0)
+    val frontier = txn(f1, 1L, Seq(1L))
+    Files.write(new java.io.File(feed, "mysql-bin.000001").toPath, f1.bytes)
+    val lags = BinlogTailOps.lagMetricsUnion(spark,
+      Seq(feed.getPath, feed.getPath), ckpt.getPath)
+    assert(lags(1).filesConsumed == 0 &&
+      lags(1).committedLagBytes == frontier,
+      s"the '-' source is at the initial offset: ${lags(1)}")
+  }
+
+  test("legacy→purgeSafe upgrade: a mid-file frontier whose translated " +
+      "file is SHORTER than pos is rejected (a shifted listing), and a " +
+      "long-enough file passes") {
+    import BinlogPurgeTailMicroBatchStream.SeqOffset
+    val listing = Vector("/x/mysql-bin.000007", "/x/mysql-bin.000008")
+    def seqOf(f: String): Long = f.split('.').last.toLong
+    // frontier file long enough: translates to its suffix
+    assert(SeqOffset.fromJsonOrLegacy(
+      "{\"n\":0,\"pos\":500,\"idx\":6,\"ck\":4}",
+      () => listing, seqOf, _ => 1000L) == SeqOffset(7L, 500L, 6L, 4))
+    // frontier file SHORTER than pos: the listing shifted under the
+    // index (a purge masked by newer rotations) — refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      SeqOffset.fromJsonOrLegacy(
+        "{\"n\":0,\"pos\":500,\"idx\":6,\"ck\":4}",
+        () => listing, seqOf, _ => 200L)
+    }
+    assert(ex.getMessage.contains("shorter than the frontier pos"))
+  }
+
+  test("cutover marks under failover: the executed-GTID set discards " +
+      "the replica's re-served transaction; a positional mark recorded " +
+      "on the old server ADMITS it (the cdc73 negative proof)") {
+    val dir = Files.createTempDirectory("tail_gtidcut").toFile
+    // server A's last file: txn gno=1 (keys 1,2) — the snapshot covers it
+    val fA = new FileBuilder(checksums = true)
+    fA.fde(t0)
+    txn(fA, 1L, Seq(1L, 2L))
+    Files.write(new java.io.File(dir, "mysql-bin.000001").toPath, fA.bytes)
+    // the snapshot's two candidate marks
+    val snap = spark.read.format("binlog")
+      .load(new java.io.File(dir, "mysql-bin.000001").getPath)
+      .filter(col("event_type") === "WriteRowsEventV2")
+    val pm = snap.agg(max(struct(col("file_seq"), col("event_index")))).head()
+      .getStruct(0)
+    val (posSeq, posIdx) = (pm.getLong(0), pm.getLong(1))
+    val execG = snap
+      .agg(max(substring_index(col("gtid_next"), ":", -1).cast("long")))
+      .head().getLong(0)
+    assert(execG == 1L)
+    // failover: the replica re-serves gno=1 in a HIGHER-numbered file
+    // (different framing), plus a new txn gno=2 (key 3)
+    val fB = new FileBuilder(checksums = true)
+    fB.fde(t0)
+    txn(fB, 1L, Seq(1L))
+    txn(fB, 1L, Seq(2L)) // same gtid, regrouped — the replica's batching
+    txn(fB, 2L, Seq(3L))
+    Files.write(new java.io.File(dir, "mysql-bin.000002").toPath, fB.bytes)
+    val replica = spark.read.format("binlog")
+      .load(new java.io.File(dir, "mysql-bin.000002").getPath)
+      .filter(col("event_type") === "WriteRowsEventV2")
+      .select(substring_index(col("gtid_next"), ":", -1).cast("long").as("g"),
+        col("file_seq"), col("event_index"),
+        explode(col("row_images")).as("img"))
+      .select(col("g"), col("file_seq"), col("event_index"),
+        element_at(col("img"), 1).cast("long").as("k"))
+    // GTID-set cutover: exactly the new transaction survives
+    val byGtid = replica.filter(col("g") > execG)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(byGtid.toList == List(3L),
+      "the set mark must discard the re-served overlap exactly")
+    // positional cutover: the replica's file outranks the recorded
+    // position, so the overlap is ADMITTED — keys 1 and 2 double-count
+    val byPos = replica.filter(col("file_seq") > posSeq ||
+        (col("file_seq") === posSeq && col("event_index") > posIdx))
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(byPos.toList == List(1L, 2L, 3L),
+      "a positional mark breaks on failover: it re-admits the overlap")
+  }
+
   test("rotation mid-tail: the old active file's remainder past the " +
       "frontier (incl. a trailing ROTATE) is consumed to EOF, the new " +
       "last file is walked; an idle third drain is a no-op") {
