@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.InputPartition
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 import graft.ingest.BinlogOffsetIndex
@@ -65,7 +65,8 @@ import graft.ingest.BinlogOffsetIndex
 private class BinlogTailMicroBatchStream(path: String, required: StructType,
     maxFilesPerTrigger: Option[Int], maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
-    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
 
   import BinlogTailMicroBatchStream.TailOffset
 
@@ -180,8 +181,60 @@ private class BinlogTailMicroBatchStream(path: String, required: StructType,
     new BinlogReaderFactory(required,
       org.apache.spark.graftshim.SerializableHadoopConf.session())
 
+  /** In-band lag for `StreamingQueryProgress.sources[].metrics`
+    * ([[TailMetrics.behind]] against this trigger's listing snapshot):
+    * dashboards see how far the committed offset trails the feed
+    * without the out-of-band [[BinlogTailOps.lagMetrics]] walk. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val c: TailOffset =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.asInstanceOf[TailOffset]
+      else TailOffset(0, 0L, 0L, 0)
+    TailMetrics.behind(lastListing, c.n, c.pos, hadoopConf)
+  }
+
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** The in-band source metrics both tail streams report into
+  * `StreamingQueryProgress.sources[].metrics` (DSv2
+  * `ReportsSourceMetrics`), computed from the planning cycle's listing
+  * snapshot and the latest consumed (committed) offset resolved to a
+  * (listing index, byte pos):
+  *
+  *   - `filesBehind` — listed files wholly beyond the consumed
+  *     frontier file (no filesystem call);
+  *   - `bytesBehind` — bytes between the consumed offset and listed
+  *     EOF: the naive Kafka-style lag, equal to `committedLagBytes +
+  *     heldBackBytes` of [[BinlogTailOps.lagMetrics]]. The in-band
+  *     number deliberately skips the commit walk that splits those two
+  *     (that walk runs once per TRIGGER for admission; re-running it
+  *     per progress event would double the driver's header I/O) — a
+  *     caught-up consumer therefore shows `bytesBehind` equal to its
+  *     held-back torn tail, and the out-of-band metric is the tool
+  *     that says whether that residue is consumable.
+  *
+  * Cost: one `getFileStatus` per not-fully-consumed file — for a
+  * caught-up consumer exactly one (the active file) per progress
+  * event. */
+private[sources] object TailMetrics {
+  def behind(listing: IndexedSeq[String], ci: Int, cpos: Long,
+      conf: org.apache.hadoop.conf.Configuration)
+      : java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    var bytes = 0L
+    var i = math.max(0, ci)
+    while (i < listing.length) {
+      bytes += math.max(0L, TailWalk.statLen(listing(i), conf) -
+        (if (i == ci) cpos else 0L))
+      i += 1
+    }
+    m.put("filesBehind", math.max(0, listing.length - 1 - ci).toString)
+    m.put("bytesBehind", bytes.toString)
+    m
+  }
 }
 
 /** The ONE copy of the tail family's admission walk, shared by both
@@ -261,7 +314,8 @@ private class BinlogPurgeTailMicroBatchStream(path: String,
     required: StructType, maxFilesPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
-    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
 
   import BinlogPurgeTailMicroBatchStream.SeqOffset
 
@@ -410,6 +464,24 @@ private class BinlogPurgeTailMicroBatchStream(path: String,
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     new BinlogReaderFactory(required,
       org.apache.spark.graftshim.SerializableHadoopConf.session())
+
+  /** In-band lag ([[TailMetrics.behind]]); the consumed SUFFIX resolves
+    * against the listing snapshot, where consumed prefixes may already
+    * be purged away — a shrunken listing reads as less, never more,
+    * behind. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val listing = lastListing
+    val c: SeqOffset =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.asInstanceOf[SeqOffset]
+      else SeqOffset(0L, 0L, 0L, 0)
+    val i = listing.indexWhere(f => seqOf(f) >= c.seq)
+    val ci = if (i == -1) listing.length else i
+    val cpos = if (ci < listing.length && seqOf(listing(ci)) == c.seq) c.pos
+      else 0L
+    TailMetrics.behind(listing, ci, cpos, hadoopConf)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -745,6 +745,91 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage.contains("shorter than the frontier pos"))
   }
 
+  test("ReportsSourceMetrics: the drain's progress events carry in-band " +
+      "filesBehind/bytesBehind, and the final values cross-check against " +
+      "lagMetrics (bytesBehind = committedLag + heldBack)") {
+    val root = Files.createTempDirectory("tail_metrics").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    (1 to 2).foreach { i =>
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      txn(f, i.toLong, Seq(i.toLong * 10))
+      Files.write(new java.io.File(feed, f"mysql-bin.$i%06d").toPath, f.bytes)
+    }
+    val f3 = new FileBuilder(checksums = true)
+    f3.fde(t0)
+    txn(f3, 3L, Seq(30L))
+    tornTxn(f3, 4L, Seq(99L)) // torn forever
+    Files.write(new java.io.File(feed, "mysql-bin.000003").toPath, f3.bytes)
+
+    def drain(purge: Boolean)
+        : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+      val r = spark.readStream.format("binlog")
+        .option("tailActive", "true")
+        .option("maxFilesPerTrigger", 1)
+      val q = (if (purge) r.option("purgeSafe", "true") else r)
+        .load(feed.getPath)
+        .writeStream
+        // the batch must EXECUTE for the trigger to report as a data
+        // trigger (a no-op foreachBatch rate-limits into the no-data
+        // progress path and recentProgress keeps only the last event)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq
+    }
+
+    val progress = drain(purge = false)
+    val withBatch = progress.filter(_.numInputRows > 0)
+    assert(withBatch.nonEmpty, "the drain must report batch progress")
+    def metric(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+        k: String): Long = p.sources.head.metrics.get(k).toLong
+    // early batches see the rest of the feed ahead of them, in-band
+    assert(metric(withBatch.head, "filesBehind") >= 1,
+      s"batch 0 (file 1 of 3) must report files behind: " +
+        s"${withBatch.head.sources.head.metrics}")
+    assert(metric(withBatch.head, "bytesBehind") >
+      metric(withBatch.last, "bytesBehind"),
+      "bytesBehind must shrink as the drain catches up")
+    // final progress: caught up — behind by exactly the held-back torn
+    // tail, which is what lagMetrics splits out
+    val lag = BinlogTailOps.lagMetrics(spark, feed.getPath, ckpt)
+    assert(lag.committedLagBytes == 0L)
+    assert(metric(withBatch.last, "filesBehind") == 0L)
+    assert(metric(withBatch.last, "bytesBehind") ==
+      lag.committedLagBytes + lag.heldBackBytes,
+      s"in-band bytesBehind must equal lagMetrics' committed+held: " +
+        s"${withBatch.last.sources.head.metrics} vs $lag")
+
+    // the purge-safe stream reports the same surface: upgrade the
+    // checkpoint in place FIRST (a suffix-keyed offset must commit
+    // before retention may purge — the documented contract), then
+    // purge a consumed file, grow the feed, drain
+    val f4 = new FileBuilder(checksums = true)
+    f4.fde(t0)
+    txn(f4, 5L, Seq(50L))
+    Files.write(new java.io.File(feed, "mysql-bin.000004").toPath, f4.bytes)
+    drain(purge = true) // the in-place upgrade drain
+    assert(new java.io.File(feed, "mysql-bin.000001").delete())
+    val f5 = new FileBuilder(checksums = true)
+    f5.fde(t0)
+    txn(f5, 6L, Seq(60L))
+    Files.write(new java.io.File(feed, "mysql-bin.000005").toPath, f5.bytes)
+    val progress2 = drain(purge = true)
+    val withBatch2 = progress2.filter(_.numInputRows > 0)
+    assert(withBatch2.nonEmpty)
+    val lag2 = BinlogTailOps.lagMetrics(spark, feed.getPath, ckpt)
+    assert(metric(withBatch2.last, "filesBehind") == 0L)
+    assert(metric(withBatch2.last, "bytesBehind") ==
+      lag2.committedLagBytes + lag2.heldBackBytes,
+      s"purge-safe in-band metrics must cross-check too: " +
+        s"${withBatch2.last.sources.head.metrics} vs $lag2")
+  }
+
   test("cutover marks under failover: the executed-GTID set discards " +
       "the replica's re-served transaction; a positional mark recorded " +
       "on the old server ADMITS it (the cdc73 negative proof)") {
