@@ -894,6 +894,18 @@ object StreamSearchQueries {
   def s55LifecycleServe(spark: SparkSession, dir: String): DataFrame = {
     val (state, edgesOut, tomb) = graphDeleteDrain(spark, dir, "graft_s55_",
       restart = true, compactInDrain = true)
+    repairAndServe(spark, dir, state, edgesOut, tomb)
+  }
+
+  /** s55/s57's shared repair-then-serve: [[repairGraph]] the maintained
+    * states, then serve the `% 17 == 3` query class through the frozen
+    * quantizer — per-cluster apex entry, two-hop ball (≤ 1+3+9
+    * candidates) broadcast to the query join, top-3 by exact cosine.
+    * Both gates pin the same contract (s55's oracle): whatever
+    * lifecycle the states lived through, the index serves exactly what
+    * a fresh survivors-only build would. */
+  private def repairAndServe(spark: SparkSession, dir: String,
+      state: String, edgesOut: String, tomb: String): DataFrame = {
     val (survivors, _, graph0) = repairGraph(spark, state, edgesOut, tomb)
     val graph = graph0.localCheckpoint(true) // probed per hop below
     // entry per cluster: the surviving apex (see scaladoc above)
@@ -976,7 +988,147 @@ object StreamSearchQueries {
       |  CAST(SUM(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS top1_id_sum
       |FROM served GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // s57 — SERVE THROUGH RETENTION (the r14 verdict's fifth task: s55
+  // proves the full lifecycle serves correctly; this proves the served
+  // index never depends on PURGED WIRE HISTORY. The corpus rides s54's
+  // real binlog wire — WRITE_ROWS of (vec_id, f0..f63) in four
+  // id-ordered files — into the PURGE-SAFE tail; after the insert drain
+  // (and the batch-0 redelivery, which crash-after-commit places BEFORE
+  // retention), every consumed wire file below the frontier is DELETED
+  // (a structural require pins that the listing shrank to just the
+  // frontier file); the delete class (vec_id % 9) then arrives as
+  // DELETE_ROWS files under higher suffixes — the binlog's native
+  // retraction — tombstoning across the retention+restart seam; the
+  // delete-batch replay is injected after run 2; all three states
+  // compact per batch (identity folds), so serve-time reads touch
+  // compacted parquet, never the wire. Repair and serve are s55's
+  // shared path, and the gate shares s55's oracle: if ANY serve-time
+  // artifact still depended on the purged files, the read would fail
+  // or the census would shift — either is a gate failure. At 100 TB
+  // this is the difference between an index whose source retention is
+  // a server-side policy and one that silently requires infinite wire
+  // history: state is the compacted parquet, the wire is transport.
+  def s57ServeThroughRetention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val dim = 64
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_s57_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val state = new java.io.File(root, "state").getPath
+    val edgesOut = new java.io.File(root, "edges").getPath
+    val tomb = new java.io.File(root, "tomb").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cent = graft.ops.Similarity.buildCentroids(
+        Tables.embeddings(spark, dir), dim = dim, chunks = centroidChunks)
+      .localCheckpoint(true) // FROZEN quantizer (s51's discipline)
+    def deliver(staging: String): Unit =
+      Option(new java.io.File(staging).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .foreach { f =>
+          require(f.renameTo(new java.io.File(feed, f.getName)),
+            s"fixture deliver failed: $f")
+        }
+    // the insert wire: four id-range files (the strict id-prefix rule's
+    // arrival order), staged so each range is one numbered file
+    val maxRow = emb.agg(max(col("vec_id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val mx = maxRow.getLong(0)
+      val cuts = Seq(0L, mx / 4 + 1, mx / 2 + 1, 3 * mx / 4 + 1, mx + 1)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), k) =>
+        val staging = new java.io.File(root, s"st_$k").getPath
+        graft.ingest.BinlogSink.writeChanges(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select(lit(1).as("op") +: col("vec_id") +:
+              (0 until dim).map(i => col("embedding")(i).as(s"f$i")): _*)
+            .coalesce(1),
+          staging, fileSeqStart = 1 + k)
+        deliver(staging)
+      }
+    }
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val lastFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    var lastId = -1L
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      val files = batch.select(col("binlog_file")).distinct()
+        .collect().map(_.getString(0)) // bounded: maxFilesPerTrigger=1
+      if (id == 0L && batch0Files.isEmpty) batch0Files ++= files
+      if (files.nonEmpty) { // rotation-remainder batches carry no events
+        lastFiles.clear(); lastFiles ++= files; lastId = id
+      }
+      val b = batch.localCheckpoint(true) // split once: inserts + deletes
+      ViewMaintenance.applyIdempotent(
+        b.filter(col("event_type") === "DeleteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("vec_id")),
+        tomb, id)
+      maintainGraphInsert(spark, cent, state, edgesOut)(
+        b.filter(col("event_type") === "WriteRowsEventV2")
+          .select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("vec_id"),
+            array((2 to dim + 1).map(i =>
+              element_at(col("img"), i).cast("float")): _*).as("embedding")),
+        id)
+      // the maintenance loop: exactly-once row sets fold by identity
+      ViewMaintenance.maybeCompact(spark, state,
+        "vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT",
+        maxLive = 2, keepLast = 1)(df => df)
+      ViewMaintenance.maybeCompact(spark, edgesOut,
+        "cluster BIGINT, vec_id BIGINT, nbr BIGINT, batch_id BIGINT",
+        maxLive = 2, keepLast = 1)(df => df)
+      ViewMaintenance.maybeCompact(spark, tomb,
+        "vec_id BIGINT, batch_id BIGINT",
+        maxLive = 2, keepLast = 1)(df => df)
+    }
+    def drain(): Unit = graft.streaming.Drains.drainBinlogPurgeTail(
+      spark, feed.getPath, ckpt)(applyBatch)
+    drain() // run 1: the insert wire
+    // the batch-0 redelivery: crash-after-commit happens BEFORE retention
+    if (batch0Files.nonEmpty)
+      applyBatch(spark.read.format("binlog")
+        .load(batch0Files.toSeq.map(f => s"${feed.getPath}/$f"): _*), 0L)
+    // RETENTION: every consumed wire file below the frontier vanishes
+    // (the frontier file itself must stay — the purge-safe contract);
+    // the structural require pins that the listing really shrank
+    val before = Option(feed.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith(".")).sortBy(_.getName)
+    if (before.length > 1) {
+      before.dropRight(1).foreach(f =>
+        require(f.delete(), s"purge failed: $f"))
+      val left = Option(feed.listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && !f.getName.startsWith("."))
+      require(left == 1,
+        s"retention must leave only the frontier file, got $left")
+    }
+    // the delete class arrives on the wire AFTER the purge, under
+    // higher suffixes: DELETE_ROWS, null data columns (the before
+    // image's id is all a tombstone needs)
+    val delStaging = new java.io.File(root, "st_del").getPath
+    val dels = emb.filter(col("vec_id") % 9 === 0)
+    if (!dels.isEmpty) {
+      graft.ingest.BinlogSink.writeChanges(
+        dels.select(lit(-1).as("op") +: col("vec_id") +:
+          (0 until dim).map(i => lit(null).cast("float").as(s"f$i")): _*)
+          .repartitionByRange(2, col("vec_id")),
+        delStaging, fileSeqStart = 11)
+      deliver(delStaging)
+    }
+    drain() // run 2: tombstones land across the retention+restart seam
+    // the delete-batch replay — only while its wire files survive
+    // (crash-after-commit precedes retention, the documented contract;
+    // on a fixture with no delete class the last recorded batch may be
+    // a purged insert file, which is exactly the replay retention has
+    // already foreclosed)
+    val lastPaths = lastFiles.toSeq.map(f => new java.io.File(feed, f))
+    if (lastId > 0L && lastPaths.nonEmpty && lastPaths.forall(_.isFile))
+      applyBatch(spark.read.format("binlog")
+        .load(lastPaths.map(_.getPath): _*), lastId)
+    repairAndServe(spark, dir, state, edgesOut, tomb)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s57_serve_through_retention" -> (s57ServeThroughRetention _),
     "s55_lifecycle_serve" -> (s55LifecycleServe _),
     "s56_sharded_wire_vectors" -> (s56ShardedWireVectors _),
     "s54_wire_vector_ingest" -> (s54WireVectorIngest _),
@@ -993,6 +1145,9 @@ object StreamSearchQueries {
     // the full lifecycle (restart + compaction + tombstones + repair)
     // must serve exactly what a fresh survivors-only index would
     "s55_lifecycle_serve" -> s55Oracle,
+    // retention purges the wire mid-lifecycle; the serve is unchanged
+    // because state is compacted parquet, never the wire
+    "s57_serve_through_retention" -> s55Oracle,
     "s52_stream_graph_delete" -> s52Oracle, // s51's graph, survivor-filtered
     // repair restores the as-if-rebuilt-on-survivors graph exactly
     "s53_graph_repair" -> s53Oracle,
