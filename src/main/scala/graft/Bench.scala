@@ -53,6 +53,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // CALIBRATION PROBE (r14 verdict task: the VM differs between rounds,
+    // and a uniform environment shift across an artifact-to-artifact
+    // comparison manufactured 111 false "movers" in r14). A fixed set of
+    // byte-stable pure-compute queries is timed warm min-of-3 at the
+    // START and END of the bench; the judge normalizes cross-round
+    // ratios by the calibration delta before adjudicating movers, and
+    // start-vs-end disagreement flags a mid-bench load shift from the
+    // artifact alone.
+    val calibrationSet = Seq("q16_scalar_exprs", "t01_token_stats",
+      "s01_ann_bruteforce").filter(SparkEntry.queries.contains)
+    def calibrate(): Map[String, Double] = calibrationSet.map { name =>
+      val fn = SparkEntry.queries(name)
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples.min
+    }.toMap
+    val calibStart = calibrate()
+
     // Three SEPARATED full passes, min per query, each pass in a DIFFERENT
     // query order. Rationale (rounds 7/8 both produced misleading official
     // artifacts): machine-load stalls cluster in TIME, so when every pass
@@ -80,6 +102,7 @@ object Bench {
       order.map { case (name, fn) => name -> once(name, fn) }.toMap
     val shuffled = new scala.util.Random(20260813L).shuffle(ordered)
     val passes = Seq(sweep(ordered), sweep(ordered.reverse), sweep(shuffled))
+    val calibEnd = calibrate()
     val results = ordered.map { case (name, _) =>
       val samples = passes.map(_(name)).filter(_ >= 0)
       name -> (if (samples.isEmpty) -1.0 else samples.min)
@@ -93,13 +116,18 @@ object Bench {
       "\"" + name + "\":[" + passes.map(p => fmt(p(name))).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def calJson(m: Map[String, Double]): String = calibrationSet
+      .map(n => "\"" + n + "\":" + fmt(m.getOrElse(n, -1.0)))
+      .mkString("{", ",", "}")
+    val calibration =
+      s"""{"start":${calJson(calibStart)},"end":${calJson(calibEnd)}}"""
     // Artifact durability (r9: the driver's capture kept only the last
     // 2000 chars of the ~14 KB 207-query line, and its parse came back
     // null): the FULL payload — per-query mins plus the three per-pass
     // samples — is written to a file, and the printed line drops
     // "passes" (3× the bulk) and ends with the slowest-10 digest + sf,
     // so even a tail-truncated capture still carries the headline.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$perPass,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$perPass,"calibration":$calibration,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -108,12 +136,12 @@ object Bench {
     }
     val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"top10":$top10,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"top10":$top10,"calibration":$calibration,"sf":"$sfDir"}""")
     // FINAL line is a short (~500 B) pure-JSON summary: the driver keeps
     // only the tail of stdout, and the full per-query line above outgrows
     // it at 258 queries (r10's BENCH artifact parsed as null). A tail
     // capture of any plausible size always contains this whole line.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"top10":$top10,"sf":"$sfDir","full_payload":"$outFile"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"top10":$top10,"calibration":$calibration,"sf":"$sfDir","full_payload":"$outFile"}""")
     spark.stop()
   }
 }
