@@ -12,6 +12,16 @@ import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
   * process forks.
   *
   * Usage:
+  *   graft.cli.Main --follow <dir-of-raw-binlogs>
+  *     [--out <dir>] [--purge-safe]
+  *       — the LIVE-consumer posture ([[follow]]): tail the directory
+  *         (the last file may still be growing), demux every table's
+  *         committed changes into its own exactly-once compacted state
+  *         under <out>/tables, hold torn tails back, print the census
+  *         and the consumer's lag; re-run (cron) to continue from
+  *         <out>/ckpt, with --purge-safe surviving binlog retention
+  *         between runs.
+  *
   *   graft.cli.Main
   *     (--binlog-text <dir-of-decoder-text> | --binlog-json <path>
   *      | --binlog-binary <dir-of-raw-binlogs>)
@@ -50,7 +60,9 @@ object Main {
       splitIndex: Option[String] = None,
       splitIndexAutoBuild: Boolean = true,
       splitBytes: Option[Long] = None,
-      centroidChunks: Option[Int] = None)
+      centroidChunks: Option[Int] = None,
+      follow: Option[String] = None,
+      purgeSafe: Boolean = false)
 
   def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
@@ -71,11 +83,32 @@ object Main {
       val n = v.toInt
       require(n > 0, s"--centroid-chunks must be positive, got $n")
       parseArgs(rest, acc.copy(centroidChunks = Some(n)))
+    case "--follow" :: v :: rest => parseArgs(rest, acc.copy(follow = Some(v)))
+    case "--purge-safe" :: rest => parseArgs(rest, acc.copy(purgeSafe = true))
     case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
   }
 
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv.toList)
+    if (args.follow.isDefined) {
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-cdc-follow")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      follow(spark, args.follow.get, args.out, args.purgeSafe)
+        .show(truncate = false)
+      val lag = graft.sources.BinlogTailOps.lagMetrics(
+        spark, args.follow.get, s"${args.out}/ckpt")
+      println(s"[graft] follow pass done: ${lag.filesListed} file(s) " +
+        s"listed, frontier ${lag.frontierFile}@${lag.frontierPos}, " +
+        s"consumable lag ${lag.committedLagBytes} B, held-back " +
+        s"${lag.heldBackBytes} B (in-flight/torn tail); state under " +
+        s"${args.out}/tables, re-run to continue from ${args.out}/ckpt")
+      spark.stop()
+      return
+    }
     require(args.binlogText.isDefined || args.binlogJson.isDefined ||
       args.binlogBinary.isDefined,
       "need --binlog-text, --binlog-json or --binlog-binary")
@@ -135,6 +168,88 @@ object Main {
       s"${metrics("avro_files")} avro file(s) compared; outputs in ${args.out}")
     prepared.release()
     spark.stop()
+  }
+
+  /** The FOLLOW posture — the cdc63 composition (ACTIVE-file tail →
+    * multi-table demux → exactly-once maintained state → compaction)
+    * made operable against a user-supplied binlog directory. One
+    * invocation drains everything currently available (AvailableNow):
+    * committed transactions of EVERY table in the feed land in that
+    * table's changelog state under `<out>/tables/<db>.<table>` —
+    * batch_id-partitioned parquet written exactly-once
+    * (applyIdempotent) and compacted on its own schedule — while torn
+    * tails are held back in-source. Re-running resumes from
+    * `<out>/ckpt`: the live pattern is this command under cron, which
+    * is exactly how the reference's one-shot pipeline is deployed
+    * (comparator.sh), minus its FLUSH-BINARY-LOGS requirement. With
+    * `purgeSafe` the checkpoint survives binlog retention between
+    * invocations. Returns the per-table census (events/rows) the
+    * command prints.
+    *
+    * Scale shape: the per-batch table routing collects only the
+    * DISTINCT table names in that batch (bounded, loudly capped), the
+    * feed is decoded once per batch (localCheckpoint) however many
+    * tables it carries, and each table's state write is one bounded
+    * parquet append — the single-subscription/N-states deployment
+    * shape of cdc57/cdc63. */
+  def follow(spark: SparkSession, feed: String, out: String,
+      purgeSafe: Boolean): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val ckpt = s"$out/ckpt"
+    val tablesRoot = s"$out/tables"
+    val stateSchema = "db STRING, tbl STRING, event_type STRING, " +
+      "binlog_file STRING, file_seq BIGINT, event_index BIGINT, " +
+      "xid BIGINT, row_images ARRAY<ARRAY<STRING>>, batch_id BIGINT"
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      val b = batch
+        .filter(col("event_type").isin("WriteRowsEventV2",
+          "UpdateRowsEventV2", "DeleteRowsEventV2"))
+        .select(col("schema").as("db"), col("table").as("tbl"),
+          col("event_type"), col("binlog_file"), col("file_seq"),
+          col("event_index"), col("xid"), col("row_images"))
+        .localCheckpoint(true) // the feed decodes ONCE per batch
+      val tables = b.select("db", "tbl").distinct().limit(1001)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      require(tables.length <= 1000,
+        "follow routes per-table states for up to 1000 distinct tables " +
+          "per batch — this feed carries more; split the subscription")
+      tables.foreach { case (db, tbl) =>
+        val stateDir = s"$tablesRoot/$db.$tbl"
+        ViewMaintenance.applyIdempotent(
+          b.filter(col("db") === db && col("tbl") === tbl), stateDir, id)
+        ViewMaintenance.maybeCompact(spark, stateDir, stateSchema,
+          maxLive = 8, keepLast = 2)(df => df)
+      }
+    }
+    val q = spark.readStream.format("binlog")
+      .option("tailActive", "true")
+      .option("purgeSafe", purgeSafe.toString)
+      .option("maxFilesPerTrigger", 1)
+      .load(feed)
+      .writeStream
+      .foreachBatch(applyBatch _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // census over every table state this and PRIOR invocations built
+    val rootPath = new org.apache.hadoop.fs.Path(tablesRoot)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableDirs =
+      if (!fs.exists(rootPath)) Array.empty[String]
+      else fs.listStatus(rootPath).filter(_.isDirectory)
+        .map(_.getPath.getName).sorted
+    val empty = spark.emptyDataFrame
+      .select(lit("").as("tbl"), lit(0L).as("n_events"),
+        lit(0L).as("n_rows"))
+      .limit(0)
+    tableDirs.foldLeft(empty) { (acc, t) =>
+      acc.unionByName(
+        ViewMaintenance.readState(spark, s"$tablesRoot/$t", stateSchema)
+          .agg(count(lit(1)).as("n_events"),
+            coalesce(sum(size(col("row_images"))), lit(0L)).as("n_rows"))
+          .select(lit(t).as("tbl"), col("n_events"), col("n_rows")))
+    }.orderBy("tbl")
   }
 
   /** A3 — input-file counts per side, with the reference's empty-input

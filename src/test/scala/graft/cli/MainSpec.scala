@@ -213,4 +213,82 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
       assert(e2.getMessage.contains("-8"))
     } finally spark.conf.unset(graft.ops.Similarity.ChunksConfKey)
   }
+
+  test("--follow: tails a live binlog dir into per-table exactly-once " +
+      "states, holds torn tails, resumes across invocations and " +
+      "retention (the operable cdc63 posture)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli_follow").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val out = new java.io.File(root, "out").getPath
+    def stage(df: org.apache.spark.sql.DataFrame, table: String,
+        tableId: Long, seq: Int): Unit = {
+      val st = new java.io.File(root, s"st_$table$seq").getPath
+      graft.ingest.BinlogSink.writeChanges(df.coalesce(1), st,
+        table = table, tableId = tableId, fileSeqStart = seq)
+      Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .foreach(f => assert(f.renameTo(new java.io.File(feed, f.getName))))
+    }
+    // two tables interleaved in one feed (the demux), 3 + 2 rows
+    stage(Seq((1, 1L, "a"), (1, 2L, "b"), (1, 3L, "c"))
+      .toDF("op", "k", "v"), "ta", 21L, seq = 1)
+    stage(Seq((1, 10L, 7L), (1, 20L, 8L)).toDF("op", "k", "x"),
+      "tb", 22L, seq = 2)
+    // an ACTIVE file: one committed txn for ta, then a TORN txn (no XID)
+    import graft.ingest.BinlogBinaryWriter._
+    val cols = Seq(ColDef.longlong, ColDef.varchar(8))
+    val sid = (1 to 16).map(_.toByte).toArray
+    val f = new FileBuilder(checksums = true)
+    f.fde(1714564800L)
+    f.event(1714564800L, 33, gtidBody(sid, 901L))
+    f.event(1714564800L, 2, queryBody("sf", "BEGIN"))
+    f.event(1714564800L, 19, tableMapBody(21L, "sf", "ta", cols))
+    f.event(1714564800L, 30, rowsBody(21L, 2,
+      Seq(Seq(Some(encLongLong(4L)), Some(encVarchar("d", 8))))))
+    f.event(1714564800L, 16, xidBody(7001L))
+    f.event(1714564800L, 33, gtidBody(sid, 902L))
+    f.event(1714564800L, 2, queryBody("sf", "BEGIN"))
+    f.event(1714564800L, 19, tableMapBody(21L, "sf", "ta", cols))
+    f.event(1714564800L, 30, rowsBody(21L, 2,
+      Seq(Seq(Some(encLongLong(99L)), Some(encVarchar("z", 8)))))) // torn
+    Files.write(new java.io.File(feed, "mysql-bin.000009").toPath, f.bytes)
+
+    def census(): Map[String, (Long, Long)] =
+      Main.follow(spark, feed.getPath, out, purgeSafe = true)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    // pass 1: both tables served, the torn row held back — ta has 4
+    // committed rows across 2 WRITE_ROWS events (the 3-row bulk event +
+    // the active file's committed txn), the torn 5th row is absent
+    assert(census() == Map("sf.ta" -> (2L, 4L), "sf.tb" -> (1L, 2L)))
+    // an idle second pass changes nothing (exactly-once across runs)
+    assert(census() == Map("sf.ta" -> (2L, 4L), "sf.tb" -> (1L, 2L)))
+    // retention purges the consumed closed files (purge-safe offsets);
+    // the torn txn completes on the wire; a new tb file arrives
+    assert(new java.io.File(feed, "mysql-bin.000001").delete())
+    assert(new java.io.File(feed, "mysql-bin.000002").delete())
+    Files.write(new java.io.File(feed, "mysql-bin.000009").toPath,
+      { val g = new FileBuilder(checksums = true)
+        g.fde(1714564800L)
+        g.event(1714564800L, 33, gtidBody(sid, 901L))
+        g.event(1714564800L, 2, queryBody("sf", "BEGIN"))
+        g.event(1714564800L, 19, tableMapBody(21L, "sf", "ta", cols))
+        g.event(1714564800L, 30, rowsBody(21L, 2,
+          Seq(Seq(Some(encLongLong(4L)), Some(encVarchar("d", 8))))))
+        g.event(1714564800L, 16, xidBody(7001L))
+        g.event(1714564800L, 33, gtidBody(sid, 902L))
+        g.event(1714564800L, 2, queryBody("sf", "BEGIN"))
+        g.event(1714564800L, 19, tableMapBody(21L, "sf", "ta", cols))
+        g.event(1714564800L, 30, rowsBody(21L, 2,
+          Seq(Seq(Some(encLongLong(99L)), Some(encVarchar("z", 8))))))
+        g.event(1714564800L, 16, xidBody(7002L)) // the completion
+        val all = g.bytes
+        all.slice(new java.io.File(feed, "mysql-bin.000009").length().toInt,
+          all.length) },
+      java.nio.file.StandardOpenOption.APPEND)
+    stage(Seq((1, 30L, 9L)).toDF("op", "k", "x"), "tb", 22L, seq = 12)
+    // pass 3: the completed txn and the new file land exactly once
+    assert(census() == Map("sf.ta" -> (3L, 5L), "sf.tb" -> (2L, 3L)))
+  }
 }
