@@ -65,13 +65,17 @@ object Bench {
       "s01_ann_bruteforce").filter(SparkEntry.queries.contains)
     def calibrate(): Map[String, Double] = calibrationSet.map { name =>
       val fn = SparkEntry.queries(name)
+      // a failed run records -1 (the once() convention), never its
+      // time-to-exception — a bogus 50 ms "sample" would corrupt the
+      // normalization this probe exists to provide
       val samples = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> samples.min
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      }.filter(_ >= 0)
+      name -> (if (samples.isEmpty) -1.0 else samples.min)
     }.toMap
     val calibStart = calibrate()
 

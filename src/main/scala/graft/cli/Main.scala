@@ -14,6 +14,7 @@ import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
   * Usage:
   *   graft.cli.Main --follow <dir-of-raw-binlogs>
   *     [--out <dir>] [--purge-safe]
+  *     [--max-bytes-per-trigger <n>] [--max-files-per-trigger <n>]
   *       — the LIVE-consumer posture ([[follow]]): tail the directory
   *         (the last file may still be growing), demux every table's
   *         committed changes into its own exactly-once compacted state
@@ -62,7 +63,9 @@ object Main {
       splitBytes: Option[Long] = None,
       centroidChunks: Option[Int] = None,
       follow: Option[String] = None,
-      purgeSafe: Boolean = false)
+      purgeSafe: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None)
 
   def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
@@ -85,6 +88,10 @@ object Main {
       parseArgs(rest, acc.copy(centroidChunks = Some(n)))
     case "--follow" :: v :: rest => parseArgs(rest, acc.copy(follow = Some(v)))
     case "--purge-safe" :: rest => parseArgs(rest, acc.copy(purgeSafe = true))
+    case "--max-files-per-trigger" :: v :: rest =>
+      parseArgs(rest, acc.copy(maxFilesPerTrigger = Some(v.toInt)))
+    case "--max-bytes-per-trigger" :: v :: rest =>
+      parseArgs(rest, acc.copy(maxBytesPerTrigger = Some(v.toLong)))
     case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
   }
 
@@ -97,7 +104,9 @@ object Main {
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      follow(spark, args.follow.get, args.out, args.purgeSafe)
+      follow(spark, args.follow.get, args.out, args.purgeSafe,
+          args.maxFilesPerTrigger,
+          args.maxBytesPerTrigger.orElse(Some(1L << 30)))
         .show(truncate = false)
       val lag = graft.sources.BinlogTailOps.lagMetrics(
         spark, args.follow.get, s"${args.out}/ckpt")
@@ -193,7 +202,8 @@ object Main {
     * parquet append — the single-subscription/N-states deployment
     * shape of cdc57/cdc63. */
   def follow(spark: SparkSession, feed: String, out: String,
-      purgeSafe: Boolean): DataFrame = {
+      purgeSafe: Boolean, maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = Some(1L << 30)): DataFrame = {
     import graft.streaming.ViewMaintenance
     val ckpt = s"$out/ckpt"
     val tablesRoot = s"$out/tables"
@@ -221,11 +231,18 @@ object Main {
           maxLive = 8, keepLast = 2)(df => df)
       }
     }
-    val q = spark.readStream.format("binlog")
+    // pacing: default is BYTE-budgeted batches (1 GiB) with no file
+    // cap — a 10k-file backlog drains in a few bounded batches instead
+    // of 10k listings + per-file jobs (the gates' maxFilesPerTrigger=1
+    // is a multi-batch PROOF dial, not a deployment default)
+    val rd0 = spark.readStream.format("binlog")
       .option("tailActive", "true")
       .option("purgeSafe", purgeSafe.toString)
-      .option("maxFilesPerTrigger", 1)
-      .load(feed)
+    val rd1 = maxFilesPerTrigger.fold(rd0)(n =>
+      rd0.option("maxFilesPerTrigger", n))
+    val rd = maxBytesPerTrigger.fold(rd1)(b =>
+      rd1.option("maxBytesPerTrigger", b))
+    val q = rd.load(feed)
       .writeStream
       .foreachBatch(applyBatch _)
       .option("checkpointLocation", ckpt)

@@ -843,12 +843,9 @@ object LifecycleQueries {
     val (tp, tq, tr, ts) = (boundedClass(base, "cdc73", 0),
       boundedClass(base, "cdc73", 1), boundedClass(base, "cdc73", 2),
       boundedClass(base, "cdc73", 3))
+    // (no uuid formatting here: unlike cdc66/cdc70, the discard keys on
+    // the raw per-sid set state, not on one hand-picked server's uuid)
     val sidA = (33 to 48).map(_.toByte).toArray
-    val uuidA = {
-      val h = sidA.map(b => f"${b & 0xff}%02x").mkString
-      s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
-        s"${h.substring(16, 20)}-${h.substring(20)}"
-    }
     val failoverSeq = 800L
     val crafted: Option[(Array[Byte], Array[Byte])] =
       if (tp.isEmpty && tq.isEmpty && tr.isEmpty && ts.isEmpty) None
@@ -951,8 +948,10 @@ object LifecycleQueries {
     // the NEGATIVE proof: replica rows the GTID set discards but the
     // snapshot-time positional mark would ADMIT — the double-count a
     // positional bootstrap suffers on failover. Must exist whenever
-    // the overlap transaction does.
-    posMark.foreach { case (ms, mi) =>
+    // the overlap transaction does. Guarded on `crafted`: a bulk-only
+    // fixture sets posMark (bulk rows ARE the snapshot) but never
+    // writes the replica file this block reads.
+    if (crafted.isDefined) posMark.foreach { case (ms, mi) =>
       val admittedByPos = spark.read.format("binlog")
         .load(s"${feed.getPath}/mysql-bin.000800")
         .filter(col("event_type") === "WriteRowsEventV2")

@@ -250,7 +250,19 @@ private class BinlogScan(paths: Seq[String], required: StructType,
     // multi-path is a BATCH convenience (replays, ad-hoc unions of named
     // files); a stream's offsets index ONE naturally-ordered listing. To
     // consume several feeds in one query, union N single-path streams —
-    // each gets its own offsets in the checkpoint (cdc69's posture).
+    // each gets its own offsets in the checkpoint (cdc69/cdc72's
+    // posture; graft.streaming.Drains.drainBinlogTailUnion /
+    // drainBinlogPurgeTailUnion are the canonical drains, and
+    // BinlogTailOps.lagMetricsUnion reads the per-source lag).
+    // DECIDED (r15): this stays the supported shape rather than a
+    // native multi-dir stream. A composite in-source offset would
+    // re-encode what Spark's offset log already does natively (one
+    // line per source, independent admission and replay), gain no
+    // plan-level behavior (the union is already plan-level, no extra
+    // shuffle), and strand existing union checkpoints — their
+    // per-source offset lines have no in-place translation into a
+    // composite form, which would violate the family's in-place
+    // upgrade discipline (cdc68/cdc71).
     require(paths.length == 1,
       s"a binlog STREAM watches exactly one directory, got ${paths.length} " +
         "paths — union one readStream per feed instead (each keeps its " +

@@ -158,7 +158,7 @@ object BinlogTailOps {
         case Some(j) if j.contains("\"seq\"") =>
           val o = BinlogPurgeTailMicroBatchStream.SeqOffset
             .fromJsonOrLegacy(j, () => listing, seqOf,
-              f => TailWalk.statLen(f, conf))
+              f => TailWalk.statLenOrUnknown(f, conf))
           val i = listing.indexWhere(f => seqOf(f) >= o.seq)
           if (i == -1) (listing.length, 0L, 0L, 0) // everything consumed
           else {

@@ -187,10 +187,17 @@ private class BinlogTailMicroBatchStream(path: String, required: StructType,
     * without the out-of-band [[BinlogTailOps.lagMetrics]] walk. */
   override def metrics(latestConsumedOffset: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
+    // NOT a blind cast: when a restart re-executes a pending batch
+    // (offsets/N written, commits/N missing), Spark hands the raw
+    // offset-log entry — a SerializedOffset — straight to metrics()
+    // (ProgressContext.finishTrigger); Kafka's source converts in this
+    // exact method for the same reason
     val c: TailOffset =
-      if (latestConsumedOffset.isPresent)
-        latestConsumedOffset.get.asInstanceOf[TailOffset]
-      else TailOffset(0, 0L, 0L, 0)
+      if (!latestConsumedOffset.isPresent) TailOffset(0, 0L, 0L, 0)
+      else latestConsumedOffset.get match {
+        case t: TailOffset => t
+        case o => TailOffset.fromJson(o.json())
+      }
     TailMetrics.behind(lastListing, c.n, c.pos, hadoopConf)
   }
 
@@ -276,6 +283,20 @@ private[sources] object TailWalk {
     val p = new org.apache.hadoop.fs.Path(file)
     try p.getFileSystem(conf).getFileStatus(p).getLen
     catch { case _: java.io.IOException => 0L }
+  }
+
+  /** statLen for VALIDATION sites (the legacy-upgrade length check):
+    * a transient stat failure must SKIP the heuristic check
+    * (Long.MaxValue passes any `len >= pos` require) rather than
+    * masquerade as a 0-length file and hard-fail a legitimate upgrade
+    * with a misleading "purge before upgrade?" message. Budget sites
+    * keep [[statLen]]'s 0-on-error (conservative there: an unknown
+    * length consumes no budget). */
+  def statLenOrUnknown(file: String,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    try p.getFileSystem(conf).getFileStatus(p).getLen
+    catch { case _: java.io.IOException => Long.MaxValue }
   }
 }
 
@@ -418,7 +439,7 @@ private class BinlogPurgeTailMicroBatchStream(path: String,
   override def deserializeOffset(json: String): Offset =
     SeqOffset.fromJsonOrLegacy(json,
       () => BinlogScan.listFiles(path).toIndexedSeq, seqOf,
-      f => TailWalk.statLen(f, hadoopConf))
+      f => TailWalk.statLenOrUnknown(f, hadoopConf))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SeqOffset]
@@ -472,10 +493,16 @@ private class BinlogPurgeTailMicroBatchStream(path: String,
   override def metrics(latestConsumedOffset: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
     val listing = lastListing
+    // converts SerializedOffset like the plain tail's metrics() — the
+    // pending-batch re-execution path hands the raw offset-log entry
     val c: SeqOffset =
-      if (latestConsumedOffset.isPresent)
-        latestConsumedOffset.get.asInstanceOf[SeqOffset]
-      else SeqOffset(0L, 0L, 0L, 0)
+      if (!latestConsumedOffset.isPresent) SeqOffset(0L, 0L, 0L, 0)
+      else latestConsumedOffset.get match {
+        case s: SeqOffset => s
+        case o => SeqOffset.fromJsonOrLegacy(o.json(),
+          () => BinlogScan.listFiles(path).toIndexedSeq, seqOf,
+          f => TailWalk.statLenOrUnknown(f, hadoopConf))
+      }
     val i = listing.indexWhere(f => seqOf(f) >= c.seq)
     val ci = if (i == -1) listing.length else i
     val cpos = if (ci < listing.length && seqOf(listing(ci)) == c.seq) c.pos

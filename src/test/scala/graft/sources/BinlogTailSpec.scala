@@ -830,6 +830,41 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
         s"${withBatch2.last.sources.head.metrics} vs $lag2")
   }
 
+  test("ReportsSourceMetrics: a raw serialized offset (what Spark hands " +
+      "metrics() when a restart re-executes a pending batch) converts " +
+      "via the json form instead of a blind-cast crash") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("tail_serof").toFile
+    (1 to 2).foreach { i =>
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      txn(f, i.toLong, Seq(i.toLong * 10))
+      Files.write(new java.io.File(dir, f"mysql-bin.$i%06d").toPath, f.bytes)
+    }
+    def raw(j: String) =
+      new org.apache.spark.sql.connector.read.streaming.Offset {
+        override def json(): String = j
+      }
+    val plain = new BinlogTailMicroBatchStream(
+      dir.getPath, BinlogDataSource.schema, Some(1))
+    plain.latestOffset(plain.initialOffset(), ReadLimit.maxFiles(1))
+    val m = plain.metrics(java.util.Optional.of(
+      raw("{\"n\":1,\"pos\":0,\"idx\":0,\"ck\":0}")))
+    assert(m.get("filesBehind") == "0") // file 2 is the active file
+    assert(m.get("bytesBehind").toLong > 0L) // its unconsumed bytes
+    val purge = new BinlogPurgeTailMicroBatchStream(
+      dir.getPath, BinlogDataSource.schema, Some(1))
+    purge.latestOffset(purge.initialOffset(), ReadLimit.maxFiles(1))
+    val m2 = purge.metrics(java.util.Optional.of(
+      raw("{\"seq\":2,\"pos\":0,\"idx\":0,\"ck\":0}")))
+    assert(m2.get("filesBehind") == "0")
+    assert(m2.get("bytesBehind").toLong > 0L)
+    // and the purge form accepts a LEGACY raw offset (the upgrade
+    // replay), translated against the live listing
+    val m3 = purge.metrics(java.util.Optional.of(raw("{\"n\":1}")))
+    assert(m3.get("bytesBehind") == m2.get("bytesBehind"))
+  }
+
   test("cutover marks under failover: the executed-GTID set discards " +
       "the replica's re-served transaction; a positional mark recorded " +
       "on the old server ADMITS it (the cdc73 negative proof)") {
