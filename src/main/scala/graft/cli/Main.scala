@@ -12,14 +12,16 @@ import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
   * process forks.
   *
   * Usage:
-  *   graft.cli.Main --follow <dir-of-raw-binlogs>
+  *   graft.cli.Main --follow <dir-of-raw-binlogs> [--follow <dir2> …]
   *     [--out <dir>] [--purge-safe]
   *     [--max-bytes-per-trigger <n>] [--max-files-per-trigger <n>]
-  *       — the LIVE-consumer posture ([[follow]]): tail the directory
-  *         (the last file may still be growing), demux every table's
+  *       — the LIVE-consumer posture ([[follow]]): tail the
+  *         directories (each last file may still be growing; several
+  *         --follow dirs union under one checkpoint with per-source
+  *         offsets — the sharded-fleet shape), demux every table's
   *         committed changes into its own exactly-once compacted state
   *         under <out>/tables, hold torn tails back, print the census
-  *         and the consumer's lag; re-run (cron) to continue from
+  *         and per-feed lag; re-run (cron) to continue from
   *         <out>/ckpt, with --purge-safe surviving binlog retention
   *         between runs.
   *
@@ -62,7 +64,7 @@ object Main {
       splitIndexAutoBuild: Boolean = true,
       splitBytes: Option[Long] = None,
       centroidChunks: Option[Int] = None,
-      follow: Option[String] = None,
+      follow: Seq[String] = Nil,
       purgeSafe: Boolean = false,
       maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = None)
@@ -86,7 +88,8 @@ object Main {
       val n = v.toInt
       require(n > 0, s"--centroid-chunks must be positive, got $n")
       parseArgs(rest, acc.copy(centroidChunks = Some(n)))
-    case "--follow" :: v :: rest => parseArgs(rest, acc.copy(follow = Some(v)))
+    case "--follow" :: v :: rest =>
+      parseArgs(rest, acc.copy(follow = acc.follow :+ v))
     case "--purge-safe" :: rest => parseArgs(rest, acc.copy(purgeSafe = true))
     case "--max-files-per-trigger" :: v :: rest =>
       parseArgs(rest, acc.copy(maxFilesPerTrigger = Some(v.toInt)))
@@ -97,24 +100,28 @@ object Main {
 
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv.toList)
-    if (args.follow.isDefined) {
+    if (args.follow.nonEmpty) {
       val spark = SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
         .appName("graft-cdc-follow")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      follow(spark, args.follow.get, args.out, args.purgeSafe,
+      follow(spark, args.follow, args.out, args.purgeSafe,
           args.maxFilesPerTrigger,
           args.maxBytesPerTrigger.orElse(Some(1L << 30)))
         .show(truncate = false)
-      val lag = graft.sources.BinlogTailOps.lagMetrics(
-        spark, args.follow.get, s"${args.out}/ckpt")
-      println(s"[graft] follow pass done: ${lag.filesListed} file(s) " +
-        s"listed, frontier ${lag.frontierFile}@${lag.frontierPos}, " +
-        s"consumable lag ${lag.committedLagBytes} B, held-back " +
-        s"${lag.heldBackBytes} B (in-flight/torn tail); state under " +
-        s"${args.out}/tables, re-run to continue from ${args.out}/ckpt")
+      // one lag row per feed, paired in the union's plan order
+      graft.sources.BinlogTailOps.lagMetricsUnion(
+          spark, args.follow, s"${args.out}/ckpt")
+        .zip(args.follow).foreach { case (lag, feed) =>
+          println(s"[graft] $feed: ${lag.filesListed} file(s) listed, " +
+            s"frontier ${lag.frontierFile}@${lag.frontierPos}, " +
+            s"consumable lag ${lag.committedLagBytes} B, held-back " +
+            s"${lag.heldBackBytes} B (in-flight/torn tail)")
+        }
+      println(s"[graft] follow pass done; state under ${args.out}/tables, " +
+        s"re-run to continue from ${args.out}/ckpt")
       spark.stop()
       return
     }
@@ -201,9 +208,10 @@ object Main {
     * tables it carries, and each table's state write is one bounded
     * parquet append — the single-subscription/N-states deployment
     * shape of cdc57/cdc63. */
-  def follow(spark: SparkSession, feed: String, out: String,
+  def follow(spark: SparkSession, feeds: Seq[String], out: String,
       purgeSafe: Boolean, maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = Some(1L << 30)): DataFrame = {
+    require(feeds.nonEmpty, "--follow needs at least one directory")
     import graft.streaming.ViewMaintenance
     val ckpt = s"$out/ckpt"
     val tablesRoot = s"$out/tables"
@@ -231,18 +239,25 @@ object Main {
           maxLive = 8, keepLast = 2)(df => df)
       }
     }
-    // pacing: default is BYTE-budgeted batches (1 GiB) with no file
-    // cap — a 10k-file backlog drains in a few bounded batches instead
-    // of 10k listings + per-file jobs (the gates' maxFilesPerTrigger=1
-    // is a multi-batch PROOF dial, not a deployment default)
-    val rd0 = spark.readStream.format("binlog")
-      .option("tailActive", "true")
-      .option("purgeSafe", purgeSafe.toString)
-    val rd1 = maxFilesPerTrigger.fold(rd0)(n =>
-      rd0.option("maxFilesPerTrigger", n))
-    val rd = maxBytesPerTrigger.fold(rd1)(b =>
-      rd1.option("maxBytesPerTrigger", b))
-    val q = rd.load(feed)
+    // pacing: default is BYTE-budgeted batches (1 GiB per source) with
+    // no file cap — a 10k-file backlog drains in a few bounded batches
+    // instead of 10k listings + per-file jobs (the gates'
+    // maxFilesPerTrigger=1 is a multi-batch PROOF dial, not a
+    // deployment default). Several --follow dirs become the union of
+    // one stream per feed — each keeps its own offsets under the one
+    // checkpoint (cdc69/cdc72/cdc74's posture; the feed SET is pinned
+    // by the checkpoint, so add shards with a new --out).
+    def src(feed: String): DataFrame = {
+      val rd0 = spark.readStream.format("binlog")
+        .option("tailActive", "true")
+        .option("purgeSafe", purgeSafe.toString)
+      val rd1 = maxFilesPerTrigger.fold(rd0)(n =>
+        rd0.option("maxFilesPerTrigger", n))
+      val rd = maxBytesPerTrigger.fold(rd1)(b =>
+        rd1.option("maxBytesPerTrigger", b))
+      rd.load(feed)
+    }
+    val q = feeds.map(src).reduce(_ unionByName _)
       .writeStream
       .foreachBatch(applyBatch _)
       .option("checkpointLocation", ckpt)

@@ -793,6 +793,167 @@ object LifecycleQueries {
       |FROM base WHERE k % 131 <> 4
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // cdc74 — GTID FAILOVER ACROSS THE SHARDED UNION (the composition
+  // matrix's last live cell: cdc69/cdc72 prove N shards under one
+  // checkpoint, cdc66/cdc70 prove one shard's failover against a
+  // durable executed set — a real fleet has BOTH: any shard can fail
+  // over to its replica at any time. Here both shards fail over
+  // between two drains of ONE union-tail checkpoint: each replica
+  // re-serves that shard's overlap transaction under the SAME
+  // per-shard gtid (sids differ per shard — server A is 33.., server
+  // B is 65..) in a higher-numbered, differently-framed file. The
+  // consumer maintains ONE durable executed-set state for the whole
+  // fleet (per-sid max gno, written exactly-once per batch alongside
+  // the data — cdc70's fold, now fed by rows from BOTH shards in the
+  // same batches), STOPS, recovers the per-sid marks from the state,
+  // and discards post-failover rows covered by the set via cdc73's
+  // broadcast join — sid-keyed, so the one filter serves every shard
+  // without knowing which source a row rode in on. The batch-0
+  // redelivery (a bulk file, routed to its shard) replays with the
+  // marks ALREADY recovered: the file_seq guard keeps pre-failover
+  // rows untouched, so the overwrite is bit-identical. Oracle
+  // excludes exactly the torn class per shard: a set that blended
+  // sids discards shard B's new txns with shard A's marks; a mark
+  // that died with the process double-counts both overlaps; a
+  // frontier crossing between shards re-serves whole files — all
+  // hash mismatches. At 100 TB: one broadcast of |fleet sids| rows,
+  // one hashed probe per event, and failover remains a per-shard
+  // routine event that never pauses the other shards' ingestion.
+  def cdc74GtidShardedFailover(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc74_", dir)
+    root.mkdirs()
+    val feedA = new java.io.File(root, "feed_a")
+    val feedB = new java.io.File(root, "feed_b")
+    val state = new java.io.File(root, "state").getPath
+    val gtidState = new java.io.File(root, "gtid_state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id")).as("v"))
+    // per-shard closed bulk, disjoint numbering (redelivery routing)
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 2 === 0 && col("k") % 131 >= 4)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(2, col("k")),
+      feedA.getPath, rowsPerTxn = 50, fileSeqStart = 1)
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 2 === 1 && col("k") % 131 >= 4)
+        .select(lit(1).as("op"), col("k"), col("v"))
+        .repartitionByRange(2, col("k")),
+      feedB.getPath, rowsPerTxn = 50, fileSeqStart = 101)
+    val failoverSeq = 800L
+    // per shard: (server file P+Q, replica file Q@50+R+S-torn) under
+    // that shard's own server sid
+    def craft(shard: Long): Option[(Array[Byte], Array[Byte])] = {
+      val shardBase = base.filter(col("k") % 2 === shard)
+      val (tp, tq, tr, ts) = (boundedClass(shardBase, s"cdc74/$shard", 0),
+        boundedClass(shardBase, s"cdc74/$shard", 1),
+        boundedClass(shardBase, s"cdc74/$shard", 2),
+        boundedClass(shardBase, s"cdc74/$shard", 3))
+      if (tp.isEmpty && tq.isEmpty && tr.isEmpty && ts.isEmpty) None
+      else {
+        val w = new TailFeedWriter(Seq(tp, tq, tr, ts),
+          sid = (1 to 16).map(b => (b + 32 * (shard + 1)).toByte).toArray)
+        val (fA, _) = w.newFile()
+        if (tp.nonEmpty) w.txn(fA, 9001L, 17001L + shard, tp)
+        if (tq.nonEmpty) w.txn(fA, 9002L, 17002L + shard, tq)
+        val (fB, _) = w.newFile()
+        if (tq.nonEmpty) w.txn(fB, 9002L, 17002L + shard, tq, perEvent = 50)
+        if (tr.nonEmpty) w.txn(fB, 9003L, 17003L + shard, tr)
+        if (ts.nonEmpty) w.txn(fB, 9004L, 17004L + shard, ts, commit = false)
+        Some((fA.bytes, fB.bytes))
+      }
+    }
+    val craftedA = craft(0)
+    val craftedB = craft(1)
+    craftedA.foreach { case (a, _) => java.nio.file.Files.write(
+      new java.io.File(feedA, "mysql-bin.000500").toPath, a) }
+    craftedB.foreach { case (a, _) => java.nio.file.Files.write(
+      new java.io.File(feedB, "mysql-bin.000500").toPath, a) }
+    val gno = substring_index(col("gtid_next"), ":", -1).cast("long")
+    // the recovered fleet-wide marks: None before the failover restart,
+    // then a FROZEN broadcast (sid, exec_gno) table read from the state
+    var marks: Option[DataFrame] = None
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      val rows = batch.filter(col("event_type") === "WriteRowsEventV2")
+        .localCheckpoint(true) // one decode: set agg + apply
+      val kept = marks match {
+        case None => rows
+        case Some(m) => rows
+          .withColumn("__sid", substring_index(col("gtid_next"), ":", 1))
+          .join(broadcast(m), col("__sid") === col("sid"), "left")
+          .filter(!(col("file_seq") >= failoverSeq &&
+            col("exec_gno").isNotNull && gno <= col("exec_gno")))
+      }
+      ViewMaintenance.applyIdempotent(
+        kept.select(explode(col("row_images")).as("img"))
+          .select(element_at(col("img"), 1).cast("long").as("k")),
+        state, id)
+      // ONE durable executed set for the whole fleet: per-sid max gno
+      // this batch, whichever shard the rows rode in on
+      ViewMaintenance.applyIdempotent(
+        rows.filter(col("gtid_next") =!= "")
+          .select(substring_index(col("gtid_next"), ":", 1).as("sid"),
+            gno.as("gno"))
+          .groupBy("sid").agg(max(col("gno")).as("gno")),
+        gtidState, id)
+    }
+    def drain(): Unit = graft.streaming.Drains.drainBinlogTailUnion(
+      spark, Seq(feedA.getPath, feedB.getPath), ckpt)(applyBatch)
+    // run 1: both servers healthy; the process then STOPS (marks still
+    // live only in the state)
+    drain()
+    // BOTH shards fail over: each replica's file arrives
+    craftedA.foreach { case (_, b) => java.nio.file.Files.write(
+      new java.io.File(feedA, "mysql-bin.000800").toPath, b) }
+    craftedB.foreach { case (_, b) => java.nio.file.Files.write(
+      new java.io.File(feedB, "mysql-bin.000800").toPath, b) }
+    // the restarted consumer recovers the fleet's executed set FROM
+    // THE STATE before resubscribing
+    marks = Some(ViewMaintenance.readState(spark, gtidState,
+        "sid STRING, gno BIGINT, batch_id BIGINT")
+      .groupBy("sid").agg(max(col("gno")).as("exec_gno"))
+      .localCheckpoint(true))
+    drain()
+    // injected batch-0 redelivery (bulk, pre-failover): the file_seq
+    // guard keeps the recovered marks away from it — bit-identical
+    if (batch0Files.nonEmpty) {
+      val paths = batch0Files.toSeq.map { f =>
+        val inA = new java.io.File(feedA, f)
+        if (inA.isFile) inA.getPath else new java.io.File(feedB, f).getPath
+      }
+      applyBatch(spark.read.format("binlog").load(paths: _*), 0L)
+    }
+    ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
+      .withColumn("shard", (col("k") % 2).cast("long"))
+      .withColumn("src", when(col("k") % 131 === 0, "txn_p")
+        .when(col("k") % 131 === 1, "txn_q")
+        .when(col("k") % 131 === 2, "txn_r").otherwise("bulk"))
+      .groupBy("shard", "src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("shard", "src")
+  }
+
+  val cdc74Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT k % 2 AS shard,
+      |  CASE WHEN k % 131 = 0 THEN 'txn_p'
+      |       WHEN k % 131 = 1 THEN 'txn_q'
+      |       WHEN k % 131 = 2 THEN 'txn_r'
+      |       ELSE 'bulk' END AS src,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM base WHERE k % 131 <> 3
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // cdc73 — SNAPSHOT CUTOVER ON THE EXECUTED-GTID SET (the r14 verdict's
   // second task: cdc60's bootstrap discards by (file_seq, event_index) —
   // a PER-SERVER coordinate that dies on failover; cdc66/cdc70 proved
@@ -2543,6 +2704,7 @@ object LifecycleQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc74_gtid_sharded_failover" -> (cdc74GtidShardedFailover _),
     "cdc73_gtid_set_cutover" -> (cdc73GtidSetCutover _),
     "cdc72_purge_sharded_union" -> (cdc72PurgeShardedUnion _),
     "cdc71_tail_purge" -> (cdc71TailPurge _),
@@ -2568,6 +2730,7 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc74_gtid_sharded_failover" -> cdc74Oracle,
     // the set-keyed bootstrap applies exactly what the failover gate
     // applies — snapshot + replica-only txns, torn class excluded
     "cdc73_gtid_set_cutover" -> cdc66Oracle,

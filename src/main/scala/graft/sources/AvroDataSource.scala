@@ -251,6 +251,9 @@ private class AvroMicroBatchStream(path: String, schemaJson: String,
   override protected def makePartitions(f: (String, Long)): Seq[InputPartition] =
     Seq(AvroInputPartition(f._1, 0L, f._2))
 
+  // the lister already stats lengths — bytesBehind is free here
+  override protected def byteLen(f: (String, Long)): Long = f._2
+
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(schemaJson, required, fileNameColumn,
       org.apache.spark.graftshim.SerializableHadoopConf.session())

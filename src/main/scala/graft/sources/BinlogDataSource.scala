@@ -425,6 +425,13 @@ private class BinlogMicroBatchStream(path: String, required: StructType,
         else Seq(BinlogInputPartition(file))
     }
 
+  // bytesBehind for the in-band metrics: one best-effort stat per
+  // not-yet-consumed file per progress event (0-on-error is fine for
+  // an observability number)
+  override protected def byteLen(f: String): Long =
+    TailWalk.statLen(f,
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new BinlogReaderFactory(required,
       org.apache.spark.graftshim.SerializableHadoopConf.session())

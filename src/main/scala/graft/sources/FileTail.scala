@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.InputPartition
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 
 /** Shared micro-batch tail over an append-only file listing (the binlog
   * and avrofile sources): the offset is a POSITION IN THE SORTED FILE
@@ -19,11 +19,20 @@ private[sources] abstract class FileCountMicroBatchStream[A](
     list: () => IndexedSeq[A],
     maxFilesPerTrigger: Option[Int])
     extends MicroBatchStream
-    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
 
   /** The partitions for one consumed file — usually one, but a source
     * with an intra-file split index fans a huge file into several. */
   protected def makePartitions(a: A): Seq[InputPartition]
+
+  /** Byte length of one unconsumed listing element for the in-band
+    * `bytesBehind` metric; a negative return means "unknown" and
+    * suppresses the byte metric (the file-count metric always
+    * reports). Subclasses whose lister already carries lengths (avro)
+    * answer for free; the binlog subclass pays one stat per
+    * not-yet-consumed file per progress event. */
+  protected def byteLen(a: A): Long = -1L
 
   /** Called once per [[planInputPartitions]] with the trigger's whole
     * slice, before any [[makePartitions]] call — a source needing a batch
@@ -92,6 +101,28 @@ private[sources] abstract class FileCountMicroBatchStream[A](
     val slice = listing.slice(s, e)
     prepareSlice(slice)
     slice.flatMap(makePartitions).toArray
+  }
+
+  /** In-band lag for `StreamingQueryProgress.sources[].metrics`, the
+    * count-based analogue of the tail streams' [[TailMetrics]]:
+    * `filesBehind` vs the planning cycle's listing snapshot, plus
+    * `bytesBehind` when [[byteLen]] answers. Raw serialized offsets
+    * (the pending-batch re-execution path) convert via the json form,
+    * never a blind cast. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val listing = lastListing
+    val n =
+      if (!latestConsumedOffset.isPresent) 0
+      else latestConsumedOffset.get match {
+        case f: FileCountOffset => f.n
+        case o => deserializeOffset(o.json()).asInstanceOf[FileCountOffset].n
+      }
+    val m = new java.util.HashMap[String, String]()
+    m.put("filesBehind", math.max(0, listing.length - n).toString)
+    val lens = listing.drop(math.max(0, n)).map(byteLen)
+    if (lens.forall(_ >= 0L)) m.put("bytesBehind", lens.sum.toString)
+    m
   }
 
   override def commit(end: Offset): Unit = ()

@@ -255,7 +255,7 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
     Files.write(new java.io.File(feed, "mysql-bin.000009").toPath, f.bytes)
 
     def census(): Map[String, (Long, Long)] =
-      Main.follow(spark, feed.getPath, out, purgeSafe = true)
+      Main.follow(spark, Seq(feed.getPath), out, purgeSafe = true)
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
     // pass 1: both tables served, the torn row held back — ta has 4
@@ -290,5 +290,29 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
     stage(Seq((1, 30L, 9L)).toDF("op", "k", "x"), "tb", 22L, seq = 12)
     // pass 3: the completed txn and the new file land exactly once
     assert(census() == Map("sf.ta" -> (3L, 5L), "sf.tb" -> (2L, 3L)))
+
+    // the SHARDED posture: several --follow dirs union under one
+    // fresh checkpoint (per-source offsets), one merged census.
+    // feed currently holds file 9 (ta: 2 committed txns) and file 12
+    // (tb: 1 row); feedB contributes 2 more tb rows
+    val feedB = new java.io.File(root, "feed_b"); feedB.mkdirs()
+    val stB = new java.io.File(root, "st_b").getPath
+    graft.ingest.BinlogSink.writeChanges(
+      Seq((1, 40L, 5L), (1, 50L, 6L)).toDF("op", "k", "x").coalesce(1),
+      stB, table = "tb", tableId = 22L, fileSeqStart = 201)
+    Option(new java.io.File(stB).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .foreach(f => assert(f.renameTo(new java.io.File(feedB, f.getName))))
+    val out2 = new java.io.File(root, "out2").getPath
+    val merged = Main.follow(spark,
+        Seq(feed.getPath, feedB.getPath), out2, purgeSafe = true)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(merged == Map("sf.ta" -> (2L, 2L), "sf.tb" -> (2L, 3L)),
+      s"the union census must merge both feeds' tables: $merged")
+    // and the per-feed lag surface reads the union checkpoint
+    val lags = graft.sources.BinlogTailOps.lagMetricsUnion(spark,
+      Seq(feed.getPath, feedB.getPath), s"$out2/ckpt")
+    assert(lags.length == 2 && lags.forall(_.committedLagBytes == 0L))
   }
 }

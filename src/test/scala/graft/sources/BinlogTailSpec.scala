@@ -865,6 +865,64 @@ class BinlogTailSpec extends AnyFunSuite with SparkTestSession {
     assert(m3.get("bytesBehind") == m2.get("bytesBehind"))
   }
 
+  test("in-band metrics across the source family: the count-based " +
+      "stream reports filesBehind/bytesBehind too, and a UNION drain's " +
+      "progress carries one independent metrics map per source") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = Files.createTempDirectory("tail_fammet").toFile
+    val feedA = new java.io.File(root, "feed_a"); feedA.mkdirs()
+    val feedB = new java.io.File(root, "feed_b"); feedB.mkdirs()
+    def writeTxn(feed: java.io.File, seq: Int, k: Long): Long = {
+      val f = new FileBuilder(checksums = true)
+      f.fde(t0)
+      txn(f, k, Seq(k))
+      val file = new java.io.File(feed, f"mysql-bin.$seq%06d")
+      Files.write(file.toPath, f.bytes)
+      file.length()
+    }
+    val lenA1 = writeTxn(feedA, 1, 1L)
+    val lenA2 = writeTxn(feedA, 2, 2L)
+    writeTxn(feedB, 101, 10L)
+
+    // the count-based stream's metrics surface, driven directly
+    val counted = new BinlogMicroBatchStream(feedA.getPath,
+      BinlogDataSource.schema)
+    counted.latestOffset(counted.initialOffset(), ReadLimit.maxFiles(1))
+    val m0 = counted.metrics(java.util.Optional.empty())
+    assert(m0.get("filesBehind") == "2")
+    assert(m0.get("bytesBehind").toLong == lenA1 + lenA2)
+    val m1 = counted.metrics(java.util.Optional.of(
+      new org.apache.spark.sql.connector.read.streaming.Offset {
+        override def json(): String = "{\"n\":1}" // raw serialized form
+      }))
+    assert(m1.get("filesBehind") == "1")
+    assert(m1.get("bytesBehind").toLong == lenA2)
+
+    // a two-source union drain: each source's progress row carries its
+    // OWN metrics map (feed A fully drained; feed B drained too — both
+    // end at zero, but the maps are per-source, not blended)
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val q = spark.readStream.format("binlog")
+      .option("tailActive", "true").load(feedA.getPath)
+      .unionByName(spark.readStream.format("binlog")
+        .option("tailActive", "true").load(feedB.getPath))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.count(); () }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val last = q.recentProgress.filter(_.numInputRows > 0).last
+    assert(last.sources.length == 2,
+      s"a union reports one source progress row per feed: $last")
+    last.sources.foreach { s =>
+      assert(s.metrics.containsKey("filesBehind") &&
+        s.metrics.containsKey("bytesBehind"),
+        s"every source row carries the in-band metrics: $s")
+    }
+  }
+
   test("cutover marks under failover: the executed-GTID set discards " +
       "the replica's re-served transaction; a positional mark recorded " +
       "on the old server ADMITS it (the cdc73 negative proof)") {
