@@ -212,6 +212,31 @@ object Main {
       purgeSafe: Boolean, maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = Some(1L << 30)): DataFrame = {
     require(feeds.nonEmpty, "--follow needs at least one directory")
+    require(feeds.distinct.length == feeds.length,
+      s"--follow lists the same directory twice ($feeds): two streams " +
+        "over one dir would ingest every row twice")
+    // Spark's offset log pairs sources POSITIONALLY — it records no
+    // path identity — so a resume with the feeds reordered would
+    // silently hand each feed another feed's offsets (under purgeSafe
+    // that skips or re-serves whole files). Pin the exact ordered list
+    // on first run; refuse any later mismatch loudly.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val manifest = new org.apache.hadoop.fs.Path(out, "feeds")
+    val mfs = manifest.getFileSystem(conf)
+    if (mfs.exists(manifest)) {
+      val in = mfs.open(manifest)
+      val recorded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      require(recorded == feeds.toList,
+        s"this checkpoint was created for feeds $recorded but this run " +
+          s"names $feeds — pass the SAME directories in the SAME order " +
+          "(offsets pair positionally), or start a new --out")
+    } else {
+      val os = mfs.create(manifest, false)
+      try os.write((feeds.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally os.close()
+    }
     import graft.streaming.ViewMaintenance
     val ckpt = s"$out/ckpt"
     val tablesRoot = s"$out/tables"

@@ -868,19 +868,20 @@ object LifecycleQueries {
     }
     val craftedA = craft(0)
     val craftedB = craft(1)
+    // crafted names stay DISJOINT per shard (A: 500/800, B: 600/900 —
+    // cdc72's discipline): the redelivery routes names back to feeds
     craftedA.foreach { case (a, _) => java.nio.file.Files.write(
       new java.io.File(feedA, "mysql-bin.000500").toPath, a) }
     craftedB.foreach { case (a, _) => java.nio.file.Files.write(
-      new java.io.File(feedB, "mysql-bin.000500").toPath, a) }
+      new java.io.File(feedB, "mysql-bin.000600").toPath, a) }
     val gno = substring_index(col("gtid_next"), ":", -1).cast("long")
     // the recovered fleet-wide marks: None before the failover restart,
     // then a FROZEN broadcast (sid, exec_gno) table read from the state
     var marks: Option[DataFrame] = None
-    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val batch0 = new graft.streaming.Drains.UnionBatch0(
+      Seq(feedA.getPath, feedB.getPath))
     def applyBatch(batch: DataFrame, id: Long): Unit = {
-      if (id == 0L && batch0Files.isEmpty)
-        batch0Files ++= batch.select(col("binlog_file")).distinct()
-          .collect().map(_.getString(0))
+      batch0.record(batch, id)
       val rows = batch.filter(col("event_type") === "WriteRowsEventV2")
         .localCheckpoint(true) // one decode: set agg + apply
       val kept = marks match {
@@ -909,11 +910,12 @@ object LifecycleQueries {
     // run 1: both servers healthy; the process then STOPS (marks still
     // live only in the state)
     drain()
-    // BOTH shards fail over: each replica's file arrives
+    // BOTH shards fail over: each replica's file arrives (disjoint
+    // names; both >= failoverSeq so the discard guard covers them)
     craftedA.foreach { case (_, b) => java.nio.file.Files.write(
       new java.io.File(feedA, "mysql-bin.000800").toPath, b) }
     craftedB.foreach { case (_, b) => java.nio.file.Files.write(
-      new java.io.File(feedB, "mysql-bin.000800").toPath, b) }
+      new java.io.File(feedB, "mysql-bin.000900").toPath, b) }
     // the restarted consumer recovers the fleet's executed set FROM
     // THE STATE before resubscribing
     marks = Some(ViewMaintenance.readState(spark, gtidState,
@@ -923,13 +925,8 @@ object LifecycleQueries {
     drain()
     // injected batch-0 redelivery (bulk, pre-failover): the file_seq
     // guard keeps the recovered marks away from it — bit-identical
-    if (batch0Files.nonEmpty) {
-      val paths = batch0Files.toSeq.map { f =>
-        val inA = new java.io.File(feedA, f)
-        if (inA.isFile) inA.getPath else new java.io.File(feedB, f).getPath
-      }
-      applyBatch(spark.read.format("binlog").load(paths: _*), 0L)
-    }
+    if (batch0.nonEmpty)
+      applyBatch(spark.read.format("binlog").load(batch0.paths: _*), 0L)
     ViewMaintenance.readState(spark, state, "k BIGINT, batch_id BIGINT")
       .withColumn("shard", (col("k") % 2).cast("long"))
       .withColumn("src", when(col("k") % 131 === 0, "txn_p")
@@ -1225,11 +1222,10 @@ object LifecycleQueries {
       java.nio.file.Files.write(activeA.toPath, i1) }
     craftedB.foreach { case (i1, _, _) =>
       java.nio.file.Files.write(activeB.toPath, i1) }
-    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val batch0 = new graft.streaming.Drains.UnionBatch0(
+      Seq(feedA.getPath, feedB.getPath))
     def applyBatch(batch: DataFrame, id: Long): Unit = {
-      if (id == 0L && batch0Files.isEmpty)
-        batch0Files ++= batch.select(col("binlog_file")).distinct()
-          .collect().map(_.getString(0))
+      batch0.record(batch, id)
       ViewMaintenance.applyIdempotent(
         batch.filter(col("event_type") === "WriteRowsEventV2")
           .select(explode(col("row_images")).as("img"))
@@ -1241,13 +1237,8 @@ object LifecycleQueries {
     drain()
     // crash-after-commit redelivery happens BEFORE retention purges;
     // recorded names route back to their shard (disjoint numbering)
-    if (batch0Files.nonEmpty) {
-      val paths = batch0Files.toSeq.map { f =>
-        val inA = new java.io.File(feedA, f)
-        if (inA.isFile) inA.getPath else new java.io.File(feedB, f).getPath
-      }
-      applyBatch(spark.read.format("binlog").load(paths: _*), 0L)
-    }
+    if (batch0.nonEmpty)
+      applyBatch(spark.read.format("binlog").load(batch0.paths: _*), 0L)
     // retention on BOTH shards: every consumed closed file vanishes —
     // each listing shrinks to just its active file, which shifts every
     // index under any index-keyed offset on either source

@@ -153,6 +153,7 @@ private class BinlogTailMicroBatchStream(path: String, required: StructType,
     val listing =
       if (lastListing.length > needed) lastListing
       else BinlogScan.listFiles(path).toIndexedSeq
+    lastListing = listing // restart replays re-list here; metrics too
     require(listing.length > needed || e.lt(s) || (s.n == e.n && s.pos == e.pos),
       s"binlog tail: watched dir lost files (need listing index $needed, " +
         s"have ${listing.length}) — the dir must stay append-only while " +
@@ -456,6 +457,7 @@ private class BinlogPurgeTailMicroBatchStream(path: String,
     val listing =
       if (lastListing.exists(f => seqOf(f) >= e.seq)) lastListing
       else checkedSeqs(BinlogScan.listFiles(path).toIndexedSeq)
+    lastListing = listing // restart replays re-list here; metrics too
     require(s.pos == 0L || listing.exists(f => seqOf(f) == s.seq),
       s"binlog purge-tail: replay needs file with suffix ${s.seq} " +
         s"(consumed to ${s.pos}) but it was purged — keep retention " +

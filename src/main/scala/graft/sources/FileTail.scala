@@ -97,7 +97,11 @@ private[sources] abstract class FileCountMicroBatchStream[A](
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FileCountOffset].n
     val e = end.asInstanceOf[FileCountOffset].n
+    // keep the snapshot when re-listing (a restart re-executes its
+    // pending batch through here before any latestOffset call — the
+    // metrics for that batch must not see an empty listing)
     val listing = if (lastListing.length >= e) lastListing else list()
+    lastListing = listing
     val slice = listing.slice(s, e)
     prepareSlice(slice)
     slice.flatMap(makePartitions).toArray
@@ -109,6 +113,12 @@ private[sources] abstract class FileCountMicroBatchStream[A](
     * `bytesBehind` when [[byteLen]] answers. Raw serialized offsets
     * (the pending-batch re-execution path) convert via the json form,
     * never a blind cast. */
+  // rotated files never change size, so their byteLen is cached after
+  // the first stat; only the LAST listed file (possibly still growing)
+  // is re-measured per progress event — without this a file-capped
+  // drain over a B-file backlog would pay ~B^2/2 stats
+  private val lenCache = scala.collection.mutable.HashMap.empty[A, Long]
+
   override def metrics(latestConsumedOffset: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
     val listing = lastListing
@@ -120,7 +130,11 @@ private[sources] abstract class FileCountMicroBatchStream[A](
       }
     val m = new java.util.HashMap[String, String]()
     m.put("filesBehind", math.max(0, listing.length - n).toString)
-    val lens = listing.drop(math.max(0, n)).map(byteLen)
+    val behind = listing.drop(math.max(0, n))
+    val lens = behind.zipWithIndex.map { case (a, i) =>
+      if (i == behind.length - 1) byteLen(a) // the active file: fresh
+      else lenCache.getOrElseUpdate(a, byteLen(a))
+    }
     if (lens.forall(_ >= 0L)) m.put("bytesBehind", lens.sum.toString)
     m
   }

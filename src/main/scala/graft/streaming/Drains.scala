@@ -163,6 +163,33 @@ object Drains {
       q.awaitTermination()
     }
 
+  /** Batch-0 capture + unambiguous name→feed routing for UNION drains
+    * (cdc72/cdc74's injected crash-after-commit redelivery; cdc69/s56
+    * predate it and keep their settled inline copies): record the file
+    * names batch 0 actually processed (bounded by maxFilesPerTrigger=1
+    * per source), then resolve each name back to the ONE feed holding
+    * it — a name present in several feeds is REFUSED, because routing
+    * it to the first match would silently rebuild batch 0 from one
+    * shard's copy only and fail the gate with a misleading
+    * sink-not-replay-safe diagnosis. Keep per-shard file numbering
+    * disjoint. Fixture-side scaffold (local files by design — real
+    * redelivery is Spark's own offset-range replay). */
+  final class UnionBatch0(feeds: Seq[String]) {
+    private val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    def record(batch: DataFrame, id: Long): Unit =
+      if (id == 0L && names.isEmpty)
+        names ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+    def nonEmpty: Boolean = names.nonEmpty
+    def paths: Seq[String] = names.toSeq.map { n =>
+      val hits = feeds.map(f => new java.io.File(f, n)).filter(_.isFile)
+      require(hits.length == 1,
+        s"batch-0 file '$n' resolves to ${hits.length} feeds — union " +
+          "redelivery needs disjoint per-shard file numbering")
+      hits.head.getPath
+    }
+  }
+
   /** The shared EXACTLY-ONCE drain: per batch, land `partials(batch)` in
     * its own batch_id partition (ViewMaintenance.applyIdempotent),
     * recording which feed file(s) batch 0 ACTUALLY processed (≤1 by

@@ -314,5 +314,20 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
     val lags = graft.sources.BinlogTailOps.lagMetricsUnion(spark,
       Seq(feed.getPath, feedB.getPath), s"$out2/ckpt")
     assert(lags.length == 2 && lags.forall(_.committedLagBytes == 0L))
+
+    // the feed manifest: offsets pair POSITIONALLY, so a resume with
+    // the dirs reordered (or renamed) must refuse loudly instead of
+    // silently handing each feed another feed's offsets
+    val exOrder = intercept[IllegalArgumentException] {
+      Main.follow(spark, Seq(feedB.getPath, feed.getPath), out2,
+        purgeSafe = true)
+    }
+    assert(exOrder.getMessage.contains("SAME order"), s"got: $exOrder")
+    // and the same dir twice is two streams double-ingesting one feed
+    val exDup = intercept[IllegalArgumentException] {
+      Main.follow(spark, Seq(feed.getPath, feed.getPath),
+        new java.io.File(root, "out3").getPath, purgeSafe = true)
+    }
+    assert(exDup.getMessage.contains("twice"), s"got: $exDup")
   }
 }
