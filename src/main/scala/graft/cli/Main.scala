@@ -263,6 +263,12 @@ object Main {
         ViewMaintenance.maybeCompact(spark, stateDir, stateSchema,
           maxLive = 8, keepLast = 2)(df => df)
       }
+      // consistency mark: published only after EVERY table's batch
+      // landed, so a cross-table reader using
+      // readStateAsOf(publishedMark(out)) never sees a torn batch —
+      // a crash above leaves readers at the previous mark and the
+      // redelivered batch completes it (cdc76's protocol)
+      ViewMaintenance.publishMark(spark, out, id)
     }
     // pacing: default is BYTE-budgeted batches (1 GiB per source) with
     // no file cap — a 10k-file backlog drains in a few bounded batches

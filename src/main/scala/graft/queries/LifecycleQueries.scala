@@ -2694,7 +2694,231 @@ object LifecycleQueries {
       |FROM base WHERE k % 131 <> 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // cdc75 — TIME-TRAVEL READ over a maintained state (the REPRODUCIBILITY
+  // residual of the maintenance layer: cdc51/59/62 prove the serving read
+  // survives compaction, but a training-data deployment also needs to
+  // re-read the state AS OF an earlier mark — "what did release N train
+  // on" — months after compaction folded those batches away). The drain
+  // lands four delta installments whose membership is DATA-DERIVED
+  // (o_orderkey % 20 picks the class, one binlog file per class with
+  // explicit ascending sequence numbers), so batch i IS class i and the
+  // oracle can recompute every historical mark with modulo predicates —
+  // a hash-partitioned feed would make batch composition unreproducible
+  // in SQL. Two mid-drain compactions exercise the whole retention
+  // contract: the first base (coverage 0) is RETAINED by the second
+  // (coverage 2, retainBases = 1), batch 3 stays live — so the state
+  // ends with readable marks {0 exactly} ∪ [2, 3]. The gate reads marks
+  // 0 (a retained base alone), 2 (the current base alone), and 3 (base +
+  // one live delta); the oracle recomputes each from orders × lineitem
+  // directly, so a fold loss, a wrong base picked, a GC'd delta leaking
+  // in, or a mark served from the wrong side of a compaction is a hash
+  // mismatch. (The REFUSAL inside the compacted region — mark 1 — is
+  // pinned in ViewMaintenanceSpec; a refusal cannot ride a DataFrame.)
+  // At 100 TB: as-of reads cost exactly what serving reads cost (one
+  // driver listing + partition-pruned literal predicates); history
+  // retention is bounded by retainBases snapshots, not by replaying a
+  // log.
+  def cdc75TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc75_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val fx = ivmFixture(spark, dir)
+    val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
+    (0 until 4).foreach { i =>
+      val stg = new java.io.File(root, s"stage$i")
+      graft.ingest.BinlogSink.writeChanges(
+        fx.aDelta.filter(col("o_orderkey") % 20 === lit(5L * i))
+          .select(lit(1).as("op"), col("o_orderkey"), col("o_orderpriority"))
+          .repartition(1),
+        stg.getPath, fileSeqStart = i + 1)
+      val files = Option(stg.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+      require(files.nonEmpty, s"cdc75 fixture class $i wrote no file — an " +
+        "empty delta class would shift every later batch id")
+      files.foreach { f =>
+        require(f.renameTo(new java.io.File(feed, f.getName)),
+          s"fixture deliver failed: $f")
+      }
+    }
+    val stateSchema =
+      "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT"
+    def foldPartials(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
+    drainBinlogFeed(spark, feed.getPath, ckpt) { (batch, id) =>
+      ViewMaintenance.applyIdempotent(
+        fx.partials(decodeIvmDelta(batch), bPrime), state, id)
+      if (id == 1L) // first base: seeds + batch 0 folded, coverage 0
+        ViewMaintenance.compact(spark, state, stateSchema, upto = 0L)(foldPartials)
+      if (id == 3L) // second base RETAINS the first; batch 3 stays live
+        ViewMaintenance.compact(spark, state, stateSchema, upto = 2L,
+          retainBases = 1)(foldPartials)
+    }
+    def asOf(m: Long): DataFrame =
+      ViewMaintenance.readStateAsOf(spark, state, stateSchema, m)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+        .withColumn("as_of", lit(m))
+    asOf(0L).unionByName(asOf(2L)).unionByName(asOf(3L))
+      .select("as_of", "o_orderpriority", "cents", "n")
+      .orderBy("as_of", "o_orderpriority")
+  }
+
+  val cdc75Oracle: String =
+    """WITH j AS (
+      |  SELECT o.o_orderkey AS k, o.o_orderpriority,
+      |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |), marks AS (
+      |  SELECT CAST(0 AS BIGINT) AS as_of
+      |  UNION ALL SELECT 2 UNION ALL SELECT 3
+      |)
+      |SELECT m.as_of, j.o_orderpriority, CAST(SUM(j.c) AS BIGINT) AS cents,
+      |  COUNT(*) AS n
+      |FROM marks m CROSS JOIN j
+      |WHERE j.k % 5 <> 0 OR j.k % 20 <= 5 * m.as_of
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // cdc76 — CONSISTENT CROSS-TABLE DEMUX READ (the visibility seam the
+  // demux layer leaves open: inside one batch the per-table states land
+  // SEQUENTIALLY, so a crash after table A's write but before the batch
+  // completes leaves A at batch N and B at N−1 — a reader joining the
+  // demuxed tables sees a TORN transaction. The published-mark protocol
+  // closes it: the writer publishes mark N only after EVERY table's
+  // batch N landed — atomic create, forward-only — and a consistent
+  // reader reads each table with readStateAsOf(published): consistency
+  // and cdc75's time travel are the SAME primitive.) The feed pairs
+  // ta's and tb's installments by ascending sequence number, two files
+  // per trigger, so BOTH tables ride every batch; the drain skips the
+  // final publish — the injected crash window — and the gate reads the
+  // group both ways: consistent (each table as-of the published mark)
+  // and raw (whatever is on disk — the torn view, one whole batch
+  // ahead). The redelivery + publish then completes the batch (the
+  // restart), and the consistent view catches up. The oracle recomputes
+  // all three stages from the class predicates, so a torn batch leaking
+  // into the consistent view, a mark published before its batch
+  // completed, or a redelivery double-count is a hash mismatch. At
+  // 100 TB: the mark costs one create-exclusive + bounded GC per batch;
+  // the consistent read costs exactly a serving read per table.
+  def cdc76ConsistentDemux(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc76_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val group = new java.io.File(root, "out").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id").cast("string")).as("v"))
+    // file 1: ta class 0 (k%4=0) · file 2: tb class 0 (k%4=1) ·
+    // file 3: ta class 1 (k%4=2) · file 4: tb class 1 (k%4=3) —
+    // two files per trigger pairs each class's ta+tb into ONE batch
+    Seq((1, "ta", 11L, 0L), (2, "tb", 12L, 1L),
+        (3, "ta", 11L, 2L), (4, "tb", 12L, 3L)).foreach {
+      case (seq, tbl, tid, cls) =>
+        val stg = new java.io.File(root, s"stage$seq")
+        graft.ingest.BinlogSink.writeChanges(
+          base.filter(col("k") % 4 === lit(cls))
+            .select(lit(1).as("op"), col("k"), col("v")).repartition(1),
+          stg.getPath, table = tbl, tableId = tid, fileSeqStart = seq)
+        val files = Option(stg.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && !f.getName.startsWith("."))
+        require(files.nonEmpty, s"cdc76 fixture file $seq wrote nothing — " +
+          "an empty class would unpair the per-batch table installments")
+        files.foreach { f =>
+          require(f.renameTo(new java.io.File(feed, f.getName)),
+            s"fixture deliver failed: $f")
+        }
+    }
+    val sch = "k BIGINT, v STRING, batch_id BIGINT"
+    val lastFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long, publish: Boolean): Unit = {
+      val b = batch.filter(col("event_type") === "WriteRowsEventV2")
+        .select(col("table").as("tbl"), explode(col("row_images")).as("img"))
+        .select(col("tbl"), element_at(col("img"), 1).cast("long").as("k"),
+          element_at(col("img"), 2).as("v"))
+        .localCheckpoint(true)
+      Seq("ta", "tb").foreach { t =>
+        ViewMaintenance.applyIdempotent(
+          b.filter(col("tbl") === t).drop("tbl"), s"$group/tables/$t", id)
+      }
+      if (publish) ViewMaintenance.publishMark(spark, group, id)
+      if (id == 1L) {
+        lastFiles.clear()
+        lastFiles ++= batch.select(col("binlog_file")).distinct()
+          .collect().map(_.getString(0))
+      }
+    }
+    graft.streaming.Drains.withDrainPartitions(spark) {
+      val q = spark.readStream.format("binlog")
+        .option("maxFilesPerTrigger", 2)
+        .load(feed.getPath)
+        .writeStream
+        // the crash window: batch 1's states land, its publish does NOT
+        .foreachBatch((b: DataFrame, id: Long) =>
+          applyBatch(b, id, publish = id < 1L))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def readGroup(stage: String, consistent: Boolean): DataFrame = {
+      val reads = Seq("ta", "tb").map { t =>
+        val st =
+          if (consistent) {
+            val mark = ViewMaintenance.publishedMark(spark, group).getOrElse(
+              sys.error("cdc76: no published mark after the drain"))
+            ViewMaintenance.readStateAsOf(spark, s"$group/tables/$t", sch, mark)
+          } else ViewMaintenance.readState(spark, s"$group/tables/$t", sch)
+        st.agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
+            sum(length(col("v"))).as("payload_sum"))
+          .select(lit(stage).as("stage"), lit(t).as("tbl"),
+            col("n_rows"), col("k_sum"), col("payload_sum"))
+      }
+      reads.reduce(_ unionByName _)
+    }
+    val before = readGroup("consistent_before", consistent = true)
+      .unionByName(readGroup("raw_before", consistent = false))
+      .localCheckpoint(true) // materialize BEFORE the restart completes it
+    // the restart: redeliver batch 1 (absorbed by its own partitions)
+    // and complete its publish — the mark moves 0 → 1
+    require(lastFiles.nonEmpty, "cdc76: the drain never saw batch 1")
+    applyBatch(spark.read.format("binlog")
+      .load(lastFiles.toSeq.map(f => s"${feed.getPath}/$f"): _*), 1L,
+      publish = true)
+    before.unionByName(readGroup("consistent_after", consistent = true))
+      .orderBy("stage", "tbl")
+  }
+
+  val cdc76Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k, user_id FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |), r AS (
+      |  SELECT k, CASE WHEN k % 2 = 0 THEN 'ta' ELSE 'tb' END AS tbl,
+      |    k % 4 AS c, LENGTH('u' || CAST(user_id AS VARCHAR)) AS pl
+      |  FROM base
+      |), stages AS (
+      |  SELECT 'consistent_before' AS stage UNION ALL
+      |  SELECT 'raw_before' UNION ALL SELECT 'consistent_after'
+      |)
+      |SELECT s.stage, r.tbl, COUNT(*) AS n_rows,
+      |  CAST(SUM(r.k) AS BIGINT) AS k_sum, CAST(SUM(r.pl) AS BIGINT) AS payload_sum
+      |FROM stages s CROSS JOIN r
+      |WHERE s.stage <> 'consistent_before' OR r.c < 2
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc76_consistent_demux" -> (cdc76ConsistentDemux _),
+    "cdc75_time_travel" -> (cdc75TimeTravel _),
     "cdc74_gtid_sharded_failover" -> (cdc74GtidShardedFailover _),
     "cdc73_gtid_set_cutover" -> (cdc73GtidSetCutover _),
     "cdc72_purge_sharded_union" -> (cdc72PurgeShardedUnion _),
@@ -2721,6 +2945,12 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // three stages recomputed from the class predicates — the torn raw
+    // view, the mark-bounded consistent view, and the completed batch
+    "cdc76_consistent_demux" -> cdc76Oracle,
+    // each mark recomputed from scratch with the class-membership
+    // predicates — base choice, retention, and fold are all on the hook
+    "cdc75_time_travel" -> cdc75Oracle,
     "cdc74_gtid_sharded_failover" -> cdc74Oracle,
     // the set-keyed bootstrap applies exactly what the failover gate
     // applies — snapshot + replica-only txns, torn class excluded

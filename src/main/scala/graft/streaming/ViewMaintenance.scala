@@ -72,6 +72,120 @@ object ViewMaintenance {
     }
   }
 
+  /** TIME-TRAVEL read: the state AS IT SERVED after batch `upto` landed —
+    * the reproducibility primitive a training-data release needs (pin a
+    * release to a state mark; re-read that exact view months later to
+    * audit what a model trained on, or to diff two releases).
+    *
+    * Readable marks are governed by [[compact]]'s retention contract:
+    *
+    *   - any mark at or above the CURRENT coverage: the newest base plus
+    *     the live delta partitions with `batch_id <= upto` (a redelivered
+    *     covered batch's recreated partition is ignored by the same rule
+    *     [[readState]] uses, so as-of reads absorb redeliveries too);
+    *   - a mark EXACTLY at a retained superseded base's coverage
+    *     (`compact(..., retainBases = n)`): that base alone — exact,
+    *     because a base is the complete fold of everything `<=` its
+    *     coverage;
+    *   - a mark strictly BETWEEN two coverages: REFUSED loudly (its
+    *     deltas were folded away and GC'd; returning the nearest base
+    *     would silently misrepresent history). The message carries the
+    *     readable horizon from [[asOfHorizon]].
+    *
+    * With no base on disk the whole delta chain is live and every mark
+    * is readable. Cost is identical to [[readState]]: one driver-side
+    * listing plus a partition-pruned literal predicate — no data pages
+    * are read for partitions outside the mark. */
+  def readStateAsOf(spark: SparkSession, stateDir: String, schema: String,
+      upto: Long): DataFrame = {
+    require(hasBatchId(schema),
+      "readStateAsOf needs an applyIdempotent state (an exact batch_id " +
+        "field in the schema); appendBatch states have no batch marks")
+    val (coverages, _) = asOfHorizon(spark, stateDir)
+    val df = {
+      val p = new Path(stateDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+      spark.read.schema(schema).parquet(stateDir)
+    }
+    if (coverages.contains(upto)) {
+      df.filter(col("batch_id") === lit(BaseMark - upto))
+    } else coverages.lastOption match {
+      case Some(newest) if newest > upto =>
+        val retained = coverages.init // marks readable only exactly
+        throw new IllegalArgumentException(
+          s"as-of mark $upto is inside a compacted region: its deltas were " +
+            s"folded and GC'd. Readable marks: retained base coverages " +
+            s"${retained.mkString("{", ", ", "}")} exactly, or any mark >= " +
+            s"current coverage $newest. Retain more history with " +
+            s"compact(..., retainBases = n).")
+      case Some(newest) => // newest <= upto: base + live deltas up to the mark
+        df.filter(col("batch_id") === lit(BaseMark - newest) ||
+          (col("batch_id") > lit(newest) && col("batch_id") <= lit(upto)))
+      case None => // pure delta chain — every mark is readable
+        df.filter(col("batch_id") > lit(BaseMark) && col("batch_id") <= lit(upto))
+    }
+  }
+
+  /** The readable time-travel horizon of a maintained state, from one
+    * driver-side listing: (base coverages ascending — the newest is the
+    * current coverage, earlier ones are [[compact]]-retained historical
+    * marks — , live delta batch_ids ascending). [[readStateAsOf]] serves
+    * any retained coverage exactly and any mark at-or-above the newest
+    * coverage; an empty coverage list means the whole chain is live. */
+  def asOfHorizon(spark: SparkSession, stateDir: String): (Seq[Long], Seq[Long]) = {
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids: Seq[Long] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch_id=") =>
+          n.stripPrefix("batch_id=").toLong }
+    val coverages = ids.filter(_ <= BaseMark).map(BaseMark - _).sorted
+    val newest = coverages.lastOption.getOrElse(Long.MinValue)
+    (coverages, ids.filter(id => id > BaseMark && id > newest).sorted)
+  }
+
+  /** Forward-only PUBLISHED mark for a GROUP of states advanced by one
+    * writer (e.g. the demux layer's per-table states): inside one batch
+    * the states land SEQUENTIALLY, so a reader joining them mid-batch —
+    * or after a crash between two states' writes — sees a TORN
+    * transaction (table A at batch N, table B at N−1). The protocol:
+    * the writer calls this AFTER every state's batch `mark` landed; a
+    * consistent cross-state reader reads each state with
+    * `readStateAsOf(publishedMark(...))` — consistency and time travel
+    * are the same primitive. The publish is atomic (one create-exclusive
+    * of `_published/<mark>`; readers take the numeric max, so a
+    * half-done publish is invisible) and FORWARD-ONLY (a redelivered
+    * batch re-publishing an older mark cannot move the max backwards).
+    * Smaller marks are GC'd best-effort after each publish — the listing
+    * stays bounded at ~1 file, and a crash mid-GC just leaves files the
+    * next publish removes. */
+  def publishMark(spark: SparkSession, groupDir: String, mark: Long): Unit = {
+    val d = new Path(groupDir, "_published")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(d)
+    val f = new Path(d, mark.toString)
+    // create-exclusive: this mark already existing means an earlier
+    // attempt or a sibling already published it — both are fine
+    try fs.create(f, false).close()
+    catch { case _: java.io.IOException if fs.exists(f) => () }
+    fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath)
+      .filter(p => scala.util.Try(p.getName.toLong).toOption.exists(_ < mark))
+      .foreach(p => fs.delete(p, false))
+  }
+
+  /** The group's newest published mark (None before the first publish).
+    * See [[publishMark]] for the consistency protocol. */
+  def publishedMark(spark: SparkSession, groupDir: String): Option[Long] = {
+    val d = new Path(groupDir, "_published")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).toSeq.filter(_.isFile)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .maxOption
+  }
+
   /** An applyIdempotent state is recognized by an EXACT `batch_id` field
     * in the parsed DDL — a substring test would false-positive on a
     * schema containing e.g. "batch_idx BIGINT" and then fail later at
@@ -114,7 +228,7 @@ object ViewMaintenance {
     * batch; it costs one FS listing when it declines. Returns true when
     * a compaction ran. */
   def maybeCompact(spark: SparkSession, stateDir: String, schema: String,
-      maxLive: Int = 64, keepLast: Int = 2)
+      maxLive: Int = 64, keepLast: Int = 2, retainBases: Int = 0)
       (fold: DataFrame => DataFrame): Boolean = {
     require(maxLive >= 1 && keepLast >= 0,
       s"need maxLive >= 1 (got $maxLive) and keepLast >= 0 (got $keepLast)")
@@ -130,7 +244,7 @@ object ViewMaintenance {
     val live = ids.filter(id => id > BaseMark && id > covered).sorted
     val upto = live.dropRight(keepLast).lastOption
     if (live.size <= maxLive || upto.isEmpty || upto.get < 0L) false
-    else { compact(spark, stateDir, schema, upto.get)(fold); true }
+    else { compact(spark, stateDir, schema, upto.get, retainBases)(fold); true }
   }
 
   /** Operational health view of a maintained state — the "is my view
@@ -210,13 +324,25 @@ object ViewMaintenance {
     * loop between (or inside) batches of the ONE writer — concurrent
     * compactions to the same `upto` are safe (first-attempt-wins), but
     * compaction concurrent with a write of a COVERED batch is the
-    * caller's race to avoid, exactly as for any table maintenance. */
+    * caller's race to avoid, exactly as for any table maintenance.
+    *
+    * `retainBases` keeps the newest N SUPERSEDED bases on disk instead
+    * of GC'ing them — each retained base is a readable historical mark
+    * for [[readStateAsOf]] (the time-travel retention contract: as-of
+    * reads are exact at retained coverages and anywhere at-or-above the
+    * current coverage; marks strictly between two coverages are gone
+    * with their folded deltas). Retained bases are invisible to
+    * [[readState]] (the live rule keys on the NEWEST base only), so
+    * serving cost is unchanged; each costs its snapshot's storage plus
+    * one directory in every listing, which is why the count is a bounded
+    * knob and not "keep everything". */
   def compact(spark: SparkSession, stateDir: String, schema: String,
-      upto: Long)(fold: DataFrame => DataFrame): Unit = {
+      upto: Long, retainBases: Int = 0)(fold: DataFrame => DataFrame): Unit = {
     require(hasBatchId(schema),
       "compact needs an applyIdempotent state (an exact batch_id field " +
         "in the schema)")
     require(upto >= 0L, s"compaction coverage must be >= 0, got $upto")
+    require(retainBases >= 0, s"retainBases must be >= 0, got $retainBases")
     val coverage = newestBase(spark, stateDir).map(BaseMark - _)
     require(coverage.forall(_ <= upto),
       s"compaction cannot shrink coverage: current ${coverage.get}, asked $upto")
@@ -242,20 +368,24 @@ object ViewMaintenance {
       throw new java.io.IOException(
         s"state compaction commit failed: rename $tmp -> $fin")
     }
-    // GC: covered batch partitions and superseded (older) bases. Pure
-    // cleanup — the live rule already ignores them — but a failed delete
-    // is surfaced: leaking one partition per compaction forever would
-    // quietly defeat compaction's listing-cost point.
-    fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .map(_.getPath)
-      .filter { d =>
-        val n = d.getName
-        n.startsWith("batch_id=") && {
-          val v = n.stripPrefix("batch_id=").toLong
-          (v > BaseMark && v <= upto) || (v <= BaseMark && v > newBaseId)
-        }
+    // GC: covered batch partitions and superseded (older) bases — except
+    // the newest `retainBases` superseded ones (smaller id = newer base),
+    // kept as readStateAsOf's historical marks. Pure cleanup — the live
+    // rule already ignores them — but a failed delete is surfaced:
+    // leaking one partition per compaction forever would quietly defeat
+    // compaction's listing-cost point.
+    val dirs = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch_id="))
+      .map(d => (d, d.getName.stripPrefix("batch_id=").toLong))
+    val keptBases = dirs.map(_._2)
+      .filter(v => v <= BaseMark && v > newBaseId)
+      .sorted.take(retainBases).toSet
+    dirs
+      .filter { case (_, v) =>
+        (v > BaseMark && v <= upto) ||
+          (v <= BaseMark && v > newBaseId && !keptBases.contains(v))
       }
-      .foreach { d =>
+      .foreach { case (d, _) =>
         if (!fs.delete(d, true) && fs.exists(d))
           throw new java.io.IOException(s"compaction GC failed to delete $d")
       }

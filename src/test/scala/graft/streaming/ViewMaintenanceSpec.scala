@@ -158,6 +158,84 @@ class ViewMaintenanceSpec extends AnyFunSuite with SparkTestSession {
     assert(m.forall(r => r._5 >= 1L && r._6 > 0L)) // n_files, bytes real
   }
 
+  test("readStateAsOf: live marks, retained coverages, refusal inside a compacted region") {
+    import spark.implicits._
+    val state = tmp("asof")
+    val schema = "k STRING, v BIGINT, batch_id BIGINT"
+    def fold(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("v").as("v"))
+    (0 to 3).foreach { i => // batch i contributes 2^i
+      ViewMaintenance.applyIdempotent(
+        Seq(("a", 1L << i)).toDF("k", "v"), state, i.toLong)
+    }
+    def at(m: Long): Long = ViewMaintenance.readStateAsOf(spark, state, schema, m)
+      .agg(sum("v")).head().getLong(0)
+    assert(at(1L) == 3L) // pure delta chain: every mark readable
+    ViewMaintenance.compact(spark, state, schema, upto = 0L)(fold)
+    ViewMaintenance.compact(spark, state, schema, upto = 2L, retainBases = 1)(fold)
+    assert(at(0L) == 1L)  // retained base, exactly
+    assert(at(2L) == 7L)  // current base alone
+    assert(at(3L) == 15L) // base + live delta
+    assert(at(99L) == 15L) // beyond the frontier = the frontier
+    val e = intercept[IllegalArgumentException](at(1L))
+    assert(e.getMessage.contains("compacted region") &&
+      e.getMessage.contains("{0}"), e.getMessage)
+    assert(ViewMaintenance.asOfHorizon(spark, state) == (Seq(0L, 2L), Seq(3L)))
+    // a recreated COVERED partition (crash-after-commit redelivery) is
+    // invisible to as-of reads by the same live rule readState uses
+    ViewMaintenance.applyIdempotent(Seq(("a", 2L)).toDF("k", "v"), state, 1L)
+    assert(at(3L) == 15L)
+    // an appendBatch state has no batch marks: loud, not obscure
+    val noMarks = intercept[IllegalArgumentException](
+      ViewMaintenance.readStateAsOf(spark, state, "k STRING, v BIGINT", 0L))
+    assert(noMarks.getMessage.contains("applyIdempotent"))
+  }
+
+  test("compact retainBases: bounded history — oldest retained mark ages out; readState unaffected") {
+    import spark.implicits._
+    val state = tmp("retain")
+    val schema = "k STRING, v BIGINT, batch_id BIGINT"
+    def fold(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("v").as("v"))
+    (0 to 3).foreach { i =>
+      ViewMaintenance.applyIdempotent(
+        Seq(("a", 1L << i)).toDF("k", "v"), state, i.toLong)
+    }
+    ViewMaintenance.compact(spark, state, schema, upto = 0L)(fold)
+    ViewMaintenance.compact(spark, state, schema, upto = 1L, retainBases = 1)(fold)
+    // third compaction keeps only the NEWEST superseded base: coverage 1
+    // survives, coverage 0 ages out of the bounded window
+    ViewMaintenance.compact(spark, state, schema, upto = 2L, retainBases = 1)(fold)
+    assert(ViewMaintenance.asOfHorizon(spark, state) == (Seq(1L, 2L), Seq(3L)))
+    val gone = intercept[IllegalArgumentException](
+      ViewMaintenance.readStateAsOf(spark, state, schema, 0L))
+    assert(gone.getMessage.contains("compacted region"))
+    // the serving read never sees retained history: newest base + live
+    val out = ViewMaintenance.readState(spark, state, schema)
+      .groupBy("k").agg(sum("v").as("v")).as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 15L))
+  }
+
+  test("publishMark: forward-only, idempotent, GC-bounded listing") {
+    val group = tmp("pub")
+    assert(ViewMaintenance.publishedMark(spark, group).isEmpty)
+    ViewMaintenance.publishMark(spark, group, 0L)
+    assert(ViewMaintenance.publishedMark(spark, group).contains(0L))
+    ViewMaintenance.publishMark(spark, group, 2L)
+    assert(ViewMaintenance.publishedMark(spark, group).contains(2L))
+    // a redelivered batch re-publishing an OLDER mark cannot move the
+    // max backwards, and re-publishing an existing mark is a no-op
+    ViewMaintenance.publishMark(spark, group, 1L)
+    ViewMaintenance.publishMark(spark, group, 2L)
+    assert(ViewMaintenance.publishedMark(spark, group).contains(2L))
+    // GC keeps the listing bounded: a newer publish removes older marks
+    ViewMaintenance.publishMark(spark, group, 3L)
+    val files = new java.io.File(group, "_published").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")) // .crc sidecars
+      .map(_.getName).toSeq
+    assert(files == Seq("3"), files)
+  }
+
   test("explicit file: URI routes through the Hadoop FileSystem API") {
     import spark.implicits._
     // scheme-qualified, as an HDFS/S3 state dir would be — the pre-create
