@@ -2916,7 +2916,97 @@ object LifecycleQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // cdc77 — RELEASE DIFF (the question after cdc75's "what did release N
+  // train on": what CHANGED between two releases — audit a regression,
+  // bill an incremental delivery, or ship only the delta downstream).
+  // readStateDiff's two paths are both on the gate's hook, over cdc75's
+  // exact fixture shape (four modulo-derived delta installments, two
+  // mid-drain compactions, first base retained, batch 3 live):
+  //   - span live_2to3: from = current coverage → the CHEAP path — the
+  //     diff IS the live delta partitions in (2, 3], partition-pruned;
+  //     at 100 TB this reads only the bytes written between the marks,
+  //     never the base;
+  //   - span compacted_0to2: marks separated by a compaction → the
+  //     FALLBACK — base(2) unioned with the sign-flipped retained
+  //     base(0), folded to the net change of classes 1+2.
+  // The oracle recomputes both spans directly from orders × lineitem
+  // with the class predicates, so a diff that scans the wrong
+  // partitions, a negate that misses a measure, or a fold that loses a
+  // class is a hash mismatch. (The refusal for an unreadable `from`
+  // and the cheap path's partition pruning are pinned in
+  // ViewMaintenanceSpec.)
+  def cdc77ReleaseDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc77_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val state = new java.io.File(root, "state").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val fx = ivmFixture(spark, dir)
+    val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
+    (0 until 4).foreach { i =>
+      val stg = new java.io.File(root, s"stage$i")
+      graft.ingest.BinlogSink.writeChanges(
+        fx.aDelta.filter(col("o_orderkey") % 20 === lit(5L * i))
+          .select(lit(1).as("op"), col("o_orderkey"), col("o_orderpriority"))
+          .repartition(1),
+        stg.getPath, fileSeqStart = i + 1)
+      val files = Option(stg.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+      require(files.nonEmpty, s"cdc77 fixture class $i wrote no file — an " +
+        "empty delta class would shift every later batch id")
+      files.foreach { f =>
+        require(f.renameTo(new java.io.File(feed, f.getName)),
+          s"fixture deliver failed: $f")
+      }
+    }
+    val stateSchema =
+      "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT"
+    def foldPartials(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
+    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
+    drainBinlogFeed(spark, feed.getPath, ckpt) { (batch, id) =>
+      ViewMaintenance.applyIdempotent(
+        fx.partials(decodeIvmDelta(batch), bPrime), state, id)
+      if (id == 1L)
+        ViewMaintenance.compact(spark, state, stateSchema, upto = 0L)(foldPartials)
+      if (id == 3L)
+        ViewMaintenance.compact(spark, state, stateSchema, upto = 2L,
+          retainBases = 1)(foldPartials)
+    }
+    // the negate flips BOTH additive measures; keys/batch_id untouched
+    def negate(df: DataFrame): DataFrame =
+      df.withColumn("cents", -col("cents")).withColumn("n", -col("n"))
+    def span(tag: String, from: Long, to: Long): DataFrame =
+      foldPartials(
+        ViewMaintenance.readStateDiff(spark, state, stateSchema,
+          from, to)(negate).drop("batch_id"))
+        .withColumn("span", lit(tag))
+    span("compacted_0to2", 0L, 2L).unionByName(span("live_2to3", 2L, 3L))
+      .select("span", "o_orderpriority", "cents", "n")
+      .orderBy("span", "o_orderpriority")
+  }
+
+  val cdc77Oracle: String =
+    """WITH j AS (
+      |  SELECT o.o_orderkey AS k, o.o_orderpriority,
+      |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |), spans AS (
+      |  SELECT 'compacted_0to2' AS span, 5 AS lo, 10 AS hi
+      |  UNION ALL SELECT 'live_2to3', 15, 15
+      |)
+      |SELECT s.span, j.o_orderpriority, CAST(SUM(j.c) AS BIGINT) AS cents,
+      |  COUNT(*) AS n
+      |FROM spans s CROSS JOIN j
+      |WHERE j.k % 5 = 0 AND j.k % 20 >= s.lo AND j.k % 20 <= s.hi
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc77_release_diff" -> (cdc77ReleaseDiff _),
     "cdc76_consistent_demux" -> (cdc76ConsistentDemux _),
     "cdc75_time_travel" -> (cdc75TimeTravel _),
     "cdc74_gtid_sharded_failover" -> (cdc74GtidShardedFailover _),
@@ -2945,6 +3035,9 @@ object LifecycleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // both diff paths recomputed as direct class sums — partition
+    // selection, the sign-flip, and the fold are all on the hook
+    "cdc77_release_diff" -> cdc77Oracle,
     // three stages recomputed from the class predicates — the torn raw
     // view, the mark-bounded consistent view, and the completed batch
     "cdc76_consistent_demux" -> cdc76Oracle,

@@ -146,6 +146,49 @@ object ViewMaintenance {
     (coverages, ids.filter(id => id > BaseMark && id > newest).sorted)
   }
 
+  /** MARK-TO-MARK DIFF: partials whose fold equals
+    * `readStateAsOf(to)` MINUS `readStateAsOf(from)` — "what changed
+    * between release marks", for ADDITIVE states (sums / counts / signed
+    * retraction weights; register-max and set states have no
+    * subtraction — diff those by comparing the two as-of reads).
+    *
+    * Two paths, chosen from the same listing [[asOfHorizon]] reads:
+    *
+    *   - CHEAP (the at-scale one): when `from` is at or above the
+    *     current coverage, the difference is EXACTLY the live delta
+    *     partitions in `(from, to]` — returned directly,
+    *     partition-pruned. Diffing two releases of a petabyte state then
+    *     costs only the bytes written between them; neither base nor any
+    *     earlier delta is scanned.
+    *   - FALLBACK: marks separated by a compaction — `asOf(to)` unioned
+    *     with `negate(asOf(from))`, where `negate` flips the sign of
+    *     every additive measure column (keys and `batch_id` untouched).
+    *     Both marks must be readable per [[readStateAsOf]]'s horizon
+    *     contract (an unreadable mark refuses loudly there).
+    *
+    * A group absent from the result means "no change"; the fallback may
+    * instead carry explicit zero-sum partials for unchanged groups —
+    * both fold to the same view, callers filtering "changed groups"
+    * should filter on the folded measures, not on row presence. */
+  def readStateDiff(spark: SparkSession, stateDir: String, schema: String,
+      from: Long, to: Long)(negate: DataFrame => DataFrame): DataFrame = {
+    require(hasBatchId(schema),
+      "readStateDiff needs an applyIdempotent state (an exact batch_id " +
+        "field in the schema)")
+    require(from <= to, s"diff marks must satisfy from <= to, got $from > $to")
+    val (coverages, _) = asOfHorizon(spark, stateDir)
+    val newest = coverages.lastOption
+    if (newest.forall(_ <= from)) {
+      val p = new Path(stateDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+      spark.read.schema(schema).parquet(stateDir)
+        .filter(col("batch_id") > lit(from) && col("batch_id") <= lit(to))
+    } else {
+      readStateAsOf(spark, stateDir, schema, to)
+        .unionByName(negate(readStateAsOf(spark, stateDir, schema, from)))
+    }
+  }
+
   /** Forward-only PUBLISHED mark for a GROUP of states advanced by one
     * writer (e.g. the demux layer's per-table states): inside one batch
     * the states land SEQUENTIALLY, so a reader joining them mid-batch —

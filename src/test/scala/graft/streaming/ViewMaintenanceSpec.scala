@@ -216,6 +216,42 @@ class ViewMaintenanceSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map("a" -> 15L))
   }
 
+  test("readStateDiff: cheap path is delta-partitions-only; fallback negates across a compaction") {
+    import spark.implicits._
+    val state = tmp("diff")
+    val schema = "k STRING, v BIGINT, batch_id BIGINT"
+    def fold(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(sum("v").as("v"))
+    def negate(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("v", -col("v"))
+    (0 to 3).foreach { i => // batch i contributes 2^i
+      ViewMaintenance.applyIdempotent(
+        Seq(("a", 1L << i)).toDF("k", "v"), state, i.toLong)
+    }
+    ViewMaintenance.compact(spark, state, schema, upto = 0L)(fold)
+    ViewMaintenance.compact(spark, state, schema, upto = 1L, retainBases = 1)(fold)
+    def diff(from: Long, to: Long): Long =
+      ViewMaintenance.readStateDiff(spark, state, schema, from, to)(negate)
+        .agg(coalesce(sum("v"), lit(0L))).head().getLong(0)
+    // cheap: from = coverage → ONLY the live partitions in (from, to]
+    // ride the scan; neither base (current nor retained) is touched
+    val cheap = ViewMaintenance.readStateDiff(spark, state, schema, 1L, 3L)(negate)
+    assert(cheap.select("batch_id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(diff(1L, 3L) == 12L) // 4 + 8
+    assert(diff(2L, 3L) == 8L)  // live-only within the live region
+    assert(diff(3L, 3L) == 0L)  // empty span folds to zero
+    // fallback: marks separated by the compaction — base(1) + negated
+    // retained base(0) nets to batch 1's contribution
+    assert(diff(0L, 1L) == 2L)
+    assert(diff(0L, 3L) == 14L) // base(1) + live − base(0)
+    // an unreadable `from` refuses via the as-of horizon contract
+    ViewMaintenance.compact(spark, state, schema, upto = 2L)(fold)
+    val e = intercept[IllegalArgumentException](diff(1L, 3L))
+    assert(e.getMessage.contains("compacted region"))
+    val order = intercept[IllegalArgumentException](diff(3L, 1L))
+    assert(order.getMessage.contains("from <= to"))
+  }
+
   test("publishMark: forward-only, idempotent, GC-bounded listing") {
     val group = tmp("pub")
     assert(ViewMaintenance.publishedMark(spark, group).isEmpty)
