@@ -1127,7 +1127,148 @@ object StreamSearchQueries {
     repairAndServe(spark, dir, state, edgesOut, tomb)
   }
 
+  // s58 — VERSION-PINNED INDEX SERVING (the reproducibility layer
+  // composed with the ANN family: a production search deployment pins
+  // each RELEASE of the maintained index to a state mark — cdc75's
+  // readStateAsOf — so "the index release 1 served" stays readable
+  // months later while maintenance keeps compacting the live frontier).
+  // s51's exact insert drain (id-ordered quartile slices, frozen
+  // quantizer, strict id-prefix edges, injected batch-0 redelivery) is
+  // followed by the release discipline on BOTH states (vectors and
+  // edges): compact to the release mark (coverage 1 = the first two
+  // slices), then compact to the frontier RETAINING the release base.
+  // The pinned census is then served from ONE retained base partition
+  // per state (partition-pruned — at 100 TB a pinned read costs one
+  // snapshot scan, never a log replay), the frontier census from the
+  // current base. The strict id-prefix rule makes the pinned graph
+  // equal to a from-scratch build over members with vec_id <= max/2 —
+  // exactly what the oracle recomputes next to s51's full build, so a
+  // pinned read leaking a newer batch, retention dropping the release
+  // base, or a compaction fold corrupting either snapshot is a hash
+  // mismatch.
+  def s58PinnedIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.ViewMaintenance
+    val root = graft.streaming.Drains.tmpFixtureDir("graft_s58_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val state = new java.io.File(root, "state").getPath
+    val edgesOut = new java.io.File(root, "edges").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val cent = graft.ops.Similarity.buildCentroids(
+        Tables.embeddings(spark, dir), dim = 64, chunks = centroidChunks)
+      .localCheckpoint(true) // FROZEN quantizer (s51's discipline)
+    val maxRow = emb.agg(max(col("vec_id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val mx = maxRow.getLong(0)
+      val cuts = Seq(0L, mx / 4 + 1, mx / 2 + 1, 3 * mx / 4 + 1, mx + 1)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        val d = new java.io.File(feed, s"slice$i")
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(d.getPath)
+        val base = System.currentTimeMillis()
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .foreach(f => f.setLastModified(base + 4000L * i))
+      }
+    }
+    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id == 0L && batch0Files.isEmpty)
+        batch0Files ++= batch.select(input_file_name()).distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty)
+      maintainGraphInsert(spark, cent, state, edgesOut)(batch, id)
+    }
+    val q = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(feed.getPath)
+      .writeStream
+      .foreachBatch(applyBatch _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    if (batch0Files.nonEmpty) { // injected crash-after-commit redelivery
+      applyBatch(spark.read
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(batch0Files.toSeq: _*), 0L)
+    }
+    val vecSchema =
+      "vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT"
+    val edgeSchema = "cluster BIGINT, vec_id BIGINT, nbr BIGINT, batch_id BIGINT"
+    // the release discipline: both states pin release 1, then compact to
+    // the frontier retaining the release base (identity folds — these
+    // are set states, unique rows per partition)
+    Seq((state, vecSchema), (edgesOut, edgeSchema)).foreach { case (d, sch) =>
+      ViewMaintenance.compact(spark, d, sch, upto = 1L)(df => df)
+      ViewMaintenance.compact(spark, d, sch, upto = 3L, retainBases = 1)(df => df)
+    }
+    def census(tag: String, m: Long): DataFrame = {
+      val members = ViewMaintenance.readStateAsOf(spark, state, vecSchema, m)
+        .groupBy("cluster").agg(countDistinct(col("vec_id")).as("n_members"))
+      ViewMaintenance.readStateAsOf(spark, edgesOut, edgeSchema, m)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("vec_id")).as("n_sources"),
+          sum(col("vec_id")).as("src_id_sum"),
+          sum(col("nbr")).as("nbr_id_sum"))
+        // a cluster whose pinned membership is a single vector has no
+        // edges yet — it must still appear in the release census
+        .join(members, Seq("cluster"), "right")
+        .na.fill(0L, Seq("n_edges", "n_sources", "src_id_sum", "nbr_id_sum"))
+        .select(lit(tag).as("mark"), col("cluster"), col("n_members"),
+          col("n_edges"), col("n_sources"), col("src_id_sum"),
+          col("nbr_id_sum"))
+    }
+    census("r1_pinned", 1L).unionByName(census("r2_frontier", 3L))
+      .orderBy("mark", "cluster")
+  }
+
+  val s58Oracle: String =
+    s"""WITH ${duckCentroidCtes(64, centroidChunks)}, assigned AS MATERIALIZED (
+      |  SELECT vec_id, embedding, clabel AS cluster FROM (
+      |    SELECT e.vec_id, e.embedding, c.clabel,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${duckCosOf("e.embedding", "c.cf")} DESC, c.clabel) AS rn
+      |    FROM embeddings e, cent c)
+      |  WHERE rn = 1
+      |), rel AS (
+      |  SELECT 'r1_pinned' AS mark,
+      |    (SELECT MAX(vec_id) // 2 FROM embeddings) AS cut
+      |  UNION ALL SELECT 'r2_frontier', (SELECT MAX(vec_id) FROM embeddings)
+      |), mem AS MATERIALIZED (
+      |  SELECT r.mark, a.cluster, a.vec_id, a.embedding
+      |  FROM rel r JOIN assigned a ON a.vec_id <= r.cut
+      |), edges AS (
+      |  SELECT mark, cluster, vec_id, nbr FROM (
+      |    SELECT m.mark, m.cluster, m.vec_id, b.vec_id AS nbr,
+      |      row_number() OVER (PARTITION BY m.mark, m.vec_id
+      |        ORDER BY ${duckCosOf("m.embedding", "b.embedding")} DESC, b.vec_id) AS rk
+      |    FROM mem m JOIN mem b
+      |      ON b.mark = m.mark AND b.cluster = m.cluster
+      |        AND b.vec_id < m.vec_id)
+      |  WHERE rk <= 3
+      |), mc AS (
+      |  SELECT mark, cluster, COUNT(DISTINCT vec_id) AS n_members
+      |  FROM mem GROUP BY 1, 2
+      |), ec AS (
+      |  SELECT mark, cluster, COUNT(*) AS n_edges,
+      |    COUNT(DISTINCT vec_id) AS n_sources,
+      |    CAST(SUM(vec_id) AS BIGINT) AS src_id_sum,
+      |    CAST(SUM(nbr) AS BIGINT) AS nbr_id_sum
+      |  FROM edges GROUP BY 1, 2
+      |)
+      |SELECT m.mark, CAST(m.cluster AS BIGINT) AS cluster, m.n_members,
+      |  COALESCE(e.n_edges, 0) AS n_edges,
+      |  COALESCE(e.n_sources, 0) AS n_sources,
+      |  COALESCE(e.src_id_sum, 0) AS src_id_sum,
+      |  COALESCE(e.nbr_id_sum, 0) AS nbr_id_sum
+      |FROM mc m LEFT JOIN ec e ON e.mark = m.mark AND e.cluster = m.cluster
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s58_pinned_index" -> (s58PinnedIndexServe _),
     "s57_serve_through_retention" -> (s57ServeThroughRetention _),
     "s55_lifecycle_serve" -> (s55LifecycleServe _),
     "s56_sharded_wire_vectors" -> (s56ShardedWireVectors _),
@@ -1142,6 +1283,9 @@ object StreamSearchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the pinned release census == a from-scratch build at the mark's
+    // membership; the frontier == s51's full build
+    "s58_pinned_index" -> s58Oracle,
     // the full lifecycle (restart + compaction + tombstones + repair)
     // must serve exactly what a fresh survivors-only index would
     "s55_lifecycle_serve" -> s55Oracle,
