@@ -260,8 +260,14 @@ object Main {
         val stateDir = s"$tablesRoot/$db.$tbl"
         ViewMaintenance.applyIdempotent(
           b.filter(col("db") === db && col("tbl") === tbl), stateDir, id)
+        // retainBases = 1 keeps the previous coverage point readable, so
+        // a pinned historical read has one release of headroom; a LIVE
+        // consistent reader must still resolve publishedMark per read —
+        // a mark that ages past the coverage refuses loudly in
+        // readStateAsOf (retry with a fresh mark), it is never served
+        // silently wrong
         ViewMaintenance.maybeCompact(spark, stateDir, stateSchema,
-          maxLive = 8, keepLast = 2)(df => df)
+          maxLive = 8, keepLast = 2, retainBases = 1)(df => df)
       }
       // consistency mark: published only after EVERY table's batch
       // landed, so a cross-table reader using

@@ -2720,7 +2720,36 @@ object LifecycleQueries {
   // log.
   def cdc75TimeTravel(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.ViewMaintenance
-    val root = tmpFixtureDir("graft_cdc75_", dir)
+    val state = reproFixtureDrain(spark, dir, "graft_cdc75_")
+    def asOf(m: Long): DataFrame =
+      reproFold(ViewMaintenance.readStateAsOf(spark, state, reproStateSchema, m))
+        .withColumn("as_of", lit(m))
+    asOf(0L).unionByName(asOf(2L)).unionByName(asOf(3L))
+      .select("as_of", "o_orderpriority", "cents", "n")
+      .orderBy("as_of", "o_orderpriority")
+  }
+
+  /** cdc75/cdc77's shared state shape: q66's priority partials under the
+    * exactly-once discipline. */
+  private val reproStateSchema =
+    "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT"
+  private def reproFold(df: DataFrame): DataFrame =
+    df.groupBy("o_orderpriority")
+      .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+
+  /** cdc75/cdc77's shared fixture drain (factored so the two gates over
+    * the same retention posture cannot drift): four delta installments
+    * with DATA-DERIVED membership (o_orderkey % 20 picks the class, one
+    * binlog file per class with ascending sequence numbers — batch i IS
+    * class i, so oracles recompute any mark with modulo predicates),
+    * q66's -1/-2 seeds, exactly-once apply, and the release discipline —
+    * compact to coverage 0 after batch 1, then to coverage 2 after
+    * batch 3 RETAINING the first base; batch 3 stays live. The returned
+    * state dir ends with readable marks {0} ∪ [2, 3]. */
+  private def reproFixtureDrain(spark: SparkSession, dir: String,
+      prefix: String): String = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir(prefix, dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed"); feed.mkdirs()
     val state = new java.io.File(root, "state").getPath
@@ -2736,37 +2765,26 @@ object LifecycleQueries {
         stg.getPath, fileSeqStart = i + 1)
       val files = Option(stg.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.isFile && !f.getName.startsWith("."))
-      require(files.nonEmpty, s"cdc75 fixture class $i wrote no file — an " +
+      require(files.nonEmpty, s"$prefix fixture class $i wrote no file — an " +
         "empty delta class would shift every later batch id")
       files.foreach { f =>
         require(f.renameTo(new java.io.File(feed, f.getName)),
           s"fixture deliver failed: $f")
       }
     }
-    val stateSchema =
-      "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT"
-    def foldPartials(df: DataFrame): DataFrame =
-      df.groupBy("o_orderpriority")
-        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
     ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
     ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
     drainBinlogFeed(spark, feed.getPath, ckpt) { (batch, id) =>
       ViewMaintenance.applyIdempotent(
         fx.partials(decodeIvmDelta(batch), bPrime), state, id)
       if (id == 1L) // first base: seeds + batch 0 folded, coverage 0
-        ViewMaintenance.compact(spark, state, stateSchema, upto = 0L)(foldPartials)
+        ViewMaintenance.compact(spark, state, reproStateSchema,
+          upto = 0L)(reproFold)
       if (id == 3L) // second base RETAINS the first; batch 3 stays live
-        ViewMaintenance.compact(spark, state, stateSchema, upto = 2L,
-          retainBases = 1)(foldPartials)
+        ViewMaintenance.compact(spark, state, reproStateSchema, upto = 2L,
+          retainBases = 1)(reproFold)
     }
-    def asOf(m: Long): DataFrame =
-      ViewMaintenance.readStateAsOf(spark, state, stateSchema, m)
-        .groupBy("o_orderpriority")
-        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
-        .withColumn("as_of", lit(m))
-    asOf(0L).unionByName(asOf(2L)).unionByName(asOf(3L))
-      .select("as_of", "o_orderpriority", "cents", "n")
-      .orderBy("as_of", "o_orderpriority")
+    state
   }
 
   val cdc75Oracle: String =
@@ -2870,13 +2888,20 @@ object LifecycleQueries {
       q.awaitTermination()
     }
     def readGroup(stage: String, consistent: Boolean): DataFrame = {
+      // ONE mark resolution per group read — resolving inside the
+      // per-table loop would re-open the torn window under a concurrent
+      // publisher (table A at mark N, table B at N+1)
+      val mark =
+        if (consistent)
+          Some(ViewMaintenance.publishedMark(spark, group).getOrElse(
+            sys.error("cdc76: no published mark after the drain")))
+        else None
       val reads = Seq("ta", "tb").map { t =>
-        val st =
-          if (consistent) {
-            val mark = ViewMaintenance.publishedMark(spark, group).getOrElse(
-              sys.error("cdc76: no published mark after the drain"))
-            ViewMaintenance.readStateAsOf(spark, s"$group/tables/$t", sch, mark)
-          } else ViewMaintenance.readState(spark, s"$group/tables/$t", sch)
+        val st = mark match {
+          case Some(m) =>
+            ViewMaintenance.readStateAsOf(spark, s"$group/tables/$t", sch, m)
+          case None => ViewMaintenance.readState(spark, s"$group/tables/$t", sch)
+        }
         st.agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"),
             sum(length(col("v"))).as("payload_sum"))
           .select(lit(stage).as("stage"), lit(t).as("tbl"),
@@ -2937,51 +2962,13 @@ object LifecycleQueries {
   // ViewMaintenanceSpec.)
   def cdc77ReleaseDiff(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.ViewMaintenance
-    val root = tmpFixtureDir("graft_cdc77_", dir)
-    root.mkdirs()
-    val feed = new java.io.File(root, "feed"); feed.mkdirs()
-    val state = new java.io.File(root, "state").getPath
-    val ckpt = new java.io.File(root, "ckpt").getPath
-    val fx = ivmFixture(spark, dir)
-    val bPrime = fx.bBase.unionByName(fx.bDelta).localCheckpoint(true)
-    (0 until 4).foreach { i =>
-      val stg = new java.io.File(root, s"stage$i")
-      graft.ingest.BinlogSink.writeChanges(
-        fx.aDelta.filter(col("o_orderkey") % 20 === lit(5L * i))
-          .select(lit(1).as("op"), col("o_orderkey"), col("o_orderpriority"))
-          .repartition(1),
-        stg.getPath, fileSeqStart = i + 1)
-      val files = Option(stg.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && !f.getName.startsWith("."))
-      require(files.nonEmpty, s"cdc77 fixture class $i wrote no file — an " +
-        "empty delta class would shift every later batch id")
-      files.foreach { f =>
-        require(f.renameTo(new java.io.File(feed, f.getName)),
-          s"fixture deliver failed: $f")
-      }
-    }
-    val stateSchema =
-      "o_orderpriority STRING, cents BIGINT, n BIGINT, batch_id BIGINT"
-    def foldPartials(df: DataFrame): DataFrame =
-      df.groupBy("o_orderpriority")
-        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
-    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bBase), state, -1L)
-    ViewMaintenance.applyIdempotent(fx.partials(fx.aBase, fx.bDelta), state, -2L)
-    drainBinlogFeed(spark, feed.getPath, ckpt) { (batch, id) =>
-      ViewMaintenance.applyIdempotent(
-        fx.partials(decodeIvmDelta(batch), bPrime), state, id)
-      if (id == 1L)
-        ViewMaintenance.compact(spark, state, stateSchema, upto = 0L)(foldPartials)
-      if (id == 3L)
-        ViewMaintenance.compact(spark, state, stateSchema, upto = 2L,
-          retainBases = 1)(foldPartials)
-    }
+    val state = reproFixtureDrain(spark, dir, "graft_cdc77_")
     // the negate flips BOTH additive measures; keys/batch_id untouched
     def negate(df: DataFrame): DataFrame =
       df.withColumn("cents", -col("cents")).withColumn("n", -col("n"))
     def span(tag: String, from: Long, to: Long): DataFrame =
-      foldPartials(
-        ViewMaintenance.readStateDiff(spark, state, stateSchema,
+      reproFold(
+        ViewMaintenance.readStateDiff(spark, state, reproStateSchema,
           from, to)(negate).drop("batch_id"))
         .withColumn("span", lit(tag))
     span("compacted_0to2", 0L, 2L).unionByName(span("live_2to3", 2L, 3L))

@@ -331,9 +331,23 @@ object StreamSearchQueries {
       .orderBy("cluster")
 
   def s51StreamGraphMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val (_, edgesOut) = drainInsertSlices(spark, dir, "graft_s51_")
+    graphEdgeCensus(spark, edgesOut)
+  }
+
+  /** s51/s58's shared insert drain (factored so the pinned-serve gate
+    * cannot drift from the maintenance gate): four id-range quartile
+    * slices of the embeddings table — arrival order = id order
+    * (mtime-forced, the cdc16 bump discipline; the file source picks
+    * files by mod time) — arrive one file per micro-batch against a
+    * FROZEN quantizer, run [[maintainGraphInsert]], and absorb an
+    * injected batch-0 crash-after-commit redelivery (the anti-joined
+    * probe plus the batch_id partition overwrites must take the replay
+    * bit-for-bit). Returns the (vectors state, edges state) dirs. */
+  private def drainInsertSlices(spark: SparkSession, dir: String,
+      prefix: String): (String, String) = {
     import org.apache.spark.sql.streaming.Trigger
-    import graft.streaming.ViewMaintenance
-    val root = graft.streaming.Drains.tmpFixtureDir("graft_s51_", dir)
+    val root = graft.streaming.Drains.tmpFixtureDir(prefix, dir)
     root.mkdirs()
     val feed = new java.io.File(root, "feed"); feed.mkdirs()
     val state = new java.io.File(root, "state").getPath
@@ -343,8 +357,6 @@ object StreamSearchQueries {
     val cent = graft.ops.Similarity.buildCentroids(
         Tables.embeddings(spark, dir), dim = 64, chunks = centroidChunks)
       .localCheckpoint(true) // FROZEN quantizer: built once, not per batch
-    // four id-range slices, arrival order = id order (mtime-forced, the
-    // cdc16 bump discipline — the file source picks files by mod time)
     val maxRow = emb.agg(max(col("vec_id"))).head()
     if (!maxRow.isNullAt(0)) {
       val mx = maxRow.getLong(0)
@@ -359,8 +371,8 @@ object StreamSearchQueries {
       }
     }
     // batch-0 file recording for the injected redelivery (the parquet
-    // analogue of graft.streaming.Drains.drainWithRedelivery's binlog_file capture —
-    // bounded: maxFilesPerTrigger=1)
+    // analogue of graft.streaming.Drains.drainWithRedelivery's
+    // binlog_file capture — bounded: maxFilesPerTrigger=1)
     val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
     def applyBatch(batch: DataFrame, id: Long): Unit = {
         if (id == 0L && batch0Files.isEmpty)
@@ -378,14 +390,12 @@ object StreamSearchQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // INJECTED REDELIVERY: the anti-joined probe plus the batch_id
-    // partition overwrites must absorb a batch-0 replay bit-for-bit
     if (batch0Files.nonEmpty) {
       applyBatch(spark.read
         .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
         .parquet(batch0Files.toSeq: _*), 0L)
     }
-    graphEdgeCensus(spark, edgesOut)
+    (state, edgesOut)
   }
 
   // s54 — VECTORS OVER THE REAL BINLOG WIRE (closing s51/s52's one
@@ -1147,53 +1157,8 @@ object StreamSearchQueries {
   // base, or a compaction fold corrupting either snapshot is a hash
   // mismatch.
   def s58PinnedIndexServe(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.ViewMaintenance
-    val root = graft.streaming.Drains.tmpFixtureDir("graft_s58_", dir)
-    root.mkdirs()
-    val feed = new java.io.File(root, "feed"); feed.mkdirs()
-    val state = new java.io.File(root, "state").getPath
-    val edgesOut = new java.io.File(root, "edges").getPath
-    val ckpt = new java.io.File(root, "ckpt").getPath
-    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val cent = graft.ops.Similarity.buildCentroids(
-        Tables.embeddings(spark, dir), dim = 64, chunks = centroidChunks)
-      .localCheckpoint(true) // FROZEN quantizer (s51's discipline)
-    val maxRow = emb.agg(max(col("vec_id"))).head()
-    if (!maxRow.isNullAt(0)) {
-      val mx = maxRow.getLong(0)
-      val cuts = Seq(0L, mx / 4 + 1, mx / 2 + 1, 3 * mx / 4 + 1, mx + 1)
-      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-        val d = new java.io.File(feed, s"slice$i")
-        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
-          .coalesce(1).write.mode("overwrite").parquet(d.getPath)
-        val base = System.currentTimeMillis()
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .foreach(f => f.setLastModified(base + 4000L * i))
-      }
-    }
-    val batch0Files = scala.collection.mutable.ArrayBuffer.empty[String]
-    def applyBatch(batch: DataFrame, id: Long): Unit = {
-      if (id == 0L && batch0Files.isEmpty)
-        batch0Files ++= batch.select(input_file_name()).distinct()
-          .collect().map(_.getString(0)).filter(_.nonEmpty)
-      maintainGraphInsert(spark, cent, state, edgesOut)(batch, id)
-    }
-    val q = spark.readStream
-      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
-      .option("maxFilesPerTrigger", 1)
-      .option("recursiveFileLookup", "true")
-      .parquet(feed.getPath)
-      .writeStream
-      .foreachBatch(applyBatch _)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    if (batch0Files.nonEmpty) { // injected crash-after-commit redelivery
-      applyBatch(spark.read
-        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
-        .parquet(batch0Files.toSeq: _*), 0L)
-    }
+    val (state, edgesOut) = drainInsertSlices(spark, dir, "graft_s58_")
     val vecSchema =
       "vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>, batch_id BIGINT"
     val edgeSchema = "cluster BIGINT, vec_id BIGINT, nbr BIGINT, batch_id BIGINT"

@@ -102,7 +102,9 @@ object ViewMaintenance {
       "readStateAsOf needs an applyIdempotent state (an exact batch_id " +
         "field in the schema); appendBatch states have no batch marks")
     val (coverages, _) = asOfHorizon(spark, stateDir)
-    val df = {
+    // built lazily: the refusal path below must not pay the parquet
+    // file-index nor leave an mkdirs side effect behind
+    def df = {
       val p = new Path(stateDir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
       spark.read.schema(schema).parquet(stateDir)
