@@ -1158,14 +1158,27 @@ object TextQueries {
   // float log: bucketing is an exact range JOIN against a 20-row
   // broadcast bucket table, NOT floor(log2(rank)) (whose IEEE rounding
   // at bucket boundaries is exactly the cross-engine divergence this
-  // engine bans). The rank is a global (freq DESC, term) row_number —
-  // vocabulary-sized input, the t15 total-order-sort argument.
+  // engine bans). The rank is a global (freq DESC, term) row_number
+  // over the vocabulary — computed via the TWO-PHASE ops/Prefix scan,
+  // not a bare partition-less window (which would sort the whole
+  // vocabulary on one executor — the plan shape PlanAuditSpec bans
+  // elsewhere; t27 was the last holdout, docs/PLANS.md:1712). The rank
+  // bucket is `length(bin(f))` = floor(log2 f)+1 in INTEGER bit
+  // arithmetic (no float log anywhere): exactly monotone in f, so
+  // bucket-desc order coarsens (f desc, term) as runningRank's
+  // contract requires, and its cardinality is ≤64 (one per f octave)
+  // so the rank-offset table broadcasts. The float-log ban above is
+  // about cross-engine OUTPUT divergence; this bucket never reaches
+  // the output — any deterministic monotone bucketing yields the
+  // bit-identical global rank.
   def t27ZipfCurve(spark: SparkSession, dir: String): DataFrame = {
     val freq = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("f"))
-    val w = Window.orderBy(col("f").desc, col("term"))
-    val ranked = freq.withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = graft.ops.Prefix.runningRank(freq,
+        length(bin(col("f"))), bucketDesc = true,
+        Seq(col("f").desc, col("term")), "rank")
+      .withColumn("rank", col("rank").cast("long"))
     val buckets = spark.range(0, 20)
       .select(col("id").cast("int").as("b"),
         expr("cast(pow(2, id) as bigint)").as("lo"),

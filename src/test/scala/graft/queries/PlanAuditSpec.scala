@@ -402,16 +402,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("q36/cdc23/cdc28/t15/t25/p04: no unpartitioned WindowExec over non-aggregated input") {
+  test("q36/cdc23/cdc28/t15/t25/t27/p04: no unpartitioned WindowExec over non-aggregated input") {
     // the r9 scale flag: a bare Window.orderBy over a data-sized input
     // moves everything to ONE partition. The two-phase prefix (ops.Prefix)
     // keeps the only global-order window on the per-bucket TOTALS — an
     // Aggregate output, bounded at rows/bucket-size. Pin: every
     // partition-less logical Window must sit (through unary ops) directly
-    // on an Aggregate. (Engine-wide audit, r10: the remaining
-    // partition-less windows outside this list are p05's 5-row literal
-    // quota table, cdc37's bounded test vector — cdc41 is its scale
-    // path — and cdc40's file-count-bounded rotate chain.)
+    // on an Aggregate. (Engine-wide audit, r10; r16 closed the last
+    // data-sized holdout — t27's vocabulary rank now goes through
+    // Prefix.runningRank with an integer-log2 octave bucket, ending the
+    // docs/PLANS.md audit list. The remaining partition-less windows
+    // outside this pin are p05's 5-row literal quota table, cdc37's
+    // bounded test vector — cdc41 is its scale path — and cdc40's
+    // file-count-bounded rotate chain.)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window => LWindow}
     def boundedInput(p: LogicalPlan): Boolean = p match {
       case _: Aggregate     => true
@@ -426,6 +429,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "cdc28" -> CdcQueries.cdc28WatermarkApply(spark, dir),
       "t15" -> TextQueries.t15FamiliarityTiers(spark, dir),
       "t25" -> TextQueries.t25HeapsCurve(spark, dir),
+      "t27" -> TextQueries.t27ZipfCurve(spark, dir),
       "p04" -> PipelineQueries.p04CurationV2(spark, dir)
     ).foreach { case (name, df) =>
       df.queryExecution.optimizedPlan.foreach {
