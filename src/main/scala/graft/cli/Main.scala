@@ -25,6 +25,17 @@ import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
   *         <out>/ckpt, with --purge-safe surviving binlog retention
   *         between runs.
   *
+  *   graft.cli.Main --out <dir> --as-of <published|N>
+  *   graft.cli.Main --out <dir> --diff <from> <to>
+  *       — READ-ONLY time travel over a --follow <out> ([[censusAtMark]]
+  *         / [[censusDiff]]): the census pinned at a batch mark (at
+  *         `published`, a consistent cross-table read at the group's
+  *         cdc76 consistency mark — retried once if a live writer's
+  *         compaction outruns the resolve), and the per-table changes
+  *         landed in (from, to] (cdc77's partition-pruned release
+  *         diff). A mark inside a compacted region refuses with the
+  *         readable horizon.
+  *
   *   graft.cli.Main
   *     (--binlog-text <dir-of-decoder-text> | --binlog-json <path>
   *      | --binlog-binary <dir-of-raw-binlogs>)
@@ -67,7 +78,9 @@ object Main {
       follow: Seq[String] = Nil,
       purgeSafe: Boolean = false,
       maxFilesPerTrigger: Option[Int] = None,
-      maxBytesPerTrigger: Option[Long] = None)
+      maxBytesPerTrigger: Option[Long] = None,
+      asOf: Option[String] = None,
+      diff: Option[(Long, Long)] = None)
 
   def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
@@ -95,11 +108,45 @@ object Main {
       parseArgs(rest, acc.copy(maxFilesPerTrigger = Some(v.toInt)))
     case "--max-bytes-per-trigger" :: v :: rest =>
       parseArgs(rest, acc.copy(maxBytesPerTrigger = Some(v.toLong)))
+    case "--as-of" :: v :: rest =>
+      require(v == "published" || scala.util.Try(v.toLong).isSuccess,
+        s"--as-of takes a numeric batch mark or 'published', got $v")
+      parseArgs(rest, acc.copy(asOf = Some(v)))
+    case "--diff" :: a :: b :: rest =>
+      parseArgs(rest, acc.copy(diff = Some((a.toLong, b.toLong))))
     case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
   }
 
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv.toList)
+    if (args.asOf.isDefined || args.diff.isDefined) {
+      // READ-ONLY time-travel modes over an existing --follow --out: the
+      // cdc75/cdc76/cdc77 primitives made operable (the same step
+      // cdc63 -> --follow took for ingest). No stream starts, no state
+      // is written; a mark inside a compacted region refuses with the
+      // readable horizon rather than serving silently wrong history.
+      require(args.follow.isEmpty,
+        "--as-of/--diff are read-only modes over an existing --out; run " +
+          "them in their own invocation, not combined with --follow")
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-cdc-time-travel")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val tablesRoot = s"${args.out}/tables"
+      args.asOf.foreach { v =>
+        val pinned = censusAtMark(spark, args.out, tablesRoot, v)
+        println(s"[graft] census as of mark ${pinned._1}:")
+        pinned._2.show(truncate = false)
+      }
+      args.diff.foreach { case (from, to) =>
+        println(s"[graft] changes in marks ($from, $to]:")
+        censusDiff(spark, tablesRoot, from, to).show(truncate = false)
+      }
+      spark.stop()
+      return
+    }
     if (args.follow.nonEmpty) {
       val spark = SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -204,10 +251,20 @@ object Main {
     *
     * Scale shape: the per-batch table routing collects only the
     * DISTINCT table names in that batch (bounded, loudly capped), the
-    * feed is decoded once per batch (localCheckpoint) however many
-    * tables it carries, and each table's state write is one bounded
-    * parquet append — the single-subscription/N-states deployment
-    * shape of cdc57/cdc63. */
+    * feed is decoded once per batch (localCheckpoint), and ALL tables'
+    * changes land in ONE dynamic-partition-overwrite write
+    * (`db=<db>/tbl=<tbl>/batch_id=N` under `<out>/tables`) — one Spark
+    * job per batch regardless of how many tables the batch carries,
+    * with applyIdempotent's exactly-once guarantee intact (a
+    * redelivered batch replaces its own (db, tbl, batch_id)
+    * partitions). Each per-table directory IS a ViewMaintenance state
+    * one level down, so compaction, time travel, and the published
+    * consistency mark all operate unchanged; the census is one
+    * partitioned read over the live partitions (driver listing + the
+    * readState live rule), not an N-way union. A pre-r16 `<out>`
+    * written in the `<db>.<tbl>` flat layout is refused loudly (the
+    * cdc68 upgrade discipline) — finish it with the old build or start
+    * a new `--out`. */
   def follow(spark: SparkSession, feeds: Seq[String], out: String,
       purgeSafe: Boolean, maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = Some(1L << 30)): DataFrame = {
@@ -215,12 +272,35 @@ object Main {
     require(feeds.distinct.length == feeds.length,
       s"--follow lists the same directory twice ($feeds): two streams " +
         "over one dir would ingest every row twice")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // layout guard (the cdc68 upgrade discipline): a pre-r16 `<out>`
+    // holds flat `<db>.<tbl>` state dirs with db/tbl as DATA columns;
+    // this build writes partitioned `db=<db>/tbl=<tbl>` dirs with them
+    // as PARTITION columns. Reading one layout with the other's schema
+    // would serve nulls, so a mixed root is refused before any stream
+    // starts (or any manifest is written), not discovered as wrong
+    // answers later.
+    locally {
+      val rootP = new org.apache.hadoop.fs.Path(s"$out/tables")
+      val rfs = rootP.getFileSystem(conf)
+      if (rfs.exists(rootP)) {
+        val alien = rfs.listStatus(rootP).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => !n.startsWith("db=") && !n.startsWith(".") &&
+            !n.startsWith("_"))
+        require(alien.isEmpty,
+          s"$out/tables holds pre-r16 flat per-table state dirs " +
+            s"(${alien.take(3).mkString(", ")}…) — this build writes the " +
+            "partitioned db=<db>/tbl=<tbl> layout and cannot mix the two. " +
+            "Finish the old --out with the build that wrote it, or start " +
+            "a new --out")
+      }
+    }
     // Spark's offset log pairs sources POSITIONALLY — it records no
     // path identity — so a resume with the feeds reordered would
     // silently hand each feed another feed's offsets (under purgeSafe
     // that skips or re-serves whole files). Pin the exact ordered list
     // on first run; refuse any later mismatch loudly.
-    val conf = spark.sparkContext.hadoopConfiguration
     val manifest = new org.apache.hadoop.fs.Path(out, "feeds")
     val mfs = manifest.getFileSystem(conf)
     if (mfs.exists(manifest)) {
@@ -240,10 +320,15 @@ object Main {
     import graft.streaming.ViewMaintenance
     val ckpt = s"$out/ckpt"
     val tablesRoot = s"$out/tables"
-    val stateSchema = "db STRING, tbl STRING, event_type STRING, " +
-      "binlog_file STRING, file_seq BIGINT, event_index BIGINT, " +
-      "xid BIGINT, row_images ARRAY<ARRAY<STRING>>, batch_id BIGINT"
+    // per-table state schema: db/tbl are PARTITION directories above the
+    // state dir, not data columns — each `db=X/tbl=Y` dir is a plain
+    // ViewMaintenance state
+    val stateSchema = "event_type STRING, binlog_file STRING, " +
+      "file_seq BIGINT, event_index BIGINT, xid BIGINT, " +
+      "row_images ARRAY<ARRAY<STRING>>, batch_id BIGINT"
     def applyBatch(batch: DataFrame, id: Long): Unit = {
+      require(id > ViewMaintenance.BaseMark, // applyIdempotent's reserve
+        s"batch ids at or below ${ViewMaintenance.BaseMark} are reserved")
       val b = batch
         .filter(col("event_type").isin("WriteRowsEventV2",
           "UpdateRowsEventV2", "DeleteRowsEventV2"))
@@ -256,18 +341,26 @@ object Main {
       require(tables.length <= 1000,
         "follow routes per-table states for up to 1000 distinct tables " +
           "per batch — this feed carries more; split the subscription")
+      // ONE write for the whole batch: dynamic partition overwrite lands
+      // every table's slice in its own db=/tbl=/batch_id= partition —
+      // the per-trigger cost is flat in the table count (r15 wrote N
+      // sequential applyIdempotent jobs), and a redelivered batch still
+      // replaces exactly its own partitions (the cdc48 absorption)
+      b.withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("db", "tbl", "batch_id")
+        .parquet(tablesRoot)
       tables.foreach { case (db, tbl) =>
-        val stateDir = s"$tablesRoot/$db.$tbl"
-        ViewMaintenance.applyIdempotent(
-          b.filter(col("db") === db && col("tbl") === tbl), stateDir, id)
         // retainBases = 1 keeps the previous coverage point readable, so
         // a pinned historical read has one release of headroom; a LIVE
         // consistent reader must still resolve publishedMark per read —
         // a mark that ages past the coverage refuses loudly in
         // readStateAsOf (retry with a fresh mark), it is never served
-        // silently wrong
-        ViewMaintenance.maybeCompact(spark, stateDir, stateSchema,
-          maxLive = 8, keepLast = 2, retainBases = 1)(df => df)
+        // silently wrong. Declining costs one FS listing per ACTIVE
+        // table (tables absent from the batch are not probed).
+        ViewMaintenance.maybeCompact(spark, tableStateDir(tablesRoot, db, tbl),
+          stateSchema, maxLive = 8, keepLast = 2, retainBases = 1)(df => df)
       }
       // consistency mark: published only after EVERY table's batch
       // landed, so a cross-table reader using
@@ -301,24 +394,107 @@ object Main {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // census over every table state this and PRIOR invocations built
+    census(spark, tablesRoot)
+  }
+
+  /** One per-table ViewMaintenance state dir under the partitioned
+    * layout. Path segments go through the same escaping Spark's
+    * partitioned write uses (a db/table name with a `/` or `=` must
+    * resolve to the directory the write created, not a different or
+    * invalid path). */
+  def tableStateDir(tablesRoot: String, db: String, tbl: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    s"$tablesRoot/db=${escapePathName(db)}/tbl=${escapePathName(tbl)}"
+  }
+
+  /** The per-table census over every state this and PRIOR invocations
+    * built — ONE partitioned read, not an N-way union: a driver-side
+    * listing per table resolves the LIVE partition set (newest base +
+    * uncovered deltas — readState's rule, via asOfHorizon), and one
+    * scan over exactly those directories (`basePath` keeps db/tbl as
+    * partition columns) aggregates all tables. Listing cost is the same
+    * N bounded listings readState paid; the plan cost is one scan + one
+    * hash aggregate however many tables exist. */
+  def census(spark: SparkSession, tablesRoot: String): DataFrame =
+    censusOver(spark, tablesRoot) { dir =>
+      import graft.streaming.ViewMaintenance
+      val (coverages, liveIds) = ViewMaintenance.asOfHorizon(spark, dir)
+      coverages.lastOption.map(cv => ViewMaintenance.BaseMark - cv).toSeq ++
+        liveIds
+    }
+
+  /** The census PINNED at a mark: each table read via the
+    * readStateAsOf partition rule (asOfPartitionIds) — a table whose
+    * first batch postdates the mark is absent, a mark inside a
+    * compacted region refuses with the horizon. `markArg` is a numeric
+    * batch mark or `published` (the group's consistency mark, cdc76's
+    * protocol) — the published form re-resolves and retries ONCE when a
+    * concurrent writer's compaction outruns the first resolve (the
+    * readStateAtPublished discipline); a NAMED mark never retries, its
+    * refusal is the contract. Returns (resolved mark, census). */
+  def censusAtMark(spark: SparkSession, groupDir: String,
+      tablesRoot: String, markArg: String): (Long, DataFrame) = {
+    import graft.streaming.ViewMaintenance
+    def resolve(): Long =
+      if (markArg == "published")
+        ViewMaintenance.publishedMark(spark, groupDir).getOrElse(
+          throw new IllegalArgumentException(
+            s"no published mark under $groupDir — has --follow completed " +
+              "a batch against this --out?"))
+      else markArg.toLong
+    val mark = resolve()
+    def at(m: Long): DataFrame = censusOver(spark, tablesRoot)(dir =>
+      ViewMaintenance.asOfPartitionIds(spark, dir, m))
+    // the refusal (asOfPartitionIds) fires while censusOver enumerates
+    // partitions — eagerly, inside at() — so the catch sees it here
+    try (mark, at(mark))
+    catch {
+      case _: IllegalArgumentException if markArg == "published" =>
+        val fresh = resolve(); (fresh, at(fresh))
+    }
+  }
+
+  /** Per-table census of the changes in `(from, to]` — readStateDiff's
+    * CHEAP partition-pruned path over every table (only the delta
+    * partitions between the marks are scanned; a `from` below a table's
+    * compaction coverage refuses with the horizon — a changelog state
+    * has no negate fallback). */
+  def censusDiff(spark: SparkSession, tablesRoot: String,
+      from: Long, to: Long): DataFrame =
+    censusOver(spark, tablesRoot)(dir =>
+      graft.streaming.ViewMaintenance.diffPartitionIds(spark, dir, from, to))
+
+  private def censusOver(spark: SparkSession, tablesRoot: String)
+      (partIds: String => Seq[Long]): DataFrame = {
     val rootPath = new org.apache.hadoop.fs.Path(tablesRoot)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tableDirs =
-      if (!fs.exists(rootPath)) Array.empty[String]
-      else fs.listStatus(rootPath).filter(_.isDirectory)
-        .map(_.getPath.getName).sorted
-    val empty = spark.emptyDataFrame
-      .select(lit("").as("tbl"), lit(0L).as("n_events"),
-        lit(0L).as("n_rows"))
-      .limit(0)
-    tableDirs.foldLeft(empty) { (acc, t) =>
-      acc.unionByName(
-        ViewMaintenance.readState(spark, s"$tablesRoot/$t", stateSchema)
-          .agg(count(lit(1)).as("n_events"),
-            coalesce(sum(size(col("row_images"))), lit(0L)).as("n_rows"))
-          .select(lit(t).as("tbl"), col("n_events"), col("n_rows")))
-    }.orderBy("tbl")
+    def subDirs(p: org.apache.hadoop.fs.Path, prefix: String) =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith(prefix))
+    val liveParts: Seq[String] = for {
+      dbDir <- subDirs(rootPath, "db=")
+      tblDir <- subDirs(dbDir, "tbl=")
+      id <- partIds(tblDir.toString)
+    } yield s"$tblDir/batch_id=$id"
+    if (liveParts.isEmpty)
+      spark.emptyDataFrame
+        .select(lit("").as("tbl"), lit(0L).as("n_events"),
+          lit(0L).as("n_rows"))
+        .limit(0)
+    else
+      spark.read
+        .schema("db STRING, tbl STRING, event_type STRING, " +
+          "binlog_file STRING, file_seq BIGINT, event_index BIGINT, " +
+          "xid BIGINT, row_images ARRAY<ARRAY<STRING>>, batch_id BIGINT")
+        .option("basePath", tablesRoot)
+        .parquet(liveParts: _*)
+        .groupBy(col("db"), col("tbl"))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(size(col("row_images"))), lit(0L)).as("n_rows"))
+        .select(concat(col("db"), lit("."), col("tbl")).as("tbl"),
+          col("n_events"), col("n_rows"))
+        .orderBy("tbl")
   }
 
   /** A3 — input-file counts per side, with the reference's empty-input

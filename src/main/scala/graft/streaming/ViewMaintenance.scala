@@ -101,17 +101,28 @@ object ViewMaintenance {
     require(hasBatchId(schema),
       "readStateAsOf needs an applyIdempotent state (an exact batch_id " +
         "field in the schema); appendBatch states have no batch marks")
-    val (coverages, _) = asOfHorizon(spark, stateDir)
-    // built lazily: the refusal path below must not pay the parquet
-    // file-index nor leave an mkdirs side effect behind
-    def df = {
-      val p = new Path(stateDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
-      spark.read.schema(schema).parquet(stateDir)
-    }
-    if (coverages.contains(upto)) {
-      df.filter(col("batch_id") === lit(BaseMark - upto))
-    } else coverages.lastOption match {
+    // resolve the partition set FIRST: the refusal path must not pay the
+    // parquet file-index nor leave an mkdirs side effect behind
+    val ids = asOfPartitionIds(spark, stateDir, upto)
+    val p = new Path(stateDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    spark.read.schema(schema).parquet(stateDir)
+      // a literal In over the partition column — pruned at the scan like
+      // readState's live rule; the id list is bounded by the live window
+      .filter(col("batch_id").isin(ids.map(Long.box): _*))
+  }
+
+  /** The exact `batch_id=` partition set an as-of read at `upto` serves —
+    * [[readStateAsOf]]'s case analysis as data, for readers that select
+    * partition DIRECTORIES instead of filtering one scan (e.g. a
+    * cross-table census reading many states in one partitioned scan).
+    * Same contract, same refusal: a mark inside a compacted region
+    * throws with the readable horizon. Cost: one driver-side listing. */
+  def asOfPartitionIds(spark: SparkSession, stateDir: String,
+      upto: Long): Seq[Long] = {
+    val (coverages, liveIds) = asOfHorizon(spark, stateDir)
+    if (coverages.contains(upto)) Seq(BaseMark - upto)
+    else coverages.lastOption match {
       case Some(newest) if newest > upto =>
         val retained = coverages.init // marks readable only exactly
         throw new IllegalArgumentException(
@@ -121,10 +132,56 @@ object ViewMaintenance {
             s"current coverage $newest. Retain more history with " +
             s"compact(..., retainBases = n).")
       case Some(newest) => // newest <= upto: base + live deltas up to the mark
-        df.filter(col("batch_id") === lit(BaseMark - newest) ||
-          (col("batch_id") > lit(newest) && col("batch_id") <= lit(upto)))
+        (BaseMark - newest) +: liveIds.filter(_ <= upto)
       case None => // pure delta chain — every mark is readable
-        df.filter(col("batch_id") > lit(BaseMark) && col("batch_id") <= lit(upto))
+        liveIds.filter(_ <= upto)
+    }
+  }
+
+  /** The `batch_id=` partition set of a CHEAP mark-to-mark diff — the
+    * live delta partitions in `(from, to]` ([[readStateDiff]]'s
+    * partition-pruned path, as data for directory-selecting readers).
+    * Valid only when no compaction separates the marks: `from` at or
+    * above the current coverage. A `from` below coverage REFUSES with
+    * the horizon (those deltas were folded away; an additive state can
+    * still diff via [[readStateDiff]]'s negate fallback, a changelog
+    * state cannot). */
+  def diffPartitionIds(spark: SparkSession, stateDir: String,
+      from: Long, to: Long): Seq[Long] = {
+    require(from <= to, s"diff marks must satisfy from <= to, got $from > $to")
+    val (coverages, liveIds) = asOfHorizon(spark, stateDir)
+    coverages.lastOption.filter(_ > from) match {
+      case Some(newest) =>
+        throw new IllegalArgumentException(
+          s"diff from mark $from crosses the compaction at coverage " +
+            s"$newest: the deltas in ($from, $newest] were folded and " +
+            "GC'd, so the partition-pruned diff cannot serve them. Diff " +
+            "from a mark >= the coverage, retain more history with " +
+            "compact(..., retainBases = n), or — for ADDITIVE states " +
+            "only — use readStateDiff's negate fallback.")
+      case None => liveIds.filter(id => id > from && id <= to)
+    }
+  }
+
+  /** Consistent read of ONE state in a published group ([[publishMark]]'s
+    * protocol) with the A2 retry: resolve the group's published mark,
+    * read the state as of it, and if a concurrent compaction advanced
+    * this state's coverage past the mark between the resolve and the
+    * read (the keepLast/retainBases race — an availability wart, never a
+    * wrong answer), re-resolve ONCE and retry; a second refusal
+    * propagates (the writer is outrunning the reader's retention —
+    * retain more bases or publish less often). */
+  def readStateAtPublished(spark: SparkSession, groupDir: String,
+      stateDir: String, schema: String): DataFrame = {
+    val mark = publishedMark(spark, groupDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no published mark under $groupDir — the writer has not " +
+          "completed a batch yet (publishMark runs after every state's " +
+          "batch lands)"))
+    try readStateAsOf(spark, stateDir, schema, mark)
+    catch { case _: IllegalArgumentException =>
+      val fresh = publishedMark(spark, groupDir).getOrElse(mark)
+      readStateAsOf(spark, stateDir, schema, fresh)
     }
   }
 
@@ -199,10 +256,14 @@ object ViewMaintenance {
     * the writer calls this AFTER every state's batch `mark` landed; a
     * consistent cross-state reader reads each state with
     * `readStateAsOf(publishedMark(...))` — consistency and time travel
-    * are the same primitive. The publish is atomic (one create-exclusive
-    * of `_published/<mark>`; readers take the numeric max, so a
-    * half-done publish is invisible) and FORWARD-ONLY (a redelivered
-    * batch re-publishing an older mark cannot move the max backwards).
+    * are the same primitive. The publish is one create-exclusive of
+    * `_published/<mark>` — atomic on filesystems with atomic
+    * create/rename semantics (HDFS, local); on object stores (S3A) the
+    * create is check-then-write, which the SINGLE-PUBLISHER discipline
+    * this protocol assumes makes harmless (readers take the numeric
+    * max, duplicate creates of the same mark are benign) — and
+    * FORWARD-ONLY (a redelivered batch re-publishing an older mark
+    * cannot move the max backwards).
     * Smaller marks are GC'd best-effort after each publish — the listing
     * stays bounded at ~1 file, and a crash mid-GC just leaves files the
     * next publish removes. */

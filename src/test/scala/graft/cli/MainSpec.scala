@@ -364,4 +364,123 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(exDup.getMessage.contains("twice"), s"got: $exDup")
   }
+
+  test("--follow: a multi-table batch is a CONSTANT number of jobs, not " +
+      "one write per table (the r15 serial-write fix)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli_follow_jobs").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val out = new java.io.File(root, "out").getPath
+    // 12 distinct tables, one committed txn each; the default
+    // byte-budgeted pacing drains all 12 files in ONE batch
+    (1 to 12).foreach { i =>
+      val st = new java.io.File(root, s"st_$i").getPath
+      graft.ingest.BinlogSink.writeChanges(
+        Seq((1, i.toLong, s"v$i")).toDF("op", "k", "v").coalesce(1),
+        st, table = f"t$i%02d", tableId = 100L + i, fileSeqStart = i)
+      Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .foreach(f => assert(f.renameTo(new java.io.File(feed, f.getName))))
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val censusDf =
+      try {
+        val df = Main.follow(spark, Seq(feed.getPath), out, purgeSafe = false)
+        // follow's streaming work is done at return (AvailableNow drained);
+        // give the async listener bus a moment to deliver the tail
+        Thread.sleep(1500)
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val during = jobs.get()
+    // one localCheckpoint + one distinct + ONE partitioned write + census
+    // prep: a small constant. The r15 shape paid >= 12 write jobs alone
+    // (one applyIdempotent per table), so the bound separates cleanly.
+    assert(during <= 8,
+      s"a 12-table batch ran $during jobs — the batch write is no longer " +
+        "flat in the table count")
+    val rows = censusDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == (1 to 12).map(i => (f"sf.t$i%02d", 1L, 1L)).toSet,
+      s"census mismatch: $rows")
+  }
+
+  test("--as-of/--diff: pinned census, published-mark census, release " +
+      "diff, and the compacted-region refusal (operable time travel)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli_asof").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val out = new java.io.File(root, "out").getPath
+    def stage(df: org.apache.spark.sql.DataFrame, table: String,
+        tableId: Long, seq: Int): Unit = {
+      val st = new java.io.File(root, s"st_$table$seq").getPath
+      graft.ingest.BinlogSink.writeChanges(df.coalesce(1), st,
+        table = table, tableId = tableId, fileSeqStart = seq)
+      Option(new java.io.File(st).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .foreach(f => assert(f.renameTo(new java.io.File(feed, f.getName))))
+    }
+    // two files -> drained file-per-trigger so marks 0 and 1 both exist
+    stage(Seq((1, 1L, "a"), (1, 2L, "b")).toDF("op", "k", "v"), "ta", 21L, 1)
+    stage(Seq((1, 10L, 7L)).toDF("op", "k", "x"), "tb", 22L, 2)
+    Main.follow(spark, Seq(feed.getPath), out, purgeSafe = false,
+      maxFilesPerTrigger = Some(1), maxBytesPerTrigger = None).collect()
+    val tablesRoot = s"$out/tables"
+    def m(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    // mark 0: only ta's file had landed; tb postdates the mark
+    val (m0, c0) = Main.censusAtMark(spark, out, tablesRoot, "0")
+    assert(m0 == 0L && m(c0) == Map("sf.ta" -> (1L, 2L)))
+    // published = the last completed batch -> the full census
+    val (mp, cp) = Main.censusAtMark(spark, out, tablesRoot, "published")
+    assert(mp == 1L &&
+      m(cp) == Map("sf.ta" -> (1L, 2L), "sf.tb" -> (1L, 1L)))
+    // release diff (0, 1]: exactly tb's arrival
+    assert(m(Main.censusDiff(spark, tablesRoot, 0L, 1L)) ==
+      Map("sf.tb" -> (1L, 1L)))
+    // force a compaction that folds both marks of ta, with no retained
+    // history: a named-mark read inside the region must refuse with the
+    // horizon, not serve the nearest base
+    import graft.streaming.ViewMaintenance
+    val taDir = Main.tableStateDir(tablesRoot, "sf", "ta")
+    val sch = "event_type STRING, binlog_file STRING, file_seq BIGINT, " +
+      "event_index BIGINT, xid BIGINT, row_images ARRAY<ARRAY<STRING>>, " +
+      "batch_id BIGINT"
+    ViewMaintenance.compact(spark, taDir, sch, upto = 1L)(df => df)
+    val ex = intercept[IllegalArgumentException] {
+      Main.censusAtMark(spark, out, tablesRoot, "0")
+    }
+    assert(ex.getMessage.contains("compacted region"), s"got: $ex")
+    // the diff refuses too: ta's (0, 1] deltas were folded away
+    val exd = intercept[IllegalArgumentException] {
+      Main.censusDiff(spark, tablesRoot, 0L, 1L).collect()
+    }
+    assert(exd.getMessage.contains("compaction"), s"got: $exd")
+    // but the census AT the new coverage still serves (base alone)
+    assert(m(Main.censusAtMark(spark, out, tablesRoot, "1")._2) ==
+      Map("sf.ta" -> (1L, 2L), "sf.tb" -> (1L, 1L)))
+  }
+
+  test("--follow: a pre-r16 flat-layout --out is refused loudly (cdc68 " +
+      "upgrade discipline), before any manifest or stream side effect") {
+    val root = Files.createTempDirectory("cli_follow_layout").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val out = new java.io.File(root, "out")
+    // simulate the r15 layout: a flat <db>.<tbl> state dir
+    assert(new java.io.File(out, "tables/sf.ta/batch_id=0").mkdirs())
+    val ex = intercept[IllegalArgumentException] {
+      Main.follow(spark, Seq(feed.getPath), out.getPath, purgeSafe = false)
+    }
+    assert(ex.getMessage.contains("pre-r16"), s"got: $ex")
+    // refused BEFORE the feeds manifest was pinned — a corrected re-run
+    // against a fresh out must not inherit a half-written identity
+    assert(!new java.io.File(out, "feeds").exists())
+  }
 }

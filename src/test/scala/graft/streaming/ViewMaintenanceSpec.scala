@@ -272,6 +272,32 @@ class ViewMaintenanceSpec extends AnyFunSuite with SparkTestSession {
     assert(files == Seq("3"), files)
   }
 
+  test("readStateAtPublished: consistent group read at the published " +
+      "mark; loud before the first publish") {
+    import spark.implicits._
+    val group = tmp("pubread")
+    val state = new java.io.File(group, "tables/t1").getPath
+    val schema = "k STRING, v BIGINT, batch_id BIGINT"
+    ViewMaintenance.applyIdempotent(Seq(("a", 1L)).toDF("k", "v"), state, 0L)
+    // before any publish: loud, not an empty view (the writer protocol
+    // publishes AFTER every state's batch lands — no mark means no
+    // consistent snapshot exists yet)
+    val ex = intercept[IllegalArgumentException](
+      ViewMaintenance.readStateAtPublished(spark, group, state, schema))
+    assert(ex.getMessage.contains("no published mark"), s"got: $ex")
+    ViewMaintenance.publishMark(spark, group, 0L)
+    // batch 1 landed but is NOT yet published: the consistent read
+    // serves mark 0 — mid-batch state is invisible (cdc76's point)
+    ViewMaintenance.applyIdempotent(Seq(("a", 2L)).toDF("k", "v"), state, 1L)
+    val v0 = ViewMaintenance.readStateAtPublished(spark, group, state, schema)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    assert(v0 == 1L)
+    ViewMaintenance.publishMark(spark, group, 1L)
+    val v1 = ViewMaintenance.readStateAtPublished(spark, group, state, schema)
+      .agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    assert(v1 == 3L)
+  }
+
   test("explicit file: URI routes through the Hadoop FileSystem API") {
     import spark.implicits._
     // scheme-qualified, as an HDFS/S3 state dir would be — the pre-create
