@@ -15,6 +15,7 @@ import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
   *   graft.cli.Main --follow <dir-of-raw-binlogs> [--follow <dir2> …]
   *     [--out <dir>] [--purge-safe]
   *     [--max-bytes-per-trigger <n>] [--max-files-per-trigger <n>]
+  *     [--gtid-state] [--gtid-discard-from <seq>]
   *       — the LIVE-consumer posture ([[follow]]): tail the
   *         directories (each last file may still be growing; several
   *         --follow dirs union under one checkpoint with per-source
@@ -23,7 +24,12 @@ import graft.ingest.{AvroSource, BinlogBinaryParser, BinlogTextParser, Sources}
   *         under <out>/tables, hold torn tails back, print the census
   *         and per-feed lag; re-run (cron) to continue from
   *         <out>/ckpt, with --purge-safe surviving binlog retention
-  *         between runs.
+  *         between runs. --gtid-state maintains the fleet's durable
+  *         executed-gtid set under <out>/gtid; after a shard's
+  *         failover, one run with --gtid-discard-from <seq> (the first
+  *         post-failover file number) discards the replica's re-served
+  *         overlap transactions via the recovered set (cdc74's
+  *         posture, operable).
   *
   *   graft.cli.Main --out <dir> --as-of <published|N>
   *   graft.cli.Main --out <dir> --diff <from> <to>
@@ -80,7 +86,9 @@ object Main {
       maxFilesPerTrigger: Option[Int] = None,
       maxBytesPerTrigger: Option[Long] = None,
       asOf: Option[String] = None,
-      diff: Option[(Long, Long)] = None)
+      diff: Option[(Long, Long)] = None,
+      gtidState: Boolean = false,
+      gtidDiscardFrom: Option[Long] = None)
 
   def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
@@ -108,6 +116,9 @@ object Main {
       parseArgs(rest, acc.copy(maxFilesPerTrigger = Some(v.toInt)))
     case "--max-bytes-per-trigger" :: v :: rest =>
       parseArgs(rest, acc.copy(maxBytesPerTrigger = Some(v.toLong)))
+    case "--gtid-state" :: rest => parseArgs(rest, acc.copy(gtidState = true))
+    case "--gtid-discard-from" :: v :: rest =>
+      parseArgs(rest, acc.copy(gtidDiscardFrom = Some(v.toLong)))
     case "--as-of" :: v :: rest =>
       require(v == "published" || scala.util.Try(v.toLong).isSuccess,
         s"--as-of takes a numeric batch mark or 'published', got $v")
@@ -156,7 +167,8 @@ object Main {
       spark.sparkContext.setLogLevel("WARN")
       follow(spark, args.follow, args.out, args.purgeSafe,
           args.maxFilesPerTrigger,
-          args.maxBytesPerTrigger.orElse(Some(1L << 30)))
+          args.maxBytesPerTrigger.orElse(Some(1L << 30)),
+          args.gtidState, args.gtidDiscardFrom)
         .show(truncate = false)
       // one lag row per feed, paired in the union's plan order
       graft.sources.BinlogTailOps.lagMetricsUnion(
@@ -267,8 +279,13 @@ object Main {
     * a new `--out`. */
   def follow(spark: SparkSession, feeds: Seq[String], out: String,
       purgeSafe: Boolean, maxFilesPerTrigger: Option[Int] = None,
-      maxBytesPerTrigger: Option[Long] = Some(1L << 30)): DataFrame = {
+      maxBytesPerTrigger: Option[Long] = Some(1L << 30),
+      gtidState: Boolean = false,
+      gtidDiscardFrom: Option[Long] = None): DataFrame = {
     require(feeds.nonEmpty, "--follow needs at least one directory")
+    require(gtidDiscardFrom.isEmpty || gtidState,
+      "--gtid-discard-from needs --gtid-state: the discard filter reads " +
+        "the durable executed set that flag maintains")
     require(feeds.distinct.length == feeds.length,
       s"--follow lists the same directory twice ($feeds): two streams " +
         "over one dir would ingest every row twice")
@@ -326,17 +343,50 @@ object Main {
     val stateSchema = "event_type STRING, binlog_file STRING, " +
       "file_seq BIGINT, event_index BIGINT, xid BIGINT, " +
       "row_images ARRAY<ARRAY<STRING>>, batch_id BIGINT"
+    // GTID FAILOVER SURFACE (cdc74 made operable): with --gtid-state the
+    // fleet's durable executed set — per-sid max gno, exactly-once per
+    // batch — is maintained under <out>/gtid alongside the data, ready
+    // for the day a shard fails over. After a failover the DBA reruns
+    // with --gtid-discard-from <seq> (the first post-failover file
+    // number): the set is recovered FROM THE STATE once at startup and
+    // rows in files >= seq whose gtid the set covers are discarded via
+    // one sid-keyed broadcast join (cdc73's filter) — the replica's
+    // re-served overlap transactions vanish, its new transactions land,
+    // and every other shard's ingestion is untouched. The file_seq
+    // guard keeps redelivered PRE-failover batches bit-identical (a
+    // covered row discarded from a redelivery would empty its own
+    // batch_id partition — cdc74's exact design point).
+    val gtidDir = s"$out/gtid"
+    val gtidSchema = "sid STRING, gno BIGINT, batch_id BIGINT"
+    val gno = substring_index(col("gtid_next"), ":", -1).cast("long")
+    val marks: Option[DataFrame] = gtidDiscardFrom.map { _ =>
+      // frozen ONCE at startup — the restarted consumer's recovery read;
+      // mid-run batches keep extending the set through the write below
+      ViewMaintenance.readState(spark, gtidDir, gtidSchema)
+        .groupBy("sid").agg(max(col("gno")).as("exec_gno"))
+        .localCheckpoint(true)
+    }
     def applyBatch(batch: DataFrame, id: Long): Unit = {
       require(id > ViewMaintenance.BaseMark, // applyIdempotent's reserve
         s"batch ids at or below ${ViewMaintenance.BaseMark} are reserved")
-      val b = batch
+      val dml = batch
         .filter(col("event_type").isin("WriteRowsEventV2",
           "UpdateRowsEventV2", "DeleteRowsEventV2"))
         .select(col("schema").as("db"), col("table").as("tbl"),
           col("event_type"), col("binlog_file"), col("file_seq"),
-          col("event_index"), col("xid"), col("row_images"))
+          col("event_index"), col("xid"), col("row_images"),
+          col("gtid_next"))
         .localCheckpoint(true) // the feed decodes ONCE per batch
-      val tables = b.select("db", "tbl").distinct().limit(1001)
+      val b = (marks, gtidDiscardFrom) match {
+        case (Some(m), Some(seq)) => dml
+          .withColumn("__sid", substring_index(col("gtid_next"), ":", 1))
+          .join(broadcast(m), col("__sid") === col("sid"), "left")
+          .filter(!(col("file_seq") >= lit(seq) &&
+            col("exec_gno").isNotNull && gno <= col("exec_gno")))
+          .drop("__sid", "sid", "exec_gno", "gtid_next")
+        case _ => dml.drop("gtid_next")
+      }
+      val tables = dml.select("db", "tbl").distinct().limit(1001)
         .collect().map(r => (r.getString(0), r.getString(1)))
       require(tables.length <= 1000,
         "follow routes per-table states for up to 1000 distinct tables " +
@@ -361,6 +411,22 @@ object Main {
         // table (tables absent from the batch are not probed).
         ViewMaintenance.maybeCompact(spark, tableStateDir(tablesRoot, db, tbl),
           stateSchema, maxLive = 8, keepLast = 2, retainBases = 1)(df => df)
+      }
+      if (gtidState) {
+        // ONE durable executed set for the whole fleet, fed by rows from
+        // every feed in the union — per-sid max gno, BEFORE the discard
+        // (a discarded row's gno is already covered, so the set is
+        // unchanged either way; the pre-discard read keeps one plan)
+        ViewMaintenance.applyIdempotent(
+          dml.filter(col("gtid_next") =!= "")
+            .select(substring_index(col("gtid_next"), ":", 1).as("sid"),
+              gno.as("gno"))
+            .groupBy("sid").agg(max(col("gno")).as("gno")),
+          gtidDir, id)
+        // register-max state: the fold is the same per-sid max
+        ViewMaintenance.maybeCompact(spark, gtidDir, gtidSchema,
+          maxLive = 8, keepLast = 2)(df =>
+          df.groupBy("sid").agg(max(col("gno")).as("gno")))
       }
       // consistency mark: published only after EVERY table's batch
       // landed, so a cross-table reader using

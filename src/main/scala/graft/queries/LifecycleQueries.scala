@@ -2857,7 +2857,9 @@ object LifecycleQueries {
     }
     val sch = "k BIGINT, v STRING, batch_id BIGINT"
     val lastFiles = scala.collection.mutable.ArrayBuffer.empty[String]
+    var maxBatchId = -1L
     def applyBatch(batch: DataFrame, id: Long, publish: Boolean): Unit = {
+      maxBatchId = math.max(maxBatchId, id)
       val b = batch.filter(col("event_type") === "WriteRowsEventV2")
         .select(col("table").as("tbl"), explode(col("row_images")).as("img"))
         .select(col("tbl"), element_at(col("img"), 1).cast("long").as("k"),
@@ -2915,6 +2917,18 @@ object LifecycleQueries {
     // the restart: redeliver batch 1 (absorbed by its own partitions)
     // and complete its publish — the mark moves 0 → 1
     require(lastFiles.nonEmpty, "cdc76: the drain never saw batch 1")
+    // PACING PRECONDITION (r15 ADVICE): the fixture's whole design is
+    // that maxFilesPerTrigger=2 over the 4 staged files pairs each
+    // class's ta+tb installments into exactly two (2,2) batches. If the
+    // source's pacing ever split them (2,1,1), the gate would fail at
+    // the oracle with a misleading consistency diagnosis — assert the
+    // precondition itself so a pacing change surfaces as a clear
+    // fixture failure instead.
+    require(maxBatchId == 1L && lastFiles.length == 2,
+      s"cdc76 fixture precondition broke: expected exactly 2 batches of " +
+        s"2 files each, saw max batch id $maxBatchId with " +
+        s"${lastFiles.length} file(s) in batch 1 — the per-trigger " +
+        "pairing this gate is built on no longer holds")
     applyBatch(spark.read.format("binlog")
       .load(lastFiles.toSeq.map(f => s"${feed.getPath}/$f"): _*), 1L,
       publish = true)

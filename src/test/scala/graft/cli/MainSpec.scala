@@ -411,6 +411,56 @@ class MainSpec extends AnyFunSuite with SparkTestSession {
       s"census mismatch: $rows")
   }
 
+  test("--follow --gtid-state: a failed-over shard's re-served overlap " +
+      "is discarded via the recovered executed set (operable cdc74)") {
+    val root = Files.createTempDirectory("cli_gtid").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val out = new java.io.File(root, "out").getPath
+    import graft.ingest.BinlogBinaryWriter._
+    val cols = Seq(ColDef.longlong, ColDef.varchar(8))
+    val sid = (1 to 16).map(_.toByte).toArray
+    def txn(f: FileBuilder, gno: Long, xid: Long, ks: Seq[Long]): Unit = {
+      f.event(1714564800L, 33, gtidBody(sid, gno))
+      f.event(1714564800L, 2, queryBody("sf", "BEGIN"))
+      f.event(1714564800L, 19, tableMapBody(21L, "sf", "ta", cols))
+      f.event(1714564800L, 30, rowsBody(21L, 2,
+        ks.map(k => Seq(Some(encLongLong(k)), Some(encVarchar(s"v$k", 8))))))
+      f.event(1714564800L, 16, xidBody(xid))
+    }
+    // the server's file: txns 901 (k=1,2) and 902 (k=3)
+    val f1 = new FileBuilder(checksums = true); f1.fde(1714564800L)
+    txn(f1, 901L, 7001L, Seq(1L, 2L)); txn(f1, 902L, 7002L, Seq(3L))
+    Files.write(new java.io.File(feed, "mysql-bin.000001").toPath, f1.bytes)
+    def census(discardFrom: Option[Long]): Map[String, (Long, Long)] =
+      Main.follow(spark, Seq(feed.getPath), out, purgeSafe = false,
+          gtidState = true, gtidDiscardFrom = discardFrom)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    assert(census(None) == Map("sf.ta" -> (2L, 3L)))
+    // the durable executed set recorded the fleet's frontier
+    import graft.streaming.ViewMaintenance
+    val marks = ViewMaintenance.readState(spark, s"$out/gtid",
+        "sid STRING, gno BIGINT, batch_id BIGINT")
+      .groupBy("sid").agg(org.apache.spark.sql.functions.max("gno"))
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(marks == Seq(902L), s"executed set: $marks")
+    // FAILOVER: the replica's higher-numbered file re-serves txn 902
+    // under the SAME gtid (different framing is irrelevant — the gtid
+    // is the identity) and adds the new txn 903
+    val f2 = new FileBuilder(checksums = true); f2.fde(1714564800L)
+    txn(f2, 902L, 8002L, Seq(3L)); txn(f2, 903L, 8003L, Seq(4L))
+    Files.write(new java.io.File(feed, "mysql-bin.000800").toPath, f2.bytes)
+    // the recovery run: the overlap (k=3 again) is discarded, the new
+    // txn lands — 4 events total, 4 distinct rows, NOT 5
+    assert(census(Some(800L)) == Map("sf.ta" -> (3L, 4L)))
+    // and the set advanced to the replica's frontier for the NEXT one
+    val marks2 = ViewMaintenance.readState(spark, s"$out/gtid",
+        "sid STRING, gno BIGINT, batch_id BIGINT")
+      .groupBy("sid").agg(org.apache.spark.sql.functions.max("gno"))
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(marks2 == Seq(903L), s"executed set after failover: $marks2")
+  }
+
   test("--as-of/--diff: pinned census, published-mark census, release " +
       "diff, and the compacted-region refusal (operable time travel)") {
     import spark.implicits._
