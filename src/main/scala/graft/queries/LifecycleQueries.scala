@@ -3006,7 +3006,101 @@ object LifecycleQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // cdc78 — THE OPERABLE FOLLOW SURFACE UNDER THE ORACLE (r16: the CLI's
+  // --follow write path was rewritten — one dynamic-partition-overwrite
+  // job per batch, census from one partitioned read, --as-of/--diff read
+  // modes — so the CLI composition itself joins the gate registry
+  // instead of living on spec assertions alone). Four single-class
+  // binlog files (ta c0, tb c1, ta c2, tb c3 — cdc76's modulo split)
+  // drain through cli.Main.follow at one file per trigger, landing
+  // batches/marks 0..3 (precondition-asserted via the published mark,
+  // the cdc76 discipline); the output stacks three CLI reads:
+  //   - full:      Main.census — the live partition set, one scan;
+  //   - asof_1:    Main.censusAtMark at mark 1 — classes 0+1 only
+  //                (tb's c3 installment and ta's c2 are the future);
+  //   - diff_1_3:  Main.censusDiff (1, 3] — exactly the later two
+  //                installments, partition-pruned.
+  // n_events pins the WIRE framing too: writeChanges groups 100 rows
+  // per WRITE_ROWS event in one single-partition file per class, so
+  // the oracle's ceil(cnt/100) counts the events the decoder must have
+  // produced — a split or merged event is a hash mismatch, not just a
+  // row-count one.
+  def cdc78FollowCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc78_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val out = new java.io.File(root, "out").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id").cast("string")).as("v"))
+    Seq((1, "ta", 11L, 0L), (2, "tb", 12L, 1L),
+        (3, "ta", 11L, 2L), (4, "tb", 12L, 3L)).foreach {
+      case (seq, tbl, tid, cls) =>
+        val stg = new java.io.File(root, s"stage$seq")
+        graft.ingest.BinlogSink.writeChanges(
+          base.filter(col("k") % 4 === lit(cls))
+            .select(lit(1).as("op"), col("k"), col("v")).coalesce(1),
+          stg.getPath, table = tbl, tableId = tid, fileSeqStart = seq)
+        val files = Option(stg.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && !f.getName.startsWith("."))
+        require(files.nonEmpty, s"cdc78 fixture class $cls is empty — the " +
+          "class->mark arithmetic this gate pins needs all four " +
+          "installments (run at sf >= 0.01)")
+        files.foreach { f =>
+          require(f.renameTo(new java.io.File(feed, f.getName)),
+            s"fixture deliver failed: $f")
+        }
+    }
+    graft.streaming.Drains.withDrainPartitions(spark) {
+      // follow drains eagerly (AvailableNow to completion); its returned
+      // census frame is discarded — the gate re-reads through the three
+      // CLI read surfaces below
+      graft.cli.Main.follow(spark, Seq(feed.getPath), out,
+        purgeSafe = false, maxFilesPerTrigger = Some(1),
+        maxBytesPerTrigger = None)
+    }
+    // pacing precondition: 4 files at one per trigger == marks 0..3
+    require(ViewMaintenance.publishedMark(spark, out).contains(3L),
+      "cdc78 precondition broke: 4 staged files at maxFilesPerTrigger=1 " +
+        "must land as batches 0..3 (published mark 3) — the source's " +
+        "pacing changed")
+    val tablesRoot = s"$out/tables"
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("stage"), col("tbl"), col("n_events"),
+        col("n_rows"))
+    stage("full", graft.cli.Main.census(spark, tablesRoot))
+      .unionByName(stage("asof_1",
+        graft.cli.Main.censusAtMark(spark, out, tablesRoot, "1")._2))
+      .unionByName(stage("diff_1_3",
+        graft.cli.Main.censusDiff(spark, tablesRoot, 1L, 3L)))
+      .orderBy("stage", "tbl")
+  }
+
+  val cdc78Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |), cls AS (
+      |  SELECT CASE WHEN k % 2 = 0 THEN 'sf.ta' ELSE 'sf.tb' END AS tbl,
+      |    k % 4 AS c, COUNT(*) AS cnt
+      |  FROM base GROUP BY 1, 2
+      |), stages AS (
+      |  SELECT 'full' AS stage, 0 AS lo, 3 AS hi UNION ALL
+      |  SELECT 'asof_1', 0, 1 UNION ALL
+      |  SELECT 'diff_1_3', 2, 3
+      |)
+      |SELECT s.stage, cls.tbl,
+      |  CAST(SUM(CAST(CEIL(cls.cnt / 100.0) AS BIGINT)) AS BIGINT)
+      |    AS n_events,
+      |  CAST(SUM(cls.cnt) AS BIGINT) AS n_rows
+      |FROM stages s JOIN cls ON cls.c BETWEEN s.lo AND s.hi
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc78_follow_census" -> (cdc78FollowCensus _),
     "cdc77_release_diff" -> (cdc77ReleaseDiff _),
     "cdc76_consistent_demux" -> (cdc76ConsistentDemux _),
     "cdc75_time_travel" -> (cdc75TimeTravel _),
@@ -3038,6 +3132,7 @@ object LifecycleQueries {
   val oracles: Map[String, String] = Map(
     // both diff paths recomputed as direct class sums — partition
     // selection, the sign-flip, and the fold are all on the hook
+    "cdc78_follow_census" -> cdc78Oracle,
     "cdc77_release_diff" -> cdc77Oracle,
     // three stages recomputed from the class predicates — the torn raw
     // view, the mark-bounded consistent view, and the completed batch
