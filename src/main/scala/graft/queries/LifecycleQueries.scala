@@ -3099,7 +3099,101 @@ object LifecycleQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // cdc79 — THE OPERABLE GTID FAILOVER UNDER THE ORACLE (r16's second
+  // CLI gate: cdc74 proves the engine's executed-set discard; MainSpec
+  // drives the flag; this puts cli.Main.follow's --gtid-state /
+  // --gtid-discard-from composition itself on the oracle hook). One
+  // server identity (BinlogSink and TailFeedWriter share the default
+  // sid): a bulk insert file (gno 1), then a crafted server file
+  // (seq 500) with txns P (gno 9001) and Q (gno 9002) — drained with
+  // the executed set maintained under <out>/gtid. FAILOVER: the
+  // replica's file (seq 800) re-serves Q under the SAME gtid with
+  // different framing (50-row events) and adds txn R (gno 9003); the
+  // recovery run passes gtidDiscardFrom = 800 and must land R exactly
+  // once while the re-served Q vanishes against the recovered set. The
+  // oracle counts every class ONCE: a double-counted Q (set not
+  // recovered), a missing R (over-discard), or a re-served bulk (seq
+  // guard broken) are all hash mismatches.
+  def cdc79FollowGtid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.ViewMaintenance
+    val root = tmpFixtureDir("graft_cdc79_", dir)
+    root.mkdirs()
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val out = new java.io.File(root, "out").getPath
+    val base = fixtureBase(spark, dir)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id").as("k"),
+        concat(lit("u"), col("user_id").cast("string")).as("v"))
+    // bulk: everything outside the three crafted txn classes, gno 1
+    val stg = new java.io.File(root, "stage_bulk").getPath
+    graft.ingest.BinlogSink.writeChanges(
+      base.filter(col("k") % 131 >= 3)
+        .select(lit(1).as("op"), col("k"), col("v")).coalesce(1),
+      stg, fileSeqStart = 1)
+    Option(new java.io.File(stg).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .foreach { f =>
+        require(f.renameTo(new java.io.File(feed, f.getName)),
+          s"fixture deliver failed: $f")
+      }
+    val (tp, tq, tr) = (boundedClass(base, "cdc79", 0),
+      boundedClass(base, "cdc79", 1), boundedClass(base, "cdc79", 2))
+    val w = new TailFeedWriter(Seq(tp, tq, tr))
+    val (fServer, _) = w.newFile()
+    if (tp.nonEmpty) w.txn(fServer, 9001L, 17001L, tp)
+    if (tq.nonEmpty) w.txn(fServer, 9002L, 17002L, tq)
+    java.nio.file.Files.write(
+      new java.io.File(feed, "mysql-bin.000500").toPath, fServer.bytes)
+    graft.streaming.Drains.withDrainPartitions(spark) {
+      graft.cli.Main.follow(spark, Seq(feed.getPath), out,
+        purgeSafe = false, maxBytesPerTrigger = Some(1L << 30),
+        gtidState = true)
+    }
+    // the failover: the replica re-serves Q (same gtid, 50-row framing)
+    // and appends R under a higher-numbered file
+    val (fReplica, _) = w.newFile()
+    if (tq.nonEmpty) w.txn(fReplica, 9002L, 18002L, tq, perEvent = 50)
+    if (tr.nonEmpty) w.txn(fReplica, 9003L, 18003L, tr)
+    java.nio.file.Files.write(
+      new java.io.File(feed, "mysql-bin.000800").toPath, fReplica.bytes)
+    graft.streaming.Drains.withDrainPartitions(spark) {
+      graft.cli.Main.follow(spark, Seq(feed.getPath), out,
+        purgeSafe = false, maxBytesPerTrigger = Some(1L << 30),
+        gtidState = true, gtidDiscardFrom = Some(800L))
+    }
+    // both wire shapes land in sf.delta (the sink and the crafted writer
+    // share the default table identity)
+    val state = graft.cli.Main.tableStateDir(s"$out/tables", "sf", "delta")
+    ViewMaintenance.readState(spark, state,
+        "event_type STRING, binlog_file STRING, file_seq BIGINT, " +
+          "event_index BIGINT, xid BIGINT, " +
+          "row_images ARRAY<ARRAY<STRING>>, batch_id BIGINT")
+      .select(explode(col("row_images")).as("img"))
+      .select(element_at(col("img"), 1).cast("long").as("k"))
+      .withColumn("src", when(col("k") % 131 === 0, "txn_p")
+        .when(col("k") % 131 === 1, "txn_q")
+        .when(col("k") % 131 === 2, "txn_r").otherwise("bulk"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("k_sum"))
+      .orderBy("src")
+  }
+
+  val cdc79Oracle: String =
+    """WITH base AS (
+      |  SELECT event_id AS k FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view')
+      |)
+      |SELECT CASE WHEN k % 131 = 0 THEN 'txn_p'
+      |            WHEN k % 131 = 1 THEN 'txn_q'
+      |            WHEN k % 131 = 2 THEN 'txn_r'
+      |            ELSE 'bulk' END AS src,
+      |  COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS k_sum
+      |FROM base
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc79_follow_gtid" -> (cdc79FollowGtid _),
     "cdc78_follow_census" -> (cdc78FollowCensus _),
     "cdc77_release_diff" -> (cdc77ReleaseDiff _),
     "cdc76_consistent_demux" -> (cdc76ConsistentDemux _),
@@ -3132,6 +3226,7 @@ object LifecycleQueries {
   val oracles: Map[String, String] = Map(
     // both diff paths recomputed as direct class sums — partition
     // selection, the sign-flip, and the fold are all on the hook
+    "cdc79_follow_gtid" -> cdc79Oracle,
     "cdc78_follow_census" -> cdc78Oracle,
     "cdc77_release_diff" -> cdc77Oracle,
     // three stages recomputed from the class predicates — the torn raw
