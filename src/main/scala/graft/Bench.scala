@@ -167,11 +167,43 @@ object Bench {
       .map(n => "\"" + n + "\":" + fmt(m.getOrElse(n, -1.0)))
       .mkString("{", ",", "}")
 
+    // PROFILE MODE (dev-only, SPARK_GRAFT_BENCH_PROFILE=1): a listener
+    // tallies jobs/tasks/task-time so each query's wall clock can be
+    // split into parallel task work vs driver-side overhead (planning,
+    // scheduling, micro-batch machinery) — the guide's "measure first"
+    // step. Off by default; the timed path is unchanged either way (the
+    // listener bus is async and its counters are read outside the
+    // timed region).
+    val profile = sys.env.contains("SPARK_GRAFT_BENCH_PROFILE")
+    val profJobs = new java.util.concurrent.atomic.AtomicLong
+    val profTasks = new java.util.concurrent.atomic.AtomicLong
+    val profTaskMs = new java.util.concurrent.atomic.AtomicLong
+    if (profile) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          profJobs.incrementAndGet()
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          profTasks.incrementAndGet()
+          Option(t.taskMetrics).foreach(m =>
+            profTaskMs.addAndGet(m.executorRunTime))
+        }
+      })
+
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       try {
+        val (j0, t0n, m0) = (profJobs.get, profTasks.get, profTaskMs.get)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (profile) {
+          Thread.sleep(80) // let the async listener bus drain
+          System.err.println(f"[profile] $name jobs=${profJobs.get - j0} " +
+            f"tasks=${profTasks.get - t0n} " +
+            f"taskTimeS=${(profTaskMs.get - m0) / 1e3}%.2f wallS=$wall%.2f")
+        }
+        wall
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
